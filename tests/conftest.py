@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from vector_spark.session import get_spark
+
+    s = get_spark("vector-spark-tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from vector_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="session")
+def documents(spark):
+    from vector_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="session")
+def embeddings(spark):
+    from vector_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").cache()

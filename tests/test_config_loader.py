@@ -1,0 +1,95 @@
+"""Topology loader tests (the `vector test` harness analog: YAML config +
+inline fixture rows + asserted outputs; vector src/config/unit_test/)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.config.loader import (
+    TopologyError,
+    build_topology,
+    load_topology,
+    run_sinks,
+)
+
+TOPOLOGY_YAML = """
+sources:
+  events:
+    type: values
+    rows:
+      - {seq: 1, level: "error", host: "a", value: 10.0}
+      - {seq: 2, level: "info",  host: "a", value: 5.0}
+      - {seq: 3, level: "error", host: "b", value: 7.0}
+      - {seq: 4, level: "error", host: "a", value: 2.0}
+transforms:
+  errors:
+    type: filter
+    inputs: [events]
+    condition: "level = 'error'"
+  split:
+    type: exclusive_route
+    inputs: [errors]
+    routes:
+      - {name: host_a, condition: "host = 'a'"}
+  shaped:
+    type: remap
+    inputs: [split.host_a]
+    assign:
+      doubled: "value * 2"
+sinks:
+  out:
+    type: memory
+    inputs: [shaped]
+"""
+
+
+def test_topology_end_to_end(spark):
+    topo = load_topology(spark, TOPOLOGY_YAML)
+    results = run_sinks(topo)
+    rows = sorted(results["out"]["rows"], key=lambda r: r.seq)
+    assert [r.seq for r in rows] == [1, 4]
+    assert rows[0].doubled == 20.0
+
+
+def test_topology_validates_unknown_input(spark):
+    with pytest.raises(TopologyError, match="unknown input"):
+        build_topology(
+            spark,
+            {
+                "sources": {},
+                "transforms": {
+                    "t": {"type": "filter", "inputs": ["nope"], "condition": "1=1"}
+                },
+            },
+        )
+
+
+def test_topology_detects_cycle(spark):
+    with pytest.raises(TopologyError, match="cycle"):
+        build_topology(
+            spark,
+            {
+                "sources": {},
+                "transforms": {
+                    "a": {"type": "filter", "inputs": ["b"], "condition": "1=1"},
+                    "b": {"type": "filter", "inputs": ["a"], "condition": "1=1"},
+                },
+            },
+        )
+
+
+def test_topology_multi_input_union(spark):
+    topo = build_topology(
+        spark,
+        {
+            "sources": {
+                "s1": {"type": "values", "rows": [{"seq": 1, "v": "x"}]},
+                "s2": {"type": "values", "rows": [{"seq": 2, "v": "y"}]},
+            },
+            "transforms": {
+                "merged": {"type": "filter", "inputs": ["s1", "s2"], "condition": "true"}
+            },
+            "sinks": {},
+        },
+    )
+    assert topo.output("merged").count() == 2

@@ -1,0 +1,133 @@
+"""Tests for training-data ops: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from vector_spark.dataops.similarity import brute_force_topk, lsh_topk
+from vector_spark.dataops.text import fingerprint, language_id, text_stats, token_count
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   world"),
+            Row(doc_id=2, text="hello world"),  # same after normalization
+            Row(doc_id=3, text="different"),
+        ]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_estimates_jaccard(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content here now " * 5
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.4
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g")])
+    s1 = minhash_signatures(df).collect()[0].sig
+    s2 = minhash_signatures(df).collect()[0].sig
+    assert s1 == s2 and len(s1) == 64
+
+
+def test_simhash_near_dups(spark):
+    a = "spark streaming pipeline with stateful operators and watermarks " * 4
+    b = a.replace("watermarks", "watermark")
+    c = "unrelated text about cooking pasta with tomato sauce and basil " * 4
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert bin(fps[1] ^ fps[2]).count("1") < bin(fps[1] ^ fps[3]).count("1")
+    pairs = simhash_near_dups(df, max_hamming=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, g="x", text="a b c d e"),
+            Row(doc_id=2, g="x", text="a b c d f"),
+            Row(doc_id=3, g="x", text="q r s t u"),
+        ]
+    )
+    pairs = ngram_jaccard_pairs(df, block_cols=["g"], n=2, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # doc1 bigrams: {ab,bc,cd,de}, doc2: {ab,bc,cd,df} → J = 3/5
+    assert got == {(1, 2): 0.6}
+
+
+def test_brute_force_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cosine > 0.99
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = lsh_topk(embeddings, queries, k=5, n_tables=16, n_planes=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"LSH recall too low: {recall}"
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="  Hello,  World! "), Row(doc_id=2, text="")]
+    )
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 2, 2: 0}
+    fps = df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    assert all(len(r.fp) == 32 for r in fps)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog is of note"),
+            Row(doc_id=2, text="el gato y la casa que de verdad"),
+            Row(doc_id=3, text="der Hund und die Katze das Haus"),
+        ]
+    )
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de"}
+
+
+def test_text_stats_ranges(spark, documents):
+    out = text_stats(documents).collect()
+    for r in out:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_tokens > 0

@@ -1,0 +1,220 @@
+"""Unit tests for the transform operator library, mirroring the reference's
+behavior-corpus style (vector tests/behavior/transforms/*.yaml): small
+directed inputs, asserted outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_spark.operators import (
+    aggregate,
+    dedupe,
+    exclusive_route,
+    filter_op,
+    incremental_to_absolute,
+    reduce_op,
+    sample,
+    sessionize,
+    tag_cardinality_limit,
+    throttle,
+    window_context,
+)
+from vector_spark.operators.route import route, exclusive_route_tag
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_filter(spark):
+    df = _events(
+        spark,
+        [Row(seq=1, level="error"), Row(seq=2, level="info"), Row(seq=3, level=None)],
+    )
+    out = filter_op(df, F.col("level") == "error").collect()
+    assert [r.seq for r in out] == [1]  # null condition drops (vector semantics)
+
+
+def test_route_multi_match_and_unmatched(spark):
+    df = _events(spark, [Row(seq=1, v=5), Row(seq=2, v=15), Row(seq=3, v=-1)])
+    outs = route(df, {"small": F.col("v") < 10, "positive": F.col("v") > 0})
+    assert sorted(r.seq for r in outs["small"].collect()) == [1, 3]
+    assert sorted(r.seq for r in outs["positive"].collect()) == [1, 2]
+    # seq=1 matched BOTH routes (multi-match); nothing is unmatched here
+    assert outs["_unmatched"].count() == 0
+    outs2 = route(df, {"big": F.col("v") > 100})
+    assert sorted(r.seq for r in outs2["_unmatched"].collect()) == [1, 2, 3]
+
+
+def test_exclusive_route_first_match_wins(spark):
+    df = _events(spark, [Row(seq=1, v=5), Row(seq=2, v=15), Row(seq=3, v=500)])
+    tagged = exclusive_route_tag(
+        df, [("tiny", F.col("v") < 10), ("small", F.col("v") < 100)]
+    )
+    got = {r.seq: r._route for r in tagged.collect()}
+    assert got == {1: "tiny", 2: "small", 3: "_default"}
+    split = exclusive_route(df, [("tiny", F.col("v") < 10), ("small", F.col("v") < 100)])
+    assert sorted(split.keys()) == ["_default", "small", "tiny"]
+    assert [r.seq for r in split["small"].collect()] == [2]
+
+
+def test_sample_keyed_consistency(spark):
+    rows = [Row(seq=i, uid=i % 7) for i in range(100)]
+    df = _events(spark, rows)
+    out = sample(df, rate=3, key_field="uid").collect()
+    # all-or-nothing per key
+    kept_uids = {r.uid for r in out}
+    for uid in kept_uids:
+        assert sum(1 for r in rows if r.uid == uid) == sum(
+            1 for r in out if r.uid == uid
+        )
+
+
+def test_sample_counter_every_nth(spark):
+    df = _events(spark, [Row(seq=i, g="a") for i in range(1, 11)])
+    out = sample(df, rate=5, group_by=["g"], order_col="seq").collect()
+    assert sorted(r.seq for r in out) == [1, 6]
+
+
+def test_throttle(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(seq=i, key="k", ts=base + datetime.timedelta(seconds=i * 10))
+        for i in range(10)
+    ]
+    df = _events(spark, rows)
+    out = throttle(
+        df, threshold=2, window_secs=60, key_field="key", ts_col="ts",
+        order_cols=["ts", "seq"],
+    ).collect()
+    # windows of 60s contain 6 events each; first 2 of each pass
+    assert sorted(r.seq for r in out) == [0, 1, 6, 7]
+
+
+def test_dedupe_match_and_ignore(spark):
+    df = _events(
+        spark,
+        [
+            Row(seq=1, a="x", b="p"),
+            Row(seq=2, a="x", b="q"),
+            Row(seq=3, a="y", b="p"),
+            Row(seq=4, a="x", b="p"),
+        ],
+    )
+    out = dedupe(df, match=["a"], order_col="seq").collect()
+    assert sorted(r.seq for r in out) == [1, 3]
+    out2 = dedupe(df, ignore=["seq"], order_col="seq").collect()
+    assert sorted(r.seq for r in out2) == [1, 2, 3]
+
+
+def test_reduce_merge_strategies(spark):
+    df = _events(
+        spark,
+        [
+            Row(seq=1, g="a", n=10, s="one"),
+            Row(seq=2, g="a", n=5, s="two"),
+            Row(seq=3, g="b", n=1, s="only"),
+        ],
+    )
+    out = reduce_op(
+        df,
+        group_by=["g"],
+        merge_strategies={
+            "total": ("sum", "n"),
+            "first_s": ("discard", "s"),
+            "last_s": ("retain", "s"),
+            "all_s": ("concat", "s"),
+            "arr": ("array", "s"),
+        },
+        order_col="seq",
+    )
+    got = {r.g: r for r in out.collect()}
+    assert got["a"].total == 15
+    assert got["a"].first_s == "one"
+    assert got["a"].last_s == "two"
+    assert got["a"].all_s == "one two"
+    assert got["a"].arr == ["one", "two"]
+    assert got["a"].n_events == 2
+    assert got["b"].total == 1
+
+
+def test_sessionize_gap_and_ends_when(spark):
+    df = _events(
+        spark,
+        [
+            Row(seq=1, g="a", t=0, fin=False),
+            Row(seq=2, g="a", t=10, fin=True),
+            Row(seq=3, g="a", t=20, fin=False),
+            Row(seq=4, g="a", t=5000, fin=False),
+        ],
+    )
+    out = sessionize(df, ["g"], "seq", ends_when=F.col("fin"),
+                     gap=(F.col("t") - F.lag("t", 1).over(
+                         __import__("pyspark").sql.Window.partitionBy("g").orderBy("seq")
+                     )) > 1000)
+    got = {r.seq: r.session_id for r in out.collect()}
+    # seq2 ends session → seq3 starts new; seq4 gap > 1000 → new again
+    assert got[1] == got[2]
+    assert got[3] == got[2] + 1
+    assert got[4] == got[3] + 1
+
+
+def test_aggregate_modes(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    df = _events(
+        spark,
+        [
+            Row(seq=1, name="m", ts=base, value=1.0),
+            Row(seq=2, name="m", ts=base + datetime.timedelta(seconds=5), value=3.0),
+            Row(seq=3, name="m", ts=base + datetime.timedelta(seconds=15), value=5.0),
+        ],
+    )
+    out = aggregate(
+        df, interval_secs=10, series_keys=["name"], value_col="value",
+        ts_col="ts", order_col="seq",
+        modes=["count", "sum", "min", "max", "mean", "latest", "stdev", "diff"],
+    ).orderBy("bucket").collect()
+    assert out[0]["count"] == 2 and out[0]["sum"] == 4.0 and out[0]["latest"] == 3.0
+    assert out[0]["mean"] == 2.0
+    assert out[1]["count"] == 1 and out[1]["stdev"] is None
+    # reference Diff mode is latest-based ("difference between latest value
+    # for absolute", aggregate.rs:62): latest(5) - latest(3)
+    assert out[1]["diff"] == 2.0
+
+
+def test_window_context(spark):
+    df = _events(spark, [Row(seq=i, v=100 if i == 5 else 1) for i in range(10)])
+    out = window_context(
+        df, flush_when=F.col("v") > 50, order_col="seq",
+        num_events_before=2, num_events_after=1,
+    ).collect()
+    assert sorted(r.seq for r in out) == [3, 4, 5, 6]
+
+
+def test_incremental_to_absolute(spark):
+    df = _events(
+        spark,
+        [Row(seq=1, k="a", value=1.0), Row(seq=2, k="a", value=2.0),
+         Row(seq=3, k="b", value=7.0)],
+    )
+    out = incremental_to_absolute(df, ["k"], order_col="seq").collect()
+    got = {r.seq: r.absolute_value for r in out}
+    assert got == {1: 1.0, 2: 3.0, 3: 7.0}
+
+
+def test_tag_cardinality_limit(spark):
+    df = _events(
+        spark,
+        [Row(seq=i, tag=f"v{i}") for i in range(1, 6)],
+    )
+    out = tag_cardinality_limit(df, ["tag"], limit=2, order_col="seq")
+    got = {r.seq: r.tag for r in out.collect()}
+    assert got == {1: "v1", 2: "v2", 3: None, 4: None, 5: None}
+    out2 = tag_cardinality_limit(df, ["tag"], limit=2, order_col="seq",
+                                 action="drop_event")
+    assert sorted(r.seq for r in out2.collect()) == [1, 2]

@@ -1,0 +1,363 @@
+"""Topology loader: the engine's "query language" front end.
+
+The reference's query surface is a YAML/TOML config declaring a DAG of
+sources → transforms → sinks (vector `src/config/loading/mod.rs:144` →
+`src/config/compiler.rs:11` → `src/config/graph.rs:269` cycle check →
+`src/topology/builder.rs:181` physical build). We replicate that lifecycle:
+
+  parse YAML → validate names/inputs → cycle-check (DFS) → build one
+  DataFrame per component output (topological order) → sinks act.
+
+Catalyst replaces the reference's static type propagation
+(`src/topology/schema.rs:21`): chaining DataFrame builders type-checks the
+whole plan at build time, before any execution.
+
+Multi-output transforms (route, exclusive_route, remap with reroute_dropped)
+expose named outputs addressable as `component.output` in `inputs:` lists,
+exactly like the reference (`remap.rs:50` dropped output, route named
+outputs). Multiple `inputs:` union (vector's implicit stream merge,
+`src/topology/builder.rs` fanout/merge).
+
+Example:
+
+    sources:
+      events: {type: parquet, path: /data/events.parquet}
+    transforms:
+      errors:
+        type: filter
+        inputs: [events]
+        condition: "event_type = 'error'"
+      split:
+        type: exclusive_route
+        inputs: [errors]
+        routes:
+          - {name: big, condition: "value > 100"}
+    sinks:
+      out: {type: parquet, inputs: [split.big], path: /tmp/out}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.operators import (
+    dedupe,
+    filter_op,
+    reduce_op,
+    sample,
+    throttle,
+    window_context,
+)
+from vector_spark.operators.aggregate import aggregate
+from vector_spark.operators.metrics import (
+    MetricSpec,
+    incremental_to_absolute,
+    log_to_metric,
+    metric_to_log,
+    trace_to_log,
+)
+from vector_spark.operators.route import exclusive_route, route
+from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+
+
+class TopologyError(ValueError):
+    pass
+
+
+@dataclass
+class Topology:
+    """Validated component graph + built DataFrames per component output."""
+
+    sources: dict[str, dict]
+    transforms: dict[str, dict]
+    sinks: dict[str, dict]
+    outputs: dict[str, DataFrame] = dc_field(default_factory=dict)
+
+    def output(self, ref: str) -> DataFrame:
+        if ref not in self.outputs:
+            raise TopologyError(f"unknown output: {ref}")
+        return self.outputs[ref]
+
+
+def load_topology(spark: SparkSession, path_or_yaml: str) -> Topology:
+    """Load a topology from a YAML file path or YAML string."""
+    import os
+
+    import yaml
+
+    if os.path.exists(path_or_yaml):
+        with open(path_or_yaml) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        cfg = yaml.safe_load(path_or_yaml)
+    return build_topology(spark, cfg)
+
+
+def _validate(cfg: dict) -> tuple[dict, dict, dict]:
+    sources = cfg.get("sources", {}) or {}
+    transforms = cfg.get("transforms", {}) or {}
+    sinks = cfg.get("sinks", {}) or {}
+    names = set(sources) | set(transforms) | set(sinks)
+    if len(names) != len(sources) + len(transforms) + len(sinks):
+        raise TopologyError("duplicate component names")
+    # input refs resolve (allow `component.output` sub-addressing)
+    for cname, comp in {**transforms, **sinks}.items():
+        for inp in comp.get("inputs", []):
+            base = inp.split(".", 1)[0]
+            if base not in sources and base not in transforms:
+                raise TopologyError(f"{cname}: unknown input {inp!r}")
+    # cycle check over transform graph (DFS, mirrors graph.rs:269-321)
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {n: WHITE for n in transforms}
+
+    def dfs(n: str, stack: list[str]) -> None:
+        color[n] = GRAY
+        for inp in transforms[n].get("inputs", []):
+            base = inp.split(".", 1)[0]
+            if base in transforms:
+                if color[base] == GRAY:
+                    raise TopologyError(
+                        f"cycle detected: {' -> '.join(stack + [n, base])}"
+                    )
+                if color[base] == WHITE:
+                    dfs(base, stack + [n])
+        color[n] = BLACK
+
+    for n in transforms:
+        if color[n] == WHITE:
+            dfs(n, [])
+    return sources, transforms, sinks
+
+
+def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
+    stype = cfg.get("type", "parquet")
+    if stype in ("parquet", "json", "csv", "text", "avro", "orc"):
+        reader = spark.read.format(stype)
+        for k, v in (cfg.get("options") or {}).items():
+            reader = reader.option(k, v)
+        if cfg.get("schema"):
+            reader = reader.schema(cfg["schema"])
+        return reader.load(cfg["path"])
+    if stype == "demo_logs":
+        # synthetic generator (vector src/sources/demo_logs.rs:34)
+        n = int(cfg.get("count", 1000))
+        return spark.range(n).select(
+            F.col("id").alias("seq"),
+            F.current_timestamp().alias("ts"),
+            F.concat(F.lit("demo log line "), F.col("id").cast("string")).alias(
+                "message"
+            ),
+            F.lit("demo").alias("source_type"),
+        )
+    if stype == "values":
+        # inline fixture rows (the `vector test` insert_at analog)
+        return spark.createDataFrame(cfg["rows"])
+    raise TopologyError(f"{name}: unknown source type {stype!r}")
+
+
+def _inputs_df(outputs: dict[str, DataFrame], cfg: dict, name: str) -> DataFrame:
+    inputs = cfg.get("inputs", [])
+    if not inputs:
+        raise TopologyError(f"{name}: transform/sink needs inputs")
+    dfs = [outputs[i] for i in inputs]
+    res = dfs[0]
+    for d in dfs[1:]:
+        res = res.unionByName(d, allowMissingColumns=True)
+    return res
+
+
+def _build_transform(
+    name: str, cfg: dict, df: DataFrame
+) -> dict[str, DataFrame]:
+    """Build one transform; returns {output_ref: DataFrame} (default output
+    under `name`, named outputs under `name.out`)."""
+    ttype = cfg["type"]
+    if ttype == "filter":
+        return {name: filter_op(df, cfg["condition"])}
+    if ttype == "remap":
+        out = df
+        for col, expr in (cfg.get("assign") or {}).items():
+            out = out.withColumn(col, F.expr(expr))
+        for col in cfg.get("drop") or []:
+            out = out.drop(col)
+        if cfg.get("only"):
+            out = out.select(*cfg["only"])
+        return {name: out}
+    if ttype == "route":
+        conds = {r["name"]: r["condition"] for r in cfg["routes"]}
+        outs = route(df, conds, cfg.get("reroute_unmatched", True))
+        return {f"{name}.{k}": v for k, v in outs.items()}
+    if ttype == "exclusive_route":
+        pairs = [(r["name"], r["condition"]) for r in cfg["routes"]]
+        outs = exclusive_route(df, pairs)
+        return {f"{name}.{k}": v for k, v in outs.items()}
+    if ttype == "sample":
+        return {
+            name: sample(
+                df,
+                rate=cfg.get("rate"),
+                ratio=cfg.get("ratio"),
+                key_field=cfg.get("key_field"),
+                group_by=cfg.get("group_by"),
+                order_col=cfg.get("order_col"),
+                exclude=cfg.get("exclude"),
+            )
+        }
+    if ttype == "throttle":
+        return {
+            name: throttle(
+                df,
+                threshold=cfg["threshold"],
+                window_secs=cfg["window_secs"],
+                key_field=cfg["key_field"],
+                ts_col=cfg.get("ts_col", "ts"),
+                order_cols=cfg.get("order_cols"),
+                exclude=cfg.get("exclude"),
+            )
+        }
+    if ttype == "dedupe":
+        fields = cfg.get("fields", {})
+        return {
+            name: dedupe(
+                df,
+                match=fields.get("match"),
+                ignore=fields.get("ignore"),
+                order_col=cfg.get("order_col"),
+            )
+        }
+    if ttype == "reduce":
+        strategies = {
+            out: (s["strategy"], s["field"])
+            for out, s in (cfg.get("merge_strategies") or {}).items()
+        }
+        return {
+            name: reduce_op(
+                df,
+                group_by=cfg["group_by"],
+                merge_strategies=strategies,
+                order_col=cfg["order_col"],
+            )
+        }
+    if ttype == "aggregate":
+        return {
+            name: aggregate(
+                df,
+                interval_secs=cfg.get("interval_secs", 10),
+                series_keys=cfg["series_keys"],
+                value_col=cfg.get("value_col", "value"),
+                ts_col=cfg.get("ts_col", "ts"),
+                order_col=cfg.get("order_col"),
+                modes=cfg.get("modes"),
+                kind_col=cfg.get("kind_col"),
+            )
+        }
+    if ttype == "window":
+        return {
+            name: window_context(
+                df,
+                flush_when=cfg["flush_when"],
+                order_col=cfg["order_col"],
+                partition_by=cfg.get("partition_by"),
+                num_events_before=cfg.get("num_events_before", 100),
+                num_events_after=cfg.get("num_events_after", 0),
+                forward_when=cfg.get("forward_when"),
+            )
+        }
+    if ttype == "log_to_metric":
+        specs = [
+            MetricSpec(
+                name=m["name"],
+                type=m.get("type", "counter"),
+                field=m.get("field"),
+                increment_by_value=m.get("increment_by_value", False),
+                kind=m.get("kind", "incremental"),
+                tags=m.get("tags", {}),
+            )
+            for m in cfg["metrics"]
+        ]
+        return {
+            name: log_to_metric(
+                df, specs, ts_col=cfg.get("ts_col", "ts"),
+                namespace=cfg.get("namespace"),
+            )
+        }
+    if ttype == "metric_to_log":
+        return {name: metric_to_log(df, ts_col=cfg.get("ts_col", "ts"))}
+    if ttype == "trace_to_log":
+        return {name: trace_to_log(df)}
+    if ttype == "incremental_to_absolute":
+        return {
+            name: incremental_to_absolute(
+                df,
+                series_keys=cfg["series_keys"],
+                value_col=cfg.get("value_col", "value"),
+                order_col=cfg.get("order_col", "ts"),
+            )
+        }
+    if ttype == "tag_cardinality_limit":
+        return {
+            name: tag_cardinality_limit(
+                df,
+                tag_cols=cfg["tags"],
+                limit=cfg["limit"],
+                order_col=cfg["order_col"],
+                action=cfg.get("action", "drop_tag"),
+            )
+        }
+    raise TopologyError(f"{name}: unknown transform type {ttype!r}")
+
+
+def build_topology(spark: SparkSession, cfg: dict) -> Topology:
+    sources, transforms, sinks = _validate(cfg)
+    topo = Topology(sources, transforms, sinks)
+
+    for name, scfg in sources.items():
+        topo.outputs[name] = _build_source(spark, name, scfg)
+
+    # build transforms in dependency order (Kahn over validated DAG)
+    pending = dict(transforms)
+    while pending:
+        progressed = False
+        for name in list(pending):
+            deps = {i.split(".", 1)[0] for i in pending[name].get("inputs", [])}
+            if all(
+                d in sources or (d in transforms and d not in pending)
+                for d in deps
+            ):
+                cfg_t = pending.pop(name)
+                df = _inputs_df(topo.outputs, cfg_t, name)
+                topo.outputs.update(_build_transform(name, cfg_t, df))
+                progressed = True
+        if not progressed:  # pragma: no cover — cycle check makes this unreachable
+            raise TopologyError(f"unresolvable components: {sorted(pending)}")
+    return topo
+
+
+def run_sinks(topo: Topology) -> dict[str, Any]:
+    """Execute each sink (batch mode). Returns sink name → result info."""
+    results: dict[str, Any] = {}
+    for name, cfg in topo.sinks.items():
+        df = _inputs_df(topo.outputs, cfg, name)
+        stype = cfg.get("type", "parquet")
+        if stype in ("parquet", "json", "csv", "orc", "avro"):
+            writer = df.write.mode(cfg.get("mode", "overwrite")).format(stype)
+            if cfg.get("partition_by"):
+                writer = writer.partitionBy(*cfg["partition_by"])
+            for k, v in (cfg.get("options") or {}).items():
+                writer = writer.option(k, v)
+            writer.save(cfg["path"])
+            results[name] = {"path": cfg["path"]}
+        elif stype == "console":
+            df.show(int(cfg.get("limit", 20)), truncate=False)
+            results[name] = {"shown": True}
+        elif stype == "memory":
+            results[name] = {"rows": df.collect()}
+        elif stype == "blackhole":
+            results[name] = {"count": df.count()}
+        else:
+            raise TopologyError(f"{name}: unknown sink type {stype!r}")
+    return results

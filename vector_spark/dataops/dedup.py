@@ -1,0 +1,292 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each variant):
+- exact: hash-groupBy on a content digest — one shuffle of (digest, id),
+  never of the document bodies. At 100 TB, project digest+id FIRST so the
+  shuffle moves ~32 bytes/doc.
+- minhash_lsh: shingle → K minhashes → B bands; candidate pairs come from
+  a self-join on (band, band_hash) buckets, so cost is ~sum of bucket
+  sizes squared, not N². Signatures are computed with xxhash64 (JVM,
+  codegen) — no Python in the hot path.
+- simhash: 64-bit near-dup fingerprint; hamming-ball candidates via
+  block-permutation buckets (4 blocks of 16 bits → dups within hamming
+  distance 3 share ≥1 block).
+- ngram_jaccard: exact Jaccard on token n-gram sets for candidate pairs —
+  the verifier stage after LSH blocking (or standalone with a cheap
+  blocking key at small scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# large Mersenne prime for minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup on an md5 digest of (optionally normalized) text.
+
+    Returns one row per distinct content: keeper id (min id), dup count.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    digest = F.md5(t)
+    return (
+        df.select(digest.alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Word k-shingles as an array of strings (distinct)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash over word-shingle xxhash64 values.
+
+    Permutations are (a_i * h + b_i) mod M (universal hashing); everything
+    is Column arithmetic inside codegen — no UDF, no shuffle.
+    """
+    import random
+
+    rng = random.Random(seed)
+    abs_ = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = _shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def perm(a: int, b: int):
+        # keep arithmetic in signed-64 range: fold h into [0, 2^31) first
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(2147483647)) * F.lit(a % 2147483647)
+            + F.lit(b % _MERSENNE),
+            F.lit(_MERSENNE),
+        )
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in abs_]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature overlap.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    fraction of matching minhashes (unbiased Jaccard estimate) >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over word tokens: bit i = sign of sum over tokens of
+    (token_hash bit i ? +1 : -1). Pure Column program via explode + groupBy."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    # bit i of token hash via unsigned shift (bit 63 would overflow a lit mask)
+    bit_sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        # two's complement: the top bit contributes -2^63 in a signed long
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(weight)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: split the 64-bit fingerprint into
+    ``max_hamming + 1`` blocks (pigeonhole: any pair within the hamming
+    budget shares at least one exact block) and self-join on block buckets."""
+    n_blocks = min(max_hamming + 1, 16)
+    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+    fps = simhash(df, text_col, id_col)
+    blocked = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.blk", "bk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing a blocking key.
+
+    |A∩B| via an equi-join on exploded distinct shingles (shuffle moves
+    (shingle, id) pairs only), |A|,|B| from per-doc counts, union by
+    inclusion–exclusion. ``block_cols`` bounds the candidate space; pass
+    None only at small scale (falls back to a shared-shingle join which is
+    exact but hot-shingle-sensitive).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *([F.col(c) for c in block_cols] if block_cols else []),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    join_cond = [F.col("x.shingle") == F.col("y.shingle")]
+    if block_cols:
+        join_cond += [F.col(f"x.{c}") == F.col(f"y.{c}") for c in block_cols]
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), join_cond)
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k of corpus vectors per query vector.
+  The dot product is a Column expression (zip_with + aggregate) — stays in
+  codegen, no Python. Queries are broadcast (they're the small side); the
+  corpus is scanned once. At 100 TB this is the always-correct baseline
+  and the verifier for the approximate path.
+- lsh_topk: random-hyperplane (sign) LSH bucketing — each vector hashed to
+  B bucket keys; candidates = corpus vectors sharing a bucket with the
+  query; exact cosine re-rank inside buckets. Probe cost ~ bucket sizes,
+  not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine, rank), self-matches
+    excluded. Ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    sim = cosine_sim(F.col("_qvec"), F.col("_cvec"))
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket key (one int per vector for this plane set)."""
+    key = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        s = _dot(F.transform(vec, lambda x: x.cast("double")), arr)
+        key = key + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH + exact re-rank in buckets."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"_{idname}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col(vec_col), tables[t]).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idname, f"_{idname}_vec", "tb.tbl", "tb.bkt")
+
+    cb = bucketed(corpus, "neighbor_id")
+    qb = bucketed(queries, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine_sim(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines: language ID, quality scores,
+token counting, fingerprinting. All pure Column programs (codegen'd, no
+Python in the hot path) so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lexicons per language (expandable)
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of"],
+    "es": ["el", "la", "que", "de"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+_EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _count_occurrences(text: Column, token: str) -> Column:
+    """Occurrences of a literal token, computed by length delta (portable
+    to any SQL engine — used by the DuckDB oracle too)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (null-safe, empty → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def language_id(text: Column, out_score: bool = False) -> Column:
+    """Heuristic n-gram/stopword language ID: argmax of per-language marker
+    hit counts; deterministic ties broken by language code order."""
+    scores = [
+        (lang, sum_cols([_count_occurrences(text, m) for m in markers]))
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = None
+    best_score = None
+    for lang, s in scores:
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            take = s > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+    return best_score if out_score else best
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Features follow the usual pretraining-data heuristics (C4/Gopher-style):
+    length, mean word length, punctuation density, stopword ratio,
+    alphabetic ratio. All exact integer/decimal arithmetic until the final
+    rounded score so results are engine-portable.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))).cast("long")
+    n_alpha = (n_chars - F.length(F.regexp_replace(t, r"[a-zA-Z]", ""))).cast("long")
+    n_stop = sum_cols([_count_occurrences(t, w) for w in _EN_STOPWORDS])
+    mean_word_len = F.when(n_tokens > 0, (n_alpha.cast("double") / n_tokens)).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    # composite quality score in [0,1]-ish: rewards stopwords+alpha, light punct
+    score = F.round(
+        F.least(F.lit(1.0), stop_ratio * 2) * 0.4
+        + alpha_ratio * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 10) * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stopwords"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of case/whitespace/punct-normalized text."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(norm))

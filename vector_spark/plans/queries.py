@@ -1,0 +1,954 @@
+"""Demonstration query registry: one entry per implemented operator.
+
+Each QuerySpec pairs a Spark DataFrame builder (spark, sf_dir) -> DataFrame
+with the equivalent ANSI SQL for the DuckDB oracle (None → the driver runs
+a weaker rows-only check; used only for ops whose hashing primitives are
+engine-specific, e.g. xxhash64-based LSH).
+
+Numeric portability conventions (so value-hashes match across engines):
+- money/measure columns with 2-decimal precision are aggregated in integer
+  "cents" (CAST(ROUND(v*100) AS BIGINT)) — exact, order-insensitive — and
+  divided back to double once at the end; a double division of identical
+  inputs is bit-identical everywhere.
+- time buckets are epoch-second BIGINTs (floor semantics in both engines).
+- unrounded float expressions are rounded to 6 decimals at the boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_spark.tables import load_table
+from vector_spark.operators import (
+    filter_op,
+    exclusive_route,
+    sample,
+    throttle,
+    dedupe,
+    reduce_op,
+    sessionize,
+    window_context,
+    incremental_to_absolute,
+)
+from vector_spark.operators.route import exclusive_route_tag, route
+from vector_spark.operators.throttle import time_bucket
+from vector_spark.operators.enrich import enrich
+from vector_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vector_spark.dataops.similarity import brute_force_topk, lsh_topk
+from vector_spark.dataops.text import language_id, text_stats, token_count, fingerprint
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100, 0).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Relational flagships (TPC-H-shaped; exercise joins, agg, Catalyst pushdown)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    tax_c = _cents(F.col("l_tax"))
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("qc"),
+        price_c.alias("pc"),
+        disc_c.alias("dc"),
+        tax_c.alias("tc"),
+        (price_c * (100 - disc_c)).alias("dpc"),  # cents*1e2
+        (price_c * (100 - disc_c) * (100 + tax_c)).alias("chc"),  # cents*1e4
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qc") / 100.0).alias("sum_qty"),
+        (F.sum("pc") / 100.0).alias("sum_base_price"),
+        (F.sum("dpc") / 10000.0).alias("sum_disc_price"),
+        (F.sum("chc") / 1000000.0).alias("sum_charge"),
+        ((F.sum("qc") / 100.0) / F.count(F.lit(1))).alias("avg_qty"),
+        ((F.sum("pc") / 100.0) / F.count(F.lit(1))).alias("avg_price"),
+        ((F.sum("dc") / 100.0) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+_ORACLE_Q1 = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity*100) AS BIGINT) qc,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) pc,
+         CAST(ROUND(l_discount*100) AS BIGINT) dc,
+         CAST(ROUND(l_tax*100) AS BIGINT) tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(qc)/100.0 AS sum_qty,
+       SUM(pc)/100.0 AS sum_base_price,
+       SUM(pc*(100-dc))/10000.0 AS sum_disc_price,
+       SUM(pc*(100-dc)*(100+tc))/1000000.0 AS sum_charge,
+       (SUM(qc)/100.0)/COUNT(*) AS avg_qty,
+       (SUM(pc)/100.0)/COUNT(*) AS avg_price,
+       (SUM(dc)/100.0)/COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM c GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            rev.alias("rev_c"),
+        )
+    )
+    g = (
+        j.groupBy("l_orderkey", "o_orderdate_epoch", "o_orderpriority")
+        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return g
+
+
+_ORACLE_Q3 = """
+SELECT l_orderkey,
+       CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate_epoch, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Vector transform operators over `events`
+# --------------------------------------------------------------------------
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return filter_op(
+        ev, (F.col("event_type") == "error") & (F.col("value") > 100)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+_ORACLE_FILTER = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'error' AND value > 100
+"""
+
+
+def q_route_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tagged = exclusive_route_tag(
+        ev,
+        [
+            ("errors", F.col("event_type") == "error"),
+            ("high_value", F.col("value") >= 150),
+            ("conversions", F.col("event_type").isin("purchase", "signup")),
+        ],
+        tag_col="route",
+    )
+    return tagged.select("event_id", "route")
+
+
+_ORACLE_ROUTE_EXCL = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN value >= 150 THEN 'high_value'
+            WHEN event_type IN ('purchase','signup') THEN 'conversions'
+            ELSE '_default' END AS route
+FROM events
+"""
+
+
+def q_route_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    routes = route(
+        ev,
+        {
+            "errors": F.col("event_type") == "error",
+            "big": F.col("value") > 180,
+            "clicky": (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0),
+        },
+        reroute_unmatched=True,
+    )
+    outs = [
+        df.select(F.col("event_id"), F.lit(name).alias("route"))
+        for name, df in routes.items()
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_ORACLE_ROUTE_MULTI = """
+SELECT event_id, 'errors' AS route FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, 'big' FROM events WHERE value > 180
+UNION ALL
+SELECT event_id, 'clicky' FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+UNION ALL
+SELECT event_id, '_unmatched' FROM events
+WHERE NOT (COALESCE(event_type = 'error', FALSE)
+        OR COALESCE(value > 180, FALSE)
+        OR COALESCE(event_type = 'click' AND user_id % 2 = 0, FALSE))
+"""
+
+
+def q_sample_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sample(ev, rate=10, key_field="user_id").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+_ORACLE_SAMPLE_KEYED = """
+SELECT event_id, user_id, event_type
+FROM events WHERE ((user_id * 2654435761) % 2147483648) % 10 = 0
+"""
+
+
+def q_sample_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sample(
+        ev, rate=50, group_by=["event_type"], order_col="event_id"
+    ).select("event_id", "event_type")
+
+
+_ORACLE_SAMPLE_COUNTER = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn % 50 = 1
+"""
+
+
+def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedupe(
+        ev, match=["user_id", "event_type"], order_col="event_id"
+    ).select("event_id", "user_id", "event_type")
+
+
+_ORACLE_DEDUPE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return throttle(
+        ev,
+        threshold=5,
+        window_secs=3600,
+        key_field="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    ).select("event_id", "user_id")
+
+
+_ORACLE_THROTTLE = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(FLOOR(FLOOR(epoch(ts))/3600)*3600 AS BIGINT)
+           ORDER BY ts, event_id) rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate transform, modes count/sum/min/max/mean/latest/stdev over
+    1h buckets x event_type (exact integer-cents arithmetic)."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    g = (
+        ev.withColumn("bucket", time_bucket(F.col("ts"), 3600))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("_sc"),
+            F.sum(F.col("vc") * F.col("vc")).alias("_sq"),
+            F.min("vc").alias("_minc"),
+            F.max("vc").alias("_maxc"),
+            F.max_by(F.col("vc"), F.col("event_id")).alias("_latc"),
+        )
+    )
+    n = F.col("n")
+    s1 = F.col("_sc") / 100.0
+    s2 = F.col("_sq") / 10000.0
+    return g.select(
+        "bucket",
+        "event_type",
+        n,
+        (F.col("_sc") / 100.0).alias("sum_value"),
+        (F.col("_minc") / 100.0).alias("min_value"),
+        (F.col("_maxc") / 100.0).alias("max_value"),
+        ((F.col("_sc") / 100.0) / n).alias("mean_value"),
+        (F.col("_latc") / 100.0).alias("latest_value"),
+        F.when(n > 1, F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6)).alias(
+            "stdev_value"
+        ),
+    )
+
+
+_ORACLE_AGGREGATE = """
+WITH c AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts))/3600)*3600 AS BIGINT) AS bucket,
+         event_type, event_id,
+         CAST(ROUND(value*100) AS BIGINT) vc
+  FROM events
+), g AS (
+  SELECT bucket, event_type, COUNT(*) n, SUM(vc) sc, SUM(vc*vc) sq,
+         MIN(vc) minc, MAX(vc) maxc, arg_max(vc, event_id) latc
+  FROM c GROUP BY bucket, event_type
+)
+SELECT bucket, event_type, n,
+       sc/100.0 AS sum_value,
+       minc/100.0 AS min_value,
+       maxc/100.0 AS max_value,
+       (sc/100.0)/n AS mean_value,
+       latc/100.0 AS latest_value,
+       CASE WHEN n > 1
+            THEN ROUND(SQRT((sq/10000.0 - (sc/100.0)*(sc/100.0)/n)/(n-1)), 6)
+       END AS stdev_value
+FROM g
+"""
+
+
+def q_aggregate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate 'diff' mode: delta of per-bucket latest vs previous bucket."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    g = (
+        ev.withColumn("bucket", time_bucket(F.col("ts"), 86400))
+        .groupBy("bucket", "event_type")
+        .agg(F.max_by(F.col("vc"), F.col("event_id")).alias("_latc"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return g.select(
+        "bucket",
+        "event_type",
+        (F.col("_latc") / 100.0).alias("latest_value"),
+        ((F.col("_latc") - F.lag("_latc", 1).over(w)) / 100.0).alias("diff_value"),
+    )
+
+
+_ORACLE_AGG_DIFF = """
+WITH g AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT) AS bucket,
+         event_type,
+         arg_max(CAST(ROUND(value*100) AS BIGINT), event_id) latc
+  FROM events GROUP BY bucket, event_type
+)
+SELECT bucket, event_type, latc/100.0 AS latest_value,
+       (latc - lag(latc, 1) OVER (PARTITION BY event_type ORDER BY bucket))/100.0
+         AS diff_value
+FROM g
+"""
+
+
+def q_incremental_to_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    out = incremental_to_absolute(
+        ev,
+        series_keys=["user_id"],
+        value_col="vc",
+        order_col="event_id",
+        out_col="abs_c",
+        exact_decimals=None,
+    )
+    return out.select(
+        "event_id", "user_id", (F.col("abs_c") / 100.0).alias("absolute_value")
+    )
+
+
+_ORACLE_INCR_ABS = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING)/100.0 AS absolute_value
+FROM events
+"""
+
+
+def q_window_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return window_context(
+        ev,
+        flush_when=F.col("value") > 195,
+        order_col="event_id",
+        partition_by=["user_id"],
+        num_events_before=2,
+        num_events_after=1,
+        match_col="is_match",
+    ).select("event_id", "user_id", "is_match")
+
+
+_ORACLE_WINDOW = """
+SELECT event_id, user_id, is_match FROM (
+  SELECT event_id, user_id,
+         CAST(COALESCE(value > 195, FALSE) AS INT) AS is_match,
+         MAX(CAST(COALESCE(value > 195, FALSE) AS INT)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS near
+  FROM events
+) WHERE near = 1
+"""
+
+
+def q_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    red = reduce_op(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={
+            "total_c": ("sum", "vc"),
+            "max_c": ("max", "vc"),
+            "min_c": ("min", "vc"),
+            "first_type": ("discard", "event_type"),
+            "last_type": ("retain", "event_type"),
+            "types_concat": ("concat", "event_type"),
+        },
+        order_col="event_id",
+        count_col="n_events",
+    )
+    return red.select(
+        "user_id",
+        (F.col("total_c") / 100.0).alias("total_value"),
+        (F.col("max_c") / 100.0).alias("max_value"),
+        (F.col("min_c") / 100.0).alias("min_value"),
+        "first_type",
+        "last_type",
+        "types_concat",
+        "n_events",
+    )
+
+
+_ORACLE_REDUCE = """
+SELECT user_id,
+       SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total_value,
+       MAX(CAST(ROUND(value*100) AS BIGINT))/100.0 AS max_value,
+       MIN(CAST(ROUND(value*100) AS BIGINT))/100.0 AS min_value,
+       arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type,
+       string_agg(event_type, ' ' ORDER BY event_id) AS types_concat,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce with expire_after-style sessionization: 2h inactivity gap."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.floor(F.unix_timestamp("ts")).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = (F.col("epoch_s") - F.lag("epoch_s", 1).over(w)) > 7200
+    sess = sessionize(
+        ev, group_by=["user_id"], order_col="event_id", gap=gap
+    )
+    return (
+        sess.withColumn("vc", _cents(F.col("value")))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("epoch_s").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("session_value"),
+        )
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) epoch_s,
+         CAST(ROUND(value*100) AS BIGINT) vc
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN COALESCE(
+              epoch_s - lag(epoch_s) OVER (PARTITION BY user_id ORDER BY event_id) > 7200,
+              FALSE) THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, MIN(epoch_s) AS session_start,
+       COUNT(*) AS n_events, SUM(vc)/100.0 AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log_to_metric → aggregate: counters per event_type + value gauge sums."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    counters = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("metric_value")
+    ).select(
+        F.lit("events_total").alias("name"),
+        F.lit("counter").alias("metric_type"),
+        F.col("event_type").alias("tag_event_type"),
+        "metric_value",
+    )
+    sums = ev.groupBy("event_type").agg(
+        (F.sum("vc") / 100.0).alias("metric_value")
+    ).select(
+        F.lit("event_value_sum").alias("name"),
+        F.lit("counter").alias("metric_type"),
+        F.col("event_type").alias("tag_event_type"),
+        "metric_value",
+    )
+    return counters.unionByName(sums)
+
+
+_ORACLE_LOG_TO_METRIC = """
+SELECT 'events_total' AS name, 'counter' AS metric_type,
+       event_type AS tag_event_type, CAST(COUNT(*) AS DOUBLE) AS metric_value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'event_value_sum', 'counter', event_type,
+       SUM(CAST(ROUND(value*100) AS BIGINT))/100.0
+FROM events GROUP BY event_type
+"""
+
+
+def q_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap (VRL-subset): parse_json + coercion + string ops + computed cols."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.upper(F.col("event_type")).alias("event_type_uc"),
+        (F.unix_timestamp("ts")).alias("ts_epoch"),
+        (F.col("value") > 100).alias("is_big"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("user_key"),
+        F.when(k > 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )
+
+
+_ORACLE_REMAP = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       upper(event_type) AS event_type_uc,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+       value > 100 AS is_big,
+       concat('user-', CAST(user_id AS VARCHAR)) AS user_key,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enrichment-table lookup: broadcast join events→customer→nation→region."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    j = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("vc") / 100.0).alias("sum_value"),
+    )
+
+
+_ORACLE_ENRICH = """
+SELECT r_name, n_name, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """implicit union of multiple inputs into one component."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.lit("err_stream").alias("stream")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("buy_stream").alias("stream")
+    )
+    return errors.unionByName(buys)
+
+
+_ORACLE_UNION = """
+SELECT event_id, 'err_stream' AS stream FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, 'buy_stream' FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data ops over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+_ORACLE_DOCS_DEDUP = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_ORACLE_DOCS_FP = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_ish.alias("n_tokens_bpe"),
+    )
+
+
+_ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+         AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs, text_col="text", id_col="doc_id")
+
+
+def _occ_sql(token: str) -> str:
+    needle = f" {token} "
+    return (
+        f"CAST((length(p) - length(replace(p, '{needle}', '')))/{len(needle)} AS BIGINT)"
+    )
+
+
+_STOP = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+_ORACLE_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, concat(' ', lower(text), ' ') AS p,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents
+), stats AS (
+  SELECT doc_id, n_chars_m, n_tokens, n_punct, n_alpha,
+         ({' + '.join(_occ_sql(w) for w in _STOP)}) AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_chars_m, n_tokens, n_punct, n_alpha, n_stopwords,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS mean_word_len,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE)/n_chars_m ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(
+         least(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE)/n_tokens ELSE 0.0 END) * 2) * 0.4
+         + (CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars_m ELSE 0.0 END) * 0.4
+         + greatest(0.0, 1.0 - (CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE)/n_chars_m ELSE 0.0 END) * 10) * 0.2,
+       6) AS quality_score
+FROM stats
+"""
+
+
+def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+_MARKERS = {
+    "de": ["der", "die", "und", "das"],
+    "en": ["the", "and", "is", "of"],
+    "es": ["el", "la", "que", "de"],
+    "fr": ["le", "la", "et", "les"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "(" + " + ".join(_occ_sql(m) for m in _MARKERS[lang]) + ")"
+
+
+_ORACLE_LANGID = f"""
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang, concat(' ', lower(text), ' ') AS p
+  FROM documents
+), scores AS (
+  SELECT doc_id, labeled_lang,
+         {_lang_score_sql('de')} AS c_de,
+         {_lang_score_sql('en')} AS c_en,
+         {_lang_score_sql('es')} AS c_es,
+         {_lang_score_sql('fr')} AS c_fr,
+         {_lang_score_sql('zh')} AS c_zh
+  FROM base
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN c_zh > greatest(c_de, c_en, c_es, c_fr) THEN 'zh'
+            WHEN c_fr > greatest(c_de, c_en, c_es) THEN 'fr'
+            WHEN c_es > greatest(c_de, c_en) THEN 'es'
+            WHEN c_en > c_de THEN 'en'
+            ELSE 'de' END AS predicted_lang
+FROM scores
+"""
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        block_cols=["lang", "source"],
+        n=3,
+        threshold=0.12,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_ORACLE_JACCARD = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(range(1, greatest(len(ws)-1, 2))) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN sh y
+    ON x.shingle = y.shingle AND x.lang = y.lang AND x.source = y.source
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.12
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64-based → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=64, bands=16, shingle_k=3, threshold=0.5,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (xxhash64-based → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, text_col="text", id_col="doc_id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    return brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+            AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate; rows-only check, recall tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    return lsh_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id", dim=64)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.round(
+        F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)), 6
+    )
+    per_vec = emb.select("vec_id", "label", norm.alias("l2_norm"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("l2_norm").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+
+
+_ORACLE_EMB_STATS = """
+WITH v AS (
+  SELECT label,
+         ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+           AS l2_norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(l2_norm AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*) AS avg_norm
+FROM v GROUP BY label
+"""
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal envelope: binary payloads + metadata-only projection
+    (no UDF — octet_length/md5 run columnar in the JVM)."""
+    from vector_spark.dataops.multimodal import asset_metadata, documents_as_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    return asset_metadata(documents_as_assets(docs))
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary assets (deterministic
+    fake decode — rows-only check; see dataops/multimodal.py)."""
+    from vector_spark.dataops.multimodal import documents_as_assets, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_assets(docs))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(q_tpch_q1, _ORACLE_Q1, "TPC-H Q1 shape: scan+agg"),
+    "tpch_q3_top_orders": QuerySpec(q_tpch_q3, _ORACLE_Q3, "3-way join + top-k"),
+    "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
+    "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
+    "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
+    "sample_keyed": QuerySpec(q_sample_keyed, _ORACLE_SAMPLE_KEYED, "sample key-consistent"),
+    "sample_counter": QuerySpec(q_sample_counter, _ORACLE_SAMPLE_COUNTER, "sample 1-in-N per group"),
+    "dedupe": QuerySpec(q_dedupe, _ORACLE_DEDUPE, "dedupe first-per-key"),
+    "throttle": QuerySpec(q_throttle, _ORACLE_THROTTLE, "throttle per key+window"),
+    "aggregate": QuerySpec(q_aggregate, _ORACLE_AGGREGATE, "aggregate modes"),
+    "aggregate_diff": QuerySpec(q_aggregate_diff, _ORACLE_AGG_DIFF, "aggregate Diff mode"),
+    "incremental_to_absolute": QuerySpec(q_incremental_to_absolute, _ORACLE_INCR_ABS, "running sum"),
+    "window_context": QuerySpec(q_window_context, _ORACLE_WINDOW, "window transform"),
+    "reduce_merge": QuerySpec(q_reduce_merge, _ORACLE_REDUCE, "reduce merge strategies"),
+    "reduce_sessions": QuerySpec(q_reduce_sessions, _ORACLE_SESSIONS, "reduce sessionization"),
+    "log_to_metric": QuerySpec(q_log_to_metric, _ORACLE_LOG_TO_METRIC, "log_to_metric"),
+    "remap": QuerySpec(q_remap, _ORACLE_REMAP, "remap VRL-subset"),
+    "enrich": QuerySpec(q_enrich, _ORACLE_ENRICH, "enrichment broadcast join"),
+    "union_streams": QuerySpec(q_union, _ORACLE_UNION, "multi-input union"),
+    "docs_exact_dedup": QuerySpec(q_docs_exact_dedup, _ORACLE_DOCS_DEDUP, "exact dedup"),
+    "docs_fingerprint": QuerySpec(q_docs_fingerprint, _ORACLE_DOCS_FP, "doc fingerprint"),
+    "docs_token_count": QuerySpec(q_docs_token_count, _ORACLE_TOKEN_COUNT, "token counting"),
+    "docs_text_stats": QuerySpec(q_docs_text_stats, _ORACLE_TEXT_STATS, "quality scoring"),
+    "docs_langid": QuerySpec(q_docs_langid, _ORACLE_LANGID, "language id"),
+    "docs_ngram_jaccard": QuerySpec(q_docs_ngram_jaccard, _ORACLE_JACCARD, "ngram jaccard near-dup"),
+    "docs_minhash_lsh": QuerySpec(q_minhash_lsh, None, "minhash LSH near-dup (rows-only)"),
+    "docs_simhash": QuerySpec(q_simhash, None, "simhash fingerprints (rows-only)"),
+    "multimodal_metadata": QuerySpec(q_multimodal_metadata, _ORACLE_MULTIMODAL, "binary asset metadata"),
+    "multimodal_features": QuerySpec(q_multimodal_features, None, "mapInPandas feature extraction (rows-only)"),
+    "ann_cosine_topk": QuerySpec(q_ann_topk, _ORACLE_ANN, "brute-force cosine top-k"),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "LSH ANN top-k (rows-only)"),
+    "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
+}

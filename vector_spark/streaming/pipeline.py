@@ -1,0 +1,153 @@
+"""Streaming sources, sinks, and window/dedupe/session operators.
+
+Semantic mapping from the reference (all timers there are processing-time,
+`expire_after_ms`/`interval_ms`/`flush_period_ms`; SURVEY §2.7):
+- `aggregate` interval_ms → event-time tumbling window + watermark.
+- `dedupe` TTL cache (`time_settings`) → dropDuplicatesWithinWatermark.
+- `reduce expire_after_ms` → session_window gap.
+Vector never drops late data (late events land in the currently-open
+bucket); Spark watermarks DO bound lateness. We default the watermark to a
+generous multiple of the window and expose it as config — this is a
+documented semantic delta, traded for exactly-once state cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---- sources -----------------------------------------------------------
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
+) -> DataFrame:
+    """Synthetic generator (the demo_logs analog for tests/benchmarks)."""
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    df = reader.load()  # (timestamp, value)
+    return df.select(
+        F.col("value").alias("seq"),
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("demo log line "), F.col("value")).alias("message"),
+        (F.col("value") % 50).cast("string").alias("host"),
+        F.lit("rate").alias("source_type"),
+    )
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """File-tail source (vector `file` source ≈ Spark's file stream: the
+    engine tracks processed files in the checkpoint — its checkpointing,
+    `lib/file-source-common/src/checkpointer.rs`, is built in here)."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+# ---- operators ---------------------------------------------------------
+
+def streaming_aggregate(
+    df: DataFrame,
+    interval_secs: int,
+    series_keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    modes: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregation (vector `aggregate`)."""
+    modes = modes or ["count", "sum", "min", "max", "mean"]
+    wm = watermark or f"{interval_secs * 4} seconds"
+    v = F.col(value_col)
+    agg_map = {
+        "count": F.count(v).alias("count"),
+        "sum": F.sum(v).alias("sum"),
+        "min": F.min(v).alias("min"),
+        "max": F.max(v).alias("max"),
+        "mean": F.avg(v).alias("mean"),
+    }
+    aggs = [agg_map[m] for m in modes]
+    return (
+        df.withWatermark(ts_col, wm)
+        .groupBy(F.window(F.col(ts_col), f"{interval_secs} seconds"), *series_keys)
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            *series_keys,
+            *[F.col(m) for m in modes],
+        )
+    )
+
+
+def streaming_dedupe(
+    df: DataFrame,
+    fields: list[str],
+    ts_col: str = "ts",
+    ttl: str = "1 hour",
+) -> DataFrame:
+    """dedupe with TTL (vector TimedDedupe, `dedupe/timed_transform.rs`):
+    duplicates suppressed while the key is inside the watermark horizon."""
+    return df.withWatermark(ts_col, ttl).dropDuplicatesWithinWatermark(fields)
+
+
+def streaming_session_reduce(
+    df: DataFrame,
+    group_by: list[str],
+    gap_secs: int,
+    ts_col: str = "ts",
+    aggs: list[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """reduce with expire_after_ms → session_window with the same gap."""
+    wm = watermark or f"{gap_secs * 2} seconds"
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    return (
+        df.withWatermark(ts_col, wm)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_secs} seconds"), *group_by)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+# ---- sinks -------------------------------------------------------------
+
+def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """In-memory table sink — the `vector tap` analog for inspecting a
+    running pipeline (vector `src/tap/cmd.rs:13`)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str, trigger_secs: int = 1):
+    """File sink with checkpointed exactly-once delivery (the reference's
+    end-to-end-ack analog: offsets+commit log in the checkpoint)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
