@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tag_cardinality_limit",
+    "pipeline_log_to_metric",
+    "line_agg_multiline",
+    "syslog_roundtrip",
     "filter",
     "route_exclusive",
     "sample_keyed",

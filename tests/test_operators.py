@@ -218,3 +218,26 @@ def test_tag_cardinality_limit(spark):
     out2 = tag_cardinality_limit(df, ["tag"], limit=2, order_col="seq",
                                  action="drop_event")
     assert sorted(r.seq for r in out2.collect()) == [1, 2]
+
+
+def test_line_agg(spark):
+    from vector_spark.operators.reduce import line_agg
+
+    df = _events(
+        spark,
+        [
+            Row(seq=1, f="a", line="START x"),
+            Row(seq=2, f="a", line="cont1"),
+            Row(seq=3, f="a", line="START y"),
+            Row(seq=4, f="a", line="cont2"),
+            Row(seq=5, f="b", line="solo"),
+        ],
+    )
+    out = line_agg(
+        df, group_by=["f"], order_col="seq", line_col="line",
+        starts_when=F.col("line").startswith("START"),
+    ).collect()
+    got = {(r.f, r.message_id): (r.message, r.n_lines) for r in out}
+    assert got[("a", 1)] == ("START x\ncont1", 2)
+    assert got[("a", 2)] == ("START y\ncont2", 2)
+    assert got[("b", 0)] == ("solo", 1)

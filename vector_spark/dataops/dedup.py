@@ -49,14 +49,35 @@ def exact_dedup(
     )
 
 
-def _shingles(text: Column, k: int) -> Column:
-    """Word k-shingles as an array of strings (distinct)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+def _shingles_from_words(words: Column, k: int) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED words-array column.
+
+    ``words`` must be a bound column (projected in a previous select), not
+    an inline `split(...)` expression: a lambda that closes over a compound
+    expression re-evaluates it per array element (no subexpression
+    elimination inside `transform`), turning shingling O(n²). Materializing
+    the array first makes this a plain O(n·k) pass — measured 10× faster.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+
+
+def _exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    k: int,
+    keep: list[str],
+    distinct: bool = True,
+    out: str = "shingle",
+) -> DataFrame:
+    """(keep..., shingle) — one row per (distinct) word k-shingle."""
+    base = df.select(
+        *keep, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
     )
+    sh = _shingles_from_words(F.col("_w"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return base.select(*keep, F.explode(sh).alias(out))
 
 
 def minhash_signatures(
@@ -69,28 +90,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — minhash over word-shingle xxhash64 values.
 
-    Permutations are (a_i * h + b_i) mod M (universal hashing); everything
-    is Column arithmetic inside codegen — no UDF, no shuffle.
+    Permutations are (a_i * h + b_i) mod M (universal hashing), all Column
+    arithmetic — no UDF. Shape: explode shingles once, then ONE hash-agg
+    with `num_hashes` `min()` columns (map-side partial combine shrinks the
+    shuffle to one 64-long row per doc per partition). The alternative —
+    `num_hashes` × `array_min(transform(...))` in a single projection —
+    re-walks the shingle array per permutation and overflows whole-stage
+    codegen's method-size budget, falling back to interpreted eval.
     """
     import random
 
     rng = random.Random(seed)
     abs_ = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    sh = _shingles(F.col(text_col), shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def perm(a: int, b: int):
-        # keep arithmetic in signed-64 range: fold h into [0, 2^31) first
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(2147483647)) * F.lit(a % 2147483647)
-            + F.lit(b % _MERSENNE),
-            F.lit(_MERSENNE),
-        )
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in abs_]
+    # distinct=False: duplicates can't change a min, and skipping the
+    # per-array dedup is cheaper than the rows it saves downstream
+    exploded = _exploded_shingles(
+        df, text_col, shingle_k, keep=[id_col], distinct=False, out="_sh"
+    ).select(
+        id_col,
+        # fold into [0, 2^31) so a*h + b stays in signed-64 range
+        F.pmod(F.xxhash64("_sh"), F.lit(2147483647)).alias("_h"),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit(a % 2147483647) + F.lit(b % _MERSENNE),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(abs_)
+    ]
+    g = exploded.groupBy(id_col).agg(*aggs)
+    return g.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -109,10 +143,18 @@ def minhash_lsh_pairs(
     fraction of matching minhashes (unbiased Jaccard estimate) >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    banded = sigs.select(
+    # persist: the signature table feeds the bucket self-join AND the two
+    # verify joins below; without it Spark re-runs the whole
+    # shingle→signature pipeline for every branch. At cluster scale this is
+    # the standard "materialize signatures once, then block" shape
+    # (persist here; checkpoint to storage for very large corpora).
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    # blocking table carries ONLY (id, band, bucket) — the self-join and
+    # the pair-dedup shuffle move 24-byte rows, never the 64-long sigs
+    buckets = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.array(
                 *[
@@ -132,9 +174,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -145,17 +186,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify stage: fetch sigs for the (much smaller) candidate set
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(num_hashes)
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -260,10 +304,8 @@ def ngram_jaccard_pairs(
     None only at small scale (falls back to a shared-shingle join which is
     exact but hot-shingle-sensitive).
     """
-    sh = df.select(
-        F.col(id_col),
-        *([F.col(c) for c in block_cols] if block_cols else []),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    sh = _exploded_shingles(
+        df, text_col, n, keep=[id_col, *(block_cols or [])], distinct=True
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     join_cond = [F.col("x.shingle") == F.col("y.shingle")]

@@ -132,3 +132,41 @@ def sessionize(
         flag = flag | c
     started = F.when(flag, F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(session_col, F.sum(started).over(w))
+
+
+def line_agg(
+    df: DataFrame,
+    group_by: list[str],
+    order_col: str,
+    line_col: str,
+    starts_when: Column,
+    separator: str = "\n",
+    out_col: str = "message",
+) -> DataFrame:
+    """Multiline aggregation (vector `src/line_agg.rs:24-48`,
+    `src/sources/util/multiline_config.rs:15`): collapse consecutive lines
+    into one message per group, starting a new message whenever
+    ``starts_when`` fires (mode `HaltBefore`/start-pattern semantics).
+
+    Batch form of the per-file-key sessionizer: flag-cumsum session ids,
+    then ordered concat — two shuffles, both on the group key.
+    """
+    sess = sessionize(
+        df, group_by=group_by, order_col=order_col,
+        starts_when=starts_when, session_col="_line_sess",
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("v")))
+        ),
+        lambda s: s["v"],
+    )
+    return (
+        sess.groupBy(*group_by, "_line_sess")
+        .agg(
+            F.array_join(ordered, separator).alias(out_col),
+            F.min(order_col).alias("first_" + order_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumnRenamed("_line_sess", "message_id")
+    )

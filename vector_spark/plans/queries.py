@@ -33,7 +33,12 @@ from vector_spark.operators import (
     sessionize,
     window_context,
     incremental_to_absolute,
+    aggregate,
+    log_to_metric,
+    tag_cardinality_limit,
 )
+from vector_spark.operators.metrics import MetricSpec
+from vector_spark.operators.reduce import line_agg
 from vector_spark.operators.route import exclusive_route_tag, route
 from vector_spark.operators.throttle import time_bucket
 from vector_spark.operators.enrich import enrich
@@ -914,6 +919,320 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_assets(docs))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+sum — the predicate/column-pushdown
+    showcase (scan should read 4 columns with all 4 filters pushed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dc = _cents(F.col("l_discount"))
+    li = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & dc.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents(F.col("l_extendedprice")) * dc
+    return li.agg((F.sum(rev) / 10000.0).alias("revenue"))
+
+
+_ORACLE_Q6 = """
+SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * CAST(ROUND(l_discount*100) AS BIGINT))/10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (3 broadcast dims) + group agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+_ORACLE_Q5 = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q_sample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sample(ev, ratio=0.25, key_field="user_id").select(
+        "event_id", "user_id"
+    )
+
+
+_ORACLE_SAMPLE_RATIO = """
+SELECT event_id, user_id FROM events
+WHERE ((user_id * 2654435761) % 2147483648) <= CAST(0.25 * 2147483648 AS BIGINT)
+"""
+
+
+def q_tag_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag_cardinality_limit drop_tag: admit the first 20 distinct values of
+    the `k` tag in first-seen order; later values are nulled out."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("tag_k"),
+    )
+    return tag_cardinality_limit(
+        ev, tag_cols=["tag_k"], limit=20, order_col="event_id", action="drop_tag"
+    ).select("event_id", "tag_k")
+
+
+_ORACLE_TAG_CARD = """
+WITH tagged AS (
+  SELECT event_id, json_extract_string(props, '$.k') AS tag_k FROM events
+), firsts AS (
+  SELECT tag_k, MIN(event_id) AS fs FROM tagged
+  WHERE tag_k IS NOT NULL GROUP BY tag_k
+), admitted AS (
+  SELECT tag_k FROM (
+    SELECT tag_k, row_number() OVER (ORDER BY fs, tag_k) AS rk FROM firsts
+  ) WHERE rk <= 20
+)
+SELECT t.event_id,
+       CASE WHEN t.tag_k IN (SELECT tag_k FROM admitted) THEN t.tag_k END AS tag_k
+FROM tagged t
+"""
+
+
+def q_pipeline_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end vector pipeline: log_to_metric (MetricSpec API) →
+    aggregate into daily buckets per (metric name, tag)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vc", _cents(F.col("value")).cast("double")
+    )
+    m = log_to_metric(
+        ev,
+        [
+            MetricSpec(name="events_count", type="counter",
+                       tags={"event_type": "event_type"}),
+            MetricSpec(name="value_cents_total", type="counter", field="vc",
+                       increment_by_value=True,
+                       tags={"event_type": "event_type"}),
+        ],
+        ts_col="ts",
+    )
+    m = m.select(
+        time_bucket(F.col("ts"), 86400).alias("bucket"),
+        "name",
+        F.col("tags")["event_type"].alias("tag_event_type"),
+        "value",
+    )
+    return m.groupBy("bucket", "name", "tag_event_type").agg(
+        F.sum("value").alias("total"),  # integer-valued doubles: exact
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLE_PIPE_L2M = """
+WITH m AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT) AS bucket,
+         'events_count' AS name, event_type AS tag_event_type, 1.0 AS value
+  FROM events
+  UNION ALL
+  SELECT CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT),
+         'value_cents_total', event_type,
+         CAST(CAST(ROUND(value*100) AS BIGINT) AS DOUBLE)
+  FROM events
+)
+SELECT bucket, name, tag_event_type, SUM(value) AS total, COUNT(*) AS n
+FROM m GROUP BY bucket, name, tag_event_type
+"""
+
+
+def q_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline/line_agg: per user in event order, start a new message at
+    each 'signup' event; concatenate event_types into one message."""
+    ev = _t(spark, sf_dir, "events")
+    return line_agg(
+        ev,
+        group_by=["user_id"],
+        order_col="event_id",
+        line_col="event_type",
+        starts_when=F.col("event_type") == "signup",
+        separator="|",
+    ).select("user_id", "message_id", "message", "first_event_id", "n_lines")
+
+
+_ORACLE_LINE_AGG = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS st
+  FROM events
+), sess AS (
+  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY event_id) AS message_id
+  FROM flagged
+)
+SELECT user_id, message_id,
+       string_agg(event_type, '|' ORDER BY event_id) AS message,
+       MIN(event_id) AS first_event_id,
+       COUNT(*) AS n_lines
+FROM sess GROUP BY user_id, message_id
+"""
+
+
+def q_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec round-trip: encode events as RFC3164-ish syslog lines
+    (format_string), then decode with the parse_syslog regex layer —
+    exercises the encode/parse codec path with an oracle."""
+    from vector_spark.functions.vrl import SYSLOG_RE
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "<%d>Jan %2d 00:00:00 host-%d %s[%d]: event %s",
+        F.pmod(F.col("user_id"), F.lit(192)).cast("int"),
+        (F.pmod(F.col("event_id"), F.lit(28)) + 1).cast("int"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("int"),
+        F.col("event_type"),
+        F.pmod(F.col("event_id"), F.lit(100)).cast("int"),
+        F.col("event_type"),
+    )
+    enc = ev.select("event_id", line.alias("line"))
+    pri = F.regexp_extract(F.col("line"), SYSLOG_RE, 1).cast("int")
+    return enc.select(
+        "event_id",
+        "line",
+        F.floor(pri / 8).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        F.regexp_extract(F.col("line"), SYSLOG_RE, 3).alias("hostname"),
+        F.regexp_extract(F.col("line"), SYSLOG_RE, 4).alias("appname"),
+        F.regexp_extract(F.col("line"), SYSLOG_RE, 6).alias("message"),
+    )
+
+
+_ORACLE_SYSLOG = r"""
+WITH enc AS (
+  SELECT event_id,
+         printf('<%d>Jan %2d 00:00:00 host-%d %s[%d]: event %s',
+                user_id % 192, event_id % 28 + 1, user_id % 50,
+                event_type, event_id % 100, event_type) AS line
+  FROM events
+)
+SELECT event_id, line,
+       CAST(FLOOR(CAST(regexp_extract(line, '^<(\d+)>', 1) AS INT) / 8) AS INT) AS facility,
+       CAST(regexp_extract(line, '^<(\d+)>', 1) AS INT) % 8 AS severity,
+       regexp_extract(line, '^<\d+>(\w{3}\s+\d+\s[\d:]+)\s(\S+)\s([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$', 2) AS hostname,
+       regexp_extract(line, '^<\d+>(\w{3}\s+\d+\s[\d:]+)\s(\S+)\s([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$', 3) AS appname,
+       regexp_extract(line, '^<\d+>(\w{3}\s+\d+\s[\d:]+)\s(\S+)\s([^:\[]+)(?:\[(\d+)\])?:\s*(.*)$', 5) AS message
+FROM enc
+"""
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRL parse_key_value (logfmt): encode k=v lines, parse to a map,
+    project typed fields back out."""
+    from vector_spark.functions.vrl import parse_key_value
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "type=%s user=%d cents=%d",
+        F.col("event_type"),
+        F.col("user_id"),
+        _cents(F.col("value")),
+    )
+    enc = ev.select("event_id", line.alias("line"))
+    kv = parse_key_value(F.col("line"), pair_sep=" ", kv_sep="=")
+    return enc.select(
+        "event_id",
+        kv["type"].alias("type"),
+        kv["user"].cast("long").alias("user"),
+        (kv["cents"].cast("long") / 100.0).alias("restored_value"),
+    )
+
+
+_ORACLE_KV = """
+SELECT event_id, event_type AS type, user_id AS user,
+       CAST(ROUND(value*100) AS BIGINT)/100.0 AS restored_value
+FROM events
+"""
+
+
+def q_aggregate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate Auto mode: incremental series are summed, absolute series
+    take the latest value (kind semantics, metric/mod.rs:533-539)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        _cents(F.col("value")).alias("vc"),
+        F.when(F.col("event_type").isin("click", "view"), "incremental")
+        .otherwise("absolute")
+        .alias("kind"),
+    )
+    out = aggregate(
+        ev,
+        interval_secs=86400,
+        series_keys=["event_type", "kind"],
+        value_col="vc",
+        ts_col="ts",
+        order_col="event_id",
+        modes=["auto", "count"],
+        kind_col="kind",
+        exact_decimals=0,
+    )
+    return out.select(
+        "bucket", "event_type", "kind",
+        (F.col("auto") / 100.0).alias("auto_value"),
+        F.col("count").alias("n"),
+    )
+
+
+_ORACLE_AGG_AUTO = """
+WITH c AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT) AS bucket,
+         event_type,
+         CASE WHEN event_type IN ('click','view') THEN 'incremental'
+              ELSE 'absolute' END AS kind,
+         CAST(ROUND(value*100) AS BIGINT) AS vc, event_id
+  FROM events
+)
+SELECT bucket, event_type, kind,
+       CASE WHEN kind = 'incremental' THEN SUM(vc)
+            ELSE arg_max(vc, event_id) END/100.0 AS auto_value,
+       COUNT(*) AS n
+FROM c GROUP BY bucket, event_type, kind
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -921,6 +1240,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q_tpch_q1, _ORACLE_Q1, "TPC-H Q1 shape: scan+agg"),
     "tpch_q3_top_orders": QuerySpec(q_tpch_q3, _ORACLE_Q3, "3-way join + top-k"),
+    "tpch_q5_local_volume": QuerySpec(q_tpch_q5, _ORACLE_Q5, "6-way join + agg"),
+    "tpch_q6_forecast_revenue": QuerySpec(q_tpch_q6, _ORACLE_Q6, "filter+sum pushdown"),
+    "sample_ratio": QuerySpec(q_sample_ratio, _ORACLE_SAMPLE_RATIO, "sample by ratio"),
+    "tag_cardinality_limit": QuerySpec(q_tag_cardinality, _ORACLE_TAG_CARD, "tag cardinality cap"),
+    "pipeline_log_to_metric": QuerySpec(q_pipeline_log_to_metric, _ORACLE_PIPE_L2M, "log_to_metric→aggregate"),
+    "line_agg_multiline": QuerySpec(q_line_agg, _ORACLE_LINE_AGG, "multiline line_agg"),
+    "syslog_roundtrip": QuerySpec(q_syslog_roundtrip, _ORACLE_SYSLOG, "syslog encode+parse"),
+    "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
+    "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
