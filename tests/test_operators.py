@@ -241,3 +241,47 @@ def test_line_agg(spark):
     assert got[("a", 1)] == ("START x\ncont1", 2)
     assert got[("a", 2)] == ("START y\ncont2", 2)
     assert got[("b", 0)] == ("solo", 1)
+
+
+def test_delay(spark):
+    import datetime
+
+    from vector_spark.operators import delay
+
+    base = datetime.datetime(2024, 1, 1)
+    df = _events(
+        spark,
+        [Row(seq=1, ts=base, level="error"), Row(seq=2, ts=base, level="info")],
+    )
+    out = delay(df, delay_ms=500, ts_col="ts",
+                condition=F.col("level") == "error").collect()
+    got = {r.seq: (r.emit_ts - r.ts).total_seconds() for r in out}
+    assert got == {1: 0.5, 2: 0.0}
+
+
+def test_static_enrich(spark):
+    from vector_spark.operators import static_enrich
+
+    df = _events(spark, [Row(seq=1)])
+    out = static_enrich(df, {"az": "us-east-1a", "id": "i-1"}, fields=["az"])
+    row = out.collect()[0]
+    assert row.az == "us-east-1a" and not hasattr(row, "id")
+
+
+def test_scripted_transform_lifecycle(spark):
+    from vector_spark.operators import scripted_transform
+
+    df = _events(spark, [Row(seq=i, v=float(i)) for i in range(10)])
+
+    def init():
+        return {"offset": 100.0}
+
+    def process(pdf, ctx):
+        out = pdf[["seq"]].copy()
+        out["shifted"] = pdf["v"] + ctx["offset"]
+        return out
+
+    out = scripted_transform(
+        df, process, schema="seq bigint, shifted double", init=init
+    ).collect()
+    assert {r.seq: r.shifted for r in out} == {i: 100.0 + i for i in range(10)}

@@ -74,3 +74,48 @@ def test_stream_dedupe(spark):
         f"SELECT count(*) c, count(DISTINCT dup_key) d FROM {name}"
     ).collect()[0]
     assert n_distinct.c == n_distinct.d  # no duplicate keys emitted
+
+
+@pytest.mark.streaming
+def test_stream_lru_dedupe(spark):
+    from vector_spark.streaming.stateful import streaming_lru_dedupe
+
+    src = rate_source(spark, rows_per_second=200).withColumn(
+        "shard", (F.col("seq") % 2).cast("string")
+    ).withColumn("dup_key", F.col("seq") % 10)
+    out = streaming_lru_dedupe(
+        src, fields=["dup_key"], key_field="shard", cache_size=100,
+        payload_cols=["dup_key", "seq"],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    _drain(spark, q, name, min_rows=5, timeout=60)
+    res = spark.sql(
+        f"SELECT count(*) c, count(DISTINCT shard, dup_key) d FROM {name}"
+    ).collect()[0]
+    assert res.c == res.d  # within cache horizon every (shard,key) emitted once
+
+
+@pytest.mark.streaming
+def test_stream_tag_cardinality(spark):
+    from vector_spark.streaming.stateful import streaming_tag_cardinality_limit
+
+    src = rate_source(spark, rows_per_second=200).withColumn(
+        "shard", F.lit("all")
+    ).withColumn("tag", (F.col("seq") % 50).cast("string"))
+    out = streaming_tag_cardinality_limit(
+        src, tag_col="tag", key_field="shard", limit=3, payload_cols=["seq"]
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    _drain(spark, q, name, min_rows=20, timeout=60)
+    res = spark.sql(
+        f"SELECT count(DISTINCT tag) d FROM {name} WHERE tag IS NOT NULL"
+    ).collect()[0]
+    assert res.d <= 3  # at most `limit` distinct admitted values

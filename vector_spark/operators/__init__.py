@@ -22,8 +22,15 @@ from vector_spark.operators.metrics import (
     incremental_to_absolute,
 )
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+from vector_spark.operators.delay import delay
+from vector_spark.operators.metadata import static_enrich, refreshing_enrich
+from vector_spark.operators.script import scripted_transform
 
 __all__ = [
+    "delay",
+    "static_enrich",
+    "refreshing_enrich",
+    "scripted_transform",
     "filter_op",
     "route",
     "exclusive_route",

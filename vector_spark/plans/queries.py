@@ -1233,6 +1233,154 @@ FROM c GROUP BY bucket, event_type, kind
 """
 
 
+def q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_to_log: aggregate events into metric rows, then serialize
+    each metric into the log envelope (message = JSON of the metric)."""
+    from vector_spark.operators import metric_to_log
+
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    m = (
+        ev.withColumn("bucket", time_bucket(F.col("ts"), 86400))
+        .groupBy("bucket", "event_type")
+        .agg((F.sum("vc") / 100.0).alias("value"))
+        .select(
+            F.lit("event_value_total").alias("name"),
+            F.lit("counter").alias("metric_type"),
+            "bucket",
+            F.col("event_type").alias("tag_event_type"),
+            "value",
+            F.timestamp_seconds(F.col("bucket")).alias("ts"),
+        )
+    )
+    out = metric_to_log(m, ts_col="ts")
+    return out.select(
+        F.unix_timestamp("timestamp").alias("ts_epoch"),
+        "message",
+        "source_type",
+        "name",
+        "bucket",
+        "tag_event_type",
+        "value",
+    )
+
+
+_ORACLE_METRIC_TO_LOG = """
+WITH m AS (
+  SELECT 'event_value_total' AS name, 'counter' AS metric_type,
+         CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT) AS bucket,
+         event_type AS tag_event_type,
+         SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS value
+  FROM events GROUP BY 3, 4
+)
+SELECT bucket AS ts_epoch,
+       to_json(struct_pack(name := name, metric_type := metric_type,
+                           bucket := bucket, tag_event_type := tag_event_type,
+                           value := value)) AS message,
+       'metric_to_log' AS source_type,
+       name, bucket, tag_event_type, value
+FROM m
+"""
+
+
+def q_trace_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trace_to_log: events viewed as spans re-tagged into the log stream."""
+    from vector_spark.operators import trace_to_log
+
+    ev = _t(spark, sf_dir, "events")
+    traces = ev.select(
+        F.upper(F.substring(F.md5(F.col("user_id").cast("string")), 1, 16)).alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.col("event_type").alias("operation"),
+        F.unix_timestamp("ts").alias("start_epoch"),
+    )
+    return trace_to_log(traces)
+
+
+_ORACLE_TRACE_TO_LOG = """
+SELECT upper(substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS trace_id,
+       event_id AS span_id,
+       event_type AS operation,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_epoch,
+       'trace_to_log' AS source_type
+FROM events
+"""
+
+
+def q_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delay transform: error events become visible 1500ms late."""
+    from vector_spark.operators import delay
+
+    ev = _t(spark, sf_dir, "events")
+    out = delay(ev, delay_ms=1500, ts_col="ts",
+                condition=F.col("event_type") == "error")
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("emit_ts").alias("emit_us"),
+    )
+
+
+_ORACLE_DELAY = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       epoch_us(ts) + CASE WHEN event_type = 'error' THEN 1500000 ELSE 0 END
+         AS emit_us
+FROM events
+"""
+
+
+def q_scripted_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lua-analog scripted transform: Arrow-batched Python hook with
+    init/process lifecycle (mapInPandas; the reference's lua v2 API)."""
+    from vector_spark.operators import scripted_transform
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def init():
+        return {"factor": 2.0}
+
+    def process(pdf, ctx):
+        out = pdf[["event_id"]].copy()
+        out["scaled_value"] = pdf["value"] * ctx["factor"]
+        out["type_len"] = pdf["event_type"].str.len().astype("int64")
+        return out
+
+    return scripted_transform(
+        ev, process,
+        schema="event_id bigint, scaled_value double, type_len bigint",
+        init=init,
+    )
+
+
+_ORACLE_SCRIPTED = """
+SELECT event_id, value * 2.0 AS scaled_value,
+       CAST(length(event_type) AS BIGINT) AS type_len
+FROM events
+"""
+
+
+def q_static_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aws_ec2_metadata analog: constant-folded literal metadata columns."""
+    from vector_spark.operators import static_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    out = static_enrich(
+        ev,
+        {"instance_id": "i-0abc123", "az": "us-east-1a", "ami_id": "ami-42"},
+        fields=["instance_id", "az"],
+    )
+    return out.groupBy("az", "instance_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_ORACLE_STATIC_META = """
+SELECT 'us-east-1a' AS az, 'i-0abc123' AS instance_id, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1249,6 +1397,11 @@ QUERIES: dict[str, QuerySpec] = {
     "syslog_roundtrip": QuerySpec(q_syslog_roundtrip, _ORACLE_SYSLOG, "syslog encode+parse"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
+    "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
+    "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
+    "delay_emit": QuerySpec(q_delay, _ORACLE_DELAY, "delay transform"),
+    "scripted_transform": QuerySpec(q_scripted_transform, _ORACLE_SCRIPTED, "lua-analog pandas hook"),
+    "static_metadata_enrich": QuerySpec(q_static_metadata, _ORACLE_STATIC_META, "ec2-metadata analog"),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),

@@ -21,6 +21,15 @@ from vector_spark.streaming.pipeline import (
     streaming_session_reduce,
     rate_source,
     file_stream_source,
+    socket_source,
+    kafka_source,
     memory_sink,
+    console_sink,
+    foreach_batch_sink,
+    kafka_sink,
 )
-from vector_spark.streaming.stateful import streaming_throttle
+from vector_spark.streaming.stateful import (
+    streaming_throttle,
+    streaming_lru_dedupe,
+    streaming_tag_cardinality_limit,
+)

@@ -151,3 +151,102 @@ def parquet_sink(df: DataFrame, path: str, checkpoint: str, trigger_secs: int = 
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """TCP line source (vector `socket`/`syslog` source analog for dev;
+    framing = newline-delimited). Production ingest belongs on kafka."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(
+            F.col("value").alias("message"),
+            F.current_timestamp().alias("ts"),
+            F.lit("socket").alias("source_type"),
+        )
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    options: dict | None = None,
+) -> DataFrame:
+    """Kafka source (vector `src/sources/kafka.rs:92`): consumer offsets
+    live in the checkpoint — the built-in equivalent of the reference's
+    commit-after-ack. Emits the raw envelope; decode with the codec layer
+    (from_json / parse_syslog / …) downstream."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("message"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset").alias("seq"),
+        F.col("timestamp").alias("ts"),
+        F.lit("kafka").alias("source_type"),
+    )
+
+
+def console_sink(df: DataFrame, trigger_secs: int = 1, truncate: bool = False):
+    """Console sink (vector `console` sink analog — debugging only)."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", str(truncate).lower())
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    handler,
+    checkpoint: str,
+    trigger_secs: int = 1,
+):
+    """Escape hatch for request/response sinks (http, clickhouse, redis …
+    — the reference's entire sink zoo): ``handler(batch_df, epoch_id)``
+    runs per micro-batch; pair the checkpointed epoch_id with idempotent
+    writes for the end-to-end-ack equivalent (SURVEY §2.4 acks row).
+    """
+    return (
+        df.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    value_col: str = "message",
+    key_col: str | None = None,
+):
+    """Kafka sink (vector `kafka` sink): value from ``value_col`` (encode
+    upstream with to_json/format_string codec helpers)."""
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
