@@ -93,3 +93,35 @@ def test_topology_multi_input_union(spark):
         },
     )
     assert topo.output("merged").count() == 2
+
+
+def test_topology_datadog_search_condition(spark):
+    from vector_spark.config.loader import build_topology
+
+    topo = build_topology(
+        spark,
+        {
+            "sources": {
+                "logs": {
+                    "type": "values",
+                    "rows": [
+                        {"seq": 1, "message": "error boom", "service": "api"},
+                        {"seq": 2, "message": "all fine", "service": "api"},
+                        {"seq": 3, "message": "error here", "service": "web"},
+                    ],
+                }
+            },
+            "transforms": {
+                "errs": {
+                    "type": "filter",
+                    "inputs": ["logs"],
+                    "condition": {
+                        "type": "datadog_search",
+                        "source": "error* AND service:api",
+                    },
+                }
+            },
+            "sinks": {},
+        },
+    )
+    assert [r.seq for r in topo.output("errs").collect()] == [1]

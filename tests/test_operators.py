@@ -285,3 +285,28 @@ def test_scripted_transform_lifecycle(spark):
         df, process, schema="seq bigint, shifted double", init=init
     ).collect()
     assert {r.seq: r.shifted for r in out} == {i: 100.0 + i for i in range(10)}
+
+
+def test_remap_error_contract(spark):
+    from vector_spark.operators import Assignment, fallible_assignment, remap
+
+    df = _events(
+        spark,
+        [Row(seq=1, raw="42"), Row(seq=2, raw="nope"), Row(seq=3, raw=None)],
+    )
+    # default: errored row forwards ORIGINAL values (remap.rs:121-128)
+    outs = remap(
+        df, [fallible_assignment("n", F.col("raw").try_cast("long"), F.col("raw"))]
+    )
+    got = {r.seq: r.n for r in outs[""].collect()}
+    assert got == {1: 42, 2: None, 3: None}  # seq3: source null → not an error
+    # reroute_dropped: errored rows move to the dropped output
+    outs2 = remap(
+        df,
+        [fallible_assignment("n", F.col("raw").try_cast("long"), F.col("raw"))],
+        reroute_dropped=True,
+    )
+    assert sorted(r.seq for r in outs2[""].collect()) == [1, 3]
+    dropped = outs2["dropped"].collect()
+    assert [r.seq for r in dropped] == [2]
+    assert dropped[0].raw == "nope"  # original value preserved

@@ -170,6 +170,23 @@ def _inputs_df(outputs: dict[str, DataFrame], cfg: dict, name: str) -> DataFrame
     return res
 
 
+def _condition(cond):
+    """Condition forms (vector `AnyCondition`, src/conditions/mod.rs:26-50):
+    a SQL/VRL-subset expression string, or a typed dict
+    {type: vrl|sql, source: expr} / {type: datadog_search, source: query}."""
+    if isinstance(cond, dict):
+        ctype = cond.get("type", "sql")
+        src = cond["source"]
+        if ctype == "datadog_search":
+            from vector_spark.functions.search import datadog_search
+
+            return datadog_search(src, cond.get("default_field", "message"))
+        if ctype in ("sql", "vrl"):
+            return F.expr(src)
+        raise TopologyError(f"unknown condition type {ctype!r}")
+    return cond
+
+
 def _build_transform(
     name: str, cfg: dict, df: DataFrame
 ) -> dict[str, DataFrame]:
@@ -177,7 +194,7 @@ def _build_transform(
     under `name`, named outputs under `name.out`)."""
     ttype = cfg["type"]
     if ttype == "filter":
-        return {name: filter_op(df, cfg["condition"])}
+        return {name: filter_op(df, _condition(cfg["condition"]))}
     if ttype == "remap":
         out = df
         for col, expr in (cfg.get("assign") or {}).items():
@@ -188,11 +205,11 @@ def _build_transform(
             out = out.select(*cfg["only"])
         return {name: out}
     if ttype == "route":
-        conds = {r["name"]: r["condition"] for r in cfg["routes"]}
+        conds = {r["name"]: _condition(r["condition"]) for r in cfg["routes"]}
         outs = route(df, conds, cfg.get("reroute_unmatched", True))
         return {f"{name}.{k}": v for k, v in outs.items()}
     if ttype == "exclusive_route":
-        pairs = [(r["name"], r["condition"]) for r in cfg["routes"]]
+        pairs = [(r["name"], _condition(r["condition"])) for r in cfg["routes"]]
         outs = exclusive_route(df, pairs)
         return {f"{name}.{k}": v for k, v in outs.items()}
     if ttype == "sample":

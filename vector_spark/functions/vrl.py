@@ -105,10 +105,13 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "parse_duration": parse_duration_ms,
     "parse_apache_log": parse_apache_log,
     "parse_syslog": parse_syslog,
-    # Coerce / Convert / Type
-    "to_int": lambda c: c.cast("long"),
-    "to_float": lambda c: c.cast("double"),
-    "to_bool": lambda c: c.cast("boolean"),
+    # Coerce / Convert / Type — try_cast, not cast: Spark 4 defaults to
+    # ANSI mode where a failed cast THROWS; VRL's `to_int!` error contract
+    # is "capture the failure", which try_cast's null-on-failure gives us
+    # (combined with functions.vrl.fallible to raise the _error flag).
+    "to_int": lambda c: c.try_cast("long"),
+    "to_float": lambda c: c.try_cast("double"),
+    "to_bool": lambda c: c.try_cast("boolean"),
     "to_string": lambda c: c.cast("string"),
     "is_nullish": lambda c: c.isNull() | (F.trim(c.cast("string")) == "") | (c.cast("string") == "-"),
     # String

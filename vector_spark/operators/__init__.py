@@ -25,8 +25,12 @@ from vector_spark.operators.tag_cardinality import tag_cardinality_limit
 from vector_spark.operators.delay import delay
 from vector_spark.operators.metadata import static_enrich, refreshing_enrich
 from vector_spark.operators.script import scripted_transform
+from vector_spark.operators.remap import remap, Assignment, fallible_assignment
 
 __all__ = [
+    "remap",
+    "Assignment",
+    "fallible_assignment",
     "delay",
     "static_enrich",
     "refreshing_enrich",

@@ -1,0 +1,88 @@
+"""`remap` transform — per-event program with error routing.
+
+Reference: vector `src/transforms/remap.rs:55` — runs a VRL program per
+event; on error or abort the event is dropped, kept unmodified, or routed
+to a named `dropped` output (`drop_on_error` `:128`, `drop_on_abort`
+`:142`, `reroute_dropped` `:50,:155`). The crucial fallibility contract
+(`remap.rs:121-128`): when the program errors and events are NOT dropped,
+the ORIGINAL event is forwarded unchanged.
+
+Spark mapping: assignments are Column expressions evaluated in one
+projection (Catalyst pipelines them; a VRL `del` is a drop, `.field`
+paths are columns / struct fields). Fallibility: an assignment's error
+condition is "source present but result null" (the `, err` convention
+from functions.vrl.fallible); the per-event error flag is the OR of the
+assignment error flags. The operator returns (ok, dropped) DataFrames
+from the same parent — two filters Catalyst evaluates over one scan when
+both are consumed in one action, mirroring route().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Assignment:
+    """One `path = expression` step. ``error_when`` marks fallibility:
+    if None, the assignment is infallible (never errors)."""
+
+    out: str
+    expr: Column
+    error_when: Column | None = None
+
+
+def fallible_assignment(out: str, expr: Column, source: Column) -> Assignment:
+    """VRL `out = fn!(source)` — errors when source is present but the
+    expression could not produce a value."""
+    return Assignment(out, expr, source.isNotNull() & expr.isNull())
+
+
+def remap(
+    df: DataFrame,
+    assignments: list[Assignment],
+    drop: list[str] | None = None,
+    drop_on_error: bool = False,
+    reroute_dropped: bool = False,
+    error_col: str = "_error",
+) -> dict[str, DataFrame]:
+    """Apply assignments; route errored events per the reference contract.
+
+    Returns {"": ok_df, "dropped": dropped_df?}:
+    - no error handling (default): errored rows keep their ORIGINAL
+      column values (`remap.rs:121-128`), un-errored rows get the new ones.
+    - drop_on_error: errored rows are removed from the primary output.
+    - reroute_dropped: errored rows (original values) appear on the
+      `dropped` output instead of being discarded.
+    """
+    err: Column = F.lit(False)
+    for a in assignments:
+        if a.error_when is not None:
+            err = err | F.coalesce(a.error_when, F.lit(False))
+
+    tagged = df.withColumn(error_col, err)
+    out = tagged
+    for a in assignments:
+        if a.out in df.columns:
+            # errored event forwards unchanged: keep original on error
+            out = out.withColumn(
+                a.out, F.when(F.col(error_col), F.col(a.out)).otherwise(a.expr)
+            )
+        else:
+            out = out.withColumn(
+                a.out, F.when(F.col(error_col), F.lit(None)).otherwise(a.expr)
+            )
+    for c in drop or []:
+        out = out.drop(c)
+
+    result: dict[str, DataFrame] = {}
+    if drop_on_error or reroute_dropped:
+        result[""] = out.where(~F.col(error_col)).drop(error_col)
+        if reroute_dropped:
+            result["dropped"] = tagged.where(F.col(error_col)).drop(error_col)
+    else:
+        result[""] = out
+    return result

@@ -1381,6 +1381,104 @@ FROM events GROUP BY event_type
 """
 
 
+def q_remap_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap with reroute_dropped: fallibly parse a mixed-content field;
+    rows whose parse errors land on the `dropped` output with ORIGINAL
+    values (remap.rs:121-155 contract)."""
+    from vector_spark.operators import fallible_assignment, remap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    mixed = (
+        F.when(F.col("value") > 100, F.get_json_object("props", "$.k"))
+        .otherwise(F.col("event_type"))
+    )
+    ev2 = ev.withColumn("mixed", mixed)
+    outs = remap(
+        ev2,
+        [fallible_assignment("k_num", F.col("mixed").try_cast("long"), F.col("mixed"))],
+        drop=["props"],
+        reroute_dropped=True,
+    )
+    ok = outs[""].select("event_id", F.lit("ok").alias("output"), "k_num")
+    dropped = outs["dropped"].select(
+        "event_id",
+        F.lit("dropped").alias("output"),
+        F.lit(None).cast("long").alias("k_num"),
+    )
+    return ok.unionByName(dropped)
+
+
+_ORACLE_REMAP_DROPPED = """
+SELECT event_id,
+       CASE WHEN value > 100 THEN 'ok' ELSE 'dropped' END AS output,
+       CASE WHEN value > 100
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_num
+FROM events
+"""
+
+
+def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatedSummary-style metric (metric value.rs:20-100): exact
+    p50/p90/p99 + count + sum per event_type. Exact `percentile` here so
+    the oracle matches bit-for-bit; at 100 TB swap for approx_percentile
+    (t-digest) — same plan shape, bounded memory."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("vc") / 100.0).alias("sum_value"),
+        F.round(F.expr("percentile(vc, 0.5)") / 100.0, 6).alias("p50"),
+        F.round(F.expr("percentile(vc, 0.9)") / 100.0, 6).alias("p90"),
+        F.round(F.expr("percentile(vc, 0.99)") / 100.0, 6).alias("p99"),
+    )
+
+
+_ORACLE_SUMMARY = """
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+)
+SELECT event_type, COUNT(*) AS n, SUM(vc)/100.0 AS sum_value,
+       ROUND(quantile_cont(vc, 0.5)/100.0, 6) AS p50,
+       ROUND(quantile_cont(vc, 0.9)/100.0, 6) AS p90,
+       ROUND(quantile_cont(vc, 0.99)/100.0, 6) AS p99
+FROM c GROUP BY event_type
+"""
+
+
+def q_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatedHistogram-style metric: fixed bucket bounds, per-series
+    bucket counts + count + sum (value.rs AggregatedHistogram). width_bucket
+    keeps it a single groupBy — the sketch-free histogram algebra."""
+    ev = _t(spark, sf_dir, "events").withColumn("vc", _cents(F.col("value")))
+    bounds = [0, 2500, 5000, 10000, 20000, 40000]  # cents
+    bucket = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(F.col("vc") < bounds[i], F.lit(i)).otherwise(bucket)
+    return (
+        ev.withColumn("bucket_idx", bucket.cast("int"))
+        .groupBy("event_type", "bucket_idx")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            (F.sum("vc") / 100.0).alias("bucket_sum"),
+        )
+    )
+
+
+_ORACLE_HISTOGRAM = """
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+), b AS (
+  SELECT event_type, vc,
+         CASE WHEN vc < 0 THEN 0 WHEN vc < 2500 THEN 1 WHEN vc < 5000 THEN 2
+              WHEN vc < 10000 THEN 3 WHEN vc < 20000 THEN 4
+              WHEN vc < 40000 THEN 5 ELSE 6 END AS bucket_idx
+  FROM c
+)
+SELECT event_type, bucket_idx, COUNT(*) AS bucket_count,
+       SUM(vc)/100.0 AS bucket_sum
+FROM b GROUP BY event_type, bucket_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1402,6 +1500,9 @@ QUERIES: dict[str, QuerySpec] = {
     "delay_emit": QuerySpec(q_delay, _ORACLE_DELAY, "delay transform"),
     "scripted_transform": QuerySpec(q_scripted_transform, _ORACLE_SCRIPTED, "lua-analog pandas hook"),
     "static_metadata_enrich": QuerySpec(q_static_metadata, _ORACLE_STATIC_META, "ec2-metadata analog"),
+    "remap_dropped_output": QuerySpec(q_remap_dropped, _ORACLE_REMAP_DROPPED, "remap reroute_dropped"),
+    "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
+    "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
