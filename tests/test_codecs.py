@@ -1,0 +1,86 @@
+"""Codec round-trip tests (reference lib/codecs, SURVEY §2.5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_spark.functions.codecs import (
+    decode_gelf,
+    decode_logfmt,
+    encode_cef,
+    encode_gelf,
+    encode_logfmt,
+    encode_syslog,
+)
+from vector_spark.functions.vrl import parse_syslog
+
+
+def test_logfmt_roundtrip(spark):
+    df = spark.createDataFrame([Row(seq=1, svc="api", msg="hello", n=42)])
+    enc = df.select(
+        "seq",
+        encode_logfmt(
+            {"svc": F.col("svc"), "n": F.col("n"), "msg": F.col("msg")}
+        ).alias("line"),
+    )
+    line = enc.collect()[0].line
+    assert line == "svc=api n=42 msg=hello"
+    dec = enc.select(decode_logfmt(F.col("line")).alias("kv")).collect()[0].kv
+    assert dec == {"svc": "api", "n": "42", "msg": "hello"}
+
+
+def test_logfmt_quoting(spark):
+    df = spark.createDataFrame([Row(msg="two words")])
+    line = df.select(encode_logfmt({"msg": F.col("msg")}).alias("l")).collect()[0].l
+    assert line == 'msg="two words"'
+
+
+def test_gelf_roundtrip(spark):
+    df = spark.createDataFrame(
+        [Row(host="web-1", msg="boom", ts=datetime.datetime(2024, 1, 1), svc="api")]
+    )
+    enc = df.select(
+        encode_gelf(
+            F.col("host"), F.col("msg"), F.col("ts"),
+            level=F.lit(3), extra={"service": F.col("svc")},
+        ).alias("gelf")
+    )
+    raw = enc.collect()[0].gelf
+    assert '"version":"1.1"' in raw and '"_service":"api"' in raw
+    dec = enc.select(
+        decode_gelf(F.col("gelf"), "_service string").alias("d")
+    ).collect()[0].d
+    assert dec.host == "web-1" and dec.short_message == "boom"
+    assert dec.level == 3 and dec._service == "api"
+
+
+def test_cef_encode(spark):
+    df = spark.createDataFrame([Row(sig="100", name="portscan", sev=7, src="1.2.3.4")])
+    line = df.select(
+        encode_cef(
+            "vector_spark", "engine", "1.0",
+            F.col("sig"), F.col("name"), F.col("sev"),
+            extension={"src": F.col("src")},
+        ).alias("cef")
+    ).collect()[0].cef
+    assert line == "CEF:0|vector_spark|engine|1.0|100|portscan|7|src=1.2.3.4"
+
+
+def test_syslog_encode_parse_roundtrip(spark):
+    df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2024, 3, 5, 12, 30, 1), host="db-1", app="pg", msg="ready")]
+    )
+    enc = df.select(
+        encode_syslog(
+            F.lit(13), F.col("ts"), F.col("host"), F.col("app"), F.col("msg"),
+            pid=F.lit(99),
+        ).alias("line")
+    )
+    line = enc.collect()[0].line
+    assert line == "<13>Mar 5 12:30:01 db-1 pg[99]: ready"
+    parsed = enc.select(parse_syslog(F.col("line")).alias("p")).collect()[0].p
+    assert parsed.hostname == "db-1" and parsed.appname == "pg"
+    assert parsed.message == "ready" and parsed.severity == 5

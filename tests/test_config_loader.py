@@ -125,3 +125,57 @@ def test_topology_datadog_search_condition(spark):
         },
     )
     assert [r.seq for r in topo.output("errs").collect()] == [1]
+
+
+def test_vector_style_unit_tests(spark):
+    """The `vector test` harness shape (unit_test/mod.rs:52-60) over YAML."""
+    import yaml
+
+    from vector_spark.config.unit_test import run_unit_tests
+
+    cfg = yaml.safe_load(
+        """
+sources:
+  logs: {type: parquet, path: /nonexistent/replaced-by-test.parquet}
+transforms:
+  errs:
+    type: filter
+    inputs: [logs]
+    condition: "level = 'error'"
+  split:
+    type: exclusive_route
+    inputs: [errs]
+    routes:
+      - {name: big, condition: "bytes > 100"}
+tests:
+  - name: routes big errors
+    inputs:
+      - insert_at: logs
+        rows:
+          - {seq: 1, level: error, bytes: 500}
+          - {seq: 2, level: info, bytes: 900}
+          - {seq: 3, level: error, bytes: 5}
+    outputs:
+      - extract_from: errs
+        conditions: ["level = 'error'"]
+      - extract_from: split.big
+        conditions: ["seq = 1"]
+  - name: no big errors when all small
+    inputs:
+      - insert_at: logs
+        rows:
+          - {seq: 1, level: error, bytes: 5}
+    no_outputs_from: [split.big]
+  - name: deliberately failing assertion
+    inputs:
+      - insert_at: logs
+        rows:
+          - {seq: 1, level: error, bytes: 500}
+    outputs:
+      - extract_from: errs
+        conditions: ["bytes < 10"]
+"""
+    )
+    res = run_unit_tests(spark, cfg)
+    assert [r.passed for r in res] == [True, True, False]
+    assert "failed condition" in res[2].failures[0]

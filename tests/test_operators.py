@@ -310,3 +310,42 @@ def test_remap_error_contract(spark):
     dropped = outs2["dropped"].collect()
     assert [r.seq for r in dropped] == [2]
     assert dropped[0].raw == "nope"  # original value preserved
+
+
+def test_line_agg_modes(spark):
+    """The four reference modes (line_agg.rs:317-330) on the doc examples:
+    stack traces (continue_through), backslash continuation (continue_past),
+    start markers (halt_before), terminators (halt_with)."""
+    from vector_spark.operators.reduce import line_agg
+
+    def run(lines, **kw):
+        df = _events(
+            spark, [Row(seq=i, f="x", line=ln) for i, ln in enumerate(lines)]
+        )
+        out = line_agg(df, group_by=["f"], order_col="seq", line_col="line", **kw)
+        return [r.message for r in out.orderBy("first_seq").collect()]
+
+    # java stack trace: indented lines continue
+    msgs = run(
+        ["error A", "  at foo", "  at bar", "ok line", "error B", "  at baz"],
+        mode="continue_through", condition=F.col("line").startswith("  "),
+    )
+    assert msgs == ["error A\n  at foo\n  at bar", "ok line", "error B\n  at baz"]
+    # trailing backslash: next line continues
+    msgs = run(
+        ["cmd \\", "arg1 \\", "arg2", "other"],
+        mode="continue_past", condition=F.col("line").endswith("\\"),
+    )
+    assert msgs == ["cmd \\\narg1 \\\narg2", "other"]
+    # timestamped start marker
+    msgs = run(
+        ["[ts] one", "cont", "[ts] two"],
+        mode="halt_before", condition=F.col("line").startswith("[ts]"),
+    )
+    assert msgs == ["[ts] one\ncont", "[ts] two"]
+    # semicolon terminator
+    msgs = run(
+        ["SELECT a", "FROM t;", "DELETE", "FROM u;"],
+        mode="halt_with", condition=F.col("line").endswith(";"),
+    )
+    assert msgs == ["SELECT a\nFROM t;", "DELETE\nFROM u;"]

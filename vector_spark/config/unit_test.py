@@ -1,0 +1,103 @@
+"""`vector test`-style config-driven unit tests.
+
+Reference: vector `src/config/unit_test/mod.rs:52-60` — a test declares
+`inputs` (rows injected `insert_at` a component) and `outputs` (assertions
+`extract_from` a component, each a list of conditions that must all pass
+for at least one event); `no_outputs_from` asserts a component emits
+nothing. The behavior corpus (`tests/behavior/transforms/*.yaml`) is
+written in this shape.
+
+Spark form: the topology is built once with test inputs substituted for
+the real sources; condition strings are SQL / datadog_search dialects
+(vector uses VRL). Example:
+
+    tests:
+      - name: filters errors
+        inputs:
+          - insert_at: logs          # replaces source `logs`
+            rows:
+              - {seq: 1, level: error}
+              - {seq: 2, level: info}
+        outputs:
+          - extract_from: errs
+            conditions:
+              - "level = 'error'"
+        no_outputs_from: []
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.config.loader import TopologyError, _condition, build_topology
+
+
+@dataclass
+class TestResult:
+    name: str
+    passed: bool
+    failures: list[str]
+
+
+def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
+    """Run every test under cfg['tests'] against cfg's topology.
+
+    Each test builds the topology with its `insert_at` rows as `values`
+    sources (all other sources stay as configured) and evaluates output
+    assertions. Returns one TestResult per test.
+    """
+    tests = cfg.get("tests") or []
+    results: list[TestResult] = []
+    for t in tests:
+        failures: list[str] = []
+        test_cfg = {
+            "sources": dict(cfg.get("sources", {})),
+            "transforms": cfg.get("transforms", {}),
+            "sinks": cfg.get("sinks", {}) or {},
+        }
+        for inp in t.get("inputs", []):
+            at = inp["insert_at"]
+            if at not in test_cfg["sources"]:
+                failures.append(f"insert_at {at!r}: no such source")
+                continue
+            test_cfg["sources"][at] = {"type": "values", "rows": inp["rows"]}
+        if failures:
+            results.append(TestResult(t.get("name", "?"), False, failures))
+            continue
+        try:
+            topo = build_topology(spark, test_cfg)
+        except TopologyError as ex:
+            results.append(
+                TestResult(t.get("name", "?"), False, [f"topology error: {ex}"])
+            )
+            continue
+        for out in t.get("outputs", []):
+            ref = out["extract_from"]
+            try:
+                df = topo.output(ref)
+            except TopologyError as ex:
+                failures.append(str(ex))
+                continue
+            if df.count() == 0:
+                failures.append(f"{ref}: produced no events")
+                continue
+            for cond in out.get("conditions", []):
+                c = _condition(cond)
+                if isinstance(c, str):
+                    c = F.expr(c)
+                n_fail = df.where(~F.coalesce(c, F.lit(False))).count()
+                if n_fail:
+                    failures.append(
+                        f"{ref}: {n_fail} event(s) failed condition {cond!r}"
+                    )
+        for ref in t.get("no_outputs_from", []):
+            try:
+                if topo.output(ref).count() != 0:
+                    failures.append(f"{ref}: expected no events")
+            except TopologyError as ex:
+                failures.append(str(ex))
+        results.append(TestResult(t.get("name", "?"), not failures, failures))
+    return results

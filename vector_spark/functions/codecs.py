@@ -1,0 +1,121 @@
+"""Encoding/decoding codecs (reference `lib/codecs`, SURVEY §2.5).
+
+Native Spark formats (json/csv/avro/parquet/text) need no code here —
+`spark.read/write.format(...)`. This module supplies the wire formats the
+reference encodes/decodes that Spark lacks, all as pure Column
+expressions (JVM-side, codegen):
+
+- logfmt  (encode/decode)  — `lib/codecs/src/encoding/format/logfmt.rs`
+- GELF    (encode/decode)  — `.../gelf.rs` (JSON envelope with required
+  version/host/short_message fields; extra fields carry a `_` prefix)
+- CEF     (encode)         — `.../cef.rs` (pipe-delimited header +
+  space-separated k=v extension)
+- syslog  (encode)         — `.../syslog.rs` RFC3164 line (decode lives in
+  functions.vrl.parse_syslog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def encode_logfmt(pairs: dict[str, Column]) -> Column:
+    """k=v space-separated; values with spaces are double-quoted."""
+    parts = []
+    for k, v in pairs.items():
+        s = v.cast("string")
+        quoted = F.when(
+            s.contains(" ") | s.contains('"'),
+            F.concat(F.lit('"'), F.regexp_replace(s, '"', '\\\\"'), F.lit('"')),
+        ).otherwise(s)
+        parts.append(F.concat(F.lit(f"{k}="), quoted))
+    return F.concat_ws(" ", *parts)
+
+
+def decode_logfmt(c: Column) -> Column:
+    """logfmt line → map<string,string> (unquoted subset)."""
+    return F.str_to_map(c, F.lit(" "), F.lit("="))
+
+
+def encode_gelf(
+    host: Column,
+    short_message: Column,
+    timestamp: Column,
+    level: Column | None = None,
+    extra: dict[str, Column] | None = None,
+) -> Column:
+    """GELF 1.1 JSON: required version/host/short_message; numeric epoch
+    timestamp; additional fields MUST be prefixed with `_` (gelf spec,
+    enforced by the reference's encoder)."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        host.alias("host"),
+        short_message.alias("short_message"),
+        F.unix_timestamp(timestamp).alias("timestamp"),
+    ]
+    if level is not None:
+        fields.append(level.cast("int").alias("level"))
+    for k, v in (extra or {}).items():
+        name = k if k.startswith("_") else f"_{k}"
+        fields.append(v.alias(name))
+    return F.to_json(F.struct(*fields))
+
+
+def decode_gelf(c: Column, extra_schema: str = "") -> Column:
+    """GELF JSON → struct (version/host/short_message/timestamp/level +
+    caller-specified `_`-prefixed extras, e.g. '_service string')."""
+    schema = "version string, host string, short_message string, timestamp bigint, level int"
+    if extra_schema:
+        schema += ", " + extra_schema
+    return F.from_json(c, schema)
+
+
+def encode_cef(
+    device_vendor: str,
+    device_product: str,
+    device_version: str,
+    event_class_id: Column,
+    name: Column,
+    severity: Column,
+    extension: dict[str, Column] | None = None,
+) -> Column:
+    """CEF:0|vendor|product|version|signature|name|severity|k=v k=v ..."""
+    header = F.concat_ws(
+        "|",
+        F.lit("CEF:0"),
+        F.lit(device_vendor),
+        F.lit(device_product),
+        F.lit(device_version),
+        event_class_id.cast("string"),
+        name.cast("string"),
+        severity.cast("string"),
+    )
+    ext = [
+        F.concat(F.lit(f"{k}="), v.cast("string"))
+        for k, v in (extension or {}).items()
+    ]
+    if not ext:
+        return header
+    return F.concat(header, F.lit("|"), F.concat_ws(" ", *ext))
+
+
+def encode_syslog(
+    pri: Column,
+    timestamp: Column,
+    hostname: Column,
+    appname: Column,
+    message: Column,
+    pid: Column | None = None,
+) -> Column:
+    """RFC3164 line: <pri>Mmm dd hh:mm:ss host app[pid]: message."""
+    ts = F.date_format(timestamp, "MMM d HH:mm:ss")
+    tag = (
+        F.concat(appname, F.lit("["), pid.cast("string"), F.lit("]"))
+        if pid is not None
+        else appname
+    )
+    return F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        ts, F.lit(" "), hostname, F.lit(" "), tag, F.lit(": "), message,
+    )

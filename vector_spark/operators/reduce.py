@@ -139,18 +139,50 @@ def line_agg(
     group_by: list[str],
     order_col: str,
     line_col: str,
-    starts_when: Column,
+    starts_when: Column | None = None,
+    mode: str | None = None,
+    condition: Column | None = None,
     separator: str = "\n",
     out_col: str = "message",
 ) -> DataFrame:
     """Multiline aggregation (vector `src/line_agg.rs:24-48`,
     `src/sources/util/multiline_config.rs:15`): collapse consecutive lines
-    into one message per group, starting a new message whenever
-    ``starts_when`` fires (mode `HaltBefore`/start-pattern semantics).
+    into one message per group.
+
+    Either pass ``starts_when`` (explicit message-start flag) or
+    ``mode`` + ``condition`` using the reference's four modes
+    (`line_agg.rs:317-330` decision table), determinized to per-line
+    boundary flags over explicit order:
+
+    - continue_through: condition marks continuation lines → a new message
+      starts at every NON-matching line.
+    - continue_past: condition marks "next line continues" → a new message
+      starts after a non-matching line.
+    - halt_before: condition marks a message-beginning line.
+    - halt_with: condition marks a message-ending line → new message
+      starts after it.
 
     Batch form of the per-file-key sessionizer: flag-cumsum session ids,
     then ordered concat — two shuffles, both on the group key.
     """
+    if (starts_when is None) == (mode is None):
+        raise ValueError("exactly one of starts_when / (mode, condition) required")
+    if mode is not None:
+        if condition is None:
+            raise ValueError(f"mode {mode!r} requires condition")
+        w = Window.partitionBy(*group_by).orderBy(order_col)
+        cond = F.coalesce(condition, F.lit(False))
+        prev = F.coalesce(F.lag(cond, 1).over(w), F.lit(False))
+        if mode == "continue_through":
+            starts_when = ~cond
+        elif mode == "continue_past":
+            starts_when = ~prev
+        elif mode == "halt_before":
+            starts_when = cond
+        elif mode == "halt_with":
+            starts_when = prev
+        else:
+            raise ValueError(f"unknown line_agg mode {mode!r}")
     sess = sessionize(
         df, group_by=group_by, order_col=order_col,
         starts_when=starts_when, session_col="_line_sess",
