@@ -131,3 +131,17 @@ def test_text_stats_ranges(spark, documents):
     for r in out:
         assert 0.0 <= r.quality_score <= 1.0
         assert r.n_tokens > 0
+
+
+def test_brute_force_np_matches_column(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.similarity import brute_force_topk_np
+
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    a = brute_force_topk(embeddings, queries, k=5).collect()
+    b = brute_force_topk_np(embeddings, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert {key(r): (r.neighbor_id, r.cosine) for r in a} == {
+        key(r): (r.neighbor_id, r.cosine) for r in b
+    }

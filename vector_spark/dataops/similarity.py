@@ -46,13 +46,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine, rank), self-matches
     excluded. Ties broken by neighbor id for determinism."""
+    # L2 norms are per-vector, not per-pair: compute them in the pre-join
+    # projections (once per row) so the |corpus|×|queries| join evaluates
+    # only the dot product — 3× fewer array traversals in the hot loop.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        vd.alias("_qvec"),
+        _norm(vd).alias("_qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        vd.alias("_cvec"),
+        _norm(vd).alias("_cnorm"),
     )
-    sim = cosine_sim(F.col("_qvec"), F.col("_cvec"))
+    sim = _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm"))
     if round_decimals is not None:
         sim = F.round(sim, round_decimals)
     scored = (
@@ -130,6 +138,63 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k, numpy-matmul inner loop — the scale path.
+
+    The query matrix is collected once (queries are the small side by
+    contract) and shipped in the task closure; each corpus partition does
+    ONE (batch × dim) @ (dim × n_queries) matmul per Arrow batch and a
+    partial top-k, so the shuffle carries only |partitions|·|queries|·k
+    candidate rows into the final exact top-k. Same output contract as
+    brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qm = np.array([r.qv for r in qrows], dtype=np.float64)  # (nq, dim)
+    qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm_unit = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm_unit @ qm_unit.T  # (batch, nq)
+            n_take = min(k + 1, sims.shape[0])  # +1 covers self-match removal
+            # partial top-k per query within this batch
+            part = np.argpartition(-sims, n_take - 1, axis=0)[:n_take]
+            out = {
+                "query_id": np.repeat(qids, n_take),
+                "neighbor_id": ids[part].T.ravel(),
+                "cosine": np.take_along_axis(sims, part, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round("cosine", round_decimals))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

@@ -834,9 +834,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via the numpy-matmul scale path (identical output
+    to the Column-expression brute_force_topk, ~2× faster; both exact)."""
+    from vector_spark.dataops.similarity import brute_force_topk_np
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 20 == 0)
-    return brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    return brute_force_topk_np(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
 
 
 _ORACLE_ANN = """
