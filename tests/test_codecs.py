@@ -84,3 +84,21 @@ def test_syslog_encode_parse_roundtrip(spark):
     parsed = enc.select(parse_syslog(F.col("line")).alias("p")).collect()[0].p
     assert parsed.hostname == "db-1" and parsed.appname == "pg"
     assert parsed.message == "ready" and parsed.severity == 5
+
+
+def test_parse_grok(spark):
+    from vector_spark.functions.vrl import grok_to_regex, parse_grok
+
+    df = spark.createDataFrame(
+        [Row(line="2024-03-05T12:30:01Z ERROR 10.2.3.4 login failed for bob")]
+    )
+    pat = "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{IP:client} %{GREEDYDATA:msg}"
+    out = df.select(parse_grok(F.col("line"), pat).alias("g")).collect()[0].g
+    assert out.level == "ERROR" and out.client == "10.2.3.4"
+    assert out.msg == "login failed for bob"
+    regex, names = grok_to_regex("%{INT:code} %{WORD}")
+    assert names == ["code"] and "(?:" in regex
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grok_to_regex("%{NOPE:x}")

@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the scale properties we rely on must survive
+refactors — filters reach the parquet scan, scans prune columns, dimension
+joins broadcast, codegen covers the stateless operators."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from vector_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    p = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # only the 4 needed columns are read
+    m = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in m and "l_returnflag" not in m
+    assert "l_discount" in m and "l_shipdate" in m
+
+
+def test_filter_pushdown(spark):
+    p = _plan(spark, "filter")
+    assert "EqualTo(event_type,error)" in p
+    assert "GreaterThan(value,100.0)" in p
+
+
+def test_enrich_broadcasts_dimensions(spark):
+    p = _plan(spark, "enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q5_no_shuffle_on_fact_side(spark):
+    p = _plan(spark, "tpch_q5_local_volume")
+    # every join is hash-with-broadcast at this SF; the lineitem scan feeds
+    # joins directly (no Exchange between scan and first join)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_stateless_ops_are_codegen(spark):
+    # remap (projection pipeline) is a single codegen'd projection over the
+    # scan — formatted plans mark codegen stages with a `*` prefix
+    p = _plan(spark, "remap")
+    assert "* Project" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -119,3 +119,37 @@ def test_stream_tag_cardinality(spark):
         f"SELECT count(DISTINCT tag) d FROM {name} WHERE tag IS NOT NULL"
     ).collect()[0]
     assert res.d <= 3  # at most `limit` distinct admitted values
+
+
+@pytest.mark.streaming
+def test_streaming_topology_end_to_end(spark):
+    """YAML topology with a streaming source runs the same transform
+    builders as batch: rate → filter → remap → memory sink."""
+    from vector_spark.config.loader import build_topology, start_streaming_sinks
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    topo = build_topology(
+        spark,
+        {
+            "sources": {"gen": {"type": "rate", "rows_per_second": 500}},
+            "transforms": {
+                "evens": {
+                    "type": "filter",
+                    "inputs": ["gen"],
+                    "condition": "seq % 2 = 0",
+                },
+                "shaped": {
+                    "type": "remap",
+                    "inputs": ["evens"],
+                    "assign": {"host_uc": "upper(host)"},
+                    "only": ["seq", "ts", "host_uc"],
+                },
+            },
+            "sinks": {"tap": {"type": "memory", "inputs": ["shaped"], "query_name": name}},
+        },
+    )
+    qs = start_streaming_sinks(topo)
+    n = _drain(spark, qs["tap"], name, min_rows=10, timeout=45)
+    rows = spark.sql(f"SELECT * FROM {name} LIMIT 5").collect()
+    assert n >= 10 and all(r.seq % 2 == 0 for r in rows)
+    assert set(rows[0].asDict()) == {"seq", "ts", "host_uc"}

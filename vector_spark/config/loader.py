@@ -156,6 +156,41 @@ def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     if stype == "values":
         # inline fixture rows (the `vector test` insert_at analog)
         return spark.createDataFrame(cfg["rows"])
+    # streaming sources: same topology YAML, streaming DataFrames out —
+    # every downstream operator builder is stream-transparent (pure
+    # Column programs); only stateful ops need the streaming variants.
+    if stype == "rate":
+        from vector_spark.streaming.pipeline import rate_source
+
+        return rate_source(
+            spark,
+            rows_per_second=int(cfg.get("rows_per_second", 1000)),
+            num_partitions=cfg.get("num_partitions"),
+        )
+    if stype == "stream_file":
+        from vector_spark.streaming.pipeline import file_stream_source
+
+        return file_stream_source(
+            spark,
+            cfg["path"],
+            fmt=cfg.get("format", "json"),
+            schema=cfg.get("schema"),
+            options=cfg.get("options"),
+        )
+    if stype == "kafka":
+        from vector_spark.streaming.pipeline import kafka_source
+
+        return kafka_source(
+            spark,
+            bootstrap_servers=cfg["bootstrap_servers"],
+            topics=cfg["topics"],
+            starting_offsets=cfg.get("starting_offsets", "latest"),
+            options=cfg.get("options"),
+        )
+    if stype == "socket":
+        from vector_spark.streaming.pipeline import socket_source
+
+        return socket_source(spark, cfg["host"], int(cfg["port"]))
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
 
@@ -378,3 +413,44 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
         else:
             raise TopologyError(f"{name}: unknown sink type {stype!r}")
     return results
+
+
+def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
+    """Start one streaming query per sink for topologies built on streaming
+    sources (rate/stream_file/kafka/socket). Returns sink name →
+    StreamingQuery. Batch and streaming share the SAME transform builders;
+    this is the writeStream counterpart of run_sinks."""
+    from vector_spark.streaming.pipeline import (
+        console_sink,
+        kafka_sink,
+        memory_sink,
+        parquet_sink,
+    )
+
+    queries: dict[str, Any] = {}
+    for name, cfg in topo.sinks.items():
+        df = _inputs_df(topo.outputs, cfg, name)
+        stype = cfg.get("type", "memory")
+        if stype == "memory":
+            queries[name] = memory_sink(
+                df, cfg.get("query_name", name), cfg.get("output_mode", "append")
+            )
+        elif stype == "console":
+            queries[name] = console_sink(df, int(cfg.get("trigger_secs", 1)))
+        elif stype == "parquet":
+            queries[name] = parquet_sink(
+                df, cfg["path"], cfg["checkpoint"],
+                int(cfg.get("trigger_secs", 1)),
+            )
+        elif stype == "kafka":
+            queries[name] = kafka_sink(
+                df,
+                bootstrap_servers=cfg["bootstrap_servers"],
+                topic=cfg["topic"],
+                checkpoint=cfg["checkpoint"],
+                value_col=cfg.get("value_col", "message"),
+                key_col=cfg.get("key_col"),
+            )
+        else:
+            raise TopologyError(f"{name}: unknown streaming sink {stype!r}")
+    return queries

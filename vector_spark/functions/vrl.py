@@ -175,3 +175,63 @@ def ip_cidr_contains(cidr: str, ip_col: Column) -> Column:
     base_n = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(base.split(".")))
     mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
     return aton(ip_col).cast("long").bitwiseAND(F.lit(mask)) == F.lit(base_n & mask)
+
+
+# ---- Grok (VRL parse_grok) --------------------------------------------
+# Common grok patterns → regex fragments (the subset vector's own examples
+# exercise; the full DSL is just macro expansion over these).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9][A-Za-z0-9_.-]*",
+    "USER": r"[A-Za-z0-9._-]+",
+    "USERNAME": r"[A-Za-z0-9._-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+}
+
+_GROK_REF = __import__("re").compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Expand a grok pattern into (regex, capture_names). `%{SYNTAX:name}`
+    becomes a capture group; bare `%{SYNTAX}` is non-capturing."""
+    import re as _re
+
+    names: list[str] = []
+
+    def repl(m: "_re.Match[str]") -> str:
+        syntax, name = m.group(1), m.group(2)
+        if syntax not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{syntax}}}")
+        frag = GROK_PATTERNS[syntax]
+        if name:
+            names.append(name)
+            return f"({frag})"
+        return f"(?:{frag})"
+
+    return _GROK_REF.sub(repl, pattern), names
+
+
+def parse_grok(c: Column, pattern: str) -> Column:
+    """VRL parse_grok: returns a struct with one field per named capture.
+    Compiles ONCE to a regex evaluated JVM-side (regexp_extract) — grok in
+    the reference is likewise regex macro expansion, not an interpreter."""
+    regex, names = grok_to_regex(pattern)
+    if not names:
+        raise ValueError("grok pattern has no named captures")
+    return F.struct(
+        *[
+            F.regexp_extract(c, regex, i + 1).alias(name)
+            for i, name in enumerate(names)
+        ]
+    )

@@ -1483,6 +1483,46 @@ FROM b GROUP BY event_type, bucket_idx
 """
 
 
+def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip/mmdb-style enrichment (SURVEY §2.2): derive an IPv4 per event,
+    broadcast-join against an IP-range table on aton BETWEEN lo AND hi —
+    the interval-index lookup as a range join."""
+    from vector_spark.functions.vrl import VRL_FUNCTIONS
+
+    aton = VRL_FUNCTIONS["ip_aton"]
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "10.%d.0.1", F.pmod(F.col("user_id"), F.lit(200)).cast("int")
+        ).alias("client_ip"),
+    )
+    mk = lambda o2: 10 * 16777216 + o2 * 65536
+    ranges = spark.createDataFrame(
+        [
+            (mk(0), mk(50) - 1, "us-east"),
+            (mk(50), mk(100) - 1, "eu-west"),
+            (mk(100), mk(150) - 1, "ap-south"),
+            (mk(150), mk(200) - 1, "sa-east"),
+        ],
+        "lo long, hi long, geo_region string",
+    )
+    ipn = aton(F.col("client_ip"))
+    j = ev.join(
+        F.broadcast(ranges), (ipn >= F.col("lo")) & (ipn <= F.col("hi")), "left"
+    )
+    return j.groupBy("geo_region").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_ORACLE_GEOIP = """
+SELECT CASE WHEN user_id % 200 < 50 THEN 'us-east'
+            WHEN user_id % 200 < 100 THEN 'eu-west'
+            WHEN user_id % 200 < 150 THEN 'ap-south'
+            ELSE 'sa-east' END AS geo_region,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1507,6 +1547,7 @@ QUERIES: dict[str, QuerySpec] = {
     "remap_dropped_output": QuerySpec(q_remap_dropped, _ORACLE_REMAP_DROPPED, "remap reroute_dropped"),
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
+    "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
