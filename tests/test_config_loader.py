@@ -179,3 +179,33 @@ tests:
     res = run_unit_tests(spark, cfg)
     assert [r.passed for r in res] == [True, True, False]
     assert "failed condition" in res[2].failures[0]
+
+
+def test_topology_vrl_remap_with_dropped(spark):
+    from vector_spark.config.loader import build_topology
+
+    topo = build_topology(
+        spark,
+        {
+            "sources": {
+                "logs": {
+                    "type": "values",
+                    "rows": [
+                        {"seq": 1, "raw": "41"},
+                        {"seq": 2, "raw": "nope"},
+                    ],
+                }
+            },
+            "transforms": {
+                "shaped": {
+                    "type": "remap",
+                    "inputs": ["logs"],
+                    "source": ".n = to_int!(.raw) + 1",
+                    "reroute_dropped": True,
+                }
+            },
+            "sinks": {},
+        },
+    )
+    assert [r.n for r in topo.output("shaped").collect()] == [42]
+    assert [r.seq for r in topo.output("shaped.dropped").collect()] == [2]

@@ -1,0 +1,95 @@
+"""VRL-subset compiler tests — programs from the reference's own benches
+and behavior corpus shapes (benches/remap.rs:111-175,
+tests/behavior/transforms/remap.yaml)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from vector_spark.functions.vrl_compiler import (
+    VrlCompileError,
+    compile_vrl,
+    vrl_remap,
+)
+
+
+def _run(spark, rows, program, **kw):
+    df = spark.createDataFrame(rows)
+    return vrl_remap(df, program, **kw)[""].collect()
+
+
+def test_vrl_arithmetic_and_paths(spark):
+    out = _run(
+        spark,
+        [Row(a=10, b=3)],
+        """
+        .total = .a + .b * 2
+        .ratio = .a / .b
+        .flag = .a > 5 && .b < 10
+        """,
+    )[0]
+    assert out.total == 16 and out.flag is True
+    assert abs(out.ratio - 10 / 3) < 1e-12
+
+
+def test_vrl_strings_if_coalesce(spark):
+    df = spark.createDataFrame([("bob", None)], "name string, nick string")
+    out = vrl_remap(
+        df,
+        """
+        .display = .nick ?? .name
+        .shout = upcase(.name) + "!"
+        .band = if .name == "bob" { "builder" } else { "other" }
+        """,
+    )[""].collect()[0]
+    assert out.display == "bob"
+    assert out.shout == "BOB!"
+    assert out.band == "builder"
+
+
+def test_vrl_functions_and_del(spark):
+    out = _run(
+        spark,
+        [Row(msg="  hello  ", secret="x")],
+        """
+        .clean = strip_whitespace(.msg)
+        .n = length(.clean)
+        del(.secret)
+        """,
+    )[0]
+    assert out.clean == "hello" and out.n == 5
+    assert "secret" not in out.asDict()
+
+
+def test_vrl_fallible_routes_dropped(spark):
+    outs = vrl_remap(
+        spark.createDataFrame([Row(raw="12"), Row(raw="nope")]),
+        ".n = to_int!(.raw)",
+        reroute_dropped=True,
+    )
+    ok = outs[""].collect()
+    dropped = outs["dropped"].collect()
+    assert [r.n for r in ok] == [12]
+    assert [r.raw for r in dropped] == ["nope"]
+
+
+def test_vrl_literal_args(spark):
+    out = _run(
+        spark,
+        [Row(line="dur=150ms code=7")],
+        """
+        .code = parse_regex(.line, "code=(\\d+)", 1)
+        .head = truncate(.line, 3)
+        """,
+    )[0]
+    assert out.code == "7" and out.head == "dur"
+
+
+def test_vrl_compile_errors():
+    with pytest.raises(VrlCompileError):
+        compile_vrl(".x = nosuchfn(.a)")
+    with pytest.raises(VrlCompileError):
+        compile_vrl("x = 1")  # statement must start with a path
+    with pytest.raises(VrlCompileError):
+        compile_vrl(".x = (.a + ")

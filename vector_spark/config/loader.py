@@ -136,12 +136,24 @@ def _validate(cfg: dict) -> tuple[dict, dict, dict]:
 def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     stype = cfg.get("type", "parquet")
     if stype in ("parquet", "json", "csv", "text", "avro", "orc"):
+        if stype == "parquet":
+            # TIMESTAMP(NANOS) columns have no Spark type: read nanos as
+            # long (same normalization as tables.load_table) and truncate
+            # to micros below via the ts-column convention
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = spark.read.format(stype)
         for k, v in (cfg.get("options") or {}).items():
             reader = reader.option(k, v)
         if cfg.get("schema"):
             reader = reader.schema(cfg["schema"])
-        return reader.load(cfg["path"])
+        df = reader.load(cfg["path"])
+        ts_col = cfg.get("ts_col", "ts")
+        for fld in df.schema.fields:
+            if fld.name == ts_col and fld.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+                )
+        return df
     if stype == "demo_logs":
         # synthetic generator (vector src/sources/demo_logs.rs:34)
         n = int(cfg.get("count", 1000))
@@ -231,6 +243,20 @@ def _build_transform(
     if ttype == "filter":
         return {name: filter_op(df, _condition(cfg["condition"]))}
     if ttype == "remap":
+        if cfg.get("source"):
+            # VRL program text (the reference's primary remap form)
+            from vector_spark.functions.vrl_compiler import vrl_remap
+
+            outs = vrl_remap(
+                df,
+                cfg["source"],
+                drop_on_error=cfg.get("drop_on_error", False),
+                reroute_dropped=cfg.get("reroute_dropped", False),
+            )
+            res = {name: outs[""]}
+            if "dropped" in outs:
+                res[f"{name}.dropped"] = outs["dropped"]
+            return res
         out = df
         for col, expr in (cfg.get("assign") or {}).items():
             out = out.withColumn(col, F.expr(expr))

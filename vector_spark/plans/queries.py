@@ -1548,6 +1548,32 @@ QUERIES: dict[str, QuerySpec] = {
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
+    "vrl_program": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.functions.vrl_compiler", fromlist=["vrl_remap"]
+        ).vrl_remap(
+            load_table(spark, sf_dir, "events"),
+            """
+            .type_uc = upcase(.event_type)
+            .value_band = if .value > 150 { "high" } else if .value > 50 { "mid" } else { "low" }
+            .user_key = "u-" + to_string(.user_id)
+            .value_2x = .value * 2
+            del(.props)
+            del(.ts)
+            """,
+        )[""],
+        """
+        SELECT event_id, user_id, event_type, value,
+               upper(event_type) AS type_uc,
+               CASE WHEN value > 150 THEN 'high'
+                    WHEN value > 50 THEN 'mid' ELSE 'low' END AS value_band,
+               concat('u-', CAST(user_id AS VARCHAR)) AS user_key,
+               value * 2 AS value_2x,
+               FALSE AS _error
+        FROM events
+        """,
+        "VRL program compiled to Columns",
+    ),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
