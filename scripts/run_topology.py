@@ -1,0 +1,83 @@
+"""CLI: run a YAML topology (the `vector run` / `vector graph` analog).
+
+Usage:
+  python scripts/run_topology.py pipeline.yaml            # batch: run sinks
+  python scripts/run_topology.py pipeline.yaml --stream   # start streaming sinks
+  python scripts/run_topology.py pipeline.yaml --graph    # print DOT graph
+  python scripts/run_topology.py pipeline.yaml --validate # build only
+
+Reference analogs: `vector run` (src/app.rs:177), `vector graph`
+(src/config/dot_graph.rs), `vector validate`.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def to_dot(cfg: dict) -> str:
+    """Topology → Graphviz DOT (vector `src/config/dot_graph.rs`)."""
+    lines = ["digraph topology {", "  rankdir=LR;"]
+    for name in cfg.get("sources", {}) or {}:
+        lines.append(f'  "{name}" [shape=cylinder];')
+    for name, t in (cfg.get("transforms", {}) or {}).items():
+        lines.append(f'  "{name}" [shape=box label="{name}\\n({t.get("type")})"];')
+    for name in cfg.get("sinks", {}) or {}:
+        lines.append(f'  "{name}" [shape=doublecircle];')
+    for name, comp in {
+        **(cfg.get("transforms", {}) or {}),
+        **(cfg.get("sinks", {}) or {}),
+    }.items():
+        for inp in comp.get("inputs", []):
+            lines.append(f'  "{inp.split(".", 1)[0]}" -> "{name}" [label="{inp}"];')
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    import yaml
+
+    args = [a for a in sys.argv[1:]]
+    flags = {a for a in args if a.startswith("--")}
+    paths = [a for a in args if not a.startswith("--")]
+    if not paths:
+        print(__doc__)
+        sys.exit(2)
+    with open(paths[0]) as f:
+        cfg = yaml.safe_load(f)
+
+    if "--graph" in flags:
+        print(to_dot(cfg))
+        return
+
+    from vector_spark.config.loader import (
+        build_topology,
+        run_sinks,
+        start_streaming_sinks,
+    )
+    from vector_spark.session import get_spark
+
+    spark = get_spark("vector-spark-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    topo = build_topology(spark, cfg)
+    if "--validate" in flags:
+        print(f"OK: {len(topo.outputs)} component outputs built")
+        return
+    if "--stream" in flags:
+        queries = start_streaming_sinks(topo)
+        print(f"started {len(queries)} streaming sink(s); Ctrl-C to stop")
+        for q in queries.values():
+            q.awaitTermination()
+        return
+    results = run_sinks(topo)
+    for name, info in results.items():
+        desc = {k: v for k, v in info.items() if k != "rows"}
+        if "rows" in info:
+            desc["n_rows"] = len(info["rows"])
+        print(f"{name}: {desc}")
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,35 @@ def test_streaming_topology_end_to_end(spark):
     rows = spark.sql(f"SELECT * FROM {name} LIMIT 5").collect()
     assert n >= 10 and all(r.seq % 2 == 0 for r in rows)
     assert set(rows[0].asDict()) == {"seq", "ts", "host_uc"}
+
+
+@pytest.mark.streaming
+def test_memory_table_stream_updated_enrichment(spark):
+    """Writable memory enrichment table: a stream writes KV entries via
+    foreachBatch; a reader joins the live snapshot (reference
+    src/enrichment_tables/memory/)."""
+    import time as _time
+
+    from vector_spark.streaming.memory_table import MemoryTable
+
+    table = MemoryTable(key_col="k", value_col="v", ttl_secs=3600)
+    src = rate_source(spark, rows_per_second=100).select(
+        (F.col("seq") % 5).cast("string").alias("k"),
+        F.concat(F.lit("label-"), (F.col("seq") % 5)).alias("v"),
+    )
+    q = (
+        src.writeStream.foreachBatch(table.write_batch)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = _time.time() + 30
+    while _time.time() < deadline and len(table._data) < 5:
+        _time.sleep(1)
+    q.stop()
+    assert len(table._data) == 5
+    events = spark.createDataFrame([("2",), ("99",)], "k_ref string")
+    out = {r.k_ref: r.v for r in table.enrich(events, on="k_ref").collect()}
+    assert out["2"] == "label-2" and out["99"] is None
+    # TTL expiry
+    table.ttl_secs = 0.0
+    assert table.expire(_time.time() + 10) == 5 and len(table._data) == 0
