@@ -102,3 +102,19 @@ def test_parse_grok(spark):
 
     with _pytest.raises(ValueError):
         grok_to_regex("%{NOPE:x}")
+
+
+def test_vrl_parse_url_and_csv(spark):
+    from vector_spark.functions.vrl import VRL_FUNCTIONS
+
+    df = spark.createDataFrame(
+        [Row(url="https://api.example.com:8443/v1/users?id=7", csvline="a,42")]
+    )
+    out = df.select(
+        VRL_FUNCTIONS["parse_url"](F.col("url"), "HOST").alias("host"),
+        VRL_FUNCTIONS["parse_url"](F.col("url"), "PATH").alias("path"),
+        VRL_FUNCTIONS["parse_csv"](F.col("csvline"), "name string, n int").alias("c"),
+    ).collect()[0]
+    assert out.host == "api.example.com"
+    assert out.path == "/v1/users"
+    assert out.c.name == "a" and out.c.n == 42

@@ -349,3 +349,18 @@ def test_line_agg_modes(spark):
         mode="halt_with", condition=F.col("line").endswith(";"),
     )
     assert msgs == ["SELECT a\nFROM t;", "DELETE\nFROM u;"]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from vector_spark.operators.aggregate import salted_aggregate
+
+    rows = [Row(k="hot" if i % 10 else "cold", v=i) for i in range(1000)]
+    df = _events(spark, rows)
+    salted = salted_aggregate(
+        df, ["k"], {"total": ("sum", "v"), "n": ("count", "v"),
+                    "mx": ("max", "v")}, salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

@@ -105,6 +105,14 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "parse_duration": parse_duration_ms,
     "parse_apache_log": parse_apache_log,
     "parse_syslog": parse_syslog,
+    "parse_csv": lambda c, schema: F.from_csv(c, F.lit(schema)),
+    "parse_url": lambda c, part="HOST": F.parse_url(c, F.lit(part)),
+    "parse_int": lambda c: c.try_cast("long"),
+    "parse_float": lambda c: c.try_cast("double"),
+    # Event / Path
+    "exists": lambda c: c.isNotNull(),
+    "is_null": lambda c: c.isNull(),
+    "is_empty": lambda c: F.length(c.cast("string")) == 0,
     # Coerce / Convert / Type — try_cast, not cast: Spark 4 defaults to
     # ANSI mode where a failed cast THROWS; VRL's `to_int!` error contract
     # is "capture the failure", which try_cast's null-on-failure gives us

@@ -101,3 +101,46 @@ def aggregate(
         w = Window.partitionBy(*series_keys).orderBy(bucket_col)
         res = res.withColumn("diff", F.col(base) - F.lag(F.col(base), 1).over(w))
     return res
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED keys: partial-agg on
+    (key, salt) — spreading a hot key over `salt_buckets` reducers —
+    then final agg on the key.
+
+    aggs: out_col -> (fn, in_col) with fn in {sum, count, min, max}
+    (the algebraic aggregates that re-combine losslessly; mean = sum/count
+    downstream). ``salt_source`` defaults to a deterministic hash of all
+    non-key columns — deterministic re-runs, no rand() (AQE's skew-join
+    handling covers joins; this covers aggregations).
+
+    At 100 TB: one hot host/service key otherwise lands its entire volume
+    on one reducer; salting bounds any reducer's share to ~1/salt_buckets
+    of the hot key. Cost: a second (tiny — |keys|×buckets rows) shuffle.
+    """
+    if salt_source is None:
+        others = [c for c in df.columns if c not in group_by] or group_by
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+
+    partial_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    final_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for out, (fn, _col) in aggs.items():
+        if fn not in partial_fn:
+            raise ValueError(f"{out}: non-algebraic agg {fn!r} cannot be salted")
+
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_by, "_salt")
+        .agg(*[partial_fn[fn](F.col(c)).alias(out) for out, (fn, c) in aggs.items()])
+    )
+    return partial.groupBy(*group_by).agg(
+        *[final_fn[fn](F.col(out)).alias(out) for out, (fn, _c) in aggs.items()]
+    )
