@@ -124,17 +124,17 @@ def salted_aggregate(
     on one reducer; salting bounds any reducer's share to ~1/salt_buckets
     of the hot key. Cost: a second (tiny — |keys|×buckets rows) shuffle.
     """
-    if salt_source is None:
-        others = [c for c in df.columns if c not in group_by] or group_by
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(salt_buckets))
-    else:
-        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
-
     partial_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     final_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     for out, (fn, _col) in aggs.items():
         if fn not in partial_fn:
             raise ValueError(f"{out}: non-algebraic agg {fn!r} cannot be salted")
+
+    if salt_source is None:
+        others = [c for c in df.columns if c not in group_by] or group_by
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
 
     partial = (
         df.withColumn("_salt", salt)
