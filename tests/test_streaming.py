@@ -185,3 +185,27 @@ def test_memory_table_stream_updated_enrichment(spark):
     # TTL expiry
     table.ttl_secs = 0.0
     assert table.expire(_time.time() + 10) == 5 and len(table._data) == 0
+
+
+@pytest.mark.streaming
+def test_stream_throttle_gcra(spark):
+    from vector_spark.streaming.stateful import streaming_throttle
+
+    src = rate_source(spark, rows_per_second=200).withColumn(
+        "key", F.lit("k1")
+    )
+    out = streaming_throttle(
+        src, threshold=2, window_secs=2, key_field="key",
+        payload_cols=["seq", "ts"],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    _drain(spark, q, name, min_rows=3, timeout=60)
+    # at most `threshold` admitted per 2s event-time window
+    res = spark.sql(
+        f"SELECT window(ts, '2 seconds') w, count(*) c FROM {name} GROUP BY 1"
+    ).collect()
+    assert all(r.c <= 2 for r in res)
