@@ -364,3 +364,30 @@ def test_salted_aggregate_matches_plain(spark):
         F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ddsketch_quantile_relative_error(spark):
+    """DDSketch contract: quantile estimates within alpha relative error;
+    merged sketches equal the sketch of the union."""
+    from vector_spark.operators.ddsketch import (
+        ddsketch,
+        ddsketch_merge,
+        ddsketch_quantile,
+    )
+
+    vals = [float(i) for i in range(1, 2001)]
+    df = _events(spark, [Row(s="a", value=v) for v in vals])
+    sk = ddsketch(df, ["s"], alpha=0.02)
+    for q in (0.5, 0.9, 0.99):
+        est = ddsketch_quantile(sk, ["s"], q, alpha=0.02).collect()[0].quantile_est
+        exact = vals[int(q * len(vals)) - 1]
+        assert abs(est - exact) / exact < 0.05, (q, est, exact)
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B)
+    half1 = _events(spark, [Row(s="a", value=v) for v in vals[:1000]])
+    half2 = _events(spark, [Row(s="a", value=v) for v in vals[1000:]])
+    merged = ddsketch_merge(
+        ddsketch(half1, ["s"], alpha=0.02), ddsketch(half2, ["s"], alpha=0.02)
+    )
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b

@@ -209,3 +209,27 @@ def test_stream_throttle_gcra(spark):
         f"SELECT window(ts, '2 seconds') w, count(*) c FROM {name} GROUP BY 1"
     ).collect()
     assert all(r.c <= 2 for r in res)
+
+
+@pytest.mark.streaming
+def test_top_listener_collects_throughput(spark):
+    from vector_spark.streaming.monitor import attach_top
+
+    listener = attach_top(spark)
+    try:
+        src = rate_source(spark, rows_per_second=300)
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        q = (
+            src.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        _drain(spark, q, name, min_rows=50, timeout=45)
+        deadline = time.time() + 10
+        while time.time() < deadline and name not in listener.stats:
+            time.sleep(0.5)
+        assert name in listener.stats
+        s = listener.stats[name]
+        assert s.total_rows >= 50 and s.n_batches >= 1
+        assert name[:24] in listener.render()
+    finally:
+        spark.streams.removeListener(listener)

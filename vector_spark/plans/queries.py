@@ -1506,9 +1506,14 @@ def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "lo long, hi long, geo_region string",
     )
-    ipn = aton(F.col("client_ip"))
+    # materialize the aton ONCE per row: the non-equi broadcast join
+    # (nested-loop) would otherwise re-evaluate the 4-way split per
+    # (row × range) comparison
+    ev = ev.withColumn("_ipn", aton(F.col("client_ip")))
     j = ev.join(
-        F.broadcast(ranges), (ipn >= F.col("lo")) & (ipn <= F.col("hi")), "left"
+        F.broadcast(ranges),
+        (F.col("_ipn") >= F.col("lo")) & (F.col("_ipn") <= F.col("hi")),
+        "left",
     )
     return j.groupBy("geo_region").agg(F.count(F.lit(1)).alias("n_events"))
 
@@ -1548,6 +1553,24 @@ QUERIES: dict[str, QuerySpec] = {
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
+    "ddsketch_quantiles": QuerySpec(
+        lambda spark, sf_dir: (lambda dd: dd.ddsketch(
+            load_table(spark, sf_dir, "events"), ["event_type"],
+            value_col="value", alpha=0.02,
+        ))(__import__("vector_spark.operators.ddsketch", fromlist=["ddsketch"])),
+        """
+        WITH b AS (
+          SELECT event_type,
+                 CASE WHEN value <= 0 THEN 0
+                      ELSE CAST(CEIL(LN(value) / LN(1.02/0.98)) AS BIGINT)
+                 END AS bucket
+          FROM events
+        )
+        SELECT event_type, bucket, COUNT(*) AS bucket_count
+        FROM b GROUP BY event_type, bucket
+        """,
+        "DDSketch log-γ bucket sketch",
+    ),
     "vrl_program": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.functions.vrl_compiler", fromlist=["vrl_remap"]
