@@ -118,3 +118,34 @@ def test_vrl_parse_url_and_csv(spark):
     assert out.host == "api.example.com"
     assert out.path == "/v1/users"
     assert out.c.name == "a" and out.c.n == 42
+
+
+def test_decode_statsd(spark):
+    from vector_spark.functions.codecs import decode_statsd
+
+    df = spark.createDataFrame(
+        [
+            Row(line="api.requests:1|c|@0.5|#env:prod,region:us"),
+            Row(line="memory.free:1024.5|g"),
+            Row(line="not a statsd line"),
+        ]
+    )
+    out = df.select(decode_statsd(F.col("line")).alias("m")).collect()
+    m0, m1, m2 = (r.m for r in out)
+    assert m0.name == "api.requests" and m0.metric_type == "counter"
+    assert m0.sample_rate == 0.5 and m0.tags == {"env": "prod", "region": "us"}
+    assert m1.value == 1024.5 and m1.metric_type == "gauge" and m1.sample_rate == 1.0
+    assert m2.metric_type is None
+
+
+def test_decode_influxdb_line(spark):
+    from vector_spark.functions.codecs import decode_influxdb_line
+
+    df = spark.createDataFrame(
+        [Row(line="cpu,host=web-1,dc=east usage=0.93,idle=0.07 1700000000000000000")]
+    )
+    m = df.select(decode_influxdb_line(F.col("line")).alias("m")).collect()[0].m
+    assert m.measurement == "cpu"
+    assert m.tags == {"host": "web-1", "dc": "east"}
+    assert m.fields == {"usage": "0.93", "idle": "0.07"}
+    assert m.ts_ns == 1700000000000000000

@@ -119,3 +119,53 @@ def encode_syslog(
         F.lit("<"), pri.cast("string"), F.lit(">"),
         ts, F.lit(" "), hostname, F.lit(" "), tag, F.lit(": "), message,
     )
+
+
+# statsd wire format: <name>:<value>|<type>[|@<rate>][|#tag:v,tag:v]
+# (reference src/sources/statsd/, lib/codecs decoding)
+_STATSD_RE = r"^([^:]+):([-+]?[0-9.]+)\|(c|g|ms|s|h|d)(?:\|@([0-9.]+))?(?:\|#(.*))?$"
+
+
+def decode_statsd(c: Column) -> Column:
+    """statsd line → struct(name, value, metric_type, sample_rate, tags)."""
+    mtype = F.regexp_extract(c, _STATSD_RE, 3)
+    return F.struct(
+        F.regexp_extract(c, _STATSD_RE, 1).alias("name"),
+        F.regexp_extract(c, _STATSD_RE, 2).try_cast("double").alias("value"),
+        F.when(mtype == "c", "counter")
+        .when(mtype == "g", "gauge")
+        .when(mtype == "ms", "timing")
+        .when(mtype == "s", "set")
+        .when(mtype.isin("h", "d"), "histogram")
+        .otherwise(None)
+        .alias("metric_type"),
+        F.coalesce(
+            F.regexp_extract(c, _STATSD_RE, 4).try_cast("double"), F.lit(1.0)
+        ).alias("sample_rate"),
+        _kv_or_empty(F.regexp_extract(c, _STATSD_RE, 5), ",", ":").alias("tags"),
+    )
+
+
+def _kv_or_empty(extracted: Column, pair_sep: str, kv_sep: str) -> Column:
+    """str_to_map('') yields {'': null}; absent sections should be {}."""
+    return F.when(
+        extracted == "", F.map_from_arrays(F.array(), F.array())
+    ).otherwise(F.str_to_map(extracted, F.lit(pair_sep), F.lit(kv_sep)))
+
+
+# influxdb line protocol: measurement[,tag=v...] field=v[,field=v...] [ts]
+# (reference lib/codecs/src/decoding/format/influxdb.rs)
+_INFLUX_RE = r"^([^,\s]+)(?:,([^\s]+))?\s([^\s]+)(?:\s(\d+))?$"
+
+
+def decode_influxdb_line(c: Column) -> Column:
+    """InfluxDB line → struct(measurement, tags map, fields map, ts_ns).
+
+    Field values keep their wire form in the map (callers cast; `i`
+    suffix = integer per the protocol)."""
+    return F.struct(
+        F.regexp_extract(c, _INFLUX_RE, 1).alias("measurement"),
+        _kv_or_empty(F.regexp_extract(c, _INFLUX_RE, 2), ",", "=").alias("tags"),
+        _kv_or_empty(F.regexp_extract(c, _INFLUX_RE, 3), ",", "=").alias("fields"),
+        F.regexp_extract(c, _INFLUX_RE, 4).try_cast("long").alias("ts_ns"),
+    )
