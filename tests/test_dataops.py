@@ -145,3 +145,17 @@ def test_brute_force_np_matches_column(spark, embeddings):
     assert {key(r): (r.neighbor_id, r.cosine) for r in a} == {
         key(r): (r.neighbor_id, r.cosine) for r in b
     }
+
+
+def test_cosine_near_dup_lsh_recall(spark, embeddings):
+    from vector_spark.dataops.similarity import cosine_near_dup_pairs
+
+    exact = cosine_near_dup_pairs(embeddings, threshold=0.4, exact=True)
+    approx = cosine_near_dup_pairs(
+        embeddings, threshold=0.4, n_tables=24, n_planes=4
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    assert a <= e  # blocked path verifies exactly: no false positives
+    if e:
+        assert len(a & e) / len(e) > 0.6, f"recall {len(a & e) / len(e)}"

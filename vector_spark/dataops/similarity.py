@@ -198,3 +198,68 @@ def brute_force_topk_np(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 16,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Default path is LSH-blocked (candidates = pairs sharing a sign-LSH
+    bucket in any table, exact cosine verify) — the 100 TB shape: probe
+    cost ~ bucket sizes. ``exact=True`` scores ALL pairs (the oracle /
+    verifier path; O(N²), small-N only). Same normalize-once discipline
+    as brute_force_topk: norms come from the pre-join projection.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vd.alias("_v"), _norm(vd).alias("_n"))
+    if exact:
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        )
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        def bucketed(name):
+            return base.select(
+                F.col(id_col).alias(name),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col("_v"), tables[t]).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ])
+                ).alias("tb"),
+            ).select(name, "tb.tbl", "tb.bkt")
+        pairs = (
+            bucketed("id_a").join(bucketed("id_b"), ["tbl", "bkt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        round_decimals,
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1553,6 +1553,36 @@ QUERIES: dict[str, QuerySpec] = {
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
+    "embedding_near_dup": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.similarity", fromlist=["cosine_near_dup_pairs"]
+        ).cosine_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+        ),
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                    6) >= 0.4
+        """,
+        "embedding-cosine near-dup pairs (exact verifier path)",
+    ),
+    "embedding_near_dup_lsh": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.similarity", fromlist=["cosine_near_dup_pairs"]
+        ).cosine_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+            n_tables=24, n_planes=4,
+        ),
+        None,
+        "embedding-cosine near-dup, LSH-blocked scale path (rows-only)",
+    ),
     "ddsketch_quantiles": QuerySpec(
         lambda spark, sf_dir: (lambda dd: dd.ddsketch(
             load_table(spark, sf_dir, "events"), ["event_type"],
