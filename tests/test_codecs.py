@@ -149,3 +149,31 @@ def test_decode_influxdb_line(spark):
     assert m.tags == {"host": "web-1", "dc": "east"}
     assert m.fields == {"usage": "0.93", "idle": "0.07"}
     assert m.ts_ns == 1700000000000000000
+
+
+def test_framing_newline_and_character(spark):
+    from vector_spark.functions.framing import (
+        character_delimited,
+        explode_frames,
+        newline_delimited,
+    )
+
+    df = spark.createDataFrame([Row(src="f1", blob="a\nb\r\nc\n")])
+    out = explode_frames(df, "blob", newline_delimited(F.col("blob"))).collect()
+    assert [(r.frame_idx, r.message) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
+    assert all(r.src == "f1" for r in out)
+    df2 = spark.createDataFrame([Row(blob="x|y|z")])
+    frames = df2.select(character_delimited(F.col("blob"), "|").alias("f")).collect()[0].f
+    assert frames == ["x", "y", "z"]
+
+
+def test_framing_octet_counting(spark):
+    from vector_spark.functions.framing import length_delimited_frames
+
+    # RFC6587: "<len> payload" concatenated; payload may contain spaces/newlines
+    blob = "5 hello3 a b11 multi\nframe"
+    df = spark.createDataFrame([Row(blob=blob)])
+    frames = df.select(
+        length_delimited_frames(F.col("blob"), max_frames=8).alias("f")
+    ).collect()[0].f
+    assert frames == ["hello", "a b", "multi\nframe"]
