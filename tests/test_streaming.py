@@ -233,3 +233,61 @@ def test_top_listener_collects_throughput(spark):
         assert name[:24] in listener.render()
     finally:
         spark.streams.removeListener(listener)
+
+
+@pytest.mark.streaming
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """The end-to-end delivery claim (vector acks ≈ checkpoint + commit
+    log): stop a file-sink query mid-stream, restart from the same
+    checkpoint, and verify the output has no duplicate or missing seqs
+    in the covered range."""
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src_dir)
+
+    def write_batch_files(lo, hi):
+        import json as _json
+
+        p = os.path.join(src_dir, f"b{lo}.json")
+        with open(p + ".tmp", "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps({"seq": i}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    def start():
+        df = spark.readStream.schema("seq long").json(src_dir)
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    write_batch_files(0, 100)
+    q = start()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 100:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()  # "crash" between files
+    write_batch_files(100, 200)
+    q2 = start()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 200:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q2.stop()
+    rows = [r.seq for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(rows) == list(range(200))  # exactly-once: no dups, no gaps
