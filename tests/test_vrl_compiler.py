@@ -93,3 +93,48 @@ def test_vrl_compile_errors():
         compile_vrl("x = 1")  # statement must start with a path
     with pytest.raises(VrlCompileError):
         compile_vrl(".x = (.a + ")
+
+
+def test_interpreter_matches_compiler(spark):
+    """The pandas fallback interpreter and the Column compiler agree on
+    the shared grammar."""
+    from vector_spark.functions.vrl_interp import interpret_vrl
+    import pandas as pd
+
+    program = """
+    .total = .a + .b * 2
+    .flag = .a > 5 && .b < 10
+    .band = if .a > 5 { "hi" } else { "lo" }
+    .disp = .maybe ?? "fallback"
+    .n = to_int!(.raw)
+    del(.b)
+    """
+    pdf = pd.DataFrame(
+        {"a": [10, 2], "b": [3, 4], "maybe": ["x", None], "raw": ["7", "bad"]}
+    )
+    out, err = interpret_vrl(pdf, program)
+    assert out["total"].tolist() == [16, 10]
+    assert out["flag"].tolist() == [True, False]
+    assert out["band"].tolist() == ["hi", "lo"]
+    assert out["disp"].tolist() == ["x", "fallback"]
+    assert out["n"].tolist()[0] == 7 and pd.isna(out["n"].tolist()[1])
+    assert err.tolist() == [False, True]
+    assert "b" not in out.columns
+
+    # both execution paths enforce the remap error contract: errored
+    # events forward with NO assignments (remap.rs:121-128)
+    from vector_spark.functions.vrl_interp import vrl_transform
+
+    df = spark.createDataFrame(
+        [(10, 3, "x", "7"), (2, 4, None, "bad")], "a long, b long, maybe string, raw string"
+    )
+    schema = (
+        "a long, maybe string, raw string, total long, flag boolean, "
+        "band string, disp string, n long, _error boolean"
+    )
+    for force in (False, True):  # compiled path, then forced interpreter
+        got = vrl_transform(df, program, schema=schema, force_interpret=force).collect()
+        assert {r.a: (r.total, r.band, r._error) for r in got} == {
+            10: (16, "hi", False),
+            2: (None, None, True),
+        }, f"force_interpret={force}"
