@@ -159,3 +159,15 @@ def test_cosine_near_dup_lsh_recall(spark, embeddings):
     assert a <= e  # blocked path verifies exactly: no false positives
     if e:
         assert len(a & e) / len(e) > 0.6, f"recall {len(a & e) / len(e)}"
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    from vector_spark.dataops.similarity import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ivf_topk(embeddings, queries, k=5, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.6, f"IVF recall too low: {recall}"

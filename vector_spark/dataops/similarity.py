@@ -263,3 +263,107 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _kmeans_fit(sample: "list[list[float]]", k: int, iters: int, seed: int):
+    """Tiny deterministic Lloyd's k-means on a driver-side sample — the
+    IVF coarse quantizer. No MLlib dependency; the sample is small by
+    contract (coarse centroids need ~100 points per centroid)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    X = np.asarray(sample, dtype=np.float64)
+    cent = X[rng.sample(range(len(X)), k)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
+def _nearest_centroids(vec: Column, centroids, n: int) -> Column:
+    """Array of the n nearest centroid ids for a vector column — pure
+    Column argsort over k squared-distance expressions (k is small)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_size: int = 2000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus vectors
+    live in their nearest-centroid cell; each query probes its `n_probe`
+    nearest cells and exact-ranks only those members.
+
+    At 100 TB: the quantizer fits on a driver-side sample once; cell
+    assignment is a narrow Column pass; the probe join is an equi-join on
+    cell id (candidates ≈ n_probe/n_centroids of the corpus). Recall
+    tunes with n_probe — the standard IVF trade.
+    """
+    sample = [
+        r.v
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .limit(sample_size)
+        .collect()
+    ]
+    cents = _kmeans_fit(sample, n_centroids, kmeans_iters, seed)
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cbase = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vd.alias("_cv"), _norm(vd).alias("_cn")
+    )
+    c_cells = cbase.withColumn(
+        "cell", _nearest_centroids(F.col("_cv"), cents, 1)[0]
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), vd.alias("_qv"), _norm(vd).alias("_qn")
+    )
+    q_cells = qbase.select(
+        "query_id", "_qv", "_qn",
+        F.explode(_nearest_centroids(F.col("_qv"), cents, n_probe)).alias("cell"),
+    )
+    cos = F.round(
+        _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        round_decimals,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

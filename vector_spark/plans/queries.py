@@ -1656,5 +1656,16 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(q_multimodal_features, None, "mapInPandas feature extraction (rows-only)"),
     "ann_cosine_topk": QuerySpec(q_ann_topk, _ORACLE_ANN, "brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(q_ann_lsh, None, "LSH ANN top-k (rows-only)"),
+    "ann_ivf_topk": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.similarity", fromlist=["ivf_topk"]
+        ).ivf_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0),
+            k=5, n_centroids=16, n_probe=3,
+        ),
+        None,
+        "IVF ANN top-k, k-means coarse quantizer (rows-only; recall in pytest)",
+    ),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
 }
