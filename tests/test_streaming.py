@@ -291,3 +291,43 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     q2.stop()
     rows = [r.seq for r in spark.read.parquet(out_dir).collect()]
     assert sorted(rows) == list(range(200))  # exactly-once: no dups, no gaps
+
+
+@pytest.mark.streaming
+def test_demux_sink_single_query_fanout(spark, tmp_path):
+    from vector_spark.streaming.pipeline import demux_sink
+
+    src = rate_source(spark, rows_per_second=300)
+    out = str(tmp_path / "fanout")
+    q = demux_sink(
+        src,
+        routes=[
+            ("evens", F.col("seq") % 2 == 0),
+            ("threes", F.col("seq") % 3 == 0),
+        ],
+        base_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    import os
+
+    deadline = time.time() + 40
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:
+            n = 0
+        if n >= 30:
+            break
+        time.sleep(1)
+    q.stop()
+    back = spark.read.parquet(out)
+    dirs = {d for d in os.listdir(out) if d.startswith("_route=")}
+    assert {"_route=evens", "_route=threes", "_route=_default"} <= dirs
+    evens = [r.seq for r in back.where("_route = 'evens'").collect()]
+    assert evens and all(s % 2 == 0 for s in evens)
+    # first-match-wins: 6 is even AND div-3 but lands only in evens
+    assert all(s % 2 == 0 or s % 3 == 0
+               for s in (r.seq for r in back.where("_route = 'threes'").collect()))
+    defaults = [r.seq for r in back.where("_route = '_default'").collect()]
+    assert all(s % 2 == 1 and s % 3 != 0 for s in defaults)

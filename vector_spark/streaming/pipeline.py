@@ -250,3 +250,36 @@ def kafka_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def demux_sink(
+    df: DataFrame,
+    routes: list,
+    base_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger_secs: int = 1,
+    tag_col: str = "_route",
+):
+    """Multi-output fan-out as ONE streaming query: tag each event with
+    its (first-match-wins) route, then partition the write by route —
+    every route lands under base_path/<tag_col>=<name>/.
+
+    The reference fans one component's output to N sinks via per-sink
+    channels (`src/topology/builder.rs` fanout); the naive Spark mapping
+    is one query per sink, which re-reads the source N times. This demux
+    reads ONCE: route evaluation is a narrow projection, and the sink's
+    dynamic partitioning is the fan-out. Routes follow exclusive_route
+    semantics (`_default` catches the rest).
+    """
+    from vector_spark.operators.route import exclusive_route_tag
+
+    tagged = exclusive_route_tag(df, routes, tag_col=tag_col)
+    return (
+        tagged.writeStream.format(fmt)
+        .partitionBy(tag_col)
+        .option("path", base_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
