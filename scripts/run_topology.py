@@ -66,10 +66,18 @@ def main() -> None:
         print(f"OK: {len(topo.outputs)} component outputs built")
         return
     if "--stream" in flags:
+        from vector_spark.streaming.monitor import attach_top
+
+        top = attach_top(spark)
         queries = start_streaming_sinks(topo)
         print(f"started {len(queries)} streaming sink(s); Ctrl-C to stop")
-        for q in queries.values():
-            q.awaitTermination()
+        try:
+            for q in queries.values():
+                q.awaitTermination()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            print(top.render())  # the `vector top` table on exit
         return
     results = run_sinks(topo)
     for name, info in results.items():

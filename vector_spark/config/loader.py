@@ -477,6 +477,17 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
                 value_col=cfg.get("value_col", "message"),
                 key_col=cfg.get("key_col"),
             )
+        elif stype == "demux":
+            from vector_spark.streaming.pipeline import demux_sink
+
+            queries[name] = demux_sink(
+                df,
+                routes=[(r["name"], _condition(r["condition"])) for r in cfg["routes"]],
+                base_path=cfg["path"],
+                checkpoint=cfg["checkpoint"],
+                fmt=cfg.get("format", "parquet"),
+                trigger_secs=int(cfg.get("trigger_secs", 1)),
+            )
         else:
             raise TopologyError(f"{name}: unknown streaming sink {stype!r}")
     return queries
