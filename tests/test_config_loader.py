@@ -209,3 +209,44 @@ def test_topology_vrl_remap_with_dropped(spark):
     )
     assert [r.n for r in topo.output("shaped").collect()] == [42]
     assert [r.seq for r in topo.output("shaped.dropped").collect()] == [2]
+
+
+def test_topology_line_agg_delay_enrich_sessionize(spark):
+    from vector_spark.config.loader import build_topology
+
+    topo = build_topology(
+        spark,
+        {
+            "sources": {
+                "logs": {
+                    "type": "values",
+                    "rows": [
+                        {"seq": 1, "f": "a", "line": "[ts] one"},
+                        {"seq": 2, "f": "a", "line": "cont"},
+                        {"seq": 3, "f": "a", "line": "[ts] two"},
+                    ],
+                }
+            },
+            "transforms": {
+                "multi": {
+                    "type": "line_agg",
+                    "inputs": ["logs"],
+                    "group_by": ["f"],
+                    "order_col": "seq",
+                    "line_col": "line",
+                    "mode": "halt_before",
+                    "condition": "line LIKE '[ts]%'",
+                    "separator": "|",
+                },
+                "tagged": {
+                    "type": "static_enrich",
+                    "inputs": ["multi"],
+                    "metadata": {"dc": "us-east-1"},
+                },
+            },
+            "sinks": {},
+        },
+    )
+    rows = topo.output("tagged").orderBy("first_seq").collect()
+    assert [r.message for r in rows] == ["[ts] one|cont", "[ts] two"]
+    assert all(r.dc == "us-east-1" for r in rows)

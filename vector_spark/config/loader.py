@@ -234,6 +234,12 @@ def _condition(cond):
     return cond
 
 
+def _condition_col(cond):
+    """_condition, then force Column (operators with Column-only params)."""
+    c = _condition(cond)
+    return F.expr(c) if isinstance(c, str) else c
+
+
 def _build_transform(
     name: str, cfg: dict, df: DataFrame
 ) -> dict[str, DataFrame]:
@@ -384,6 +390,61 @@ def _build_transform(
                 limit=cfg["limit"],
                 order_col=cfg["order_col"],
                 action=cfg.get("action", "drop_tag"),
+            )
+        }
+    if ttype == "delay":
+        from vector_spark.operators.delay import delay
+
+        return {
+            name: delay(
+                df,
+                delay_ms=int(cfg["delay_ms"]),
+                ts_col=cfg.get("ts_col", "ts"),
+                condition=_condition_col(cfg["condition"]) if cfg.get("condition") else None,
+            )
+        }
+    if ttype == "static_enrich":
+        from vector_spark.operators.metadata import static_enrich
+
+        return {
+            name: static_enrich(
+                df, cfg["metadata"], fields=cfg.get("fields"),
+                prefix=cfg.get("prefix", ""),
+            )
+        }
+    if ttype == "line_agg":
+        from vector_spark.operators.reduce import line_agg
+
+        return {
+            name: line_agg(
+                df,
+                group_by=cfg["group_by"],
+                order_col=cfg["order_col"],
+                line_col=cfg["line_col"],
+                mode=cfg.get("mode"),
+                condition=(
+                    _condition_col(cfg["condition"]) if cfg.get("condition") else None
+                ),
+                starts_when=(
+                    _condition_col(cfg["starts_when"]) if cfg.get("starts_when") else None
+                ),
+                separator=cfg.get("separator", "\n"),
+            )
+        }
+    if ttype == "sessionize":
+        from vector_spark.operators.reduce import sessionize
+
+        return {
+            name: sessionize(
+                df,
+                group_by=cfg["group_by"],
+                order_col=cfg["order_col"],
+                starts_when=(
+                    _condition_col(cfg["starts_when"]) if cfg.get("starts_when") else None
+                ),
+                ends_when=(
+                    _condition_col(cfg["ends_when"]) if cfg.get("ends_when") else None
+                ),
             )
         }
     raise TopologyError(f"{name}: unknown transform type {ttype!r}")
