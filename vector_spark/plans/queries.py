@@ -526,7 +526,10 @@ WITH e AS (
               FALSE) THEN 1 ELSE 0 END AS new_sess
   FROM e
 ), sess AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+  -- CAST away DuckDB's HUGEINT window-SUM type: the driver's Arrow fetch
+  -- canonicalizes int128 as float ("3.0"), breaking the value hash even
+  -- when every value is identical (VERDICT r1 "What's wrong" #1).
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, MIN(epoch_s) AS session_start,
@@ -1103,7 +1106,8 @@ WITH flagged AS (
          CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS st
   FROM events
 ), sess AS (
-  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY event_id) AS message_id
+  -- CAST: window SUM is HUGEINT in DuckDB; see _ORACLE_SESSIONS note.
+  SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS message_id
   FROM flagged
 )
 SELECT user_id, message_id,
