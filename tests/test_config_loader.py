@@ -174,11 +174,34 @@ tests:
     outputs:
       - extract_from: errs
         conditions: ["bytes < 10"]
+  - name: mixed events pass at-least-one semantics
+    inputs:
+      - insert_at: logs
+        rows:
+          - {seq: 1, level: error, bytes: 500}
+          - {seq: 2, level: error, bytes: 5}
+    outputs:
+      - extract_from: errs
+        conditions: ["bytes > 100"]
+  - name: strict every-event mode still available
+    inputs:
+      - insert_at: logs
+        rows:
+          - {seq: 1, level: error, bytes: 500}
+          - {seq: 2, level: error, bytes: 5}
+    outputs:
+      - extract_from: errs
+        every_event: true
+        conditions: ["bytes > 100"]
 """
     )
     res = run_unit_tests(spark, cfg)
-    assert [r.passed for r in res] == [True, True, False]
-    assert "failed condition" in res[2].failures[0]
+    # Output assertions use the reference's semantics (unit_test/mod.rs):
+    # pass when all conditions hold for AT LEAST ONE extracted event —
+    # so a mixed output passes, unless `every_event: true` opts into strict.
+    assert [r.passed for r in res] == [True, True, False, True, False]
+    assert "no event satisfied" in res[2].failures[0]
+    assert "failed condition" in res[4].failures[0]
 
 
 def test_topology_vrl_remap_with_dropped(spark):

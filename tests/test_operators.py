@@ -94,6 +94,66 @@ def test_throttle(spark):
     assert sorted(r.seq for r in out) == [0, 1, 6, 7]
 
 
+def test_throttle_excluded_events_bypass_quota(spark):
+    """Excluded events pass through AND consume no quota
+    (`throttle/transform.rs`: exclude check precedes the bucket)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # seq 0,1 excluded; then 2..5 normal — with threshold=2 the admitted
+    # set must be {2,3}: the excluded rows must not occupy rank slots.
+    rows = [
+        Row(seq=i, key="k", kind="skip" if i < 2 else "normal",
+            ts=base + datetime.timedelta(seconds=i))
+        for i in range(6)
+    ]
+    df = _events(spark, rows)
+    out = throttle(
+        df, threshold=2, window_secs=3600, key_field="key", ts_col="ts",
+        order_cols=["ts", "seq"], exclude=F.col("kind") == "skip",
+    ).collect()
+    assert sorted(r.seq for r in out) == [0, 1, 2, 3]
+
+
+def test_sample_counter_exclude_does_not_shift_selection(spark):
+    """Excluded events pass through before the counter increments
+    (`sample/transform.rs:326-339`) — they must not perturb which of the
+    remaining events are selected."""
+    rows = [Row(seq=i, g="a", skip=(3 <= i <= 4)) for i in range(1, 13)]
+    df = _events(spark, rows)
+    out = sample(
+        df, rate=5, group_by=["g"], order_col="seq", exclude=F.col("skip")
+    ).collect()
+    # non-excluded stream is 1,2,5,6,7,8,9,10,11,12 → every 5th from the
+    # first: 1 and 8; excluded 3,4 always pass.
+    assert sorted(r.seq for r in out) == [1, 3, 4, 8]
+
+
+def test_ddsketch_sub1_and_zero_values(spark):
+    """Sub-1 values get real (negative-index) buckets and zeros keep a
+    distinct sentinel bucket — a median in (0,1) must not collapse to 0."""
+    from vector_spark.operators.ddsketch import (
+        ZERO_BUCKET,
+        ddsketch,
+        ddsketch_quantile,
+    )
+
+    vals = [0.0] * 10 + [i / 1000.0 for i in range(1, 991)]
+    df = _events(spark, [Row(s="a", value=v) for v in vals])
+    sk = ddsketch(df, ["s"], alpha=0.02)
+    buckets = {r.bucket for r in sk.collect()}
+    assert ZERO_BUCKET in buckets
+    assert any(b < 0 and b != ZERO_BUCKET for b in buckets)
+    svals = sorted(vals)
+    for q in (0.5, 0.9):
+        est = ddsketch_quantile(sk, ["s"], q, alpha=0.02).collect()[0].quantile_est
+        exact = svals[int(q * len(svals)) - 1]
+        assert abs(est - exact) / exact < 0.05, (q, est, exact)
+    # a quantile inside the zero region reports exactly 0
+    est0 = ddsketch_quantile(sk, ["s"], 0.005, alpha=0.02).collect()[0].quantile_est
+    assert est0 == 0.0
+
+
 def test_dedupe_match_and_ignore(spark):
     df = _events(
         spark,

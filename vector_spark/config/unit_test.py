@@ -84,14 +84,34 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
             if df.count() == 0:
                 failures.append(f"{ref}: produced no events")
                 continue
+            conds = []
             for cond in out.get("conditions", []):
                 c = _condition(cond)
                 if isinstance(c, str):
                     c = F.expr(c)
-                n_fail = df.where(~F.coalesce(c, F.lit(False))).count()
-                if n_fail:
+                conds.append((cond, F.coalesce(c, F.lit(False))))
+            if not conds:
+                continue
+            if out.get("every_event"):
+                # opt-in strict mode: every extracted event must satisfy
+                # every condition (stronger than the reference)
+                for cond, c in conds:
+                    n_fail = df.where(~c).count()
+                    if n_fail:
+                        failures.append(
+                            f"{ref}: {n_fail} event(s) failed condition {cond!r}"
+                        )
+            else:
+                # reference semantics (`unit_test/mod.rs`): the output block
+                # passes when ALL conditions hold for AT LEAST ONE extracted
+                # event — mixed events in an output are valid.
+                allc = conds[0][1]
+                for _, c in conds[1:]:
+                    allc = allc & c
+                if df.where(allc).count() == 0:
                     failures.append(
-                        f"{ref}: {n_fail} event(s) failed condition {cond!r}"
+                        f"{ref}: no event satisfied all of "
+                        f"{[cond for cond, _ in conds]!r}"
                     )
         for ref in t.get("no_outputs_from", []):
             try:

@@ -26,12 +26,25 @@ def _gamma(alpha: float) -> float:
     return (1 + alpha) / (1 - alpha)
 
 
+# Sentinel bucket for values the sketch cannot resolve multiplicatively
+# (v < MIN_VALUE, including zero/negatives). A distinct key — not index 0 —
+# because ceil(log_γ(v)) legitimately yields 0 for v ∈ (1/γ, 1] and negative
+# indices for v < 1; conflating them reported any sub-1 quantile as 0 and
+# ordered zeros after sub-1 values. Mirrors AgentDDSketch's separate zero
+# bucket with min resolvable value 1e-9
+# (lib/vector-core/src/metrics/ddsketch.rs). LONG_MIN sorts before every
+# real index, so the cumulative walk sees zeros first — the correct rank
+# order, as every resolvable value is > 0.
+ZERO_BUCKET = -(1 << 63)
+MIN_VALUE = 1e-9
+
+
 def bucket_index(value: Column, alpha: float = 0.01) -> Column:
-    """DDSketch bucket index: ceil(log_γ(v)) for v>0; 0 reserved for the
-    zero-bucket (values ≤ 0 land there, as in the agent sketch)."""
+    """DDSketch bucket index: ceil(log_γ(v)) for v ≥ MIN_VALUE (negative
+    indices valid for v < 1); ZERO_BUCKET sentinel otherwise."""
     g = _gamma(alpha)
     return (
-        F.when(value <= 0, F.lit(0))
+        F.when(value < MIN_VALUE, F.lit(ZERO_BUCKET))
         .otherwise(F.ceil(F.log(value.cast("double")) / math.log(g)).cast("long"))
     )
 
@@ -85,7 +98,9 @@ def ddsketch_quantile(
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
     )
-    mid = F.when(F.col("bucket") <= 0, F.lit(0.0)).otherwise(
+    # Midpoint γ^(i−1)·(1+γ)/2 is valid for any non-sentinel index,
+    # including negative i (values in (0,1)); only the zero bucket is 0.0.
+    mid = F.when(F.col("bucket") == ZERO_BUCKET, F.lit(0.0)).otherwise(
         F.pow(F.lit(g), F.col("bucket") - 1) * (1 + g) / 2.0
     )
     return hit.select(*series_keys, mid.alias(out_col))

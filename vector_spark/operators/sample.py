@@ -66,8 +66,13 @@ def sample(
         w = Window.orderBy(order_col)
         if group_by:
             w = Window.partitionBy(*group_by).orderBy(order_col)
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # Excluded events pass through BEFORE the counter increments
+        # (`sample/transform.rs:326-339`), so they must not perturb which
+        # remaining events are selected: count only non-excluded rows.
+        flag = F.lit(1) if excl is None else F.when(excl, F.lit(0)).otherwise(F.lit(1))
         # window functions can't appear in WHERE — materialize the rank first
-        tagged = df.withColumn("_samp_rn", F.row_number().over(w))
+        tagged = df.withColumn("_samp_rn", F.sum(flag).over(w))
         keep = F.col("_samp_rn") % F.lit(rate) == 1
         cond = keep if excl is None else (excl | keep)
         return tagged.where(cond).drop("_samp_rn")

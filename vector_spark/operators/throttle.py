@@ -44,10 +44,21 @@ def throttle(
     keys = [key_field] if isinstance(key_field, str) else list(key_field)
     order = order_cols or [ts_col]
     bucket = time_bucket(F.col(ts_col), window_secs)
-    w = Window.partitionBy(*keys, bucket).orderBy(*order)
-    ranked = df.withColumn("_rn", F.row_number().over(w))
-    keep = F.col("_rn") <= F.lit(threshold)
+    w = (
+        Window.partitionBy(*keys, bucket)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Excluded events bypass the rate limiter entirely and must not consume
+    # quota (`throttle/transform.rs`: the exclude check happens before the
+    # bucket is touched) — so the rank is a running count of NON-excluded
+    # rows only, not a row_number over everything.
+    excl = None
     if exclude is not None:
         excl = F.expr(exclude) if isinstance(exclude, str) else exclude
-        keep = keep | excl
+    flag = F.lit(1) if excl is None else F.when(excl, F.lit(0)).otherwise(F.lit(1))
+    ranked = df.withColumn("_rn", F.sum(flag).over(w))
+    keep = F.col("_rn") <= F.lit(threshold)
+    if excl is not None:
+        keep = excl | keep
     return ranked.where(keep).drop("_rn")

@@ -276,6 +276,30 @@ SELECT event_id, event_type FROM (
 """
 
 
+def q_sample_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter sampling with an exclude condition: excluded events pass
+    through before the counter increments (`sample/transform.rs:326-339`),
+    so they must not shift which remaining events are selected."""
+    ev = _t(spark, sf_dir, "events")
+    return sample(
+        ev,
+        rate=50,
+        group_by=["event_type"],
+        order_col="event_id",
+        exclude=F.col("value") > 400,
+    ).select("event_id", "event_type")
+
+
+_ORACLE_SAMPLE_EXCLUDE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type, value,
+         SUM(CASE WHEN value > 400 THEN 0 ELSE 1 END) OVER (
+           PARTITION BY event_type ORDER BY event_id ROWS UNBOUNDED PRECEDING) rn
+  FROM events
+) WHERE value > 400 OR rn % 50 = 1
+"""
+
+
 def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return dedupe(
@@ -293,25 +317,29 @@ SELECT event_id, user_id, event_type FROM (
 
 
 def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold=3/user/day with signups excluded: a meaningful fraction of
+    rows actually drops (≈9 max per user-day on the gate data), and excluded
+    events must pass through WITHOUT consuming quota."""
     ev = _t(spark, sf_dir, "events")
     return throttle(
         ev,
-        threshold=5,
-        window_secs=3600,
+        threshold=3,
+        window_secs=86400,
         key_field="user_id",
         ts_col="ts",
         order_cols=["ts", "event_id"],
+        exclude=F.col("event_type") == "signup",
     ).select("event_id", "user_id")
 
 
 _ORACLE_THROTTLE = """
 SELECT event_id, user_id FROM (
-  SELECT event_id, user_id,
-         row_number() OVER (
-           PARTITION BY user_id, CAST(FLOOR(FLOOR(epoch(ts))/3600)*3600 AS BIGINT)
-           ORDER BY ts, event_id) rn
+  SELECT event_id, user_id, event_type,
+         SUM(CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END) OVER (
+           PARTITION BY user_id, CAST(FLOOR(FLOOR(epoch(ts))/86400)*86400 AS BIGINT)
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) rn
   FROM events
-) WHERE rn <= 5
+) WHERE event_type = 'signup' OR rn <= 3
 """
 
 
@@ -1595,9 +1623,11 @@ QUERIES: dict[str, QuerySpec] = {
         """
         WITH b AS (
           SELECT event_type,
-                 CASE WHEN value <= 0 THEN 0
-                      ELSE CAST(CEIL(LN(value) / LN(1.02/0.98)) AS BIGINT)
-                 END AS bucket
+                 -- sentinel LONG_MIN = zero bucket (v < 1e-9); negative
+                 -- indices are real sub-1 buckets (ddsketch.ZERO_BUCKET)
+                 CAST(CASE WHEN value < 1e-9 THEN -9223372036854775807 - 1
+                      ELSE CEIL(LN(value) / LN(1.02/0.98))
+                 END AS BIGINT) AS bucket
           FROM events
         )
         SELECT event_type, bucket, COUNT(*) AS bucket_count
@@ -1636,6 +1666,7 @@ QUERIES: dict[str, QuerySpec] = {
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
     "sample_keyed": QuerySpec(q_sample_keyed, _ORACLE_SAMPLE_KEYED, "sample key-consistent"),
     "sample_counter": QuerySpec(q_sample_counter, _ORACLE_SAMPLE_COUNTER, "sample 1-in-N per group"),
+    "sample_exclude": QuerySpec(q_sample_exclude, _ORACLE_SAMPLE_EXCLUDE, "sample counter with exclude bypass"),
     "dedupe": QuerySpec(q_dedupe, _ORACLE_DEDUPE, "dedupe first-per-key"),
     "throttle": QuerySpec(q_throttle, _ORACLE_THROTTLE, "throttle per key+window"),
     "aggregate": QuerySpec(q_aggregate, _ORACLE_AGGREGATE, "aggregate modes"),

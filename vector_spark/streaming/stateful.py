@@ -64,25 +64,35 @@ def streaming_throttle(
             win_start, admitted = state.get
         else:
             win_start, admitted = -1, 0
-        outs = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(ts_col)
-            keep_rows = []
-            for _, row in pdf.iterrows():
-                epoch = int(row[ts_col].timestamp())
-                w = epoch - (epoch % window_secs)
-                if w != win_start:
-                    win_start, admitted = w, 0
-                if admitted < threshold:
-                    admitted += 1
-                    keep_rows.append(row)
-            if keep_rows:
-                kept = pd.DataFrame(keep_rows)
+            # Vectorized window rank: position within each window bucket,
+            # offset by the carried count only when the batch CONTINUES the
+            # carried window (the sequential limiter resets its counter at
+            # every window change, so a window re-entered later in a batch
+            # starts from zero — mirrored by the w.iloc[0] guard).
+            epoch = (
+                pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000
+            )
+            w = pd.Series(epoch - (epoch % window_secs), index=pdf.index)
+            cum = w.groupby(w).cumcount()
+            prior = pd.Series(0, index=pdf.index)
+            if int(w.iloc[0]) == win_start:
+                prior[w == win_start] = admitted
+            keep = (cum + prior) < threshold
+            last_w = int(w.iloc[-1])
+            in_last = w == last_w
+            carry = admitted if (last_w == win_start and int(w.iloc[0]) == win_start) else 0
+            admitted = int((in_last & keep).sum()) + carry
+            win_start = last_w
+            if keep.any():
+                kept = pdf[keep].copy()
                 kept[key_field] = key[0]
-                outs.append(kept[[key_field] + payload_cols])
+                yield kept[[key_field] + payload_cols]
         state.update((win_start, admitted))
-        if outs:
-            yield from outs
 
     return df.groupBy(key_field).applyInPandasWithState(
         fn,
@@ -120,6 +130,7 @@ def streaming_lru_dedupe(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import hashlib
         import json
         from collections import OrderedDict
 
@@ -129,18 +140,32 @@ def streaming_lru_dedupe(
             if blob:
                 seen = OrderedDict((h, None) for h in json.loads(blob))
         for pdf in pdfs:
-            keep = []
-            for _, row in pdf.iterrows():
-                h = str(hash(tuple(str(row[f]) for f in fields)))
+            if not len(pdf):
+                continue
+            # Deterministic digest, NOT Python hash(): hash() of strings
+            # depends on PYTHONHASHSEED, so checkpointed fingerprints from a
+            # previous driver would not match and seen events would be
+            # silently re-admitted. md5 mirrors the reference's stable
+            # type-aware key encoding (`dedupe/transform.rs:47-67`).
+            joined = pdf[fields].astype(str).agg("|".join, axis=1)
+            fps = [
+                hashlib.md5(s.encode()).hexdigest() for s in joined.to_numpy()
+            ]
+            # The LRU walk stays a Python loop (eviction order is inherently
+            # sequential) but over a plain string list — no iterrows/row
+            # copies; the per-row cost is dict ops only.
+            mask = []
+            for h in fps:
                 if h in seen:
                     seen.move_to_end(h)
+                    mask.append(False)
                     continue
                 seen[h] = None
                 while len(seen) > cache_size:
                     seen.popitem(last=False)
-                keep.append(row)
-            if keep:
-                out = pd.DataFrame(keep)
+                mask.append(True)
+            if any(mask):
+                out = pdf[pd.Series(mask, index=pdf.index)].copy()
                 out[key_field] = key[0]
                 yield out[[key_field] + payload_cols]
         state.update((json.dumps(list(seen)),))
@@ -190,20 +215,32 @@ def streaming_tag_cardinality_limit(
             if blob:
                 admitted = set(json.loads(blob))
         for pdf in pdfs:
-            rows = []
-            for _, row in pdf.iterrows():
-                v = row[tag_col]
-                if v is not None and str(v) not in admitted:
+            if not len(pdf):
+                continue
+            # First-seen admission is order-sensitive, but only the first
+            # occurrence of each NEW value matters — walk the (small) list
+            # of values, not the rows, then apply the verdict vectorized.
+            vals = pdf[tag_col].to_numpy()
+            over: set = set()  # values seen this batch that exceeded the limit
+            for v in vals:
+                if v is None or pd.isna(v):
+                    continue
+                s = str(v)
+                if s not in admitted and s not in over:
                     if len(admitted) < limit:
-                        admitted.add(str(v))
-                    elif action == "drop_event":
-                        continue
+                        admitted.add(s)
                     else:
-                        row = row.copy()
-                        row[tag_col] = None
-                rows.append(row)
-            if rows:
-                out = pd.DataFrame(rows)
+                        over.add(s)
+            is_over = pd.Series(
+                [v is not None and not pd.isna(v) and str(v) in over for v in vals],
+                index=pdf.index,
+            )
+            if action == "drop_event":
+                out = pdf[~is_over].copy()
+            else:
+                out = pdf.copy()
+                out.loc[is_over, tag_col] = None
+            if len(out):
                 out[key_field] = key[0]
                 yield out[[key_field, tag_col] + payload_cols]
         state.update((json.dumps(sorted(admitted)),))
