@@ -136,11 +136,19 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature overlap.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     fraction of matching minhashes (unbiased Jaccard estimate) >= threshold.
+
+    exact_verify=True replaces the signature estimate with the TRUE shingle
+    Jaccard computed on the candidate set only (the standard LSH→exact-verify
+    dedup pipeline): output (id_a, id_b, jaccard). Cost stays bounded by the
+    candidate count, not N² — this is the oracle-checkable form (equal to
+    the all-pairs exact answer whenever LSH recall is 1, which the gate
+    verifies).
     """
     rows_per_band = num_hashes // bands
     # persist: the signature table feeds the bucket self-join AND the two
@@ -189,6 +197,35 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if exact_verify:
+        # true Jaccard on candidates only: shingle-set intersection via an
+        # equi-join restricted to candidate pairs, sizes from per-doc counts
+        sh = _exploded_shingles(df, text_col, shingle_k, keep=[id_col], distinct=True)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(za, "id_a")
+            .join(zb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # verify stage: fetch sigs for the (much smaller) candidate set
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -210,31 +247,55 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash over word tokens: bit i = sign of sum over tokens of
-    (token_hash bit i ? +1 : -1). Pure Column program via explode + groupBy."""
-    words = df.select(
+    """SimHash over word tokens: bit i = sign of sum over tokens of
+    (token_hash bit i ? +1 : -1). Pure Column program.
+
+    Shape: tokens → explode bit indices → two-level hash agg
+    ((id, bit) partial sums, then one sum per id). The alternative — one
+    groupBy with `bits` independent sum(when(...)) columns — overflows
+    whole-stage codegen's method-size budget (the r1 bench showed 3 s at
+    sf0.1 from exactly that); the exploded form keeps every stage inside
+    codegen and map-side combine caps the shuffle at docs×bits tiny rows.
+
+    portable=True hashes tokens with md5-low-60-bits (reproducible in any
+    engine with md5 — the DuckDB-oracle-checkable form, bits capped at 60);
+    default is xxhash64 (faster, JVM-only).
+    """
+    if portable:
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("w")
+    toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
-    # bit i of token hash via unsigned shift (bit 63 would overflow a lit mask)
-    bit_sums = words.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    ).select(F.col(id_col), h.alias("h"))
+    contrib = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "b",
+        F.when(F.expr("shiftrightunsigned(h, b) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("c"),
     )
-    fp = None
-    for i in range(bits):
-        # two's complement: the top bit contributes -2^63 in a signed long
-        weight = -(1 << 63) if i == 63 else (1 << i)
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(weight)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return bit_sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    bit_sums = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
+    # two's complement: the top bit contributes -2^63 in a signed long
+    weight = F.when(F.col("b") == 63, F.lit(-(1 << 63))).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+    )
+    return (
+        bit_sums.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("s") > 0, weight).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("simhash")
+        )
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -97,23 +97,24 @@ def extract_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["data"]) if r["data"] is not None else b""
-                if strict:
-                    decode_image(data)  # NotImplementedError by design
-                mean, std = _fake_decode_features(data)
-                rows.append(
-                    {
-                        "asset_id": r["asset_id"],
-                        "media_type": r["media_type"],
-                        "n_bytes": len(data),
-                        "content_sha": hashlib.sha256(data).hexdigest(),
-                        "feat_mean": round(mean, 6),
-                        "feat_std": round(std, 6),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            datas = [
+                bytes(d) if d is not None else b"" for d in pdf["data"].to_numpy()
+            ]
+            if strict:
+                for d in datas:
+                    decode_image(d)  # NotImplementedError by design
+            feats = [_fake_decode_features(d) for d in datas]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": [len(d) for d in datas],
+                    "content_sha": [hashlib.sha256(d).hexdigest() for d in datas],
+                    "feat_mean": [round(m, 6) for m, _ in feats],
+                    "feat_std": [round(s, 6) for _, s in feats],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
