@@ -51,6 +51,54 @@ def test_q5_no_shuffle_on_fact_side(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return out
+
+
+def test_no_unpartitioned_window_in_any_registry_query(spark):
+    """An unpartitioned Window ranks its whole input on ONE task — the
+    classic hidden single-node bottleneck. Every windowspecdefinition in
+    every registry query must lead with at least one partition column
+    (partition cols precede the ordering expressions in the spec, so a
+    spec whose first top-level argument is an ordering expression or the
+    frame itself has an empty partitionSpec)."""
+    import re
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            first = _split_top(plan[m.end() :])[0]
+            if re.search(r"\b(ASC|DESC)\b", first) or first.startswith(
+                "specifiedwindowframe"
+            ):
+                offenders.setdefault(name, []).append(first[:80])
+    assert not offenders, f"single-task global windows found: {offenders}"
+
+
+def test_tag_cardinality_uses_partial_topk(spark):
+    """The admitted-value set must come from TakeOrderedAndProject (parallel
+    partial top-k + bounded driver merge), never a global Window rank."""
+    p = _plan(spark, "tag_cardinality_limit")
+    assert "TakeOrderedAndProject" in p
+    assert "row_number" not in p
+
+
 def test_stateless_ops_are_codegen(spark):
     # remap (projection pipeline) is a single codegen'd projection over the
     # scan — formatted plans mark codegen stages with a `*` prefix

@@ -20,6 +20,8 @@ column because Spark has no arrival order):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,9 +65,18 @@ def sample(
     elif rate is not None:
         if order_col is None:
             raise ValueError("counter sampling needs order_col (explicit arrival order)")
-        w = Window.orderBy(order_col)
         if group_by:
             w = Window.partitionBy(*group_by).orderBy(order_col)
+        else:
+            # vector's counter is a single global stream counter; the Spark
+            # analog is an unpartitioned running count — one task. Callers
+            # at scale should pass group_by so the counter is per-key.
+            warnings.warn(
+                "counter sampling without group_by runs a single-task global "
+                "window; pass group_by for a per-key counter at scale",
+                stacklevel=2,
+            )
+            w = Window.orderBy(order_col)
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         # Excluded events pass through BEFORE the counter increments
         # (`sample/transform.rs:326-339`), so they must not perturb which

@@ -7,10 +7,14 @@ modes Exact (value set), ExactFingerprint (64-bit hashes), Probabilistic
 Spark strategy (batch, deterministic): the first `limit` distinct values
 per tag IN EXPLICIT ORDER are admitted; rows carrying a later value either
 lose the tag (drop_tag) or are dropped (drop_event). Implemented as
-  dense_rank over (tag → first-seen order) on the distinct (tag, value)
-  set, broadcast back — two shuffles on small distinct sets, no state.
-At 100 TB the distinct set per tag is ≪ data size (that is the point of
-the limiter), so the rank side stays tiny and broadcasts.
+  groupBy(tag).min(first_seen)  →  orderBy(first_seen).limit(limit)
+  →  broadcast semi-join back.
+The limit step compiles to TakeOrderedAndProject — a parallel per-partition
+partial top-k followed by a driver merge of `limit` rows per partition — so
+there is NO single-task global sort even when the adversarial input
+(unbounded tag cardinality, the exact case this operator exists for) makes
+the distinct set huge. The admitted set is at most `limit` rows, so the
+broadcast side is bounded by config, not by data.
 
 Streaming: bloom/seen-set state per tag via applyInPandasWithState
 (vector_spark.streaming.stateful).
@@ -18,7 +22,7 @@ Streaming: bloom/seen-set state per tag via applyInPandasWithState
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,11 +43,11 @@ def tag_cardinality_limit(
             .groupBy(tag)
             .agg(F.min(order_col).alias("_first_seen"))
         )
+        # orderBy().limit() → TakeOrderedAndProject: parallel partial top-k,
+        # no unpartitioned Window rank over the whole distinct set.
         admitted = (
-            firsts.withColumn(
-                "_rank", F.row_number().over(Window.orderBy("_first_seen", tag))
-            )
-            .where(F.col("_rank") <= limit)
+            firsts.orderBy("_first_seen", tag)
+            .limit(limit)
             .select(F.col(tag).alias("_admitted_value"))
         )
         joined = out.join(

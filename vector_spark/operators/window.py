@@ -15,6 +15,8 @@ stream key so state stays bounded at scale.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,9 +33,18 @@ def window_context(
 ) -> DataFrame:
     """Keep rows within (before, after) rows of a `flush_when` match."""
     cond = F.expr(flush_when) if isinstance(flush_when, str) else flush_when
-    w = Window.orderBy(order_col)
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(order_col)
+    else:
+        # Faithful to vector's single-stream total order, but an
+        # unpartitioned Window ranks the whole input on ONE task — fine for
+        # a single agent's stream, a scale hazard on a 100 TB table.
+        warnings.warn(
+            "window_context without partition_by runs a single-task global "
+            "window; pass partition_by (e.g. the stream/host key) at scale",
+            stacklevel=2,
+        )
+        w = Window.orderBy(order_col)
     frame = w.rowsBetween(-num_events_after, num_events_before)
     is_match = F.coalesce(cond, F.lit(False)).cast("int")
     near = F.max(is_match).over(frame) == 1
