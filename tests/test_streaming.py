@@ -331,3 +331,43 @@ def test_demux_sink_single_query_fanout(spark, tmp_path):
                for s in (r.seq for r in back.where("_route = 'threes'").collect()))
     defaults = [r.seq for r in back.where("_route = '_default'").collect()]
     assert all(s % 2 == 1 and s % 3 != 0 for s in defaults)
+
+
+@pytest.mark.streaming
+def test_templated_stream_sink_layout(spark, tmp_path):
+    """Key-templated S3-style layout from a stream: one partitioned write
+    + rename per micro-batch (src/sinks/util/partitioner.rs analog)."""
+    import os
+
+    from vector_spark.sinks import templated_stream_sink
+
+    src = rate_source(spark, rows_per_second=500).withColumn(
+        "shard", (F.col("seq") % 2).cast("string")
+    )
+    out = str(tmp_path / "out")
+    q = templated_stream_sink(
+        src,
+        base_path=out,
+        path_template="svc/{{ shard }}/dt=%Y-%m-%d",
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_secs=1,
+    )
+    deadline = time.time() + 30
+    want = {"0", "1"}
+    try:
+        while time.time() < deadline:
+            root = os.path.join(out, "svc")
+            if os.path.isdir(root):
+                shards = {
+                    d for d in os.listdir(root) if not d.startswith(("_", "."))
+                }
+                if want <= shards:
+                    break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert want <= shards
+    dt_dirs = os.listdir(os.path.join(out, "svc", "0"))
+    assert any(d.startswith("dt=") for d in dt_dirs)
+    back = spark.read.parquet(os.path.join(out, "svc", "0", dt_dirs[0]))
+    assert back.count() > 0

@@ -482,7 +482,23 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
     for name, cfg in topo.sinks.items():
         df = _inputs_df(topo.outputs, cfg, name)
         stype = cfg.get("type", "parquet")
-        if stype in ("parquet", "json", "csv", "orc", "avro"):
+        if stype in ("parquet", "json", "csv", "orc", "avro") and cfg.get(
+            "path_template"
+        ):
+            # vector sink key templates (`src/sinks/util/partitioner.rs:60-81`):
+            # s3-style `{{ field }}` / strftime layout under `path`
+            from vector_spark.sinks import write_templated
+
+            results[name] = write_templated(
+                df,
+                cfg["path"],
+                cfg["path_template"],
+                fmt=stype,
+                ts_col=cfg.get("ts_col", "ts"),
+                mode=cfg.get("mode", "overwrite"),
+                options=cfg.get("options"),
+            )
+        elif stype in ("parquet", "json", "csv", "orc", "avro"):
             writer = df.write.mode(cfg.get("mode", "overwrite")).format(stype)
             if cfg.get("partition_by"):
                 writer = writer.partitionBy(*cfg["partition_by"])
@@ -524,6 +540,18 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
             )
         elif stype == "console":
             queries[name] = console_sink(df, int(cfg.get("trigger_secs", 1)))
+        elif stype == "parquet" and cfg.get("path_template"):
+            from vector_spark.sinks import templated_stream_sink
+
+            queries[name] = templated_stream_sink(
+                df,
+                base_path=cfg["path"],
+                path_template=cfg["path_template"],
+                checkpoint=cfg["checkpoint"],
+                fmt="parquet",
+                ts_col=cfg.get("ts_col", "ts"),
+                trigger_secs=int(cfg.get("trigger_secs", 1)),
+            )
         elif stype == "parquet":
             queries[name] = parquet_sink(
                 df, cfg["path"], cfg["checkpoint"],
