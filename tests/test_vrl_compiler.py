@@ -89,8 +89,10 @@ def test_vrl_literal_args(spark):
 def test_vrl_compile_errors():
     with pytest.raises(VrlCompileError):
         compile_vrl(".x = nosuchfn(.a)")
+    # `x = 1` alone is a variable binding now (round 2 grammar); a bare
+    # NUMBER can still never start a statement
     with pytest.raises(VrlCompileError):
-        compile_vrl("x = 1")  # statement must start with a path
+        compile_vrl("1 = 2")
     with pytest.raises(VrlCompileError):
         compile_vrl(".x = (.a + ")
 

@@ -47,20 +47,27 @@ def parse_timestamp(c: Column, fmt: str) -> Column:
     return F.to_timestamp(c, fmt)
 
 
-def parse_duration_ms(c: Column) -> Column:
-    """VRL parse_duration(.., "ms") for '<num><unit>' strings."""
+_DUR_UNIT_MS = {"ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1e3, "m": 60e3, "h": 3600e3}
+
+
+def parse_duration_ms(c: Column, unit: str = "ms") -> Column:
+    """VRL parse_duration(value, unit:) for '<num><unit>' strings — result
+    expressed in the requested output unit (corpus:
+    parse_duration!("100ms", unit: "s") == 0.1)."""
     num = F.regexp_extract(c, r"^([0-9.]+)", 1).cast("double")
-    unit = F.regexp_extract(c, r"([a-z]+)$", 1)
+    u = F.regexp_extract(c, r"([a-z]+)$", 1)
     factor = (
-        F.when(unit == "ns", 1e-6)
-        .when(unit == "us", 1e-3)
-        .when(unit == "ms", 1.0)
-        .when(unit == "s", 1e3)
-        .when(unit == "m", 60e3)
-        .when(unit == "h", 3600e3)
+        F.when(u == "ns", 1e-6)
+        .when(u == "us", 1e-3)
+        .when(u == "ms", 1.0)
+        .when(u == "s", 1e3)
+        .when(u == "m", 60e3)
+        .when(u == "h", 3600e3)
         .otherwise(F.lit(None))
     )
-    return num * factor
+    if unit not in _DUR_UNIT_MS:
+        raise ValueError(f"parse_duration: unknown unit {unit!r}")
+    return num * factor / F.lit(_DUR_UNIT_MS[unit])
 
 
 # Apache common log: host ident user [ts] "method path proto" status size
@@ -92,6 +99,174 @@ def parse_syslog(c: Column) -> Column:
     )
 
 
+# ---- additions prioritized by the reference's own behavior corpus ------
+# (tests/behavior/transforms/remap.yaml, benches/remap.rs:111-175)
+
+def _ci(c: Column, case_sensitive: bool) -> Column:
+    return c if case_sensitive else F.lower(c)
+
+
+def _contains(c: Column, substring, case_sensitive: bool = True) -> Column:
+    sub = substring if isinstance(substring, Column) else F.lit(substring)
+    return _ci(c, case_sensitive).contains(_ci(sub, case_sensitive))
+
+
+def _starts_with(c: Column, substring, case_sensitive: bool = True) -> Column:
+    sub = substring if isinstance(substring, Column) else F.lit(substring)
+    return _ci(c, case_sensitive).startswith(_ci(sub, case_sensitive))
+
+
+def _ends_with(c: Column, substring, case_sensitive: bool = True) -> Column:
+    sub = substring if isinstance(substring, Column) else F.lit(substring)
+    return _ci(c, case_sensitive).endswith(_ci(sub, case_sensitive))
+
+
+def _slice(c: Column, start: int = 0, end: int | None = None) -> Column:
+    """VRL slice with negative-index support (python-style), on strings."""
+    s = c.cast("string")
+    n = F.length(s)
+    st = F.lit(start) if start >= 0 else F.greatest(n + start, F.lit(0))
+    en = n if end is None else (F.lit(end) if end >= 0 else n + end)
+    return F.substring(s, (st + 1).cast("int"), (en - st).cast("int"))
+
+
+def _truncate(c: Column, limit: int, suffix: str | None = None) -> Column:
+    """VRL truncate(limit, suffix:) — suffix appended only when cut."""
+    cut = F.substring(c, 1, limit)
+    if suffix is None:
+        return cut
+    return F.when(F.length(c) > limit, F.concat(cut, F.lit(suffix))).otherwise(c)
+
+
+def _split(c: Column, pattern, limit: int = -1) -> Column:
+    pat = pattern if isinstance(pattern, str) else pattern
+    return F.split(c, pat, limit)
+
+
+def _round_p(c: Column, precision: int = 0) -> Column:
+    return F.round(c, precision)
+
+
+def _ceil_p(c: Column, precision: int = 0) -> Column:
+    if precision == 0:
+        return F.ceil(c)
+    k = 10**precision
+    return F.ceil(c * k) / k
+
+
+def _floor_p(c: Column, precision: int = 0) -> Column:
+    if precision == 0:
+        return F.floor(c)
+    k = 10**precision
+    return F.floor(c * k) / k
+
+
+def _format_number(
+    c: Column,
+    scale: int = 2,
+    decimal_separator: str = ".",
+    grouping_separator: str = ",",
+) -> Column:
+    """VRL format_number: en-US format_number then separator translate
+    (two-step so ',' and '.' can swap without colliding)."""
+    base = F.format_number(c.cast("double"), scale)
+    return F.translate(base, ",.", grouping_separator + decimal_separator)
+
+
+# glog: I0101 12:00:00.000000 1 file.cc:123] message
+GLOG_RE = r"^([IWEF])(\d{4} [\d:.]+)\s+(\d+)\s+([^:]+):(\d+)\]\s*(.*)$"
+
+
+def parse_glog(c: Column) -> Column:
+    """VRL parse_glog → struct (level, timestamp, id, file, line, message)."""
+    level = F.regexp_extract(c, GLOG_RE, 1)
+    return F.struct(
+        F.when(level == "I", "info")
+        .when(level == "W", "warning")
+        .when(level == "E", "error")
+        .when(level == "F", "fatal")
+        .alias("level"),
+        F.regexp_extract(c, GLOG_RE, 3).cast("long").alias("id"),
+        F.regexp_extract(c, GLOG_RE, 4).alias("file"),
+        F.regexp_extract(c, GLOG_RE, 5).cast("long").alias("line"),
+        F.regexp_extract(c, GLOG_RE, 6).alias("message"),
+    )
+
+
+def parse_common_log(c: Column, timestamp_format: str | None = None) -> Column:
+    """VRL parse_common_log — the apache 'common' format struct."""
+    return parse_apache_log(c)
+
+
+def parse_tokens(c: Column) -> Column:
+    """VRL parse_tokens: split into whitespace tokens where "quoted" and
+    [bracketed] runs stay single tokens."""
+    return F.regexp_extract_all(c, F.lit(r'("[^"]*"|\[[^\]]*\]|\S+)'), 1)
+
+
+def _ip_mask_bits(mask: str) -> int:
+    """'/8' or dotted-quad '255.255.0.0' → prefix bits (IPv4)."""
+    if mask.startswith("/"):
+        return int(mask[1:])
+    n = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(mask.split(".")))
+    return bin(n).count("1")
+
+
+def _ip_ntoa(n: Column) -> Column:
+    return F.concat_ws(
+        ".",
+        (n / 16777216).cast("long") % 256,
+        (n / 65536).cast("long") % 256,
+        (n / 256).cast("long") % 256,
+        n.cast("long") % 256,
+    )
+
+
+def ip_subnet(c: Column, mask: str) -> Column:
+    """VRL ip_subnet (IPv4): apply a /prefix or dotted mask to an address."""
+    bits = _ip_mask_bits(mask)
+    m = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    aton = VRL_FUNCTIONS["ip_aton"]
+    return _ip_ntoa(aton(c).bitwiseAND(F.lit(m)))
+
+
+def ip_cidr_contains_col(cidr, value: Column | None = None) -> Column:
+    """VRL ip_cidr_contains(cidr:, value:) — IPv4, pure Column."""
+    return ip_cidr_contains(cidr, value)
+
+
+def ip_to_ipv6(c: Column) -> Column:
+    """VRL ip_to_ipv6: v4 → '::ffff:a.b.c.d' mapped form."""
+    return F.when(c.contains(":"), c).otherwise(F.concat(F.lit("::ffff:"), c))
+
+
+def ipv6_to_ipv4(c: Column) -> Column:
+    """VRL ipv6_to_ipv4: strip the ::ffff: mapping when present."""
+    return F.when(
+        F.lower(c).startswith("::ffff:"), F.substring(c, 8, 2147483647)
+    ).otherwise(c)
+
+
+def _camelcase(c: Column) -> Column:
+    pascal = F.regexp_replace(F.initcap(F.regexp_replace(c, "[-_]", " ")), " ", "")
+    return F.concat(
+        F.lower(F.substring(pascal, 1, 1)), F.substring(pascal, 2, 2147483647)
+    )
+
+
+def _compact(c: Column) -> Column:
+    """VRL compact: drop null elements from an array (map form: drop
+    null-valued keys via map_filter)."""
+    return F.filter(c, lambda x: x.isNotNull())
+
+
+def _tag_types_externally(c) -> Column:
+    """VRL tag_types_externally — wraps a value as {"<type>": value}; we
+    surface the type name (the useful analyzable part in a typed engine)."""
+    col = c if isinstance(c, Column) else F.lit(c)
+    return F.typeof(col)
+
+
 # ---- registry: VRL name -> Column builder ------------------------------
 # Coerce/Convert/Type, String, Timestamp, Array/Map, Codec, Crypto, Number
 # categories map ~1:1 onto pyspark.sql.functions; this table is the single
@@ -106,7 +281,18 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "parse_apache_log": parse_apache_log,
     "parse_syslog": parse_syslog,
     "parse_csv": lambda c, schema: F.from_csv(c, F.lit(schema)),
-    "parse_url": lambda c, part="HOST": F.parse_url(c, F.lit(part)),
+    # no part → the corpus's struct-of-parts form (`.parts = parse_url!(.url)`)
+    "parse_url": lambda c, part=None: (
+        F.parse_url(c, F.lit(part))
+        if part is not None
+        else F.struct(
+            F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+            F.parse_url(c, F.lit("HOST")).alias("host"),
+            F.parse_url(c, F.lit("PATH")).alias("path"),
+            F.parse_url(c, F.lit("QUERY")).alias("query"),
+            F.parse_url(c, F.lit("REF")).alias("fragment"),
+        )
+    ),
     "parse_int": lambda c: c.try_cast("long"),
     "parse_float": lambda c: c.try_cast("double"),
     # Event / Path
@@ -117,25 +303,43 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # ANSI mode where a failed cast THROWS; VRL's `to_int!` error contract
     # is "capture the failure", which try_cast's null-on-failure gives us
     # (combined with functions.vrl.fallible to raise the _error flag).
-    "to_int": lambda c: c.try_cast("long"),
-    "to_float": lambda c: c.try_cast("double"),
-    "to_bool": lambda c: c.try_cast("boolean"),
-    "to_string": lambda c: c.cast("string"),
+    "to_int": lambda value: value.try_cast("long"),
+    "to_float": lambda value: value.try_cast("double"),
+    "to_bool": lambda value: value.try_cast("boolean"),
+    "to_string": lambda value: value.cast("string"),
+    # VRL type-assertion coercions (string!/int!/... error when the value
+    # isn't of the type; with static schemas a cast covers the dynamic part
+    # — documented delta: no runtime type tag to check)
+    "string": lambda value: value.cast("string"),
+    "int": lambda value: value.try_cast("long"),
+    "float": lambda value: value.try_cast("double"),
+    "bool": lambda value: value.try_cast("boolean"),
+    "timestamp": lambda value: value.try_cast("timestamp"),
     "is_nullish": lambda c: c.isNull() | (F.trim(c.cast("string")) == "") | (c.cast("string") == "-"),
     # String
     "upcase": F.upper,
     "downcase": F.lower,
     "strip_whitespace": F.trim,
-    "split": lambda c, sep: F.split(c, sep),
+    "split": _split,
     "replace": lambda c, pat, rep: F.regexp_replace(c, pat, rep),
-    "starts_with": lambda c, p: c.startswith(p),
-    "ends_with": lambda c, s: c.endswith(s),
-    "contains": lambda c, s: c.contains(s),
+    "starts_with": _starts_with,
+    "ends_with": _ends_with,
+    "contains": _contains,
     "match": lambda c, pat: c.rlike(pat),
-    "slice": lambda c, a, b: F.substring(c, a + 1, b - a),
-    "truncate": lambda c, n: F.substring(c, 1, n),
+    "slice": _slice,
+    "truncate": _truncate,
     "length": F.length,
+    "strlen": F.length,
     "join": lambda c, sep: F.array_join(c, sep),
+    "strip_ansi_escape_codes": lambda c: F.regexp_replace(
+        c, r"\x1b\[[0-9;]*[A-Za-z]", ""
+    ),
+    "camelcase": lambda c: _camelcase(c),
+    "snakecase": lambda c: F.lower(
+        F.regexp_replace(
+            F.regexp_replace(c, "([a-z0-9])([A-Z])", r"$1_$2"), "[- ]", "_"
+        )
+    ),
     # Timestamp
     "now": F.current_timestamp,
     "format_timestamp": lambda c, fmt: F.date_format(c, fmt),
@@ -160,11 +364,15 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "crc32": F.crc32,
     "seahash": F.xxhash64,  # stand-in 64-bit fast hash (same role as seahash)
     # Number / Random
-    "round": lambda c, n=0: F.round(c, n),
-    "floor": F.floor,
-    "ceil": F.ceil,
+    "round": lambda c, precision=0: F.round(c, precision),
+    "floor": _floor_p,
+    "ceil": _ceil_p,
     "abs": F.abs,
+    "mod": lambda a, b: a % b,
+    "format_number": _format_number,
     "random_int": lambda lo, hi: (F.rand() * (hi - lo) + lo).cast("long"),
+    "uuid_v4": F.uuid,
+    "uuid_v7": F.uuid,  # time-ordered upstream; opaque unique id here
     # IP (no native Spark support; pure-Column arithmetic for v4)
     "ip_aton": lambda c: (
         F.split(c, r"\.")[0].cast("long") * 16777216
@@ -173,6 +381,93 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
         + F.split(c, r"\.")[3].cast("long")
     ),
 }
+
+# Second wave — corpus-driven additions (defined below the first table so
+# helpers that look functions up in VRL_FUNCTIONS keep working).
+VRL_FUNCTIONS.update(
+    {
+        # Parse
+        "parse_glog": parse_glog,
+        "parse_common_log": parse_common_log,
+        "parse_tokens": parse_tokens,
+        "parse_grok": lambda c, pattern: parse_grok(c, pattern),
+        "parse_query_string": lambda c: F.str_to_map(
+            F.regexp_replace(c, r"^\?", ""), F.lit("&"), F.lit("=")
+        ),
+        "parse_user_agent": lambda c: F.struct(
+            F.regexp_extract(c, r"^([^/ ]+)", 1).alias("family"),
+            F.regexp_extract(c, r"^[^/ ]+/([\d.]+)", 1).alias("version"),
+        ),
+        # IP
+        "ip_subnet": ip_subnet,
+        "ip_cidr_contains": ip_cidr_contains_col,
+        "ip_to_ipv6": ip_to_ipv6,
+        "ipv6_to_ipv4": ipv6_to_ipv4,
+        "ip_ntoa": _ip_ntoa,
+        # Array / Map / Object (closure-free forms)
+        "compact": _compact,
+        "append": lambda arr, items: F.concat(arr, items),
+        "get": lambda c, path: c.getItem(path),
+        "array_first": lambda arr: F.element_at(arr, 1),
+        "array_last": lambda arr: F.element_at(arr, -1),
+        "chunks": lambda arr, n: _chunks(arr, n),
+        "zip": lambda a, b: F.arrays_zip(a, b),
+        "tag_types_externally": _tag_types_externally,
+        # Type reflection
+        "type_def": lambda c: F.typeof(c),
+        "is_string": lambda c: F.typeof(c) == F.lit("string"),
+        "is_integer": lambda c: F.typeof(c).isin("int", "bigint", "smallint"),
+        "is_float": lambda c: F.typeof(c).isin("float", "double"),
+        "is_boolean": lambda c: F.typeof(c) == F.lit("boolean"),
+        "is_array": lambda c: F.typeof(c).startswith("array"),
+        "is_object": lambda c: F.typeof(c).startswith("struct")
+        | F.typeof(c).startswith("map"),
+        "is_timestamp": lambda c: F.typeof(c) == F.lit("timestamp"),
+        # System / Debug
+        "get_env_var": lambda name: F.lit(__import__("os").environ.get(name)),
+        "log": lambda c, level="info", rate_limit_secs=None: c,
+        "assert": lambda condition, message=None: condition,
+        "assert_eq": lambda left, right, message=None: left == right,
+        "get_hostname": lambda: F.lit(__import__("socket").gethostname()),
+        # Enumerate (closure functions: the parser passes the compiled
+        # closure as a python callable Column → Column, which Spark's
+        # higher-order functions accept directly — VRL's `map_each(.x) ->
+        # |v| { ... }` becomes F.transform, staying JVM-side)
+        "map_each": lambda arr, closure: F.transform(arr, closure),
+        "filter": lambda arr, closure: F.filter(arr, closure),
+        "map_values": lambda m, closure: F.transform_values(
+            m, lambda k, v: closure(v)
+        ),
+        "map_keys": lambda m, closure: F.transform_keys(
+            m, lambda k, v: closure(k)
+        ),
+        # Checksum extras
+        "hmac": lambda c, key: F.sha2(F.concat(F.lit(key), c.cast("string")), 256),
+        "xxhash64": F.xxhash64,
+        # Timestamp extras
+        "format_timestamp": lambda c, format: F.date_format(c, _strf(format)),
+    }
+)
+
+
+def _chunks(arr: Column, n: int) -> Column:
+    """VRL chunks: array → array of n-sized arrays."""
+    return F.transform(
+        F.sequence(F.lit(0), ((F.size(arr) - 1) / F.lit(n)).cast("long")),
+        lambda i: F.slice(arr, (i * n + 1).cast("int"), n),
+    )
+
+
+def _strf(fmt: str) -> str:
+    """VRL timestamp formats are chrono strftime (e.g. '%+', '%F %T');
+    translate to java.time for date_format. '%+' is RFC3339."""
+    if fmt == "%+":
+        return "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    if "%" not in fmt:
+        return fmt  # already a java.time pattern (pre-corpus callers)
+    from vector_spark.functions.template import strftime_to_java
+
+    return strftime_to_java(fmt)
 
 
 def ip_cidr_contains(cidr: str, ip_col: Column) -> Column:

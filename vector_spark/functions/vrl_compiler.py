@@ -51,16 +51,44 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
+  | (?P<regex>r'(?:[^'\\]|\\.)*')
   | (?P<dqstr>"(?:[^"\\]|\\.)*")
   | (?P<sqstr>'(?:[^'\\]|\\.)*')
-  | (?P<path>\.[A-Za-z_][\w.]*)
+  | (?P<path>\.[A-Za-z_][\w.]*(?:\[\d+\][\w.]*)*)
+  | (?P<mpath>%[A-Za-z_][\w.]*)
   | (?P<name>[A-Za-z_]\w*)
-  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[-+*/%<>=!(){},])
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[-+*/%<>=!(){},:\[\]|;])
     """,
     re.VERBOSE,
 )
 
-_KEYWORDS = {"if", "else", "true", "false", "null", "del"}
+_KEYWORDS = {"if", "else", "true", "false", "null", "del", "abort"}
+
+
+class RegexLiteral(str):
+    """VRL `r'...'` — a pattern string, valid only as a function argument."""
+
+
+def _meta_col_name(mpath_text: str) -> str:
+    """Metadata path `%vector.source_type` → envelope column
+    `_meta_vector_source_type` (SURVEY §1.6: vector's metadata namespace
+    maps to prefixed envelope columns — flat so it stays assignable)."""
+    return "_meta_" + mpath_text[1:].replace(".", "_")
+
+
+def _path_col(text: str) -> Column:
+    """`.a.b[0].c` → F.col('a.b').getItem(0).getField('c'). The dotted
+    prefix stays one name (struct access resolves naturally); indices and
+    post-index fields become getItem/getField chains."""
+    body = text[1:] if text.startswith(".") else text
+    m = re.match(r"^[A-Za-z_][\w.]*", body)
+    col = F.col(m.group())
+    rest = body[m.end() :]
+    for idx, fld in re.findall(r"\[(\d+)\]|\.?([A-Za-z_]\w*)", rest):
+        # F.get, not getItem: ANSI mode throws on out-of-bounds index, but
+        # VRL path access on a missing element is null (then `exists` etc.)
+        col = F.get(col, int(idx)) if idx else col.getField(fld)
+    return col
 
 
 @dataclass
@@ -84,20 +112,32 @@ def _lex(src: str) -> list[_Tok]:
     return toks
 
 
+# fns whose first positional parameter is a config string/number, not the
+# event-value operand (string literals stay python values for these)
+_LITERAL_FIRST_ARG_FNS = {"get_env_var", "ip_cidr_contains", "random_int"}
+
 _STRING_FNS = {
-    "upcase", "downcase", "strip_whitespace", "to_string", "truncate",
-    "slice", "replace", "join", "format_timestamp", "encode_base64",
-    "decode_base64", "encode_json", "md5", "sha1", "sha2", "parse_regex",
+    "upcase", "downcase", "strip_whitespace", "to_string", "string",
+    "truncate", "slice", "replace", "join", "format_timestamp",
+    "encode_base64", "decode_base64", "encode_json", "md5", "sha1", "sha2",
+    "parse_regex", "snakecase", "camelcase", "strip_ansi_escape_codes",
+    "ip_subnet", "ip_to_ipv6", "ipv6_to_ipv4", "ip_ntoa", "format_number",
+    "uuid_v4", "uuid_v7", "get_hostname", "hmac",
 }
 
 
 class _P:
     """Recursive-descent parser producing Column expressions directly."""
 
-    def __init__(self, toks: list[_Tok]):
+    def __init__(self, toks: list[_Tok], vars: dict[str, Column] | None = None):
         self.toks = toks
         self.i = 0
         self.fallible_flags: list[Column] = []  # error conds from fn! calls
+        # latent error conds from NON-bang calls: only consulted by the
+        # `, err` handled-assignment form (VRL: unhandled fallible call
+        # without ! is a compile error; with `, err` the error is captured)
+        self.latent_flags: list[Column] = []
+        self.vars: dict[str, Column] = dict(vars or {})  # program variables
         # VRL `+` is string concat when either operand is a string; Catalyst
         # can't tell us pre-analysis, so the parser tracks "known string"
         # provenance (string literals + string-returning stdlib calls)
@@ -210,9 +250,40 @@ class _P:
             e = self.expr()
             self.eat(")")
             return e
+        if t.text == "[":  # array literal → F.array
+            self.eat()
+            items: list[Column] = []
+            while not self.at("]"):
+                items.append(self.expr())
+                if self.at(","):
+                    self.eat()
+            self.eat("]")
+            return F.array(*items)
+        if t.text == "{":  # object literal → struct with field aliases
+            self.eat()
+            fields: list[Column] = []
+            while not self.at("}"):
+                k = self.eat()
+                if k.kind not in ("dqstr", "sqstr"):
+                    raise VrlCompileError("object literal keys must be strings")
+                self.eat(":")
+                v = self.expr()
+                fields.append(
+                    (v if isinstance(v, Column) else F.lit(v)).alias(k.text[1:-1])
+                )
+                if self.at(","):
+                    self.eat()
+            self.eat("}")
+            return F.struct(*fields)
+        if t.kind == "regex":
+            self.eat()
+            return RegexLiteral(t.text[2:-1])
+        if t.kind == "mpath":
+            self.eat()
+            return F.col(_meta_col_name(t.text))
         if t.kind == "path":
             self.eat()
-            return F.col(t.text[1:])  # .a.b → col("a.b") (struct access)
+            return _path_col(t.text)  # .a.b[0] → struct/array access
         if t.kind == "float":
             self.eat()
             return F.lit(float(t.text))
@@ -238,7 +309,15 @@ class _P:
                 return F.lit(None)
             if t.text == "if":
                 return self.if_expr()
-            return self.call()
+            if t.text == "abort":
+                raise VrlCompileError("abort is a top-level statement")
+            nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
+            if nxt in ("(", "!"):
+                return self.call()
+            self.eat()
+            if t.text in self.vars:  # program variable reference
+                return self.vars[t.text]
+            raise VrlCompileError(f"undefined variable {t.text!r}")
         raise VrlCompileError(f"unexpected token {t.text!r}")
 
     def if_expr(self) -> Column:
@@ -266,80 +345,271 @@ class _P:
             fallible = True
         self.eat("(")
         args: list = []
+        kwargs: dict = {}
         while not self.at(")"):
-            args.append(self.arg())
+            t = self.peek()
+            nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
+            if t.kind == "name" and t.text not in _KEYWORDS and nxt == ":":
+                # named argument `label: value` (VRL function-call form) —
+                # registry impls name their params to match
+                self.eat()
+                self.eat(":")
+                kwargs[t.text] = self.arg()
+            else:
+                # the FIRST positional arg is the value operand: a string
+                # literal there means F.lit("..."), not a config string —
+                # except for fns whose first param IS config (env var
+                # names, cidr strings)
+                literal_ok = bool(args) or name in _LITERAL_FIRST_ARG_FNS
+                args.append(self.arg(literal_ok=literal_ok))
             if self.at(","):
                 self.eat()
         self.eat(")")
+        closure = self.maybe_closure()
+        if closure is not None:
+            args.append(closure)
         if name not in VRL_FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
-        result = VRL_FUNCTIONS[name](*args)
+        try:
+            result = VRL_FUNCTIONS[name](*args, **kwargs)
+        except TypeError as e:
+            raise VrlCompileError(f"{name}: {e}") from None
         self._is_str = name in _STRING_FNS
-        if fallible and args and isinstance(args[0], Column):
-            # fn!(x): error when input present but result null
-            self.fallible_flags.append(args[0].isNotNull() & result.isNull())
+        if name == "assert":
+            # assert!(cond): errors when the condition is false/null
+            self.fallible_flags.append(~F.coalesce(result, F.lit(False)))
+        else:
+            first = args[0] if args else next(iter(kwargs.values()), None)
+            if isinstance(first, Column) and isinstance(result, Column):
+                # error condition: input present but result null
+                flag = first.isNotNull() & result.isNull()
+                (self.fallible_flags if fallible else self.latent_flags).append(flag)
         return result
 
-    def arg(self):
+    def maybe_closure(self):
+        """`-> |v| { body }` after a call: compile the body lazily with the
+        closure parameter bound — Spark's higher-order functions
+        (transform/filter/…) hand us the element Column, so the closure
+        compiles into the SAME plan (no Python per row)."""
+        if not self.at("->"):
+            return None
+        self.eat("->")
+        self.eat("|")
+        param = self.eat().text
+        self.eat("|")
+        self.eat("{")
+        depth, start = 1, self.i
+        while depth:
+            t = self.eat()
+            if t.text == "{":
+                depth += 1
+            elif t.text == "}":
+                depth -= 1
+        body = self.toks[start : self.i - 1]
+        outer = dict(self.vars)
+
+        # fixed single-param signature: Spark's higher-order functions
+        # inspect the callable's arity (VAR_POSITIONAL is rejected)
+        def closure(x: Column) -> Column:
+            inner = _P(body, vars={**outer, param: x})
+            result = inner.expr()
+            if inner.peek() is not None:
+                raise VrlCompileError("closure body must be one expression")
+            return result
+
+        return closure
+
+    def arg(self, literal_ok: bool = True):
         """Function args: Column exprs, or bare literals passed as Python
-        values (regex patterns, format strings, counts)."""
+        values (regex patterns, format strings, counts, bools). With
+        ``literal_ok=False`` (first positional arg) a string literal is the
+        VALUE operand and compiles to a Column via expr()."""
+        if not literal_ok:
+            v = self.expr()
+            return str(v) if isinstance(v, RegexLiteral) else v
         t = self.peek()
-        if t is not None and t.kind in ("dqstr", "sqstr"):
-            nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
-            if nxt in (",", ")"):
+        nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
+        if (
+            t is not None
+            and t.text == "-"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].kind in ("int", "float")
+            and (self.i + 2 >= len(self.toks) or self.toks[self.i + 2].text in (",", ")"))
+        ):
+            self.eat()
+            n = self.eat()
+            return -int(n.text) if n.kind == "int" else -float(n.text)
+        if t is not None and nxt in (",", ")"):
+            if t.kind in ("dqstr", "sqstr"):
                 self.eat()
                 return t.text[1:-1]
-        if t is not None and t.kind == "int":
-            nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
-            if nxt in (",", ")"):
+            if t.kind == "int":
                 self.eat()
                 return int(t.text)
-        return self.expr()
+            if t.kind == "float":
+                self.eat()
+                return float(t.text)
+            if t.kind == "regex":
+                self.eat()
+                return str(RegexLiteral(t.text[2:-1]))
+            if t.kind == "name" and t.text in ("true", "false"):
+                self.eat()
+                return t.text == "true"
+        if t is not None and t.kind == "name" and t.text == "null" and nxt in (",", ")"):
+            self.eat()
+            return None
+        v = self.expr()
+        return str(v) if isinstance(v, RegexLiteral) else v
 
 
-def compile_vrl(source: str) -> list[Assignment]:
+def _target_name(tok: _Tok) -> str:
+    """Assignment-target column name for a path/mpath token."""
+    if tok.kind == "mpath":
+        return _meta_col_name(tok.text)
+    name = tok.text[1:]
+    if "[" in name:
+        raise VrlCompileError("assignment into an array index is unsupported")
+    return name
+
+
+def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
     """Compile a straight-line VRL program into remap Assignments.
 
-    Each `.out = expr` statement yields one Assignment; `fn!` calls inside
-    attach their error condition so remap's drop_on_error /
-    reroute_dropped applies. `del(.field)` yields Assignment(out, None)
-    consumed by vrl_remap below.
-    """
+    Statement forms (`website/cue/reference/remap/expressions/`):
+      .path = expr / %meta = expr      assignment (fn! errors → _error)
+      .path, err = expr                infallible form: on error the value
+                                       target is null, `err` captures the
+                                       message, NO program error is raised
+      var = expr                       program variable (compile-time
+                                       binding — inlined into later exprs)
+      del(.path)                       field removal
+      abort                            discard ALL changes; forward or drop
+                                       per drop_on_abort (remap.rs:142 and
+                                       the behavior corpus: remap_abort
+                                       expects .foo untouched)
+      assert!(cond) / log(x)           bare calls (assert raises _error)
+
+    Returns (assignments, aborted)."""
     toks = _lex(source)
     p = _P(toks)
     assignments: list[Assignment] = []
     deletes: list[str] = []
+    noops = 0
     while p.peek() is not None:
         t = p.peek()
         if t.kind == "name" and t.text == "del":
             p.eat()
             p.eat("(")
             path = p.eat()
-            if path.kind != "path":
+            if path.kind not in ("path", "mpath"):
                 raise VrlCompileError("del() takes a path")
             p.eat(")")
-            deletes.append(path.text[1:])
+            deletes.append(_target_name(path))
             continue
-        if t.kind != "path":
+        if t.kind == "name" and t.text == "abort":
+            p.eat()
+            # abort discards every change: drop all assignments so far
+            # (deletes too), keep only the abort mark
+            return [], True
+        nxt = p.toks[p.i + 1].text if p.i + 1 < len(p.toks) else None
+        if t.kind == "name" and t.text not in _KEYWORDS and nxt == "=":
+            # program variable binding — a Column alias at compile time
+            p.eat()
+            p.eat("=")
+            p.fallible_flags, p.latent_flags = [], []
+            p.vars[t.text] = p.expr()
+            err = None
+            for flag in p.fallible_flags:
+                err = flag if err is None else (err | flag)
+            if err is not None:
+                # an unhandled fallible expr in a variable binding is a
+                # program error, same as an assignment's
+                noops += 1
+                assignments.append(Assignment(f"__noop__{noops}", F.lit(None), err))
+            continue
+        if t.kind == "name" and nxt in ("(", "!"):
+            # bare call statement: assert!/log — value discarded, error
+            # conditions (assert) kept
+            p.fallible_flags, p.latent_flags = [], []
+            p.call()
+            err = None
+            for flag in p.fallible_flags:
+                err = flag if err is None else (err | flag)
+            if err is not None:
+                noops += 1
+                assignments.append(Assignment(f"__noop__{noops}", F.lit(None), err))
+            continue
+        if t.kind not in ("path", "mpath"):
             raise VrlCompileError(f"statement must start with a path, got {t.text!r}")
-        p.eat()
+        targets = [p.eat()]
+        while p.at(","):
+            p.eat()
+            nt = p.peek()
+            if nt is not None and nt.kind in ("path", "mpath"):
+                targets.append(p.eat())
+            elif nt is not None and nt.kind == "name":
+                targets.append(p.eat())  # `, err` variable target
+            else:
+                raise VrlCompileError("expected assignment target after ','")
         p.eat("=")
-        p.fallible_flags = []
+        p.fallible_flags, p.latent_flags = [], []
         expr = p.expr()
-        err: Column | None = None
+        if isinstance(expr, RegexLiteral):
+            raise VrlCompileError("a regex literal cannot be assigned")
+        err = None
         for flag in p.fallible_flags:
             err = flag if err is None else (err | flag)
-        assignments.append(Assignment(t.text[1:], expr, err))
+        if len(targets) == 1:
+            assignments.append(Assignment(_target_name(targets[0]), expr, err))
+        elif len(targets) == 2:
+            # `.ok, err = expr` — handled fallibility (expressions.cue
+            # assignment form): ok=null + err=message on error; the
+            # program does NOT error. Non-bang fallible calls count here
+            # (that's what `, err` is FOR), hence latent_flags too.
+            cond = err
+            for flag in p.latent_flags:
+                cond = flag if cond is None else (cond | flag)
+            cond = cond if cond is not None else F.lit(False)
+            ok = F.when(~cond, expr).otherwise(F.lit(None))
+            msg = F.when(cond, F.lit("function call error")).otherwise(F.lit(None))
+            assignments.append(Assignment(_target_name(targets[0]), ok))
+            et = targets[1]
+            if et.kind == "name":
+                p.vars[et.text] = msg
+            else:
+                assignments.append(Assignment(_target_name(et), msg))
+        else:
+            raise VrlCompileError("at most two assignment targets supported")
     for d in deletes:
         assignments.append(Assignment(f"__del__{d}", F.lit(None)))
+    return assignments, False
+
+
+def compile_vrl(source: str) -> list[Assignment]:
+    """Back-compat wrapper: assignments only (abort treated as compile
+    error so callers that can't route aborts find out at config time)."""
+    assignments, aborted = compile_vrl_full(source)
+    if aborted:
+        raise VrlCompileError("program aborts; use vrl_remap for abort routing")
     return assignments
 
 
-def vrl_remap(df, source: str, **remap_kwargs):
-    """remap driven by VRL source text: compile → operators.remap."""
+def vrl_remap(df, source: str, drop_on_abort: bool = False, **remap_kwargs):
+    """remap driven by VRL source text: compile → operators.remap.
+
+    An unconditional `abort` discards all changes for every event
+    (behavior corpus remap_abort): forward the ORIGINAL stream, or drop
+    it all under drop_on_abort (`remap.rs:142`)."""
     from vector_spark.operators.remap import remap
 
-    assignments = compile_vrl(source)
+    assignments, aborted = compile_vrl_full(source)
+    if aborted:
+        none = df.where(F.lit(False))
+        result = {"": none if drop_on_abort else df}
+        if remap_kwargs.get("reroute_dropped"):
+            result["dropped"] = df if drop_on_abort else none
+        return result
     real = [a for a in assignments if not a.out.startswith("__del__")]
     drops = [a.out[len("__del__"):] for a in assignments if a.out.startswith("__del__")]
+    drops += [a.out for a in real if a.out.startswith("__noop__")]
     return remap(df, real, drop=drops, **remap_kwargs)

@@ -1780,6 +1780,51 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "VRL program compiled to Columns",
     ),
+    # Round-2 expression forms: program variables, named args, closures
+    # (map_each → F.transform), `, err` handled fallibility, metadata
+    # paths (%... → _meta_*) — all still ONE codegen'd projection.
+    "vrl_program_v2": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.functions.vrl_compiler", fromlist=["vrl_remap"]
+        ).vrl_remap(
+            load_table(spark, sf_dir, "events"),
+            """
+            threshold = 100
+            .is_big = .value > threshold
+            .band = truncate(.event_type, limit: 3)
+            .tok_lens = map_each(split(.event_type, "_")) -> |t| { length(t) }
+            .first_len = array_first(.tok_lens)
+            .ok_int, .err_msg = to_int(.event_type)
+            .label = if .value > threshold { "big" } else { snakecase("SmallValue") }
+            %pipeline = "v2"
+            """,
+        )[""].select(
+            "event_id",
+            "is_big",
+            "band",
+            "tok_lens",
+            "first_len",
+            "ok_int",
+            "err_msg",
+            "label",
+            F.col("_meta_pipeline").alias("meta_pipeline"),
+        ),
+        """
+        SELECT event_id,
+               value > 100 AS is_big,
+               substring(event_type, 1, 3) AS band,
+               list_transform(string_split(event_type, '_'), t -> length(t)) AS tok_lens,
+               length(string_split(event_type, '_')[1]) AS first_len,
+               TRY_CAST(event_type AS BIGINT) AS ok_int,
+               CASE WHEN event_type IS NOT NULL
+                         AND TRY_CAST(event_type AS BIGINT) IS NULL
+                    THEN 'function call error' END AS err_msg,
+               CASE WHEN value > 100 THEN 'big' ELSE 'small_value' END AS label,
+               'v2' AS meta_pipeline
+        FROM events
+        """,
+        "VRL round-2 forms: variables/named args/closures/err-form/metadata",
+    ),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
