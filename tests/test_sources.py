@@ -1,0 +1,219 @@
+"""Wire-protocol server sources: framing units + live socket ingest
+through the DataSource API (vector src/sources/syslog.rs, statsd/)."""
+
+from __future__ import annotations
+
+import socket
+import time
+import uuid
+
+import pytest
+
+from vector_spark.sources import OctetCountingFramer
+
+
+# ---- framing (RFC6587 auto-detect, lib/codecs octet_counting) ----------
+
+def test_framer_newline():
+    f = OctetCountingFramer()
+    assert f.feed(b"hello\nworld\n") == ["hello", "world"]
+    assert f.feed(b"par") == []
+    assert f.feed(b"tial\n") == ["partial"]
+
+
+def test_framer_octet_counting():
+    f = OctetCountingFramer()
+    assert f.feed(b"5 hello6 world!") == ["hello", "world!"]
+    # split mid-frame
+    assert f.feed(b"11 hello") == []
+    assert f.feed(b" world") == ["hello world"]
+
+
+def test_framer_mixed_and_crlf():
+    f = OctetCountingFramer()
+    assert f.feed(b"a\r\n3 xyz\nb\n") == ["a", "xyz", "b"]
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _connect_retry(port: int, timeout: float = 30.0) -> socket.socket:
+    """The listener binds lazily on the reader's first read() — probe
+    until the port accepts."""
+    deadline = time.time() + timeout
+    while True:
+        try:
+            return socket.create_connection(("127.0.0.1", port), timeout=2)
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.5)
+
+
+def _wait_rows(spark, name, n, timeout=45):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+        if got >= n:
+            return got
+        time.sleep(1)
+    return spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+
+
+# ---- live ingest --------------------------------------------------------
+
+@pytest.mark.streaming
+def test_syslog_tcp_ingest_and_decode(spark, tmp_path):
+    """Real bytes over TCP → DataSource → parse_syslog topology."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.vrl import VRL_FUNCTIONS
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    raw = (
+        spark.readStream.format("syslog_tcp")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .option("wal_dir", str(tmp_path / "wal"))
+        .load()
+    )
+    decoded = raw.withColumn("syslog", VRL_FUNCTIONS["parse_syslog"](F.col("message")))
+    name = f"sys_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        msgs = [
+            "<34>Jan  5 10:00:01 host1 app[42]: first message",
+            "<13>Jan  5 10:00:02 host2 app[43]: second message",
+        ]
+        with _connect_retry(port) as c:
+            # one octet-counted frame, one newline frame (auto-detect)
+            payload = msgs[0].encode()
+            c.sendall(str(len(payload)).encode() + b" " + payload)
+            c.sendall(msgs[1].encode() + b"\n")
+        got = _wait_rows(spark, name, 2)
+        assert got == 2
+        rows = spark.sql(
+            f"SELECT message, syslog.hostname h, syslog.severity s FROM {name} ORDER BY seq"
+        ).collect()
+        assert rows[0].h == "host1" and rows[0].s == 2  # 34 % 8
+        assert rows[1].h == "host2" and rows[1].s == 5  # 13 % 8
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_statsd_udp_ingest(spark, tmp_path):
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    raw = (
+        spark.readStream.format("statsd_udp")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    name = f"statsd_{uuid.uuid4().hex[:8]}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # UDP gives no bind signal — resend until rows land (dup sends are
+        # fine: we assert on the SET of distinct messages)
+        deadline = time.time() + 45
+        got = 0
+        while time.time() < deadline and got < 3:
+            s.sendto(b"page.views:1|c\nfuel.level:0.5|g", ("127.0.0.1", port))
+            s.sendto(b"song.length:240|h|@0.5", ("127.0.0.1", port))
+            time.sleep(2)
+            got = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+        msgs = {
+            r.message
+            for r in spark.sql(f"SELECT message FROM {name}").collect()
+        }
+        assert msgs == {"page.views:1|c", "fuel.level:0.5|g", "song.length:240|h|@0.5"}
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_syslog_tcp_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across restart: rows committed before the stop are not
+    re-emitted by a new query on the same checkpoint + WAL, and frames
+    received while the query was DOWN are delivered after restart."""
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    wal = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        raw = (
+            spark.readStream.format("syslog_tcp")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .option("wal_dir", wal)
+            .load()
+        )
+        return (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def send(msg: str):
+        with _connect_retry(port) as c:
+            c.sendall(msg.encode() + b"\n")
+
+    q = start()
+    try:
+        send("before-restart")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    # while down: the listener is gone; nothing can connect — but WAL
+    # retains any uncommitted tail. Restart and send more.
+    q2 = start()
+    try:
+        send("after-restart")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            msgs = [r.message for r in spark.read.parquet(out).collect()]
+            if sorted(msgs) == ["after-restart", "before-restart"]:
+                break
+            time.sleep(1)
+        msgs = sorted(r.message for r in spark.read.parquet(out).collect())
+        # exactly once: no duplicate of the pre-restart row
+        assert msgs == ["after-restart", "before-restart"]
+    finally:
+        q2.stop()

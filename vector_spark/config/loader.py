@@ -203,6 +203,20 @@ def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.streaming.pipeline import socket_source
 
         return socket_source(spark, cfg["host"], int(cfg["port"]))
+    if stype in ("syslog_tcp", "statsd_udp"):
+        # wire-protocol server sources (src/sources/syslog.rs:45,
+        # src/sources/statsd/) via the Python DataSource API
+        from vector_spark.sources import register_sources
+
+        register_sources(spark)
+        reader = (
+            spark.readStream.format(stype)
+            .option("host", cfg.get("host", "127.0.0.1"))
+            .option("port", int(cfg["port"]))
+        )
+        if cfg.get("wal_dir"):
+            reader = reader.option("wal_dir", cfg["wal_dir"])
+        return reader.load()
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
 
