@@ -177,3 +177,39 @@ def test_framing_octet_counting(spark):
         length_delimited_frames(F.col("blob"), max_frames=8).alias("f")
     ).collect()[0].f
     assert frames == ["hello", "a b", "multi\nframe"]
+
+
+def test_otlp_logs_roundtrip_unit(spark):
+    """OTLP/JSON encode → decode inverts (lib/codecs otlp.rs analog); a
+    batched payload with N records explodes to N rows."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.codecs import (
+        encode_otlp_logs,
+        otlp_logs_to_events,
+        otlp_resource_attr,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05", "hello", 9, "INFO", "svc-a")],
+        "ts_s string, body string, sev int, sevtext string, svc string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    payload = df.select(
+        encode_otlp_logs(
+            ts=F.col("ts"),
+            body=F.col("body"),
+            severity_number=F.col("sev"),
+            severity_text=F.col("sevtext"),
+            resource_attrs={"service.name": F.col("svc")},
+        ).alias("payload")
+    )
+    out = otlp_logs_to_events(payload).select(
+        "time_unix_nano", "severity_number", "severity_text", "body",
+        otlp_resource_attr(F.col("resource"), "service.name").alias("svc"),
+        otlp_resource_attr(F.col("resource"), "missing.key").alias("absent"),
+    )
+    row = out.collect()[0]
+    expect_ns = df.select((F.unix_micros("ts") * 1000).alias("n")).collect()[0].n
+    assert row.time_unix_nano == expect_ns
+    assert row.severity_number == 9 and row.severity_text == "INFO"
+    assert row.body == "hello" and row.svc == "svc-a" and row.absent is None

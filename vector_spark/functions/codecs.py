@@ -169,3 +169,96 @@ def decode_influxdb_line(c: Column) -> Column:
         _kv_or_empty(F.regexp_extract(c, _INFLUX_RE, 3), ",", "=").alias("fields"),
         F.regexp_extract(c, _INFLUX_RE, 4).try_cast("long").alias("ts_ns"),
     )
+
+
+# ---- OTLP (OpenTelemetry protocol, JSON encoding) ----------------------
+# Reference lib/codecs/src/decoding/format/otlp.rs decodes the protobuf
+# wire form; OTLP also defines a canonical JSON mapping (the OTLP/HTTP
+# +json content type), which is what we implement — protobuf is
+# unavailable in-container (scripts/probe_protobuf.py proves it:
+# PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE).
+# Structure: resourceLogs[] → (resource.attributes[], scopeLogs[] →
+# (scope, logRecords[] → {timeUnixNano, severityNumber, severityText,
+# body.stringValue})).
+
+OTLP_LOGS_SCHEMA = (
+    "resourceLogs array<struct<"
+    "resource:struct<attributes:array<struct<"
+    "key:string,value:struct<stringValue:string>>>>,"
+    "scopeLogs:array<struct<"
+    "scope:struct<name:string>,"
+    "logRecords:array<struct<"
+    "timeUnixNano:string,severityNumber:int,severityText:string,"
+    "body:struct<stringValue:string>>>>>>>"
+)
+
+
+def _otlp_attr(key: str, value: Column) -> Column:
+    return F.struct(
+        F.lit(key).alias("key"),
+        F.struct(value.cast("string").alias("stringValue")).alias("value"),
+    )
+
+
+def encode_otlp_logs(
+    ts: Column,
+    body: Column,
+    severity_number: Column,
+    severity_text: Column,
+    resource_attrs: dict[str, Column],
+    scope_name: str = "vector_spark",
+) -> Column:
+    """One event → one OTLP/JSON ExportLogsServiceRequest payload.
+    timeUnixNano is serialized as a decimal string (the OTLP JSON mapping
+    for uint64 fields)."""
+    record = F.struct(
+        (F.unix_micros(ts) * 1000).cast("string").alias("timeUnixNano"),
+        severity_number.cast("int").alias("severityNumber"),
+        severity_text.cast("string").alias("severityText"),
+        F.struct(body.cast("string").alias("stringValue")).alias("body"),
+    )
+    resource_log = F.struct(
+        F.struct(
+            F.array(*[_otlp_attr(k, v) for k, v in resource_attrs.items()]).alias(
+                "attributes"
+            )
+        ).alias("resource"),
+        F.array(
+            F.struct(
+                F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                F.array(record).alias("logRecords"),
+            )
+        ).alias("scopeLogs"),
+    )
+    return F.to_json(F.struct(F.array(resource_log).alias("resourceLogs")))
+
+
+def otlp_resource_attr(resource: Column, key: str) -> Column:
+    """Extract one string resource attribute by key (null when absent)."""
+    hit = F.filter(resource.getField("attributes"), lambda a: a.getField("key") == key)
+    # try_element_at: ANSI mode throws on element_at over an empty array,
+    # but an absent attribute must read as null
+    return F.try_element_at(hit, F.lit(1)).getField("value").getField("stringValue")
+
+
+def otlp_logs_to_events(df, payload_col: str = "payload"):
+    """OTLP/JSON payload column → flat log-event rows (one per logRecord).
+
+    A payload batching many resources/scopes/records explodes into that
+    many rows — the inverse of the reference's per-request decode. Narrow
+    explode chain, no shuffle: stays scan-speed at 100 TB."""
+    parsed = df.select(F.from_json(payload_col, OTLP_LOGS_SCHEMA).alias("o"))
+    rl = parsed.select(F.explode("o.resourceLogs").alias("rl"))
+    sl = rl.select(
+        F.col("rl.resource").alias("resource"), F.explode("rl.scopeLogs").alias("sl")
+    )
+    lr = sl.select("resource", F.col("sl.scope.name").alias("scope_name"),
+                   F.explode("sl.logRecords").alias("r"))
+    return lr.select(
+        F.col("r.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("r.severityNumber").alias("severity_number"),
+        F.col("r.severityText").alias("severity_text"),
+        F.col("r.body.stringValue").alias("body"),
+        "scope_name",
+        F.col("resource").alias("resource"),
+    )

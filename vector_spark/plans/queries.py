@@ -1825,6 +1825,62 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "VRL round-2 forms: variables/named args/closures/err-form/metadata",
     ),
+    # OTLP/JSON logs round-trip: encode each event as an OTLP
+    # ExportLogsServiceRequest payload, then decode through the
+    # explode-chain back to flat rows. The oracle computes the decoded
+    # frame directly from events, so any encode/decode asymmetry fails
+    # the hash (lib/codecs/src/decoding/format/otlp.rs; protobuf wire
+    # form env-gated — scripts/probe_protobuf.py).
+    "otlp_logs_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (lambda codecs, ev: codecs.otlp_logs_to_events(
+            ev.select(
+                codecs.encode_otlp_logs(
+                    ts=F.col("ts"),
+                    body=F.col("event_type"),
+                    severity_number=F.when(F.col("value") > 150, 17)
+                    .when(F.col("value") > 50, 9)
+                    .otherwise(5),
+                    severity_text=F.when(F.col("value") > 150, "ERROR")
+                    .when(F.col("value") > 50, "INFO")
+                    .otherwise("DEBUG"),
+                    resource_attrs={
+                        "service.name": F.concat(
+                            F.lit("svc-"), (F.col("user_id") % 10).cast("string")
+                        ),
+                        "event.id": F.col("event_id"),
+                    },
+                ).alias("payload")
+            )
+        ).select(
+            codecs.otlp_resource_attr(F.col("resource"), "event.id")
+            .cast("long")
+            .alias("event_id"),
+            "time_unix_nano",
+            "severity_number",
+            "severity_text",
+            "body",
+            codecs.otlp_resource_attr(F.col("resource"), "service.name").alias(
+                "service_name"
+            ),
+        ))(
+            __import__(
+                "vector_spark.functions.codecs", fromlist=["otlp_logs_to_events"]
+            ),
+            load_table(spark, sf_dir, "events"),
+        ),
+        """
+        SELECT event_id,
+               epoch_us(ts) * 1000 AS time_unix_nano,
+               CASE WHEN value > 150 THEN 17 WHEN value > 50 THEN 9
+                    ELSE 5 END AS severity_number,
+               CASE WHEN value > 150 THEN 'ERROR' WHEN value > 50 THEN 'INFO'
+                    ELSE 'DEBUG' END AS severity_text,
+               event_type AS body,
+               concat('svc-', CAST(user_id % 10 AS VARCHAR)) AS service_name
+        FROM events
+        """,
+        "OTLP/JSON logs encode→decode round-trip",
+    ),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),
