@@ -371,3 +371,86 @@ def test_templated_stream_sink_layout(spark, tmp_path):
     assert any(d.startswith("dt=") for d in dt_dirs)
     back = spark.read.parquet(os.path.join(out, "svc", "0", dt_dirs[0]))
     assert back.count() > 0
+
+
+@pytest.mark.streaming
+def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
+    """Lua-v2 timer analog (lua/v2/mod.rs:27-40): a per-key counter
+    flushed every N seconds from checkpointed state; the running total
+    survives a query restart (state store recovery)."""
+    import pandas as pd
+
+    from vector_spark.streaming.stateful import scripted_stateful_transform
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def process(key, pdf, st):
+        st["count"] = st.get("count", 0) + len(pdf)
+        st["total"] = st.get("total", 0) + len(pdf)
+        return None, st  # emission only via the timer
+
+    def on_timer(key, st):
+        out = pd.DataFrame(
+            {"host": [key], "n_since_flush": [st.get("count", 0)],
+             "running_total": [st.get("total", 0)]}
+        )
+        st["count"] = 0
+        return out, st
+
+    def start():
+        src = rate_source(spark, rows_per_second=200).withColumn(
+            "hostkey", (F.col("seq") % 2).cast("string")
+        )
+        flushed = scripted_stateful_transform(
+            src.select("hostkey", "seq"),
+            key_field="hostkey",
+            out_schema="host string, n_since_flush long, running_total long",
+            process=process,
+            on_timer=on_timer,
+            timer_secs=2,
+        )
+        return (
+            flushed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def flushes():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(flushes()) < 2:
+            time.sleep(2)
+        rows1 = flushes()
+        assert len(rows1) >= 2, "no timer flushes before restart"
+        assert any(r.n_since_flush > 0 for r in rows1)
+        max1 = max(r.running_total for r in rows1)
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(flushes()) <= len(rows1):
+            time.sleep(2)
+        rows2 = [r for r in flushes() if r not in rows1]
+        # new flushes exist and the running total CONTINUED from the
+        # recovered state (never reset toward zero)
+        assert rows2, "no flushes after restart"
+        assert max(r.running_total for r in rows2) > max1
+        per_key_last1 = {}
+        for r in rows1:
+            per_key_last1[r.host] = max(per_key_last1.get(r.host, 0), r.running_total)
+        for r in rows2:
+            if r.host in per_key_last1:
+                assert r.running_total >= per_key_last1[r.host] - 0
+    finally:
+        q2.stop()

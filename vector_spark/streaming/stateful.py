@@ -252,3 +252,72 @@ def streaming_tag_cardinality_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scripted_stateful_transform(
+    df: DataFrame,
+    key_field: str,
+    out_schema: StructType | str,
+    process,
+    on_timer=None,
+    timer_secs: int | None = None,
+):
+    """Lua-transform analog with lifecycle + timers (vector
+    `src/transforms/lua/v2/mod.rs:27-40`: hooks.process + `timers` that
+    periodically emit from persistent state).
+
+    ``process(key, pdf, state: dict) -> (pandas.DataFrame | None, dict)``
+    runs per micro-batch per key (Arrow-batched); ``on_timer(key, state)
+    -> (pandas.DataFrame | None, dict)`` fires every ``timer_secs`` — from
+    the PROCESS path while the key has traffic (processing-time check, the
+    reference's timer cadence) and from the state-store TIMEOUT path when
+    the key goes idle, so periodic emission never stops either way.
+
+    State is a JSON-serializable dict in the checkpointed state store —
+    per-key, partitioned across executors, restart-durable (the lua VM's
+    in-process globals are the part of the reference this strengthens)."""
+    import json
+    import time as _time
+
+    if on_timer is not None and not timer_secs:
+        raise ValueError("on_timer requires timer_secs")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if on_timer is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    state_schema = StructType([StructField("state_json", StringType())])
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        st = json.loads(state.get[0]) if state.exists else {}
+        outs = []
+        if state.hasTimedOut:
+            out, st = on_timer(key[0], st)
+            if out is not None and len(out):
+                outs.append(out)
+        else:
+            for pdf in pdfs:
+                out, st = process(key[0], pdf, st)
+                if out is not None and len(out):
+                    outs.append(out)
+            if on_timer is not None:
+                now = _time.time()
+                nxt = st.get("_next_timer", 0)
+                if now >= nxt:
+                    if nxt:  # don't fire on the very first batch
+                        out, st = on_timer(key[0], st)
+                        if out is not None and len(out):
+                            outs.append(out)
+                    st["_next_timer"] = now + timer_secs
+        state.update((json.dumps(st),))
+        if on_timer is not None:
+            state.setTimeoutDuration(timer_secs * 1000)
+        yield from outs
+
+    return df.groupBy(key_field).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
