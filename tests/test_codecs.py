@@ -213,3 +213,50 @@ def test_otlp_logs_roundtrip_unit(spark):
     assert row.time_unix_nano == expect_ns
     assert row.severity_number == 9 and row.severity_text == "INFO"
     assert row.body == "hello" and row.svc == "svc-a" and row.absent is None
+
+
+def test_varint_length_delimited_frames(spark):
+    """Protobuf varint framing (lib/codecs varint_length_delimited.rs):
+    includes a >127-byte frame so the 2-byte varint path is exercised."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.framing import varint_length_delimited_frames
+
+    def enc_varint(n: int) -> bytes:
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    msgs = ["hello", "x" * 300, "worlds"]
+    blob = b"".join(enc_varint(len(m)) + m.encode() for m in msgs)
+    df = spark.createDataFrame([(blob,)], "payload binary")
+    out = df.select(
+        varint_length_delimited_frames(F.col("payload")).alias("frames")
+    ).collect()[0]
+    assert out.frames == msgs
+
+
+def test_chunked_gelf_reassembly(spark):
+    """chunked_gelf framing: magic 1e0f | msg id | seq | total | payload;
+    incomplete messages are withheld, plain datagrams pass through."""
+    from vector_spark.functions.framing import reassemble_chunked_gelf
+
+    def chunk(msg_id: bytes, seq: int, total: int, payload: bytes) -> bytes:
+        return b"\x1e\x0f" + msg_id + bytes([seq, total]) + payload
+
+    rows = [
+        (chunk(b"AAAAAAAA", 1, 2, b" world"),),      # out of order on purpose
+        (chunk(b"AAAAAAAA", 0, 2, b"hello"),),
+        (b'{"version":"1.1","short_message":"plain"}',),
+        (chunk(b"BBBBBBBB", 0, 3, b"incomplete"),),  # missing 2 of 3
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    out = sorted(
+        r.message for r in reassemble_chunked_gelf(df, "payload").collect()
+    )
+    assert out == ['hello world', '{"version":"1.1","short_message":"plain"}']

@@ -72,3 +72,140 @@ def explode_frames(
     return df.select(
         *other, F.posexplode(frames).alias("frame_idx", out_col)
     )
+
+
+def _hex_byte(hexstr: Column, pos: Column) -> Column:
+    """Byte value at 0-based byte offset `pos` of a hex string."""
+    return F.conv(F.substring(hexstr, pos * 2 + 1, 2), 16, 10).cast("int")
+
+
+def varint_length_delimited_frames(
+    c: Column, max_frames: int = 1024, as_string: bool = True
+) -> Column:
+    """Protobuf-style varint length-delimited framing
+    (`lib/codecs/src/decoding/framing/varint_length_delimited.rs`):
+    each frame is `<uvarint len><len bytes>`.
+
+    Pure Column over a BINARY payload: the bytes walk happens on the hex
+    encoding (Spark has no byte indexing on binary, but hex + conv is
+    codegen-friendly). Varints are bounded to 4 bytes (frames < 256 MiB —
+    the reference's default max frame is far below that). Returns
+    array<string> (UTF-8 payloads) or array<binary>."""
+    hexstr = F.hex(c)
+    nbytes_total = (F.length(hexstr) / 2).cast("int")
+
+    # state: struct(pos: int byte offset, out: array<string hex frames>)
+    init = F.struct(
+        F.lit(0).alias("pos"), F.array().cast("array<string>").alias("out")
+    )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        b0 = _hex_byte(hexstr, pos)
+        b1 = _hex_byte(hexstr, pos + 1)
+        b2 = _hex_byte(hexstr, pos + 2)
+        b3 = _hex_byte(hexstr, pos + 3)
+        # uvarint: 7-bit little-endian groups, MSB = continuation
+        n1 = b0 % 128
+        n2 = n1 + (b1 % 128) * 128
+        n3 = n2 + (b2 % 128) * 16384
+        n4 = n3 + (b3 % 128) * 2097152
+        vlen = (
+            F.when(b0 < 128, 1)
+            .when(b1 < 128, 2)
+            .when(b2 < 128, 3)
+            .when(b3 < 128, 4)
+            .otherwise(F.lit(None))  # >4-byte varint: stop (oversize frame)
+        )
+        flen = (
+            F.when(b0 < 128, n1)
+            .when(b1 < 128, n2)
+            .when(b2 < 128, n3)
+            .otherwise(n4)
+        )
+        fits = (
+            vlen.isNotNull()
+            & (pos < nbytes_total)
+            & (pos + vlen + flen <= nbytes_total)
+        )
+        frame_hex = F.substring(hexstr, (pos + vlen) * 2 + 1, flen * 2)
+        return F.when(
+            fits,
+            F.struct(
+                (pos + vlen + flen).alias("pos"),
+                F.concat(acc["out"], F.array(frame_hex)).alias("out"),
+            ),
+        ).otherwise(
+            F.struct(nbytes_total.alias("pos"), acc["out"].alias("out"))
+        )
+
+    frames_hex = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_frames)), init, step, lambda a: a["out"]
+    )
+    decode = (
+        (lambda h: F.unhex(h).cast("string")) if as_string else (lambda h: F.unhex(h))
+    )
+    return F.transform(frames_hex, decode)
+
+
+# ---- chunked GELF (lib/codecs/src/decoding/framing/chunked_gelf.rs) ----
+# UDP GELF chunk: 0x1e 0x0f | 8-byte message id | seq (1B) | total (1B) |
+# payload. Non-chunked datagrams carry the whole message.
+
+GELF_MAGIC_HEX = "1E0F"
+
+
+def gelf_chunk_header(c: Column) -> Column:
+    """Parse a (possibly chunked) GELF datagram payload (binary) into
+    struct(is_chunk, msg_id hex, seq, total, payload_hex)."""
+    h = F.hex(c)
+    is_chunk = F.substring(h, 1, 4) == GELF_MAGIC_HEX
+    return F.struct(
+        is_chunk.alias("is_chunk"),
+        F.when(is_chunk, F.substring(h, 5, 16)).alias("msg_id"),
+        F.when(is_chunk, F.conv(F.substring(h, 21, 2), 16, 10).cast("int")).alias("seq"),
+        F.when(is_chunk, F.conv(F.substring(h, 23, 2), 16, 10).cast("int")).alias(
+            "total"
+        ),
+        F.when(is_chunk, F.substring(h, 25, F.length(h))).otherwise(h).alias(
+            "payload_hex"
+        ),
+    )
+
+
+def reassemble_chunked_gelf(
+    df: DataFrame, payload_col: str, out_col: str = "message"
+) -> DataFrame:
+    """Chunked-GELF reassembly as a DataFrame program: chunks group by
+    message id, sort by seq, concatenate; a message emits only when ALL
+    `total` chunks arrived (the reference buffers per message id with a
+    timeout — in batch the grouping IS the buffer; in streaming run this
+    inside a watermarked groupBy so stragglers age out).
+
+    One shuffle on (msg_id) — chunk groups are tiny (≤128 chunks), no
+    skew: scales linearly."""
+    hdr = df.select(gelf_chunk_header(F.col(payload_col)).alias("h"))
+    plain = hdr.where(~F.col("h.is_chunk")).select(
+        F.unhex(F.col("h.payload_hex")).cast("string").alias(out_col)
+    )
+    chunks = hdr.where(F.col("h.is_chunk"))
+    joined = (
+        chunks.groupBy(F.col("h.msg_id").alias("msg_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("h.seq").alias("seq"),
+                                        F.col("h.payload_hex").alias("p")))
+            ).alias("parts"),
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.col("h.total")).alias("total"),
+        )
+        .where(F.col("n") == F.col("total"))
+        .select(
+            F.unhex(
+                F.array_join(F.transform(F.col("parts"), lambda s: s["p"]), "")
+            )
+            .cast("string")
+            .alias(out_col)
+        )
+    )
+    return plain.unionByName(joined)
