@@ -342,3 +342,36 @@ def test_undefined_variable_is_compile_error(one):
 def test_unknown_function_is_compile_error(one):
     with pytest.raises(VrlCompileError, match="unknown function"):
         vrl_remap(one, ".x = definitely_not_a_function(.a)")
+
+
+# wave-2 stdlib (vrl stdlib categories Codec/Parse/String/Map)
+def test_wave2_stdlib(one, spark):
+    df = spark.createDataFrame(
+        [(
+            '1.2.3.4 - alice [05/Mar/2024:06:07:08 +0000] "GET /x HTTP/1.1" '
+            '200 512 "-" "curl/8"',
+            "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 "
+            "6 20 4249 1418530010 1418530070 ACCEPT OK",
+            "CEF:0|Sec|threatmanager|1.0|100|worm stopped|10|src=10.0.0.1",
+            "1.5KiB",
+        )],
+        "nginx string, vpc string, cef string, sz string",
+    )
+    row = run(
+        df,
+        '.ng = parse_nginx_log!(.nginx)\n'
+        '.flow = parse_aws_vpc_flow_log!(.vpc)\n'
+        '.cf = parse_cef!(.cef)\n'
+        '.kb = parse_bytes!(.sz, unit: "kB")\n'
+        '.sev = to_syslog_severity!("error")\n'
+        '.hx = encode_hex("abc")\n'
+        '.rt = decode_hex(encode_hex("roundtrip"))\n'
+        '.tly = tally(split("a,b,a,a", ","))\n'
+        '.fnd = find("abc", "bc")',
+    )
+    assert row.ng.method == "GET" and row.ng.status == 200
+    assert row.flow.dstport == 22 and row.flow.action == "ACCEPT"
+    assert row.cf.device_vendor == "Sec" and row.cf.severity == "10"
+    assert row.kb == pytest.approx(1.536)
+    assert row.sev == 3 and row.hx == "616263" and row.rt == "roundtrip"
+    assert dict(row.tly) == {"a": 3, "b": 1} and row.fnd == 1

@@ -444,6 +444,45 @@ VRL_FUNCTIONS.update(
         # Checksum extras
         "hmac": lambda c, key: F.sha2(F.concat(F.lit(key), c.cast("string")), 256),
         "xxhash64": F.xxhash64,
+        # Codec wave 2
+        "encode_hex": lambda c: F.lower(F.hex(c.cast("binary"))),
+        "decode_hex": lambda c: F.unhex(c).cast("string"),
+        "encode_percent": lambda c: F.url_encode(c),
+        "decode_percent": lambda c: F.url_decode(c),
+        # Parse wave 2
+        "parse_logfmt": lambda c: F.str_to_map(c, F.lit(" "), F.lit("=")),
+        "parse_nginx_log": lambda c, format="combined": parse_nginx_log(c),
+        "parse_aws_vpc_flow_log": lambda c: parse_aws_vpc_flow_log(c),
+        "parse_cef": lambda c: parse_cef(c),
+        "parse_bytes": lambda c, unit="B": parse_bytes(c, unit),
+        "parse_int_radix": lambda c, base=10: F.conv(c, base, 10).cast("long"),
+        # String wave 2
+        "find": lambda c, substring: F.instr(c, substring) - 1,
+        "redact": lambda c, pattern: F.regexp_replace(c, pattern, "[REDACTED]"),
+        "repeat": lambda c, count: F.repeat(c, count),
+        "reverse": F.reverse,
+        "pad_left": lambda c, length, pad=" ": F.lpad(c, length, pad),
+        "pad_right": lambda c, length, pad=" ": F.rpad(c, length, pad),
+        # Type / validity
+        "is_json": lambda c: F.try_parse_json(c).isNotNull(),
+        "is_ipv4": lambda c: c.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"),
+        "is_ipv6": lambda c: c.rlike(r"^[0-9A-Fa-f:]+:[0-9A-Fa-f:.]*$"),
+        # Array / Map wave 2
+        "tally": lambda arr: F.map_from_arrays(
+            F.array_distinct(arr),
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            ),
+        ),
+        "object_from_array": lambda entries: F.map_from_entries(entries),
+        "sort": F.array_sort,
+        # Metrics / syslog conversions
+        "to_syslog_severity": lambda c: _to_syslog_severity(c),
+        "to_syslog_level": lambda c: _to_syslog_level(c),
+        "to_syslog_facility": lambda c: _to_syslog_facility(c),
+        # Timestamp wave 2
+        "get_timezone_name": lambda: F.current_timezone(),
         # Timestamp extras
         "format_timestamp": lambda c, format: F.date_format(c, _strf(format)),
     }
@@ -538,3 +577,118 @@ def parse_grok(c: Column, pattern: str) -> Column:
             for i, name in enumerate(names)
         ]
     )
+
+
+# ---- wave-2 parse helpers ----------------------------------------------
+
+# nginx 'combined': remote - user [time] "req" status bytes "referer" "agent"
+NGINX_COMBINED_RE = (
+    r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) "([^"]*)" "([^"]*)"'
+)
+
+
+def parse_nginx_log(c: Column) -> Column:
+    """VRL parse_nginx_log('combined') → struct of typed fields."""
+    return F.struct(
+        F.regexp_extract(c, NGINX_COMBINED_RE, 1).alias("client"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 2).alias("user"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 4).alias("method"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 5).alias("path"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 7).cast("int").alias("status"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 8).cast("long").alias("size"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 9).alias("referer"),
+        F.regexp_extract(c, NGINX_COMBINED_RE, 10).alias("agent"),
+    )
+
+
+# AWS VPC flow log v2: version account eni src dst sport dport proto
+# packets bytes start end action status
+_VPC_FIELDS = [
+    ("version", "int"), ("account_id", "string"), ("interface_id", "string"),
+    ("srcaddr", "string"), ("dstaddr", "string"), ("srcport", "int"),
+    ("dstport", "int"), ("protocol", "int"), ("packets", "long"),
+    ("bytes", "long"), ("start", "long"), ("end", "long"),
+    ("action", "string"), ("log_status", "string"),
+]
+
+
+def parse_aws_vpc_flow_log(c: Column) -> Column:
+    """VRL parse_aws_vpc_flow_log (v2 default format) → typed struct;
+    '-' fields (no data) read as null via try_cast."""
+    parts = F.split(c, " ")
+    return F.struct(
+        *[
+            F.nullif(parts[i], F.lit("-")).try_cast(t).alias(n)
+            for i, (n, t) in enumerate(_VPC_FIELDS)
+        ]
+    )
+
+
+def parse_cef(c: Column) -> Column:
+    """VRL parse_cef: the 7 pipe-delimited header fields + raw extension
+    (k=v pairs parse downstream with parse_key_value)."""
+    return F.struct(
+        F.regexp_extract(c, r"^CEF:(\d+)\|", 1).cast("int").alias("cef_version"),
+        F.split(c, r"\|")[1].alias("device_vendor"),
+        F.split(c, r"\|")[2].alias("device_product"),
+        F.split(c, r"\|")[3].alias("device_version"),
+        F.split(c, r"\|")[4].alias("device_event_class_id"),
+        F.split(c, r"\|")[5].alias("name"),
+        F.split(c, r"\|")[6].alias("severity"),
+        F.regexp_extract(c, r"^(?:[^|]*\|){7}(.*)$", 1).alias("extension"),
+    )
+
+
+_BYTES_FACTORS = {
+    "B": 1.0, "KiB": 2.0**10, "MiB": 2.0**20, "GiB": 2.0**30, "TiB": 2.0**40,
+    "kB": 1e3, "MB": 1e6, "GB": 1e9, "TB": 1e12,
+}
+
+
+def parse_bytes(c: Column, unit: str = "B") -> Column:
+    """VRL parse_bytes("1.2KiB", unit:) → numeric in the requested unit."""
+    num = F.regexp_extract(c, r"^([0-9.]+)", 1).cast("double")
+    suffix = F.regexp_extract(c, r"([A-Za-z]+)$", 1)
+    factor = F.lit(None).cast("double")
+    for name, f in _BYTES_FACTORS.items():
+        factor = F.when(suffix == name, f).otherwise(factor)
+    if unit not in _BYTES_FACTORS:
+        raise ValueError(f"parse_bytes: unknown unit {unit!r}")
+    return num * factor / F.lit(_BYTES_FACTORS[unit])
+
+
+# syslog conversions (VRL to_syslog_severity/level/facility)
+_SYSLOG_SEV = {
+    "emerg": 0, "panic": 0, "alert": 1, "crit": 2, "critical": 2,
+    "err": 3, "error": 3, "warning": 4, "warn": 4, "notice": 5,
+    "info": 6, "informational": 6, "debug": 7, "trace": 7,
+}
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice",
+                  "info", "debug"]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def _to_syslog_severity(c: Column) -> Column:
+    out = F.lit(None).cast("int")
+    for name, code in _SYSLOG_SEV.items():
+        out = F.when(F.lower(c) == name, code).otherwise(out)
+    return out
+
+
+def _to_syslog_level(c: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for code, name in enumerate(_SYSLOG_LEVELS):
+        out = F.when(c.cast("int") == code, name).otherwise(out)
+    return out
+
+
+def _to_syslog_facility(c: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for code, name in enumerate(_SYSLOG_FACILITIES):
+        out = F.when(c.cast("int") == code, name).otherwise(out)
+    return out
