@@ -273,3 +273,40 @@ def test_topology_line_agg_delay_enrich_sessionize(spark):
     rows = topo.output("tagged").orderBy("first_seq").collect()
     assert [r.message for r in rows] == ["[ts] one|cont", "[ts] two"]
     assert all(r.dc == "us-east-1" for r in rows)
+
+
+def test_throttle_templated_key_field(spark):
+    """vector key_field is a template (throttle/config.rs): `{{ a }}-{{ b }}`
+    composes a throttle key from multiple fields."""
+    from vector_spark.config.loader import build_topology, run_sinks
+
+    rows = [
+        {"seq": i, "svc": "api" if i % 2 else "db", "region": "us", "ts_s": "2024-01-01 00:00:00"}
+        for i in range(10)
+    ]
+    topo = build_topology(
+        spark,
+        {
+            "sources": {"ev": {"type": "values", "rows": rows}},
+            "transforms": {
+                "stamped": {
+                    "type": "remap",
+                    "inputs": ["ev"],
+                    "assign": {"ts": "to_timestamp(ts_s)"},
+                },
+                "lim": {
+                    "type": "throttle",
+                    "inputs": ["stamped"],
+                    "threshold": 2,
+                    "window_secs": 3600,
+                    "key_field": "{{ svc }}-{{ region }}",
+                    "order_cols": ["seq"],
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["lim"]}},
+        },
+    )
+    out = run_sinks(topo)["out"]["rows"]
+    # 2 per composed key (api-us, db-us) admitted
+    assert len(out) == 4
+    assert "_tmpl_key" not in out[0].asDict()

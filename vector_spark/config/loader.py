@@ -220,6 +220,23 @@ def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
 
+def _templated_key(df: DataFrame, key, cfg: dict):
+    """vector's throttle/sample `key_field` is a TEMPLATE
+    (`src/transforms/throttle/config.rs` key_field: Template): support
+    `{{ field }}`/strftime forms by materializing a key column; plain
+    column names pass through untouched."""
+    if isinstance(key, str) and ("{{" in key or "%" in key):
+        from vector_spark.functions.template import template_column
+
+        return (
+            df.withColumn(
+                "_tmpl_key", template_column(key, ts_col=cfg.get("ts_col", "ts"))
+            ),
+            "_tmpl_key",
+        )
+    return df, key
+
+
 def _inputs_df(outputs: dict[str, DataFrame], cfg: dict, name: str) -> DataFrame:
     inputs = cfg.get("inputs", [])
     if not inputs:
@@ -294,29 +311,32 @@ def _build_transform(
         outs = exclusive_route(df, pairs)
         return {f"{name}.{k}": v for k, v in outs.items()}
     if ttype == "sample":
+        df, key = _templated_key(df, cfg.get("key_field"), cfg)
         return {
             name: sample(
                 df,
                 rate=cfg.get("rate"),
                 ratio=cfg.get("ratio"),
-                key_field=cfg.get("key_field"),
+                key_field=key,
                 group_by=cfg.get("group_by"),
                 order_col=cfg.get("order_col"),
                 exclude=cfg.get("exclude"),
             )
         }
     if ttype == "throttle":
-        return {
-            name: throttle(
-                df,
-                threshold=cfg["threshold"],
-                window_secs=cfg["window_secs"],
-                key_field=cfg["key_field"],
-                ts_col=cfg.get("ts_col", "ts"),
-                order_cols=cfg.get("order_cols"),
-                exclude=cfg.get("exclude"),
-            )
-        }
+        df, key = _templated_key(df, cfg["key_field"], cfg)
+        out = throttle(
+            df,
+            threshold=cfg["threshold"],
+            window_secs=cfg["window_secs"],
+            key_field=key,
+            ts_col=cfg.get("ts_col", "ts"),
+            order_cols=cfg.get("order_cols"),
+            exclude=cfg.get("exclude"),
+        )
+        if key == "_tmpl_key":
+            out = out.drop("_tmpl_key")
+        return {name: out}
     if ttype == "dedupe":
         fields = cfg.get("fields", {})
         return {
