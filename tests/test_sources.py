@@ -217,3 +217,57 @@ def test_syslog_tcp_restart_no_duplicates(spark, tmp_path):
         assert msgs == ["after-restart", "before-restart"]
     finally:
         q2.stop()
+
+
+@pytest.mark.streaming
+def test_http_server_ingest(spark, tmp_path):
+    """POST bodies → events with the request path (http_server.rs:40):
+    newline-framed text and a JSON-array body."""
+    import http.client
+    import json as _json
+
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    raw = (
+        spark.readStream.format("http_server")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    name = f"http_{uuid.uuid4().hex[:8]}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # probe until the HTTP listener is up (lazy bind on first read())
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("POST", "/lines", body="one\ntwo\n")
+                assert c.getresponse().status == 200
+                c.request(
+                    "POST", "/batch",
+                    body=_json.dumps([{"m": "a"}, {"m": "b"}]),
+                    headers={"Content-Type": "application/json"},
+                )
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted, "http listener never came up"
+        got = _wait_rows(spark, name, 4)
+        assert got == 4
+        rows = spark.sql(f"SELECT path, message FROM {name} ORDER BY seq").collect()
+        assert [r.path for r in rows] == ["/lines", "/lines", "/batch", "/batch"]
+        assert [r.message for r in rows[:2]] == ["one", "two"]
+        assert _json.loads(rows[2].message) == {"m": "a"}
+    finally:
+        q.stop()

@@ -203,7 +203,7 @@ def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.streaming.pipeline import socket_source
 
         return socket_source(spark, cfg["host"], int(cfg["port"]))
-    if stype in ("syslog_tcp", "statsd_udp"):
+    if stype in ("syslog_tcp", "statsd_udp", "http_server"):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/) via the Python DataSource API
         from vector_spark.sources import register_sources

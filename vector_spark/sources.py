@@ -104,11 +104,14 @@ class _ListenerState:
                 except json.JSONDecodeError:
                     continue  # torn tail write from a crash
                 ts = datetime.fromisoformat(e["ts"])
-                self.entries.append((e["seq"], ts, e["peer"], e["message"]))
+                self.entries.append((e["seq"], ts, *e["fields"]))
         if self.entries:
             self.next_seq = self.entries[-1][0] + 1
 
-    def append(self, peer: str, message: str) -> None:
+    def append(self, *fields: str) -> None:
+        """Record one frame: (auto seq, now, *fields) — the fields after
+        the envelope are source-specific (peer+message for sockets,
+        peer+path+message for http)."""
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         with self.lock:
             seq = self.next_seq
@@ -117,13 +120,13 @@ class _ListenerState:
                 with open(self.wal_path, "a") as f:
                     f.write(
                         json.dumps(
-                            {"seq": seq, "ts": now.isoformat(), "peer": peer,
-                             "message": message}
+                            {"seq": seq, "ts": now.isoformat(),
+                             "fields": list(fields)}
                         )
                         + "\n"
                     )
                     f.flush()
-            self.entries.append((seq, now, peer, message))
+            self.entries.append((seq, now, *fields))
 
     def drain(self, after_seq: int, upto_seq: int | None = None) -> list[tuple]:
         with self.lock:
@@ -144,11 +147,11 @@ class _ListenerState:
                 # compact: rewrite the tail only (bounded by unprocessed data)
                 tmp = self.wal_path + ".tmp"
                 with open(tmp, "w") as f:
-                    for seq, ts, peer, message in self.entries:
+                    for seq, ts, *fields in self.entries:
                         f.write(
                             json.dumps(
-                                {"seq": seq, "ts": ts.isoformat(), "peer": peer,
-                                 "message": message}
+                                {"seq": seq, "ts": ts.isoformat(),
+                                 "fields": fields}
                             )
                             + "\n"
                         )
@@ -194,6 +197,44 @@ def _udp_listener(state: _ListenerState, host: str, port: int, ready: threading.
                 state.append(peer, line.strip())
 
 
+def _http_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """HTTP push endpoint (vector `src/sources/http_server.rs:40`):
+    one event per newline-delimited body line; a JSON-array body yields
+    one event per element (the reference's json decoding + framing)."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8", "replace")
+            peer = f"{self.client_address[0]}:{self.client_address[1]}"
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("application/json") and body.lstrip().startswith("["):
+                try:
+                    items = json.loads(body)
+                    for item in items:
+                        state.append(peer, self.path, json.dumps(item))
+                    self.send_response(200)
+                    self.end_headers()
+                    return
+                except json.JSONDecodeError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+            for line in body.splitlines():
+                if line.strip():
+                    state.append(peer, self.path, line)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    ready.set()
+    srv.serve_forever()
+
+
 class _SocketStreamReader(SimpleDataSourceStreamReader):
     """Spark may instantiate the reader more than once (planning vs the
     prefetch loop), but only ONE instance drives read() — so the listener
@@ -234,7 +275,11 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             if self._listening:
                 return
             ready = threading.Event()
-            target = _tcp_listener if self.proto == "tcp" else _udp_listener
+            target = {
+                "tcp": _tcp_listener,
+                "udp": _udp_listener,
+                "http": _http_listener,
+            }[self.proto]
             threading.Thread(
                 target=target,
                 args=(self.state, self.host, self.port, ready),
@@ -295,7 +340,26 @@ class StatsdUDPDataSource(DataSource):
         return _SocketStreamReader(self.options, "udp")
 
 
+HTTP_SCHEMA = "seq bigint, ts timestamp, peer string, path string, message string"
+
+
+class HTTPServerDataSource(DataSource):
+    """`http_server` source analog: POST bodies → events (newline lines
+    or JSON-array elements); the request path rides along for routing."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_server"
+
+    def schema(self) -> str:
+        return HTTP_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "http")
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
     spark.dataSource.register(StatsdUDPDataSource)
+    spark.dataSource.register(HTTPServerDataSource)
