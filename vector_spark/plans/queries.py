@@ -1883,6 +1883,44 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "OTLP/JSON logs encode→decode round-trip",
     ),
+    # memory enrichment table (src/enrichment_tables/memory/config.rs:
+    # writable KV, sink-updated, read as a broadcast join). Batch form of
+    # the stream-updated table: writes applied in event order (last write
+    # per key wins), then every event enriches against the snapshot —
+    # the same single-writer/snapshot-reader contract the streaming test
+    # exercises, here value-checked against SQL.
+    "memory_table_enrich": QuerySpec(
+        lambda spark, sf_dir: (lambda MT, ev: (lambda mt: (
+            mt.write_batch(
+                ev.where(F.col("event_type") == "signup")
+                .orderBy("event_id")
+                .select(
+                    F.col("user_id"), F.col("value").alias("mem_value")
+                )
+            ),
+            mt.enrich(ev, on="user_id", value_type="double").select(
+                "event_id", "user_id", "mem_value"
+            ),
+        )[1])(MT(key_col="user_id", value_col="mem_value")))(
+            __import__(
+                "vector_spark.streaming.memory_table", fromlist=["MemoryTable"]
+            ).MemoryTable,
+            load_table(spark, sf_dir, "events"),
+        ),
+        """
+        WITH kv AS (
+          SELECT user_id, value AS mem_value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'signup'
+          ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, kv.mem_value
+        FROM events e LEFT JOIN kv ON e.user_id = kv.user_id
+        """,
+        "memory enrichment table (writable KV, last-write-wins)",
+    ),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
     "route_multi": QuerySpec(q_route_multi, _ORACLE_ROUTE_MULTI, "route (multi-match + _unmatched)"),

@@ -70,7 +70,12 @@ class MemoryTable:
     ) -> DataFrame:
         """Broadcast-join `df` against the current snapshot."""
         spark = df.sparkSession
-        snap = self.snapshot(spark, value_type)
+        # rename the snapshot key before joining: df.drop(name) drops ALL
+        # columns with that name, so a caller joining on its own column
+        # of the same name would lose it too
+        snap = self.snapshot(spark, value_type).withColumnRenamed(
+            self.key_col, "__mem_key"
+        )
         return df.join(
-            F.broadcast(snap), df[on] == snap[self.key_col], how
-        ).drop(self.key_col)
+            F.broadcast(snap), df[on] == snap["__mem_key"], how
+        ).drop("__mem_key")
