@@ -80,17 +80,45 @@ def reduce_op(
     merge_strategies: dict[str, tuple[str, str]],
     order_col: str,
     count_col: str | None = "n_events",
+    apply_defaults: bool = False,
 ) -> DataFrame:
     """GroupBy + strategy aggregation.
 
     merge_strategies: output_name -> (strategy, input_column).
     Also emits the event count per group (the reference tracks group size
     for `max_events`).
+
+    ``apply_defaults`` adds the reference's default-merger insertion
+    (`reduce/transform.rs:86-130`) for every column NOT covered by an
+    explicit strategy: numbers sum, timestamps keep the first..last range
+    (`<name>` + `<name>_end`), everything else keeps the first value.
     """
+    covered = {col for _, col in merge_strategies.values()}
     aggs = [
         merge_agg(strategy, col, order_col).alias(out)
         for out, (strategy, col) in merge_strategies.items()
     ]
+    if apply_defaults:
+        numeric = ("bigint", "int", "smallint", "tinyint", "double", "float",
+                   "decimal")
+        for fld in df.schema.fields:
+            if (
+                fld.name in group_by
+                or fld.name == order_col
+                or fld.name in covered
+                or fld.name in merge_strategies
+            ):
+                continue
+            t = fld.dataType.simpleString()
+            if t.startswith(numeric):
+                aggs.append(merge_agg("sum", fld.name, order_col).alias(fld.name))
+            elif t == "timestamp":
+                aggs.append(merge_agg("discard", fld.name, order_col).alias(fld.name))
+                aggs.append(
+                    merge_agg("retain", fld.name, order_col).alias(f"{fld.name}_end")
+                )
+            else:
+                aggs.append(merge_agg("discard", fld.name, order_col).alias(fld.name))
     if count_col:
         aggs.append(F.count(F.lit(1)).alias(count_col))
     return df.groupBy(*group_by).agg(*aggs)
