@@ -46,6 +46,10 @@ HEADLINE = [
     "docs_minhash_lsh",
     "docs_simhash",
     "ann_cosine_topk",
+    # round-2 additions
+    "vrl_program_v2",
+    "otlp_logs_roundtrip",
+    "memory_table_enrich",
 ]
 
 
