@@ -262,3 +262,88 @@ def otlp_logs_to_events(df, payload_col: str = "payload"):
         "scope_name",
         F.col("resource").alias("resource"),
     )
+
+
+# OTLP traces (JSON mapping): resourceSpans[] → scopeSpans[] → spans[]
+# {traceId, spanId, parentSpanId, name, kind, startTimeUnixNano,
+#  endTimeUnixNano, status.code}. TraceEvents are structurally logs in
+# the reference (`lib/vector-core/src/event/trace.rs:19`); here they
+# flatten to rows the trace_to_log transform already understands.
+
+OTLP_TRACES_SCHEMA = (
+    "resourceSpans array<struct<"
+    "resource:struct<attributes:array<struct<"
+    "key:string,value:struct<stringValue:string>>>>,"
+    "scopeSpans:array<struct<"
+    "scope:struct<name:string>,"
+    "spans:array<struct<"
+    "traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
+    "status:struct<code:int>>>>>>>"
+)
+
+
+def encode_otlp_traces(
+    trace_id: Column,
+    span_id: Column,
+    name: Column,
+    start_ts: Column,
+    end_ts: Column,
+    resource_attrs: dict[str, Column],
+    parent_span_id: Column | None = None,
+    kind: Column | None = None,
+    status_code: Column | None = None,
+    scope_name: str = "vector_spark",
+) -> Column:
+    """One span → one OTLP/JSON ExportTraceServiceRequest payload."""
+    span = F.struct(
+        trace_id.cast("string").alias("traceId"),
+        span_id.cast("string").alias("spanId"),
+        (parent_span_id if parent_span_id is not None else F.lit(None))
+        .cast("string")
+        .alias("parentSpanId"),
+        name.cast("string").alias("name"),
+        (kind if kind is not None else F.lit(1)).cast("int").alias("kind"),
+        (F.unix_micros(start_ts) * 1000).cast("string").alias("startTimeUnixNano"),
+        (F.unix_micros(end_ts) * 1000).cast("string").alias("endTimeUnixNano"),
+        F.struct(
+            (status_code if status_code is not None else F.lit(0))
+            .cast("int")
+            .alias("code")
+        ).alias("status"),
+    )
+    resource_span = F.struct(
+        F.struct(
+            F.array(*[_otlp_attr(k, v) for k, v in resource_attrs.items()]).alias(
+                "attributes"
+            )
+        ).alias("resource"),
+        F.array(
+            F.struct(
+                F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                F.array(span).alias("spans"),
+            )
+        ).alias("scopeSpans"),
+    )
+    return F.to_json(F.struct(F.array(resource_span).alias("resourceSpans")))
+
+
+def otlp_traces_to_events(df, payload_col: str = "payload"):
+    """OTLP/JSON trace payloads → flat span rows (narrow explode chain)."""
+    parsed = df.select(F.from_json(payload_col, OTLP_TRACES_SCHEMA).alias("o"))
+    rs = parsed.select(F.explode("o.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.col("rs.resource").alias("resource"), F.explode("rs.scopeSpans").alias("ss")
+    )
+    sp = ss.select("resource", F.explode("ss.spans").alias("s"))
+    return sp.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.col("s.parentSpanId").alias("parent_span_id"),
+        F.col("s.name").alias("name"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.startTimeUnixNano").cast("long").alias("start_unix_nano"),
+        F.col("s.endTimeUnixNano").cast("long").alias("end_unix_nano"),
+        F.col("s.status.code").alias("status_code"),
+        F.col("resource").alias("resource"),
+    )

@@ -1883,6 +1883,67 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "OTLP/JSON logs encode→decode round-trip",
     ),
+    # OTLP/JSON traces round-trip (opentelemetry source/sink family,
+    # trace signal — TraceEvent is structurally a log,
+    # lib/vector-core/src/event/trace.rs:19): synthesize one span per
+    # event, encode to ExportTraceServiceRequest JSON, decode back
+    # through the explode chain; hash-checked against SQL.
+    "otlp_traces_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (lambda codecs, ev: (lambda enc: codecs.otlp_traces_to_events(enc).select(
+            "trace_id",
+            "span_id",
+            "name",
+            "kind",
+            "start_unix_nano",
+            "end_unix_nano",
+            "status_code",
+            codecs.otlp_resource_attr(F.col("resource"), "service.name").alias(
+                "service_name"
+            ),
+        ))(
+            ev.select(
+                codecs.encode_otlp_traces(
+                    trace_id=F.md5(F.col("event_id").cast("string")),
+                    span_id=F.substring(
+                        F.md5(F.col("event_id").cast("string")), 1, 16
+                    ),
+                    name=F.col("event_type"),
+                    start_ts=F.col("ts"),
+                    # floor, not cast: Spark's double→long truncates while
+                    # DuckDB's rounds — IEEE floor is identical in both
+                    end_ts=F.timestamp_micros(
+                        F.unix_micros(F.col("ts"))
+                        + F.floor(F.col("value") * 1000).cast("long") * 1000
+                    ),
+                    kind=F.lit(2),
+                    status_code=F.when(F.col("value") > 150, 2).otherwise(0),
+                    resource_attrs={
+                        "service.name": F.concat(
+                            F.lit("svc-"), (F.col("user_id") % 10).cast("string")
+                        )
+                    },
+                ).alias("payload")
+            )
+        ))(
+            __import__(
+                "vector_spark.functions.codecs", fromlist=["otlp_traces_to_events"]
+            ),
+            load_table(spark, sf_dir, "events"),
+        ),
+        """
+        SELECT md5(CAST(event_id AS VARCHAR)) AS trace_id,
+               substring(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+               event_type AS name,
+               2 AS kind,
+               epoch_us(ts) * 1000 AS start_unix_nano,
+               (epoch_us(ts) + CAST(FLOOR(value * 1000) AS BIGINT) * 1000) * 1000
+                 AS end_unix_nano,
+               CASE WHEN value > 150 THEN 2 ELSE 0 END AS status_code,
+               concat('svc-', CAST(user_id % 10 AS VARCHAR)) AS service_name
+        FROM events
+        """,
+        "OTLP/JSON traces encode→decode round-trip",
+    ),
     # memory enrichment table (src/enrichment_tables/memory/config.rs:
     # writable KV, sink-updated, read as a broadcast join). Batch form of
     # the stream-updated table: writes applied in event order (last write
