@@ -347,3 +347,104 @@ def otlp_traces_to_events(df, payload_col: str = "payload"):
         F.col("s.status.code").alias("status_code"),
         F.col("resource").alias("resource"),
     )
+
+
+# OTLP metrics (JSON mapping): resourceMetrics[] → scopeMetrics[] →
+# metrics[] → gauge|sum{dataPoints[{timeUnixNano, asDouble}]}. Decoded
+# rows use the engine's tall metric shape (SURVEY §1.6: name, kind,
+# ts-nanos, value) — sum.isMonotonic+delta temporality maps to kind
+# 'incremental', gauge to 'absolute', feeding incremental_to_absolute.
+
+OTLP_METRICS_SCHEMA = (
+    "resourceMetrics array<struct<"
+    "resource:struct<attributes:array<struct<"
+    "key:string,value:struct<stringValue:string>>>>,"
+    "scopeMetrics:array<struct<"
+    "scope:struct<name:string>,"
+    "metrics:array<struct<"
+    "name:string,"
+    "gauge:struct<dataPoints:array<struct<"
+    "timeUnixNano:string,asDouble:double>>>,"
+    "sum:struct<isMonotonic:boolean,aggregationTemporality:int,"
+    "dataPoints:array<struct<timeUnixNano:string,asDouble:double>>>"
+    ">>>>>>"
+)
+
+
+def encode_otlp_metrics(
+    ts: Column,
+    name: Column,
+    value: Column,
+    kind: Column,
+    resource_attrs: dict[str, Column],
+    scope_name: str = "vector_spark",
+) -> Column:
+    """One metric sample → one OTLP/JSON ExportMetricsServiceRequest.
+    kind 'incremental' emits a monotonic delta sum, anything else a
+    gauge (the reference's MetricKind mapping)."""
+    point = F.struct(
+        (F.unix_micros(ts) * 1000).cast("string").alias("timeUnixNano"),
+        value.cast("double").alias("asDouble"),
+    )
+    is_incr = kind == "incremental"
+    metric = F.struct(
+        name.cast("string").alias("name"),
+        F.when(~is_incr, F.struct(F.array(point).alias("dataPoints"))).alias(
+            "gauge"
+        ),
+        F.when(
+            is_incr,
+            F.struct(
+                F.lit(True).alias("isMonotonic"),
+                F.lit(1).alias("aggregationTemporality"),  # DELTA
+                F.array(point).alias("dataPoints"),
+            ),
+        ).alias("sum"),
+    )
+    resource_metric = F.struct(
+        F.struct(
+            F.array(*[_otlp_attr(k, v) for k, v in resource_attrs.items()]).alias(
+                "attributes"
+            )
+        ).alias("resource"),
+        F.array(
+            F.struct(
+                F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                F.array(metric).alias("metrics"),
+            )
+        ).alias("scopeMetrics"),
+    )
+    return F.to_json(F.struct(F.array(resource_metric).alias("resourceMetrics")))
+
+
+def otlp_metrics_to_events(df, payload_col: str = "payload"):
+    """OTLP/JSON metric payloads → tall metric rows: one row per data
+    point, with kind derived from the variant (narrow explode chain)."""
+    parsed = df.select(F.from_json(payload_col, OTLP_METRICS_SCHEMA).alias("o"))
+    rm = parsed.select(F.explode("o.resourceMetrics").alias("rm"))
+    sm = rm.select(
+        F.col("rm.resource").alias("resource"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    )
+    m = sm.select("resource", F.explode("sm.metrics").alias("m"))
+    gauge = m.where(F.col("m.gauge").isNotNull()).select(
+        "resource",
+        F.col("m.name").alias("name"),
+        F.lit("absolute").alias("kind"),
+        F.explode("m.gauge.dataPoints").alias("p"),
+    )
+    mono = F.coalesce(F.col("m.sum.isMonotonic"), F.lit(False))
+    summ = m.where(F.col("m.sum").isNotNull()).select(
+        "resource",
+        F.col("m.name").alias("name"),
+        F.when(mono, "incremental").otherwise("absolute").alias("kind"),
+        F.explode("m.sum.dataPoints").alias("p"),
+    )
+    both = gauge.unionByName(summ)
+    return both.select(
+        "name",
+        "kind",
+        F.col("p.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("p.asDouble").alias("value"),
+        F.col("resource").alias("resource"),
+    )

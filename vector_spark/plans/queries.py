@@ -1944,6 +1944,51 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "OTLP/JSON traces encode→decode round-trip",
     ),
+    # OTLP/JSON metrics round-trip (metric signal): click/view events
+    # become monotonic delta sums (kind incremental), the rest gauges —
+    # the decode must recover the kind from the variant shape.
+    "otlp_metrics_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (lambda codecs, ev: codecs.otlp_metrics_to_events(
+            ev.select(
+                codecs.encode_otlp_metrics(
+                    ts=F.col("ts"),
+                    name=F.concat(F.lit("events_"), F.col("event_type")),
+                    value=F.col("value"),
+                    kind=F.when(
+                        F.col("event_type").isin("click", "view"), "incremental"
+                    ).otherwise("absolute"),
+                    resource_attrs={
+                        "service.name": F.concat(
+                            F.lit("svc-"), (F.col("user_id") % 10).cast("string")
+                        )
+                    },
+                ).alias("payload")
+            )
+        ).select(
+            "name",
+            "kind",
+            "time_unix_nano",
+            "value",
+            codecs.otlp_resource_attr(F.col("resource"), "service.name").alias(
+                "service_name"
+            ),
+        ))(
+            __import__(
+                "vector_spark.functions.codecs", fromlist=["otlp_metrics_to_events"]
+            ),
+            load_table(spark, sf_dir, "events"),
+        ),
+        """
+        SELECT concat('events_', event_type) AS name,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 'incremental' ELSE 'absolute' END AS kind,
+               epoch_us(ts) * 1000 AS time_unix_nano,
+               value,
+               concat('svc-', CAST(user_id % 10 AS VARCHAR)) AS service_name
+        FROM events
+        """,
+        "OTLP/JSON metrics encode→decode round-trip (gauge + delta sum)",
+    ),
     # memory enrichment table (src/enrichment_tables/memory/config.rs:
     # writable KV, sink-updated, read as a broadcast join). Batch form of
     # the stream-updated table: writes applied in event order (last write
