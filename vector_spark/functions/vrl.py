@@ -247,6 +247,27 @@ def ipv6_to_ipv4(c: Column) -> Column:
     ).otherwise(c)
 
 
+_TS_UNIT_FACTOR = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6,
+                   "nanoseconds": 10**9}
+
+
+def _to_unix_ts(c: Column, unit: str = "seconds") -> Column:
+    """VRL to_unix_timestamp(ts, unit:) — integer in the requested unit."""
+    if unit not in _TS_UNIT_FACTOR:
+        raise ValueError(f"to_unix_timestamp: unknown unit {unit!r}")
+    return (F.unix_micros(c) * 1000 / F.lit(10**9 // _TS_UNIT_FACTOR[unit])).cast(
+        "long"
+    )
+
+
+def _from_unix_ts(c: Column, unit: str = "seconds") -> Column:
+    """VRL from_unix_timestamp(n, unit:) — integer back to a timestamp."""
+    if unit not in _TS_UNIT_FACTOR:
+        raise ValueError(f"from_unix_timestamp: unknown unit {unit!r}")
+    micros = c.cast("long") * F.lit(10**6) / F.lit(_TS_UNIT_FACTOR[unit])
+    return F.timestamp_micros(micros.cast("long"))
+
+
 def _camelcase(c: Column) -> Column:
     pascal = F.regexp_replace(F.initcap(F.regexp_replace(c, "[-_]", " ")), " ", "")
     return F.concat(
@@ -483,6 +504,20 @@ VRL_FUNCTIONS.update(
         "to_syslog_facility": lambda c: _to_syslog_facility(c),
         # Timestamp wave 2
         "get_timezone_name": lambda: F.current_timezone(),
+        "to_unix_timestamp_unit": lambda c, unit="seconds": _to_unix_ts(c, unit),
+        "from_unix_timestamp_unit": lambda c, unit="seconds": _from_unix_ts(c, unit),
+        # Array predicates / base16
+        "includes_any": lambda arr, items: F.arrays_overlap(arr, items),
+        "includes_all": lambda arr, items: F.forall(
+            items, lambda x: F.array_contains(arr, x)
+        ),
+        "match_any": lambda arr, pattern: F.exists(arr, lambda x: x.rlike(pattern)),
+        "match_array": lambda arr, pattern: F.exists(
+            arr, lambda x: x.rlike(pattern)
+        ),
+        "encode_base16": lambda c: F.lower(F.hex(c.cast("binary"))),
+        "decode_base16": lambda c: F.unhex(c).cast("string"),
+        "parse_linux_authorization": lambda c: parse_syslog(c),
         # Timestamp extras
         "format_timestamp": lambda c, format: F.date_format(c, _strf(format)),
     }
