@@ -260,3 +260,42 @@ def test_chunked_gelf_reassembly(spark):
         r.message for r in reassemble_chunked_gelf(df, "payload").collect()
     )
     assert out == ['hello world', '{"version":"1.1","short_message":"plain"}']
+
+
+def test_prometheus_and_influx_encode_decode(spark):
+    """prometheus text exposition + influxdb line encode (reference
+    prometheus scrape source / influxdb sink)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.codecs import (
+        decode_prometheus_line,
+        encode_influxdb_line,
+        encode_prometheus_line,
+    )
+
+    df = spark.createDataFrame([("api", 2.5, 1700000000000)],
+                               "svc string, v double, ts_ms long")
+    line = df.select(
+        encode_prometheus_line(
+            name=F.lit("http_requests_total"),
+            value=F.col("v"),
+            labels={"svc": F.col("svc")},
+            ts_ms=F.col("ts_ms"),
+        ).alias("line")
+    )
+    assert line.collect()[0].line == (
+        'http_requests_total{svc="api"} 2.5 1700000000000'
+    )
+    d = line.select(decode_prometheus_line(F.col("line")).alias("d")).collect()[0].d
+    assert d.name == "http_requests_total" and dict(d.labels) == {"svc": "api"}
+    assert d.value == 2.5 and d.ts_ms == 1700000000000
+
+    influx = df.select(
+        encode_influxdb_line(
+            measurement=F.lit("cpu"),
+            fields={"usage": F.col("v")},
+            tags={"svc": F.col("svc")},
+            ts_ns=F.col("ts_ms") * 1000000,
+        ).alias("line")
+    ).collect()[0].line
+    assert influx == "cpu,svc=api usage=2.5 1700000000000000000"

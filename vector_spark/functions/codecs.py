@@ -448,3 +448,70 @@ def otlp_metrics_to_events(df, payload_col: str = "payload"):
         F.col("p.asDouble").alias("value"),
         F.col("resource").alias("resource"),
     )
+
+
+# prometheus text exposition format (reference src/sources/prometheus/
+# scrape parses this): `name{label="v",...} value [timestamp_ms]`
+_PROM_RE = (
+    r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+([-+]?[0-9.eE+NaInf]+)'
+    r"(?:\s+(\d+))?$"
+)
+
+
+def decode_prometheus_line(c: Column) -> Column:
+    """One exposition line → struct(name, labels map, value, ts_ms).
+    Comment/TYPE/HELP lines yield name '' (filter upstream)."""
+    labels_raw = F.regexp_extract(c, _PROM_RE, 2)
+    # label pairs: k="v" comma-separated; strip the quotes after split
+    labels = F.when(
+        labels_raw == "", F.map_from_arrays(F.array(), F.array())
+    ).otherwise(
+        F.transform_values(
+            F.str_to_map(labels_raw, F.lit(","), F.lit("=")),
+            lambda k, v: F.regexp_replace(v, '^"|"$', ""),
+        )
+    )
+    return F.struct(
+        F.regexp_extract(c, _PROM_RE, 1).alias("name"),
+        labels.alias("labels"),
+        F.regexp_extract(c, _PROM_RE, 3).try_cast("double").alias("value"),
+        F.regexp_extract(c, _PROM_RE, 4).try_cast("long").alias("ts_ms"),
+    )
+
+
+def encode_prometheus_line(
+    name: Column, value: Column, labels: dict[str, Column] | None = None,
+    ts_ms: Column | None = None,
+) -> Column:
+    """Metric row → exposition line (prometheus_exporter sink analog)."""
+    parts = [name.cast("string")]
+    if labels:
+        kv = [
+            F.concat(F.lit(f'{k}="'), v.cast("string"), F.lit('"'))
+            for k, v in labels.items()
+        ]
+        parts += [F.lit("{"), F.concat_ws(",", *kv), F.lit("}")]
+    parts += [F.lit(" "), value.cast("string")]
+    if ts_ms is not None:
+        parts += [F.lit(" "), ts_ms.cast("string")]
+    return F.concat(*parts)
+
+
+def encode_influxdb_line(
+    measurement: Column,
+    fields: dict[str, Column],
+    tags: dict[str, Column] | None = None,
+    ts_ns: Column | None = None,
+) -> Column:
+    """Metric row → InfluxDB line protocol (influxdb sink analog).
+    Numeric field values serialize bare; callers pre-escape specials."""
+    parts = [measurement.cast("string")]
+    for k, v in (tags or {}).items():
+        parts += [F.lit(f",{k}="), v.cast("string")]
+    fparts = [
+        F.concat(F.lit(f"{k}="), v.cast("string")) for k, v in fields.items()
+    ]
+    parts += [F.lit(" "), F.concat_ws(",", *fparts)]
+    if ts_ns is not None:
+        parts += [F.lit(" "), ts_ns.cast("string")]
+    return F.concat(*parts)

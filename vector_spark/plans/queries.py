@@ -1989,6 +1989,50 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "OTLP/JSON metrics encode→decode round-trip (gauge + delta sum)",
     ),
+    # prometheus text exposition round-trip (src/sources/prometheus
+    # scrape + prometheus_exporter sink): encode each event as a metric
+    # line with labels + ms timestamp, decode back, hash-check.
+    "prometheus_text_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (lambda codecs, ev: (lambda lines: lines.select(
+            F.col("d.name").alias("name"),
+            F.col("d.labels")["type"].alias("type_label"),
+            F.col("d.labels")["svc"].alias("svc_label"),
+            F.col("d.value").alias("value"),
+            F.col("d.ts_ms").alias("ts_ms"),
+        ))(
+            ev.select(
+                codecs.decode_prometheus_line(
+                    codecs.encode_prometheus_line(
+                        name=F.lit("events_value"),
+                        value=F.col("value"),
+                        labels={
+                            "type": F.col("event_type"),
+                            "svc": F.concat(
+                                F.lit("svc-"),
+                                (F.col("user_id") % 10).cast("string"),
+                            ),
+                        },
+                        ts_ms=(F.unix_micros(F.col("ts")) / 1000).cast("long"),
+                    )
+                ).alias("d")
+            )
+        ))(
+            __import__(
+                "vector_spark.functions.codecs",
+                fromlist=["decode_prometheus_line"],
+            ),
+            load_table(spark, sf_dir, "events"),
+        ),
+        """
+        SELECT 'events_value' AS name,
+               event_type AS type_label,
+               concat('svc-', CAST(user_id % 10 AS VARCHAR)) AS svc_label,
+               CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value,
+               epoch_us(ts) // 1000 AS ts_ms
+        FROM events
+        """,
+        "prometheus text exposition encode→decode round-trip",
+    ),
     # memory enrichment table (src/enrichment_tables/memory/config.rs:
     # writable KV, sink-updated, read as a broadcast join). Batch form of
     # the stream-updated table: writes applied in event order (last write
