@@ -310,3 +310,36 @@ def test_throttle_templated_key_field(spark):
     # 2 per composed key (api-us, db-us) admitted
     assert len(out) == 4
     assert "_tmpl_key" not in out[0].asDict()
+
+
+def test_source_decoding_codec(spark):
+    """The reference's per-source `decoding.codec` option: raw lines
+    decode at the source and the parsed fields land as event columns."""
+    from vector_spark.config.loader import build_topology, run_sinks
+
+    topo = build_topology(
+        spark,
+        {
+            "sources": {
+                "scrape": {
+                    "type": "values",
+                    "decoding": {"codec": "prometheus"},
+                    "rows": [
+                        {"seq": 1, "message": 'up{job="api"} 1 1700000000000'},
+                        {"seq": 2, "message": 'up{job="db"} 0 1700000000001'},
+                    ],
+                }
+            },
+            "transforms": {
+                "healthy": {
+                    "type": "filter",
+                    "inputs": ["scrape"],
+                    "condition": "value = 1.0",
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["healthy"]}},
+        },
+    )
+    rows = run_sinks(topo)["out"]["rows"]
+    assert len(rows) == 1
+    assert rows[0].name == "up" and rows[0].labels["job"] == "api"

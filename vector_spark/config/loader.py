@@ -133,7 +133,44 @@ def _validate(cfg: dict) -> tuple[dict, dict, dict]:
     return sources, transforms, sinks
 
 
+# per-source decode layer (the reference's `decoding.codec` source
+# option): codec name → parse the message column; struct results flatten
+# into top-level fields like the reference's decoded events
+_DECODE_CODECS = {
+    "syslog": ("vector_spark.functions.vrl", "parse_syslog", True),
+    "apache": ("vector_spark.functions.vrl", "parse_apache_log", True),
+    "nginx": ("vector_spark.functions.vrl", "parse_nginx_log", True),
+    "glog": ("vector_spark.functions.vrl", "parse_glog", True),
+    "cef": ("vector_spark.functions.vrl", "parse_cef", True),
+    "gelf": ("vector_spark.functions.codecs", "decode_gelf", True),
+    "statsd": ("vector_spark.functions.codecs", "decode_statsd", True),
+    "influxdb": ("vector_spark.functions.codecs", "decode_influxdb_line", True),
+    "prometheus": ("vector_spark.functions.codecs", "decode_prometheus_line", True),
+    "logfmt": ("vector_spark.functions.codecs", "decode_logfmt", False),
+}
+
+
+def _apply_decoding(df: DataFrame, cfg: dict) -> DataFrame:
+    dec = cfg.get("decoding")
+    if not dec:
+        return df
+    codec = dec["codec"] if isinstance(dec, dict) else dec
+    field = (dec.get("field", "message") if isinstance(dec, dict) else "message")
+    if codec not in _DECODE_CODECS:
+        raise TopologyError(f"unknown decoding codec {codec!r}")
+    mod, fn, is_struct = _DECODE_CODECS[codec]
+    decode = getattr(__import__(mod, fromlist=[fn]), fn)
+    parsed = df.withColumn("_decoded", decode(F.col(field)))
+    if is_struct:
+        return parsed.select("*", "_decoded.*").drop("_decoded")
+    return parsed.withColumnRenamed("_decoded", "decoded")
+
+
 def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
+    return _apply_decoding(_build_source_raw(spark, name, cfg), cfg)
+
+
+def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     stype = cfg.get("type", "parquet")
     if stype in ("parquet", "json", "csv", "text", "avro", "orc"):
         if stype == "parquet":
