@@ -190,6 +190,11 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
                 df = df.withColumn(
                     ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
                 )
+            elif fld.dataType.simpleString() == "timestamp_ntz":
+                # naive-as-UTC instant, session-tz-independent (tables.py)
+                df = df.withColumn(
+                    fld.name, F.expr(f"to_utc_timestamp({fld.name}, 'UTC')")
+                )
         return df
     if stype == "demo_logs":
         # synthetic generator (vector src/sources/demo_logs.rs:34)

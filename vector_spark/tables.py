@@ -32,15 +32,27 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table. The events table carries TIMESTAMP(NANOS) which Spark
-    has no native type for — we read nanos as long and truncate to
-    microsecond timestamps (Spark's native precision)."""
+    """Read one table, normalizing every timestamp flavor the driver's
+    generator has produced to plain TIMESTAMP (an instant, naive-as-UTC):
+
+    - TIMESTAMP(NANOS): Spark has no native type — read nanos as long and
+      truncate to microsecond timestamps (Spark's native precision).
+    - timestamp[us] without timezone: Spark 4 infers TIMESTAMP_NTZ.
+      `to_utc_timestamp(c, 'UTC')` maps the naive wall time to the same
+      instant DuckDB's naive `epoch()` assumes, independent of the session
+      timezone — so epoch arithmetic (`unix_micros`, `unix_timestamp`,
+      `window`) agrees with the oracle in ANY session, not just UTC ones.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             # integer div: ns values exceed double's exact range, no float detour
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(
+                f.name, F.expr(f"to_utc_timestamp({f.name}, 'UTC')")
+            )
     return df
 
 
