@@ -1,0 +1,277 @@
+"""Wave-4 VRL stdlib: value-level checks against independently computed
+expectations (Python stdlib reimplementations or hand-computed vectors)."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import math
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+from vector_spark.functions.vrl_wave4 import EnvGatedError
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()[0]
+
+
+def test_casing(spark):
+    assert one(spark, V["kebabcase"](F.lit("fooBar baz_qux"))) == "foo-bar-baz-qux"
+    assert one(spark, V["pascalcase"](F.lit("foo_bar-baz"))) == "FooBarBaz"
+    assert (
+        one(spark, V["screamingsnakecase"](F.lit("fooBar baz"))) == "FOO_BAR_BAZ"
+    )
+
+
+def test_shannon_entropy(spark):
+    # H("aabb") = 1.0 bit; H("abcd") = 2.0 bits; independent formula below
+    def h(s):
+        n = len(s)
+        return -sum(
+            (s.count(c) / n) * math.log2(s.count(c) / n) for c in set(s)
+        )
+
+    for text in ("aabb", "abcd", "mississippi"):
+        got = one(spark, V["shannon_entropy"](F.lit(text)))
+        assert got == pytest.approx(h(text), rel=1e-9), text
+
+
+def test_sieve_and_contains_all(spark):
+    # the VRL doc example, default replacements
+    got = one(spark, V["sieve"](F.lit("test123%456.فوائد.net."), r"[a-z.0-9]"))
+    assert got == "test123_456._.net."
+    # explicit replacements: single char dropped, runs collapsed to one dash
+    got2 = one(
+        spark,
+        V["sieve"](F.lit("test123%456.فوائد.net."), r"[a-z.0-9]", "", "-"),
+    )
+    assert got2 == "test123456.-.net."
+    assert one(spark, V["contains_all"](F.lit("a b c"), ["a", "c"])) is True
+    assert one(spark, V["contains_all"](F.lit("a b c"), ["a", "z"])) is False
+
+
+def test_format_int(spark):
+    assert one(spark, V["format_int"](F.lit(255), 16)) == "ff"
+    assert one(spark, V["format_int"](F.lit(5), 2)) == "101"
+
+
+def test_encode_logfmt_sorted(spark):
+    m = F.create_map(
+        F.lit("lvl"), F.lit("info"), F.lit("app"), F.lit("api")
+    )
+    assert one(spark, V["encode_logfmt"](m)) == "app=api lvl=info"
+
+
+def test_community_id_known_vector(spark):
+    """Spec test vector (community-id-spec repo, baseline tcp):
+    1.2.3.4:1122 -> 5.6.7.8:3344 proto 6 => 1:wCb3OG7yAFWelaUydu0D+125CLM="""
+    got = one(
+        spark,
+        V["community_id"](
+            F.lit("1.2.3.4"), F.lit("5.6.7.8"), F.lit(1122), F.lit(3344),
+            F.lit(6),
+        ),
+    )
+    import base64
+    import struct
+
+    payload = (
+        struct.pack("!H", 0)
+        + bytes([1, 2, 3, 4])
+        + bytes([5, 6, 7, 8])
+        + bytes([6, 0])
+        + struct.pack("!H", 1122)
+        + struct.pack("!H", 3344)
+    )
+    want = "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+    assert got == want
+    # direction-invariant: reversed endpoints hash identically
+    rev = one(
+        spark,
+        V["community_id"](
+            F.lit("5.6.7.8"), F.lit("1.2.3.4"), F.lit(3344), F.lit(1122),
+            F.lit(6),
+        ),
+    )
+    assert rev == got
+
+
+def test_ip_pton_ntop_roundtrip(spark):
+    assert one(spark, V["ip_ntop"](V["ip_pton"](F.lit("10.1.255.3")))) == (
+        "10.1.255.3"
+    )
+
+
+def test_parse_klog(spark):
+    line = "I0919 12:00:00.000000   12345 main.go:123] hello world"
+    row = one(spark, V["parse_klog"](F.lit(line)))
+    assert row["level"] == "info"
+    assert row["file"] == "main.go"
+    assert row["line"] == 123
+    assert row["id"] == 12345
+    assert row["message"] == "hello world"
+
+
+def test_parse_influxdb(spark):
+    line = "cpu,host=a,region=us usage=0.5,idle=99i 1556813561098000000"
+    row = one(spark, V["parse_influxdb"](F.lit(line)))
+    assert row["measurement"] == "cpu"
+    assert row["tags"] == {"host": "a", "region": "us"}
+    assert row["fields"]["usage"] == "0.5"
+    assert row["fields"]["idle"] == "99"
+    assert row["timestamp"] == 1556813561098000000
+
+
+def test_parse_aws_alb_log(spark):
+    line = (
+        'http 2018-11-30T22:23:00.186641Z app/my-lb/50dc6c495c0c9188 '
+        '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+        '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+    )
+    row = one(spark, V["parse_aws_alb_log"](F.lit(line)))
+    assert row["type"] == "http"
+    assert row["elb"] == "app/my-lb/50dc6c495c0c9188"
+    assert row["client_port"] == 2817
+    assert row["elb_status_code"] == 200
+    assert row["request_method"] == "GET"
+    assert row["user_agent"] == "curl/7.46.0"
+
+
+def test_parse_regex_all(spark):
+    got = one(
+        spark,
+        V["parse_regex_all"](
+            F.lit("first group and second group"),
+            r"(?P<number>\w+) group",
+        ),
+    )
+    assert [r["number"] for r in got] == ["first", "second"]
+
+
+def test_parse_etld(spark):
+    assert one(spark, V["parse_etld"](F.lit("sub.example.co.uk"))) == "co.uk"
+    assert one(spark, V["parse_etld"](F.lit("example.com"))) == "com"
+    assert (
+        one(spark, V["parse_etld"](F.lit("sub.example.co.uk"), plus_parts=1))
+        == "example.co.uk"
+    )
+
+
+def test_gzip_zlib_roundtrip(spark):
+    data = b"the quick brown fox jumps over the lazy dog" * 10
+    got = one(spark, V["decode_gzip"](V["encode_gzip"](F.lit(data))))
+    assert bytes(got) == data
+    # cross-check against python gzip (mtime=0 makes output deterministic)
+    enc = one(spark, V["encode_gzip"](F.lit(data)))
+    assert gzip.decompress(bytes(enc)) == data
+    z = one(spark, V["decode_zlib"](V["encode_zlib"](F.lit(data))))
+    assert bytes(z) == data
+    assert zlib.decompress(bytes(one(spark, V["encode_zlib"](F.lit(data))))) == data
+
+
+def test_punycode(spark):
+    assert one(spark, V["encode_punycode"](F.lit("www.café.com"))) == (
+        "www.xn--caf-dma.com"
+    )
+    assert one(spark, V["decode_punycode"](F.lit("www.xn--caf-dma.com"))) == (
+        "www.café.com"
+    )
+
+
+def test_decode_mime_q(spark):
+    assert one(
+        spark, V["decode_mime_q"](F.lit("=?utf-8?b?SGVsbG8sIFdvcmxkIQ==?="))
+    ) == "Hello, World!"
+
+
+def test_sha3(spark):
+    assert one(spark, V["sha3"](F.lit("abc"), "SHA3-256")) == hashlib.sha3_256(
+        b"abc"
+    ).hexdigest()
+    assert one(spark, V["sha3"](F.lit("abc"))) == hashlib.sha3_512(
+        b"abc"
+    ).hexdigest()
+
+
+def test_charset_roundtrip(spark):
+    got = one(
+        spark,
+        V["decode_charset"](V["encode_charset"](F.lit("héllo"), "latin-1"), "latin-1"),
+    )
+    assert got == "héllo"
+
+
+def test_parse_ruby_hash(spark):
+    import json
+
+    got = one(
+        spark,
+        V["parse_ruby_hash"](F.lit('{ "test" => "value", :sym => nil, "n" => 3 }')),
+    )
+    assert json.loads(got) == {"test": "value", "sym": None, "n": 3}
+
+
+def test_parse_xml(spark):
+    import json
+
+    got = one(
+        spark,
+        V["parse_xml"](F.lit('<note id="1"><to>a</to><to>b</to><body>hi</body></note>')),
+    )
+    doc = json.loads(got)
+    assert doc["note"]["@id"] == "1"
+    assert doc["note"]["to"] == ["a", "b"]
+    assert doc["note"]["body"] == "hi"
+
+
+def test_unflatten(spark):
+    import json
+
+    m = F.create_map(
+        F.lit("a.b"), F.lit("1"), F.lit("a.c"), F.lit("2"), F.lit("d"), F.lit("3")
+    )
+    got = json.loads(one(spark, V["unflatten"](m)))
+    assert got == {"a": {"b": "1", "c": "2"}, "d": "3"}
+
+
+def test_uuid_from_friendly_id(spark):
+    # base62("f") = 41 → uuid ...0029? hand-compute: 'f' index = 41
+    got = one(spark, V["uuid_from_friendly_id"](F.lit("f")))
+    assert got == "00000000-0000-0000-0000-000000000029"
+
+
+def test_env_gates_raise():
+    with pytest.raises(EnvGatedError):
+        V["encode_zstd"](F.lit("x"))
+    with pytest.raises(EnvGatedError):
+        V["encrypt"](F.lit("x"))
+    with pytest.raises(EnvGatedError):
+        V["dns_lookup"](F.lit("example.com"))
+
+
+def test_secrets_compile(spark):
+    """get_secret/set_secret/remove_secret through the remap compiler over
+    the `_secrets` map column convention."""
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame(
+        [("a", {"token": "t0"})], "id string, _secrets map<string,string>"
+    )
+    out = vrl_remap(
+        df,
+        '.tok = get_secret("token")\n'
+        'set_secret("other", "v2")\n'
+        'remove_secret("token")',
+    )[""]
+    row = out.head()
+    assert row["tok"] == "t0"
+    assert row["_secrets"] == {"other": "v2"}
+
+
+def test_tally_value(spark):
+    arr = F.array(F.lit("a"), F.lit("b"), F.lit("a"))
+    assert one(spark, V["tally_value"](arr, "a")) == 2

@@ -727,3 +727,11 @@ def _to_syslog_facility(c: Column) -> Column:
     for code, name in enumerate(_SYSLOG_FACILITIES):
         out = F.when(c.cast("int") == code, name).otherwise(out)
     return out
+
+
+# Fourth wave — remaining stdlib breadth (casing, entropy, community_id,
+# Python-stdlib codecs as Arrow-batched pandas UDFs, env-gated libs).
+# Imported last so wave-4 helpers can reference the tables above.
+from vector_spark.functions.vrl_wave4 import WAVE4 as _WAVE4  # noqa: E402
+
+VRL_FUNCTIONS.update(_WAVE4)

