@@ -1,0 +1,278 @@
+"""Pull/poll sources (exec, http_client, prometheus_scrape, host_metrics,
+static_metrics, stdin) and push sinks (http, socket, prometheus_exporter):
+real bytes through real endpoints, value-level assertions."""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sinks import http_sink, prometheus_exporter_sink, socket_sink
+from vector_spark.sources_pull import (
+    exec_source,
+    host_metrics_source,
+    http_client_source,
+    prometheus_scrape_source,
+    static_metrics_source,
+    stdin_source,
+)
+
+PROM_BODY = (
+    "# HELP up Is the target up\n"
+    "# TYPE up gauge\n"
+    'up{job="api",instance="a:9090"} 1\n'
+    'http_requests_total{job="api",code="200"} 1027\n'
+    "process_start_time_seconds 1234.5\n"
+)
+
+
+@pytest.fixture(scope="module")
+def http_fixture():
+    """One-thread HTTP server: GET serves canned bodies by path, POST
+    records bodies for the sink tests."""
+    posts: list[bytes] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            bodies = {
+                "/lines": "alpha\nbeta\ngamma\n",
+                "/array": json.dumps([{"a": 1}, {"a": 2}]),
+                "/metrics": PROM_BODY,
+            }
+            body = bodies.get(self.path, "").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            posts.append(self.rfile.read(n))
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", posts
+    srv.shutdown()
+
+
+def test_exec_source(spark):
+    df = exec_source(spark, "printf 'one\\ntwo\\nthree\\n'")
+    rows = df.orderBy("seq").collect()
+    assert [r["message"] for r in rows] == ["one", "two", "three"]
+    assert rows[0]["source_type"] == "exec"
+    assert rows[0]["ts"] is not None
+
+
+def test_exec_source_argv(spark):
+    df = exec_source(spark, ["echo", "hello world"])
+    assert df.head()["message"] == "hello world"
+
+
+def test_http_client_lines(spark, http_fixture):
+    base, _ = http_fixture
+    df = http_client_source(spark, base + "/lines")
+    assert [r["message"] for r in df.orderBy("seq").collect()] == [
+        "alpha", "beta", "gamma",
+    ]
+
+
+def test_http_client_json_array(spark, http_fixture):
+    base, _ = http_fixture
+    df = http_client_source(spark, base + "/array", decode="json_array")
+    msgs = [json.loads(r["message"]) for r in df.orderBy("seq").collect()]
+    assert msgs == [{"a": 1}, {"a": 2}]
+
+
+def test_prometheus_scrape(spark, http_fixture):
+    base, _ = http_fixture
+    df = prometheus_scrape_source(spark, base + "/metrics")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["up"]["value"] == 1.0
+    assert rows["up"]["tags"]["job"] == "api"
+    assert rows["http_requests_total"]["value"] == 1027.0
+    assert rows["http_requests_total"]["tags"]["code"] == "200"
+    assert rows["process_start_time_seconds"]["value"] == 1234.5
+    assert dict(rows["process_start_time_seconds"]["tags"] or {}) == {}
+
+
+def test_host_metrics(spark):
+    df = host_metrics_source(spark)
+    names = {r["name"] for r in df.collect()}
+    assert "memory_total_bytes" in names
+    assert "load1" in names
+    assert "cpu_seconds_total" in names
+    mem = df.where(F.col("name") == "memory_total_bytes").head()
+    assert mem["value"] > 1e8  # >100 MB of RAM exists
+    cpu = df.where(F.col("name") == "cpu_seconds_total").head()
+    assert cpu["kind"] == "incremental" and "cpu" in cpu["tags"]
+
+
+def test_static_metrics(spark):
+    df = static_metrics_source(
+        spark,
+        [
+            {"name": "build_info", "value": 1, "tags": {"version": "1.2"}},
+            {"name": "shards", "value": 16, "kind": "gauge"},
+        ],
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["build_info"]["tags"] == {"version": "1.2"}
+    assert rows["shards"]["value"] == 16.0
+
+
+def test_stdin_source(spark):
+    df = stdin_source(spark, io.StringIO("l1\nl2\n\nl3\n"))
+    assert [r["message"] for r in df.orderBy("seq").collect()] == [
+        "l1", "l2", "l3",
+    ]
+
+
+def test_http_sink_roundtrip(spark, http_fixture):
+    base, posts = http_fixture
+    posts.clear()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, message string"
+    )
+    sent = http_sink(df.coalesce(1), base + "/ingest", encoding="json")
+    assert sent == 3
+    got = [
+        json.loads(line)
+        for p in posts
+        for line in p.decode().splitlines()
+    ]
+    assert sorted(got, key=lambda r: r["id"]) == [
+        {"id": 1, "message": "a"},
+        {"id": 2, "message": "b"},
+        {"id": 3, "message": "c"},
+    ]
+
+
+def test_socket_sink_roundtrip(spark):
+    received: list[bytes] = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def accept_loop():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                while chunk := conn.recv(65536):
+                    received.append(chunk)
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+    df = spark.createDataFrame([("x",), ("y",)], "message string")
+    sent = socket_sink(df.coalesce(1), "127.0.0.1", port)
+    assert sent == 2
+    import time
+
+    for _ in range(50):
+        if b"".join(received).count(b"\n") >= 2:
+            break
+        time.sleep(0.1)
+    srv.close()
+    lines = b"".join(received).decode().splitlines()
+    assert sorted(lines) == ["x", "y"]
+
+
+def test_prometheus_exporter_sink(tmp_path, spark):
+    from vector_spark.functions.codecs import decode_prometheus_line
+
+    df = spark.createDataFrame(
+        [("reqs_total", {"code": "200"}, 10.0), ("up", {}, 1.0)],
+        "name string, tags map<string,string>, value double",
+    )
+    out = str(tmp_path / "metrics.prom")
+    n = prometheus_exporter_sink(df, out)
+    assert n == 2
+    # round-trip through the DECODE codec: the exposition lines parse back
+    back = (
+        spark.read.text(out)
+        .select(decode_prometheus_line(F.col("value")).alias("m"))
+        .select("m.name", F.col("m.labels").alias("tags"), "m.value")
+        .collect()
+    )
+    got = {r["name"]: r for r in back}
+    assert got["reqs_total"]["value"] == 10.0
+    assert got["reqs_total"]["tags"]["code"] == "200"
+    assert got["up"]["value"] == 1.0
+
+
+def test_poll_source_streaming(spark, tmp_path):
+    """The `poll` DataSource: an exec poll per micro-batch lands rows in a
+    memory sink."""
+    from vector_spark.sources_pull import register_poll_source
+
+    register_poll_source(spark)
+    stream = (
+        spark.readStream.format("poll")
+        .option("mode", "exec")
+        .option("command", "printf 'tick\\n'")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("poll_test")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from poll_test").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from poll_test").collect()
+        assert len(rows) >= 2  # at least two polls fired
+        assert all(r["message"] == "tick" for r in rows)
+        # seq strictly increasing across polls
+        seqs = sorted(r["seq"] for r in rows)
+        assert seqs == list(range(len(seqs)))
+    finally:
+        q.stop()
+
+
+def test_exec_topology_yaml(spark, tmp_path):
+    """exec source + http-style filter through the YAML front end."""
+    import yaml
+
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    cfg = {
+        "sources": {
+            "in": {"type": "exec", "command": "printf 'keep 1\\ndrop 2\\nkeep 3\\n'"}
+        },
+        "transforms": {
+            "only_keep": {
+                "type": "filter",
+                "inputs": ["in"],
+                "condition": "message like 'keep%'",
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["only_keep"]}},
+    }
+    path = tmp_path / "topo.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    topo = load_topology(spark, str(path))
+    rows = run_sinks(topo)["out"]["rows"]
+    assert sorted(r["message"] for r in rows) == ["keep 1", "keep 3"]

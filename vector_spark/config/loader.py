@@ -245,6 +245,54 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.streaming.pipeline import socket_source
 
         return socket_source(spark, cfg["host"], int(cfg["port"]))
+    if stype == "exec":
+        from vector_spark.sources_pull import exec_source
+
+        return exec_source(
+            spark,
+            cfg["command"],
+            timeout_secs=float(cfg.get("timeout_secs", 30)),
+            include_stderr=bool(cfg.get("include_stderr", False)),
+        )
+    if stype == "http_client":
+        from vector_spark.sources_pull import http_client_source
+
+        return http_client_source(
+            spark,
+            cfg["url"],
+            decode=cfg.get("decode", "lines"),
+            timeout_secs=float(cfg.get("timeout_secs", 10)),
+            headers=cfg.get("headers"),
+        )
+    if stype == "prometheus_scrape":
+        from vector_spark.sources_pull import prometheus_scrape_source
+
+        return prometheus_scrape_source(spark, cfg["url"])
+    if stype == "host_metrics":
+        from vector_spark.sources_pull import host_metrics_source
+
+        return host_metrics_source(
+            spark, tuple(cfg.get("collectors", ("cpu", "memory", "load", "network")))
+        )
+    if stype == "static_metrics":
+        from vector_spark.sources_pull import static_metrics_source
+
+        return static_metrics_source(spark, cfg["metrics"])
+    if stype == "stdin":
+        from vector_spark.sources_pull import stdin_source
+
+        return stdin_source(spark)
+    if stype == "poll":
+        # streaming interval scrape: exec / http_client re-polled per
+        # micro-batch (trigger interval = scrape interval)
+        from vector_spark.sources_pull import register_poll_source
+
+        register_poll_source(spark)
+        reader = spark.readStream.format("poll")
+        for k in ("mode", "command", "url", "decode", "min_interval_secs"):
+            if cfg.get(k) is not None:
+                reader = reader.option(k, str(cfg[k]))
+        return reader.load()
     if stype in ("syslog_tcp", "statsd_udp", "http_server"):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/) via the Python DataSource API
@@ -589,6 +637,43 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {"rows": df.collect()}
         elif stype == "blackhole":
             results[name] = {"count": df.count()}
+        elif stype == "http":
+            from vector_spark.sinks import http_sink
+
+            results[name] = {
+                "sent": http_sink(
+                    df,
+                    cfg["url"],
+                    encoding=cfg.get("encoding", "json"),
+                    value_col=cfg.get("value_col", "message"),
+                    batch_max_events=int(cfg.get("batch_max_events", 500)),
+                )
+            }
+        elif stype == "socket":
+            from vector_spark.sinks import socket_sink
+
+            results[name] = {
+                "sent": socket_sink(
+                    df,
+                    cfg["host"],
+                    int(cfg["port"]),
+                    encoding=cfg.get("encoding", "text"),
+                    value_col=cfg.get("value_col", "message"),
+                )
+            }
+        elif stype == "prometheus_exporter":
+            from vector_spark.sinks import prometheus_exporter_sink
+
+            results[name] = {
+                "written": prometheus_exporter_sink(
+                    df,
+                    cfg["path"],
+                    name_col=cfg.get("name_col", "name"),
+                    value_col=cfg.get("value_col", "value"),
+                    tags_col=cfg.get("tags_col", "tags"),
+                ),
+                "path": cfg["path"],
+            }
         else:
             raise TopologyError(f"{name}: unknown sink type {stype!r}")
     return results
@@ -641,6 +726,23 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
                 checkpoint=cfg["checkpoint"],
                 value_col=cfg.get("value_col", "message"),
                 key_col=cfg.get("key_col"),
+            )
+        elif stype == "http":
+            from vector_spark.sinks import http_stream_sink
+
+            queries[name] = http_stream_sink(
+                df,
+                cfg["url"],
+                checkpoint=cfg["checkpoint"],
+                encoding=cfg.get("encoding", "json"),
+                value_col=cfg.get("value_col", "message"),
+                trigger_secs=int(cfg.get("trigger_secs", 1)),
+            )
+        elif stype == "blackhole":
+            queries[name] = (
+                df.writeStream.format("noop")
+                .option("checkpointLocation", cfg["checkpoint"])
+                .start()
             )
         elif stype == "demux":
             from vector_spark.streaming.pipeline import demux_sink

@@ -497,6 +497,22 @@ def encode_prometheus_line(
     return F.concat(*parts)
 
 
+def encode_prometheus_line_map(
+    name: Column, tags: Column, value: Column
+) -> Column:
+    """Exposition line from a map<string,string> tag column (the dynamic
+    form sinks need; labels sorted for deterministic output)."""
+    kv = F.transform(
+        F.array_sort(F.map_entries(F.coalesce(tags, F.map_from_arrays(F.array(), F.array())))),
+        lambda e: F.concat(e["key"], F.lit('="'), e["value"].cast("string"), F.lit('"')),
+    )
+    braced = F.when(
+        F.size(kv) > 0,
+        F.concat(F.lit("{"), F.array_join(kv, ","), F.lit("}")),
+    ).otherwise(F.lit(""))
+    return F.concat(name.cast("string"), braced, F.lit(" "), value.cast("string"))
+
+
 def encode_influxdb_line(
     measurement: Column,
     fields: dict[str, Column],

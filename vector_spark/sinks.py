@@ -124,3 +124,164 @@ def templated_stream_sink(
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+
+
+# ---- push sinks: http / socket / prometheus exporter --------------------
+# Reference: `src/sinks/http/`, `src/sinks/socket.rs`,
+# `src/sinks/prometheus/exporter.rs`. Spark shape: encode rows to lines
+# JVM-side (to_json / the codec layer), then push per PARTITION from the
+# executors — connections are per-partition, batching is per-partition
+# chunks, and nothing funnels through the driver.
+
+
+def _rows_to_lines(df: DataFrame, encoding: str, value_col: str) -> DataFrame:
+    if encoding == "json":
+        return df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    if encoding == "text":
+        return df.select(F.col(value_col).cast("string").alias("line"))
+    raise ValueError(f"unknown encoding {encoding!r}")
+
+
+def http_sink(
+    df: DataFrame,
+    url: str,
+    encoding: str = "json",
+    value_col: str = "message",
+    batch_max_events: int = 500,
+    timeout_secs: float = 10.0,
+    content_type: str = "application/x-ndjson",
+) -> int:
+    """POST newline-batched events to `url` from each partition
+    (src/sinks/http/config.rs; batch limits src/sinks/util/batch.rs).
+    Returns the number of events sent (spark-side count)."""
+    lines = _rows_to_lines(df, encoding, value_col)
+
+    def send_partition(rows) -> None:
+        import urllib.request
+
+        buf: list[str] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode()
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": content_type}
+            )
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            buf.clear()
+
+        for row in rows:
+            buf.append(row["line"])
+            if len(buf) >= batch_max_events:
+                flush()
+        flush()
+
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_and_count(rows) -> None:
+        n = 0
+
+        def counting(it):
+            nonlocal n
+            for r in it:
+                n += 1
+                yield r
+
+        send_partition(counting(rows))
+        sent.add(n)
+
+    lines.foreachPartition(send_and_count)
+    return sent.value
+
+
+def socket_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    encoding: str = "text",
+    value_col: str = "message",
+    timeout_secs: float = 10.0,
+) -> int:
+    """Newline-framed TCP push, one connection per partition
+    (src/sinks/socket.rs)."""
+    lines = _rows_to_lines(df, encoding, value_col)
+
+    def send_partition(rows) -> None:
+        import socket as _socket
+
+        first = True
+        sock = None
+        try:
+            for row in rows:
+                if first:
+                    sock = _socket.create_connection(
+                        (host, port), timeout=timeout_secs
+                    )
+                    first = False
+                sock.sendall((row["line"] + "\n").encode())
+        finally:
+            if sock is not None:
+                sock.close()
+
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_and_count(rows) -> None:
+        n = 0
+
+        def counting(it):
+            nonlocal n
+            for r in it:
+                n += 1
+                yield r
+
+        send_partition(counting(rows))
+        sent.add(n)
+
+    lines.foreachPartition(send_and_count)
+    return sent.value
+
+
+def prometheus_exporter_sink(
+    df: DataFrame,
+    path: str,
+    name_col: str = "name",
+    value_col: str = "value",
+    tags_col: str = "tags",
+) -> int:
+    """Render metric rows in the text exposition format to a .prom file
+    (src/sinks/prometheus/exporter.rs; the file form is the node-exporter
+    textfile-collector convention — an HTTP exporter would serve the same
+    bytes). One text-file write job, no driver collect."""
+    from vector_spark.functions.codecs import encode_prometheus_line_map
+
+    lines = df.select(
+        encode_prometheus_line_map(
+            F.col(name_col), F.col(tags_col), F.col(value_col)
+        ).alias("value")
+    )
+    count = lines.count()
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    return count
+
+
+def http_stream_sink(
+    df: DataFrame,
+    url: str,
+    checkpoint: str,
+    encoding: str = "json",
+    value_col: str = "message",
+    trigger_secs: int = 1,
+):
+    """Streaming http sink: per-micro-batch POST via foreachBatch (the
+    checkpointed epoch is the delivery unit, as with the other sinks)."""
+
+    def _handle(batch_df: DataFrame, epoch_id: int) -> None:
+        http_sink(batch_df, url, encoding=encoding, value_col=value_col)
+
+    return (
+        df.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )

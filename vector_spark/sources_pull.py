@@ -1,0 +1,325 @@
+"""Pull/poll-style sources: exec, http_client, prometheus_scrape,
+host_metrics, static_metrics, stdin.
+
+Reference components (all in `/root/reference/src/sources/`):
+- `exec/mod.rs` — run a command, each stdout line becomes an event;
+  scheduled mode re-runs on an interval, streaming mode tails a
+  long-running process.
+- `http_client/client.rs` — poll an HTTP endpoint on an interval, decode
+  the body (lines / JSON array).
+- `prometheus/scrape.rs` — http_client specialized to the text
+  exposition format.
+- `host_metrics/mod.rs` — cpu/memory/load/network gauges of the local
+  host.
+- `static_metrics.rs` — constant metrics from config.
+- `file_descriptors/` (stdin) — read lines from stdin once.
+
+Spark shape: each source has a BATCH snapshot builder (one poll →
+DataFrame, used by the batch topology runner and tests) and the
+streaming form is the registered `poll` Python DataSource
+(`PollDataSource`), whose reader re-polls once per micro-batch — the
+exact analog of the reference's interval scraping; the trigger interval
+IS the scrape interval. Polls run driver-side (they are one fetch per
+interval, not data-plane work); rows then distribute to executors for
+the transform pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+LINES_SCHEMA = "seq bigint, ts timestamp, message string, source_type string"
+
+
+def _lines_df(spark: SparkSession, lines: list[str], source_type: str) -> DataFrame:
+    rows = [(i, line, source_type) for i, line in enumerate(lines)]
+    df = spark.createDataFrame(rows, "seq bigint, message string, source_type string")
+    return df.select(
+        "seq", F.current_timestamp().alias("ts"), "message", "source_type"
+    )
+
+
+# ---- exec ---------------------------------------------------------------
+
+def exec_source(
+    spark: SparkSession,
+    command: list[str] | str,
+    timeout_secs: float = 30.0,
+    include_stderr: bool = False,
+) -> DataFrame:
+    """One run of `command`; each stdout line → one event
+    (src/sources/exec/mod.rs, scheduled mode's single tick)."""
+    argv = command if isinstance(command, list) else ["sh", "-c", command]
+    proc = subprocess.run(
+        argv,
+        capture_output=True,
+        text=True,
+        timeout=timeout_secs,
+        check=False,
+    )
+    text = proc.stdout + (proc.stderr if include_stderr else "")
+    lines = [ln for ln in text.splitlines() if ln]
+    return _lines_df(spark, lines, "exec")
+
+
+# ---- http_client / prometheus_scrape ------------------------------------
+
+def _http_get(url: str, timeout_secs: float = 10.0, headers: dict | None = None) -> str:
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def http_client_source(
+    spark: SparkSession,
+    url: str,
+    decode: str = "lines",
+    timeout_secs: float = 10.0,
+    headers: dict | None = None,
+) -> DataFrame:
+    """One poll of `url` (src/sources/http_client/client.rs).
+    decode: 'lines' (newline-delimited events), 'json_array' (each array
+    element one event, re-encoded as a JSON string for downstream
+    parse_json), or 'body' (whole body, one event)."""
+    body = _http_get(url, timeout_secs, headers)
+    if decode == "lines":
+        lines = [ln for ln in body.splitlines() if ln]
+    elif decode == "json_array":
+        import json
+
+        items = json.loads(body)
+        if not isinstance(items, list):
+            items = [items]
+        lines = [json.dumps(item, sort_keys=True) for item in items]
+    elif decode == "body":
+        lines = [body] if body else []
+    else:
+        raise ValueError(f"http_client: unknown decode {decode!r}")
+    return _lines_df(spark, lines, "http_client")
+
+
+def prometheus_scrape_source(
+    spark: SparkSession, url: str, timeout_secs: float = 10.0
+) -> DataFrame:
+    """Scrape + decode the text exposition format into metric rows
+    (src/sources/prometheus/scrape.rs); reuses the prometheus line codec."""
+    from vector_spark.functions.codecs import decode_prometheus_line
+
+    raw = http_client_source(spark, url, decode="lines", timeout_secs=timeout_secs)
+    data = raw.where(~F.col("message").startswith("#"))
+    parsed = data.select(
+        "seq", "ts", decode_prometheus_line(F.col("message")).alias("m")
+    )
+    return parsed.select(
+        "seq",
+        "ts",
+        F.col("m.name").alias("name"),
+        F.col("m.labels").alias("tags"),
+        F.col("m.value").alias("value"),
+    ).where(F.col("name").isNotNull() & (F.col("name") != ""))
+
+
+# ---- host_metrics -------------------------------------------------------
+
+METRIC_SCHEMA = (
+    "name string, namespace string, tags map<string,string>, kind string, "
+    "value double"
+)
+
+
+def _proc_host_metrics(collectors: tuple[str, ...]) -> list[tuple]:
+    """Read /proc — the same counters the reference's heim-based
+    collectors expose (src/sources/host_metrics/{cpu,memory,network}.rs)."""
+    rows: list[tuple] = []
+
+    def add(name: str, value: float, tags: dict | None = None, kind: str = "gauge"):
+        rows.append((name, "host", tags or {}, kind, float(value)))
+
+    if "cpu" in collectors:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3:4].isdigit():
+                    parts = line.split()
+                    cpu = parts[0]
+                    names = ("user", "nice", "system", "idle", "iowait")
+                    for mode, val in zip(names, parts[1:6]):
+                        add(
+                            "cpu_seconds_total",
+                            int(val) / os.sysconf("SC_CLK_TCK"),
+                            {"cpu": cpu[3:], "mode": mode},
+                            kind="incremental",
+                        )
+    if "memory" in collectors:
+        want = {
+            "MemTotal": "memory_total_bytes",
+            "MemFree": "memory_free_bytes",
+            "MemAvailable": "memory_available_bytes",
+            "Buffers": "memory_buffers_bytes",
+            "Cached": "memory_cached_bytes",
+            "SwapTotal": "memory_swap_total_bytes",
+            "SwapFree": "memory_swap_free_bytes",
+        }
+        with open("/proc/meminfo") as f:
+            for line in f:
+                key = line.split(":")[0]
+                if key in want:
+                    add(want[key], int(line.split()[1]) * 1024)
+    if "load" in collectors:
+        with open("/proc/loadavg") as f:
+            one, five, fifteen = f.read().split()[:3]
+        add("load1", float(one))
+        add("load5", float(five))
+        add("load15", float(fifteen))
+    if "network" in collectors:
+        with open("/proc/net/dev") as f:
+            for line in f.readlines()[2:]:
+                iface, data = line.split(":")
+                fields = data.split()
+                tags = {"device": iface.strip()}
+                add("network_receive_bytes_total", int(fields[0]), tags,
+                    kind="incremental")
+                add("network_transmit_bytes_total", int(fields[8]), tags,
+                    kind="incremental")
+    return rows
+
+
+def host_metrics_source(
+    spark: SparkSession,
+    collectors: tuple[str, ...] = ("cpu", "memory", "load", "network"),
+) -> DataFrame:
+    """Snapshot of local host gauges/counters as metric-schema rows.
+    Reads the DRIVER's /proc — same single-host semantics as the
+    reference agent; on a cluster each executor host would run its own
+    agent topology."""
+    rows = _proc_host_metrics(collectors)
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
+
+
+def static_metrics_source(spark: SparkSession, metrics: list[dict]) -> DataFrame:
+    """Constant metrics from config (src/sources/static_metrics.rs)."""
+    rows = [
+        (
+            m["name"],
+            m.get("namespace", "static"),
+            dict(m.get("tags") or {}),
+            m.get("kind", "gauge"),
+            float(m.get("value", 0.0)),
+        )
+        for m in metrics
+    ]
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
+
+
+# ---- stdin / file descriptors -------------------------------------------
+
+def stdin_source(spark: SparkSession, stream=None) -> DataFrame:
+    """Read all lines from stdin (or any file-like) once —
+    src/sources/file_descriptors/ (stdin variant). Batch-only by nature."""
+    stream = stream if stream is not None else sys.stdin
+    lines = [ln.rstrip("\n") for ln in stream if ln.strip()]
+    return _lines_df(spark, lines, "stdin")
+
+
+# ---- streaming: the `poll` DataSource -----------------------------------
+
+class _PollStreamReader(SimpleDataSourceStreamReader):
+    """Re-poll once per micro-batch. Offsets are (batch ordinal, rows
+    emitted); each poll's rows are NEW events (a scrape is a snapshot, so
+    recovery re-polls rather than replaying — matching the reference,
+    where a missed scrape interval is simply missed)."""
+
+    def __init__(self, options: dict) -> None:
+        self.mode = options.get("mode", "exec")
+        self.command = options.get("command")
+        self.url = options.get("url")
+        self.decode = options.get("decode", "lines")
+        self.min_interval = float(options.get("min_interval_secs", 0.0))
+        self._last_poll = 0.0
+
+    def __getstate__(self) -> dict:
+        return {
+            "mode": self.mode,
+            "command": self.command,
+            "url": self.url,
+            "decode": self.decode,
+            "min_interval": self.min_interval,
+        }
+
+    def __setstate__(self, d: dict) -> None:
+        self.__dict__.update(d)
+        self._last_poll = 0.0
+
+    def _poll(self) -> list[str]:
+        if self.mode == "exec":
+            proc = subprocess.run(
+                ["sh", "-c", self.command], capture_output=True, text=True,
+                timeout=30, check=False,
+            )
+            return [ln for ln in proc.stdout.splitlines() if ln]
+        body = _http_get(self.url)
+        if self.decode == "lines":
+            return [ln for ln in body.splitlines() if ln]
+        return [body] if body else []
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0, "seq": 0}
+
+    def read(self, start: dict) -> tuple:
+        now = time.monotonic()
+        if self.min_interval and now - self._last_poll < self.min_interval:
+            return iter(()), start
+        self._last_poll = now
+        try:
+            lines = self._poll()
+        except Exception:
+            lines = []  # a failed scrape emits nothing; next tick retries
+        base = start["seq"]
+        now_ts = datetime.datetime.now()
+        rows = [
+            (base + i, now_ts, line, f"poll_{self.mode}")
+            for i, line in enumerate(lines)
+        ]
+        end = {"batch": start["batch"] + 1, "seq": base + len(rows)}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # snapshot semantics: a replayed range cannot be re-observed;
+        # emit nothing (documented delta vs WAL-backed push sources)
+        return iter(())
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class PollDataSource(DataSource):
+    """format('poll'): exec / http_client / prometheus scrape driver.
+    options: mode=exec|http, command=..., url=..., decode=lines|body."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "poll"
+
+    def schema(self) -> str:
+        return LINES_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _PollStreamReader:
+        return _PollStreamReader(self.options)
+
+
+def register_poll_source(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(PollDataSource)
+    except Exception:
+        pass  # already registered
