@@ -71,9 +71,12 @@ def documents_as_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_image(data: bytes) -> "object":
-    """STUB — image decode requires a codec library not present here.
-    Replace with PIL/turbojpeg on a real cluster."""
-    raise NotImplementedError("image decode requires a codec library (e.g. PIL)")
+    """REAL for PNG / netpbm / BMP (pure stdlib+numpy decoders in
+    dataops/media_codecs.py; PIL extends coverage when present). JPEG and
+    video remain env-gated — entropy coding needs a codec library."""
+    from vector_spark.dataops.media_codecs import decode_image as _decode
+
+    return _decode(data)
 
 
 def _fake_decode_features(data: bytes) -> tuple[float, float]:
@@ -86,24 +89,55 @@ def _fake_decode_features(data: bytes) -> tuple[float, float]:
     return a, b
 
 
+def _real_features(data: bytes) -> tuple[float, float] | None:
+    """REAL feature extraction for decodable payloads: images → pixel
+    mean/std normalized to [0,1]; WAV audio → RMS and duration. Returns
+    None when the payload isn't a decodable media format (the synthetic
+    text fixtures fall back to the deterministic digest stand-in so the
+    oracle value-hash stays stable)."""
+    from vector_spark.dataops import media_codecs as mc
+
+    kind = mc.sniff_media(data)
+    try:
+        if kind in ("image/png", "image/x-portable-anymap", "image/bmp"):
+            img = mc.decode_image(data)
+            flat = img.astype("float64") / 255.0
+            return float(flat.mean()), float(flat.std())
+        if kind == "audio/wav":
+            rate, samples = mc.decode_wav(data)
+            x = samples.astype("float64") / 32768.0
+            rms = float((x**2).mean() ** 0.5)
+            duration = samples.shape[0] / rate if rate else 0.0
+            return rms, float(duration)
+    except ValueError:
+        return None
+    return None
+
+
 def extract_features(
     assets: DataFrame, batch_size_hint: int = 256, strict: bool = False
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    strict=True uses the real decoder hooks (NotImplementedError here);
-    strict=False uses the deterministic fake, keeping plumbing testable.
-    """
+    Decodable media (PNG/netpbm/BMP/WAV — real pure-stdlib decoders) gets
+    REAL features; unrecognized payloads use the deterministic digest
+    stand-in (strict=True raises for them instead)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             datas = [
                 bytes(d) if d is not None else b"" for d in pdf["data"].to_numpy()
             ]
-            if strict:
-                for d in datas:
-                    decode_image(d)  # NotImplementedError by design
-            feats = [_fake_decode_features(d) for d in datas]
+            feats = []
+            for d in datas:
+                real = _real_features(d)
+                if real is None and strict:
+                    raise ValueError(
+                        "payload is not a decodable media format "
+                        "(PNG/netpbm/BMP/WAV here; JPEG/video need a codec "
+                        "library)"
+                    )
+                feats.append(real if real is not None else _fake_decode_features(d))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
@@ -117,6 +151,44 @@ def extract_features(
             )
 
     return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (netpbm) via
+    mapInPandas; non-image payloads pass through untouched. Output keeps
+    the asset envelope with refreshed data/width/height."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vector_spark.dataops import media_codecs as mc
+
+        for pdf in batches:
+            out_data, out_wc, out_hc, out_mt = [], [], [], []
+            for d, mt in zip(pdf["data"], pdf["media_type"]):
+                raw = bytes(d) if d is not None else b""
+                kind = mc.sniff_media(raw)
+                if kind in ("image/png", "image/x-portable-anymap", "image/bmp"):
+                    img = mc.resize_nearest(mc.decode_image(raw), out_w, out_h)
+                    out_data.append(mc.encode_ppm(img))
+                    out_wc.append(out_w)
+                    out_hc.append(out_h)
+                    out_mt.append("image/x-portable-anymap")
+                else:
+                    out_data.append(raw)
+                    out_wc.append(None)
+                    out_hc.append(None)
+                    out_mt.append(mt)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": out_mt,
+                    "data": out_data,
+                    "width": pd.array(out_wc, dtype="Int32"),
+                    "height": pd.array(out_hc, dtype="Int32"),
+                    "duration_s": pdf["duration_s"],
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=ASSET_SCHEMA)
 
 
 def asset_metadata(assets: DataFrame) -> DataFrame:
