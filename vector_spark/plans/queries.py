@@ -2103,4 +2103,67 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh, _ORACLE_ANN_RECALL, "LSH ANN recall gate vs exact"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_RECALL, "IVF ANN recall gate vs exact"),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
+    # Wave-4 VRL surface under the value gate: casing, format_int radix,
+    # shannon_entropy (nested higher-order lambdas on BOTH engines),
+    # sieve (char-class form so the RE2 oracle needs no lookahead),
+    # encode_key_value sorted-field join. All one codegen'd projection.
+    "vrl_program_v3": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda V, ev: ev.select(
+                "event_id",
+                V["kebabcase"](
+                    F.concat(F.col("event_type"), F.lit("Event"))
+                ).alias("slug"),
+                V["pascalcase"](F.col("event_type")).alias("pascal"),
+                V["format_int"](F.col("event_id"), 16).alias("hexval"),
+                F.round(V["shannon_entropy"](F.col("event_type")), 6).alias(
+                    "ent"
+                ),
+                V["sieve"](
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit("%%"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    "[a-z0-9-]",
+                    "-",
+                    "-",
+                ).alias("sig"),
+                V["encode_key_value"](
+                    F.create_map(
+                        F.lit("type"), F.col("event_type"),
+                        F.lit("band"),
+                        F.when(F.col("value") > 100, "hi").otherwise("lo"),
+                    )
+                ).alias("kv"),
+            )
+        )(
+            __import__(
+                "vector_spark.functions.vrl", fromlist=["VRL_FUNCTIONS"]
+            ).VRL_FUNCTIONS,
+            _t(spark, sf_dir, "events"),
+        ),
+        """
+        SELECT event_id,
+               lower(regexp_replace(regexp_replace(event_type || 'Event',
+                     '([a-z0-9])([A-Z])', '\\1-\\2', 'g'), '[_ ]+', '-', 'g'))
+                 AS slug,
+               list_aggregate(list_transform(string_split(event_type, '_'),
+                     w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+                     'string_agg', '') AS pascal,
+               printf('%x', event_id) AS hexval,
+               round((SELECT -SUM(p * log2(p)) FROM (
+                   SELECT count(*)::DOUBLE / length(event_type) AS p
+                   FROM unnest(string_split(event_type, '')) AS t(ch)
+                   GROUP BY ch)), 6) AS ent,
+               regexp_replace(regexp_replace(
+                     event_type || '%%' || CAST(user_id AS VARCHAR),
+                     '[^a-z0-9-]{2,}', '-', 'g'), '[^a-z0-9-]', '-', 'g')
+                 AS sig,
+               'band=' || (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
+                 || ' type=' || event_type AS kv
+        FROM events
+        """,
+        "wave-4 VRL: casing/format_int/entropy/sieve/encode_key_value",
+    ),
 }
