@@ -83,17 +83,58 @@ class Topology:
         return self.outputs[ref]
 
 
+_ENV_RE = None
+
+
+def interpolate_env(text: str, env: dict | None = None) -> str:
+    """Vector's config env interpolation (src/config/loading/mod.rs and
+    docs: `${VAR}`, `${VAR:-default}` with empty-or-unset, `${VAR-default}`
+    unset-only, `$VAR` bare; `$$` escapes a literal `$`). Unset variables
+    without a default raise — same strictness as the reference."""
+    import os
+    import re
+
+    global _ENV_RE
+    if _ENV_RE is None:
+        _ENV_RE = re.compile(
+            r"\$\$|\$\{([A-Za-z_][A-Za-z0-9_]*)(?:(:?-)([^}]*))?\}"
+            r"|\$([A-Za-z_][A-Za-z0-9_]*)"
+        )
+    env = os.environ if env is None else env
+
+    def repl(m: "re.Match[str]") -> str:
+        if m.group(0) == "$$":
+            return "$"
+        name = m.group(1) or m.group(4)
+        op, default = m.group(2), m.group(3)
+        val = env.get(name)
+        if op == ":-" and not val:  # unset OR empty
+            return default
+        if op == "-" and val is None:  # unset only
+            return default
+        if val is None:
+            raise TopologyError(
+                f"missing environment variable {name!r} (use "
+                f"${{{name}:-default}} for a fallback)"
+            )
+        return val
+
+    return _ENV_RE.sub(repl, text)
+
+
 def load_topology(spark: SparkSession, path_or_yaml: str) -> Topology:
-    """Load a topology from a YAML file path or YAML string."""
+    """Load a topology from a YAML file path or YAML string; `${VAR}`
+    forms interpolate from the environment before parsing."""
     import os
 
     import yaml
 
     if os.path.exists(path_or_yaml):
         with open(path_or_yaml) as f:
-            cfg = yaml.safe_load(f)
+            text = f.read()
     else:
-        cfg = yaml.safe_load(path_or_yaml)
+        text = path_or_yaml
+    cfg = yaml.safe_load(interpolate_env(text))
     return build_topology(spark, cfg)
 
 
