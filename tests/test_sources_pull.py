@@ -252,6 +252,24 @@ def test_poll_source_streaming(spark, tmp_path):
         q.stop()
 
 
+def test_internal_metrics(spark):
+    from vector_spark.sources_pull import internal_metrics_source
+    from vector_spark.streaming.monitor import QueryStats, TopListener
+
+    listener = TopListener()
+    s = QueryStats("q1")
+    s.total_rows, s.n_batches = 1234, 7
+    listener.stats["q1"] = s
+    df = internal_metrics_source(spark, listener)
+    rows = {(r["name"], tuple(sorted((r["tags"] or {}).items()))): r
+            for r in df.collect()}
+    par = rows[("spark_default_parallelism", ())]
+    assert par["value"] >= 1.0
+    got = rows[("component_received_events_total", (("query", "q1"),))]
+    assert got["value"] == 1234.0 and got["kind"] == "incremental"
+    assert rows[("component_batches_total", (("query", "q1"),))]["value"] == 7.0
+
+
 def test_exec_topology_yaml(spark, tmp_path):
     """exec source + http-style filter through the YAML front end."""
     import yaml

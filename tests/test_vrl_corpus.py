@@ -56,11 +56,18 @@ def test_simple_assignment(one):
     assert run(one, '.message = "foo"').message == "foo"
 
 
-# remap.yaml `remap_nested` — DELTA: nested targets land as dotted-name
-# top-level columns (flat envelope), not struct mutation
-def test_nested_assignment_flat_columns(one):
-    row = run(one, ".a.b = 123\n.x.y = 456")
-    assert row["a.b"] == 123 and row["x.y"] == 456
+# remap.yaml `remap_nested` — nested targets are real struct mutation
+# (round-2 close of the flat-envelope delta): a fresh root materializes
+# a struct, an existing struct root mutates in place via withField
+def test_nested_assignment_builds_structs(one):
+    # fresh roots (the fixture's scalar `.a` keeps its flat escape hatch)
+    row = run(one, ".n1.b = 123\n.n2.y = 456")
+    assert row["n1"]["b"] == 123 and row["n2"]["y"] == 456
+
+
+def test_nested_del_drops_struct_field(one):
+    row = run(one, ".n.b = 1\n.n.keep = 2\ndel(.n.b)")
+    assert "b" not in row["n"].asDict() and row["n"]["keep"] == 2
 
 
 # remap.yaml `remap_arithmetic`

@@ -319,6 +319,10 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.sources_pull import static_metrics_source
 
         return static_metrics_source(spark, cfg["metrics"])
+    if stype == "internal_metrics":
+        from vector_spark.sources_pull import internal_metrics_source
+
+        return internal_metrics_source(spark)
     if stype == "stdin":
         from vector_spark.sources_pull import stdin_source
 

@@ -36,7 +36,11 @@ def _ordered_first(col: str, order_col: str) -> Column:
 
 
 def _ordered_last(col: str, order_col: str) -> Column:
-    return F.max_by(F.col(col), F.col(order_col))
+    """Last NON-NULL by order — RetainMerger skips nulls ('works as a way
+    to coalesce by not retaining null', merge_strategy.rs:24,96-101):
+    null-valued rows get a null ordering key, which max_by ignores."""
+    c = F.col(col)
+    return F.max_by(c, F.when(c.isNotNull(), F.col(order_col)))
 
 
 def merge_agg(strategy: str, col: str, order_col: str) -> Column:

@@ -23,6 +23,55 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _is_struct_col(df: DataFrame, name: str) -> bool:
+    return name in df.columns and isinstance(df.schema[name].dataType, StructType)
+
+
+def _nested_exists(df: DataFrame, root: str, rest: str) -> bool:
+    """Does struct field root.rest exist in df's schema?"""
+    if not _is_struct_col(df, root):
+        return False
+    dt = df.schema[root].dataType
+    for part in rest.split("."):
+        if not isinstance(dt, StructType) or part not in dt.fieldNames():
+            return False
+        dt = dt[part].dataType
+    return True
+
+
+def _nested_struct(parts: list[str], expr: Column) -> Column:
+    """Build struct(… struct(expr AS last) … AS first) for a fresh path."""
+    for part in reversed(parts):
+        expr = F.struct(expr.alias(part))
+    return expr
+
+
+def _assign(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """Path-aware assignment (VRL `.a.b = …` mutates the `a` object —
+    vrl expressions/path.cue). An existing struct root mutates in place
+    via withField; a missing root materializes a fresh nested struct; a
+    non-struct root of the same name falls back to a flat dotted-name
+    column (the documented legacy-envelope escape hatch)."""
+    if "." in name:
+        root, rest = name.split(".", 1)
+        if _is_struct_col(df, root):
+            return df.withColumn(root, F.col(root).withField(rest, expr))
+        if root not in df.columns:
+            parts = rest.split(".")
+            return df.withColumn(root, _nested_struct(parts, expr))
+    return df.withColumn(name, expr)
+
+
+def _unassign(df: DataFrame, name: str) -> DataFrame:
+    """Path-aware del(.path): struct fields dropFields, columns drop."""
+    if "." in name:
+        root, rest = name.split(".", 1)
+        if _nested_exists(df, root, rest):
+            return df.withColumn(root, F.col(root).dropFields(rest))
+    return df.drop(name)
 
 
 @dataclass
@@ -66,17 +115,17 @@ def remap(
     tagged = df.withColumn(error_col, err)
     out = tagged
     for a in assignments:
-        if a.out in df.columns:
+        exists = a.out in df.columns or (
+            "." in a.out and _nested_exists(df, *a.out.split(".", 1))
+        )
+        if exists:
             # errored event forwards unchanged: keep original on error
-            out = out.withColumn(
-                a.out, F.when(F.col(error_col), F.col(a.out)).otherwise(a.expr)
-            )
+            value = F.when(F.col(error_col), F.col(a.out)).otherwise(a.expr)
         else:
-            out = out.withColumn(
-                a.out, F.when(F.col(error_col), F.lit(None)).otherwise(a.expr)
-            )
+            value = F.when(F.col(error_col), F.lit(None)).otherwise(a.expr)
+        out = _assign(out, a.out, value)
     for c in drop or []:
-        out = out.drop(c)
+        out = _unassign(out, c)
 
     result: dict[str, DataFrame] = {}
     if drop_on_error or reroute_dropped:

@@ -323,3 +323,47 @@ def register_poll_source(spark: SparkSession) -> None:
         spark.dataSource.register(PollDataSource)
     except Exception:
         pass  # already registered
+
+
+# ---- internal_metrics / internal_logs -----------------------------------
+
+def internal_metrics_source(spark: SparkSession, listener=None) -> DataFrame:
+    """The engine's own telemetry as metric rows
+    (src/sources/internal_metrics.rs: vector emits its component counters
+    back into the topology; `vector top` reads the same numbers).
+
+    Spark mapping: per-streaming-query progress from a TopListener
+    (streaming/monitor.py) when one is registered, plus executor/core
+    gauges from the SparkContext — snapshot form, so a topology can route
+    its own throughput through transforms/sinks like any other metrics."""
+    rows: list[tuple] = []
+    sc = spark.sparkContext
+    rows.append(("spark_default_parallelism", "internal", {}, "gauge",
+                 float(sc.defaultParallelism)))
+    try:
+        n_execs = len(sc._jsc.sc().statusTracker().getExecutorInfos())
+        rows.append(("spark_executors", "internal", {}, "gauge", float(n_execs)))
+    except Exception:
+        pass
+    for q in spark.streams.active:
+        tags = {"query": q.name or q.id}
+        rows.append(("stream_query_active", "internal", tags, "gauge", 1.0))
+        progress = q.lastProgress
+        if progress:
+            rows.append(
+                ("events_in_total", "internal", tags, "incremental",
+                 float(progress.get("numInputRows") or 0))
+            )
+            rows.append(
+                ("events_per_second", "internal", tags, "gauge",
+                 float(progress.get("processedRowsPerSecond") or 0.0))
+            )
+    if listener is not None:
+        for s in listener.stats.values():
+            tags = {"query": s.name}
+            rows.append(("component_received_events_total", "internal", tags,
+                         "incremental", float(s.total_rows)))
+            rows.append(("component_batches_total", "internal", tags,
+                         "incremental", float(s.n_batches)))
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
