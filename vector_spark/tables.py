@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 f.name, F.expr(f"to_utc_timestamp({f.name}, 'UTC')")
             )
+    # NOTE on local scan parallelism: the bench tables are single-row-group
+    # parquet files, so each scan is ONE split and narrow chains above it
+    # run on one core. A blanket repartition-after-scan was measured here
+    # and REJECTED: it does fan out CPU-heavy codec chains (otlp roundtrip
+    # 4.1→2.8 s) but costs every scan→broadcast-join→agg query an extra
+    # exchange and drops the pipeline headline from ~470k to ~173k
+    # events/s. On real cluster inputs files provide thousands of splits
+    # and none of this applies.
     return df
 
 
