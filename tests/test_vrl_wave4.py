@@ -275,3 +275,75 @@ def test_secrets_compile(spark):
 def test_tally_value(spark):
     arr = F.array(F.lit("a"), F.lit("b"), F.lit("a"))
     assert one(spark, V["tally_value"](arr, "a")) == 2
+
+
+def test_vrl_enrichment_table_lookup(spark):
+    """get_enrichment_table_record resolves through a broadcast join; the
+    fallible form errors (original forwarded) when no row matches."""
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    events = spark.createDataFrame(
+        [(1, "us"), (2, "de"), (3, "xx")], "id long, cc string"
+    )
+    geo = spark.createDataFrame(
+        [("us", "United States", "NA"), ("de", "Germany", "EU")],
+        "code string, country string, region string",
+    )
+    out = vrl_remap(
+        events,
+        '.geo = get_enrichment_table_record!("geo", {"code": .cc})\n'
+        ".country = .geo.country",
+        enrichment_tables={"geo": geo},
+        reroute_dropped=True,
+    )
+    ok = {r["id"]: r for r in out[""].collect()}
+    assert ok[1]["country"] == "United States"
+    assert ok[2]["geo"]["region"] == "EU"
+    dropped = out["dropped"].collect()
+    assert [r["id"] for r in dropped] == [3]  # no match -> errored
+
+
+def test_vrl_enrichment_multi_and_case(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    events = spark.createDataFrame([("A",)], "k string")
+    t = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    out = vrl_remap(
+        events,
+        '.hits = find_enrichment_table_records("tbl", {"k": .k}, '
+        "case_sensitive: false)\n"
+        ".first_v = .hits[0].v",
+        enrichment_tables={"tbl": t},
+    )[""]
+    row = out.head()
+    assert sorted(h["v"] for h in row["hits"]) == [1, 2]
+    assert row["first_v"] in (1, 2)
+
+
+def test_vrl_enrichment_plan_is_broadcast(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    events = spark.createDataFrame([(1, "us")], "id long, cc string")
+    geo = spark.createDataFrame([("us", "US")], "code string, name string")
+    df = vrl_remap(
+        events,
+        '.geo = get_enrichment_table_record!("geo", {"code": .cc})',
+        enrichment_tables={"geo": geo},
+    )[""]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_match_datadog_query(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame(
+        [("error", 500), ("info", 200)], "status string, code int"
+    )
+    out = vrl_remap(df, '.is_err = match_datadog_query("status:error")')[""]
+    got = {r["code"]: r["is_err"] for r in out.collect()}
+    assert got[500] is True and got[200] is False

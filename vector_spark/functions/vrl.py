@@ -735,3 +735,15 @@ def _to_syslog_facility(c: Column) -> Column:
 from vector_spark.functions.vrl_wave4 import WAVE4 as _WAVE4  # noqa: E402
 
 VRL_FUNCTIONS.update(_WAVE4)
+
+
+def _match_datadog_query(query: str) -> Column:
+    """VRL match_datadog_query(., "query") — the event-object first arg is
+    implicit here (columns ARE the event); the Datadog search grammar
+    compiles through functions/search.py to one boolean Column."""
+    from vector_spark.functions.search import datadog_search
+
+    return datadog_search(query)
+
+
+VRL_FUNCTIONS["match_datadog_query"] = _match_datadog_query

@@ -116,6 +116,7 @@ def _lex(src: str) -> list[_Tok]:
 # event-value operand (string literals stay python values for these)
 _LITERAL_FIRST_ARG_FNS = {
     "get_env_var", "ip_cidr_contains", "random_int", "get_secret",
+    "match_datadog_query",
 }
 
 _STRING_FNS = {
@@ -144,6 +145,10 @@ class _P:
         # can't tell us pre-analysis, so the parser tracks "known string"
         # provenance (string literals + string-returning stdlib calls)
         self._is_str = False
+        # enrichment-table lookups found while parsing: each becomes a
+        # broadcast join added by vrl_remap BEFORE the projection, with a
+        # __enrich_N placeholder column standing in for the joined row
+        self.enrich_requests: list[dict] = []
 
     # -- token helpers ---------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -345,6 +350,11 @@ class _P:
         if self.at("!"):
             self.eat()
             fallible = True
+        if name in (
+            "get_enrichment_table_record",
+            "find_enrichment_table_records",
+        ):
+            return self._enrich_call(name, fallible)
         self.eat("(")
         args: list = []
         kwargs: dict = {}
@@ -387,6 +397,56 @@ class _P:
                 flag = first.isNotNull() & result.isNull()
                 (self.fallible_flags if fallible else self.latent_flags).append(flag)
         return result
+
+    def _enrich_call(self, name: str, fallible: bool) -> Column:
+        """VRL enrichment lookups (lib/vector-vrl/enrichment/src/lib.rs:
+        `get_enrichment_table_record(table, {"col": .field})` /
+        `find_enrichment_table_records`): parse the condition object into
+        table-column → event-expression pairs and emit a placeholder the
+        remap driver resolves with a broadcast join (the same physical
+        plan the enrich operator produces — SURVEY §2.2). Keys must
+        reference INPUT fields (the join runs before the projection)."""
+        self.eat("(")
+        tname_tok = self.eat()
+        if tname_tok.kind not in ("dqstr", "sqstr"):
+            raise VrlCompileError(f"{name}: first arg must be a table name literal")
+        self.eat(",")
+        self.eat("{")
+        keys: dict[str, Column] = {}
+        while not self.at("}"):
+            k = self.eat()
+            if k.kind not in ("dqstr", "sqstr"):
+                raise VrlCompileError(f"{name}: condition keys must be strings")
+            self.eat(":")
+            keys[k.text[1:-1]] = self.expr()
+            if self.at(","):
+                self.eat()
+        self.eat("}")
+        case_sensitive = True
+        while self.at(","):  # trailing named args, e.g. case_sensitive: false
+            self.eat()
+            label = self.eat().text
+            self.eat(":")
+            v = self.eat().text
+            if label == "case_sensitive":
+                case_sensitive = v == "true"
+        self.eat(")")
+        idx = len(self.enrich_requests)
+        placeholder = F.col(f"__enrich_{idx}")
+        self.enrich_requests.append(
+            {
+                "table": tname_tok.text[1:-1],
+                "keys": keys,
+                "multi": name == "find_enrichment_table_records",
+                "case_sensitive": case_sensitive,
+            }
+        )
+        if name == "get_enrichment_table_record":
+            # errors when no row matched (find_table_row's error contract)
+            (self.fallible_flags if fallible else self.latent_flags).append(
+                placeholder.isNull()
+            )
+        return placeholder
 
     def maybe_closure(self):
         """`-> |v| { body }` after a call: compile the body lazily with the
@@ -512,7 +572,7 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
             p.eat()
             # abort discards every change: drop all assignments so far
             # (deletes too), keep only the abort mark
-            return [], True
+            return [], True, p.enrich_requests
         nxt = p.toks[p.i + 1].text if p.i + 1 < len(p.toks) else None
         if t.kind == "name" and t.text not in _KEYWORDS and nxt == "=":
             # program variable binding — a Column alias at compile time
@@ -610,27 +670,88 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
             raise VrlCompileError("at most two assignment targets supported")
     for d in deletes:
         assignments.append(Assignment(f"__del__{d}", F.lit(None)))
-    return assignments, False
+    return assignments, False, p.enrich_requests
 
 
 def compile_vrl(source: str) -> list[Assignment]:
     """Back-compat wrapper: assignments only (abort treated as compile
     error so callers that can't route aborts find out at config time)."""
-    assignments, aborted = compile_vrl_full(source)
+    assignments, aborted, enrich = compile_vrl_full(source)
     if aborted:
         raise VrlCompileError("program aborts; use vrl_remap for abort routing")
+    if enrich:
+        raise VrlCompileError(
+            "program uses enrichment tables; use vrl_remap(enrichment_tables=...)"
+        )
     return assignments
 
 
-def vrl_remap(df, source: str, drop_on_abort: bool = False, **remap_kwargs):
+def _resolve_enrichment(df, requests: list[dict], tables: dict):
+    """One broadcast join per lookup: the table collapses to
+    (key columns, row-struct) — or (keys, array<struct>) for the multi
+    form — so the join carries exactly one extra column into the stream.
+    Single-row semantics: find_table_row errors on duplicate key matches
+    in the reference (src/enrichment_tables/file.rs:568); here the FIRST
+    table row per key (deterministic) wins, documented delta."""
+    for i, req in enumerate(requests):
+        if req["table"] not in tables:
+            raise VrlCompileError(
+                f"enrichment table {req['table']!r} not registered "
+                f"(pass enrichment_tables={{name: DataFrame}})"
+            )
+        t = tables[req["table"]]
+        out_col = f"__enrich_{i}"
+        row = F.struct(*[F.col(c) for c in t.columns])
+        key_cols = list(req["keys"])
+        if req["multi"]:
+            tagged = (
+                t.groupBy(*key_cols)
+                .agg(F.collect_list(row).alias(out_col))
+            )
+        else:
+            # first row per key, deterministic by the table's column order
+            tagged = (
+                t.groupBy(*key_cols)
+                .agg(F.min(row).alias(out_col))
+            )
+        sel = []
+        cond = None
+        for j, k in enumerate(key_cols):
+            kc = F.col(f"__ek_{i}_{j}")
+            sel.append(F.col(k).alias(f"__ek_{i}_{j}"))
+            left = req["keys"][k]
+            if not req["case_sensitive"]:
+                left, kc = F.lower(left.cast("string")), F.lower(kc.cast("string"))
+            c = left == kc
+            cond = c if cond is None else cond & c
+        tagged = tagged.select(*sel, out_col)
+        df = df.join(F.broadcast(tagged), on=cond, how="left").drop(
+            *[f"__ek_{i}_{j}" for j in range(len(key_cols))]
+        )
+    return df
+
+
+def vrl_remap(
+    df,
+    source: str,
+    drop_on_abort: bool = False,
+    enrichment_tables: dict | None = None,
+    **remap_kwargs,
+):
     """remap driven by VRL source text: compile → operators.remap.
 
     An unconditional `abort` discards all changes for every event
     (behavior corpus remap_abort): forward the ORIGINAL stream, or drop
-    it all under drop_on_abort (`remap.rs:142`)."""
+    it all under drop_on_abort (`remap.rs:142`).
+
+    enrichment_tables: name → DataFrame registry resolving
+    get_enrichment_table_record / find_enrichment_table_records calls —
+    each becomes one broadcast join ahead of the projection (the same
+    plan shape the enrich operator pins in test_plans)."""
     from vector_spark.operators.remap import remap
 
-    assignments, aborted = compile_vrl_full(source)
+    assignments, aborted, enrich = compile_vrl_full(source)
+    df = _resolve_enrichment(df, enrich, enrichment_tables or {})
     if aborted:
         none = df.where(F.lit(False))
         result = {"": none if drop_on_abort else df}
@@ -640,4 +761,5 @@ def vrl_remap(df, source: str, drop_on_abort: bool = False, **remap_kwargs):
     real = [a for a in assignments if not a.out.startswith("__del__")]
     drops = [a.out[len("__del__"):] for a in assignments if a.out.startswith("__del__")]
     drops += [a.out for a in real if a.out.startswith("__noop__")]
+    drops += [f"__enrich_{i}" for i in range(len(enrich))]
     return remap(df, real, drop=drops, **remap_kwargs)
