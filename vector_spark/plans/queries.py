@@ -2103,6 +2103,97 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh, _ORACLE_ANN_RECALL, "LSH ANN recall gate vs exact"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_RECALL, "IVF ANN recall gate vs exact"),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
+    # TPC-H breadth: q10 (returned-item revenue per customer — the
+    # many-to-many fact⋈dim plan with a top-k) and q14 (promo revenue —
+    # conditional aggregation over a fact⋈part join). Both keep money in
+    # integer cents until the final division (float-determinism rule the
+    # other TPCH oracles follow). Dims broadcast; the lineitem side never
+    # shuffles before its partial agg.
+    "tpch_q10_returned_items": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda li, o, c, n: li.where(F.col("l_returnflag") == "R")
+            .join(
+                o.where(
+                    (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(
+                (
+                    F.sum(
+                        _cents(F.col("l_extendedprice"))
+                        * (100 - _cents(F.col("l_discount")))
+                    )
+                    / 10000.0
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )(
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "nation"),
+        ),
+        """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/10000.0
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "TPC-H q10: returned-item revenue, fact joins + broadcast dims + top-k",
+    ),
+    "tpch_q14_promo_revenue": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda li, p: li.where(
+                (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+            )
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(
+                (
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(
+                            F.col("p_type").startswith("PROMO"),
+                            _cents(F.col("l_extendedprice"))
+                            * (100 - _cents(F.col("l_discount"))),
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.sum(
+                        _cents(F.col("l_extendedprice"))
+                        * (100 - _cents(F.col("l_discount")))
+                    )
+                ).alias("promo_revenue_pct")
+            )
+        )(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")),
+        """
+        SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END)
+               / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "TPC-H q14: promo revenue share, conditional agg over broadcast join",
+    ),
     # Wave-4 VRL surface under the value gate: casing, format_int radix,
     # shannon_entropy (nested higher-order lambdas on BOTH engines),
     # sieve (char-class form so the RE2 oracle needs no lookahead),
