@@ -5,9 +5,11 @@ Usage:
   python scripts/run_topology.py pipeline.yaml --stream   # start streaming sinks
   python scripts/run_topology.py pipeline.yaml --graph    # print DOT graph
   python scripts/run_topology.py pipeline.yaml --validate # build only
+  python scripts/run_topology.py pipeline.yaml --test     # run config unit tests
 
 Reference analogs: `vector run` (src/app.rs:177), `vector graph`
-(src/config/dot_graph.rs), `vector validate`.
+(src/config/dot_graph.rs), `vector validate`, `vector test`
+(src/unit_test.rs — config-declared inputs/outputs assertions).
 """
 
 from __future__ import annotations
@@ -61,6 +63,16 @@ def main() -> None:
 
     spark = get_spark("vector-spark-run")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--test" in flags:
+        from vector_spark.config.unit_test import run_unit_tests
+
+        results = run_unit_tests(spark, cfg)
+        for r in results:
+            mark = "PASS" if r.passed else "FAIL"
+            print(f"{mark} {r.name}")
+            for f in r.failures:
+                print(f"  - {f}")
+        sys.exit(0 if all(r.passed for r in results) else 1)
     topo = build_topology(spark, cfg)
     if "--validate" in flags:
         print(f"OK: {len(topo.outputs)} component outputs built")
