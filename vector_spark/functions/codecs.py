@@ -531,3 +531,79 @@ def encode_influxdb_line(
     if ts_ns is not None:
         parts += [F.lit(" "), ts_ns.cast("string")]
     return F.concat(*parts)
+
+
+# ---- native_json / raw_message / arrow (encoding/format/{native_json,
+# raw_message,arrow}.rs) ---------------------------------------------------
+
+def encode_native_json(event_type: str = "log", **cols: Column) -> Column:
+    """Vector's native JSON event form: the event wrapped under its type
+    tag — `{"log": {...}}`, `{"metric": {...}}`, `{"trace": {...}}`
+    (lib/codecs/src/encoding/format/native_json.rs)."""
+    if event_type not in ("log", "metric", "trace"):
+        raise ValueError(f"unknown event type {event_type!r}")
+    return F.to_json(
+        F.struct(
+            F.struct(*[c.alias(n) for n, c in cols.items()]).alias(event_type)
+        )
+    )
+
+
+def decode_native_json(c: Column, log_schema: str) -> Column:
+    """Native JSON → struct of the wrapped event. `log_schema` is the
+    inner field schema DDL, e.g. 'message string, host string'."""
+    return F.from_json(
+        c, f"log struct<{log_schema}>, metric string, trace string"
+    )
+
+
+def encode_raw_message(message: Column) -> Column:
+    """raw_message encoding: the message bytes, nothing else."""
+    return message.cast("string")
+
+
+def encode_arrow_ipc(df, batch_max_rows: int = 10_000):
+    """Events → Arrow IPC stream blobs, one row per Arrow batch
+    (lib/codecs/src/encoding/format/arrow.rs — the reference emits one
+    IPC payload per sink batch). mapInPandas keeps this executor-side and
+    Arrow-batched: each pandas chunk serializes with pyarrow, no driver
+    collect. Returns DataFrame[n_rows bigint, payload binary]."""
+    import pandas as pd
+
+    def serialize(batches):
+        import io
+
+        import pyarrow as pa
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_max_rows):
+                chunk = pdf.iloc[start : start + batch_max_rows]
+                table = pa.Table.from_pandas(chunk, preserve_index=False)
+                buf = io.BytesIO()
+                with pa.ipc.new_stream(buf, table.schema) as writer:
+                    writer.write_table(table)
+                yield pd.DataFrame(
+                    {"n_rows": [len(chunk)], "payload": [buf.getvalue()]}
+                )
+
+    return df.mapInPandas(serialize, schema="n_rows bigint, payload binary")
+
+
+def decode_arrow_ipc(df, schema: str):
+    """Arrow IPC blobs (payload binary) → event rows of `schema` (DDL).
+    Inverse of encode_arrow_ipc; unreadable payloads are skipped."""
+    def deserialize(batches):
+        import io
+
+        import pyarrow as pa
+
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                try:
+                    with pa.ipc.open_stream(io.BytesIO(bytes(payload))) as r:
+                        table = r.read_all()
+                except pa.ArrowInvalid:
+                    continue
+                yield table.to_pandas()
+
+    return df.mapInPandas(deserialize, schema=schema)
