@@ -352,3 +352,37 @@ def test_arrow_ipc_roundtrip(spark):
     rows = {r["id"]: r for r in back.collect()}
     assert len(rows) == 100
     assert rows[7]["v"] == 14 and rows[7]["msg"] == "m7"
+
+
+def test_encode_side_framing(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.framing import (
+        explode_frames,
+        frame_length_delimited,
+        frame_newline,
+        frame_octet_counting,
+        length_delimited_frames,
+    )
+
+    df = spark.createDataFrame([("hello", "wörld")], "a string, b string")
+    nl = df.select(frame_newline(F.array("a", "b")).alias("p")).head()["p"]
+    assert nl == "hello\nwörld\n"
+    oc = df.select(frame_octet_counting(F.col("b")).alias("p")).head()["p"]
+    assert oc == "6 wörld"  # octet count: ö is 2 UTF-8 bytes
+    # octet-counting round-trips through the decode-side frame walker
+    two = df.select(
+        F.concat(
+            frame_octet_counting(F.col("a")),
+            frame_octet_counting(F.col("a")),
+        ).alias("p")
+    )
+    back = two.select(
+        length_delimited_frames(F.col("p")).alias("frames")
+    ).head()["frames"]
+    assert list(back) == ["hello", "hello"]
+    # 4-byte BE length prefix: verify the binary layout directly
+    import struct
+
+    ld = bytes(df.select(frame_length_delimited(F.col("a")).alias("p")).head()["p"])
+    assert struct.unpack(">I", ld[:4])[0] == 5 and ld[4:] == b"hello"

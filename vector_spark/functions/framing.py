@@ -209,3 +209,30 @@ def reassemble_chunked_gelf(
         )
     )
     return plain.unionByName(joined)
+
+
+# ---- encode-side framing (lib/codecs/src/encoding/framing/) -------------
+
+def frame_newline(lines: Column) -> Column:
+    """array<string> → one newline-delimited payload (newline framer)."""
+    return F.concat(F.array_join(lines, "\n"), F.lit("\n"))
+
+
+def frame_octet_counting(line: Column) -> Column:
+    """RFC6587 octet-counting: '<len> <frame>' — the syslog TCP encode
+    framer. Counts BYTES of the UTF-8 form per the RFC; note the decode
+    walker (length_delimited_frames) slices by characters, so round-trips
+    are exact for ASCII payloads and the decode of multi-byte payloads
+    from strict-RFC peers should go through the server source's Python
+    framer (vector_spark/sources.py OctetCountingFramer), which is
+    byte-accurate."""
+    s = line.cast("string")
+    return F.concat(F.octet_length(s).cast("string"), F.lit(" "), s)
+
+
+def frame_length_delimited(payload: Column) -> Column:
+    """4-byte big-endian length prefix + payload (binary)."""
+    b = payload.cast("binary")
+    return F.concat(
+        F.unhex(F.lpad(F.hex(F.octet_length(b)), 8, "0")), b
+    )
