@@ -294,3 +294,77 @@ def test_exec_topology_yaml(spark, tmp_path):
     topo = load_topology(spark, str(path))
     rows = run_sinks(topo)["out"]["rows"]
     assert sorted(r["message"] for r in rows) == ["keep 1", "keep 3"]
+
+
+def test_kubernetes_logs_cri(spark, tmp_path):
+    """CRI parse + partial-line reassembly + pod metadata from the path
+    (reference parser/cri.rs regex, path_helpers.rs layout)."""
+    from vector_spark.sources_pull import kubernetes_logs_source
+
+    poddir = tmp_path / "pods" / "prod_api-5f7_abc123" / "api"
+    poddir.mkdir(parents=True)
+    (poddir / "0.log").write_text(
+        "2024-01-01T00:00:01.000000000Z stdout F one-shot line\n"
+        "2024-01-01T00:00:02.000000000Z stdout P partial start, \n"
+        "2024-01-01T00:00:02.100000000Z stdout P middle, \n"
+        "2024-01-01T00:00:02.200000000Z stdout F end\n"
+        "2024-01-01T00:00:03.000000000Z stderr F an error line\n"
+    )
+    df = kubernetes_logs_source(spark, str(tmp_path / "pods" / "*" / "*" / "*.log"))
+    rows = sorted(df.collect(), key=lambda r: r["_order"])
+    assert [r["message"] for r in rows] == [
+        "one-shot line",
+        "partial start, middle, end",
+        "an error line",
+    ]
+    assert rows[0]["pod_namespace"] == "prod"
+    assert rows[0]["pod_name"] == "api-5f7"
+    assert rows[0]["pod_uid"] == "abc123"
+    assert rows[0]["container_name"] == "api"
+    assert rows[2]["stream"] == "stderr"
+    assert rows[1]["ts"] is not None
+
+
+def test_kubernetes_logs_docker_format(spark, tmp_path):
+    import json
+
+    from vector_spark.sources_pull import kubernetes_logs_source
+
+    poddir = tmp_path / "pods" / "ns_pod-1_uid9" / "c1"
+    poddir.mkdir(parents=True)
+    lines = [
+        {"log": "hello\n", "stream": "stdout", "time": "2024-02-02T10:00:00Z"},
+        {"log": "bye\n", "stream": "stderr", "time": "2024-02-02T10:00:01Z"},
+    ]
+    (poddir / "0.log").write_text("".join(json.dumps(l) + "\n" for l in lines))
+    df = kubernetes_logs_source(
+        spark, str(tmp_path / "pods" / "*" / "*" / "*.log"), log_format="docker"
+    )
+    rows = {r["message"]: r for r in df.collect()}
+    assert rows["hello"]["stream"] == "stdout"
+    assert rows["bye"]["pod_name"] == "pod-1"
+
+
+def test_journald_env_gate(spark):
+    import shutil
+
+    from vector_spark.sources_pull import journald_source
+
+    if shutil.which("journalctl") is None:
+        with pytest.raises(RuntimeError, match="journalctl"):
+            journald_source(spark)
+    else:  # pragma: no cover - environment-dependent
+        df = journald_source(spark, max_entries=5)
+        assert "message" in df.columns
+
+
+def test_host_metrics_filesystem(spark):
+    from vector_spark.sources_pull import host_metrics_source
+
+    df = host_metrics_source(spark, collectors=("filesystem",))
+    rows = {r["name"]: r for r in df.collect()}
+    total = rows["filesystem_total_bytes"]["value"]
+    used = rows["filesystem_used_bytes"]["value"]
+    free = rows["filesystem_free_bytes"]["value"]
+    assert total > 0 and abs((used + free) - total) < 1e-6
+    assert rows["filesystem_total_bytes"]["tags"] == {"mountpoint": "/"}

@@ -319,6 +319,19 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.sources_pull import static_metrics_source
 
         return static_metrics_source(spark, cfg["metrics"])
+    if stype == "kubernetes_logs":
+        from vector_spark.sources_pull import kubernetes_logs_source
+
+        return kubernetes_logs_source(
+            spark, cfg["path"], log_format=cfg.get("format", "cri")
+        )
+    if stype == "journald":
+        from vector_spark.sources_pull import journald_source
+
+        return journald_source(
+            spark, units=cfg.get("units"),
+            max_entries=int(cfg.get("max_entries", 10000)),
+        )
     if stype == "internal_metrics":
         from vector_spark.sources_pull import internal_metrics_source
 

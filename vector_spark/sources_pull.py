@@ -180,6 +180,13 @@ def _proc_host_metrics(collectors: tuple[str, ...]) -> list[tuple]:
         add("load1", float(one))
         add("load5", float(five))
         add("load15", float(fifteen))
+    if "filesystem" in collectors:
+        st = os.statvfs("/")
+        tags = {"mountpoint": "/"}
+        add("filesystem_total_bytes", st.f_blocks * st.f_frsize, tags)
+        add("filesystem_free_bytes", st.f_bfree * st.f_frsize, tags)
+        add("filesystem_used_bytes",
+            (st.f_blocks - st.f_bfree) * st.f_frsize, tags)
     if "network" in collectors:
         with open("/proc/net/dev") as f:
             for line in f.readlines()[2:]:
@@ -367,3 +374,144 @@ def internal_metrics_source(spark: SparkSession, listener=None) -> DataFrame:
                          "incremental", float(s.n_batches)))
     df = spark.createDataFrame(rows, METRIC_SCHEMA)
     return df.withColumn("ts", F.current_timestamp())
+
+
+# ---- kubernetes_logs ----------------------------------------------------
+
+# CRI log line (src/sources/kubernetes_logs/parser/cri.rs:148):
+# `<ts> <stdout|stderr> <P|F> <message>`; P = partial line, F = final.
+_CRI_RE = r"^(\S+) (stdout|stderr) (P|F) (.*)$"
+# pod dir layout (path_helpers.rs): /var/log/pods/<ns>_<pod>_<uid>/<container>/N.log
+_POD_PATH_RE = r"/pods/([^_/]+)_([^_/]+)_([^/]+)/([^/]+)/"
+
+
+def kubernetes_logs_source(
+    spark: SparkSession, path_glob: str, log_format: str = "cri"
+) -> DataFrame:
+    """`kubernetes_logs` analog (src/sources/kubernetes_logs/): read pod
+    log files, parse the CRI (or docker JSON-file) line format, reassemble
+    CRI partial lines (P…P F → one event), and lift pod metadata out of
+    the file path.
+
+    Ordering note: partial-line reassembly needs within-file order.
+    Kubelet rotates pod logs at 10 MB, far below a scan split, so each
+    file is exactly one split and monotonically_increasing_id gives the
+    in-file line order — this holds at any cluster size because the bound
+    is per-file, not per-dataset."""
+    raw = (
+        spark.read.text(path_glob)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("_seq"),
+            F.col("value"),
+        )
+    )
+    meta = [
+        F.regexp_extract("file", _POD_PATH_RE, 1).alias("pod_namespace"),
+        F.regexp_extract("file", _POD_PATH_RE, 2).alias("pod_name"),
+        F.regexp_extract("file", _POD_PATH_RE, 3).alias("pod_uid"),
+        F.regexp_extract("file", _POD_PATH_RE, 4).alias("container_name"),
+    ]
+    if log_format == "docker":
+        # docker json-file driver: {"log": "...\n", "stream": "...", "time": "..."}
+        e = F.from_json(
+            "value", "log string, stream string, time string"
+        )
+        return raw.select(
+            "file",
+            *meta,
+            F.to_timestamp(e["time"]).alias("ts"),
+            e["stream"].alias("stream"),
+            F.regexp_replace(e["log"], r"\n$", "").alias("message"),
+        )
+    if log_format != "cri":
+        raise ValueError(f"kubernetes_logs: unknown format {log_format!r}")
+    parsed = raw.select(
+        "file",
+        "_seq",
+        *meta,
+        F.regexp_extract("value", _CRI_RE, 1).alias("_ts_raw"),
+        F.regexp_extract("value", _CRI_RE, 2).alias("stream"),
+        F.regexp_extract("value", _CRI_RE, 3).alias("_tag"),
+        F.regexp_extract("value", _CRI_RE, 4).alias("_msg"),
+    ).where(F.col("_tag") != "")
+    # group id: a new group starts right after an F line — cumulative count
+    # of PRIOR F lines within (file, stream) identifies each P…PF run
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("file", "stream")
+        .orderBy("_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = parsed.withColumn(
+        "_grp", F.coalesce(F.sum(F.when(F.col("_tag") == "F", 1).otherwise(0)).over(w), F.lit(0))
+    )
+    return (
+        grouped.groupBy("file", "stream", "_grp")
+        .agg(
+            F.min_by(F.col("_ts_raw"), F.col("_seq")).alias("_ts_raw"),
+            F.min_by(F.col("pod_namespace"), F.col("_seq")).alias("pod_namespace"),
+            F.min_by(F.col("pod_name"), F.col("_seq")).alias("pod_name"),
+            F.min_by(F.col("pod_uid"), F.col("_seq")).alias("pod_uid"),
+            F.min_by(F.col("container_name"), F.col("_seq")).alias("container_name"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_seq").alias("o"), F.col("_msg").alias("m")))
+                    ),
+                    lambda s: s["m"],
+                ),
+                "",
+            ).alias("message"),
+            F.min("_seq").alias("_order"),
+        )
+        .select(
+            "file",
+            "pod_namespace",
+            "pod_name",
+            "pod_uid",
+            "container_name",
+            "stream",
+            F.to_timestamp(F.regexp_replace("_ts_raw", r"Z$", "+00:00")).alias("ts"),
+            "message",
+            "_order",
+        )
+    )
+
+
+# ---- journald (env-gated on the journalctl binary) ----------------------
+
+def journald_source(
+    spark: SparkSession, units: list[str] | None = None, max_entries: int = 10000
+) -> DataFrame:
+    """`journald` source (src/sources/journald/): shells out to
+    `journalctl -o json` (the reference does exactly this — it spawns
+    journalctl rather than linking libsystemd) and decodes one JSON event
+    per line. Env-gated: raises with a clear message when the binary is
+    absent (containers without systemd)."""
+    import shutil
+
+    if shutil.which("journalctl") is None:
+        raise RuntimeError(
+            "journald source requires the journalctl binary, which is not "
+            "present in this environment (env-gated, like protobuf — see "
+            "scripts/probe_protobuf.py for the pattern)"
+        )
+    cmd = ["journalctl", "-o", "json", "-n", str(max_entries), "--no-pager"]
+    for u in units or []:
+        cmd += ["-u", u]
+    df = exec_source(spark, cmd)
+    e = F.from_json(
+        "message",
+        "MESSAGE string, _SYSTEMD_UNIT string, _HOSTNAME string, "
+        "PRIORITY string, __REALTIME_TIMESTAMP string",
+    )
+    return df.select(
+        "seq",
+        F.timestamp_micros(e["__REALTIME_TIMESTAMP"].cast("long")).alias("ts"),
+        e["MESSAGE"].alias("message"),
+        e["_SYSTEMD_UNIT"].alias("unit"),
+        e["_HOSTNAME"].alias("host"),
+        e["PRIORITY"].try_cast("int").alias("priority"),
+    )
