@@ -3,6 +3,7 @@ strategy (SURVEY §5: Arbitrary event generators, proptest in buffers)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -78,3 +79,98 @@ def test_sessionize_ids_monotone_property(spark, flags):
         if f:
             expected += 1
         assert r.session_id == expected
+
+
+# ---- wave-4 property tests: Column impls vs pure-Python references -----
+
+ipv4 = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+    st.integers(0, 255),
+).map(lambda t: ".".join(map(str, t)))
+
+
+@given(
+    src=ipv4, dst=ipv4,
+    sport=st.integers(0, 65535), dport=st.integers(0, 65535),
+    proto=st.integers(0, 255),
+)
+@settings(max_examples=25, deadline=None)
+def test_community_id_matches_reference(spark, src, dst, sport, dport, proto):
+    """Column community_id == an independent pure-Python spec impl,
+    including the equal-IP port tiebreak."""
+    import base64
+    import hashlib
+    import socket as pysocket
+    import struct
+
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+    from pyspark.sql import functions as F
+
+    def ref(seed=0):
+        s_b = pysocket.inet_aton(src)
+        d_b = pysocket.inet_aton(dst)
+        if (s_b, sport) <= (d_b, dport):
+            a, b, pa, pb = s_b, d_b, sport, dport
+        else:
+            a, b, pa, pb = d_b, s_b, dport, sport
+        payload = (
+            struct.pack("!H", seed) + a + b + bytes([proto, 0])
+            + struct.pack("!H", pa) + struct.pack("!H", pb)
+        )
+        return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+    got = (
+        spark.range(1)
+        .select(
+            V["community_id"](
+                F.lit(src), F.lit(dst), F.lit(sport), F.lit(dport), F.lit(proto)
+            ).alias("v")
+        )
+        .head()["v"]
+    )
+    assert got == ref()
+
+
+@given(st.integers(0, 2**40), st.sampled_from([2, 8, 16, 36]))
+@settings(max_examples=20, deadline=None)
+def test_format_int_matches_python(spark, n, base):
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+    from pyspark.sql import functions as F
+
+    def to_base(x, b):
+        if x == 0:
+            return "0"
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        out = ""
+        while x:
+            out = digits[x % b] + out
+            x //= b
+        return out
+
+    got = (
+        spark.range(1)
+        .select(V["format_int"](F.lit(n), base).alias("v"))
+        .head()["v"]
+    )
+    assert got == to_base(n, base)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=600),
+               min_size=1, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_shannon_entropy_matches_python(spark, text):
+    import math
+
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+    from pyspark.sql import functions as F
+
+    n = len(text)
+    want = -sum(
+        (text.count(c) / n) * math.log2(text.count(c) / n) for c in set(text)
+    )
+    got = (
+        spark.range(1)
+        .select(V["shannon_entropy"](F.lit(text)).alias("v"))
+        .head()["v"]
+    )
+    assert got == pytest.approx(want, abs=1e-9)

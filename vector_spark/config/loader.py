@@ -238,15 +238,47 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
                 )
         return df
     if stype == "demo_logs":
-        # synthetic generator (vector src/sources/demo_logs.rs:34)
+        # synthetic generator (vector src/sources/demo_logs.rs:34); the
+        # reference's format variants compose from deterministic columns
         n = int(cfg.get("count", 1000))
-        return spark.range(n).select(
-            F.col("id").alias("seq"),
-            F.current_timestamp().alias("ts"),
-            F.concat(F.lit("demo log line "), F.col("id").cast("string")).alias(
-                "message"
-            ),
-            F.lit("demo").alias("source_type"),
+        fmt = cfg.get("format", "text")
+        base = spark.range(n).select(
+            F.col("id").alias("seq"), F.current_timestamp().alias("ts")
+        )
+        host = F.concat(F.lit("host-"), (F.col("seq") % 10).cast("string"))
+        user = F.concat(F.lit("user"), (F.col("seq") % 7).cast("string"))
+        status = F.when(F.col("seq") % 10 == 0, 500).when(
+            F.col("seq") % 5 == 0, 404
+        ).otherwise(200)
+        path = F.concat(F.lit("/api/v1/resource/"), (F.col("seq") % 50).cast("string"))
+        if fmt == "apache_common":
+            msg = F.concat(
+                host, F.lit(" - "), user, F.lit(" ["),
+                F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+                F.lit('] "GET '), path, F.lit(' HTTP/1.1" '),
+                status.cast("string"), F.lit(" "),
+                ((F.col("seq") * 37) % 9000 + 100).cast("string"),
+            )
+        elif fmt == "syslog":
+            msg = F.concat(
+                F.lit("<"), ((F.col("seq") % 8) + 8).cast("string"), F.lit(">"),
+                F.date_format("ts", "MMM d HH:mm:ss"), F.lit(" "), host,
+                F.lit(" app"), (F.col("seq") % 4).cast("string"),
+                F.lit("["), (F.col("seq") % 32768).cast("string"), F.lit("]: "),
+                F.lit("request completed status="), status.cast("string"),
+            )
+        elif fmt == "json":
+            msg = F.to_json(
+                F.struct(
+                    host.alias("host"), user.alias("user"),
+                    status.alias("status"), path.alias("path"),
+                    F.col("seq").alias("seq"),
+                )
+            )
+        else:
+            msg = F.concat(F.lit("demo log line "), F.col("seq").cast("string"))
+        return base.select(
+            "seq", "ts", msg.alias("message"), F.lit("demo").alias("source_type")
         )
     if stype == "values":
         # inline fixture rows (the `vector test` insert_at analog)
