@@ -171,3 +171,27 @@ def test_ivf_topk_recall(spark, embeddings):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.6, f"IVF recall too low: {recall}"
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Label propagation == exact union-find on a graph with a 4-chain
+    (diameter > 1 round), a triangle, and untouched isolated docs."""
+    from vector_spark.dataops.dedup import connected_components, dedup_decisions
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+                                 "doc_id long")
+    dec = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup_decisions(docs, pairs).collect()}
+    assert dec[99] == (99, True)  # isolated: keeps itself
+    assert dec[1] == (1, True) and dec[4] == (1, False)
+    assert sum(1 for c, k in dec.values() if k) == 4  # one survivor per cluster + isolated

@@ -393,3 +393,89 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---- connected components over near-dup pairs ---------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Union-find over a pair list via distributed label propagation —
+    the canonical step between near-dup PAIR generation (minhash/simhash/
+    embedding blocking) and dedup DECISIONS: transitively-linked docs form
+    one duplicate cluster, from which one canonical survivor is kept.
+
+    Algorithm (large-graph standard, e.g. GraphX's connectedComponents):
+    every vertex starts labeled with its own id; each round every vertex
+    takes the min of its label and its neighbors' labels; converged when
+    a round changes nothing. Each round is ONE shuffle of the edge list
+    (join + groupBy-min); rounds needed = cluster diameter, which for
+    near-dup clusters is tiny (pairs share content). `max_iter` bounds
+    the loop; the driver-side convergence check is one count per round
+    on a shrinking changed-set, not a collect.
+
+    Returns (id, component) with component = min id reachable."""
+    a, b = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge dst, the src's current label
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(edges.dst.alias("id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        updated = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = updated.where(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = updated.select(
+            "id", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)  # truncate the lineage
+    return labels
+
+
+def dedup_decisions(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → per-document keep/drop decisions: cluster with
+    connected_components, keep the MIN id of each cluster (deterministic
+    canonical pick), mark the rest as duplicates of it. Documents in no
+    pair keep themselves."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp.id, "left")
+        .select(
+            docs[id_col],
+            F.coalesce(comp.component, docs[id_col]).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

@@ -43,6 +43,7 @@ from vector_spark.operators.route import exclusive_route_tag, route
 from vector_spark.operators.throttle import time_bucket
 from vector_spark.operators.enrich import enrich
 from vector_spark.dataops.dedup import (
+    dedup_decisions,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -2103,6 +2104,60 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh, _ORACLE_ANN_RECALL, "LSH ANN recall gate vs exact"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_RECALL, "IVF ANN recall gate vs exact"),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
+    # Fuzzy-dedup end to end: near-dup pairs (provable-recall LSH, same
+    # parameterization as docs_minhash_lsh) → connected components via
+    # label propagation (one edge-shuffle per round, rounds = cluster
+    # diameter) → deterministic canonical pick. The oracle closes the
+    # same pairs with a recursive CTE — exact transitive closure.
+    "docs_dedup_components": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda docs: dedup_decisions(
+                docs,
+                minhash_lsh_pairs(
+                    docs, text_col="text", id_col="doc_id",
+                    num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+                    exact_verify=True,
+                ),
+                id_col="doc_id",
+            )
+        )(_t(spark, sf_dir, "documents")),
+        """
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+          FROM w, UNNEST(range(1, greatest(len(ws)-1, 2))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(src, dst) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+        ), comp AS (
+          SELECT src, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src
+        )
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+        """,
+        "fuzzy dedup: LSH pairs → connected components → keep decisions",
+    ),
     # TPC-H breadth: q10 (returned-item revenue per customer — the
     # many-to-many fact⋈dim plan with a top-k) and q14 (promo revenue —
     # conditional aggregation over a fact⋈part join). Both keep money in
