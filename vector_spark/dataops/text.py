@@ -110,3 +110,58 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of case/whitespace/punct-normalized text."""
     norm = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
     return F.md5(F.trim(norm))
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_len: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: (term, doc_freq, total_count),
+    top-k by total count. One explode + one groupBy with map-side partial
+    aggregation; the top-k is orderBy+limit (TakeOrderedAndProject —
+    parallel partial top-k, never a global single-task sort). The classic
+    first step of tokenizer/vocab work over a pretraining corpus."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.length("term") >= min_len)
+    g = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+    return g.orderBy(F.col("total_count").desc(), F.col("term")).limit(k)
+
+
+def quality_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_ratio: float = 0.01,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop decisions from the text_stats features:
+    too-short documents, implausible mean word lengths, and
+    no-stopword (non-prose) documents drop. Returns every doc with its
+    triggering reason so the pipeline is auditable, like quality-filter
+    reports in pretraining-data pipelines."""
+    stats = text_stats(df, text_col=text_col, id_col=id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_few_tokens")
+        .when(F.col("mean_word_len") < min_mean_word_len, "short_words")
+        .when(F.col("mean_word_len") > max_mean_word_len, "long_words")
+        .when(F.col("stopword_ratio") < min_stop_ratio, "no_stopwords")
+        .otherwise(F.lit(None))
+    )
+    return stats.select(
+        F.col(id_col),
+        "n_tokens",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )

@@ -2104,6 +2104,48 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh, _ORACLE_ANN_RECALL, "LSH ANN recall gate vs exact"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_RECALL, "IVF ANN recall gate vs exact"),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
+    # Corpus vocabulary heavy hitters and C4-style quality pruning —
+    # the vocabulary/filter steps of a pretraining-data pipeline, both
+    # exactly oracle-checkable (top-k ties break on the term).
+    "docs_top_terms": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["top_terms"]
+        ).top_terms(_t(spark, sf_dir, "documents"), k=50),
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents
+        )
+        SELECT term, COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS total_count
+        FROM toks WHERE length(term) >= 2
+        GROUP BY term
+        ORDER BY total_count DESC, term LIMIT 50
+        """,
+        "vocabulary heavy hitters: explode + agg + parallel top-k",
+    ),
+    "docs_quality_prune": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["quality_prune"]
+        ).quality_prune(_t(spark, sf_dir, "documents")),
+        f"""
+        WITH s AS ({_ORACLE_TEXT_STATS})
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 10 THEN 'too_few_tokens'
+                    WHEN mean_word_len < 2.0 THEN 'short_words'
+                    WHEN mean_word_len > 12.0 THEN 'long_words'
+                    WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+               END AS drop_reason,
+               CASE WHEN n_tokens < 10 THEN 'too_few_tokens'
+                    WHEN mean_word_len < 2.0 THEN 'short_words'
+                    WHEN mean_word_len > 12.0 THEN 'long_words'
+                    WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+               END IS NULL AS keep
+        FROM s
+        """,
+        "C4/Gopher-style keep/drop decisions with audit reasons",
+    ),
     # Fuzzy-dedup end to end: near-dup pairs (provable-recall LSH, same
     # parameterization as docs_minhash_lsh) → connected components via
     # label propagation (one edge-shuffle per round, rounds = cluster
