@@ -347,3 +347,32 @@ def test_match_datadog_query(spark):
     out = vrl_remap(df, '.is_err = match_datadog_query("status:error")')[""]
     got = {r["code"]: r["is_err"] for r in out.collect()}
     assert got[500] is True and got[200] is False
+
+
+def test_parse_cbor(spark):
+    """Minimal CBOR decoder vs hand-encoded RFC 8949 bytes."""
+    import json
+
+    # {"a": 1, "b": [true, null, -5], "s": "hi", "f": 1.5} hand-encoded:
+    # map(4); "a"->uint 1; "b"->array(3) true/null/neg(4); "s"->"hi";
+    # "f"->float64 1.5 (0x3FF8000000000000 big-endian)
+    cbor = bytes(
+        [0xA4,
+         0x61, ord("a"), 0x01,
+         0x61, ord("b"), 0x83, 0xF5, 0xF6, 0x24,
+         0x61, ord("s"), 0x62, ord("h"), ord("i"),
+         0x61, ord("f"), 0xFB, 0x3F, 0xF8, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00]
+    )
+    got = (
+        spark.range(1)
+        .select(V["parse_cbor"](F.lit(cbor)).alias("v"))
+        .head()["v"]
+    )
+    assert json.loads(got) == {"a": 1, "b": [True, None, -5], "s": "hi", "f": 1.5}
+    # garbage bytes → null, not an error
+    bad = (
+        spark.range(1)
+        .select(V["parse_cbor"](F.lit(b"\xff\xff\xff")).alias("v"))
+        .head()["v"]
+    )
+    assert bad is None

@@ -5,9 +5,10 @@ categories listed in `website/cue/reference/remap/functions.cue:30-53`.
 Everything Column-expressible stays a native Catalyst expression; the
 Python-stdlib-backed codecs (zlib/gzip, punycode, charsets, MIME-Q,
 SHA-3, XML) run as Arrow-batched pandas UDFs — never row-at-a-time
-Python UDFs. Libraries this container doesn't ship (zstd/lz4/snappy,
-AES, protobuf/CBOR) are env-gated with a documented error, mirroring the
-repo's protobuf gate (scripts/probe_protobuf.py).
+Python UDFs. CBOR decodes with a pure-Python RFC 8949 reader (definite
+lengths) — no library needed. Libraries this container doesn't ship
+(zstd/lz4/snappy, AES, protobuf) are env-gated with a documented error,
+mirroring the repo's protobuf gate (scripts/probe_protobuf.py).
 
 Merged into `vector_spark.functions.vrl.VRL_FUNCTIONS` at import.
 """
@@ -840,3 +841,88 @@ def _facility_code(c: Column) -> Column:
     for code, name in enumerate(_SYSLOG_FACILITIES):
         out = F.when(F.lower(c) == name, code).otherwise(out)
     return out
+
+
+# ---- CBOR (RFC 8949) — pure-Python definite-length decoder --------------
+
+def _cbor_decode_item(data: bytes, pos: int):
+    """One data item → (value, next_pos). Major types 0-7, definite
+    lengths (the subset real log payloads use; indefinite lengths raise)."""
+    import struct as _struct
+
+    ib = data[pos]
+    major, info = ib >> 5, ib & 0x1F
+    pos += 1
+    if info < 24:
+        arg = info
+    elif info == 24:
+        arg = data[pos]; pos += 1
+    elif info == 25:
+        arg = int.from_bytes(data[pos : pos + 2], "big"); pos += 2
+    elif info == 26:
+        arg = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+    elif info == 27:
+        arg = int.from_bytes(data[pos : pos + 8], "big"); pos += 8
+    else:
+        raise ValueError("indefinite-length CBOR unsupported")
+    if major == 0:
+        return arg, pos
+    if major == 1:
+        return -1 - arg, pos
+    if major == 2:  # byte string → base64 for JSON transport
+        import base64
+
+        return base64.b64encode(data[pos : pos + arg]).decode(), pos + arg
+    if major == 3:
+        return data[pos : pos + arg].decode("utf-8"), pos + arg
+    if major == 4:
+        out = []
+        for _ in range(arg):
+            v, pos = _cbor_decode_item(data, pos)
+            out.append(v)
+        return out, pos
+    if major == 5:
+        obj = {}
+        for _ in range(arg):
+            k, pos = _cbor_decode_item(data, pos)
+            v, pos = _cbor_decode_item(data, pos)
+            obj[str(k)] = v
+        return obj, pos
+    if major == 6:  # tag: decode the tagged item, drop the tag
+        return _cbor_decode_item(data, pos)
+    # major 7: simple values / floats
+    if info == 20:
+        return False, pos
+    if info == 21:
+        return True, pos
+    if info in (22, 23):
+        return None, pos
+    if info == 25:  # float16
+        return _struct.unpack(">e", data[pos - 2 : pos])[0], pos
+    if info == 26:
+        return _struct.unpack(">f", data[pos - 4 : pos])[0], pos
+    if info == 27:
+        return _struct.unpack(">d", data[pos - 8 : pos])[0], pos
+    raise ValueError(f"unsupported CBOR simple value {info}")
+
+
+@pandas_udf(StringType())
+def _cbor_to_json(s: pd.Series) -> pd.Series:
+    """parse_cbor: CBOR bytes → JSON string (parse_json downstream)."""
+    import json
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            value, _ = _cbor_decode_item(
+                v if isinstance(v, bytes) else bytes(v), 0
+            )
+            return json.dumps(value, sort_keys=True)
+        except (ValueError, IndexError, UnicodeDecodeError):
+            return None
+
+    return s.map(conv)
+
+
+WAVE4["parse_cbor"] = lambda c: _cbor_to_json(c.cast("binary"))
