@@ -386,3 +386,36 @@ def test_encode_side_framing(spark):
 
     ld = bytes(df.select(frame_length_delimited(F.col("a")).alias("p")).head()["p"])
     assert struct.unpack(">I", ld[:4])[0] == 5 and ld[4:] == b"hello"
+
+
+def test_splunk_hec_roundtrip(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.codecs import decode_splunk_hec, encode_splunk_hec
+
+    df = spark.createDataFrame(
+        [("disk full", "2024-03-01 12:00:00.500000", "h1")],
+        "msg string, t string, host string",
+    ).select(F.col("msg"), F.col("t").cast("timestamp").alias("ts"), "host")
+    enc = df.select(
+        encode_splunk_hec(
+            F.col("msg"), F.col("ts"), host=F.col("host"),
+            sourcetype=F.lit("syslog"),
+        ).alias("payload")
+    )
+    raw = json.loads(enc.head()["payload"])
+    assert raw["event"] == "disk full" and raw["host"] == "h1"
+    assert raw["sourcetype"] == "syslog"
+    dec = enc.select(decode_splunk_hec(F.col("payload")).alias("e")).select("e.*")
+    row = dec.head()
+    assert row["event"] == "disk full"
+    assert str(row["ts"]) == "2024-03-01 12:00:00.500000"
+    # object-valued event comes back as JSON text
+    obj = spark.range(1).select(
+        decode_splunk_hec(
+            F.lit('{"event": {"k": 1}, "time": 1709294400.0}')
+        ).alias("e")
+    ).head()["e"]
+    assert json.loads(obj["event"]) == {"k": 1}

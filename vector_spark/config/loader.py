@@ -188,6 +188,8 @@ _DECODE_CODECS = {
     "influxdb": ("vector_spark.functions.codecs", "decode_influxdb_line", True),
     "prometheus": ("vector_spark.functions.codecs", "decode_prometheus_line", True),
     "logfmt": ("vector_spark.functions.codecs", "decode_logfmt", False),
+    "splunk_hec": ("vector_spark.functions.codecs", "decode_splunk_hec", True),
+    "native_json": None,  # handled inline (needs a log schema option)
 }
 
 
@@ -199,6 +201,14 @@ def _apply_decoding(df: DataFrame, cfg: dict) -> DataFrame:
     field = (dec.get("field", "message") if isinstance(dec, dict) else "message")
     if codec not in _DECODE_CODECS:
         raise TopologyError(f"unknown decoding codec {codec!r}")
+    if codec == "native_json":
+        from vector_spark.functions.codecs import decode_native_json
+
+        schema = dec.get("log_schema", "message string") if isinstance(dec, dict) else "message string"
+        parsed = df.withColumn(
+            "_decoded", decode_native_json(F.col(field), schema)
+        )
+        return parsed.select("*", "_decoded.log.*").drop("_decoded")
     mod, fn, is_struct = _DECODE_CODECS[codec]
     decode = getattr(__import__(mod, fromlist=[fn]), fn)
     parsed = df.withColumn("_decoded", decode(F.col(field)))
@@ -751,6 +761,23 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     value_col=cfg.get("value_col", "message"),
                 )
             }
+        elif stype == "jdbc":
+            # postgres/clickhouse/databend-style sinks: Spark's JDBC writer
+            # IS the native path (the reference speaks each wire protocol
+            # by hand; Catalyst batches inserts per partition). Needs the
+            # driver jar on the classpath — absent here, so this fails at
+            # runtime with the standard driver-not-found error, which is
+            # the honest env gate.
+            writer = (
+                df.write.format("jdbc")
+                .option("url", cfg["url"])
+                .option("dbtable", cfg["table"])
+                .mode(cfg.get("mode", "append"))
+            )
+            for k, v in (cfg.get("options") or {}).items():
+                writer = writer.option(k, v)
+            writer.save()
+            results[name] = {"table": cfg["table"]}
         elif stype == "prometheus_exporter":
             from vector_spark.sinks import prometheus_exporter_sink
 

@@ -667,3 +667,54 @@ def decode_arrow_ipc(df, schema: str):
                 yield table.to_pandas()
 
     return df.mapInPandas(deserialize, schema=schema)
+
+
+# ---- Splunk HEC (src/sources/splunk_hec, src/sinks/splunk_hec) ----------
+
+def encode_splunk_hec(
+    event: Column,
+    ts: Column,
+    host: Column | None = None,
+    source: Column | None = None,
+    sourcetype: Column | None = None,
+    index: Column | None = None,
+) -> Column:
+    """Event → HEC JSON envelope: {"event": ..., "time": epoch.millis,
+    "host": ..., "source": ..., "sourcetype": ..., "index": ...} — the
+    /services/collector/event wire form."""
+    fields = [
+        event.alias("event"),
+        (F.unix_micros(ts) / 1_000_000.0).alias("time"),
+    ]
+    for name, c in (
+        ("host", host), ("source", source),
+        ("sourcetype", sourcetype), ("index", index),
+    ):
+        if c is not None:
+            fields.append(c.alias(name))
+    return F.to_json(F.struct(*fields))
+
+
+def decode_splunk_hec(c: Column) -> Column:
+    """HEC JSON → struct(event, time → ts, host, source, sourcetype,
+    index). `event` can be a string or an object; it comes back as its
+    JSON text (parse_json downstream), matching the schemaless contract."""
+    v = F.parse_json(c)
+
+    def g(path: str, t: str) -> Column:
+        return F.try_variant_get(v, path, t)
+
+    event_text = F.coalesce(
+        g("$.event", "string"),
+        F.to_json(g("$.event", "variant")),
+    )
+    return F.struct(
+        event_text.alias("event"),
+        F.timestamp_micros(
+            (g("$.time", "double") * 1_000_000).cast("long")
+        ).alias("ts"),
+        g("$.host", "string").alias("host"),
+        g("$.source", "string").alias("source"),
+        g("$.sourcetype", "string").alias("sourcetype"),
+        g("$.index", "string").alias("index"),
+    )
