@@ -419,3 +419,23 @@ def test_splunk_hec_roundtrip(spark):
         ).alias("e")
     ).head()["e"]
     assert json.loads(obj["event"]) == {"k": 1}
+
+
+def test_chunked_gelf_encode_decode_roundtrip(spark):
+    """chunk_gelf → explode → reassemble recovers the original payload;
+    small payloads stay unchunked."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.framing import chunk_gelf, reassemble_chunked_gelf
+
+    big = '{"version":"1.1","host":"h","short_message":"' + "x" * 500 + '"}'
+    small = '{"version":"1.1","host":"h","short_message":"tiny"}'
+    df = spark.createDataFrame([(big,), (small,)], "payload string")
+    datagrams = df.select(
+        F.explode(chunk_gelf(F.col("payload"), max_chunk_bytes=100)).alias("d")
+    )
+    n = datagrams.count()
+    assert n == 7  # 546-byte payload / 100 + 1 small
+    back = reassemble_chunked_gelf(datagrams, "d")
+    got = sorted(r["message"] for r in back.collect())
+    assert got == sorted([big, small])

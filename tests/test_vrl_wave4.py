@@ -376,3 +376,31 @@ def test_parse_cbor(spark):
         .head()["v"]
     )
     assert bad is None
+
+
+def test_parse_msgpack(spark):
+    """Hand-encoded MessagePack (the fluent forward payload shape:
+    [tag, time, record-map])."""
+    import json
+
+    # ["app.log", 1700000000, {"msg": "hi", "n": -3, "ok": true}]
+    tag = b"\xa7app.log"                  # fixstr 7
+    t = b"\xce" + (1700000000).to_bytes(4, "big")  # uint32
+    rec = (b"\x83"                        # fixmap 3
+           + b"\xa3msg" + b"\xa2hi"
+           + b"\xa1n" + b"\xfd"           # negative fixint -3
+           + b"\xa2ok" + b"\xc3")
+    payload = b"\x93" + tag + t + rec     # fixarray 3
+    got = (
+        spark.range(1)
+        .select(V["parse_msgpack"](F.lit(payload)).alias("v"))
+        .head()["v"]
+    )
+    assert json.loads(got) == [
+        "app.log", 1700000000, {"msg": "hi", "n": -3, "ok": True}
+    ]
+    # floats, str8, array16
+    p2 = b"\xcb" + __import__("struct").pack(">d", 2.5)
+    assert json.loads(
+        spark.range(1).select(V["parse_msgpack"](F.lit(p2)).alias("v")).head()["v"]
+    ) == 2.5

@@ -236,3 +236,37 @@ def frame_length_delimited(payload: Column) -> Column:
     return F.concat(
         F.unhex(F.lpad(F.hex(F.octet_length(b)), 8, "0")), b
     )
+
+
+def chunk_gelf(
+    payload: Column, max_chunk_bytes: int = 8192, msg_id: Column | None = None
+) -> Column:
+    """Chunked-GELF ENCODE: payload (string/binary) → array<binary> of
+    UDP datagrams — `\\x1e\\x0f` magic + 8-byte message id + seq + total
+    + slice (GELF spec; inverse of reassemble_chunked_gelf). A payload
+    within the budget emits one unchunked datagram. Pure Column: hex-
+    domain slicing, explode downstream to send."""
+    h = F.hex(payload.cast("binary"))
+    nbytes = (F.length(h) / 2).cast("int")
+    total = F.ceil(nbytes / F.lit(max_chunk_bytes)).cast("int")
+    mid = (
+        F.lpad(F.hex(msg_id.cast("long")), 16, "0")
+        if msg_id is not None
+        else F.lpad(F.hex(F.xxhash64(payload.cast("string"))), 16, "0")
+    )
+    chunk_hex_len = max_chunk_bytes * 2
+    chunks = F.transform(
+        F.sequence(F.lit(0), total - 1),
+        lambda i: F.unhex(
+            F.concat(
+                F.lit(GELF_MAGIC_HEX),
+                mid,
+                F.lpad(F.hex(i), 2, "0"),
+                F.lpad(F.hex(total), 2, "0"),
+                F.substring(
+                    h, (i * chunk_hex_len + 1).cast("int"), chunk_hex_len
+                ),
+            )
+        ),
+    )
+    return F.when(total <= 1, F.array(payload.cast("binary"))).otherwise(chunks)

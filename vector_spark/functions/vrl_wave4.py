@@ -926,3 +926,101 @@ def _cbor_to_json(s: pd.Series) -> pd.Series:
 
 
 WAVE4["parse_cbor"] = lambda c: _cbor_to_json(c.cast("binary"))
+
+
+# ---- MessagePack — pure-Python decoder (fluent forward protocol rides
+# msgpack; src/sources/fluent/ decodes it. Same no-library approach as
+# the CBOR reader above.) --------------------------------------------------
+
+def _msgpack_decode_item(data: bytes, pos: int):
+    import struct as _struct
+
+    b = data[pos]
+    pos += 1
+    if b <= 0x7F:  # positive fixint
+        return b, pos
+    if b >= 0xE0:  # negative fixint
+        return b - 256, pos
+    if 0x80 <= b <= 0x8F:  # fixmap
+        return _msgpack_map(data, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:  # fixarray
+        return _msgpack_array(data, pos, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:  # fixstr
+        n = b & 0x1F
+        return data[pos : pos + n].decode("utf-8"), pos + n
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b in (0xC4, 0xC5, 0xC6):  # bin 8/16/32 → base64 for JSON
+        import base64
+
+        w = {0xC4: 1, 0xC5: 2, 0xC6: 4}[b]
+        n = int.from_bytes(data[pos : pos + w], "big")
+        pos += w
+        return base64.b64encode(data[pos : pos + n]).decode(), pos + n
+    if b == 0xCA:
+        return _struct.unpack(">f", data[pos : pos + 4])[0], pos + 4
+    if b == 0xCB:
+        return _struct.unpack(">d", data[pos : pos + 8])[0], pos + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint 8/16/32/64
+        w = {0xCC: 1, 0xCD: 2, 0xCE: 4, 0xCF: 8}[b]
+        return int.from_bytes(data[pos : pos + w], "big"), pos + w
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):  # int 8/16/32/64
+        w = {0xD0: 1, 0xD1: 2, 0xD2: 4, 0xD3: 8}[b]
+        return int.from_bytes(data[pos : pos + w], "big", signed=True), pos + w
+    if b in (0xD9, 0xDA, 0xDB):  # str 8/16/32
+        w = {0xD9: 1, 0xDA: 2, 0xDB: 4}[b]
+        n = int.from_bytes(data[pos : pos + w], "big")
+        pos += w
+        return data[pos : pos + n].decode("utf-8"), pos + n
+    if b in (0xDC, 0xDD):  # array 16/32
+        w = {0xDC: 2, 0xDD: 4}[b]
+        n = int.from_bytes(data[pos : pos + w], "big")
+        return _msgpack_array(data, pos + w, n)
+    if b in (0xDE, 0xDF):  # map 16/32
+        w = {0xDE: 2, 0xDF: 4}[b]
+        n = int.from_bytes(data[pos : pos + w], "big")
+        return _msgpack_map(data, pos + w, n)
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
+
+
+def _msgpack_array(data: bytes, pos: int, n: int):
+    out = []
+    for _ in range(n):
+        v, pos = _msgpack_decode_item(data, pos)
+        out.append(v)
+    return out, pos
+
+
+def _msgpack_map(data: bytes, pos: int, n: int):
+    obj = {}
+    for _ in range(n):
+        k, pos = _msgpack_decode_item(data, pos)
+        v, pos = _msgpack_decode_item(data, pos)
+        obj[str(k)] = v
+    return obj, pos
+
+
+@pandas_udf(StringType())
+def _msgpack_to_json(s: pd.Series) -> pd.Series:
+    """parse_msgpack: MessagePack bytes → JSON string."""
+    import json
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            value, _ = _msgpack_decode_item(
+                v if isinstance(v, bytes) else bytes(v), 0
+            )
+            return json.dumps(value, sort_keys=True)
+        except (ValueError, IndexError, UnicodeDecodeError):
+            return None
+
+    return s.map(conv)
+
+
+WAVE4["parse_msgpack"] = lambda c: _msgpack_to_json(c.cast("binary"))
