@@ -439,3 +439,39 @@ def test_chunked_gelf_encode_decode_roundtrip(spark):
     back = reassemble_chunked_gelf(datagrams, "d")
     got = sorted(r["message"] for r in back.collect())
     assert got == sorted([big, small])
+
+
+def test_chunk_gelf_over_128_chunks_is_null(spark):
+    """GELF caps messages at 128 chunks; seq/total are single bytes.
+    >128 chunks must yield NULL, not corrupt headers (ADVICE r2)."""
+    from vector_spark.functions.framing import chunk_gelf
+
+    df = spark.createDataFrame([("x" * 1300,)], "payload string")
+    # 10-byte chunks → 130 chunks > 128 → NULL
+    bad = df.select(chunk_gelf(F.col("payload"), max_chunk_bytes=10).alias("d"))
+    assert bad.head()["d"] is None
+    # exactly 128 chunks is still legal
+    df2 = spark.createDataFrame([("x" * 1280,)], "payload string")
+    ok = df2.select(chunk_gelf(F.col("payload"), max_chunk_bytes=10).alias("d"))
+    assert len(ok.head()["d"]) == 128
+
+
+def test_octet_counting_multibyte_roundtrip(spark):
+    """Byte-accurate decode walker: multi-byte UTF-8 payloads round-trip
+    through frame_octet_counting → length_delimited_frames (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.framing import (
+        frame_octet_counting,
+        length_delimited_frames,
+    )
+
+    df = spark.createDataFrame([("wörld", "naïve ☃")], "a string, b string")
+    two = df.select(
+        F.concat(
+            frame_octet_counting(F.col("a")),
+            frame_octet_counting(F.col("b")),
+        ).alias("p")
+    )
+    back = two.select(length_delimited_frames(F.col("p")).alias("f")).head()["f"]
+    assert list(back) == ["wörld", "naïve ☃"]

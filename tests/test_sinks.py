@@ -148,3 +148,23 @@ sinks:
         assert results["s3"]["dropped"] == 0
         assert os.path.isdir(os.path.join(out, "svc", "a", "dt=2024-01-02"))
         assert os.path.isdir(os.path.join(out, "svc", "b", "dt=2024-01-03"))
+
+
+def test_write_templated_rejects_path_traversal(spark):
+    """A key value containing '..' segments must not escape base_path
+    during the hive-prefix rename pass (ADVICE r2)."""
+    from vector_spark.sinks import write_templated
+
+    with tempfile.TemporaryDirectory() as tmp:
+        base = os.path.join(tmp, "base")
+        os.makedirs(base)
+        df = spark.createDataFrame(
+            [("../../escape", 1), ("ok-key", 2)], "key string, seq int"
+        )
+        write_templated(df, base, "out/{{ key }}", fmt="parquet")
+        # nothing written outside base
+        assert sorted(d for d in os.listdir(tmp)) == ["base"]
+        root = os.path.join(base, "out")
+        names = sorted(d for d in os.listdir(root) if not d.startswith(("_", ".")))
+        assert "escape" in names and "ok-key" in names
+        assert ".." not in names

@@ -404,3 +404,43 @@ def test_parse_msgpack(spark):
     assert json.loads(
         spark.range(1).select(V["parse_msgpack"](F.lit(p2)).alias("v")).head()["v"]
     ) == 2.5
+
+
+def test_parse_msgpack_ext_eventtime(spark):
+    """fluentd EventTime (ext type 0, fixext8: 4B sec + 4B nsec) decodes
+    to a float epoch; unknown ext types surface as a tagged object
+    (ADVICE r2: subsecond fluent payloads previously decoded to null)."""
+    import base64
+    import json
+
+    # ["tag", EventTime(1700000000.5), {"m": "x"}]
+    et = b"\xd7\x00" + (1700000000).to_bytes(4, "big") + (500000000).to_bytes(4, "big")
+    payload = b"\x93" + b"\xa3tag" + et + b"\x81\xa1m\xa1x"
+    got = json.loads(
+        spark.range(1)
+        .select(V["parse_msgpack"](F.lit(payload)).alias("v"))
+        .head()["v"]
+    )
+    assert got == ["tag", 1700000000.5, {"m": "x"}]
+    # ext8-framed EventTime (fluentd emits either form)
+    et8 = b"\xc7\x08\x00" + (1700000001).to_bytes(4, "big") + b"\x00" * 4
+    got8 = json.loads(
+        spark.range(1).select(V["parse_msgpack"](F.lit(et8)).alias("v")).head()["v"]
+    )
+    assert got8 == 1700000001.0
+    # unknown ext type tagged, not dropped
+    unk = b"\xd4\x2a\x07"  # fixext1 type 42 body 0x07
+    gotu = json.loads(
+        spark.range(1).select(V["parse_msgpack"](F.lit(unk)).alias("v")).head()["v"]
+    )
+    assert gotu == {
+        "__ext_type": 42,
+        "__ext_data": base64.b64encode(b"\x07").decode(),
+    }
+
+
+def test_parse_etld_short_domain_clamped(spark):
+    """A domain with fewer labels than suffix+plus_parts must not throw
+    (slice start would be <= 0) — returns the whole domain (ADVICE r2)."""
+    assert one(spark, V["parse_etld"](F.lit("com"), plus_parts=1)) == "com"
+    assert one(spark, V["parse_etld"](F.lit("co.uk"), plus_parts=1)) == "co.uk"

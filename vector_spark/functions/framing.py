@@ -33,21 +33,26 @@ def character_delimited(c: Column, delimiter: str) -> Column:
 
 def length_delimited_frames(c: Column, max_frames: int = 1024) -> Column:
     """`<len> <payload>`-style octet-counting (RFC6587 syslog): parse
-    `N payload...` frames where N counts payload characters.
+    `N payload...` frames where N counts payload BYTES (UTF-8), matching
+    frame_octet_counting on the encode side.
 
-    Implemented as an iterative substring walk via aggregate over a
-    bounded index sequence — pure Column, no UDF. ``max_frames`` bounds
-    the walk (frames beyond it are not emitted)."""
-    # state: struct(rest: string, out: array<string>)
-    init = F.struct(c.alias("rest"), F.array().cast("array<string>").alias("out"))
+    Implemented as an iterative walk in the HEX domain (2 hex chars per
+    byte) via aggregate over a bounded index sequence — pure Column, no
+    UDF, byte-accurate for multi-byte payloads. ``max_frames`` bounds the
+    walk (frames beyond it are not emitted)."""
+    # state: struct(rest: hex string, out: array<string>)
+    h = F.hex(c.cast("binary"))
+    init = F.struct(h.alias("rest"), F.array().cast("array<string>").alias("out"))
 
     def step(acc, _):
         rest = acc["rest"]
-        n = F.regexp_extract(rest, r"^(\d+) ", 1)
-        have = (n != "") & (F.length(rest) >= n.cast("int") + F.length(n) + 1)
-        start = F.length(n) + 2  # 1-based, past "<n> "
-        frame = F.substring(rest, start, n.try_cast("int"))
-        remaining = rest.substr(start + n.try_cast("int"), F.length(rest))
+        # ASCII digits are 0x30-0x39, the separating space is 0x20
+        nhex = F.regexp_extract(rest, r"^((?:3[0-9])+)20", 1)
+        n = F.unhex(nhex).cast("string").try_cast("int")
+        prefix = F.length(nhex) + 2  # hex chars consumed incl. the space
+        have = (nhex != "") & (F.length(rest) >= n * 2 + prefix)
+        frame = F.unhex(F.substring(rest, prefix + 1, n * 2)).cast("string")
+        remaining = rest.substr(prefix + 1 + n * 2, F.length(rest))
         return F.when(
             have,
             F.struct(
@@ -153,6 +158,7 @@ def varint_length_delimited_frames(
 # payload. Non-chunked datagrams carry the whole message.
 
 GELF_MAGIC_HEX = "1E0F"
+GELF_MAX_CHUNKS = 128  # GELF spec: seq/total are single bytes, max 128 chunks
 
 
 def gelf_chunk_header(c: Column) -> Column:
@@ -220,12 +226,9 @@ def frame_newline(lines: Column) -> Column:
 
 def frame_octet_counting(line: Column) -> Column:
     """RFC6587 octet-counting: '<len> <frame>' — the syslog TCP encode
-    framer. Counts BYTES of the UTF-8 form per the RFC; note the decode
-    walker (length_delimited_frames) slices by characters, so round-trips
-    are exact for ASCII payloads and the decode of multi-byte payloads
-    from strict-RFC peers should go through the server source's Python
-    framer (vector_spark/sources.py OctetCountingFramer), which is
-    byte-accurate."""
+    framer. Counts BYTES of the UTF-8 form per the RFC; the decode walker
+    (length_delimited_frames) is also byte-accurate (hex-domain walk), so
+    encode→decode round-trips are exact for multi-byte payloads too."""
     s = line.cast("string")
     return F.concat(F.octet_length(s).cast("string"), F.lit(" "), s)
 
@@ -269,4 +272,12 @@ def chunk_gelf(
             )
         ),
     )
-    return F.when(total <= 1, F.array(payload.cast("binary"))).otherwise(chunks)
+    # GELF caps a message at 128 chunks; beyond that the 1-byte seq/total
+    # header fields can't represent the count (lpad would silently truncate
+    # the hex) — emit NULL so callers can route to a dropped output instead
+    # of sending corrupt datagrams.
+    return (
+        F.when(total <= 1, F.array(payload.cast("binary")))
+        .when(total > GELF_MAX_CHUNKS, F.lit(None).cast("array<binary>"))
+        .otherwise(chunks)
+    )

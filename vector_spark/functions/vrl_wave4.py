@@ -368,9 +368,13 @@ def parse_etld(c: Column, plus_parts: int = 0) -> Column:
     np = F.size(parts)
     suffix_len = F.when(is_multi, 2).otherwise(1)
     take = suffix_len + F.lit(plus_parts)
+    # clamp: a domain with fewer labels than the requested suffix (e.g.
+    # "com" with plus_parts=1) would make the slice start <= 0, which
+    # Spark's slice throws on — take the whole domain instead.
+    start = F.greatest((np - take + 1).cast("int"), F.lit(1))
     return F.struct(
         F.array_join(
-            F.slice(parts, (np - take + 1).cast("int"), 100), "."
+            F.slice(parts, start, 100), "."
         ).alias("etld" if plus_parts == 0 else f"etld_plus_{plus_parts}"),
         F.lit(not plus_parts).alias("known_suffix"),
     )["etld" if plus_parts == 0 else f"etld_plus_{plus_parts}"]
@@ -984,7 +988,36 @@ def _msgpack_decode_item(data: bytes, pos: int):
         w = {0xDE: 2, 0xDF: 4}[b]
         n = int.from_bytes(data[pos : pos + w], "big")
         return _msgpack_map(data, pos + w, n)
+    if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):  # fixext 1/2/4/8/16
+        n = {0xD4: 1, 0xD5: 2, 0xD6: 4, 0xD7: 8, 0xD8: 16}[b]
+        return _msgpack_ext(data, pos, n)
+    if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
+        w = {0xC7: 1, 0xC8: 2, 0xC9: 4}[b]
+        n = int.from_bytes(data[pos : pos + w], "big")
+        return _msgpack_ext(data, pos + w, n)
     raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
+
+
+def _msgpack_ext(data: bytes, pos: int, n: int):
+    """Ext family. Type 0 with an 8-byte body is fluentd's EventTime
+    (4-byte seconds + 4-byte nanoseconds, big-endian —
+    fluent forward spec; reference `src/sources/fluent/message.rs`):
+    decoded to a float epoch timestamp. Other ext types surface as a
+    tagged object so nothing round-trips silently wrong."""
+    import base64
+
+    ext_type = int.from_bytes(data[pos : pos + 1], "big", signed=True)
+    pos += 1
+    body = data[pos : pos + n]
+    pos += n
+    if ext_type == 0 and n == 8:
+        sec = int.from_bytes(body[:4], "big")
+        nsec = int.from_bytes(body[4:], "big")
+        return sec + nsec / 1e9, pos
+    return (
+        {"__ext_type": ext_type, "__ext_data": base64.b64encode(body).decode()},
+        pos,
+    )
 
 
 def _msgpack_array(data: bytes, pos: int, n: int):

@@ -42,8 +42,11 @@ def _strip_hive_prefixes(root: str, depth: int) -> None:
         _strip_hive_prefixes(full, depth - 1)
         value = unquote(entry.split("=", 1)[1])
         # a rendered value containing "/" nests further dirs, like the
-        # reference's verbatim key concatenation
-        target = os.path.join(root, *value.split("/"))
+        # reference's verbatim key concatenation. Key values are event
+        # data: strip empty / "." / ".." segments so a malicious field
+        # can't traverse outside base_path during the rename pass.
+        segs = [s for s in value.split("/") if s not in ("", ".", "..")]
+        target = os.path.join(root, *(segs or ["_invalid_key"]))
         os.makedirs(os.path.dirname(target), exist_ok=True)
         if os.path.isdir(target):
             # merge (append mode writing an existing key): move children
