@@ -1677,6 +1677,55 @@ def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("geo_region").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def q_mmdb_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxMind .mmdb enrichment end-to-end (src/enrichment_tables/mmdb.rs,
+    geoip.rs): parse the committed binary fixture with the pure-Python
+    MMDB reader, explode its search tree to IP ranges, broadcast interval
+    join against derived event IPs. The DuckDB oracle recomputes the
+    country mapping from the fixture's generation parameters
+    (scripts/make_mmdb_fixture.py: /11 blocks at second-octet 0/32/64/
+    96/128/160, /13 at 192)."""
+    import os
+
+    from vector_spark.functions.mmdb import mmdb_enrich
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "fixtures", "geo.mmdb"
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "10.%d.0.1", F.pmod(F.col("user_id"), F.lit(200)).cast("int")
+        ).alias("client_ip"),
+    )
+    j = mmdb_enrich(ev, "client_ip", spark, fixture)
+    return (
+        j.groupBy(
+            F.col("`country.iso_code`").alias("country"),
+            F.col("`city.names.en`").alias("city"),
+            F.col("`location.latitude`").alias("lat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_ORACLE_MMDB = """
+SELECT CASE b WHEN 0 THEN 'US' WHEN 1 THEN 'DE' WHEN 2 THEN 'FR'
+              WHEN 3 THEN 'JP' WHEN 4 THEN 'BR' WHEN 5 THEN 'IN'
+              ELSE 'GB' END AS country,
+       CASE b WHEN 0 THEN 'Kansas City' WHEN 1 THEN 'Kassel'
+              WHEN 2 THEN 'Vierzon' WHEN 3 THEN 'Nagano'
+              WHEN 4 THEN 'Sinop' WHEN 5 THEN 'Nagpur'
+              ELSE 'Lancaster' END AS city,
+       CASE b WHEN 0 THEN '37.0' WHEN 1 THEN '51.0' WHEN 2 THEN '46.0'
+              WHEN 3 THEN '36.0' WHEN 4 THEN '-10.0' WHEN 5 THEN '20.0'
+              ELSE '54.0' END AS lat,
+       COUNT(*) AS n_events
+FROM (SELECT (user_id % 200) // 32 AS b FROM events)
+GROUP BY 1, 2, 3
+"""
+
+
 _ORACLE_GEOIP = """
 SELECT CASE WHEN user_id % 200 < 50 THEN 'us-east'
             WHEN user_id % 200 < 100 THEN 'eu-west'
@@ -1712,6 +1761,7 @@ QUERIES: dict[str, QuerySpec] = {
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
+    "mmdb_geoip_enrich": QuerySpec(q_mmdb_enrich, _ORACLE_MMDB, "MaxMind .mmdb binary enrichment"),
     "embedding_near_dup": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.dataops.similarity", fromlist=["cosine_near_dup_pairs"]
@@ -2390,7 +2440,8 @@ QUERIES: dict[str, QuerySpec] = {
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
-    # never sampled by the driver in any round
+    # never sampled by the driver in any round (new in r3 first)
+    "mmdb_geoip_enrich",
     "multimodal_features", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "embedding_stats", "docs_top_terms", "docs_quality_prune",
     "docs_dedup_components", "tpch_q10_returned_items",
