@@ -34,3 +34,31 @@ def test_extract_features_strict_raises(spark, documents):
     assets = documents_as_assets(documents.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(assets, strict=True).collect()
+
+
+def test_synthesized_assets_real_decode(spark, documents):
+    """The multimodal_features query path: synthesized PNG/WAV payloads
+    decode through the REAL pure-stdlib decoders, and the features equal
+    the closed-form values the DuckDB oracle computes (r2 verdict #2)."""
+    from vector_spark.dataops import media_codecs as mc
+    from vector_spark.dataops.multimodal import extract_features, synthesize_assets
+
+    assets = synthesize_assets(documents.limit(60))
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    # payloads are genuine media: sniff + decode agree with the envelope
+    png = next(r for r in rows.values() if r["media_type"] == "image/png")
+    img = mc.decode_image(bytes(png["data"]))
+    assert img.shape == (16, 16) and int(img[0, 0]) == png["asset_id"] % 256
+    wav = next(r for r in rows.values() if r["media_type"] == "audio/wav")
+    rate, samples = mc.decode_wav(bytes(wav["data"]))
+    assert rate == 8000 and samples.shape[0] == 2048
+    amp = 500 + (wav["asset_id"] % 100) * 3
+    assert int(samples[0]) == amp and int(samples[1]) == -amp
+
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    f_png = feats[png["asset_id"]]
+    assert f_png["feat_mean"] == round((png["asset_id"] % 256) / 255.0, 6)
+    assert f_png["feat_std"] == 0.0
+    f_wav = feats[wav["asset_id"]]
+    assert f_wav["feat_mean"] == round(amp / 32768.0, 6)
+    assert f_wav["feat_std"] == 0.256  # 2048 samples / 8000 Hz

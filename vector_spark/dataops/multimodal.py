@@ -70,6 +70,58 @@ def documents_as_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize REAL media payloads from document rows
+    (one per row, keyed by doc_id % 3): solid-gray 16x16 PNG, a ±A square
+    wave WAV (2048 samples @ 8kHz), or the raw text bytes.
+
+    The generation parameters are chosen so the REAL decoded features are
+    exact in float64 and reproducible from doc_id arithmetic alone (the
+    DuckDB oracle recomputes them without touching the binary):
+      - PNG: constant pixel a = doc_id % 256 → mean = fl(a/255), std = 0
+        (256 = 2^8 identical exact values; pairwise sum is exact)
+      - WAV: amplitude A = 500 + (doc_id % 100)*3 ∈ [500, 797] → every
+        sample² is the same exact dyadic (A/32768)², so RMS = A/32768
+        exactly; 768 = 256·odd (the one value in range whose 7th decimal
+        is an exact rounding midpoint) is unreachable since 268 is not
+        divisible by 3; duration = 2048/8000 — the same correctly-rounded
+        division both engines perform
+    """
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf["text"].to_numpy()
+            out = {k.name: [] for k in ASSET_SCHEMA.fields}
+            for i, t in zip(ids, texts):
+                m = int(i) % 3
+                if m == 0:
+                    a = int(i) % 256
+                    img = np.full((16, 16), a, dtype=np.uint8)
+                    data, mt, w, h, dur = mc.encode_png(img), "image/png", 16, 16, None
+                elif m == 1:
+                    amp = 500 + (int(i) % 100) * 3
+                    samples = np.tile(
+                        np.array([amp, -amp], dtype=np.int16), 1024
+                    )
+                    data, mt, w, h = mc.encode_wav(8000, samples), "audio/wav", None, None
+                    dur = 2048 / 8000
+                else:
+                    data, mt, w, h, dur = str(t).encode(), "text/plain", None, None, None
+                out["asset_id"].append(int(i))
+                out["media_type"].append(mt)
+                out["data"].append(data)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_s"].append(dur)
+            yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return docs.select(id_col, "text").mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
 def decode_image(data: bytes) -> "object":
     """REAL for PNG / netpbm / BMP (pure stdlib+numpy decoders in
     dataops/media_codecs.py; PIL extends coverage when present). JPEG and

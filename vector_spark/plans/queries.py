@@ -1057,26 +1057,38 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary assets. The deterministic
-    stand-in decoder derives features from sha256 of the payload — pure
-    arithmetic DuckDB reproduces exactly, so the ORACLE checks the full
-    Arrow-batch plumbing (schema, batching, byte handling) value-for-value.
-    Real codec decode stays env-gated (PIL absent here; see
-    dataops/multimodal.py decode_image)."""
-    from vector_spark.dataops.multimodal import documents_as_assets, extract_features
+    """mapInPandas feature extraction over binary assets, REAL-DECODE
+    oracle-checked (round-2 verdict #2): two thirds of the rows carry
+    synthesized PNG / WAV payloads (deterministic generation params —
+    multimodal.synthesize_assets) whose pixel-mean / RMS features come
+    from the actual pure-stdlib decoders in dataops/media_codecs.py; the
+    remaining text rows exercise the documented digest stand-in. The
+    DuckDB oracle recomputes the real features from doc_id arithmetic
+    (the generation was designed so they are float64-exact) and the
+    stand-in from sha256(text)."""
+    from vector_spark.dataops.multimodal import extract_features, synthesize_assets
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(documents_as_assets(docs))
+    feats = extract_features(synthesize_assets(docs))
+    # content_sha / n_bytes of encoded media depend on zlib bytes, which
+    # SQL cannot recompute — project the decode-derived features only.
+    return feats.select("asset_id", "media_type", "feat_mean", "feat_std")
 
 
 _ORACLE_MM_FEATURES = """
-SELECT doc_id AS asset_id, 'text/plain' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS content_sha,
-       ROUND((('0x' || substr(sha256(text), 1, 16))::UBIGINT::DOUBLE)
-             / 18446744073709551616.0, 6) AS feat_mean,
-       ROUND((('0x' || substr(sha256(text), 17, 16))::UBIGINT::DOUBLE)
-             / 18446744073709551616.0, 6) AS feat_std
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'text/plain' END AS media_type,
+       CASE doc_id % 3
+            WHEN 0 THEN ROUND((doc_id % 256) / 255.0, 6)
+            WHEN 1 THEN ROUND((500 + (doc_id % 100) * 3) / 32768.0, 6)
+            ELSE ROUND((('0x' || substr(sha256(text), 1, 16))::UBIGINT::DOUBLE)
+                       / 18446744073709551616.0, 6) END AS feat_mean,
+       CASE doc_id % 3
+            WHEN 0 THEN 0.0
+            WHEN 1 THEN 0.256
+            ELSE ROUND((('0x' || substr(sha256(text), 17, 16))::UBIGINT::DOUBLE)
+                       / 18446744073709551616.0, 6) END AS feat_std
 FROM documents
 """
 
