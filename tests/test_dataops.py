@@ -221,3 +221,65 @@ def test_pq_topk_recall(spark, embeddings):
     recalls = [h / t for h, t in per.values()]
     assert min(recalls) >= 0.5
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_detect_language_trigram_accuracy(spark):
+    """22-language ID (9 script-detected + 13 trigram Latin): held-out
+    sentences (not in the seed corpus) must classify at >= 90% accuracy;
+    every script-range language must be exact."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.text import detect_language
+
+    held_out = [
+        ("en", "she opened the window because the morning air felt cold"),
+        ("en", "our team will review the results and send you an answer soon"),
+        ("de", "wir treffen uns morgen früh am bahnhof und fahren zusammen in die stadt"),
+        ("de", "das wetter war gestern schön aber heute regnet es schon wieder"),
+        ("fr", "nous avons mangé dans un petit restaurant près de la gare hier soir"),
+        ("fr", "elle voudrait apprendre à jouer du piano depuis son enfance"),
+        ("es", "mañana vamos a visitar a nuestros abuelos en el pueblo"),
+        ("es", "no puedo encontrar las llaves que dejé sobre la mesa esta mañana"),
+        ("pt", "amanhã vamos visitar os nossos avós na aldeia perto do rio"),
+        ("pt", "não consigo encontrar as chaves que deixei em cima da mesa"),
+        ("it", "domani andiamo a trovare i nostri nonni nel paese vicino al fiume"),
+        ("it", "non riesco a trovare le chiavi che ho lasciato sul tavolo"),
+        ("nl", "morgen gaan we onze grootouders bezoeken in het dorp bij de rivier"),
+        ("nl", "ik kan de sleutels niet vinden die ik op de tafel heb gelegd"),
+        ("sv", "imorgon ska vi besöka våra farföräldrar i byn vid floden"),
+        ("sv", "jag kan inte hitta nycklarna som jag lade på bordet i morse"),
+        ("da", "i morgen skal vi besøge vores bedsteforældre i landsbyen ved floden"),
+        ("da", "jeg kan ikke finde nøglerne som jeg lagde på bordet i morges"),
+        ("pl", "jutro odwiedzimy naszych dziadków we wsi nad rzeką"),
+        ("pl", "nie mogę znaleźć kluczy które zostawiłem rano na stole"),
+        ("cs", "zítra navštívíme naše prarodiče ve vesnici u řeky"),
+        ("cs", "nemohu najít klíče které jsem ráno nechal na stole"),
+        ("tr", "yarın nehrin yanındaki köyde büyükannemizi ziyaret edeceğiz"),
+        ("tr", "sabah masanın üzerinde bıraktığım anahtarları bulamıyorum"),
+        ("id", "besok kami akan mengunjungi kakek dan nenek kami di desa dekat sungai"),
+        ("id", "saya tidak dapat menemukan kunci yang saya tinggalkan di atas meja"),
+        ("fi", "huomenna käymme isovanhempiemme luona kylässä joen varrella"),
+        ("fi", "en löydä avaimia jotka jätin aamulla pöydälle"),
+        ("ru", "завтра мы поедем к бабушке и дедушке в деревню у реки"),
+        ("el", "αύριο θα επισκεφτούμε τους παππούδες μας στο χωριό δίπλα στο ποτάμι"),
+        ("ar", "غدا سوف نزور أجدادنا في القرية بجانب النهر"),
+        ("he", "מחר נבקר את הסבים שלנו בכפר ליד הנהר"),
+        ("hi", "कल हम नदी के पास गाँव में अपने दादा दादी से मिलने जाएँगे"),
+        ("th", "พรุ่งนี้เราจะไปเยี่ยมปู่ย่าตายายที่หมู่บ้านริมแม่น้ำ"),
+        ("ko", "내일 우리는 강 옆 마을에 계신 조부모님을 방문할 것입니다"),
+        ("ja", "明日わたしたちは川のそばの村に祖父母を訪ねます"),
+        ("zh", "明天我们要去河边的村庄看望爷爷奶奶"),
+    ]
+    df = spark.createDataFrame(held_out, "lang string, text string")
+    got = df.select("lang", detect_language(F.col("text")).alias("pred")).collect()
+    script_langs = {"ru", "el", "ar", "he", "hi", "th", "ko", "ja", "zh"}
+    wrong = [(r["lang"], r["pred"]) for r in got if r["pred"] != r["lang"]]
+    for lang, pred in wrong:
+        assert lang not in script_langs, f"script lang {lang} misdetected as {pred}"
+    acc = 1 - len(wrong) / len(got)
+    assert acc >= 0.90, f"accuracy {acc:.2f}, misses: {wrong}"
+    # empty / whitespace → 'und'
+    und = spark.createDataFrame([("",), ("   ",)], "text string").select(
+        detect_language(F.col("text")).alias("p")
+    ).collect()
+    assert [r["p"] for r in und] == ["und", "und"]

@@ -271,3 +271,225 @@ def test_http_server_ingest(spark, tmp_path):
         assert _json.loads(rows[2].message) == {"m": "a"}
     finally:
         q.stop()
+
+
+def _msgpack_str(s: str) -> bytes:
+    b = s.encode()
+    return bytes([0xA0 | len(b)]) if not b else (
+        bytes([0xA0 | len(b)]) + b if len(b) < 32 else b"\xd9" + bytes([len(b)]) + b
+    )
+
+
+def _msgpack_map(d: dict) -> bytes:
+    out = bytes([0x80 | len(d)])
+    for k, v in d.items():
+        out += _msgpack_str(k)
+        if isinstance(v, str):
+            out += _msgpack_str(v)
+        elif isinstance(v, int) and 0 <= v < 128:
+            out += bytes([v])
+        else:
+            raise NotImplementedError
+    return out
+
+
+@pytest.mark.streaming
+def test_fluent_forward_ingest(spark, tmp_path):
+    """Real fluent-forward bytes: Message mode with EventTime ext
+    timestamp, Forward mode, PackedForward, and chunk ack
+    (src/sources/fluent/mod.rs)."""
+    import json as _json
+
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    raw = (
+        spark.readStream.format("fluent")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .option("wal_dir", str(tmp_path / "wal"))
+        .load()
+    )
+    name = f"fluent_{uuid.uuid4().hex[:8]}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        with _connect_retry(port) as c:
+            # 1) Message mode: ["app.log", EventTime(1700000000.5), {"m":"hello"}]
+            et = b"\xd7\x00" + (1700000000).to_bytes(4, "big") + (500000000).to_bytes(4, "big")
+            msg1 = b"\x93" + _msgpack_str("app.log") + et + _msgpack_map({"m": "hello"})
+            c.sendall(msg1)
+            # 2) Forward mode: ["web", [[100, {"m":"a"}], [101, {"m":"b"}]]]
+            entry = lambda t, m: b"\x92" + bytes([t]) + _msgpack_map({"m": m})
+            fwd = (b"\x92" + _msgpack_str("web")
+                   + b"\x92" + entry(100, "a") + entry(101, "b"))
+            c.sendall(fwd)
+            # 3) PackedForward + chunk option → expect an ack back
+            packed = entry(102, "c") + entry(103, "d")
+            pf = (b"\x93" + _msgpack_str("bulk")
+                  + b"\xc4" + bytes([len(packed)]) + packed
+                  + _msgpack_map({"chunk": "abc123"}))
+            c.sendall(pf)
+            c.settimeout(15)
+            ack = c.recv(256)
+            assert b"ack" in ack and b"abc123" in ack
+        got = _wait_rows(spark, name, 5)
+        assert got == 5
+        rows = [
+            _json.loads(r.message)
+            for r in spark.sql(f"SELECT message FROM {name} ORDER BY seq").collect()
+        ]
+        assert rows[0] == {"tag": "app.log", "timestamp": 1700000000.5,
+                           "record": {"m": "hello"}}
+        assert [r["record"]["m"] for r in rows[1:]] == ["a", "b", "c", "d"]
+        assert {r["tag"] for r in rows[1:3]} == {"web"}
+        assert {r["tag"] for r in rows[3:]} == {"bulk"}
+        assert [r["timestamp"] for r in rows[1:]] == [100, 101, 102, 103]
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_logstash_lumberjack_ingest(spark, tmp_path):
+    """Lumberjack v2 frames: window, JSON data, zlib-compressed nested
+    frames, key/value data frames, sequence ack (src/sources/logstash.rs)."""
+    import json as _json
+    import struct
+    import zlib
+
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    port = _free_port()
+    raw = (
+        spark.readStream.format("logstash")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .option("wal_dir", str(tmp_path / "wal"))
+        .load()
+    )
+    name = f"ls_{uuid.uuid4().hex[:8]}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        with _connect_retry(port) as c:
+            jframe = lambda seq, obj: (
+                b"2J" + struct.pack(">II", seq, len(_json.dumps(obj).encode()))
+                + _json.dumps(obj).encode()
+            )
+            # window + two J frames, one inside a compressed frame
+            c.sendall(b"2W" + struct.pack(">I", 3))
+            c.sendall(jframe(1, {"msg": "plain", "beat": "filebeat"}))
+            inner = jframe(2, {"msg": "zipped"})
+            comp = zlib.compress(inner)
+            c.sendall(b"2C" + struct.pack(">I", len(comp)) + comp)
+            # D frame: seq=3, 2 key/value pairs
+            kv = b""
+            for k, v in [("msg", "kv-frame"), ("host", "h9")]:
+                kv += struct.pack(">I", len(k)) + k.encode()
+                kv += struct.pack(">I", len(v)) + v.encode()
+            c.sendall(b"2D" + struct.pack(">II", 3, 2) + kv)
+            c.settimeout(15)
+            ack = c.recv(64)
+            assert ack[:2] == b"2A" and struct.unpack(">I", ack[2:6])[0] >= 1
+        got = _wait_rows(spark, name, 3)
+        assert got == 3
+        rows = [
+            _json.loads(r.message)
+            for r in spark.sql(f"SELECT message FROM {name} ORDER BY seq").collect()
+        ]
+        assert rows[0]["msg"] == "plain" and rows[0]["beat"] == "filebeat"
+        assert rows[1]["msg"] == "zipped"
+        assert rows[2] == {"msg": "kv-frame", "host": "h9"}
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_http_server_hec_otlp_endpoints(spark, tmp_path):
+    """Topology YAML: one http_server source path-routed to Splunk HEC
+    and OTLP/JSON decode, through to a memory sink (r2 verdict #7;
+    src/sources/splunk_hec/mod.rs, src/sources/opentelemetry/http.rs)."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+
+    port = _free_port()
+    name = f"ep_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  ingest:
+    type: http_server
+    port: {port}
+    endpoints:
+      /services/collector/event: splunk_hec
+      /v1/logs: otlp_logs
+sinks:
+  out:
+    type: memory
+    inputs: [ingest]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        hec = _json.dumps(
+            {"event": "disk full", "time": 1700000000.5, "host": "web-1",
+             "sourcetype": "syslog"}
+        )
+        otlp = _json.dumps(
+            {"resourceLogs": [{"resource": {}, "scopeLogs": [{
+                "scope": {"name": "app"},
+                "logRecords": [
+                    {"timeUnixNano": "1", "body": {"stringValue": "first"}},
+                    {"timeUnixNano": "2", "body": {"stringValue": "second"}},
+                ]}]}]}
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("POST", "/services/collector/event", body=hec)
+                assert c.getresponse().status == 200
+                c.request("POST", "/v1/logs", body=otlp)
+                assert c.getresponse().status == 200
+                c.request("POST", "/other", body="passthru")
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        got = _wait_rows(spark, name, 4)
+        assert got == 4
+        rows = spark.sql(
+            f"SELECT path, codec, event FROM {name} ORDER BY path, event"
+        ).collect()
+        by_codec = {}
+        for r in rows:
+            by_codec.setdefault(r.codec, []).append(r)
+        hec_ev = _json.loads(by_codec["splunk_hec"][0].event)
+        assert hec_ev["event"] == "disk full" and hec_ev["host"] == "web-1"
+        otlp_bodies = sorted(
+            _json.loads(r.event)["body"]["stringValue"]
+            for r in by_codec["otlp_logs"]
+        )
+        assert otlp_bodies == ["first", "second"]
+        assert by_codec["raw"][0].event == "passthru"
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -393,10 +393,11 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             if cfg.get(k) is not None:
                 reader = reader.option(k, str(cfg[k]))
         return reader.load()
-    if stype in ("syslog_tcp", "statsd_udp", "http_server"):
+    if stype in ("syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash"):
         # wire-protocol server sources (src/sources/syslog.rs:45,
-        # src/sources/statsd/) via the Python DataSource API
-        from vector_spark.sources import register_sources
+        # src/sources/statsd/, src/sources/fluent/mod.rs,
+        # src/sources/logstash.rs) via the Python DataSource API
+        from vector_spark.sources import register_sources, route_http_endpoints
 
         register_sources(spark)
         reader = (
@@ -406,7 +407,11 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         )
         if cfg.get("wal_dir"):
             reader = reader.option("wal_dir", cfg["wal_dir"])
-        return reader.load()
+        df = reader.load()
+        if stype == "http_server" and cfg.get("endpoints"):
+            # splunk_hec / otlp_logs / json path routing
+            df = route_http_endpoints(df, dict(cfg["endpoints"]))
+        return df
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
 

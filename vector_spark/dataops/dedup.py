@@ -111,20 +111,20 @@ def minhash_signatures(
         # fold into [0, 2^31) so a*h + b stays in signed-64 range
         F.pmod(F.xxhash64("_sh"), F.lit(2147483647)).alias("_h"),
     )
+    # each agg as ONE F.expr (single JVM-side parse) instead of a tree of
+    # ~6 Py4J calls: with 64 permutations the Column-by-Column form spent
+    # multiple seconds of DRIVER time just constructing the plan (the
+    # "cold constant" flagged two rounds running). `%` not pmod — both
+    # operands are non-negative here.
     aggs = [
-        F.min(
-            F.pmod(
-                F.col("_h") * F.lit(a % 2147483647) + F.lit(b % _MERSENNE),
-                F.lit(_MERSENNE),
-            )
+        F.expr(
+            f"min((_h * {a % 2147483647}L + {b % _MERSENNE}L) % {_MERSENNE}L)"
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(abs_)
     ]
     g = exploded.groupBy(id_col).agg(*aggs)
-    return g.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    names = ",".join(f"_m{i}" for i in range(num_hashes))
+    return g.select(F.col(id_col), F.expr(f"array({names})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -160,28 +160,17 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
     # blocking table carries ONLY (id, band, bucket) — the self-join and
-    # the pair-dedup shuffle move 24-byte rows, never the 64-long sigs
+    # the pair-dedup shuffle move 24-byte rows, never the 64-long sigs.
+    # One F.expr for all bands (same driver-constant rationale as above).
+    band_structs = ",".join(
+        f"struct({b} as band, xxhash64(array_join(transform("
+        f"slice(sig, {b * rows_per_band + 1}, {rows_per_band}),"
+        f" x -> cast(x as string)), ',')) as bucket)"
+        for b in range(bands)
+    )
     buckets = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -5,8 +5,12 @@ Python in the hot path) so they run at scan speed on 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # tiny deterministic stopword lexicons per language (expandable)
 _LANG_MARKERS = {
@@ -56,6 +60,60 @@ def language_id(text: Column, out_score: bool = False) -> Column:
             best = F.when(take, F.lit(lang)).otherwise(best)
             best_score = F.when(take, s).otherwise(best_score)
     return best_score if out_score else best
+
+
+# Unicode script ranges that identify a language family outright — pure
+# Column regexp counts, no UDF. Representative ISO code per script (the
+# reference-level granularity: a script hit IS the answer for these).
+_SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("ru", r"[Ѐ-ӿ]"),          # Cyrillic
+    ("el", r"[Ͱ-Ͽ]"),          # Greek
+    ("ar", r"[؀-ۿ]"),          # Arabic
+    ("he", r"[֐-׿]"),          # Hebrew
+    ("hi", r"[ऀ-ॿ]"),          # Devanagari
+    ("th", r"[฀-๿]"),          # Thai
+    ("ko", r"[가-힯ᄀ-ᇿ]"),  # Hangul
+    ("ja", r"[぀-ヿ]"),          # Hiragana + Katakana
+    ("zh", r"[一-鿿]"),          # CJK ideographs (after kana test)
+]
+
+
+def detect_language(text: Column) -> Column:
+    """~22-language ID: Unicode-script detection (9 script languages,
+    pure Column) + Cavnar-Trenkle character-trigram rank profiles for 13
+    Latin-script languages (profiles committed as data in
+    dataops/langid_data.py; one Arrow-batched scorer — per-row Python is
+    unavoidable for rank-distance, batches keep it vectorized-transfer).
+    Returns an ISO 639-1 code, 'und' for empty/undecidable input."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    out = _trigram_langid(text)
+    for code, pattern in reversed(_SCRIPT_RANGES):
+        hits = F.regexp_count(text, F.lit(pattern))
+        # a script is decisive when it covers a meaningful share of the text
+        out = F.when(hits * 3 >= F.length(text), F.lit(code)).otherwise(out)
+    return F.when(F.length(F.trim(text)) == 0, F.lit("und")).otherwise(out)
+
+
+@pandas_udf(StringType())
+def _trigram_langid(s: pd.Series) -> pd.Series:
+    from vector_spark.dataops.langid_data import LANG_PROFILES, PROFILE_SIZE, _trigrams
+
+    def classify(text):
+        if text is None or not str(text).strip():
+            return "und"
+        grams = _trigrams(str(text)[:2000])
+        if not grams:
+            return "und"
+        best, best_d = "und", None
+        for lang in sorted(LANG_PROFILES):
+            prof = LANG_PROFILES[lang]
+            d = sum(prof.get(g, PROFILE_SIZE) for g in grams)
+            if best_d is None or d < best_d:
+                best, best_d = lang, d
+        return best
+
+    return s.map(classify)
 
 
 def sum_cols(cols: list[Column]) -> Column:

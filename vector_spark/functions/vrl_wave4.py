@@ -937,7 +937,15 @@ WAVE4["parse_cbor"] = lambda c: _cbor_to_json(c.cast("binary"))
 # the CBOR reader above.) --------------------------------------------------
 
 def _msgpack_decode_item(data: bytes, pos: int):
+    """Strict bounds: raises IndexError when the buffer ends mid-item, so
+    a streaming caller (fluent TCP listener) can distinguish 'incomplete,
+    wait for more bytes' from a decode — Python slices would otherwise
+    silently truncate and mis-frame split packets."""
     import struct as _struct
+
+    def need(n: int) -> None:
+        if pos + n > len(data):
+            raise IndexError("msgpack: truncated item")
 
     b = data[pos]
     pos += 1
@@ -951,6 +959,7 @@ def _msgpack_decode_item(data: bytes, pos: int):
         return _msgpack_array(data, pos, b & 0x0F)
     if 0xA0 <= b <= 0xBF:  # fixstr
         n = b & 0x1F
+        need(n)
         return data[pos : pos + n].decode("utf-8"), pos + n
     if b == 0xC0:
         return None, pos
@@ -962,38 +971,51 @@ def _msgpack_decode_item(data: bytes, pos: int):
         import base64
 
         w = {0xC4: 1, 0xC5: 2, 0xC6: 4}[b]
+        need(w)
         n = int.from_bytes(data[pos : pos + w], "big")
         pos += w
+        need(n)
         return base64.b64encode(data[pos : pos + n]).decode(), pos + n
     if b == 0xCA:
+        need(4)
         return _struct.unpack(">f", data[pos : pos + 4])[0], pos + 4
     if b == 0xCB:
+        need(8)
         return _struct.unpack(">d", data[pos : pos + 8])[0], pos + 8
     if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint 8/16/32/64
         w = {0xCC: 1, 0xCD: 2, 0xCE: 4, 0xCF: 8}[b]
+        need(w)
         return int.from_bytes(data[pos : pos + w], "big"), pos + w
     if b in (0xD0, 0xD1, 0xD2, 0xD3):  # int 8/16/32/64
         w = {0xD0: 1, 0xD1: 2, 0xD2: 4, 0xD3: 8}[b]
+        need(w)
         return int.from_bytes(data[pos : pos + w], "big", signed=True), pos + w
     if b in (0xD9, 0xDA, 0xDB):  # str 8/16/32
         w = {0xD9: 1, 0xDA: 2, 0xDB: 4}[b]
+        need(w)
         n = int.from_bytes(data[pos : pos + w], "big")
         pos += w
+        need(n)
         return data[pos : pos + n].decode("utf-8"), pos + n
     if b in (0xDC, 0xDD):  # array 16/32
         w = {0xDC: 2, 0xDD: 4}[b]
+        need(w)
         n = int.from_bytes(data[pos : pos + w], "big")
         return _msgpack_array(data, pos + w, n)
     if b in (0xDE, 0xDF):  # map 16/32
         w = {0xDE: 2, 0xDF: 4}[b]
+        need(w)
         n = int.from_bytes(data[pos : pos + w], "big")
         return _msgpack_map(data, pos + w, n)
     if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):  # fixext 1/2/4/8/16
         n = {0xD4: 1, 0xD5: 2, 0xD6: 4, 0xD7: 8, 0xD8: 16}[b]
+        need(1 + n)
         return _msgpack_ext(data, pos, n)
     if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
         w = {0xC7: 1, 0xC8: 2, 0xC9: 4}[b]
+        need(w)
         n = int.from_bytes(data[pos : pos + w], "big")
+        need(w + 1 + n)
         return _msgpack_ext(data, pos + w, n)
     raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
 

@@ -235,6 +235,201 @@ def _http_listener(state: _ListenerState, host: str, port: int, ready: threading
     srv.serve_forever()
 
 
+def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """fluent forward protocol listener (`src/sources/fluent/mod.rs`):
+    a TCP stream of self-delimiting msgpack items, each one of
+      ["tag", time, record, options?]                      # Message mode
+      ["tag", [[time, record], ...], options?]             # Forward mode
+      ["tag", <bin: concatenated [time, record]>, options?]  # PackedForward
+    Times are ints or fluentd EventTime ext values (the msgpack decoder in
+    vrl_wave4 handles ext type 0). When options carry a "chunk" id the
+    listener replies {"ack": id} (at-least-once client contract). Events
+    surface as JSON `{"tag", "timestamp", "record"}` in the message column."""
+    from vector_spark.functions.vrl_wave4 import _msgpack_decode_item
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ready.set()
+
+    def emit(peer: str, tag: str, t, record) -> None:
+        state.append(
+            peer,
+            json.dumps(
+                {"tag": tag, "timestamp": t, "record": record}, sort_keys=True
+            ),
+        )
+
+    def entries_from(item, peer: str) -> dict | None:
+        """Decode one top-level msgpack item; returns its options map.
+        Dispatch is unambiguous: a Message-mode time is always numeric,
+        so a list 2nd element means Forward, str/bytes means
+        PackedForward (the msgpack reader surfaces bin as base64 str)."""
+        if not isinstance(item, list) or len(item) < 2:
+            return None
+        tag, second = item[0], item[1]
+        if isinstance(second, list):  # Forward mode
+            opts = item[2] if len(item) > 2 and isinstance(item[2], dict) else None
+            for pair in second:
+                if isinstance(pair, list) and len(pair) >= 2:
+                    emit(peer, tag, pair[0], pair[1])
+            return opts
+        if isinstance(second, (bytes, bytearray, str)):  # PackedForward
+            import base64
+
+            opts = item[2] if len(item) > 2 and isinstance(item[2], dict) else None
+            blob = (
+                bytes(second)
+                if isinstance(second, (bytes, bytearray))
+                else base64.b64decode(second)
+            )
+            pos = 0
+            while pos < len(blob):
+                entry, pos = _msgpack_decode_item(blob, pos)
+                if isinstance(entry, list) and len(entry) >= 2:
+                    emit(peer, tag, entry[0], entry[1])
+            return opts
+        if len(item) >= 3:  # Message mode: [tag, time, record, options?]
+            emit(peer, tag, second, item[2])
+            return item[3] if len(item) > 3 and isinstance(item[3], dict) else None
+        return None
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        buf = b""
+        with conn:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                buf += data
+                while buf:
+                    try:
+                        item, consumed = _msgpack_decode_item(buf, 0)
+                    except (IndexError, ValueError, UnicodeDecodeError):
+                        break  # incomplete item — wait for more bytes
+                    buf = buf[consumed:]
+                    opts = entries_from(item, peer)
+                    if opts and "chunk" in opts:
+                        # minimal msgpack encode of {"ack": <str>}
+                        ack = opts["chunk"]
+                        ab = ack.encode()
+                        conn.sendall(
+                            b"\x81\xa3ack" + bytes([0xA0 | len(ab)]) + ab
+                            if len(ab) < 32
+                            else b"\x81\xa3ack\xd9" + bytes([len(ab)]) + ab
+                        )
+
+    while True:
+        conn, addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
+        ).start()
+
+
+def _logstash_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """Lumberjack v2 (beats/logstash) listener (`src/sources/logstash.rs`):
+    frames are (version, type) pairs — '2W' window size, '2J' JSON data
+    (seq, payload), '2C' zlib-compressed nested frames, '2D' key/value
+    data. The listener acks the highest sequence at each window boundary
+    ('2A' + seq). Events surface as the JSON payload in message."""
+    import struct
+    import zlib
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ready.set()
+
+    def parse_frames(buf: bytes, peer: str, conn) -> tuple[bytes, int]:
+        """Consume complete frames; returns (rest, highest_seq_seen)."""
+        hi = -1
+        while len(buf) >= 2:
+            ver, ftype = buf[0:1], buf[1:2]
+            if ver != b"2" and ver != b"1":
+                raise ValueError(f"lumberjack: bad version byte {ver!r}")
+            if ftype == b"W":
+                if len(buf) < 6:
+                    break
+                buf = buf[6:]
+            elif ftype == b"J":
+                if len(buf) < 10:
+                    break
+                seq, plen = struct.unpack(">II", buf[2:10])
+                if len(buf) < 10 + plen:
+                    break
+                state.append(peer, buf[10 : 10 + plen].decode("utf-8", "replace"))
+                hi = max(hi, seq)
+                buf = buf[10 + plen :]
+            elif ftype == b"D":
+                if len(buf) < 10:
+                    break
+                seq, npairs = struct.unpack(">II", buf[2:10])
+                pos = 10
+                pairs = {}
+                ok = True
+                for _ in range(npairs):
+                    if len(buf) < pos + 4:
+                        ok = False
+                        break
+                    (klen,) = struct.unpack(">I", buf[pos : pos + 4])
+                    pos += 4
+                    if len(buf) < pos + klen + 4:
+                        ok = False
+                        break
+                    k = buf[pos : pos + klen].decode("utf-8", "replace")
+                    pos += klen
+                    (vlen,) = struct.unpack(">I", buf[pos : pos + 4])
+                    pos += 4
+                    if len(buf) < pos + vlen:
+                        ok = False
+                        break
+                    pairs[k] = buf[pos : pos + vlen].decode("utf-8", "replace")
+                    pos += vlen
+                if not ok:
+                    break
+                state.append(peer, json.dumps(pairs, sort_keys=True))
+                hi = max(hi, seq)
+                buf = buf[pos:]
+            elif ftype == b"C":
+                if len(buf) < 6:
+                    break
+                (clen,) = struct.unpack(">I", buf[2:6])
+                if len(buf) < 6 + clen:
+                    break
+                inner = zlib.decompress(buf[6 : 6 + clen])
+                rest, ihi = parse_frames(inner, peer, conn)
+                hi = max(hi, ihi)
+                buf = buf[6 + clen :]
+            else:
+                raise ValueError(f"lumberjack: unknown frame type {ftype!r}")
+        return buf, hi
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        import struct
+
+        buf = b""
+        with conn:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                buf += data
+                try:
+                    buf, hi = parse_frames(buf, peer, conn)
+                except ValueError:
+                    break
+                if hi >= 0:
+                    conn.sendall(b"2A" + struct.pack(">I", hi))
+
+    while True:
+        conn, addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
+        ).start()
+
+
 class _SocketStreamReader(SimpleDataSourceStreamReader):
     """Spark may instantiate the reader more than once (planning vs the
     prefetch loop), but only ONE instance drives read() — so the listener
@@ -279,6 +474,8 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
                 "tcp": _tcp_listener,
                 "udp": _udp_listener,
                 "http": _http_listener,
+                "fluent": _fluent_listener,
+                "logstash": _logstash_listener,
             }[self.proto]
             threading.Thread(
                 target=target,
@@ -358,8 +555,119 @@ class HTTPServerDataSource(DataSource):
         return _SocketStreamReader(self.options, "http")
 
 
+class FluentDataSource(DataSource):
+    """`fluent` source analog (src/sources/fluent/mod.rs): fluent forward
+    protocol over TCP — msgpack Message/Forward/PackedForward modes,
+    EventTime ext timestamps, chunk acks. message column carries JSON
+    {"tag","timestamp","record"}; parse downstream with from_json."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fluent"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "fluent")
+
+
+class LogstashDataSource(DataSource):
+    """`logstash` source analog (src/sources/logstash.rs): lumberjack
+    v2 beats protocol — window/json/data/compressed frames, sequence
+    acks. message column carries the event JSON."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logstash"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "logstash")
+
+
+def route_http_endpoints(df, endpoints: dict[str, str]):
+    """Path-route an http_server stream to per-endpoint decoders — the
+    modern push-ingest shapes the reference serves from dedicated
+    sources: Splunk HEC (`src/sources/splunk_hec/mod.rs`, the
+    /services/collector/event contract) and OTLP/HTTP JSON
+    (`src/sources/opentelemetry/http.rs`, /v1/logs).
+
+    endpoints: {path: codec} with codec ∈ {"splunk_hec", "otlp_logs",
+    "json"}. Output unified as (seq, ts, peer, path, codec, event) where
+    `event` is the decoded event's JSON text (one row per event — an
+    OTLP request batching many logRecords explodes into that many rows).
+    Unmatched paths pass through as codec='raw'."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.codecs import decode_splunk_hec
+
+    env = ["seq", "ts", "peer", "path"]
+    outs = []
+    matched = None
+    for path, codec in endpoints.items():
+        part = df.where(F.col("path") == path)
+        cond = F.col("path") == path
+        matched = cond if matched is None else (matched | cond)
+        if codec == "splunk_hec":
+            outs.append(
+                part.select(
+                    *env,
+                    F.lit("splunk_hec").alias("codec"),
+                    F.to_json(decode_splunk_hec(F.col("message"))).alias("event"),
+                )
+            )
+        elif codec == "otlp_logs":
+            v = part.select(*env, F.parse_json("message").alias("v"))
+            rl = v.select(
+                *env,
+                F.explode(
+                    F.try_variant_get("v", "$.resourceLogs", "array<variant>")
+                ).alias("rl"),
+            )
+            sl = rl.select(
+                *env,
+                F.explode(
+                    F.try_variant_get("rl", "$.scopeLogs", "array<variant>")
+                ).alias("sl"),
+            )
+            lr = sl.select(
+                *env,
+                F.explode(
+                    F.try_variant_get("sl", "$.logRecords", "array<variant>")
+                ).alias("r"),
+            )
+            outs.append(
+                lr.select(
+                    *env,
+                    F.lit("otlp_logs").alias("codec"),
+                    F.to_json(F.col("r")).alias("event"),
+                )
+            )
+        elif codec == "json":
+            outs.append(
+                part.select(
+                    *env, F.lit("json").alias("codec"),
+                    F.col("message").alias("event"),
+                )
+            )
+        else:
+            raise ValueError(f"http_server endpoint codec {codec!r}")
+    rest = df.where(~matched if matched is not None else F.lit(True)).select(
+        *env, F.lit("raw").alias("codec"), F.col("message").alias("event")
+    )
+    out = rest
+    for o in outs:
+        out = out.unionByName(o)
+    return out
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
     spark.dataSource.register(StatsdUDPDataSource)
     spark.dataSource.register(HTTPServerDataSource)
+    spark.dataSource.register(FluentDataSource)
+    spark.dataSource.register(LogstashDataSource)

@@ -31,6 +31,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# DataFrame-object memo: a logical plan is immutable, so re-serving the
+# same object per (session, path) skips the per-build py4j/analysis
+# constant (schema read + NTZ normalization ≈ 1-2 s on first touch) that
+# every query otherwise pays again. Data is NOT cached — only the plan.
+_PLAN_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table, normalizing every timestamp flavor the driver's
     generator has produced to plain TIMESTAMP (an instant, naive-as-UTC):
@@ -43,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timezone — so epoch arithmetic (`unix_micros`, `unix_timestamp`,
       `window`) agrees with the oracle in ANY session, not just UTC ones.
     """
+    key = (id(spark), table_path(sf_dir, name))
+    hit = _PLAN_MEMO.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
@@ -61,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # exchange and drops the pipeline headline from ~470k to ~173k
     # events/s. On real cluster inputs files provide thousands of splits
     # and none of this applies.
+    _PLAN_MEMO[key] = df
     return df
 
 
