@@ -50,7 +50,15 @@ HEADLINE = [
     "vrl_program_v2",
     "otlp_logs_roundtrip",
     "memory_table_enrich",
+    # round-3 additions
+    "mmdb_geoip_enrich",
+    "multimodal_features",
+    "docs_dedup_components",
+    "ann_pq_topk",
 ]
+
+
+LOAD_START = round(os.getloadavg()[0], 2)
 
 
 def main() -> None:
@@ -128,6 +136,10 @@ def main() -> None:
                 "sf": sf_val,
                 "pipeline_events_per_sec": events_per_sec,
                 "pipeline_n_events": n_events,
+                # host-noise context (r2 verdict #5: make the artifact
+                # carry the evidence): 1-min loadavg before/after
+                "loadavg_start": LOAD_START,
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

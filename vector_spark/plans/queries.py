@@ -1123,6 +1123,197 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg((F.sum(rev) / 10000.0).alias("revenue"))
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders with a late-shipped line
+    item, adapted to this schema's columns) + priority count. The plan to
+    want: LEFT SEMI join, orders side streamed, no row multiplication."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER JOIN orders → per-customer
+    order count → count distribution (two aggregations, one outer join;
+    the no-orders customers land in the c_count=0 bucket)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") != F.lit("F")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — groupBy + HAVING feeding a
+    join back to customer/orders, top-k by totalprice. l_quantity values
+    are integral so the double sum is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice AS totalprice,
+       sum_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (brand, size, quantity) OR-groups
+    across a part join — the predicate-pushdown torture case; each arm
+    must reach the scan, not evaluate post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return j.where(arm1 | arm2 | arm3).agg(
+        (F.sum(rev) / 1000000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_ORACLE_Q19 = """
+SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/1000000.0
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the positive-balance average with
+    no RECENT orders (every synthetic customer has some order — the
+    2000-01-01 cutoff keeps the anti-join selective at every SF) —
+    scalar subquery + ANTI join, grouped by nation. Balance arithmetic
+    in cents (exact integers) so the global average and the comparison
+    agree bit-for-bit with the oracle."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", _cents(F.col("c_acctbal"))
+    )
+    avg_pos = (
+        cust.where(F.col("bal_cents") > 0)
+        .agg(F.avg("bal_cents").alias("a"))
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = cust.join(F.broadcast(avg_pos)).where(
+        F.col("bal_cents") > F.col("a")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+_ORACLE_Q22 = """
+WITH c AS (SELECT *, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+           FROM customer),
+a AS (SELECT AVG(bal_cents) AS a FROM c WHERE bal_cents > 0)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       SUM(bal_cents)/100.0 AS totacctbal
+FROM c, a
+WHERE bal_cents > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 _ORACLE_Q6 = """
 SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
            * CAST(ROUND(l_discount*100) AS BIGINT))/10000.0 AS revenue
@@ -1789,6 +1980,11 @@ QUERIES: dict[str, QuerySpec] = {
     "histogram_buckets": QuerySpec(q_histogram_buckets, _ORACLE_HISTOGRAM, "AggregatedHistogram buckets"),
     "geoip_range_enrich": QuerySpec(q_geoip_enrich, _ORACLE_GEOIP, "geoip interval-join enrichment"),
     "mmdb_geoip_enrich": QuerySpec(q_mmdb_enrich, _ORACLE_MMDB, "MaxMind .mmdb binary enrichment"),
+    "tpch_q4_order_priority": QuerySpec(q_tpch_q4, _ORACLE_Q4, "EXISTS semi-join + priority count"),
+    "tpch_q13_custdist": QuerySpec(q_tpch_q13, _ORACLE_Q13, "outer join + double aggregation"),
+    "tpch_q18_large_orders": QuerySpec(q_tpch_q18, _ORACLE_Q18, "HAVING feed-back join + top-k"),
+    "tpch_q19_disjunctive": QuerySpec(q_tpch_q19, _ORACLE_Q19, "disjunctive pushdown arms"),
+    "tpch_q22_no_orders": QuerySpec(q_tpch_q22, _ORACLE_Q22, "scalar subquery + anti join"),
     "embedding_near_dup": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.dataops.similarity", fromlist=["cosine_near_dup_pairs"]
@@ -2469,6 +2665,8 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
     "mmdb_geoip_enrich",
+    "tpch_q4_order_priority", "tpch_q13_custdist", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q22_no_orders",
     "multimodal_features", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "embedding_stats", "docs_top_terms", "docs_quality_prune",
     "docs_dedup_components", "tpch_q10_returned_items",
