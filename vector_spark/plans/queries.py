@@ -1372,6 +1372,564 @@ ORDER BY revenue DESC
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion set (q2/7/8/9/11/12/15/16/17/20/21) — adapted to the
+# driver schema (no partsupp table, no l_commitdate/receiptdate/shipmode;
+# the distinct (l_partkey, l_suppkey) pairs of lineitem stand in for
+# partsupp, and "late" = l_shipdate > o_orderdate + N days). Each keeps the
+# reference query's PLAN SHAPE (the thing worth testing at 100 TB): q2's
+# correlated min, q8's conditional market share, q15's scalar-subquery max,
+# q21's exists/not-exists double semi-join, etc.
+# --------------------------------------------------------------------------
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic partsupp: the distinct supplier×part pairs that actually
+    traded. At 100 TB this is one shuffle on a 2-column projection of
+    lineitem — the narrowest possible distinct."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumnsRenamed({"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"})
+    )
+
+
+_SQL_PARTSUPP = """
+SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — correlated MIN subquery
+    re-expressed as groupBy-min joined back on (key, min). s_acctbal
+    stands in for ps_supplycost (no partsupp costs in this schema).
+    Plan to want: part filter pushed to scan, dims broadcast, ONE shuffle
+    on ps_partkey for the min."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .withColumn("bal_cents", _cents(F.col("s_acctbal")))
+    )
+    best = cand.groupBy("ps_partkey").agg(F.min("bal_cents").alias("min_bal"))
+    return (
+        cand.join(
+            best,
+            (cand.ps_partkey == best.ps_partkey)
+            & (cand.bal_cents == best.min_bal),
+        )
+        .select(
+            (F.col("bal_cents") / 100.0).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_type",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_ORACLE_Q2 = f"""
+WITH ps AS ({_SQL_PARTSUPP}),
+cand AS (
+  SELECT CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_cents,
+         s_name, n_name, p_partkey, p_type, ps_partkey
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+)
+SELECT bal_cents/100.0 AS s_acctbal, s_name, n_name, p_partkey, p_type
+FROM cand c
+WHERE bal_cents = (SELECT MIN(bal_cents) FROM cand c2
+                   WHERE c2.ps_partkey = c.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations, both
+    directions, grouped by (supp_nation, cust_nation, year). Plan to
+    want: the two-nation filter applied on BROADCAST dims before the
+    fact join; one shuffle for the final group."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLE_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio per
+    year over a 7-way join (customer region ASIA, p_type ECONOMY,
+    share of NATION_3 suppliers). Division happens ONCE at the end on
+    exact cent sums, rounded to 6 for cross-engine hash equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias("nat_rev"),
+        F.sum(rev).alias("tot_rev"),
+    )
+    return (
+        per_year.select(
+            "o_year",
+            F.round(F.col("nat_rev") / F.col("tot_rev"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_Q8 = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                 ELSE 0 END) * 1.0
+             / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 6)
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by (nation, year). Profit =
+    extendedprice*(1-discount) (no ps_supplycost in this schema); the
+    LIKE filter on p_name prunes the part dim before broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))/10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock — per-part traded value for one
+    nation's suppliers, HAVING value > fraction × total (scalar
+    subquery over the same aggregate). Value = sum(extendedprice) of
+    that nation's lines per part, in cents (exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", _cents(F.col("l_extendedprice")).alias("pc"))
+    )
+    per_part = j.groupBy("l_partkey").agg(F.sum("pc").alias("value_cents"))
+    total = per_part.agg(
+        (F.sum("value_cents") * F.lit(0.0008)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cents") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("value_cents") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+_ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey AS ps_partkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, value_cents/100.0 AS value
+FROM per_part
+WHERE value_cents > (SELECT SUM(value_cents) * 0.0008 FROM per_part)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority counts — l_linestatus
+    stands in for l_shipmode and late = shipped >60 days after order
+    (no commit/receipt dates in this schema); counts split into
+    high/low order priority via conditional sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORACLE_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — revenue view per supplier for one
+    quarter, then suppliers whose revenue equals the global MAX (scalar
+    subquery). Cent-exact so the equality is portable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_rev") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev/10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier count per (brand, type, size) for
+    non-excluded parts — COUNT(DISTINCT) over the synthetic partsupp,
+    negative-balance suppliers excluded (the complaints-anti-join
+    analog). Plan to want: anti-join on a broadcast, distinct-agg in
+    TWO hash passes, no row explosion."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    filtered = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            ps.ps_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+    )
+    return (
+        filtered.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_ORACLE_Q16 = f"""
+WITH ps AS ({_SQL_PARTSUPP})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT IN ('PROMO')
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — correlated AVG
+    subquery as groupBy-avg joined back; yearly-average division once
+    at the end. avg(l_quantity) of integral values × 0.5 compared
+    exactly via 2×qty_cents < avg_cents ordering in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#7")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = j.groupBy("p_partkey").agg(
+        F.avg(_cents(F.col("l_quantity"))).alias("avg_qc")
+    ).withColumnRenamed("p_partkey", "ap_key")
+    small = j.join(avg_q, F.col("p_partkey") == F.col("ap_key")).where(
+        _cents(F.col("l_quantity")) < F.lit(0.5) * F.col("avg_qc")
+    )
+    return small.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_ORACLE_Q17 = """
+WITH j AS (
+  SELECT p_partkey, CAST(ROUND(l_quantity*100) AS BIGINT) AS qc,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#7'
+),
+a AS (SELECT p_partkey AS ap_key, AVG(qc) AS avg_qc FROM j GROUP BY p_partkey)
+SELECT SUM(pc)/100.0/7.0 AS avg_yearly, COUNT(*) AS n_lines
+FROM j JOIN a ON p_partkey = ap_key
+WHERE qc < 0.5 * avg_qc
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: part-promotion suppliers — suppliers who moved
+    more than a threshold quantity of promoted ('%red%') parts in 1996,
+    semi-joined to one nation. availqty has no analog, so the HAVING
+    threshold plays its role; the plan shape (agg → semi-join chain →
+    dim filter) is the reference's."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    moved = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+    )
+    qualifying = moved.select("l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+_ORACLE_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 50
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — for
+    finalized orders, count per supplier the lines that shipped late
+    (>90 days, the receipt/commit-date analog) where at least one
+    OTHER supplier's line in the same order shipped on time (EXISTS)
+    and NO other supplier also shipped late (NOT EXISTS). Plan to
+    want: one aggregate over o_orderkey computing the per-order
+    late/supplier profile, then the exists/not-exists as flags —
+    NOT two extra self-joins of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
+    )
+    # Per (order, supplier): did this supplier ship anything late?
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    # Per order: how many suppliers total, how many late suppliers?
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    waiting = (
+        per_os.where(F.col("supp_late") == 1)
+        .join(per_o, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_ORACLE_Q21 = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM j GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late_supp
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_sample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return sample(ev, ratio=0.25, key_field="user_id").select(
@@ -1985,6 +2543,17 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q18_large_orders": QuerySpec(q_tpch_q18, _ORACLE_Q18, "HAVING feed-back join + top-k"),
     "tpch_q19_disjunctive": QuerySpec(q_tpch_q19, _ORACLE_Q19, "disjunctive pushdown arms"),
     "tpch_q22_no_orders": QuerySpec(q_tpch_q22, _ORACLE_Q22, "scalar subquery + anti join"),
+    "tpch_q2_min_cost_supplier": QuerySpec(q_tpch_q2, _ORACLE_Q2, "correlated-min join-back"),
+    "tpch_q7_volume_shipping": QuerySpec(q_tpch_q7, _ORACLE_Q7, "two-nation bidirectional join"),
+    "tpch_q8_market_share": QuerySpec(q_tpch_q8, _ORACLE_Q8, "conditional-share 7-way join"),
+    "tpch_q9_product_profit": QuerySpec(q_tpch_q9, _ORACLE_Q9, "LIKE-pruned profit rollup"),
+    "tpch_q11_important_stock": QuerySpec(q_tpch_q11, _ORACLE_Q11, "HAVING vs scalar-subquery total"),
+    "tpch_q12_late_lines": QuerySpec(q_tpch_q12, _ORACLE_Q12, "late-shipment priority split"),
+    "tpch_q15_top_supplier": QuerySpec(q_tpch_q15, _ORACLE_Q15, "revenue view + scalar max"),
+    "tpch_q16_supplier_count": QuerySpec(q_tpch_q16, _ORACLE_Q16, "distinct-agg + anti join"),
+    "tpch_q17_small_qty": QuerySpec(q_tpch_q17, _ORACLE_Q17, "correlated-avg join-back"),
+    "tpch_q20_promo_suppliers": QuerySpec(q_tpch_q20, _ORACLE_Q20, "agg-HAVING semi-join chain"),
+    "tpch_q21_waiting_suppliers": QuerySpec(q_tpch_q21, _ORACLE_Q21, "exists/not-exists via one agg"),
     "embedding_near_dup": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.dataops.similarity", fromlist=["cosine_near_dup_pairs"]
@@ -2664,6 +3233,12 @@ QUERIES: dict[str, QuerySpec] = {
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_late_lines",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_count",
+    "tpch_q17_small_qty", "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
     "mmdb_geoip_enrich",
     "tpch_q4_order_priority", "tpch_q13_custdist", "tpch_q18_large_orders",
     "tpch_q19_disjunctive", "tpch_q22_no_orders",
