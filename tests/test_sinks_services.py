@@ -1,0 +1,228 @@
+"""Service-shaped sink request shaping, verified against a local HTTP
+capture server: Elasticsearch bulk pairs, Loki stream grouping + time
+order, ClickHouse insert URL, Datadog v2 logs reserved attrs, Splunk HEC
+envelopes. (The reference's live-service integration tests play this
+role; here the capture server asserts the exact wire bytes.)"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sinks_services import (
+    clickhouse_sink,
+    datadog_logs_sink,
+    elasticsearch_sink,
+    loki_sink,
+    splunk_hec_sink,
+)
+
+
+@pytest.fixture()
+def capture_server():
+    requests: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            requests.append({
+                "path": self.path,
+                "headers": dict(self.headers),
+                "body": self.rfile.read(n),
+            })
+            body = b'{"errors":false}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", requests
+    srv.shutdown()
+
+
+def _events(spark, n=6):
+    return spark.createDataFrame(
+        [
+            (i, f"app-{i % 2}", f"msg {i}", f"2024-03-05 06:07:{i:02d}")
+            for i in range(n)
+        ],
+        "seq long, app string, message string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(1)
+
+
+def test_elasticsearch_bulk_pairs(spark, capture_server):
+    base, reqs = capture_server
+    n = elasticsearch_sink(
+        _events(spark), base, index="logs-{{ app }}-%Y.%m.%d",
+        id_col="seq",
+    )
+    assert n == 6
+    assert reqs and reqs[0]["path"] == "/_bulk"
+    assert reqs[0]["headers"]["Content-Type"] == "application/x-ndjson"
+    lines = reqs[0]["body"].decode().strip().split("\n")
+    assert len(lines) == 12  # action + doc per event
+    act0 = json.loads(lines[0])
+    doc0 = json.loads(lines[1])
+    assert set(act0) == {"index"}
+    assert act0["index"]["_index"] == f"logs-{doc0['app']}-2024.03.05"
+    # id_key semantics: _id comes from the field, field leaves the doc
+    assert "seq" not in doc0
+    assert act0["index"]["_id"] == doc0["message"].removeprefix("msg ")
+    # body ends with the required trailing newline
+    assert reqs[0]["body"].endswith(b"\n")
+
+
+def test_elasticsearch_batching_splits_requests(spark, capture_server):
+    base, reqs = capture_server
+    n = elasticsearch_sink(
+        _events(spark, 10), base, index="fixed", batch_max_events=4,
+    )
+    assert n == 10
+    assert len(reqs) == 3  # 4+4+2 from the single partition
+
+
+def test_loki_streams_grouped_and_ordered(spark, capture_server):
+    base, reqs = capture_server
+    n = loki_sink(
+        _events(spark), base,
+        labels={"app": "{{ app }}", "env": "test"},
+        line_col="message",
+    )
+    assert n == 6
+    assert all(r["path"] == "/loki/api/v1/push" for r in reqs)
+    streams = []
+    for r in reqs:
+        streams += json.loads(r["body"])["streams"]
+    # one stream per label set per request
+    by_label = {}
+    for s in streams:
+        key = json.dumps(s["stream"], sort_keys=True)
+        by_label.setdefault(key, []).extend(s["values"])
+    assert len(by_label) == 2
+    for key, values in by_label.items():
+        label = json.loads(key)
+        assert label["env"] == "test"
+        assert label["app"] in ("app-0", "app-1")
+        ts = [int(v[0]) for v in values]
+        assert ts == sorted(ts)  # time-ordered within the stream
+        assert len(values) == 3
+        assert all(v[1].startswith("msg ") for v in values)
+        # nanosecond timestamps (19 digits for 2024 epochs)
+        assert all(len(v[0]) == 19 for v in values)
+
+
+def test_clickhouse_insert_url_and_ndjson(spark, capture_server):
+    base, reqs = capture_server
+    n = clickhouse_sink(_events(spark), base, table="logs", database="db1")
+    assert n == 6
+    path = reqs[0]["path"]
+    assert "query=INSERT+INTO+%7Bdatabase%3AIdentifier%7D" in path
+    assert "param_database=db1" in path and "param_table=logs" in path
+    assert "input_format_import_nested_json=1" in path
+    assert "input_format_skip_unknown_fields=1" in path
+    rows = [json.loads(l) for l in reqs[0]["body"].decode().strip().split("\n")]
+    assert len(rows) == 6
+    assert {r["seq"] for r in rows} == set(range(6))
+
+
+def test_datadog_logs_v2_payload(spark, capture_server):
+    base, reqs = capture_server
+    n = datadog_logs_sink(
+        _events(spark), base, api_key="k123",
+        ddsource="vector-spark", ddtags="env:test,team:{{ app }}",
+        hostname_col="app", service_col="app",
+    )
+    assert n == 6
+    assert reqs[0]["path"] == "/api/v2/logs"
+    headers = {k.lower(): v for k, v in reqs[0]["headers"].items()}
+    assert headers["dd-api-key"] == "k123"
+    arr = json.loads(reqs[0]["body"])
+    assert isinstance(arr, list) and len(arr) == 6
+    ev = arr[0]
+    assert ev["ddsource"] == "vector-spark"
+    assert ev["ddtags"].startswith("env:test,team:app-")
+    assert ev["hostname"] == ev["service"]
+    assert ev["message"].startswith("msg ")
+
+
+def test_splunk_hec_envelopes(spark, capture_server):
+    base, reqs = capture_server
+    n = splunk_hec_sink(
+        _events(spark), base, token="tok-1",
+        event_col="message", host_col="app", sourcetype="st-{{ app }}",
+    )
+    assert n == 6
+    assert reqs[0]["path"] == "/services/collector/event"
+    assert reqs[0]["headers"]["Authorization"] == "Splunk tok-1"
+    envs = [json.loads(l) for l in reqs[0]["body"].decode().strip().split("\n")]
+    assert len(envs) == 6
+    assert envs[0]["event"].startswith("msg ")
+    assert envs[0]["sourcetype"] == "st-" + envs[0]["host"]
+    assert isinstance(envs[0]["time"], float)
+
+
+def test_service_sinks_via_topology_yaml(spark, capture_server):
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    base, reqs = capture_server
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  logs:
+    type: values
+    rows:
+      - {{seq: 1, app: "web", message: "hello", ts_s: "2024-01-02 03:04:05"}}
+      - {{seq: 2, app: "db", message: "world", ts_s: "2024-01-02 03:04:06"}}
+transforms:
+  stamped:
+    type: remap
+    inputs: [logs]
+    assign:
+      ts: "to_timestamp(ts_s)"
+sinks:
+  es:
+    type: elasticsearch
+    inputs: [stamped]
+    endpoint: "{base}"
+    index: "logs-{{{{ app }}}}"
+    id_key: seq
+  lk:
+    type: loki
+    inputs: [stamped]
+    endpoint: "{base}"
+    labels:
+      app: "{{{{ app }}}}"
+""",
+    )
+    results = run_sinks(topo)
+    assert results["es"]["sent"] == 2
+    assert results["lk"]["sent"] == 2
+    paths = [r["path"] for r in reqs]
+    assert "/_bulk" in paths and "/loki/api/v1/push" in paths
+
+
+def test_loki_batch_split_keeps_stream_contiguity(spark, capture_server):
+    base, reqs = capture_server
+    n = loki_sink(
+        _events(spark, 9), base, labels={"app": "{{ app }}"},
+        batch_max_events=4,
+    )
+    assert n == 9
+    total = 0
+    for r in reqs:
+        body = json.loads(r["body"])
+        for s in body["streams"]:
+            total += len(s["values"])
+            ts = [int(v[0]) for v in s["values"]]
+            assert ts == sorted(ts)
+    assert total == 9

@@ -783,6 +783,78 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                 writer = writer.option(k, v)
             writer.save()
             results[name] = {"table": cfg["table"]}
+        elif stype == "elasticsearch":
+            from vector_spark.sinks_services import elasticsearch_sink
+
+            results[name] = {
+                "sent": elasticsearch_sink(
+                    df,
+                    cfg["endpoint"],
+                    index=cfg.get("index", "vector-%Y.%m.%d"),
+                    bulk_action=cfg.get("bulk_action", "index"),
+                    id_col=cfg.get("id_key"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    batch_max_events=int(cfg.get("batch_max_events", 1000)),
+                )
+            }
+        elif stype == "loki":
+            from vector_spark.sinks_services import loki_sink
+
+            results[name] = {
+                "sent": loki_sink(
+                    df,
+                    cfg["endpoint"],
+                    labels=cfg.get("labels", {}),
+                    line_col=cfg.get("value_col", "message"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    encoding=cfg.get("encoding", "text"),
+                    batch_max_events=int(cfg.get("batch_max_events", 1000)),
+                )
+            }
+        elif stype == "clickhouse":
+            from vector_spark.sinks_services import clickhouse_sink
+
+            results[name] = {
+                "sent": clickhouse_sink(
+                    df,
+                    cfg["endpoint"],
+                    table=cfg["table"],
+                    database=cfg.get("database", "default"),
+                    skip_unknown_fields=bool(
+                        cfg.get("skip_unknown_fields", True)
+                    ),
+                )
+            }
+        elif stype == "datadog_logs":
+            from vector_spark.sinks_services import datadog_logs_sink
+
+            results[name] = {
+                "sent": datadog_logs_sink(
+                    df,
+                    cfg.get("endpoint", "https://http-intake.logs.datadoghq.com"),
+                    api_key=cfg["default_api_key"],
+                    message_col=cfg.get("value_col", "message"),
+                    ddsource=cfg.get("ddsource"),
+                    ddtags=cfg.get("ddtags"),
+                    hostname_col=cfg.get("hostname_col"),
+                    service_col=cfg.get("service_col"),
+                )
+            }
+        elif stype == "splunk_hec":
+            from vector_spark.sinks_services import splunk_hec_sink
+
+            results[name] = {
+                "sent": splunk_hec_sink(
+                    df,
+                    cfg["endpoint"],
+                    token=cfg["default_token"],
+                    event_col=cfg.get("value_col", "message"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    host_col=cfg.get("host_col"),
+                    sourcetype=cfg.get("sourcetype"),
+                    index=cfg.get("index"),
+                )
+            }
         elif stype == "prometheus_exporter":
             from vector_spark.sinks import prometheus_exporter_sink
 

@@ -1,0 +1,326 @@
+"""Service-shaped HTTP sinks: Elasticsearch bulk, Loki push, ClickHouse
+HTTP insert, Datadog logs v2, Splunk HEC collector.
+
+Reference wire shapes (re-expressed, not translated):
+- elasticsearch: `src/sinks/elasticsearch/encoder.rs:145` — per event an
+  action line `{"<bulk_action>": {"_index": ..., "_id": ...?}}` followed by
+  the document JSON, newline-delimited, POSTed to `<endpoint>/_bulk`.
+- loki: `src/sinks/loki/event.rs:36,:126` — body
+  `{"streams": [{"stream": {label: value}, "values": [["<ts_ns>", line],
+  ...]}]}` with values sorted by timestamp within each stream.
+- clickhouse: `src/sinks/clickhouse/service.rs:134` — POST ndjson to
+  `<endpoint>/?query=INSERT INTO {db}.{table} FORMAT JSONEachRow` (the
+  Identifier-parameter form) with `input_format_import_nested_json=1`.
+- datadog logs: `src/sinks/datadog/logs/config.rs:311` — JSON array POST
+  to `<endpoint>/api/v2/logs`, `DD-API-KEY` header, reserved attributes
+  ddsource/ddtags/hostname/service/message at the event root
+  (`src/sinks/datadog/logs/sink.rs:116`), ≤1000 events / ≤5 MB a batch.
+- splunk_hec: `src/sinks/splunk_hec/logs/config.rs` — HEC envelopes to
+  `/services/collector/event`, `Authorization: Splunk <token>`.
+
+Spark-first execution: every byte of every request body is rendered
+JVM-side (to_json / template columns / concat) so the executor Python only
+concatenates pre-encoded lines and POSTs per partition — no per-row Python
+encoding, no driver funnel. Batch limits mirror
+`src/sinks/util/batch.rs:13` (max_events + max_bytes).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.functions.codecs import encode_splunk_hec
+from vector_spark.functions.template import template_column
+
+
+def _post_lines_per_partition(
+    lines: DataFrame,
+    url: str,
+    headers: dict[str, str],
+    batch_max_events: int,
+    batch_max_bytes: int,
+    timeout_secs: float,
+    prefix: bytes = b"",
+    suffix: bytes = b"",
+    joiner: bytes = b"\n",
+) -> int:
+    """POST the single string column of ``lines`` in per-partition batches
+    bounded by events AND bytes (src/sinks/util/batch.rs defaults). Returns
+    the number of events sent (accumulator, counted executor-side)."""
+    sent = lines.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows) -> None:
+        import urllib.request
+
+        buf: list[bytes] = []
+        buf_bytes = 0
+
+        def flush() -> None:
+            nonlocal buf_bytes
+            if not buf:
+                return
+            body = prefix + joiner.join(buf) + suffix
+            req = urllib.request.Request(url, data=body, headers=headers)
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            sent.add(len(buf))
+            buf.clear()
+            buf_bytes = 0
+
+        for row in rows:
+            b = row[0].encode()
+            if buf and (
+                len(buf) >= batch_max_events
+                or buf_bytes + len(b) > batch_max_bytes
+            ):
+                flush()
+            buf.append(b)
+            buf_bytes += len(b)
+        flush()
+
+    lines.foreachPartition(send_partition)
+    return sent.value
+
+
+def elasticsearch_sink(
+    df: DataFrame,
+    endpoint: str,
+    index: str,
+    bulk_action: str = "index",
+    id_col: str | None = None,
+    ts_col: str = "ts",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 10_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """Bulk-index ``df`` rows as documents. ``index`` is a template
+    (``{{ field }}`` / strftime, e.g. ``logs-{{ app }}-%Y.%m.%d`` — the
+    reference's index template + data_stream naming), rendered JVM-side.
+
+    The per-row request fragment is `action\\ndocument` built with
+    ``to_json`` — two JSON lines per event exactly as
+    `encoder.rs:write_bulk_action` emits them."""
+    if bulk_action not in ("index", "create"):
+        raise ValueError("bulk_action must be 'index' or 'create'")
+    doc_cols = [c for c in df.columns if c != id_col]
+    action_fields = [template_column(index, ts_col=ts_col).alias("_index")]
+    if id_col is not None:
+        action_fields.append(F.col(id_col).cast("string").alias("_id"))
+    action = F.to_json(
+        F.struct(F.struct(*action_fields).alias(bulk_action))
+    )
+    doc = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+    pair = F.concat(action, F.lit("\n"), doc)
+    lines = df.select(pair.alias("pair"))
+    url = endpoint.rstrip("/") + "/_bulk"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/x-ndjson"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        suffix=b"\n",
+    )
+
+
+def loki_sink(
+    df: DataFrame,
+    endpoint: str,
+    labels: dict[str, str],
+    line_col: str = "message",
+    ts_col: str = "ts",
+    encoding: str = "text",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """Push rows to Loki grouped into streams by rendered label set.
+
+    ``labels`` values are templates (``{"app": "{{ service }}",
+    "env": "prod"}``). The plan: render labels + the [ts_ns, line] value
+    pair JVM-side, ``repartition`` by the label set so each stream's rows
+    land in one partition, ``sortWithinPartitions`` by label set + ts so
+    (a) each partition walks streams contiguously and (b) values are
+    time-ordered within a stream, exactly the `event.rs:126` sort — then
+    each partition emits `{"streams":[...]}` bodies with NO Python-side
+    sorting or buffering beyond the open stream."""
+    if encoding == "json":
+        line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    elif encoding == "text":
+        line = F.col(line_col).cast("string")
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    label_entries = {
+        name: template_column(tmpl, ts_col=ts_col)
+        for name, tmpl in sorted(labels.items())
+    }
+    # the stream key: the label MAP rendered to its JSON object form —
+    # equality of this string IS equality of the label set
+    stream_json = F.to_json(F.struct(*[
+        c.alias(n) for n, c in label_entries.items()
+    ]))
+    ts_ns = (F.unix_micros(F.col(ts_col)) * 1000).cast("string")
+    value_json = F.to_json(F.array(ts_ns, line))
+    shaped = df.select(
+        stream_json.alias("stream"), value_json.alias("value"),
+        F.col(ts_col).alias("_ts"),
+    ).repartition(F.col("stream")).sortWithinPartitions("stream", "_ts")
+
+    url = endpoint.rstrip("/") + "/loki/api/v1/push"
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows) -> None:
+        import urllib.request
+
+        streams: list[str] = []  # rendered {"stream":..,"values":[..]} frags
+        cur_label: str | None = None
+        cur_values: list[str] = []
+        n_events = 0
+        total_bytes = 0
+
+        def close_stream() -> None:
+            nonlocal cur_values
+            if cur_label is not None and cur_values:
+                streams.append(
+                    '{"stream":%s,"values":[%s]}'
+                    % (cur_label, ",".join(cur_values))
+                )
+            cur_values = []
+
+        def flush() -> None:
+            nonlocal n_events, total_bytes
+            close_stream()
+            if not streams:
+                return
+            body = ('{"streams":[%s]}' % ",".join(streams)).encode()
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"}
+            )
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            sent.add(n_events)
+            streams.clear()
+            n_events = 0
+            total_bytes = 0
+
+        for row in rows:
+            if n_events >= batch_max_events or total_bytes >= batch_max_bytes:
+                flush()  # same stream continues as a fresh fragment
+            if row["stream"] != cur_label:
+                close_stream()
+                cur_label = row["stream"]
+            cur_values.append(row["value"])
+            n_events += 1
+            total_bytes += len(row["value"])
+        flush()
+
+    shaped.foreachPartition(send_partition)
+    return sent.value
+
+
+def clickhouse_sink(
+    df: DataFrame,
+    endpoint: str,
+    table: str,
+    database: str = "default",
+    skip_unknown_fields: bool = True,
+    batch_max_events: int = 10_000,
+    batch_max_bytes: int = 10_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """INSERT rows over the ClickHouse HTTP interface as JSONEachRow.
+    URL uses the Identifier query-parameter form (server-side quoting,
+    `service.rs:144`) so table/database names never need client escaping."""
+    q = urllib.parse.urlencode({
+        "query": "INSERT INTO {database:Identifier}.{table:Identifier}"
+                 " FORMAT JSONEachRow",
+        "param_database": database,
+        "param_table": table,
+    })
+    url = (
+        endpoint.rstrip("/") + "/?input_format_import_nested_json=1&"
+        + ("input_format_skip_unknown_fields=1&" if skip_unknown_fields else "")
+        + q
+    )
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/x-ndjson"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        suffix=b"\n",
+    )
+
+
+def datadog_logs_sink(
+    df: DataFrame,
+    endpoint: str,
+    api_key: str,
+    message_col: str = "message",
+    ddsource: str | None = None,
+    ddtags: str | None = None,
+    hostname_col: str | None = None,
+    service_col: str | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_250_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """POST a JSON array of log events to /api/v2/logs with the reserved
+    attributes at the event root. Batch caps are the reference's
+    MAX_PAYLOAD_BYTES (serialized, uncompressed) and 1000-event limits."""
+    fields = [F.col(message_col).cast("string").alias("message")]
+    if ddsource is not None:
+        fields.append(template_column(ddsource).alias("ddsource"))
+    if ddtags is not None:
+        fields.append(template_column(ddtags).alias("ddtags"))
+    if hostname_col is not None:
+        fields.append(F.col(hostname_col).cast("string").alias("hostname"))
+    if service_col is not None:
+        fields.append(F.col(service_col).cast("string").alias("service"))
+    reserved = {message_col, hostname_col, service_col}
+    extras = [c for c in df.columns if c not in reserved]
+    fields += [F.col(c) for c in extras]
+    lines = df.select(F.to_json(F.struct(*fields)).alias("line"))
+    url = endpoint.rstrip("/") + "/api/v2/logs"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json", "DD-API-KEY": api_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
+
+
+def splunk_hec_sink(
+    df: DataFrame,
+    endpoint: str,
+    token: str,
+    event_col: str = "message",
+    ts_col: str = "ts",
+    host_col: str | None = None,
+    sourcetype: str | None = None,
+    index: str | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """HEC envelopes (the existing codec) POSTed newline-concatenated to
+    /services/collector/event with Splunk token auth — the HEC endpoint
+    accepts back-to-back JSON objects, no framing array."""
+    env = encode_splunk_hec(
+        F.col(event_col),
+        F.col(ts_col),
+        host=F.col(host_col) if host_col else None,
+        sourcetype=template_column(sourcetype, ts_col=ts_col)
+        if sourcetype else None,
+        index=template_column(index, ts_col=ts_col) if index else None,
+    )
+    lines = df.select(env.alias("line"))
+    url = endpoint.rstrip("/") + "/services/collector/event"
+    return _post_lines_per_partition(
+        lines, url,
+        {
+            "Content-Type": "application/json",
+            "Authorization": f"Splunk {token}",
+        },
+        batch_max_events, batch_max_bytes, timeout_secs,
+    )
