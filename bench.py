@@ -55,6 +55,9 @@ HEADLINE = [
     "multimodal_features",
     "docs_dedup_components",
     "ann_pq_topk",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -121,9 +124,12 @@ def main() -> None:
         )
 
     pipeline()  # warm
-    t0 = time.perf_counter()
-    pipeline()
-    pipe_s = time.perf_counter() - t0
+    pipe_s = None
+    for _ in range(3):  # min-of-3: the number is job-overhead-dominated
+        t0 = time.perf_counter()  # at sf0.1, so single runs are noisy
+        pipeline()
+        dt = time.perf_counter() - t0
+        pipe_s = dt if pipe_s is None or dt < pipe_s else pipe_s
     events_per_sec = round(n_events / pipe_s, 1)
 
     print(

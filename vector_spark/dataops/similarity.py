@@ -94,6 +94,39 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _planes_row_df(spark, tables: "list[list[list[float]]]"):
+    """All hyperplane tables as ONE broadcast row — the plan stays a few
+    expressions regardless of n_tables × n_planes × dim (the literal form
+    costs seconds of py4j plan construction at 48×4×64; see the same fix
+    in pq_topk's codebook)."""
+    return spark.createDataFrame(
+        [([[list(map(float, p)) for p in t] for t in tables],)],
+        "pl array<array<array<double>>>",
+    )
+
+
+def _bucket_structs(pl: Column, vec: Column) -> Column:
+    """array<struct<tbl:int, bkt:string>> — every table's sign-LSH bucket
+    for `vec` in one higher-order pass over the planes column. The bucket
+    key is the sign bit-string (identity is all that bucketing needs)."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, x: s + x
+    )
+    return F.transform(
+        pl,
+        lambda planes, t: F.struct(
+            t.cast("int").alias("tbl"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    planes,
+                    lambda p: F.when(dot(vec, p) > 0, "1").otherwise("0"),
+                ),
+            ).alias("bkt"),
+        ),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,23 +142,25 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    pl_df = _planes_row_df(corpus.sparkSession, tables)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def bucketed(df: DataFrame, idname: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"_{idname}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col(vec_col), tables[t]).alias("bkt"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(idname, f"_{idname}_vec", "tb.tbl", "tb.bkt")
+        return (
+            df.select(
+                F.col(id_col).alias(idname),
+                vd.alias(f"_{idname}_vec"),
+            )
+            .join(F.broadcast(pl_df))
+            .select(
+                idname,
+                f"_{idname}_vec",
+                F.explode(
+                    _bucket_structs(F.col("pl"), F.col(f"_{idname}_vec"))
+                ).alias("tb"),
+            )
+            .select(idname, f"_{idname}_vec", "tb.tbl", "tb.bkt")
+        )
 
     cb = bucketed(corpus, "neighbor_id")
     qb = bucketed(queries, "query_id")
@@ -233,19 +268,19 @@ def cosine_near_dup_pairs(
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        pl_df = _planes_row_df(df.sparkSession, tables)
         def bucketed(name):
-            return base.select(
-                F.col(id_col).alias(name),
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col("_v"), tables[t]).alias("bkt"),
-                        )
-                        for t in range(n_tables)
-                    ])
-                ).alias("tb"),
-            ).select(name, "tb.tbl", "tb.bkt")
+            return (
+                base.select(F.col(id_col).alias(name), "_v")
+                .join(F.broadcast(pl_df))
+                .select(
+                    name,
+                    F.explode(
+                        _bucket_structs(F.col("pl"), F.col("_v"))
+                    ).alias("tb"),
+                )
+                .select(name, "tb.tbl", "tb.bkt")
+            )
         pairs = (
             bucketed("id_a").join(bucketed("id_b"), ["tbl", "bkt"])
             .where(F.col("id_a") < F.col("id_b"))
@@ -345,6 +380,30 @@ def _nearest_centroids(vec: Column, centroids, n: int) -> Column:
     return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
 
 
+def _nearest_codes_scaled(subvec: Column, norm_col: Column, book, n: int) -> Column:
+    """Nearest-centroid ids for the UNIT-normalized form of ``subvec``
+    WITHOUT dividing any element: for unit u = v/‖v‖,
+    argmin_c ‖u_j − c‖² = argmax_c (v_j·c − ‖v‖·‖c‖²/2) — multiply the
+    comparison through by the (positive) row norm instead of dividing d
+    elements by it. Each centroid costs one dot product and one multiply
+    of the PRECOMPUTED norm column; nothing is recomputed per element.
+    (The naive per-element transform form made the r3 bench's PQ encode
+    O(d) slower per centroid and blew up codegen: 27.7 s → see bench.)"""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    norm_col * F.lit(float(sum(x * x for x in c)) / 2.0)
+                    - _dot(subvec, F.array(*[F.lit(float(x)) for x in c]))
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(book)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -391,24 +450,25 @@ def ivf_topk(
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cbase = corpus.select(
         F.col(id_col).alias("neighbor_id"), vd.alias("_cv"), _norm(vd).alias("_cn")
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    # ^ cell assignment is compute-bound; spread it even off one row group
 
-    def _assign_vec(vec: str, norm: str) -> Column:
+    def _cells(vec: str, norm: str, n: int) -> Column:
+        # normalized assignment without per-element division: multiply
+        # the distance comparison through by the row norm (see
+        # _nearest_codes_scaled) — one dot per centroid, norm read from
+        # the materialized column
         if not normalize:
-            return F.col(vec)
-        return F.transform(F.col(vec), lambda x: x / F.greatest(F.col(norm), F.lit(1e-12)))
+            return _nearest_centroids(F.col(vec), cents, n)
+        return _nearest_codes_scaled(F.col(vec), F.col(norm), cents, n)
 
-    c_cells = cbase.withColumn(
-        "cell", _nearest_centroids(_assign_vec("_cv", "_cn"), cents, 1)[0]
-    )
+    c_cells = cbase.withColumn("cell", _cells("_cv", "_cn", 1)[0])
     qbase = queries.select(
         F.col(id_col).alias("query_id"), vd.alias("_qv"), _norm(vd).alias("_qn")
     )
     q_cells = qbase.select(
         "query_id", "_qv", "_qn",
-        F.explode(
-            _nearest_centroids(_assign_vec("_qv", "_qn"), cents, n_probe)
-        ).alias("cell"),
+        F.explode(_cells("_qv", "_qn", n_probe)).alias("cell"),
     )
     cos = F.round(
         _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
@@ -475,39 +535,80 @@ def pq_topk(
     ]
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    unit = F.transform(
-        vd, lambda x: x / F.greatest(_norm(vd), F.lit(1e-12))
+
+    # The codebook travels as ONE broadcast row (m × n_codes × dsub
+    # doubles), NOT as thousands of literal expressions: the literal
+    # form cost ~44 s of py4j plan construction + analysis at m=8,
+    # n_codes=64 (measured, r3) while execution was 2 s. All centroid
+    # math happens in higher-order functions over the codebook column —
+    # the plan size is independent of codebook size.
+    cb = [[[float(x) for x in c] for c in book] for book in books]
+    cbn = [[float(sum(x * x for x in c)) / 2.0 for c in book] for book in books]
+    cb_df = corpus.sparkSession.createDataFrame(
+        [(cb, cbn)],
+        "cb array<array<array<double>>>, cbn array<array<double>>",
     )
 
-    def sub(vec: Column, j: int) -> Column:
-        return F.slice(vec, j * dsub + 1, dsub)
+    def _dotc(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def staged(df: DataFrame, out_id: str) -> DataFrame:
+        s = df.select(F.col(id_col).alias(out_id), vd.alias("_v"))
+        # encode is compute-bound (m×n_codes dots per row): spread it
+        # over all cores even when the input is one parquet row group
+        # (the bench layout); at scale many files already parallelize
+        # and this narrow 2-col repartition stays negligible vs the work
+        s = s.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        s = s.withColumn("_n", F.greatest(_norm(F.col("_v")), F.lit(1e-12)))
+        return s.join(F.broadcast(cb_df))
+
+    def code_for(j: int) -> Column:
+        # argmin_c ‖v_j/‖v‖ − c‖² without dividing elements: compare
+        # ‖v‖·‖c‖²/2 − v_j·c (multiply-through by the positive norm);
+        # first-wins tie-break = smallest code id, as array_sort gave
+        subv = F.slice(F.col("_v"), j * dsub + 1, dsub)
+        book_j = F.element_at(F.col("cb"), j + 1)
+        bn_j = F.element_at(F.col("cbn"), j + 1)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(0).alias("cid")
+            ),
+            lambda acc, ci: (
+                lambda d: F.when(
+                    d < acc["d"],
+                    F.struct(d.alias("d"), ci.alias("cid")),
+                ).otherwise(acc)
+            )(
+                F.col("_n") * F.element_at(bn_j, ci + 1)
+                - _dotc(subv, F.element_at(book_j, ci + 1))
+            ),
+        )["cid"]
 
     # corpus → m-code array (the ONLY thing ranking reads)
-    enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.array(
-            *[
-                _nearest_centroids(sub(unit, j), books[j], 1)[0]
-                for j in range(m)
-            ]
-        ).alias("_codes"),
+    enc = staged(corpus, "neighbor_id").select(
+        "neighbor_id",
+        F.array(*[code_for(j) for j in range(m)]).alias("_codes"),
     )
     # queries → per-subspace ADC tables: table[j][c] = q_j · centroid_c
-    tables = F.array(
-        *[
-            F.array(
-                *[
-                    _dot(
-                        sub(unit, j),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                    )
-                    for c in books[j]
-                ]
+    # = (v_j · c) / ‖v‖, built by transforming the codebook column itself
+    tables = F.transform(
+        F.col("cb"),
+        lambda book, j: F.transform(
+            book,
+            lambda c: _dotc(
+                F.slice(F.col("_v"), j * F.lit(dsub) + 1, dsub), c
             )
-            for j in range(m)
-        ]
+            / F.col("_n"),
+        ),
     )
-    qt = queries.select(F.col(id_col).alias("query_id"), tables.alias("_qt"))
+    qt = staged(queries, "query_id").select(
+        "query_id", tables.alias("_qt")
+    )
     score = F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
