@@ -444,3 +444,49 @@ def test_parse_etld_short_domain_clamped(spark):
     (slice start would be <= 0) — returns the whole domain (ADVICE r2)."""
     assert one(spark, V["parse_etld"](F.lit("com"), plus_parts=1)) == "com"
     assert one(spark, V["parse_etld"](F.lit("co.uk"), plus_parts=1)) == "co.uk"
+
+
+# ---- r3 honest-delta closures: merge right-wins/deep, real uuid_v7 ----
+
+def test_merge_right_wins_on_duplicate_keys(spark):
+    a = F.create_map(F.lit("x"), F.lit("1"), F.lit("y"), F.lit("2"))
+    b = F.create_map(F.lit("y"), F.lit("9"), F.lit("z"), F.lit("3"))
+    out = one(spark, V["merge"](a, b))
+    assert dict(out) == {"x": "1", "y": "9", "z": "3"}
+
+
+def test_merge_deep_merges_nested_maps(spark):
+    inner_a = F.create_map(F.lit("p"), F.lit("1"), F.lit("q"), F.lit("2"))
+    inner_b = F.create_map(F.lit("q"), F.lit("9"), F.lit("r"), F.lit("3"))
+    a = F.create_map(F.lit("n"), inner_a, F.lit("only_a"), inner_a)
+    b = F.create_map(F.lit("n"), inner_b, F.lit("only_b"), inner_b)
+    out = one(spark, V["merge"](a, b, deep=True))
+    got = {k: dict(v) for k, v in out.items()}
+    # collided nested map merges right-wins instead of being replaced
+    assert got["n"] == {"p": "1", "q": "9", "r": "3"}
+    assert got["only_a"] == {"p": "1", "q": "2"}
+    assert got["only_b"] == {"q": "9", "r": "3"}
+
+
+def test_uuid_v7_layout_and_time_order(spark):
+    import re
+
+    df = spark.createDataFrame(
+        [("2024-03-05 06:07:08.123",), ("2024-03-05 06:07:09.456",)],
+        "ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    rows = df.select(V["uuid_v7"](F.col("ts")).alias("u"), "ts_s").collect()
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    by_ts = {r.ts_s: r.u for r in rows}
+    for u in by_ts.values():
+        assert pat.match(u), u
+    # time-ordered: ms-timestamp prefix sorts with the timestamp
+    assert by_ts["2024-03-05 06:07:08.123"][:13] < by_ts["2024-03-05 06:07:09.456"][:13]
+    # 48-bit prefix is the unix ms of the input
+    ms = int(by_ts["2024-03-05 06:07:08.123"][:8] + by_ts["2024-03-05 06:07:08.123"][9:13], 16)
+    import datetime
+    expect = int(datetime.datetime(2024, 3, 5, 6, 7, 8, 123000,
+                                   tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert ms == expect

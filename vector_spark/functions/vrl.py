@@ -154,6 +154,51 @@ def _ceil_p(c: Column, precision: int = 0) -> Column:
     return F.ceil(c * k) / k
 
 
+def _vrl_merge(a: Column, b: Column, deep: bool = False) -> Column:
+    """VRL `merge(to, from, deep:)` (src/stdlib merge.rs): right side wins
+    on key collisions. deep=true merges one nested level via map_zip_with
+    (collided values that are both maps merge right-wins instead of being
+    replaced) — valid on map<., map<.,.>> columns, which is where `deep`
+    is meaningful; VRL's unbounded recursion flattens to the one nesting
+    level the columnar event model carries."""
+    if not deep:
+        return F.map_concat(a, b)
+    return F.map_zip_with(
+        a,
+        b,
+        lambda k, va, vb: F.when(va.isNull(), vb)
+        .when(vb.isNull(), va)
+        .otherwise(F.map_concat(va, vb)),
+    )
+
+
+def _uuid_v7(ts: Column | None = None) -> Column:
+    """Real UUIDv7 (RFC 9562 layout): 48-bit unix-ms timestamp,
+    version 7 nibble, variant 10 bits, 74 random bits — time-ordered
+    unlike the uuid_v4 alias it replaces (r2 honest-delta list)."""
+    ms = F.unix_millis(F.current_timestamp() if ts is None else ts)
+    th = F.lpad(F.lower(F.hex(ms)), 12, "0")
+
+    def rhex(n: int) -> Column:
+        return F.lpad(
+            F.lower(F.hex((F.rand() * F.lit(float(16**n))).cast("long"))),
+            n, "0",
+        )
+
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.rand() * 4).cast("int") + 1,
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(th, 1, 8),
+        F.substring(th, 9, 4),
+        F.concat(F.lit("7"), rhex(3)),
+        F.concat(variant, rhex(3)),
+        rhex(12),
+    )
+
+
 def _floor_p(c: Column, precision: int = 0) -> Column:
     if precision == 0:
         return F.floor(c)
@@ -370,7 +415,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "push": lambda arr, x: F.concat(arr, F.array(x)),
     "flatten": F.flatten,
     "unique": F.array_distinct,
-    "merge": lambda a, b: F.map_concat(a, b),
+    "merge": _vrl_merge,
     "keys": F.map_keys,
     "values": F.map_values,
     "includes": lambda arr, x: F.array_contains(arr, x),
@@ -393,7 +438,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "format_number": _format_number,
     "random_int": lambda lo, hi: (F.rand() * (hi - lo) + lo).cast("long"),
     "uuid_v4": F.uuid,
-    "uuid_v7": F.uuid,  # time-ordered upstream; opaque unique id here
+    "uuid_v7": _uuid_v7,
     # IP (no native Spark support; pure-Column arithmetic for v4)
     "ip_aton": lambda c: (
         F.split(c, r"\.")[0].cast("long") * 16777216

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # VRL merge / map building is right-wins on duplicate keys
+        # (src/stdlib merge); Spark's default EXCEPTION policy would
+        # throw mid-query instead
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # broadcast threshold: enrichment tables (SURVEY §2.2) are small dims
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
