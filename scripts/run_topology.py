@@ -3,6 +3,8 @@
 Usage:
   python scripts/run_topology.py pipeline.yaml            # batch: run sinks
   python scripts/run_topology.py pipeline.yaml --stream   # start streaming sinks
+  python scripts/run_topology.py pipeline.yaml --stream --watch
+                                # + live reload on config file change
   python scripts/run_topology.py pipeline.yaml --graph    # print DOT graph
   python scripts/run_topology.py pipeline.yaml --validate # build only
   python scripts/run_topology.py pipeline.yaml --test     # run config unit tests
@@ -81,6 +83,36 @@ def main() -> None:
         from vector_spark.streaming.monitor import attach_top
 
         top = attach_top(spark)
+        if "--watch" in flags:
+            # live reload (vector src/config/watcher.rs): hot-rewires only
+            # the sinks whose upstream chain changed on file edit
+            from vector_spark.streaming.reload import (
+                ConfigWatcher,
+                RunningTopology,
+            )
+
+            rt = RunningTopology(spark, paths[0])
+            watcher = ConfigWatcher(
+                rt,
+                paths[0],
+                on_reload=lambda rep: print(
+                    f"reloaded: started={rep.started} "
+                    f"stopped={rep.stopped} kept={rep.kept}"
+                ),
+            ).start()
+            print(
+                f"started {len(rt.queries)} streaming sink(s), watching "
+                f"{paths[0]} for changes; Ctrl-C to stop"
+            )
+            try:
+                spark.streams.awaitAnyTermination()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                watcher.stop()
+                rt.stop()
+                print(top.render())
+            return
         queries = start_streaming_sinks(topo)
         print(f"started {len(queries)} streaming sink(s); Ctrl-C to stop")
         try:

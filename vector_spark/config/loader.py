@@ -878,6 +878,16 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
     sources (rate/stream_file/kafka/socket). Returns sink name →
     StreamingQuery. Batch and streaming share the SAME transform builders;
     this is the writeStream counterpart of run_sinks."""
+    return {
+        name: start_streaming_sink(topo, name) for name in topo.sinks
+    }
+
+
+def start_streaming_sink(topo: Topology, name: str) -> Any:
+    """Start ONE sink's streaming query. The per-sink granularity is what
+    live reload needs: a sink-rooted query is Spark's respawn unit
+    (vector src/topology/running.rs keeps unchanged tasks running and
+    respawns only the diffed components — see streaming/reload.py)."""
     from vector_spark.streaming.pipeline import (
         console_sink,
         kafka_sink,
@@ -886,69 +896,69 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
     )
 
     queries: dict[str, Any] = {}
-    for name, cfg in topo.sinks.items():
-        df = _inputs_df(topo.outputs, cfg, name)
-        stype = cfg.get("type", "memory")
-        if stype == "memory":
-            queries[name] = memory_sink(
-                df, cfg.get("query_name", name), cfg.get("output_mode", "append")
-            )
-        elif stype == "console":
-            queries[name] = console_sink(df, int(cfg.get("trigger_secs", 1)))
-        elif stype == "parquet" and cfg.get("path_template"):
-            from vector_spark.sinks import templated_stream_sink
+    cfg = topo.sinks[name]
+    df = _inputs_df(topo.outputs, cfg, name)
+    stype = cfg.get("type", "memory")
+    if stype == "memory":
+        queries[name] = memory_sink(
+            df, cfg.get("query_name", name), cfg.get("output_mode", "append")
+        )
+    elif stype == "console":
+        queries[name] = console_sink(df, int(cfg.get("trigger_secs", 1)))
+    elif stype == "parquet" and cfg.get("path_template"):
+        from vector_spark.sinks import templated_stream_sink
 
-            queries[name] = templated_stream_sink(
-                df,
-                base_path=cfg["path"],
-                path_template=cfg["path_template"],
-                checkpoint=cfg["checkpoint"],
-                fmt="parquet",
-                ts_col=cfg.get("ts_col", "ts"),
-                trigger_secs=int(cfg.get("trigger_secs", 1)),
-            )
-        elif stype == "parquet":
-            queries[name] = parquet_sink(
-                df, cfg["path"], cfg["checkpoint"],
-                int(cfg.get("trigger_secs", 1)),
-            )
-        elif stype == "kafka":
-            queries[name] = kafka_sink(
-                df,
-                bootstrap_servers=cfg["bootstrap_servers"],
-                topic=cfg["topic"],
-                checkpoint=cfg["checkpoint"],
-                value_col=cfg.get("value_col", "message"),
-                key_col=cfg.get("key_col"),
-            )
-        elif stype == "http":
-            from vector_spark.sinks import http_stream_sink
+        queries[name] = templated_stream_sink(
+            df,
+            base_path=cfg["path"],
+            path_template=cfg["path_template"],
+            checkpoint=cfg["checkpoint"],
+            fmt="parquet",
+            ts_col=cfg.get("ts_col", "ts"),
+            trigger_secs=int(cfg.get("trigger_secs", 1)),
+        )
+    elif stype == "parquet":
+        queries[name] = parquet_sink(
+            df, cfg["path"], cfg["checkpoint"],
+            int(cfg.get("trigger_secs", 1)),
+        )
+    elif stype == "kafka":
+        queries[name] = kafka_sink(
+            df,
+            bootstrap_servers=cfg["bootstrap_servers"],
+            topic=cfg["topic"],
+            checkpoint=cfg["checkpoint"],
+            value_col=cfg.get("value_col", "message"),
+            key_col=cfg.get("key_col"),
+        )
+    elif stype == "http":
+        from vector_spark.sinks import http_stream_sink
 
-            queries[name] = http_stream_sink(
-                df,
-                cfg["url"],
-                checkpoint=cfg["checkpoint"],
-                encoding=cfg.get("encoding", "json"),
-                value_col=cfg.get("value_col", "message"),
-                trigger_secs=int(cfg.get("trigger_secs", 1)),
-            )
-        elif stype == "blackhole":
-            queries[name] = (
-                df.writeStream.format("noop")
-                .option("checkpointLocation", cfg["checkpoint"])
-                .start()
-            )
-        elif stype == "demux":
-            from vector_spark.streaming.pipeline import demux_sink
+        queries[name] = http_stream_sink(
+            df,
+            cfg["url"],
+            checkpoint=cfg["checkpoint"],
+            encoding=cfg.get("encoding", "json"),
+            value_col=cfg.get("value_col", "message"),
+            trigger_secs=int(cfg.get("trigger_secs", 1)),
+        )
+    elif stype == "blackhole":
+        queries[name] = (
+            df.writeStream.format("noop")
+            .option("checkpointLocation", cfg["checkpoint"])
+            .start()
+        )
+    elif stype == "demux":
+        from vector_spark.streaming.pipeline import demux_sink
 
-            queries[name] = demux_sink(
-                df,
-                routes=[(r["name"], _condition(r["condition"])) for r in cfg["routes"]],
-                base_path=cfg["path"],
-                checkpoint=cfg["checkpoint"],
-                fmt=cfg.get("format", "parquet"),
-                trigger_secs=int(cfg.get("trigger_secs", 1)),
-            )
-        else:
-            raise TopologyError(f"{name}: unknown streaming sink {stype!r}")
-    return queries
+        queries[name] = demux_sink(
+            df,
+            routes=[(r["name"], _condition(r["condition"])) for r in cfg["routes"]],
+            base_path=cfg["path"],
+            checkpoint=cfg["checkpoint"],
+            fmt=cfg.get("format", "parquet"),
+            trigger_secs=int(cfg.get("trigger_secs", 1)),
+        )
+    else:
+        raise TopologyError(f"{name}: unknown streaming sink {stype!r}")
+    return queries[name]
