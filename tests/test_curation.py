@@ -1,0 +1,110 @@
+"""Corpus-curation ops (dataops/curation.py): value-level unit tests on
+hand-computable fixtures, plus plan-shape checks for the scale invariants
+(partitioned packing window, broadcast contamination join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.curation import (
+    contamination_check,
+    pack_shards,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 1: "spam spam spam spam" — maximal repetition
+        (1, "spam spam spam spam", "en", "s0"),
+        # doc 2: all-distinct words
+        (2, "alpha beta gamma delta", "en", "s0"),
+        # doc 3: repeated bigram "a b": "a b a b c"
+        (3, "a b a b c", "zh", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_stats_values(docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: top 1-gram "spam" covers 4*4=16 chars of 19; every word dup'd
+    assert out[1]["top1_frac"] == round(16 / 19, 6)
+    assert out[1]["dup1_frac"] == 1.0
+    # its top 2-gram "spam spam" occurs 3x -> 3*9/19
+    assert out[1]["top2_frac"] == round(27 / 19, 6)
+    assert out[1]["dup2_frac"] == 1.0
+    # doc 2: no repetition at any n
+    assert out[2]["dup1_frac"] == 0.0
+    assert out[2]["dup2_frac"] == 0.0
+    # top1 is the longest word on count ties: "delta"/"gamma"/"alpha" (5);
+    # tie-break is (cnt, len, gram) lexicographic -> "gamma"
+    assert out[2]["top1_frac"] == round(5 / 22, 6)
+    # doc 3: "a b" occurs twice among 4 bigrams -> dup2 = 2/4
+    assert out[3]["dup2_frac"] == 0.5
+    assert out[3]["top2_frac"] == round(2 * 3 / 9, 6)
+
+
+def test_contamination_check_values(spark, docs):
+    bench = spark.createDataFrame(
+        [(99, "beta gamma delta epsilon", "en", "s9")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["doc_id"]: r["n_collisions"]
+        for r in contamination_check(docs, bench, n=2).collect()
+    }
+    # doc 2 shares bigrams "beta gamma" and "gamma delta"; others none
+    assert got == {2: 2}
+
+
+def test_contamination_broadcasts_benchmark(docs, spark):
+    bench = docs.limit(1)
+    plan = contamination_check(docs, bench, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    docs = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out = stratified_sample(docs, rates={"en": 0.2, "zh": 0.8})
+    a = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in a}
+    assert abs(counts["en"] / 5000 - 0.2) < 0.05
+    assert abs(counts["zh"] / 5000 - 0.8) < 0.05
+    # rerun-stable
+    b = stratified_sample(docs, rates={"en": 0.2, "zh": 0.8}).collect()
+    assert sorted(r["doc_id"] for r in b) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_pack_shards_budget_and_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 40, "g0") for i in range(10)]
+        + [(i, "w " * 10, "g1") for i in range(10, 14)],
+        "doc_id long, text string, source string",
+    )
+    out = pack_shards(docs, token_budget=100, group_col="source").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # g0: 40 tokens each -> docs 0,1 start at 0,40 (shard 0); doc 2 starts
+    # at 80 (shard 0); doc 3 starts at 120 (shard 1)
+    assert [by_id[i]["shard"] for i in range(5)] == [0, 0, 0, 1, 1]
+    assert by_id[3]["start_offset"] == 120
+    # g1 packs independently from offset 0
+    assert by_id[10]["shard"] == 0 and by_id[10]["start_offset"] == 0
+
+
+def test_pack_shards_window_is_partitioned(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "g0")], "doc_id long, text string, source string"
+    )
+    plan = pack_shards(docs, 100)._jdf.queryExecution().executedPlan().toString()
+    # the cumulative window must be partitioned by the shard group —
+    # never a global single-task sort
+    assert "partitionBy" not in plan  # physical plan spells it differently
+    assert "Window" in plan and "source" in plan.split("Window", 1)[1][:400]

@@ -1,0 +1,223 @@
+"""Corpus-curation operators for pretraining-data pipelines.
+
+The four ops here are the standard curation stages that sit between raw
+crawl and tokenizer in an LLM data pipeline (Gopher/MassiveText §A1.1,
+C4, The Pile, Dolma — public papers; none of this exists in the reference,
+it is part of the driver's training-data mandate):
+
+- repetition_stats  — Gopher-style within-document repetition signals
+  (top-n-gram char fraction, duplicated-n-gram fraction) used to drop
+  boilerplate/spam.
+- contamination_check — n-gram collision scan of the training corpus
+  against a benchmark/eval set (the standard decontamination step).
+- stratified_sample — deterministic per-stratum (e.g. language) sampling
+  to hit a target mixture; hash-based so reruns and engines agree.
+- pack_shards — greedy token-budget packing of documents into training
+  shards, parallel per group.
+
+Scale notes (100 TB): repetition is computed with explode + two-level
+aggregation — the shuffle key is (doc_id, ngram), which is high-cardinality
+and skew-free, and Spark's partial (map-side) aggregation collapses
+within-document duplicates before the exchange. A per-document O(L²)
+higher-order-function formulation was rejected: it avoids the shuffle but
+degrades quadratically on long documents. Contamination broadcasts the
+benchmark n-gram set (eval suites are tiny vs the corpus). Sampling is a
+scan-only filter. Packing windows are partitioned by the shard group —
+never a global single-task window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash — portable across engines (same constant as
+# operators/sample.py:consistent_hash; the DuckDB oracles reproduce it).
+_KNUTH = 2654435761
+_MOD = 2**31
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the document
+    has fewer than n words. Pure Column (no UDF)."""
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Within-document repetition signals per Gopher §A1.1:
+
+    - ``top{n}_frac``: characters in the single most frequent word n-gram
+      as a fraction of the document's characters (ties broken by longer,
+      then lexicographically larger n-gram — deterministic and portable).
+    - ``dup{n}_frac``: fraction of n-gram occurrences whose n-gram occurs
+      more than once in the document.
+
+    Returns one row per document: (id, n_chars, top1_frac, dup1_frac,
+    top2_frac, ...). Documents full of repeated phrases score high and are
+    dropped by the downstream threshold filter.
+
+    Plan shape: one explode per n unioned → groupBy(id, n, gram) with
+    map-side partial agg → groupBy(id, n) → conditional-agg pivot to one
+    row per doc. Two shuffles total, both on high-cardinality skew-free
+    keys.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        _words(t).alias("w"),
+    )
+    per_n = None
+    for n in ngram_sizes:
+        e = base.select(
+            id_col,
+            "n_chars",
+            F.lit(n).alias("n"),
+            F.explode(_ngrams(F.col("w"), n)).alias("gram"),
+        )
+        per_n = e if per_n is None else per_n.unionByName(e)
+
+    counted = per_n.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # top gram per (doc, n) via max(struct): (cnt, len, gram) lexicographic
+    agg = counted.groupBy(id_col, "n_chars", "n").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"), F.length("gram").alias("glen"), F.col("gram")
+            )
+        ).alias("top"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+    frac = lambda c: F.round(c, 6)  # noqa: E731
+    per_doc = agg.select(
+        F.col(id_col),
+        "n_chars",
+        "n",
+        frac(
+            (F.col("top.cnt") * F.col("top.glen")).cast("double")
+            / F.col("n_chars")
+        ).alias("top_frac"),
+        frac(F.col("dup").cast("double") / F.col("total")).alias("dup_frac"),
+    )
+    out = per_doc.groupBy(id_col).agg(
+        F.first("n_chars").alias("n_chars"),
+        *[
+            F.max(F.when(F.col("n") == n, F.col(c))).alias(f"{c[:3]}{n}_frac")
+            for n in ngram_sizes
+            for c in ("top_frac", "dup_frac")
+        ],
+    )
+    return out
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with the benchmark/eval set (the standard 13-gram check from
+    GPT-3 appendix C scaled to the corpus's document length).
+
+    Returns (id, n_collisions) for contaminated documents only, where
+    n_collisions counts DISTINCT colliding n-grams. The benchmark n-gram
+    set is broadcast — eval suites are megabytes against a 100 TB corpus —
+    so the scan side never shuffles.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_ngrams(_words(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_ngrams(_words(F.col(text_col)), n)).alias("gram"),
+    ).dropDuplicates([id_col, "gram"])
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_collisions")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a per-stratum fraction of
+    documents (e.g. per-language rates to hit a target training mixture).
+    The keep decision is a pure hash of the id — rerun-stable, partition-
+    independent, and reproducible in any engine (Knuth multiplicative
+    hash, same scheme as the sample transform). Scan-only: no shuffle."""
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == k
+        rate = F.when(cond, v) if rate is None else rate.when(cond, v)
+    rate = (rate.otherwise(default_rate) if rate is not None
+            else F.lit(default_rate))
+    h = F.pmod(F.col(id_col).cast("long") * _KNUTH, F.lit(_MOD))
+    return df.where(h <= (rate * _MOD).cast("long"))
+
+
+def pack_shards(
+    df: DataFrame,
+    token_budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget packing: assign documents to training shards of
+    ~token_budget tokens each, within each group (source/dump/language —
+    real pipelines shard per input bucket so packing parallelizes).
+
+    Deterministic: documents pack in id order within their group; a
+    document's shard is the budget bucket its starting token offset falls
+    in. The window is PARTITIONED by the group — this never degenerates to
+    a global single-task sort (cf. tests/test_plans.py invariant).
+    """
+    from vector_spark.dataops.text import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / token_budget).alias("shard"),
+        (cum - F.col("n_tokens")).alias("start_offset"),
+    )

@@ -2513,6 +2513,158 @@ FROM events GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Corpus curation (dataops/curation.py): Gopher repetition signals,
+# benchmark decontamination, mixture sampling, token-budget shard packing
+# --------------------------------------------------------------------------
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dataops.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_chars, 1 AS n,
+         array_to_string(list_slice(words, gs.i, gs.i), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(words), 0))) AS i) gs
+  UNION ALL
+  SELECT doc_id, n_chars, 2 AS n,
+         array_to_string(list_slice(words, gs.i, gs.i + 1), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(words) - 1, 0))) AS i) gs
+  UNION ALL
+  SELECT doc_id, n_chars, 3 AS n,
+         array_to_string(list_slice(words, gs.i, gs.i + 2), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(words) - 2, 0))) AS i) gs
+),
+counted AS (
+  SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY ALL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, n
+    ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+  FROM counted
+),
+per AS (
+  SELECT doc_id, n_chars, n, SUM(cnt) AS total,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM counted GROUP BY 1, 2, 3
+),
+perdoc AS (
+  SELECT p.doc_id, p.n_chars, p.n,
+         round(CAST(t.cnt * length(t.gram) AS DOUBLE) / p.n_chars, 6)
+           AS top_frac,
+         round(CAST(p.dup AS DOUBLE) / p.total, 6) AS dup_frac
+  FROM per p JOIN ranked t ON t.doc_id = p.doc_id AND t.n = p.n AND t.rn = 1
+)
+SELECT doc_id, MAX(n_chars) AS n_chars,
+       MAX(CASE WHEN n = 1 THEN top_frac END) AS top1_frac,
+       MAX(CASE WHEN n = 1 THEN dup_frac END) AS dup1_frac,
+       MAX(CASE WHEN n = 2 THEN top_frac END) AS top2_frac,
+       MAX(CASE WHEN n = 2 THEN dup_frac END) AS dup2_frac,
+       MAX(CASE WHEN n = 3 THEN top_frac END) AS top3_frac,
+       MAX(CASE WHEN n = 3 THEN dup_frac END) AS dup3_frac
+FROM perdoc GROUP BY doc_id
+"""
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: training docs sharing any word 3-gram with the
+    held-out eval slice (doc_id % 100 == 99 — sf-independent). n=3 is
+    scaled to the synthetic corpus's short word-salad documents; real
+    pipelines use 8-13 (GPT-3 appendix C)."""
+    from vector_spark.dataops.curation import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 100 == 99
+    return contamination_check(
+        docs.where(~is_eval), docs.where(is_eval), n=3
+    )
+
+
+_ORACLE_CONTAMINATION = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(words, gs.i, gs.i + 2), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      1, greatest(len(words) - 2, 0))) AS i) gs
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 99),
+train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 100 <> 99)
+SELECT t.doc_id, COUNT(*) AS n_collisions
+FROM train t JOIN bench b USING (gram)
+GROUP BY t.doc_id
+"""
+
+
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling (downsample dominant
+    languages toward a target training mix)."""
+    from vector_spark.dataops.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        rates={"en": 0.5, "zh": 0.9, "es": 0.9, "de": 0.9, "fr": 0.9},
+        strata_col="lang",
+        id_col="doc_id",
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+_ORACLE_MIXTURE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 2147483648) <= CAST(
+  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 WHEN 'es' THEN 0.9
+            WHEN 'de' THEN 0.9 WHEN 'fr' THEN 0.9 ELSE 0.1 END
+  * 2147483648 AS BIGINT)
+"""
+
+
+def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dataops.curation import pack_shards
+
+    return pack_shards(
+        _t(spark, sf_dir, "documents"), token_budget=500, group_col="source"
+    )
+
+
+_ORACLE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST((c - n_tokens) // 500 AS BIGINT) AS shard,
+       CAST(c - n_tokens AS BIGINT) AS start_offset
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2976,6 +3128,18 @@ QUERIES: dict[str, QuerySpec] = {
     # Corpus vocabulary heavy hitters and C4-style quality pruning —
     # the vocabulary/filter steps of a pretraining-data pipeline, both
     # exactly oracle-checkable (top-k ties break on the term).
+    "docs_repetition": QuerySpec(
+        q_docs_repetition, _ORACLE_REPETITION,
+        "Gopher repetition signals: top/dup n-gram fractions"),
+    "docs_contamination": QuerySpec(
+        q_docs_contamination, _ORACLE_CONTAMINATION,
+        "benchmark decontamination n-gram scan"),
+    "docs_mixture_sample": QuerySpec(
+        q_docs_mixture_sample, _ORACLE_MIXTURE,
+        "deterministic per-language mixture sampling"),
+    "docs_pack_shards": QuerySpec(
+        q_docs_pack_shards, _ORACLE_PACK,
+        "token-budget shard packing, per-group parallel"),
     "docs_top_terms": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.dataops.text", fromlist=["top_terms"]
@@ -3233,6 +3397,8 @@ QUERIES: dict[str, QuerySpec] = {
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
+    "docs_repetition", "docs_contamination", "docs_mixture_sample",
+    "docs_pack_shards",
     "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q11_important_stock", "tpch_q12_late_lines",
