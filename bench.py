@@ -79,13 +79,15 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # two runs per query, keep the min: the first run pays codegen/JIT and
-    # absorbs host noise; min-of-2 measures the engine, not the neighbor
+    # three runs per query, keep the min: the first run pays codegen/JIT
+    # and absorbs host noise; min-of-3 measures the engine, not the
+    # neighbor (r2→r3 lesson: min-of-2 still recorded 2-4× cold/contended
+    # outliers on sub-second queries that a third run removes)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # forces full execution without collect transfer skew

@@ -1,0 +1,106 @@
+"""As-of (temporal) join: match each fact row to the most recent dimension
+row at-or-before its timestamp (direction="backward"), or the earliest
+at-or-after (direction="forward").
+
+The reference has no stream-stream join (SURVEY §2.2) — its closest shapes
+are the memory enrichment table (`src/enrichment_tables/memory/mod.rs`,
+"most recent writer wins at read time") and reduce-window lookback. As-of
+join is the batch-relational generalization the driver mandate names
+explicitly; Spark has no native ASOF JOIN, so this implements the classic
+scalable formulation:
+
+    tag both sides → union → one partitioned window per key →
+    last(dim columns, ignorenulls) → keep fact rows
+
+Why this beats the naive range-join: a range join (fact.ts BETWEEN dim.ts
+AND next_ts) explodes into O(fact × dim-per-key) candidate pairs before
+picking the max; the union+window form shuffles each input exactly once on
+the join key and does a single ordered pass per key — the same plan you
+would want at 100 TB (skew follows the key distribution, no
+cartesian-per-key blowup, AQE skew-split applies to the sort-exchange).
+
+Determinism contract: (on, ts_col) must be unique in `dim` (pre-aggregate
+duplicates upstream); at equal timestamps the dim row is visible to the
+fact row (inclusive match), matching DuckDB/pandas `merge_asof` semantics
+— the DuckDB ASOF JOIN oracle in plans/queries.py pins this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "",
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Left as-of join. Output = all fact columns + each non-key dim column
+    (suffixed) + ``asof_ts`` (the matched dim timestamp; null when no dim
+    row qualifies — a left join, like DuckDB ``ASOF LEFT JOIN``).
+
+    tolerance_sec: maximum fact-dim age; staler matches become null
+    (pandas merge_asof `tolerance`).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    dim_vals = [c for c in dim.columns if c not in keys and c != ts_col]
+
+    is_dim = "_is_dim"
+    dtag = dim.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias(is_dim),
+        F.col(ts_col).alias("_dim_ts"),
+        *[F.col(c).alias(f"_d_{c}") for c in dim_vals],
+    )
+    ftag = fact.withColumn(is_dim, F.lit(0))
+    u = ftag.unionByName(dtag, allowMissingColumns=True)
+
+    # At equal ts the dim row sorts first (backward: visible to the fact
+    # row) / after (forward) — the inclusive-match contract.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col(is_dim).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).desc(), F.col(is_dim).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    filled = u.select(
+        "*",
+        F.last("_dim_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_d_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in dim_vals
+        ],
+    )
+    out = filled.where(F.col(is_dim) == 0)
+
+    stale = F.lit(False)
+    if tolerance_sec is not None:
+        age = F.abs(
+            F.unix_timestamp(ts_col) - F.unix_timestamp("asof_ts")
+        )
+        stale = age > tolerance_sec
+    return out.select(
+        *fact.columns,
+        F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
+        *[
+            F.when(stale, F.lit(None))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in dim_vals
+        ],
+    )

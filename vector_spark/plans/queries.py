@@ -2664,11 +2664,137 @@ FROM cum
 """
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: enrich each event with the user's most recent signup
+    state at-or-before the event (operators/asof.py — union + one
+    partitioned window, no range explode). DuckDB's native ASOF LEFT JOIN
+    is the oracle, pinning the inclusive-equal-ts left-join contract."""
+    from vector_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    fact = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(fact, dim, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("signup_value", 6).alias("signup_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("age_sec"),
+    )
+
+
+_ORACLE_ASOF = """
+WITH dim AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+fact AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type <> 'signup'
+)
+SELECT f.event_id, f.user_id, f.event_type,
+       round(d.signup_value, 6) AS signup_value,
+       CAST(date_diff('second', d.ts, f.ts) AS BIGINT) AS age_sec
+FROM fact f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.ts
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for cardinality at scale: HyperLogLog++
+    (approx_count_distinct) next to the exact count, gated by a relative
+    error bound the oracle pins (same honest-approximation pattern as the
+    ANN recall gates). At 100 TB the HLL sketch is the only viable
+    distinct-count: it is mergeable, constant-memory per group, and
+    single-pass — the exact column here exists to prove the bound."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_bound"),
+    )
+
+
+_ORACLE_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile sketch path (approx_percentile, the
+    KLL/GK-style Spark sketch) gated against the exact percentile: emits
+    the exact values plus a boolean the oracle pins TRUE when the sketch
+    lands within 1% relative error. Complements ddsketch_quantiles (own
+    bucket algebra) and summary_quantiles (exact)."""
+    ev = _t(spark, sf_dir, "events")
+    # Gate on RANK error, the sketch's actual guarantee (±1/accuracy):
+    # the sketch returns a real element, the exact percentile interpolates
+    # — so a value-relative bound misfires at small n. The bracket
+    # [percentile(p-2%), percentile(p+2%)] contains every element whose
+    # rank is within ±2% of target, which ±0.01% sketch rank error
+    # comfortably satisfies at any n.
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.expr("percentile(value, 0.48)").alias("p50_lo"),
+        F.expr("percentile(value, 0.52)").alias("p50_hi"),
+        F.expr("percentile(value, 0.93)").alias("p95_lo"),
+        F.expr("percentile(value, 0.97)").alias("p95_hi"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_a"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_a"),
+    )
+    return g.select(
+        "event_type",
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p95_exact", 6).alias("p95_exact"),
+        (
+            F.col("p50_a").between(F.col("p50_lo"), F.col("p50_hi"))
+            & F.col("p95_a").between(F.col("p95_lo"), F.col("p95_hi"))
+        ).alias("within_bound"),
+    )
+
+
+_ORACLE_APPROX_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
+    "asof_join_enrich": QuerySpec(
+        q_asof_enrich, _ORACLE_ASOF,
+        "as-of temporal join vs DuckDB native ASOF JOIN"),
+    "approx_distinct_users": QuerySpec(
+        q_approx_distinct, _ORACLE_APPROX_DISTINCT,
+        "HLL++ cardinality sketch, error-bound oracle"),
+    "approx_quantiles": QuerySpec(
+        q_approx_quantiles, _ORACLE_APPROX_QUANTILES,
+        "mergeable quantile sketch, error-bound oracle"),
     "tpch_q1_pricing_summary": QuerySpec(q_tpch_q1, _ORACLE_Q1, "TPC-H Q1 shape: scan+agg"),
     "tpch_q3_top_orders": QuerySpec(q_tpch_q3, _ORACLE_Q3, "3-way join + top-k"),
     "tpch_q5_local_volume": QuerySpec(q_tpch_q5, _ORACLE_Q5, "6-way join + agg"),
@@ -3397,6 +3523,7 @@ QUERIES: dict[str, QuerySpec] = {
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
+    "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_repetition", "docs_contamination", "docs_mixture_sample",
     "docs_pack_shards",
     "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
