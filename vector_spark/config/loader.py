@@ -122,19 +122,57 @@ def interpolate_env(text: str, env: dict | None = None) -> str:
     return _ENV_RE.sub(repl, text)
 
 
-def load_topology(spark: SparkSession, path_or_yaml: str) -> Topology:
-    """Load a topology from a YAML file path or YAML string; `${VAR}`
-    forms interpolate from the environment before parsing."""
+def parse_config(path_or_text: str) -> dict:
+    """Parse a config from a file path or literal text. YAML, TOML, and
+    JSON are accepted (the reference's three config formats,
+    src/config/format.rs — format from the file extension, YAML for
+    literal text since YAML is a JSON superset). `${VAR}` forms
+    interpolate from the environment before parsing."""
     import os
 
     import yaml
 
-    if os.path.exists(path_or_yaml):
-        with open(path_or_yaml) as f:
+    fmt = "yaml"
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
             text = f.read()
+        ext = os.path.splitext(path_or_text)[1].lower()
+        fmt = {"": "yaml", ".yaml": "yaml", ".yml": "yaml",
+               ".toml": "toml", ".json": "yaml"}.get(ext, "yaml")
     else:
-        text = path_or_yaml
-    cfg = yaml.safe_load(interpolate_env(text))
+        text = path_or_text
+    text = interpolate_env(text)
+    if fmt == "toml":
+        import tomllib
+
+        return tomllib.loads(text)
+    return yaml.safe_load(text)
+
+
+def merge_configs(cfgs: list[dict]) -> dict:
+    """Merge component maps across config files (the reference's
+    multi-file/--config-dir loading, src/config/loading/mod.rs: each
+    file contributes components into one graph; a component name defined
+    twice is an error, same strictness)."""
+    out: dict = {"sources": {}, "transforms": {}, "sinks": {}}
+    for cfg in cfgs:
+        for section in ("sources", "transforms", "sinks"):
+            for name, comp in (cfg.get(section) or {}).items():
+                if any(name in out[s] for s in out):
+                    raise TopologyError(
+                        f"component {name!r} defined in more than one file"
+                    )
+                out[section][name] = comp
+    return out
+
+
+def load_topology(spark: SparkSession, path_or_yaml: str | list[str]) -> Topology:
+    """Load a topology from one or many YAML/TOML/JSON file paths (or one
+    literal YAML string); multiple files merge into one component graph."""
+    if isinstance(path_or_yaml, list):
+        cfg = merge_configs([parse_config(p) for p in path_or_yaml])
+    else:
+        cfg = parse_config(path_or_yaml)
     return build_topology(spark, cfg)
 
 
@@ -921,6 +959,7 @@ def start_streaming_sink(topo: Topology, name: str) -> Any:
         queries[name] = parquet_sink(
             df, cfg["path"], cfg["checkpoint"],
             int(cfg.get("trigger_secs", 1)),
+            available_now=cfg.get("trigger") == "available_now",
         )
     elif stype == "kafka":
         queries[name] = kafka_sink(

@@ -141,16 +141,31 @@ def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     )
 
 
-def parquet_sink(df: DataFrame, path: str, checkpoint: str, trigger_secs: int = 1):
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_secs: int = 1,
+    available_now: bool = False,
+):
     """File sink with checkpointed exactly-once delivery (the reference's
-    end-to-end-ack analog: offsets+commit log in the checkpoint)."""
-    return (
+    end-to-end-ack analog: offsets+commit log in the checkpoint).
+
+    available_now=True runs in incremental-batch mode (Trigger.
+    AvailableNow): process everything new since the last run, then stop.
+    This is the cron-batch ingest pattern at scale — each invocation picks
+    up exactly the unprocessed files recorded in the checkpoint, giving
+    exactly-once across scheduled runs without a resident streaming job."""
+    w = (
         df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_secs} seconds")
-        .start()
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_secs} seconds")
+    return w.start()
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:

@@ -27,9 +27,7 @@ reference documents for disk-buffer format changes.
 from __future__ import annotations
 
 import hashlib
-import os
 import threading
-import time
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable
 
@@ -39,20 +37,11 @@ from vector_spark.config.loader import (
     Topology,
     TopologyError,
     build_topology,
-    interpolate_env,
+    parse_config,
     start_streaming_sink,
 )
 
-
-def _parse(path_or_yaml: str) -> dict:
-    import yaml
-
-    if os.path.exists(path_or_yaml):
-        with open(path_or_yaml) as f:
-            text = f.read()
-    else:
-        text = path_or_yaml
-    return yaml.safe_load(interpolate_env(text))
+_parse = parse_config
 
 
 def upstream_closure(cfg: dict, name: str) -> set[str]:
