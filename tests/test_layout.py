@@ -118,3 +118,18 @@ def test_repartition_by_size(spark, tmp_path):
     assert n >= 2  # ~8 MB of parquet at 1 MB target must split
     tiny = repartition_by_size(spark.range(10).toDF("id"), target_mb=1024)
     assert tiny.rdd.getNumPartitions() == 1
+
+
+def test_compact_files(spark, tmp_path):
+    from vector_spark.layout import compact_files
+
+    p = str(tmp_path / "frag")
+    # 64 tiny files (the streaming-sink fragmentation shape)
+    spark.range(10000).repartition(64).write.parquet(p)
+    report = compact_files(spark, p, target_mb=256)
+    assert report["files_before"] >= 64
+    assert report["files_after"] < 8
+    assert report["rows"] == 10000
+    df = spark.read.parquet(p)
+    assert df.count() == 10000
+    assert df.agg({"id": "sum"}).first()[0] == 10000 * 9999 // 2

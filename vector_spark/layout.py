@@ -100,6 +100,53 @@ def salted_join(
     return out.drop("_salt")
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite a directory of small files into ~target_mb files (the
+    small-files problem: streaming sinks and per-partition writers leave
+    thousands of KB-scale files that poison later scan planning — at 100 TB
+    a listing of 10M files costs more than the read). Two-phase for crash
+    safety: write compacted output to a sibling temp dir, then swap dirs —
+    a failure before the swap leaves the original untouched.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    def _data_files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if not f.startswith(("_", "."))
+            ]
+        return out
+
+    before = _data_files(path)
+    df = spark.read.format(fmt).load(path)
+    rows = df.count()
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    repartition_by_size(df, target_mb).write.format(fmt).mode(
+        "overwrite"
+    ).save(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "rows": rows,
+    }
+
+
 def repartition_by_size(
     df: DataFrame,
     target_mb: int = 256,
