@@ -536,98 +536,77 @@ def pq_topk(
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    # The codebook travels as ONE broadcast row (m × n_codes × dsub
-    # doubles), NOT as thousands of literal expressions: the literal
-    # form cost ~44 s of py4j plan construction + analysis at m=8,
-    # n_codes=64 (measured, r3) while execution was 2 s. All centroid
-    # math happens in higher-order functions over the codebook column —
-    # the plan size is independent of codebook size.
-    cb = [[[float(x) for x in c] for c in book] for book in books]
-    cbn = [[float(sum(x * x for x in c)) / 2.0 for c in book] for book in books]
-    cb_df = corpus.sparkSession.createDataFrame(
-        [(cb, cbn)],
-        "cb array<array<array<double>>>, cbn array<array<double>>",
+    # Encode + ADC scoring run as ONE Arrow-batched numpy pass
+    # (mapInPandas): per corpus batch, m argmin matmuls against the
+    # codebooks give the codes, m table-gathers give every query's ADC
+    # score, and a per-batch partial top-(k·refine) bounds what leaves
+    # the executor — the shuffle carries |partitions|·|queries|·k·refine
+    # candidate rows, never the corpus. Two earlier forms were measured
+    # and rejected (r3): codebooks as literal expressions (~44 s of py4j
+    # plan construction at m=8, n_codes=64) and codebooks as a broadcast
+    # row with higher-order-function encode (plan-size independent, but
+    # m×n_codes interpreted aggregate loops per row ≈ 2.5 s at sf0.1
+    # where this pass is ~0.2 s). The query matrix collects once —
+    # queries are the small side by contract (same bound as
+    # brute_force_topk_np). In production the codes are computed once at
+    # ingest and stored; this encodes inline because the gate data has no
+    # code column.
+    import pandas as pd
+
+    B = np.stack([np.asarray(b, dtype=np.float64) for b in books])
+    half_cn = 0.5 * (B**2).sum(axis=2)  # (m, n_codes)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), vd.alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.qv for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # ADC lookup tables: T[j][q][c] = q̂_j · centroid_c
+    T = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ B[j].T for j in range(m)]
     )
+    n_cand = k * max(refine, 1)
 
-    def _dotc(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def staged(df: DataFrame, out_id: str) -> DataFrame:
-        s = df.select(F.col(id_col).alias(out_id), vd.alias("_v"))
-        # encode is compute-bound (m×n_codes dots per row): spread it
-        # over all cores even when the input is one parquet row group
-        # (the bench layout); at scale many files already parallelize
-        # and this narrow 2-col repartition stays negligible vs the work
-        s = s.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        s = s.withColumn("_n", F.greatest(_norm(F.col("_v")), F.lit(1e-12)))
-        return s.join(F.broadcast(cb_df))
-
-    def code_for(j: int) -> Column:
-        # argmin_c ‖v_j/‖v‖ − c‖² without dividing elements: compare
-        # ‖v‖·‖c‖²/2 − v_j·c (multiply-through by the positive norm);
-        # first-wins tie-break = smallest code id, as array_sort gave
-        subv = F.slice(F.col("_v"), j * dsub + 1, dsub)
-        book_j = F.element_at(F.col("cb"), j + 1)
-        bn_j = F.element_at(F.col("cbn"), j + 1)
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(0).alias("cid")
-            ),
-            lambda acc, ci: (
-                lambda d: F.when(
-                    d < acc["d"],
-                    F.struct(d.alias("d"), ci.alias("cid")),
-                ).otherwise(acc)
-            )(
-                F.col("_n") * F.element_at(bn_j, ci + 1)
-                - _dotc(subv, F.element_at(book_j, ci + 1))
-            ),
-        )["cid"]
-
-    # corpus → m-code array (the ONLY thing ranking reads)
-    enc = staged(corpus, "neighbor_id").select(
-        "neighbor_id",
-        F.array(*[code_for(j) for j in range(m)]).alias("_codes"),
-    )
-    # queries → per-subspace ADC tables: table[j][c] = q_j · centroid_c
-    # = (v_j · c) / ‖v‖, built by transforming the codebook column itself
-    tables = F.transform(
-        F.col("cb"),
-        lambda book, j: F.transform(
-            book,
-            lambda c: _dotc(
-                F.slice(F.col("_v"), j * F.lit(dsub) + 1, dsub), c
+    def encode_score(batches):
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
-            / F.col("_n"),
-        ),
-    )
-    qt = staged(queries, "query_id").select(
-        "query_id", tables.alias("_qt")
-    )
-    score = F.round(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + F.element_at(F.element_at(F.col("_qt"), j + 1),
-                           F.element_at(F.col("_codes"), j + 1) + 1),
-        ),
-        round_decimals,
-    )
+            S = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                sub = Vn[:, j * dsub : (j + 1) * dsub]
+                # argmin_c ‖v̂_j − c‖² == argmin_c ‖c‖²/2 − v̂_j·c;
+                # np.argmin first-wins == smallest code id on ties
+                codes = np.argmin(half_cn[j][None, :] - sub @ B[j].T, axis=1)
+                S += T[j][:, codes]
+            n_take = min(n_cand + 1, S.shape[1])  # +1 covers self-match
+            part = np.argpartition(-S, n_take - 1, axis=1)[:, :n_take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_take),
+                    "neighbor_id": ids[part.ravel()],
+                    "adc_score": np.take_along_axis(S, part, axis=1).ravel(),
+                }
+            )
+
+    cbase = corpus.select(F.col(id_col).alias("_id"), vd.alias("_v"))
+    cbase = cbase.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )  # encode is compute-bound; spread it even off one parquet row group
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
     )
     candidates = (
-        enc.crossJoin(F.broadcast(qt))
+        cbase.mapInPandas(
+            encode_score,
+            schema="query_id long, neighbor_id long, adc_score double",
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("adc_score"))
+        .withColumn("adc_score", F.round("adc_score", round_decimals))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k * max(refine, 1))
+        .where(F.col("rank") <= n_cand)
     )
     if refine <= 1:
         return candidates

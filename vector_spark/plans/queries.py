@@ -49,7 +49,10 @@ from vector_spark.dataops.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from vector_spark.dataops.similarity import brute_force_topk, lsh_topk
+from vector_spark.dataops.similarity import (
+    brute_force_topk_np as _bf_np,
+    lsh_topk,
+)
 from vector_spark.dataops.text import language_id, text_stats, token_count, fingerprint
 
 
@@ -975,7 +978,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, vec_col="embedding", id_col="vec_id", dim=64,
         n_tables=24, n_planes=4,
     )
-    exact = brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    exact = _bf_np(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
     return recall_report(approx, exact, k=5, bound=0.75)
 
 
@@ -1001,7 +1004,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, vec_col="embedding", id_col="vec_id",
         n_centroids=16, n_probe=12,
     )
-    exact = brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    exact = _bf_np(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
     return recall_report(approx, exact, k=5, bound=0.5)
 
 
@@ -1021,7 +1024,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, vec_col="embedding", id_col="vec_id",
         m=8, n_codes=64, refine=10,
     )
-    exact = brute_force_topk(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
+    exact = _bf_np(emb, queries, k=5, vec_col="embedding", id_col="vec_id")
     return recall_report(approx, exact, k=5, bound=0.5)
 
 
