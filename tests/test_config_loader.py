@@ -427,3 +427,52 @@ sinks:
     df = spark.read.parquet(str(out))
     assert df.count() == 8
     assert sorted(r["n"] for r in df.collect()) == list(range(8))
+
+
+def test_reference_formats_corpus_json_yaml_equivalent(spark, tmp_path):
+    """tests/behavior/formats/simple.{json,yaml}: the same topology+test
+    in JSON and YAML parses and passes identically through the vector-test
+    harness (nested-path remap through the format-agnostic front end)."""
+    from vector_spark.config.loader import parse_config
+    from vector_spark.config.unit_test import run_unit_tests
+
+    # verbatim corpus content: nested-path remap + VRL condition
+    src = ".a.b = 123\n.x.y = 456\n.x.z = 789\n"
+    cond = ".a.b == 123 && .x.y == 456 && .x.z == 789"
+    body = {
+        "transforms": {
+            "add_fields_nested": {
+                "inputs": [],
+                "type": "remap",
+                "source": src,
+            }
+        },
+        "tests": [
+            {
+                "name": "add_fields_nested",
+                "input": {
+                    "insert_at": "add_fields_nested",
+                    "type": "raw",
+                    "value": "",
+                },
+                "outputs": [
+                    {
+                        "extract_from": "add_fields_nested",
+                        "conditions": [{"type": "vrl", "source": cond}],
+                    }
+                ],
+            }
+        ],
+    }
+    import json as _json
+
+    import yaml as _yaml
+
+    jp = tmp_path / "simple.json"
+    jp.write_text(_json.dumps(body))
+    yp = tmp_path / "simple.yaml"
+    yp.write_text(_yaml.safe_dump(body))
+    for p in (jp, yp):
+        cfg = parse_config(str(p))
+        results = run_unit_tests(spark, cfg)
+        assert [r.passed for r in results] == [True], (p, results[0].failures)

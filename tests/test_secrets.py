@@ -1,0 +1,133 @@
+"""SECRET[backend.key] config interpolation (src/secrets/) — the
+reference's tests/behavior/config/secret.yaml scenario ported: test, file,
+directory (with nested paths + whitespace trim), and exec backends, all
+feeding a remap transform through the normal loader path."""
+
+from __future__ import annotations
+
+import json
+import stat
+import sys
+
+import pytest
+
+from vector_spark.config.secrets import SecretError, resolve_secrets
+
+
+def _backends(tmp_path):
+    (tmp_path / "file-secrets.json").write_text(
+        json.dumps({"ghi": "ghi.retrieved"})
+    )
+    d = tmp_path / "dir-secrets"
+    (d / "nested").mkdir(parents=True)
+    (d / "jkl").write_text("jkl.retrieved\n")
+    (d / "nested" / "username").write_text("Gandalf\n")
+    (d / "nested" / "password").write_text("YouShallNotPass")
+    backend = tmp_path / "exec-backend.py"
+    backend.write_text(
+        "#!/usr/bin/env python3\n"
+        "import json, sys\n"
+        "q = json.load(sys.stdin)\n"
+        "assert q['version'] == '1.0'\n"
+        "print(json.dumps({k: {'value': k + '.retrieved', 'error': None}\n"
+        "                  for k in q['secrets']}))\n"
+    )
+    backend.chmod(backend.stat().st_mode | stat.S_IEXEC)
+    return {
+        "test_backend": {"type": "test", "replacement": "this_is_a_secret_value"},
+        "exec_backend": {"type": "exec", "command": [sys.executable, str(backend)]},
+        "file_backend": {"type": "file", "path": str(tmp_path / "file-secrets.json")},
+        "directory_backend": {
+            "type": "directory",
+            "path": str(d),
+            "remove_trailing_whitespace": True,
+        },
+    }
+
+
+def test_reference_secret_yaml_scenario(spark, tmp_path):
+    from vector_spark.config.loader import build_topology
+
+    cfg = {
+        "secret": _backends(tmp_path),
+        "sources": {"ev": {"type": "values", "rows": [{"message": ""}]}},
+        "transforms": {
+            "add_field_from_secret": {
+                "type": "remap",
+                "inputs": ["ev"],
+                "source": (
+                    '.foobar = "SECRET[test_backend.abc]"\n'
+                    '.foobarbaz = "SECRET[exec_backend.def]"\n'
+                    '.foobarbazqux = "SECRET[file_backend.ghi]"\n'
+                    '.foobarbazquxquux = "SECRET[directory_backend.jkl]"\n'
+                    '.nested_path_username = "SECRET[directory_backend.nested/username]"\n'
+                    '.nested_path_password = "SECRET[directory_backend.nested/password]"\n'
+                ),
+            }
+        },
+    }
+    topo = build_topology(spark, resolve_secrets(cfg))
+    row = topo.output("add_field_from_secret").head().asDict()
+    assert row["foobar"] == "this_is_a_secret_value"
+    assert row["foobarbaz"] == "def.retrieved"
+    assert row["foobarbazqux"] == "ghi.retrieved"
+    assert row["foobarbazquxquux"] == "jkl.retrieved"
+    assert row["nested_path_username"] == "Gandalf"
+    assert row["nested_path_password"] == "YouShallNotPass"
+
+
+def test_loader_resolves_secrets_from_file(spark, tmp_path):
+    from vector_spark.config.loader import load_topology
+
+    p = tmp_path / "topo.yaml"
+    p.write_text(
+        """
+secret:
+  t: {type: test, replacement: sekrit}
+sources:
+  ev: {type: values, rows: [{message: hi}]}
+transforms:
+  tag:
+    type: remap
+    inputs: [ev]
+    assign: {token: "'SECRET[t.any]'"}
+"""
+    )
+    topo = load_topology(spark, str(p))
+    assert topo.output("tag").head()["token"] == "sekrit"
+
+
+def test_secret_errors(tmp_path):
+    with pytest.raises(SecretError, match="unknown secret backend 'nope'"):
+        resolve_secrets(
+            {"secret": {}, "sinks": {"s": {"url": "SECRET[nope.k]"}}}
+        )
+    (tmp_path / "empty.json").write_text("{}")
+    with pytest.raises(SecretError, match="missing secret keys"):
+        resolve_secrets(
+            {
+                "secret": {
+                    "f": {"type": "file", "path": str(tmp_path / "empty.json")}
+                },
+                "sinks": {"s": {"url": "SECRET[f.k]"}},
+            }
+        )
+    # directory traversal is rejected
+    d = tmp_path / "dir"
+    d.mkdir()
+    with pytest.raises(SecretError, match="escapes the directory"):
+        resolve_secrets(
+            {
+                "secret": {"d": {"type": "directory", "path": str(d)}},
+                "sinks": {"s": {"url": "SECRET[d.../outside]"}},
+            }
+        )
+
+
+def test_secret_section_stripped_and_noop_without_refs():
+    cfg = {"secret": {"t": {"type": "test", "replacement": "x"}},
+           "sources": {"ev": {"type": "values", "rows": []}}}
+    out = resolve_secrets(cfg)
+    assert "secret" not in out
+    plain = {"sources": {"ev": {"type": "values", "rows": []}}}
+    assert resolve_secrets(plain) is plain

@@ -145,8 +145,14 @@ def parse_config(path_or_text: str) -> dict:
     if fmt == "toml":
         import tomllib
 
-        return tomllib.loads(text)
-    return yaml.safe_load(text)
+        cfg = tomllib.loads(text)
+    else:
+        cfg = yaml.safe_load(text)
+    # SECRET[backend.key] placeholders resolve after env interpolation,
+    # before the topology builds (src/secrets/mod.rs lifecycle)
+    from vector_spark.config.secrets import resolve_secrets
+
+    return resolve_secrets(cfg)
 
 
 def merge_configs(cfgs: list[dict]) -> dict:
@@ -492,7 +498,11 @@ def _condition(cond):
             from vector_spark.functions.search import datadog_search
 
             return datadog_search(src, cond.get("default_field", "message"))
-        if ctype in ("sql", "vrl"):
+        if ctype == "vrl":
+            from vector_spark.functions.vrl_compiler import vrl_condition
+
+            return vrl_condition(src)
+        if ctype == "sql":
             return F.expr(src)
         raise TopologyError(f"unknown condition type {ctype!r}")
     return cond

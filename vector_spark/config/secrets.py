@@ -1,0 +1,136 @@
+"""Config secrets interpolation: ``SECRET[backend.key]`` placeholders.
+
+Reference: `src/secrets/mod.rs` — a `secret:` section declares named
+backends; every string in the rest of the config may reference
+``SECRET[backend.key]``, resolved at load time (after env interpolation,
+before the topology builds) and the `secret:` section never reaches the
+built topology. Backends mirrored here (src/secrets/{test,exec,file,
+directory}.rs):
+
+- ``test``      — returns the configured ``replacement`` for any key.
+- ``exec``      — runs a command; the query ``{"version": "1.0",
+  "secrets": [keys...]}`` goes to its stdin, the reply maps each key to
+  ``{"value": ..., "error": ...}`` (the reference's documented backend
+  protocol).
+- ``file``      — JSON object file, key → secret.
+- ``directory`` — one file per key (nested paths allowed);
+  ``remove_trailing_whitespace`` trims.
+
+Unknown backends, missing keys, and per-key errors raise — a config that
+references an unresolvable secret must not build, same strictness as the
+reference. aws_secrets_manager is a documented non-goal (live service).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+
+_SECRET_RE = re.compile(r"SECRET\[([A-Za-z0-9_]+)\.([^\]]+)\]")
+
+
+class SecretError(ValueError):
+    pass
+
+
+def _collect_refs(node, refs: set[tuple[str, str]]) -> None:
+    if isinstance(node, str):
+        for m in _SECRET_RE.finditer(node):
+            refs.add((m.group(1), m.group(2)))
+    elif isinstance(node, dict):
+        for v in node.values():
+            _collect_refs(v, refs)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _collect_refs(v, refs)
+
+
+def _resolve_backend(name: str, bcfg: dict, keys: list[str]) -> dict[str, str]:
+    btype = bcfg.get("type")
+    if btype == "test":
+        return {k: bcfg["replacement"] for k in keys}
+    if btype == "file":
+        with open(bcfg["path"]) as f:
+            data = json.load(f)
+        missing = [k for k in keys if k not in data]
+        if missing:
+            raise SecretError(f"{name}: missing secret keys {missing}")
+        return {k: data[k] for k in keys}
+    if btype == "directory":
+        import os
+
+        out = {}
+        base = bcfg["path"]
+        for k in keys:
+            p = os.path.normpath(os.path.join(base, k))
+            if not p.startswith(os.path.normpath(base)):
+                raise SecretError(f"{name}: key {k!r} escapes the directory")
+            try:
+                with open(p) as f:
+                    v = f.read()
+            except OSError as e:
+                raise SecretError(f"{name}: cannot read key {k!r}: {e}")
+            if bcfg.get("remove_trailing_whitespace"):
+                v = v.rstrip()
+            out[k] = v
+        return out
+    if btype == "exec":
+        query = json.dumps({"version": "1.0", "secrets": sorted(keys)})
+        proc = subprocess.run(
+            bcfg["command"],
+            input=query.encode(),
+            capture_output=True,
+            timeout=float(bcfg.get("timeout", 5)),
+        )
+        if proc.returncode != 0:
+            raise SecretError(
+                f"{name}: backend command failed: {proc.stderr.decode()[:200]}"
+            )
+        reply = json.loads(proc.stdout.decode())
+        out = {}
+        for k in keys:
+            ent = reply.get(k)
+            if not ent or ent.get("error") or ent.get("value") is None:
+                raise SecretError(
+                    f"{name}: backend returned no value for {k!r}: "
+                    f"{(ent or {}).get('error')}"
+                )
+            out[k] = ent["value"]
+        return out
+    raise SecretError(f"{name}: unknown secret backend type {btype!r}")
+
+
+def resolve_secrets(cfg: dict) -> dict:
+    """Resolve every SECRET[backend.key] in `cfg` and strip the `secret:`
+    section. Returns a new config dict; no-op (same object) when the
+    config has no secret references."""
+    backends = cfg.get("secret") or {}
+    refs: set[tuple[str, str]] = set()
+    _collect_refs({k: v for k, v in cfg.items() if k != "secret"}, refs)
+    if not refs:
+        return {k: v for k, v in cfg.items() if k != "secret"} if backends else cfg
+
+    by_backend: dict[str, list[str]] = {}
+    for b, k in refs:
+        by_backend.setdefault(b, []).append(k)
+    values: dict[tuple[str, str], str] = {}
+    for b, keys in sorted(by_backend.items()):
+        if b not in backends:
+            raise SecretError(f"unknown secret backend {b!r}")
+        got = _resolve_backend(b, backends[b], sorted(keys))
+        for k, v in got.items():
+            values[(b, k)] = v
+
+    def sub(node):
+        if isinstance(node, str):
+            return _SECRET_RE.sub(
+                lambda m: values[(m.group(1), m.group(2))], node
+            )
+        if isinstance(node, dict):
+            return {k: sub(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [sub(v) for v in node]
+        return node
+
+    return {k: sub(v) for k, v in cfg.items() if k != "secret"}

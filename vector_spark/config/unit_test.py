@@ -58,12 +58,36 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
             "transforms": cfg.get("transforms", {}),
             "sinks": cfg.get("sinks", {}) or {},
         }
-        for inp in t.get("inputs", []):
+        raw_inputs = list(t.get("inputs", []))
+        if t.get("input"):  # reference's singular form (unit_test/mod.rs)
+            raw_inputs.append(t["input"])
+        for inp in raw_inputs:
             at = inp["insert_at"]
-            if at not in test_cfg["sources"]:
-                failures.append(f"insert_at {at!r}: no such source")
-                continue
-            test_cfg["sources"][at] = {"type": "values", "rows": inp["rows"]}
+            rows = inp.get("rows")
+            if rows is None:
+                # reference input kinds: raw (value → .message), log
+                # (log_fields → event fields)
+                ityp = inp.get("type", "raw")
+                if ityp == "raw":
+                    rows = [{"message": inp.get("value", "")}]
+                elif ityp == "log":
+                    rows = [dict(inp.get("log_fields") or {"message": ""})]
+                else:
+                    failures.append(f"insert_at {at!r}: unsupported input type {ityp!r}")
+                    continue
+            if at in test_cfg["transforms"]:
+                # insert at a TRANSFORM: the rows become its sole input
+                # (the reference feeds the transform directly)
+                syn = f"__test_input_{at}"
+                test_cfg["sources"][syn] = {"type": "values", "rows": rows}
+                test_cfg["transforms"] = dict(test_cfg["transforms"])
+                test_cfg["transforms"][at] = {
+                    **test_cfg["transforms"][at], "inputs": [syn]
+                }
+            elif at in test_cfg["sources"]:
+                test_cfg["sources"][at] = {"type": "values", "rows": rows}
+            else:
+                failures.append(f"insert_at {at!r}: no such component")
         if failures:
             results.append(TestResult(t.get("name", "?"), False, failures))
             continue

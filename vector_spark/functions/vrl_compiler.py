@@ -686,6 +686,31 @@ def compile_vrl(source: str) -> list[Assignment]:
     return assignments
 
 
+def vrl_condition(source: str):
+    """Compile a VRL condition (src/conditions/vrl.rs) to a boolean
+    Column. Each non-empty line must be a boolean expression; lines AND
+    together (the reference's corpus conditions list one check per line).
+    A line that is not valid VRL falls back to SQL expr — the loader
+    historically accepted SQL strings under `type: vrl|sql` and existing
+    configs keep working."""
+    cols = []
+    for line in source.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        try:
+            (a,) = compile_vrl(f".__vs_cond = ({line})")
+            cols.append(a.expr.cast("boolean"))
+        except Exception:
+            cols.append(F.expr(line).cast("boolean"))
+    if not cols:
+        return F.lit(True)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
 def _resolve_enrichment(df, requests: list[dict], tables: dict):
     """One broadcast join per lookup: the table collapses to
     (key columns, row-struct) — or (keys, array<struct>) for the multi
