@@ -108,3 +108,15 @@ def test_pack_shards_window_is_partitioned(spark):
     # never a global single-task sort
     assert "partitionBy" not in plan  # physical plan spells it differently
     assert "Window" in plan and "source" in plan.split("Window", 1)[1][:400]
+
+
+def test_bpe_pair_counts_values(spark):
+    from vector_spark.dataops.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba")], "doc_id long, text string"
+    )
+    out = {(r["left"], r["right"]): r["pair_count"]
+           for r in bpe_pair_counts(docs, top_n=10).collect()}
+    # word freqs: aba=2, ab=1 → pairs: (a,b): 2*1 + 1*1 = 3; (b,a): 2*1 = 2
+    assert out == {("a", "b"): 3, ("b", "a"): 2}

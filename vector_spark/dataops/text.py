@@ -223,3 +223,49 @@ def quality_prune(
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """The core BPE-training step: corpus-wide frequencies of adjacent
+    symbol pairs (here the first merge round: character bigrams inside
+    words, weighted by word frequency). Returns the top_n pairs as
+    (left, right, pair_count), count desc / pair asc.
+
+    Scale shape (100 TB): the corpus first collapses to the DISTINCT-word
+    frequency table (the standard pre-tokenization trick — vocabulary
+    grows ~log of corpus size, so the explode that follows runs on
+    millions of rows, not trillions); pair counts then weight by word
+    frequency. Two shuffles (word, pair), both skew-free high-cardinality
+    keys with map-side partial aggregation; top_n is a parallel partial
+    top-k (TakeOrderedAndProject)."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("left"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    ).select("freq", F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+    g = pairs.groupBy("left", "right").agg(F.sum("freq").alias("pair_count"))
+    return g.orderBy(
+        F.col("pair_count").desc(), F.col("left"), F.col("right")
+    ).limit(top_n)

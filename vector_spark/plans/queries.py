@@ -2784,6 +2784,29 @@ FROM events GROUP BY event_type
 """
 
 
+def q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.dataops.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+_ORACLE_BPE = r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT freq, substr(w, gs.i, 1) AS "left", substr(w, gs.i + 1, 1) AS "right"
+  FROM words, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) gs
+)
+SELECT "left", "right", CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY "left", "right"
+ORDER BY pair_count DESC, "left", "right" LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2798,6 +2821,9 @@ QUERIES: dict[str, QuerySpec] = {
     "approx_quantiles": QuerySpec(
         q_approx_quantiles, _ORACLE_APPROX_QUANTILES,
         "mergeable quantile sketch, error-bound oracle"),
+    "docs_bpe_pairs": QuerySpec(
+        q_docs_bpe_pairs, _ORACLE_BPE,
+        "BPE merge-round pair counts over the distinct-word table"),
     "tpch_q1_pricing_summary": QuerySpec(q_tpch_q1, _ORACLE_Q1, "TPC-H Q1 shape: scan+agg"),
     "tpch_q3_top_orders": QuerySpec(q_tpch_q3, _ORACLE_Q3, "3-way join + top-k"),
     "tpch_q5_local_volume": QuerySpec(q_tpch_q5, _ORACLE_Q5, "6-way join + agg"),
@@ -3527,6 +3553,7 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
+    "docs_bpe_pairs",
     "docs_repetition", "docs_contamination", "docs_mixture_sample",
     "docs_pack_shards",
     "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
