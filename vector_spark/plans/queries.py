@@ -2807,6 +2807,36 @@ ORDER BY pair_count DESC, "left", "right" LIMIT 50
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup (SURVEY §2.7: no grouping sets in the reference;
+    free in Spark): per (event_type, user bucket), per event_type, and
+    grand total in ONE pass — Spark expands the grouping sets before a
+    single hash aggregate, no per-level rescan. Exact money math in cents."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            _cents(F.col("value")).alias("vc"),
+        )
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sum_cents"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, user_id % 10)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2824,6 +2854,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_bpe_pairs": QuerySpec(
         q_docs_bpe_pairs, _ORACLE_BPE,
         "BPE merge-round pair counts over the distinct-word table"),
+    "events_rollup": QuerySpec(
+        q_events_rollup, _ORACLE_ROLLUP,
+        "grouping-sets rollup, one-pass hash aggregate"),
     "tpch_q1_pricing_summary": QuerySpec(q_tpch_q1, _ORACLE_Q1, "TPC-H Q1 shape: scan+agg"),
     "tpch_q3_top_orders": QuerySpec(q_tpch_q3, _ORACLE_Q3, "3-way join + top-k"),
     "tpch_q5_local_volume": QuerySpec(q_tpch_q5, _ORACLE_Q5, "6-way join + agg"),
@@ -3553,7 +3586,7 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = [
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
-    "docs_bpe_pairs",
+    "docs_bpe_pairs", "events_rollup",
     "docs_repetition", "docs_contamination", "docs_mixture_sample",
     "docs_pack_shards",
     "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
