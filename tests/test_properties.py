@@ -174,3 +174,117 @@ def test_shannon_entropy_matches_python(spark, text):
         .head()["v"]
     )
     assert got == pytest.approx(want, abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # fact: (key, ts_offset_sec)
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # dim: (key, ts_offset_sec, state)
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 99)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, fact_rows, dim_rows):
+    """Differential oracle: asof_join == pandas.merge_asof (backward,
+    inclusive) on random keyed time series — an independent reference
+    implementation, like the reference's proptest strategy."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from vector_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    # merge_asof requires unique (key, ts) on the right side — same
+    # determinism contract asof_join documents
+    seen = set()
+    dim_uniq = []
+    for k, t, s in dim_rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            dim_uniq.append((k, t, s))
+    fact = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=t))
+            for i, (k, t) in enumerate(fact_rows)
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), s) for k, t, s in dim_uniq],
+        "k long, ts timestamp, state long",
+    ) if dim_uniq else spark.createDataFrame([], "k long, ts timestamp, state long")
+
+    got = {
+        r["fid"]: r["state"]
+        for r in asof_join(fact, dim, on="k").collect()
+    }
+
+    fpd = pd.DataFrame(
+        [(i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(fact_rows)],
+        columns=["fid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    dpd = pd.DataFrame(
+        [(k, base + dt.timedelta(seconds=t), s) for k, t, s in dim_uniq],
+        columns=["k", "ts", "state"],
+    ).sort_values("ts", kind="stable")
+    if len(dpd):
+        merged = pd.merge_asof(
+            fpd, dpd, on="ts", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.fid): (None if pd.isna(r.state) else int(r.state))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(r.fid): None for r in fpd.itertuples()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Differential oracle: distributed label propagation == a sequential
+    union-find on random graphs."""
+    from vector_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # label propagation converges to the MIN id per component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    want_min = {x: comp_min[find(x)] for x in parent}
+    assert got == want_min
