@@ -335,8 +335,22 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             "seq", "ts", msg.alias("message"), F.lit("demo").alias("source_type")
         )
     if stype == "values":
-        # inline fixture rows (the `vector test` insert_at analog)
-        return spark.createDataFrame(cfg["rows"])
+        # inline fixture rows (the `vector test` insert_at analog).
+        # Rows containing nested objects go through JSON inference so
+        # they become STRUCTS (VRL nested-path access) — createDataFrame
+        # would infer dicts as maps, which `.c.c` paths cannot address.
+        rows = cfg["rows"]
+        if any(
+            isinstance(v, (dict, list)) for r in rows for v in r.values()
+        ):
+            import json as _json
+
+            return spark.read.json(
+                spark.sparkContext.parallelize(
+                    [_json.dumps(r) for r in rows]
+                )
+            )
+        return spark.createDataFrame(rows)
     # streaming sources: same topology YAML, streaming DataFrames out —
     # every downstream operator builder is stream-transparent (pure
     # Column programs); only stateful ops need the streaming variants.
@@ -515,7 +529,7 @@ def _condition_col(cond):
 
 
 def _build_transform(
-    name: str, cfg: dict, df: DataFrame
+    name: str, cfg: dict, df: DataFrame, enrich_tables: dict | None = None
 ) -> dict[str, DataFrame]:
     """Build one transform; returns {output_ref: DataFrame} (default output
     under `name`, named outputs under `name.out`)."""
@@ -523,6 +537,10 @@ def _build_transform(
     if ttype == "filter":
         return {name: filter_op(df, _condition(cfg["condition"]))}
     if ttype == "remap":
+        if cfg.get("file") and not cfg.get("source"):
+            # program from a .vrl file (remap.rs `file` option)
+            with open(cfg["file"]) as fh:
+                cfg = {**cfg, "source": fh.read()}
         if cfg.get("source"):
             # VRL program text (the reference's primary remap form)
             from vector_spark.functions.vrl_compiler import vrl_remap
@@ -530,6 +548,7 @@ def _build_transform(
             outs = vrl_remap(
                 df,
                 cfg["source"],
+                enrichment_tables=enrich_tables,
                 drop_on_error=cfg.get("drop_on_error", False),
                 reroute_dropped=cfg.get("reroute_dropped", False),
             )
@@ -727,9 +746,34 @@ def _build_transform(
     raise TopologyError(f"{name}: unknown transform type {ttype!r}")
 
 
+def _load_enrichment_tables(spark: SparkSession, cfg: dict) -> dict:
+    """`enrichment_tables:` section (src/enrichment_tables/file.rs): file
+    tables load once and register for VRL get/find_enrichment_table_*
+    lookups (each compiles to a broadcast join)."""
+    out: dict = {}
+    for name, tcfg in (cfg.get("enrichment_tables") or {}).items():
+        if tcfg.get("type") != "file":
+            raise TopologyError(
+                f"enrichment table {name!r}: only 'file' tables are "
+                f"supported (mmdb loads via functions/mmdb.py)"
+            )
+        fcfg = tcfg.get("file") or {}
+        enc = (fcfg.get("encoding") or {}).get("type", "csv")
+        reader = spark.read.format(enc)
+        if enc == "csv":
+            reader = reader.option("header", "true")
+        df = reader.load(fcfg["path"])
+        for col, typ in (tcfg.get("schema") or {}).items():
+            typ = {"integer": "long"}.get(typ, typ)
+            df = df.withColumn(col, F.col(col).cast(typ))
+        out[name] = df
+    return out
+
+
 def build_topology(spark: SparkSession, cfg: dict) -> Topology:
     sources, transforms, sinks = _validate(cfg)
     topo = Topology(sources, transforms, sinks)
+    enrich_tables = _load_enrichment_tables(spark, cfg)
 
     for name, scfg in sources.items():
         topo.outputs[name] = _build_source(spark, name, scfg)
@@ -746,7 +790,9 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
             ):
                 cfg_t = pending.pop(name)
                 df = _inputs_df(topo.outputs, cfg_t, name)
-                topo.outputs.update(_build_transform(name, cfg_t, df))
+                topo.outputs.update(
+                    _build_transform(name, cfg_t, df, enrich_tables)
+                )
                 progressed = True
         if not progressed:  # pragma: no cover — cycle check makes this unreachable
             raise TopologyError(f"unresolvable components: {sorted(pending)}")

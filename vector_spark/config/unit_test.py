@@ -57,7 +57,41 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
             "sources": dict(cfg.get("sources", {})),
             "transforms": cfg.get("transforms", {}),
             "sinks": cfg.get("sinks", {}) or {},
+            "enrichment_tables": cfg.get("enrichment_tables") or {},
         }
+        # prune to the test's component closure (the reference builds a
+        # reduced graph per test, unit_test/mod.rs): corpus files declare
+        # many sibling transforms with empty inputs that only exist for
+        # OTHER tests
+        touched = set()
+        for out in t.get("outputs", []):
+            touched.add(out["extract_from"].split(".", 1)[0])
+        for ref in t.get("no_outputs_from", []):
+            touched.add(ref.split(".", 1)[0])
+        for inp in list(t.get("inputs", [])) + (
+            [t["input"]] if t.get("input") else []
+        ):
+            touched.add(inp["insert_at"].split(".", 1)[0])
+        closure = set(touched)
+        frontier = list(touched)
+        graph = {**test_cfg["transforms"], **test_cfg["sinks"]}
+        while frontier:
+            n = frontier.pop()
+            for ref in (graph.get(n) or {}).get("inputs", []):
+                base = ref.split(".", 1)[0]
+                if base not in closure:
+                    closure.add(base)
+                    frontier.append(base)
+        test_cfg["transforms"] = {
+            k: v for k, v in test_cfg["transforms"].items() if k in closure
+        }
+        test_cfg["sinks"] = {
+            k: v for k, v in test_cfg["sinks"].items() if k in closure
+        }
+        test_cfg["sources"] = {
+            k: v for k, v in test_cfg["sources"].items() if k in closure
+        }
+
         raw_inputs = list(t.get("inputs", []))
         if t.get("input"):  # reference's singular form (unit_test/mod.rs)
             raw_inputs.append(t["input"])
@@ -72,6 +106,19 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
                     rows = [{"message": inp.get("value", "")}]
                 elif ityp == "log":
                     rows = [dict(inp.get("log_fields") or {"message": ""})]
+                elif ityp == "metric":
+                    # metric event → flat row: the value variant's name
+                    # becomes .type, its value becomes .value (SURVEY
+                    # §1.3 metric mapping)
+                    m = dict(inp.get("metric") or {})
+                    row = {}
+                    for k, v in m.items():
+                        if isinstance(v, dict) and "value" in v:
+                            row["type"] = k
+                            row["value"] = v["value"]
+                        else:
+                            row[k] = v
+                    rows = [row]
                 else:
                     failures.append(f"insert_at {at!r}: unsupported input type {ityp!r}")
                     continue
@@ -93,7 +140,7 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
             continue
         try:
             topo = build_topology(spark, test_cfg)
-        except TopologyError as ex:
+        except Exception as ex:  # config/VRL-compile errors fail the TEST
             results.append(
                 TestResult(t.get("name", "?"), False, [f"topology error: {ex}"])
             )
@@ -110,33 +157,46 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
                 continue
             conds = []
             for cond in out.get("conditions", []):
-                c = _condition(cond)
+                if isinstance(cond, dict) and cond.get("type") == "vrl":
+                    # compile against the extracted frame's schema so
+                    # absent fields read as null and timestamp columns
+                    # render RFC3339 through to_string (VRL contract)
+                    from vector_spark.functions.vrl_compiler import (
+                        vrl_condition,
+                    )
+
+                    c = vrl_condition(cond["source"], dtypes=dict(df.dtypes))
+                else:
+                    c = _condition(cond)
                 if isinstance(c, str):
                     c = F.expr(c)
                 conds.append((cond, F.coalesce(c, F.lit(False))))
             if not conds:
                 continue
-            if out.get("every_event"):
-                # opt-in strict mode: every extracted event must satisfy
-                # every condition (stronger than the reference)
-                for cond, c in conds:
-                    n_fail = df.where(~c).count()
-                    if n_fail:
+            try:
+                if out.get("every_event"):
+                    # opt-in strict mode: every extracted event must satisfy
+                    # every condition (stronger than the reference)
+                    for cond, c in conds:
+                        n_fail = df.where(~c).count()
+                        if n_fail:
+                            failures.append(
+                                f"{ref}: {n_fail} event(s) failed condition {cond!r}"
+                            )
+                else:
+                    # reference semantics (`unit_test/mod.rs`): the output block
+                    # passes when ALL conditions hold for AT LEAST ONE extracted
+                    # event — mixed events in an output are valid.
+                    allc = conds[0][1]
+                    for _, c in conds[1:]:
+                        allc = allc & c
+                    if df.where(allc).count() == 0:
                         failures.append(
-                            f"{ref}: {n_fail} event(s) failed condition {cond!r}"
+                            f"{ref}: no event satisfied all of "
+                            f"{[cond for cond, _ in conds]!r}"
                         )
-            else:
-                # reference semantics (`unit_test/mod.rs`): the output block
-                # passes when ALL conditions hold for AT LEAST ONE extracted
-                # event — mixed events in an output are valid.
-                allc = conds[0][1]
-                for _, c in conds[1:]:
-                    allc = allc & c
-                if df.where(allc).count() == 0:
-                    failures.append(
-                        f"{ref}: no event satisfied all of "
-                        f"{[cond for cond, _ in conds]!r}"
-                    )
+            except Exception as ex:  # unevaluable condition fails the TEST
+                failures.append(f"{ref}: condition error: {ex}")
         for ref in t.get("no_outputs_from", []):
             try:
                 if topo.output(ref).count() != 0:

@@ -29,9 +29,14 @@ def fallible(col: Column, source: Column) -> tuple[Column, Column]:
 
 # ---- Parse ------------------------------------------------------------
 def parse_json(c: Column, schema: str | None = None) -> Column:
-    """VRL parse_json!: with a schema -> typed struct, else keep for
-    get_json_object-style path access."""
-    return F.from_json(c, schema) if schema else c
+    """VRL parse_json!: with a schema -> typed struct. Schema-less: the
+    JSON text passes through VALIDATED (invalid JSON -> null, the
+    fallibility signal — corpus remap_bang_function pins this); nested
+    access into a schema-less result needs get_json_object / a schema,
+    documented delta."""
+    if schema:
+        return F.from_json(c, schema)
+    return F.when(F.try_parse_json(c).isNotNull(), c)
 
 
 def parse_key_value(c: Column, pair_sep: str = " ", kv_sep: str = "=") -> Column:
@@ -44,7 +49,19 @@ def parse_regex(c: Column, pattern: str, group: int = 1) -> Column:
 
 
 def parse_timestamp(c: Column, fmt: str) -> Column:
-    return F.to_timestamp(c, fmt)
+    """VRL parse_timestamp: chrono strftime format, FALLIBLE — bad input
+    yields null (the `, err` machinery's error state), never a thrown
+    ANSI DateTimeException mid-job."""
+    if fmt == "%s":  # chrono: unix epoch seconds
+        return F.timestamp_seconds(c.cast("long"))
+    if fmt == "%+":  # RFC3339, offset/fraction variants
+        return F.coalesce(
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        )
+    return F.try_to_timestamp(c, F.lit(_strf(fmt)))
 
 
 _DUR_UNIT_MS = {"ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1e3, "m": 60e3, "h": 3600e3}
@@ -239,8 +256,25 @@ def parse_glog(c: Column) -> Column:
 
 
 def parse_common_log(c: Column, timestamp_format: str | None = None) -> Column:
-    """VRL parse_common_log — the apache 'common' format struct."""
-    return parse_apache_log(c)
+    """VRL parse_common_log — the full apache 'common' struct (corpus
+    remap_function_parse_common_log pins every field): host, identity,
+    user, timestamp (typed), message, method, path, protocol, status,
+    size. '-' fields become null like the reference."""
+    dash_null = lambda col: F.when(col == "-", F.lit(None)).otherwise(col)  # noqa: E731
+    g = lambda i: F.regexp_extract(c, APACHE_COMMON_RE, i)  # noqa: E731
+    ts = F.try_to_timestamp(g(4), F.lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    return F.struct(
+        g(1).alias("host"),
+        dash_null(g(2)).alias("identity"),
+        dash_null(g(3)).alias("user"),
+        ts.alias("timestamp"),
+        F.concat_ws(" ", g(5), g(6), g(7)).alias("message"),
+        g(5).alias("method"),
+        g(6).alias("path"),
+        g(7).alias("protocol"),
+        g(8).cast("long").alias("status"),
+        g(9).cast("long").alias("size"),
+    )
 
 
 def parse_tokens(c: Column) -> Column:
@@ -337,6 +371,46 @@ def _tag_types_externally(c) -> Column:
 # Coerce/Convert/Type, String, Timestamp, Array/Map, Codec, Crypto, Number
 # categories map ~1:1 onto pyspark.sql.functions; this table is the single
 # source of truth used by the remap compiler and the YAML loader.
+
+def _vrl_replace(c, *args, **kw):
+    """VRL replace(value, pattern, with, count): pattern may be named,
+    replacement arrives as `with:` (a Python keyword, hence **kw).
+    count >= 0 (replace first N) is approximated for count=1 via
+    regexp_replace of the first match only."""
+    rest = list(args)
+    pat = kw["pattern"] if "pattern" in kw else rest.pop(0)
+    rep = kw["with"] if "with" in kw else (rest.pop(0) if rest else "")
+    count = kw["count"] if "count" in kw else (rest.pop(0) if rest else -1)
+    pat_s = str(pat)
+    if isinstance(count, int) and count == 1:
+        # anchor to first occurrence: capture prefix up to first match
+        return F.regexp_replace(c, "^((?s:.*?))" + "(" + pat_s + ")", "$1" + str(rep))
+    return F.regexp_replace(c, pat_s, str(rep))
+
+
+def _vrl_redact(c, *args, **kw):
+    filters = kw.get("filters", args[0] if args else [])
+    if not isinstance(filters, (list, tuple)):
+        filters = [filters]
+    out = c
+    for pat in filters:
+        out = F.regexp_replace(out, str(pat), "[REDACTED]")
+    return out
+
+
+def _to_unix_timestamp(c, unit="seconds", **kw):
+    unit = kw.get("unit", unit)
+    secs = F.unix_timestamp(c)
+    if unit == "seconds":
+        return secs
+    frac = F.date_format(c, "SSS").cast("long")
+    if unit == "milliseconds":
+        return secs * 1000 + frac
+    if unit == "nanoseconds":
+        return (secs * 1000 + frac) * 1000000
+    raise ValueError(f"to_unix_timestamp: unknown unit {unit!r}")
+
+
 VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Parse
     "parse_json": parse_json,
@@ -372,7 +446,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "to_int": lambda value: value.try_cast("long"),
     "to_float": lambda value: value.try_cast("double"),
     "to_bool": lambda value: value.try_cast("boolean"),
-    "to_string": lambda value: value.cast("string"),
+    "to_string": lambda value: F.coalesce(value.cast("string"), F.lit("")),
     # VRL type-assertion coercions (string!/int!/... error when the value
     # isn't of the type; with static schemas a cast covers the dynamic part
     # — documented delta: no runtime type tag to check)
@@ -381,13 +455,17 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "float": lambda value: value.try_cast("double"),
     "bool": lambda value: value.try_cast("boolean"),
     "timestamp": lambda value: value.try_cast("timestamp"),
-    "is_nullish": lambda c: c.isNull() | (F.trim(c.cast("string")) == "") | (c.cast("string") == "-"),
+    "is_nullish": lambda c: (
+        c.isNull()
+        | c.cast("string").rlike(r"^\s*$")
+        | (c.cast("string") == "-")
+    ),
     # String
     "upcase": F.upper,
     "downcase": F.lower,
     "strip_whitespace": F.trim,
     "split": _split,
-    "replace": lambda c, pat, rep: F.regexp_replace(c, pat, rep),
+    "replace": _vrl_replace,
     "starts_with": _starts_with,
     "ends_with": _ends_with,
     "contains": _contains,
@@ -396,7 +474,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "truncate": _truncate,
     "length": F.length,
     "strlen": F.length,
-    "join": lambda c, sep: F.array_join(c, sep),
+    "join": lambda c, sep="": F.array_join(c, sep),
     "strip_ansi_escape_codes": lambda c: F.regexp_replace(
         c, r"\x1b\[[0-9;]*[A-Za-z]", ""
     ),
@@ -409,7 +487,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Timestamp
     "now": F.current_timestamp,
     "format_timestamp": lambda c, fmt: F.date_format(c, fmt),
-    "to_unix_timestamp": F.unix_timestamp,
+    "to_unix_timestamp": _to_unix_timestamp,
     "from_unix_timestamp": lambda c: F.to_timestamp(F.from_unixtime(c)),
     # Array / Map / Object
     "push": lambda arr, x: F.concat(arr, F.array(x)),
@@ -426,7 +504,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Cryptography / Checksum
     "md5": F.md5,
     "sha1": F.sha1,
-    "sha2": lambda c, bits=256: F.sha2(c, bits),
+    "sha2": lambda c, variant=224: F.sha2(c, variant),
     "crc32": F.crc32,
     "seahash": F.xxhash64,  # stand-in 64-bit fast hash (same role as seahash)
     # Number / Random
@@ -524,7 +602,7 @@ VRL_FUNCTIONS.update(
         "parse_int_radix": lambda c, base=10: F.conv(c, base, 10).cast("long"),
         # String wave 2
         "find": lambda c, substring: F.instr(c, substring) - 1,
-        "redact": lambda c, pattern: F.regexp_replace(c, pattern, "[REDACTED]"),
+        "redact": _vrl_redact,
         "repeat": lambda c, count: F.repeat(c, count),
         "reverse": F.reverse,
         "pad_left": lambda c, length, pad=" ": F.lpad(c, length, pad),
@@ -581,7 +659,8 @@ def _strf(fmt: str) -> str:
     """VRL timestamp formats are chrono strftime (e.g. '%+', '%F %T');
     translate to java.time for date_format. '%+' is RFC3339."""
     if fmt == "%+":
-        return "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+        # chrono %+ (RFC3339) renders the offset as +00:00, not Z
+        return "yyyy-MM-dd'T'HH:mm:ssxxx"
     if "%" not in fmt:
         return fmt  # already a java.time pattern (pre-corpus callers)
     from vector_spark.functions.template import strftime_to_java
@@ -619,6 +698,8 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4}",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+@[A-Za-z0-9][A-Za-z0-9_.-]*",
 }
 
 _GROK_REF = __import__("re").compile(r"%\{(\w+)(?::(\w+))?\}")

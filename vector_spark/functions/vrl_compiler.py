@@ -119,6 +119,10 @@ _LITERAL_FIRST_ARG_FNS = {
     "match_datadog_query",
 }
 
+_TIMESTAMP_FNS = {
+    "now", "parse_timestamp", "from_unix_timestamp", "to_timestamp",
+}
+
 _STRING_FNS = {
     "upcase", "downcase", "strip_whitespace", "to_string", "string",
     "truncate", "slice", "replace", "join", "format_timestamp",
@@ -132,9 +136,20 @@ _STRING_FNS = {
 class _P:
     """Recursive-descent parser producing Column expressions directly."""
 
-    def __init__(self, toks: list[_Tok], vars: dict[str, Column] | None = None):
+    def __init__(
+        self,
+        toks: list[_Tok],
+        vars: dict[str, Column] | None = None,
+        known_cols: set[str] | None = None,
+        known_dtypes: dict[str, str] | None = None,
+    ):
         self.toks = toks
         self.i = 0
+        # None = schema-unknown (legacy callers): reads compile to F.col
+        # and missing columns fail analysis. A set = VRL semantics: a
+        # read of an absent field is null, not an error.
+        self.known_cols = known_cols
+        self.known_dtypes = known_dtypes or {}
         self.fallible_flags: list[Column] = []  # error conds from fn! calls
         # latent error conds from NON-bang calls: only consulted by the
         # `, err` handled-assignment form (VRL: unhandled fallible call
@@ -145,6 +160,7 @@ class _P:
         # can't tell us pre-analysis, so the parser tracks "known string"
         # provenance (string literals + string-returning stdlib calls)
         self._is_str = False
+        self._is_ts = False  # timestamp provenance (to_string dispatch)
         # enrichment-table lookups found while parsing: each becomes a
         # broadcast join added by vrl_remap BEFORE the projection, with a
         # __enrich_N placeholder column standing in for the joined row
@@ -233,7 +249,11 @@ class _P:
             if op == "*":
                 left = left * right
             elif op == "/":
-                left = left / right
+                # VRL `a / b` is fallible on b == 0 (returns an error, not
+                # a crash); ANSI-mode Spark `/` would THROW mid-job —
+                # try_divide yields null, which the `, err` machinery and
+                # drop_on_error observe as the error state
+                left = F.try_divide(left, right)
             else:
                 left = left % right
         return left
@@ -287,9 +307,19 @@ class _P:
             return RegexLiteral(t.text[2:-1])
         if t.kind == "mpath":
             self.eat()
-            return F.col(_meta_col_name(t.text))
+            name = _meta_col_name(t.text)
+            if self.known_cols is not None and name not in self.known_cols:
+                return F.lit(None)
+            return F.col(name)
         if t.kind == "path":
             self.eat()
+            root = t.text[1:].split(".")[0].split("[")[0]
+            if self.known_cols is not None and root not in self.known_cols:
+                return F.lit(None)  # absent field reads as null (VRL)
+            # dtype provenance feeds to_string's timestamp rendering
+            self._is_ts = self.known_dtypes.get(root, "").startswith(
+                "timestamp"
+            )
             return _path_col(t.text)  # .a.b[0] → struct/array access
         if t.kind == "float":
             self.eat()
@@ -382,11 +412,18 @@ class _P:
             args.append(closure)
         if name not in VRL_FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
+        if name == "to_string" and self._is_ts and args:
+            # VRL to_string(timestamp) renders RFC3339 with Z (corpus
+            # remap_function_now); a plain string cast gives the SQL form
+            self._is_ts = False
+            self._is_str = True
+            return F.date_format(args[0], "yyyy-MM-dd'T'HH:mm:ss'Z'")
         try:
             result = VRL_FUNCTIONS[name](*args, **kwargs)
         except TypeError as e:
             raise VrlCompileError(f"{name}: {e}") from None
         self._is_str = name in _STRING_FNS
+        self._is_ts = name in _TIMESTAMP_FNS
         if name == "assert":
             # assert!(cond): errors when the condition is false/null
             self.fallible_flags.append(~F.coalesce(result, F.lit(False)))
@@ -534,7 +571,11 @@ def _target_name(tok: _Tok) -> str:
     return name
 
 
-def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
+def compile_vrl_full(
+    source: str,
+    known_cols: set[str] | None = None,
+    known_dtypes: dict[str, str] | None = None,
+) -> tuple[list[Assignment], bool]:
     """Compile a straight-line VRL program into remap Assignments.
 
     Statement forms (`website/cue/reference/remap/expressions/`):
@@ -553,7 +594,14 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
 
     Returns (assignments, aborted)."""
     toks = _lex(source)
-    p = _P(toks)
+    if known_dtypes is not None and known_cols is None:
+        known_cols = set(known_dtypes)
+    p = _P(toks, known_cols=known_cols, known_dtypes=known_dtypes)
+
+    def _learn(name: str) -> None:
+        # later statements may read what earlier ones assigned
+        if p.known_cols is not None:
+            p.known_cols.add(name.split(".")[0])
     assignments: list[Assignment] = []
     deletes: list[str] = []
     noops = 0
@@ -573,6 +621,74 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
             # abort discards every change: drop all assignments so far
             # (deletes too), keep only the abort mark
             return [], True, p.enrich_requests
+        if t.kind == "name" and t.text == "if":
+            # top-level `if cond { .x = e } else { .x = e2 }` statement
+            # (corpus remap_function_upcase etc.): each branch assignment
+            # becomes a conditional column rewrite; branch error flags
+            # gate on the branch actually taken
+            p.eat()
+            p.fallible_flags, p.latent_flags = [], []
+            cond = p.expr()
+            if not isinstance(cond, Column):
+                cond = F.lit(cond)
+            cond = cond.cast("boolean")
+
+            def _if_block() -> list:
+                p.eat("{")
+                stmts = []
+                while not p.at("}"):
+                    tt = p.peek()
+                    if tt is None:
+                        raise VrlCompileError("unterminated if block")
+                    if tt.kind not in ("path", "mpath"):
+                        raise VrlCompileError(
+                            "only assignments are supported inside if blocks"
+                        )
+                    tgt = p.eat()
+                    p.eat("=")
+                    p.fallible_flags, p.latent_flags = [], []
+                    e = p.expr()
+                    berr = None
+                    for flag in p.fallible_flags:
+                        berr = flag if berr is None else (berr | flag)
+                    stmts.append((_target_name(tgt), e, berr))
+                p.eat("}")
+                return stmts
+
+            then_stmts = _if_block()
+            else_stmts = []
+            if (
+                p.peek() is not None
+                and p.peek().kind == "name"
+                and p.peek().text == "else"
+            ):
+                p.eat()
+                else_stmts = _if_block()
+            for branch_cond, stmts in (
+                (cond, then_stmts),
+                (~cond, else_stmts),
+            ):
+                for out, e, berr in stmts:
+                    if (
+                        p.known_cols is not None
+                        and out.split(".")[0] not in p.known_cols
+                    ):
+                        keep = F.lit(None)
+                    elif out.startswith("_meta_"):
+                        keep = F.col(out)
+                    else:
+                        keep = _path_col("." + out)
+                    assignments.append(
+                        Assignment(
+                            out,
+                            F.when(branch_cond, e).otherwise(keep),
+                            None
+                            if berr is None
+                            else (berr & branch_cond),
+                        )
+                    )
+                    _learn(out)
+            continue
         nxt = p.toks[p.i + 1].text if p.i + 1 < len(p.toks) else None
         if t.kind == "name" and t.text not in _KEYWORDS and nxt == "=":
             # program variable binding — a Column alias at compile time
@@ -649,6 +765,7 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
             err = flag if err is None else (err | flag)
         if len(targets) == 1:
             assignments.append(Assignment(_target_name(targets[0]), expr, err))
+            _learn(_target_name(targets[0]))
         elif len(targets) == 2:
             # `.ok, err = expr` — handled fallibility (expressions.cue
             # assignment form): ok=null + err=message on error; the
@@ -661,11 +778,13 @@ def compile_vrl_full(source: str) -> tuple[list[Assignment], bool]:
             ok = F.when(~cond, expr).otherwise(F.lit(None))
             msg = F.when(cond, F.lit("function call error")).otherwise(F.lit(None))
             assignments.append(Assignment(_target_name(targets[0]), ok))
+            _learn(_target_name(targets[0]))
             et = targets[1]
             if et.kind == "name":
                 p.vars[et.text] = msg
             else:
                 assignments.append(Assignment(_target_name(et), msg))
+                _learn(_target_name(et))
         else:
             raise VrlCompileError("at most two assignment targets supported")
     for d in deletes:
@@ -686,20 +805,39 @@ def compile_vrl(source: str) -> list[Assignment]:
     return assignments
 
 
-def vrl_condition(source: str):
+def _compile_cond(expr_text: str, dtypes: dict[str, str] | None):
+    assignments, aborted, enrich = compile_vrl_full(
+        f".__vs_cond = ({expr_text})", known_dtypes=dtypes
+    )
+    if aborted or enrich or len(assignments) != 1:
+        raise VrlCompileError("not a single condition expression")
+    return assignments
+
+
+def vrl_condition(source: str, dtypes: dict[str, str] | None = None):
     """Compile a VRL condition (src/conditions/vrl.rs) to a boolean
     Column. Each non-empty line must be a boolean expression; lines AND
     together (the reference's corpus conditions list one check per line).
     A line that is not valid VRL falls back to SQL expr — the loader
     historically accepted SQL strings under `type: vrl|sql` and existing
     configs keep working."""
+    whole = " ".join(
+        l.strip() for l in source.strip().splitlines() if l.strip()
+    )
+    try:
+        # whole-source first: reference corpus conditions wrap ONE boolean
+        # expression across lines (`.a == 1 &&\n.b == 2`)
+        (a,) = _compile_cond(whole, dtypes)
+        return a.expr.cast("boolean")
+    except Exception:
+        pass
     cols = []
     for line in source.strip().splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         try:
-            (a,) = compile_vrl(f".__vs_cond = ({line})")
+            (a,) = _compile_cond(line, dtypes)
             cols.append(a.expr.cast("boolean"))
         except Exception:
             cols.append(F.expr(line).cast("boolean"))
@@ -775,7 +913,19 @@ def vrl_remap(
     plan shape the enrich operator pins in test_plans)."""
     from vector_spark.operators.remap import remap
 
-    assignments, aborted, enrich = compile_vrl_full(source)
+    # secrets ride in the `_secrets` map column; sources without one get
+    # an empty map so secret fns resolve (read of absent secret -> null)
+    if "secret" in source and "_secrets" not in df.columns:
+        df = df.withColumn(
+            "_secrets",
+            F.lit(None).cast("map<string,string>"),
+        )
+
+    # known_cols makes absent-field reads compile to null (VRL contract);
+    # dtypes feed timestamp-aware rendering
+    assignments, aborted, enrich = compile_vrl_full(
+        source, known_cols=set(df.columns), known_dtypes=dict(df.dtypes)
+    )
     df = _resolve_enrichment(df, enrich, enrichment_tables or {})
     if aborted:
         none = df.where(F.lit(False))

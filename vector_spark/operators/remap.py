@@ -119,8 +119,21 @@ def remap(
             "." in a.out and _nested_exists(df, *a.out.split(".", 1))
         )
         if exists:
-            # errored event forwards unchanged: keep original on error
+            # errored event forwards unchanged: keep original on error.
+            # When the assignment RETYPES the column (.foo = split(.foo))
+            # the two branches can't share a type — probe the analysis
+            # and fall back to typed-null-on-error (VRL's dynamic retype
+            # has no per-row dual-type analog in a column engine).
             value = F.when(F.col(error_col), F.col(a.out)).otherwise(a.expr)
+            try:
+                probe = _assign(out, a.out, value)
+                probe.schema  # force analysis now, not at action time
+                out = probe
+                continue
+            except Exception:
+                value = F.when(F.col(error_col), F.lit(None)).otherwise(
+                    a.expr
+                )
         else:
             value = F.when(F.col(error_col), F.lit(None)).otherwise(a.expr)
         out = _assign(out, a.out, value)
