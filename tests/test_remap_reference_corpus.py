@@ -54,8 +54,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_parse_regex_all": "numeric_groups: arg",
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
     "remap_function_get_enrichment_table_row": _ROOT_REPLACEMENT,
-    "remap_function_format_number": "grouping-separator formats",
-    "remap_function_to_syslog_facility": "name→code direction",
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
     "remap_function_exists": "nested exists() on non-struct column",
@@ -109,4 +107,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 48, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 50, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -230,8 +230,18 @@ def _format_number(
     grouping_separator: str = ",",
 ) -> Column:
     """VRL format_number: en-US format_number then separator translate
-    (two-step so ',' and '.' can swap without colliding)."""
-    base = F.format_number(c.cast("double"), scale)
+    (two-step so ',' and '.' can swap without colliding). VRL TRUNCATES
+    toward zero at `scale` (1234.567 @2 → 1234.56) where Spark's
+    format_number would round half-up — truncate first."""
+    d = c.cast("double")
+    if scale == 0:
+        base = F.format_number(d.cast("long"), 0)
+    else:
+        # truncate WITHOUT float multiply (1234567.89 * 100 is
+        # ...88.999…): format one digit past scale (rounds at scale+1,
+        # recovering the decimal the double represents) and cut it
+        plus = F.format_number(d, scale + 1)
+        base = plus.substr(F.lit(1), F.length(plus) - 1)
     return F.translate(base, ",.", grouping_separator + decimal_separator)
 
 

@@ -120,17 +120,24 @@ def remap(
         )
         if exists:
             # errored event forwards unchanged: keep original on error.
-            # When the assignment RETYPES the column (.foo = split(.foo))
-            # the two branches can't share a type — probe the analysis
-            # and fall back to typed-null-on-error (VRL's dynamic retype
-            # has no per-row dual-type analog in a column engine).
-            value = F.when(F.col(error_col), F.col(a.out)).otherwise(a.expr)
+            # ONLY when the assignment keeps the column's type — when it
+            # RETYPES (.foo = split(.foo), int → facility name, ...) the
+            # two branches cannot share a type: analysis would coerce and
+            # ANSI-cast at runtime, so retypes fall back to
+            # typed-null-on-error (VRL's per-row dynamic retype has no
+            # dual-type analog in a column engine; documented delta).
+            same_type = False
             try:
-                probe = _assign(out, a.out, value)
-                probe.schema  # force analysis now, not at action time
-                out = probe
-                continue
+                old_dt = out.select(F.col(a.out).alias("_o")).schema[0].dataType
+                new_dt = out.select(a.expr.alias("_n")).schema[0].dataType
+                same_type = old_dt == new_dt
             except Exception:
+                same_type = False
+            if same_type:
+                value = F.when(F.col(error_col), F.col(a.out)).otherwise(
+                    a.expr
+                )
+            else:
                 value = F.when(F.col(error_col), F.lit(None)).otherwise(
                     a.expr
                 )
