@@ -32,7 +32,6 @@ KNOWN_UNSUPPORTED = {
     "remap_array": "array-index assignment",
     "remap_metadata": "metadata/secret interplay in one program",
     "remap_abort_drop_on_abort": "conditional row-level abort rollback",
-    "remap_arithmetic_error": "`, err` default-value typing (0.0)",
     "remap_infallible_assignment": _DYNAMIC_TYPES,
     "remap_function_upcase": _DYNAMIC_TYPES,
     "remap_function_upcase_error": _DYNAMIC_TYPES,
@@ -107,4 +106,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 50, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 51, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -155,6 +155,10 @@ class _P:
         # `, err` handled-assignment form (VRL: unhandled fallible call
         # without ! is a compile error; with `, err` the error is captured)
         self.latent_flags: list[Column] = []
+        # VRL `, err` contract: on error the ok-target takes the DEFAULT
+        # value of the expression's type (0.0 for arithmetic, corpus
+        # remap_arithmetic_error) — tracked as compile-time provenance
+        self._err_default = None
         self.vars: dict[str, Column] = dict(vars or {})  # program variables
         # VRL `+` is string concat when either operand is a string; Catalyst
         # can't tell us pre-analysis, so the parser tracks "known string"
@@ -222,6 +226,10 @@ class _P:
                 ">": lambda a, b: a > b,
                 ">=": lambda a, b: a >= b,
             }[op](left, right)
+            # the `, err` default tracks the TOP-LEVEL type: once a
+            # comparison consumes the arithmetic, the result is boolean
+            # and the numeric default no longer applies
+            self._err_default = None
         return left
 
     def add(self) -> Column:
@@ -254,6 +262,8 @@ class _P:
                 # try_divide yields null, which the `, err` machinery and
                 # drop_on_error observe as the error state
                 left = F.try_divide(left, right)
+                self._err_default = 0.0
+                self.latent_flags.append(left.isNull())
             else:
                 left = left % right
         return left
@@ -627,7 +637,7 @@ def compile_vrl_full(
             # becomes a conditional column rewrite; branch error flags
             # gate on the branch actually taken
             p.eat()
-            p.fallible_flags, p.latent_flags = [], []
+            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
             cond = p.expr()
             if not isinstance(cond, Column):
                 cond = F.lit(cond)
@@ -646,7 +656,7 @@ def compile_vrl_full(
                         )
                     tgt = p.eat()
                     p.eat("=")
-                    p.fallible_flags, p.latent_flags = [], []
+                    p.fallible_flags, p.latent_flags, p._err_default = [], [], None
                     e = p.expr()
                     berr = None
                     for flag in p.fallible_flags:
@@ -694,7 +704,7 @@ def compile_vrl_full(
             # program variable binding — a Column alias at compile time
             p.eat()
             p.eat("=")
-            p.fallible_flags, p.latent_flags = [], []
+            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
             p.vars[t.text] = p.expr()
             err = None
             for flag in p.fallible_flags:
@@ -723,7 +733,7 @@ def compile_vrl_full(
             secret_name = name_tok.text[1:-1]
             if fn == "set_secret":
                 p.eat(",")
-                p.fallible_flags, p.latent_flags = [], []
+                p.fallible_flags, p.latent_flags, p._err_default = [], [], None
                 value = p.expr()
                 new = set_secret_expr(F.col("_secrets"), secret_name, value)
             else:
@@ -734,7 +744,7 @@ def compile_vrl_full(
         if t.kind == "name" and nxt in ("(", "!"):
             # bare call statement: assert!/log/set_semantic_meaning — value
             # discarded, error conditions (assert) kept
-            p.fallible_flags, p.latent_flags = [], []
+            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
             p.call()
             err = None
             for flag in p.fallible_flags:
@@ -756,7 +766,7 @@ def compile_vrl_full(
             else:
                 raise VrlCompileError("expected assignment target after ','")
         p.eat("=")
-        p.fallible_flags, p.latent_flags = [], []
+        p.fallible_flags, p.latent_flags, p._err_default = [], [], None
         expr = p.expr()
         if isinstance(expr, RegexLiteral):
             raise VrlCompileError("a regex literal cannot be assigned")
@@ -775,7 +785,7 @@ def compile_vrl_full(
             for flag in p.latent_flags:
                 cond = flag if cond is None else (cond | flag)
             cond = cond if cond is not None else F.lit(False)
-            ok = F.when(~cond, expr).otherwise(F.lit(None))
+            ok = F.when(~cond, expr).otherwise(F.lit(p._err_default))
             msg = F.when(cond, F.lit("function call error")).otherwise(F.lit(None))
             assignments.append(Assignment(_target_name(targets[0]), ok))
             _learn(_target_name(targets[0]))
