@@ -39,7 +39,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_downcase_error": _DYNAMIC_TYPES,
     "remap_function_sha1_error": _DYNAMIC_TYPES,
     "remap_function_md5_error": _DYNAMIC_TYPES,
-    "remap_function_sha2": "sha2 default variant (SHA-512/224 digest set)",
     "remap_function_parse_tokens": "token null-forms for - and [] runs",
     "remap_function_parse_glog": _PARSE_FIELDS,
     "remap_function_parse_syslog": _PARSE_FIELDS,
@@ -49,10 +48,8 @@ KNOWN_UNSUPPORTED = {
     "remap_function_parse_aws_cloudwatch_log_subscription_message":
         "function not implemented",
     "remap_function_parse_grok": "alternation across typed captures",
-    "remap_function_parse_regex": _ROOT_REPLACEMENT,
     "remap_function_parse_regex_all": "numeric_groups: arg",
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
-    "remap_function_get_enrichment_table_row": _ROOT_REPLACEMENT,
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
     "remap_function_exists": "nested exists() on non-struct column",
@@ -106,4 +103,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 51, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 54, f"only {n_pass} of {len(results)} corpus tests passed"

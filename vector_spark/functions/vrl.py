@@ -44,8 +44,27 @@ def parse_key_value(c: Column, pair_sep: str = " ", kv_sep: str = "=") -> Column
     return F.str_to_map(c, F.lit(pair_sep), F.lit(kv_sep))
 
 
-def parse_regex(c: Column, pattern: str, group: int = 1) -> Column:
-    return F.regexp_extract(c, pattern, group)
+def parse_regex(c: Column, pattern: str, group: int = 1, **kw) -> Column:
+    """VRL parse_regex: with (?P<name>...) groups → struct of named
+    captures (the VRL object result); otherwise one indexed group."""
+    import re as _re
+
+    names = _re.findall(r"\(\?P<(\w+)>", str(pattern))
+    if not names:
+        return F.regexp_extract(c, pattern, group)
+    java = _re.sub(r"\(\?P<\w+>", "(", str(pattern))
+    fields = [
+        F.regexp_extract(c, java, i + 1).alias(n)
+        for i, n in enumerate(names)
+    ]
+    if kw.get("numeric_groups"):
+        # VRL numeric_groups: true adds the positional captures; "0" is
+        # the full match
+        fields = [F.regexp_extract(c, java, 0).alias("0")] + fields + [
+            F.regexp_extract(c, java, i + 1).alias(str(i + 1))
+            for i in range(len(names))
+        ]
+    return F.struct(*fields)
 
 
 def parse_timestamp(c: Column, fmt: str) -> Column:
@@ -421,6 +440,33 @@ def _to_unix_timestamp(c, unit="seconds", **kw):
     raise ValueError(f"to_unix_timestamp: unknown unit {unit!r}")
 
 
+
+def _sha2(c: Column, variant=None) -> Column:
+    """VRL sha2: DEFAULT variant is SHA-512/256 (corpus
+    remap_function_sha2 digest set) — no JVM expression exists for it, so
+    the default goes through an Arrow-batched pandas UDF; explicit
+    224/256/384/512 stay native F.sha2."""
+    if variant is not None:
+        return F.sha2(c, int(variant))
+    from pyspark.sql.functions import pandas_udf
+
+    def batch(s):
+        import hashlib
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if v is None
+                else hashlib.new("sha512_256", str(v).encode()).hexdigest()
+                for v in s
+            ]
+        )
+
+    return pandas_udf(batch, "string")(c.cast("string"))
+
+
 VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Parse
     "parse_json": parse_json,
@@ -514,7 +560,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Cryptography / Checksum
     "md5": F.md5,
     "sha1": F.sha1,
-    "sha2": lambda c, variant=224: F.sha2(c, variant),
+    "sha2": lambda c, variant=None: _sha2(c, variant),
     "crc32": F.crc32,
     "seahash": F.xxhash64,  # stand-in 64-bit fast hash (same role as seahash)
     # Number / Random

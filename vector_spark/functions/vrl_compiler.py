@@ -55,6 +55,7 @@ _TOKEN_RE = re.compile(
   | (?P<dqstr>"(?:[^"\\]|\\.)*")
   | (?P<sqstr>'(?:[^'\\]|\\.)*')
   | (?P<path>\.[A-Za-z_][\w.]*(?:\[\d+\][\w.]*)*)
+  | (?P<dot>\.)
   | (?P<mpath>%[A-Za-z_][\w.]*)
   | (?P<name>[A-Za-z_]\w*)
   | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[-+*/%<>=!(){},:\[\]|;])
@@ -321,6 +322,20 @@ class _P:
             if self.known_cols is not None and name not in self.known_cols:
                 return F.lit(None)
             return F.col(name)
+        if t.kind == "dot":
+            # quoted field access: ."0" / ."dotted.name"
+            self.eat()
+            nt = self.peek()
+            if nt is not None and nt.kind in ("dqstr", "sqstr"):
+                self.eat()
+                fname = nt.text[1:-1]
+                if (
+                    self.known_cols is not None
+                    and fname not in self.known_cols
+                ):
+                    return F.lit(None)
+                return F.col(f"`{fname}`")
+            raise VrlCompileError("bare '.' is not an expression")
         if t.kind == "path":
             self.eat()
             root = t.text[1:].split(".")[0].split("[")[0]
@@ -631,6 +646,29 @@ def compile_vrl_full(
             # abort discards every change: drop all assignments so far
             # (deletes too), keep only the abort mark
             return [], True, p.enrich_requests
+        if t.kind == "dot":
+            # `. = expr` — whole-event replacement (expressions.cue
+            # assignment to the root path). Compiled when the result is a
+            # STRUCT (its fields become the new event). Must be the only
+            # statement: everything before it would be discarded anyway.
+            p.eat()
+            p.eat("=")
+            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            expr = p.expr()
+            if not isinstance(expr, Column):
+                raise VrlCompileError(
+                    "`. = <scalar>` event roots are unsupported (the "
+                    "columnar event model needs named fields)"
+                )
+            err = None
+            for flag in p.fallible_flags:
+                err = flag if err is None else (err | flag)
+            if assignments or p.peek() is not None:
+                raise VrlCompileError(
+                    "`. = expr` must be the program's only statement"
+                )
+            assignments.append(Assignment("__root__", expr, err))
+            return assignments, False, p.enrich_requests
         if t.kind == "name" and t.text == "if":
             # top-level `if cond { .x = e } else { .x = e2 }` statement
             # (corpus remap_function_upcase etc.): each branch assignment
@@ -931,6 +969,26 @@ def vrl_remap(
             F.lit(None).cast("map<string,string>"),
         )
 
+    # `. = expr` followed by further statements: stage the replacement,
+    # then run the rest of the program against the REPLACED event's
+    # schema (the corpus parse_regex shape). Statement split is at the
+    # first newline — root-replacement exprs are single-line in VRL
+    # practice; a multi-line expr falls through to the single-statement
+    # path's clearer error.
+    m = re.match(r"\s*\.\s*=\s*([^\n]+)\n(.*)$", source, re.S)
+    if m and m.group(2).strip():
+        head = ". = " + m.group(1)
+        staged = vrl_remap(
+            df, head, drop_on_abort=drop_on_abort,
+            enrichment_tables=enrichment_tables,
+        )[""]
+        if "_error" in staged.columns:
+            staged = staged.drop("_error")
+        return vrl_remap(
+            staged, m.group(2), drop_on_abort=drop_on_abort,
+            enrichment_tables=enrichment_tables, **remap_kwargs,
+        )
+
     # known_cols makes absent-field reads compile to null (VRL contract);
     # dtypes feed timestamp-aware rendering
     assignments, aborted, enrich = compile_vrl_full(
@@ -943,6 +1001,40 @@ def vrl_remap(
         if remap_kwargs.get("reroute_dropped"):
             result["dropped"] = df if drop_on_abort else none
         return result
+    if assignments and assignments[0].out == "__root__":
+        # `. = expr` whole-event replacement: a STRUCT result's fields
+        # become the new event. Error rows (fallible root expr, e.g. a
+        # no-match enrichment lookup) have all-null fields — the original
+        # event's schema no longer exists post-replacement; drop_on_error
+        # / reroute_dropped route them like any other remap error.
+        a = assignments[0]
+        err = a.error_when if a.error_when is not None else F.lit(False)
+        tagged = df.withColumn("_error", F.coalesce(err, F.lit(False)))
+        probe = tagged.select(a.expr.alias("__r"))
+        dt = probe.schema[0].dataType
+        from pyspark.sql.types import StructType
+
+        if not isinstance(dt, StructType):
+            raise VrlCompileError(
+                "`. = expr` requires a struct-typed result (its fields "
+                "become the event); map/scalar roots are unsupported"
+            )
+        replaced = tagged.select("_error", a.expr.alias("__r")).select(
+            "_error", "__r.*"
+        )
+        result = {}
+        drop_on_error = remap_kwargs.get("drop_on_error", False)
+        reroute = remap_kwargs.get("reroute_dropped", False)
+        if drop_on_error or reroute:
+            result[""] = replaced.where(~F.col("_error")).drop("_error")
+            if reroute:
+                result["dropped"] = tagged.where(F.col("_error")).drop(
+                    "_error", *[f"__enrich_{i}" for i in range(len(enrich))]
+                )
+        else:
+            result[""] = replaced
+        return result
+
     real = [a for a in assignments if not a.out.startswith("__del__")]
     drops = [a.out[len("__del__"):] for a in assignments if a.out.startswith("__del__")]
     drops += [a.out for a in real if a.out.startswith("__noop__")]
