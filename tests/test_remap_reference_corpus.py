@@ -33,13 +33,10 @@ KNOWN_UNSUPPORTED = {
     "remap_metadata": "metadata/secret interplay in one program",
     "remap_abort_drop_on_abort": "conditional row-level abort rollback",
     "remap_infallible_assignment": _DYNAMIC_TYPES,
-    "remap_function_upcase": _DYNAMIC_TYPES,
     "remap_function_upcase_error": _DYNAMIC_TYPES,
-    "remap_function_downcase": _DYNAMIC_TYPES,
     "remap_function_downcase_error": _DYNAMIC_TYPES,
     "remap_function_sha1_error": _DYNAMIC_TYPES,
     "remap_function_md5_error": _DYNAMIC_TYPES,
-    "remap_function_parse_tokens": "token null-forms for - and [] runs",
     "remap_function_parse_glog": _PARSE_FIELDS,
     "remap_function_parse_syslog": _PARSE_FIELDS,
     "remap_function_parse_url": _PARSE_FIELDS,
@@ -59,7 +56,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_encode_json": _DYNAMIC_TYPES,
     "remap_function_push_to_array": _DYNAMIC_TYPES,
     "remap_function_append_to_array": _DYNAMIC_TYPES,
-    "remap_function_length": _DYNAMIC_TYPES,
     "remap_function_redact": "redact filter group semantics",
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
     "remap_function_tag_types_externally": "tag_types_externally shape",
@@ -103,4 +99,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 54, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 58, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -275,8 +275,10 @@ def test_parse_grok(one):
 
 # remap.yaml `remap_function_parse_tokens`
 def test_parse_tokens(one):
+    # reference token forms (remap_function_parse_tokens): quoted and
+    # bracketed groups keep their content, delimiters STRIPPED
     row = run(one, ".tk = parse_tokens(.tokens)")
-    assert row.tk == ["one", '"two three"', "[four five]"]
+    assert row.tk == ["one", "two three", "four five"]
 
 
 # remap.yaml `remap_function_parse_url`

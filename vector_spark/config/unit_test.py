@@ -105,7 +105,17 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
                 if ityp == "raw":
                     rows = [{"message": inp.get("value", "")}]
                 elif ityp == "log":
-                    rows = [dict(inp.get("log_fields") or {"message": ""})]
+                    # log_fields keys are event PATHS in the reference's
+                    # harness: 'c.c' means nested .c.c
+                    flat = dict(inp.get("log_fields") or {"message": ""})
+                    row: dict = {}
+                    for k, v in flat.items():
+                        parts = k.split(".")
+                        d = row
+                        for p in parts[:-1]:
+                            d = d.setdefault(p, {})
+                        d[parts[-1]] = v
+                    rows = [row]
                 elif ityp == "metric":
                     # metric event → flat row: the value variant's name
                     # becomes .type, its value becomes .value (SURVEY

@@ -307,9 +307,24 @@ def parse_common_log(c: Column, timestamp_format: str | None = None) -> Column:
 
 
 def parse_tokens(c: Column) -> Column:
-    """VRL parse_tokens: split into whitespace tokens where "quoted" and
-    [bracketed] runs stay single tokens."""
-    return F.regexp_extract_all(c, F.lit(r'("[^"]*"|\[[^\]]*\]|\S+)'), 1)
+    """VRL parse_tokens: split into whitespace tokens; "quoted" and
+    [bracketed] runs stay single tokens WITH the delimiters stripped, and
+    a bare '-' token is null (the reference's token forms — corpus
+    remap_function_parse_tokens)."""
+    raw = F.regexp_extract_all(c, F.lit(r'("[^"]*"|\[[^\]]*\]|\S+)'), 1)
+    return F.transform(
+        raw,
+        lambda t: F.when(t == "-", F.lit(None))
+        .when(
+            t.startswith('"') & t.endswith('"'),
+            t.substr(F.lit(2), F.length(t) - 2),
+        )
+        .when(
+            t.startswith("[") & t.endswith("]"),
+            t.substr(F.lit(2), F.length(t) - 2),
+        )
+        .otherwise(t),
+    )
 
 
 def _ip_mask_bits(mask: str) -> int:
@@ -467,6 +482,22 @@ def _sha2(c: Column, variant=None) -> Column:
     return pandas_udf(batch, "string")(c.cast("string"))
 
 
+
+def _vrl_length(c: Column) -> Column:
+    """VRL length: arrays → element count, objects → key count, strings →
+    char count. Composes with schema-less parse_json (which passes
+    validated JSON text through): JSON array/object TEXT counts its
+    elements/keys via json_array_length / json_object_keys."""
+    s = c.cast("string")
+    t = F.trim(s)
+    return (
+        F.when(t.startswith("["), F.json_array_length(t))
+        .when(t.startswith("{"), F.size(F.json_object_keys(t)))
+        .otherwise(F.length(s))
+        .cast("long")
+    )
+
+
 VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Parse
     "parse_json": parse_json,
@@ -528,7 +559,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "match": lambda c, pat: c.rlike(pat),
     "slice": _slice,
     "truncate": _truncate,
-    "length": F.length,
+    "length": lambda c: _vrl_length(c),
     "strlen": F.length,
     "join": lambda c, sep="": F.array_join(c, sep),
     "strip_ansi_escape_codes": lambda c: F.regexp_replace(
