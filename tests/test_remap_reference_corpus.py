@@ -45,7 +45,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_parse_aws_cloudwatch_log_subscription_message":
         "function not implemented",
     "remap_function_parse_grok": "alternation across typed captures",
-    "remap_function_parse_regex_all": "numeric_groups: arg",
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
@@ -56,7 +55,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_encode_json": _DYNAMIC_TYPES,
     "remap_function_push_to_array": _DYNAMIC_TYPES,
     "remap_function_append_to_array": _DYNAMIC_TYPES,
-    "remap_function_redact": "redact filter group semantics",
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
     "remap_function_tag_types_externally": "tag_types_externally shape",
 }
@@ -99,4 +97,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 58, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 60, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -434,6 +434,10 @@ def _vrl_replace(c, *args, **kw):
 
 def _vrl_redact(c, *args, **kw):
     filters = kw.get("filters", args[0] if args else [])
+    if isinstance(filters, Column):
+        filters = getattr(filters, "_vs_literal_list", None)
+        if filters is None:
+            raise ValueError("redact: filters must be literal patterns")
     if not isinstance(filters, (list, tuple)):
         filters = [filters]
     out = c

@@ -54,7 +54,7 @@ _TOKEN_RE = re.compile(
   | (?P<regex>r'(?:[^'\\]|\\.)*')
   | (?P<dqstr>"(?:[^"\\]|\\.)*")
   | (?P<sqstr>'(?:[^'\\]|\\.)*')
-  | (?P<path>\.[A-Za-z_][\w.]*(?:\[\d+\][\w.]*)*)
+  | (?P<path>\.[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\[\d+\](?:\.[A-Za-z_]\w*)*)*)
   | (?P<dot>\.)
   | (?P<mpath>%[A-Za-z_][\w.]*)
   | (?P<name>[A-Za-z_]\w*)
@@ -276,7 +276,25 @@ class _P:
         if self.at("-"):
             self.eat()
             return -self.unary()
-        return self.primary()
+        return self.postfix()
+
+    def postfix(self) -> Column:
+        """primary, then `."quoted"` field access chains (fields whose
+        names are not identifiers, e.g. numeric_groups' "0")."""
+        base = self.primary()
+        while (
+            self.peek() is not None
+            and self.peek().kind == "dot"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].kind in ("dqstr", "sqstr")
+        ):
+            self.eat()
+            fname = self.eat().text[1:-1]
+            if isinstance(base, Column):
+                base = base.getField(fname)
+            else:
+                raise VrlCompileError("quoted field access on a literal")
+        return base
 
     def primary(self) -> Column:
         self._is_str = False
@@ -290,13 +308,21 @@ class _P:
             return e
         if t.text == "[":  # array literal → F.array
             self.eat()
-            items: list[Column] = []
+            items: list = []
             while not self.at("]"):
                 items.append(self.expr())
                 if self.at(","):
                     self.eat()
             self.eat("]")
-            return F.array(*items)
+            col = F.array(
+                *[i if isinstance(i, Column) else F.lit(i) for i in items]
+            )
+            if all(not isinstance(i, Column) for i in items):
+                # literal-only arrays keep their python values: config
+                # args like redact(filters: [r'..']) need the patterns,
+                # not an array Column (the expression form still works)
+                col._vs_literal_list = list(items)
+            return col
         if t.text == "{":  # object literal → struct with field aliases
             self.eat()
             fields: list[Column] = []

@@ -321,7 +321,7 @@ def parse_influxdb(c: Column) -> Column:
     )
 
 
-def parse_regex_all(c: Column, pattern: str) -> Column:
+def parse_regex_all(c: Column, pattern: str, numeric_groups: bool = False) -> Column:
     """VRL parse_regex_all: every match → array of structs of the pattern's
     named capture groups (compiled once; regexp_extract_all per group stays
     JVM-side)."""
@@ -337,6 +337,16 @@ def parse_regex_all(c: Column, pattern: str) -> Column:
         name: F.regexp_extract_all(c, F.lit(jpattern), idx)
         for name, idx in names.items()
     }
+    if numeric_groups:
+        # VRL numeric_groups: "0" is each full match, then positional
+        arrays = {
+            "0": F.regexp_extract_all(c, F.lit(jpattern), 0),
+            **arrays,
+            **{
+                str(idx): F.regexp_extract_all(c, F.lit(jpattern), idx)
+                for idx in names.values()
+            },
+        }
     first = next(iter(arrays.values()))
     n = F.size(first)
     return F.transform(
