@@ -687,7 +687,7 @@ VRL_FUNCTIONS.update(
         # Parse wave 2
         "parse_logfmt": lambda c: F.str_to_map(c, F.lit(" "), F.lit("=")),
         "parse_nginx_log": lambda c, format="combined": parse_nginx_log(c),
-        "parse_aws_vpc_flow_log": lambda c: parse_aws_vpc_flow_log(c),
+        "parse_aws_vpc_flow_log": lambda c, **kw: parse_aws_vpc_flow_log(c, **kw),
         "parse_cef": lambda c: parse_cef(c),
         "parse_bytes": lambda c, unit="B": parse_bytes(c, unit),
         "parse_int_radix": lambda c, base=10: F.conv(c, base, 10).cast("long"),
@@ -864,14 +864,21 @@ _VPC_FIELDS = [
 ]
 
 
-def parse_aws_vpc_flow_log(c: Column) -> Column:
-    """VRL parse_aws_vpc_flow_log (v2 default format) → typed struct;
-    '-' fields (no data) read as null via try_cast."""
+def parse_aws_vpc_flow_log(c: Column, format: str | None = None) -> Column:
+    """VRL parse_aws_vpc_flow_log → typed struct; '-' fields (no data)
+    read as null via try_cast. `format:` (a space-separated field list)
+    selects custom fields — unknown names parse as strings, like the
+    reference's custom-format path."""
     parts = F.split(c, " ")
+    if format:
+        known = dict(_VPC_FIELDS)
+        fields = [(n, known.get(n, "string")) for n in format.split()]
+    else:
+        fields = list(_VPC_FIELDS)
     return F.struct(
         *[
             F.nullif(parts[i], F.lit("-")).try_cast(t).alias(n)
-            for i, (n, t) in enumerate(_VPC_FIELDS)
+            for i, (n, t) in enumerate(fields)
         ]
     )
 

@@ -166,6 +166,7 @@ class _P:
         # provenance (string literals + string-returning stdlib calls)
         self._is_str = False
         self._is_ts = False  # timestamp provenance (to_string dispatch)
+        self._is_jsontext = False  # schema-less parse_json provenance
         # enrichment-table lookups found while parsing: each becomes a
         # broadcast join added by vrl_remap BEFORE the projection, with a
         # __enrich_N placeholder column standing in for the joined row
@@ -197,7 +198,10 @@ class _P:
         while self.at("??"):
             self.eat()
             right = self.or_()
-            left = F.coalesce(left, right)
+            left = F.coalesce(
+                left if isinstance(left, Column) else F.lit(left),
+                right if isinstance(right, Column) else F.lit(right),
+            )
         return left
 
     def or_(self) -> Column:
@@ -219,6 +223,18 @@ class _P:
         while self.peek() and self.peek().text in ("==", "!=", "<", "<=", ">", ">="):
             op = self.eat().text
             right = self.add()
+            # VRL null equality: `x == null` is TRUE for null x (Spark
+            # `=` would yield null); spelled isNull/isNotNull
+            if right is None and op in ("==", "!="):
+                lc = left if isinstance(left, Column) else F.lit(left)
+                left = lc.isNull() if op == "==" else lc.isNotNull()
+                self._err_default = None
+                continue
+            if left is None and op in ("==", "!="):
+                rc = right if isinstance(right, Column) else F.lit(right)
+                left = rc.isNull() if op == "==" else rc.isNotNull()
+                self._err_default = None
+                continue
             left = {
                 "==": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,
@@ -371,6 +387,13 @@ class _P:
             self._is_ts = self.known_dtypes.get(root, "").startswith(
                 "timestamp"
             )
+            rest = t.text[1 + len(root):]
+            if rest and self.known_dtypes.get(root) == "string":
+                # nested access INTO a string column: the column holds
+                # JSON text (the schema-less parse_json contract) — the
+                # path becomes a get_json_object JSONPath. exists/null
+                # semantics line up: missing path -> null.
+                return F.get_json_object(F.col(root), "$" + rest)
             return _path_col(t.text)  # .a.b[0] → struct/array access
         if t.kind == "float":
             self.eat()
@@ -394,7 +417,7 @@ class _P:
                 return F.lit(False)
             if t.text == "null":
                 self.eat()
-                return F.lit(None)
+                return None  # python None: == null compiles to isNull
             if t.text == "if":
                 return self.if_expr()
             if t.text == "abort":
@@ -463,6 +486,13 @@ class _P:
             args.append(closure)
         if name not in VRL_FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
+        if name == "encode_json" and self._is_jsontext and args:
+            # encode_json over schema-less parse_json output (validated
+            # JSON TEXT): re-serialize minified through VARIANT — the
+            # VRL composition contract without a typed schema
+            self._is_jsontext = False
+            self._is_str = True
+            return F.to_json(F.try_parse_json(args[0].cast("string")))
         if name == "to_string" and self._is_ts and args:
             # VRL to_string(timestamp) renders RFC3339 with Z (corpus
             # remap_function_now); a plain string cast gives the SQL form
@@ -475,6 +505,7 @@ class _P:
             raise VrlCompileError(f"{name}: {e}") from None
         self._is_str = name in _STRING_FNS
         self._is_ts = name in _TIMESTAMP_FNS
+        self._is_jsontext = name == "parse_json" and len(args) < 2
         if name == "assert":
             # assert!(cond): errors when the condition is false/null
             self.fallible_flags.append(~F.coalesce(result, F.lit(False)))
