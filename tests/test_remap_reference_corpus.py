@@ -32,17 +32,12 @@ KNOWN_UNSUPPORTED = {
     "remap_array": "array-index assignment",
     "remap_abort_drop_on_abort": "conditional row-level abort rollback",
     "remap_infallible_assignment": "exact VRL error-message strings",
-    "remap_function_upcase_error": _DYNAMIC_TYPES,
-    "remap_function_downcase_error": _DYNAMIC_TYPES,
-    "remap_function_sha1_error": _DYNAMIC_TYPES,
-    "remap_function_md5_error": _DYNAMIC_TYPES,
     "remap_function_parse_glog": _PARSE_FIELDS,
     "remap_function_parse_syslog": _PARSE_FIELDS,
     "remap_function_parse_url": _PARSE_FIELDS,
     "remap_function_parse_aws_alb_log": _PARSE_FIELDS,
     "remap_function_parse_aws_cloudwatch_log_subscription_message":
         "function not implemented",
-    "remap_function_parse_grok": "alternation across typed captures",
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
@@ -93,4 +88,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 64, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 69, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -787,7 +787,13 @@ GROK_PATTERNS: dict[str, str] = {
     "USERNAME": r"[A-Za-z0-9._-]+",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4}",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE"
+        r"|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?"
+        r"|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?"
+        r"|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE"
+        r"|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"
+    ),
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
     "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
     "EMAILADDRESS": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+@[A-Za-z0-9][A-Za-z0-9_.-]*",
@@ -796,12 +802,15 @@ GROK_PATTERNS: dict[str, str] = {
 _GROK_REF = __import__("re").compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
-def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
-    """Expand a grok pattern into (regex, capture_names). `%{SYNTAX:name}`
-    becomes a capture group; bare `%{SYNTAX}` is non-capturing."""
+def grok_to_regex(pattern: str) -> tuple[str, list[tuple[str, int]]]:
+    """Expand a grok pattern into (regex, [(capture_name, group_index)]).
+    `%{SYNTAX:name}` becomes a capture group; bare `%{SYNTAX}` is
+    non-capturing. Group indices count EVERY capturing paren in the final
+    regex — raw parens the user wrote (e.g. alternation `(A|B)`) shift
+    the numbering, so indices are computed by scanning the result."""
     import re as _re
 
-    names: list[str] = []
+    marks: list[str] = []
 
     def repl(m: "_re.Match[str]") -> str:
         syntax, name = m.group(1), m.group(2)
@@ -809,11 +818,31 @@ def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
             raise ValueError(f"unknown grok pattern %{{{syntax}}}")
         frag = GROK_PATTERNS[syntax]
         if name:
-            names.append(name)
-            return f"({frag})"
+            marks.append(name)
+            return f"(\x00{len(marks) - 1}\x00{frag})"
         return f"(?:{frag})"
 
-    return _GROK_REF.sub(repl, pattern), names
+    marked = _GROK_REF.sub(repl, pattern)
+    # walk the marked regex: every capturing '(' gets the next index
+    names: list[tuple[str, int]] = []
+    idx = 0
+    i = 0
+    while i < len(marked):
+        ch = marked[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            if marked[i + 1 : i + 2] == "?":
+                i += 1
+                continue
+            idx += 1
+            m2 = _re.match("\x00(\d+)\x00", marked[i + 1 :])
+            if m2:
+                names.append((marks[int(m2.group(1))], idx))
+        i += 1
+    clean = _re.sub("\x00\d+\x00", "", marked)
+    return clean, names
 
 
 def parse_grok(c: Column, pattern: str) -> Column:
@@ -823,10 +852,12 @@ def parse_grok(c: Column, pattern: str) -> Column:
     regex, names = grok_to_regex(pattern)
     if not names:
         raise ValueError("grok pattern has no named captures")
+    # unmatched optional captures (alternation arms) are ABSENT in VRL's
+    # grok result — null, so exists() sees them missing
     return F.struct(
         *[
-            F.regexp_extract(c, regex, i + 1).alias(name)
-            for i, name in enumerate(names)
+            F.nullif(F.regexp_extract(c, regex, gi), F.lit("")).alias(name)
+            for name, gi in names
         ]
     )
 

@@ -167,6 +167,7 @@ class _P:
         self._is_str = False
         self._is_ts = False  # timestamp provenance (to_string dispatch)
         self._is_jsontext = False  # schema-less parse_json provenance
+        self._last_path_dtype = None  # dtype of the last bare-path read
         # enrichment-table lookups found while parsing: each becomes a
         # broadcast join added by vrl_remap BEFORE the projection, with a
         # __enrich_N placeholder column standing in for the joined row
@@ -314,6 +315,7 @@ class _P:
 
     def primary(self) -> Column:
         self._is_str = False
+        self._last_path_dtype = None
         t = self.peek()
         if t is None:
             raise VrlCompileError("unexpected end of expression")
@@ -388,6 +390,8 @@ class _P:
                 "timestamp"
             )
             rest = t.text[1 + len(root):]
+            if not rest:
+                self._last_path_dtype = self.known_dtypes.get(root)
             if rest and self.known_dtypes.get(root) == "string":
                 # nested access INTO a string column: the column holds
                 # JSON text (the schema-less parse_json contract) — the
@@ -486,6 +490,27 @@ class _P:
             args.append(closure)
         if name not in VRL_FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
+        # VRL type assertions (string!/int!/float!/bool!/timestamp!):
+        # with schema knowledge a wrong-typed operand is a CONSTANT error
+        # — every event errors, exactly the reference's runtime behavior
+        # on that input (corpus *_error tests drop the stream)
+        _ASSERT_TYPES = {
+            "string": ("string",),
+            "int": ("bigint", "int", "long", "smallint", "tinyint"),
+            "float": ("double", "float"),
+            "bool": ("boolean",),
+            "timestamp": ("timestamp",),
+        }
+        if (
+            name in _ASSERT_TYPES
+            and args
+            and self._last_path_dtype is not None
+        ):
+            dt = self._last_path_dtype
+            if not any(dt.startswith(t) for t in _ASSERT_TYPES[name]):
+                (self.fallible_flags if fallible else self.latent_flags).append(
+                    F.lit(True)
+                )
         if name == "encode_json" and self._is_jsontext and args:
             # encode_json over schema-less parse_json output (validated
             # JSON TEXT): re-serialize minified through VARIANT — the
@@ -506,6 +531,7 @@ class _P:
         self._is_str = name in _STRING_FNS
         self._is_ts = name in _TIMESTAMP_FNS
         self._is_jsontext = name == "parse_json" and len(args) < 2
+        self._last_path_dtype = None  # a call result is not a path
         if name == "assert":
             # assert!(cond): errors when the condition is false/null
             self.fallible_flags.append(~F.coalesce(result, F.lit(False)))
