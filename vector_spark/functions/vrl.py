@@ -502,6 +502,35 @@ def _vrl_length(c: Column) -> Column:
     )
 
 
+
+def parse_aws_cloudwatch_log_subscription_message(c: Column) -> Column:
+    """VRL parse_aws_cloudwatch_log_subscription_message: the documented
+    CloudWatch Logs subscription JSON → snake_case struct; log-event
+    timestamps are epoch-millis → timestamp."""
+    p = F.from_json(
+        c,
+        "messageType string, owner string, logGroup string, "
+        "logStream string, subscriptionFilters array<string>, "
+        "logEvents array<struct<id:string, timestamp:bigint, "
+        "message:string>>",
+    )
+    return F.struct(
+        p["owner"].alias("owner"),
+        p["messageType"].alias("message_type"),
+        p["logGroup"].alias("log_group"),
+        p["logStream"].alias("log_stream"),
+        p["subscriptionFilters"].alias("subscription_filters"),
+        F.transform(
+            p["logEvents"],
+            lambda e: F.struct(
+                e["id"].alias("id"),
+                F.timestamp_millis(e["timestamp"]).alias("timestamp"),
+                e["message"].alias("message"),
+            ),
+        ).alias("log_events"),
+    )
+
+
 VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Parse
     "parse_json": parse_json,
@@ -688,6 +717,8 @@ VRL_FUNCTIONS.update(
         "parse_logfmt": lambda c: F.str_to_map(c, F.lit(" "), F.lit("=")),
         "parse_nginx_log": lambda c, format="combined": parse_nginx_log(c),
         "parse_aws_vpc_flow_log": lambda c, **kw: parse_aws_vpc_flow_log(c, **kw),
+        "parse_aws_cloudwatch_log_subscription_message":
+            parse_aws_cloudwatch_log_subscription_message,
         "parse_cef": lambda c: parse_cef(c),
         "parse_bytes": lambda c, unit="B": parse_bytes(c, unit),
         "parse_int_radix": lambda c, base=10: F.conv(c, base, 10).cast("long"),
