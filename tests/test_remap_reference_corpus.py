@@ -35,7 +35,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_parse_glog": _PARSE_FIELDS,
     "remap_function_parse_syslog": _PARSE_FIELDS,
     "remap_function_parse_url": _PARSE_FIELDS,
-    "remap_function_parse_aws_alb_log": _PARSE_FIELDS,
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
@@ -86,4 +85,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 70, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 71, f"only {n_pass} of {len(results)} corpus tests passed"

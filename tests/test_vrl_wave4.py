@@ -135,8 +135,9 @@ def test_parse_aws_alb_log(spark):
     row = one(spark, V["parse_aws_alb_log"](F.lit(line)))
     assert row["type"] == "http"
     assert row["elb"] == "app/my-lb/50dc6c495c0c9188"
+    assert row["client_host"] == "192.168.131.39:2817"
     assert row["client_port"] == 2817
-    assert row["elb_status_code"] == 200
+    assert row["elb_status_code"] == "200"  # reference keeps codes as strings
     assert row["request_method"] == "GET"
     assert row["user_agent"] == "curl/7.46.0"
 

@@ -243,33 +243,57 @@ _ALB_RE = (
 
 
 def parse_aws_alb_log(c: Column) -> Column:
-    """VRL parse_aws_alb_log → struct of the load-balancer access fields
-    (reference: the VRL crate's parse_aws_alb_log; log format per AWS docs)."""
+    """VRL parse_aws_alb_log → the full ALB access-log struct (reference
+    field set, corpus remap_function_parse_aws_alb_log): quote-aware
+    tokenization, '-' (bare or quoted) → null, status codes as strings,
+    client/target host:port kept whole, request split into
+    method/url/protocol."""
+    toks = F.regexp_extract_all(c, F.lit(r'("[^"]*"|\S+)'), 1)
+
+    def tk(i: int) -> Column:
+        t = F.try_element_at(toks, F.lit(i + 1))
+        t = F.when(
+            t.startswith('"') & t.endswith('"'),
+            t.substr(F.lit(2), F.length(t) - 2),
+        ).otherwise(t)
+        return F.nullif(t, F.lit("-"))
+
+    req = F.split(tk(12), " ")
     return F.struct(
-        F.regexp_extract(c, _ALB_RE, 1).alias("type"),
-        F.regexp_extract(c, _ALB_RE, 2).alias("timestamp"),
-        F.regexp_extract(c, _ALB_RE, 3).alias("elb"),
-        F.regexp_extract(c, _ALB_RE, 4).alias("client_host"),
-        F.regexp_extract(c, _ALB_RE, 5).try_cast("int").alias("client_port"),
-        F.regexp_extract(c, _ALB_RE, 6).alias("target_host"),
-        F.regexp_extract(c, _ALB_RE, 8).try_cast("double").alias(
-            "request_processing_time"
-        ),
-        F.regexp_extract(c, _ALB_RE, 9).try_cast("double").alias(
-            "target_processing_time"
-        ),
-        F.regexp_extract(c, _ALB_RE, 10).try_cast("double").alias(
-            "response_processing_time"
-        ),
-        F.regexp_extract(c, _ALB_RE, 11).try_cast("int").alias("elb_status_code"),
-        F.regexp_extract(c, _ALB_RE, 12).try_cast("int").alias(
-            "target_status_code"
-        ),
-        F.regexp_extract(c, _ALB_RE, 13).try_cast("long").alias("received_bytes"),
-        F.regexp_extract(c, _ALB_RE, 14).try_cast("long").alias("sent_bytes"),
-        F.regexp_extract(c, _ALB_RE, 15).alias("request_method"),
-        F.regexp_extract(c, _ALB_RE, 16).alias("request_url"),
-        F.regexp_extract(c, _ALB_RE, 18).alias("user_agent"),
+        tk(0).alias("type"),
+        tk(1).alias("timestamp"),
+        tk(2).alias("elb"),
+        tk(3).alias("client_host"),
+        F.regexp_extract(F.coalesce(tk(3), F.lit("")), r":(\d+)$", 1)
+        .try_cast("int")
+        .alias("client_port"),
+        tk(4).alias("target_host"),
+        tk(5).try_cast("double").alias("request_processing_time"),
+        tk(6).try_cast("double").alias("target_processing_time"),
+        tk(7).try_cast("double").alias("response_processing_time"),
+        tk(8).alias("elb_status_code"),
+        tk(9).alias("target_status_code"),
+        tk(10).try_cast("long").alias("received_bytes"),
+        tk(11).try_cast("long").alias("sent_bytes"),
+        req[0].alias("request_method"),
+        req[1].alias("request_url"),
+        req[2].alias("request_protocol"),
+        tk(13).alias("user_agent"),
+        tk(14).alias("ssl_cipher"),
+        tk(15).alias("ssl_protocol"),
+        tk(16).alias("target_group_arn"),
+        tk(17).alias("trace_id"),
+        tk(18).alias("domain_name"),
+        tk(19).alias("chosen_cert_arn"),
+        tk(20).alias("matched_rule_priority"),
+        tk(21).alias("request_creation_time"),
+        tk(22).alias("actions_executed"),
+        tk(23).alias("redirect_url"),
+        tk(24).alias("error_reason"),
+        tk(25).alias("target_port_list"),
+        tk(26).alias("target_status_code_list"),
+        tk(27).alias("classification"),
+        tk(28).alias("classification_reason"),
     )
 
 
