@@ -97,7 +97,7 @@ def test_parse_grok(spark):
     assert out.level == "ERROR" and out.client == "10.2.3.4"
     assert out.msg == "login failed for bob"
     regex, names = grok_to_regex("%{INT:code} %{WORD}")
-    assert names == ["code"] and "(?:" in regex
+    assert names == [("code", 1)] and "(?:" in regex  # (name, group index)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

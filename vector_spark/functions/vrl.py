@@ -868,11 +868,11 @@ def grok_to_regex(pattern: str) -> tuple[str, list[tuple[str, int]]]:
                 i += 1
                 continue
             idx += 1
-            m2 = _re.match("\x00(\d+)\x00", marked[i + 1 :])
+            m2 = _re.match("\x00(\\d+)\x00", marked[i + 1 :])
             if m2:
                 names.append((marks[int(m2.group(1))], idx))
         i += 1
-    clean = _re.sub("\x00\d+\x00", "", marked)
+    clean = _re.sub("\x00\\d+\x00", "", marked)
     return clean, names
 
 
