@@ -29,7 +29,6 @@ KNOWN_UNSUPPORTED = {
     "remap_emit_multiple": "`. = [..]` multi-event emission",
     "remap_mapped_scalars": "`. = 5` scalar event root",
     "remap_quoted_path": 'quoted path segments (.a."b.c")',
-    "remap_array": "array-index assignment",
     "remap_abort_drop_on_abort": "conditional row-level abort rollback",
     "remap_infallible_assignment": "exact VRL error-message strings",
     "remap_function_parse_glog": _PARSE_FIELDS,
@@ -85,4 +84,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 71, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 72, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -328,14 +328,64 @@ class _P:
             self.eat()
             items: list = []
             while not self.at("]"):
-                items.append(self.expr())
+                t2 = self.peek()
+                nxt2 = (
+                    self.toks[self.i + 1].text
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                # simple literal elements stay PYTHON values so the
+                # array can detect heterogeneity (and config args like
+                # redact filters keep real patterns)
+                if (
+                    t2 is not None
+                    and t2.kind in ("int", "float", "dqstr", "sqstr")
+                    and nxt2 in (",", "]")
+                ):
+                    self.eat()
+                    if t2.kind == "int":
+                        items.append(int(t2.text))
+                    elif t2.kind == "float":
+                        items.append(float(t2.text))
+                    else:
+                        self._is_str = True
+                        items.append(
+                            t2.text[1:-1]
+                            .replace(r"\"", '"')
+                            .replace(r"\'", "'")
+                            .replace("\\\\", "\\")
+                        )
+                elif (
+                    t2 is not None
+                    and t2.kind == "name"
+                    and t2.text == "null"
+                    and nxt2 in (",", "]")
+                ):
+                    self.eat()
+                    items.append(None)
+                else:
+                    items.append(self.expr())
                 if self.at(","):
                     self.eat()
             self.eat("]")
-            col = F.array(
-                *[i if isinstance(i, Column) else F.lit(i) for i in items]
-            )
-            if all(not isinstance(i, Column) for i in items):
+            literal_only = all(not isinstance(i, Column) for i in items)
+            kinds = {type(i) for i in items if i is not None} if literal_only else set()
+            if literal_only and len(kinds) > 1:
+                # heterogeneous literal array: VRL arrays are untyped;
+                # the typed-engine representation is array<string> (the
+                # same lub array-index assignment produces, so equality
+                # comparisons line up)
+                col = F.array(
+                    *[
+                        F.lit(None if i is None else str(i))
+                        for i in items
+                    ]
+                )
+            else:
+                col = F.array(
+                    *[i if isinstance(i, Column) else F.lit(i) for i in items]
+                )
+            if literal_only:
                 # literal-only arrays keep their python values: config
                 # args like redact(filters: [r'..']) need the patterns,
                 # not an array Column (the expression form still works)
@@ -894,7 +944,41 @@ def compile_vrl_full(
         err = None
         for flag in p.fallible_flags:
             err = flag if err is None else (err | flag)
-        if len(targets) == 1:
+        _idx_m = (
+            re.match(r"^\.([A-Za-z_]\w*)\[(\d+)\]$", targets[0].text)
+            if len(targets) == 1 and targets[0].kind == "path"
+            else None
+        )
+        if _idx_m:
+            # `.a[i] = v` — rebuild the array with position i set, padded
+            # with nulls to i+1 (VRL array-index assignment; element
+            # types coerce as Spark's lub, matching the corpus's
+            # heterogeneous-array comparisons which coerce identically)
+            root, idx = _idx_m.group(1), int(_idx_m.group(2))
+            if p.known_cols is not None and root not in p.known_cols:
+                base = F.array()
+            else:
+                base = F.col(root)
+            # heterogeneous VRL arrays land as array<string> (the typed
+            # engine's lub); comparisons coerce literal arrays the same
+            # way, so equality semantics survive
+            v = (expr if isinstance(expr, Column) else F.lit(expr)).cast(
+                "string"
+            )
+            n = F.greatest(
+                F.coalesce(F.size(base), F.lit(0)), F.lit(idx + 1)
+            )
+            arr = F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda j: F.when(j == idx, v).otherwise(
+                    F.try_element_at(base, (j + 1).cast("int")).cast(
+                        "string"
+                    )
+                ),
+            )
+            assignments.append(Assignment(root, arr, err))
+            _learn(root)
+        elif len(targets) == 1:
             assignments.append(Assignment(_target_name(targets[0]), expr, err))
             _learn(_target_name(targets[0]))
         elif len(targets) == 2:
