@@ -38,10 +38,7 @@ KNOWN_UNSUPPORTED = {
     "remap_function_ip_subnet": _IPV6,
     "remap_function_ip_cidr_contains": _IPV6,
     "remap_function_compact": _DYNAMIC_TYPES,
-    "remap_function_merge": _DYNAMIC_TYPES,
     "remap_function_flatten": _DYNAMIC_TYPES,
-    "remap_function_push_to_array": _DYNAMIC_TYPES,
-    "remap_function_append_to_array": _DYNAMIC_TYPES,
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
     "remap_function_tag_types_externally": "tag_types_externally shape",
 }
@@ -84,4 +81,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 72, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 75, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -561,6 +561,40 @@ class _P:
                 (self.fallible_flags if fallible else self.latent_flags).append(
                     F.lit(True)
                 )
+        if (
+            name in ("push", "append")
+            and self._is_jsontext
+            and len(args) == 2
+        ):
+            # array ops over schema-less parse_json TEXT: decode as
+            # array<string> (the heterogeneous-array lub), concat —
+            # same coercion the corpus's element comparisons apply
+            self._is_jsontext = False
+            self._last_path_dtype = None
+            self._is_str = False
+            a0 = F.from_json(args[0].cast("string"), "array<string>")
+            if name == "push":
+                v = args[1] if isinstance(args[1], Column) else F.lit(args[1])
+                return F.concat(a0, F.array(v.cast("string")))
+            return F.concat(
+                a0, F.from_json(args[1].cast("string"), "array<string>")
+            )
+        if (
+            name == "merge"
+            and len(args) == 2
+            and self._last_path_dtype == "string"
+        ):
+            # JSON-object TEXT merge (both operands are string columns
+            # holding validated JSON): right wins via LAST_WIN map
+            # dedup; the result stays TEXT so the JSON-path bridge
+            # serves later field access
+            self._last_path_dtype = None
+            return F.to_json(
+                F.map_concat(
+                    F.from_json(args[0].cast("string"), "map<string,string>"),
+                    F.from_json(args[1].cast("string"), "map<string,string>"),
+                )
+            )
         if name == "encode_json" and self._is_jsontext and args:
             # encode_json over schema-less parse_json output (validated
             # JSON TEXT): re-serialize minified through VARIANT — the
