@@ -83,7 +83,8 @@ def test_syslog_encode_parse_roundtrip(spark):
     assert line == "<13>Mar 5 12:30:01 db-1 pg[99]: ready"
     parsed = enc.select(parse_syslog(F.col("line")).alias("p")).collect()[0].p
     assert parsed.hostname == "db-1" and parsed.appname == "pg"
-    assert parsed.message == "ready" and parsed.severity == 5
+    # reference contract: name-coded severity (pri 13 -> notice)
+    assert parsed.message == "ready" and parsed.severity == "notice"
 
 
 def test_parse_grok(spark):

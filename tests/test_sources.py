@@ -108,8 +108,8 @@ def test_syslog_tcp_ingest_and_decode(spark, tmp_path):
         rows = spark.sql(
             f"SELECT message, syslog.hostname h, syslog.severity s FROM {name} ORDER BY seq"
         ).collect()
-        assert rows[0].h == "host1" and rows[0].s == 2  # 34 % 8
-        assert rows[1].h == "host2" and rows[1].s == 5  # 13 % 8
+        assert rows[0].h == "host1" and rows[0].s == "crit"  # 34 % 8 -> name-coded
+        assert rows[1].h == "host2" and rows[1].s == "notice"  # 13 % 8
     finally:
         q.stop()
 

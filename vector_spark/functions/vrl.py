@@ -123,15 +123,52 @@ def parse_apache_log(c: Column) -> Column:
     )
 
 
+# RFC5424: <pri>VERSION TIMESTAMP HOST APP PROCID MSGID SD MSG
+SYSLOG5424_RE = (
+    r"^<(\d+)>\d+\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\s"
+    r"(?:(?:\[.*?\])+|-)\s*(.*)$"
+)
+_SYSLOG_FACILITY_NAMES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+_SYSLOG_SEVERITY_NAMES = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+
+
 def parse_syslog(c: Column) -> Column:
-    """VRL parse_syslog (RFC3164 subset) → struct."""
-    pri = F.regexp_extract(c, SYSLOG_RE, 1).cast("int")
+    """VRL parse_syslog → struct with NAME-coded facility/severity (the
+    reference contract, corpus remap_function_parse_syslog), RFC5424 and
+    RFC3164 auto-detected; 5424 carries a typed timestamp, procid, and
+    msgid; appname is the APP-NAME token verbatim."""
+    is5 = c.rlike(r"^<\d+>\d+\s")
+    g5 = lambda i: F.regexp_extract(c, SYSLOG5424_RE, i)  # noqa: E731
+    g3 = lambda i: F.regexp_extract(c, SYSLOG_RE, i)  # noqa: E731
+    pri = F.when(is5, g5(1)).otherwise(g3(1)).cast("int")
+    facility = F.try_element_at(
+        F.array(*[F.lit(n) for n in _SYSLOG_FACILITY_NAMES]),
+        (F.floor(pri / 8) + 1).cast("int"),
+    )
+    severity = F.try_element_at(
+        F.array(*[F.lit(n) for n in _SYSLOG_SEVERITY_NAMES]),
+        (F.pmod(pri, F.lit(8)) + 1).cast("int"),
+    )
+    ts5 = F.coalesce(
+        F.try_to_timestamp(g5(2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(g5(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
     return F.struct(
-        (pri / 8).cast("int").alias("facility"),
-        F.pmod(pri, F.lit(8)).alias("severity"),
-        F.regexp_extract(c, SYSLOG_RE, 3).alias("hostname"),
-        F.regexp_extract(c, SYSLOG_RE, 4).alias("appname"),
-        F.regexp_extract(c, SYSLOG_RE, 6).alias("message"),
+        facility.alias("facility"),
+        severity.alias("severity"),
+        F.when(is5, ts5).alias("timestamp"),
+        F.when(is5, g5(3)).otherwise(g3(3)).alias("hostname"),
+        F.when(is5, g5(4)).otherwise(F.trim(g3(4))).alias("appname"),
+        F.when(is5, g5(5)).otherwise(g3(5)).try_cast("long").alias("procid"),
+        F.when(is5, F.nullif(g5(6), F.lit("-"))).alias("msgid"),
+        F.when(is5, g5(7)).otherwise(g3(6)).alias("message"),
     )
 
 
