@@ -31,7 +31,6 @@ KNOWN_UNSUPPORTED = {
     "remap_quoted_path": 'quoted path segments (.a."b.c")',
     "remap_abort_drop_on_abort": "conditional row-level abort rollback",
     "remap_infallible_assignment": "exact VRL error-message strings",
-    "remap_function_parse_glog": _PARSE_FIELDS,
     "remap_function_parse_url": _PARSE_FIELDS,
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
     "remap_function_ip_subnet": _IPV6,
@@ -80,4 +79,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 76, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 77, f"only {n_pass} of {len(results)} corpus tests passed"

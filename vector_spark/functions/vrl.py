@@ -76,8 +76,10 @@ def parse_timestamp(c: Column, fmt: str) -> Column:
     if fmt == "%+":  # RFC3339, offset/fraction variants
         return F.coalesce(
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
         )
     return F.try_to_timestamp(c, F.lit(_strf(fmt)))
@@ -301,23 +303,41 @@ def _format_number(
     return F.translate(base, ",.", grouping_separator + decimal_separator)
 
 
-# glog: I0101 12:00:00.000000 1 file.cc:123] message
-GLOG_RE = r"^([IWEF])(\d{4} [\d:.]+)\s+(\d+)\s+([^:]+):(\d+)\]\s*(.*)$"
+# glog: I0101 12:00:00.000000 1 file.cc:123] message — the date may be
+# MMdd (classic, no year) or yyyyMMdd (corpus remap_function_parse_glog)
+GLOG_RE = r"^([IWEF])(\d{4}|\d{8}) ([\d:.]+)\s+(\d+)\s+([^:]+):(\d+)\]\s*(.*)$"
 
 
 def parse_glog(c: Column) -> Column:
-    """VRL parse_glog → struct (level, timestamp, id, file, line, message)."""
+    """VRL parse_glog → struct (level name, typed timestamp when the line
+    carries a full yyyyMMdd date, id, file, line, message)."""
     level = F.regexp_extract(c, GLOG_RE, 1)
+    date = F.regexp_extract(c, GLOG_RE, 2)
+    time = F.regexp_extract(c, GLOG_RE, 3)
+    ts = F.when(
+        F.length(date) == 8,
+        F.coalesce(
+            F.try_to_timestamp(
+                F.concat(date, F.lit(" "), time),
+                F.lit("yyyyMMdd HH:mm:ss.SSSSSS"),
+            ),
+            F.try_to_timestamp(
+                F.concat(date, F.lit(" "), time),
+                F.lit("yyyyMMdd HH:mm:ss"),
+            ),
+        ),
+    )
     return F.struct(
         F.when(level == "I", "info")
         .when(level == "W", "warning")
         .when(level == "E", "error")
         .when(level == "F", "fatal")
         .alias("level"),
-        F.regexp_extract(c, GLOG_RE, 3).cast("long").alias("id"),
-        F.regexp_extract(c, GLOG_RE, 4).alias("file"),
-        F.regexp_extract(c, GLOG_RE, 5).cast("long").alias("line"),
-        F.regexp_extract(c, GLOG_RE, 6).alias("message"),
+        ts.alias("timestamp"),
+        F.regexp_extract(c, GLOG_RE, 4).cast("long").alias("id"),
+        F.regexp_extract(c, GLOG_RE, 5).alias("file"),
+        F.regexp_extract(c, GLOG_RE, 6).cast("long").alias("line"),
+        F.regexp_extract(c, GLOG_RE, 7).alias("message"),
     )
 
 
