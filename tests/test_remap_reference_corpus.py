@@ -38,7 +38,6 @@ KNOWN_UNSUPPORTED = {
     "remap_function_compact": _DYNAMIC_TYPES,
     "remap_function_flatten": _DYNAMIC_TYPES,
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
-    "remap_function_tag_types_externally": "tag_types_externally shape",
 }
 
 
@@ -79,4 +78,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 77, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 78, f"only {n_pass} of {len(results)} corpus tests passed"

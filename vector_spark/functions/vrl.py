@@ -492,7 +492,8 @@ def _vrl_replace(c, *args, **kw):
 def _vrl_redact(c, *args, **kw):
     filters = kw.get("filters", args[0] if args else [])
     if isinstance(filters, Column):
-        filters = getattr(filters, "_vs_literal_list", None)
+        # Column.__getattr__ would turn a plain getattr into field access
+        filters = filters.__dict__.get("_vs_literal_list")
         if filters is None:
             raise ValueError("redact: filters must be literal patterns")
     if not isinstance(filters, (list, tuple)):

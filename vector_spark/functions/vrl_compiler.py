@@ -117,7 +117,7 @@ def _lex(src: str) -> list[_Tok]:
 # event-value operand (string literals stay python values for these)
 _LITERAL_FIRST_ARG_FNS = {
     "get_env_var", "ip_cidr_contains", "random_int", "get_secret",
-    "match_datadog_query",
+    "match_datadog_query", "tag_types_externally",
 }
 
 _TIMESTAMP_FNS = {
@@ -394,19 +394,45 @@ class _P:
         if t.text == "{":  # object literal → struct with field aliases
             self.eat()
             fields: list[Column] = []
+            raw_obj: dict | None = {}
             while not self.at("}"):
                 k = self.eat()
                 if k.kind not in ("dqstr", "sqstr"):
                     raise VrlCompileError("object literal keys must be strings")
                 self.eat(":")
-                v = self.expr()
+                vt = self.peek()
+                vnxt = (
+                    self.toks[self.i + 1].text
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if (
+                    vt is not None
+                    and vt.kind in ("int", "float", "dqstr", "sqstr")
+                    and vnxt in (",", "}")
+                ):
+                    self.eat()
+                    if vt.kind == "int":
+                        v = int(vt.text)
+                    elif vt.kind == "float":
+                        v = float(vt.text)
+                    else:
+                        v = vt.text[1:-1]
+                    if raw_obj is not None:
+                        raw_obj[k.text[1:-1]] = v
+                else:
+                    v = self.expr()
+                    raw_obj = None  # non-literal value: no raw capture
                 fields.append(
                     (v if isinstance(v, Column) else F.lit(v)).alias(k.text[1:-1])
                 )
                 if self.at(","):
                     self.eat()
             self.eat("}")
-            return F.struct(*fields)
+            col = F.struct(*fields)
+            if raw_obj:
+                col._vs_literal_obj = raw_obj
+            return col
         if t.kind == "regex":
             self.eat()
             return RegexLiteral(t.text[2:-1])
@@ -540,6 +566,50 @@ class _P:
             args.append(closure)
         if name not in VRL_FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
+        if name == "tag_types_externally" and len(args) == 1:
+            # VRL type tagging: value → {type_name: value}. Types resolve
+            # at compile time (literals keep python types; Columns use
+            # provenance) — the reference resolves them at runtime, same
+            # observable result for typed inputs.
+            def _tag(v):
+                if v is None:
+                    return None
+                if isinstance(v, RegexLiteral):
+                    return F.struct(F.lit(str(v)).alias("regex"))
+                if isinstance(v, bool):
+                    return F.struct(F.lit(v).alias("boolean"))
+                if isinstance(v, int):
+                    return F.struct(F.lit(v).alias("integer"))
+                if isinstance(v, float):
+                    return F.struct(F.lit(v).alias("float"))
+                if isinstance(v, str):
+                    return F.struct(F.lit(v).alias("string"))
+                return None
+
+            a0 = args[0]
+            tagged = _tag(a0)
+            if tagged is not None or a0 is None:
+                self._last_path_dtype = None
+                return tagged
+            if isinstance(a0, Column):
+                # Column.__getattr__ turns unknown attributes into field
+                # accesses — consult the instance dict directly
+                lst = a0.__dict__.get("_vs_literal_list")
+                obj = a0.__dict__.get("_vs_literal_obj")
+                self._last_path_dtype = None
+                if lst is not None:
+                    return F.array(*[_tag(x) for x in lst])
+                if obj is not None:
+                    return F.struct(
+                        *[_tag(v).alias(k) for k, v in obj.items()]
+                    )
+                if self._is_ts:
+                    return F.struct(a0.alias("timestamp"))
+                if self._is_str:
+                    return F.struct(a0.alias("string"))
+            raise VrlCompileError(
+                "tag_types_externally needs a literal or typed operand"
+            )
         # VRL type assertions (string!/int!/float!/bool!/timestamp!):
         # with schema knowledge a wrong-typed operand is a CONSTANT error
         # — every event errors, exactly the reference's runtime behavior
@@ -742,7 +812,8 @@ class _P:
                 return float(t.text)
             if t.kind == "regex":
                 self.eat()
-                return str(RegexLiteral(t.text[2:-1]))
+                return RegexLiteral(t.text[2:-1])  # str subclass: keeps
+                # pattern-ness for type-tagging, still a plain pattern
             if t.kind == "name" and t.text in ("true", "false"):
                 self.eat()
                 return t.text == "true"
