@@ -86,6 +86,28 @@ def test_fact_columns_preserved_and_suffix(sides):
     ]
 
 
+def test_null_dim_values_do_not_stitch_rows(spark):
+    # Review finding r3 (high): filling each dim column independently with
+    # last(ignorenulls) stitched fields from DIFFERENT dim rows when the
+    # matched row held a null — the match must be row-atomic: all output
+    # fields from the single matched dim row, nulls included.
+    fact = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 11:30:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 09:00:00"), "old_c1", "old_c2"),
+            (7, _ts("2024-01-01 11:00:00"), "new_c1", None),
+        ],
+        "user_id long, ts timestamp, c1 string, c2 string",
+    )
+    [r] = asof_join(fact, dim, on="user_id").collect()
+    assert r["c1"] == "new_c1"
+    assert r["c2"] is None  # NOT "old_c2" from the 09:00 row
+    assert r["asof_ts"] == _ts("2024-01-01 11:00:00")
+
+
 def test_plan_single_partitioned_window_no_join(sides):
     fact, dim = sides
     plan = (

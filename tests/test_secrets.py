@@ -131,3 +131,22 @@ def test_secret_section_stripped_and_noop_without_refs():
     assert "secret" not in out
     plain = {"sources": {"ev": {"type": "values", "rows": []}}}
     assert resolve_secrets(plain) is plain
+
+
+def test_directory_backend_rejects_sibling_prefix_escape(tmp_path):
+    # Review finding r3 (low): the escape check was a raw string-prefix
+    # test, so base '/x/sec' admitted '../secrets2/k' (resolves to
+    # '/x/secrets2/k', which shares the '/x/sec' prefix). commonpath
+    # closes the sibling-directory hole.
+    base = tmp_path / "sec"
+    base.mkdir()
+    sib = tmp_path / "secrets2"
+    sib.mkdir()
+    (sib / "k").write_text("leaked")
+    with pytest.raises(SecretError, match="escapes the directory"):
+        resolve_secrets(
+            {
+                "secret": {"d": {"type": "directory", "path": str(base)}},
+                "sinks": {"s": {"url": "SECRET[d.../secrets2/k]"}},
+            }
+        )

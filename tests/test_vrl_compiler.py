@@ -74,6 +74,33 @@ def test_vrl_fallible_routes_dropped(spark):
     assert [r.raw for r in dropped] == ["nope"]
 
 
+def test_root_replacement_head_honors_error_routing(spark):
+    # Review finding r3 (medium): `. = expr` followed by more statements
+    # staged the head WITHOUT the caller's drop_on_error/reroute_dropped —
+    # rows erroring in the root replacement silently continued. They must
+    # drop / reroute like any other remap error.
+    df = spark.createDataFrame([Row(line="code=7 dur=1"), Row(line="junk")])
+    prog = (
+        ". = parse_regex!(.line, r'code=(?P<code>\\d+) dur=(?P<dur>\\d+)')\n"
+        '.tag = "x"\n'
+    )
+    outs = vrl_remap(df, prog, reroute_dropped=True)
+    assert [r.code for r in outs[""].collect()] == ["7"]
+    [d] = outs["dropped"].collect()
+    assert d.line == "junk"  # original event rerouted, not forwarded
+    assert [r.code for r in vrl_remap(df, prog, drop_on_error=True)[""].collect()] == ["7"]
+
+
+def test_vrl_length_invalid_json_prefix(spark):
+    # Review finding r3 (low): a plain string starting with '[' or '{'
+    # that is not valid JSON must count characters, not return null.
+    df = spark.createDataFrame(
+        [Row(s="[not json"), Row(s="{nope"), Row(s='["a","b"]'), Row(s="plain")]
+    )
+    out = {r.s: r.n for r in vrl_remap(df, ".n = length(.s)")[""].collect()}
+    assert out == {"[not json": 9, "{nope": 5, '["a","b"]': 2, "plain": 5}
+
+
 def test_vrl_literal_args(spark):
     out = _run(
         spark,

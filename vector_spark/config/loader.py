@@ -160,15 +160,29 @@ def merge_configs(cfgs: list[dict]) -> dict:
     multi-file/--config-dir loading, src/config/loading/mod.rs: each
     file contributes components into one graph; a component name defined
     twice is an error, same strictness)."""
-    out: dict = {"sources": {}, "transforms": {}, "sinks": {}}
+    comp_sections = ("sources", "transforms", "sinks")
+    out: dict = {s: {} for s in comp_sections}
     for cfg in cfgs:
-        for section in ("sources", "transforms", "sinks"):
+        for section in comp_sections:
             for name, comp in (cfg.get(section) or {}).items():
-                if any(name in out[s] for s in out):
+                if any(name in out[s] for s in comp_sections):
                     raise TopologyError(
                         f"component {name!r} defined in more than one file"
                     )
                 out[section][name] = comp
+        # Non-component sections merge too — the reference's loader folds
+        # enrichment_tables and unit tests from every file into one config
+        # (src/config/loading/mod.rs); dropping them would silently break
+        # any remap using get_enrichment_table_record from a sibling file.
+        for name, tbl in (cfg.get("enrichment_tables") or {}).items():
+            tables = out.setdefault("enrichment_tables", {})
+            if name in tables:
+                raise TopologyError(
+                    f"enrichment table {name!r} defined in more than one file"
+                )
+            tables[name] = tbl
+        if cfg.get("tests"):
+            out.setdefault("tests", []).extend(cfg["tests"])
     return out
 
 

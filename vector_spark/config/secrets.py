@@ -64,7 +64,10 @@ def _resolve_backend(name: str, bcfg: dict, keys: list[str]) -> dict[str, str]:
         base = bcfg["path"]
         for k in keys:
             p = os.path.normpath(os.path.join(base, k))
-            if not p.startswith(os.path.normpath(base)):
+            # commonpath, not a string prefix: base '/sec' must not admit
+            # '/secrets2/x' (sibling dir sharing the prefix)
+            nb = os.path.normpath(base)
+            if os.path.commonpath([nb, p]) != nb:
                 raise SecretError(f"{name}: key {k!r} escapes the directory")
             try:
                 with open(p) as f:

@@ -64,7 +64,11 @@ def parse_regex(c: Column, pattern: str, group: int = 1, **kw) -> Column:
             F.regexp_extract(c, java, i + 1).alias(str(i + 1))
             for i in range(len(names))
         ]
-    return F.struct(*fields)
+    # VRL parse_regex ERRORS on no-match (it doesn't hand back empty
+    # captures) — null result feeds the compiler's input-present/
+    # result-null fallibility flag. rlike is an unanchored find, the
+    # same match semantics regexp_extract uses.
+    return F.when(c.rlike(java), F.struct(*fields))
 
 
 def parse_timestamp(c: Column, fmt: str) -> Column:
@@ -552,9 +556,11 @@ def _vrl_length(c: Column) -> Column:
     elements/keys via json_array_length / json_object_keys."""
     s = c.cast("string")
     t = F.trim(s)
+    # coalesce: a plain string that merely STARTS with '[' or '{' but is
+    # not valid JSON makes the json_* branch null — fall back to char count
     return (
-        F.when(t.startswith("["), F.json_array_length(t))
-        .when(t.startswith("{"), F.size(F.json_object_keys(t)))
+        F.when(t.startswith("["), F.coalesce(F.json_array_length(t), F.length(s)))
+        .when(t.startswith("{"), F.coalesce(F.size(F.json_object_keys(t)), F.length(s)))
         .otherwise(F.length(s))
         .cast("long")
     )

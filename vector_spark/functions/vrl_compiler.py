@@ -1250,16 +1250,33 @@ def vrl_remap(
     m = re.match(r"\s*\.\s*=\s*([^\n]+)\n(.*)$", source, re.S)
     if m and m.group(2).strip():
         head = ". = " + m.group(1)
-        staged = vrl_remap(
+        # The staged head must honor the caller's error routing: a row
+        # that errors during root replacement (all-null fields) is dropped
+        # or rerouted exactly like a tail-statement error — not silently
+        # continued (review finding r3).
+        drop_on_error = remap_kwargs.get("drop_on_error", False)
+        reroute = remap_kwargs.get("reroute_dropped", False)
+        head_res = vrl_remap(
             df, head, drop_on_abort=drop_on_abort,
             enrichment_tables=enrichment_tables,
-        )[""]
+            drop_on_error=drop_on_error, reroute_dropped=reroute,
+        )
+        staged = head_res[""]
         if "_error" in staged.columns:
             staged = staged.drop("_error")
-        return vrl_remap(
+        tail = vrl_remap(
             staged, m.group(2), drop_on_abort=drop_on_abort,
             enrichment_tables=enrichment_tables, **remap_kwargs,
         )
+        if reroute and "dropped" in head_res:
+            hd = head_res["dropped"]
+            td = tail.get("dropped")
+            tail["dropped"] = (
+                td.unionByName(hd, allowMissingColumns=True)
+                if td is not None
+                else hd
+            )
+        return tail
 
     # known_cols makes absent-field reads compile to null (VRL contract);
     # dtypes feed timestamp-aware rendering

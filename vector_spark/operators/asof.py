@@ -53,13 +53,20 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     dim_vals = [c for c in dim.columns if c not in keys and c != ts_col]
 
+    # All dim values travel in ONE struct (`_d_row`) so that
+    # last(_d_row, ignorenulls) picks every matched field from the SAME dim
+    # row — filling each column independently would stitch a row that never
+    # existed whenever a dim value is null (null c2 at t=11:00 must yield
+    # null, not c2 from t=09:00; pandas merge_asof / DuckDB agree).
     is_dim = "_is_dim"
     dtag = dim.select(
         *keys,
         F.col(ts_col),
         F.lit(1).alias(is_dim),
-        F.col(ts_col).alias("_dim_ts"),
-        *[F.col(c).alias(f"_d_{c}") for c in dim_vals],
+        F.struct(
+            F.col(ts_col).alias("_dim_ts"),
+            *[F.col(c).alias(f"_d_{c}") for c in dim_vals],
+        ).alias("_d_row"),
     )
     ftag = fact.withColumn(is_dim, F.lit(0))
     u = ftag.unionByName(dtag, allowMissingColumns=True)
@@ -80,13 +87,11 @@ def asof_join(
         )
     filled = u.select(
         "*",
-        F.last("_dim_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_d_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in dim_vals
-        ],
+        F.last("_d_row", ignorenulls=True).over(w).alias("_match"),
     )
-    out = filled.where(F.col(is_dim) == 0)
+    out = filled.where(F.col(is_dim) == 0).withColumn(
+        "asof_ts", F.col("_match._dim_ts")
+    )
 
     stale = F.lit(False)
     if tolerance_sec is not None:
@@ -99,7 +104,7 @@ def asof_join(
         F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
         *[
             F.when(stale, F.lit(None))
-            .otherwise(F.col(f"_f_{c}"))
+            .otherwise(F.col(f"_match._d_{c}"))
             .alias(f"{c}{suffix}")
             for c in dim_vals
         ],
