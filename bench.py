@@ -58,6 +58,9 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    # round-4 additions
+    "vrl_emit_multi",
+    "asof_join_enrich",
 ]
 
 

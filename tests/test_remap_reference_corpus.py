@@ -26,10 +26,7 @@ _DYNAMIC_TYPES = (
 _PARSE_FIELDS = "parse struct lacks some reference fields (partial)"
 _IPV6 = "IPv4-only IP math (IPv6 needs 128-bit two-long form)"
 KNOWN_UNSUPPORTED = {
-    "remap_emit_multiple": "`. = [..]` multi-event emission",
-    "remap_mapped_scalars": "`. = 5` scalar event root",
     "remap_quoted_path": 'quoted path segments (.a."b.c")',
-    "remap_abort_drop_on_abort": "conditional row-level abort rollback",
     "remap_infallible_assignment": "exact VRL error-message strings",
     "remap_function_parse_url": _PARSE_FIELDS,
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
@@ -78,4 +75,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 78, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 81, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -74,6 +74,25 @@ def test_vrl_fallible_routes_dropped(spark):
     assert [r.raw for r in dropped] == ["nope"]
 
 
+def test_multi_event_emission_and_scalar_roots(spark):
+    """`. = [e1, e2]` emits one event per element; `. = scalar` becomes a
+    {message: scalar} event (remap.rs TargetEvents / vrl_target.rs; corpus
+    remap_emit_multiple + remap_mapped_scalars)."""
+    df = spark.createDataFrame([Row(foo=True)])
+    out = vrl_remap(df, '. = [{"message": "hello"}, {"message": "world"}]')[""]
+    assert [r.message for r in out.collect()] == ["hello", "world"]
+    assert [r.message for r in vrl_remap(df, ". = 5")[""].collect()] == [5]
+    # scalar-element arrays wrap each element into message
+    out3 = vrl_remap(df, '. = ["a", "b", "c"]')[""]
+    assert [r.message for r in out3.collect()] == ["a", "b", "c"]
+    # data-dependent n: array root from a column; plan stays explode-only
+    df2 = spark.createDataFrame([Row(s="x y z"), Row(s="q")])
+    out4 = vrl_remap(df2, '. = split(.s, " ")')[""]
+    assert sorted(r.message for r in out4.collect()) == ["q", "x", "y", "z"]
+    plan = out4._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: projection + generate only
+
+
 def test_root_replacement_head_honors_error_routing(spark):
     # Review finding r3 (medium): `. = expr` followed by more statements
     # staged the head WITHOUT the caller's drop_on_error/reroute_dropped —

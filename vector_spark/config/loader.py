@@ -563,6 +563,7 @@ def _build_transform(
                 df,
                 cfg["source"],
                 enrichment_tables=enrich_tables,
+                drop_on_abort=cfg.get("drop_on_abort", False),
                 drop_on_error=cfg.get("drop_on_error", False),
                 reroute_dropped=cfg.get("reroute_dropped", False),
             )

@@ -1301,16 +1301,38 @@ def vrl_remap(
         tagged = df.withColumn("_error", F.coalesce(err, F.lit(False)))
         probe = tagged.select(a.expr.alias("__r"))
         dt = probe.schema[0].dataType
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-        if not isinstance(dt, StructType):
-            raise VrlCompileError(
-                "`. = expr` requires a struct-typed result (its fields "
-                "become the event); map/scalar roots are unsupported"
+        if isinstance(dt, StructType):
+            replaced = tagged.select("_error", a.expr.alias("__r")).select(
+                "_error", "__r.*"
             )
-        replaced = tagged.select("_error", a.expr.alias("__r")).select(
-            "_error", "__r.*"
-        )
+        elif isinstance(dt, ArrayType):
+            # `. = [e1, e2, ...]` — MULTI-EVENT EMISSION: each element
+            # becomes one output event (remap.rs TargetEvents::Traversal /
+            # vrl_target.rs, corpus remap_emit_multiple). Spark shape:
+            # array-of-struct projection + explode — one narrow codegen
+            # stage, no shuffle. Struct elements expand to event fields;
+            # scalar elements wrap into `message` like scalar roots.
+            exploded = tagged.select(
+                "_error", F.explode(a.expr).alias("__r")
+            )
+            if isinstance(dt.elementType, StructType):
+                replaced = exploded.select("_error", "__r.*")
+            else:
+                replaced = exploded.select(
+                    "_error", F.col("__r").alias("message")
+                )
+        elif isinstance(dt, MapType):
+            raise VrlCompileError(
+                "`. = expr` map-typed roots are unsupported: field names "
+                "must be plan-time constants in a typed-column engine"
+            )
+        else:
+            # `. = scalar` — the event becomes {message: scalar}
+            # (vrl_target.rs: scalar roots land on the message key;
+            # corpus remap_mapped_scalars asserts `.message == 5`)
+            replaced = tagged.select("_error", a.expr.alias("message"))
         result = {}
         drop_on_error = remap_kwargs.get("drop_on_error", False)
         reroute = remap_kwargs.get("reroute_dropped", False)

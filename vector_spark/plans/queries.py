@@ -3575,6 +3575,29 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "wave-4 VRL: casing/format_int/entropy/sieve/encode_key_value",
     ),
+    # VRL multi-event emission (remap.rs TargetEvents): a root-array
+    # program emits 0..n events per input row — the fallible head drops
+    # non-matching docs (0 events), the array root explodes the rest into
+    # one event per token. Spark shape: projection + explode, one narrow
+    # codegen stage, no shuffle.
+    "vrl_emit_multi": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.functions.vrl_compiler", fromlist=["vrl_remap"]
+        ).vrl_remap(
+            load_table(spark, sf_dir, "documents"),
+            ". = parse_regex!(.text, r'^(?P<head>[st].{0,39})')\n"
+            '. = split(.head, " ")\n',
+            drop_on_error=True,
+        )[""],
+        """
+        SELECT unnest(string_split(
+                   regexp_extract(text, '^([st].{0,39})', 1), ' '))
+               AS message
+        FROM documents
+        WHERE regexp_matches(text, '^[st]')
+        """,
+        "VRL multi-event emission: fallible head + array root -> explode",
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -3584,6 +3607,8 @@ QUERIES: dict[str, QuerySpec] = {
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
+    # new in r4 — never driver-sampled
+    "vrl_emit_multi",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_bpe_pairs", "events_rollup",
