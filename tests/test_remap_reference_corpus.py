@@ -24,14 +24,11 @@ _DYNAMIC_TYPES = (
     " composition) — a typed-column engine resolves types at plan time"
 )
 _PARSE_FIELDS = "parse struct lacks some reference fields (partial)"
-_IPV6 = "IPv4-only IP math (IPv6 needs 128-bit two-long form)"
 KNOWN_UNSUPPORTED = {
     "remap_quoted_path": 'quoted path segments (.a."b.c")',
     "remap_infallible_assignment": "exact VRL error-message strings",
     "remap_function_parse_url": _PARSE_FIELDS,
     "remap_function_parse_key_value": _ROOT_REPLACEMENT,
-    "remap_function_ip_subnet": _IPV6,
-    "remap_function_ip_cidr_contains": _IPV6,
     "remap_function_compact": _DYNAMIC_TYPES,
     "remap_function_flatten": _DYNAMIC_TYPES,
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
@@ -75,4 +72,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 81, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 83, f"only {n_pass} of {len(results)} corpus tests passed"

@@ -247,6 +247,62 @@ def test_ip_cidr_contains(one):
     assert row.yes is True and row.no is False
 
 
+def test_ipv6_column_paths_vs_stdlib(spark):
+    """IPv6 two-long Column form (parse -> shifts -> render) pinned
+    against the stdlib ipaddress module on 60 random + edge addresses."""
+    import ipaddress
+    import random
+
+    from vector_spark.functions.vrl import ip_cidr_contains, ip_subnet
+
+    rng = random.Random(7)
+    addrs = [str(ipaddress.IPv6Address(rng.getrandbits(128))) for _ in range(60)]
+    addrs += [
+        "::", "::1", "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+        "::ffff:192.168.1.7", "2404:6800:4003:c02::64",
+        "1:0:0:1:0:0:0:1", "2001:db8:0:0:1:0:0:1",
+    ]
+    df = spark.createDataFrame([(a,) for a in addrs], "ip string")
+    for cidr in ["2404:6800:4003:c02::/64", "::/0", "ff00::/8",
+                 "::ffff:192.168.0.0/112", "2404::/15", "abcd::/128"]:
+        got = {
+            r.ip: r.c
+            for r in df.select(
+                "ip", ip_cidr_contains(cidr, F.col("ip")).alias("c")
+            ).collect()
+        }
+        net = ipaddress.ip_network(cidr)
+        for a in addrs:
+            assert got[a] == (ipaddress.ip_address(a) in net), (cidr, a)
+    for mask in ["/64", "/0", "/128", "/37", "ffff:ffff::"]:
+        got = {
+            r.ip: r.s
+            for r in df.select(
+                "ip", ip_subnet(F.col("ip"), mask).alias("s")
+            ).collect()
+        }
+        bits = (
+            mask.lstrip("/")
+            if mask.startswith("/")
+            else bin(int(ipaddress.IPv6Address(mask))).count("1")
+        )
+        for a in addrs:
+            want = str(
+                ipaddress.ip_interface(f"{a}/{bits}").network.network_address
+            )
+            assert got[a] == want, (mask, a, got[a], want)
+    # mixed families: false, never an error
+    df3 = spark.createDataFrame([("10.1.2.3",), ("2404::1",)], "ip string")
+    got = [
+        (r.c4, r.c6)
+        for r in df3.select(
+            ip_cidr_contains("10.0.0.0/8", F.col("ip")).alias("c4"),
+            ip_cidr_contains("2404::/16", F.col("ip")).alias("c6"),
+        ).collect()
+    ]
+    assert got == [(True, False), (False, True)]
+
+
 # remap.yaml `remap_function_ip_to_ipv6` / `remap_function_ipv6_to_ipv4`
 def test_ip_v6_mapping(one):
     row = run(

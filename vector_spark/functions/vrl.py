@@ -406,16 +406,137 @@ def _ip_ntoa(n: Column) -> Column:
     )
 
 
-def ip_subnet(c: Column, mask: str) -> Column:
-    """VRL ip_subnet (IPv4): apply a /prefix or dotted mask to an address."""
+# ---- IPv6 two-long form ------------------------------------------------
+# A 128-bit address rides as two signed 64-bit longs (hi, lo). All parsing
+# and masking is pure Column (array ops + conv + shifts — shifts neither
+# overflow-check under ANSI mode nor lose the sign bit), so CIDR filters
+# stay inside whole-stage codegen and push into scans at 100 TB.
+
+_MASK64 = (1 << 64) - 1
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _ipv6_longs(c: Column) -> tuple[Column, Column]:
+    """Parse an IPv6 string Column (incl. '::' compression and a
+    v4-mapped dotted tail) into (hi, lo) signed longs. Invalid input
+    yields nulls (the fallibility contract's error state)."""
+    s = F.lower(F.trim(c))
+    # rewrite a trailing dotted-quad (::ffff:a.b.c.d) as two hex groups
+    v4 = F.regexp_extract(s, r"((?:\d{1,3}\.){3}\d{1,3})$", 1)
+    v4n = (
+        F.split(v4, r"\.")[0].cast("long") * 16777216
+        + F.split(v4, r"\.")[1].cast("long") * 65536
+        + F.split(v4, r"\.")[2].cast("long") * 256
+        + F.split(v4, r"\.")[3].cast("long")
+    )
+    v4grp = F.concat(
+        F.lower(F.hex(F.shiftrightunsigned(v4n, 16))),
+        F.lit(":"),
+        F.lower(F.hex(v4n.bitwiseAND(F.lit(0xFFFF)))),
+    )
+    s = F.when(
+        v4 != "",
+        F.concat(F.regexp_replace(s, r"(\d{1,3}\.){3}\d{1,3}$", ""), v4grp),
+    ).otherwise(s)
+    halves = F.split(s, "::")
+    nonempty = lambda x: x != ""  # noqa: E731
+    left = F.filter(F.split(F.element_at(halves, 1), ":"), nonempty)
+    right = F.when(
+        F.size(halves) > 1,
+        F.filter(F.split(F.element_at(halves, 2), ":"), nonempty),
+    ).otherwise(F.array().cast("array<string>"))
+    mid = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
+    nums = F.transform(
+        F.concat(left, mid, right),
+        lambda g: F.conv(g, 16, 10).cast("long"),
+    )
+    fold = lambda sl: F.aggregate(  # noqa: E731
+        sl,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 16).bitwiseOR(x),
+    )
+    ok = F.size(nums) == 8
+    return (
+        F.when(ok, fold(F.slice(nums, 1, 4))),
+        F.when(ok, fold(F.slice(nums, 5, 4))),
+    )
+
+
+def _ipv6_ntoa(hi: Column, lo: Column) -> Column:
+    """(hi, lo) longs → RFC 5952-ish compressed string: lowercase hex, no
+    leading zeros, first longest run of >=2 zero groups becomes '::'."""
+    gs = [
+        F.lower(F.hex(F.shiftrightunsigned(h, sh).bitwiseAND(F.lit(0xFFFF))))
+        for h in (hi, lo)
+        for sh in (48, 32, 16, 0)
+    ]
+    canon = F.concat_ws(":", *gs)
+    padded = F.concat(F.lit(":"), canon, F.lit(":"))
+    out = canon
+    for n in range(2, 9):  # build when-chain longest-run-first via override
+        pat = ":" + "0:" * n
+        pos = F.locate(pat, padded)
+        before = F.substring(padded, F.lit(2), pos - 2)
+        after_full = F.substring(padded, pos + F.lit(len(pat)), F.lit(10**6))
+        after = F.substring(after_full, F.lit(1), F.length(after_full) - 1)
+        out = F.when(pos > 0, F.concat(before, F.lit("::"), after)).otherwise(
+            out
+        )
+    return out
+
+
+def _ipv6_mask(hi: Column, lo: Column, bits: int) -> tuple[Column, Column]:
+    z = F.lit(0).cast("long")
+    if bits <= 0:
+        return z, z
+    if bits < 64:
+        return F.shiftleft(F.shiftrightunsigned(hi, 64 - bits), 64 - bits), z
+    if bits == 64:
+        return hi, z
+    if bits < 128:
+        return hi, F.shiftleft(F.shiftrightunsigned(lo, 128 - bits), 128 - bits)
+    return hi, lo
+
+
+def ip_subnet(c: Column | str, mask: str) -> Column:
+    """VRL ip_subnet: apply a /prefix, dotted-quad, or IPv6 hex mask to an
+    address (both families). Literal addresses resolve at compile time via
+    the stdlib ipaddress module; Column addresses stay pure Column."""
+    import ipaddress
+
+    def _v6_mask_bits(m: str) -> int:
+        # IPv6Interface rejects hex netmask strings; a contiguous
+        # netmask's prefix length is its popcount
+        return bin(int(ipaddress.IPv6Address(m))).count("1")
+
+    if isinstance(c, str):
+        if mask.startswith("/"):
+            itf = ipaddress.ip_interface(f"{c}{mask}")
+        elif ":" in mask:
+            itf = ipaddress.ip_interface(f"{c}/{_v6_mask_bits(mask)}")
+        else:
+            itf = ipaddress.ip_interface((c, mask))
+        return F.lit(str(itf.network.network_address))
+    if ":" in mask:
+        return _ipv6_ntoa(*_ipv6_mask(*_ipv6_longs(c), _v6_mask_bits(mask)))
     bits = _ip_mask_bits(mask)
-    m = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    v4_bits = min(bits, 32)
+    m = ((1 << v4_bits) - 1) << (32 - v4_bits) if v4_bits else 0
     aton = VRL_FUNCTIONS["ip_aton"]
-    return _ip_ntoa(aton(c).bitwiseAND(F.lit(m)))
+    v4_out = _ip_ntoa(aton(c).bitwiseAND(F.lit(m)))
+    if "." in mask:
+        return v4_out
+    v6_out = _ipv6_ntoa(*_ipv6_mask(*_ipv6_longs(c), bits))
+    return F.when(c.contains(":"), v6_out).otherwise(
+        v4_out if bits <= 32 else F.lit(None).cast("string")
+    )
 
 
-def ip_cidr_contains_col(cidr, value: Column | None = None) -> Column:
-    """VRL ip_cidr_contains(cidr:, value:) — IPv4, pure Column."""
+def ip_cidr_contains_col(cidr, value: Column | str | None = None) -> Column:
+    """VRL ip_cidr_contains(cidr:, value:) — v4 and v6, pure Column."""
     return ip_cidr_contains(cidr, value)
 
 
@@ -854,14 +975,45 @@ def _strf(fmt: str) -> str:
     return strftime_to_java(fmt)
 
 
-def ip_cidr_contains(cidr: str, ip_col: Column) -> Column:
-    """VRL ip_cidr_contains for IPv4 dotted-quad strings, pure Column."""
-    base, bits = cidr.split("/")
-    bits = int(bits)
-    aton = VRL_FUNCTIONS["ip_aton"]
-    base_n = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(base.split(".")))
-    mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
-    return aton(ip_col).cast("long").bitwiseAND(F.lit(mask)) == F.lit(base_n & mask)
+def ip_cidr_contains(cidr: str, ip_col: Column | str) -> Column:
+    """VRL ip_cidr_contains, both families, pure Column for Column values.
+    Mixed address/network families compare false (the reference's VRL
+    stdlib behavior). Literal values resolve at compile time."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    if isinstance(ip_col, str):
+        try:
+            return F.lit(ipaddress.ip_address(ip_col) in net)
+        except (ValueError, TypeError):
+            return F.lit(False)
+    if net.version == 4:
+        base, bits = cidr.split("/")
+        bits = int(bits)
+        aton = VRL_FUNCTIONS["ip_aton"]
+        base_n = int(net.network_address)
+        mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+        return ~ip_col.contains(":") & (
+            aton(ip_col).cast("long").bitwiseAND(F.lit(mask))
+            == F.lit(base_n & mask)
+        )
+    bits = net.prefixlen
+    v = int(net.network_address)
+    hi_t, lo_t = (v >> 64) & _MASK64, v & _MASK64
+    hi, lo = _ipv6_longs(ip_col)
+    if bits == 0:
+        match = F.lit(True)
+    elif bits < 64:
+        match = F.shiftrightunsigned(hi, 64 - bits) == F.lit(hi_t >> (64 - bits))
+    elif bits == 64:
+        match = hi == F.lit(_signed64(hi_t))
+    elif bits < 128:
+        match = (hi == F.lit(_signed64(hi_t))) & (
+            F.shiftrightunsigned(lo, 128 - bits) == F.lit(lo_t >> (128 - bits))
+        )
+    else:
+        match = (hi == F.lit(_signed64(hi_t))) & (lo == F.lit(_signed64(lo_t)))
+    return ip_col.contains(":") & F.coalesce(match, F.lit(False))
 
 
 # ---- Grok (VRL parse_grok) --------------------------------------------
