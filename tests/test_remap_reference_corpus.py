@@ -18,17 +18,16 @@ import yaml
 REF = "/root/reference/tests/behavior/transforms/remap.yaml"
 
 # name → reason. Grouped by root cause; enforced both directions.
-_ROOT_REPLACEMENT = "`. = expr` whole-event replacement"
 _DYNAMIC_TYPES = (
     "per-row dynamic typing (type assertions / schema-less JSON"
     " composition) — a typed-column engine resolves types at plan time"
 )
-_PARSE_FIELDS = "parse struct lacks some reference fields (partial)"
 KNOWN_UNSUPPORTED = {
-    "remap_quoted_path": 'quoted path segments (.a."b.c")',
     "remap_infallible_assignment": "exact VRL error-message strings",
-    "remap_function_parse_url": _PARSE_FIELDS,
-    "remap_function_parse_key_value": _ROOT_REPLACEMENT,
+    "remap_function_parse_key_value": (
+        "`. = <map>` root: per-row dynamic keys can't become typed "
+        "columns at plan time"
+    ),
     "remap_function_compact": _DYNAMIC_TYPES,
     "remap_function_flatten": _DYNAMIC_TYPES,
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
@@ -72,4 +71,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 83, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 85, f"only {n_pass} of {len(results)} corpus tests passed"

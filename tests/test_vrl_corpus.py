@@ -341,7 +341,8 @@ def test_parse_tokens(one):
 def test_parse_url_struct(one):
     row = run(one, ".parts = parse_url!(.url)")
     assert row.parts.host == "example.com" and row.parts.path == "/p"
-    assert row.parts.query == "q=1"
+    assert row.parts.query == {"q": "1"}  # reference: query is an object
+    assert row.parts.username == "" and row.parts.port is None
 
 
 # remap.yaml `remap_function_assert_pass` / `_fail`

@@ -109,8 +109,19 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
                     # harness: 'c.c' means nested .c.c
                     flat = dict(inp.get("log_fields") or {"message": ""})
                     row: dict = {}
+                    import re as _re
+
                     for k, v in flat.items():
-                        parts = k.split(".")
+                        # keys are event PATHS with VRL quoting: a
+                        # double-quoted segment is one field name that may
+                        # contain dots ('"d.e"' → field d.e; 'a."b.c"' →
+                        # nested a → field b.c)
+                        parts = [
+                            m.group(1) if m.group(1) is not None else m.group(2)
+                            for m in _re.finditer(
+                                r'"((?:[^"\\]|\\.)*)"|([^."]+)', k
+                            )
+                        ]
                         d = row
                         for p in parts[:-1]:
                             d = d.setdefault(p, {})

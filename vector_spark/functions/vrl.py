@@ -727,14 +727,34 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "parse_syslog": parse_syslog,
     "parse_csv": lambda c, schema: F.from_csv(c, F.lit(schema)),
     # no part → the corpus's struct-of-parts form (`.parts = parse_url!(.url)`)
+    # with the reference's full field set (VRL stdlib parse_url): scheme,
+    # username/password ('' when absent), host, port (null when absent),
+    # path, query as a map ({} when absent), fragment — field ORDER matches
+    # the reference so JSON-canonical struct comparison lines up.
     "parse_url": lambda c, part=None: (
         F.parse_url(c, F.lit(part))
         if part is not None
         else F.struct(
             F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+            F.coalesce(
+                F.split(F.parse_url(c, F.lit("USERINFO")), ":")[0], F.lit("")
+            ).alias("username"),
+            F.coalesce(
+                F.split(F.parse_url(c, F.lit("USERINFO")), ":")[1], F.lit("")
+            ).alias("password"),
             F.parse_url(c, F.lit("HOST")).alias("host"),
+            F.regexp_extract(
+                F.parse_url(c, F.lit("AUTHORITY")), r":(\d+)$", 1
+            )
+            .try_cast("long")
+            .alias("port"),
             F.parse_url(c, F.lit("PATH")).alias("path"),
-            F.parse_url(c, F.lit("QUERY")).alias("query"),
+            F.coalesce(
+                F.str_to_map(
+                    F.parse_url(c, F.lit("QUERY")), F.lit("&"), F.lit("=")
+                ),
+                F.create_map().cast("map<string,string>"),
+            ).alias("query"),
             F.parse_url(c, F.lit("REF")).alias("fragment"),
         )
     ),

@@ -54,7 +54,8 @@ _TOKEN_RE = re.compile(
   | (?P<regex>r'(?:[^'\\]|\\.)*')
   | (?P<dqstr>"(?:[^"\\]|\\.)*")
   | (?P<sqstr>'(?:[^'\\]|\\.)*')
-  | (?P<path>\.[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\[\d+\](?:\.[A-Za-z_]\w*)*)*)
+  | (?P<path>\.(?:[A-Za-z_]\w*|"(?:[^"\\]|\\.)*")
+       (?:\.(?:[A-Za-z_]\w*|"(?:[^"\\]|\\.)*")|\[\d+\])*)
   | (?P<dot>\.)
   | (?P<mpath>%[A-Za-z_][\w.]*)
   | (?P<name>[A-Za-z_]\w*)
@@ -77,18 +78,46 @@ def _meta_col_name(mpath_text: str) -> str:
     return "_meta_" + mpath_text[1:].replace(".", "_")
 
 
+_PLAIN_SEG = re.compile(r"[A-Za-z_]\w*$")
+
+
+def _path_segments(text: str) -> list[str | int]:
+    """`.a."b.c"[0].d` → ['a', 'b.c', 0, 'd'] — quoted segments are field
+    names that may contain dots (VRL quoted-path syntax); ints are array
+    indices."""
+    body = text[1:] if text.startswith(".") else text
+    segs: list[str | int] = []
+    for m in re.finditer(r'"((?:[^"\\]|\\.)*)"|([A-Za-z_]\w*)|\[(\d+)\]', body):
+        q, n, i = m.groups()
+        if q is not None:
+            segs.append(q.replace(r"\"", '"').replace(r"\\", "\\"))
+        elif n is not None:
+            segs.append(n)
+        else:
+            segs.append(int(i))
+    return segs
+
+
+def _quote_seg(s: str) -> str:
+    return s if _PLAIN_SEG.match(s) else f"`{s}`"
+
+
 def _path_col(text: str) -> Column:
     """`.a.b[0].c` → F.col('a.b').getItem(0).getField('c'). The dotted
-    prefix stays one name (struct access resolves naturally); indices and
-    post-index fields become getItem/getField chains."""
-    body = text[1:] if text.startswith(".") else text
-    m = re.match(r"^[A-Za-z_][\w.]*", body)
-    col = F.col(m.group())
-    rest = body[m.end() :]
-    for idx, fld in re.findall(r"\[(\d+)\]|\.?([A-Za-z_]\w*)", rest):
+    prefix stays one name (struct access resolves naturally, quoted
+    segments backtick-escape); indices and post-index fields become
+    getItem/getField chains."""
+    segs = _path_segments(text)
+    parts: list[str] = []
+    i = 0
+    while i < len(segs) and isinstance(segs[i], str):
+        parts.append(_quote_seg(segs[i]))
+        i += 1
+    col = F.col(".".join(parts))
+    for s in segs[i:]:
         # F.get, not getItem: ANSI mode throws on out-of-bounds index, but
         # VRL path access on a missing element is null (then `exists` etc.)
-        col = F.get(col, int(idx)) if idx else col.getField(fld)
+        col = F.get(col, s) if isinstance(s, int) else col.getField(s)
     return col
 
 
@@ -222,8 +251,24 @@ class _P:
     def cmp(self) -> Column:
         left = self.add()
         while self.peek() and self.peek().text in ("==", "!=", "<", "<=", ">", ">="):
+            left_pd = self._last_path_dtype
             op = self.eat().text
             right = self.add()
+            # struct/map vs object-literal equality: canonicalize both
+            # sides through to_json (maps aren't EqualTo-comparable in
+            # Spark, and a literal's query sub-object is a struct while
+            # parse_url's is a map). Serialization order = field order,
+            # which matches VRL's insertion-ordered object display.
+            if (
+                op in ("==", "!=")
+                and left_pd is not None
+                and (left_pd.startswith("struct") or left_pd.startswith("map"))
+                and getattr(right, "_vs_obj_struct", False)
+            ):
+                cmp = F.to_json(left) == F.to_json(right)
+                left = cmp if op == "==" else ~cmp
+                self._err_default = None
+                continue
             # VRL null equality: `x == null` is TRUE for null x (Spark
             # `=` would yield null); spelled isNull/isNotNull
             if right is None and op in ("==", "!="):
@@ -430,6 +475,7 @@ class _P:
                     self.eat()
             self.eat("}")
             col = F.struct(*fields)
+            col._vs_obj_struct = True  # comparisons canonicalize via JSON
             if raw_obj:
                 col._vs_literal_obj = raw_obj
             return col
@@ -458,14 +504,15 @@ class _P:
             raise VrlCompileError("bare '.' is not an expression")
         if t.kind == "path":
             self.eat()
-            root = t.text[1:].split(".")[0].split("[")[0]
+            root = _path_segments(t.text)[0]
             if self.known_cols is not None and root not in self.known_cols:
                 return F.lit(None)  # absent field reads as null (VRL)
             # dtype provenance feeds to_string's timestamp rendering
             self._is_ts = self.known_dtypes.get(root, "").startswith(
                 "timestamp"
             )
-            rest = t.text[1 + len(root):]
+            m0 = re.match(r'\.(?:"(?:[^"\\]|\\.)*"|[A-Za-z_]\w*)', t.text)
+            rest = t.text[m0.end():]
             if not rest:
                 self._last_path_dtype = self.known_dtypes.get(root)
             if rest and self.known_dtypes.get(root) == "string":
@@ -825,13 +872,15 @@ class _P:
 
 
 def _target_name(tok: _Tok) -> str:
-    """Assignment-target column name for a path/mpath token."""
+    """Assignment-target column name for a path/mpath token. Quoted
+    segments (field names containing dots) render backticked; the remap
+    operator's path splitter honors backticks."""
     if tok.kind == "mpath":
         return _meta_col_name(tok.text)
-    name = tok.text[1:]
-    if "[" in name:
+    segs = _path_segments(tok.text)
+    if any(isinstance(s, int) for s in segs):
         raise VrlCompileError("assignment into an array index is unsupported")
-    return name
+    return ".".join(_quote_seg(s) for s in segs)
 
 
 def compile_vrl_full(
@@ -864,7 +913,12 @@ def compile_vrl_full(
     def _learn(name: str) -> None:
         # later statements may read what earlier ones assigned
         if p.known_cols is not None:
-            p.known_cols.add(name.split(".")[0])
+            root = (
+                name[1 : name.index("`", 1)]
+                if name.startswith("`")
+                else name.split(".")[0]
+            )
+            p.known_cols.add(root)
     assignments: list[Assignment] = []
     deletes: list[str] = []
     noops = 0

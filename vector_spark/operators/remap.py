@@ -30,12 +30,41 @@ def _is_struct_col(df: DataFrame, name: str) -> bool:
     return name in df.columns and isinstance(df.schema[name].dataType, StructType)
 
 
-def _nested_exists(df: DataFrame, root: str, rest: str) -> bool:
+def path_segs(name: str) -> list[str]:
+    """Split a dotted path into segments, honoring backtick-quoted
+    segments whose names contain dots ('a.`b.c`' → ['a', 'b.c'] — the
+    VRL quoted-path form the compiler emits)."""
+    segs: list[str] = []
+    i = 0
+    while i < len(name):
+        if name[i] == "`":
+            j = name.index("`", i + 1)
+            segs.append(name[i + 1 : j])
+            i = j + 2  # skip closing backtick + following dot
+        else:
+            j = name.find(".", i)
+            # a dot inside backticks belongs to a later quoted segment
+            bq = name.find("`", i)
+            if bq != -1 and (j == -1 or bq < j):
+                j = bq - 1  # plain run ends before the backtick's dot
+                segs.append(name[i:j])
+                i = j + 1
+                continue
+            segs.append(name[i:] if j == -1 else name[i:j])
+            i = len(name) if j == -1 else j + 1
+    return [s for s in segs if s != ""]
+
+
+def _quoted(seg: str) -> str:
+    return f"`{seg}`" if "." in seg or "`" in seg else seg
+
+
+def _nested_exists(df: DataFrame, root: str, rest: list[str]) -> bool:
     """Does struct field root.rest exist in df's schema?"""
     if not _is_struct_col(df, root):
         return False
     dt = df.schema[root].dataType
-    for part in rest.split("."):
+    for part in rest:
         if not isinstance(dt, StructType) or part not in dt.fieldNames():
             return False
         dt = dt[part].dataType
@@ -55,23 +84,35 @@ def _assign(df: DataFrame, name: str, expr: Column) -> DataFrame:
     via withField; a missing root materializes a fresh nested struct; a
     non-struct root of the same name falls back to a flat dotted-name
     column (the documented legacy-envelope escape hatch)."""
-    if "." in name:
-        root, rest = name.split(".", 1)
+    segs = path_segs(name)
+    if len(segs) > 1:
+        root, rest = segs[0], segs[1:]
         if _is_struct_col(df, root):
-            return df.withColumn(root, F.col(root).withField(rest, expr))
+            return df.withColumn(
+                root,
+                F.col(_quoted(root)).withField(
+                    ".".join(_quoted(s) for s in rest), expr
+                ),
+            )
         if root not in df.columns:
-            parts = rest.split(".")
-            return df.withColumn(root, _nested_struct(parts, expr))
-    return df.withColumn(name, expr)
+            return df.withColumn(root, _nested_struct(rest, expr))
+        return df.withColumn(name, expr)  # legacy flat dotted-name column
+    return df.withColumn(segs[0], expr)
 
 
 def _unassign(df: DataFrame, name: str) -> DataFrame:
     """Path-aware del(.path): struct fields dropFields, columns drop."""
-    if "." in name:
-        root, rest = name.split(".", 1)
+    segs = path_segs(name)
+    if len(segs) > 1:
+        root, rest = segs[0], segs[1:]
         if _nested_exists(df, root, rest):
-            return df.withColumn(root, F.col(root).dropFields(rest))
-    return df.drop(name)
+            return df.withColumn(
+                root,
+                F.col(_quoted(root)).dropFields(
+                    ".".join(_quoted(s) for s in rest)
+                ),
+            )
+    return df.drop(segs[0] if len(segs) == 1 else name)
 
 
 @dataclass
@@ -115,8 +156,10 @@ def remap(
     tagged = df.withColumn(error_col, err)
     out = tagged
     for a in assignments:
-        exists = a.out in df.columns or (
-            "." in a.out and _nested_exists(df, *a.out.split(".", 1))
+        segs = path_segs(a.out)
+        exists = (len(segs) == 1 and segs[0] in df.columns) or (
+            a.out in df.columns
+            or (len(segs) > 1 and _nested_exists(df, segs[0], segs[1:]))
         )
         if exists:
             # errored event forwards unchanged: keep original on error.
