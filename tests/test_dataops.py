@@ -197,6 +197,34 @@ def test_connected_components_chain_and_triangle(spark):
     assert sum(1 for c, k in dec.values() if k) == 4  # one survivor per cluster + isolated
 
 
+def test_connected_components_star_long_chain_and_checkpoint(spark, tmp_path):
+    """The star algorithm resolves a 60-chain within its O(log^2 n) round
+    budget (label propagation would need 60 rounds; max_iter=8 forces the
+    star path to do the work), agrees with label propagation, and runs
+    with a RELIABLE checkpoint dir (the 100 TB durability setting)."""
+    from vector_spark.dataops.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(60)] + [(100, 101), (200, 200)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="star", max_iter=8, local_threshold=0,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(61))
+    assert comp[100] == 100 and comp[101] == 100 and comp[200] == 200
+    # label propagation with enough rounds agrees
+    comp_lp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, max_iter=70, local_threshold=0
+        ).collect()
+    }
+    assert comp_lp == comp
+
+
 def test_pq_topk_recall(spark, embeddings):
     """PQ+refine recall vs exact stays above the gate bound."""
     from pyspark.sql import functions as F

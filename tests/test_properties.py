@@ -260,10 +260,25 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "id_a long, id_b long"
     )
+    # local_threshold=0 forces the DISTRIBUTED paths (the default gate
+    # would solve graphs this small on the driver)
     got = {
         r["id"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, local_threshold=0).collect()
     }
+    # alternating large-star/small-star must agree with label propagation
+    got_star = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, algorithm="star", local_threshold=0
+        ).collect()
+    }
+    assert got_star == got
+    # the size-gated driver union-find must agree too
+    got_local = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got_local == got
 
     parent: dict = {}
 
