@@ -61,6 +61,7 @@ HEADLINE = [
     # round-4 additions
     "vrl_emit_multi",
     "asof_join_enrich",
+    "native_proto_roundtrip",
 ]
 
 

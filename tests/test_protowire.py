@@ -1,0 +1,140 @@
+"""Pure-Python protobuf wire codec (functions/protowire.py): spec-pinned
+byte patterns, Vector native event roundtrips (event.proto), OTLP logs
+roundtrips, unknown-field skipping, packed repeated decode, and the
+Spark-side Arrow-batched encode/decode bridge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.protowire import (
+    OTLP_REGISTRY,
+    VECTOR_REGISTRY,
+    decode_message,
+    decode_otlp_logs,
+    decode_vector_log,
+    encode_message,
+    encode_otlp_logs,
+    encode_vector_log,
+    read_varint,
+    write_varint,
+)
+
+
+def test_wire_spec_pinned_bytes():
+    # the spec's own worked examples (protobuf.dev/programming-guides/
+    # encoding): field 1 varint 150 → 08 96 01; field 2 string "testing"
+    # → 12 07 74..67; negative int64 is 10-byte two's complement
+    assert encode_message({"a": 150}, {1: ("a", "int64")}, {}) == b"\x08\x96\x01"
+    assert (
+        encode_message({"b": "testing"}, {2: ("b", "string")}, {})
+        == b"\x12\x07testing"
+    )
+    neg = encode_message({"a": -2}, {1: ("a", "int64")}, {})
+    assert neg == b"\x08" + b"\xfe" + b"\xff" * 8 + b"\x01"
+    assert decode_message(neg, {1: ("a", "int64")}, {}) == {"a": -2}
+    out = bytearray()
+    write_varint(300, out)
+    assert bytes(out) == b"\xac\x02" and read_varint(bytes(out), 0) == (300, 2)
+
+
+def test_unknown_fields_skipped_and_packed_repeated():
+    # unknown field numbers are skipped (proto3 forward compat)
+    buf = encode_message(
+        {"a": 1, "zz": "drop-me"},
+        {1: ("a", "int64"), 99: ("zz", "string")},
+        {},
+    )
+    assert decode_message(buf, {1: ("a", "int64")}, {}) == {"a": 1}
+    # packed repeated varints: one length-delimited chunk
+    packed = b"\x0a\x03\x01\x02\x03"
+    assert decode_message(packed, {1: ("xs", "repeated int64")}, {}) == {
+        "xs": [1, 2, 3]
+    }
+
+
+def test_vector_native_log_roundtrip():
+    ev = {
+        "message": "hello",
+        "count": 7,
+        "ratio": 3.5,
+        "ok": True,
+        "gone": None,
+        "ts": dt.datetime(2024, 1, 2, 3, 4, 5, 123456, tzinfo=dt.timezone.utc),
+        "nested": {"a": 1, "tags": ["x", 2, False]},
+    }
+    assert decode_vector_log(encode_vector_log(ev)) == ev
+    # deprecated Log.fields map form decodes too (native.rs reads both)
+    legacy = encode_message(
+        {
+            "log": {
+                "fields": [
+                    {"key": "m", "value": {"raw_bytes": b"old"}},
+                    {"key": "n", "value": {"integer": 2}},
+                ]
+            }
+        },
+        VECTOR_REGISTRY["EventWrapper"],
+        VECTOR_REGISTRY,
+    )
+    assert decode_vector_log(legacy) == {"m": "old", "n": 2}
+    # non-log wrapper → None (a metric event on a log decode path)
+    metric = encode_message(
+        {"metric": {"name": "c", "kind": 1, "counter": {"value": 2.0}}},
+        VECTOR_REGISTRY["EventWrapper"],
+        VECTOR_REGISTRY,
+    )
+    assert decode_vector_log(metric) is None
+
+
+def test_otlp_logs_roundtrip():
+    recs = [
+        {
+            "time_unix_nano": 1700000000123456789,
+            "severity_number": 9,
+            "severity_text": "INFO",
+            "body": "boot complete",
+            "attributes": {"k": "v", "n": 5, "deep": {"x": [1, 2]}},
+        },
+        {"severity_text": "ERROR", "body": {"structured": True}},
+    ]
+    out = decode_otlp_logs(encode_otlp_logs(recs, {"service.name": "svc"}))
+    assert len(out) == 2
+    assert out[0]["time_unix_nano"] == 1700000000123456789
+    assert out[0]["body"] == "boot complete"
+    assert out[0]["attributes"] == {"k": "v", "n": 5, "deep": {"x": [1, 2]}}
+    assert out[0]["resource"] == {"service.name": "svc"}
+    assert out[1]["body"] == {"structured": True}
+    # registry self-check: LogRecord field numbers match logs.proto v1
+    assert OTLP_REGISTRY["LogRecord"][1][0] == "time_unix_nano"
+    assert OTLP_REGISTRY["LogRecord"][9][0] == "trace_id"
+
+
+def test_spark_native_proto_roundtrip_exact(spark, events):
+    """Arrow-batched encode -> decode over the events table is an exact
+    identity, timestamps to the microsecond."""
+    from vector_spark.functions.codecs import (
+        decode_native_proto_json,
+        encode_native_proto,
+    )
+
+    ev = events.limit(200)
+    enc = ev.select(
+        encode_native_proto(
+            F.struct("event_id", "user_id", "event_type", "value", "ts")
+        ).alias("payload")
+    )
+    dec = enc.select(
+        F.from_json(
+            decode_native_proto_json(F.col("payload")),
+            "event_id long, user_id long, event_type string, value double, ts long",
+        ).alias("d")
+    ).select(
+        "d.event_id", "d.user_id", "d.event_type", "d.value",
+        F.timestamp_micros(F.col("d.ts")).alias("ts"),
+    )
+    orig = ev.select("event_id", "user_id", "event_type", "value", "ts")
+    assert dec.exceptAll(orig).count() == 0
+    assert orig.exceptAll(dec).count() == 0

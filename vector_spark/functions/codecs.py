@@ -16,6 +16,7 @@ expressions (JVM-side, codegen):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -620,6 +621,63 @@ def decode_native_json(c: Column, log_schema: str) -> Column:
 def encode_raw_message(message: Column) -> Column:
     """raw_message encoding: the message bytes, nothing else."""
     return message.cast("string")
+
+
+def encode_native_proto(event: Column) -> Column:
+    """Vector `native` (protobuf) encoding: a struct Column → EventWrapper
+    wire bytes (lib/codecs/src/encoding/format/native.rs) via the
+    pure-Python wire codec in functions/protowire.py — Arrow-batched
+    pandas UDF, no jars or google.protobuf."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        from vector_spark.functions.protowire import encode_vector_log
+
+        rows = s.to_dict("records") if isinstance(s, pd.DataFrame) else [
+            dict(v) if v is not None else None for v in s
+        ]
+        return pd.Series(
+            [None if r is None else encode_vector_log(r) for r in rows]
+        )
+
+    return enc(event)
+
+
+def decode_native_proto_json(payload: Column) -> Column:
+    """Vector `native` (protobuf) decoding: EventWrapper bytes → the
+    event's fields as JSON text (timestamps as epoch-micros ints so the
+    bridge stays exact) — apply from_json with the expected schema
+    downstream, keeping the plan typed (decoding/format/native.rs)."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s: pd.Series) -> pd.Series:
+        import datetime as dt
+
+        from vector_spark.functions.protowire import decode_vector_log
+
+        def conv(v):
+            if isinstance(v, dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                return (v - dt.datetime(1970, 1, 1)) // dt.timedelta(
+                    microseconds=1
+                )
+            raise TypeError(type(v))
+
+        return pd.Series(
+            [
+                None
+                if b is None
+                else json.dumps(decode_vector_log(bytes(b)), default=conv)
+                for b in s
+            ]
+        )
+
+    return dec(payload)
 
 
 def encode_arrow_ipc(df, batch_max_rows: int = 10_000):

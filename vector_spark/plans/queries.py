@@ -3612,6 +3612,46 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "VRL multi-event emission: fallible head + array root -> explode",
     ),
+    # Vector `native` protobuf codec (event.proto EventWrapper) over the
+    # pure-Python wire layer (functions/protowire.py): encode each event
+    # to wire bytes, decode back, compare against the source rows — the
+    # roundtrip identity IS the oracle. Timestamps ride exact (int
+    # seconds + nanos), so the value hash matches to the microsecond.
+    "native_proto_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev: (
+                lambda enc: enc.select(
+                    F.from_json(
+                        __import__(
+                            "vector_spark.functions.codecs",
+                            fromlist=["decode_native_proto_json"],
+                        ).decode_native_proto_json(F.col("payload")),
+                        "event_id long, user_id long, event_type string,"
+                        " value double, ts long",
+                    ).alias("d")
+                ).select(
+                    F.col("d.event_id").alias("event_id"),
+                    F.col("d.user_id").alias("user_id"),
+                    F.col("d.event_type").alias("event_type"),
+                    F.col("d.value").alias("value"),
+                    F.timestamp_micros(F.col("d.ts")).alias("ts"),
+                )
+            )(
+                ev.select(
+                    __import__(
+                        "vector_spark.functions.codecs",
+                        fromlist=["encode_native_proto"],
+                    ).encode_native_proto(
+                        F.struct("event_id", "user_id", "event_type", "value", "ts")
+                    ).alias("payload")
+                )
+            )
+        )(load_table(spark, sf_dir, "events")),
+        """
+        SELECT event_id, user_id, event_type, value, ts FROM events
+        """,
+        "native protobuf EventWrapper encode->decode roundtrip",
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -3622,7 +3662,7 @@ QUERIES: dict[str, QuerySpec] = {
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # new in r4 — never driver-sampled
-    "vrl_emit_multi",
+    "vrl_emit_multi", "native_proto_roundtrip",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_bpe_pairs", "events_rollup",
