@@ -306,6 +306,34 @@ def test_detect_language_trigram_accuracy(spark):
         assert lang not in script_langs, f"script lang {lang} misdetected as {pred}"
     acc = 1 - len(wrong) / len(got)
     assert acc >= 0.90, f"accuracy {acc:.2f}, misses: {wrong}"
+    # SHORT snippets (4-6 words — the round-3 verdict's weak spot; the
+    # round-4 multi-paragraph seed corpus must hold a stated floor here)
+    short = [
+        ("en", "where is the train station"),
+        ("en", "thank you for the lovely dinner"),
+        ("de", "wo ist der bahnhof bitte"),
+        ("de", "vielen dank für das schöne essen"),
+        ("fr", "où est la gare s'il vous plaît"),
+        ("fr", "merci beaucoup pour le dîner"),
+        ("es", "dónde está la estación de tren"),
+        ("es", "muchas gracias por la cena"),
+        ("pt", "onde fica a estação de comboio"),
+        ("it", "dove si trova la stazione dei treni"),
+        ("nl", "waar is het station alstublieft"),
+        ("sv", "var ligger järnvägsstationen någonstans"),
+        ("pl", "gdzie jest dworzec kolejowy proszę"),
+        ("cs", "kde je vlakové nádraží prosím"),
+        ("tr", "tren istasyonu nerede acaba"),
+        ("id", "di mana stasiun kereta api"),
+        ("fi", "missä on rautatieasema kiitos"),
+    ]
+    sdf = spark.createDataFrame(short, "lang string, text string")
+    sgot = sdf.select(
+        "lang", detect_language(F.col("text")).alias("pred")
+    ).collect()
+    smiss = [(r["lang"], r["pred"]) for r in sgot if r["pred"] != r["lang"]]
+    sacc = 1 - len(smiss) / len(sgot)
+    assert sacc >= 0.75, f"short-text accuracy {sacc:.2f}, misses: {smiss}"
     # empty / whitespace → 'und'
     und = spark.createDataFrame([("",), ("   ",)], "text string").select(
         detect_language(F.col("text")).alias("p")

@@ -454,3 +454,125 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
                 assert r.running_total >= per_key_last1[r.host] - 0
     finally:
         q2.stop()
+
+
+@pytest.mark.streaming
+def test_streaming_asof_join_checkpoint_restart(spark, tmp_path):
+    """Streaming as-of join (foreachBatch per-batch window plan): facts
+    arrive as files, match the most recent dim state at-or-before their
+    ts; the query stops mid-stream and restarts from its checkpoint with
+    no duplicate and no missing facts."""
+    import datetime as dt
+    import json
+    import os
+
+    from vector_spark.operators.asof import streaming_asof_join
+
+    src_dir = str(tmp_path / "facts")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    dim = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1, 10, 0, 0), "v1"),
+            (7, dt.datetime(2024, 1, 1, 11, 30, 0), "v2"),
+        ],
+        "user_id long, ts timestamp, state string",
+    )
+
+    def write_facts(lo, hi):
+        p = os.path.join(src_dir, f"b{lo}.json")
+        with open(p + ".tmp", "w") as f:
+            for i in range(lo, hi):
+                # facts alternate between pre-v2 and post-v2 timestamps
+                ts = "2024-01-01 10:%02d:00" % (i % 60) if i % 2 == 0 else \
+                     "2024-01-01 12:%02d:00" % (i % 60)
+                f.write(json.dumps({"seq": i, "user_id": 7, "ts": ts}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    def start():
+        facts = (
+            spark.readStream.schema("seq long, user_id long, ts timestamp")
+            .json(src_dir)
+        )
+        return streaming_asof_join(
+            facts, dim, on="user_id", output_path=out_dir,
+            checkpoint_dir=ckpt,
+        )
+
+    def rows_written():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    write_facts(0, 40)
+    q = start()
+    deadline = time.time() + 40
+    while time.time() < deadline and rows_written() < 40:
+        time.sleep(1)
+    q.stop()  # "crash" between batches
+    write_facts(40, 80)
+    q2 = start()
+    deadline = time.time() + 40
+    while time.time() < deadline and rows_written() < 80:
+        time.sleep(1)
+    q2.stop()
+    out = spark.read.parquet(out_dir)
+    got = {r.seq: r.state for r in out.collect()}
+    assert sorted(got) == list(range(80))  # exactly-once across restart
+    # as-of semantics held per batch: even seqs (10:xx) saw v1, odd (12:xx) v2
+    assert all(v == "v1" for s, v in got.items() if s % 2 == 0)
+    assert all(v == "v2" for s, v in got.items() if s % 2 == 1)
+
+
+@pytest.mark.streaming
+def test_memory_table_ttl_expiry_under_stream(spark, tmp_path):
+    """Memory-table TTL while a stream is WRITING (reference memory table
+    ttl: entries vanish once stale even between writes), and the volatile
+    restart contract: a restarted writer repopulates the table."""
+    import json
+    import os
+
+    from vector_spark.streaming.memory_table import MemoryTable
+
+    src_dir = str(tmp_path / "kv")
+    os.makedirs(src_dir)
+
+    def write_kv(name, keys):
+        p = os.path.join(src_dir, name)
+        with open(p + ".tmp", "w") as f:
+            for k in keys:
+                f.write(json.dumps({"k": str(k), "v": f"label-{k}"}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    table = MemoryTable(key_col="k", value_col="v", ttl_secs=2.0)
+
+    def start():
+        src = spark.readStream.schema("k string, v string").json(src_dir)
+        return (
+            src.writeStream.foreachBatch(table.write_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    write_kv("a.json", [1, 2, 3])
+    q = start()
+    deadline = time.time() + 30
+    while time.time() < deadline and len(table._data) < 3:
+        time.sleep(0.5)
+    assert len(table._data) == 3
+    q.stop()
+    # TTL: with no further writes the entries expire
+    time.sleep(2.5)
+    assert table.expire() == 3 and len(table._data) == 0
+    # volatile across restart (reference parity: in-memory table), but a
+    # restarted stream repopulates from new data
+    write_kv("b.json", [7, 8])
+    q2 = start()
+    deadline = time.time() + 30
+    while time.time() < deadline and len(table._data) < 2:
+        time.sleep(0.5)
+    q2.stop()
+    assert {k for k in table._data} == {"7", "8"}

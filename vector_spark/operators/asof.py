@@ -93,12 +93,7 @@ def asof_join(
         "asof_ts", F.col("_match._dim_ts")
     )
 
-    stale = F.lit(False)
-    if tolerance_sec is not None:
-        age = F.abs(
-            F.unix_timestamp(ts_col) - F.unix_timestamp("asof_ts")
-        )
-        stale = age > tolerance_sec
+    stale = _stale_flag(tolerance_sec, ts_col)
     return out.select(
         *fact.columns,
         F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
@@ -108,4 +103,54 @@ def asof_join(
             .alias(f"{c}{suffix}")
             for c in dim_vals
         ],
+    )
+
+
+def _stale_flag(tolerance_sec: int | None, ts_col: str) -> Column:
+    if tolerance_sec is None:
+        return F.lit(False)
+    age = F.abs(F.unix_timestamp(ts_col) - F.unix_timestamp("asof_ts"))
+    return age > tolerance_sec
+
+
+def streaming_asof_join(
+    fact_stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    output_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "",
+    tolerance_sec: int | None = None,
+    trigger_secs: int = 1,
+):
+    """Streaming form of the as-of join. The batch plan's window-over-
+    union is unsupported over an unbounded stream (no time bound), so
+    each micro-batch as-of joins the dimension snapshot via foreachBatch
+    and appends to a parquet sink — the same per-event-lookup model the
+    reference's enrichment reads use in a running topology
+    (src/enrichment_tables/memory: readers see the table state at
+    process time). The checkpoint makes batch replay exactly-once across
+    restart at the source; the parquet append inside foreachBatch is the
+    standard at-least-once-on-mid-batch-crash caveat of that hook.
+
+    Returns the started StreamingQuery."""
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        asof_join(
+            batch_df,
+            dim,
+            on=on,
+            ts_col=ts_col,
+            direction=direction,
+            suffix=suffix,
+            tolerance_sec=tolerance_sec,
+        ).write.mode("append").parquet(output_path)
+
+    return (
+        fact_stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
     )
