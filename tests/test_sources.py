@@ -493,3 +493,71 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_http_server_otlp_protobuf_endpoint(spark, tmp_path):
+    """OTLP/HTTP with content-type application/x-protobuf: the listener
+    carries the binary body base64'd; route_http_endpoints decodes it
+    with the pure-Python wire codec (functions/protowire.py), one row
+    per logRecord — the opentelemetry/http.rs protobuf contract without
+    jars or google.protobuf."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+    from vector_spark.functions.protowire import encode_otlp_logs
+
+    port = _free_port()
+    name = f"ep_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  ingest:
+    type: http_server
+    port: {port}
+    endpoints:
+      /v1/logs: otlp_logs_protobuf
+sinks:
+  out:
+    type: memory
+    inputs: [ingest]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        payload = encode_otlp_logs(
+            [
+                {"time_unix_nano": 1, "severity_text": "INFO", "body": "first"},
+                {"time_unix_nano": 2, "severity_text": "WARN", "body": "second",
+                 "attributes": {"k": "v"}},
+            ],
+            resource_attrs={"service.name": "svc"},
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request(
+                    "POST", "/v1/logs", body=payload,
+                    headers={"Content-Type": "application/x-protobuf"},
+                )
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        assert _wait_rows(spark, name, 2) == 2
+        rows = spark.sql(f"SELECT codec, event FROM {name}").collect()
+        assert all(r.codec == "otlp_logs_protobuf" for r in rows)
+        evs = sorted((_json.loads(r.event) for r in rows),
+                     key=lambda e: e["time_unix_nano"])
+        assert [e["body"] for e in evs] == ["first", "second"]
+        assert evs[1]["attributes"] == {"k": "v"}
+        assert evs[0]["resource"] == {"service.name": "svc"}
+        assert evs[1]["severity_text"] == "WARN"
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -74,6 +74,31 @@ def test_vrl_fallible_routes_dropped(spark):
     assert [r.raw for r in dropped] == ["nope"]
 
 
+def test_conditional_row_level_abort(spark):
+    """`if cond { abort }` aborts per ROW with the rollback contract
+    (remap.rs): the matching event discards all program changes and
+    forwards unchanged (new fields null in a typed engine), or drops
+    under drop_on_abort, or reroutes to the dropped output."""
+    df = spark.createDataFrame([Row(v=5), Row(v=200)])
+    prog = '.tag = "x"\nif .v > 100 { abort }\n.post = 1'
+    out = sorted(
+        (r.v, r.tag, r.post) for r in vrl_remap(df, prog)[""].collect()
+    )
+    assert out == [(5, "x", 1), (200, None, None)]
+    out2 = [
+        (r.v, r.tag)
+        for r in vrl_remap(df, prog, drop_on_abort=True)[""].collect()
+    ]
+    assert out2 == [(5, "x")]
+    outs = vrl_remap(df, prog, drop_on_abort=True, reroute_dropped=True)
+    assert [r.v for r in outs["dropped"].collect()] == [200]
+    # else-branch abort
+    out3 = vrl_remap(
+        df, 'if .v > 100 { .band = "hi" } else { abort }', drop_on_abort=True
+    )[""].collect()
+    assert [(r.v, r.band) for r in out3] == [(200, "hi")]
+
+
 def test_multi_event_emission_and_scalar_roots(spark):
     """`. = [e1, e2]` emits one event per element; `. = scalar` becomes a
     {message: scalar} event (remap.rs TargetEvents / vrl_target.rs; corpus

@@ -980,6 +980,12 @@ def compile_vrl_full(
                     tt = p.peek()
                     if tt is None:
                         raise VrlCompileError("unterminated if block")
+                    if tt.kind == "name" and tt.text == "abort":
+                        # row-level conditional abort: sentinel carries
+                        # the branch condition to vrl_remap's rollback
+                        p.eat()
+                        stmts.append(("__abort__", None, None))
+                        continue
                     if tt.kind not in ("path", "mpath"):
                         raise VrlCompileError(
                             "only assignments are supported inside if blocks"
@@ -1009,6 +1015,11 @@ def compile_vrl_full(
                 (~cond, else_stmts),
             ):
                 for out, e, berr in stmts:
+                    if out == "__abort__":
+                        assignments.append(
+                            Assignment("__abort__", branch_cond)
+                        )
+                        continue
                     if (
                         p.known_cols is not None
                         and out.split(".")[0] not in p.known_cols
@@ -1400,8 +1411,38 @@ def vrl_remap(
             result[""] = replaced
         return result
 
+    # conditional row-level abort (`if cond { abort }`, remap.rs
+    # TargetEvents + the abort rollback contract): matching rows discard
+    # ALL program changes — forwarded unchanged, or dropped under
+    # drop_on_abort. The condition evaluates against the event's INPUT
+    # state, the same evaluation point the error-flag machinery already
+    # uses (remap() computes error_when flags on the pre-program frame).
+    abort_conds = [a.expr for a in assignments if a.out == "__abort__"]
+    assignments = [a for a in assignments if a.out != "__abort__"]
     real = [a for a in assignments if not a.out.startswith("__del__")]
     drops = [a.out[len("__del__"):] for a in assignments if a.out.startswith("__del__")]
     drops += [a.out for a in real if a.out.startswith("__noop__")]
     drops += [f"__enrich_{i}" for i in range(len(enrich))]
-    return remap(df, real, drop=drops, **remap_kwargs)
+    if not abort_conds:
+        return remap(df, real, drop=drops, **remap_kwargs)
+    acond = F.coalesce(abort_conds[0], F.lit(False))
+    for c in abort_conds[1:]:
+        acond = acond | F.coalesce(c, F.lit(False))
+    kept, aborted = df.where(~acond), df.where(acond)
+    result = remap(kept, real, drop=drops, **remap_kwargs)
+    enrich_cols = [f"__enrich_{i}" for i in range(len(enrich))]
+    aborted_orig = aborted.drop(*enrich_cols)
+    if drop_on_abort:
+        if remap_kwargs.get("reroute_dropped"):
+            d = result.get("dropped")
+            result["dropped"] = (
+                d.unionByName(aborted_orig, allowMissingColumns=True)
+                if d is not None
+                else aborted_orig
+            )
+    else:
+        # rollback: the original event continues, new fields stay null
+        result[""] = result[""].unionByName(
+            aborted_orig, allowMissingColumns=True
+        )
+    return result

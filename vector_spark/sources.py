@@ -39,6 +39,8 @@ import socket
 import threading
 from datetime import datetime, timezone
 
+import pandas as pd
+
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
@@ -206,9 +208,21 @@ def _http_listener(state: _ListenerState, host: str, port: int, ready: threading
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (stdlib naming)
             n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n).decode("utf-8", "replace")
+            raw = self.rfile.read(n)
             peer = f"{self.client_address[0]}:{self.client_address[1]}"
             ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("application/x-protobuf"):
+                # binary body (OTLP/HTTP protobuf, opentelemetry/http.rs):
+                # one base64 message row carries the whole payload through
+                # the text envelope; route_http_endpoints decodes it with
+                # the pure-Python wire codec
+                import base64
+
+                state.append(peer, self.path, base64.b64encode(raw).decode())
+                self.send_response(200)
+                self.end_headers()
+                return
+            body = raw.decode("utf-8", "replace")
             if ctype.startswith("application/json") and body.lstrip().startswith("["):
                 try:
                     items = json.loads(body)
@@ -644,6 +658,54 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     *env,
                     F.lit("otlp_logs").alias("codec"),
                     F.to_json(F.col("r")).alias("event"),
+                )
+            )
+        elif codec == "otlp_logs_protobuf":
+            # OTLP/HTTP protobuf (opentelemetry/http.rs with
+            # content-type application/x-protobuf): the listener stored
+            # the raw body base64'd in one message row; decode with the
+            # pure-Python wire codec, one output row per logRecord.
+            # Arrow-batched pandas UDF returns a JSON-ARRAY string →
+            # from_json → explode keeps the fan-out in the plan.
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def dec_otlp(s: pd.Series) -> pd.Series:
+                import base64
+                import json as _json
+
+                from vector_spark.functions.protowire import (
+                    decode_otlp_logs,
+                )
+
+                def one(b64):
+                    try:
+                        return _json.dumps(
+                            [
+                                _json.dumps(r)
+                                for r in decode_otlp_logs(
+                                    base64.b64decode(b64)
+                                )
+                            ]
+                        )
+                    except Exception:
+                        return "[]"
+
+                return s.map(one)
+
+            recs = part.select(
+                *env,
+                F.explode(
+                    F.from_json(
+                        dec_otlp(F.col("message")), "array<string>"
+                    )
+                ).alias("event"),
+            )
+            outs.append(
+                recs.select(
+                    *env,
+                    F.lit("otlp_logs_protobuf").alias("codec"),
+                    "event",
                 )
             )
         elif codec == "json":
