@@ -18,18 +18,12 @@ import yaml
 REF = "/root/reference/tests/behavior/transforms/remap.yaml"
 
 # name → reason. Grouped by root cause; enforced both directions.
-_DYNAMIC_TYPES = (
-    "per-row dynamic typing (type assertions / schema-less JSON"
-    " composition) — a typed-column engine resolves types at plan time"
-)
 KNOWN_UNSUPPORTED = {
     "remap_infallible_assignment": "exact VRL error-message strings",
     "remap_function_parse_key_value": (
         "`. = <map>` root: per-row dynamic keys can't become typed "
         "columns at plan time"
     ),
-    "remap_function_compact": _DYNAMIC_TYPES,
-    "remap_function_flatten": _DYNAMIC_TYPES,
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
 }
 
@@ -71,4 +65,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 85, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 87, f"only {n_pass} of {len(results)} corpus tests passed"

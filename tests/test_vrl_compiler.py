@@ -74,6 +74,33 @@ def test_vrl_fallible_routes_dropped(spark):
     assert [r.raw for r in dropped] == ["nope"]
 
 
+def test_jsontext_compact_flatten_and_chained_reads(spark):
+    """Dynamic-typed compact/flatten over schema-less parse_json TEXT
+    (corpus remap_function_compact/_flatten): results stay JSON text,
+    later reads bridge via JSON paths — including reads of a column
+    ASSIGNED from parse_json in the same program, and quoted segments
+    into flattened keys."""
+    df = spark.createDataFrame(
+        [Row(raw='{"f": {"g": 7}, "dead": null}', arr="[1, [2, [3]]]")]
+    )
+    out = vrl_remap(
+        df,
+        ".x = parse_json!(.raw)\n"
+        ".y = .x.f.g\n"
+        ".clean = compact!(.x)\n"
+        ".flat = flatten!(parse_json!(.arr))\n",
+    )[""].collect()[0]
+    assert out.y == "7"  # chained read through the JSON-text bridge
+    assert out.clean == '{"f": {"g": 7}}'
+    assert out.flat == "[1, 2, 3]"
+    # flattened-map keys contain dots -> quoted segment read
+    df2 = spark.createDataFrame([Row(m='{"a": {"b": 5}}')])
+    out2 = vrl_remap(
+        df2, '.fm = flatten!(parse_json!(.m))\n.v = .fm."a.b"\n'
+    )[""].collect()[0]
+    assert out2.v == "5"
+
+
 def test_conditional_row_level_abort(spark):
     """`if cond { abort }` aborts per ROW with the rollback contract
     (remap.rs): the matching event discards all program changes and

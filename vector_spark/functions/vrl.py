@@ -388,6 +388,71 @@ def parse_tokens(c: Column) -> Column:
     )
 
 
+def json_text_transform(c: Column, op: str) -> Column:
+    """VRL compact/flatten over schema-less parse_json output (validated
+    JSON TEXT): the value's shape is per-row dynamic, so the transform
+    runs as an Arrow-batched JSON rewrite and the result stays TEXT for
+    the JSON-path bridge. This is the documented slow-path escape hatch
+    for VRL's dynamic typing — typed arrays/maps use the Column forms."""
+    from pyspark.sql.functions import pandas_udf
+
+    def tx(s):
+        import json as _json
+
+        import pandas as pd
+
+        def _empty(x):
+            return x is None or x == "" or x == [] or x == {}
+
+        def _compact(v):
+            if isinstance(v, dict):
+                out = {k: _compact(x) for k, x in v.items()}
+                return {k: x for k, x in out.items() if not _empty(x)}
+            if isinstance(v, list):
+                out = [_compact(x) for x in v]
+                return [x for x in out if not _empty(x)]
+            return v
+
+        def _flatten(v):
+            if isinstance(v, list):
+                out = []
+
+                def rec(a):
+                    for x in a:
+                        rec(x) if isinstance(x, list) else out.append(x)
+
+                rec(v)
+                return out
+            if isinstance(v, dict):
+                out = {}
+
+                def recm(d, prefix):
+                    for k, x in d.items():
+                        kk = f"{prefix}.{k}" if prefix else k
+                        if isinstance(x, dict):
+                            recm(x, kk)
+                        else:
+                            out[kk] = x
+
+                recm(v, "")
+                return out
+            return v
+
+        fn = _compact if op == "compact" else _flatten
+
+        def one(t):
+            if t is None:
+                return None
+            try:
+                return _json.dumps(fn(_json.loads(t)))
+            except (ValueError, TypeError):
+                return None
+
+        return pd.Series([one(t) for t in s])
+
+    return pandas_udf(tx, "string")(c.cast("string"))
+
+
 def _ip_mask_bits(mask: str) -> int:
     """'/8' or dotted-quad '255.255.0.0' → prefix bits (IPv4)."""
     if mask.startswith("/"):

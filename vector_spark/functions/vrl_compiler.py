@@ -519,8 +519,13 @@ class _P:
                 # nested access INTO a string column: the column holds
                 # JSON text (the schema-less parse_json contract) — the
                 # path becomes a get_json_object JSONPath. exists/null
-                # semantics line up: missing path -> null.
-                return F.get_json_object(F.col(root), "$" + rest)
+                # semantics line up: missing path -> null. Quoted path
+                # segments (.m."a.b") become bracket form ['a.b'].
+                jpath = re.sub(
+                    r'\."((?:[^"\\]|\\.)*)"', lambda m: f"['{m.group(1)}']",
+                    rest,
+                )
+                return F.get_json_object(F.col(_quote_seg(root)), "$" + jpath)
             return _path_col(t.text)  # .a.b[0] → struct/array access
         if t.kind == "float":
             self.eat()
@@ -712,6 +717,20 @@ class _P:
                     F.from_json(args[1].cast("string"), "map<string,string>"),
                 )
             )
+        if (
+            name in ("compact", "flatten")
+            and len(args) == 1
+            and (self._is_jsontext or self._last_path_dtype == "string")
+        ):
+            # dynamic-typed compact/flatten over JSON TEXT (schema-less
+            # parse_json provenance): Arrow-batched JSON rewrite, result
+            # stays TEXT so the JSON-path bridge serves later reads
+            from vector_spark.functions.vrl import json_text_transform
+
+            self._is_jsontext = True
+            self._last_path_dtype = None
+            self._is_str = False
+            return json_text_transform(args[0], name)
         if name == "encode_json" and self._is_jsontext and args:
             # encode_json over schema-less parse_json output (validated
             # JSON TEXT): re-serialize minified through VARIANT — the
@@ -1149,8 +1168,15 @@ def compile_vrl_full(
             assignments.append(Assignment(root, arr, err))
             _learn(root)
         elif len(targets) == 1:
-            assignments.append(Assignment(_target_name(targets[0]), expr, err))
-            _learn(_target_name(targets[0]))
+            tname = _target_name(targets[0])
+            assignments.append(Assignment(tname, expr, err))
+            _learn(tname)
+            if p._is_jsontext and "." not in tname and "`" not in tname:
+                # schema-less parse_json/compact/flatten result: the
+                # column holds JSON TEXT — record the dtype so later
+                # reads (.x.field) take the JSON-path bridge instead of
+                # struct extraction on a string
+                p.known_dtypes[tname] = "string"
         elif len(targets) == 2:
             # `.ok, err = expr` — handled fallibility (expressions.cue
             # assignment form): ok=null + err=message on error; the
