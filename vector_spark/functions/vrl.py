@@ -39,9 +39,44 @@ def parse_json(c: Column, schema: str | None = None) -> Column:
     return F.when(F.try_parse_json(c).isNotNull(), c)
 
 
-def parse_key_value(c: Column, pair_sep: str = " ", kv_sep: str = "=") -> Column:
-    """VRL parse_key_value (logfmt): string -> map<string,string>."""
-    return F.str_to_map(c, F.lit(pair_sep), F.lit(kv_sep))
+def parse_key_value(
+    c: Column,
+    pair_sep: str = " ",
+    kv_sep: str = "=",
+    key_value_delimiter: str | None = None,
+    field_delimiter: str | None = None,
+) -> Column:
+    """VRL parse_key_value (logfmt): string -> map<string,string>.
+    Accepts the VRL named-arg forms (key_value_delimiter /
+    field_delimiter); double-quoted values are unwrapped (the VRL
+    parser's quoting contract — a quoted value may contain the field
+    delimiter)."""
+    kv = key_value_delimiter or kv_sep
+    fs = field_delimiter or pair_sep
+    import re as _re
+
+    # tokenize pairs with quote-awareness: value = quoted string or a
+    # run without the field delimiter; then build the map from the
+    # extracted key/value arrays — all Column-side
+    pat = (
+        _re.escape(kv).join(
+            [r"([^" + _re.escape(fs + kv) + r"]+)",
+             r'("(?:[^"\\]|\\.)*"|[^' + _re.escape(fs) + r"]*)"]
+        )
+    )
+    pairs = F.regexp_extract_all(c, F.lit(f"(?:{pat})"), 0)
+    keys = F.transform(
+        pairs, lambda p: F.regexp_extract(p, f"^(.*?){_re.escape(kv)}", 1)
+    )
+    vals = F.transform(
+        pairs,
+        lambda p: F.regexp_replace(
+            F.regexp_extract(p, f"{_re.escape(kv)}(.*)$", 1),
+            r'^"(.*)"$',
+            "$1",
+        ),
+    )
+    return F.map_from_arrays(keys, vals)
 
 
 def parse_regex(c: Column, pattern: str, group: int = 1, **kw) -> Column:

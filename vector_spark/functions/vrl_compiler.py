@@ -506,6 +506,14 @@ class _P:
             self.eat()
             root = _path_segments(t.text)[0]
             if self.known_cols is not None and root not in self.known_cols:
+                if "_root_map" in self.known_cols:
+                    # map-rooted event (`. = <map>`): top-level fields
+                    # live in the _root_map column; try_element_at (not
+                    # element_at — ANSI mode throws on a missing key)
+                    # keeps absent-field reads null per the VRL contract
+                    return F.try_element_at(
+                        F.col("_root_map"), F.lit(root)
+                    )
                 return F.lit(None)  # absent field reads as null (VRL)
             # dtype provenance feeds to_string's timestamp rendering
             self._is_ts = self.known_dtypes.get(root, "").startswith(
@@ -1415,9 +1423,13 @@ def vrl_remap(
                     "_error", F.col("__r").alias("message")
                 )
         elif isinstance(dt, MapType):
-            raise VrlCompileError(
-                "`. = expr` map-typed roots are unsupported: field names "
-                "must be plan-time constants in a typed-column engine"
+            # `. = <map>` (corpus remap_function_parse_key_value): keys
+            # are per-row dynamic, so the event rides as ONE map column
+            # `_root_map`; top-level reads of otherwise-unknown fields
+            # bridge via try_element_at (see the parser's path branch) —
+            # the typed-column analog of VRL's dynamic object root.
+            replaced = tagged.select(
+                "_error", a.expr.alias("_root_map")
             )
         else:
             # `. = scalar` — the event becomes {message: scalar}
