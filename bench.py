@@ -62,6 +62,8 @@ HEADLINE = [
     "vrl_emit_multi",
     "asof_join_enrich",
     "native_proto_roundtrip",
+    "docs_duplicate_spans",
+    "docs_redact_pii",
 ]
 
 

@@ -120,3 +120,33 @@ def test_bpe_pair_counts_values(spark):
            for r in bpe_pair_counts(docs, top_n=10).collect()}
     # word freqs: aba=2, ab=1 → pairs: (a,b): 2*1 + 1*1 = 3; (b,a): 2*1 = 2
     assert out == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_duplicate_spans(spark):
+    """k-word spans shared by >= min_docs distinct docs, df counted once
+    per doc (a doc repeating a span internally counts once)."""
+    from vector_spark.dataops.curation import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "x alpha beta gamma delta y"),          # shares a 4-run
+            (3, "alpha beta gamma delta epsilon other"),
+            (4, "alpha beta gamma delta alpha beta gamma delta"),  # internal repeat
+            (5, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.span: r.n_docs
+        for r in duplicate_spans(docs, k=4, min_docs=2).collect()
+    }
+    assert out["alpha beta gamma delta"] == 4  # doc 4 counts ONCE
+    assert out["beta gamma delta epsilon"] == 2  # docs 1 and 3
+    assert "totally different words here" not in out
+    # min_docs filter: raising it drops the 2-doc span
+    out3 = {
+        r.span
+        for r in duplicate_spans(docs, k=4, min_docs=3).collect()
+    }
+    assert out3 == {"alpha beta gamma delta"}

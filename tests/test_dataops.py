@@ -339,3 +339,30 @@ def test_detect_language_trigram_accuracy(spark):
         detect_language(F.col("text")).alias("p")
     ).collect()
     assert [r["p"] for r in und] == ["und", "und"]
+
+
+def test_redact_pii_classes(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.io ip 192.168.1.254 ssn 123-45-6789 "
+          "card 4111-1111-1111-1111 tel +1 (415) 555-0142 end",)],
+        "t string",
+    )
+    [r] = df.select(redact_pii(F.col("t")).alias("c")).collect()
+    assert r.c == (
+        "mail [REDACTED] ip [REDACTED] ssn [REDACTED] "
+        "card [REDACTED] tel [REDACTED] end"
+    )
+    # named VRL filter form (reference examples.cue)
+    from vector_spark.functions.vrl import VRL_FUNCTIONS
+
+    df2 = spark.createDataFrame([("ssn 123-45-6789 ok",)], "t string")
+    [r2] = df2.select(
+        VRL_FUNCTIONS["redact"](
+            F.col("t"), filters=["us_social_security_number"]
+        ).alias("c")
+    ).collect()
+    assert r2.c == "ssn [REDACTED] ok"

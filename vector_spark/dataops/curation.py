@@ -221,3 +221,34 @@ def pack_shards(
         F.floor((cum - F.col("n_tokens")) / token_budget).alias("shard"),
         (cum - F.col("n_tokens")).alias("start_offset"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated passages: every k-word span that occurs in
+    >= min_docs DISTINCT documents, with its document frequency — the
+    n-gram-window approximation of exact substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better";
+    the suffix-array formulation finds arbitrary-length repeats, the
+    fixed-k window finds every repeat of length >= k at ~1/k the cost
+    and is the standard first pass at corpus scale).
+
+    Scale shape: explode spans (narrow), per-document distinct folds into
+    the same shuffle as the count (count(DISTINCT doc) has map-side
+    partial dedup on the (span, doc) pair), shuffle key = span —
+    high-cardinality, skew bounded by the most-boilerplate passage.
+    Returns (span, n_docs) with n_docs >= min_docs."""
+    spans = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(_ngrams(_words(F.col(text_col)), k)).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -269,3 +269,19 @@ def bpe_pair_counts(
     return g.orderBy(
         F.col("pair_count").desc(), F.col("left"), F.col("right")
     ).limit(top_n)
+
+
+def redact_pii(text: Column, classes: list[str] | None = None) -> Column:
+    """PII redaction pass over document text: each named class from
+    functions.vrl.REDACT_FILTERS (emails, IPv4s, SSNs, credit cards,
+    phone numbers) is replaced with [REDACTED] — the corpus-curation
+    form of the reference's `redact` VRL function (its documented
+    us_social_security_number named filter + the custom-pattern form).
+    Pure Column regexp chain: stays in whole-stage codegen, and the
+    patterns are RE2-compatible so the DuckDB oracle replays them."""
+    from vector_spark.functions.vrl import REDACT_FILTERS
+
+    out = text
+    for name in classes or sorted(REDACT_FILTERS):
+        out = F.regexp_replace(out, REDACT_FILTERS[name], "[REDACTED]")
+    return out

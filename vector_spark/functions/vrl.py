@@ -714,6 +714,19 @@ def _vrl_replace(c, *args, **kw):
     return F.regexp_replace(c, pat_s, str(rep))
 
 
+# Named redact filters. `us_social_security_number` is the reference's
+# documented name (website/cue/reference/examples.cue); the others are
+# the common PII classes a redaction pass needs — patterns chosen to be
+# Java-regex AND RE2 compatible so the DuckDB oracles replay them.
+REDACT_FILTERS: dict[str, str] = {
+    "us_social_security_number": r"\b\d{3}-\d{2}-\d{4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "credit_card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+    "phone_number": r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}",
+}
+
+
 def _vrl_redact(c, *args, **kw):
     filters = kw.get("filters", args[0] if args else [])
     if isinstance(filters, Column):
@@ -725,7 +738,9 @@ def _vrl_redact(c, *args, **kw):
         filters = [filters]
     out = c
     for pat in filters:
-        out = F.regexp_replace(out, str(pat), "[REDACTED]")
+        out = F.regexp_replace(
+            out, REDACT_FILTERS.get(str(pat), str(pat)), "[REDACTED]"
+        )
     return out
 
 

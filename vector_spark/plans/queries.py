@@ -3652,6 +3652,67 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "native protobuf EventWrapper encode->decode roundtrip",
     ),
+    # Cross-document repeated passages (Lee et al. 2021 n-gram-window
+    # approximation of substring dedup): spans of k words appearing in
+    # >= min_docs distinct documents.
+    "docs_duplicate_spans": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["duplicate_spans"]
+        ).duplicate_spans(
+            _t(spark, sf_dir, "documents"), k=5, min_docs=2
+        ),
+        """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), sp AS (
+          SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS span
+          FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+        )
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+        FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "cross-doc repeated k-word spans (substring-dedup first pass)",
+    ),
+    # PII redaction pass: synthetic PII woven around real document text
+    # (the corpus itself is clean), then the full named-filter chain —
+    # value-oracled against DuckDB's RE2 replaying the same patterns.
+    "docs_redact_pii": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda docs: docs.select(
+                "doc_id",
+                __import__(
+                    "vector_spark.dataops.text", fromlist=["redact_pii"]
+                ).redact_pii(
+                    F.concat(
+                        F.lit("user"), F.col("doc_id"),
+                        F.lit("@mail.example.com called +1 (415) 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                        F.lit(" from 10."), (F.col("doc_id") % 200),
+                        F.lit(".0.7 ssn 123-45-6789 card 4111 1111 1111 1111 | "),
+                        F.substring(F.col("text"), 1, 40),
+                    )
+                ).alias("clean"),
+            )
+        )(_t(spark, sf_dir, "documents")),
+        """
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(
+              concat('user', doc_id, '@mail.example.com called +1 (415) 555-',
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                     ' from 10.', doc_id % 200,
+                     '.0.7 ssn 123-45-6789 card 4111 1111 1111 1111 | ',
+                     substr(text, 1, 40)),
+              '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '[REDACTED]', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+            '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED]', 'g'),
+            '\\+?\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}', '[REDACTED]', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[REDACTED]', 'g') AS clean
+        FROM documents
+        """,
+        "PII redaction chain (emails/IPs/SSNs/cards/phones), RE2-replayable",
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -3662,7 +3723,8 @@ QUERIES: dict[str, QuerySpec] = {
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # new in r4 — never driver-sampled
-    "vrl_emit_multi", "native_proto_roundtrip",
+    "vrl_emit_multi", "native_proto_roundtrip", "docs_duplicate_spans",
+    "docs_redact_pii",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_bpe_pairs", "events_rollup",
