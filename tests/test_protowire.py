@@ -138,3 +138,43 @@ def test_spark_native_proto_roundtrip_exact(spark, events):
     orig = ev.select("event_id", "user_id", "event_type", "value", "ts")
     assert dec.exceptAll(orig).count() == 0
     assert orig.exceptAll(dec).count() == 0
+
+
+def test_grpc_framing_otlp_roundtrip(spark):
+    """gRPC message framing (flag + 4-byte BE length) around OTLP
+    protobuf payloads: frame -> concatenate -> deframe -> decode, all
+    but the payload decode pure Column."""
+    from vector_spark.functions.framing import frame_grpc, grpc_message_frames
+
+    p1 = encode_otlp_logs([{"body": "one", "severity_text": "INFO"}])
+    p2 = encode_otlp_logs([{"body": "two"}, {"body": "three"}])
+    df = spark.createDataFrame([(p1,), (p2,)], "payload binary")
+    framed = df.select(frame_grpc(F.col("payload")).alias("f"))
+    blob = b"".join(r.f for r in framed.collect())
+    assert blob[0] == 0 and int.from_bytes(blob[1:5], "big") == len(p1)
+    df2 = spark.createDataFrame([(blob,)], "stream binary")
+    [row] = df2.select(grpc_message_frames(F.col("stream")).alias("msgs")).collect()
+    assert [bytes(m) for m in row.msgs] == [p1, p2]
+    bodies = [r["body"] for m in row.msgs for r in decode_otlp_logs(bytes(m))]
+    assert bodies == ["one", "two", "three"]
+    # a compressed frame (flag 1) stops the walk — opaque by contract
+    df3 = spark.createDataFrame(
+        [(b"\x01" + len(p1).to_bytes(4, "big") + p1,)], "stream binary"
+    )
+    [row3] = df3.select(grpc_message_frames(F.col("stream")).alias("m")).collect()
+    assert row3.m == []
+
+
+def test_vector_event_array_batch():
+    """EventArray(logs) batch form — the vector-to-vector protocol's
+    payload (proto/vector/vector.proto PushEventsRequest)."""
+    from vector_spark.functions.protowire import (
+        decode_vector_log_array,
+        encode_vector_log_array,
+    )
+
+    events = [
+        {"message": "a", "n": 1},
+        {"message": "b", "nested": {"x": [1, "two"]}},
+    ]
+    assert decode_vector_log_array(encode_vector_log_array(events)) == events

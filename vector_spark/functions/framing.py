@@ -281,3 +281,54 @@ def chunk_gelf(
         .when(total > GELF_MAX_CHUNKS, F.lit(None).cast("array<binary>"))
         .otherwise(chunks)
     )
+
+
+def frame_grpc(payload: Column) -> Column:
+    """gRPC message framing (PUBLIC gRPC-over-HTTP2 wire spec): 1-byte
+    compressed flag (0) + 4-byte big-endian length + payload. This is
+    the framing an OTLP/gRPC body carries (src/sources/opentelemetry/
+    grpc.rs receives it via tonic); with functions/protowire.py it
+    yields the full OTLP-gRPC payload path without an HTTP/2 server."""
+    b = payload.cast("binary")
+    return F.concat(
+        F.unhex(F.lit("00")),
+        F.unhex(F.lpad(F.hex(F.octet_length(b)), 8, "0")),
+        b,
+    )
+
+
+def grpc_message_frames(c: Column, max_frames: int = 1024) -> Column:
+    """Concatenated gRPC frames → array<binary> payloads. Pure Column
+    hex-domain walk (same shape as length_delimited_frames); only
+    uncompressed frames (flag 0) are consumed — a compressed flag stops
+    the walk, the the-rest-is-opaque contract."""
+    h = F.hex(c.cast("binary"))
+    init = F.struct(
+        h.alias("rest"), F.array().cast("array<binary>").alias("out")
+    )
+
+    def step(acc, _):
+        rest = acc["rest"]
+        flag = F.substring(rest, 1, 2)
+        n = F.conv(F.substring(rest, 3, 8), 16, 10).try_cast("int")
+        have = (
+            (F.length(rest) >= 10)
+            & (flag == "00")
+            & (F.length(rest) >= n * 2 + 10)
+        )
+        frame = F.unhex(F.substring(rest, 11, n * 2))
+        remaining = rest.substr(n * 2 + 11, F.length(rest))
+        return F.when(
+            have,
+            F.struct(
+                remaining.alias("rest"),
+                F.concat(acc["out"], F.array(frame)).alias("out"),
+            ),
+        ).otherwise(
+            F.struct(F.lit("").alias("rest"), acc["out"].alias("out"))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_frames)), init, step,
+        lambda acc: acc["out"],
+    )

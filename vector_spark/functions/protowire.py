@@ -504,3 +504,37 @@ def decode_otlp_logs(buf: bytes) -> list[dict]:
                     }
                 )
     return out
+
+
+def encode_vector_log_array(events: list[dict]) -> bytes:
+    """[{field: value}] → native EventArray(logs) bytes — the batched
+    payload of the reference's vector-to-vector protocol
+    (proto/vector/vector.proto PushEventsRequest carries EventArray)."""
+    return encode_message(
+        {
+            "logs": {
+                "logs": [{"value": _py_to_value(e)} for e in events]
+            }
+        },
+        VECTOR_REGISTRY["EventArray"],
+        VECTOR_REGISTRY,
+    )
+
+
+def decode_vector_log_array(buf: bytes) -> list[dict]:
+    """native EventArray bytes → [{field: value}] (log arrays; accepts
+    Log.value and the deprecated Log.fields forms)."""
+    arr = decode_message(buf, VECTOR_REGISTRY["EventArray"], VECTOR_REGISTRY)
+    out = []
+    for log in arr.get("logs", {}).get("logs", []):
+        if "value" in log:
+            v = _value_to_py(log["value"])
+            out.append(v if isinstance(v, dict) else {"message": v})
+        else:
+            out.append(
+                {
+                    e["key"]: _value_to_py(e.get("value", {}))
+                    for e in log.get("fields", [])
+                }
+            )
+    return out
