@@ -1,0 +1,126 @@
+"""dnstap codec (functions/dnstap.py): pinned against the reference's
+OWN parser test payloads (lib/vector-vrl/dnstap-parser/src/parser.rs
+test_parse_dnstap_data_* — public base64 test vectors), plus Frame
+Streams framing and the VRL surface."""
+
+from __future__ import annotations
+
+import base64
+
+from vector_spark.functions.dnstap import (
+    fstrm_frames,
+    frame_fstrm,
+    parse_dns_message,
+    parse_dnstap,
+)
+
+# parser.rs test_parse_dnstap_data_with_query_message (ResolverQuery from
+# BIND; the expected values below are that test's own assertions)
+QUERY_B64 = (
+    "ChVqYW1lcy1WaXJ0dWFsLU1hY2hpbmUSC0JJTkQgOS4xNi4zcnoIAxACGAEiEAAAAAAAAA"
+    "AAAAAAAAAAAAAqECABBQJwlAAAAAAAAAAAADAw8+0CODVA7+zq9wVNMU3WNlI2kwIAAAABAAAAAAABCWZhY2Vib29rMQNjb"
+    "20AAAEAAQAAKQIAAACAAAAMAAoACOxjCAG9zVgzWgUDY29tAHgB"
+)
+# parser.rs test_parse_dnstap_data_lowercase_hostnames (ClientResponse)
+RESP_B64 = (
+    "Cgw2NzNiNWZiZWI5MmESMkJJTkQgOS4xOC4yMS0xK3VidW50dTIyLjA0LjErZGViLnN1cnkub3JnKzEtVWJ1bnR1cqkBCAYQARgBIgQKWQUeKgQKWQUqMMitAjg1YLXQp68GbZ9tBw9ygwGInoGAAAEABAAAAAEGVmVjdG9yA0RldgAAAQABwAwAAQABAAAAPAAEEvVWOMAMAAEAAQAAADwABBL1VnnADAABAAEAAAA8AAQS9VYSwAwAAQABAAAAPAAEEvVWWQAAKQTQAAAAAAAcAAoAGERDbSN8uKngAQAAAGXp6DXs0fbpv0n9F3gB"
+)
+
+
+def test_reference_query_payload():
+    ev = parse_dnstap(base64.b64decode(QUERY_B64))
+    assert ev["serverId"] == "james-Virtual-Machine"
+    assert ev["serverVersion"] == "BIND 9.16.3"
+    assert ev["dataType"] == "Message" and ev["dataTypeId"] == 1
+    assert ev["messageType"] == "ResolverQuery" and ev["messageTypeId"] == 3
+    assert ev["socketFamily"] == "INET6" and ev["socketProtocol"] == "UDP"
+    assert ev["sourceAddress"] == "::" and ev["sourcePort"] == 46835
+    assert ev["responseAddress"] == "2001:502:7094::30"
+    assert ev["responsePort"] == 53
+    assert ev["queryZone"] == "com."
+    assert ev["requestMessageSize"] == 54
+    assert ev["time"] == 1_593_489_007_920_014_129
+    assert ev["timePrecision"] == "ns"
+    assert ev["timestamp"].startswith("2020-06-30T03:50:07.920014")
+    rq = ev["requestData"]
+    assert rq["fullRcode"] == 0 and rq["rcodeName"] == "NoError"
+    h = rq["header"]
+    assert h["id"] == 37634 and h["opcode"] == 0 and h["rcode"] == 0
+    assert h["qr"] == 0 and h["qdCount"] == 1 and h["anCount"] == 0
+    assert h["nsCount"] == 0 and h["arCount"] == 1
+    assert h["aa"] is False and h["tc"] is False and h["rd"] is False
+    assert h["ra"] is False and h["ad"] is False and h["cd"] is False
+    [q] = rq["question"]
+    assert q == {
+        "domainName": "facebook1.com.",
+        "questionType": "A",
+        "questionTypeId": 1,
+        "class": "IN",
+    }
+    opt = rq["opt"]
+    assert opt["do"] is True and opt["ednsVersion"] == 0
+    assert opt["extendedRcode"] == 0 and opt["udpPayloadSize"] == 512
+    [o] = opt["options"]
+    assert o["optCode"] == 10 and o["optName"] == "Cookie"
+    assert o["optValue"] == "7GMIAb3NWDM="
+
+
+def test_reference_response_payload_and_lowercase():
+    raw = base64.b64decode(RESP_B64)
+    ev = parse_dnstap(raw)
+    assert ev["messageType"] == "ClientResponse"
+    assert ev["responseData"]["question"][0]["domainName"] == "Vector.Dev."
+    assert ev["responseData"]["answers"][0]["domainName"] == "Vector.Dev."
+    # A-record rdata renders as the dotted address
+    assert ev["responseData"]["answers"][0]["recordType"] == "A"
+    assert ev["responseData"]["answers"][0]["rData"].count(".") == 3
+    low = parse_dnstap(raw, lowercase_hostnames=True)
+    assert low["responseData"]["question"][0]["domainName"] == "vector.dev."
+    assert low["responseData"]["answers"][0]["domainName"] == "vector.dev."
+
+
+def test_fstrm_framing_roundtrip():
+    p1, p2 = b"payload-one", b"payload-two-longer"
+    control = b"\x00\x00\x00\x00" + b"\x00\x00\x00\x04" + b"\x00\x00\x00\x02"
+    blob = control + frame_fstrm(p1) + frame_fstrm(p2) + control
+    assert fstrm_frames(blob) == [p1, p2]
+    # truncated tail is dropped, not an error
+    assert fstrm_frames(blob + b"\x00\x00\x00\xff" + b"xx") == [p1, p2]
+
+
+def test_dns_name_compression_and_rdata_types():
+    import struct
+
+    # hand-built message: question example.com A; answer CNAME via
+    # compression pointer; MX record
+    name = b"\x07example\x03com\x00"
+    hdr = struct.pack(">HHHHHH", 7, 0x8180, 1, 2, 0, 0)
+    q = name + struct.pack(">HH", 1, 1)
+    ptr = b"\xc0\x0c"  # pointer to offset 12 (the question name)
+    cname_rd = b"\x03www" + ptr
+    a1 = ptr + struct.pack(">HHIH", 5, 1, 60, len(cname_rd)) + cname_rd
+    mx_rd = struct.pack(">H", 10) + b"\x04mail" + ptr
+    a2 = ptr + struct.pack(">HHIH", 15, 1, 60, len(mx_rd)) + mx_rd
+    msg = parse_dns_message(hdr + q + a1 + a2)
+    assert msg["question"][0]["domainName"] == "example.com."
+    assert msg["answers"][0]["rData"] == "www.example.com."
+    assert msg["answers"][1]["rData"] == "10 mail.example.com."
+    assert msg["header"]["qr"] == 1 and msg["rcodeName"] == "NoError"
+
+
+def test_vrl_parse_dnstap_function(spark):
+    """The VRL surface: parse_dnstap over a binary column through the
+    compiler, fields via the JSON-text bridge."""
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame(
+        [(base64.b64decode(QUERY_B64),)], "frame binary"
+    )
+    out = vrl_remap(
+        df,
+        ".ev = parse_dnstap(.frame)\n"
+        ".mt = .ev.messageType\n"
+        ".qname = .ev.requestData.question[0].domainName\n",
+    )[""].collect()[0]
+    assert out.mt == "ResolverQuery"
+    assert out.qname == "facebook1.com."

@@ -758,7 +758,11 @@ class _P:
             raise VrlCompileError(f"{name}: {e}") from None
         self._is_str = name in _STRING_FNS
         self._is_ts = name in _TIMESTAMP_FNS
-        self._is_jsontext = name == "parse_json" and len(args) < 2
+        # functions whose result is JSON TEXT (the schema-less bridge):
+        # reads into their results go through JSON paths
+        self._is_jsontext = (
+            name == "parse_json" and len(args) < 2
+        ) or name in ("parse_dnstap", "parse_xml", "parse_ruby_hash")
         self._last_path_dtype = None  # a call result is not a path
         if name == "assert":
             # assert!(cond): errors when the condition is false/null

@@ -556,6 +556,34 @@ def _ruby_hash_to_json(s: pd.Series) -> pd.Series:
     return s.map(conv)
 
 
+def _parse_dnstap_col(c):
+    """VRL parse_dnstap (lib/vector-vrl/dnstap-parser/src/vrl_functions/
+    parse_dnstap.rs): a dnstap protobuf frame (binary, or base64 text)
+    → the structured event as JSON text — Arrow-batched over the pure-
+    Python wire codec; schema pinned against the reference's own test
+    payloads in tests/test_dnstap.py."""
+
+    @pandas_udf(StringType())
+    def dec(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+        import json as _json
+
+        from vector_spark.functions.dnstap import parse_dnstap
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                raw = bytes(v) if isinstance(v, (bytes, bytearray)) else _b64.b64decode(v)
+                return _json.dumps(parse_dnstap(raw))
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return dec(c)
+
+
 @pandas_udf(StringType())
 def _xml_to_json(s: pd.Series) -> pd.Series:
     """parse_xml: element tree → JSON (attrs get '@' keys, text '#text',
@@ -842,6 +870,7 @@ WAVE4: dict = {
     "parse_etld": parse_etld,
     "parse_ruby_hash": lambda c: _ruby_hash_to_json(c),
     "parse_xml": lambda c: _xml_to_json(c),
+    "parse_dnstap": lambda c: _parse_dnstap_col(c),
     # Object
     "unflatten": unflatten,
     "tally_value": lambda arr, v: F.size(
@@ -868,7 +897,6 @@ WAVE4: dict = {
     "parse_cbor": _gated("parse_cbor", "cbor2"),
     "encode_proto": _gated("encode_proto", "protobuf"),
     "parse_proto": _gated("parse_proto", "protobuf"),
-    "parse_dnstap": _gated("parse_dnstap", "protobuf (dnstap)"),
 }
 
 
