@@ -178,3 +178,72 @@ def test_vector_event_array_batch():
         {"message": "b", "nested": {"x": [1, "two"]}},
     ]
     assert decode_vector_log_array(encode_vector_log_array(events)) == events
+
+
+def test_descriptor_set_reader_and_vrl_proto(spark, tmp_path):
+    """FileDescriptorSet → registry → parse/encode roundtrip, and the
+    VRL parse_proto/encode_proto surface (formerly env-gated on the
+    protobuf library). The descriptor bytes are produced by this codec's
+    own encoder against the public descriptor.proto schema — the same
+    bytes `protoc --descriptor_set_out` emits for this file."""
+    from vector_spark.functions.protowire import (
+        DESCRIPTOR_REGISTRY,
+        encode_proto_with_descriptor,
+        parse_proto_with_descriptor,
+        registry_from_descriptor_set,
+    )
+
+    # syntax = proto3; package demo;
+    # message Point { sint32 x=1; sint32 y=2; }
+    # message Track { string name=1; repeated Point points=2; double w=3; }
+    desc = encode_message(
+        {
+            "file": [
+                {
+                    "name": "demo.proto",
+                    "package": "demo",
+                    "message_type": [
+                        {
+                            "name": "Point",
+                            "field": [
+                                {"name": "x", "number": 1, "label": 1, "type": 17},
+                                {"name": "y", "number": 2, "label": 1, "type": 17},
+                            ],
+                        },
+                        {
+                            "name": "Track",
+                            "field": [
+                                {"name": "name", "number": 1, "label": 1, "type": 9},
+                                {"name": "points", "number": 2, "label": 3,
+                                 "type": 11, "type_name": ".demo.Point"},
+                                {"name": "w", "number": 3, "label": 1, "type": 1},
+                            ],
+                        },
+                    ],
+                }
+            ]
+        },
+        DESCRIPTOR_REGISTRY["FileDescriptorSet"],
+        DESCRIPTOR_REGISTRY,
+    )
+    reg = registry_from_descriptor_set(desc)
+    assert set(reg) == {"demo.Point", "demo.Track"}
+    obj = {"name": "t1", "points": [{"x": -3, "y": 4}, {"x": 10, "y": -20}], "w": 2.5}
+    wire = encode_proto_with_descriptor(obj, desc, "demo.Track")
+    assert parse_proto_with_descriptor(wire, desc, "demo.Track") == obj
+
+    # VRL surface over a binary column
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    desc_path = tmp_path / "demo.desc"
+    desc_path.write_bytes(desc)
+    df = spark.createDataFrame([(wire,)], "payload binary")
+    out = vrl_remap(
+        df,
+        f'.t = parse_proto(.payload, "{desc_path}", "demo.Track")\n'
+        ".nm = .t.name\n",
+    )[""].collect()[0]
+    assert out.nm == "t1"
+    import json as _json
+
+    assert _json.loads(out.t)["points"][0] == {"x": -3, "y": 4}

@@ -78,9 +78,18 @@ def write_len_delim(field: int, payload: bytes, out: bytearray) -> None:
 
 _SCALAR_WIRE = {
     "int64": 0, "int32": 0, "uint32": 0, "uint64": 0, "bool": 0, "enum": 0,
+    "sint32": 0, "sint64": 0,
     "double": 1, "fixed64": 1, "float": 5, "fixed32": 5,
     "string": 2, "bytes": 2,
 }
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
 
 
 def encode_message(obj: dict, schema: dict, registry: dict) -> bytes:
@@ -125,6 +134,9 @@ def _encode_field(num: int, typ: str, v, out: bytearray, registry: dict) -> None
     elif typ == "bool":
         write_tag(num, 0, out)
         write_varint(1 if v else 0, out)
+    elif typ in ("sint32", "sint64"):
+        write_tag(num, 0, out)
+        write_varint(_zigzag(int(v)), out)
     elif typ in ("int64", "int32", "uint32", "uint64", "enum"):
         write_tag(num, 0, out)
         write_varint(int(v), out)
@@ -151,6 +163,8 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
             base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
             if base in ("int64", "int32"):
                 v = _signed64(raw)
+            elif base in ("sint32", "sint64"):
+                v = _unzigzag(raw)
             elif base == "bool":
                 v = bool(raw)
             else:
@@ -192,7 +206,11 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
                 while p2 < len(chunk):
                     if _SCALAR_WIRE.get(base) == 0:
                         raw, p2 = read_varint(chunk, p2)
-                        vals.append(_signed64(raw) if base in ("int64", "int32") else raw)
+                        if base in ("int64", "int32"):
+                            raw = _signed64(raw)
+                        elif base in ("sint32", "sint64"):
+                            raw = _unzigzag(raw)
+                        vals.append(raw)
                     elif base in ("double", "fixed64"):
                         vals.append(
                             struct.unpack("<d" if base == "double" else "<Q", chunk[p2:p2 + 8])[0]
@@ -538,3 +556,105 @@ def decode_vector_log_array(buf: bytes) -> list[dict]:
                 }
             )
     return out
+
+
+# ---- FileDescriptorSet reader (google/protobuf/descriptor.proto) --------
+# The compiled-descriptor format `protoc --descriptor_set_out` emits is
+# itself protobuf; its schema is public (descriptor.proto, mirrored at
+# /root/reference/proto/third-party/google/protobuf/descriptor.proto).
+# Reading it with THIS wire codec lets VRL parse_proto/encode_proto run
+# against real .desc files with no protobuf library.
+
+DESCRIPTOR_REGISTRY: dict = {
+    "FileDescriptorSet": {1: ("file", "repeated msg:FileDescriptorProto")},
+    "FileDescriptorProto": {
+        1: ("name", "string"),
+        2: ("package", "string"),
+        4: ("message_type", "repeated msg:DescriptorProto"),
+        5: ("enum_type", "repeated msg:EnumDescriptorProto"),
+    },
+    "DescriptorProto": {
+        1: ("name", "string"),
+        2: ("field", "repeated msg:FieldDescriptorProto"),
+        3: ("nested_type", "repeated msg:DescriptorProto"),
+        4: ("enum_type", "repeated msg:EnumDescriptorProto"),
+    },
+    "EnumDescriptorProto": {
+        1: ("name", "string"),
+        2: ("value", "repeated msg:EnumValueDescriptorProto"),
+    },
+    "EnumValueDescriptorProto": {
+        1: ("name", "string"),
+        2: ("number", "int32"),
+    },
+    "FieldDescriptorProto": {
+        1: ("name", "string"),
+        3: ("number", "int32"),
+        4: ("label", "enum"),      # 1 optional, 2 required, 3 repeated
+        5: ("type", "enum"),       # FieldDescriptorProto.Type
+        6: ("type_name", "string"),  # ".pkg.Message" for message/enum
+    },
+}
+
+# FieldDescriptorProto.Type → this codec's type names
+_DESC_TYPES = {
+    1: "double", 2: "float", 3: "int64", 4: "uint64", 5: "int32",
+    6: "fixed64", 7: "fixed32", 8: "bool", 9: "string", 12: "bytes",
+    13: "uint32", 14: "enum", 15: "fixed32", 16: "fixed64",
+    17: "sint32", 18: "sint64",
+}
+
+
+def registry_from_descriptor_set(desc: bytes) -> dict:
+    """FileDescriptorSet bytes → {fully.qualified.Name: schema} registry
+    usable with encode_message/decode_message. Message-typed fields
+    reference other entries by their fully-qualified name."""
+    fds = decode_message(
+        desc, DESCRIPTOR_REGISTRY["FileDescriptorSet"], DESCRIPTOR_REGISTRY
+    )
+    registry: dict = {}
+
+    def add_message(prefix: str, m: dict) -> None:
+        fq = f"{prefix}.{m['name']}" if prefix else m["name"]
+        schema = {}
+        for f in m.get("field", []):
+            t = f.get("type")
+            if t in (11, 10):  # message / group
+                typ = "msg:" + f["type_name"].lstrip(".")
+            elif t == 14 and f.get("type_name"):
+                typ = "enum"
+            else:
+                typ = _DESC_TYPES.get(t, "bytes")
+            if f.get("label") == 3:
+                typ = "repeated " + typ
+            schema[f["number"]] = (f["name"], typ)
+        registry[fq] = schema
+        for nested in m.get("nested_type", []):
+            add_message(fq, nested)
+
+    for fl in fds.get("file", []):
+        pkg = fl.get("package", "")
+        for m in fl.get("message_type", []):
+            add_message(pkg, m)
+    return registry
+
+
+def parse_proto_with_descriptor(
+    payload: bytes, desc: bytes, message_type: str
+) -> dict:
+    """VRL parse_proto(value, desc_file, message_type) semantics over a
+    compiled descriptor set (lib/vrl parse_proto; no protobuf library)."""
+    registry = registry_from_descriptor_set(desc)
+    if message_type not in registry:
+        raise ValueError(f"unknown message type {message_type!r}")
+    return decode_message(payload, registry[message_type], registry)
+
+
+def encode_proto_with_descriptor(
+    obj: dict, desc: bytes, message_type: str
+) -> bytes:
+    """VRL encode_proto(value, desc_file, message_type) counterpart."""
+    registry = registry_from_descriptor_set(desc)
+    if message_type not in registry:
+        raise ValueError(f"unknown message type {message_type!r}")
+    return encode_message(obj, registry[message_type], registry)

@@ -762,7 +762,7 @@ class _P:
         # reads into their results go through JSON paths
         self._is_jsontext = (
             name == "parse_json" and len(args) < 2
-        ) or name in ("parse_dnstap", "parse_xml", "parse_ruby_hash")
+        ) or name in ("parse_dnstap", "parse_xml", "parse_ruby_hash", "parse_proto")
         self._last_path_dtype = None  # a call result is not a path
         if name == "assert":
             # assert!(cond): errors when the condition is false/null

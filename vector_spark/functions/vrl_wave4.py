@@ -556,6 +556,48 @@ def _ruby_hash_to_json(s: pd.Series) -> pd.Series:
     return s.map(conv)
 
 
+def _proto_col(c, desc_file: str, message_type: str, encode: bool):
+    """VRL parse_proto/encode_proto against a compiled FileDescriptorSet
+    (`protoc --descriptor_set_out`), read with the repo's own descriptor
+    reader (functions/protowire.py registry_from_descriptor_set) — the
+    former protobuf env-gate is gone. decode: bytes/base64 → JSON text
+    (the schema-less bridge); encode: a JSON-text object → wire bytes."""
+    with open(desc_file, "rb") as fh:
+        desc = fh.read()
+
+    @pandas_udf(BinaryType() if encode else StringType())
+    def run(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+        import json as _json
+
+        from vector_spark.functions.protowire import (
+            encode_proto_with_descriptor,
+            parse_proto_with_descriptor,
+        )
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                if encode:
+                    obj = _json.loads(v) if isinstance(v, str) else dict(v)
+                    return encode_proto_with_descriptor(obj, desc, message_type)
+                raw = (
+                    bytes(v)
+                    if isinstance(v, (bytes, bytearray))
+                    else _b64.b64decode(v)
+                )
+                return _json.dumps(
+                    parse_proto_with_descriptor(raw, desc, message_type)
+                )
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return run(c)
+
+
 def _parse_dnstap_col(c):
     """VRL parse_dnstap (lib/vector-vrl/dnstap-parser/src/vrl_functions/
     parse_dnstap.rs): a dnstap protobuf frame (binary, or base64 text)
@@ -895,8 +937,8 @@ WAVE4: dict = {
     "encrypt": _gated("encrypt", "cryptography"),
     "decrypt": _gated("decrypt", "cryptography"),
     "parse_cbor": _gated("parse_cbor", "cbor2"),
-    "encode_proto": _gated("encode_proto", "protobuf"),
-    "parse_proto": _gated("parse_proto", "protobuf"),
+    "encode_proto": lambda c, desc, mtype: _proto_col(c, desc, mtype, True),
+    "parse_proto": lambda c, desc, mtype: _proto_col(c, desc, mtype, False),
 }
 
 
