@@ -105,3 +105,41 @@ def test_stateless_ops_are_codegen(spark):
     p = _plan(spark, "remap")
     assert "* Project" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_emit_multi_is_narrow(spark):
+    """Multi-event emission is projection + Generate (explode) only — no
+    shuffle, no per-row Python; scales embarrassingly."""
+    p = _plan(spark, "vrl_emit_multi")
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_redact_pii_is_codegen_scan_projection(spark):
+    """The redaction chain is one codegen'd projection over the scan —
+    regexp_replace stays JVM-side, and only the needed columns are read."""
+    p = _plan(spark, "docs_redact_pii")
+    assert "Exchange" not in p
+    assert "* Project" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    m = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in m and "source" not in m  # pruned
+
+
+def test_duplicate_spans_partial_aggregation(spark):
+    """The span count aggregates partially before the exchange (map-side
+    dedup of the (span, doc) pairs), so the shuffle carries combined
+    rows, not the raw exploded spans."""
+    p = _plan(spark, "docs_duplicate_spans")
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in p  # exactly the one agg shuffle
+    assert "BatchEvalPython" not in p
+
+
+def test_native_proto_roundtrip_single_python_stage(spark):
+    """The protobuf bridge costs exactly two Arrow-batched Python stages
+    (encode + decode) with no shuffle between them."""
+    p = _plan(spark, "native_proto_roundtrip")
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 2
