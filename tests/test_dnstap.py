@@ -124,3 +124,97 @@ def test_vrl_parse_dnstap_function(spark):
     )[""].collect()[0]
     assert out.mt == "ResolverQuery"
     assert out.qname == "facebook1.com."
+
+
+def test_dnstap_tcp_source_end_to_end(spark, tmp_path):
+    """Topology YAML: a dnstap TCP source through to a memory sink — the
+    Frame Streams bidirectional handshake (READY->ACCEPT, STOP->FINISH),
+    data frames carrying the reference's own payloads."""
+    import socket
+    import struct
+    import time
+    import uuid
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+
+    def _free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    port = _free_port()
+    name = f"dt_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  dns:
+    type: dnstap
+    port: {port}
+sinks:
+  out:
+    type: memory
+    inputs: [dns]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        payload = base64.b64decode(QUERY_B64)
+        deadline = time.time() + 30
+        sent = False
+        while time.time() < deadline and not sent:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=2)
+                ctype = b"protobuf:dnstap.Dnstap"
+                ready_ctrl = (
+                    struct.pack(">I", 4)
+                    + struct.pack(">II", 1, len(ctype)) + ctype
+                )
+                c.sendall(
+                    b"\x00\x00\x00\x00"
+                    + struct.pack(">I", len(ready_ctrl)) + ready_ctrl
+                )
+                # expect ACCEPT back (bidirectional contract)
+                hdr = c.recv(8)
+                assert hdr[:4] == b"\x00\x00\x00\x00"
+                aln = struct.unpack(">I", hdr[4:8])[0]
+                accept = c.recv(aln)
+                assert struct.unpack(">I", accept[:4])[0] == 1
+                start_ctrl = struct.pack(">I", 2)
+                c.sendall(
+                    b"\x00\x00\x00\x00"
+                    + struct.pack(">I", len(start_ctrl)) + start_ctrl
+                )
+                for _ in range(3):
+                    c.sendall(struct.pack(">I", len(payload)) + payload)
+                stop_ctrl = struct.pack(">I", 3)
+                c.sendall(
+                    b"\x00\x00\x00\x00"
+                    + struct.pack(">I", len(stop_ctrl)) + stop_ctrl
+                )
+                fin = c.recv(64)
+                assert struct.unpack(">I", fin[4:8])[0] == 4
+                c.close()
+                sent = True
+            except OSError:
+                time.sleep(0.5)
+        assert sent
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+            if n >= 3:
+                break
+            time.sleep(1)
+        assert n >= 3
+        [row] = spark.sql(f"SELECT message FROM {name} LIMIT 1").collect()
+        ev = _json.loads(row.message)
+        assert ev["messageType"] == "ResolverQuery"
+        assert ev["requestData"]["question"][0]["domainName"] == "facebook1.com."
+    finally:
+        for q in queries.values():
+            q.stop()

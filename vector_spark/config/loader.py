@@ -465,10 +465,14 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             if cfg.get(k) is not None:
                 reader = reader.option(k, str(cfg[k]))
         return reader.load()
-    if stype in ("syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash"):
+    if stype in (
+        "syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash",
+        "dnstap",
+    ):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/, src/sources/fluent/mod.rs,
-        # src/sources/logstash.rs) via the Python DataSource API
+        # src/sources/logstash.rs, src/sources/dnstap/) via the Python
+        # DataSource API
         from vector_spark.sources import register_sources, route_http_endpoints
 
         register_sources(spark)

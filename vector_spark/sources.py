@@ -341,6 +341,79 @@ def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threadi
         ).start()
 
 
+def _dnstap_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """dnstap listener (`src/sources/dnstap/` TCP mode): Frame Streams
+    over TCP with the bidirectional handshake (READY → ACCEPT, data
+    frames, STOP → FINISH — fstrm control types 0x04/0x01/0x03/0x05);
+    each data frame is a dnstap protobuf payload decoded with
+    functions/dnstap.py. Events surface as the parsed JSON event in the
+    message column (the reference's parse_dnstap field names)."""
+    import struct as _struct
+
+    from vector_spark.functions.dnstap import parse_dnstap
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ready.set()
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        buf = b""
+        with conn:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                buf += data
+                while len(buf) >= 4:
+                    ln = _struct.unpack(">I", buf[:4])[0]
+                    if ln == 0:  # control frame
+                        if len(buf) < 8:
+                            break
+                        cln = _struct.unpack(">I", buf[4:8])[0]
+                        if len(buf) < 8 + cln:
+                            break
+                        ctrl = buf[8:8 + cln]
+                        buf = buf[8 + cln:]
+                        ctype = (
+                            _struct.unpack(">I", ctrl[:4])[0]
+                            if len(ctrl) >= 4
+                            else 0
+                        )
+                        if ctype == 4:  # READY → ACCEPT (echo fields)
+                            reply = _struct.pack(">I", 1) + ctrl[4:]
+                            conn.sendall(
+                                b"\x00\x00\x00\x00"
+                                + _struct.pack(">I", len(reply))
+                                + reply
+                            )
+                        elif ctype == 3:  # STOP → FINISH
+                            reply = _struct.pack(">I", 5)
+                            conn.sendall(
+                                b"\x00\x00\x00\x00"
+                                + _struct.pack(">I", len(reply))
+                                + reply
+                            )
+                        continue
+                    if len(buf) < 4 + ln:
+                        break
+                    frame = buf[4:4 + ln]
+                    buf = buf[4 + ln:]
+                    try:
+                        state.append(
+                            peer, json.dumps(parse_dnstap(frame), sort_keys=True)
+                        )
+                    except (IndexError, ValueError):
+                        pass  # malformed frame: skip (reference drops too)
+
+    while True:
+        conn, addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
+        ).start()
+
+
 def _logstash_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
     """Lumberjack v2 (beats/logstash) listener (`src/sources/logstash.rs`):
     frames are (version, type) pairs — '2W' window size, '2J' JSON data
@@ -490,6 +563,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
                 "http": _http_listener,
                 "fluent": _fluent_listener,
                 "logstash": _logstash_listener,
+                "dnstap": _dnstap_listener,
             }[self.proto]
             threading.Thread(
                 target=target,
@@ -726,6 +800,23 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
     return out
 
 
+class DnstapDataSource(DataSource):
+    """`dnstap` source analog (src/sources/dnstap/ TCP mode): Frame
+    Streams handshake + dnstap protobuf + DNS wire parse, all
+    pure-Python (functions/dnstap.py). message column carries the parsed
+    event JSON; parse downstream with from_json or the JSON bridge."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dnstap"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "dnstap")
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
@@ -733,3 +824,4 @@ def register_sources(spark) -> None:
     spark.dataSource.register(HTTPServerDataSource)
     spark.dataSource.register(FluentDataSource)
     spark.dataSource.register(LogstashDataSource)
+    spark.dataSource.register(DnstapDataSource)
