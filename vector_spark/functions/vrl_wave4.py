@@ -830,7 +830,15 @@ def remove_secret_expr(secrets: Column, name: str) -> Column:
 
 _zstd = _try_import("zstandard")
 _lz4 = _try_import("lz4")
-_snappy = _try_import("snappy")
+# snappy: prefer the C library if present; otherwise this repo's
+# pure-Python raw-format codec (functions/snappy.py) — the env-gate is
+# gone, prometheus remote_write payloads decode everywhere
+_snappy = _try_import("snappy") or __import__(
+    "vector_spark.functions.snappy", fromlist=["compress"]
+)
+_SNAPPY_MOD = (
+    "snappy" if _try_import("snappy") else "vector_spark.functions.snappy"
+)
 _crypto = _try_import("cryptography")
 
 
@@ -932,8 +940,8 @@ WAVE4: dict = {
     "decode_zstd": _opt_codec("decode_zstd", "zstandard", _zstd, encode=False),
     "encode_lz4": _opt_codec("encode_lz4", "lz4.frame", _lz4, encode=True),
     "decode_lz4": _opt_codec("decode_lz4", "lz4.frame", _lz4, encode=False),
-    "encode_snappy": _opt_codec("encode_snappy", "snappy", _snappy, encode=True),
-    "decode_snappy": _opt_codec("decode_snappy", "snappy", _snappy, encode=False),
+    "encode_snappy": _opt_codec("encode_snappy", _SNAPPY_MOD, _snappy, encode=True),
+    "decode_snappy": _opt_codec("decode_snappy", _SNAPPY_MOD, _snappy, encode=False),
     "encrypt": _gated("encrypt", "cryptography"),
     "decrypt": _gated("decrypt", "cryptography"),
     "parse_cbor": _gated("parse_cbor", "cbor2"),

@@ -782,6 +782,79 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     "event",
                 )
             )
+        elif codec == "prometheus_remote_write":
+            # prometheus remote_write (src/sources/prometheus/
+            # remote_write.rs): snappy-compressed WriteRequest protobuf,
+            # decoded with the pure-Python snappy + wire codecs — one
+            # output row per sample, labels flattened into the event.
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def dec_rw(s: pd.Series) -> pd.Series:
+                import base64
+                import json as _json
+
+                from vector_spark.functions.protowire import decode_message
+                from vector_spark.functions.snappy import decompress
+
+                PROMPB = {
+                    "WriteRequest": {
+                        1: ("timeseries", "repeated msg:TimeSeries")
+                    },
+                    "TimeSeries": {
+                        1: ("labels", "repeated msg:Label"),
+                        2: ("samples", "repeated msg:Sample"),
+                    },
+                    "Label": {1: ("name", "string"), 2: ("value", "string")},
+                    "Sample": {
+                        1: ("value", "double"),
+                        2: ("timestamp", "int64"),
+                    },
+                }
+
+                def one(b64):
+                    try:
+                        req = decode_message(
+                            decompress(base64.b64decode(b64)),
+                            PROMPB["WriteRequest"],
+                            PROMPB,
+                        )
+                        rows = []
+                        for ts in req.get("timeseries", []):
+                            labels = {
+                                lb["name"]: lb["value"]
+                                for lb in ts.get("labels", [])
+                            }
+                            name_ = labels.pop("__name__", None)
+                            for sm in ts.get("samples", []):
+                                rows.append(
+                                    _json.dumps(
+                                        {
+                                            "name": name_,
+                                            "tags": labels,
+                                            "value": sm.get("value"),
+                                            "timestamp_ms": sm.get("timestamp"),
+                                        }
+                                    )
+                                )
+                        return _json.dumps(rows)
+                    except Exception:
+                        return "[]"
+
+                return s.map(one)
+
+            outs.append(
+                part.select(
+                    *env,
+                    F.explode(
+                        F.from_json(dec_rw(F.col("message")), "array<string>")
+                    ).alias("event"),
+                ).select(
+                    *env,
+                    F.lit("prometheus_remote_write").alias("codec"),
+                    "event",
+                )
+            )
         elif codec == "json":
             outs.append(
                 part.select(
