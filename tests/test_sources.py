@@ -561,3 +561,50 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_websocket_source_and_sink_loop(spark, tmp_path):
+    """RFC 6455 both directions, pure stdlib: the websocket SERVER source
+    accepts the upgrade and decodes masked client frames; the websocket
+    client SINK performs the handshake (verifying Sec-WebSocket-Accept)
+    and pushes one masked text frame per event. Wired together they form
+    a full loop through a topology memory sink."""
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+    from vector_spark.sinks import websocket_sink
+
+    port = _free_port()
+    name = f"ws_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  ws:
+    type: websocket
+    port: {port}
+sinks:
+  out: {{type: memory, inputs: [ws], query_name: {name}}}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        events = spark.createDataFrame(
+            [(_json.dumps({"seq": i, "msg": f"ev-{i}"}),) for i in range(5)],
+            "message string",
+        ).coalesce(1)
+        deadline = time.time() + 30
+        sent = 0
+        while time.time() < deadline and sent == 0:
+            try:
+                sent = websocket_sink(events, "127.0.0.1", port)
+            except Exception:
+                time.sleep(0.5)
+        assert sent == 5
+        assert _wait_rows(spark, name, 5) == 5
+        rows = spark.sql(f"SELECT message FROM {name}").collect()
+        seqs = sorted(_json.loads(r.message)["seq"] for r in rows)
+        assert seqs == [0, 1, 2, 3, 4]
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -467,7 +467,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         return reader.load()
     if stype in (
         "syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash",
-        "dnstap",
+        "dnstap", "websocket",
     ):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/, src/sources/fluent/mod.rs,
@@ -875,6 +875,19 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     cfg["host"],
                     int(cfg["port"]),
+                    encoding=cfg.get("encoding", "text"),
+                    value_col=cfg.get("value_col", "message"),
+                )
+            }
+        elif stype == "websocket":
+            from vector_spark.sinks import websocket_sink
+
+            results[name] = {
+                "sent": websocket_sink(
+                    df,
+                    cfg["host"],
+                    int(cfg["port"]),
+                    path=cfg.get("path", "/"),
                     encoding=cfg.get("encoding", "text"),
                     value_col=cfg.get("value_col", "message"),
                 )

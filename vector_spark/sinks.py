@@ -288,3 +288,96 @@ def http_stream_sink(
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+
+
+def websocket_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    path: str = "/",
+    encoding: str = "text",
+    value_col: str = "message",
+    timeout_secs: float = 10.0,
+) -> int:
+    """WebSocket client push (src/sinks/websocket/): RFC 6455 handshake
+    + one MASKED text frame per event (client frames must mask, §5.3),
+    one connection per partition — pure stdlib, same distribution shape
+    as socket_sink."""
+    lines = _rows_to_lines(df, encoding, value_col)
+
+    def send_partition(rows) -> None:
+        import base64 as _b64
+        import hashlib as _hashlib
+        import os as _os
+        import socket as _socket
+        import struct as _struct
+
+        sock = None
+        try:
+            for row in rows:
+                if sock is None:
+                    sock = _socket.create_connection(
+                        (host, port), timeout=timeout_secs
+                    )
+                    key = _b64.b64encode(_os.urandom(16)).decode()
+                    sock.sendall(
+                        (
+                            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                            f"Sec-WebSocket-Key: {key}\r\n"
+                            "Sec-WebSocket-Version: 13\r\n\r\n"
+                        ).encode()
+                    )
+                    resp = b""
+                    while b"\r\n\r\n" not in resp:
+                        chunk = sock.recv(4096)
+                        if not chunk:
+                            raise ConnectionError("ws handshake failed")
+                        resp += chunk
+                    if b" 101 " not in resp.split(b"\r\n", 1)[0]:
+                        raise ConnectionError("ws upgrade refused")
+                    want = _b64.b64encode(
+                        _hashlib.sha1(
+                            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+                        ).digest()
+                    )
+                    assert want in resp, "bad Sec-WebSocket-Accept"
+                payload = row["line"].encode()
+                mask = _os.urandom(4)
+                ln = len(payload)
+                hdr = b"\x81"  # FIN + text
+                if ln < 126:
+                    hdr += bytes([0x80 | ln])
+                elif ln < 65536:
+                    hdr += bytes([0x80 | 126]) + _struct.pack(">H", ln)
+                else:
+                    hdr += bytes([0x80 | 127]) + _struct.pack(">Q", ln)
+                sock.sendall(
+                    hdr
+                    + mask
+                    + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+                )
+        finally:
+            if sock is not None:
+                try:  # clean close frame
+                    sock.sendall(b"\x88\x80" + b"\x00\x00\x00\x00")
+                except OSError:
+                    pass
+                sock.close()
+
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_and_count(rows) -> None:
+        n = 0
+
+        def counting(it):
+            nonlocal n
+            for r in it:
+                n += 1
+                yield r
+
+        send_partition(counting(rows))
+        sent.add(n)
+
+    lines.foreachPartition(send_and_count)
+    return sent.value

@@ -341,6 +341,121 @@ def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threadi
         ).start()
 
 
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
+def _websocket_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """WebSocket server source (`src/sources/websocket/`): RFC 6455 —
+    HTTP Upgrade handshake (Sec-WebSocket-Accept = b64(sha1(key+GUID))),
+    then framed messages. Text/binary data frames become events (binary
+    surfaces base64); ping is answered with pong; close is echoed. Pure
+    stdlib — no websocket library."""
+    import base64
+    import hashlib
+    import struct as _struct
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ready.set()
+
+    def recv_exact(conn: socket.socket, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def send_frame(conn: socket.socket, opcode: int, payload: bytes) -> None:
+        hdr = bytes([0x80 | opcode])
+        ln = len(payload)
+        if ln < 126:
+            hdr += bytes([ln])
+        elif ln < 65536:
+            hdr += bytes([126]) + _struct.pack(">H", ln)
+        else:
+            hdr += bytes([127]) + _struct.pack(">Q", ln)
+        conn.sendall(hdr + payload)
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        with conn:
+            # HTTP Upgrade handshake
+            req = b""
+            while b"\r\n\r\n" not in req:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                req += chunk
+            key = None
+            for line in req.split(b"\r\n"):
+                if line.lower().startswith(b"sec-websocket-key:"):
+                    key = line.split(b":", 1)[1].strip().decode()
+            if key is None:
+                conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                return
+            accept = base64.b64encode(
+                hashlib.sha1((key + _WS_GUID).encode()).digest()
+            ).decode()
+            conn.sendall(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                ).encode()
+            )
+            # frame loop (client→server frames are always masked, §5.3)
+            frags: list[bytes] = []
+            frag_op = 0
+            while True:
+                h = recv_exact(conn, 2)
+                if h is None:
+                    return
+                fin, opcode = h[0] & 0x80, h[0] & 0x0F
+                masked, ln = h[1] & 0x80, h[1] & 0x7F
+                if ln == 126:
+                    ln = _struct.unpack(">H", recv_exact(conn, 2))[0]
+                elif ln == 127:
+                    ln = _struct.unpack(">Q", recv_exact(conn, 8))[0]
+                mask = recv_exact(conn, 4) if masked else b"\x00" * 4
+                data = recv_exact(conn, ln)
+                if data is None:
+                    return
+                if masked:
+                    data = bytes(
+                        b ^ mask[i % 4] for i, b in enumerate(data)
+                    )
+                if opcode == 0x8:  # close: echo and stop
+                    send_frame(conn, 0x8, data[:2])
+                    return
+                if opcode == 0x9:  # ping → pong
+                    send_frame(conn, 0xA, data)
+                    continue
+                if opcode in (0x1, 0x2, 0x0):
+                    if opcode != 0x0:
+                        frag_op = opcode
+                        frags = [data]
+                    else:
+                        frags.append(data)
+                    if fin:
+                        whole = b"".join(frags)
+                        state.append(
+                            peer,
+                            whole.decode("utf-8", "replace")
+                            if frag_op == 0x1
+                            else base64.b64encode(whole).decode(),
+                        )
+                        frags = []
+
+    while True:
+        conn, addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
+        ).start()
+
+
 def _dnstap_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
     """dnstap listener (`src/sources/dnstap/` TCP mode): Frame Streams
     over TCP with the bidirectional handshake (READY → ACCEPT, data
@@ -564,6 +679,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
                 "fluent": _fluent_listener,
                 "logstash": _logstash_listener,
                 "dnstap": _dnstap_listener,
+                "websocket": _websocket_listener,
             }[self.proto]
             threading.Thread(
                 target=target,
@@ -890,6 +1006,22 @@ class DnstapDataSource(DataSource):
         return _SocketStreamReader(self.options, "dnstap")
 
 
+class WebsocketDataSource(DataSource):
+    """`websocket` server source (src/sources/websocket/): RFC 6455
+    handshake + frame decode, pure stdlib. Text frames surface verbatim
+    in the message column, binary frames base64'd."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "websocket"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "websocket")
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
@@ -898,3 +1030,4 @@ def register_sources(spark) -> None:
     spark.dataSource.register(FluentDataSource)
     spark.dataSource.register(LogstashDataSource)
     spark.dataSource.register(DnstapDataSource)
+    spark.dataSource.register(WebsocketDataSource)
