@@ -175,3 +175,50 @@ tests:
         conditions: ["a = 1 AND b = 3 AND c = 3"]
 """,
     )
+
+
+def test_reference_remap_with_drop_corpus(spark):
+    """The reference's remap_with_drop.yaml verbatim: an unconditional
+    abort under drop_on_abort + reroute_dropped sends the ORIGINAL event
+    to the named dropped output and nothing to the primary."""
+    import os
+
+    import yaml as _yaml
+
+    from vector_spark.config.unit_test import run_unit_tests
+
+    p = "/root/reference/tests/behavior/transforms/remap_with_drop.yaml"
+    if not os.path.exists(p):
+        import pytest as _pytest
+
+        _pytest.skip("reference corpus not present")
+    with open(p) as f:
+        cfg = _yaml.safe_load(f)
+    results = run_unit_tests(spark, cfg)
+    assert [r.passed for r in results] == [True], results[0].failures
+
+
+def test_reference_vrl_test_input_corpus(spark):
+    """vrl_test_input.yaml: `type: vrl` inputs — a VRL program generates
+    the injected event (root replacement against an empty event). The
+    canary must pass; remap_test_metadata needs scalar whole-event reads
+    (`.event = .` on a scalar root) — pinned unsupported, enforced in
+    both directions like the remap corpus."""
+    import os
+
+    import yaml as _yaml
+
+    from vector_spark.config.unit_test import run_unit_tests
+
+    p = "/root/reference/tests/behavior/transforms/vrl_test_input.yaml"
+    if not os.path.exists(p):
+        import pytest as _pytest
+
+        _pytest.skip("reference corpus not present")
+    with open(p) as f:
+        cfg = _yaml.safe_load(f)
+    results = {r.name: r for r in run_unit_tests(spark, cfg)}
+    assert results["canary"].passed, results["canary"].failures
+    assert not results["remap_test_metadata"].passed, (
+        "now passing — unpin remap_test_metadata"
+    )

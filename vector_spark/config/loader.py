@@ -357,13 +357,28 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         if any(
             isinstance(v, (dict, list)) for r in rows for v in r.values()
         ):
+            import datetime as _dt
             import json as _json
 
-            return spark.read.json(
+            # timestamps survive the JSON hop as ISO strings, restored
+            # to TimestampType after inference (vrl-generated inputs
+            # carry real datetimes, e.g. now())
+            ts_cols = sorted(
+                {
+                    k
+                    for r in rows
+                    for k, v in r.items()
+                    if isinstance(v, _dt.datetime)
+                }
+            )
+            df = spark.read.json(
                 spark.sparkContext.parallelize(
-                    [_json.dumps(r) for r in rows]
+                    [_json.dumps(r, default=str) for r in rows]
                 )
             )
+            for k in ts_cols:
+                df = df.withColumn(k, F.col(k).cast("timestamp"))
+            return df
         return spark.createDataFrame(rows)
     # streaming sources: same topology YAML, streaming DataFrames out —
     # every downstream operator builder is stream-transparent (pure

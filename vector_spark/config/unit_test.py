@@ -127,6 +127,32 @@ def run_unit_tests(spark: SparkSession, cfg: dict) -> list[TestResult]:
                             d = d.setdefault(p, {})
                         d[parts[-1]] = v
                     rows = [row]
+                elif ityp == "vrl":
+                    # reference input kind `vrl` (vrl_test_input.yaml):
+                    # a VRL program RUN AGAINST AN EMPTY EVENT generates
+                    # the input rows (root replacement builds the event)
+                    from vector_spark.functions.vrl_compiler import (
+                        vrl_remap,
+                    )
+
+                    seed = spark.createDataFrame(
+                        [("",)], "message string"
+                    )
+                    try:
+                        gen = vrl_remap(seed, inp["source"])[""]
+                        rows = [
+                            {
+                                k: v
+                                for k, v in r.asDict(recursive=True).items()
+                                if k != "_error"
+                            }
+                            for r in gen.collect()
+                        ]
+                    except Exception as ex:
+                        failures.append(
+                            f"insert_at {at!r}: vrl input failed: {ex}"
+                        )
+                        continue
                 elif ityp == "metric":
                     # metric event → flat row: the value variant's name
                     # becomes .type, its value becomes .value (SURVEY
