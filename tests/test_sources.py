@@ -608,3 +608,80 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_heroku_logs_and_firehose_endpoints(spark, tmp_path):
+    """heroku_logs (Logplex drain lines) and aws_kinesis_firehose
+    (base64/gzip records envelope) endpoint codecs on one http_server."""
+    import base64 as _b64
+    import gzip as _gzip
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+
+    port = _free_port()
+    name = f"hf_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  ingest:
+    type: http_server
+    port: {port}
+    endpoints:
+      /events: heroku_logs
+      /firehose: aws_kinesis_firehose
+sinks:
+  out: {{type: memory, inputs: [ingest], query_name: {name}}}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        logplex = (
+            "83 <40>1 2024-01-02T03:04:05.000000+00:00 host app web.1 - "
+            "State changed from starting to up\n"
+            "119 <40>1 2024-01-02T03:04:06.000000+00:00 host heroku router - "
+            "at=info method=GET path=/ status=200\n"
+        )
+        fh_lines = b"line one\nline two\n"
+        firehose = _json.dumps(
+            {
+                "requestId": "req-123",
+                "timestamp": 1700000000000,
+                "records": [
+                    {"data": _b64.b64encode(_gzip.compress(fh_lines)).decode()},
+                    {"data": _b64.b64encode(b"plain third").decode()},
+                ],
+            }
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("POST", "/events", body=logplex,
+                          headers={"Logplex-Msg-Count": "2"})
+                assert c.getresponse().status == 200
+                c.request("POST", "/firehose", body=firehose,
+                          headers={"Content-Type": "application/json"})
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        assert _wait_rows(spark, name, 5) == 5
+        rows = spark.sql(f"SELECT codec, event FROM {name}").collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.codec, []).append(_json.loads(r.event))
+        hk = sorted(by["heroku_logs"], key=lambda e: e["timestamp"])
+        assert hk[0]["app_name"] == "app" and hk[0]["proc_id"] == "web.1"
+        assert hk[0]["message"] == "State changed from starting to up"
+        assert hk[1]["host"] == "host" and "at=info" in hk[1]["message"]
+        fh = sorted(by["aws_kinesis_firehose"], key=lambda e: e["message"])
+        assert [e["message"] for e in fh] == ["line one", "line two", "plain third"]
+        assert all(e["request_id"] == "req-123" for e in fh)
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -898,6 +898,86 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     "event",
                 )
             )
+        elif codec == "heroku_logs":
+            # Heroku Logplex drain (src/sources/heroku_logs.rs
+            # line_to_events): body lines are octet-prefixed syslog-ish
+            # frames `<len> <pri>ver ts host app proc msgid message`;
+            # pure-Column split + regexp, one event per line.
+            lines = part.select(
+                *env,
+                F.explode(
+                    F.filter(
+                        F.split(F.col("message"), r"\n"),
+                        lambda x: x != "",
+                    )
+                ).alias("line"),
+            )
+            pat = r"^\d+ <\d+>\d* (\S+) (\S+) (\S+) (\S+) \S+ (.*)$"
+            outs.append(
+                lines.select(
+                    *env,
+                    F.lit("heroku_logs").alias("codec"),
+                    F.to_json(
+                        F.struct(
+                            F.regexp_extract("line", pat, 1).alias("timestamp"),
+                            F.regexp_extract("line", pat, 2).alias("host"),
+                            F.regexp_extract("line", pat, 3).alias("app_name"),
+                            F.regexp_extract("line", pat, 4).alias("proc_id"),
+                            F.regexp_extract("line", pat, 5).alias("message"),
+                        )
+                    ).alias("event"),
+                )
+            )
+        elif codec == "aws_kinesis_firehose":
+            # Kinesis Firehose HTTP destination (src/sources/
+            # aws_kinesis_firehose/): JSON body {requestId, timestamp,
+            # records: [{data: base64(, gzip'd) bytes}]}; each record's
+            # decoded bytes split on newlines, one event per line (the
+            # CloudWatch Logs subscription shape gunzips transparently).
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def dec_fh(s: pd.Series) -> pd.Series:
+                import base64
+                import gzip
+                import json as _json
+
+                def one(body):
+                    try:
+                        req = _json.loads(body)
+                        events = []
+                        for rec in req.get("records", []):
+                            raw = base64.b64decode(rec.get("data", ""))
+                            if raw[:2] == b"\x1f\x8b":
+                                raw = gzip.decompress(raw)
+                            for line in raw.decode("utf-8", "replace").splitlines():
+                                if line.strip():
+                                    events.append(
+                                        _json.dumps(
+                                            {
+                                                "message": line,
+                                                "request_id": req.get("requestId"),
+                                            }
+                                        )
+                                    )
+                        return _json.dumps(events)
+                    except Exception:
+                        return "[]"
+
+                return s.map(one)
+
+            outs.append(
+                part.select(
+                    *env,
+                    F.explode(
+                        F.from_json(dec_fh(F.col("message")), "array<string>")
+                    ).alias("event"),
+                ).select(
+                    *env,
+                    F.lit("aws_kinesis_firehose").alias("codec"),
+                    "event",
+                )
+            )
         elif codec == "prometheus_remote_write":
             # prometheus remote_write (src/sources/prometheus/
             # remote_write.rs): snappy-compressed WriteRequest protobuf,
