@@ -685,3 +685,55 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_vector_to_vector_native_loop(spark, tmp_path):
+    """vector-to-vector native protocol: a `vector` SINK pushes
+    length-prefixed EventWrapper protobuf frames into a `vector` SOURCE
+    (the v1 wire shape) — typed fields incl. ints and timestamps survive
+    the wire."""
+    import datetime as _dt
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+    from vector_spark.sinks import vector_sink
+
+    port = _free_port()
+    name = f"vv_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  upstream:
+    type: vector
+    port: {port}
+sinks:
+  out: {{type: memory, inputs: [upstream], query_name: {name}}}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        events = spark.createDataFrame(
+            [
+                (i, f"msg-{i}", 1.5 * i, _dt.datetime(2024, 1, 2, 3, 4, i))
+                for i in range(4)
+            ],
+            "seq long, message string, score double, ts timestamp",
+        ).coalesce(1)
+        deadline = time.time() + 30
+        sent = 0
+        while time.time() < deadline and sent == 0:
+            try:
+                sent = vector_sink(events, "127.0.0.1", port)
+            except Exception:
+                time.sleep(0.5)
+        assert sent == 4
+        assert _wait_rows(spark, name, 4) == 4
+        rows = spark.sql(f"SELECT message FROM {name}").collect()
+        evs = sorted((_json.loads(r.message) for r in rows), key=lambda e: e["seq"])
+        assert [e["message"] for e in evs] == [f"msg-{i}" for i in range(4)]
+        assert evs[2]["score"] == 3.0
+        assert evs[1]["ts"].startswith("2024-01-02 03:04:01")
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -482,7 +482,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         return reader.load()
     if stype in (
         "syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash",
-        "dnstap", "websocket",
+        "dnstap", "websocket", "vector",
     ):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/, src/sources/fluent/mod.rs,
@@ -893,6 +893,12 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     encoding=cfg.get("encoding", "text"),
                     value_col=cfg.get("value_col", "message"),
                 )
+            }
+        elif stype == "vector":
+            from vector_spark.sinks import vector_sink
+
+            results[name] = {
+                "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
         elif stype == "websocket":
             from vector_spark.sinks import websocket_sink

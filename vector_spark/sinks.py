@@ -381,3 +381,45 @@ def websocket_sink(
 
     lines.foreachPartition(send_and_count)
     return sent.value
+
+
+def vector_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    timeout_secs: float = 10.0,
+) -> int:
+    """vector-to-vector native push (src/sinks/vector/): each event row
+    becomes a native EventWrapper protobuf frame (functions/protowire.py)
+    with a 4-byte BE length prefix, one TCP connection per partition —
+    the v1 wire shape a `vector` source (ours or the reference's v1)
+    consumes. All columns of the row travel as event fields."""
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    cols = df.columns
+
+    def send_partition(rows) -> None:
+        import socket as _socket
+        import struct as _struct
+
+        from vector_spark.functions.protowire import encode_vector_log
+
+        sock = None
+        n = 0
+        try:
+            for row in rows:
+                if sock is None:
+                    sock = _socket.create_connection(
+                        (host, port), timeout=timeout_secs
+                    )
+                payload = encode_vector_log(
+                    {c: row[c] for c in cols if row[c] is not None}
+                )
+                sock.sendall(_struct.pack(">I", len(payload)) + payload)
+                n += 1
+        finally:
+            if sock is not None:
+                sock.close()
+        sent.add(n)
+
+    df.foreachPartition(send_partition)
+    return sent.value

@@ -341,6 +341,53 @@ def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threadi
         ).start()
 
 
+def _vector_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """vector-to-vector native listener (`src/sources/vector/`): a TCP
+    stream of 4-byte BE length-prefixed native EventWrapper protobuf
+    frames (the v1 wire shape; v2 wraps the same EventArray payloads in
+    gRPC — functions/framing.py frame_grpc covers that framing). Each
+    frame decodes through the pure-Python event codec; log events
+    surface as their fields' JSON."""
+    import struct as _struct
+
+    from vector_spark.functions.protowire import decode_vector_log
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ready.set()
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        buf = b""
+        with conn:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                buf += data
+                while len(buf) >= 4:
+                    ln = _struct.unpack(">I", buf[:4])[0]
+                    if len(buf) < 4 + ln:
+                        break
+                    frame = buf[4:4 + ln]
+                    buf = buf[4 + ln:]
+                    try:
+                        ev = decode_vector_log(frame)
+                        if ev is not None:
+                            state.append(
+                                peer, json.dumps(ev, sort_keys=True, default=str)
+                            )
+                    except (IndexError, ValueError):
+                        pass
+
+    while True:
+        conn, addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
+        ).start()
+
+
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
@@ -680,6 +727,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
                 "logstash": _logstash_listener,
                 "dnstap": _dnstap_listener,
                 "websocket": _websocket_listener,
+                "vector": _vector_listener,
             }[self.proto]
             threading.Thread(
                 target=target,
@@ -1102,6 +1150,22 @@ class WebsocketDataSource(DataSource):
         return _SocketStreamReader(self.options, "websocket")
 
 
+class VectorDataSource(DataSource):
+    """`vector` source analog (src/sources/vector/): length-prefixed
+    native EventWrapper protobuf frames over TCP. message column carries
+    the decoded event's JSON."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vector"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "vector")
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
@@ -1111,3 +1175,4 @@ def register_sources(spark) -> None:
     spark.dataSource.register(LogstashDataSource)
     spark.dataSource.register(DnstapDataSource)
     spark.dataSource.register(WebsocketDataSource)
+    spark.dataSource.register(VectorDataSource)
