@@ -199,11 +199,10 @@ def test_reference_remap_with_drop_corpus(spark):
 
 
 def test_reference_vrl_test_input_corpus(spark):
-    """vrl_test_input.yaml: `type: vrl` inputs — a VRL program generates
-    the injected event (root replacement against an empty event). The
-    canary must pass; remap_test_metadata needs scalar whole-event reads
-    (`.event = .` on a scalar root) — pinned unsupported, enforced in
-    both directions like the remap corpus."""
+    """vrl_test_input.yaml verbatim: `type: vrl` inputs — a VRL program
+    generates the injected event (root replacement against an empty
+    event); remap_test_metadata exercises bare `%` metadata roots and
+    whole-event `.` reads (scalar form for message-only events)."""
     import os
 
     import yaml as _yaml
@@ -219,6 +218,6 @@ def test_reference_vrl_test_input_corpus(spark):
         cfg = _yaml.safe_load(f)
     results = {r.name: r for r in run_unit_tests(spark, cfg)}
     assert results["canary"].passed, results["canary"].failures
-    assert not results["remap_test_metadata"].passed, (
-        "now passing — unpin remap_test_metadata"
+    assert results["remap_test_metadata"].passed, (
+        results["remap_test_metadata"].failures
     )

@@ -501,7 +501,24 @@ class _P:
                 ):
                     return F.lit(None)
                 return F.col(f"`{fname}`")
+            # bare `.` — the WHOLE event as a value (vrl_target.rs): a
+            # message-only event reads as its scalar, otherwise the
+            # event's fields as a struct (envelope `_`-columns excluded)
+            if self.known_cols is not None:
+                evcols = sorted(
+                    c for c in self.known_cols if not c.startswith("_")
+                )
+                if evcols == ["message"]:
+                    return F.col("message")
+                if evcols:
+                    return F.struct(*[F.col(_quote_seg(c)).alias(c) for c in evcols])
             raise VrlCompileError("bare '.' is not an expression")
+        if t.kind == "op" and t.text == "%":
+            # bare `%` — the whole metadata value (`_metadata` envelope)
+            self.eat()
+            if self.known_cols is not None and "_metadata" not in self.known_cols:
+                return F.lit(None)
+            return F.col("_metadata")
         if t.kind == "path":
             self.eat()
             root = _path_segments(t.text)[0]
@@ -1124,6 +1141,22 @@ def compile_vrl_full(
             if err is not None:
                 noops += 1
                 assignments.append(Assignment(f"__noop__{noops}", F.lit(None), err))
+            continue
+        if (
+            t.kind == "op"
+            and t.text == "%"
+            and p.i + 1 < len(p.toks)
+            and p.toks[p.i + 1].text == "="
+        ):
+            # `% = expr` — whole-metadata root assignment
+            # (vrl_target.rs metadata root; corpus vrl_test_input.yaml):
+            # the metadata value rides in the `_metadata` envelope column
+            p.eat()
+            p.eat("=")
+            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            expr = p.expr()
+            assignments.append(Assignment("_metadata", expr))
+            _learn("_metadata")
             continue
         if t.kind not in ("path", "mpath"):
             raise VrlCompileError(f"statement must start with a path, got {t.text!r}")
