@@ -187,34 +187,37 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if exact_verify:
-        # true Jaccard on candidates only. Shape: ONE semi-join restricts
-        # the exploded shingles to candidate docs (volume ∝ candidates,
-        # not corpus), one groupBy packs each candidate's shingle set into
-        # an array (bounded per doc), then two equi-joins attach the sets
-        # and the intersection is a per-row array_intersect — replacing
-        # the previous 4-join shape (two shingle-level shuffles + two
-        # size joins): measured 2.0 s → 1.3 s at sf0.1, and at corpus
-        # scale the shingle-level (id_b, shingle) shuffle it removes was
-        # the widest stage of the verify path.
+        # true Jaccard on candidates only: shingle-set intersection via an
+        # equi-join restricted to candidate pairs, sizes from per-doc
+        # counts. The candidate set is tiny (LSH output), so AQE
+        # BROADCASTS it into both shingle joins — neither shingle-level
+        # join shuffles the exploded table. A round-4 rewrite to
+        # semi-join + collect_set + array_intersect was measured
+        # INTERLEAVED against this shape and REVERTED: 2.34 s vs 1.03 s
+        # warm at sf0.1 — packing per-doc shingle arrays costs more than
+        # the broadcast-driven count join, and this shape's only wide
+        # stage (the shingle explode) is shared by both.
         sh = _exploded_shingles(df, text_col, shingle_k, keep=[id_col], distinct=True)
-        cand_ids = cand.select(
-            F.explode(F.array("id_a", "id_b")).alias(id_col)
-        ).distinct()
-        sets = (
-            sh.join(cand_ids, id_col, "left_semi")
-            .groupBy(id_col)
-            .agg(F.collect_set("shingle").alias("shset"))
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        sa = sets.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
-        sb = sets.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
-        inter = F.size(F.array_intersect("set_a", "set_b"))
+        za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
         return (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
+            inter.join(za, "id_a")
+            .join(zb, "id_b")
             .withColumn(
                 "jaccard",
                 F.round(
-                    inter / (F.size("set_a") + F.size("set_b") - inter), 6
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6,
                 ),
             )
             .where(F.col("jaccard") >= threshold)
