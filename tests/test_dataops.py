@@ -366,3 +366,32 @@ def test_redact_pii_classes(spark):
         ).alias("c")
     ).collect()
     assert r2.c == "ssn [REDACTED] ok"
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE merge training (Sennrich et al. 2016) against a hand-computed
+    corpus: merge order follows corpus-wide pair frequency with
+    deterministic lexicographic tie-breaks; encode applies merges in
+    training priority."""
+    from vector_spark.dataops.text import bpe_encode, bpe_train
+
+    # 'low'x5, 'lower'x2, 'newest'x6, 'widest'x3 — the paper's example
+    docs = spark.createDataFrame(
+        [(" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),)],
+        "text string",
+    )
+    merges = bpe_train(docs, n_merges=4)
+    # pair counts round 1: ('e','s')=9, ('s','t')=9, ('l','o')=7,
+    # ('o','w')=7, ... → ('e','s') wins by tie-break; then ('es','t')=9;
+    # then ('l','o')=7; then ('l o','w')... ('lo','w')=7
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    assert bpe_encode("newest", merges) == ["n", "e", "w", "est"]
+    assert bpe_encode("lowest", merges) == ["low", "est"]
+    # determinism across repartitionings
+    merges2 = bpe_train(docs.repartition(7), n_merges=4)
+    assert merges2 == merges
+    # the size gate refuses oversized vocabularies
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab_threshold"):
+        bpe_train(docs, n_merges=1, vocab_threshold=2)

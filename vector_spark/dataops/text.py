@@ -285,3 +285,97 @@ def redact_pii(text: Column, classes: list[str] | None = None) -> Column:
     for name in classes or sorted(REDACT_FILTERS):
         out = F.regexp_replace(out, REDACT_FILTERS[name], "[REDACTED]")
     return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    vocab_threshold: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge list (Sennrich et al. 2016, the standard
+    subword-tokenizer construction) over the corpus. Returns the ordered
+    merge rules [(left, right), ...] — ties break lexicographically so
+    the result is deterministic on any engine/partitioning.
+
+    Scale shape: the corpus collapses to the DISTINCT-word frequency
+    table first (ONE distributed shuffle; vocabulary grows ~log of
+    corpus size, so a 100 TB corpus still yields a word table in the
+    millions). The merge loop then runs on that table: each round is a
+    pair-count + merge over words — executed DRIVER-side because the
+    word table is counted small (`vocab_threshold` guards it, same
+    size-gate contract as connected_components); for vocabularies above
+    the gate, raise it and accept driver memory, or pre-truncate to the
+    top-N words (frequency mass concentrates — the standard practice).
+    The iterative loop is inherently sequential (each merge changes the
+    next round's counts): no engine expresses it as one query, which is
+    why this op has no SQL oracle (rows-only contract)."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_words = words.count()
+    if n_words > vocab_threshold:
+        raise ValueError(
+            f"word table has {n_words} entries (> vocab_threshold="
+            f"{vocab_threshold}); pre-truncate or raise the gate"
+        )
+    vocab = {
+        tuple(r["w"]): r["freq"] for r in words.collect()
+    }  # word as symbol tuple
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        # deterministic: max count, ties to the lexicographically
+        # smallest pair (engine/partitioning independent)
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(tokens: list[str] | str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a trained merge list to one word (training-order priority,
+    the standard BPE encode)."""
+    syms = list(tokens)
+    rank = {m: i for i, m in enumerate(merges)}
+    while len(syms) > 1:
+        pairs = [(rank.get((syms[i], syms[i + 1])), i) for i in range(len(syms) - 1)]
+        pairs = [(r, i) for r, i in pairs if r is not None]
+        if not pairs:
+            break
+        _, i = min(pairs)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms

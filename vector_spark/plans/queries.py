@@ -3713,6 +3713,73 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "PII redaction chain (emails/IPs/SSNs/cards/phones), RE2-replayable",
     ),
+    # Embedding-space fuzzy dedup end-to-end: LSH-blocked cosine pairs →
+    # connected components → per-vector keep/drop — the dedup chain
+    # composed over EMBEDDINGS instead of text (the recall-1 LSH
+    # parameterization lets the recursive-CTE transitive closure over
+    # the exact all-pairs cosine graph serve as the value oracle).
+    "embedding_dedup_components": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda emb: dedup_decisions(
+                emb.select(F.col("vec_id")),
+                __import__(
+                    "vector_spark.dataops.similarity",
+                    fromlist=["cosine_near_dup_pairs"],
+                ).cosine_near_dup_pairs(
+                    emb, threshold=0.4, n_tables=48, n_planes=4
+                ),
+                id_col="vec_id",
+            )
+        )(load_table(spark, sf_dir, "embeddings")),
+        """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                      6) >= 0.4
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(src, dst) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+        ), comp AS (
+          SELECT src, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src
+        )
+        SELECT v.vec_id,
+               COALESCE(c.component, v.vec_id) AS component,
+               v.vec_id = COALESCE(c.component, v.vec_id) AS keep
+        FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.src
+        """,
+        "embedding fuzzy dedup: LSH cosine pairs -> components -> keep",
+    ),
+    # BPE tokenizer training (Sennrich et al. 2016): distributed word-
+    # frequency table + size-gated merge loop. Inherently ITERATIVE
+    # (each merge reshapes the next round's counts) — no engine expresses
+    # it as one query, so this is a documented rows-only entry (oracle
+    # omitted); determinism is pytest-pinned instead (tie-breaks are
+    # lexicographic, results identical under any repartitioning).
+    "docs_bpe_train": QuerySpec(
+        lambda spark, sf_dir: spark.createDataFrame(
+            [
+                (i, left, right)
+                for i, (left, right) in enumerate(
+                    __import__(
+                        "vector_spark.dataops.text", fromlist=["bpe_train"]
+                    ).bpe_train(
+                        load_table(spark, sf_dir, "documents"), n_merges=24
+                    )
+                )
+            ],
+            "merge_rank long, left string, right string",
+        ),
+        None,
+        "BPE merge-list training (iterative; rows-only by nature)",
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -3724,7 +3791,7 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = [
     # new in r4 — never driver-sampled
     "vrl_emit_multi", "native_proto_roundtrip", "docs_duplicate_spans",
-    "docs_redact_pii",
+    "docs_redact_pii", "embedding_dedup_components", "docs_bpe_train",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_bpe_pairs", "events_rollup",
