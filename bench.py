@@ -64,6 +64,7 @@ HEADLINE = [
     "native_proto_roundtrip",
     "docs_duplicate_spans",
     "docs_redact_pii",
+    "docs_bpe_train",
 ]
 
 
