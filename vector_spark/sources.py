@@ -378,7 +378,10 @@ def _vector_listener(state: _ListenerState, host: str, port: int, ready: threadi
                             state.append(
                                 peer, json.dumps(ev, sort_keys=True, default=str)
                             )
-                    except (IndexError, ValueError):
+                    except Exception:
+                        # malformed frame from the network must never
+                        # kill the handler thread (struct.error is not a
+                        # ValueError); skip, like the reference drops
                         pass
 
     while True:
@@ -566,8 +569,10 @@ def _dnstap_listener(state: _ListenerState, host: str, port: int, ready: threadi
                         state.append(
                             peer, json.dumps(parse_dnstap(frame), sort_keys=True)
                         )
-                    except (IndexError, ValueError):
-                        pass  # malformed frame: skip (reference drops too)
+                    except Exception:
+                        # malformed frame: skip (struct.error included —
+                        # a network peer must never kill the handler)
+                        pass
 
     while True:
         conn, addr = srv.accept()
