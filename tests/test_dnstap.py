@@ -218,3 +218,16 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_many_plain_labels_is_not_a_compression_loop():
+    import struct
+
+    # ADVICE r4 (low): depth used to count plain labels too, so a legal
+    # name with >32 labels tripped the 'compression loop' guard. RFC 1035
+    # allows up to 127 labels; only pointer hops should be depth-bounded.
+    name = b"".join(b"\x01a" for _ in range(60)) + b"\x00"
+    hdr = struct.pack(">HHHHHH", 1, 0x0100, 1, 0, 0, 0)
+    q = name + struct.pack(">HH", 1, 1)
+    msg = parse_dns_message(hdr + q)
+    assert msg["question"][0]["domainName"] == "a." * 60

@@ -247,3 +247,14 @@ def test_descriptor_set_reader_and_vrl_proto(spark, tmp_path):
     import json as _json
 
     assert _json.loads(out.t)["points"][0] == {"x": -3, "y": 4}
+
+
+def test_row_values_encode_as_maps_not_arrays():
+    # ADVICE r4 (medium): pyspark Row subclasses tuple, so a nested struct
+    # column used to fall into the array branch and silently drop field
+    # names. A Row must travel as a map Value and decode back as a dict.
+    from pyspark.sql import Row
+
+    ev = {"message": "m", "parts": Row(host="h", port=80)}
+    out = decode_vector_log(encode_vector_log(ev))
+    assert out == {"message": "m", "parts": {"host": "h", "port": 80}}

@@ -150,3 +150,19 @@ def test_directory_backend_rejects_sibling_prefix_escape(tmp_path):
                 "sinks": {"s": {"url": "SECRET[d.../secrets2/k]"}},
             }
         )
+
+
+def test_directory_backend_mixed_abs_rel_raises_secret_error(tmp_path, monkeypatch):
+    # ADVICE r4 (low): with a RELATIVE base path and a key resolving to an
+    # absolute path, os.path.commonpath raises ValueError — the escape must
+    # still surface as SecretError, not an unhandled crash.
+    base = tmp_path / "sec"
+    base.mkdir()
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SecretError, match="escapes the directory"):
+        resolve_secrets(
+            {
+                "secret": {"d": {"type": "directory", "path": "sec"}},
+                "sinks": {"s": {"url": "SECRET[d./etc/passwd]"}},
+            }
+        )

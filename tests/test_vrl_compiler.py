@@ -238,3 +238,23 @@ def test_interpreter_matches_compiler(spark):
             10: (16, "hi", False),
             2: (None, None, True),
         }, f"force_interpret={force}"
+
+
+def test_object_equality_is_key_order_insensitive(spark):
+    # ADVICE r4 (medium): map/struct vs object-literal equality went
+    # through to_json, which is key-order-sensitive. VRL object equality
+    # is structural: a query map built from a=1&b=2 must equal the
+    # literal written {"b": "2", "a": "1"}.
+    df = spark.createDataFrame([Row(url="http://h/p?a=1&b=2")])
+    out = vrl_remap(
+        df,
+        """
+        .parts = parse_url!(.url)
+        .eq_rev = .parts.query == {"b": "2", "a": "1"}
+        .eq_fwd = .parts.query == {"a": "1", "b": "2"}
+        .ne_val = .parts.query == {"a": "1", "b": "3"}
+        .ne_key = .parts.query == {"a": "1", "c": "2"}
+        """,
+    )[""].collect()[0]
+    assert out.eq_rev is True and out.eq_fwd is True
+    assert out.ne_val is False and out.ne_key is False

@@ -63,11 +63,18 @@ def _resolve_backend(name: str, bcfg: dict, keys: list[str]) -> dict[str, str]:
         out = {}
         base = bcfg["path"]
         for k in keys:
-            p = os.path.normpath(os.path.join(base, k))
-            # commonpath, not a string prefix: base '/sec' must not admit
-            # '/secrets2/x' (sibling dir sharing the prefix)
-            nb = os.path.normpath(base)
-            if os.path.commonpath([nb, p]) != nb:
+            # abspath both sides first: commonpath raises ValueError on
+            # mixed absolute/relative inputs (e.g. relative base + a key
+            # like '/etc/passwd'), and the escape must surface as a
+            # SecretError, not a crash. commonpath, not a string prefix:
+            # base '/sec' must not admit '/secrets2/x'.
+            nb = os.path.abspath(os.path.normpath(base))
+            p = os.path.abspath(os.path.normpath(os.path.join(base, k)))
+            try:
+                escapes = os.path.commonpath([nb, p]) != nb
+            except ValueError:
+                escapes = True
+            if escapes:
                 raise SecretError(f"{name}: key {k!r} escapes the directory")
             try:
                 with open(p) as f:

@@ -134,8 +134,13 @@ def _read_name(buf: bytes, pos: int, depth: int = 0) -> tuple[str, int]:
     (dotted name with trailing dot, position after the name)."""
     labels: list[str] = []
     while True:
+        # depth counts only compression-pointer hops (a legal name may
+        # carry up to 127 plain labels — RFC 1035 §3.1 — and must not
+        # trip the loop guard); labels are bounded separately
         if depth > 32:
             raise ValueError("compression loop")
+        if len(labels) > 127:
+            raise ValueError("too many labels")
         ln = buf[pos]
         if ln & 0xC0 == 0xC0:  # compression pointer
             target = ((ln & 0x3F) << 8) | buf[pos + 1]
@@ -147,7 +152,6 @@ def _read_name(buf: bytes, pos: int, depth: int = 0) -> tuple[str, int]:
             return (".".join(labels) + "." if labels else "."), pos
         labels.append(buf[pos:pos + ln].decode("ascii", "replace"))
         pos += ln
-        depth += 1
 
 
 def _format_rdata(rtype: int, rd: bytes, buf: bytes, rpos: int) -> str:

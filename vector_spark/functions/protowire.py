@@ -311,6 +311,11 @@ def _py_to_value(v) -> dict:
         return {"raw_bytes": v.encode("utf-8")}
     if isinstance(v, dict):
         return {"map": {"fields": [{"key": k, "value": _py_to_value(x)} for k, x in v.items()]}}
+    if hasattr(v, "asDict"):
+        # pyspark Row subclasses tuple — without this it would fall into the
+        # array branch and silently drop field names (a struct column must
+        # travel as a map Value, matching what the receiver decodes back)
+        return _py_to_value(v.asDict(recursive=True))
     if isinstance(v, (list, tuple)):
         return {"array": {"items": [_py_to_value(x) for x in v]}}
     raise ValueError(f"unsupported value type {type(v)}")

@@ -831,10 +831,20 @@ def parse_aws_cloudwatch_log_subscription_message(c: Column) -> Column:
     )
 
 
+def _tag_dtype(dtype: str, col: Column) -> Column:
+    """annotate a function-result Column with its known simpleString
+    dtype so the compiler can propagate it to assigned event fields
+    (enables e.g. order-insensitive object equality on `.parts.query`)."""
+    col._vs_dtype = dtype
+    return col
+
+
 VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # Parse
     "parse_json": parse_json,
-    "parse_key_value": parse_key_value,
+    "parse_key_value": lambda *a, **k: _tag_dtype(
+        "map<string,string>", parse_key_value(*a, **k)
+    ),
     "parse_regex": parse_regex,
     "parse_timestamp": parse_timestamp,
     "parse_duration": parse_duration_ms,
@@ -849,7 +859,11 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "parse_url": lambda c, part=None: (
         F.parse_url(c, F.lit(part))
         if part is not None
-        else F.struct(
+        else _tag_dtype(
+            "struct<scheme:string,username:string,password:string,"
+            "host:string,port:bigint,path:string,"
+            "query:map<string,string>,fragment:string>",
+            F.struct(
             F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
             F.coalesce(
                 F.split(F.parse_url(c, F.lit("USERINFO")), ":")[0], F.lit("")
@@ -871,6 +885,7 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
                 F.create_map().cast("map<string,string>"),
             ).alias("query"),
             F.parse_url(c, F.lit("REF")).alias("fragment"),
+            )
         )
     ),
     "parse_int": lambda c: c.try_cast("long"),
@@ -975,8 +990,11 @@ VRL_FUNCTIONS.update(
         "parse_common_log": parse_common_log,
         "parse_tokens": parse_tokens,
         "parse_grok": lambda c, pattern: parse_grok(c, pattern),
-        "parse_query_string": lambda c: F.str_to_map(
-            F.regexp_replace(c, r"^\?", ""), F.lit("&"), F.lit("=")
+        "parse_query_string": lambda c: _tag_dtype(
+            "map<string,string>",
+            F.str_to_map(
+                F.regexp_replace(c, r"^\?", ""), F.lit("&"), F.lit("=")
+            ),
         ),
         "parse_user_agent": lambda c: F.struct(
             F.regexp_extract(c, r"^([^/ ]+)", 1).alias("family"),
@@ -1034,7 +1052,9 @@ VRL_FUNCTIONS.update(
         "encode_percent": lambda c: F.url_encode(c),
         "decode_percent": lambda c: F.url_decode(c),
         # Parse wave 2
-        "parse_logfmt": lambda c: F.str_to_map(c, F.lit(" "), F.lit("=")),
+        "parse_logfmt": lambda c: _tag_dtype(
+            "map<string,string>", F.str_to_map(c, F.lit(" "), F.lit("="))
+        ),
         "parse_nginx_log": lambda c, format="combined": parse_nginx_log(c),
         "parse_aws_vpc_flow_log": lambda c, **kw: parse_aws_vpc_flow_log(c, **kw),
         "parse_aws_cloudwatch_log_subscription_message":

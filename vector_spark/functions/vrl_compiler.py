@@ -121,6 +121,71 @@ def _path_col(text: str) -> Column:
     return col
 
 
+def _col_meta(col, name: str, default=None):
+    """Read compiler-attached metadata off a Column SAFELY: pyspark's
+    Column.__getattr__ resolves ANY attribute name as a field-access
+    Column, so hasattr()/getattr() always 'succeed' — only attributes
+    explicitly set land in __dict__."""
+    d = getattr(col, "__dict__", None)
+    return d.get(name, default) if isinstance(d, dict) else default
+
+
+def _split_toplevel(inner: str) -> list[str]:
+    """split a simpleString type list on top-level commas (depth-counted
+    so nested angle brackets don't split)."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(inner + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    return parts
+
+
+def _struct_fields(dtype: str) -> dict[str, str]:
+    """top-level name→dtype map from a simpleString struct dtype, e.g.
+    'struct<a:string,b:struct<c:int>>' → {'a':'string','b':'struct<c:int>'}."""
+    if not dtype.startswith("struct<") or not dtype.endswith(">"):
+        return {}
+    out: dict[str, str] = {}
+    for part in _split_toplevel(dtype[len("struct<"):-1]):
+        if ":" in part:
+            k, v = part.split(":", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _struct_field_names(dtype: str) -> list[str]:
+    return list(_struct_fields(dtype))
+
+
+def _nested_dtype(dtype: str | None, segs: list) -> str | None:
+    """dtype of a path INTO a simpleString dtype: struct fields by name,
+    map value type for string keys, array element for int indices.
+    None whenever a hop can't be resolved."""
+    for s in segs:
+        if dtype is None:
+            return None
+        if isinstance(s, int):
+            if dtype.startswith("array<") and dtype.endswith(">"):
+                dtype = dtype[len("array<"):-1]
+            else:
+                return None
+        elif dtype.startswith("struct<"):
+            dtype = _struct_fields(dtype).get(s)
+        elif dtype.startswith("map<") and dtype.endswith(">"):
+            parts = _split_toplevel(dtype[len("map<"):-1])
+            dtype = parts[1].strip() if len(parts) == 2 else None
+        else:
+            return None
+    return dtype
+
+
 @dataclass
 class _Tok:
     kind: str
@@ -263,9 +328,24 @@ class _P:
                 op in ("==", "!=")
                 and left_pd is not None
                 and (left_pd.startswith("struct") or left_pd.startswith("map"))
-                and getattr(right, "_vs_obj_struct", False)
+                and _col_meta(right, "_vs_obj_struct", False)
             ):
-                cmp = F.to_json(left) == F.to_json(right)
+                # VRL object equality is structural and key-order-insensitive:
+                # canonicalize BOTH sides to key-sorted JSON (a query map built
+                # from a=1&b=2 must equal the literal {"b":"2","a":"1"})
+                if left_pd.startswith("map"):
+                    lc = F.map_from_entries(F.array_sort(F.map_entries(left)))
+                else:
+                    names = _struct_field_names(left_pd)
+                    lc = (
+                        F.struct(*[left[n].alias(n) for n in sorted(names)])
+                        if names
+                        else left
+                    )
+                rc = _col_meta(right, "_vs_obj_sorted")
+                if rc is None:
+                    rc = right
+                cmp = F.to_json(lc) == F.to_json(rc)
                 left = cmp if op == "==" else ~cmp
                 self._err_default = None
                 continue
@@ -439,6 +519,7 @@ class _P:
         if t.text == "{":  # object literal → struct with field aliases
             self.eat()
             fields: list[Column] = []
+            fnames: list[str] = []
             raw_obj: dict | None = {}
             while not self.at("}"):
                 k = self.eat()
@@ -471,11 +552,17 @@ class _P:
                 fields.append(
                     (v if isinstance(v, Column) else F.lit(v)).alias(k.text[1:-1])
                 )
+                fnames.append(k.text[1:-1])
                 if self.at(","):
                     self.eat()
             self.eat("}")
             col = F.struct(*fields)
             col._vs_obj_struct = True  # comparisons canonicalize via JSON
+            # key-sorted twin for order-insensitive equality (VRL object
+            # equality is structural; a=1&b=2 query map must == {"b":..,"a":..})
+            col._vs_obj_sorted = F.struct(
+                *[c for _, c in sorted(zip(fnames, fields), key=lambda p: p[0])]
+            )
             if raw_obj:
                 col._vs_literal_obj = raw_obj
             return col
@@ -540,6 +627,13 @@ class _P:
             rest = t.text[m0.end():]
             if not rest:
                 self._last_path_dtype = self.known_dtypes.get(root)
+            elif self.known_dtypes.get(root) not in (None, "string"):
+                # nested struct/map path: resolve the leaf dtype so e.g.
+                # `.parts.query == {...}` knows the left side is a map and
+                # canonicalizes (order-insensitive object equality)
+                self._last_path_dtype = _nested_dtype(
+                    self.known_dtypes.get(root), _path_segments(t.text)[1:]
+                )
             if rest and self.known_dtypes.get(root) == "string":
                 # nested access INTO a string column: the column holds
                 # JSON text (the schema-less parse_json contract) — the
@@ -1216,6 +1310,19 @@ def compile_vrl_full(
             tname = _target_name(targets[0])
             assignments.append(Assignment(tname, expr, err))
             _learn(tname)
+            if "." not in tname and "`" not in tname:
+                # propagate known function-result dtypes (tagged via
+                # _tag_dtype) so later reads into the assigned field
+                # resolve their leaf type; drop any stale entry when the
+                # new value's type is unknown
+                # NB: must read via __dict__ — Column.__getattr__ resolves
+                # any attribute name as a field-access Column, so hasattr()
+                # is always true on a Column
+                tagged = _col_meta(expr, "_vs_dtype")
+                if isinstance(tagged, str):
+                    p.known_dtypes[tname] = tagged
+                elif not p._is_jsontext:
+                    p.known_dtypes.pop(tname, None)
             if p._is_jsontext and "." not in tname and "`" not in tname:
                 # schema-less parse_json/compact/flatten result: the
                 # column holds JSON TEXT — record the dtype so later

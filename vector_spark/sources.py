@@ -456,48 +456,66 @@ def _websocket_listener(state: _ListenerState, host: str, port: int, ready: thre
                     f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
                 ).encode()
             )
-            # frame loop (client→server frames are always masked, §5.3)
+            # frame loop (client→server frames are always masked, §5.3).
+            # Hardened like the vector/dnstap loops (ccf7817 contract): a
+            # mid-header disconnect or oversized length closes this
+            # connection cleanly instead of raising out of the thread.
             frags: list[bytes] = []
             frag_op = 0
+            max_payload = 64 * 1024 * 1024  # reject absurd 64-bit lengths
             while True:
-                h = recv_exact(conn, 2)
-                if h is None:
-                    return
-                fin, opcode = h[0] & 0x80, h[0] & 0x0F
-                masked, ln = h[1] & 0x80, h[1] & 0x7F
-                if ln == 126:
-                    ln = _struct.unpack(">H", recv_exact(conn, 2))[0]
-                elif ln == 127:
-                    ln = _struct.unpack(">Q", recv_exact(conn, 8))[0]
-                mask = recv_exact(conn, 4) if masked else b"\x00" * 4
-                data = recv_exact(conn, ln)
-                if data is None:
-                    return
-                if masked:
-                    data = bytes(
-                        b ^ mask[i % 4] for i, b in enumerate(data)
-                    )
-                if opcode == 0x8:  # close: echo and stop
-                    send_frame(conn, 0x8, data[:2])
-                    return
-                if opcode == 0x9:  # ping → pong
-                    send_frame(conn, 0xA, data)
-                    continue
-                if opcode in (0x1, 0x2, 0x0):
-                    if opcode != 0x0:
-                        frag_op = opcode
-                        frags = [data]
-                    else:
-                        frags.append(data)
-                    if fin:
-                        whole = b"".join(frags)
-                        state.append(
-                            peer,
-                            whole.decode("utf-8", "replace")
-                            if frag_op == 0x1
-                            else base64.b64encode(whole).decode(),
+                try:
+                    h = recv_exact(conn, 2)
+                    if h is None:
+                        return
+                    fin, opcode = h[0] & 0x80, h[0] & 0x0F
+                    masked, ln = h[1] & 0x80, h[1] & 0x7F
+                    if ln == 126:
+                        ext = recv_exact(conn, 2)
+                        if ext is None:
+                            return
+                        ln = _struct.unpack(">H", ext)[0]
+                    elif ln == 127:
+                        ext = recv_exact(conn, 8)
+                        if ext is None:
+                            return
+                        ln = _struct.unpack(">Q", ext)[0]
+                    if ln > max_payload:
+                        send_frame(conn, 0x8, _struct.pack(">H", 1009))
+                        return
+                    mask = recv_exact(conn, 4) if masked else b"\x00" * 4
+                    if mask is None:
+                        return
+                    data = recv_exact(conn, ln)
+                    if data is None:
+                        return
+                    if masked:
+                        data = bytes(
+                            b ^ mask[i % 4] for i, b in enumerate(data)
                         )
-                        frags = []
+                    if opcode == 0x8:  # close: echo and stop
+                        send_frame(conn, 0x8, data[:2])
+                        return
+                    if opcode == 0x9:  # ping → pong
+                        send_frame(conn, 0xA, data)
+                        continue
+                    if opcode in (0x1, 0x2, 0x0):
+                        if opcode != 0x0:
+                            frag_op = opcode
+                            frags = [data]
+                        else:
+                            frags.append(data)
+                        if fin:
+                            whole = b"".join(frags)
+                            state.append(
+                                peer,
+                                whole.decode("utf-8", "replace")
+                                if frag_op == 0x1
+                                else base64.b64encode(whole).decode(),
+                            )
+                            frags = []
+                except (OSError, ValueError, _struct.error, TypeError):
+                    return  # malformed frame / dead socket: drop connection
 
     while True:
         conn, addr = srv.accept()
