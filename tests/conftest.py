@@ -18,6 +18,23 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _evict_session_caches():
+    """Clear the engine's session cache registry between test modules.
+
+    The engine memoizes built plans and tracks operator-internal persists
+    for warm re-serving; across a 343-test single session that
+    accumulation once GC-wedged an 8 GiB driver. Module-boundary eviction
+    keeps the suite honest about cold builds while still letting tests
+    within a module share warm state. (The session-scoped table caches
+    above are NOT registry-tracked and survive, as intended.)
+    """
+    yield
+    from vector_spark import clear_caches
+
+    clear_caches()
+
+
 @pytest.fixture(scope="session")
 def events(spark):
     from vector_spark.tables import load_table

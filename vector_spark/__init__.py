@@ -23,3 +23,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from vector_spark.cache import clear_caches, persisted_rdd_count  # noqa: E402,F401

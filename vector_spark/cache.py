@@ -1,0 +1,112 @@
+"""Session cache lifecycle for long-lived Spark sessions.
+
+A warm, always-on session (the 100 TB deployment model: one driver serving
+many queries for days) accumulates three kinds of driver/executor state if
+nothing evicts it:
+
+- persisted DataFrames created INSIDE operators (e.g. the minhash signature
+  table in ``dataops.dedup.minhash_lsh_pairs``) whose handle is never
+  returned to the caller, so the caller *cannot* unpersist it;
+- memoized result DataFrames (``plans.queries`` keeps per-(session, sf_dir)
+  built plans so a repeat run re-serves the warm object instead of leaking
+  a fresh persist per build);
+- localCheckpoint block data pinned by those memoized references.
+
+Individually each is justified; collectively a long-lived session grows
+unboundedly — reproduced as a driver GC death-spiral during a full
+single-session test run. This module is the missing lifecycle:
+
+- :func:`track_persist` — persist a DataFrame AND record the handle in a
+  bounded registry, so internal persists become evictable. The registry is
+  LRU-bounded (:data:`MAX_PERSISTED`): inserting beyond the bound
+  unpersists the oldest entry, so even a session that never calls
+  :func:`clear_caches` has bounded persisted-RDD growth.
+- :func:`register_memo` — register a memo dict (plan/DataFrame caches) for
+  clearing.
+- :func:`clear_caches` — evict everything: unpersist every tracked
+  DataFrame and empty every registered memo. Safe to call at any time; the
+  next query rebuilds (cold) and re-registers.
+- :func:`persisted_rdd_count` — observability: how many RDDs the session
+  currently holds persisted (the number ``clear_caches`` should return to
+  baseline).
+
+The reference engine ends every component with a shutdown/drain path
+(``/root/reference/src/topology/running.rs`` — components are stopped and
+their state dropped on reload); this is the Spark-session analog.
+"""
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.RLock()
+
+# insertion-ordered: key -> persisted DataFrame handle (oldest first)
+_PERSISTED: "OrderedDict[int, DataFrame]" = OrderedDict()
+_NEXT_KEY = [0]
+
+# memo dicts registered by plan/operator modules; cleared wholesale
+_MEMOS: list[dict] = []
+
+#: LRU bound on operator-internal persists. Each minhash signature table at
+#: sf0.1 is ~10 MB; at 100 TB scale one entry can be much larger, so the
+#: bound is deliberately small — eviction means recompute, not wrong answers.
+MAX_PERSISTED = 8
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + registry entry, LRU-bounded.
+
+    Use instead of a bare ``.persist()`` for intermediates whose handle
+    does not escape to the caller. Returns the (persisted) DataFrame.
+    """
+    with _LOCK:
+        df = df.persist()
+        _NEXT_KEY[0] += 1
+        _PERSISTED[_NEXT_KEY[0]] = df
+        while len(_PERSISTED) > MAX_PERSISTED:
+            _, old = _PERSISTED.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # session may already be gone
+        return df
+
+
+def register_memo(memo: dict) -> dict:
+    """Register a memo dict so :func:`clear_caches` empties it. Returns
+    the dict (usable as a decorator-ish inline registration)."""
+    with _LOCK:
+        # identity, not ==: two empty memo dicts compare equal
+        if not any(m is memo for m in _MEMOS):
+            _MEMOS.append(memo)
+        return memo
+
+
+def clear_caches(blocking: bool = False) -> int:
+    """Evict all tracked persists and empty all registered memos.
+
+    Returns the number of DataFrames unpersisted. Dropping the memo
+    references also releases localCheckpoint lineage so the context
+    cleaner can free those blocks.
+    """
+    with _LOCK:
+        n = 0
+        while _PERSISTED:
+            _, df = _PERSISTED.popitem(last=False)
+            try:
+                df.unpersist(blocking=blocking)
+                n += 1
+            except Exception:
+                pass
+        for m in _MEMOS:
+            m.clear()
+        return n
+
+
+def persisted_rdd_count(spark: SparkSession) -> int:
+    """Number of RDDs the context currently holds persisted (JVM-side
+    truth, includes ``.cache()`` done outside this registry)."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()

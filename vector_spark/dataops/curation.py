@@ -238,17 +238,39 @@ def duplicate_spans(
     fixed-k window finds every repeat of length >= k at ~1/k the cost
     and is the standard first pass at corpus scale).
 
-    Scale shape: explode spans (narrow), per-document distinct folds into
-    the same shuffle as the count (count(DISTINCT doc) has map-side
-    partial dedup on the (span, doc) pair), shuffle key = span —
-    high-cardinality, skew bounded by the most-boilerplate passage.
+    Scale shape: explode spans (narrow), then count over
+    ``xxhash64(span)`` so the big shuffle carries 8-byte keys instead of
+    full k-word strings (count(DISTINCT doc) keeps map-side partial
+    dedup on the (hash, doc) pair); survivors — bounded by the corpus's
+    boilerplate, orders of magnitude fewer than spans — are joined back
+    against a second narrow explode to recover the span TEXT, and the
+    final count_distinct re-runs on real text, so a 64-bit collision can
+    at worst admit an extra candidate into the (tiny) exact pass, never
+    corrupt a count. Shuffle key = span hash — high-cardinality, skew
+    bounded by the most-boilerplate passage.
     Returns (span, n_docs) with n_docs >= min_docs."""
     spans = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(_ngrams(_words(F.col(text_col)), k)).alias("span"),
     )
+    # pass 1: doc-frequency per span HASH — the only corpus-wide shuffle,
+    # 16 bytes/row
+    surviving_hashes = (
+        spans.select("_doc", F.xxhash64("span").alias("_h"))
+        .groupBy("_h")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("_h")
+    )
+    # pass 2: semi-join the (narrow, recomputed) explode against the
+    # survivor hash set — AQE broadcasts it when small, falls back to a
+    # shuffle join when a pathological corpus makes it large — then the
+    # exact count runs over surviving spans only
     return (
-        spans.groupBy("span")
+        spans.join(
+            surviving_hashes, F.xxhash64("span") == F.col("_h"), "inner"
+        )
+        .groupBy("span")
         .agg(F.count_distinct("_doc").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )

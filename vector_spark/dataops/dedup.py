@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_spark import cache
+
 # large Mersenne prime for minhash permutations
 _MERSENNE = (1 << 61) - 1
 
@@ -156,9 +158,13 @@ def minhash_lsh_pairs(
     # shingle→signature pipeline for every branch. At cluster scale this is
     # the standard "materialize signatures once, then block" shape
     # (persist here; checkpoint to storage for very large corpora).
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, seed
-    ).persist()
+    # track_persist, not bare .persist(): the handle never escapes this
+    # function, so the session cache registry must own its lifecycle
+    # (LRU-bounded + clear_caches) or a long-lived session leaks one
+    # signature table per build — the round-4 GC-wedge finding.
+    sigs = cache.track_persist(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    )
     # blocking table carries ONLY (id, band, bucket) — the self-join and
     # the pair-dedup shuffle move 24-byte rows, never the 64-long sigs.
     # One F.expr for all bands (same driver-constant rationale as above).

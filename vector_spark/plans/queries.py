@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_spark import cache as _cache
 from vector_spark.tables import load_table
 from vector_spark.operators import (
     filter_op,
@@ -880,7 +881,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_MINHASH_MEMO: dict = {}
+_MINHASH_MEMO: dict = _cache.register_memo({})
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,7 +905,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_DEDUP_MEMO: dict = {}
+_DEDUP_MEMO: dict = _cache.register_memo({})
 
 
 _ORACLE_MINHASH = """
