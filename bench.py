@@ -103,6 +103,34 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # cold-build entries for the memoized queries (r4 verdict "what's
+    # wrong #3": min-of-3 over a memoized DataFrame measures the cache,
+    # not the operator). Each iteration clears the session cache registry
+    # first, so the timing is the full signature-build + self-join (the
+    # number a first-run user pays); the warm entries above keep
+    # measuring the memoized re-serve a long-lived session gets.
+    from vector_spark import clear_caches
+
+    COLD = {
+        "docs_minhash_lsh_cold": "docs_minhash_lsh",
+        "docs_dedup_components_cold": "docs_dedup_components",
+    }
+    for cold_name, name in COLD.items():
+        fn = QUERIES[name].fn
+        best, n = None, 0
+        for _ in range(3):
+            clear_caches(blocking=True)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[cold_name] = round(best, 4)
+        print(
+            f"# {cold_name}: {timings[cold_name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -390,8 +390,29 @@ def test_bpe_train_and_encode(spark):
     # determinism across repartitionings
     merges2 = bpe_train(docs.repartition(7), n_merges=4)
     assert merges2 == merges
-    # the size gate refuses oversized vocabularies
-    import pytest as _pytest
+    # above the gate the loop runs DISTRIBUTED (one pair-count shuffle
+    # per round, fold-based merge) and must produce the identical merge
+    # list — including the chain-guard case below
+    merges3 = bpe_train(docs, n_merges=4, vocab_threshold=2)
+    assert merges3 == merges
 
-    with _pytest.raises(ValueError, match="vocab_threshold"):
-        bpe_train(docs, n_merges=1, vocab_threshold=2)
+
+def test_bpe_distributed_merge_no_chaining(spark, documents):
+    """Within one round a freshly-joined symbol must not merge again
+    ('aaaa' + merge (a,a) → [aa, aa], not [aaa, a] or [aaaa]): the
+    distributed fold's merged-last flag reproduces the driver loop's
+    i+=2 exactly. Also cross-checked on real corpus text."""
+    from vector_spark.dataops.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaaa aaaa aaaa ab",)], "text string"
+    )
+    drv = bpe_train(docs, n_merges=3)
+    dist = bpe_train(docs, n_merges=3, vocab_threshold=1)
+    assert dist == drv
+    assert drv[0] == ("a", "a")
+    # real text: 40 documents, both paths, same merges
+    sample = documents.limit(40).select("text")
+    drv2 = bpe_train(sample, n_merges=6)
+    dist2 = bpe_train(sample, n_merges=6, vocab_threshold=1)
+    assert dist2 == drv2 and len(drv2) == 6

@@ -19,7 +19,6 @@ REF = "/root/reference/tests/behavior/transforms/remap.yaml"
 
 # name → reason. Grouped by root cause; enforced both directions.
 KNOWN_UNSUPPORTED = {
-    "remap_infallible_assignment": "exact VRL error-message strings",
     "remap_function_reverse_dns": "live DNS (deliberate opt-in gate)",
 }
 
@@ -61,4 +60,4 @@ def test_reference_remap_corpus(spark, corpus):
     )
     n_pass = sum(1 for r in results if r.passed)
     # corpus coverage floor: the harness must actually be running the file
-    assert n_pass >= 88, f"only {n_pass} of {len(results)} corpus tests passed"
+    assert n_pass >= 89, f"only {n_pass} of {len(results)} corpus tests passed"

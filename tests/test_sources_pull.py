@@ -31,6 +31,43 @@ PROM_BODY = (
     "process_start_time_seconds 1234.5\n"
 )
 
+# mod_status ?auto shape (field set from the reference's parser tests,
+# src/sources/apache_metrics/parser.rs; BusyWorkers/IdleWorkers repeated
+# per https://bz.apache.org/bugzilla/show_bug.cgi?id=63300 — last wins)
+APACHE_BODY = (
+    "localhost\n"
+    "ServerVersion: Apache/2.4.46 (Unix)\n"
+    "ServerMPM: event\n"
+    "ServerUptimeSeconds: 12\n"
+    "Total Accesses: 30\n"
+    "Total kBytes: 20\n"
+    "Total Duration: 11\n"
+    "CPUUser: .2\n"
+    "CPUSystem: .02\n"
+    "CPUChildrenUser: 0\n"
+    "CPUChildrenSystem: 0\n"
+    "CPULoad: 1.83333\n"
+    "BusyWorkers: 1\n"
+    "IdleWorkers: 74\n"
+    "ConnsTotal: 4\n"
+    "ConnsAsyncWriting: 1\n"
+    "ConnsAsyncKeepAlive: 2\n"
+    "ConnsAsyncClosing: 0\n"
+    "BusyWorkers: 1\n"
+    "IdleWorkers: 74\n"
+    "Scoreboard: "
+    "____S_____I______R____W___" + "." * 25 + "\n"
+)
+
+# exact stub_status shape from the reference's parser test
+# (src/sources/nginx_metrics/parser.rs:83)
+NGINX_BODY = (
+    "Active connections: 291 \n"
+    "server accepts handled requests\n"
+    " 16630948 16630948 31070465 \n"
+    "Reading: 6 Writing: 179 Waiting: 106 \n"
+)
+
 
 @pytest.fixture(scope="module")
 def http_fixture():
@@ -44,6 +81,8 @@ def http_fixture():
                 "/lines": "alpha\nbeta\ngamma\n",
                 "/array": json.dumps([{"a": 1}, {"a": 2}]),
                 "/metrics": PROM_BODY,
+                "/server-status": APACHE_BODY,
+                "/stub_status": NGINX_BODY,
             }
             body = bodies.get(self.path, "").encode()
             self.send_response(200)
@@ -94,6 +133,80 @@ def test_http_client_json_array(spark, http_fixture):
     df = http_client_source(spark, base + "/array", decode="json_array")
     msgs = [json.loads(r["message"]) for r in df.orderBy("seq").collect()]
     assert msgs == [{"a": 1}, {"a": 2}]
+
+
+def test_apache_metrics_source(spark, http_fixture):
+    from vector_spark.sources_pull import apache_metrics_source
+
+    base, _ = http_fixture
+    df = apache_metrics_source(spark, base + "/server-status")
+    rows = df.collect()
+    by_key = {
+        (r["name"], tuple(sorted((r["tags"] or {}).items()))): r for r in rows
+    }
+
+    def get(name, **tags):
+        for (n, t), r in by_key.items():
+            if n == name and all((k, v) in t for k, v in tags.items()):
+                return r
+        raise KeyError((name, tags))
+
+    assert get("uptime_seconds_total")["value"] == 12.0
+    assert get("uptime_seconds_total")["kind"] == "counter"
+    assert get("access_total")["value"] == 30.0
+    # Total kBytes scales to bytes (parser.rs TotalKBytes * 1024)
+    assert get("sent_bytes_total")["value"] == 20 * 1024.0
+    assert get("duration_seconds_total")["value"] == 11.0
+    assert get("cpu_seconds_total", type="user")["value"] == 0.2
+    assert get("cpu_seconds_total", type="system")["value"] == 0.02
+    assert get("cpu_load")["value"] == 1.83333
+    assert get("workers", state="busy")["value"] == 1.0
+    assert get("workers", state="idle")["value"] == 74.0
+    assert get("connections", state="total")["value"] == 4.0
+    assert get("connections", state="keepalive")["value"] == 2.0
+    # scoreboard explodes into one gauge per state, zeros included
+    assert get("scoreboard", state="waiting")["value"] == 22.0
+    assert get("scoreboard", state="open")["value"] == 25.0
+    assert get("scoreboard", state="starting")["value"] == 1.0
+    assert get("scoreboard", state="dnslookup")["value"] == 0.0
+    states = {
+        dict(t)["state"] for (n, t), _ in by_key.items() if n == "scoreboard"
+    }
+    assert len(states) == 11
+    assert all(r["namespace"] == "apache" for r in rows)
+    assert all(
+        (r["tags"] or {}).get("endpoint", "").endswith("/server-status")
+        for r in rows
+    )
+
+
+def test_nginx_metrics_source(spark, http_fixture):
+    from vector_spark.sources_pull import nginx_metrics_source
+
+    base, _ = http_fixture
+    df = nginx_metrics_source(spark, base + "/stub_status")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["up"]["value"] == 1.0
+    assert rows["connections_active"]["value"] == 291.0
+    assert rows["connections_accepted_total"]["value"] == 16630948.0
+    assert rows["connections_accepted_total"]["kind"] == "counter"
+    assert rows["connections_handled_total"]["value"] == 16630948.0
+    assert rows["http_requests_total"]["value"] == 31070465.0
+    assert rows["connections_reading"]["value"] == 6.0
+    assert rows["connections_writing"]["value"] == 179.0
+    assert rows["connections_waiting"]["value"] == 106.0
+    assert all(r["namespace"] == "nginx" for r in rows.values())
+
+
+def test_nginx_metrics_down_endpoint_emits_up_zero(spark, http_fixture):
+    from vector_spark.sources_pull import nginx_metrics_source
+
+    base, _ = http_fixture
+    # /lines is a live URL but NOT a stub_status body → parse fails → up 0
+    df = nginx_metrics_source(spark, base + "/lines")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "up" and rows[0]["value"] == 0.0
 
 
 def test_prometheus_scrape(spark, http_fixture):

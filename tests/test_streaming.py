@@ -19,7 +19,7 @@ from vector_spark.streaming.pipeline import (
 )
 
 
-def _drain(spark, query, name, min_rows=1, timeout=30):
+def _drain(spark, query, name, min_rows=1, timeout=90):
     deadline = time.time() + timeout
     while time.time() < deadline:
         n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
@@ -69,7 +69,7 @@ def test_stream_dedupe(spark):
     deduped = streaming_dedupe(src, ["dup_key"], ts_col="ts", ttl="10 minutes")
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = memory_sink(deduped, name)
-    _drain(spark, q, name, min_rows=5, timeout=30)
+    _drain(spark, q, name, min_rows=5, timeout=90)
     n_distinct = spark.sql(
         f"SELECT count(*) c, count(DISTINCT dup_key) d FROM {name}"
     ).collect()[0]
@@ -174,7 +174,7 @@ def test_memory_table_stream_updated_enrichment(spark):
         .trigger(processingTime="1 seconds")
         .start()
     )
-    deadline = _time.time() + 30
+    deadline = _time.time() + 90
     while _time.time() < deadline and len(table._data) < 5:
         _time.sleep(1)
     q.stop()
@@ -223,8 +223,8 @@ def test_top_listener_collects_throughput(spark):
             src.writeStream.format("memory").queryName(name)
             .outputMode("append").start()
         )
-        _drain(spark, q, name, min_rows=50, timeout=45)
-        deadline = time.time() + 10
+        _drain(spark, q, name, min_rows=50, timeout=120)
+        deadline = time.time() + 30
         while time.time() < deadline and name not in listener.stats:
             time.sleep(0.5)
         assert name in listener.stats
@@ -269,25 +269,14 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
 
     write_batch_files(0, 100)
     q = start()
-    deadline = time.time() + 30
-    while time.time() < deadline:
-        try:
-            if spark.read.parquet(out_dir).count() >= 100:
-                break
-        except Exception:
-            pass
-        time.sleep(1)
+    # deterministic barrier (r4 verdict #6: wall-clock polls flaked at
+    # loadavg 18): blocks until every available input file is processed,
+    # however slow the machine is
+    q.processAllAvailable()
     q.stop()  # "crash" between files
     write_batch_files(100, 200)
     q2 = start()
-    deadline = time.time() + 30
-    while time.time() < deadline:
-        try:
-            if spark.read.parquet(out_dir).count() >= 200:
-                break
-        except Exception:
-            pass
-        time.sleep(1)
+    q2.processAllAvailable()
     q2.stop()
     rows = [r.seq for r in spark.read.parquet(out_dir).collect()]
     assert sorted(rows) == list(range(200))  # exactly-once: no dups, no gaps
@@ -310,7 +299,7 @@ def test_demux_sink_single_query_fanout(spark, tmp_path):
     )
     import os
 
-    deadline = time.time() + 40
+    deadline = time.time() + 120
     n = 0
     while time.time() < deadline:
         try:
@@ -352,7 +341,7 @@ def test_templated_stream_sink_layout(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         trigger_secs=1,
     )
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     want = {"0", "1"}
     try:
         while time.time() < deadline:
@@ -426,7 +415,7 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
 
     q = start()
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 180
         while time.time() < deadline and len(flushes()) < 2:
             time.sleep(2)
         rows1 = flushes()
@@ -438,7 +427,7 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
 
     q2 = start()
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 180
         while time.time() < deadline and len(flushes()) <= len(rows1):
             time.sleep(2)
         rows2 = [r for r in flushes() if r not in rows1]
@@ -508,15 +497,11 @@ def test_streaming_asof_join_checkpoint_restart(spark, tmp_path):
 
     write_facts(0, 40)
     q = start()
-    deadline = time.time() + 40
-    while time.time() < deadline and rows_written() < 40:
-        time.sleep(1)
+    q.processAllAvailable()  # deterministic barrier (file source)
     q.stop()  # "crash" between batches
     write_facts(40, 80)
     q2 = start()
-    deadline = time.time() + 40
-    while time.time() < deadline and rows_written() < 80:
-        time.sleep(1)
+    q2.processAllAvailable()
     q2.stop()
     out = spark.read.parquet(out_dir)
     got = {r.seq: r.state for r in out.collect()}
@@ -559,9 +544,7 @@ def test_memory_table_ttl_expiry_under_stream(spark, tmp_path):
 
     write_kv("a.json", [1, 2, 3])
     q = start()
-    deadline = time.time() + 30
-    while time.time() < deadline and len(table._data) < 3:
-        time.sleep(0.5)
+    q.processAllAvailable()  # deterministic barrier: all files consumed
     assert len(table._data) == 3
     q.stop()
     # TTL: with no further writes the entries expire
@@ -571,8 +554,6 @@ def test_memory_table_ttl_expiry_under_stream(spark, tmp_path):
     # restarted stream repopulates from new data
     write_kv("b.json", [7, 8])
     q2 = start()
-    deadline = time.time() + 30
-    while time.time() < deadline and len(table._data) < 2:
-        time.sleep(0.5)
+    q2.processAllAvailable()
     q2.stop()
     assert {k for k in table._data} == {"7", "8"}

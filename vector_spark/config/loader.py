@@ -438,6 +438,33 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.sources_pull import prometheus_scrape_source
 
         return prometheus_scrape_source(spark, cfg["url"])
+    if stype == "apache_metrics":
+        from vector_spark.sources_pull import apache_metrics_source
+
+        # reference config takes `endpoints: [...]`; one poll unions them
+        dfs = [
+            apache_metrics_source(
+                spark, u, namespace=cfg.get("namespace", "apache")
+            )
+            for u in (cfg.get("endpoints") or [cfg["url"]])
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    if stype == "nginx_metrics":
+        from vector_spark.sources_pull import nginx_metrics_source
+
+        dfs = [
+            nginx_metrics_source(
+                spark, u, namespace=cfg.get("namespace", "nginx")
+            )
+            for u in (cfg.get("endpoints") or [cfg["url"]])
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
     if stype == "host_metrics":
         from vector_spark.sources_pull import host_metrics_source
 

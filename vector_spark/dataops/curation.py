@@ -183,6 +183,31 @@ def stratified_sample(
     return df.where(h <= (rate * _MOD).cast("long"))
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash —
+    the canonical held-out-split op for a training corpus: a document's
+    split never changes across reruns, engines, partitionings, or corpus
+    growth (no global sort, no RNG state).
+
+    The assignment key is `md5(id)` compared lexicographically against
+    hex boundaries (fixed-width lowercase hex sorts identically to its
+    numeric value in every engine, so a DuckDB/Trino/Spark pipeline
+    agrees byte-for-byte). Default boundaries: train < 'fa' (250/256),
+    val < 'fd' (3/256), else test. Scan-only: the split column is one
+    codegen'd expression, no shuffle."""
+    boundaries = boundaries or [("train", "fa"), ("val", "fd")]
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = None
+    for name, upper in boundaries:
+        cond = h < upper
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise("test"))
+
+
 def pack_shards(
     df: DataFrame,
     token_budget: int,

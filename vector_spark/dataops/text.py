@@ -309,7 +309,13 @@ def bpe_train(
     top-N words (frequency mass concentrates — the standard practice).
     The iterative loop is inherently sequential (each merge changes the
     next round's counts): no engine expresses it as one query, which is
-    why this op has no SQL oracle (rows-only contract)."""
+    why this op has no SQL oracle (rows-only contract).
+
+    Above `vocab_threshold` the loop runs DISTRIBUTED instead
+    (:func:`_bpe_train_distributed`): each round is one pair-count
+    shuffle over the word table plus a top-1 collect — same merges,
+    bit-for-bit (pinned by tests/test_dataops.py), just never
+    materializing the vocabulary on the driver."""
     words = (
         df.select(
             F.explode(
@@ -322,10 +328,7 @@ def bpe_train(
     )
     n_words = words.count()
     if n_words > vocab_threshold:
-        raise ValueError(
-            f"word table has {n_words} entries (> vocab_threshold="
-            f"{vocab_threshold}); pre-truncate or raise the gate"
-        )
+        return _bpe_train_distributed(words, n_merges)
     vocab = {
         tuple(r["w"]): r["freq"] for r in words.collect()
     }  # word as symbol tuple
@@ -363,6 +366,102 @@ def bpe_train(
                     i += 1
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
         vocab = new_vocab
+    return merges
+
+
+def _bpe_train_distributed(
+    words: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """Merge loop over a word-frequency table too large for the driver.
+
+    The table lives as (syms: array<string>, freq) on the cluster. Per
+    round: (1) adjacent-pair counts — explode + groupBy(left,right), one
+    shuffle with map-side partial agg; (2) the argmax pair — a top-1
+    TakeOrderedAndProject (count desc, then lexicographic: identical
+    tie-break to the driver path, so the merge list is bit-for-bit the
+    same); (3) apply the merge as a pure-Column left-to-right fold over
+    each word's symbols (`F.aggregate` with a merged-last flag so merges
+    never chain within a round — exactly the driver loop's i+=2). The
+    evolving table re-persists each round via the session cache registry
+    and localCheckpoints every 8 rounds to truncate iterative lineage
+    (same discipline as connected_components)."""
+    from vector_spark import cache
+
+    # split keeps a trailing zero-width match as "" — drop empties so
+    # symbols are exactly the word's characters
+    cur = words.select(
+        F.array_remove(F.split(F.col("w"), "(?!^)"), "").alias("syms"),
+        "freq",
+    )
+    cur = cache.track_persist(cur)
+    merges: list[tuple[str, str]] = []
+    for round_no in range(n_merges):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        lambda s, i: F.struct(
+                            s.alias("left"),
+                            F.get(F.col("syms"), i + 1).alias("right"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .where(F.size(F.col("syms")) >= 2)
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.col("c").desc(), F.col("left"), F.col("right")
+        ).limit(1).collect()
+        if not top or top[0]["c"] < 2:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        joined = left + right
+        # left-to-right single-pass merge: fold with a merged-last flag
+        # (without it, a joined symbol equal to `left` would wrongly
+        # chain into the next original symbol within the same round)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(False).alias("ml"),
+            ),
+            lambda acc, s: F.when(
+                ~acc.getField("ml")
+                & (F.size(acc.getField("out")) > 0)
+                & (F.try_element_at(acc.getField("out"), F.lit(-1)) == left)
+                & (s == right),
+                F.struct(
+                    F.concat(
+                        F.slice(
+                            acc.getField("out"),
+                            1,
+                            F.size(acc.getField("out")) - 1,
+                        ),
+                        F.array(F.lit(joined)),
+                    ).alias("out"),
+                    F.lit(True).alias("ml"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc.getField("out"), F.array(s)).alias("out"),
+                    F.lit(False).alias("ml"),
+                )
+            ),
+            lambda acc: acc.getField("out"),
+        )
+        nxt = cur.select(folded.alias("syms"), "freq")
+        if (round_no + 1) % 8 == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        nxt = cache.track_persist(nxt)
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist(blocking=False)
+        cur = nxt
+    cur.unpersist(blocking=False)
     return merges
 
 

@@ -190,6 +190,11 @@ def _nested_dtype(dtype: str | None, segs: list) -> str | None:
 class _Tok:
     kind: str
     text: str
+    # char offsets into the program source — VRL diagnostics cite call
+    # spans as (start:end) byte offsets (the reference's Span), so error
+    # messages can reproduce them exactly
+    pos: int = -1
+    end: int = -1
 
 
 def _lex(src: str) -> list[_Tok]:
@@ -203,8 +208,165 @@ def _lex(src: str) -> list[_Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
-        toks.append(_Tok(kind, m.group()))
+        toks.append(_Tok(kind, m.group(), m.start(), m.end()))
     return toks
+
+
+def _serde_json_error(s: str) -> str | None:
+    """serde_json-compatible diagnostic for an invalid JSON string, or
+    None when valid. VRL's parse_json error text embeds serde_json's
+    message verbatim (`unable to parse json: <serde msg>`), and the
+    reference's behavior corpus asserts those exact strings — this is a
+    from-scratch emulator of serde_json's public Display format
+    (`<code> at line L column C`; columns are 1-based bytes-into-line,
+    EOF errors report bytes-consumed). Covers the common error codes;
+    unusual inputs may produce a close-but-inexact message."""
+    import json as _json
+
+    try:
+        _json.loads(s)
+        return None
+    except Exception:
+        pass
+
+    b, n = s, len(s)
+
+    class _E(Exception):
+        pass
+
+    def at(code: str, pos: int) -> str:
+        line = b.count("\n", 0, pos) + 1
+        col = pos - (b.rfind("\n", 0, pos) + 1) + 1
+        return f"{code} at line {line} column {col}"
+
+    def eof(code: str) -> str:
+        line = b.count("\n") + 1
+        col = n - (b.rfind("\n") + 1)
+        return f"{code} at line {line} column {col}"
+
+    i = 0
+
+    def skip_ws() -> None:
+        nonlocal i
+        while i < n and b[i] in " \t\n\r":
+            i += 1
+
+    def parse_str() -> None:
+        nonlocal i
+        i += 1  # opening quote
+        while i < n:
+            c = b[i]
+            if c == '"':
+                i += 1
+                return
+            if c == "\\":
+                i += 2
+                continue
+            if ord(c) < 0x20:
+                raise _E(at(
+                    "control character (\\u0000-\\u001F) found while parsing a string",
+                    i,
+                ))
+            i += 1
+        raise _E(eof("EOF while parsing a string"))
+
+    _NUM = re.compile(r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+    def parse_value() -> None:
+        nonlocal i
+        skip_ws()
+        if i >= n:
+            raise _E(eof("EOF while parsing a value"))
+        c = b[i]
+        if c == "{":
+            parse_object()
+        elif c == "[":
+            parse_array()
+        elif c == '"':
+            parse_str()
+        elif c == "-" or c.isdigit():
+            m = _NUM.match(b, i)
+            if not m or m.end() == i:
+                raise _E(at("invalid number", i))
+            i = m.end()
+        elif b.startswith("true", i):
+            i += 4
+        elif b.startswith("false", i):
+            i += 5
+        elif b.startswith("null", i):
+            i += 4
+        else:
+            raise _E(at("expected value", i))
+
+    def parse_object() -> None:
+        nonlocal i
+        i += 1  # {
+        skip_ws()
+        if i >= n:
+            raise _E(eof("EOF while parsing an object"))
+        if b[i] == "}":
+            i += 1
+            return
+        while True:
+            skip_ws()
+            if i >= n:
+                raise _E(eof("EOF while parsing an object"))
+            if b[i] == "}":
+                raise _E(at("trailing comma", i))
+            if b[i] != '"':
+                raise _E(at("key must be a string", i))
+            parse_str()
+            skip_ws()
+            if i >= n:
+                raise _E(eof("EOF while parsing an object"))
+            if b[i] != ":":
+                raise _E(at("expected `:`", i))
+            i += 1
+            parse_value()
+            skip_ws()
+            if i >= n:
+                raise _E(eof("EOF while parsing an object"))
+            if b[i] == ",":
+                i += 1
+                continue
+            if b[i] == "}":
+                i += 1
+                return
+            raise _E(at("expected `,` or `}`", i))
+
+    def parse_array() -> None:
+        nonlocal i
+        i += 1  # [
+        skip_ws()
+        if i >= n:
+            raise _E(eof("EOF while parsing a list"))
+        if b[i] == "]":
+            i += 1
+            return
+        while True:
+            skip_ws()
+            if i < n and b[i] == "]":
+                raise _E(at("trailing comma", i))
+            parse_value()
+            skip_ws()
+            if i >= n:
+                raise _E(eof("EOF while parsing a list"))
+            if b[i] == ",":
+                i += 1
+                continue
+            if b[i] == "]":
+                i += 1
+                return
+            raise _E(at("expected `,` or `]`", i))
+
+    try:
+        parse_value()
+        skip_ws()
+        if i < n:
+            raise _E(at("trailing characters", i))
+    except _E as e:
+        return str(e)
+    return "expected value at line 1 column 1"
 
 
 # fns whose first positional parameter is a config string/number, not the
@@ -250,6 +412,10 @@ class _P:
         # `, err` handled-assignment form (VRL: unhandled fallible call
         # without ! is a compile error; with `, err` the error is captured)
         self.latent_flags: list[Column] = []
+        # (flag, exact message) pairs for flags whose reference diagnostic
+        # is computable at compile time (e.g. parse_json of a literal) —
+        # the `, err` builder chains these ahead of the generic message
+        self.flag_msgs: list[tuple[Column, str]] = []
         # VRL `, err` contract: on error the ok-target takes the DEFAULT
         # value of the expression's type (0.0 for arithmetic, corpus
         # remap_arithmetic_error) — tracked as compile-time provenance
@@ -266,6 +432,14 @@ class _P:
         # broadcast join added by vrl_remap BEFORE the projection, with a
         # __enrich_N placeholder column standing in for the joined row
         self.enrich_requests: list[dict] = []
+
+    def _reset_flags(self) -> None:
+        """Per-statement error-state reset (each statement's `, err` /
+        `_error` observes only its own expression's failure conditions)."""
+        self.fallible_flags = []
+        self.latent_flags = []
+        self._err_default = None
+        self.flag_msgs = []
 
     # -- token helpers ---------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -700,7 +874,8 @@ class _P:
         return F.when(cond, then).otherwise(otherwise)
 
     def call(self) -> Column:
-        name = self.eat().text
+        name_tok = self.eat()
+        name = name_tok.text
         fallible = False
         if self.at("!"):
             self.eat()
@@ -713,6 +888,7 @@ class _P:
         self.eat("(")
         args: list = []
         kwargs: dict = {}
+        first_lit: str | None = None  # literal text of the first value arg
         while not self.at(")"):
             t = self.peek()
             nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
@@ -727,11 +903,21 @@ class _P:
                 # literal there means F.lit("..."), not a config string —
                 # except for fns whose first param IS config (env var
                 # names, cidr strings)
+                if not args and not kwargs and t.kind in ("dqstr", "sqstr"):
+                    first_lit = (
+                        t.text[1:-1]
+                        .replace(r"\"", '"')
+                        .replace(r"\'", "'")
+                        .replace(r"\\", "\\")
+                    )
                 literal_ok = bool(args) or name in _LITERAL_FIRST_ARG_FNS
                 args.append(self.arg(literal_ok=literal_ok))
             if self.at(","):
                 self.eat()
-        self.eat(")")
+        rparen = self.eat(")")
+        # the reference's diagnostic span for a call expression:
+        # (start:end) char offsets of `name(...)` in the program source
+        call_span = (name_tok.pos, rparen.end)
         closure = self.maybe_closure()
         if closure is not None:
             args.append(closure)
@@ -884,6 +1070,19 @@ class _P:
                 # error condition: input present but result null
                 flag = first.isNotNull() & result.isNull()
                 (self.fallible_flags if fallible else self.latent_flags).append(flag)
+                # exact reference diagnostic when computable at compile
+                # time: `function call error for "fn" at (a:b): <detail>`
+                # (src/transforms/remap.rs surfaces the VRL ExpressionError
+                # Display; the behavior corpus asserts these verbatim)
+                if name == "parse_json" and isinstance(first_lit, str):
+                    detail = _serde_json_error(first_lit)
+                    if detail is not None:
+                        self.flag_msgs.append((
+                            flag,
+                            f'function call error for "{name}" at '
+                            f"({call_span[0]}:{call_span[1]}): "
+                            f"unable to parse json: {detail}",
+                        ))
         return result
 
     def _enrich_call(self, name: str, fallible: bool) -> Column:
@@ -1087,7 +1286,7 @@ def compile_vrl_full(
             # statement: everything before it would be discarded anyway.
             p.eat()
             p.eat("=")
-            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            p._reset_flags()
             expr = p.expr()
             if not isinstance(expr, Column):
                 raise VrlCompileError(
@@ -1109,7 +1308,7 @@ def compile_vrl_full(
             # becomes a conditional column rewrite; branch error flags
             # gate on the branch actually taken
             p.eat()
-            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            p._reset_flags()
             cond = p.expr()
             if not isinstance(cond, Column):
                 cond = F.lit(cond)
@@ -1134,7 +1333,7 @@ def compile_vrl_full(
                         )
                     tgt = p.eat()
                     p.eat("=")
-                    p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+                    p._reset_flags()
                     e = p.expr()
                     berr = None
                     for flag in p.fallible_flags:
@@ -1187,7 +1386,7 @@ def compile_vrl_full(
             # program variable binding — a Column alias at compile time
             p.eat()
             p.eat("=")
-            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            p._reset_flags()
             p.vars[t.text] = p.expr()
             err = None
             for flag in p.fallible_flags:
@@ -1216,7 +1415,7 @@ def compile_vrl_full(
             secret_name = name_tok.text[1:-1]
             if fn == "set_secret":
                 p.eat(",")
-                p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+                p._reset_flags()
                 value = p.expr()
                 new = set_secret_expr(F.col("_secrets"), secret_name, value)
             else:
@@ -1227,7 +1426,7 @@ def compile_vrl_full(
         if t.kind == "name" and nxt in ("(", "!"):
             # bare call statement: assert!/log/set_semantic_meaning — value
             # discarded, error conditions (assert) kept
-            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            p._reset_flags()
             p.call()
             err = None
             for flag in p.fallible_flags:
@@ -1247,7 +1446,7 @@ def compile_vrl_full(
             # the metadata value rides in the `_metadata` envelope column
             p.eat()
             p.eat("=")
-            p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+            p._reset_flags()
             expr = p.expr()
             assignments.append(Assignment("_metadata", expr))
             _learn("_metadata")
@@ -1265,7 +1464,7 @@ def compile_vrl_full(
             else:
                 raise VrlCompileError("expected assignment target after ','")
         p.eat("=")
-        p.fallible_flags, p.latent_flags, p._err_default = [], [], None
+        p._reset_flags()
         expr = p.expr()
         if isinstance(expr, RegexLiteral):
             raise VrlCompileError("a regex literal cannot be assigned")
@@ -1339,7 +1538,19 @@ def compile_vrl_full(
                 cond = flag if cond is None else (cond | flag)
             cond = cond if cond is not None else F.lit(False)
             ok = F.when(~cond, expr).otherwise(F.lit(p._err_default))
-            msg = F.when(cond, F.lit("function call error")).otherwise(F.lit(None))
+            # exact diagnostics first (first failing call wins, matching
+            # sequential evaluation), generic text for the rest
+            msg_val: Column = F.lit("function call error")
+            chain = None
+            for flag, m in p.flag_msgs:
+                chain = (
+                    F.when(flag, F.lit(m))
+                    if chain is None
+                    else chain.when(flag, F.lit(m))
+                )
+            if chain is not None:
+                msg_val = chain.otherwise(msg_val)
+            msg = F.when(cond, msg_val).otherwise(F.lit(None))
             assignments.append(Assignment(_target_name(targets[0]), ok))
             _learn(_target_name(targets[0]))
             et = targets[1]

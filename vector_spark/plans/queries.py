@@ -3653,6 +3653,146 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "native protobuf EventWrapper encode->decode roundtrip",
     ),
+    # Vendor status-page codecs (round 5): the parse step of the
+    # apache_metrics / nginx_metrics pollers run over canned bodies (the
+    # fetch is exercised against a live local HTTP server in
+    # tests/test_sources_pull.py; here the driver value-oracles the full
+    # field mapping — names, tags, kinds, kBytes→bytes scaling,
+    # scoreboard explosion — against hand-derived rows).
+    "apache_mod_status_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda rows: spark.createDataFrame(
+                rows,
+                "name string, namespace string, tags map<string,string>,"
+                " kind string, value double",
+            ).select(
+                "name",
+                F.col("tags").getItem("state").alias("state"),
+                F.col("tags").getItem("type").alias("ctype"),
+                "kind",
+                "value",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_pull",
+                fromlist=["parse_apache_status"],
+            ).parse_apache_status(
+                "ServerUptimeSeconds: 23\n"
+                "Total Accesses: 100\n"
+                "Total kBytes: 10\n"
+                "Total Duration: 7\n"
+                "CPUUser: .25\n"
+                "CPUSystem: .05\n"
+                "CPUChildrenUser: 1.5\n"
+                "CPUChildrenSystem: 0.5\n"
+                "CPULoad: 2.5\n"
+                "BusyWorkers: 3\n"
+                "IdleWorkers: 7\n"
+                "ConnsTotal: 13\n"
+                "ConnsAsyncWriting: 1\n"
+                "ConnsAsyncClosing: 2\n"
+                "ConnsAsyncKeepAlive: 3\n"
+                "Scoreboard: __SRWKDCLGI...\n"
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('uptime_seconds_total', NULL, NULL, 'counter', 23.0),
+          ('access_total',         NULL, NULL, 'counter', 100.0),
+          ('sent_bytes_total',     NULL, NULL, 'counter', 10240.0),
+          ('duration_seconds_total', NULL, NULL, 'counter', 7.0),
+          ('cpu_seconds_total', NULL, 'user',            'gauge', 0.25),
+          ('cpu_seconds_total', NULL, 'system',          'gauge', 0.05),
+          ('cpu_seconds_total', NULL, 'children_user',   'gauge', 1.5),
+          ('cpu_seconds_total', NULL, 'children_system', 'gauge', 0.5),
+          ('cpu_load', NULL, NULL, 'gauge', 2.5),
+          ('workers', 'busy', NULL, 'gauge', 3.0),
+          ('workers', 'idle', NULL, 'gauge', 7.0),
+          ('connections', 'total',     NULL, 'gauge', 13.0),
+          ('connections', 'writing',   NULL, 'gauge', 1.0),
+          ('connections', 'closing',   NULL, 'gauge', 2.0),
+          ('connections', 'keepalive', NULL, 'gauge', 3.0),
+          ('scoreboard', 'waiting',      NULL, 'gauge', 2.0),
+          ('scoreboard', 'starting',     NULL, 'gauge', 1.0),
+          ('scoreboard', 'reading',      NULL, 'gauge', 1.0),
+          ('scoreboard', 'sending',      NULL, 'gauge', 1.0),
+          ('scoreboard', 'keepalive',    NULL, 'gauge', 1.0),
+          ('scoreboard', 'dnslookup',    NULL, 'gauge', 1.0),
+          ('scoreboard', 'closing',      NULL, 'gauge', 1.0),
+          ('scoreboard', 'logging',      NULL, 'gauge', 1.0),
+          ('scoreboard', 'finishing',    NULL, 'gauge', 1.0),
+          ('scoreboard', 'idle_cleanup', NULL, 'gauge', 1.0),
+          ('scoreboard', 'open',         NULL, 'gauge', 3.0)
+        ) AS t(name, state, ctype, kind, value)
+        """,
+        "apache mod_status ?auto codec: full field mapping vs hand oracle",
+    ),
+    "nginx_stub_status_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda st: spark.createDataFrame(
+                [
+                    ("up", "gauge", 1.0),
+                    ("connections_active", "gauge", float(st["active"])),
+                    ("connections_accepted_total", "counter",
+                     float(st["accepts"])),
+                    ("connections_handled_total", "counter",
+                     float(st["handled"])),
+                    ("http_requests_total", "counter",
+                     float(st["requests"])),
+                    ("connections_reading", "gauge", float(st["reading"])),
+                    ("connections_writing", "gauge", float(st["writing"])),
+                    ("connections_waiting", "gauge", float(st["waiting"])),
+                ],
+                "name string, kind string, value double",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_pull",
+                fromlist=["parse_nginx_stub_status"],
+            ).parse_nginx_stub_status(
+                "Active connections: 16 \n"
+                "server accepts handled requests\n"
+                " 18 17 29 \n"
+                "Reading: 1 Writing: 3 Waiting: 12 \n"
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('up', 'gauge', 1.0),
+          ('connections_active', 'gauge', 16.0),
+          ('connections_accepted_total', 'counter', 18.0),
+          ('connections_handled_total', 'counter', 17.0),
+          ('http_requests_total', 'counter', 29.0),
+          ('connections_reading', 'gauge', 1.0),
+          ('connections_writing', 'gauge', 3.0),
+          ('connections_waiting', 'gauge', 12.0)
+        ) AS t(name, kind, value)
+        """,
+        "nginx stub_status codec: reference metric names vs hand oracle",
+    ),
+    # Deterministic held-out split assignment (md5 lexicographic
+    # boundaries — engine-portable, rerun-stable): per-split doc counts
+    # and char mass.
+    "docs_hash_split": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["hash_split"]
+        ).hash_split(_t(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        ),
+        """
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fa'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd'
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+        """,
+        "deterministic md5-boundary train/val/test split",
+    ),
     # Cross-document repeated passages (Lee et al. 2021 n-gram-window
     # approximation of substring dedup): spans of k words appearing in
     # >= min_docs distinct documents.
@@ -3790,7 +3930,9 @@ QUERIES: dict[str, QuerySpec] = {
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
-    # new in r4 — never driver-sampled
+    # new in r5 — never driver-sampled
+    "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
+    # new in r4 — driver-sampled green in r4, keep near the front one round
     "vrl_emit_multi", "native_proto_roundtrip", "docs_duplicate_spans",
     "docs_redact_pii", "embedding_dedup_components", "docs_bpe_train",
     # never sampled by the driver in any round (new in r3 first)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import re
 import subprocess
 import sys
 import time
@@ -209,6 +210,156 @@ def host_metrics_source(
     reference agent; on a cluster each executor host would run its own
     agent topology."""
     rows = _proc_host_metrics(collectors)
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
+
+
+# ---- vendor status-page pollers (apache / nginx) ------------------------
+
+# Apache scoreboard characters → worker-state tag values
+# (src/sources/apache_metrics/parser.rs:7 SCOREBOARD)
+_APACHE_SCOREBOARD = {
+    "_": "waiting", "S": "starting", "R": "reading", "W": "sending",
+    "K": "keepalive", "D": "dnslookup", "C": "closing", "L": "logging",
+    "G": "finishing", "I": "idle_cleanup", ".": "open",
+}
+
+
+def parse_apache_status(
+    payload: str, namespace: str = "apache", tags: dict | None = None
+) -> list[tuple]:
+    """Apache mod_status `?auto` (machine-readable) body → metric rows.
+
+    Same field mapping as the reference's parser
+    (src/sources/apache_metrics/parser.rs:110 `parse` +
+    `StatusFieldStatistic::from_key_value`): duplicate keys last-win
+    (mod_status repeats BusyWorkers/IdleWorkers), `Total kBytes` scales
+    to bytes, CPU splits into a `type` tag, Scoreboard explodes into
+    per-state `scoreboard` gauges covering every known state (0 when
+    absent). Unknown keys are ignored, unparseable values skipped."""
+    tags = dict(tags or {})
+    parsed: dict[str, str] = {}
+    for line in payload.splitlines():
+        key, sep, value = line.partition(":")
+        if sep:
+            parsed[key] = value.strip()
+
+    rows: list[tuple] = []
+
+    def add(name: str, value: float, extra: dict | None = None, kind: str = "gauge"):
+        rows.append((name, namespace, {**tags, **(extra or {})}, kind, float(value)))
+
+    _num = {"ServerUptimeSeconds": ("uptime_seconds_total", "counter", 1, None),
+            "Total Accesses": ("access_total", "counter", 1, None),
+            "Total kBytes": ("sent_bytes_total", "counter", 1024, None),
+            "Total Duration": ("duration_seconds_total", "counter", 1, None),
+            "CPUUser": ("cpu_seconds_total", "gauge", 1, {"type": "user"}),
+            "CPUSystem": ("cpu_seconds_total", "gauge", 1, {"type": "system"}),
+            "CPUChildrenUser": ("cpu_seconds_total", "gauge", 1,
+                                {"type": "children_user"}),
+            "CPUChildrenSystem": ("cpu_seconds_total", "gauge", 1,
+                                  {"type": "children_system"}),
+            "CPULoad": ("cpu_load", "gauge", 1, None),
+            "IdleWorkers": ("workers", "gauge", 1, {"state": "idle"}),
+            "BusyWorkers": ("workers", "gauge", 1, {"state": "busy"}),
+            "ConnsTotal": ("connections", "gauge", 1, {"state": "total"}),
+            "ConnsAsyncWriting": ("connections", "gauge", 1, {"state": "writing"}),
+            "ConnsAsyncClosing": ("connections", "gauge", 1, {"state": "closing"}),
+            "ConnsAsyncKeepAlive": ("connections", "gauge", 1,
+                                    {"state": "keepalive"})}
+    for key, value in parsed.items():
+        spec = _num.get(key)
+        if spec is not None:
+            name, kind, scale, extra = spec
+            try:
+                add(name, float(value) * scale, extra, kind)
+            except ValueError:
+                continue
+        elif key == "Scoreboard":
+            counts: dict[str, int] = {}
+            for c in value:
+                counts[c] = counts.get(c, 0) + 1
+            for c, state in _APACHE_SCOREBOARD.items():
+                add("scoreboard", counts.get(c, 0), {"state": state})
+    return rows
+
+
+def apache_metrics_source(
+    spark: SparkSession,
+    url: str,
+    namespace: str = "apache",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """One poll of an Apache mod_status endpoint → metric rows
+    (src/sources/apache_metrics/mod.rs; endpoint + host tags as there).
+    Driver-side fetch+parse is the right scale shape: one tiny text body
+    per endpoint per interval — the data never needs executors."""
+    from urllib.parse import urlparse
+
+    body = _http_get(url, timeout_secs)
+    host = urlparse(url).netloc
+    rows = parse_apache_status(
+        body, namespace=namespace, tags={"endpoint": url, "host": host}
+    )
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
+
+
+def parse_nginx_stub_status(payload: str) -> dict | None:
+    """nginx stub_status body → dict of the seven counters, or None when
+    the body is not a stub_status page (the reference's nom parser,
+    src/sources/nginx_metrics/parser.rs:37 `TryFrom<&str>`)."""
+    m = re.match(
+        r"Active connections:\s+(\d+)\s*\n"
+        r"server accepts handled requests\s*\n"
+        r"\s*(\d+)\s+(\d+)\s+(\d+)\s*\n"
+        r"Reading:\s*(\d+)\s+Writing:\s*(\d+)\s+Waiting:\s*(\d+)",
+        payload,
+    )
+    if not m:
+        return None
+    active, accepts, handled, requests, reading, writing, waiting = (
+        int(g) for g in m.groups()
+    )
+    return {
+        "active": active, "accepts": accepts, "handled": handled,
+        "requests": requests, "reading": reading, "writing": writing,
+        "waiting": waiting,
+    }
+
+
+def nginx_metrics_source(
+    spark: SparkSession,
+    url: str,
+    namespace: str = "nginx",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """One poll of an nginx stub_status endpoint → metric rows with the
+    reference's names (src/sources/nginx_metrics/mod.rs:236) plus the
+    `up` gauge (…:203): 1 when the fetch+parse succeeded, 0 otherwise —
+    a failed poll still emits `up 0` so alerting sees the outage."""
+    from urllib.parse import urlparse
+
+    tags = {"endpoint": url, "host": urlparse(url).netloc}
+    status = None
+    try:
+        status = parse_nginx_stub_status(_http_get(url, timeout_secs))
+    except Exception:
+        pass
+    rows: list[tuple] = [
+        ("up", namespace, tags, "gauge", 1.0 if status is not None else 0.0)
+    ]
+    if status is not None:
+        for name, key, kind in (
+            ("connections_active", "active", "gauge"),
+            ("connections_accepted_total", "accepts", "counter"),
+            ("connections_handled_total", "handled", "counter"),
+            ("http_requests_total", "requests", "counter"),
+            ("connections_reading", "reading", "gauge"),
+            ("connections_writing", "writing", "gauge"),
+            ("connections_waiting", "waiting", "gauge"),
+        ):
+            rows.append((name, namespace, tags, kind, float(status[key])))
     df = spark.createDataFrame(rows, METRIC_SCHEMA)
     return df.withColumn("ts", F.current_timestamp())
 
