@@ -1,0 +1,203 @@
+"""Distributed k-means (Lloyd's) over embedding columns + SemDeDup-style
+semantic deduplication.
+
+Why this exists: the IVF coarse quantizer (`similarity.ivf_topk`) trains on
+a bounded driver-side sample — the right call when centroids only need to
+be *good*, but a 100 TB embedding corpus also needs clustering as a
+first-class op (semantic dedup à la SemDeDup, Abbas et al. 2023
+arXiv:2303.09540; corpus cartography; stratified curation by cluster).
+This module is the cluster-scale path:
+
+- **Assignment** is a pure-Column argmin over k squared-distance
+  expressions — whole-stage codegen, no Python, no shuffle (the centroid
+  list is a broadcast-sized plan literal, exactly how a small dim table
+  would be broadcast).
+- **Centroid update** is posexplode(vec) → groupBy(cluster, dim).avg —
+  ONE shuffle per Lloyd round whose map-side partial aggregation reduces
+  every partition to ≤ k×dim rows before the exchange (the classic
+  per-partition partial-sum pattern, expressed declaratively so Tungsten
+  runs it). The k×dim result (e.g. 8×64) collects to the driver to become
+  the next round's literals — bounded by contract, never by data size.
+- **Determinism / engine portability**: init = the k lowest-id vectors;
+  every distance and every centroid coordinate is rounded to 6 decimals
+  (ties broken by centroid id), so the whole fit is reproducible across
+  partitionings AND across engines — DuckDB replays the identical
+  computation in SQL, which is what lets the driver VALUE-oracle an
+  iterative clustering algorithm (`plans/queries.py` embeddings_kmeans).
+
+Reference basis: Lloyd's algorithm (public); SemDeDup (public preprint).
+The reference engine has no clustering op — this is part of the
+training-data-pipeline surface the engine adds on top of Vector parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.similarity import _dot, _norm, cosine_sim
+
+#: rounding applied to distances and centroid coordinates — coarse enough
+#: to absorb float-summation-order noise (~1e-13) across engines and
+#: partition layouts, fine enough that distinct centroids never collide.
+_ROUND = 6
+
+
+def _centroid_lit(c: list[float]) -> Column:
+    return F.array(*[F.lit(round(float(x), _ROUND)) for x in c])
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid id per row — pure Column, scan-only.
+
+    Distance uses the expanded form d = v·v − 2·v·c + c·c (one fold per
+    dot product); each d is rounded before the argmin and ties break on
+    centroid id, so assignment is bit-stable under any execution order."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vv = _dot(v, v)
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    vv
+                    - 2.0 * _dot(v, _centroid_lit(c))
+                    + F.lit(round(float(sum(x * x for x in c)), _ROUND)),
+                    _ROUND,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(
+        out_col, F.array_sort(scored)[0]["cid"].cast("int")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's fit; returns the centroid list (k × dim floats,
+    rounded). Init = the k lowest-id vectors (deterministic, no RNG — the
+    id order is content of the dataset, so reruns and other engines agree).
+
+    Cost model per round: one corpus scan (assignment fused into it) + one
+    partially-aggregated shuffle of ≤ k×dim rows per map task + a k×dim
+    collect. Rounds are bounded by ``iters``; an empty cluster keeps its
+    previous centroid (standard Lloyd's degenerate-case handling)."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [
+        [round(float(x), _ROUND) for x in r[vec_col]] for r in init_rows
+    ]
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, vec_col=vec_col)
+        per_dim = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("dim", "val"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in per_dim:
+            new[r["cluster"]][r["dim"]] = round(float(r["m"]), _ROUND)
+        centroids = [new[c] for c in range(k)]
+    return centroids
+
+
+def kmeans_summary(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fit + final assignment, reported as one row per cluster:
+    (cluster, n, centroid_norm). The oracle-friendly face of the fit."""
+    centroids = kmeans_fit(df, k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    norms = {
+        i: round(sum(x * x for x in c) ** 0.5, _ROUND)
+        for i, c in enumerate(centroids)
+    }
+    norm_col = F.array(*[F.lit(norms[i]) for i in range(k)])[F.col("cluster")]
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("centroid_norm", norm_col)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, find
+    near-duplicate pairs ONLY within clusters, keep one representative per
+    connected group. Returns (id, cluster, component, keep).
+
+    Scale shape: the pairwise stage is the quadratic hazard, and
+    clustering is the blocker that bounds it — the self-join shuffles on
+    `cluster`, so each task compares one cluster's members (n²/k per
+    cluster on balanced data) instead of the corpus². Components reuse
+    :func:`vector_spark.dataops.dedup.connected_components` (frontier
+    label propagation / alternating star, counted-small graphs solved
+    driver-side and broadcast).
+
+    NOTE an accepted semantic delta vs exact near-dup: a true duplicate
+    pair split across cluster boundaries is missed — that is SemDeDup's
+    published trade (recall for n²→n²/k cost), not an implementation gap;
+    the exact arm stays available via `similarity.cosine_near_dup_pairs`.
+    """
+    from vector_spark.dataops.dedup import connected_components
+
+    centroids = kmeans_fit(df, k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_clusters(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), "cluster", F.col(vec_col).alias("v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, on="cluster")
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), _ROUND)
+            >= threshold
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comp = connected_components(
+        pairs, checkpoint_dir=checkpoint_dir
+    )  # (id, component)
+    return (
+        assigned.select("id", "cluster")
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("component", "id").alias("component"),
+            (F.coalesce("component", "id") == F.col("id")).alias("keep"),
+        )
+    )

@@ -195,6 +195,111 @@ def top_terms(
     return g.orderBy(F.col("total_count").desc(), F.col("term")).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_per_doc: int = 3,
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF — the standard
+    keyword/topic-signal extraction over a pretraining corpus
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf convention).
+
+    Plan shape: one tokenize scan → groupBy(doc, term) with map-side
+    partial agg (the only big shuffle); document frequency derives from
+    that SAME aggregate (term-level re-agg of already-reduced rows, not a
+    second corpus scan); the corpus size N rides in as a broadcast 1-row
+    cross join (no driver action); top-k per doc is a window over the
+    doc-partitioned data. Scores round to 6 decimals BEFORE ranking so
+    ordering is identical across engines (libm log differs in the last
+    ulp between JVM and C)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.length("term") >= min_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.col("df_t") + 1)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_per_doc)
+        .select(id_col, "term", "tf", "df_t", "rank", "score")
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-document perplexity under a unigram LM trained on the corpus
+    itself — the CCNet-style (Wenzek et al. 2020) fluency filter: documents
+    whose token distribution diverges from the corpus (gibberish, boiler-
+    plate, wrong language) score high and can be pruned by threshold.
+
+    Model fit and scoring are ONE pipeline: token counts c_t and corpus
+    size T come from a single tokenize scan's aggregate; each token's
+    negative log-prob is ln(T) − ln(c_t); a document's score is the token
+    average, ppl = e^score. The token→count join shuffles on `term`
+    (vocabulary-sized right side — AQE broadcasts it when small); T rides
+    in as a broadcast 1-row cross join. No OOV handling is needed by
+    construction (every token was trained on). Rounded to 6 decimals for
+    engine portability."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.length("term") >= min_len)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    total = counts.select(F.sum("c_t").alias("t_total"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(F.col("t_total").cast("double"))
+                    - F.log(F.col("c_t").cast("double"))
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 4))
+    )
+
+
 def quality_prune(
     df: DataFrame,
     text_col: str = "text",
