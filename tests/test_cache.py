@@ -75,3 +75,17 @@ def test_lru_bound_caps_registry_growth(spark):
 def test_clear_caches_is_idempotent_and_safe_when_empty():
     assert clear_caches() == 0
     assert clear_caches() == 0
+
+
+def test_release_drops_registry_entry(spark):
+    """A persist-then-drop loop (BPE fold chain) must free its LRU slot,
+    not leave a stale handle that inflates clear_caches()'s count."""
+    baseline = persisted_rdd_count(spark)
+    df = cache.track_persist(spark.range(5, numPartitions=1).toDF("v"))
+    df.count()
+    assert cache.release(df) is True
+    assert not any(t is df for t in cache._PERSISTED.values())
+    assert clear_caches(blocking=True) == 0  # nothing left to free
+    assert persisted_rdd_count(spark) == baseline
+    # releasing an untracked DataFrame is safe and reports False
+    assert cache.release(spark.range(1).toDF("v")) is False

@@ -132,13 +132,22 @@ def test_redact_pii_is_codegen_scan_projection(spark):
             assert "lang" not in scans[0] and "source" not in scans[0]
 
 
-def test_duplicate_spans_partial_aggregation(spark):
-    """The span count aggregates partially before the exchange (map-side
-    dedup of the (span, doc) pairs), so the shuffle carries combined
-    rows, not the raw exploded spans."""
+def test_duplicate_spans_hash_keyed_shuffle(spark):
+    """The corpus-wide doc-frequency shuffle is keyed on xxhash64(span)
+    — 16-byte rows — and NO exchange in the plan is keyed on the raw
+    span string alone (occurrence-level string shuffle, the r4 shape).
+    The only string-bearing exchange is the survivor-sized distinct
+    (hash, span) dedup, whose key leads with the hash. Aggregations
+    still combine map-side (partial + final HashAggregate)."""
     p = _plan(spark, "docs_duplicate_spans")
+    assert "xxhash64" in p
     assert p.count("HashAggregate") >= 2  # partial + final
-    assert "Exchange" in p  # exactly the one agg shuffle
+    # no corpus-wide exchange keyed on the span string: every
+    # hashpartitioning key list must start with the hash column
+    import re
+
+    for key in re.findall(r"hashpartitioning\((\w+)", p):
+        assert not key.startswith("span"), p
     assert "BatchEvalPython" not in p
 
 

@@ -75,6 +75,28 @@ def track_persist(df: DataFrame) -> DataFrame:
         return df
 
 
+def release(df: DataFrame) -> bool:
+    """Unpersist *df* AND drop its registry entry.
+
+    A bare ``df.unpersist()`` on a tracked DataFrame frees the blocks but
+    leaves the stale handle occupying an LRU slot (hastening eviction of
+    still-useful persists and inflating :func:`clear_caches`'s count).
+    Operators that persist-then-drop inside a loop (the distributed BPE
+    trainer's fold chain) must use this instead. Returns True if the
+    handle was tracked."""
+    with _LOCK:
+        found = False
+        for key, tracked in list(_PERSISTED.items()):
+            if tracked is df:
+                del _PERSISTED[key]
+                found = True
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        return found
+
+
 def register_memo(memo: dict) -> dict:
     """Register a memo dict so :func:`clear_caches` empties it. Returns
     the dict (usable as a decorator-ish inline registration)."""

@@ -564,9 +564,9 @@ def _bpe_train_distributed(
             nxt = nxt.localCheckpoint(eager=False)
         nxt = cache.track_persist(nxt)
         nxt.count()  # materialize before dropping the parent
-        cur.unpersist(blocking=False)
+        cache.release(cur)
         cur = nxt
-    cur.unpersist(blocking=False)
+    cache.release(cur)
     return merges
 
 
