@@ -65,6 +65,11 @@ HEADLINE = [
     "docs_duplicate_spans",
     "docs_redact_pii",
     "docs_bpe_train",
+    # round-6 additions
+    "embeddings_kmeans",
+    "embeddings_semantic_dedup",
+    "docs_tfidf_top_terms",
+    "docs_unigram_lm",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_spark.dataops.similarity import _dot, _norm, cosine_sim
+from vector_spark.dataops.similarity import _dot, _norm
 
 #: rounding applied to distances and centroid coordinates — coarse enough
 #: to absorb float-summation-order noise (~1e-13) across engines and
@@ -172,18 +172,37 @@ def semantic_dedup(
     published trade (recall for n²→n²/k cost), not an implementation gap;
     the exact arm stays available via `similarity.cosine_near_dup_pairs`.
     """
+    from vector_spark import cache
     from vector_spark.dataops.dedup import connected_components
 
     centroids = kmeans_fit(df, k, iters=iters, vec_col=vec_col, id_col=id_col)
-    assigned = assign_clusters(df, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("id"), "cluster", F.col(vec_col).alias("v")
+    # Hoist each vector's norm out of the pairwise stage: sqrt(Σv²) is
+    # computed ONCE per vector here with the exact fold cosine_sim uses,
+    # so cos(a,b) = dot(a,b)/(na·nb) below is bit-identical to calling
+    # cosine_sim per pair while doing a third of the per-pair fold work.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # persisted (registry-tracked): referenced by both sides of the
+    # pairwise self-join AND the final id/cluster projection — without it
+    # the argmin assignment scan re-executes per consumer and per
+    # label-propagation round inside connected_components.
+    assigned = cache.track_persist(
+        assign_clusters(df, centroids, vec_col=vec_col).select(
+            F.col(id_col).alias("id"),
+            "cluster",
+            vd.alias("v"),
+            _norm(vd).alias("nrm"),
+        )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(b, on="cluster")
         .where(F.col("a.id") < F.col("b.id"))
         .where(
-            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), _ROUND)
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                _ROUND,
+            )
             >= threshold
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -3923,6 +3923,190 @@ QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+
+# --------------------------------------------------------------------------
+# Clustering + corpus-LM oracles. Lloyd's k-means was engineered for exact
+# oracle replay (deterministic lowest-id init, 6-decimal rounding on every
+# value Spark rounds, argmin ties on centroid id — dataops/clustering.py),
+# so DuckDB re-runs the identical iterative computation as a CTE chain.
+# --------------------------------------------------------------------------
+
+def _kmeans_oracle_chain(k: int, iters: int) -> str:
+    """CTE chain replaying kmeans_fit + final assignment: ends with CTEs
+    ``afinal`` (vec_id, cluster) and ``norms`` (cid, centroid_norm)."""
+    parts = [f"""
+WITH RECURSIVE ed AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i+1] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+), vv AS (
+  SELECT vec_id, SUM(val*val) AS vv FROM ed GROUP BY vec_id
+), init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+), cent0 AS (
+  SELECT init.cid, ed.dim, ROUND(ed.val, 6) AS cv
+  FROM init JOIN ed ON ed.vec_id = init.vec_id
+)"""]
+    prev = "cent0"
+    # rounds 1..iters update centroids; round iters+1 is the final
+    # assignment only
+    for r in range(1, iters + 2):
+        parts.append(f""", cc{r} AS (
+  SELECT cid, ROUND(SUM(cv*cv), 6) AS cc FROM {prev} GROUP BY cid
+), vc{r} AS (
+  SELECT ed.vec_id, c.cid, SUM(ed.val * c.cv) AS vc
+  FROM ed JOIN {prev} c ON c.dim = ed.dim
+  GROUP BY ed.vec_id, c.cid
+), d{r} AS (
+  SELECT vc.vec_id, vc.cid, ROUND(vv.vv - 2*vc.vc + cc.cc, 6) AS d
+  FROM vc{r} vc JOIN vv ON vv.vec_id = vc.vec_id
+  JOIN cc{r} cc ON cc.cid = vc.cid
+), a{r} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{r}) WHERE rn = 1
+)""")
+        if r <= iters:
+            parts.append(f""", upd{r} AS (
+  SELECT a.cluster AS cid, ed.dim, ROUND(AVG(ed.val), 6) AS m
+  FROM a{r} a JOIN ed ON ed.vec_id = a.vec_id
+  GROUP BY a.cluster, ed.dim
+), cent{r} AS (
+  SELECT c.cid, c.dim, COALESCE(u.m, c.cv) AS cv
+  FROM {prev} c LEFT JOIN upd{r} u ON u.cid = c.cid AND u.dim = c.dim
+)""")
+            prev = f"cent{r}"
+    parts.append(f""", afinal AS (
+  SELECT vec_id, cluster FROM a{iters + 1}
+), norms AS (
+  SELECT cid, ROUND(SQRT(SUM(cv*cv)), 6) AS centroid_norm
+  FROM {prev} GROUP BY cid
+)""")
+    return "".join(parts)
+
+
+_ORACLE_KMEANS = _kmeans_oracle_chain(4, 2) + """
+SELECT a.cluster, COUNT(*) AS n,
+       ANY_VALUE(norms.centroid_norm) AS centroid_norm
+FROM afinal a JOIN norms ON norms.cid = a.cluster
+GROUP BY a.cluster
+"""
+
+_ORACLE_SEMANTIC_DEDUP = _kmeans_oracle_chain(4, 2) + """
+, av AS (
+  SELECT a.vec_id, a.cluster, ed.dim, ed.val
+  FROM afinal a JOIN ed ON ed.vec_id = a.vec_id
+), pc AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         ROUND(SUM(x.val*y.val)
+               / (SQRT(SUM(x.val*x.val)) * SQRT(SUM(y.val*y.val))), 6) AS cos
+  FROM av x JOIN av y
+    ON x.cluster = y.cluster AND x.dim = y.dim AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+), pairs AS (
+  SELECT id_a, id_b FROM pc WHERE cos >= 0.4
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+), comp AS (
+  SELECT src, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src
+)
+SELECT a.vec_id AS id, a.cluster,
+       COALESCE(c.component, a.vec_id) AS component,
+       a.vec_id = COALESCE(c.component, a.vec_id) AS keep
+FROM afinal a LEFT JOIN comp c ON a.vec_id = c.src
+"""
+
+_ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT * FROM toks WHERE length(term) >= 2
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+         ROUND(tf.tf * (LN(CAST(nd.n_docs + 1 AS DOUBLE)
+                           / (dfreq.df_t + 1)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df_t, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+_ORACLE_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), t1 AS (
+  SELECT * FROM toks WHERE length(term) >= 1
+), counts AS (
+  SELECT term, COUNT(*) AS c_t FROM t1 GROUP BY term
+), total AS (
+  SELECT SUM(c_t) AS t_total FROM counts
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(CAST(t_total AS DOUBLE)) - LN(CAST(c_t AS DOUBLE))), 6)
+         AS avg_nll,
+       ROUND(EXP(ROUND(AVG(LN(CAST(t_total AS DOUBLE))
+                           - LN(CAST(c_t AS DOUBLE))), 6)), 4) AS ppl
+FROM t1 JOIN counts USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+QUERIES.update({
+    # Distributed Lloyd's k-means over the embedding corpus — the
+    # SemDeDup/corpus-cartography prerequisite. Value-oracled exactly:
+    # DuckDB replays the deterministic fit iteration by iteration.
+    "embeddings_kmeans": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.clustering", fromlist=["kmeans_summary"]
+        ).kmeans_summary(_t(spark, sf_dir, "embeddings"), 4, iters=2),
+        _ORACLE_KMEANS,
+        "distributed Lloyd's k-means: per-cluster size + centroid norm",
+    ),
+    # SemDeDup (Abbas et al. 2023): cluster-blocked near-dup pairs →
+    # connected components → per-vector keep decision.
+    "embeddings_semantic_dedup": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.clustering", fromlist=["semantic_dedup"]
+        ).semantic_dedup(_t(spark, sf_dir, "embeddings"), k=4, iters=2,
+                         threshold=0.4),
+        _ORACLE_SEMANTIC_DEDUP,
+        "SemDeDup: k-means blocking + cosine pairs + components",
+    ),
+    # Per-document keyword extraction (smoothed TF-IDF, sklearn
+    # convention) and CCNet-style unigram-LM fluency scoring.
+    "docs_tfidf_top_terms": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["tfidf_top_terms"]
+        ).tfidf_top_terms(_t(spark, sf_dir, "documents")),
+        _ORACLE_TFIDF,
+        "per-doc top-k terms by smoothed TF-IDF",
+    ),
+    "docs_unigram_lm": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["unigram_lm_score"]
+        ).unigram_lm_score(_t(spark, sf_dir, "documents")),
+        _ORACLE_UNIGRAM_LM,
+        "CCNet-style unigram-LM perplexity per document",
+    ),
+})
+
 # --------------------------------------------------------------------------
 # Driver-sampling order: the correctness driver checks a 50-query window of
 # the 69-entry registry in dict order, and in rounds 1-2 the tail entries
@@ -3930,10 +4114,14 @@ QUERIES: dict[str, QuerySpec] = {
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
-    # new in r5 — never driver-sampled
+    # new/changed in r6 — never driver-sampled (clustering + corpus-LM
+    # ops) or changed this round (duplicate_spans plan rewrite)
+    "embeddings_kmeans", "embeddings_semantic_dedup",
+    "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
+    # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
-    "vrl_emit_multi", "native_proto_roundtrip", "docs_duplicate_spans",
+    "vrl_emit_multi", "native_proto_roundtrip",
     "docs_redact_pii", "embedding_dedup_components", "docs_bpe_train",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
