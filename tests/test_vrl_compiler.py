@@ -258,3 +258,50 @@ def test_object_equality_is_key_order_insensitive(spark):
     )[""].collect()[0]
     assert out.eq_rev is True and out.eq_fwd is True
     assert out.ne_val is False and out.ne_key is False
+
+
+def test_object_equality_key_order_insensitive_nested(spark):
+    # ADVICE r5 (low): canonicalization sorted keys only at the top
+    # level — a NESTED object literal / nested map field kept written
+    # order. VRL equality is structural at every depth.
+    df = spark.createDataFrame([Row(k="v")])
+    out = vrl_remap(
+        df,
+        """
+        .o = {"outer": {"a": "1", "b": "2"}, "k": "v"}
+        .eq_nested_rev = .o == {"k": "v", "outer": {"b": "2", "a": "1"}}
+        .eq_nested_fwd = .o == {"outer": {"a": "1", "b": "2"}, "k": "v"}
+        .ne_nested = .o == {"k": "v", "outer": {"b": "3", "a": "1"}}
+        """,
+    )[""].collect()[0]
+    assert out.eq_nested_fwd is True
+    assert out.eq_nested_rev is True
+    assert out.ne_nested is False
+
+
+def test_dtype_does_not_leak_across_statements(spark):
+    # ADVICE r5 (low): a prior statement's map dtype must not leak into
+    # a later comparison whose left side has unknown dtype (the leak
+    # triggered map canonicalization on a non-map → analysis error).
+    df = spark.createDataFrame([Row(url="http://h/p?a=1", tag="x")])
+    out = vrl_remap(
+        df,
+        """
+        .parts = parse_url!(.url)
+        .q = .parts.query
+        .same_tag = .tag == "x"
+        """,
+    )[""].collect()[0]
+    assert out.same_tag is True
+
+
+def test_parse_json_deep_nesting_no_recursion_crash(spark):
+    # ADVICE r5 (low): a 2000-deep '[' literal must compile (generic
+    # error path), not die with RecursionError in the serde emulator.
+    deep = "[" * 2000
+    df = spark.createDataFrame([Row(v=1)])
+    out = vrl_remap(
+        df,
+        f'.x, err = parse_json("{deep}")\n.bad = err != null',
+    )[""].collect()[0]
+    assert out.bad is True

@@ -441,7 +441,12 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     if stype == "apache_metrics":
         from vector_spark.sources_pull import apache_metrics_source
 
-        # reference config takes `endpoints: [...]`; one poll unions them
+        # reference config takes `endpoints: [...]` (required there too);
+        # one poll unions them. `url` accepted as a single-endpoint alias.
+        if not cfg.get("endpoints") and not cfg.get("url"):
+            raise TopologyError(
+                f"source {name!r}: apache_metrics requires 'endpoints'"
+            )
         dfs = [
             apache_metrics_source(
                 spark, u, namespace=cfg.get("namespace", "apache")
@@ -455,6 +460,10 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     if stype == "nginx_metrics":
         from vector_spark.sources_pull import nginx_metrics_source
 
+        if not cfg.get("endpoints") and not cfg.get("url"):
+            raise TopologyError(
+                f"source {name!r}: nginx_metrics requires 'endpoints'"
+            )
         dfs = [
             nginx_metrics_source(
                 spark, u, namespace=cfg.get("namespace", "nginx")

@@ -164,6 +164,40 @@ def _struct_field_names(dtype: str) -> list[str]:
     return list(_struct_fields(dtype))
 
 
+def _canon_by_dtype(col, dtype: str | None):
+    """Recursively key-sort a struct/map column per its simpleString
+    dtype so to_json serialization is order-canonical at EVERY depth —
+    VRL object equality is fully structural, so `.parts == {...}` must
+    ignore key order in nested sub-objects too, not just at the top
+    level. Arrays keep element order (VRL lists are ordered) but each
+    element object is canonicalized."""
+    if dtype is None:
+        return col
+    if dtype.startswith("map<") and dtype.endswith(">"):
+        parts = _split_toplevel(dtype[len("map<"):-1])
+        vt = parts[1].strip() if len(parts) == 2 else None
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                _canon_by_dtype(e["value"], vt).alias("value"),
+            ),
+        )
+        return F.map_from_entries(F.array_sort(entries))
+    if dtype.startswith("struct<"):
+        flds = _struct_fields(dtype)
+        if not flds:
+            return col
+        return F.struct(
+            *[_canon_by_dtype(col[n], flds[n]).alias(n) for n in sorted(flds)]
+        )
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        et = dtype[len("array<"):-1].strip()
+        if et.startswith(("struct<", "map<", "array<")):
+            return F.transform(col, lambda x: _canon_by_dtype(x, et))
+    return col
+
+
 def _nested_dtype(dtype: str | None, segs: list) -> str | None:
     """dtype of a path INTO a simpleString dtype: struct fields by name,
     map value type for string keys, array element for int indices.
@@ -366,6 +400,12 @@ def _serde_json_error(s: str) -> str | None:
             raise _E(at("trailing characters", i))
     except _E as e:
         return str(e)
+    except RecursionError:
+        # pathologically deep nesting (1000+ brackets): the emulator
+        # cannot produce the exact serde message — drop the exact-detail
+        # path (None ⇒ caller falls back to the generic diagnostic)
+        # rather than crash the compile.
+        return None
     return "expected value at line 1 column 1"
 
 
@@ -440,6 +480,7 @@ class _P:
         self.latent_flags = []
         self._err_default = None
         self.flag_msgs = []
+        self._last_path_dtype = None
 
     # -- token helpers ---------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -504,18 +545,11 @@ class _P:
                 and (left_pd.startswith("struct") or left_pd.startswith("map"))
                 and _col_meta(right, "_vs_obj_struct", False)
             ):
-                # VRL object equality is structural and key-order-insensitive:
-                # canonicalize BOTH sides to key-sorted JSON (a query map built
-                # from a=1&b=2 must equal the literal {"b":"2","a":"1"})
-                if left_pd.startswith("map"):
-                    lc = F.map_from_entries(F.array_sort(F.map_entries(left)))
-                else:
-                    names = _struct_field_names(left_pd)
-                    lc = (
-                        F.struct(*[left[n].alias(n) for n in sorted(names)])
-                        if names
-                        else left
-                    )
+                # VRL object equality is structural and key-order-insensitive
+                # at every depth: canonicalize BOTH sides to recursively
+                # key-sorted JSON (a query map built from a=1&b=2 must equal
+                # the literal {"b":"2","a":"1"}, including nested objects)
+                lc = _canon_by_dtype(left, left_pd)
                 rc = _col_meta(right, "_vs_obj_sorted")
                 if rc is None:
                     rc = right
@@ -694,6 +728,8 @@ class _P:
             self.eat()
             fields: list[Column] = []
             fnames: list[str] = []
+            svals: list[Column] = []
+            ftypes: list[str] = []
             raw_obj: dict | None = {}
             while not self.at("}"):
                 k = self.eat()
@@ -723,20 +759,49 @@ class _P:
                 else:
                     v = self.expr()
                     raw_obj = None  # non-literal value: no raw capture
-                fields.append(
-                    (v if isinstance(v, Column) else F.lit(v)).alias(k.text[1:-1])
-                )
+                vc = v if isinstance(v, Column) else F.lit(v)
+                fields.append(vc.alias(k.text[1:-1]))
+                # canonical value for the sorted twin: a nested object
+                # literal contributes its OWN (recursively) sorted twin,
+                # so key-order insensitivity holds at every depth
+                sv = _col_meta(vc, "_vs_obj_sorted")
+                svals.append(vc if sv is None else sv)
+                if isinstance(v, Column):
+                    nested = _col_meta(vc, "_vs_dtype")
+                    ftypes.append(nested if isinstance(nested, str) else "string")
+                elif isinstance(v, bool):
+                    ftypes.append("boolean")
+                elif isinstance(v, int):
+                    ftypes.append("bigint")
+                elif isinstance(v, float):
+                    ftypes.append("double")
+                else:
+                    ftypes.append("string")
                 fnames.append(k.text[1:-1])
                 if self.at(","):
                     self.eat()
             self.eat("}")
             col = F.struct(*fields)
             col._vs_obj_struct = True  # comparisons canonicalize via JSON
-            # key-sorted twin for order-insensitive equality (VRL object
-            # equality is structural; a=1&b=2 query map must == {"b":..,"a":..})
+            # recursively key-sorted twin for order-insensitive equality
+            # (VRL object equality is structural at every depth; a=1&b=2
+            # query map must == {"b":..,"a":..})
             col._vs_obj_sorted = F.struct(
-                *[c for _, c in sorted(zip(fnames, fields), key=lambda p: p[0])]
+                *[
+                    c.alias(n)
+                    for n, c in sorted(zip(fnames, svals), key=lambda p: p[0])
+                ]
             )
+            # dtype tag: lets an ASSIGNED literal (`.o = {...}`) resolve
+            # as struct on a later read, so `.o == {...}` takes the
+            # structural-equality path. Only when every key is a plain
+            # identifier — exotic keys would corrupt the simpleString.
+            if all(re.fullmatch(r"\w+", n) for n in fnames):
+                col._vs_dtype = (
+                    "struct<"
+                    + ",".join(f"{n}:{t}" for n, t in zip(fnames, ftypes))
+                    + ">"
+                )
             if raw_obj:
                 col._vs_literal_obj = raw_obj
             return col
@@ -782,6 +847,11 @@ class _P:
             return F.col("_metadata")
         if t.kind == "path":
             self.eat()
+            # reset BEFORE resolving: an early return (absent field,
+            # map-rooted read) or an unknown root dtype must not leak a
+            # PRIOR statement's map/struct dtype into this read's `== {}`
+            # canonicalization decision
+            self._last_path_dtype = None
             root = _path_segments(t.text)[0]
             if self.known_cols is not None and root not in self.known_cols:
                 if "_root_map" in self.known_cols:
