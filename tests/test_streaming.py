@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_spark.operators import filter_op
+from vector_spark.streaming.monitor import attach_barrier
 from vector_spark.streaming.pipeline import (
     memory_sink,
     rate_source,
@@ -19,35 +20,54 @@ from vector_spark.streaming.pipeline import (
 )
 
 
-def _drain(spark, query, name, min_rows=1, timeout=90):
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
-        if n >= min_rows:
-            query.stop()
-            return n
-        time.sleep(1)
-    query.stop()
-    raise AssertionError(f"stream produced no rows within {timeout}s")
+@pytest.fixture(scope="module")
+def barrier(spark):
+    """One ProgressBarrier for the module: every wait below wakes on the
+    engine's own progress events (r4/r5 verdicts: wall-clock polls flaked
+    under load; event-driven waits track the engine, not the clock)."""
+    b = attach_barrier(spark)
+    yield b
+    spark.streams.removeListener(b)
+
+
+def _drain(spark, barrier, query, name, min_rows=1, timeout=60):
+    """Wait (event-driven) until the memory-sink table has min_rows."""
+
+    def enough():
+        return (
+            spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+            >= min_rows
+        )
+
+    try:
+        barrier.wait(query, predicate=enough, timeout=timeout)
+    finally:
+        query.stop()
+    return spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
 
 
 @pytest.mark.streaming
-def test_stream_filter_and_remap(spark):
-    src = rate_source(spark, rows_per_second=500)
+def test_stream_filter_and_remap(spark, barrier):
+    # deterministic: every micro-batch carries exactly 100 rows, so the
+    # first batch alone yields 50 evens — no dependence on host speed
+    src = rate_source(spark, rows_per_batch=100)
     piped = filter_op(src, F.col("seq") % 2 == 0).withColumn(
         "host_uc", F.upper("host")
     )
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = memory_sink(piped, name)
-    n = _drain(spark, q, name, min_rows=10)
+    n = _drain(spark, barrier, q, name, min_rows=10)
     rows = spark.sql(f"SELECT * FROM {name} LIMIT 5").collect()
     assert all(r.seq % 2 == 0 for r in rows)
     assert n >= 10
 
 
 @pytest.mark.streaming
-def test_stream_windowed_aggregate(spark):
-    src = rate_source(spark, rows_per_second=500)
+def test_stream_windowed_aggregate(spark, barrier):
+    # event time advances 1s per batch DETERMINISTICALLY, so the
+    # watermark closes the first 1s window after a fixed number of
+    # batches regardless of wall-clock speed
+    src = rate_source(spark, rows_per_batch=100, advance_millis_per_batch=1000)
     agg = streaming_aggregate(
         src.withColumn("value", (F.col("seq") % 10).cast("double")),
         interval_secs=1,
@@ -56,20 +76,20 @@ def test_stream_windowed_aggregate(spark):
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = memory_sink(agg, name, output_mode="append")
     # append mode emits only watermark-closed windows; wait for a few
-    n = _drain(spark, q, name, min_rows=1, timeout=45)
+    n = _drain(spark, barrier, q, name, min_rows=1, timeout=60)
     row = spark.sql(f"SELECT * FROM {name} LIMIT 1").collect()[0]
     assert row["count"] > 0 and row["mean"] is not None
 
 
 @pytest.mark.streaming
-def test_stream_dedupe(spark):
-    src = rate_source(spark, rows_per_second=500).withColumn(
+def test_stream_dedupe(spark, barrier):
+    src = rate_source(spark, rows_per_batch=100).withColumn(
         "dup_key", F.col("seq") % 20
     )
     deduped = streaming_dedupe(src, ["dup_key"], ts_col="ts", ttl="10 minutes")
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = memory_sink(deduped, name)
-    _drain(spark, q, name, min_rows=5, timeout=90)
+    _drain(spark, barrier, q, name, min_rows=5, timeout=60)
     n_distinct = spark.sql(
         f"SELECT count(*) c, count(DISTINCT dup_key) d FROM {name}"
     ).collect()[0]
@@ -77,10 +97,10 @@ def test_stream_dedupe(spark):
 
 
 @pytest.mark.streaming
-def test_stream_lru_dedupe(spark):
+def test_stream_lru_dedupe(spark, barrier):
     from vector_spark.streaming.stateful import streaming_lru_dedupe
 
-    src = rate_source(spark, rows_per_second=200).withColumn(
+    src = rate_source(spark, rows_per_batch=100).withColumn(
         "shard", (F.col("seq") % 2).cast("string")
     ).withColumn("dup_key", F.col("seq") % 10)
     out = streaming_lru_dedupe(
@@ -92,7 +112,7 @@ def test_stream_lru_dedupe(spark):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
     )
-    _drain(spark, q, name, min_rows=5, timeout=60)
+    _drain(spark, barrier, q, name, min_rows=5, timeout=60)
     res = spark.sql(
         f"SELECT count(*) c, count(DISTINCT shard, dup_key) d FROM {name}"
     ).collect()[0]
@@ -100,10 +120,10 @@ def test_stream_lru_dedupe(spark):
 
 
 @pytest.mark.streaming
-def test_stream_tag_cardinality(spark):
+def test_stream_tag_cardinality(spark, barrier):
     from vector_spark.streaming.stateful import streaming_tag_cardinality_limit
 
-    src = rate_source(spark, rows_per_second=200).withColumn(
+    src = rate_source(spark, rows_per_batch=100).withColumn(
         "shard", F.lit("all")
     ).withColumn("tag", (F.col("seq") % 50).cast("string"))
     out = streaming_tag_cardinality_limit(
@@ -114,7 +134,7 @@ def test_stream_tag_cardinality(spark):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
     )
-    _drain(spark, q, name, min_rows=20, timeout=60)
+    _drain(spark, barrier, q, name, min_rows=20, timeout=60)
     res = spark.sql(
         f"SELECT count(DISTINCT tag) d FROM {name} WHERE tag IS NOT NULL"
     ).collect()[0]
@@ -122,7 +142,7 @@ def test_stream_tag_cardinality(spark):
 
 
 @pytest.mark.streaming
-def test_streaming_topology_end_to_end(spark):
+def test_streaming_topology_end_to_end(spark, barrier):
     """YAML topology with a streaming source runs the same transform
     builders as batch: rate → filter → remap → memory sink."""
     from vector_spark.config.loader import build_topology, start_streaming_sinks
@@ -131,7 +151,7 @@ def test_streaming_topology_end_to_end(spark):
     topo = build_topology(
         spark,
         {
-            "sources": {"gen": {"type": "rate", "rows_per_second": 500}},
+            "sources": {"gen": {"type": "rate", "rows_per_batch": 100}},
             "transforms": {
                 "evens": {
                     "type": "filter",
@@ -149,14 +169,14 @@ def test_streaming_topology_end_to_end(spark):
         },
     )
     qs = start_streaming_sinks(topo)
-    n = _drain(spark, qs["tap"], name, min_rows=10, timeout=45)
+    n = _drain(spark, barrier, qs["tap"], name, min_rows=10, timeout=60)
     rows = spark.sql(f"SELECT * FROM {name} LIMIT 5").collect()
     assert n >= 10 and all(r.seq % 2 == 0 for r in rows)
     assert set(rows[0].asDict()) == {"seq", "ts", "host_uc"}
 
 
 @pytest.mark.streaming
-def test_memory_table_stream_updated_enrichment(spark):
+def test_memory_table_stream_updated_enrichment(spark, barrier):
     """Writable memory enrichment table: a stream writes KV entries via
     foreachBatch; a reader joins the live snapshot (reference
     src/enrichment_tables/memory/)."""
@@ -165,19 +185,16 @@ def test_memory_table_stream_updated_enrichment(spark):
     from vector_spark.streaming.memory_table import MemoryTable
 
     table = MemoryTable(key_col="k", value_col="v", ttl_secs=3600)
-    src = rate_source(spark, rows_per_second=100).select(
+    # one 100-row batch covers all 5 keys deterministically
+    src = rate_source(spark, rows_per_batch=100).select(
         (F.col("seq") % 5).cast("string").alias("k"),
         F.concat(F.lit("label-"), (F.col("seq") % 5)).alias("v"),
     )
-    q = (
-        src.writeStream.foreachBatch(table.write_batch)
-        .trigger(processingTime="1 seconds")
-        .start()
-    )
-    deadline = _time.time() + 90
-    while _time.time() < deadline and len(table._data) < 5:
-        _time.sleep(1)
-    q.stop()
+    q = src.writeStream.foreachBatch(table.write_batch).start()
+    try:
+        barrier.wait(q, predicate=lambda: len(table._data) >= 5, timeout=60)
+    finally:
+        q.stop()
     assert len(table._data) == 5
     events = spark.createDataFrame([("2",), ("99",)], "k_ref string")
     out = {r.k_ref: r.v for r in table.enrich(events, on="k_ref").collect()}
@@ -188,12 +205,14 @@ def test_memory_table_stream_updated_enrichment(spark):
 
 
 @pytest.mark.streaming
-def test_stream_throttle_gcra(spark):
+def test_stream_throttle_gcra(spark, barrier):
     from vector_spark.streaming.stateful import streaming_throttle
 
-    src = rate_source(spark, rows_per_second=200).withColumn(
-        "key", F.lit("k1")
-    )
+    # event time advances 1s per batch, so each 2s GCRA window spans
+    # exactly two batches — throttle admission is deterministic
+    src = rate_source(
+        spark, rows_per_batch=50, advance_millis_per_batch=1000
+    ).withColumn("key", F.lit("k1"))
     out = streaming_throttle(
         src, threshold=2, window_secs=2, key_field="key",
         payload_cols=["seq", "ts"],
@@ -203,7 +222,7 @@ def test_stream_throttle_gcra(spark):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
     )
-    _drain(spark, q, name, min_rows=3, timeout=60)
+    _drain(spark, barrier, q, name, min_rows=3, timeout=60)
     # at most `threshold` admitted per 2s event-time window
     res = spark.sql(
         f"SELECT window(ts, '2 seconds') w, count(*) c FROM {name} GROUP BY 1"
@@ -212,22 +231,27 @@ def test_stream_throttle_gcra(spark):
 
 
 @pytest.mark.streaming
-def test_top_listener_collects_throughput(spark):
+def test_top_listener_collects_throughput(spark, barrier):
     from vector_spark.streaming.monitor import attach_top
 
     listener = attach_top(spark)
     try:
-        src = rate_source(spark, rows_per_second=300)
+        src = rate_source(spark, rows_per_batch=60)
         name = f"t_{uuid.uuid4().hex[:8]}"
         q = (
             src.writeStream.format("memory").queryName(name)
             .outputMode("append").start()
         )
-        _drain(spark, q, name, min_rows=50, timeout=120)
-        deadline = time.time() + 30
-        while time.time() < deadline and name not in listener.stats:
-            time.sleep(0.5)
-        assert name in listener.stats
+        # top listener and barrier ride the same event bus: wait until
+        # the TOP listener itself has accumulated ≥50 rows
+        def top_saw_enough():
+            s = listener.stats.get(name)
+            return s is not None and s.total_rows >= 50 and s.n_batches >= 1
+
+        try:
+            barrier.wait(q, predicate=top_saw_enough, timeout=60)
+        finally:
+            q.stop()
         s = listener.stats[name]
         assert s.total_rows >= 50 and s.n_batches >= 1
         assert name[:24] in listener.render()
@@ -283,10 +307,10 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
 
 
 @pytest.mark.streaming
-def test_demux_sink_single_query_fanout(spark, tmp_path):
+def test_demux_sink_single_query_fanout(spark, tmp_path, barrier):
     from vector_spark.streaming.pipeline import demux_sink
 
-    src = rate_source(spark, rows_per_second=300)
+    src = rate_source(spark, rows_per_batch=100)
     out = str(tmp_path / "fanout")
     q = demux_sink(
         src,
@@ -299,17 +323,16 @@ def test_demux_sink_single_query_fanout(spark, tmp_path):
     )
     import os
 
-    deadline = time.time() + 120
-    n = 0
-    while time.time() < deadline:
+    def fanout_written():
         try:
-            n = spark.read.parquet(out).count()
+            return spark.read.parquet(out).count() >= 30
         except Exception:
-            n = 0
-        if n >= 30:
-            break
-        time.sleep(1)
-    q.stop()
+            return False
+
+    try:
+        barrier.wait(q, predicate=fanout_written, timeout=75)
+    finally:
+        q.stop()
     back = spark.read.parquet(out)
     dirs = {d for d in os.listdir(out) if d.startswith("_route=")}
     assert {"_route=evens", "_route=threes", "_route=_default"} <= dirs
@@ -323,14 +346,14 @@ def test_demux_sink_single_query_fanout(spark, tmp_path):
 
 
 @pytest.mark.streaming
-def test_templated_stream_sink_layout(spark, tmp_path):
+def test_templated_stream_sink_layout(spark, tmp_path, barrier):
     """Key-templated S3-style layout from a stream: one partitioned write
     + rename per micro-batch (src/sinks/util/partitioner.rs analog)."""
     import os
 
     from vector_spark.sinks import templated_stream_sink
 
-    src = rate_source(spark, rows_per_second=500).withColumn(
+    src = rate_source(spark, rows_per_batch=100).withColumn(
         "shard", (F.col("seq") % 2).cast("string")
     )
     out = str(tmp_path / "out")
@@ -341,20 +364,19 @@ def test_templated_stream_sink_layout(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         trigger_secs=1,
     )
-    deadline = time.time() + 90
     want = {"0", "1"}
+
+    def shards_on_disk():
+        root = os.path.join(out, "svc")
+        if not os.path.isdir(root):
+            return set()
+        return {d for d in os.listdir(root) if not d.startswith(("_", "."))}
+
     try:
-        while time.time() < deadline:
-            root = os.path.join(out, "svc")
-            if os.path.isdir(root):
-                shards = {
-                    d for d in os.listdir(root) if not d.startswith(("_", "."))
-                }
-                if want <= shards:
-                    break
-            time.sleep(1)
+        barrier.wait(q, predicate=lambda: want <= shards_on_disk(), timeout=75)
     finally:
         q.stop()
+    shards = shards_on_disk()
     assert want <= shards
     dt_dirs = os.listdir(os.path.join(out, "svc", "0"))
     assert any(d.startswith("dt=") for d in dt_dirs)
@@ -363,7 +385,7 @@ def test_templated_stream_sink_layout(spark, tmp_path):
 
 
 @pytest.mark.streaming
-def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
+def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path, barrier):
     """Lua-v2 timer analog (lua/v2/mod.rs:27-40): a per-key counter
     flushed every N seconds from checkpointed state; the running total
     survives a query restart (state store recovery)."""
@@ -388,7 +410,9 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
         return out, st
 
     def start():
-        src = rate_source(spark, rows_per_second=200).withColumn(
+        # every 100-row batch carries BOTH hostkeys, so each timer flush
+        # has state to report no matter how batches align with the timer
+        src = rate_source(spark, rows_per_batch=100).withColumn(
             "hostkey", (F.col("seq") % 2).cast("string")
         )
         flushed = scripted_stateful_transform(
@@ -415,9 +439,9 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
 
     q = start()
     try:
-        deadline = time.time() + 180
-        while time.time() < deadline and len(flushes()) < 2:
-            time.sleep(2)
+        # the timer (2s wall clock) gates flushes; wake on every batch
+        # and re-check the parquet output instead of sleep-polling
+        barrier.wait(q, predicate=lambda: len(flushes()) >= 2, timeout=75)
         rows1 = flushes()
         assert len(rows1) >= 2, "no timer flushes before restart"
         assert any(r.n_since_flush > 0 for r in rows1)
@@ -427,9 +451,9 @@ def test_scripted_stateful_timer_flush_survives_restart(spark, tmp_path):
 
     q2 = start()
     try:
-        deadline = time.time() + 180
-        while time.time() < deadline and len(flushes()) <= len(rows1):
-            time.sleep(2)
+        barrier.wait(
+            q2, predicate=lambda: len(flushes()) > len(rows1), timeout=75
+        )
         rows2 = [r for r in flushes() if r not in rows1]
         # new flushes exist and the running total CONTINUED from the
         # recovered state (never reset toward zero)
@@ -547,9 +571,9 @@ def test_memory_table_ttl_expiry_under_stream(spark, tmp_path):
     q.processAllAvailable()  # deterministic barrier: all files consumed
     assert len(table._data) == 3
     q.stop()
-    # TTL: with no further writes the entries expire
-    time.sleep(2.5)
-    assert table.expire() == 3 and len(table._data) == 0
+    # TTL: with no further writes the entries expire — drive the clock
+    # explicitly instead of sleeping through it
+    assert table.expire(time.time() + 2.5) == 3 and len(table._data) == 0
     # volatile across restart (reference parity: in-memory table), but a
     # restarted stream repopulates from new data
     write_kv("b.json", [7, 8])

@@ -386,10 +386,13 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     if stype == "rate":
         from vector_spark.streaming.pipeline import rate_source
 
+        rpb = cfg.get("rows_per_batch")
         return rate_source(
             spark,
             rows_per_second=int(cfg.get("rows_per_second", 1000)),
             num_partitions=cfg.get("num_partitions"),
+            rows_per_batch=int(rpb) if rpb is not None else None,
+            advance_millis_per_batch=cfg.get("advance_millis_per_batch"),
         )
     if stype == "stream_file":
         from vector_spark.streaming.pipeline import file_stream_source

@@ -20,13 +20,35 @@ from pyspark.sql import functions as F
 # ---- sources -----------------------------------------------------------
 
 def rate_source(
-    spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    num_partitions: int | None = None,
+    rows_per_batch: int | None = None,
+    advance_millis_per_batch: int | None = None,
 ) -> DataFrame:
-    """Synthetic generator (the demo_logs analog for tests/benchmarks)."""
-    reader = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_second)
-    )
+    """Synthetic generator (the demo_logs analog for tests/benchmarks).
+
+    With *rows_per_batch* set, uses Spark's ``rate-micro-batch`` source
+    instead of wall-clock ``rate``: every micro-batch carries EXACTLY
+    that many rows with sequential seqs and event timestamps advancing
+    *advance_millis_per_batch* per batch — fully deterministic content,
+    so a consumer that waits for N batches knows precisely which rows it
+    has, however slow the host is. This is the mode tests should use.
+    """
+    if rows_per_batch is not None:
+        reader = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+        )
+        if advance_millis_per_batch is not None:
+            reader = reader.option(
+                "advanceMillisPerBatch", advance_millis_per_batch
+            )
+    else:
+        reader = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+        )
     if num_partitions:
         reader = reader.option("numPartitions", num_partitions)
     df = reader.load()  # (timestamp, value)
