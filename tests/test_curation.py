@@ -150,3 +150,14 @@ def test_duplicate_spans(spark):
         for r in duplicate_spans(docs, k=4, min_docs=3).collect()
     }
     assert out3 == {"alpha beta gamma delta"}
+    # both strategies are exact and identical (the hash arm's witness
+    # detection + representative-doc recovery must reproduce the
+    # string arm bit-for-bit)
+    for strategy in ("string", "hash"):
+        got = {
+            (r.span, r.n_docs)
+            for r in duplicate_spans(
+                docs, k=4, min_docs=2, strategy=strategy
+            ).collect()
+        }
+        assert got == set(out.items()), strategy

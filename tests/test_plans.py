@@ -132,20 +132,46 @@ def test_redact_pii_is_codegen_scan_projection(spark):
             assert "lang" not in scans[0] and "source" not in scans[0]
 
 
-def test_duplicate_spans_hash_keyed_shuffle(spark):
-    """The corpus-wide doc-frequency shuffle is keyed on xxhash64(span)
-    — 16-byte rows — and NO exchange in the plan is keyed on the raw
-    span string alone (occurrence-level string shuffle, the r4 shape).
-    The only string-bearing exchange is the survivor-sized distinct
-    (hash, span) dedup, whose key leads with the hash. Aggregations
-    still combine map-side (partial + final HashAggregate)."""
+def test_duplicate_spans_default_single_exchange(spark):
+    """The default (string, A/B-measured winner — see
+    scripts/ab_duplicate_spans.py receipts in the operator docstring)
+    plan: ONE corpus-wide exchange, map-side (span, doc) dedup
+    (partial + final HashAggregate), one scan of the corpus, and no
+    Python in the hot path. A repartition guard (RoundRobin) may
+    precede the explode when the scan under-splits."""
     p = _plan(spark, "docs_duplicate_spans")
-    assert "xxhash64" in p
     assert p.count("HashAggregate") >= 2  # partial + final
-    # no corpus-wide exchange keyed on the span string: every
-    # hashpartitioning key list must start with the hash column
+    # the count_distinct plan's two exchanges: (span, doc) pair-dedup,
+    # then span-final over distinct-span-sized partials. Both span-led;
+    # nothing else moves data (the round-robin repartition guard is not
+    # keyed movement), and there is no second corpus scan.
     import re
 
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert len(keys) == 2 and all(k.startswith("span") for k in keys), p
+    # one corpus scan (each scan node appears once as a "(N) Scan
+    # parquet" detail header; the tree echo doesn't match this regex)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "BatchEvalPython" not in p
+
+
+def test_duplicate_spans_hash_arm_no_string_corpus_shuffle(spark):
+    """The hash strategy (long-span arm): every keyed exchange leads
+    with the xxhash64 column — no corpus-wide exchange keyed on the raw
+    span string — and aggregations combine map-side."""
+    import re
+
+    from vector_spark.dataops.curation import duplicate_spans
+    from vector_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = duplicate_spans(docs, k=5, min_docs=2, strategy="hash")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "xxhash64" in p
+    assert p.count("HashAggregate") >= 2
     for key in re.findall(r"hashpartitioning\((\w+)", p):
         assert not key.startswith("span"), p
     assert "BatchEvalPython" not in p

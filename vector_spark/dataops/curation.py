@@ -254,6 +254,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 5,
     min_docs: int = 2,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Cross-document repeated passages: every k-word span that occurs in
     >= min_docs DISTINCT documents, with its document frequency — the
@@ -263,34 +264,46 @@ def duplicate_spans(
     fixed-k window finds every repeat of length >= k at ~1/k the cost
     and is the standard first pass at corpus scale).
 
-    Scale shape: explode spans (narrow), then count over
-    ``xxhash64(span)`` so the ONLY corpus-wide shuffle carries 16-byte
-    (hash, doc) rows with map-side partial dedup — the per-hash
-    ``n_docs`` it yields is already EXACT unless two distinct surviving
-    spans collide in 64 bits (~1e-6 even at 100 TB span cardinality).
-    Span text is recovered from a second narrow explode semi-joined
-    against the (tiny, boilerplate-bounded) survivor hash set and
-    reduced to DISTINCT (hash, span) pairs — map-side combine collapses
-    every partition to at most one row per surviving pair, so the
-    string-keyed exchange moves ~|survivors| rows, not occurrences.
-    Collisions are detected on that distinct table (a hash mapping to
-    >1 span); clean hashes — in practice all of them — take pass-1's
-    count directly, and only colliding hashes pay an exact text-keyed
-    recount (a bounded driver-side existence check gates that third
-    scan, so the expected plan never re-reads the corpus for it).
+    Two exact strategies, picked by MEASUREMENT, not intuition
+    (scripts/ab_duplicate_spans.py; sf1-scale = sf0.1 x 10 suffix-tagged
+    replicas, min-of-3 cold, local[32]):
+
+    - ``"string"`` — ONE explode, ONE exchange keyed on the span string
+      with map-side (span, doc) dedup. 3.2 s / 129.5 MB shuffled.
+    - ``"hash"`` — ONE explode, ONE corpus-wide exchange keyed on
+      ``xxhash64(span)`` carrying fixed-width (hash, doc, witness, rep)
+      rows; span text recovered by re-exploding only each surviving
+      hash's representative document (~0.5% of the corpus); collisions
+      detected EXACTLY via a second hash witness (min==max over
+      ``xxhash64(span, 1)``; a silent miss needs a simultaneous 2-hash
+      collision, P ~ 2^-128) and repaired by a gated corpus recount
+      that never runs in practice. 4.6 s / 140.4 MB shuffled.
+    - (the round-5 two-explode hash shape measured 6.5 s / 71.9 MB —
+      fewest bytes but it re-scans and re-explodes the whole corpus,
+      doubling CPU; retired.)
+
+    Why string-keyed wins at k=5 — and when it stops winning: shuffle
+    compression. Short English spans compress to near hash width, so
+    the hash shape's byte saving evaporates (129.5 vs 140.4 MB —
+    LARGER, because two 8-byte hashes + witness + rep doc are
+    incompressible entropy) while its text-recovery pass still costs
+    joins. ``"auto"`` therefore picks ``"string"`` for k <= 12 and
+    ``"hash"`` beyond, where span keys grow linearly (a 50-word span is
+    ~300 B/row pre-compression) but the hash row stays 40 B. Both
+    strategies return identical rows (the A/B asserts it).
 
     The span explode is compute-heavy (split + per-position concat) but
     narrow, so its parallelism is capped by the SCAN's split count. A
     small corpus in one single-row-group file scans as ONE task and the
-    whole explode serializes onto one core (measured: 3.0 s → 0.58 s on
-    local[32] at sf0.1 after splitting); at 100 TB the input is
-    thousands of splits and the guard below is a no-op. When the scan
-    under-splits relative to cluster parallelism, round-robin
+    whole explode serializes onto one core (this under-split, not the
+    shuffle key, was the real r5 8.3 s regression); at 100 TB the input
+    is thousands of splits and the guard below is a no-op. When the
+    scan under-splits relative to cluster parallelism, round-robin
     repartition the (raw, pre-explode — so the exchange moves each doc
-    once, not k× spans) documents first.
+    once, not k x spans) documents first.
     Returns (span, n_docs) with n_docs >= min_docs."""
-    from .. import cache
-
+    if strategy == "auto":
+        strategy = "string" if k <= 12 else "hash"
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
@@ -298,44 +311,77 @@ def duplicate_spans(
         F.col(id_col).alias("_doc"),
         F.explode(_ngrams(_words(F.col(text_col)), k)).alias("span"),
     )
-    # pass 1: EXACT doc-frequency per span hash — the one corpus-wide
-    # shuffle, 16 bytes/row
-    # persisted: referenced by both the text-recovery semi-join and the
-    # final count join — without the persist the corpus shuffle would
-    # re-execute for each. Survivor-sized (boilerplate-bounded), so the
-    # cache cost is rows-that-matter, not the corpus.
-    pass1 = cache.track_persist(
-        spans.select("_doc", F.xxhash64("span").alias("_h"))
-        .groupBy("_h")
-        .agg(F.count_distinct("_doc").alias("n_docs"))
+    if strategy == "string":
+        # one exchange, keyed on span, (span, doc) dedup map-side
+        return (
+            spans.groupBy("span")
+            .agg(F.count_distinct("_doc").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+        )
+    return _duplicate_spans_hashed(docs, spans, text_col, id_col, k, min_docs)
+
+
+def _duplicate_spans_hashed(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_docs: int,
+) -> DataFrame:
+    """The hash-keyed arm of :func:`duplicate_spans` (see its docstring
+    for the full design + receipts). Single corpus explode; fixed-width
+    corpus shuffle; witness-hash collision detection; representative-doc
+    text recovery."""
+    from .. import cache
+
+    hashed = spans.select(
+        F.xxhash64("span").alias("_h"),
+        "_doc",
+        F.xxhash64("span", F.lit(1)).alias("_h2"),
+        # separate attribute for the representative-doc min: Catalyst
+        # 4.1 miscompiles count_distinct(x) mixed with min(x) on the
+        # SAME attribute under exceptAll reuse (ATTRIBUTE_NOT_FOUND)
+        F.col("_doc").alias("_doc_rep"),
+    )
+    # the one corpus-wide shuffle: partial (hash, doc) dedup map-side,
+    # exchange keyed on _h, fixed-width rows. count_distinct is exact;
+    # the witness min/max and representative doc ride the same exchange.
+    # Persisted: referenced by the collision check, the recovery join
+    # and the final count join — survivor-sized after the filter.
+    survivors = cache.track_persist(
+        hashed.groupBy("_h")
+        .agg(
+            F.count_distinct("_doc").alias("n_docs"),
+            F.min("_h2").alias("_w_lo"),
+            F.max("_h2").alias("_w_hi"),
+            F.min("_doc_rep").alias("_rep_doc"),
+        )
         .where(F.col("n_docs") >= min_docs)
     )
-    # pass 2: recover span text for survivors only. The semi-join's
-    # build side is the survivor hash set (AQE broadcasts it when
-    # small, shuffle-join fallback for pathological corpora); distinct
-    # (hash, span) collapses map-side, so the exchange here is
-    # survivor-sized, not occurrence-sized.
-    pairs = cache.track_persist(
-        spans.select(F.xxhash64("span").alias("_h"), "span")
-        .join(pass1.select("_h"), "_h", "leftsemi")
-        .dropDuplicates(["_h", "span"])
+    clean = survivors.where(F.col("_w_lo") == F.col("_w_hi"))
+    # text recovery: explode ONLY the representative documents. rep ids
+    # are bounded by the survivor count (shared across boilerplate), the
+    # semi-joins broadcast under AQE, and dropDuplicates(_h) is
+    # survivor-sized with a hash key.
+    rep_ids = clean.select(F.col("_rep_doc").alias(id_col)).distinct()
+    rec_spans = (
+        docs.join(rep_ids, id_col, "leftsemi")
+        .select(F.explode(_ngrams(_words(F.col(text_col)), k)).alias("span"))
+        .select(F.xxhash64("span").alias("_h"), "span")
+        .join(clean.select("_h"), "_h", "leftsemi")
+        .dropDuplicates(["_h"])
     )
-    from pyspark.sql.window import Window
-
-    tagged = pairs.withColumn(
-        "_nspans", F.count("*").over(Window.partitionBy("_h"))
-    )
-    clean = (
-        tagged.where(F.col("_nspans") == 1)
-        .join(pass1, "_h")
+    out_clean = (
+        rec_spans.join(clean.select("_h", "n_docs"), "_h")
         .select("span", "n_docs")
     )
-    colliders = tagged.where(F.col("_nspans") > 1).select("_h").distinct()
+    colliders = survivors.where(F.col("_w_lo") != F.col("_w_hi")).select("_h")
     # bounded control-flow check on the aggregated (tiny) table: the
     # exact-recount corpus re-scan only enters the plan when a 64-bit
     # collision actually occurred
     if colliders.isEmpty():
-        return clean
+        return out_clean
     recount = (
         spans.select("_doc", F.xxhash64("span").alias("_h"), "span")
         .join(F.broadcast(colliders), "_h", "leftsemi")
@@ -343,4 +389,4 @@ def duplicate_spans(
         .agg(F.count_distinct("_doc").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
-    return clean.unionByName(recount)
+    return out_clean.unionByName(recount)
