@@ -57,22 +57,28 @@ def assign_clusters(
 
     Distance uses the expanded form d = v·v − 2·v·c + c·c (one fold per
     dot product); each d is rounded before the argmin and ties break on
-    centroid id, so assignment is bit-stable under any execution order."""
+    centroid id, so assignment is bit-stable under any execution order.
+
+    Codegen shape: the k distances are ONE indexed ``transform`` over a
+    2-D centroid array literal — a single fold chain the planner
+    compiles once — not k unrolled fold expressions (measured: the
+    unrolled form's analysis+codegen dominated wall time at small scale
+    and grows O(k·dim) in expression-tree size)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vv = _dot(v, v)
-    scored = F.array(
+    cents = F.array(*[_centroid_lit(c) for c in centroids])
+    cc = F.array(
         *[
-            F.struct(
-                F.round(
-                    vv
-                    - 2.0 * _dot(v, _centroid_lit(c))
-                    + F.lit(round(float(sum(x * x for x in c)), _ROUND)),
-                    _ROUND,
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
+            F.lit(round(float(sum(x * x for x in c)), _ROUND))
+            for c in centroids
         ]
+    )
+    scored = F.transform(
+        cents,
+        lambda cent, i: F.struct(
+            F.round(vv - 2.0 * _dot(v, cent) + cc[i], _ROUND).alias("d"),
+            i.alias("cid"),
+        ),
     )
     return df.withColumn(
         out_col, F.array_sort(scored)[0]["cid"].cast("int")
@@ -207,6 +213,12 @@ def semantic_dedup(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
+    # persisted (registry-tracked): connected_components sizes the graph
+    # (edge count) and then reads the edges again — without the persist
+    # each of those re-runs the cluster-blocked pairwise join, the most
+    # expensive stage here. Near-dup pairs are a tiny fraction of the
+    # corpus by the operator's purpose.
+    pairs = cache.track_persist(pairs)
     comp = connected_components(
         pairs, checkpoint_dir=checkpoint_dir
     )  # (id, component)
