@@ -70,6 +70,9 @@ HEADLINE = [
     "embeddings_semantic_dedup",
     "docs_tfidf_top_terms",
     "docs_unigram_lm",
+    "docs_remove_duplicate_spans",
+    "docs_source_cap",
+    "docs_bpe_encode",
 ]
 
 

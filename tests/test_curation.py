@@ -161,3 +161,75 @@ def test_duplicate_spans(spark):
             ).collect()
         }
         assert got == set(out.items()), strategy
+
+
+def test_remove_duplicate_spans(spark):
+    """Removal contract: the canonical (min doc, min pos) occurrence
+    survives; every other occurrence's k word positions are cut; docs
+    with nothing removed come back whitespace-normalized."""
+    from vector_spark.dataops.curation import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x"),
+            (2, "p a b c d"),
+            (3, "a b c d"),
+            (4, "Totally   Different"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(docs, k=4, min_docs=2).collect()
+    }
+    assert out[1] == "a b c d x"  # canonical occurrence kept
+    assert out[2] == "p"  # positions 1-4 removed
+    assert out[3] == ""  # fully covered
+    assert out[4] == "totally different"  # normalized, untouched
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    """Overlapping removed occurrences union their covered positions
+    (doc 2 repeats the span back-to-back: both occurrences are removed,
+    covering the whole text)."""
+    from vector_spark.dataops.curation import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b z"),
+            (2, "a b a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(docs, k=2, min_docs=2).collect()
+    }
+    # span "a b" canonical at (1,0); "b a" canonical at (1,1); every
+    # occurrence in doc 2 is non-canonical -> fully covered
+    assert out[2] == ""
+    # doc 1 keeps its canonical occurrences but loses the repeat at
+    # pos 2-3 ("a b") -> positions 0,1 kept via canonicals, 2,3 cut, z kept
+    assert out[1] == "a b z"
+
+
+def test_cap_per_source(spark):
+    from vector_spark.dataops.curation import cap_per_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", 10),
+            (2, "s1", 20),
+            (3, "s1", 30),
+            (4, "s1", 30),
+            (5, "s2", 5),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = {
+        r.doc_id
+        for r in cap_per_source(docs, 2).collect()
+    }
+    # s1 over the cap: keep largest n_chars, id tiebreak -> 3, 4;
+    # s2 under the cap: passes through untouched
+    assert kept == {3, 4, 5}

@@ -416,3 +416,32 @@ def test_bpe_distributed_merge_no_chaining(spark, documents):
     drv2 = bpe_train(sample, n_merges=6)
     dist2 = bpe_train(sample, n_merges=6, vocab_threshold=1)
     assert dist2 == drv2 and len(drv2) == 6
+
+
+def test_bpe_encode_docs_matches_driver_encoder(spark):
+    """Distributed tokenizer apply: every word's encoding is identical
+    to the driver-side bpe_encode, applied over the corpus with the
+    trained merge priorities."""
+    from vector_spark.dataops.text import bpe_encode, bpe_encode_docs
+
+    merges = [("a", "b"), ("ab", "c")]
+    docs = spark.createDataFrame(
+        [(1, "abc ab xyz"), (2, "Abc  ABC"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode_docs(docs, merges).collect()}
+    assert out[1].tokens == ["abc", "ab", "x", "y", "z"]
+    assert out[1].n_words == 3 and out[1].n_tokens == 5
+    # lowercase normalization matches the training tokenization
+    assert out[2].tokens == ["abc", "abc"]
+    assert out[3].tokens == ["q"]
+    # word-level parity with the driver encoder
+    words = ["abc", "ab", "xyz", "q", "abab", "cabc"]
+    per_word = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    dist = {
+        r.doc_id: r.tokens for r in bpe_encode_docs(per_word, merges).collect()
+    }
+    for i, w in enumerate(words):
+        assert dist[i] == bpe_encode(w, merges), w

@@ -390,3 +390,127 @@ def _duplicate_spans_hashed(
         .where(F.col("n_docs") >= min_docs)
     )
     return out_clean.unionByName(recount)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REWRITE the corpus with cross-document duplicate spans removed —
+    the removal side of :func:`duplicate_spans` (Lee et al. 2021 §4:
+    after finding duplicated passages, all but one occurrence are cut
+    from the training set). Contract, fully deterministic:
+
+    - a k-word span duplicated across >= min_docs distinct docs keeps
+      ONLY its canonical occurrence — the minimum (doc_id, position) —
+      and every other occurrence's word positions [pos, pos+k-1] are
+      dropped (overlapping removals union);
+    - output text is the surviving words joined by single spaces after
+      the same lowercase/trim normalization the span scan uses, so a
+      document with nothing removed comes back normalized, not verbatim.
+
+    Scale shape: one span-explode scan feeding ONE corpus-wide span
+    aggregation (count_distinct doc + min canonical key ride the same
+    exchange, map-side combined); the survivor table (boilerplate-
+    bounded) broadcasts back onto a second span scan to mark removed
+    occurrences; covered positions aggregate per doc (duplicated-volume-
+    sized shuffle, k rows per removed occurrence); the rewrite itself is
+    a broadcast-joined pure-Column filter over the original docs — the
+    corpus text NEVER enters a shuffle. Returns (doc_id, clean_text)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    spans = docs.select(
+        F.col(id_col).alias("_doc"),
+        # second attribute for the canonical-key min: count_distinct(x)
+        # mixed with min over the SAME attribute trips a Catalyst 4.1
+        # internal error (see duplicate_spans)
+        F.col(id_col).alias("_doc2"),
+        F.posexplode(_ngrams(_words(F.col(text_col)), k)).alias(
+            "pos", "span"
+        ),
+    )
+    survivors = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("_doc").alias("n_docs"),
+            F.min(F.struct("_doc2", "pos")).alias("first"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "span",
+            F.col("first._doc2").alias("_fdoc"),
+            F.col("first.pos").alias("_fpos"),
+        )
+    )
+    removed = (
+        spans.join(F.broadcast(survivors), "span")
+        .where(
+            ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+        )
+        .select("_doc", "pos")
+    )
+    covered = (
+        removed.select(
+            "_doc",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .groupBy("_doc")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    arr = _words(F.col(text_col))
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    return (
+        docs.join(
+            covered, docs[id_col] == covered["_doc"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(arr, lambda w, i: ~F.array_contains(cov, i)), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    n: int,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb / Gopher curation rule:
+    no single domain may dominate the training mix): keep at most *n*
+    documents per source, preferring larger ``order_col`` with id as the
+    deterministic tiebreak. Returns the kept docs (id, source, order).
+
+    Scale shape: a global row_number window would sort EVERY source's
+    documents; instead a counts aggregate (one map-side-combined
+    shuffle, K rows out) finds the sources OVER the cap — a tiny set by
+    the operator's purpose — and only their documents pay the ranking
+    shuffle; everything else passes through scan-only via a broadcast
+    anti-join. Skew note: the ranked side is per-hot-source by
+    construction; a single pathological source's ranking is one task,
+    bounded by that source's row count, and falls back to AQE skew
+    splitting on the sort exchange."""
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.where(F.col("_n") > n).select(source_col)
+    under_docs = docs.join(F.broadcast(over), source_col, "left_anti")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    )
+    capped = (
+        docs.join(F.broadcast(over), source_col, "leftsemi")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+    cols = [id_col, source_col, order_col]
+    return under_docs.select(*cols).unionByName(capped.select(*cols))

@@ -583,3 +583,68 @@ def bpe_encode(tokens: list[str] | str, merges: list[tuple[str, str]]) -> list[s
         _, i = min(pairs)
         syms[i:i + 2] = [syms[i] + syms[i + 1]]
     return syms
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed tokenizer APPLY: encode every word of every document
+    with a trained merge list (:func:`bpe_train`), the deploy-side half
+    of the BPE pair — returns (id, n_words, n_tokens, tokens).
+
+    Scale shape: the per-word merge loop is data-dependent iteration no
+    Column expression expresses, so this is an Arrow-batched pandas UDF
+    (the sanctioned slow path) with two mitigations that matter at
+    100 TB: the merge rank table ships ONCE per executor via closure
+    capture (a list of merges, not a join side), and a per-batch word
+    memo collapses the Zipfian word distribution — each distinct word in
+    a batch is encoded once, not per occurrence. No shuffle: output is a
+    per-document projection riding the scan."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            pairs = [
+                (rank.get((syms[i], syms[i + 1])), i)
+                for i in range(len(syms) - 1)
+            ]
+            pairs = [(r, i) for r, i in pairs if r is not None]
+            if not pairs:
+                break
+            _, i = min(pairs)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc(text):
+            out: list[str] = []
+            for w in str(text).lower().strip().split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("n_words"),
+        _encode(F.col(text_col)).alias("tokens"),
+    )
+    return toks.select(
+        id_col, "n_words", F.size("tokens").alias("n_tokens"), "tokens"
+    )

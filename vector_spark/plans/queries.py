@@ -4105,6 +4105,85 @@ QUERIES.update({
         _ORACLE_UNIGRAM_LM,
         "CCNet-style unigram-LM perplexity per document",
     ),
+    # The REMOVAL side of duplicate_spans (Lee et al. 2021 §4): rewrite
+    # the corpus keeping only the canonical (min doc, min pos)
+    # occurrence of each duplicated span. Positions are 0-based word
+    # indices; the canonical key is doc_id*1000+pos (positions < 1000 by
+    # the corpus contract, max 100 words/doc in the test tables).
+    "docs_remove_duplicate_spans": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation",
+            fromlist=["remove_duplicate_spans"],
+        ).remove_duplicate_spans(
+            _t(spark, sf_dir, "documents"), k=5, min_docs=2
+        ),
+        """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), sp AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(ws[i:i+4], ' ') AS span
+          FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+        ), agg AS (
+          SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+                 MIN(doc_id * 1000 + pos) AS firstkey
+          FROM sp GROUP BY span
+        ), rem AS (
+          SELECT s.doc_id, s.pos
+          FROM sp s JOIN agg a USING (span)
+          WHERE a.n_docs >= 2 AND s.doc_id * 1000 + s.pos <> a.firstkey
+        ), cov AS (
+          SELECT DISTINCT doc_id, pos + d AS p
+          FROM rem, UNNEST(range(0, 5)) AS t(d)
+        ), keep AS (
+          SELECT w.doc_id, i - 1 AS p, ws[i] AS word
+          FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cov c WHERE c.doc_id = w.doc_id AND c.p = i - 1
+          )
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text
+          FROM keep GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "corpus rewrite removing non-canonical duplicated spans",
+    ),
+    # RefinedWeb/Gopher per-domain cap: at most n docs per source,
+    # largest docs first, id tiebreak. The Spark side only ranks sources
+    # OVER the cap (counts-gated); the result set is identical to a
+    # global QUALIFY.
+    "docs_source_cap": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["cap_per_source"]
+        ).cap_per_source(_t(spark, sf_dir, "documents"), 10),
+        """
+        SELECT doc_id, source, n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id
+        ) <= 10
+        """,
+        "per-source document cap (domain-mix curation)",
+    ),
+    # Tokenizer APPLY: BPE-encode the corpus with merges trained on it.
+    # The per-word merge loop is inherently iterative (no SQL form), so
+    # like docs_bpe_train this is rows-only at the driver; word-level
+    # parity with the driver encoder is pytest-pinned.
+    "docs_bpe_encode": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda text_mod: text_mod.bpe_encode_docs(
+                _t(spark, sf_dir, "documents"),
+                text_mod.bpe_train(
+                    _t(spark, sf_dir, "documents"), n_merges=24
+                ),
+            ).select("doc_id", "n_words", "n_tokens")
+        )(__import__("vector_spark.dataops.text", fromlist=["bpe_train"])),
+        None,
+        "distributed BPE tokenizer apply (iterative; rows-only by nature)",
+    ),
 })
 
 # --------------------------------------------------------------------------
@@ -4115,9 +4194,11 @@ QUERIES.update({
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
     # new/changed in r6 — never driver-sampled (clustering + corpus-LM
-    # ops) or changed this round (duplicate_spans plan rewrite)
+    # ops, span removal, source cap, BPE apply) or changed this round
+    # (duplicate_spans strategy rewrite)
     "embeddings_kmeans", "embeddings_semantic_dedup",
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
+    "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
