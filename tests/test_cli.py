@@ -1,0 +1,143 @@
+"""CLI subcommand parity (`python -m vector_spark`, reference
+src/cli.rs): list/validate/graph are spark-free; vrl/tap/run drive the
+real topology machinery through the session fixture."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vector_spark.cli import (
+    cmd_graph,
+    cmd_list,
+    cmd_tap,
+    cmd_validate,
+    cmd_vrl,
+    component_types,
+)
+
+
+def test_list_contains_loader_dispatch(tmp_path):
+    types = component_types()
+    # the listing is scraped from the loader's own dispatch code — a
+    # representative member of each kind must be present
+    assert "rate" in types["sources"] and "http_server" in types["sources"]
+    assert "remap" in types["transforms"] and "throttle" in types["transforms"]
+    assert "console" in types["sinks"] and "parquet" in types["sinks"]
+    assert types["enrichment_tables"] == ["file"]
+    out = json.loads(cmd_list("json"))
+    assert out == types
+    text = cmd_list("text")
+    assert "Sources:" in text and "- remap" in text
+
+
+@pytest.fixture()
+def cfg_file(tmp_path):
+    p = tmp_path / "topo.yaml"
+    p.write_text(
+        """
+sources:
+  gen:
+    type: values
+    rows:
+      - {seq: 0, msg: "a"}
+      - {seq: 1, msg: "b"}
+      - {seq: 2, msg: "c"}
+transforms:
+  evens:
+    type: filter
+    inputs: [gen]
+    condition: "seq % 2 = 0"
+sinks:
+  out:
+    type: memory
+    inputs: [evens]
+"""
+    )
+    return str(p)
+
+
+def test_validate_ok_and_errors(cfg_file, tmp_path):
+    msg = cmd_validate([cfg_file])
+    assert "3 components" in msg and "1 sources" in msg
+
+    from vector_spark.config.loader import TopologyError
+
+    bad_type = tmp_path / "bad1.yaml"
+    bad_type.write_text(
+        "sources:\n  s:\n    type: no_such_thing\n"
+    )
+    with pytest.raises(TopologyError, match="unknown type 'no_such_thing'"):
+        cmd_validate([str(bad_type)])
+
+    bad_input = tmp_path / "bad2.yaml"
+    bad_input.write_text(
+        "transforms:\n  t:\n    type: filter\n    inputs: [ghost]\n"
+        "    condition: 'true'\n"
+    )
+    with pytest.raises(TopologyError, match="unknown input"):
+        cmd_validate([str(bad_input)])
+
+
+def test_graph_dot(cfg_file):
+    dot = cmd_graph([cfg_file])
+    assert dot.startswith("digraph {") and dot.endswith("}")
+    assert '"gen" [shape=trapezium]' in dot
+    assert '"evens" [shape=diamond]' in dot
+    assert '"out" [shape=invtrapezium]' in dot
+    assert '"gen" -> "evens"' in dot and '"evens" -> "out"' in dot
+
+
+def test_vrl_subcommand(spark):
+    out = cmd_vrl(
+        '.upper = upcase(.msg)\n.n2 = .n * 2',
+        ['{"msg": "hi", "n": 3}', '{"msg": "yo", "n": 5}'],
+        spark=spark,
+    )
+    rows = [json.loads(ln) for ln in out]
+    assert [r["upper"] for r in rows] == ["HI", "YO"]
+    assert [r["n2"] for r in rows] == [6, 10]
+
+
+def test_tap_subcommand(cfg_file, spark):
+    lines = cmd_tap([cfg_file], "evens", spark=spark)
+    rows = [json.loads(ln) for ln in lines]
+    assert sorted(r["seq"] for r in rows) == [0, 2]
+
+
+def test_run_batch(cfg_file, spark):
+    from vector_spark.cli import cmd_run
+
+    out = cmd_run([cfg_file], spark=spark)
+    assert "out" in out  # the memory sink executed
+
+
+def test_test_subcommand(tmp_path, spark):
+    from vector_spark.cli import cmd_test
+
+    p = tmp_path / "with_tests.yaml"
+    p.write_text(
+        """
+sources:
+  in:
+    type: values
+    rows: [{msg: "unused"}]
+transforms:
+  up:
+    type: remap
+    inputs: [in]
+    source: '.msg = upcase(.msg)'
+tests:
+  - name: upcases
+    inputs:
+      - insert_at: in
+        rows:
+          - {msg: "hello"}
+    outputs:
+      - extract_from: up
+        conditions: ["msg = 'HELLO'"]
+"""
+    )
+    report, ok = cmd_test([str(p)], spark=spark)
+    assert ok and "upcases ... passed" in report

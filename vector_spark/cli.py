@@ -1,0 +1,272 @@
+"""``python -m vector_spark`` — the engine's command-line face, mirroring
+the reference binary's operator-facing subcommands (``src/cli.rs``
+SubCommand enum):
+
+- ``run CONFIG...``      execute a topology (batch sinks run to completion;
+                         streaming sinks start and block, reference default
+                         command semantics)
+- ``validate CONFIG...`` structural config check WITHOUT starting a data
+                         plane (``src/validate.rs``: component types known,
+                         inputs resolve, graph acyclic)
+- ``graph CONFIG...``    DOT digraph of the topology (``src/graph.rs``
+                         render_dot: component nodes shaped by kind,
+                         input edges)
+- ``list [--format]``    supported component types (``src/list.rs``: text or
+                         json, grouped sources/transforms/sinks/
+                         enrichment_tables)
+- ``vrl [-p PROGRAM]``   run a VRL program over JSON events from stdin, one
+                         event per line (``vector vrl`` non-interactive
+                         mode); prints resulting events as JSON lines
+- ``tap CONFIG REF``     run the topology in batch and print REF's output
+                         as JSON lines (``src/tap/cmd.rs`` sampled-output
+                         analog for a batch engine: the tap IS the
+                         component's DataFrame)
+
+The type lists in ``list`` are extracted from the loader's dispatch code
+itself (self-maintaining — adding a component to the loader adds it to
+the CLI listing; pinned by tests/test_cli.py).
+"""
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import re
+import sys
+
+
+def component_types() -> dict[str, list[str]]:
+    """Supported component types per kind, scraped from the loader's own
+    dispatch functions so the listing can never drift from reality."""
+    from vector_spark.config import loader
+
+    def types_in(fn, var: str) -> set[str]:
+        return set(re.findall(rf'{var} == "([a-z_0-9]+)"', inspect.getsource(fn)))
+
+    sources = types_in(loader._build_source_raw, "stype")
+    transforms = types_in(loader._build_transform, "ttype")
+    sinks = types_in(loader.run_sinks, "stype") | types_in(
+        loader.start_streaming_sinks, "stype"
+    )
+    # the file-format family is dispatched via membership, not equality
+    sinks |= {"parquet", "json", "csv", "orc", "avro"}
+    return {
+        "sources": sorted(sources),
+        "transforms": sorted(transforms),
+        "sinks": sorted(sinks),
+        "enrichment_tables": ["file"],
+    }
+
+
+def cmd_list(fmt: str = "text") -> str:
+    types = component_types()
+    if fmt == "json":
+        return json.dumps(types)
+    lines = []
+    for kind in ("sources", "transforms", "sinks", "enrichment_tables"):
+        # reference list.rs prints capitalized group headers
+        lines.append(kind.replace("_", " ").title().replace(" ", " ") + ":")
+        lines.extend(f"- {t}" for t in types[kind])
+    return "\n".join(lines)
+
+
+def _parse_configs(paths: list[str]) -> dict:
+    from vector_spark.config.loader import merge_configs, parse_config
+
+    if len(paths) == 1:
+        return parse_config(paths[0])
+    return merge_configs([parse_config(p) for p in paths])
+
+
+def cmd_validate(paths: list[str]) -> str:
+    """Structural validation, no SparkSession: component types known,
+    inputs resolve, no cycles, duplicate names rejected. Raises
+    TopologyError with the reference-style component-named message."""
+    from vector_spark.config.loader import TopologyError, _validate
+
+    cfg = _parse_configs(paths)
+    sources, transforms, sinks = _validate(cfg)
+    types = component_types()
+    for kind, comps, known in (
+        ("source", sources, set(types["sources"])),
+        ("transform", transforms, set(types["transforms"])),
+        ("sink", sinks, set(types["sinks"])),
+    ):
+        for name, comp in comps.items():
+            t = comp.get("type", "memory" if kind == "sink" else None)
+            if t is None:
+                raise TopologyError(f"{kind} {name!r}: missing 'type'")
+            if t not in known:
+                raise TopologyError(f"{kind} {name!r}: unknown type {t!r}")
+    n = len(sources) + len(transforms) + len(sinks)
+    return f"Validated: {n} components ({len(sources)} sources, " \
+           f"{len(transforms)} transforms, {len(sinks)} sinks)"
+
+
+def cmd_graph(paths: list[str]) -> str:
+    """DOT rendering (graph.rs render_dot): sources as trapezium,
+    transforms as diamond, sinks as invtrapezium; edges follow inputs."""
+    from vector_spark.config.loader import _validate
+
+    cfg = _parse_configs(paths)
+    sources, transforms, sinks = _validate(cfg)
+    out = ["digraph {"]
+    for name in sources:
+        out.append(f'  "{name}" [shape=trapezium]')
+    for name in transforms:
+        out.append(f'  "{name}" [shape=diamond]')
+    for name in sinks:
+        out.append(f'  "{name}" [shape=invtrapezium]')
+    for name, comp in {**transforms, **sinks}.items():
+        for inp in comp.get("inputs", []):
+            out.append(f'  "{inp.split(".", 1)[0]}" -> "{name}"')
+    out.append("}")
+    return "\n".join(out)
+
+
+def _get_spark(cpus: int | None = None):
+    from vector_spark.session import get_spark
+
+    return get_spark("vector_spark_cli", cpus=cpus)
+
+
+def cmd_vrl(program: str, lines: list[str], spark=None) -> list[str]:
+    """Apply a VRL program to JSON events (one per input line); returns
+    the resulting events as JSON lines. Multi-event emission and dropped
+    events follow remap semantics: the primary output stream only."""
+    from pyspark.sql import Row
+
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    spark = spark or _get_spark(cpus=2)
+    events = [json.loads(ln) for ln in lines if ln.strip()]
+    if not events:
+        return []
+    cols = sorted({k for e in events for k in e})
+    df = spark.createDataFrame(
+        [Row(**{c: e.get(c) for c in cols}) for e in events]
+    )
+    out = vrl_remap(df, program)[""]
+    return [
+        json.dumps(
+            {k: v for k, v in r.asDict(recursive=True).items()},
+            sort_keys=True,
+            default=str,
+        )
+        for r in out.collect()
+    ]
+
+
+def cmd_tap(paths: list[str], ref: str, limit: int = 100, spark=None) -> list[str]:
+    """Build the topology (batch) and print one component's output as
+    JSON lines — the batch-engine `vector tap`: any component's stream
+    IS its DataFrame."""
+    from vector_spark.config.loader import build_topology
+
+    spark = spark or _get_spark()
+    topo = build_topology(spark, _parse_configs(paths))
+    rows = topo.output(ref).limit(limit).collect()
+    return [
+        json.dumps(r.asDict(recursive=True), sort_keys=True, default=str)
+        for r in rows
+    ]
+
+
+def cmd_test(paths: list[str], spark=None) -> tuple[str, bool]:
+    """``vector test`` (src/unit_test.rs): run the config's `tests:`
+    section — insert_at fixture rows through the real topology, output
+    assertions per extract_from target. Returns (report, all_passed)."""
+    from vector_spark.config.unit_test import run_unit_tests
+
+    spark = spark or _get_spark()
+    results = run_unit_tests(spark, _parse_configs(paths))
+    lines = []
+    ok = True
+    for r in results:
+        status = "passed" if r.passed else "FAILED"
+        ok = ok and r.passed
+        lines.append(f"test {r.name} ... {status}")
+        for f in r.failures:
+            lines.append(f"  {f}")
+    lines.append(
+        f"{sum(r.passed for r in results)}/{len(results)} tests passed"
+    )
+    return "\n".join(lines), ok
+
+
+def cmd_run(paths: list[str], spark=None) -> dict:
+    """Execute the topology: batch sinks run to completion; if any sink
+    is streaming, start all streaming sinks and block (reference default
+    run semantics)."""
+    from vector_spark.config.loader import (
+        build_topology,
+        run_sinks,
+        start_streaming_sinks,
+    )
+
+    spark = spark or _get_spark()
+    topo = build_topology(spark, _parse_configs(paths))
+    streaming = any(
+        topo.outputs[next(iter(s.get("inputs", [])), "")].isStreaming
+        for s in topo.sinks.values()
+        if s.get("inputs")
+    )
+    if streaming:
+        qs = start_streaming_sinks(topo)
+        spark.streams.awaitAnyTermination()
+        return {name: "terminated" for name in qs}
+    return {
+        name: str(type(res).__name__) for name, res in run_sinks(topo).items()
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vector_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("run", help="execute a topology config")
+    sp.add_argument("config", nargs="+")
+    sp = sub.add_parser("validate", help="check a config without running")
+    sp.add_argument("config", nargs="+")
+    sp = sub.add_parser("graph", help="print the topology as DOT")
+    sp.add_argument("config", nargs="+")
+    sp = sub.add_parser("list", help="list supported component types")
+    sp.add_argument("--format", choices=["text", "json"], default="text")
+    sp = sub.add_parser("vrl", help="run a VRL program over stdin JSON lines")
+    sp.add_argument("-p", "--program", required=True)
+    sp = sub.add_parser("tap", help="print one component's output as JSON")
+    sp.add_argument("config", nargs="+")
+    sp.add_argument("--ref", required=True)
+    sp.add_argument("--limit", type=int, default=100)
+    sp = sub.add_parser("test", help="run the config's tests: section")
+    sp.add_argument("config", nargs="+")
+
+    args = p.parse_args(argv)
+    try:
+        if args.cmd == "list":
+            print(cmd_list(args.format))
+        elif args.cmd == "validate":
+            print(cmd_validate(args.config))
+        elif args.cmd == "graph":
+            print(cmd_graph(args.config))
+        elif args.cmd == "vrl":
+            for line in cmd_vrl(args.program, sys.stdin.readlines()):
+                print(line)
+        elif args.cmd == "tap":
+            for line in cmd_tap(args.config, args.ref, args.limit):
+                print(line)
+        elif args.cmd == "test":
+            report, ok = cmd_test(args.config)
+            print(report)
+            if not ok:
+                return 1
+        elif args.cmd == "run":
+            print(json.dumps(cmd_run(args.config)))
+    except Exception as e:  # reference CLI: error to stderr, exit 78
+        print(f"error: {e}", file=sys.stderr)
+        return 78
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
