@@ -73,6 +73,7 @@ HEADLINE = [
     "docs_remove_duplicate_spans",
     "docs_source_cap",
     "docs_bpe_encode",
+    "docs_nb_classify",
 ]
 
 

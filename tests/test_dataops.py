@@ -445,3 +445,46 @@ def test_bpe_encode_docs_matches_driver_encoder(spark):
     }
     for i, w in enumerate(words):
         assert dist[i] == bpe_encode(w, merges), w
+
+
+def test_nb_classify_matches_reference_math(spark):
+    """Multinomial NB: distributed scores equal an independent pure-
+    Python implementation of the same add-1 smoothed model, and the
+    argmax tie-break is the smallest label."""
+    import math
+
+    from vector_spark.dataops.text import nb_classify
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog sat"),
+        (3, "fr", "le chat assis"),
+        (4, "fr", "le chien assis"),
+        (5, "en", "the cat the dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in nb_classify(docs).collect()}
+
+    # independent reference: counts + logs, same smoothing
+    from collections import Counter, defaultdict
+
+    cw, totals, priors = defaultdict(Counter), Counter(), Counter()
+    for _id, l, t in rows:
+        priors[l] += 1
+        for w in t.lower().split():
+            cw[l][w] += 1
+            totals[l] += 1
+    vocab = {w for l in cw for w in cw[l]}
+    V, N = len(vocab), len(rows)
+    for _id, l, t in rows:
+        scores = {}
+        for lab in priors:
+            s = math.log(priors[lab] / N)
+            for w in t.lower().split():
+                s += math.log((cw[lab][w] + 1.0) / (totals[lab] + V))
+            scores[lab] = round(s, 6)
+        best = min(sorted(scores), key=lambda k: (-scores[k], k))
+        assert out[_id].predicted == best, (_id, scores)
+        assert abs(out[_id].score - scores[best]) < 1e-5, (_id, scores)
+    # fully separable toy corpus: self-accuracy is perfect
+    assert all(out[i].predicted == l for i, l, _ in rows)

@@ -648,3 +648,119 @@ def bpe_encode_docs(
     return toks.select(
         id_col, "n_words", F.size("tokens").alias("n_tokens"), "tokens"
     )
+
+
+def nb_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied over the corpus in
+    one declarative pipeline — the classic supervised doc classifier of
+    pretraining pipelines (quality/language scoring à la the GPT-3 data
+    filter, with NB in place of LR so every number is exact counting +
+    logs and an independent engine can replay it).
+
+    Model: P(l | d) ∝ P(l) · Π_w P(w | l)^n_w with add-α smoothing,
+    P(w|l) = (c_lw + α)/(T_l + αV). Using the sparse identity
+    Σ_w n_w·ln(c_lw+α) = N_d·ln α + Σ_{w: c_lw>0} n_w·(ln(c_lw+α) − ln α),
+    the score needs only the EXISTING (label, word) count pairs:
+
+        score(d,l) = ln P(l) + N_d·(ln α − ln(T_l + αV)) + S_dl
+
+    Scale shape: two corpus-wide shuffles — (label, word) counts and
+    (doc, word) counts, both map-side combined — then a WORD-keyed join
+    between them (the likelihood table is vocab-bounded; AQE broadcasts
+    it when small, sort-merge at 100 TB vocab) and a (doc, label)
+    rollup. Class priors/totals are L-row aggregates crossed in by
+    broadcast. Scores round to 6 decimals; argmax ties break on label.
+
+    Returns (id, label, predicted, score) with `score` the winning
+    rounded log-posterior and `label` the given (training) label —
+    self-classification accuracy is the usual fit diagnostic."""
+    import math
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("_w"),
+    ).where(F.length("_w") >= 1)
+
+    class_word = toks.groupBy("_l", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    doc_word = toks.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_n"))
+
+    # L-row tables: class token totals + doc priors; V = corpus vocab
+    totals = class_word.groupBy("_l").agg(F.sum("_c").alias("_t"))
+    priors = (
+        df.groupBy(F.col(label_col).alias("_l"))
+        .agg(F.count(F.lit(1)).alias("_dn"))
+    )
+    v = class_word.select("_w").distinct().count()
+    n_docs = df.count()
+    la = math.log(alpha)
+
+    # sparse contributions: only existing (label, word) pairs join in
+    contrib = (
+        doc_word.join(class_word, "_w")
+        .groupBy("_id", "_l")
+        .agg(
+            F.sum(
+                F.col("_n")
+                * (F.log(F.col("_c") + F.lit(alpha)) - F.lit(la))
+            ).alias("_s")
+        )
+    )
+    doc_len = doc_word.groupBy("_id").agg(F.sum("_n").alias("_nd"))
+    base = (
+        doc_len.crossJoin(
+            F.broadcast(
+                priors.join(totals, "_l").select(
+                    "_l",
+                    (F.log(F.col("_dn")) - F.lit(math.log(n_docs))).alias(
+                        "_lp"
+                    ),
+                    F.log(F.col("_t") + F.lit(alpha * v)).alias("_lt"),
+                )
+            )
+        )
+        .select(
+            "_id",
+            "_l",
+            (
+                F.col("_lp")
+                + F.col("_nd") * (F.lit(la) - F.col("_lt"))
+            ).alias("_base"),
+        )
+    )
+    scored = (
+        base.join(contrib, ["_id", "_l"], "left")
+        .select(
+            "_id",
+            "_l",
+            F.round(
+                F.col("_base") + F.coalesce(F.col("_s"), F.lit(0.0)), 6
+            ).alias("_score"),
+        )
+    )
+    # argmax with deterministic tie-break on the SMALLEST label:
+    # min(struct(-score, label)) = max score, then min label
+    best = scored.groupBy("_id").agg(
+        F.min(
+            F.struct((-F.col("_score")).alias("_neg"), F.col("_l"))
+        ).alias("_m")
+    )
+    return (
+        df.select(F.col(id_col), F.col(label_col).alias("label"))
+        .join(
+            best.select(
+                F.col("_id").alias(id_col),
+                F.col("_m._l").alias("predicted"),
+                (-F.col("_m._neg")).alias("score"),
+            ),
+            id_col,
+        )
+    )

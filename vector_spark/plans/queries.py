@@ -4168,6 +4168,59 @@ QUERIES.update({
         """,
         "per-source document cap (domain-mix curation)",
     ),
+    # Multinomial Naive Bayes doc classifier (the pretraining-pipeline
+    # supervised filter, NB instead of LR so it's exact counting+logs):
+    # fit on the labeled corpus, self-classify every doc. DuckDB replays
+    # the identical model.
+    "docs_nb_classify": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["nb_classify"]
+        ).nb_classify(_t(spark, sf_dir, "documents")),
+        """
+        WITH toks AS (
+          SELECT doc_id AS _id, lang AS _l, w AS _w
+          FROM documents,
+               UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(w)
+          WHERE len(w) >= 1
+        ), cw AS (
+          SELECT _l, _w, COUNT(*) AS _c FROM toks GROUP BY 1, 2
+        ), dw AS (
+          SELECT _id, _w, COUNT(*) AS _n FROM toks GROUP BY 1, 2
+        ), tot AS (
+          SELECT _l, SUM(_c) AS _t FROM cw GROUP BY 1
+        ), pri AS (
+          SELECT lang AS _l, COUNT(*) AS _dn FROM documents GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT _w) AS v FROM cw
+        ), nd AS (
+          SELECT COUNT(*) AS n FROM documents
+        ), contrib AS (
+          SELECT dw._id, cw._l,
+                 SUM(dw._n * LN(cw._c + 1.0)) AS _s
+          FROM dw JOIN cw USING (_w) GROUP BY 1, 2
+        ), dlen AS (
+          SELECT _id, SUM(_n) AS _nd FROM dw GROUP BY 1
+        ), base AS (
+          SELECT dlen._id, pri._l,
+                 LN(pri._dn) - LN(nd.n)
+                 - dlen._nd * LN(tot._t + 1.0 * v.v) AS _base
+          FROM dlen CROSS JOIN pri JOIN tot USING (_l)
+               CROSS JOIN v CROSS JOIN nd
+        ), scored AS (
+          SELECT base._id, base._l,
+                 ROUND(base._base + COALESCE(contrib._s, 0.0), 6) AS _score
+          FROM base LEFT JOIN contrib
+            ON base._id = contrib._id AND base._l = contrib._l
+        )
+        SELECT d.doc_id, d.lang AS label, s._l AS predicted,
+               s._score AS score
+        FROM documents d JOIN scored s ON s._id = d.doc_id
+        QUALIFY row_number() OVER (
+          PARTITION BY s._id ORDER BY s._score DESC, s._l
+        ) = 1
+        """,
+        "multinomial NB doc classifier (add-1), fit + self-classify",
+    ),
     # Tokenizer APPLY: BPE-encode the corpus with merges trained on it.
     # The per-word merge loop is inherently iterative (no SQL form), so
     # like docs_bpe_train this is rows-only at the driver; word-level
@@ -4199,6 +4252,7 @@ _DRIVER_PRIORITY = [
     "embeddings_kmeans", "embeddings_semantic_dedup",
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
+    "docs_nb_classify",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
