@@ -141,3 +141,30 @@ tests:
     )
     report, ok = cmd_test([str(p)], spark=spark)
     assert ok and "upcases ... passed" in report
+
+
+def test_vrl_subcommand_null_fields(spark):
+    # review r6: an all-null field must pass through (JSON inference),
+    # not crash createDataFrame with CANNOT_DETERMINE_TYPE
+    out = cmd_vrl(
+        ".x = 1",
+        ['{"msg": null}', '{"msg": null, "extra": {"a": 1}}'],
+        spark=spark,
+    )
+    rows = [json.loads(ln) for ln in out]
+    assert all(r["x"] == 1 for r in rows)
+    assert rows[0]["msg"] is None
+
+
+def test_validate_requires_sink_type(tmp_path):
+    # review r6: run_sinks and start_streaming_sinks have DIFFERENT
+    # historical type defaults, so validate must require an explicit one
+    from vector_spark.config.loader import TopologyError
+
+    p = tmp_path / "no_type.yaml"
+    p.write_text(
+        "sources:\n  s:\n    type: rate\n"
+        "sinks:\n  out:\n    inputs: [s]\n"
+    )
+    with pytest.raises(TopologyError, match="missing 'type'"):
+        cmd_validate([str(p)])

@@ -305,3 +305,24 @@ def test_parse_json_deep_nesting_no_recursion_crash(spark):
         f'.x, err = parse_json("{deep}")\n.bad = err != null',
     )[""].collect()[0]
     assert out.bad is True
+
+
+def test_object_equality_computed_subvalue_key_order(spark):
+    # review r6: a COMPUTED sub-value (parse_url query map) embedded in
+    # an object literal must compare structurally at depth — both key
+    # orders of the literal's nested object are equal, a changed value
+    # is not.
+    df = spark.createDataFrame([Row(url="http://h/p?b=2&a=1")])
+    out = vrl_remap(
+        df,
+        """
+        .parts = parse_url!(.url)
+        .o = {"p": .parts.query, "k": "v"}
+        .eq_sorted = .o == {"k": "v", "p": {"a": "1", "b": "2"}}
+        .eq_written = .o == {"k": "v", "p": {"b": "2", "a": "1"}}
+        .ne = .o == {"k": "v", "p": {"a": "9", "b": "2"}}
+        """,
+    )[""].collect()[0]
+    assert out.eq_sorted is True
+    assert out.eq_written is True
+    assert out.ne is False

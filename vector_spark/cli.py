@@ -65,7 +65,7 @@ def cmd_list(fmt: str = "text") -> str:
     lines = []
     for kind in ("sources", "transforms", "sinks", "enrichment_tables"):
         # reference list.rs prints capitalized group headers
-        lines.append(kind.replace("_", " ").title().replace(" ", " ") + ":")
+        lines.append(kind.replace("_", " ").title() + ":")
         lines.extend(f"- {t}" for t in types[kind])
     return "\n".join(lines)
 
@@ -93,7 +93,11 @@ def cmd_validate(paths: list[str]) -> str:
         ("sink", sinks, set(types["sinks"])),
     ):
         for name, comp in comps.items():
-            t = comp.get("type", "memory" if kind == "sink" else None)
+            # `type` is required, as in the reference config schema —
+            # the runtime paths have DIFFERENT historical defaults
+            # (run_sinks: parquet, start_streaming_sinks: memory), so a
+            # type-less sink passing validate could still die at run
+            t = comp.get("type")
             if t is None:
                 raise TopologyError(f"{kind} {name!r}: missing 'type'")
             if t not in known:
@@ -134,18 +138,19 @@ def cmd_vrl(program: str, lines: list[str], spark=None) -> list[str]:
     """Apply a VRL program to JSON events (one per input line); returns
     the resulting events as JSON lines. Multi-event emission and dropped
     events follow remap semantics: the primary output stream only."""
-    from pyspark.sql import Row
-
     from vector_spark.functions.vrl_compiler import vrl_remap
 
     spark = spark or _get_spark(cpus=2)
-    events = [json.loads(ln) for ln in lines if ln.strip()]
-    if not events:
+    payload = [ln for ln in lines if ln.strip()]
+    if not payload:
         return []
-    cols = sorted({k for e in events for k in e})
-    df = spark.createDataFrame(
-        [Row(**{c: e.get(c) for c in cols}) for e in events]
-    )
+    for ln in payload:
+        json.loads(ln)  # fail fast with a line-level JSON error
+    # JSON inference, not createDataFrame: an all-null field must type
+    # as string (reference `vector vrl` accepts null fields), and nested
+    # objects must become structs for `.a.b` paths — same hop the
+    # loader's `values` source uses
+    df = spark.read.json(spark.sparkContext.parallelize(payload))
     out = vrl_remap(df, program)[""]
     return [
         json.dumps(

@@ -623,30 +623,36 @@ def bpe_encode_docs(
             syms[i:i + 2] = [syms[i] + syms[i + 1]]
         return syms
 
-    @pandas_udf("array<string>")
-    def _encode(texts: pd.Series) -> pd.Series:
+    @pandas_udf("struct<n_words:int,tokens:array<string>>")
+    def _encode(texts: pd.Series) -> pd.DataFrame:
         memo: dict[str, list[str]] = {}
 
         def enc(text):
             out: list[str] = []
-            for w in str(text).lower().strip().split():
+            words = str(text).lower().strip().split()
+            for w in words:
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w)
                 out.extend(got)
-            return out
+            # n_words counted from the SAME tokenization the encoder
+            # consumed — a Column-side regex split disagrees on empty
+            # docs ([""] vs []) and non-ASCII whitespace (Java \s vs
+            # Python str.split), exactly the messy inputs this op exists
+            # to measure
+            return {"n_words": len(words), "tokens": out}
 
-        return texts.map(enc)
+        return pd.DataFrame(list(texts.map(enc)))
 
-    toks = df.select(
-        F.col(id_col),
-        F.size(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("n_words"),
-        _encode(F.col(text_col)).alias("tokens"),
-    )
-    return toks.select(
-        id_col, "n_words", F.size("tokens").alias("n_tokens"), "tokens"
+    # materialize the UDF ONCE behind a named struct column — repeating
+    # the call expression per output field risks multiple executions
+    # (Python UDF calls are not reliably common-subexpression-eliminated)
+    tmp = df.select(F.col(id_col), _encode(F.col(text_col)).alias("_e"))
+    return tmp.select(
+        id_col,
+        F.col("_e.n_words").alias("n_words"),
+        F.size("_e.tokens").alias("n_tokens"),
+        F.col("_e.tokens").alias("tokens"),
     )
 
 

@@ -762,9 +762,18 @@ class _P:
                 vc = v if isinstance(v, Column) else F.lit(v)
                 fields.append(vc.alias(k.text[1:-1]))
                 # canonical value for the sorted twin: a nested object
-                # literal contributes its OWN (recursively) sorted twin,
-                # so key-order insensitivity holds at every depth
+                # literal contributes its OWN (recursively) sorted twin;
+                # a COMPUTED sub-value with a known map/struct dtype
+                # (e.g. `.parts.query`) canonicalizes by that dtype —
+                # key-order insensitivity must hold at every depth for
+                # computed sub-objects too, not only literals
                 sv = _col_meta(vc, "_vs_obj_sorted")
+                if sv is None and isinstance(v, Column):
+                    vdt = _col_meta(vc, "_vs_dtype")
+                    if isinstance(vdt, str) and vdt.startswith(
+                        ("map<", "struct<")
+                    ):
+                        sv = _canon_by_dtype(vc, vdt)
                 svals.append(vc if sv is None else sv)
                 if isinstance(v, Column):
                     nested = _col_meta(vc, "_vs_dtype")
@@ -889,7 +898,13 @@ class _P:
                     rest,
                 )
                 return F.get_json_object(F.col(_quote_seg(root)), "$" + jpath)
-            return _path_col(t.text)  # .a.b[0] → struct/array access
+            out = _path_col(t.text)  # .a.b[0] → struct/array access
+            # carry the resolved dtype on the Column itself: an object
+            # literal embedding this read (`.o = {"p": .parts.query}`)
+            # needs it to type its own field and canonicalize the twin
+            if isinstance(self._last_path_dtype, str):
+                out._vs_dtype = self._last_path_dtype
+            return out
         if t.kind == "float":
             self.eat()
             return F.lit(float(t.text))

@@ -144,6 +144,11 @@ class ProgressBarrier(StreamingQueryListener):
         to run driver-side queries in). Raises ``AssertionError`` with
         the observed counts if *timeout* (backstop, not cadence) expires.
         """
+        if query is None and (rows is not None or batches is not None):
+            raise ValueError(
+                "rows/batches goals need the query they refer to — "
+                "without it the barrier would return vacuously"
+            )
         qid = str(query.id) if query is not None else None
 
         def counts_ok() -> bool:
@@ -163,6 +168,25 @@ class ProgressBarrier(StreamingQueryListener):
             # lock so the listener-bus thread is never blocked behind it
             if ok and (predicate is None or predicate()):
                 return
+            # a dead query will never make more progress: surface ITS
+            # exception now instead of a misleading timeout later
+            if query is not None and not query.isActive:
+                # the last progress event may have landed between the
+                # goal check above and this liveness check — final retry
+                with self._cond:
+                    ok = counts_ok()
+                if ok and (predicate is None or predicate()):
+                    return
+                exc = None
+                try:
+                    exc = query.exception()
+                except Exception:
+                    pass
+                raise AssertionError(
+                    f"query terminated before the barrier goal: {exc!r}"
+                    if exc
+                    else "query terminated (stopped) before the barrier goal"
+                )
             with self._cond:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
