@@ -183,3 +183,44 @@ def test_native_proto_roundtrip_single_python_stage(spark):
     p = _plan(spark, "native_proto_roundtrip")
     assert "Exchange" not in p
     assert p.count("ArrowEvalPython") == 2
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    """100 TB join path: when a selective dim side is too big to
+    broadcast (shuffle join), Catalyst must inject a runtime Bloom
+    filter into the fact scan (InjectRuntimeFilter) so non-matching
+    rows die before the exchange. At test scale every dim broadcasts
+    and injection correctly stays out; this pins that the capability
+    is ON in the session config and actually fires once the join is
+    forced to shuffle."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
