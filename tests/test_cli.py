@@ -168,3 +168,29 @@ def test_validate_requires_sink_type(tmp_path):
     )
     with pytest.raises(TopologyError, match="missing 'type'"):
         cmd_validate([str(p)])
+
+
+def test_generate_skeleton_roundtrips_through_validate(tmp_path):
+    """`generate` emits the reference topology heuristic (first
+    transform consumes all sources, chains after, sinks off the last)
+    and its output must validate clean."""
+    import yaml
+
+    from vector_spark.cli import cmd_generate
+
+    out = cmd_generate("rate/remap,filter/console")
+    cfg = yaml.safe_load(out)
+    assert cfg["sources"] == {"source1": {"type": "rate"}}
+    assert cfg["transforms"]["transform1"]["inputs"] == ["source1"]
+    assert cfg["transforms"]["transform2"]["inputs"] == ["transform1"]
+    assert cfg["sinks"]["sink1"]["inputs"] == ["transform2"]
+    p = tmp_path / "gen.yaml"
+    p.write_text(out)
+    assert "4 components" in cmd_validate([str(p)])
+    # named components + sink-only expression + unknown type error
+    named = yaml.safe_load(cmd_generate("foo:rate//baz:console"))
+    assert "foo" in named["sources"] and named["sinks"]["baz"]["inputs"] == ["foo"]
+    from vector_spark.config.loader import TopologyError
+
+    with pytest.raises(TopologyError, match="unknown type"):
+        cmd_generate("nope_src")

@@ -21,6 +21,11 @@ SubCommand enum):
                          as JSON lines (``src/tap/cmd.rs`` sampled-output
                          analog for a batch engine: the tap IS the
                          component's DataFrame)
+- ``test CONFIG...``     run the config's ``tests:`` section
+                         (``src/unit_test.rs``)
+- ``generate EXPR``      emit a YAML skeleton from a
+                         ``sources/transforms/sinks`` expression
+                         (``src/generate.rs`` topology heuristic)
 
 The type lists in ``list`` are extracted from the loader's dispatch code
 itself (self-maintaining — adding a component to the loader adds it to
@@ -177,6 +182,52 @@ def cmd_tap(paths: list[str], ref: str, limit: int = 100, spark=None) -> list[st
     ]
 
 
+def cmd_generate(expression: str) -> str:
+    """``vector generate 'stdin/remap,filter/console'`` (src/generate.rs):
+    three slash-divided comma lists — sources / transforms / sinks —
+    emitted as a YAML skeleton with the reference's topology heuristic:
+    the first transform consumes all sources, each later transform its
+    predecessor, every sink the last transform (or all sources if none).
+    `name:type` prefixes override the incremental source1/transform1/...
+    names. Unknown types are rejected against the loader's dispatch."""
+    import yaml
+
+    from vector_spark.config.loader import TopologyError
+
+    known = component_types()
+    parts = (expression.split("/") + ["", "", ""])[:3]
+
+    def parse(seg: str, kind: str) -> list[tuple[str, str]]:
+        out = []
+        for i, item in enumerate(x for x in seg.split(",") if x.strip()):
+            item = item.strip()
+            name, _, typ = item.rpartition(":")
+            name = name or f"{kind}{i + 1}"
+            if typ not in known[kind + "s"]:
+                raise TopologyError(f"{kind} {name!r}: unknown type {typ!r}")
+            out.append((name, typ))
+        return out
+
+    sources = parse(parts[0], "source")
+    transforms = parse(parts[1], "transform")
+    sinks = parse(parts[2], "sink")
+    cfg: dict = {}
+    if sources:
+        cfg["sources"] = {n: {"type": t} for n, t in sources}
+    src_names = [n for n, _ in sources]
+    prev = src_names
+    if transforms:
+        cfg["transforms"] = {}
+        for n, t in transforms:
+            cfg["transforms"][n] = {"type": t, "inputs": list(prev)}
+            prev = [n]
+    if sinks:
+        cfg["sinks"] = {
+            n: {"type": t, "inputs": list(prev)} for n, t in sinks
+        }
+    return yaml.safe_dump(cfg, sort_keys=False)
+
+
 def cmd_test(paths: list[str], spark=None) -> tuple[str, bool]:
     """``vector test`` (src/unit_test.rs): run the config's `tests:`
     section — insert_at fixture rows through the real topology, output
@@ -245,6 +296,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=100)
     sp = sub.add_parser("test", help="run the config's tests: section")
     sp.add_argument("config", nargs="+")
+    sp = sub.add_parser(
+        "generate", help="emit a config skeleton from 'src/trans/sink'"
+    )
+    sp.add_argument("expression")
 
     args = p.parse_args(argv)
     try:
@@ -260,6 +315,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "tap":
             for line in cmd_tap(args.config, args.ref, args.limit):
                 print(line)
+        elif args.cmd == "generate":
+            print(cmd_generate(args.expression))
         elif args.cmd == "test":
             report, ok = cmd_test(args.config)
             print(report)
