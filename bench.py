@@ -74,6 +74,7 @@ HEADLINE = [
     "docs_source_cap",
     "docs_bpe_encode",
     "docs_nb_classify",
+    "docs_bigram_lm",
 ]
 
 

@@ -488,3 +488,37 @@ def test_nb_classify_matches_reference_math(spark):
         assert abs(out[_id].score - scores[best]) < 1e-5, (_id, scores)
     # fully separable toy corpus: self-accuracy is perfect
     assert all(out[i].predicted == l for i, l, _ in rows)
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Interpolated bigram LM on a hand-computable corpus; one-word doc
+    scores with the unigram term only."""
+    import math
+
+    from vector_spark.dataops.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs, lam=0.75).collect()}
+    # corpus: tokens a=3, b=3, z=1, T=7; bigrams: (a,b)=3, (b,a)=1
+    T, c = 7, {"a": 3, "b": 3, "z": 1}
+    ctx = {"a": 3, "b": 1}
+    pw = {("a", "b"): 3, ("b", "a"): 1}
+
+    def p_bi(p, w):
+        return 0.75 * pw[(p, w)] / ctx[p] + 0.25 * c[w] / T
+
+    nll1 = -(
+        math.log(c["a"] / T)
+        + math.log(p_bi("a", "b"))
+        + math.log(p_bi("b", "a"))
+        + math.log(p_bi("a", "b"))
+    ) / 4
+    assert out[1].n_tokens == 4
+    assert abs(out[1].avg_nll - round(nll1, 6)) < 1e-6
+    # one-word doc: unigram only
+    assert out[3].n_tokens == 1
+    assert abs(out[3].avg_nll - round(-math.log(c["z"] / T), 6)) < 1e-6
+    assert out[3].ppl == round(math.exp(out[3].avg_nll), 4)

@@ -770,3 +770,99 @@ def nb_classify(
             id_col,
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED bigram LM trained on
+    the corpus itself — the next rung above :func:`unigram_lm_score`
+    toward the KenLM-style fluency filters real pipelines use (CCNet
+    scores with a 5-gram; the interpolation-with-lower-order structure
+    is the same, kept at order 2 so an independent SQL engine replays
+    every number exactly).
+
+    Model: P(w | p) = λ·c_pw/ctx_p + (1−λ)·c_w/T, first token of each
+    document scores with the unigram term alone. Trained and scored in
+    one pipeline; by construction every scored token/bigram was trained
+    on, so there is no OOV path and the probability is always positive.
+
+    Scale shape: one tokenize scan feeds both count aggregates
+    (map-side combined; bigram table derived from the SAME word arrays,
+    no second scan of raw text); scoring joins shuffle on the
+    vocabulary/bigram keys with the count tables on the build side (AQE
+    broadcasts them when small); corpus totals ride in as broadcast
+    1-row cross joins. Rounded to 6 decimals for engine portability."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), words.alias("_ws"))
+    toks = base.select(
+        id_col, F.explode(F.col("_ws")).alias("w")
+    ).where(F.length("w") >= 1)
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = uni.select(F.sum("c_w").alias("t_total"))
+    # bigrams from the same arrays; sequence guarded (start > stop would
+    # DESCEND, not empty) so one-word docs contribute none
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_ws")),
+                    lambda i: F.struct(
+                        F.element_at("_ws", i - 1).alias("p"),
+                        F.element_at("_ws", i).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+    bcounts = bi.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    ctx = bcounts.groupBy("p").agg(F.sum("c_pw").alias("ctx_p"))
+
+    first = (
+        base.select(id_col, F.element_at("_ws", 1).alias("w"))
+        .where(F.length("w") >= 1)
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    F.col("c_w").cast("double")
+                    / F.col("t_total").cast("double")
+                )
+            ).alias("_nll"),
+        )
+    )
+    rest = (
+        bi.join(bcounts, ["p", "w"])
+        .join(ctx, "p")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.lit(lam)
+                    * F.col("c_pw").cast("double")
+                    / F.col("ctx_p").cast("double")
+                    + F.lit(1.0 - lam)
+                    * F.col("c_w").cast("double")
+                    / F.col("t_total").cast("double")
+                )
+            ).alias("_nll"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_nll"), 6).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 4))
+    )

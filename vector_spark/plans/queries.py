@@ -4168,6 +4168,51 @@ QUERIES.update({
         """,
         "per-source document cap (domain-mix curation)",
     ),
+    # Interpolated bigram LM perplexity (KenLM-lite: order-2 with
+    # unigram interpolation, exactly replayable).
+    "docs_bigram_lm": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["bigram_lm_score"]
+        ).bigram_lm_score(_t(spark, sf_dir, "documents")),
+        """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, t.w FROM w,
+            UNNEST(ws) AS t(w) WHERE len(t.w) >= 1
+        ), uni AS (
+          SELECT w AS _w, COUNT(*) AS c_w FROM toks GROUP BY 1
+        ), total AS (
+          SELECT SUM(c_w) AS t_total FROM uni
+        ), bi AS (
+          SELECT doc_id, ws[i-1] AS p, ws[i] AS _w
+          FROM w, UNNEST(range(2, len(ws) + 1)) AS t(i)
+        ), bc AS (
+          SELECT p, _w, COUNT(*) AS c_pw FROM bi GROUP BY 1, 2
+        ), ctx AS (
+          SELECT p, SUM(c_pw) AS ctx_p FROM bc GROUP BY 1
+        ), first AS (
+          SELECT w.doc_id,
+                 -LN(CAST(uni.c_w AS DOUBLE) / t_total) AS _nll
+          FROM w JOIN uni ON uni._w = ws[1] CROSS JOIN total
+          WHERE len(ws[1]) >= 1
+        ), rest AS (
+          SELECT bi.doc_id,
+                 -LN(0.75 * CAST(bc.c_pw AS DOUBLE) / ctx.ctx_p
+                     + 0.25 * CAST(uni.c_w AS DOUBLE) / t_total) AS _nll
+          FROM bi JOIN bc USING (p, _w) JOIN ctx USING (p)
+               JOIN uni USING (_w) CROSS JOIN total
+        ), scored AS (
+          SELECT * FROM first UNION ALL SELECT * FROM rest
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(_nll), 6) AS avg_nll,
+               ROUND(EXP(ROUND(AVG(_nll), 6)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+        """,
+        "interpolated bigram-LM perplexity per document",
+    ),
     # Multinomial Naive Bayes doc classifier (the pretraining-pipeline
     # supervised filter, NB instead of LR so it's exact counting+logs):
     # fit on the labeled corpus, self-classify every doc. DuckDB replays
@@ -4252,7 +4297,7 @@ _DRIVER_PRIORITY = [
     "embeddings_kmeans", "embeddings_semantic_dedup",
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
-    "docs_nb_classify",
+    "docs_nb_classify", "docs_bigram_lm",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
