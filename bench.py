@@ -75,6 +75,8 @@ HEADLINE = [
     "docs_bpe_encode",
     "docs_nb_classify",
     "docs_bigram_lm",
+    "docs_sample_exact_k",
+    "docs_dedup_keep_best",
 ]
 
 

@@ -522,3 +522,44 @@ def test_bigram_lm_score_hand_computed(spark):
     assert out[3].n_tokens == 1
     assert abs(out[3].avg_nll - round(-math.log(c["z"] / T), 6)) < 1e-6
     assert out[3].ppl == round(math.exp(out[3].avg_nll), 4)
+
+
+def test_dedup_keep_best_policy(spark):
+    """Keep the highest-score member per duplicate cluster, id tiebreak;
+    singletons keep themselves."""
+    from vector_spark.dataops.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_keep_best(docs, pairs, "n_chars").collect()
+    }
+    # cluster {1,2,3}: best score 30 shared by 2 and 3 -> id 2 wins
+    assert out[2].keep is True
+    assert out[1].keep is False and out[3].keep is False
+    assert out[1].component == out[2].component == out[3].component
+    # singleton keeps itself
+    assert out[4].keep is True and out[4].component == 4
+
+
+def test_sample_exact_k_deterministic(spark):
+    from vector_spark.dataops.curation import sample_exact_k
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    a = sample_exact_k(docs, 25, group_col="lang")
+    counts = {r.lang: r["count"] for r in a.groupBy("lang").count().collect()}
+    assert counts == {"en": 25, "zh": 25}
+    # rerun- and repartition-stable
+    b = sample_exact_k(docs.repartition(7), 25, group_col="lang")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )

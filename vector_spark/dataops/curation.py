@@ -514,3 +514,33 @@ def cap_per_source(
     )
     cols = [id_col, source_col, order_col]
     return under_docs.select(*cols).unionByName(capped.select(*cols))
+
+
+def sample_exact_k(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-k per-group sample — the fixed-size eval-set
+    maker (:func:`stratified_sample` keeps an expected *rate*; eval
+    subsets and per-class probes need exactly k rows per group). Rank
+    each group by the Knuth multiplicative hash of the id (the engine's
+    portable consistent hash — same constant the sample operator and its
+    oracles replay) with the raw id as tiebreak, keep the k smallest:
+    rerun-stable, partitioning-independent, engine-replayable.
+
+    Scale note: the rank is a per-group window — each group sorts in one
+    task chain. Groups here are strata (languages, sources: bounded
+    count, corpus-sized membership); for a pathologically hot group the
+    sort exchange falls back to AQE skew splitting, and k ≪ group is the
+    normal regime so the output never concentrates."""
+    from pyspark.sql.window import Window
+
+    h = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(_MOD)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

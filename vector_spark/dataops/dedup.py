@@ -625,3 +625,64 @@ def dedup_decisions(
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs → keep the BEST copy of each duplicate cluster —
+    the policy real pipelines use instead of keep-min-id (when a page is
+    crawled five times, keep the longest/highest-quality capture, drop
+    the truncated ones). Clusters come from connected_components; within
+    a cluster the member with the highest *score_col* survives, id
+    ascending as the deterministic tiebreak. Documents in no pair keep
+    themselves. Returns (id, component, <score_col>, keep).
+
+    Scale shape: components as in :func:`dedup_decisions`; the winner
+    pick is one (component)-keyed aggregation over the (tiny, clustered)
+    membership via min(struct(-score, id)) — never a corpus-wide window
+    (only documents IN a component enter it; singletons bypass with
+    keep=true)."""
+    comp = connected_components(
+        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+    )
+    members = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(comp, docs[id_col] == comp.id, "inner")
+        .select(
+            F.col(id_col).alias("_mid"),
+            F.col(score_col).alias("_sc"),
+            "component",
+        )
+    )
+    winners = members.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("_sc")).alias("_neg"), F.col("_mid"))
+        ).alias("_w")
+    ).select("component", F.col("_w._mid").alias("_best"))
+    clustered = (
+        members.join(winners, "component")
+        .select(
+            F.col("_mid").alias(id_col),
+            "component",
+            F.col("_sc").alias(score_col),
+            (F.col("_mid") == F.col("_best")).alias("keep"),
+        )
+    )
+    singles = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(comp, docs[id_col] == comp.id, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.col(score_col),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(singles)

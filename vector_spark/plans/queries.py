@@ -4168,6 +4168,76 @@ QUERIES.update({
         """,
         "per-source document cap (domain-mix curation)",
     ),
+    # Deterministic exact-k per-group sample (fixed-size eval subsets) —
+    # Knuth-hash rank, engine-replayable.
+    "docs_sample_exact_k": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["sample_exact_k"]
+        ).sample_exact_k(
+            _t(spark, sf_dir, "documents"), 20, group_col="lang"
+        ).select("doc_id", "lang", "n_chars"),
+        """
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY lang
+          ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+        ) <= 20
+        """,
+        "exact-k per-group sample (Knuth-hash rank)",
+    ),
+    # Keep-BEST dedup policy: same exact near-dup clusters as
+    # docs_dedup_components, but the longest copy survives instead of
+    # the min id (the real-pipeline policy for multi-crawl captures).
+    "docs_dedup_keep_best": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.dedup", fromlist=["dedup_keep_best"]
+        ).dedup_keep_best(
+            _t(spark, sf_dir, "documents"),
+            q_minhash_lsh(spark, sf_dir),
+            score_col="n_chars",
+        ),
+        """
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+          FROM w, UNNEST(range(1, greatest(len(ws)-1, 2))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(src, dst) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+        ), comp AS (
+          SELECT src, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src
+        ), allc AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+        )
+        SELECT doc_id, component, n_chars,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY n_chars DESC, doc_id
+               ) = 1 AS keep
+        FROM allc
+        """,
+        "fuzzy dedup keeping the best (longest) copy per cluster",
+    ),
     # Interpolated bigram LM perplexity (KenLM-lite: order-2 with
     # unigram interpolation, exactly replayable).
     "docs_bigram_lm": QuerySpec(
@@ -4298,6 +4368,7 @@ _DRIVER_PRIORITY = [
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
     "docs_nb_classify", "docs_bigram_lm",
+    "docs_sample_exact_k", "docs_dedup_keep_best",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
