@@ -77,6 +77,7 @@ HEADLINE = [
     "docs_bigram_lm",
     "docs_sample_exact_k",
     "docs_dedup_keep_best",
+    "docs_normalize_text",
 ]
 
 

@@ -563,3 +563,16 @@ def test_sample_exact_k_deterministic(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_normalize_text_values(spark):
+    from pyspark.sql import Row
+
+    from vector_spark.dataops.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(t="  Héllo—WÖRLD!!  Çafé№42  "), Row(t="plain text")]
+    )
+    out = [r.n for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert out[0] == "hello world cafe 42"
+    assert out[1] == "plain text"

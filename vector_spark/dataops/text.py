@@ -866,3 +866,20 @@ def bigram_lm_score(
         )
         .withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 4))
     )
+
+
+#: Latin-1/Latin-Extended accent folding map (explicit, engine-portable:
+#: the SAME two strings replay in DuckDB's translate). NFKC-class
+#: normalization needs ICU; this is the C4-style ASCII-folding subset.
+_ACCENTS_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćčďđēėęěğīįıłńňōőřśšťūůűźżž"
+_ACCENTS_TO = "aaaaaaceeeeiiiinooooouuuuyyaaaccddeeeegiiilnnoorsstuuuzzz"
+
+
+def normalize_text(text: Column) -> Column:
+    """C4/CCNet-style text normalization: lowercase, fold common Latin
+    accents to ASCII (explicit translate map — no ICU dependency, an
+    independent engine replays the identical mapping), collapse every
+    non-alphanumeric run to a single space, trim. Pure Column — one
+    codegen'd projection, scan-speed at any scale."""
+    folded = F.translate(F.lower(text), _ACCENTS_FROM, _ACCENTS_TO)
+    return F.trim(F.regexp_replace(folded, r"[^a-z0-9]+", " "))

@@ -4168,6 +4168,38 @@ QUERIES.update({
         """,
         "per-source document cap (domain-mix curation)",
     ),
+    # C4-style text normalization (lowercase, explicit accent fold,
+    # punctuation collapse) — exercised on accent-decorated text since
+    # the synthetic corpus is pure ASCII. The oracle replays the SAME
+    # translate map (drift fails the gate).
+    "docs_normalize_text": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda tmod: _t(spark, sf_dir, "documents").select(
+                "doc_id",
+                tmod.normalize_text(
+                    F.concat(
+                        F.lit("Héllo—Çafé Ñoël #"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(": "),
+                        F.substring("text", 1, 40),
+                    )
+                ).alias("norm_text"),
+            )
+        )(__import__("vector_spark.dataops.text", fromlist=["normalize_text"])),
+        """
+        SELECT doc_id,
+          trim(regexp_replace(
+            translate(
+              lower(concat('Héllo—Çafé Ñoël #', CAST(doc_id AS VARCHAR),
+                           ': ', substr(text, 1, 40))),
+              'àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćčďđēėęěğīįıłńňōőřśšťūůűźżž',
+              'aaaaaaceeeeiiiinooooouuuuyyaaaccddeeeegiiilnnoorsstuuuzzz'
+            ),
+            '[^a-z0-9]+', ' ', 'g')) AS norm_text
+        FROM documents
+        """,
+        "C4-style normalization: lowercase + accent fold + punct collapse",
+    ),
     # Deterministic exact-k per-group sample (fixed-size eval subsets) —
     # Knuth-hash rank, engine-replayable.
     "docs_sample_exact_k": QuerySpec(
@@ -4368,7 +4400,7 @@ _DRIVER_PRIORITY = [
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
     "docs_nb_classify", "docs_bigram_lm",
-    "docs_sample_exact_k", "docs_dedup_keep_best",
+    "docs_sample_exact_k", "docs_dedup_keep_best", "docs_normalize_text",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
