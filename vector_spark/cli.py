@@ -158,11 +158,7 @@ def cmd_vrl(program: str, lines: list[str], spark=None) -> list[str]:
     df = spark.read.json(spark.sparkContext.parallelize(payload))
     out = vrl_remap(df, program)[""]
     return [
-        json.dumps(
-            {k: v for k, v in r.asDict(recursive=True).items()},
-            sort_keys=True,
-            default=str,
-        )
+        json.dumps(r.asDict(recursive=True), sort_keys=True, default=str)
         for r in out.collect()
     ]
 
@@ -272,7 +268,7 @@ def cmd_run(paths: list[str], spark=None) -> dict:
         spark.streams.awaitAnyTermination()
         return {name: "terminated" for name in qs}
     return {
-        name: str(type(res).__name__) for name, res in run_sinks(topo).items()
+        name: type(res).__name__ for name, res in run_sinks(topo).items()
     }
 
 

@@ -570,11 +570,10 @@ def _bpe_train_distributed(
     return merges
 
 
-def bpe_encode(tokens: list[str] | str, merges: list[tuple[str, str]]) -> list[str]:
-    """Apply a trained merge list to one word (training-order priority,
-    the standard BPE encode)."""
-    syms = list(tokens)
-    rank = {m: i for i, m in enumerate(merges)}
+def _bpe_apply(syms: list[str], rank: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to a symbol list (training-order priority,
+    the standard BPE encode inner loop — shared by the driver-side
+    encoder and the distributed apply)."""
     while len(syms) > 1:
         pairs = [(rank.get((syms[i], syms[i + 1])), i) for i in range(len(syms) - 1)]
         pairs = [(r, i) for r, i in pairs if r is not None]
@@ -583,6 +582,12 @@ def bpe_encode(tokens: list[str] | str, merges: list[tuple[str, str]]) -> list[s
         _, i = min(pairs)
         syms[i:i + 2] = [syms[i] + syms[i + 1]]
     return syms
+
+
+def bpe_encode(tokens: list[str] | str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a trained merge list to one word (training-order priority,
+    the standard BPE encode)."""
+    return _bpe_apply(list(tokens), {m: i for i, m in enumerate(merges)})
 
 
 def bpe_encode_docs(
@@ -609,20 +614,6 @@ def bpe_encode_docs(
 
     rank = {tuple(m): i for i, m in enumerate(merges)}
 
-    def _encode_word(word: str) -> list[str]:
-        syms = list(word)
-        while len(syms) > 1:
-            pairs = [
-                (rank.get((syms[i], syms[i + 1])), i)
-                for i in range(len(syms) - 1)
-            ]
-            pairs = [(r, i) for r, i in pairs if r is not None]
-            if not pairs:
-                break
-            _, i = min(pairs)
-            syms[i:i + 2] = [syms[i] + syms[i + 1]]
-        return syms
-
     @pandas_udf("struct<n_words:int,tokens:array<string>>")
     def _encode(texts: pd.Series) -> pd.DataFrame:
         memo: dict[str, list[str]] = {}
@@ -633,7 +624,7 @@ def bpe_encode_docs(
             for w in words:
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _encode_word(w)
+                    got = memo[w] = _bpe_apply(list(w), rank)
                 out.extend(got)
             # n_words counted from the SAME tokenization the encoder
             # consumed — a Column-side regex split disagrees on empty
@@ -696,6 +687,12 @@ def nb_classify(
         ).alias("_w"),
     ).where(F.length("_w") >= 1)
 
+    # class_word is consumed three ways (the V distinct-count action,
+    # class totals, the scoring join); a registry persist was measured
+    # SLOWER here (1.4 vs 1.0 s cold at sf0.1) - ReuseExchange already
+    # shares the aggregation inside the scoring job and eager
+    # materialization just blocks pipelining, so only the small V count
+    # re-runs the shuffle. Measured, not guessed.
     class_word = toks.groupBy("_l", "_w").agg(F.count(F.lit(1)).alias("_c"))
     doc_word = toks.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_n"))
 
