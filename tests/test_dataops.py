@@ -447,6 +447,45 @@ def test_bpe_encode_docs_matches_driver_encoder(spark):
         assert dist[i] == bpe_encode(w, merges), w
 
 
+def test_bpe_oracle_replays_trainer_and_encoder(spark):
+    """The generated DuckDB CTE oracle (plans.queries._bpe_oracle_train /
+    _bpe_oracle_encode) replays the trainer and encoder EXACTLY on the
+    adversarial corpora: the paper corpus, the chain-guard same-symbol
+    runs ('aaaaaa' must fold to [aa,aa,aa] — the case a delimited-string
+    replace oracle gets wrong), and null/empty text."""
+    import duckdb
+
+    from vector_spark.dataops.text import bpe_encode_docs, bpe_train
+    from vector_spark.plans.queries import (
+        _bpe_oracle_encode,
+        _bpe_oracle_train,
+    )
+
+    corpora = [
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3))],
+        [(1, "aaaa aaaa aaaaaa baaaab ab ab"), (2, "aaa aab")],
+        [(1, "x y xy xy"), (2, None), (3, ""), (4, "   ")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        n = 4
+        merges = bpe_train(docs, n_merges=n)
+        otrain = con.sql(_bpe_oracle_train(n)).fetchall()
+        assert [(l, r) for _, l, r in sorted(otrain)] == merges, rows
+        enc = {
+            r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode_docs(docs, merges).collect()
+        }
+        oenc = {
+            d: (nw, nt)
+            for d, nw, nt in con.sql(_bpe_oracle_encode(n)).fetchall()
+        }
+        assert oenc == enc, rows
+
+
 def test_nb_classify_matches_reference_math(spark):
     """Multinomial NB: distributed scores equal an independent pure-
     Python implementation of the same add-1 smoothed model, and the

@@ -620,7 +620,10 @@ def bpe_encode_docs(
 
         def enc(text):
             out: list[str] = []
-            words = str(text).lower().strip().split()
+            # null text = no words (every other text op's null semantics:
+            # split(null) -> null -> no rows); str(None) would fabricate
+            # the literal word 'none'
+            words = [] if text is None else str(text).lower().strip().split()
             for w in words:
                 got = memo.get(w)
                 if got is None:

@@ -2863,6 +2863,173 @@ GROUP BY ROLLUP(event_type, user_id % 10)
 
 
 # --------------------------------------------------------------------------
+# BPE oracles (retire the rows-only category). Training is iterative, but
+# the registry query pins n_merges to a CONSTANT, so the oracle is a
+# GENERATED chain of n_merges CTE stages over the distinct-word frequency
+# table, each replaying one training round of dataops.text.bpe_train exactly:
+#   p{r}: freq-weighted adjacent-pair counts (lateral UNNEST of positions);
+#   b{r}: the argmax pair, count desc then lexicographically smallest —
+#         the identical deterministic tie-break the trainer uses;
+#   w{r}: the merge applied LEFT-TO-RIGHT NON-OVERLAPPING — the same i+=2
+#         semantics as the Python loop and _bpe_train_distributed's
+#         F.aggregate fold. Two rejected formulations, for the record:
+#         a delimited-string replace() diverges on same-symbol runs (the
+#         consumed delimiter makes 'aaaaaa' yield [aa,a,aa,a] where the
+#         trainer yields [aa,aa,aa]), and a list_reduce fold hits a DuckDB
+#         1.0 bug (struct-typed accumulators are not threaded — the fold
+#         returns only the last element). Instead the apply is pure window
+#         SQL: a position i merges iff match(i) and i was not consumed by
+#         the merge at i-1; adjacent match positions only occur when
+#         left = right (else syms[i+1] would have to equal both), so the
+#         kept positions are exactly the EVEN OFFSETS within each maximal
+#         run of consecutive match positions — runs found with the
+#         i - row_number() grouping trick. (The merged symbol can never
+#         re-match within the round: left||right = left or = right would
+#         need an empty side.)
+# Early termination (top pair count < 2) needs no special casing: the round
+# leaves the vocab unchanged, so every later round re-derives the same empty
+# b{r} and the merge list just comes out shorter — same as the Python break.
+#
+# The ENCODE oracle extends the chain: it replays _bpe_apply (merge ONE pair
+# at a time — lowest training rank first, leftmost position on ties) as a
+# recursive CTE over the DISTINCT words; a word leaves the working set when
+# no ranked pair remains, and the per-word token counts join back to docs.
+# --------------------------------------------------------------------------
+
+def _bpe_round_sql(r: int) -> str:
+    """One training round: pair counts -> best pair -> positional apply.
+    Every stage is MATERIALIZED: w{r-1} is referenced three times per
+    round, so DuckDB's default CTE inlining would re-evaluate the chain
+    exponentially (observed as 'too many open files' before the fix)."""
+    return f"""
+, p{r} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r2, CAST(SUM(freq) AS BIGINT) AS c
+  FROM w{r - 1}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT l, r2 FROM p{r} WHERE c >= 2 ORDER BY c DESC, l, r2 LIMIT 1
+), mt{r} AS MATERIALIZED (
+  SELECT e.w, t.i
+  FROM w{r - 1} e, UNNEST(range(1, len(e.syms))) AS t(i), b{r} b
+  WHERE e.syms[t.i] = b.l AND e.syms[t.i + 1] = b.r2
+), s{r} AS MATERIALIZED (
+  SELECT w, list(i ORDER BY i) AS sel FROM (
+    SELECT w, i, MIN(i) OVER (PARTITION BY w, grp) AS rs FROM (
+      SELECT w, i,
+             i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM mt{r})
+  ) WHERE (i - rs) % 2 = 0
+  GROUP BY w
+), w{r} AS MATERIALIZED (
+  SELECT e.w,
+    CASE WHEN s.sel IS NULL THEN e.syms ELSE
+      list_filter(
+        list_transform(range(1, len(e.syms) + 1), j ->
+          CASE WHEN list_contains(s.sel, j) THEN b.l || b.r2
+               WHEN list_contains(s.sel, j - 1) THEN NULL
+               ELSE e.syms[j] END),
+        v -> v IS NOT NULL
+      ) END AS syms,
+    e.freq
+  FROM w{r - 1} e
+  LEFT JOIN s{r} s ON s.w = e.w
+  LEFT JOIN b{r} b ON TRUE
+)"""
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared prefix: tokenize -> distinct-word freqs -> n_merges rounds.
+    Tokenization mirrors bpe_train (lower, trim, split \\s+, non-empty) —
+    byte-identical to Python str.split() on this corpus (ASCII, standard
+    whitespace; verified by scan)."""
+    head = r"""WITH RECURSIVE t1 AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+), wf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM t1 GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms, freq
+  FROM wf
+)"""
+    return head + "".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+
+
+def _bpe_merges_union(n_merges: int, cols: str = "merge_rank, l, r2") -> str:
+    first = cols.split(",")[0].strip()
+    return "\nUNION ALL ".join(
+        f"SELECT {r - 1} AS {first}, l, r2 FROM b{r}" if r == 1
+        else f"SELECT {r - 1}, l, r2 FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+
+
+def _bpe_oracle_train(n_merges: int) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+       l AS "left", r2 AS "right"
+FROM ({_bpe_merges_union(n_merges)})
+"""
+    )
+
+
+def _bpe_oracle_encode(n_merges: int) -> str:
+    # DuckDB 1.0 quirk: a recursive member that JOINs a CTE depending on
+    # the MATERIALIZED chain silently iterates zero times. Workaround: the
+    # ranked merge list rides along as a per-row list column ('l r' keys,
+    # rank = 1-based list position), seeded in the NON-recursive anchor
+    # (where chain references bind fine); the recursive member is then
+    # pure row-local list expressions. The space delimiter is safe —
+    # symbols come from whitespace-split words. Each step applies the
+    # lowest-rank, leftmost-position pair (list_sort on struct(r, p) is
+    # field-order lexicographic), exactly _bpe_apply's min((rank, i)).
+    return (
+        _bpe_chain_sql(n_merges)
+        + f"""
+, merges AS (
+  {_bpe_merges_union(n_merges, "rank, l, r2")}
+), dw AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM t1 GROUP BY doc_id, w
+), enc AS (
+  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS syms,
+         0 AS step,
+         (SELECT list(l || ' ' || r2 ORDER BY rank) FROM merges) AS ms
+  FROM (SELECT DISTINCT w FROM t1)
+  UNION ALL
+  SELECT w,
+         syms[1:b.p - 1] || [syms[b.p] || syms[b.p + 1]]
+           || syms[b.p + 2:len(syms)] AS syms,
+         step + 1, ms
+  FROM (
+    SELECT w, syms, step, ms,
+           list_sort(list_filter(
+             list_transform(range(1, len(syms)), i -> struct_pack(
+               r := list_position(ms, syms[i] || ' ' || syms[i + 1]),
+               p := i)),
+             x -> x.r > 0))[1] AS b
+    FROM enc
+  ) WHERE b.p IS NOT NULL
+), encf AS (
+  SELECT w, len(syms) AS n_toks FROM enc
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+), agg AS (
+  SELECT dw.doc_id, CAST(SUM(dw.n) AS BIGINT) AS n_words,
+         CAST(SUM(dw.n * encf.n_toks) AS BIGINT) AS n_tokens
+  FROM dw JOIN encf ON dw.w = encf.w
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3899,11 +4066,11 @@ QUERIES: dict[str, QuerySpec] = {
         "embedding fuzzy dedup: LSH cosine pairs -> components -> keep",
     ),
     # BPE tokenizer training (Sennrich et al. 2016): distributed word-
-    # frequency table + size-gated merge loop. Inherently ITERATIVE
-    # (each merge reshapes the next round's counts) — no engine expresses
-    # it as one query, so this is a documented rows-only entry (oracle
-    # omitted); determinism is pytest-pinned instead (tie-breaks are
-    # lexicographic, results identical under any repartitioning).
+    # frequency table + size-gated merge loop. The loop is iterative, but
+    # n_merges is a registry CONSTANT, so the oracle replays it as a
+    # generated 24-stage CTE chain (_bpe_oracle_train above) — exact value
+    # verification, stage-for-stage, including the lexicographic tie-break
+    # and the non-overlapping left-to-right merge apply.
     "docs_bpe_train": QuerySpec(
         lambda spark, sf_dir: spark.createDataFrame(
             [
@@ -3918,8 +4085,8 @@ QUERIES: dict[str, QuerySpec] = {
             ],
             "merge_rank long, left string, right string",
         ),
-        None,
-        "BPE merge-list training (iterative; rows-only by nature)",
+        _bpe_oracle_train(24),
+        "BPE merge-list training, 24-stage generated CTE oracle",
     ),
 }
 
@@ -4369,9 +4536,9 @@ QUERIES.update({
         "multinomial NB doc classifier (add-1), fit + self-classify",
     ),
     # Tokenizer APPLY: BPE-encode the corpus with merges trained on it.
-    # The per-word merge loop is inherently iterative (no SQL form), so
-    # like docs_bpe_train this is rows-only at the driver; word-level
-    # parity with the driver encoder is pytest-pinned.
+    # The per-word merge loop (lowest rank first, leftmost on ties) is
+    # replayed exactly by the oracle's recursive CTE (_bpe_oracle_encode);
+    # word-level parity with the driver encoder is also pytest-pinned.
     "docs_bpe_encode": QuerySpec(
         lambda spark, sf_dir: (
             lambda text_mod: text_mod.bpe_encode_docs(
@@ -4381,8 +4548,8 @@ QUERIES.update({
                 ),
             ).select("doc_id", "n_words", "n_tokens")
         )(__import__("vector_spark.dataops.text", fromlist=["bpe_train"])),
-        None,
-        "distributed BPE tokenizer apply (iterative; rows-only by nature)",
+        _bpe_oracle_encode(24),
+        "distributed BPE tokenizer apply, recursive-CTE oracle",
     ),
 })
 
