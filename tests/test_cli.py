@@ -113,6 +113,53 @@ def test_run_batch(cfg_file, spark):
     assert "out" in out  # the memory sink executed
 
 
+def test_run_streaming_detection_any_input(tmp_path, spark):
+    """A sink whose FIRST input is batch but a LATER input is streaming
+    must take the streaming path: detection checks every resolved input
+    of every sink, not just the first."""
+    from vector_spark.cli import _topology_is_streaming
+    from vector_spark.config.loader import build_topology
+
+    p = tmp_path / "mixed.yaml"
+    p.write_text(
+        """
+sources:
+  batch_src:
+    type: values
+    rows:
+      - {seq: 0}
+  stream_src:
+    type: rate
+    rows_per_second: 1
+sinks:
+  out:
+    type: memory
+    inputs: [batch_src, stream_src]
+"""
+    )
+    import yaml
+
+    topo = build_topology(spark, yaml.safe_load(p.read_text()))
+    assert _topology_is_streaming(topo)
+
+    q = tmp_path / "batch.yaml"
+    q.write_text(
+        """
+sources:
+  batch_src:
+    type: values
+    rows:
+      - {seq: 0}
+sinks:
+  out:
+    type: memory
+    inputs: [batch_src]
+"""
+    )
+    topo2 = build_topology(spark, yaml.safe_load(q.read_text()))
+    assert not _topology_is_streaming(topo2)
+
+
 def test_test_subcommand(tmp_path, spark):
     from vector_spark.cli import cmd_test
 

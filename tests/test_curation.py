@@ -233,3 +233,41 @@ def test_cap_per_source(spark):
     # s1 over the cap: keep largest n_chars, id tiebreak -> 3, 4;
     # s2 under the cap: passes through untouched
     assert kept == {3, 4, 5}
+
+
+def test_cap_per_source_null_source_group(spark):
+    """NULL source is a group like any other: groupBy and the ranking
+    window treat NULLs as one partition, so the semi/anti joins must be
+    null-safe — a plain equi-join never matches NULL and an over-cap
+    NULL-source group would bypass the cap entirely (the oracle's
+    QUALIFY-over-all-partitions semantics cap it)."""
+    from vector_spark.dataops.curation import cap_per_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, 10),
+            (2, None, 20),
+            (3, None, 30),
+            (4, "s1", 5),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = {r.doc_id for r in cap_per_source(docs, 2).collect()}
+    assert kept == {2, 3, 4}
+
+
+def test_remove_duplicate_spans_no_forced_broadcast(spark):
+    """The survivor table's size is corpus-dependent (every span
+    duplicated across >= min_docs docs — corpus-fraction scale per Lee
+    et al.), so the plan must carry NO broadcast hint anywhere: AQE
+    picks broadcast only when the measured size fits, sort-merge
+    otherwise, instead of a forced hint OOMing at 100 TB."""
+    from vector_spark.dataops.curation import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(docs, k=4, min_docs=2)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed

@@ -246,6 +246,19 @@ def cmd_test(paths: list[str], spark=None) -> tuple[str, bool]:
     return "\n".join(lines), ok
 
 
+def _topology_is_streaming(topo) -> bool:
+    """True if ANY resolved input of ANY sink is a streaming DataFrame.
+    Checking only each sink's first input would route a mixed
+    batch+streaming sink down the batch path and die in an engine
+    AnalysisException instead of starting streaming sinks."""
+    return any(
+        topo.outputs[inp].isStreaming
+        for s in topo.sinks.values()
+        for inp in s.get("inputs", [])
+        if inp in topo.outputs
+    )
+
+
 def cmd_run(paths: list[str], spark=None) -> dict:
     """Execute the topology: batch sinks run to completion; if any sink
     is streaming, start all streaming sinks and block (reference default
@@ -258,12 +271,7 @@ def cmd_run(paths: list[str], spark=None) -> dict:
 
     spark = spark or _get_spark()
     topo = build_topology(spark, _parse_configs(paths))
-    streaming = any(
-        topo.outputs[next(iter(s.get("inputs", [])), "")].isStreaming
-        for s in topo.sinks.values()
-        if s.get("inputs")
-    )
-    if streaming:
+    if _topology_is_streaming(topo):
         qs = start_streaming_sinks(topo)
         spark.streams.awaitAnyTermination()
         return {name: "terminated" for name in qs}

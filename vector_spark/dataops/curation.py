@@ -414,12 +414,18 @@ def remove_duplicate_spans(
 
     Scale shape: one span-explode scan feeding ONE corpus-wide span
     aggregation (count_distinct doc + min canonical key ride the same
-    exchange, map-side combined); the survivor table (boilerplate-
-    bounded) broadcasts back onto a second span scan to mark removed
-    occurrences; covered positions aggregate per doc (duplicated-volume-
-    sized shuffle, k rows per removed occurrence); the rewrite itself is
-    a broadcast-joined pure-Column filter over the original docs — the
-    corpus text NEVER enters a shuffle. Returns (doc_id, clean_text)."""
+    exchange, map-side combined); the survivor table joins back onto a
+    second span scan to mark removed occurrences — with NO broadcast
+    hint: survivor cardinality is the number of distinct duplicated
+    spans, corpus-dependent (Lee et al. found duplicate text at corpus-
+    fraction scale), so AQE broadcasts it when it measures small and
+    sort-merges otherwise instead of a forced hint OOMing the driver at
+    100 TB; covered positions aggregate per doc (duplicated-volume-sized
+    shuffle, k rows per removed occurrence); the rewrite is a pure-
+    Column projection over the original docs (kept positions via ONE
+    array_except — linear, not the O(L*|cov|) per-word array_contains
+    scan) — the corpus text NEVER enters a shuffle. Returns
+    (doc_id, clean_text)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
@@ -447,7 +453,7 @@ def remove_duplicate_spans(
         )
     )
     removed = (
-        spans.join(F.broadcast(survivors), "span")
+        spans.join(survivors, "span")
         .where(
             ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
         )
@@ -463,6 +469,12 @@ def remove_duplicate_spans(
     )
     arr = _words(F.col(text_col))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    # kept positions in ONE linear array_except (hash-set lookup) instead
+    # of an array_contains scan per word (quadratic when most of a long
+    # doc is covered); sequence order survives array_except, so the
+    # surviving words stay in document order. split() never returns an
+    # empty array for non-null text, so sequence(0, size-1) is ascending.
+    kept = F.array_except(F.sequence(F.lit(0), F.size(arr) - 1), cov)
     return (
         docs.join(
             covered, docs[id_col] == covered["_doc"], "left"
@@ -470,7 +482,7 @@ def remove_duplicate_spans(
         .select(
             F.col(id_col),
             F.array_join(
-                F.filter(arr, lambda w, i: ~F.array_contains(cov, i)), " "
+                F.transform(kept, lambda p: F.get(arr, p)), " "
             ).alias("clean_text"),
         )
     )
@@ -500,14 +512,21 @@ def cap_per_source(
     from pyspark.sql.window import Window
 
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    over = counts.where(F.col("_n") > n).select(source_col)
-    under_docs = docs.join(F.broadcast(over), source_col, "left_anti")
+    over = counts.where(F.col("_n") > n).select(
+        F.col(source_col).alias("_src")
+    )
+    # null-safe join keys: groupBy and the window treat NULL source as one
+    # group, so the semi/anti joins must too — a plain equi-join never
+    # matches NULL and would let an over-cap NULL-source group bypass the
+    # cap entirely
+    on = F.col(source_col).eqNullSafe(F.col("_src"))
+    under_docs = docs.join(F.broadcast(over), on, "left_anti")
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
     )
     capped = (
-        docs.join(F.broadcast(over), source_col, "leftsemi")
+        docs.join(F.broadcast(over), on, "leftsemi")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n)
         .drop("_rk")
@@ -537,7 +556,10 @@ def sample_exact_k(
     normal regime so the output never concentrates."""
     from pyspark.sql.window import Window
 
-    h = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(_MOD)
+    # same formulation as consistent_sample above: pmod + long cast, so
+    # negative ids rank by non-negative remainders and the multiply can't
+    # hit ANSI int overflow (the signed % operator diverges on both)
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(_MOD))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_rk", F.row_number().over(w))
