@@ -1,7 +1,7 @@
-"""CLI: convert a topology config between YAML/TOML/JSON (the reference's
-`vector convert-config`, src/convert_config.rs — it converts TOML→YAML/
-JSON; this accepts any of the three in and YAML or JSON out; TOML output
-would need a writer dependency, documented delta).
+"""CLI: convert a topology config between YAML/TOML/JSON — thin wrapper
+kept for compatibility; the real implementation is the
+`python -m vector_spark convert-config` subcommand (vector_spark/cli.py,
+mirroring the reference's src/convert_config.rs).
 
 Usage:
   python scripts/convert_config.py pipeline.toml pipeline.yaml
@@ -10,7 +10,6 @@ Usage:
 
 from __future__ import annotations
 
-import json
 import sys
 
 sys.path.insert(0, ".")
@@ -20,22 +19,13 @@ def main() -> None:
     if len(sys.argv) != 3:
         print(__doc__)
         sys.exit(2)
-    src, dst = sys.argv[1], sys.argv[2]
-    from vector_spark.config.loader import parse_config
+    from vector_spark.cli import cmd_convert_config
 
-    cfg = parse_config(src)
-    if dst.endswith(".json"):
-        text = json.dumps(cfg, indent=2)
-    elif dst.endswith((".yaml", ".yml")):
-        import yaml
-
-        text = yaml.safe_dump(cfg, sort_keys=False)
-    else:
-        print(f"unsupported output format: {dst}", file=sys.stderr)
+    try:
+        print(cmd_convert_config(sys.argv[1], sys.argv[2]))
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
         sys.exit(2)
-    with open(dst, "w") as f:
-        f.write(text)
-    print(f"wrote {dst}")
 
 
 if __name__ == "__main__":

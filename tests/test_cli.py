@@ -160,6 +160,68 @@ sinks:
     assert not _topology_is_streaming(topo2)
 
 
+def test_top_renders_live_throughput(tmp_path, spark):
+    """`top` starts the streaming sinks and renders one throughput frame
+    per engine progress event (ProgressBarrier-driven — no sleeps); the
+    deterministic rate-micro-batch source makes the row counts exact."""
+    from vector_spark.cli import cmd_top
+
+    p = tmp_path / "stream.yaml"
+    p.write_text(
+        """
+sources:
+  gen:
+    type: rate
+    rows_per_batch: 100
+sinks:
+  out:
+    type: memory
+    inputs: [gen]
+"""
+    )
+    frames = cmd_top([str(p)], spark=spark, frames=2)
+    assert len(frames) == 2
+    for frame in frames:
+        assert frame.splitlines()[0].startswith("QUERY")
+    # by frame 2 the engine has reported >= 1 deterministic batch; the
+    # engine may have run MORE batches than frames rendered, so assert a
+    # positive multiple of the exact batch size, not a literal count
+    row = next(
+        ln for ln in frames[-1].splitlines()[1:] if ln.startswith("out")
+    )
+    batches, rows = int(row.split()[1]), int(row.split()[2])
+    assert batches >= 1 and rows == batches * 100
+    # every started query was stopped on exit
+    assert not spark.streams.active
+
+
+def test_top_rejects_batch_topology(cfg_file, spark):
+    from vector_spark.cli import cmd_top
+
+    with pytest.raises(ValueError, match="streaming topology"):
+        cmd_top([cfg_file], spark=spark, frames=1)
+
+
+def test_convert_config_roundtrip(tmp_path, cfg_file):
+    """convert-config rewrites a topology between formats; the converted
+    file still validates and parses back to the same dict."""
+    from vector_spark.cli import cmd_convert_config
+    from vector_spark.config.loader import parse_config
+
+    out_json = tmp_path / "topo.json"
+    msg = cmd_convert_config(cfg_file, str(out_json))
+    assert msg == f"wrote {out_json}"
+    assert parse_config(str(out_json)) == parse_config(cfg_file)
+    assert "3 components" in cmd_validate([str(out_json)])
+
+    back = tmp_path / "back.yaml"
+    cmd_convert_config(str(out_json), str(back))
+    assert parse_config(str(back)) == parse_config(cfg_file)
+
+    with pytest.raises(ValueError, match="unsupported output format"):
+        cmd_convert_config(cfg_file, str(tmp_path / "topo.toml"))
+
+
 def test_test_subcommand(tmp_path, spark):
     from vector_spark.cli import cmd_test
 

@@ -26,6 +26,14 @@ SubCommand enum):
 - ``generate EXPR``      emit a YAML skeleton from a
                          ``sources/transforms/sinks`` expression
                          (``src/generate.rs`` topology heuristic)
+- ``top CONFIG...``      start the topology's streaming sinks and render a
+                         live per-query throughput table from the engine's
+                         own progress stream (``src/cli.rs:462`` /
+                         ``src/top/cmd.rs``; display re-renders per progress
+                         event, never on a wall-clock poll)
+- ``convert-config``     convert a topology config between YAML/TOML/JSON
+                         (``src/convert_config.rs``; TOML out would need a
+                         writer dependency — documented delta)
 
 The type lists in ``list`` are extracted from the loader's dispatch code
 itself (self-maintaining — adding a component to the loader adds it to
@@ -280,6 +288,89 @@ def cmd_run(paths: list[str], spark=None) -> dict:
     }
 
 
+def cmd_top(
+    paths: list[str],
+    spark=None,
+    frames: int | None = None,
+    out=None,
+    timeout: float = 60.0,
+) -> list[str]:
+    """Live per-component throughput (reference ``vector top``,
+    ``src/top/cmd.rs``): start the topology's streaming sinks, attach the
+    TopListener, and re-render the QUERY/BATCHES/ROWS/ROWS/S/BATCH MS
+    table as the engine's progress stream updates. ``frames`` bounds the
+    rendered frames (None = until interrupted or every query ends).
+    Event-driven: each frame waits on the ProgressBarrier for the next
+    progress event — no wall-clock poll. Returns the frames; also prints
+    them to ``out`` when given (stdout gets a clear-screen prefix, the
+    reference dashboard behavior)."""
+    from vector_spark.config.loader import (
+        build_topology,
+        start_streaming_sinks,
+    )
+    from vector_spark.streaming.monitor import attach_barrier, attach_top
+
+    spark = spark or _get_spark()
+    topo = build_topology(spark, _parse_configs(paths))
+    if not _topology_is_streaming(topo):
+        raise ValueError(
+            "top needs a streaming topology; use `run` for batch configs"
+        )
+    listener = attach_top(spark)
+    barrier = attach_barrier(spark)
+    qs = start_streaming_sinks(topo)
+    lead = next(iter(qs.values()))
+    rendered: list[str] = []
+    try:
+        n = 0
+        while frames is None or n < frames:
+            try:
+                barrier.wait(lead, batches=n + 1, timeout=timeout)
+            except AssertionError:
+                if lead.isActive:
+                    raise  # genuine stall — surface the backstop
+                break  # terminated: final frame below, then exit
+            frame = listener.render()
+            rendered.append(frame)
+            if out is not None:
+                prefix = "\x1b[2J\x1b[H" if out is sys.stdout else ""
+                print(f"{prefix}{frame}", file=out, flush=True)
+            n += 1
+    finally:
+        for q in qs.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.streams.removeListener(listener)
+        spark.streams.removeListener(barrier)
+    return rendered
+
+
+def cmd_convert_config(src: str, dst: str) -> str:
+    """Convert a topology config between formats (reference
+    ``vector convert-config``, ``src/convert_config.rs`` — it converts
+    TOML→YAML/JSON; this accepts any of YAML/TOML/JSON in and writes
+    YAML or JSON out; TOML output would need a writer dependency,
+    documented delta)."""
+    from vector_spark.config.loader import parse_config
+
+    cfg = parse_config(src)
+    if dst.endswith(".json"):
+        text = json.dumps(cfg, indent=2)
+    elif dst.endswith((".yaml", ".yml")):
+        import yaml
+
+        text = yaml.safe_dump(cfg, sort_keys=False)
+    else:
+        raise ValueError(
+            f"unsupported output format: {dst} (want .yaml/.yml/.json)"
+        )
+    with open(dst, "w") as f:
+        f.write(text)
+    return f"wrote {dst}"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vector_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -304,6 +395,19 @@ def main(argv: list[str] | None = None) -> int:
         "generate", help="emit a config skeleton from 'src/trans/sink'"
     )
     sp.add_argument("expression")
+    sp = sub.add_parser(
+        "top", help="live per-query throughput for a streaming topology"
+    )
+    sp.add_argument("config", nargs="+")
+    sp.add_argument(
+        "--frames", type=int, default=None,
+        help="stop after N rendered frames (default: run until terminated)",
+    )
+    sp = sub.add_parser(
+        "convert-config", help="convert a config between YAML/TOML/JSON"
+    )
+    sp.add_argument("input")
+    sp.add_argument("output")
 
     args = p.parse_args(argv)
     try:
@@ -328,6 +432,10 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         elif args.cmd == "run":
             print(json.dumps(cmd_run(args.config)))
+        elif args.cmd == "top":
+            cmd_top(args.config, frames=args.frames, out=sys.stdout)
+        elif args.cmd == "convert-config":
+            print(cmd_convert_config(args.input, args.output))
     except Exception as e:  # reference CLI: error to stderr, exit 78
         print(f"error: {e}", file=sys.stderr)
         return 78
