@@ -78,6 +78,8 @@ HEADLINE = [
     "docs_sample_exact_k",
     "docs_dedup_keep_best",
     "docs_normalize_text",
+    # round-7 additions
+    "docs_tokenizer_pipeline",
 ]
 
 
@@ -98,6 +100,15 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # ...and the two driver-side first-touch costs the size-gated
+    # iterative ops (bpe_train's merge loop) would otherwise absorb into
+    # their first timing (r6 verdict "what's wrong #3", measured here:
+    # first collect ~0.3s, first createDataFrame ~2.1s of one-time
+    # conversion setup — session overhead, not operator cost; the
+    # remaining ~3s first-run tokenize codegen is per-query and already
+    # removed by min-of-3):
+    spark.range(4).collect()
+    spark.createDataFrame([(0, "w")], "i long, s string").count()
 
     # three runs per query, keep the min: the first run pays codegen/JIT
     # and absorbs host noise; min-of-3 measures the engine, not the

@@ -1,0 +1,162 @@
+"""sf1 receipts for the round-6/7 heavy multi-shuffle ops.
+
+Benchmarks nb_classify, bigram_lm_score, dedup_keep_best (the three new
+multi-shuffle pipelines) and remove_duplicate_spans (the de-forced-
+broadcast rewrite) at 1x (sf0.1) and Nx (default 10x ~ sf1), using the
+same corpus-growth model as ab_duplicate_spans: doc_ids offset per
+replica AND every word suffix-tagged per replica, so each replica keeps
+its internal duplicate/language structure while replicas share no
+spans/vocab — the survivors/corpus and vocab/corpus ratios stay at the
+real distribution instead of degenerating.
+
+Per op and scale: min-of-N cold wall time (cache registry cleared each
+run), per-run shuffle WRITE bytes from the status REST API, and the
+plan-shape predicates each op's docstring claims (no cartesian product;
+scan count). The receipt SCALING.md wants is the 10x/1x ratio table:
+linear-ish shuffle growth = the claimed shape holds at scale; a
+quadratic jump or an OOM = it does not.
+
+Usage: python scripts/sf1_receipts.py [replicas] [runs]
+Prints one JSON line. Writes only under /tmp.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from vector_spark import cache  # noqa: E402
+from vector_spark.dataops.curation import remove_duplicate_spans  # noqa: E402
+from vector_spark.dataops.dedup import (  # noqa: E402
+    dedup_keep_best,
+    minhash_lsh_pairs,
+)
+from vector_spark.dataops.text import bigram_lm_score, nb_classify  # noqa: E402
+from vector_spark.session import get_spark  # noqa: E402
+
+UI_PORT = 40412
+
+
+def total_shuffle_bytes() -> int:
+    import urllib.request
+
+    try:
+        apps = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{UI_PORT}/api/v1/applications", timeout=10
+            )
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages",
+                timeout=10,
+            )
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def replicated_docs(spark, sf_dir: str, replicas: int) -> DataFrame:
+    path = f"/tmp/sf1_docs_x{replicas}.parquet"
+    if not os.path.exists(path):
+        base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = base.count()
+        reps = [
+            base.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(i * n)).cast("long")
+            ).withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1•{i}")
+            )
+            for i in range(replicas)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+OPS = {
+    "nb_classify": lambda docs: nb_classify(docs),
+    "bigram_lm_score": lambda docs: bigram_lm_score(docs),
+    "dedup_keep_best": lambda docs: dedup_keep_best(
+        docs,
+        minhash_lsh_pairs(docs, num_hashes=64, bands=32, exact_verify=True),
+        score_col="n_chars",
+    ),
+    "remove_duplicate_spans": lambda docs: remove_duplicate_spans(
+        docs, k=5, min_docs=2
+    ),
+}
+
+
+def bench(fn, docs: DataFrame, runs: int) -> dict:
+    best, rows, plan = None, 0, ""
+    sb0 = total_shuffle_bytes()
+    for _ in range(runs):
+        cache.clear_caches(blocking=True)
+        t0 = time.perf_counter()
+        df = fn(docs)
+        rows = df.count()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    sb1 = total_shuffle_bytes()
+    per_run = (sb1 - sb0) // runs if sb0 >= 0 and sb1 >= 0 else -1
+    return {
+        "wall_s": round(best, 2),
+        "rows": rows,
+        "shuffle_mb": round(per_run / 1e6, 1) if per_run >= 0 else -1,
+        "cartesian": "CartesianProduct" in plan,
+    }
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "sf1_receipts",
+        cpus=32,
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    big = replicated_docs(spark, sf_dir, replicas)
+
+    out: dict = {
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "runs": runs,
+        "loadavg_start": round(os.getloadavg()[0], 2),
+        "ops": {},
+    }
+    for name, fn in OPS.items():
+        r1 = bench(fn, base, runs)
+        rN = bench(fn, big, runs)
+        out["ops"][name] = {
+            "x1": r1,
+            f"x{replicas}": rN,
+            "wall_ratio": round(rN["wall_s"] / max(r1["wall_s"], 1e-9), 1),
+            "shuffle_ratio": (
+                round(rN["shuffle_mb"] / max(r1["shuffle_mb"], 1e-9), 1)
+                if r1["shuffle_mb"] > 0 and rN["shuffle_mb"] > 0
+                else -1
+            ),
+        }
+        print(f"# {name}: {out['ops'][name]}", file=sys.stderr)
+    out["loadavg_end"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -256,6 +256,58 @@ def test_cap_per_source_null_source_group(spark):
     assert kept == {2, 3, 4}
 
 
+def test_tokenizer_pipeline_composes(spark):
+    """The end-to-end flow (normalize -> cap -> de-span -> BPE train/
+    encode -> pack on the real tokenizer counts) composes on a corpus
+    engineered so every stage acts: accents normalize, the cap drops a
+    doc, the duplicated span is cut from the non-canonical doc, and the
+    packing offsets accumulate the ENCODED token counts in id order."""
+    from vector_spark.dataops.curation import (
+        cap_per_source,
+        pack_shards,
+        remove_duplicate_spans,
+    )
+    from vector_spark.dataops.text import (
+        bpe_encode_docs,
+        bpe_train,
+        normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", 30, "Héllo wörld alpha beta gamma delta"),
+            (2, "s1", 20, "hello world alpha beta gamma none"),
+            (3, "s1", 10, "tiny"),  # smallest: dropped by cap=2
+            (4, "s2", 25, "solo doc over here"),
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    norm = docs.select(
+        "doc_id", "source", "n_chars",
+        normalize_text(F.col("text")).alias("text"),
+    )
+    kept = cap_per_source(norm, 2)
+    capped = norm.join(kept.select("doc_id"), "doc_id")
+    cleaned = remove_duplicate_spans(capped, k=5, min_docs=2)
+    texts = {r.doc_id: r.clean_text for r in cleaned.collect()}
+    assert set(texts) == {1, 2, 4}  # doc 3 capped away
+    # normalization folded the accents, so docs 1 and 2 share the 5-word
+    # span "hello world alpha beta gamma"; canonical (doc 1, pos 0) stays
+    assert texts[1] == "hello world alpha beta gamma delta"
+    assert texts[2] == "none"
+    merges = bpe_train(cleaned, text_col="clean_text", n_merges=4)
+    enc = bpe_encode_docs(cleaned, merges, text_col="clean_text")
+    manifest = pack_shards(
+        enc.join(capped.select("doc_id", "source"), "doc_id"),
+        token_budget=10, group_col="source", tokens_col="n_tokens",
+    ).collect()
+    rows = {r.doc_id: r for r in manifest}
+    n1 = rows[1].n_tokens
+    assert rows[1].start_offset == 0 and rows[2].start_offset == n1
+    assert rows[2].shard == n1 // 10 and rows[4].start_offset == 0
+
+
 def test_remove_duplicate_spans_no_forced_broadcast(spark):
     """The survivor table's size is corpus-dependent (every span
     duplicated across >= min_docs docs — corpus-fraction scale per Lee

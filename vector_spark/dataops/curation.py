@@ -214,6 +214,7 @@ def pack_shards(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy token-budget packing: assign documents to training shards of
     ~token_budget tokens each, within each group (source/dump/language —
@@ -223,13 +224,21 @@ def pack_shards(
     document's shard is the budget bucket its starting token offset falls
     in. The window is PARTITIONED by the group — this never degenerates to
     a global single-task sort (cf. tests/test_plans.py invariant).
+
+    With *tokens_col*, packs on a precomputed per-document token count
+    (e.g. the REAL tokenizer's output from bpe_encode_docs) instead of
+    the whitespace token_count of *text_col* — the tokenizer-pipeline
+    composition path.
     """
     from vector_spark.dataops.text import token_count
 
     toks = df.select(
         F.col(id_col),
         F.col(group_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        (
+            F.col(tokens_col) if tokens_col is not None
+            else token_count(F.col(text_col))
+        ).alias("n_tokens"),
     )
     from pyspark.sql.window import Window
 

@@ -2937,16 +2937,19 @@ def _bpe_round_sql(r: int) -> str:
 )"""
 
 
-def _bpe_chain_sql(n_merges: int) -> str:
-    """Shared prefix: tokenize -> distinct-word freqs -> n_merges rounds.
-    Tokenization mirrors bpe_train (lower, trim, split \\s+, non-empty) —
+def _bpe_chain_body(
+    n_merges: int, doc_table: str = "documents", text_col: str = "text"
+) -> str:
+    """Chain CTEs WITHOUT the WITH keyword (composable after other CTEs):
+    tokenize -> distinct-word freqs -> n_merges rounds. Tokenization
+    mirrors bpe_train (lower, trim, split \\s+, non-empty) —
     byte-identical to Python str.split() on this corpus (ASCII, standard
     whitespace; verified by scan)."""
-    head = r"""WITH RECURSIVE t1 AS MATERIALIZED (
+    head = rf"""t1 AS MATERIALIZED (
   SELECT doc_id, w FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-    FROM documents
+           unnest(string_split_regex(lower(trim({text_col})), '\s+')) AS w
+    FROM {doc_table}
   ) WHERE length(w) >= 1
 ), wf AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq FROM t1 GROUP BY w
@@ -2955,6 +2958,10 @@ def _bpe_chain_sql(n_merges: int) -> str:
   FROM wf
 )"""
     return head + "".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    return "WITH RECURSIVE " + _bpe_chain_body(n_merges)
 
 
 def _bpe_merges_union(n_merges: int, cols: str = "merge_rank, l, r2") -> str:
@@ -2977,7 +2984,7 @@ FROM ({_bpe_merges_union(n_merges)})
     )
 
 
-def _bpe_oracle_encode(n_merges: int) -> str:
+def _bpe_encode_ctes(n_merges: int) -> str:
     # DuckDB 1.0 quirk: a recursive member that JOINs a CTE depending on
     # the MATERIALIZED chain silently iterates zero times. Workaround: the
     # ranked merge list rides along as a per-row list column ('l r' keys,
@@ -2987,9 +2994,8 @@ def _bpe_oracle_encode(n_merges: int) -> str:
     # symbols come from whitespace-split words. Each step applies the
     # lowest-rank, leftmost-position pair (list_sort on struct(r, p) is
     # field-order lexicographic), exactly _bpe_apply's min((rank, i)).
-    return (
-        _bpe_chain_sql(n_merges)
-        + f"""
+    # Ends with CTE ``agg`` (doc_id, n_words, n_tokens) over t1's docs.
+    return f"""
 , merges AS (
   {_bpe_merges_union(n_merges, "rank, l, r2")}
 ), dw AS (
@@ -3021,10 +3027,93 @@ def _bpe_oracle_encode(n_merges: int) -> str:
          CAST(SUM(dw.n * encf.n_toks) AS BIGINT) AS n_tokens
   FROM dw JOIN encf ON dw.w = encf.w
   GROUP BY dw.doc_id
-)
+)"""
+
+
+def _bpe_oracle_encode(n_merges: int) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + _bpe_encode_ctes(n_merges)
+        + """
 SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
        COALESCE(a.n_tokens, 0) AS n_tokens
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+    )
+
+
+def _tokenizer_pipeline_oracle(
+    cap: int, k: int, min_docs: int, n_merges: int, budget: int
+) -> str:
+    """The END-TO-END pretraining-data flow replayed in one statement:
+    normalize -> cap_per_source -> remove_duplicate_spans -> bpe_train ->
+    bpe_encode -> pack_shards (on the REAL tokenizer counts). Each stage
+    is the same replay its standalone oracle uses, composed over the
+    previous stage's CTE instead of the raw table."""
+    from vector_spark.dataops.text import _ACCENTS_FROM, _ACCENTS_TO
+
+    head = rf"""WITH RECURSIVE norm AS MATERIALIZED (
+  SELECT doc_id, source, n_chars,
+         trim(regexp_replace(
+           translate(lower(text), '{_ACCENTS_FROM}', '{_ACCENTS_TO}'),
+           '[^a-z0-9]+', ' ', 'g')) AS text
+  FROM documents
+), capped AS MATERIALIZED (
+  SELECT doc_id, source, text FROM norm
+  QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id
+  ) <= {cap}
+), wsp AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM capped
+), sp AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[i:i+{k - 1}], ' ') AS span
+  FROM wsp, UNNEST(range(1, greatest(len(ws) - {k - 2}, 1))) AS t(i)
+), ragg AS MATERIALIZED (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id * 1000 + pos) AS firstkey
+  FROM sp GROUP BY span
+), rem AS MATERIALIZED (
+  SELECT s.doc_id, s.pos
+  FROM sp s JOIN ragg a USING (span)
+  WHERE a.n_docs >= {min_docs} AND s.doc_id * 1000 + s.pos <> a.firstkey
+), cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + d AS p
+  FROM rem, UNNEST(range(0, {k})) AS t(d)
+), keep AS MATERIALIZED (
+  SELECT wsp.doc_id, i - 1 AS p, ws[i] AS word
+  FROM wsp, UNNEST(range(1, len(ws) + 1)) AS t(i)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = wsp.doc_id AND c.p = i - 1
+  )
+), rebuilt AS MATERIALIZED (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text
+  FROM keep GROUP BY doc_id
+), cleaned AS MATERIALIZED (
+  SELECT c.doc_id, c.source, COALESCE(r.clean_text, '') AS clean_text
+  FROM capped c LEFT JOIN rebuilt r USING (doc_id)
+), """
+    return (
+        head
+        + _bpe_chain_body(n_merges, "cleaned", "clean_text")
+        + _bpe_encode_ctes(n_merges)
+        + f"""
+, manifest AS (
+  SELECT c.doc_id, c.source,
+         CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM cleaned c LEFT JOIN agg a ON a.doc_id = c.doc_id
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cml
+  FROM manifest
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cml - n_tokens) // {budget} AS BIGINT) AS shard,
+       CAST(cml - n_tokens AS BIGINT) AS start_offset
+FROM cum
 """
     )
 
@@ -4235,7 +4324,58 @@ FROM t1 JOIN counts USING (term) CROSS JOIN total
 GROUP BY doc_id
 """
 
+def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-data flow END-TO-END, one registry entry proving
+    the curation operators COMPOSE (not just pass individually):
+    normalize_text -> cap_per_source -> remove_duplicate_spans ->
+    bpe_train -> bpe_encode_docs -> pack_shards on the real tokenizer
+    counts. Output is the final shard manifest
+    (doc_id, source, n_tokens, shard, start_offset).
+
+    Scale shape: normalization rides the scan; the cap ranks only
+    over-cap sources; span removal never shuffles corpus text; training
+    runs on the distinct-word table; encode is the closure-shipped
+    Arrow UDF with no shuffle; packing is a per-source window. The only
+    corpus-sized exchanges are the span aggregation and the per-source
+    packing window — both keyed to spread."""
+    from vector_spark.dataops.curation import (
+        cap_per_source,
+        pack_shards,
+        remove_duplicate_spans,
+    )
+    from vector_spark.dataops.text import (
+        bpe_encode_docs,
+        bpe_train,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        normalize_text(F.col("text")).alias("text"),
+    )
+    kept = cap_per_source(docs, 20)
+    capped = docs.join(kept.select("doc_id"), "doc_id")
+    cleaned = remove_duplicate_spans(capped, k=5, min_docs=2)
+    merges = bpe_train(cleaned, text_col="clean_text", n_merges=12)
+    encoded = bpe_encode_docs(cleaned, merges, text_col="clean_text")
+    with_src = encoded.join(capped.select("doc_id", "source"), "doc_id")
+    return pack_shards(
+        with_src, token_budget=200, group_col="source",
+        tokens_col="n_tokens",
+    )
+
+
 QUERIES.update({
+    # The end-to-end tokenizer pipeline — every stage replayed by the
+    # composed oracle (_tokenizer_pipeline_oracle), so the final shard
+    # manifest is value-verified through SIX chained operators.
+    "docs_tokenizer_pipeline": QuerySpec(
+        q_tokenizer_pipeline,
+        _tokenizer_pipeline_oracle(
+            cap=20, k=5, min_docs=2, n_merges=12, budget=200
+        ),
+        "normalize -> cap -> de-span -> BPE train/encode -> pack, composed",
+    ),
     # Distributed Lloyd's k-means over the embedding corpus — the
     # SemDeDup/corpus-cartography prerequisite. Value-oracled exactly:
     # DuckDB replays the deterministic fit iteration by iteration.
@@ -4560,19 +4700,21 @@ QUERIES.update({
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
-    # new/changed in r6 — never driver-sampled (clustering + corpus-LM
-    # ops, span removal, source cap, BPE apply) or changed this round
-    # (duplicate_spans strategy rewrite)
+    # new/changed in r7 — the composed tokenizer pipeline, the two BPE
+    # entries with their first real oracles, and the ops whose fixes
+    # changed behavior (span removal broadcast/rewrite, null-source cap)
+    "docs_tokenizer_pipeline", "docs_bpe_train", "docs_bpe_encode",
+    "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
+    # new/changed in r6 — driver-sampled green in r6
     "embeddings_kmeans", "embeddings_semantic_dedup",
     "docs_tfidf_top_terms", "docs_unigram_lm", "docs_duplicate_spans",
-    "docs_remove_duplicate_spans", "docs_source_cap", "docs_bpe_encode",
     "docs_nb_classify", "docs_bigram_lm",
-    "docs_sample_exact_k", "docs_dedup_keep_best", "docs_normalize_text",
+    "docs_dedup_keep_best", "docs_normalize_text",
     # new in r5 — driver-sampled green in r5, keep near the front one round
     "apache_mod_status_codec", "nginx_stub_status_codec", "docs_hash_split",
     # new in r4 — driver-sampled green in r4, keep near the front one round
     "vrl_emit_multi", "native_proto_roundtrip",
-    "docs_redact_pii", "embedding_dedup_components", "docs_bpe_train",
+    "docs_redact_pii", "embedding_dedup_components",
     # never sampled by the driver in any round (new in r3 first)
     "asof_join_enrich", "approx_distinct_users", "approx_quantiles",
     "docs_bpe_pairs", "events_rollup",
