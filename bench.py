@@ -80,6 +80,7 @@ HEADLINE = [
     "docs_normalize_text",
     # round-7 additions
     "docs_tokenizer_pipeline",
+    "docs_dsir_select",
 ]
 
 

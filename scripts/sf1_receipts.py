@@ -16,7 +16,7 @@ scan count). The receipt SCALING.md wants is the 10x/1x ratio table:
 linear-ish shuffle growth = the claimed shape holds at scale; a
 quadratic jump or an OOM = it does not.
 
-Usage: python scripts/sf1_receipts.py [replicas] [runs]
+Usage: python scripts/sf1_receipts.py [replicas] [runs] [op ...]
 Prints one JSON line. Writes only under /tmp.
 """
 from __future__ import annotations
@@ -104,7 +104,16 @@ def bench(fn, docs: DataFrame, runs: int) -> dict:
         cache.clear_caches(blocking=True)
         t0 = time.perf_counter()
         df = fn(docs)
-        rows = df.count()
+        # force EVERY column: a bare count() lets Catalyst eliminate
+        # unique-key left joins and prune the computed columns — e.g.
+        # remove_duplicate_spans' whole span pipeline vanished and the
+        # receipt timed a parquet count
+        agg = df.agg(
+            F.count(F.lit(1)),
+            # pmod bounds the per-row term so the ANSI sum can't overflow
+            F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_003))),
+        ).collect()[0]
+        rows = agg[0]
         dt = time.perf_counter() - t0
         if best is None or dt < best:
             best = dt
@@ -122,6 +131,7 @@ def bench(fn, docs: DataFrame, runs: int) -> dict:
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    only = set(sys.argv[3:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "sf1_receipts",
@@ -141,6 +151,8 @@ def main() -> None:
         "ops": {},
     }
     for name, fn in OPS.items():
+        if only and name not in only:
+            continue
         r1 = bench(fn, base, runs)
         rN = bench(fn, big, runs)
         out["ops"][name] = {

@@ -256,6 +256,75 @@ def test_cap_per_source_null_source_group(spark):
     assert kept == {2, 3, 4}
 
 
+def test_dsir_select_matches_reference_math(spark):
+    """DSIR importance weights equal an independent pure-Python
+    implementation of the same hashed-ngram log-ratio estimator, and
+    the top-k is deterministic under repartitioning."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from vector_spark.dataops.curation import dsir_select
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "en", "the quick brown fox"),
+        (2, "en", "the lazy dog sleeps"),
+        (3, "xx", "zorg blip zorg blip"),
+        (4, "xx", "the quick brown cat"),
+        (5, "xx", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r.score
+        for r in dsir_select(docs, 5, F.col("lang") == "en").collect()
+    }
+
+    def feats(text):
+        ws = text.lower().strip().split()
+        return [w for w in ws] + [
+            f"{a} {b}" for a, b in zip(ws, ws[1:])
+        ]
+
+    def bucket(f):
+        return hashlib.md5(f.encode()).hexdigest()[:3]
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for doc_id, lang, text in rows:
+        c = Counter(bucket(f) for f in feats(text))
+        per_doc[doc_id] = c
+        raw.update(c)
+        if lang == "en":
+            tgt.update(c)
+    traw, ttgt, B = sum(raw.values()), sum(tgt.values()), 16 ** 3
+    for doc_id, c in per_doc.items():
+        want = round(
+            sum(
+                n * (
+                    math.log(tgt[b] + 1) - math.log(ttgt + B)
+                    - math.log(raw[b] + 1) + math.log(traw + B)
+                )
+                for b, n in c.items()
+            ),
+            6,
+        )
+        assert abs(got[doc_id] - want) < 1e-6, doc_id
+    # the en docs and the en-like xx doc outrank the gibberish one
+    assert got[1] > got[3] and got[4] > got[3]
+    # exact-k + determinism under repartitioning
+    top2 = dsir_select(docs, 2, F.col("lang") == "en")
+    top2_ids = [r.doc_id for r in top2.collect()]
+    assert len(top2_ids) == 2
+    again = [
+        r.doc_id
+        for r in dsir_select(
+            docs.repartition(7), 2, F.col("lang") == "en"
+        ).collect()
+    ]
+    assert again == top2_ids
+
+
 def test_tokenizer_pipeline_composes(spark):
     """The end-to-end flow (normalize -> cap -> de-span -> BPE train/
     encode -> pack on the real tokenizer counts) composes on a corpus

@@ -544,6 +544,93 @@ def cap_per_source(
     return under_docs.select(*cols).unionByName(capped.select(*cols))
 
 
+def dsir_select(
+    docs: DataFrame,
+    k: int,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the *k* raw documents whose hashed-n-gram distribution looks
+    most like a target domain. Features are unigrams + bigrams hashed
+    into 16^hash_chars buckets (the paper's hashing trick — collisions
+    are part of the estimator, not a defect); the importance weight is
+
+        log w(d) = Σ_b c_db · (ln p_target(b) − ln p_raw(b))
+
+    with add-α smoothed bucket probabilities estimated from the corpus
+    itself (target = rows matching *target_filter*, raw = everything).
+    The paper resamples ∝ w; this implements the deterministic top-k
+    variant (select-highest-weight, id tiebreak) so two engines agree
+    row-for-row. Returns (id, score, selected-k rows only).
+
+    Engine portability: the bucket id is the first *hash_chars* hex
+    chars of md5(feature) — a STRING key both Spark and any SQL oracle
+    compute identically (same trick as :func:`hash_split`), no
+    engine-specific hash.
+
+    Scale shape: ONE tokenize scan explodes (doc, feature) pairs; the
+    bucket aggregates are map-side combined with high-cardinality
+    skew-free keys; the two global bucket tables are at most 16^h rows
+    (bounded by construction — AQE broadcasts them); per-doc scoring is
+    one bucket-keyed join + (doc)-rollup; the final top-k is a parallel
+    partial TakeOrderedAndProject, never a global single-partition
+    window."""
+    ws = _words(F.col(text_col))
+    feats = F.concat(ws, _ngrams(ws, 2))
+    n_buckets = 16 ** hash_chars
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            target_filter.alias("_is_target"),
+            F.explode(feats).alias("_f"),
+        )
+        .where(F.length("_f") >= 1)
+        .select(
+            "_id", "_is_target",
+            F.substring(F.md5(F.col("_f")), 1, hash_chars).alias("_b"),
+        )
+    )
+    doc_counts = pairs.groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket = pairs.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tgt"),
+    )
+    totals = bucket.agg(
+        F.sum("_raw").alias("_traw"), F.sum("_tgt").alias("_ttgt")
+    )
+    # ln p_t(b) - ln p_r(b) with add-alpha smoothing over the FIXED
+    # bucket space (16^h), so unseen-in-target buckets still score
+    ratio = bucket.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log(F.col("_tgt") + alpha)
+            - F.log(F.col("_ttgt") + alpha * n_buckets)
+            - F.log(F.col("_raw") + alpha)
+            + F.log(F.col("_traw") + alpha * n_buckets)
+        ).alias("_lr"),
+    )
+    scored = (
+        doc_counts.join(ratio, "_b")
+        .groupBy("_id")
+        .agg(F.round(F.sum(F.col("_n") * F.col("_lr")), 6).alias("score"))
+    )
+    return (
+        docs.join(scored, docs[id_col] == scored["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def sample_exact_k(
     docs: DataFrame,
     k: int,

@@ -4366,6 +4366,54 @@ def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({
+    # DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    # buckets (md5-prefix string keys — engine-portable by construction),
+    # add-1 smoothed target/raw log-ratio, deterministic top-k. The
+    # target domain here is lang='en'; the oracle replays every count
+    # and log exactly.
+    "docs_dsir_select": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["dsir_select"]
+        ).dsir_select(
+            _t(spark, sf_dir, "documents"), 100, F.col("lang") == "en"
+        ),
+        r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS ws
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, lang, f FROM (
+            SELECT doc_id, lang, unnest(ws) AS f FROM tok
+            UNION ALL
+            SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
+            FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+          ) WHERE length(f) >= 1
+        ), pairs AS (
+          SELECT doc_id, lang = 'en' AS is_t, substr(md5(f), 1, 3) AS b
+          FROM feats
+        ), dc AS (
+          SELECT doc_id, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        ), bc AS (
+          SELECT b, COUNT(*) AS raw,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt
+          FROM pairs GROUP BY 1
+        ), tot AS (
+          SELECT SUM(raw) AS traw, SUM(tgt) AS ttgt FROM bc
+        ), ratio AS (
+          SELECT b, LN(tgt + 1.0) - LN(ttgt + 4096.0)
+                    - LN(raw + 1.0) + LN(traw + 4096.0) AS lr
+          FROM bc CROSS JOIN tot
+        ), scored AS (
+          SELECT dc.doc_id, ROUND(SUM(dc.n * ratio.lr), 6) AS score
+          FROM dc JOIN ratio USING (b) GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(s.score, 0.0) AS score
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY score DESC, d.doc_id LIMIT 100
+        """,
+        "DSIR hashed-ngram importance selection toward a target domain",
+    ),
     # The end-to-end tokenizer pipeline — every stage replayed by the
     # composed oracle (_tokenizer_pipeline_oracle), so the final shard
     # manifest is value-verified through SIX chained operators.
@@ -4703,7 +4751,8 @@ _DRIVER_PRIORITY = [
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
-    "docs_tokenizer_pipeline", "docs_bpe_train", "docs_bpe_encode",
+    "docs_tokenizer_pipeline", "docs_dsir_select",
+    "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
     "embeddings_kmeans", "embeddings_semantic_dedup",
