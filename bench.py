@@ -81,6 +81,7 @@ HEADLINE = [
     # round-7 additions
     "docs_tokenizer_pipeline",
     "docs_dsir_select",
+    "docs_chunk_sequences",
 ]
 
 

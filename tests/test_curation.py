@@ -256,6 +256,37 @@ def test_cap_per_source_null_source_group(spark):
     assert kept == {2, 3, 4}
 
 
+def test_chunk_sequences_boundaries(spark):
+    """Concat-and-chunk manifest against hand-computed intervals: docs
+    concatenate in id order per group, a doc crossing a boundary appears
+    in both sequences with the correct in-sequence slots, zero-token
+    docs vanish, groups chunk independently."""
+    from vector_spark.dataops.curation import chunk_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 6),   # [0,6)   -> seq 0 slots [0,6)
+            (2, "a", 8),   # [6,14)  -> seq 0 [6,10) + seq 1 [0,4)
+            (3, "a", 0),   # no mass -> absent
+            (4, "a", 10),  # [14,24) -> seq 1 [4,10) + seq 2 [0,4)
+            (5, "b", 3),   # own group: seq 0 [0,3)
+        ],
+        "doc_id long, source string, n_tokens long",
+    )
+    rows = {
+        (r.doc_id, r.seq_id): (r.tok_start, r.tok_end)
+        for r in chunk_sequences(df, seq_len=10).collect()
+    }
+    assert rows == {
+        (1, 0): (0, 6),
+        (2, 0): (6, 10),
+        (2, 1): (0, 4),
+        (4, 1): (4, 10),
+        (4, 2): (0, 4),
+        (5, 0): (0, 3),
+    }
+
+
 def test_dsir_select_matches_reference_math(spark):
     """DSIR importance weights equal an independent pure-Python
     implementation of the same hashed-ngram log-ratio estimator, and

@@ -544,6 +544,60 @@ def cap_per_source(
     return under_docs.select(*cols).unionByName(capped.select(*cols))
 
 
+def chunk_sequences(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk: the OTHER packing mode pretraining pipelines use
+    (GPT-style): within each group, concatenate the documents' token
+    streams in id order and cut fixed *seq_len* training sequences; a
+    document crossing a boundary lands in every sequence it overlaps.
+    Returns one row per (document × overlapped sequence):
+    (id, group, seq_id, tok_start, tok_end) where [tok_start, tok_end)
+    is the slot the doc's tokens occupy WITHIN that sequence (0-based,
+    end exclusive) — the manifest a sequence-builder assembles from.
+
+    Scale shape: one cumulative window per group (partitioned — never a
+    global sort) gives each doc its stream offset; the per-doc explode
+    emits exactly ceil(span/seq_len)+overlap rows (bounded by the doc's
+    own length), and everything stays in the scan stage after the
+    window. Zero-token docs emit nothing (no token mass to place)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("_start")
+    base = df.select(
+        F.col(id_col), F.col(group_col), F.col(tokens_col), start
+    ).where(F.col(tokens_col) > 0)
+    first_seq = F.floor(F.col("_start") / seq_len)
+    last_seq = F.floor((F.col("_start") + F.col(tokens_col) - 1) / seq_len)
+    return base.select(
+        id_col,
+        group_col,
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        "_start",
+        tokens_col,
+    ).select(
+        id_col,
+        group_col,
+        "seq_id",
+        F.greatest(
+            F.col("_start") - F.col("seq_id") * seq_len, F.lit(0)
+        ).alias("tok_start"),
+        F.least(
+            F.col("_start") + F.col(tokens_col) - F.col("seq_id") * seq_len,
+            F.lit(seq_len),
+        ).alias("tok_end"),
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     k: int,

@@ -4414,6 +4414,53 @@ QUERIES.update({
         """,
         "DSIR hashed-ngram importance selection toward a target domain",
     ),
+    # Concat-and-chunk sequence manifest (GPT-style packing): cut the
+    # per-source token stream into fixed 256-token sequences; each doc
+    # emits one row per sequence it overlaps with its slot inside it.
+    # Token counts are the whitespace token_count (same as pack_shards'
+    # default), so the oracle replays them exactly.
+    "docs_chunk_sequences": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda cur, tmod: cur.chunk_sequences(
+                _t(spark, sf_dir, "documents").select(
+                    "doc_id", "source",
+                    tmod.token_count(F.col("text")).alias("n_tokens"),
+                ),
+                seq_len=256,
+            )
+        )(
+            __import__(
+                "vector_spark.dataops.curation",
+                fromlist=["chunk_sequences"],
+            ),
+            __import__(
+                "vector_spark.dataops.text", fromlist=["token_count"]
+            ),
+        ),
+        r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), cum AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS BIGINT) AS start
+          FROM toks WHERE n_tokens > 0
+        )
+        SELECT doc_id, source, CAST(s AS BIGINT) AS seq_id,
+               CAST(GREATEST(start - s * 256, 0) AS BIGINT) AS tok_start,
+               CAST(LEAST(start + n_tokens - s * 256, 256) AS BIGINT)
+                 AS tok_end
+        FROM cum, UNNEST(range(start // 256,
+                               (start + n_tokens - 1) // 256 + 1)) AS t(s)
+        """,
+        "concat-and-chunk fixed-length sequence manifest per source",
+    ),
     # The end-to-end tokenizer pipeline — every stage replayed by the
     # composed oracle (_tokenizer_pipeline_oracle), so the final shard
     # manifest is value-verified through SIX chained operators.
@@ -4751,7 +4798,7 @@ _DRIVER_PRIORITY = [
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
-    "docs_tokenizer_pipeline", "docs_dsir_select",
+    "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
     "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
