@@ -626,13 +626,19 @@ def dsir_select(
     compute identically (same trick as :func:`hash_split`), no
     engine-specific hash.
 
-    Scale shape: ONE tokenize scan explodes (doc, feature) pairs; the
-    bucket aggregates are map-side combined with high-cardinality
-    skew-free keys; the two global bucket tables are at most 16^h rows
-    (bounded by construction — AQE broadcasts them); per-doc scoring is
+    Scale shape: ONE tokenize scan explodes (doc, feature) pairs into a
+    per-doc bucket-count aggregate (map-side combined, high-cardinality
+    skew-free key) that is persisted via the session cache registry and
+    feeds EVERY downstream consumer — the plan is a diamond (bucket
+    table, totals, and per-doc scoring all reuse it), and without the
+    persist Catalyst re-runs the corpus explode once per arm (audited:
+    4 scans -> 1). The global bucket table is at most 16^h rows
+    (bounded by construction — AQE broadcasts it); per-doc scoring is
     one bucket-keyed join + (doc)-rollup; the final top-k is a parallel
     partial TakeOrderedAndProject, never a global single-partition
     window."""
+    from vector_spark import cache
+
     ws = _words(F.col(text_col))
     feats = F.concat(ws, _ngrams(ws, 2))
     n_buckets = 16 ** hash_chars
@@ -648,12 +654,16 @@ def dsir_select(
             F.substring(F.md5(F.col("_f")), 1, hash_chars).alias("_b"),
         )
     )
-    doc_counts = pairs.groupBy("_id", "_b").agg(
-        F.count(F.lit(1)).alias("_n")
+    doc_counts = cache.track_persist(
+        pairs.groupBy("_id", "_is_target", "_b").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
     )
-    bucket = pairs.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_raw"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tgt"),
+    bucket = doc_counts.groupBy("_b").agg(
+        F.sum("_n").alias("_raw"),
+        F.sum(F.when(F.col("_is_target"), F.col("_n")).otherwise(0)).alias(
+            "_tgt"
+        ),
     )
     totals = bucket.agg(
         F.sum("_raw").alias("_traw"), F.sum("_tgt").alias("_ttgt")

@@ -4337,7 +4337,13 @@ def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the distinct-word table; encode is the closure-shipped
     Arrow UDF with no shuffle; packing is a per-source window. The only
     corpus-sized exchanges are the span aggregation and the per-source
-    packing window — both keyed to spread."""
+    packing window — both keyed to spread. The two stage boundaries
+    every later stage re-reads (capped, cleaned) persist through the
+    session cache registry — the pipeline is a diamond (training,
+    encode, and the source join all consume `cleaned`), and without the
+    persists each consumer re-runs the whole normalize→cap→de-span
+    lineage (audited: 20 scans → 2, 13.3 s train build → ~3 s)."""
+    from vector_spark import cache as _c
     from vector_spark.dataops.curation import (
         cap_per_source,
         pack_shards,
@@ -4354,8 +4360,10 @@ def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text(F.col("text")).alias("text"),
     )
     kept = cap_per_source(docs, 20)
-    capped = docs.join(kept.select("doc_id"), "doc_id")
-    cleaned = remove_duplicate_spans(capped, k=5, min_docs=2)
+    capped = _c.track_persist(docs.join(kept.select("doc_id"), "doc_id"))
+    cleaned = _c.track_persist(
+        remove_duplicate_spans(capped, k=5, min_docs=2)
+    )
     merges = bpe_train(cleaned, text_col="clean_text", n_merges=12)
     encoded = bpe_encode_docs(cleaned, merges, text_col="clean_text")
     with_src = encoded.join(capped.select("doc_id", "source"), "doc_id")
