@@ -195,6 +195,37 @@ def main() -> None:
         pipe_s = dt if pipe_s is None or dt < pipe_s else pipe_s
     events_per_sec = round(n_events / pipe_s, 1)
 
+    # SUSTAINED throughput: at sf0.1 the 100k-row job finishes in ~0.2 s,
+    # of which roughly half is fixed scheduling/codegen overhead — the
+    # ev/s above underestimates steady state (the quantity the reference's
+    # lading harness reports). Replicate the stream 30× via a broadcast
+    # crossJoin (parse + window-agg run per replicated row, so the work is
+    # real) and report the amortized rate alongside the legacy number.
+    mult = 30
+    big = spark.range(mult).select(F.col("id").alias("_rep")).crossJoin(ev)
+
+    def pipeline_big():
+        p = big.where(F.col("value") > 0).select(
+            "event_id", "ts", "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.col("value"),
+        )
+        return (
+            p.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
+                 F.avg("k").alias("ak"))
+            .count()
+        )
+
+    pipeline_big()  # warm
+    big_s = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipeline_big()
+        dt = time.perf_counter() - t0
+        big_s = dt if big_s is None or dt < big_s else big_s
+    sustained_eps = round(n_events * mult / big_s, 1)
+
     print(
         json.dumps(
             {
@@ -204,6 +235,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "pipeline_events_per_sec": events_per_sec,
+                "pipeline_events_per_sec_sustained": sustained_eps,
                 "pipeline_n_events": n_events,
                 # host-noise context (r2 verdict #5: make the artifact
                 # carry the evidence): 1-min loadavg before/after
