@@ -82,6 +82,7 @@ HEADLINE = [
     "docs_tokenizer_pipeline",
     "docs_dsir_select",
     "docs_chunk_sequences",
+    "docs_ccnet_buckets",
 ]
 
 

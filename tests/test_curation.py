@@ -256,6 +256,26 @@ def test_cap_per_source_null_source_group(spark):
     assert kept == {2, 3, 4}
 
 
+def test_rank_buckets_threshold_semantics(spark):
+    """Rank-equal bucketing: with n=7 and 3 buckets the cuts fall at
+    floor(7/3)=2 and floor(14/3)=4 (remainder goes to the LAST bucket,
+    unlike NTILE), ties break by id, and repartitioning cannot move a
+    document across buckets."""
+    from vector_spark.dataops.curation import rank_buckets
+
+    rows = [(i, float(s)) for i, s in enumerate([5, 1, 3, 3, 9, 2, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, avg_nll double")
+    out = {r.doc_id: r.bucket for r in rank_buckets(df).collect()}
+    # rank order by (score, id): 1->1.0, 5->2.0 | 2->3.0, 3->3.0 | rest
+    assert out == {1: "head", 5: "head", 2: "middle", 3: "middle",
+                   0: "tail", 6: "tail", 4: "tail"}
+    again = {
+        r.doc_id: r.bucket
+        for r in rank_buckets(df.repartition(5)).collect()
+    }
+    assert again == out
+
+
 def test_chunk_sequences_boundaries(spark):
     """Concat-and-chunk manifest against hand-computed intervals: docs
     concatenate in id order per group, a doc crossing a boundary appears

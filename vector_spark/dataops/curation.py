@@ -598,6 +598,64 @@ def chunk_sequences(
     )
 
 
+def rank_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "avg_nll",
+    id_col: str = "doc_id",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """CCNet-style quality bucketing: split documents into n rank-equal
+    buckets by a score (CCNet buckets the corpus into head/middle/tail
+    by LM perplexity and trains on the head). Deterministic: ranking is
+    by (score, id), bucket b holds ranks (floor(n·b/k), floor(n·(b+1)/k)].
+
+    Scale shape: NEVER a global row_number window (that is one task
+    sorting the corpus). The k−1 boundary structs are computed with
+    TakeOrderedAndProject (parallel partial top-k) and broadcast back as
+    literals; bucket assignment is then a pure-Column struct comparison
+    riding the scan. The scored input persists through the session cache
+    registry — it is read k+1 times (count, k−1 boundaries, final
+    projection)."""
+    from vector_spark import cache
+
+    labels = labels or (
+        ["head", "middle", "tail"] if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    if len(labels) != n_buckets:
+        raise ValueError("labels must match n_buckets")
+    df = cache.track_persist(df)
+    n = df.count()
+    key = F.struct(F.col(score_col), F.col(id_col))
+    bounds = []
+    for b in range(1, n_buckets):
+        k = (n * b) // n_buckets
+        if k == 0:
+            bounds.append(None)
+            continue
+        row = (
+            df.orderBy(F.col(score_col), F.col(id_col))
+            .limit(k)
+            .agg(F.max(key).alias("t"))
+            .first()["t"]
+        )
+        bounds.append(row)
+    expr = None
+    for label, bound in zip(labels[:-1], bounds):
+        if bound is None:
+            continue
+        lit = F.struct(
+            F.lit(bound[0]).alias(score_col), F.lit(bound[1]).alias(id_col)
+        )
+        cond = key <= lit
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    bucket = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return df.select(id_col, score_col, bucket.alias("bucket"))
+
+
 def dsir_select(
     docs: DataFrame,
     k: int,

@@ -4725,6 +4725,76 @@ QUERIES.update({
         """,
         "interpolated bigram-LM perplexity per document",
     ),
+    # CCNet head/middle/tail bucketing: rank every document by its
+    # interpolated-bigram-LM avg negative log-likelihood and cut the
+    # corpus into three rank-equal buckets (CCNet trains on the head).
+    # Spark computes the two boundary structs with TakeOrdered (never a
+    # global window); the oracle replays the same rank cuts with
+    # row_number + floor(n*b/3) thresholds (NOT NTILE — NTILE gives the
+    # remainder to the early buckets, the threshold form to the last).
+    "docs_ccnet_buckets": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda cur, tmod: cur.rank_buckets(
+                tmod.bigram_lm_score(
+                    _t(spark, sf_dir, "documents")
+                ).select("doc_id", "avg_nll"),
+                n_buckets=3,
+            )
+        )(
+            __import__(
+                "vector_spark.dataops.curation", fromlist=["rank_buckets"]
+            ),
+            __import__(
+                "vector_spark.dataops.text", fromlist=["bigram_lm_score"]
+            ),
+        ),
+        """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, t.w FROM w,
+            UNNEST(ws) AS t(w) WHERE len(t.w) >= 1
+        ), uni AS (
+          SELECT w AS _w, COUNT(*) AS c_w FROM toks GROUP BY 1
+        ), total AS (
+          SELECT SUM(c_w) AS t_total FROM uni
+        ), bi AS (
+          SELECT doc_id, ws[i-1] AS p, ws[i] AS _w
+          FROM w, UNNEST(range(2, len(ws) + 1)) AS t(i)
+        ), bc AS (
+          SELECT p, _w, COUNT(*) AS c_pw FROM bi GROUP BY 1, 2
+        ), ctx AS (
+          SELECT p, SUM(c_pw) AS ctx_p FROM bc GROUP BY 1
+        ), first AS (
+          SELECT w.doc_id,
+                 -LN(CAST(uni.c_w AS DOUBLE) / t_total) AS _nll
+          FROM w JOIN uni ON uni._w = ws[1] CROSS JOIN total
+          WHERE len(ws[1]) >= 1
+        ), rest AS (
+          SELECT bi.doc_id,
+                 -LN(0.75 * CAST(bc.c_pw AS DOUBLE) / ctx.ctx_p
+                     + 0.25 * CAST(uni.c_w AS DOUBLE) / t_total) AS _nll
+          FROM bi JOIN bc USING (p, _w) JOIN ctx USING (p)
+               JOIN uni USING (_w) CROSS JOIN total
+        ), scored AS (
+          SELECT doc_id, ROUND(AVG(_nll), 6) AS avg_nll
+          FROM (SELECT * FROM first UNION ALL SELECT * FROM rest)
+          GROUP BY doc_id
+        ), ranked AS (
+          SELECT doc_id, avg_nll,
+                 row_number() OVER (ORDER BY avg_nll, doc_id) AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM scored
+        )
+        SELECT doc_id, avg_nll,
+               CASE WHEN rnk <= n // 3 THEN 'head'
+                    WHEN rnk <= (n * 2) // 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+        """,
+        "CCNet perplexity bucketing: head/middle/tail by bigram-LM rank",
+    ),
     # Multinomial Naive Bayes doc classifier (the pretraining-pipeline
     # supervised filter, NB instead of LR so it's exact counting+logs):
     # fit on the labeled corpus, self-classify every doc. DuckDB replays
@@ -4807,7 +4877,7 @@ _DRIVER_PRIORITY = [
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
-    "docs_bpe_train", "docs_bpe_encode",
+    "docs_ccnet_buckets", "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
     "embeddings_kmeans", "embeddings_semantic_dedup",
