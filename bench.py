@@ -83,6 +83,7 @@ HEADLINE = [
     "docs_dsir_select",
     "docs_chunk_sequences",
     "docs_ccnet_buckets",
+    "docs_hashed_tfidf",
 ]
 
 

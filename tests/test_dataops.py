@@ -486,6 +486,60 @@ def test_bpe_oracle_replays_trainer_and_encoder(spark):
         assert oenc == enc, rows
 
 
+def test_hashed_tfidf_embedding_math_and_bridge(spark):
+    """Feature-hashing TF-IDF: values equal an independent pure-Python
+    implementation (same md5-bucket, same idf smoothing), vectors are
+    L2-unit (or exactly zero for empty docs), and identical texts embed
+    identically — the property the cosine near-dup bridge relies on."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from vector_spark.dataops.text import hashed_tfidf_embedding
+
+    rows = [
+        (1, "spark rows spark columns"),
+        (2, "spark rows spark columns"),
+        (3, "entirely different words here"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 16
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_tfidf_embedding(docs, dim=dim).collect()
+    }
+
+    def embed(text, n_docs, dfreq):
+        tf = Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % dim
+            for w in text.lower().strip().split()
+        )
+        v = [0.0] * dim
+        for i, c in tf.items():
+            v[i] = c * (math.log((n_docs + 1) / (dfreq[i] + 1)) + 1.0)
+        norm = math.sqrt(sum(x * x for x in v))
+        return [round(x / norm, 6) if norm else 0.0 for x in v]
+
+    dfreq = Counter()
+    for _, text in rows:
+        dfreq.update(
+            {
+                int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % dim
+                for w in text.lower().strip().split()
+            }
+        )
+    for doc_id, text in rows:
+        want = embed(text, len(rows), dfreq)
+        assert all(
+            abs(a - b) < 1e-6 for a, b in zip(got[doc_id], want)
+        ), doc_id
+    assert got[1] == got[2]  # identical text -> identical vector
+    for doc_id in (1, 2, 3):
+        assert abs(sum(x * x for x in got[doc_id]) - 1.0) < 1e-4
+    assert got[4] == [0.0] * dim  # empty doc -> zero vector
+
+
 def test_nb_classify_matches_reference_math(spark):
     """Multinomial NB: distributed scores equal an independent pure-
     Python implementation of the same add-1 smoothed model, and the

@@ -650,6 +650,84 @@ def bpe_encode_docs(
     )
 
 
+def hashed_tfidf_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-vectorizer document embeddings: TF-IDF over word buckets
+    hashed into a fixed *dim*-dimensional space (the classic
+    HashingVectorizer / feature-hashing construction — no vocabulary to
+    ship, collisions are part of the estimator), L2-normalized so the
+    output plugs straight into the cosine ANN/near-dup operators.
+    Returns (id, embedding: array<double> rounded to 6).
+
+    Engine portability: the bucket index is the first 4 hex chars of
+    md5(word) parsed base-16 mod dim — Spark's conv() and any SQL
+    engine's '0x'-prefix cast agree byte-for-byte. IDF uses the same
+    smoothing as :func:`tfidf_top_terms` (ln((N+1)/(df+1)) + 1).
+
+    Scale shape: one tokenize scan -> (doc, bucket) tf aggregate
+    (map-side combined); the bucket df table is at most dim rows
+    (broadcast by construction); the dense vector assembles per doc
+    from a map — one groupBy, no per-dimension joins. Docs with no
+    tokens embed as the zero vector."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("_w"),
+        )
+        .where(F.length("_w") >= 1)
+        .select(
+            "_id",
+            (
+                F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10)
+                .cast("long") % dim
+            ).alias("_i"),
+        )
+    )
+    tf = toks.groupBy("_id", "_i").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_i").agg(F.count(F.lit(1)).alias("_df"))
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    vec = (
+        tf.join(F.broadcast(dfreq), "_i")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "_id", "_i",
+            (
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1.0)
+            ).alias("_v"),
+        )
+    )
+    per_doc = vec.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_i", "_v"))
+        ).alias("_m"),
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_norm"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
+            )
+            / F.col("_norm"),
+            6,
+        ),
+    )
+    zero = F.array([F.lit(0.0)] * dim)
+    return df.join(
+        per_doc, df[id_col] == per_doc["_id"], "left"
+    ).select(
+        F.col(id_col),
+        F.when(F.col("_norm") > 0, dense).otherwise(zero).alias("embedding"),
+    )
+
+
 def nb_classify(
     df: DataFrame,
     text_col: str = "text",

@@ -4725,6 +4725,50 @@ QUERIES.update({
         """,
         "interpolated bigram-LM perplexity per document",
     ),
+    # Hashing-vectorizer TF-IDF embeddings: text -> fixed-dim L2 unit
+    # vectors, bridging the raw corpus into the cosine ANN/near-dup
+    # operators with no external model. Bucket index = first 4 md5 hex
+    # chars base-16 mod dim (Spark conv == DuckDB '0x' cast).
+    "docs_hashed_tfidf": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["hashed_tfidf_embedding"]
+        ).hashed_tfidf_embedding(
+            _t(spark, sf_dir, "documents"), dim=64
+        ),
+        r"""
+        WITH toks AS (
+          SELECT doc_id AS _id,
+                 CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS _i
+          FROM documents,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
+          WHERE length(w) >= 1
+        ), tf AS (
+          SELECT _id, _i, COUNT(*) AS _tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT _i, COUNT(*) AS _df FROM tf GROUP BY 1
+        ), nd AS (
+          SELECT COUNT(DISTINCT doc_id) AS _n FROM documents
+        ), vec AS (
+          SELECT _id, _i,
+                 _tf * (LN(CAST(_n + 1 AS DOUBLE) / (_df + 1)) + 1.0) AS _v
+          FROM tf JOIN dfreq USING (_i) CROSS JOIN nd
+        ), norms AS (
+          SELECT _id, SQRT(SUM(_v * _v)) AS _norm FROM vec GROUP BY 1
+        ), dense AS (
+          SELECT d.doc_id, r.i,
+                 COALESCE(v._v, 0.0) AS _v, COALESCE(n._norm, 0.0) AS _norm
+          FROM documents d
+          CROSS JOIN UNNEST(range(0, 64)) AS r(i)
+          LEFT JOIN vec v ON v._id = d.doc_id AND v._i = r.i
+          LEFT JOIN norms n ON n._id = d.doc_id
+        )
+        SELECT doc_id,
+               list(CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6)
+                         ELSE 0.0 END ORDER BY i) AS embedding
+        FROM dense GROUP BY doc_id
+        """,
+        "hashing-vectorizer TF-IDF unit embeddings (text -> ANN bridge)",
+    ),
     # CCNet head/middle/tail bucketing: rank every document by its
     # interpolated-bigram-LM avg negative log-likelihood and cut the
     # corpus into three rank-equal buckets (CCNet trains on the head).
@@ -4877,7 +4921,8 @@ _DRIVER_PRIORITY = [
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
-    "docs_ccnet_buckets", "docs_bpe_train", "docs_bpe_encode",
+    "docs_ccnet_buckets", "docs_hashed_tfidf",
+    "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
     "embeddings_kmeans", "embeddings_semantic_dedup",
