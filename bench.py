@@ -84,6 +84,7 @@ HEADLINE = [
     "docs_chunk_sequences",
     "docs_ccnet_buckets",
     "docs_hashed_tfidf",
+    "docs_text_near_dup",
 ]
 
 

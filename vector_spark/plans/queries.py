@@ -4769,6 +4769,75 @@ QUERIES.update({
         """,
         "hashing-vectorizer TF-IDF unit embeddings (text -> ANN bridge)",
     ),
+    # Text near-dup END-TO-END with no external model: hashed-TF-IDF
+    # embeddings feed the LSH-blocked cosine near-dup operator (48
+    # tables x 4 planes at cos >= 0.95: per-plane miss prob ~0.1, so
+    # miss-all-tables ~ (1 - 0.9^4)^48 ~ 7e-23 — recall 1, held to the
+    # exact all-pairs oracle like embedding_near_dup_lsh).
+    "docs_text_near_dup": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda sim, tmod: sim.cosine_near_dup_pairs(
+                tmod.hashed_tfidf_embedding(
+                    _t(spark, sf_dir, "documents"), dim=64
+                ),
+                threshold=0.95, id_col="doc_id",
+                n_tables=48, n_planes=4,
+            )
+        )(
+            __import__(
+                "vector_spark.dataops.similarity",
+                fromlist=["cosine_near_dup_pairs"],
+            ),
+            __import__(
+                "vector_spark.dataops.text",
+                fromlist=["hashed_tfidf_embedding"],
+            ),
+        ),
+        r"""
+        WITH toks AS (
+          SELECT doc_id AS _id,
+                 CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS _i
+          FROM documents,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
+          WHERE length(w) >= 1
+        ), tf AS (
+          SELECT _id, _i, COUNT(*) AS _tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT _i, COUNT(*) AS _df FROM tf GROUP BY 1
+        ), nd AS (
+          SELECT COUNT(DISTINCT doc_id) AS _n FROM documents
+        ), vec AS (
+          SELECT _id, _i,
+                 _tf * (LN(CAST(_n + 1 AS DOUBLE) / (_df + 1)) + 1.0) AS _v
+          FROM tf JOIN dfreq USING (_i) CROSS JOIN nd
+        ), norms AS (
+          SELECT _id, SQRT(SUM(_v * _v)) AS _norm FROM vec GROUP BY 1
+        ), dense AS (
+          SELECT d.doc_id, r.i,
+                 COALESCE(v._v, 0.0) AS _v, COALESCE(n._norm, 0.0) AS _norm
+          FROM documents d
+          CROSS JOIN UNNEST(range(0, 64)) AS r(i)
+          LEFT JOIN vec v ON v._id = d.doc_id AND v._i = r.i
+          LEFT JOIN norms n ON n._id = d.doc_id
+        ), e AS (
+          SELECT doc_id,
+                 list(CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6)
+                           ELSE 0.0 END ORDER BY i) AS embedding
+          FROM dense GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(list_dot_product(a.embedding, b.embedding) /
+                     (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding))),
+                     6) AS cosine
+        FROM e a JOIN e b ON a.doc_id < b.doc_id
+        WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
+                    (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))),
+                    6) >= 0.95
+        """,
+        "raw-text near-dup: hashed-TF-IDF -> LSH cosine pairs, composed",
+    ),
     # CCNet head/middle/tail bucketing: rank every document by its
     # interpolated-bigram-LM avg negative log-likelihood and cut the
     # corpus into three rank-equal buckets (CCNet trains on the head).
@@ -4921,7 +4990,7 @@ _DRIVER_PRIORITY = [
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
-    "docs_ccnet_buckets", "docs_hashed_tfidf",
+    "docs_ccnet_buckets", "docs_hashed_tfidf", "docs_text_near_dup",
     "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
