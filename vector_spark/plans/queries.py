@@ -4776,9 +4776,14 @@ QUERIES.update({
     # exact all-pairs oracle like embedding_near_dup_lsh).
     "docs_text_near_dup": QuerySpec(
         lambda spark, sf_dir: (
+            # the LSH blocker consumes its input 4x (two bucket scans +
+            # the two verify sides) — persist the embedding build so the
+            # tokenize/TF-IDF pipeline runs once, not four times
             lambda sim, tmod: sim.cosine_near_dup_pairs(
-                tmod.hashed_tfidf_embedding(
-                    _t(spark, sf_dir, "documents"), dim=64
+                _cache.track_persist(
+                    tmod.hashed_tfidf_embedding(
+                        _t(spark, sf_dir, "documents"), dim=64
+                    )
                 ),
                 threshold=0.95, id_col="doc_id",
                 n_tables=48, n_planes=4,
