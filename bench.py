@@ -176,8 +176,10 @@ def main() -> None:
     ev = load_table(spark, sf_dir, "events")
     n_events = ev.count()
 
-    def pipeline():
-        p = ev.where(F.col("value") > 0).select(
+    def pipeline(src):
+        # ONE definition of the canonical shape — the legacy and
+        # sustained numbers must measure the same pipeline
+        p = src.where(F.col("value") > 0).select(
             "event_id", "ts", "event_type",
             F.get_json_object("props", "$.k").cast("long").alias("k"),
             F.col("value"),
@@ -189,14 +191,17 @@ def main() -> None:
             .count()
         )
 
-    pipeline()  # warm
-    pipe_s = None
-    for _ in range(3):  # min-of-3: the number is job-overhead-dominated
-        t0 = time.perf_counter()  # at sf0.1, so single runs are noisy
-        pipeline()
-        dt = time.perf_counter() - t0
-        pipe_s = dt if pipe_s is None or dt < pipe_s else pipe_s
-    events_per_sec = round(n_events / pipe_s, 1)
+    def min_of_3(src) -> float:
+        pipeline(src)  # warm
+        best = None
+        for _ in range(3):  # min-of-3: job-overhead-dominated at sf0.1
+            t0 = time.perf_counter()
+            pipeline(src)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    events_per_sec = round(n_events / min_of_3(ev), 1)
 
     # SUSTAINED throughput: at sf0.1 the 100k-row job finishes in ~0.2 s,
     # of which roughly half is fixed scheduling/codegen overhead — the
@@ -206,28 +211,7 @@ def main() -> None:
     # real) and report the amortized rate alongside the legacy number.
     mult = 30
     big = spark.range(mult).select(F.col("id").alias("_rep")).crossJoin(ev)
-
-    def pipeline_big():
-        p = big.where(F.col("value") > 0).select(
-            "event_id", "ts", "event_type",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
-            F.col("value"),
-        )
-        return (
-            p.groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
-                 F.avg("k").alias("ak"))
-            .count()
-        )
-
-    pipeline_big()  # warm
-    big_s = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pipeline_big()
-        dt = time.perf_counter() - t0
-        big_s = dt if big_s is None or dt < big_s else big_s
-    sustained_eps = round(n_events * mult / big_s, 1)
+    sustained_eps = round(n_events * mult / min_of_3(big), 1)
 
     print(
         json.dumps(

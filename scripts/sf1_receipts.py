@@ -64,7 +64,10 @@ def total_shuffle_bytes() -> int:
 
 
 def replicated_docs(spark, sf_dir: str, replicas: int) -> DataFrame:
-    path = f"/tmp/sf1_docs_x{replicas}.parquet"
+    # cache key carries the source dir, so switching SPARK_GRAFT_SF_DIR
+    # can't silently reuse a prior corpus's replicas
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/sf1_docs{tag}_x{replicas}.parquet"
     if not os.path.exists(path):
         base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         n = base.count()

@@ -195,6 +195,34 @@ sinks:
     assert not spark.streams.active
 
 
+def test_top_surfaces_crashed_topology(tmp_path, spark):
+    """A topology whose streaming sink dies must raise (the cmd_run
+    awaitAnyTermination analog) — not exit cleanly with no frames."""
+    from vector_spark.cli import cmd_top
+
+    p = tmp_path / "crash.yaml"
+    p.write_text(
+        """
+sources:
+  gen:
+    type: rate
+    rows_per_batch: 10
+transforms:
+  boom:
+    type: filter
+    inputs: [gen]
+    condition: "seq / (seq - seq) > 0"
+sinks:
+  out:
+    type: memory
+    inputs: [boom]
+"""
+    )
+    with pytest.raises(RuntimeError, match="failed"):
+        cmd_top([str(p)], spark=spark, frames=3, timeout=30.0)
+    assert not spark.streams.active
+
+
 def test_top_rejects_batch_topology(cfg_file, spark):
     from vector_spark.cli import cmd_top
 

@@ -319,23 +319,50 @@ def cmd_top(
     listener = attach_top(spark)
     barrier = attach_barrier(spark)
     qs = start_streaming_sinks(topo)
-    lead = next(iter(qs.values()))
+
+    def emit() -> None:
+        frame = listener.render()
+        rendered.append(frame)
+        if out is not None:
+            prefix = "\x1b[2J\x1b[H" if out is sys.stdout else ""
+            print(f"{prefix}{frame}", file=out, flush=True)
+
     rendered: list[str] = []
     try:
         n = 0
         while frames is None or n < frames:
-            try:
-                barrier.wait(lead, batches=n + 1, timeout=timeout)
-            except AssertionError:
-                if lead.isActive:
-                    raise  # genuine stall — surface the backstop
-                break  # terminated: final frame below, then exit
-            frame = listener.render()
-            rendered.append(frame)
-            if out is not None:
-                prefix = "\x1b[2J\x1b[H" if out is sys.stdout else ""
-                print(f"{prefix}{frame}", file=out, flush=True)
+            # progress on ANY query advances the display (a sink dict's
+            # first query is not special); all-terminated also wakes the
+            # waiter so a finished topology doesn't ride out the backstop
+            goal = n + 1
+
+            def progressed() -> bool:
+                return (
+                    sum(barrier.batches_of(q) for q in qs.values()) >= goal
+                )
+
+            def all_done() -> bool:
+                return not any(q.isActive for q in qs.values())
+
+            barrier.wait(
+                predicate=lambda: progressed() or all_done(),
+                timeout=timeout,
+            )
+            if not progressed():
+                emit()  # the topology ended: render the final state
+                break
+            emit()
             n += 1
+        # a crashed topology must not exit 0 with a clean screen: surface
+        # the first query exception (cmd_run's awaitAnyTermination analog)
+        for name, q in qs.items():
+            exc = None
+            try:
+                exc = q.exception()
+            except Exception:
+                pass
+            if exc is not None:
+                raise RuntimeError(f"streaming sink '{name}' failed: {exc}")
     finally:
         for q in qs.values():
             try:

@@ -413,8 +413,10 @@ def bpe_train(
     the gate, raise it and accept driver memory, or pre-truncate to the
     top-N words (frequency mass concentrates — the standard practice).
     The iterative loop is inherently sequential (each merge changes the
-    next round's counts): no engine expresses it as one query, which is
-    why this op has no SQL oracle (rows-only contract).
+    next round's counts) — but with n_merges pinned to a constant the
+    registry replays it EXACTLY as a generated CTE chain
+    (plans.queries._bpe_oracle_train), one stage per round, so the op
+    is value-verified like everything else.
 
     Above `vocab_threshold` the loop runs DISTRIBUTED instead
     (:func:`_bpe_train_distributed`): each round is one pair-count

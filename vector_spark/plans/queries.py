@@ -3071,13 +3071,15 @@ def _tokenizer_pipeline_oracle(
          array_to_string(ws[i:i+{k - 1}], ' ') AS span
   FROM wsp, UNNEST(range(1, greatest(len(ws) - {k - 2}, 1))) AS t(i)
 ), ragg AS MATERIALIZED (
-  SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
-         MIN(doc_id * 1000 + pos) AS firstkey
-  FROM sp GROUP BY span
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY span
 ), rem AS MATERIALIZED (
-  SELECT s.doc_id, s.pos
-  FROM sp s JOIN ragg a USING (span)
-  WHERE a.n_docs >= {min_docs} AND s.doc_id * 1000 + s.pos <> a.firstkey
+  SELECT doc_id, pos FROM (
+    SELECT s.doc_id, s.pos, a.n_docs,
+           row_number() OVER (
+             PARTITION BY s.span ORDER BY s.doc_id, s.pos
+           ) AS rn
+    FROM sp s JOIN ragg a USING (span)
+  ) WHERE n_docs >= {min_docs} AND rn > 1
 ), cov AS MATERIALIZED (
   SELECT DISTINCT doc_id, pos + d AS p
   FROM rem, UNNEST(range(0, {k})) AS t(d)
@@ -4536,13 +4538,18 @@ QUERIES.update({
                  array_to_string(ws[i:i+4], ' ') AS span
           FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
         ), agg AS (
-          SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
-                 MIN(doc_id * 1000 + pos) AS firstkey
-          FROM sp GROUP BY span
+          SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY span
         ), rem AS (
-          SELECT s.doc_id, s.pos
-          FROM sp s JOIN agg a USING (span)
-          WHERE a.n_docs >= 2 AND s.doc_id * 1000 + s.pos <> a.firstkey
+          -- canonical = min (doc_id, pos) LEXICOGRAPHICALLY (the engine's
+          -- min-struct), not a packed doc*1000+pos key that collides once
+          -- positions reach 1000
+          SELECT doc_id, pos FROM (
+            SELECT s.doc_id, s.pos, a.n_docs,
+                   row_number() OVER (
+                     PARTITION BY s.span ORDER BY s.doc_id, s.pos
+                   ) AS rn
+            FROM sp s JOIN agg a USING (span)
+          ) WHERE n_docs >= 2 AND rn > 1
         ), cov AS (
           SELECT DISTINCT doc_id, pos + d AS p
           FROM rem, UNNEST(range(0, 5)) AS t(d)
@@ -4619,10 +4626,14 @@ QUERIES.update({
             _t(spark, sf_dir, "documents"), 20, group_col="lang"
         ).select("doc_id", "lang", "n_chars"),
         """
+        -- pmod emulation: the engine ranks by F.pmod (non-negative
+        -- remainder); DuckDB's % is signed, so normalize for negative ids
         SELECT doc_id, lang, n_chars FROM documents
         QUALIFY row_number() OVER (
           PARTITION BY lang
-          ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+          ORDER BY ((doc_id * 2654435761) % 2147483648 + 2147483648)
+                     % 2147483648,
+                   doc_id
         ) <= 20
         """,
         "exact-k per-group sample (Knuth-hash rank)",
@@ -4735,38 +4746,7 @@ QUERIES.update({
         ).hashed_tfidf_embedding(
             _t(spark, sf_dir, "documents"), dim=64
         ),
-        r"""
-        WITH toks AS (
-          SELECT doc_id AS _id,
-                 CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS _i
-          FROM documents,
-               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
-          WHERE length(w) >= 1
-        ), tf AS (
-          SELECT _id, _i, COUNT(*) AS _tf FROM toks GROUP BY 1, 2
-        ), dfreq AS (
-          SELECT _i, COUNT(*) AS _df FROM tf GROUP BY 1
-        ), nd AS (
-          SELECT COUNT(DISTINCT doc_id) AS _n FROM documents
-        ), vec AS (
-          SELECT _id, _i,
-                 _tf * (LN(CAST(_n + 1 AS DOUBLE) / (_df + 1)) + 1.0) AS _v
-          FROM tf JOIN dfreq USING (_i) CROSS JOIN nd
-        ), norms AS (
-          SELECT _id, SQRT(SUM(_v * _v)) AS _norm FROM vec GROUP BY 1
-        ), dense AS (
-          SELECT d.doc_id, r.i,
-                 COALESCE(v._v, 0.0) AS _v, COALESCE(n._norm, 0.0) AS _norm
-          FROM documents d
-          CROSS JOIN UNNEST(range(0, 64)) AS r(i)
-          LEFT JOIN vec v ON v._id = d.doc_id AND v._i = r.i
-          LEFT JOIN norms n ON n._id = d.doc_id
-        )
-        SELECT doc_id,
-               list(CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6)
-                         ELSE 0.0 END ORDER BY i) AS embedding
-        FROM dense GROUP BY doc_id
-        """,
+        None,  # assigned below from the shared _hashed_tfidf_ctes chain
         "hashing-vectorizer TF-IDF unit embeddings (text -> ANN bridge)",
     ),
     # Text near-dup END-TO-END with no external model: hashed-TF-IDF
@@ -4798,49 +4778,7 @@ QUERIES.update({
                 fromlist=["hashed_tfidf_embedding"],
             ),
         ),
-        r"""
-        WITH toks AS (
-          SELECT doc_id AS _id,
-                 CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS _i
-          FROM documents,
-               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
-          WHERE length(w) >= 1
-        ), tf AS (
-          SELECT _id, _i, COUNT(*) AS _tf FROM toks GROUP BY 1, 2
-        ), dfreq AS (
-          SELECT _i, COUNT(*) AS _df FROM tf GROUP BY 1
-        ), nd AS (
-          SELECT COUNT(DISTINCT doc_id) AS _n FROM documents
-        ), vec AS (
-          SELECT _id, _i,
-                 _tf * (LN(CAST(_n + 1 AS DOUBLE) / (_df + 1)) + 1.0) AS _v
-          FROM tf JOIN dfreq USING (_i) CROSS JOIN nd
-        ), norms AS (
-          SELECT _id, SQRT(SUM(_v * _v)) AS _norm FROM vec GROUP BY 1
-        ), dense AS (
-          SELECT d.doc_id, r.i,
-                 COALESCE(v._v, 0.0) AS _v, COALESCE(n._norm, 0.0) AS _norm
-          FROM documents d
-          CROSS JOIN UNNEST(range(0, 64)) AS r(i)
-          LEFT JOIN vec v ON v._id = d.doc_id AND v._i = r.i
-          LEFT JOIN norms n ON n._id = d.doc_id
-        ), e AS (
-          SELECT doc_id,
-                 list(CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6)
-                           ELSE 0.0 END ORDER BY i) AS embedding
-          FROM dense GROUP BY doc_id
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(list_dot_product(a.embedding, b.embedding) /
-                     (sqrt(list_dot_product(a.embedding, a.embedding))
-                      * sqrt(list_dot_product(b.embedding, b.embedding))),
-                     6) AS cosine
-        FROM e a JOIN e b ON a.doc_id < b.doc_id
-        WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
-                    (sqrt(list_dot_product(a.embedding, a.embedding))
-                     * sqrt(list_dot_product(b.embedding, b.embedding))),
-                    6) >= 0.95
-        """,
+        None,  # assigned below from the shared _hashed_tfidf_ctes chain
         "raw-text near-dup: hashed-TF-IDF -> LSH cosine pairs, composed",
     ),
     # CCNet head/middle/tail bucketing: rank every document by its
@@ -4983,6 +4921,62 @@ QUERIES.update({
         "distributed BPE tokenizer apply, recursive-CTE oracle",
     ),
 })
+
+# Shared hashed-TF-IDF replay (ends at CTE ``e``: doc_id, embedding) — the
+# docs_hashed_tfidf oracle and the docs_text_near_dup oracle both consume
+# it, factored like _bpe_chain_body so the two can never drift apart.
+_HASHED_TFIDF_CTES = r"""
+WITH toks AS (
+  SELECT doc_id AS _id,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS _i
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
+  WHERE length(w) >= 1
+), tf AS (
+  SELECT _id, _i, COUNT(*) AS _tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT _i, COUNT(*) AS _df FROM tf GROUP BY 1
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS _n FROM documents
+), vec AS (
+  SELECT _id, _i,
+         _tf * (LN(CAST(_n + 1 AS DOUBLE) / (_df + 1)) + 1.0) AS _v
+  FROM tf JOIN dfreq USING (_i) CROSS JOIN nd
+), norms AS (
+  SELECT _id, SQRT(SUM(_v * _v)) AS _norm FROM vec GROUP BY 1
+), dense AS (
+  SELECT d.doc_id, r.i,
+         COALESCE(v._v, 0.0) AS _v, COALESCE(n._norm, 0.0) AS _norm
+  FROM documents d
+  CROSS JOIN UNNEST(range(0, 64)) AS r(i)
+  LEFT JOIN vec v ON v._id = d.doc_id AND v._i = r.i
+  LEFT JOIN norms n ON n._id = d.doc_id
+), e AS (
+  SELECT doc_id,
+         list(CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6)
+                   ELSE 0.0 END ORDER BY i) AS embedding
+  FROM dense GROUP BY doc_id
+)"""
+
+QUERIES["docs_hashed_tfidf"].oracle = (
+    _HASHED_TFIDF_CTES + "\nSELECT doc_id, embedding FROM e\n"
+)
+QUERIES["docs_text_near_dup"].oracle = (
+    _HASHED_TFIDF_CTES
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))),
+             6) AS cosine
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding))
+             * sqrt(list_dot_product(b.embedding, b.embedding))),
+            6) >= 0.95
+"""
+)
+
 
 # --------------------------------------------------------------------------
 # Driver-sampling order: the correctness driver checks a 50-query window of
