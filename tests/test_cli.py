@@ -195,6 +195,39 @@ sinks:
     assert not spark.streams.active
 
 
+def test_top_multi_sink_any_progress(tmp_path, spark):
+    """With several streaming sinks, ANY query's progress advances the
+    display — the first sink in the dict is not special, and both
+    queries appear in the final frame."""
+    from vector_spark.cli import cmd_top
+
+    p = tmp_path / "multi.yaml"
+    p.write_text(
+        """
+sources:
+  gen_a:
+    type: rate
+    rows_per_batch: 50
+  gen_b:
+    type: rate
+    rows_per_batch: 70
+sinks:
+  out_a:
+    type: memory
+    inputs: [gen_a]
+  out_b:
+    type: memory
+    inputs: [gen_b]
+"""
+    )
+    frames = cmd_top([str(p)], spark=spark, frames=4)
+    assert len(frames) == 4
+    last = frames[-1].splitlines()
+    names = {ln.split()[0] for ln in last[1:]}
+    assert {"out_a", "out_b"} <= names
+    assert not spark.streams.active
+
+
 def test_top_surfaces_crashed_topology(tmp_path, spark):
     """A topology whose streaming sink dies must raise (the cmd_run
     awaitAnyTermination analog) — not exit cleanly with no frames."""
