@@ -303,3 +303,45 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[r] = min(comp_min[r], x)
     want_min = {x: comp_min[find(x)] for x in parent}
     assert got == want_min
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 37)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(2, 11),
+)
+def test_chunk_sequences_tiling_property(spark, data, seq_len):
+    """chunk_sequences invariants under random token counts and sequence
+    lengths: each doc's slot widths sum to its token count; within each
+    (group, seq) the slots tile without gap or overlap starting at 0;
+    every sequence except a group's last is exactly full; zero-token
+    docs never appear."""
+    from vector_spark.dataops.curation import chunk_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=g, n_tokens=n) for i, (g, n) in enumerate(data)]
+    )
+    rows = chunk_sequences(df, seq_len=seq_len).collect()
+    by_doc = {}
+    by_seq = {}
+    for r in rows:
+        assert 0 <= r.tok_start < r.tok_end <= seq_len
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += r.tok_end - r.tok_start
+        by_seq.setdefault((r.source, r.seq_id), []).append(
+            (r.tok_start, r.tok_end)
+        )
+    for i, (g, n) in enumerate(data):
+        assert by_doc.get(i, 0) == n, i  # zero-token docs absent
+    for (g, s), slots in by_seq.items():
+        slots.sort()
+        assert slots[0][0] == 0
+        for (a0, a1), (b0, b1) in zip(slots, slots[1:]):
+            assert a1 == b0  # no gap, no overlap
+        last_seq = max(sid for (gg, sid) in by_seq if gg == g)
+        if s < last_seq:
+            assert slots[-1][1] == seq_len  # interior sequences are full

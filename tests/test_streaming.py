@@ -581,3 +581,59 @@ def test_memory_table_ttl_expiry_under_stream(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert {k for k in table._data} == {"7", "8"}
+
+
+@pytest.mark.streaming
+def test_streaming_document_curation_flow(spark, barrier, tmp_path):
+    """Curation is stream-transparent: the SAME pure-Column program
+    (normalize_text -> quality filter -> fingerprint) runs unmodified on
+    a file stream, and the streaming TTL dedupe drops exact duplicates
+    ACROSS micro-batches — accent variants of one document collapse to
+    one emitted row however the batches split."""
+    import json as _json
+
+    from vector_spark.dataops.text import (
+        fingerprint,
+        normalize_text,
+        token_count,
+    )
+    from vector_spark.streaming.pipeline import file_stream_source
+
+    b1 = [
+        {"doc_id": 1, "text": "Héllo   wörld one"},
+        {"doc_id": 2, "text": "hello world one"},  # same after normalize
+        {"doc_id": 3, "text": "short"},  # fails the quality gate
+    ]
+    b2 = [
+        {"doc_id": 4, "text": "HELLO world, one!"},  # cross-batch dup
+        {"doc_id": 5, "text": "a completely different document"},
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "b1.json").write_text("\n".join(map(_json.dumps, b1)))
+    (d / "b2.json").write_text("\n".join(map(_json.dumps, b2)))
+
+    src = file_stream_source(
+        spark, str(d), fmt="json",
+        schema="doc_id long, text string", max_files_per_trigger=1,
+    )
+    cur = (
+        src.select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+            F.current_timestamp().alias("ts"),
+        )
+        .where(token_count(F.col("norm")) >= 2)
+        .withColumn("fp", fingerprint(F.col("norm")))
+    )
+    out = streaming_dedupe(cur, ["fp"], ts_col="ts", ttl="10 minutes")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = memory_sink(out, name)
+    _drain(spark, barrier, q, name, min_rows=2, timeout=60)
+    rows = spark.sql(f"SELECT doc_id, norm, fp FROM {name}").collect()
+    # exactly one survivor per distinct normalized text, quality gate held
+    assert len(rows) == len({r.fp for r in rows}) == 2
+    norms = {r.norm for r in rows}
+    assert "hello world one" in norms
+    assert "a completely different document" in norms
+    assert all(r.doc_id != 3 for r in rows)
