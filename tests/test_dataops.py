@@ -486,6 +486,45 @@ def test_bpe_oracle_replays_trainer_and_encoder(spark):
         assert oenc == enc, rows
 
 
+def test_cosine_near_dup_np_matches_expression_exact(spark):
+    """The numpy-matmul pairwise arm returns exactly the expression
+    exact arm's rows (ids and rounded cosines), including zero-vector
+    rows contributing nothing, and the size gate trips loudly."""
+    import pytest as _pytest
+
+    from vector_spark.dataops.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_np,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 2.0, 0.5]),
+        (2, [1.0, 0.1, 2.0, 0.5]),
+        (3, [0.0, 3.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector: pairs drop
+        (5, [2.0, 0.0, 4.0, 1.0]),  # colinear with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.9, id_col="doc_id", exact=True
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs_np(
+            df, threshold=0.9, id_col="doc_id"
+        ).collect()
+    }
+    assert got == exact and (1, 5) in got and got[(1, 5)] == 1.0
+    assert not any(4 in p for p in got)
+    with _pytest.raises(ValueError, match="broadcast_limit"):
+        cosine_near_dup_pairs_np(
+            df, threshold=0.9, id_col="doc_id", broadcast_limit=3
+        )
+
+
 def test_hashed_tfidf_embedding_math_and_bridge(spark):
     """Feature-hashing TF-IDF: values equal an independent pure-Python
     implementation (same md5-bucket, same idf smoothing), vectors are

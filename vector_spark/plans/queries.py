@@ -4750,28 +4750,29 @@ QUERIES.update({
         "hashing-vectorizer TF-IDF unit embeddings (text -> ANN bridge)",
     ),
     # Text near-dup END-TO-END with no external model: hashed-TF-IDF
-    # embeddings feed the LSH-blocked cosine near-dup operator (48
-    # tables x 4 planes at cos >= 0.95: per-plane miss prob ~0.1, so
-    # miss-all-tables ~ (1 - 0.9^4)^48 ~ 7e-23 — recall 1, held to the
-    # exact all-pairs oracle like embedding_near_dup_lsh).
+    # embeddings feed the exact numpy-matmul pairwise arm. The LSH arm
+    # is deliberately NOT used here: this synthetic corpus draws every
+    # doc from one small vocabulary, so the background cosine sits near
+    # the threshold and sign-LSH degenerates to all-pairs candidates
+    # (measured 44 s LSH / 94 s expression-exact / ~2 s matmul at sf0.1,
+    # identical outputs — receipts in cosine_near_dup_pairs_np's
+    # docstring). Real heavy-tailed corpora at scale take the LSH arm.
     "docs_text_near_dup": QuerySpec(
         lambda spark, sf_dir: (
-            # the LSH blocker consumes its input 4x (two bucket scans +
-            # the two verify sides) — persist the embedding build so the
-            # tokenize/TF-IDF pipeline runs once, not four times
-            lambda sim, tmod: sim.cosine_near_dup_pairs(
+            # persist: the np arm reads its input twice (driver collect
+            # of the broadcast side + the streamed matmul side)
+            lambda sim, tmod: sim.cosine_near_dup_pairs_np(
                 _cache.track_persist(
                     tmod.hashed_tfidf_embedding(
                         _t(spark, sf_dir, "documents"), dim=64
                     )
                 ),
                 threshold=0.95, id_col="doc_id",
-                n_tables=48, n_planes=4,
             )
         )(
             __import__(
                 "vector_spark.dataops.similarity",
-                fromlist=["cosine_near_dup_pairs"],
+                fromlist=["cosine_near_dup_pairs_np"],
             ),
             __import__(
                 "vector_spark.dataops.text",
@@ -4779,7 +4780,7 @@ QUERIES.update({
             ),
         ),
         None,  # assigned below from the shared _hashed_tfidf_ctes chain
-        "raw-text near-dup: hashed-TF-IDF -> LSH cosine pairs, composed",
+        "raw-text near-dup: hashed-TF-IDF -> exact matmul cosine pairs",
     ),
     # CCNet head/middle/tail bucketing: rank every document by its
     # interpolated-bigram-LM avg negative log-likelihood and cut the
