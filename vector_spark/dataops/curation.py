@@ -1,19 +1,28 @@
 """Corpus-curation operators for pretraining-data pipelines.
 
-The four ops here are the standard curation stages that sit between raw
-crawl and tokenizer in an LLM data pipeline (Gopher/MassiveText §A1.1,
-C4, The Pile, Dolma — public papers; none of this exists in the reference,
-it is part of the driver's training-data mandate):
+The ops here are the curation stages that sit between raw crawl and
+tokenizer in an LLM data pipeline (Gopher/MassiveText §A1.1, C4, The
+Pile, Dolma, RefinedWeb, CCNet, Lee et al. 2021, Xie et al. 2023 —
+public papers; none of this exists in the reference, it is part of the
+driver's training-data mandate):
 
 - repetition_stats  — Gopher-style within-document repetition signals
   (top-n-gram char fraction, duplicated-n-gram fraction) used to drop
   boilerplate/spam.
 - contamination_check — n-gram collision scan of the training corpus
   against a benchmark/eval set (the standard decontamination step).
-- stratified_sample — deterministic per-stratum (e.g. language) sampling
-  to hit a target mixture; hash-based so reruns and engines agree.
-- pack_shards — greedy token-budget packing of documents into training
-  shards, parallel per group.
+- stratified_sample / sample_exact_k / hash_split — deterministic
+  mixture sampling, exact-k per-group eval subsets, content-stable
+  train/val/test assignment; hash-based so reruns and engines agree.
+- duplicate_spans / remove_duplicate_spans — cross-document duplicated
+  k-word passages: find them, then rewrite the corpus keeping only the
+  canonical occurrence (Lee et al. §4).
+- cap_per_source — RefinedWeb/Gopher per-domain caps.
+- dsir_select — DSIR hashed-ngram importance selection toward a target
+  domain (Xie et al. 2023).
+- rank_buckets — CCNet head/middle/tail quality bucketing by LM rank.
+- pack_shards / chunk_sequences — token-budget shard packing and
+  GPT-style concat-and-chunk fixed-length sequence manifests.
 
 Scale notes (100 TB): repetition is computed with explode + two-level
 aggregation — the shuffle key is (doc_id, ngram), which is high-cardinality
