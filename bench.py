@@ -85,6 +85,7 @@ HEADLINE = [
     "docs_ccnet_buckets",
     "docs_hashed_tfidf",
     "docs_text_near_dup",
+    "docs_temperature_mixture",
 ]
 
 

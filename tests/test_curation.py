@@ -307,6 +307,36 @@ def test_chunk_sequences_boundaries(spark):
     }
 
 
+def test_temperature_mixture_rates_and_flattening(spark):
+    """Temperature sampling: keep rates follow n^alpha exactly (checked
+    against an independent computation), alpha flattens the skew (the
+    minority stratum keeps a HIGHER fraction than the majority), and
+    alpha=1 with target 1.0 keeps everything at rate 1."""
+    from vector_spark.dataops.curation import temperature_mixture
+
+    rows = [(i, "en" if i < 160 else "fr") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(docs, alpha=0.5, target_frac=0.5).collect()
+    got_rates = {r.lang: r.keep_rate for r in out}
+    n = {"en": 160, "fr": 40}
+    w = {k: v ** 0.5 for k, v in n.items()}
+    tw, tn = sum(w.values()), sum(n.values())
+    for k in n:
+        want = round(min(1.0, 0.5 * tn * (w[k] / tw) / n[k]), 6)
+        assert abs(got_rates[k] - want) < 2e-6, k
+    assert got_rates["fr"] > got_rates["en"]  # flattening
+    # keep decision is the shared Knuth hash: per-stratum kept counts
+    # match an independent replay of the same rule
+    kept = {(r.doc_id, r.lang) for r in out}
+    for i, lang in rows:
+        rate = round(min(1.0, 0.5 * tn * (w[lang] / tw) / n[lang]), 9)
+        h = (i * 2654435761) % (2 ** 31)
+        assert ((i, lang) in kept) == (h <= int(rate * 2 ** 31)), i
+    # alpha=1, target 1.0 -> natural distribution, everything kept
+    all_out = temperature_mixture(docs, alpha=1.0, target_frac=1.0)
+    assert all_out.count() == 200
+
+
 def test_dsir_select_matches_reference_math(spark):
     """DSIR importance weights equal an independent pure-Python
     implementation of the same hashed-ngram log-ratio estimator, and

@@ -192,6 +192,59 @@ def stratified_sample(
     return df.where(h <= (rate * _MOD).cast("long"))
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-training
+    standard, Arivazhagan et al. 2019): per-stratum keep rates are
+    DERIVED from the data so the kept mix follows n_s^alpha — alpha=1
+    preserves the natural distribution, alpha→0 flattens it, and
+    target_frac scales the total kept mass. rate_s =
+    min(1, target_frac · N · (n_s^alpha / Σ n^alpha) / n_s), applied
+    with the same Knuth-hash keep decision as :func:`stratified_sample`
+    (rerun-stable, partition-independent, engine-replayable). Rates
+    round to 9 decimals before the hash threshold so engines whose
+    pow() differs in the last ulp cannot flip a boundary row. Returns
+    kept rows (id, stratum, keep_rate).
+
+    Scale shape: one S-row count aggregate, rates broadcast back, keep
+    decision rides the scan — no corpus shuffle anywhere."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # rename before the rollup: tot shares counts' lineage, and the
+    # crossJoin back would otherwise make `_n` ambiguous (self-join)
+    tot = counts.select(F.col("_n").alias("_cn")).agg(
+        F.sum("_cn").alias("_N"),
+        F.sum(F.pow("_cn", F.lit(alpha))).alias("_W"),
+    )
+    rates = counts.alias("c").crossJoin(
+        F.broadcast(tot.alias("t"))
+    ).select(
+        F.col(f"c.{strata_col}").alias(strata_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("c._n"), F.lit(alpha)) / F.col("t._W")
+                * F.lit(target_frac) * F.col("t._N") / F.col("c._n"),
+            ),
+            9,
+        ).alias("_rate"),
+    )
+    h = F.pmod(F.col(id_col).cast("long") * _KNUTH, F.lit(_MOD))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(h <= (F.col("_rate") * _MOD).cast("long"))
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.round(F.col("_rate"), 6).alias("keep_rate"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4736,6 +4736,36 @@ QUERIES.update({
         """,
         "interpolated bigram-LM perplexity per document",
     ),
+    # Temperature mixture sampling (Arivazhagan et al. 2019): keep rates
+    # DERIVED from the per-language counts (n^0.7 flattening, half the
+    # corpus kept), same Knuth-hash keep decision as docs_mixture_sample;
+    # the oracle re-derives every rate from the same counts.
+    "docs_temperature_mixture": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["temperature_mixture"]
+        ).temperature_mixture(
+            _t(spark, sf_dir, "documents"), alpha=0.7, target_frac=0.5
+        ),
+        """
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), t AS (
+          -- DuckDB is case-insensitive: N would collide with c.n
+          SELECT SUM(n) AS tot_n, SUM(POW(n, 0.7)) AS tot_w FROM c
+        ), r AS (
+          SELECT lang,
+                 ROUND(LEAST(1.0, POW(n, 0.7) / tot_w * 0.5 * tot_n / n),
+                       9) AS rate
+          FROM c CROSS JOIN t
+        )
+        SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS keep_rate
+        FROM documents d JOIN r USING (lang)
+        WHERE ((d.doc_id * 2654435761) % 2147483648 + 2147483648)
+                % 2147483648
+              <= CAST(r.rate * 2147483648 AS BIGINT)
+        """,
+        "temperature mixture: n^alpha-flattened per-language keep rates",
+    ),
     # Hashing-vectorizer TF-IDF embeddings: text -> fixed-dim L2 unit
     # vectors, bridging the raw corpus into the cosine ANN/near-dup
     # operators with no external model. Bucket index = first 4 md5 hex
@@ -4991,6 +5021,7 @@ _DRIVER_PRIORITY = [
     # changed behavior (span removal broadcast/rewrite, null-source cap)
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
     "docs_ccnet_buckets", "docs_hashed_tfidf", "docs_text_near_dup",
+    "docs_temperature_mixture",
     "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
