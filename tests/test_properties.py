@@ -345,3 +345,36 @@ def test_chunk_sequences_tiling_property(spark, data, seq_len):
         last_seq = max(sid for (gg, sid) in by_seq if gg == g)
         if s < last_seq:
             assert slots[-1][1] == seq_len  # interior sequences are full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.floats(0, 50, allow_nan=False), min_size=1, max_size=30),
+    st.integers(2, 5),
+)
+def test_rank_buckets_sizes_property(spark, scores, k):
+    """rank_buckets invariants under random scores: bucket b holds
+    exactly floor(n*(b+1)/k) - floor(n*b/k) documents, buckets are
+    rank-contiguous (every head score <= every later-bucket score after
+    the id tiebreak), and the union is the whole input."""
+    from vector_spark.dataops.curation import rank_buckets
+
+    labels = [f"b{i}" for i in range(k)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, avg_nll=float(s)) for i, s in enumerate(scores)]
+    )
+    out = rank_buckets(df, n_buckets=k, labels=labels).collect()
+    n = len(scores)
+    assert len(out) == n
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append((r.avg_nll, r.doc_id))
+    sizes = {b: len(v) for b, v in by_bucket.items()}
+    for b in range(k):
+        want = (n * (b + 1)) // k - (n * b) // k
+        assert sizes.get(labels[b], 0) == want, (b, sizes)
+    ordered = sorted(
+        ((r.avg_nll, r.doc_id, labels.index(r.bucket)) for r in out)
+    )
+    ranks = [b for _, _, b in ordered]
+    assert ranks == sorted(ranks)  # buckets are contiguous in rank order
