@@ -31,12 +31,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from vector_spark import cache  # noqa: E402
-from vector_spark.dataops.curation import remove_duplicate_spans  # noqa: E402
+from vector_spark.dataops.curation import (  # noqa: E402
+    cap_per_source,
+    chunk_sequences,
+    dsir_select,
+    pack_shards,
+    rank_buckets,
+    remove_duplicate_spans,
+)
 from vector_spark.dataops.dedup import (  # noqa: E402
     dedup_keep_best,
     minhash_lsh_pairs,
 )
-from vector_spark.dataops.text import bigram_lm_score, nb_classify  # noqa: E402
+from vector_spark.dataops.text import (  # noqa: E402
+    bigram_lm_score,
+    bpe_encode_docs,
+    bpe_train,
+    nb_classify,
+    normalize_text,
+    token_count,
+)
 from vector_spark.session import get_spark  # noqa: E402
 
 UI_PORT = 40412
@@ -86,6 +100,27 @@ def replicated_docs(spark, sf_dir: str, replicas: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _tokenizer_pipeline(docs):
+    """The registry's six-stage flow, on the given corpus (same constants
+    as docs_tokenizer_pipeline, cap scaled out of the way — replicated
+    sources all have the same size so a fixed cap would just truncate)."""
+    norm = docs.select(
+        "doc_id", "source", "n_chars",
+        normalize_text(F.col("text")).alias("text"),
+    )
+    kept = cap_per_source(norm, 10**9)
+    capped = cache.track_persist(norm.join(kept.select("doc_id"), "doc_id"))
+    cleaned = cache.track_persist(
+        remove_duplicate_spans(capped, k=5, min_docs=2)
+    )
+    merges = bpe_train(cleaned, text_col="clean_text", n_merges=12)
+    encoded = bpe_encode_docs(cleaned, merges, text_col="clean_text")
+    with_src = encoded.join(capped.select("doc_id", "source"), "doc_id")
+    return pack_shards(
+        with_src, token_budget=200, group_col="source", tokens_col="n_tokens"
+    )
+
+
 OPS = {
     "nb_classify": lambda docs: nb_classify(docs),
     "bigram_lm_score": lambda docs: bigram_lm_score(docs),
@@ -96,6 +131,20 @@ OPS = {
     ),
     "remove_duplicate_spans": lambda docs: remove_duplicate_spans(
         docs, k=5, min_docs=2
+    ),
+    # round-7 additions
+    "tokenizer_pipeline": _tokenizer_pipeline,
+    "dsir_select": lambda docs: dsir_select(
+        docs, 100, F.col("lang") == "en"
+    ),
+    "ccnet_buckets": lambda docs: rank_buckets(
+        bigram_lm_score(docs).select("doc_id", "avg_nll"), n_buckets=3
+    ),
+    "chunk_sequences": lambda docs: chunk_sequences(
+        docs.select(
+            "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+        ),
+        seq_len=256,
     ),
 }
 
