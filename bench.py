@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_hashed_tfidf",
     "docs_text_near_dup",
     "docs_temperature_mixture",
+    "multimodal_frame_sample",
 ]
 
 

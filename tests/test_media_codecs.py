@@ -185,3 +185,28 @@ def test_resize_images_spark(spark):
     got = mc.decode_ppm(bytes(out["data"]))
     assert got.shape == (4, 8, 3)
     assert np.array_equal(got, mc.resize_nearest(img, 8, 4))
+
+
+def test_mjpng_roundtrip_and_offsets():
+    """Motion-PNG container: encode/decode round-trips frames and fps,
+    and the offsets fast path slices frame bytes without pixel decode."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    frames = [
+        np.full((8, 8), v, dtype=np.uint8) for v in (0, 100, 255, 7)
+    ]
+    data = mc.encode_mjpng(frames, fps=4)
+    fps, got = mc.decode_mjpng(data)
+    assert fps == 4 and len(got) == 4
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    fps2, spans = mc.mjpng_frame_offsets(data)
+    assert fps2 == 4 and len(spans) == 4
+    for (off, ln), f in zip(spans, frames):
+        assert (mc.decode_png(data[off:off + ln]) == f).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="motion-PNG"):
+        mc.decode_mjpng(b"not a stream")

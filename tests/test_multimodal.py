@@ -62,3 +62,37 @@ def test_synthesized_assets_real_decode(spark, documents):
     f_wav = feats[wav["asset_id"]]
     assert f_wav["feat_mean"] == round(amp / 32768.0, 6)
     assert f_wav["feat_std"] == 0.256  # 2048 samples / 8000 Hz
+
+
+def test_sample_frames_indexes_means_and_strict(spark):
+    """Frame sampling: every 3rd frame of the 8-frame synthetic clips,
+    timestamps f/fps, per-frame means equal to doc_id arithmetic, kept
+    frame bytes decode to the right constant image; non-video payloads
+    skip (or raise under strict)."""
+    import pytest as _pytest
+
+    from vector_spark.dataops import media_codecs as mc
+    from vector_spark.dataops.multimodal import (
+        documents_as_assets,
+        sample_frames,
+        synthesize_video_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (0, 7, 250)], "doc_id long, text string"
+    )
+    clips = synthesize_video_assets(docs)
+    rows = sample_frames(clips, every_n=3).collect()
+    got = {(r.asset_id, r.frame_index): r for r in rows}
+    assert set(got) == {(i, f) for i in (0, 7, 250) for f in (0, 3, 6)}
+    for (i, f), r in got.items():
+        assert r.ts_s == f / 4
+        assert r.frame_mean == round(((i + f) % 256) / 255.0, 6)
+        assert r.width == 8 and r.height == 8
+        img = mc.decode_png(bytes(r.frame_png))
+        assert int(img[0, 0]) == (i + f) % 256
+    # non-video assets: skipped silently, strict raises
+    text_assets = documents_as_assets(docs)
+    assert sample_frames(text_assets, every_n=3).count() == 0
+    with _pytest.raises(Exception, match="motion-PNG"):
+        sample_frames(text_assets, every_n=3, strict=True).count()

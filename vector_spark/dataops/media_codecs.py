@@ -273,3 +273,53 @@ def decode_image(data: bytes) -> np.ndarray:
             "JPEG decode requires a codec library (libjpeg/PIL) — env-gated"
         )
     raise ValueError("unrecognized image payload")
+
+
+# ---- motion-PNG video container ------------------------------------------
+# The container lib (mp4/mkv demux + H.26x entropy coding) is env-gated
+# like JPEG, but frame-level VIDEO PLUMBING does not need it: this is a
+# minimal real container — magic, fps, frame count, then length-prefixed
+# PNG frames — so frame sampling, per-frame features, and resize are
+# exercised against REAL parseable bytes, not a mock. (Conceptually
+# MJPEG with PNG frames; everything stdlib.)
+
+_MJPNG_MAGIC = b"MJPN1"
+
+
+def encode_mjpng(frames: list[np.ndarray], fps: int) -> bytes:
+    """Encode frames (uint8 gray or RGB arrays) at an integer fps."""
+    out = [_MJPNG_MAGIC, struct.pack(">HI", fps, len(frames))]
+    for f in frames:
+        png = encode_png(f)
+        out.append(struct.pack(">I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def decode_mjpng(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Decode a motion-PNG container -> (fps, frames)."""
+    if data[:5] != _MJPNG_MAGIC:
+        raise ValueError("not a motion-PNG stream")
+    fps, n = struct.unpack(">HI", data[5:11])
+    frames, off = [], 11
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        frames.append(decode_png(data[off:off + ln]))
+        off += ln
+    return fps, frames
+
+
+def mjpng_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int]]]:
+    """(fps, [(offset, length), ...]) WITHOUT decoding pixels — the
+    sampling fast path reads headers and slices only the kept frames."""
+    if data[:5] != _MJPNG_MAGIC:
+        raise ValueError("not a motion-PNG stream")
+    fps, n = struct.unpack(">HI", data[5:11])
+    spans, off = [], 11
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        spans.append((off, ln))
+        off += ln
+    return fps, spans

@@ -122,6 +122,104 @@ def synthesize_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col, "text").mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("ts_s", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_png", BinaryType()),
+        StructField("frame_mean", DoubleType()),
+    ]
+)
+
+
+def synthesize_video_assets(
+    docs: DataFrame, id_col: str = "doc_id", n_frames: int = 8, fps: int = 4
+) -> DataFrame:
+    """Deterministically synthesize REAL video payloads (motion-PNG
+    container, media_codecs.encode_mjpng) — one clip per row: n_frames
+    8×8 frames, frame f a constant pixel (doc_id + f) % 256, so every
+    per-frame feature is exact doc_id arithmetic an independent engine
+    recomputes without touching the binary (same discipline as
+    synthesize_assets): frame_mean = round(((doc_id+f)%256)/255, 6),
+    ts_s = f/fps, duration = n_frames/fps."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in ASSET_SCHEMA.fields}
+            for i in pdf[id_col].to_numpy():
+                frames = [
+                    np.full((8, 8), (int(i) + f) % 256, dtype=np.uint8)
+                    for f in range(n_frames)
+                ]
+                out["asset_id"].append(int(i))
+                out["media_type"].append("video/x-motion-png")
+                out["data"].append(mc.encode_mjpng(frames, fps))
+                out["width"].append(8)
+                out["height"].append(8)
+                out["duration_s"].append(n_frames / fps)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return docs.select(id_col).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_n: int = 3, strict: bool = False
+) -> DataFrame:
+    """Frame sampling over video payloads: keep every n-th frame of each
+    clip, emitting (asset_id, frame_index, ts_s, width, height,
+    frame_png, frame_mean) — the pretraining-pipeline step that turns
+    video into a trainable image stream.
+
+    REAL decode: the motion-PNG container parses header-first
+    (mjpng_frame_offsets), so only the KEPT frames' PNG bytes are ever
+    decoded — at 100 TB the dominant cost is exactly the frames you
+    keep, not the clip length. Non-video payloads are skipped
+    (strict=True raises instead); entropy-coded containers (mp4/H.26x)
+    stay env-gated like JPEG, documented in media_codecs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vector_spark.dataops import media_codecs as mc
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for aid, d in zip(pdf["asset_id"], pdf["data"]):
+                raw = bytes(d) if d is not None else b""
+                if raw[:5] != b"MJPN1":
+                    if strict:
+                        raise ValueError(
+                            f"asset {aid}: not a motion-PNG stream "
+                            "(mp4/H.26x need a codec library)"
+                        )
+                    continue
+                fps, spans = mc.mjpng_frame_offsets(raw)
+                for f in range(0, len(spans), every_n):
+                    off, ln = spans[f]
+                    png = raw[off:off + ln]
+                    img = mc.decode_png(png)
+                    out["asset_id"].append(int(aid))
+                    out["frame_index"].append(f)
+                    out["ts_s"].append(f / fps)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["frame_png"].append(png)
+                    out["frame_mean"].append(
+                        round(float(img.mean()) / 255.0, 6)
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
 def decode_image(data: bytes) -> "object":
     """REAL for PNG / netpbm / BMP (pure stdlib+numpy decoders in
     dataops/media_codecs.py; PIL extends coverage when present). JPEG and

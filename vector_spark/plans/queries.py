@@ -4736,6 +4736,34 @@ QUERIES.update({
         """,
         "interpolated bigram-LM perplexity per document",
     ),
+    # Video frame sampling: synthesize REAL motion-PNG clips (8 frames,
+    # 4 fps, frame f = constant pixel (doc_id+f)%256), keep every 3rd
+    # frame, decode ONLY the kept frames. The oracle recomputes every
+    # emitted value from doc_id arithmetic — indexes {0,3,6}, ts=f/4
+    # (exact dyadic), mean=((doc_id+f)%256)/255 — without touching the
+    # binary, the synthesize_assets discipline.
+    "multimodal_frame_sample": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda mm: mm.sample_frames(
+                mm.synthesize_video_assets(
+                    _t(spark, sf_dir, "documents")
+                ),
+                every_n=3,
+            ).select("asset_id", "frame_index", "ts_s", "frame_mean")
+        )(
+            __import__(
+                "vector_spark.dataops.multimodal",
+                fromlist=["sample_frames"],
+            )
+        ),
+        """
+        SELECT doc_id AS asset_id, CAST(t.f AS INT) AS frame_index,
+               t.f / 4.0 AS ts_s,
+               ROUND(((doc_id + t.f) % 256) / 255.0, 6) AS frame_mean
+        FROM documents, UNNEST([0, 3, 6]) AS t(f)
+        """,
+        "video frame sampling over a real motion-PNG container",
+    ),
     # Temperature mixture sampling (Arivazhagan et al. 2019): keep rates
     # DERIVED from the per-language counts (n^0.7 flattening, half the
     # corpus kept), same Knuth-hash keep decision as docs_mixture_sample;
@@ -5021,7 +5049,7 @@ _DRIVER_PRIORITY = [
     # changed behavior (span removal broadcast/rewrite, null-source cap)
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
     "docs_ccnet_buckets", "docs_hashed_tfidf", "docs_text_near_dup",
-    "docs_temperature_mixture",
+    "docs_temperature_mixture", "multimodal_frame_sample",
     "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
