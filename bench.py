@@ -87,6 +87,7 @@ HEADLINE = [
     "docs_text_near_dup",
     "docs_temperature_mixture",
     "multimodal_frame_sample",
+    "multimodal_audio_windows",
 ]
 
 

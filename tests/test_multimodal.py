@@ -96,3 +96,35 @@ def test_sample_frames_indexes_means_and_strict(spark):
     assert sample_frames(text_assets, every_n=3).count() == 0
     with _pytest.raises(Exception, match="motion-PNG"):
         sample_frames(text_assets, every_n=3, strict=True).count()
+
+
+def test_audio_windows_rms_and_strict(spark):
+    """Windowed audio: four 512-sample windows per synthetic clip, RMS
+    exactly A/32768 per window, timestamps i*512/8000; a trailing
+    partial window is dropped; non-WAV payloads skip or raise."""
+    import pytest as _pytest
+
+    from vector_spark.dataops.multimodal import (
+        audio_windows,
+        documents_as_assets,
+        synthesize_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 4, 97)], "doc_id long, text string"
+    )
+    assets = synthesize_assets(docs)  # all ids % 3 == 1 -> WAV clips
+    rows = audio_windows(assets, window_s=0.064).collect()
+    got = {(r.asset_id, r.window_index): r for r in rows}
+    assert set(got) == {(i, w) for i in (1, 4, 97) for w in range(4)}
+    for (i, w), r in got.items():
+        amp = 500 + (i % 100) * 3
+        assert r.rms == round(amp / 32768.0, 6)
+        assert r.t0_s == w * 512 / 8000
+    # 0.1 s windows (800 samples): 2048 // 800 = 2 full windows, the
+    # 448-sample tail drops
+    assert audio_windows(assets, window_s=0.1).count() == 6
+    text_assets = documents_as_assets(docs)
+    assert audio_windows(text_assets).count() == 0
+    with _pytest.raises(Exception, match="WAV"):
+        audio_windows(text_assets, strict=True).count()

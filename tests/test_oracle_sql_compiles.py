@@ -38,7 +38,7 @@ def test_every_oracle_binds(con):
         except Exception as e:  # noqa: BLE001 - collect all, report once
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
-    assert n >= 124  # every registry entry has an oracle as of round 7
+    assert n >= 125  # every registry entry has an oracle as of round 7
 
 
 def test_no_rows_only_entries_remain(con):

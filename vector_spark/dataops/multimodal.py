@@ -220,6 +220,65 @@ def sample_frames(
     return assets.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("window_index", IntegerType()),
+        StructField("t0_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_windows(
+    assets: DataFrame, window_s: float = 0.064, strict: bool = False
+) -> DataFrame:
+    """Windowed audio feature extraction: REAL WAV decode, fixed-length
+    windows (trailing partial window dropped — deterministic row
+    counts), per-window RMS in [0, 1] — the audio analog of
+    :func:`sample_frames` for a training pipeline that consumes audio
+    as framed features. Non-WAV payloads skip (strict=True raises;
+    compressed codecs need a library, same env-gate as JPEG/mp4).
+
+    Window timestamps are exact integer arithmetic then one division
+    (idx·win/rate), and the synthetic square-wave clips make every RMS
+    an exact dyadic (A/32768) — the same engine-replayability
+    discipline as synthesize_assets."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vector_spark.dataops import media_codecs as mc
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for aid, d in zip(pdf["asset_id"], pdf["data"]):
+                raw = bytes(d) if d is not None else b""
+                if mc.sniff_media(raw) != "audio/wav":
+                    if strict:
+                        raise ValueError(
+                            f"asset {aid}: not a WAV payload (compressed "
+                            "audio needs a codec library)"
+                        )
+                    continue
+                rate, samples = mc.decode_wav(raw)
+                win = int(round(window_s * rate))
+                n = len(samples) // win if win > 0 else 0
+                x = samples[: n * win].astype(np.float64) / 32768.0
+                for i in range(n):
+                    seg = x[i * win:(i + 1) * win]
+                    out["asset_id"].append(int(aid))
+                    out["window_index"].append(i)
+                    out["t0_s"].append(i * win / rate)
+                    out["rms"].append(
+                        round(float(np.sqrt(np.mean(seg * seg))), 6)
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_WINDOW_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(fn, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def decode_image(data: bytes) -> "object":
     """REAL for PNG / netpbm / BMP (pure stdlib+numpy decoders in
     dataops/media_codecs.py; PIL extends coverage when present). JPEG and

@@ -4764,6 +4764,32 @@ QUERIES.update({
         """,
         "video frame sampling over a real motion-PNG container",
     ),
+    # Windowed audio features over the synthetic square-wave WAV assets
+    # (doc_id % 3 == 1 in synthesize_assets): 2048 samples @ 8kHz cut
+    # into four 512-sample windows; every RMS is the exact dyadic
+    # A/32768 (A = 500 + (doc_id%100)*3), timestamps i*512/8000 — all
+    # re-derived by the oracle from doc_id arithmetic alone.
+    "multimodal_audio_windows": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda mm: mm.audio_windows(
+                mm.synthesize_assets(_t(spark, sf_dir, "documents")),
+                window_s=0.064,
+            )
+        )(
+            __import__(
+                "vector_spark.dataops.multimodal",
+                fromlist=["audio_windows"],
+            )
+        ),
+        """
+        SELECT doc_id AS asset_id, CAST(t.w AS INT) AS window_index,
+               (t.w * 512) / 8000.0 AS t0_s,
+               ROUND((500 + (doc_id % 100) * 3) / 32768.0, 6) AS rms
+        FROM documents, UNNEST([0, 1, 2, 3]) AS t(w)
+        WHERE doc_id % 3 = 1
+        """,
+        "windowed audio RMS features over real WAV decode",
+    ),
     # Temperature mixture sampling (Arivazhagan et al. 2019): keep rates
     # DERIVED from the per-language counts (n^0.7 flattening, half the
     # corpus kept), same Knuth-hash keep decision as docs_mixture_sample;
@@ -5050,6 +5076,7 @@ _DRIVER_PRIORITY = [
     "docs_tokenizer_pipeline", "docs_dsir_select", "docs_chunk_sequences",
     "docs_ccnet_buckets", "docs_hashed_tfidf", "docs_text_near_dup",
     "docs_temperature_mixture", "multimodal_frame_sample",
+    "multimodal_audio_windows",
     "docs_bpe_train", "docs_bpe_encode",
     "docs_remove_duplicate_spans", "docs_source_cap", "docs_sample_exact_k",
     # new/changed in r6 — driver-sampled green in r6
