@@ -91,6 +91,29 @@ def test_no_unpartitioned_window_in_any_registry_query(spark):
     assert not offenders, f"single-task global windows found: {offenders}"
 
 
+def test_every_registry_query_schema_is_atomic(spark):
+    """The driver's correctness gate canonicalizes results through a pandas
+    sort, which dies on unhashable cells (`TypeError: unhashable type:
+    'list'` — the r7 `docs_hashed_tfidf` red row). Every registry query's
+    FINAL schema must therefore contain only atomic types: no array, map,
+    or struct columns. Operators may return nested types; registry
+    entries must posexplode / to_json them down before the driver sees
+    them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, SF)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"non-atomic registry outputs: {offenders}"
+
+
 def test_tag_cardinality_uses_partial_topk(spark):
     """The admitted-value set must come from TakeOrderedAndProject (parallel
     partial top-k + bounded driver merge), never a global Window rank."""

@@ -4824,11 +4824,18 @@ QUERIES.update({
     # vectors, bridging the raw corpus into the cosine ANN/near-dup
     # operators with no external model. Bucket index = first 4 md5 hex
     # chars base-16 mod dim (Spark conv == DuckDB '0x' cast).
+    # Registry shape: the operator returns (doc_id, embedding
+    # array<double>); the ENTRY posexplodes to atomic (doc_id, i, v)
+    # because the driver's canonicalizer sorts pandas frames and dies on
+    # unhashable list cells (r7 gate red). The operator API is unchanged.
     "docs_hashed_tfidf": QuerySpec(
         lambda spark, sf_dir: __import__(
             "vector_spark.dataops.text", fromlist=["hashed_tfidf_embedding"]
         ).hashed_tfidf_embedding(
             _t(spark, sf_dir, "documents"), dim=64
+        ).select(
+            "doc_id",
+            F.posexplode("embedding").alias("i", "v"),
         ),
         None,  # assigned below from the shared _hashed_tfidf_ctes chain
         "hashing-vectorizer TF-IDF unit embeddings (text -> ANN bridge)",
@@ -5044,7 +5051,12 @@ WITH toks AS (
 )"""
 
 QUERIES["docs_hashed_tfidf"].oracle = (
-    _HASHED_TFIDF_CTES + "\nSELECT doc_id, embedding FROM e\n"
+    _HASHED_TFIDF_CTES
+    + """
+SELECT doc_id, CAST(i AS INT) AS i,
+       CASE WHEN _norm > 0 THEN ROUND(_v / _norm, 6) ELSE 0.0 END AS v
+FROM dense
+"""
 )
 QUERIES["docs_text_near_dup"].oracle = (
     _HASHED_TFIDF_CTES
