@@ -473,3 +473,52 @@ def test_remove_duplicate_spans_no_forced_broadcast(spark):
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
     assert "UnresolvedHint" not in analyzed
+
+
+def test_exact_rank_rows_matches_sorted_collect(spark):
+    """_exact_rank_rows (range shuffle + P-row address aggregate + k-row
+    filter scan) must agree with the ground-truth sorted collect at every
+    requested rank, including ranks that straddle range-partition
+    boundaries, on a skewed score distribution."""
+    import random
+
+    from vector_spark.dataops.curation import _exact_rank_rows
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.choice([0.0] * 50 + [1.0, 2.0]) + rng.random()))
+        for i in range(997)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, avg_nll double"
+    ).repartition(13)
+    truth = sorted(rows, key=lambda r: (r[1], r[0]))
+    ranks = [1, 2, 331, 332, 664, 900, 997]
+    got = _exact_rank_rows(df, "avg_nll", "doc_id", ranks)
+    for k in ranks:
+        score, doc = truth[k - 1][1], truth[k - 1][0]
+        assert got[k] == (score, doc), (k, got[k], (score, doc))
+
+
+def test_rank_buckets_boundary_plan_has_no_corpus_funnel(spark):
+    """The r7 boundary plan funneled n·b/3 rows through orderBy().limit()'s
+    single-partition merge. The r8 plan must show: NO GlobalLimit anywhere,
+    and the only single-partition exchange belongs to the P-row partition
+    stats aggregate — the corpus-bearing exchange is the parallel range
+    repartition."""
+    import io
+    import contextlib
+
+    from vector_spark.dataops.curation import _ranked_parts
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "CAST(id % 97 AS DOUBLE) AS avg_nll"
+    )
+    parts = _ranked_parts(df, "avg_nll", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        parts.explain("formatted")
+    plan = buf.getvalue()
+    assert "GlobalLimit" not in plan and "TakeOrdered" not in plan
+    assert "rangepartitioning(avg_nll" in plan
+    assert "SinglePartition" not in plan

@@ -660,6 +660,90 @@ def chunk_sequences(
     )
 
 
+def _ranked_parts(
+    df: DataFrame, score_col: str, id_col: str
+) -> DataFrame:
+    """Range-partition (score, id) into globally ordered partitions and
+    stamp each row with its partition id and a within-partition
+    monotonically increasing id (evaluated after the in-partition sort,
+    so it follows sorted order). Shared by :func:`_exact_rank_rows`;
+    factored out so plan tests can assert its shape."""
+    spark = df.sparkSession
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return (
+        df.select(score_col, id_col)
+        .repartitionByRange(n_parts, F.col(score_col), F.col(id_col))
+        .sortWithinPartitions(F.col(score_col), F.col(id_col))
+        .select(
+            score_col,
+            id_col,
+            F.spark_partition_id().alias("_p"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+
+
+def _exact_rank_rows(
+    df: DataFrame, score_col: str, id_col: str, ranks: list[int]
+) -> dict[int, tuple]:
+    """Exact distributed selection: the (score, id) pair at each 1-based
+    rank in *ranks* under ascending (score, id) order, computed WITHOUT
+    ever funneling O(n) rows through one task or the driver.
+
+    Plan: one range shuffle puts partitions in global key order; a
+    P-row aggregate (count, min/max mid per partition) comes back to the
+    driver to turn each global rank into a (partition, local offset)
+    address; one filter scan over the cached two-column projection then
+    extracts exactly len(ranks) rows. Contrast with ``orderBy.limit(k)``:
+    its merge funnels k rows into a single partition, and here k is a
+    constant fraction of the corpus.
+
+    The local offset arithmetic relies on monotonically_increasing_id
+    being CONSECUTIVE within a partition (true of Spark's documented
+    partition-id-in-upper-bits layout); the P-row aggregate verifies
+    max−min+1 == count per partition and raises if the engine ever
+    breaks that, rather than silently mis-ranking."""
+    from vector_spark import cache
+
+    parts = cache.track_persist(_ranked_parts(df, score_col, id_col))
+    stats = (
+        parts.groupBy("_p")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_mid").alias("_lo"),
+            F.max("_mid").alias("_hi"),
+        )
+        .collect()
+    )
+    for r in stats:
+        if r["_hi"] - r["_lo"] + 1 != r["_c"]:
+            raise RuntimeError(
+                "monotonically_increasing_id not consecutive within "
+                f"partition {r['_p']}; exact-rank addressing unsafe"
+            )
+    wanted = []  # (pid, mid) for each rank
+    by_rank: dict[int, tuple] = {}
+    cum = 0
+    for r in sorted(stats, key=lambda r: r["_p"]):
+        for k in ranks:
+            if cum < k <= cum + r["_c"]:
+                wanted.append((k, r["_p"], r["_lo"] + (k - cum - 1)))
+        cum += r["_c"]
+    if not wanted:
+        return by_rank
+    cond = None
+    for _k, p, m in wanted:
+        c = (F.col("_p") == p) & (F.col("_mid") == m)
+        cond = c if cond is None else cond | c
+    hit = {
+        (row["_p"], row["_mid"]): (row[score_col], row[id_col])
+        for row in parts.where(cond).collect()
+    }
+    for k, p, m in wanted:
+        by_rank[k] = hit[(p, m)]
+    return by_rank
+
+
 def rank_buckets(
     df: DataFrame,
     n_buckets: int = 3,
@@ -672,13 +756,16 @@ def rank_buckets(
     by LM perplexity and trains on the head). Deterministic: ranking is
     by (score, id), bucket b holds ranks (floor(n·b/k), floor(n·(b+1)/k)].
 
-    Scale shape: NEVER a global row_number window (that is one task
-    sorting the corpus). The k−1 boundary structs are computed with
-    TakeOrderedAndProject (parallel partial top-k) and broadcast back as
-    literals; bucket assignment is then a pure-Column struct comparison
-    riding the scan. The scored input persists through the session cache
-    registry — it is read k+1 times (count, k−1 boundaries, final
-    projection)."""
+    Scale shape: NEVER a global row_number window (one task sorting the
+    corpus), and — since r8 — never an ``orderBy.limit(n·b/k)`` funnel
+    either (the limit's merge pushes a third of the corpus through one
+    task). The k−1 boundary pairs come from :func:`_exact_rank_rows`:
+    one range shuffle, a P-row per-partition count aggregate, and a
+    filter scan that extracts exactly k−1 rows. Bucket assignment is
+    then a pure-Column struct comparison riding the scan. The scored
+    input persists through the session cache registry (count + final
+    projection); the two-column ranked projection persists separately
+    inside the rank helper."""
     from vector_spark import cache
 
     labels = labels or (
@@ -690,19 +777,16 @@ def rank_buckets(
     df = cache.track_persist(df)
     n = df.count()
     key = F.struct(F.col(score_col), F.col(id_col))
+    ranks = []
+    for b in range(1, n_buckets):
+        k = (n * b) // n_buckets
+        if k > 0:
+            ranks.append(k)
+    by_rank = _exact_rank_rows(df, score_col, id_col, sorted(set(ranks)))
     bounds = []
     for b in range(1, n_buckets):
         k = (n * b) // n_buckets
-        if k == 0:
-            bounds.append(None)
-            continue
-        row = (
-            df.orderBy(F.col(score_col), F.col(id_col))
-            .limit(k)
-            .agg(F.max(key).alias("t"))
-            .first()["t"]
-        )
-        bounds.append(row)
+        bounds.append(by_rank[k] if k > 0 else None)
     expr = None
     for label, bound in zip(labels[:-1], bounds):
         if bound is None:
