@@ -522,3 +522,49 @@ def test_rank_buckets_boundary_plan_has_no_corpus_funnel(spark):
     assert "GlobalLimit" not in plan and "TakeOrdered" not in plan
     assert "rangepartitioning(avg_nll" in plan
     assert "SinglePartition" not in plan
+
+
+def test_sample_exact_k_hot_group_prefilter_and_fallback(spark):
+    """r7 verdict #3: sample_exact_k must not window a hot group in full.
+    (a) On a corpus where one group holds 99% of rows, the result still
+    equals the brute-force k-smallest-hash set, and the plan pre-filters
+    with the hash threshold BELOW the window. (b) A group engineered so
+    every row's hash clears the loose threshold (survivors < k) takes
+    the fallback path and still returns the exact k."""
+    from vector_spark.dataops.curation import sample_exact_k
+
+    KNUTH, MOD = 2654435761, 2**31
+    hv = lambda i: (i * KNUTH) % MOD
+
+    # (a) hot group: 9900 rows in 'en', 100 in 'fr'
+    rows = [(i, "en") for i in range(9900)] + [
+        (i, "fr") for i in range(10_000, 10_100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = 5
+    out = sample_exact_k(df, k)
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    exp = set()
+    for g in ("en", "fr"):
+        ids = [i for i, gg in rows if gg == g]
+        exp |= {
+            (g, i)
+            for i in sorted(ids, key=lambda i: (hv(i), i))[:k]
+        }
+    assert got == exp
+    # the window's input must carry the hash-threshold pre-filter
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan and "Window" in plan
+
+    # (b) fallback: 1000 ids whose hash all exceeds the loose threshold
+    # t = ceil((4k+64)/n * MOD); survivors = 0 < k forces the full-group
+    # re-rank, which must still return the exact k smallest
+    m = 4 * k + 64
+    big = [i for i in range(100_000) if hv(i) > (m / 1000) * MOD * 2][:1000]
+    assert len(big) == 1000
+    df2 = spark.createDataFrame(
+        [(i, "z") for i in big], "doc_id long, lang string"
+    )
+    got2 = {r.doc_id for r in sample_exact_k(df2, k).collect()}
+    exp2 = set(sorted(big, key=lambda i: (hv(i), i))[:k])
+    assert got2 == exp2

@@ -577,9 +577,15 @@ def cap_per_source(
     the operator's purpose — and only their documents pay the ranking
     shuffle; everything else passes through scan-only via a broadcast
     anti-join. Skew note: the ranked side is per-hot-source by
-    construction; a single pathological source's ranking is one task,
-    bounded by that source's row count, and falls back to AQE skew
-    splitting on the sort exchange."""
+    construction, and a single pathological source's ranking is ONE
+    task holding that source's rows — AQE cannot help here (it splits
+    skewed *join* partitions; a row_number window partition must stay
+    whole). The exposure is bounded because only over-cap sources are
+    ranked at all; if a single source can exceed task memory, cap it
+    with the hash-threshold pre-filter pattern in
+    :func:`sample_exact_k` (keep-largest needs an order-statistic
+    threshold rather than a rate, e.g. an approx quantile of
+    ``order_col`` within the hot source)."""
     from pyspark.sql.window import Window
 
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
@@ -913,11 +919,19 @@ def sample_exact_k(
     oracles replay) with the raw id as tiebreak, keep the k smallest:
     rerun-stable, partitioning-independent, engine-replayable.
 
-    Scale note: the rank is a per-group window — each group sorts in one
-    task chain. Groups here are strata (languages, sources: bounded
-    count, corpus-sized membership); for a pathologically hot group the
-    sort exchange falls back to AQE skew splitting, and k ≪ group is the
-    normal regime so the output never concentrates."""
+    Scale note: a per-group row_number window puts EVERY row of a group
+    through one task — and AQE cannot split a window partition (it
+    splits skewed *join* partitions; window correctness requires the
+    whole group in one task), so a pathologically hot group (one
+    language at 40% of a 100 TB corpus) would be one task sorting it.
+    The window here therefore never sees the full group: a loose hash
+    threshold t_g ≈ (4k+64)/n_g·MOD pre-filters each group to an
+    expected 4k+64 survivors first (the k smallest hashes are all below
+    t_g whenever ≥k rows survive, so exact-k is preserved), and a lazy
+    fallback re-ranks the FULL group only for the rare group whose
+    survivors undershoot k (P[Binom(n, (4k+64)/n) < k] is negligible).
+    Everything is G-row broadcast aggregates + scan-riding filters; the
+    windowed input is O(k) per group regardless of group size."""
     from pyspark.sql.window import Window
 
     # same formulation as consistent_sample above: pmod + long cast, so
@@ -925,8 +939,41 @@ def sample_exact_k(
     # hit ANSI int overflow (the signed % operator diverges on both)
     h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(_MOD))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    m = 4 * k + 64  # expected survivors per group under the pre-filter
+    cnts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    thresh = F.when(
+        F.col("_n") > m,
+        F.ceil(F.lit(m) / F.col("_n") * _MOD).cast("long"),
+    ).otherwise(F.lit(_MOD))
+    # null-safe keys throughout: groupBy and the window treat NULL group
+    # as one stratum, so every join must too (cap_per_source precedent)
+    pre = (
+        docs.join(
+            F.broadcast(cnts.select(F.col(group_col).alias("_g"), "_n")),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+        )
+        .where(h < thresh)
+        .drop("_g", "_n")
+    )
+    surv = pre.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
+    fb_groups = (
+        cnts.join(
+            surv.select(F.col(group_col).alias("_g"), "_s"),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+            "left",
+        )
+        .where(
+            (F.coalesce(F.col("_s"), F.lit(0)) < k)
+            & (F.col("_n") > F.coalesce(F.col("_s"), F.lit(0)))
+        )
+        .select(F.col(group_col).alias("_fg"))
+    )
+    on_fb = F.col(group_col).eqNullSafe(F.col("_fg"))
+    main = pre.join(F.broadcast(fb_groups), on_fb, "left_anti")
+    fb = docs.join(F.broadcast(fb_groups), on_fb, "leftsemi")
     return (
-        docs.withColumn("_rk", F.row_number().over(w))
+        main.unionByName(fb)
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
