@@ -519,10 +519,54 @@ def test_cosine_near_dup_np_matches_expression_exact(spark):
     }
     assert got == exact and (1, 5) in got and got[(1, 5)] == 1.0
     assert not any(4 in p for p in got)
-    with _pytest.raises(ValueError, match="broadcast_limit"):
-        cosine_near_dup_pairs_np(
+    # above the gate the arm no longer raises: it switches to the tiled
+    # block-matmul schedule and must return the identical pair set
+    tiled = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs_np(
             df, threshold=0.9, id_col="doc_id", broadcast_limit=3
-        )
+        ).collect()
+    }
+    assert tiled == exact
+    _ = _pytest  # retained import; the gate no longer raises
+
+
+def test_cosine_near_dup_tiled_arm_above_gate(spark):
+    """A corpus well above broadcast_limit takes _tiled_cosine_pairs and
+    reproduces the expression exact arm bit-for-bit: same (id_a, id_b)
+    set, same rounded cosines, across many hash blocks with near-dup
+    clusters spanning different blocks."""
+    import random
+
+    from vector_spark.dataops.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_np,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i % 10 == 0:  # a jittered near-duplicate of every 10th vector
+            rows.append(
+                (1000 + i, [x + rng.uniform(-1e-3, 1e-3) for x in v])
+            )
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.95, id_col="doc_id", exact=True
+        ).collect()
+    }
+    # n*dim = 132*8 = 1056 >> limit 100 -> ~11 blocks, 66 block pairs
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs_np(
+            df, threshold=0.95, id_col="doc_id", broadcast_limit=100
+        ).collect()
+    }
+    assert len(exact) >= 12 and got == exact
 
 
 def test_hashed_tfidf_embedding_math_and_bridge(spark):

@@ -304,6 +304,75 @@ def cosine_near_dup_pairs(
     )
 
 
+def _tiled_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    round_decimals: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Exact all-pairs cosine via the block outer-product schedule: rows
+    hash into *n_blocks* blocks; side A replicates each row to keys
+    (b, j) for j ≥ b, side B to keys (i, b) for i ≤ b, so cogroup key
+    (i, j) holds exactly block i × block j and every unordered row pair
+    lands in exactly one task (the diagonal key enforces id_a < id_b;
+    off-diagonal keys emit (min, max)). Each task materializes at most
+    two blocks — memory is bounded by the caller's limit, shuffle is
+    O(n·T) replication, and the T(T+1)/2 tasks are the inherent cost of
+    exact all-pairs. Same output contract and rounding as the
+    closure-broadcast arm (pinned identical in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        blk.alias("_b"),
+    )
+    side_a = base.select(
+        F.col("_b").alias("_i"),
+        F.explode(
+            F.sequence(F.col("_b"), F.lit(n_blocks - 1))
+        ).alias("_j"),
+        "_id", "_v",
+    )
+    side_b = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_i"),
+        F.col("_b").alias("_j"),
+        "_id", "_v",
+    )
+
+    def _unit(pdf: "pd.DataFrame"):
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nm = np.linalg.norm(m, axis=1, keepdims=True)
+        np.divide(m, nm, out=m, where=nm > 0)
+        return ids, m
+
+    def merge(key, la: "pd.DataFrame", rb: "pd.DataFrame"):
+        if len(la) == 0 or len(rb) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        ia, ma = _unit(la)
+        ib, mb = _unit(rb)
+        sims = np.round(ma @ mb.T, round_decimals)
+        mask = sims >= threshold
+        if key[0] == key[1]:
+            mask &= ia[:, None] < ib[None, :]
+        ii, jj = np.nonzero(mask)
+        lo = np.minimum(ia[ii], ib[jj])
+        hi = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+
+    return (
+        side_a.groupby("_i", "_j")
+        .cogroup(side_b.groupby("_i", "_j"))
+        .applyInPandas(merge, schema="id_a long, id_b long, cosine double")
+    )
+
+
 def cosine_near_dup_pairs_np(
     df: DataFrame,
     threshold: float = 0.95,
@@ -322,28 +391,35 @@ def cosine_near_dup_pairs_np(
     identical 332 pairs). Same output contract as
     :func:`cosine_near_dup_pairs`.
 
-    One side is collected and closure-shipped (size-gated by
-    ``broadcast_limit`` on rows × dim — the same small-side contract as
-    brute_force_topk_np); the other streams through mapInPandas doing
-    ONE (batch × dim) @ (dim × n) matmul per Arrow batch, and only
-    pairs ≥ threshold ever leave the task. At 100 TB, tile the
-    broadcast side (the standard block-matmul schedule) or fall back to
-    the LSH arm — which is the right tool there, because real corpora
-    at that scale have heavy-tailed similarity, not this gate corpus's
-    uniform near-threshold background."""
+    Below ``broadcast_limit`` (rows × dim — the same small-side contract
+    as brute_force_topk_np) one side is collected and closure-shipped;
+    the other streams through mapInPandas doing ONE
+    (batch × dim) @ (dim × n) matmul per Arrow batch, and only pairs ≥
+    threshold ever leave the task. Above the limit the arm switches
+    AUTOMATICALLY to :func:`_tiled_cosine_pairs` — the standard
+    block-matmul schedule: rows hash into T ≈ ceil(n·dim/limit) blocks,
+    every block pair (i ≤ j) cogroups into one task holding at most two
+    blocks (memory bounded by 2×limit regardless of corpus size), and
+    the O(T²) block pairs are the honest cost of EXACT all-pairs. The
+    corpus size check itself is a count, never a collect. Real
+    heavy-tailed corpora at 100 TB should still prefer the LSH arm
+    (cosine_near_dup_pairs) or the SemDeDup cluster-blocked composition
+    (k-means cells + per-cell matmul) — this fallback is for the dense-
+    similarity regime where those degenerate and exactness is wanted."""
     import numpy as np
     import pandas as pd
 
+    head = df.select(F.col(vec_col).alias("_v")).first()
+    dim = len(head["_v"]) if head else 0
+    n = df.count()
+    if n * dim > broadcast_limit:
+        n_blocks = int(np.ceil(n * dim / broadcast_limit))
+        return _tiled_cosine_pairs(
+            df, threshold, vec_col, id_col, round_decimals, n_blocks
+        )
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
-    dim = len(rows[0]["_v"]) if rows else 0
-    if len(rows) * dim > broadcast_limit:
-        raise ValueError(
-            f"corpus matrix {len(rows)}x{dim} exceeds broadcast_limit="
-            f"{broadcast_limit}; tile the broadcast side or use the "
-            "LSH arm (cosine_near_dup_pairs)"
-        )
     all_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     m = np.array([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
