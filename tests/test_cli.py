@@ -364,3 +364,49 @@ def test_generate_skeleton_roundtrips_through_validate(tmp_path):
 
     with pytest.raises(TopologyError, match="unknown type"):
         cmd_generate("nope_src")
+
+
+def test_top_unbounded_waits_through_quiet_periods(tmp_path, spark):
+    """frames=None is the run-until-interrupted contract (reference
+    `vector top`): a healthy-but-idle topology (file source with no new
+    data -> no progress events) must NOT exit after one timeout-stale
+    frame; `top` keeps waiting and returns only when every query ends."""
+    import threading
+    import time
+
+    from vector_spark.cli import cmd_top
+
+    d = tmp_path / "in"
+    d.mkdir()
+    p = tmp_path / "idle.yaml"
+    p.write_text(
+        f"""
+sources:
+  tail:
+    type: stream_file
+    path: {d}
+    format: json
+    schema: "a long"
+sinks:
+  out:
+    type: memory
+    inputs: [tail]
+"""
+    )
+    result: dict = {}
+
+    def run():
+        result["frames"] = cmd_top(
+            [str(p)], spark=spark, frames=None, timeout=0.2
+        )
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # several timeout windows of silence: the old backstop would have
+    # exited after ~0.2s with one stale frame
+    time.sleep(1.5)
+    assert t.is_alive(), "top exited during a quiet period"
+    for q in spark.streams.active:
+        q.stop()
+    t.join(timeout=30)
+    assert not t.is_alive() and "frames" in result

@@ -210,3 +210,32 @@ def test_mjpng_roundtrip_and_offsets():
 
     with _pytest.raises(ValueError, match="motion-PNG"):
         mc.decode_mjpng(b"not a stream")
+
+
+def test_mjpng_truncated_payload_contract(spark):
+    """A corrupt/truncated payload PAST the magic must raise ValueError
+    from the parser (never a raw struct.error), and sample_frames must
+    apply the same skip/strict contract it applies to non-video bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_spark.dataops import media_codecs as mc
+    from vector_spark.dataops.multimodal import sample_frames
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (1, 2, 3)]
+    data = mc.encode_mjpng(frames, fps=2)
+    for bad in (data[:7], data[:15], data[:-3],
+                data[:11] + b"\xff\xff\xff\xff"):
+        with _pytest.raises(ValueError, match="truncated motion-PNG"):
+            mc.mjpng_frame_offsets(bad)
+        with _pytest.raises(ValueError, match="truncated motion-PNG"):
+            mc.decode_mjpng(bad)
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(data[:-3]))],
+        "asset_id long, data binary",
+    )
+    out = sample_frames(assets, every_n=1).collect()
+    assert {r.asset_id for r in out} == {1} and len(out) == 3
+    with _pytest.raises(Exception, match="truncated motion-PNG"):
+        sample_frames(assets, every_n=1, strict=True).collect()

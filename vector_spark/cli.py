@@ -344,12 +344,23 @@ def cmd_top(
             def all_done() -> bool:
                 return not any(q.isActive for q in qs.values())
 
-            barrier.wait(
-                predicate=lambda: progressed() or all_done(),
-                timeout=timeout,
-            )
+            try:
+                barrier.wait(
+                    predicate=lambda: progressed() or all_done(),
+                    timeout=timeout,
+                )
+            except AssertionError:
+                # barrier timeout (no query handle is passed, so this is
+                # the only AssertionError the wait can raise)
+                if frames is None and not all_done():
+                    # run-until-interrupted contract (reference `vector
+                    # top`): a quiet-but-healthy topology (trigger
+                    # interval > timeout, idle file source) must keep
+                    # waiting, not exit after one stale frame — the
+                    # timeout is only a re-check cadence here
+                    continue
             if not progressed():
-                emit()  # the topology ended: render the final state
+                emit()  # topology ended or bounded-mode stall: final frame
                 break
             emit()
             n += 1

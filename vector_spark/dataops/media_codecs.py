@@ -298,16 +298,8 @@ def encode_mjpng(frames: list[np.ndarray], fps: int) -> bytes:
 
 def decode_mjpng(data: bytes) -> tuple[int, list[np.ndarray]]:
     """Decode a motion-PNG container -> (fps, frames)."""
-    if data[:5] != _MJPNG_MAGIC:
-        raise ValueError("not a motion-PNG stream")
-    fps, n = struct.unpack(">HI", data[5:11])
-    frames, off = [], 11
-    for _ in range(n):
-        (ln,) = struct.unpack(">I", data[off:off + 4])
-        off += 4
-        frames.append(decode_png(data[off:off + ln]))
-        off += ln
-    return fps, frames
+    fps, spans = mjpng_frame_offsets(data)
+    return fps, [decode_png(data[off:off + ln]) for off, ln in spans]
 
 
 def mjpng_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int]]]:
@@ -315,11 +307,21 @@ def mjpng_frame_offsets(data: bytes) -> tuple[int, list[tuple[int, int]]]:
     sampling fast path reads headers and slices only the kept frames."""
     if data[:5] != _MJPNG_MAGIC:
         raise ValueError("not a motion-PNG stream")
+    # bounds-check every span against len(data): a truncated/corrupt
+    # payload past the magic must raise ValueError (the skip/strict
+    # contract sample_frames applies to malformed media), never a raw
+    # struct.error that crashes the whole Spark task
+    if len(data) < 11:
+        raise ValueError("truncated motion-PNG stream")
     fps, n = struct.unpack(">HI", data[5:11])
     spans, off = [], 11
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated motion-PNG stream")
         (ln,) = struct.unpack(">I", data[off:off + 4])
         off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated motion-PNG stream")
         spans.append((off, ln))
         off += ln
     return fps, spans

@@ -199,7 +199,17 @@ def sample_frames(
                             "(mp4/H.26x need a codec library)"
                         )
                     continue
-                fps, spans = mc.mjpng_frame_offsets(raw)
+                try:
+                    fps, spans = mc.mjpng_frame_offsets(raw)
+                except ValueError:
+                    # truncated/corrupt past the magic: same skip/strict
+                    # contract as the non-video case — never a raw
+                    # struct.error crashing the whole task
+                    if strict:
+                        raise ValueError(
+                            f"asset {aid}: truncated motion-PNG stream"
+                        )
+                    continue
                 for f in range(0, len(spans), every_n):
                     off, ln = spans[f]
                     png = raw[off:off + ln]

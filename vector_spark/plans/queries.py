@@ -1967,7 +1967,7 @@ def q_sample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SAMPLE_RATIO = """
 SELECT event_id, user_id FROM events
-WHERE ((user_id * 2654435761) % 2147483648) <= CAST(0.25 * 2147483648 AS BIGINT)
+WHERE ((user_id * 2654435761) % 2147483648) <= CAST(floor(0.25 * 2147483648) AS BIGINT)
 """
 
 
@@ -2657,9 +2657,9 @@ def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MIXTURE = """
 SELECT doc_id, lang, source FROM documents
 WHERE ((doc_id * 2654435761) % 2147483648) <= CAST(
-  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 WHEN 'es' THEN 0.9
+  floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 WHEN 'es' THEN 0.9
             WHEN 'de' THEN 0.9 WHEN 'fr' THEN 0.9 ELSE 0.1 END
-  * 2147483648 AS BIGINT)
+  * 2147483648) AS BIGINT)
 """
 
 
@@ -4816,7 +4816,10 @@ QUERIES.update({
         FROM documents d JOIN r USING (lang)
         WHERE ((d.doc_id * 2654435761) % 2147483648 + 2147483648)
                 % 2147483648
-              <= CAST(r.rate * 2147483648 AS BIGINT)
+              -- floor, not bare CAST: DuckDB CAST rounds to nearest
+              -- while the engine's .cast('long') truncates; e.g.
+              -- rate 0.1 -> 214748364.8 diverges by one hash slot
+              <= CAST(floor(r.rate * 2147483648) AS BIGINT)
         """,
         "temperature mixture: n^alpha-flattened per-language keep rates",
     ),
