@@ -568,3 +568,40 @@ def test_sample_exact_k_hot_group_prefilter_and_fallback(spark):
     got2 = {r.doc_id for r in sample_exact_k(df2, k).collect()}
     exp2 = set(sorted(big, key=lambda i: (hv(i), i))[:k])
     assert got2 == exp2
+
+
+def test_dsir_resample_gumbel_draw_replayable(spark):
+    """dsir_resample's Gumbel-top-k draw must equal an independent
+    Python replay: u from the Knuth hash, g = -ln(-ln u), key =
+    round(score + g, 6), top-k by (key desc, id) — and differ from the
+    plain top-k selection (the perturbation actually draws)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.curation import (
+        _dsir_scored,
+        dsir_resample,
+        dsir_select,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = F.col("lang") == "en"
+    scores = {
+        r.doc_id: r.score
+        for r in _dsir_scored(docs, tgt, "text", "doc_id", 3, 1.0).collect()
+    }
+    KNUTH, MOD = 2654435761, 2**31
+
+    def key(i):
+        u = ((i * KNUTH) % MOD + 0.5) / MOD
+        return round(scores[i] + -math.log(-math.log(u)), 6)
+
+    k = 50
+    exp = sorted(scores, key=lambda i: (-key(i), i))[:k]
+    got = dsir_resample(docs, k, tgt).collect()
+    assert [r.doc_id for r in got] == exp
+    for r in got:
+        assert abs(r.gkey - key(r.doc_id)) < 1e-9
+    plain = {r.doc_id for r in dsir_select(docs, k, tgt).collect()}
+    assert set(exp) != plain

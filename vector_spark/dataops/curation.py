@@ -847,6 +847,26 @@ def dsir_select(
     one bucket-keyed join + (doc)-rollup; the final top-k is a parallel
     partial TakeOrderedAndProject, never a global single-partition
     window."""
+    return (
+        _dsir_scored(docs, target_filter, text_col, id_col, hash_chars,
+                     alpha)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _dsir_scored(
+    docs: DataFrame,
+    target_filter: Column,
+    text_col: str,
+    id_col: str,
+    hash_chars: int,
+    alpha: float,
+) -> DataFrame:
+    """(id, score) for EVERY doc — the shared DSIR importance-weight
+    pipeline behind :func:`dsir_select` (top-k) and
+    :func:`dsir_resample` (Gumbel-top-k). See dsir_select for the math
+    and the scale shape."""
     from vector_spark import cache
 
     ws = _words(F.col(text_col))
@@ -894,13 +914,55 @@ def dsir_select(
         .groupBy("_id")
         .agg(F.round(F.sum(F.col("_n") * F.col("_lr")), 6).alias("score"))
     )
+    return docs.join(
+        scored, docs[id_col] == scored["_id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    k: int,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR's actual SAMPLING mode (Xie et al. 2023 §2: resample k docs
+    with probability ∝ w(d)): Gumbel-top-k — drawing k items without
+    replacement with probability ∝ exp(log w) is exactly taking the top
+    k of log w(d) + G(d) where G = −ln(−ln U) and U is uniform(0,1)
+    (Gumbel-max trick, Yellott 1977). U comes from the engine's
+    deterministic Knuth hash of the id ((h + 0.5)/2³¹, the same
+    hash-as-uniform replayability contract as the mixture samplers), so
+    two engines — and two runs — draw the identical sample.
+
+    Returns (id, score, gkey) for the k selected docs, gkey the rounded
+    Gumbel-perturbed key the selection ordered by. Scale shape:
+    identical to :func:`dsir_select` (one tokenize scan into a persisted
+    per-doc bucket aggregate, 16^h-bounded bucket table) — the perturbed
+    key rides the final projection and the top-k stays a parallel
+    partial TakeOrderedAndProject. Rounded to 6 decimals before the
+    comparison (id tiebreak) so cross-engine libm ulp differences can't
+    reorder the cut."""
+    u = (
+        F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(_MOD))
+        + F.lit(0.5)
+    ) / F.lit(float(_MOD))
+    gumbel = -F.log(-F.log(u))
+    all_scored = _dsir_scored(
+        docs, target_filter, text_col, id_col, hash_chars, alpha
+    )
     return (
-        docs.join(scored, docs[id_col] == scored["_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+        all_scored.select(
+            id_col,
+            "score",
+            F.round(F.col("score") + gumbel, 6).alias("gkey"),
         )
-        .orderBy(F.col("score").desc(), F.col(id_col))
+        .orderBy(F.col("gkey").desc(), F.col(id_col))
         .limit(k)
     )
 

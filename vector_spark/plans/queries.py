@@ -4387,42 +4387,22 @@ QUERIES.update({
         ).dsir_select(
             _t(spark, sf_dir, "documents"), 100, F.col("lang") == "en"
         ),
-        r"""
-        WITH tok AS (
-          SELECT doc_id, lang,
-                 string_split_regex(lower(trim(text)), '\s+') AS ws
-          FROM documents
-        ), feats AS (
-          SELECT doc_id, lang, f FROM (
-            SELECT doc_id, lang, unnest(ws) AS f FROM tok
-            UNION ALL
-            SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
-            FROM tok, UNNEST(range(1, len(ws))) AS t(i)
-          ) WHERE length(f) >= 1
-        ), pairs AS (
-          SELECT doc_id, lang = 'en' AS is_t, substr(md5(f), 1, 3) AS b
-          FROM feats
-        ), dc AS (
-          SELECT doc_id, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2
-        ), bc AS (
-          SELECT b, COUNT(*) AS raw,
-                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt
-          FROM pairs GROUP BY 1
-        ), tot AS (
-          SELECT SUM(raw) AS traw, SUM(tgt) AS ttgt FROM bc
-        ), ratio AS (
-          SELECT b, LN(tgt + 1.0) - LN(ttgt + 4096.0)
-                    - LN(raw + 1.0) + LN(traw + 4096.0) AS lr
-          FROM bc CROSS JOIN tot
-        ), scored AS (
-          SELECT dc.doc_id, ROUND(SUM(dc.n * ratio.lr), 6) AS score
-          FROM dc JOIN ratio USING (b) GROUP BY 1
-        )
-        SELECT d.doc_id, COALESCE(s.score, 0.0) AS score
-        FROM documents d LEFT JOIN scored s USING (doc_id)
-        ORDER BY score DESC, d.doc_id LIMIT 100
-        """,
+        None,  # assigned below from the shared _DSIR_CTES chain
         "DSIR hashed-ngram importance selection toward a target domain",
+    ),
+    # DSIR's actual RESAMPLING mode: k draws without replacement with
+    # probability proportional to the importance weight, realized as
+    # Gumbel-top-k over score + (-ln(-ln u)) with u from the engine's
+    # deterministic Knuth hash-as-uniform — so the oracle replays the
+    # exact draw. Same scoring chain as docs_dsir_select (shared CTEs).
+    "docs_dsir_resample": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["dsir_resample"]
+        ).dsir_resample(
+            _t(spark, sf_dir, "documents"), 100, F.col("lang") == "en"
+        ),
+        None,  # assigned below from the shared _DSIR_CTES chain
+        "DSIR Gumbel-top-k importance resampling (deterministic draw)",
     ),
     # Concat-and-chunk sequence manifest (GPT-style packing): cut the
     # per-source token stream into fixed 256-token sequences; each doc
@@ -5053,6 +5033,64 @@ WITH toks AS (
   FROM dense GROUP BY doc_id
 )"""
 
+# Shared DSIR scoring replay (ends at CTE ``scored``: doc_id, score) — the
+# top-k and Gumbel-resample oracles both consume it, factored so the two
+# can never drift apart.
+_DSIR_CTES = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, f FROM (
+    SELECT doc_id, lang, unnest(ws) AS f FROM tok
+    UNION ALL
+    SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
+    FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+  ) WHERE length(f) >= 1
+), pairs AS (
+  SELECT doc_id, lang = 'en' AS is_t, substr(md5(f), 1, 3) AS b
+  FROM feats
+), dc AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+), bc AS (
+  SELECT b, COUNT(*) AS raw,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt
+  FROM pairs GROUP BY 1
+), tot AS (
+  SELECT SUM(raw) AS traw, SUM(tgt) AS ttgt FROM bc
+), ratio AS (
+  SELECT b, LN(tgt + 1.0) - LN(ttgt + 4096.0)
+            - LN(raw + 1.0) + LN(traw + 4096.0) AS lr
+  FROM bc CROSS JOIN tot
+), scored AS (
+  SELECT dc.doc_id, ROUND(SUM(dc.n * ratio.lr), 6) AS score
+  FROM dc JOIN ratio USING (b) GROUP BY 1
+)"""
+
+QUERIES["docs_dsir_select"].oracle = (
+    _DSIR_CTES
+    + """
+SELECT d.doc_id, COALESCE(s.score, 0.0) AS score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY score DESC, d.doc_id LIMIT 100
+"""
+)
+QUERIES["docs_dsir_resample"].oracle = (
+    _DSIR_CTES
+    + """
+SELECT doc_id, score,
+       ROUND(score + (-LN(-LN(
+         (((doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648
+          + 0.5) / 2147483648))), 6) AS gkey
+FROM (
+  SELECT d.doc_id, COALESCE(s.score, 0.0) AS score
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+ORDER BY gkey DESC, doc_id LIMIT 100
+"""
+)
+
 QUERIES["docs_hashed_tfidf"].oracle = (
     _HASHED_TFIDF_CTES
     + """
@@ -5085,6 +5123,12 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
+    # new/changed in r8 — the reshaped hashed-tfidf entry (r7's one red
+    # row), the rewritten rank-bucket boundaries, the pre-filtered
+    # exact-k sampler, the floored mixture oracles, and the new ops
+    "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
+    "docs_dsir_resample", "docs_temperature_mixture",
+    "docs_mixture_sample", "sample_ratio", "docs_text_near_dup",
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
     # changed behavior (span removal broadcast/rewrite, null-source cap)
