@@ -816,6 +816,21 @@ def _build_transform(
                 ),
             )
         }
+    if ttype == "lua":
+        from vector_spark.operators.lua import lua_transform
+
+        return {
+            name: lua_transform(
+                df,
+                source=cfg.get("source"),
+                hooks=cfg.get("hooks"),
+                version=cfg.get("version", "1" if "hooks" not in cfg
+                                else "2"),
+                kind=cfg.get("event_kind", "log"),
+                schema=cfg.get("schema"),
+                timers=cfg.get("timers"),
+            )
+        }
     raise TopologyError(f"{name}: unknown transform type {ttype!r}")
 
 

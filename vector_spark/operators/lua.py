@@ -1,0 +1,220 @@
+"""`lua` transform: reference Lua programs over the event stream.
+
+Reference: `src/transforms/lua/mod.rs:60` (v1: a statement chunk
+mutating a flat `event` table) and `src/transforms/lua/v2/mod.rs:27-40`
+(v2: `hooks.init/process/shutdown`, inline `function (event, emit)`
+literals or names defined in `source`; events carry `event.log` /
+`event.metric` subtables and `emit` may fire any number of times).
+
+Spark mapping: the hook runs in the pure-Python Lua-subset interpreter
+(`functions/lua_interp.py`) inside ``mapInPandas`` — Arrow-batched, one
+interpreter environment per partition (the reference's per-task
+lifecycle: `init` once before the first event, `shutdown` after the
+last). Python hook bodies remain available via
+:func:`vector_spark.operators.script.scripted_transform`; this module
+is for configs that EMBED LUA SOURCE.
+
+Schema: Spark needs a static output schema where Lua does not. Pass
+``schema`` explicitly, or the operator infers it by running the hook
+driver-side over a small sample (``df.take(sample)``) and unioning the
+emitted fields — the inferred contract (all events flatten to
+schema-stable fields) is then enforced by the Arrow conversion, which
+is the honest DataFrame adaptation of a dynamically-typed stream.
+
+Out of scope (loud errors, documented): v2 `timers` (the stateful
+analog lives in `streaming/stateful.py::scripted_stateful_transform`),
+metatables/coroutines/goto/string-patterns (see lua_interp docstring).
+At 100 TB this is the slow path by construction — Python in the loop —
+mitigated by Arrow batching; anything expressible as Columns should be
+remap/VRL instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vector_spark.functions import lua_interp as li
+
+
+class LuaConfigError(ValueError):
+    pass
+
+
+def _hook_fn(env, spec: str):
+    """Resolve a hook spec: inline `function (...) ... end` source or
+    the NAME of a function defined by the config's `source` chunk."""
+    spec = spec.strip()
+    if spec.startswith("function"):
+        vals = li.run("return " + spec, env)
+        fn = vals[0] if vals else None
+    else:
+        fn = env.get(spec)
+    if fn is None or not callable(fn):
+        raise LuaConfigError(f"lua hook {spec[:40]!r} is not a function")
+    return fn
+
+
+def _run_events_v2(rows: list[dict], source: str | None, hooks: dict,
+                   kind: str) -> list[dict]:
+    """Interpret a batch of event dicts through the v2 hook lifecycle;
+    returns the flattened emitted dicts."""
+    emitted: list[dict] = []
+
+    def emit(ev):
+        d = li.from_lua(ev)
+        if not isinstance(d, dict):
+            raise LuaConfigError("emit() expects an event table")
+        body = d.get("log") if d.get("log") is not None else d.get("metric")
+        if body is None:
+            return  # event with both subtables nil: dropped
+        if not isinstance(body, dict):
+            raise LuaConfigError("event.log/.metric must be a table")
+        emitted.append(body)
+
+    env = li.make_globals({"emit": emit})
+    if source:
+        li.run(source, env)
+    process = _hook_fn(env, hooks["process"])
+    init = _hook_fn(env, hooks["init"]) if hooks.get("init") else None
+    shutdown = (
+        _hook_fn(env, hooks["shutdown"]) if hooks.get("shutdown") else None
+    )
+    if init is not None:
+        init(emit)
+    for row in rows:
+        ev = li.to_lua({kind: row})
+        process(ev, emit)
+    if shutdown is not None:
+        shutdown(emit)
+    return emitted
+
+
+def _run_events_v1(rows: list[dict], source: str) -> list[dict]:
+    """v1: the chunk runs once per event with the flat `event` global;
+    the mutated table is the output (nil `event` drops it)."""
+    ast_env = li.make_globals()
+    # parse once; re-bind `event` per row
+    prog = li.parse(source)
+    out: list[dict] = []
+    for row in rows:
+        ast_env.declare("event", li.to_lua(row))
+        try:
+            li._exec_block(prog, ast_env)
+        except li._Return:
+            pass
+        ev = ast_env.get("event")
+        if ev is not None:
+            d = li.from_lua(ev)
+            if isinstance(d, dict):
+                out.append(d)
+    return out
+
+
+def _py_type(v) -> DataType:
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, dict):
+        return StructType(
+            [StructField(k, _py_type(x), True) for k, x in v.items()]
+        )
+    if isinstance(v, list):
+        return ArrayType(_py_type(v[0]) if v else StringType(), True)
+    raise LuaConfigError(f"cannot map value {v!r} to a Spark type")
+
+
+def _infer_schema(events: list[dict]) -> StructType:
+    fields: dict[str, DataType] = {}
+    for ev in events:
+        for k, v in ev.items():
+            if v is None:
+                fields.setdefault(k, StringType())
+            elif k not in fields or isinstance(fields[k], StringType):
+                t = _py_type(v)
+                if k in fields and fields[k] != t and not isinstance(
+                    fields[k], StringType
+                ):
+                    raise LuaConfigError(
+                        f"field {k!r} emitted with conflicting types"
+                    )
+                fields[k] = t
+    if not fields:
+        raise LuaConfigError(
+            "schema inference sample produced no events; pass schema="
+        )
+    return StructType(
+        [StructField(k, t, True) for k, t in fields.items()]
+    )
+
+
+def lua_transform(
+    df: DataFrame,
+    source: str | None = None,
+    hooks: dict[str, str] | None = None,
+    version: str = "2",
+    kind: str = "log",
+    schema: StructType | str | None = None,
+    sample: int = 20,
+    timers: Any = None,
+) -> DataFrame:
+    """Run a reference-style Lua program over every event. v2 needs
+    ``hooks['process']`` (plus optional init/shutdown and a ``source``
+    chunk defining named hooks); v1 needs ``source`` only."""
+    if timers:
+        raise LuaConfigError(
+            "lua timers are not supported in the batch transform; use "
+            "streaming scripted_stateful_transform (periodic flush "
+            "timers over keyed state) for that contract"
+        )
+    version = str(version)
+    if version == "2":
+        if not hooks or "process" not in hooks:
+            raise LuaConfigError("lua v2 needs hooks.process")
+    elif version in ("1", ""):
+        if not source:
+            raise LuaConfigError("lua v1 needs source")
+        if hooks:
+            raise LuaConfigError("lua v1 takes no hooks")
+    else:
+        raise LuaConfigError(f"unknown lua version {version!r}")
+
+    def run_batch(rows: list[dict]) -> list[dict]:
+        if version == "2":
+            return _run_events_v2(rows, source, hooks, kind)
+        return _run_events_v1(rows, source)
+
+    if schema is None:
+        head = [r.asDict(recursive=True) for r in df.take(sample)]
+        schema = _infer_schema(run_batch(head))
+    elif not isinstance(schema, StructType):
+        schema = StructType.fromDDL(str(schema))
+    cols = schema.fieldNames()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            events = run_batch(pdf.to_dict("records"))
+            yield pd.DataFrame(
+                {c: [e.get(c) for e in events] for c in cols},
+                columns=cols,
+            )
+
+    return df.mapInPandas(fn, schema=schema)

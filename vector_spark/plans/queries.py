@@ -3155,6 +3155,40 @@ QUERIES: dict[str, QuerySpec] = {
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
     "delay_emit": QuerySpec(q_delay, _ORACLE_DELAY, "delay transform"),
     "scripted_transform": QuerySpec(q_scripted_transform, _ORACLE_SCRIPTED, "lua-analog pandas hook"),
+    # REAL Lua source through the r8 Lua-subset interpreter
+    # (operators/lua.py + functions/lua_interp.py): the reference v2
+    # hook shape — field derivation, conditional drop, multi-field
+    # emit — value-checked against plain SQL.
+    "lua_v2_transform": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.operators.lua", fromlist=["lua_transform"]
+        ).lua_transform(
+            _t(spark, sf_dir, "events").select(
+                "event_id", "event_type", "value"
+            ),
+            hooks={
+                "process": """
+                function (event, emit)
+                  local v = event.log.value
+                  if v > 50 then
+                    event.log.value = nil
+                    event.log.scaled = v * 2
+                    event.log.flag = event.log.event_type .. "!"
+                    emit(event)
+                  end
+                end
+                """
+            },
+            schema="event_id bigint, event_type string, scaled double,"
+                   " flag string",
+        ),
+        """
+        SELECT event_id, event_type, value * 2 AS scaled,
+               event_type || '!' AS flag
+        FROM events WHERE value > 50
+        """,
+        "reference lua v2 hook program via the Lua-subset interpreter",
+    ),
     "static_metadata_enrich": QuerySpec(q_static_metadata, _ORACLE_STATIC_META, "ec2-metadata analog"),
     "remap_dropped_output": QuerySpec(q_remap_dropped, _ORACLE_REMAP_DROPPED, "remap reroute_dropped"),
     "summary_quantiles": QuerySpec(q_summary_quantiles, _ORACLE_SUMMARY, "AggregatedSummary quantiles"),
@@ -5127,7 +5161,7 @@ _DRIVER_PRIORITY = [
     # row), the rewritten rank-bucket boundaries, the pre-filtered
     # exact-k sampler, the floored mixture oracles, and the new ops
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
-    "docs_dsir_resample", "docs_temperature_mixture",
+    "lua_v2_transform", "docs_dsir_resample", "docs_temperature_mixture",
     "docs_mixture_sample", "sample_ratio", "docs_text_near_dup",
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
