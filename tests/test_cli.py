@@ -410,3 +410,40 @@ sinks:
         q.stop()
     t.join(timeout=30)
     assert not t.is_alive() and "frames" in result
+
+
+def test_convert_config_toml_output(tmp_path):
+    """convert-config writes TOML (r8: stdlib-only writer) that
+    tomllib-parses back to the identical config — including array-of-
+    tables routes with nested inline tables and quoted keys."""
+    import tomllib
+
+    from vector_spark.cli import cmd_convert_config, toml_dumps
+
+    src = tmp_path / "topo.yaml"
+    src.write_text(
+        """
+sources:
+  logs: {type: demo_logs, count: 5}
+transforms:
+  r:
+    type: route
+    inputs: [logs]
+    routes:
+      - {name: a, condition: "message = 'x'"}
+      - {name: b, condition: "true"}
+sinks:
+  out: {type: console, inputs: [r.a]}
+"""
+    )
+    dst = tmp_path / "topo.toml"
+    cmd_convert_config(str(src), str(dst))
+    back = tomllib.loads(dst.read_text())
+    assert back["transforms"]["r"]["routes"][0]["name"] == "a"
+    assert back["sinks"]["out"]["inputs"] == ["r.a"]
+    # writer handles every value kind configs use
+    rt = tomllib.loads(
+        toml_dumps({"a": {"b": 1.5, "s": 'q"uo\nte', "l": [1, "x", True],
+                          "t": {"deep": {"k": "v"}}}})
+    )
+    assert rt["a"]["s"] == 'q"uo\nte' and rt["a"]["t"]["deep"]["k"] == "v"

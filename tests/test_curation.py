@@ -605,3 +605,61 @@ def test_dsir_resample_gumbel_draw_replayable(spark):
         assert abs(r.gkey - key(r.doc_id)) < 1e-9
     plain = {r.doc_id for r in dsir_select(docs, k, tgt).collect()}
     assert set(exp) != plain
+
+
+def test_unimax_allocation_math():
+    """Closed-form check: ascending allocation with cap 2.0, budget 100
+    over sizes 10/20/50 — smallest caps out (20 <= 33.3), next caps
+    (40 <= 40.0), largest splits the remainder (100-60=40 -> 0.8
+    epochs); a huge budget caps everyone."""
+    from vector_spark.dataops.curation import unimax_allocation
+
+    out = unimax_allocation([("a", 10), ("b", 20), ("c", 50)], 100.0, 2.0)
+    assert out == [
+        ("a", 10, 20.0, 2.0), ("b", 20, 40.0, 2.0), ("c", 50, 40.0, 0.8)
+    ]
+    out2 = unimax_allocation([("a", 10), ("b", 20)], 1000.0, 2.0)
+    assert [(g, e) for g, _n, _a, e in out2] == [("a", 2.0), ("b", 2.0)]
+    # >= 2 uncapped groups: both take the SAME share and the total
+    # matches the budget (regression: a per-step loop that failed to
+    # subtract uncapped shares inflated later groups past the budget)
+    out3 = unimax_allocation(
+        [("a", 10), ("b", 100), ("c", 100)], 150.0, 2.0
+    )
+    assert out3 == [
+        ("a", 10, 20.0, 2.0), ("b", 100, 65.0, 0.65),
+        ("c", 100, 65.0, 0.65),
+    ]
+    assert abs(sum(a for _g, _n, a, _e in out3) - 150.0) < 1e-9
+
+
+def test_unimax_expand_copies_and_fraction(spark):
+    """Expansion: capped groups emit exactly floor(epochs) copies per
+    doc; the fractional group emits floor+1 copies for the hash-selected
+    subset only, and the selected fraction tracks frac(epochs)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.curation import unimax_expand
+
+    rows = [(i, "small", "w " * 10) for i in range(20)] + [
+        (1000 + i, "big", "w " * 10) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # budget = 1.5x total = 3300; small caps at 2.0 (400), big gets
+    # 2900/2000 = 1.45 epochs
+    out = unimax_expand(df, budget_frac=1.5, epoch_cap=2.0)
+    per = {
+        (r["lang"], r["copy"]): r["cnt"]
+        for r in out.groupBy("lang", "copy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert per[("small", 0)] == 20 and per[("small", 1)] == 20
+    assert ("small", 2) not in per
+    assert per[("big", 0)] == 200
+    # fractional copy: ~45% of big docs, hash-deterministic
+    assert 0.30 * 200 < per[("big", 1)] < 0.60 * 200
+    again = unimax_expand(df, budget_frac=1.5, epoch_cap=2.0)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )

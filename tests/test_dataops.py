@@ -752,3 +752,31 @@ def test_normalize_text_values(spark):
     out = [r.n for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
     assert out[0] == "hello world cafe 42"
     assert out[1] == "plain text"
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires independently on engineered docs and the
+    keep column is the conjunction."""
+    from vector_spark.dataops.text import gopher_quality_flags
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),  # keeps
+        (2, "tiny doc the"),                                # too few words
+        (3, ("ab " * 60) + "the"),                          # short words
+        (4, "### " * 30 + ("the word " * 30)),              # symbols+alpha
+        (5, ("123 " * 60) + "the"),                         # non-alpha
+        (6, "plain words without stop list hits " * 10),    # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in gopher_quality_flags(
+            df, min_words=50, min_stopwords=1
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["word_count_ok"] is False and out[2]["keep"] is False
+    assert out[3]["mean_len_ok"] is False
+    assert out[4]["symbol_ok"] is False and out[4]["alpha_ok"] is False
+    assert out[5]["alpha_ok"] is False
+    assert out[6]["stopwords_ok"] is False and out[6]["n_stopwords"] == 0

@@ -385,12 +385,83 @@ def cmd_top(
     return rendered
 
 
+def _toml_key(k: str) -> str:
+    import re
+
+    return k if re.fullmatch(r"[A-Za-z0-9_-]+", k) else json.dumps(k)
+
+
+def _toml_scalar(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return json.dumps(v)  # TOML basic strings share JSON's escapes
+    if isinstance(v, list):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{_toml_key(k)} = {_toml_scalar(x)}" for k, x in v.items()
+            )
+            + "}"
+        )
+    raise ValueError(f"cannot TOML-encode {type(v).__name__}")
+
+
+def toml_dumps(cfg: dict) -> str:
+    """Minimal TOML writer for topology configs: scalars and inline
+    values first, then nested [tables] and [[arrays of tables]] —
+    round-trips through ``tomllib`` (pinned in tests). None values are
+    omitted (TOML has no null, matching what the TOML reader could ever
+    have produced)."""
+
+    def emit(table: dict, prefix: list[str], out: list[str]) -> None:
+        scalars, tables, arrays = [], [], []
+        for k, v in table.items():
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                tables.append((k, v))
+            elif isinstance(v, list) and v and all(
+                isinstance(x, dict) for x in v
+            ):
+                arrays.append((k, v))
+            else:
+                scalars.append((k, v))
+        if prefix and (scalars or not (tables or arrays)):
+            out.append(f"[{'.'.join(_toml_key(p) for p in prefix)}]")
+        for k, v in scalars:
+            out.append(f"{_toml_key(k)} = {_toml_scalar(v)}")
+        if scalars:
+            out.append("")
+        for k, v in tables:
+            emit(v, prefix + [k], out)
+        for k, vs in arrays:
+            name = ".".join(_toml_key(p) for p in prefix + [k])
+            for v in vs:
+                out.append(f"[[{name}]]")
+                # item fields are all inline (nested dicts as inline
+                # tables) — relative [headers] inside an array item
+                # would rebind to the root
+                for ik, iv in v.items():
+                    if iv is not None:
+                        out.append(f"{_toml_key(ik)} = {_toml_scalar(iv)}")
+                out.append("")
+
+    lines: list[str] = []
+    emit(cfg, [], lines)
+    return "\n".join(lines).rstrip() + "\n"
+
+
 def cmd_convert_config(src: str, dst: str) -> str:
     """Convert a topology config between formats (reference
-    ``vector convert-config``, ``src/convert_config.rs`` — it converts
-    TOML→YAML/JSON; this accepts any of YAML/TOML/JSON in and writes
-    YAML or JSON out; TOML output would need a writer dependency,
-    documented delta)."""
+    ``vector convert-config``, ``src/convert_config.rs``): accepts any
+    of YAML/TOML/JSON in and writes YAML, JSON, or TOML out (TOML via
+    the stdlib-only writer above — r8 closed the missing-writer
+    delta)."""
     from vector_spark.config.loader import parse_config
 
     cfg = parse_config(src)
@@ -400,9 +471,11 @@ def cmd_convert_config(src: str, dst: str) -> str:
         import yaml
 
         text = yaml.safe_dump(cfg, sort_keys=False)
+    elif dst.endswith(".toml"):
+        text = toml_dumps(cfg)
     else:
         raise ValueError(
-            f"unsupported output format: {dst} (want .yaml/.yml/.json)"
+            f"unsupported output format: {dst} (want .yaml/.yml/.json/.toml)"
         )
     with open(dst, "w") as f:
         f.write(text)

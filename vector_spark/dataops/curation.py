@@ -922,6 +922,121 @@ def _dsir_scored(
     )
 
 
+def unimax_allocation(
+    counts: list[tuple], budget: float, epoch_cap: float = 4.0
+) -> list[tuple]:
+    """UniMax budget allocation (Chung et al. 2023): given per-group
+    token counts [(group, n)], a total token budget, and a per-group
+    epoch cap, allocate ascending-by-size — each group gets
+    min(cap·n_g, remaining_budget / remaining_groups). Small groups cap
+    out at `epoch_cap` epochs; the rest split the remainder equally
+    (once the cap stops binding the fair share is constant, so the
+    allocation has the closed form the oracle replays with window
+    functions). Pure driver-side math over the GROUP table — groups are
+    bounded by contract (languages/domains), never corpus rows.
+
+    Returns [(group, n, alloc, epochs)] with alloc/epochs rounded to 6
+    (epochs additionally floor-stable for the expander's hash
+    threshold)."""
+    rows = sorted(counts, key=lambda r: (r[1], r[0]))
+    L = len(rows)
+    # closed form (same float ops as the SQL oracle, so the rounded
+    # epochs can never diverge): the capped set is the maximal prefix —
+    # once the fair share undercuts cap*n it stays undercut, and every
+    # uncapped group receives the SAME share (subtracting an equal share
+    # leaves the per-remaining-group share unchanged)
+    cum, m = 0, 0
+    for j, (_g, n) in enumerate(rows, start=1):
+        if epoch_cap * n <= (budget - epoch_cap * cum) / (L - j + 1):
+            cum += n
+            m = j
+        else:
+            break
+    share = (budget - epoch_cap * cum) / (L - m) if m < L else 0.0
+    out = []
+    for j, (g, n) in enumerate(rows, start=1):
+        alloc = epoch_cap * n if j <= m else share
+        epochs = alloc / n if n else 0.0
+        out.append((g, n, round(alloc, 6), round(epochs, 9)))
+    return out
+
+
+def unimax_expand(
+    docs: DataFrame,
+    budget: float | None = None,
+    epoch_cap: float = 4.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_frac: float | None = None,
+) -> DataFrame:
+    """Materialize the UniMax training stream: every document appears
+    floor(epochs_g) times, plus one extra copy for the deterministic
+    frac(epochs_g) fraction of its group (Knuth hash threshold — the
+    engine's replayable uniform, same floor-truncated comparison as the
+    mixture samplers). Returns (id, group, copy, epochs).
+
+    Scale shape: ONE tokenize-count aggregate produces the G-row group
+    table; the allocation is driver-side over those G rows (bounded by
+    contract); rates broadcast back as a literal CASE riding the scan;
+    the explode emits ceil(epochs) ≤ ceil(epoch_cap) rows per doc —
+    output size is the allocated budget by construction, and no shuffle
+    follows the aggregate."""
+    from vector_spark.dataops.text import token_count
+
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
+    counts = [
+        (r["_g"], r["_n"])
+        for r in docs.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.sum(token_count(F.col(text_col))).alias("_n"))
+        .collect()
+    ]
+    if budget is None:
+        budget = budget_frac * sum(n for _g, n in counts)
+    alloc = unimax_allocation(counts, budget, epoch_cap)
+    emap = {g: e for g, _n, _a, e in alloc}
+    epochs = None
+    for g, e in emap.items():
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else (F.col(group_col) == g)
+        )
+        epochs = (
+            F.when(cond, F.lit(e))
+            if epochs is None
+            else epochs.when(cond, F.lit(e))
+        )
+    epochs = (
+        epochs.otherwise(F.lit(0.0)) if epochs is not None else F.lit(0.0)
+    )
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(_MOD))
+    whole = F.floor(epochs).cast("long")
+    frac = epochs - F.floor(epochs)
+    n_copies = F.ceil(epochs).cast("long")
+    return (
+        docs.select(
+            F.col(id_col), F.col(group_col), epochs.alias("epochs"),
+            whole.alias("_w"), frac.alias("_f"),
+        )
+        .where(n_copies > 0)
+        .select(
+            id_col, group_col, "epochs", "_w", "_f",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_copies - 1)
+            ).alias("copy"),
+        )
+        .where(
+            (F.col("copy") < F.col("_w"))
+            | (h <= F.floor(F.col("_f") * _MOD).cast("long"))
+        )
+        .select(
+            id_col, group_col, "copy", F.round("epochs", 6).alias("epochs")
+        )
+    )
+
+
 def dsir_resample(
     docs: DataFrame,
     k: int,

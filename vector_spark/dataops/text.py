@@ -330,6 +330,86 @@ def quality_prune(
     )
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1), each
+    rule as its own flag so a pipeline can audit WHICH rule fires (the
+    published filter's document-level rules; the line-level bullet/
+    ellipsis rules need line structure and belong to a line-splitting
+    stage): word count in [min_words, max_words], mean word length in
+    [min_mean_len, max_mean_len], symbol-to-word ratio ('#' and '...')
+    ≤ max_symbol_ratio, ≥ min_alpha_frac of words containing an
+    alphabetic character, and ≥ min_stopwords DISTINCT members of the
+    paper's 8-stopword list. `keep` is the conjunction.
+
+    Distinct from :func:`quality_prune` (first-trigger drop reason, the
+    C4-style report): this is the full per-rule boolean matrix.
+
+    Scale shape: everything rides the scan — one split per doc, word
+    aggregates via higher-order functions (no explode, no shuffle at
+    all); the output is exactly one row per input row."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ws = F.filter(ws, lambda w: F.length(w) >= 1)
+    n_words = F.size(ws)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
+        ) / n_words,
+    ).otherwise(0.0)
+    # substring occurrence counts by length delta (portable to any SQL
+    # engine): '#' anywhere, and non-overlapping '...' runs
+    t = F.col(text_col)
+    n_symbols = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / 3
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(0.0)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array([F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_len_ok": (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len),
+        "symbol_ok": symbol_ratio <= max_symbol_ratio,
+        "alpha_ok": alpha_frac >= min_alpha_frac,
+        "stopwords_ok": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -5067,6 +5067,126 @@ WITH toks AS (
   FROM dense GROUP BY doc_id
 )"""
 
+QUERIES.update({
+    # Gopher quality-rule battery (Rae et al. 2021 §A1.1): per-rule
+    # boolean matrix + conjunction keep. Everything rides the scan (no
+    # shuffle at all); the oracle replays each rule with DuckDB list
+    # functions. min_stopwords=1 because the synthetic vocabulary
+    # carries only 'the' of the paper's 8-stopword list.
+    "docs_gopher_quality": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["gopher_quality_flags"]
+        ).gopher_quality_flags(
+            _t(spark, sf_dir, "documents"), min_words=50, min_stopwords=1
+        ),
+        r"""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> length(w) >= 1
+                 ) AS w,
+                 (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3.0
+                   AS n_sym
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(w) AS n_words,
+                 CASE WHEN len(w) > 0 THEN
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                        AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
+                 CASE WHEN len(w) > 0 THEN n_sym / len(w)
+                      ELSE 0.0 END AS sym_ratio,
+                 CASE WHEN len(w) > 0 THEN
+                   CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(w) ELSE 0.0 END AS alpha_frac,
+                 len(list_intersect(
+                   list_distinct(w),
+                   ['the','be','to','of','and','that','have','with']
+                 )) AS n_stop
+          FROM ws
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               ROUND(mean_len, 6) AS mean_word_len,
+               ROUND(sym_ratio, 6) AS symbol_ratio,
+               ROUND(alpha_frac, 6) AS alpha_frac,
+               CAST(n_stop AS INT) AS n_stopwords,
+               n_words BETWEEN 50 AND 100000 AS word_count_ok,
+               mean_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+               sym_ratio <= 0.1 AS symbol_ok,
+               alpha_frac >= 0.8 AS alpha_ok,
+               n_stop >= 1 AS stopwords_ok,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_len BETWEEN 3.0 AND 10.0)
+                 AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                 AND n_stop >= 1 AS keep
+        FROM m
+        """,
+        "Gopher per-rule document quality battery (scan-only)",
+    ),
+    # UniMax epoch allocation + training-stream expansion (Chung et al.
+    # 2023): groups allocated ascending-by-size with an epoch cap, then
+    # each doc replicated floor(epochs) times plus a deterministic
+    # hash-thresholded fractional epoch. Budget = 1.5x total tokens,
+    # cap 2.0 — at this corpus's skew four languages cap out at 2
+    # epochs and 'en' lands on a fractional subsample, exercising every
+    # branch. The oracle replays the closed form: the capped set is the
+    # maximal prefix (monotone), the rest split the remainder equally.
+    "docs_unimax_expand": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation", fromlist=["unimax_expand"]
+        ).unimax_expand(
+            _t(spark, sf_dir, "documents"), budget_frac=1.5, epoch_cap=2.0
+        ),
+        r"""
+        WITH c AS (
+          SELECT lang,
+                 SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                     END) AS n
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT SUM(n) * 1.5 AS b FROM c
+        ), ord AS (
+          SELECT lang, n,
+                 ROW_NUMBER() OVER (ORDER BY n, lang) AS j,
+                 COUNT(*) OVER () AS l_cnt,
+                 COALESCE(SUM(n) OVER (
+                   ORDER BY n, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cumprev
+          FROM c
+        ), base AS (
+          SELECT o.*, t.b,
+                 2.0 * n <= (t.b - 2.0 * cumprev) / (l_cnt - j + 1)
+                   AS capped
+          FROM ord o CROSS JOIN tot t
+        ), mstat AS (
+          SELECT COALESCE(MAX(j), 0) AS m,
+                 COALESCE(MAX(cumprev + n), 0) AS cum_m
+          FROM base WHERE capped
+        ), rates AS (
+          SELECT b2.lang,
+                 ROUND(CASE WHEN b2.j <= s.m THEN 2.0 * b2.n
+                       ELSE (b2.b - 2.0 * s.cum_m) / (b2.l_cnt - s.m)
+                       END / b2.n, 9) AS epochs
+          FROM base b2 CROSS JOIN mstat s
+        )
+        SELECT d.doc_id, d.lang, CAST(t.c AS BIGINT) AS copy,
+               ROUND(r.epochs, 6) AS epochs
+        FROM documents d
+        JOIN rates r USING (lang),
+             UNNEST(range(0, CAST(ceil(r.epochs) AS BIGINT))) AS t(c)
+        WHERE t.c < floor(r.epochs)
+           OR ((d.doc_id * 2654435761) % 2147483648)
+              <= CAST(floor((r.epochs - floor(r.epochs)) * 2147483648)
+                      AS BIGINT)
+        """,
+        "UniMax epoch allocation + deterministic stream expansion",
+    ),
+})
+
+
 # Shared DSIR scoring replay (ends at CTE ``scored``: doc_id, score) — the
 # top-k and Gumbel-resample oracles both consume it, factored so the two
 # can never drift apart.
@@ -5161,7 +5281,8 @@ _DRIVER_PRIORITY = [
     # row), the rewritten rank-bucket boundaries, the pre-filtered
     # exact-k sampler, the floored mixture oracles, and the new ops
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
-    "lua_v2_transform", "docs_dsir_resample", "docs_temperature_mixture",
+    "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
+    "docs_unimax_expand", "docs_temperature_mixture",
     "docs_mixture_sample", "sample_ratio", "docs_text_near_dup",
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
