@@ -4062,6 +4062,274 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "nginx stub_status codec: reference metric names vs hand oracle",
     ),
+    # EventStoreDB /stats codec (src/sources/eventstoredb_metrics/
+    # types.rs:19): the sample fixture's 9 metrics vs a hand oracle.
+    "eventstoredb_stats_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: spark.createDataFrame(
+                m.parse_eventstoredb_stats(
+                    __import__("json").dumps(m.SAMPLE_ESDB_STATS)
+                ),
+                "name string, namespace string, tags map<string,string>,"
+                " kind string, value double",
+            ).select(
+                "name",
+                F.col("tags").getItem("id").alias("proc_id"),
+                F.col("tags").getItem("path").alias("path"),
+                "kind", "value",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_db_metrics",
+                fromlist=["parse_eventstoredb_stats"],
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('process_memory_used_bytes', '4711', NULL, 'gauge', 201.0),
+          ('disk_read_bytes_total',    '4711', NULL, 'counter', 202.0),
+          ('disk_written_bytes_total', '4711', NULL, 'counter', 203.0),
+          ('disk_read_ops_total',      '4711', NULL, 'counter', 204.0),
+          ('disk_write_ops_total',     '4711', NULL, 'counter', 205.0),
+          ('memory_free_bytes',        '4711', NULL, 'gauge', 206.0),
+          ('disk_total_bytes', '4711', '/var/lib/esdb', 'gauge', 208.0),
+          ('disk_free_bytes',  '4711', '/var/lib/esdb', 'gauge', 207.0),
+          ('disk_used_bytes',  '4711', '/var/lib/esdb', 'gauge', 209.0)
+        ) AS t(name, proc_id, path, kind, value)
+        """,
+        "EventStoreDB /stats codec: reference names vs hand oracle",
+    ),
+    # MongoDB serverStatus codec (src/sources/mongodb_metrics/
+    # mod.rs:294-960): the full 119-metric mapping over the structurally
+    # complete sample doc, every value transcribed by hand from the
+    # reference's field list (including the i64 millis//1000 truncations
+    # and the swapped op_counters names at mod.rs:1046).
+    "mongodb_server_status_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: spark.createDataFrame(
+                m.parse_mongodb_server_status(m.SAMPLE_SERVER_STATUS),
+                "name string, namespace string, tags map<string,string>,"
+                " kind string, value double",
+            ).select(
+                "name",
+                F.col("tags").getItem("type").alias("ctype"),
+                F.col("tags").getItem("state").alias("state"),
+                F.col("tags").getItem("mode").alias("mode"),
+                F.col("tags").getItem("micros").alias("micros"),
+                F.col("tags").getItem("engine").alias("engine"),
+                "kind", "value",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_db_metrics",
+                fromlist=["parse_mongodb_server_status"],
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('asserts_total', 'regular',   NULL, NULL, NULL, NULL, 'counter', 1.0),
+          ('asserts_total', 'warning',   NULL, NULL, NULL, NULL, 'counter', 2.0),
+          ('asserts_total', 'msg',       NULL, NULL, NULL, NULL, 'counter', 3.0),
+          ('asserts_total', 'user',      NULL, NULL, NULL, NULL, 'counter', 4.0),
+          ('asserts_total', 'rollovers', NULL, NULL, NULL, NULL, 'counter', 5.0),
+          ('connections', NULL, 'active',    NULL, NULL, NULL, 'counter', 6.0),
+          ('connections', NULL, 'available', NULL, NULL, NULL, 'counter', 7.0),
+          ('connections', NULL, 'current',   NULL, NULL, NULL, 'counter', 8.0),
+          ('extra_info_heap_usage_bytes', NULL, NULL, NULL, NULL, NULL, 'gauge', 9.0),
+          ('extra_info_page_faults',      NULL, NULL, NULL, NULL, NULL, 'gauge', 10.0),
+          ('instance_uptime_estimate_seconds_total', NULL, NULL, NULL, NULL, NULL, 'gauge', 11.0),
+          ('instance_uptime_seconds_total',          NULL, NULL, NULL, NULL, NULL, 'gauge', 12.5),
+          ('memory', 'resident',            NULL, NULL, NULL, NULL, 'gauge', 13.0),
+          ('memory', 'virtual',             NULL, NULL, NULL, NULL, 'gauge', 14.0),
+          ('memory', 'mapped',              NULL, NULL, NULL, NULL, 'gauge', 15.0),
+          ('memory', 'mapped_with_journal', NULL, NULL, NULL, NULL, 'gauge', 16.0),
+          ('mongod_global_lock_total_time_seconds', NULL, NULL, NULL, NULL, NULL, 'counter', 17.0),
+          ('mongod_global_lock_active_clients', 'total',   NULL, NULL, NULL, NULL, 'gauge', 18.0),
+          ('mongod_global_lock_active_clients', 'readers', NULL, NULL, NULL, NULL, 'gauge', 19.0),
+          ('mongod_global_lock_active_clients', 'writers', NULL, NULL, NULL, NULL, 'gauge', 20.0),
+          ('mongod_global_lock_current_queue', 'total',   NULL, NULL, NULL, NULL, 'gauge', 21.0),
+          ('mongod_global_lock_current_queue', 'readers', NULL, NULL, NULL, NULL, 'gauge', 22.0),
+          ('mongod_global_lock_current_queue', 'writers', NULL, NULL, NULL, NULL, 'gauge', 23.0),
+          ('mongod_locks_time_acquiring_global_seconds_total', 'Global', NULL, 'read',  NULL, NULL, 'counter', 24.0),
+          ('mongod_locks_time_acquiring_global_seconds_total', 'Global', NULL, 'write', NULL, NULL, 'counter', 25.0),
+          ('mongod_metrics_cursor_timed_out_total', NULL, NULL, NULL, NULL, NULL, 'counter', 26.0),
+          ('mongod_metrics_cursor_open', NULL, 'no_timeout', NULL, NULL, NULL, 'gauge', 27.0),
+          ('mongod_metrics_cursor_open', NULL, 'pinned',     NULL, NULL, NULL, 'gauge', 28.0),
+          ('mongod_metrics_cursor_open', NULL, 'total',      NULL, NULL, NULL, 'gauge', 29.0),
+          ('mongod_metrics_document_total', NULL, 'deleted',  NULL, NULL, NULL, 'counter', 30.0),
+          ('mongod_metrics_document_total', NULL, 'inserted', NULL, NULL, NULL, 'counter', 31.0),
+          ('mongod_metrics_document_total', NULL, 'returned', NULL, NULL, NULL, 'counter', 32.0),
+          ('mongod_metrics_document_total', NULL, 'updated',  NULL, NULL, NULL, 'counter', 33.0),
+          ('mongod_metrics_get_last_error_wtime_num', NULL, NULL, NULL, NULL, NULL, 'gauge', 34.0),
+          ('mongod_metrics_get_last_error_wtime_seconds_total', NULL, NULL, NULL, NULL, NULL, 'counter', 35.0),
+          ('mongod_metrics_get_last_error_wtimeouts_total', NULL, NULL, NULL, NULL, NULL, 'counter', 36.0),
+          ('mongod_metrics_operation_total', 'scan_and_order',  NULL, NULL, NULL, NULL, 'counter', 37.0),
+          ('mongod_metrics_operation_total', 'write_conflicts', NULL, NULL, NULL, NULL, 'counter', 38.0),
+          ('mongod_metrics_query_executor_total', NULL, 'scanned',          NULL, NULL, NULL, 'counter', 39.0),
+          ('mongod_metrics_query_executor_total', NULL, 'scanned_objects',  NULL, NULL, NULL, 'counter', 40.0),
+          ('mongod_metrics_query_executor_total', NULL, 'collection_scans', NULL, NULL, NULL, 'counter', 41.0),
+          ('mongod_metrics_record_moves_total', NULL, NULL, NULL, NULL, NULL, 'counter', 42.0),
+          ('mongod_metrics_repl_apply_batches_num_total', NULL, NULL, NULL, NULL, NULL, 'counter', 43.0),
+          ('mongod_metrics_repl_apply_batches_seconds_total', NULL, NULL, NULL, NULL, NULL, 'counter', 44.0),
+          ('mongod_metrics_repl_apply_ops_total', NULL, NULL, NULL, NULL, NULL, 'counter', 45.0),
+          ('mongod_metrics_repl_buffer_count', NULL, NULL, NULL, NULL, NULL, 'counter', 46.0),
+          ('mongod_metrics_repl_buffer_max_size_bytes_total', NULL, NULL, NULL, NULL, NULL, 'counter', 47.0),
+          ('mongod_metrics_repl_buffer_size_bytes', NULL, NULL, NULL, NULL, NULL, 'counter', 48.0),
+          ('mongod_metrics_repl_executor_queue', 'network_in_progress', NULL, NULL, NULL, NULL, 'gauge', 49.0),
+          ('mongod_metrics_repl_executor_queue', 'sleepers',            NULL, NULL, NULL, NULL, 'gauge', 50.0),
+          ('mongod_metrics_repl_executor_unsignaled_events', NULL, NULL, NULL, NULL, NULL, 'gauge', 51.0),
+          ('mongod_metrics_repl_network_bytes_total', NULL, NULL, NULL, NULL, NULL, 'counter', 52.0),
+          ('mongod_metrics_repl_network_getmores_num_total', NULL, NULL, NULL, NULL, NULL, 'counter', 53.0),
+          ('mongod_metrics_repl_network_getmores_seconds_total', NULL, NULL, NULL, NULL, NULL, 'counter', 54.0),
+          ('mongod_metrics_repl_network_ops_total', NULL, NULL, NULL, NULL, NULL, 'counter', 55.0),
+          ('mongod_metrics_repl_network_readers_created_total', NULL, NULL, NULL, NULL, NULL, 'counter', 56.0),
+          ('mongod_metrics_ttl_deleted_documents_total', NULL, NULL, NULL, NULL, NULL, 'counter', 57.0),
+          ('mongod_metrics_ttl_passes_total', NULL, NULL, NULL, NULL, NULL, 'counter', 58.0),
+          ('network_bytes_total', NULL, 'bytes_in',  NULL, NULL, NULL, 'counter', 115.0),
+          ('network_bytes_total', NULL, 'bytes_out', NULL, NULL, NULL, 'counter', 116.0),
+          ('network_metrics_num_requests_total', NULL, NULL, NULL, NULL, NULL, 'counter', 117.0),
+          ('mongod_op_latencies_histogram', 'reads',  NULL, NULL, '1', NULL, 'gauge', 61.0),
+          ('mongod_op_latencies_histogram', 'reads',  NULL, NULL, '2', NULL, 'gauge', 62.0),
+          ('mongod_op_latencies_latency',   'reads',  NULL, NULL, NULL, NULL, 'gauge', 59.0),
+          ('mongod_op_latencies_ops_total', 'reads',  NULL, NULL, NULL, NULL, 'gauge', 60.0),
+          ('mongod_op_latencies_histogram', 'writes', NULL, NULL, '1', NULL, 'gauge', 65.0),
+          ('mongod_op_latencies_latency',   'writes', NULL, NULL, NULL, NULL, 'gauge', 63.0),
+          ('mongod_op_latencies_ops_total', 'writes', NULL, NULL, NULL, NULL, 'gauge', 64.0),
+          ('mongod_storage_engine', NULL, NULL, NULL, NULL, 'wiredTiger', 'gauge', 1.0),
+          ('mongod_wiredtiger_blockmanager_blocks_total', 'blocks_read',        NULL, NULL, NULL, NULL, 'counter', 70.0),
+          ('mongod_wiredtiger_blockmanager_blocks_total', 'blocks_read_mapped', NULL, NULL, NULL, NULL, 'counter', 71.0),
+          ('mongod_wiredtiger_blockmanager_blocks_total', 'blocks_pre_loaded',  NULL, NULL, NULL, NULL, 'counter', 72.0),
+          ('mongod_wiredtiger_blockmanager_blocks_total', 'blocks_written',     NULL, NULL, NULL, NULL, 'counter', 73.0),
+          ('mongod_wiredtiger_blockmanager_bytes_total', 'bytes_read',        NULL, NULL, NULL, NULL, 'counter', 74.0),
+          ('mongod_wiredtiger_blockmanager_bytes_total', 'bytes_read_mapped', NULL, NULL, NULL, NULL, 'counter', 75.0),
+          ('mongod_wiredtiger_blockmanager_bytes_total', 'bytes_written',     NULL, NULL, NULL, NULL, 'counter', 76.0),
+          ('mongod_wiredtiger_cache_bytes', 'total',          NULL, NULL, NULL, NULL, 'gauge', 77.0),
+          ('mongod_wiredtiger_cache_bytes', 'dirty',          NULL, NULL, NULL, NULL, 'gauge', 78.0),
+          ('mongod_wiredtiger_cache_bytes', 'internal_pages', NULL, NULL, NULL, NULL, 'gauge', 79.0),
+          ('mongod_wiredtiger_cache_bytes', 'leaf_pages',     NULL, NULL, NULL, NULL, 'gauge', 80.0),
+          ('mongod_wiredtiger_cache_bytes_total', 'read',    NULL, NULL, NULL, NULL, 'counter', 81.0),
+          ('mongod_wiredtiger_cache_bytes_total', 'written', NULL, NULL, NULL, NULL, 'counter', 82.0),
+          ('mongod_wiredtiger_cache_evicted_total', 'modified',   NULL, NULL, NULL, NULL, 'counter', 83.0),
+          ('mongod_wiredtiger_cache_evicted_total', 'unmodified', NULL, NULL, NULL, NULL, 'counter', 84.0),
+          ('mongod_wiredtiger_cache_max_bytes',        NULL, NULL, NULL, NULL, NULL, 'gauge', 85.0),
+          ('mongod_wiredtiger_cache_overhead_percent', NULL, NULL, NULL, NULL, NULL, 'gauge', 86.0),
+          ('mongod_wiredtiger_cache_pages', 'total', NULL, NULL, NULL, NULL, 'gauge', 87.0),
+          ('mongod_wiredtiger_cache_pages', 'dirty', NULL, NULL, NULL, NULL, 'gauge', 88.0),
+          ('mongod_wiredtiger_cache_pages_total', 'read',  NULL, NULL, NULL, NULL, 'counter', 81.0),
+          ('mongod_wiredtiger_cache_pages_total', 'write', NULL, NULL, NULL, NULL, 'counter', 82.0),
+          ('mongod_wiredtiger_concurrent_transactions_available_tickets', 'read',  NULL, NULL, NULL, NULL, 'gauge', 89.0),
+          ('mongod_wiredtiger_concurrent_transactions_available_tickets', 'write', NULL, NULL, NULL, NULL, 'gauge', 92.0),
+          ('mongod_wiredtiger_concurrent_transactions_out_tickets', 'read',  NULL, NULL, NULL, NULL, 'gauge', 90.0),
+          ('mongod_wiredtiger_concurrent_transactions_out_tickets', 'write', NULL, NULL, NULL, NULL, 'gauge', 93.0),
+          ('mongod_wiredtiger_concurrent_transactions_total_tickets', 'read',  NULL, NULL, NULL, NULL, 'gauge', 91.0),
+          ('mongod_wiredtiger_concurrent_transactions_total_tickets', 'write', NULL, NULL, NULL, NULL, 'gauge', 94.0),
+          ('mongod_wiredtiger_log_bytes_total', 'payload', NULL, NULL, NULL, NULL, 'counter', 95.0),
+          ('mongod_wiredtiger_log_bytes_total', 'written', NULL, NULL, NULL, NULL, 'counter', 96.0),
+          ('mongod_wiredtiger_log_operations_total', 'write',       NULL, NULL, NULL, NULL, 'counter', 97.0),
+          ('mongod_wiredtiger_log_operations_total', 'scan',        NULL, NULL, NULL, NULL, 'counter', 98.0),
+          ('mongod_wiredtiger_log_operations_total', 'scan_double', NULL, NULL, NULL, NULL, 'counter', 99.0),
+          ('mongod_wiredtiger_log_operations_total', 'sync',        NULL, NULL, NULL, NULL, 'counter', 100.0),
+          ('mongod_wiredtiger_log_operations_total', 'sync_dir',    NULL, NULL, NULL, NULL, 'counter', 101.0),
+          ('mongod_wiredtiger_log_operations_total', 'flush',       NULL, NULL, NULL, NULL, 'counter', 102.0),
+          ('mongod_wiredtiger_log_records_scanned_total', 'compressed',   NULL, NULL, NULL, NULL, 'counter', 103.0),
+          ('mongod_wiredtiger_log_records_scanned_total', 'uncompressed', NULL, NULL, NULL, NULL, 'counter', 104.0),
+          ('mongod_wiredtiger_log_records_total', NULL, NULL, NULL, NULL, NULL, 'counter', 105.0),
+          ('mongod_wiredtiger_session_open_sessions', NULL, NULL, NULL, NULL, NULL, 'gauge', 106.0),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds', 'min', NULL, NULL, NULL, NULL, 'gauge', 107.0),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds', 'max', NULL, NULL, NULL, NULL, 'gauge', 108.0),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds_total', NULL, NULL, NULL, NULL, NULL, 'counter', 109.0),
+          ('mongod_wiredtiger_transactions_running_checkpoints', NULL, NULL, NULL, NULL, NULL, 'gauge', 110.0),
+          ('mongod_wiredtiger_transactions_total', 'begins',      NULL, NULL, NULL, NULL, 'counter', 111.0),
+          ('mongod_wiredtiger_transactions_total', 'checkpoints', NULL, NULL, NULL, NULL, 'counter', 112.0),
+          ('mongod_wiredtiger_transactions_total', 'committed',   NULL, NULL, NULL, NULL, 'counter', 113.0),
+          ('mongod_wiredtiger_transactions_total', 'rolledback',  NULL, NULL, NULL, NULL, 'counter', 114.0),
+          ('op_counters_repl_total', 'insert', NULL, NULL, NULL, NULL, 'counter', 118.0),
+          ('op_counters_repl_total', 'query',  NULL, NULL, NULL, NULL, 'counter', 119.0),
+          ('op_counters_total',      'insert', NULL, NULL, NULL, NULL, 'counter', 120.0)
+        ) AS t(name, ctype, state, mode, micros, engine, kind, value)
+        """,
+        "MongoDB serverStatus codec: full 119-metric hand oracle",
+    ),
+    # PostgreSQL pg_stat_* codec (src/sources/postgresql_metrics.rs:
+    # 615-870): two pg_stat_database rows (one NULL-datname/no-checksum),
+    # conflicts, bgwriter — ms columns divided to seconds, optional
+    # columns skipped.
+    "postgresql_stats_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: spark.createDataFrame(
+                m.parse_postgresql_stats(**m.SAMPLE_PG_STATS),
+                "name string, namespace string, tags map<string,string>,"
+                " kind string, value double",
+            ).select(
+                "name",
+                F.col("tags").getItem("db").alias("db"),
+                "kind", "value",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_db_metrics",
+                fromlist=["parse_postgresql_stats"],
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('pg_stat_database_datid', 'postgres', 'gauge', 301.0),
+          ('pg_stat_database_numbackends', 'postgres', 'gauge', 302.0),
+          ('pg_stat_database_xact_commit_total', 'postgres', 'counter', 303.0),
+          ('pg_stat_database_xact_rollback_total', 'postgres', 'counter', 304.0),
+          ('pg_stat_database_blks_read_total', 'postgres', 'counter', 305.0),
+          ('pg_stat_database_blks_hit_total', 'postgres', 'counter', 306.0),
+          ('pg_stat_database_tup_returned_total', 'postgres', 'counter', 307.0),
+          ('pg_stat_database_tup_fetched_total', 'postgres', 'counter', 308.0),
+          ('pg_stat_database_tup_inserted_total', 'postgres', 'counter', 309.0),
+          ('pg_stat_database_tup_updated_total', 'postgres', 'counter', 310.0),
+          ('pg_stat_database_tup_deleted_total', 'postgres', 'counter', 311.0),
+          ('pg_stat_database_conflicts_total', 'postgres', 'counter', 312.0),
+          ('pg_stat_database_temp_files_total', 'postgres', 'counter', 313.0),
+          ('pg_stat_database_temp_bytes_total', 'postgres', 'counter', 314.0),
+          ('pg_stat_database_deadlocks_total', 'postgres', 'counter', 315.0),
+          ('pg_stat_database_checksum_failures_total', 'postgres', 'counter', 316.0),
+          ('pg_stat_database_checksum_last_failure', 'postgres', 'gauge', 317.0),
+          ('pg_stat_database_blk_read_time_seconds_total', 'postgres', 'counter', 318.5),
+          ('pg_stat_database_blk_write_time_seconds_total', 'postgres', 'counter', 319.5),
+          ('pg_stat_database_stats_reset', 'postgres', 'gauge', 320.0),
+          ('pg_stat_database_datid', '', 'gauge', 0.0),
+          ('pg_stat_database_numbackends', '', 'gauge', 322.0),
+          ('pg_stat_database_xact_commit_total', '', 'counter', 323.0),
+          ('pg_stat_database_xact_rollback_total', '', 'counter', 324.0),
+          ('pg_stat_database_blks_read_total', '', 'counter', 325.0),
+          ('pg_stat_database_blks_hit_total', '', 'counter', 326.0),
+          ('pg_stat_database_tup_returned_total', '', 'counter', 327.0),
+          ('pg_stat_database_tup_fetched_total', '', 'counter', 328.0),
+          ('pg_stat_database_tup_inserted_total', '', 'counter', 329.0),
+          ('pg_stat_database_tup_updated_total', '', 'counter', 330.0),
+          ('pg_stat_database_tup_deleted_total', '', 'counter', 331.0),
+          ('pg_stat_database_conflicts_total', '', 'counter', 332.0),
+          ('pg_stat_database_temp_files_total', '', 'counter', 333.0),
+          ('pg_stat_database_temp_bytes_total', '', 'counter', 334.0),
+          ('pg_stat_database_deadlocks_total', '', 'counter', 335.0),
+          ('pg_stat_database_blk_read_time_seconds_total', '', 'counter', 336.0),
+          ('pg_stat_database_blk_write_time_seconds_total', '', 'counter', 337.0),
+          ('pg_stat_database_conflicts_confl_tablespace_total', 'postgres', 'counter', 341.0),
+          ('pg_stat_database_conflicts_confl_lock_total', 'postgres', 'counter', 342.0),
+          ('pg_stat_database_conflicts_confl_snapshot_total', 'postgres', 'counter', 343.0),
+          ('pg_stat_database_conflicts_confl_bufferpin_total', 'postgres', 'counter', 344.0),
+          ('pg_stat_database_conflicts_confl_deadlock_total', 'postgres', 'counter', 345.0),
+          ('pg_stat_bgwriter_checkpoints_timed_total', NULL, 'counter', 351.0),
+          ('pg_stat_bgwriter_checkpoints_req_total', NULL, 'counter', 352.0),
+          ('pg_stat_bgwriter_checkpoint_write_time_seconds_total', NULL, 'counter', 353.5),
+          ('pg_stat_bgwriter_checkpoint_sync_time_seconds_total', NULL, 'counter', 354.5),
+          ('pg_stat_bgwriter_buffers_checkpoint_total', NULL, 'counter', 355.0),
+          ('pg_stat_bgwriter_buffers_clean_total', NULL, 'counter', 356.0),
+          ('pg_stat_bgwriter_maxwritten_clean_total', NULL, 'counter', 357.0),
+          ('pg_stat_bgwriter_buffers_backend_total', NULL, 'counter', 358.0),
+          ('pg_stat_bgwriter_buffers_backend_fsync_total', NULL, 'counter', 359.0),
+          ('pg_stat_bgwriter_buffers_alloc_total', NULL, 'counter', 360.0),
+          ('pg_stat_bgwriter_stats_reset', NULL, 'gauge', 361.0)
+        ) AS t(name, db, kind, value)
+        """,
+        "PostgreSQL pg_stat_* codec: reference names vs hand oracle",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5282,7 +5550,9 @@ _DRIVER_PRIORITY = [
     # exact-k sampler, the floored mixture oracles, and the new ops
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
-    "docs_unimax_expand", "docs_temperature_mixture",
+    "docs_unimax_expand", "eventstoredb_stats_codec",
+    "mongodb_server_status_codec", "postgresql_stats_codec",
+    "docs_temperature_mixture",
     "docs_mixture_sample", "sample_ratio", "docs_text_near_dup",
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE
     # entries with their first real oracles, and the ops whose fixes
