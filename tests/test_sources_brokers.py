@@ -1,0 +1,467 @@
+"""Broker sources/sinks against in-process fake brokers speaking the
+real wire protocols (RESP2, NATS text, MQTT 3.1.1)."""
+
+import json
+import socket
+import socketserver
+import threading
+
+import pytest
+
+from vector_spark.sources_brokers import (
+    MqttClient,
+    RespError,
+    RespParser,
+    mqtt_connect_packet,
+    mqtt_decode_packets,
+    mqtt_publish_packet,
+    mqtt_sink,
+    mqtt_source,
+    mqtt_subscribe_packet,
+    nats_sink,
+    nats_source,
+    redis_channel_source,
+    redis_list_source,
+    redis_sink,
+    resp_encode_command,
+)
+
+
+# ---- protocol codec unit tests -----------------------------------------
+
+
+def test_resp_encode_command():
+    assert resp_encode_command("LPOP", "k", 2) == (
+        b"*3\r\n$4\r\nLPOP\r\n$1\r\nk\r\n$1\r\n2\r\n"
+    )
+
+
+def test_resp_parser_all_types():
+    p = RespParser()
+    p.feed(b"+OK\r\n:42\r\n$3\r\nabc\r\n$-1\r\n*2\r\n$1\r\na\r\n:7\r\n")
+    assert p.next() == "OK"
+    assert p.next() == 42
+    assert p.next() == b"abc"
+    assert p.next() is None
+    assert p.next() == [b"a", 7]
+
+
+def test_resp_parser_incremental_and_error():
+    p = RespParser()
+    p.feed(b"*2\r\n$5\r\nhel")
+    first = p.next()
+    assert first.__class__.__name__ == "_Incomplete"
+    p.feed(b"lo\r\n$5\r\nworld\r\n")
+    assert p.next() == [b"hello", b"world"]
+    p.feed(b"-ERR nope\r\n")
+    err = p.next()
+    assert isinstance(err, RespError) and "nope" in str(err)
+
+
+def test_mqtt_packet_roundtrip():
+    pkts, rest = mqtt_decode_packets(
+        mqtt_connect_packet("cid")
+        + mqtt_subscribe_packet("t/#", qos=1, packet_id=7)
+        + mqtt_publish_packet("t/a", b"payload")
+        + mqtt_publish_packet("t/b", b"x", qos=1, packet_id=9,
+                              retain=True)
+    )
+    assert rest == b""
+    assert [p["type"] for p in pkts] == [1, 8, 3, 3]
+    assert pkts[0]["client_id"] == "cid"
+    assert pkts[0]["protocol_level"] == 4
+    assert pkts[1] == {"type": 8, "packet_id": 7, "topic": "t/#", "qos": 1}
+    assert pkts[2]["topic"] == "t/a" and pkts[2]["payload"] == b"payload"
+    assert pkts[2]["qos"] == 0 and pkts[2]["retain"] is False
+    assert pkts[3]["packet_id"] == 9 and pkts[3]["retain"] is True
+
+
+def test_mqtt_decode_partial_keeps_remainder():
+    full = mqtt_publish_packet("topic", b"0123456789")
+    pkts, rest = mqtt_decode_packets(full[:5])
+    assert pkts == [] and rest == full[:5]
+    pkts, rest = mqtt_decode_packets(full + full[:3])
+    assert len(pkts) == 1 and rest == full[:3]
+
+
+def test_mqtt_varint_large_packet():
+    big = mqtt_publish_packet("t", b"x" * 300)  # 2-byte varint length
+    pkts, rest = mqtt_decode_packets(big)
+    assert rest == b"" and len(pkts[0]["payload"]) == 300
+
+
+# ---- fake brokers -------------------------------------------------------
+
+
+class _FakeRedis(socketserver.ThreadingTCPServer):
+    """Speaks enough RESP2 for LPOP/RPOP count, RPUSH/LPUSH, PUBLISH,
+    ZADD, SUBSCRIBE."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.lists: dict = {}
+        self.zsets: dict = {}
+        self.published: list = []
+        self.sub_ready = threading.Event()
+        self._sub_conns: list = []
+        super().__init__(("127.0.0.1", 0), _FakeRedisHandler)
+
+
+class _FakeRedisHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        srv = self.server
+        parser = RespParser()
+        subscribed = None
+        while True:
+            try:
+                data = self.request.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            parser.feed(data)
+            while True:
+                cmd = parser.next()
+                if cmd.__class__.__name__ == "_Incomplete":
+                    break
+                name = cmd[0].decode().upper()
+                if name in ("LPOP", "RPOP"):
+                    key = cmd[1].decode()
+                    n = int(cmd[2])
+                    lst = srv.lists.get(key, [])
+                    take = lst[:n] if name == "LPOP" else lst[-n:][::-1]
+                    srv.lists[key] = (
+                        lst[n:] if name == "LPOP"
+                        else lst[:-n] if n < len(lst) else []
+                    )
+                    if not take:
+                        self.request.sendall(b"*-1\r\n")
+                    else:
+                        out = [b"*%d\r\n" % len(take)]
+                        for it in take:
+                            out.append(b"$%d\r\n%s\r\n" % (len(it), it))
+                        self.request.sendall(b"".join(out))
+                elif name in ("RPUSH", "LPUSH"):
+                    key = cmd[1].decode()
+                    lst = srv.lists.setdefault(key, [])
+                    for it in cmd[2:]:
+                        if name == "RPUSH":
+                            lst.append(it)
+                        else:
+                            lst.insert(0, it)
+                    self.request.sendall(b":%d\r\n" % len(lst))
+                elif name == "PUBLISH":
+                    ch, payload = cmd[1], cmd[2]
+                    srv.published.append((ch.decode(), payload))
+                    n = 0
+                    for conn, sub_ch in srv._sub_conns:
+                        if sub_ch == ch.decode():
+                            conn.sendall(
+                                b"*3\r\n$7\r\nmessage\r\n"
+                                b"$%d\r\n%s\r\n$%d\r\n%s\r\n"
+                                % (len(ch), ch, len(payload), payload)
+                            )
+                            n += 1
+                    self.request.sendall(b":%d\r\n" % n)
+                elif name == "ZADD":
+                    key = cmd[1].decode()
+                    srv.zsets.setdefault(key, []).append(
+                        (float(cmd[2]), cmd[3])
+                    )
+                    self.request.sendall(b":1\r\n")
+                elif name == "SUBSCRIBE":
+                    subscribed = cmd[1].decode()
+                    srv._sub_conns.append((self.request, subscribed))
+                    ch = cmd[1]
+                    self.request.sendall(
+                        b"*3\r\n$9\r\nsubscribe\r\n$%d\r\n%s\r\n:1\r\n"
+                        % (len(ch), ch)
+                    )
+                    srv.sub_ready.set()
+                else:
+                    self.request.sendall(b"-ERR unknown\r\n")
+
+
+@pytest.fixture()
+def fake_redis():
+    srv = _FakeRedis()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, "127.0.0.1", srv.server_address[1]
+    srv.shutdown()
+
+
+def test_redis_list_source_lpop(spark, fake_redis):
+    srv, host, port = fake_redis
+    srv.lists["events"] = [b"a", b"b", b"c"]
+    df = redis_list_source(spark, host, port, "events")
+    rows = df.orderBy("seq").collect()
+    assert [r["message"] for r in rows] == ["a", "b", "c"]
+    assert rows[0]["redis_key"] == "events"
+    assert rows[0]["source_type"] == "redis"
+    assert srv.lists["events"] == []
+
+
+def test_redis_list_source_rpop_max(spark, fake_redis):
+    srv, host, port = fake_redis
+    srv.lists["k"] = [b"1", b"2", b"3", b"4"]
+    df = redis_list_source(spark, host, port, "k", method="rpop",
+                           max_events=2, batch_count=2)
+    assert [r["message"] for r in df.orderBy("seq").collect()] == [
+        "4", "3",
+    ]
+    assert srv.lists["k"] == [b"1", b"2"]
+
+
+def test_redis_sink_list_and_zset(spark, fake_redis):
+    srv, host, port = fake_redis
+    df = spark.createDataFrame(
+        [("m1", 1.0), ("m2", 2.0)], "message string, score double"
+    ).coalesce(1)
+    n = redis_sink(df, host, port, "out")
+    assert n == 2
+    assert sorted(srv.lists["out"]) == [b"m1", b"m2"]
+    n = redis_sink(df, host, port, "zs", data_type="sorted_set",
+                   score_col="score")
+    assert n == 2
+    assert sorted(srv.zsets["zs"]) == [(1.0, b"m1"), (2.0, b"m2")]
+
+
+def test_redis_pubsub_roundtrip(spark, fake_redis):
+    srv, host, port = fake_redis
+    result = {}
+
+    def consume():
+        result["df"] = redis_channel_source(
+            spark, host, port, "chan", max_events=2
+        )
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    pub = spark.createDataFrame([("x",), ("y",)], "message string") \
+        .coalesce(1)
+    redis_sink(pub, host, port, "chan", data_type="channel")
+    t.join(timeout=30)
+    assert not t.is_alive()
+    msgs = {r["message"] for r in result["df"].collect()}
+    assert msgs == {"x", "y"}
+    assert [c for c, _ in srv.published] == ["chan", "chan"]
+
+
+class _FakeNats(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.published: list = []
+        self.sub_ready = threading.Event()
+        self._subs: list = []
+        super().__init__(("127.0.0.1", 0), _FakeNatsHandler)
+
+
+class _FakeNatsHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        srv = self.server
+        self.request.sendall(
+            b'INFO {"server_id":"fake","version":"0"}\r\n'
+        )
+        buf = bytearray()
+        while True:
+            try:
+                data = self.request.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            buf.extend(data)
+            while True:
+                idx = buf.find(b"\r\n")
+                if idx < 0:
+                    break
+                line = bytes(buf[:idx])
+                del buf[:idx + 2]
+                if line.startswith(b"CONNECT"):
+                    continue
+                if line.startswith(b"SUB "):
+                    _, subj, sid = line.split(b" ")
+                    srv._subs.append((self.request, subj, sid))
+                    srv.sub_ready.set()
+                elif line.startswith(b"PUB "):
+                    _, subj, nbytes = line.split(b" ")
+                    n = int(nbytes)
+                    while len(buf) < n + 2:
+                        more = self.request.recv(65536)
+                        if not more:
+                            return
+                        buf.extend(more)
+                    payload = bytes(buf[:n])
+                    del buf[:n + 2]
+                    srv.published.append((subj.decode(), payload))
+                    for conn, ssubj, sid in srv._subs:
+                        if ssubj == subj:
+                            conn.sendall(
+                                b"MSG %s %s %d\r\n%s\r\n"
+                                % (subj, sid, n, payload)
+                            )
+
+
+@pytest.fixture()
+def fake_nats():
+    srv = _FakeNats()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, "127.0.0.1", srv.server_address[1]
+    srv.shutdown()
+
+
+def test_nats_roundtrip(spark, fake_nats):
+    srv, host, port = fake_nats
+    result = {}
+
+    def consume():
+        result["df"] = nats_source(spark, host, port, "logs.app",
+                                   max_events=3)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    df = spark.createDataFrame(
+        [("n1",), ("n2",), ("n3",)], "message string"
+    ).coalesce(1)
+    n = nats_sink(df, host, port, "logs.app")
+    assert n == 3
+    t.join(timeout=30)
+    assert not t.is_alive()
+    rows = result["df"].collect()
+    assert {r["message"] for r in rows} == {"n1", "n2", "n3"}
+    assert rows[0]["key"] == "logs.app"
+    assert rows[0]["source_type"] == "nats"
+    assert len(srv.published) == 3
+
+
+def test_nats_sink_json_encoding(spark, fake_nats):
+    srv, host, port = fake_nats
+    df = spark.createDataFrame([("hello", 1)], "message string, n int") \
+        .coalesce(1)
+    nats_sink(df, host, port, "j", encoding="json")
+    subj, payload = srv.published[0]
+    assert subj == "j"
+    assert json.loads(payload) == {"message": "hello", "n": 1}
+
+
+class _FakeMqtt(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.published: list = []
+        self.sub_ready = threading.Event()
+        self._subs: list = []
+        super().__init__(("127.0.0.1", 0), _FakeMqttHandler)
+
+
+class _FakeMqttHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        from vector_spark.sources_brokers import mqtt_encode_packet
+
+        srv = self.server
+        rest = b""
+        while True:
+            try:
+                data = self.request.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            rest += data
+            packets, rest = mqtt_decode_packets(rest)
+            for pkt in packets:
+                if pkt["type"] == 1:  # CONNECT → CONNACK accepted
+                    self.request.sendall(
+                        mqtt_encode_packet(2, 0, b"\x00\x00")
+                    )
+                elif pkt["type"] == 8:  # SUBSCRIBE → SUBACK qos0
+                    srv._subs.append((self.request, pkt["topic"]))
+                    self.request.sendall(mqtt_encode_packet(
+                        9, 0,
+                        pkt["packet_id"].to_bytes(2, "big") + b"\x00",
+                    ))
+                    srv.sub_ready.set()
+                elif pkt["type"] == 3:  # PUBLISH → fan out
+                    srv.published.append((pkt["topic"], pkt["payload"]))
+                    for conn, topic in srv._subs:
+                        if topic == pkt["topic"]:
+                            conn.sendall(mqtt_publish_packet(
+                                pkt["topic"], pkt["payload"]
+                            ))
+                elif pkt["type"] == 14:  # DISCONNECT
+                    return
+
+
+@pytest.fixture()
+def fake_mqtt():
+    srv = _FakeMqtt()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, "127.0.0.1", srv.server_address[1]
+    srv.shutdown()
+
+
+def test_mqtt_client_handshake(fake_mqtt):
+    _srv, host, port = fake_mqtt
+    c = MqttClient(host, port, "t1")
+    c.close()
+
+
+def test_mqtt_roundtrip(spark, fake_mqtt):
+    srv, host, port = fake_mqtt
+    result = {}
+
+    def consume():
+        result["df"] = mqtt_source(spark, host, port, "sensors/a",
+                                   max_events=2)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    df = spark.createDataFrame([("p1",), ("p2",)], "message string") \
+        .coalesce(1)
+    n = mqtt_sink(df, host, port, "sensors/a")
+    assert n == 2
+    t.join(timeout=30)
+    assert not t.is_alive()
+    rows = result["df"].collect()
+    assert {r["message"] for r in rows} == {"p1", "p2"}
+    assert rows[0]["key"] == "sensors/a"
+    assert len(srv.published) == 2
+
+
+def test_topology_redis_to_redis(spark, fake_redis):
+    """Config loader wires `type: redis` source and sink end-to-end:
+    drain one list, filter, push to another."""
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    srv, host, port = fake_redis
+    srv.lists["in"] = [b"keep-1", b"drop-2", b"keep-3"]
+    topo = load_topology(spark, f"""
+sources:
+  rin:
+    type: redis
+    url: redis://{host}:{port}
+    key: in
+transforms:
+  only_keep:
+    type: filter
+    inputs: [rin]
+    condition: "message LIKE 'keep%'"
+sinks:
+  rout:
+    type: redis
+    url: redis://{host}:{port}
+    key: out
+    inputs: [only_keep]
+""")
+    results = run_sinks(topo)
+    assert results["rout"]["sent"] == 2
+    assert sorted(srv.lists["out"]) == [b"keep-1", b"keep-3"]
+    assert srv.lists["in"] == []

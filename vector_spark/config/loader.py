@@ -477,6 +477,73 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+    if stype == "redis":
+        # reference src/sources/redis/mod.rs: url + key + data_type +
+        # list.method + redis_key. Batch model: list drains until empty
+        # (or max_events); channel needs max_events to bound the pull.
+        from urllib.parse import urlparse
+
+        from vector_spark.sources_brokers import (
+            redis_channel_source,
+            redis_list_source,
+        )
+
+        u = urlparse(cfg["url"]) if cfg.get("url") else None
+        host = (u.hostname if u else cfg.get("host")) or "localhost"
+        port = int(u.port if u and u.port else cfg.get("port", 6379))
+        rk = cfg.get("redis_key", "redis_key")
+        if cfg.get("data_type", "list") == "channel":
+            if "max_events" not in cfg:
+                raise TopologyError(
+                    f"source {name!r}: redis channel needs 'max_events'"
+                    " to bound the batch subscribe"
+                )
+            return redis_channel_source(
+                spark, host, port, cfg["key"],
+                max_events=int(cfg["max_events"]), redis_key_field=rk,
+            )
+        return redis_list_source(
+            spark, host, port, cfg["key"],
+            method=(cfg.get("list") or {}).get("method", "lpop"),
+            max_events=(
+                int(cfg["max_events"]) if "max_events" in cfg else None
+            ),
+            redis_key_field=rk,
+        )
+    if stype == "nats":
+        # reference src/sources/nats/config.rs: url + subject
+        from urllib.parse import urlparse
+
+        from vector_spark.sources_brokers import nats_source
+
+        u = urlparse(cfg["url"])
+        if "max_events" not in cfg:
+            raise TopologyError(
+                f"source {name!r}: nats needs 'max_events' to bound"
+                " the batch subscribe"
+            )
+        return nats_source(
+            spark, u.hostname or "localhost", int(u.port or 4222),
+            cfg["subject"], max_events=int(cfg["max_events"]),
+        )
+    if stype == "mqtt":
+        # reference src/sources/mqtt/config.rs: host/port/topic
+        from vector_spark.sources_brokers import mqtt_source
+
+        if "max_events" not in cfg:
+            raise TopologyError(
+                f"source {name!r}: mqtt needs 'max_events' to bound"
+                " the batch subscribe"
+            )
+        topic = cfg.get("topic", "vector")
+        if isinstance(topic, list):
+            topic = topic[0]
+        return mqtt_source(
+            spark, cfg.get("host", "localhost"),
+            int(cfg.get("port", 1883)), topic,
+            max_events=int(cfg["max_events"]),
+            client_id=cfg.get("client_id", "vector_spark_source"),
+        )
     if stype == "host_metrics":
         from vector_spark.sources_pull import host_metrics_source
 
@@ -953,6 +1020,53 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
 
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
+            }
+        elif stype == "redis":
+            # reference src/sinks/redis/config.rs: url + key + data_type
+            # (list rpush/lpush, channel, sorted_set)
+            from urllib.parse import urlparse
+
+            from vector_spark.sources_brokers import redis_sink
+
+            u = urlparse(cfg["url"]) if cfg.get("url") else None
+            results[name] = {
+                "sent": redis_sink(
+                    df,
+                    (u.hostname if u else cfg.get("host")) or "localhost",
+                    int(u.port if u and u.port else cfg.get("port", 6379)),
+                    cfg["key"],
+                    data_type=cfg.get("data_type", "list"),
+                    method=(cfg.get("list") or {}).get("method", "rpush"),
+                    score_col=cfg.get("score_col"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
+        elif stype == "nats":
+            from urllib.parse import urlparse
+
+            from vector_spark.sources_brokers import nats_sink
+
+            u = urlparse(cfg["url"])
+            results[name] = {
+                "sent": nats_sink(
+                    df, u.hostname or "localhost", int(u.port or 4222),
+                    cfg["subject"],
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
+        elif stype == "mqtt":
+            from vector_spark.sources_brokers import mqtt_sink
+
+            results[name] = {
+                "sent": mqtt_sink(
+                    df, cfg.get("host", "localhost"),
+                    int(cfg.get("port", 1883)), cfg.get("topic", "vector"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                    client_id=cfg.get("client_id", "vector_spark_sink"),
+                )
             }
         elif stype == "websocket":
             from vector_spark.sinks import websocket_sink

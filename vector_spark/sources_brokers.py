@@ -1,0 +1,682 @@
+"""Message-broker sources/sinks over their real wire protocols.
+
+The reference's broker families (src/sources/redis/, src/sinks/redis/,
+src/sources/nats.rs, src/sinks/nats/, src/sources/mqtt/, src/sinks/mqtt/)
+were documented non-goals while "live broker" implied a vendor client
+library. None of the three actually needs one: RESP (Redis), the NATS
+text protocol, and MQTT 3.1.1 packets are small, publicly specified wire
+formats. This module implements each codec from its public spec plus
+thin socket clients, so the sources/sinks speak to real brokers — and to
+the in-process fake brokers the tests run.
+
+Scale shape: sources are driver-side bounded pulls (one tiny socket per
+poll — the same shape as exec/http_client; a 1000-executor cluster would
+run many independent topologies, each with its own connection). Sinks
+use ``foreachPartition`` so every executor core holds its own broker
+connection and the DataFrame never funnels through the driver.
+
+Protocol references (public specs, no vendor code):
+- RESP2: https://redis.io/docs/reference/protocol-spec/
+- NATS:  https://docs.nats.io/reference/reference-protocols/nats-protocol
+- MQTT 3.1.1: OASIS standard, mqtt-v3.1.1-os.html
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "message string, key string, source_type string, seq long"
+)
+
+
+# ---- RESP (Redis Serialization Protocol, v2) ----------------------------
+
+
+def resp_encode_command(*args) -> bytes:
+    """Encode one command as a RESP array of bulk strings — the only
+    form clients send (protocol-spec 'Sending commands to a Redis
+    server')."""
+    out = [b"*%d\r\n" % len(args)]
+    for a in args:
+        b = a if isinstance(a, bytes) else str(a).encode("utf-8")
+        out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+    return b"".join(out)
+
+
+class RespParser:
+    """Incremental RESP2 reply parser: feed() bytes, next() replies.
+
+    Replies decode to: str (+simple), RespError (-error), int (:),
+    bytes/None ($bulk / $-1), list (*array / *-1 → None). Pub/sub
+    pushes arrive as plain arrays in RESP2, so one parser covers both
+    request/reply and subscribe mode."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+
+    def feed(self, data: bytes) -> None:
+        self._buf.extend(data)
+
+    def _read_line(self, pos: int):
+        idx = self._buf.find(b"\r\n", pos)
+        if idx < 0:
+            return None, pos
+        return bytes(self._buf[pos:idx]), idx + 2
+
+    def _parse(self, pos: int):
+        line, npos = self._read_line(pos)
+        if line is None:
+            return _INCOMPLETE, pos
+        kind, rest = line[:1], line[1:]
+        if kind == b"+":
+            return rest.decode("utf-8"), npos
+        if kind == b"-":
+            return RespError(rest.decode("utf-8")), npos
+        if kind == b":":
+            return int(rest), npos
+        if kind == b"$":
+            n = int(rest)
+            if n == -1:
+                return None, npos
+            if len(self._buf) < npos + n + 2:
+                return _INCOMPLETE, pos
+            return bytes(self._buf[npos:npos + n]), npos + n + 2
+        if kind == b"*":
+            n = int(rest)
+            if n == -1:
+                return None, npos
+            items = []
+            for _ in range(n):
+                item, npos2 = self._parse(npos)
+                if item is _INCOMPLETE:
+                    return _INCOMPLETE, pos
+                items.append(item)
+                npos = npos2
+            return items, npos
+        raise ValueError(f"bad RESP type byte: {kind!r}")
+
+    def next(self):
+        """One complete reply, or _INCOMPLETE if more bytes are needed."""
+        reply, pos = self._parse(0)
+        if reply is not _INCOMPLETE:
+            del self._buf[:pos]
+        return reply
+
+
+class RespError(Exception):
+    pass
+
+
+class _Incomplete:
+    __slots__ = ()
+
+
+_INCOMPLETE = _Incomplete()
+
+
+class RedisClient:
+    """Minimal socket Redis client (command/reply + subscribe loop)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.parser = RespParser()
+
+    def _recv_reply(self):
+        while True:
+            reply = self.parser.next()
+            if reply is not _INCOMPLETE:
+                if isinstance(reply, RespError):
+                    raise reply
+                return reply
+            data = self.sock.recv(65536)
+            if not data:
+                raise ConnectionError("redis connection closed")
+            self.parser.feed(data)
+
+    def command(self, *args):
+        self.sock.sendall(resp_encode_command(*args))
+        return self._recv_reply()
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def redis_list_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    key: str,
+    method: str = "lpop",
+    max_events: int | None = None,
+    batch_count: int = 128,
+    redis_key_field: str = "redis_key",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """Drain a Redis list into a DataFrame (reference
+    src/sources/redis/list.rs): ``lpop`` pops from the head, ``rpop``
+    from the tail, until the list is empty or ``max_events``. Pops in
+    ``COUNT``-batches (one round-trip per 128 messages, not per
+    message). Each event carries the key under ``redis_key_field``
+    (src/sources/redis/mod.rs:110-118)."""
+    if method not in ("lpop", "rpop"):
+        raise ValueError("method must be lpop or rpop")
+    client = RedisClient(host, port, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        while max_events is None or len(rows) < max_events:
+            want = batch_count
+            if max_events is not None:
+                want = min(want, max_events - len(rows))
+            batch = client.command(method.upper(), key, want)
+            if not batch:
+                break
+            for item in batch:
+                text = item.decode("utf-8", errors="replace")
+                rows.append((text, key, "redis", len(rows)))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumnRenamed(
+        "key", redis_key_field
+    ).withColumn("ts", F.current_timestamp())
+
+
+def redis_channel_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    channel: str,
+    max_events: int,
+    redis_key_field: str = "redis_key",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """SUBSCRIBE to a channel and collect ``max_events`` messages
+    (reference src/sources/redis/channel.rs). RESP2 delivers pub/sub
+    pushes as 3-element arrays ['message', channel, payload]; the
+    initial ['subscribe', ch, n] confirmation is skipped."""
+    client = RedisClient(host, port, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        client.sock.sendall(resp_encode_command("SUBSCRIBE", channel))
+        while len(rows) < max_events:
+            push = client._recv_reply()
+            if not isinstance(push, list) or not push:
+                continue
+            kind = push[0]
+            kind = kind.decode() if isinstance(kind, bytes) else str(kind)
+            if kind != "message":
+                continue
+            payload = push[2]
+            text = (
+                payload.decode("utf-8", errors="replace")
+                if isinstance(payload, bytes) else str(payload)
+            )
+            rows.append((text, channel, "redis", len(rows)))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumnRenamed(
+        "key", redis_key_field
+    ).withColumn("ts", F.current_timestamp())
+
+
+def redis_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    key: str,
+    data_type: str = "list",
+    method: str = "rpush",
+    score_col: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    timeout_secs: float = 10.0,
+) -> int:
+    """Push a DataFrame to Redis (reference src/sinks/redis/config.rs):
+    ``list`` with rpush/lpush (rpush appends at the tail — the default,
+    config.rs:63), ``channel`` PUBLISH, or ``sorted_set`` ZADD with the
+    score taken from ``score_col``. One connection per partition
+    (foreachPartition), commands pipelined per partition and the replies
+    drained once — no per-row round trips. Returns the row count."""
+    if data_type not in ("list", "channel", "sorted_set"):
+        raise ValueError(f"bad data_type: {data_type}")
+    if data_type == "list" and method not in ("rpush", "lpush"):
+        raise ValueError(f"bad list method: {method}")
+    if data_type == "sorted_set" and not score_col:
+        raise ValueError("sorted_set needs score_col")
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    cols = [payload.alias("_payload")]
+    if score_col:
+        cols.append(F.col(score_col).cast("double").alias("_score"))
+    out = df.select(*cols)
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        client = None
+        sent = 0
+        try:
+            for row in rows:
+                if client is None:
+                    client = RedisClient(host, port, timeout_secs)
+                if data_type == "list":
+                    cmd = resp_encode_command(
+                        method.upper(), key, row["_payload"]
+                    )
+                elif data_type == "channel":
+                    cmd = resp_encode_command("PUBLISH", key,
+                                              row["_payload"])
+                else:
+                    cmd = resp_encode_command(
+                        "ZADD", key, row["_score"], row["_payload"]
+                    )
+                client.sock.sendall(cmd)
+                sent += 1
+            if client is not None:
+                for _ in range(sent):
+                    client._recv_reply()
+        finally:
+            if client is not None:
+                client.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
+
+
+# ---- NATS text protocol -------------------------------------------------
+
+
+class NatsClient:
+    """Minimal NATS client (CONNECT / PUB / SUB / MSG / PING-PONG) over
+    the documented text protocol."""
+
+    def __init__(self, host: str, port: int, timeout: float = 10.0,
+                 name: str = "vector_spark"):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = bytearray()
+        info = self._read_line()  # server greets with INFO {...}
+        if not info.startswith(b"INFO "):
+            raise ConnectionError(f"not a NATS server: {info[:40]!r}")
+        self.server_info = json.loads(info[5:])
+        self.sock.sendall(
+            b"CONNECT "
+            + json.dumps({"verbose": False, "name": name}).encode()
+            + b"\r\n"
+        )
+
+    def _fill(self) -> None:
+        data = self.sock.recv(65536)
+        if not data:
+            raise ConnectionError("nats connection closed")
+        self._buf.extend(data)
+
+    def _read_line(self) -> bytes:
+        while True:
+            idx = self._buf.find(b"\r\n")
+            if idx >= 0:
+                line = bytes(self._buf[:idx])
+                del self._buf[:idx + 2]
+                return line
+            self._fill()
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n + 2:  # payload + trailing \r\n
+            self._fill()
+        data = bytes(self._buf[:n])
+        del self._buf[:n + 2]
+        return data
+
+    def publish(self, subject: str, payload: bytes) -> None:
+        self.sock.sendall(
+            b"PUB %s %d\r\n%s\r\n"
+            % (subject.encode(), len(payload), payload)
+        )
+
+    def subscribe(self, subject: str, sid: str = "1") -> None:
+        self.sock.sendall(b"SUB %s %s\r\n" % (subject.encode(),
+                                              sid.encode()))
+
+    def next_msg(self):
+        """(subject, sid, reply_to, payload) from the next MSG; answers
+        PING transparently."""
+        while True:
+            line = self._read_line()
+            if line.startswith(b"MSG "):
+                parts = line.split(b" ")
+                # MSG <subject> <sid> [reply-to] <#bytes>
+                subject, sid = parts[1], parts[2]
+                reply = parts[3] if len(parts) == 5 else None
+                nbytes = int(parts[-1])
+                payload = self._read_exact(nbytes)
+                return (subject.decode(), sid.decode(),
+                        reply.decode() if reply else None, payload)
+            if line == b"PING":
+                self.sock.sendall(b"PONG\r\n")
+            # +OK / INFO updates are ignored
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def nats_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    subject: str,
+    max_events: int,
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """SUB a subject and collect ``max_events`` messages (reference
+    src/sources/nats.rs; the subject lands in the ``key`` column like
+    the reference's subject_key_field)."""
+    client = NatsClient(host, port, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        client.subscribe(subject)
+        while len(rows) < max_events:
+            subj, _sid, _reply, payload = client.next_msg()
+            rows.append((payload.decode("utf-8", errors="replace"),
+                         subj, "nats", len(rows)))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumn(
+        "ts", F.current_timestamp()
+    )
+
+
+def nats_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    subject: str,
+    value_col: str = "message",
+    encoding: str = "text",
+    timeout_secs: float = 10.0,
+) -> int:
+    """PUB each row to a subject (reference src/sinks/nats/). One
+    connection per partition; PUBs are streamed without per-message
+    acks (NATS is fire-and-forget at the protocol level, like the
+    reference's non-confirmed mode)."""
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        client = None
+        sent = 0
+        try:
+            for row in rows:
+                if client is None:
+                    client = NatsClient(host, port, timeout_secs)
+                client.publish(subject, row["_payload"].encode("utf-8"))
+                sent += 1
+        finally:
+            if client is not None:
+                client.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
+
+
+# ---- MQTT 3.1.1 packets -------------------------------------------------
+
+_MQTT_CONNECT, _MQTT_CONNACK = 1, 2
+_MQTT_PUBLISH, _MQTT_SUBSCRIBE, _MQTT_SUBACK = 3, 8, 9
+_MQTT_PINGREQ, _MQTT_PINGRESP, _MQTT_DISCONNECT = 12, 13, 14
+
+
+def _mqtt_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return len(b).to_bytes(2, "big") + b
+
+
+def _mqtt_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = n % 128
+        n //= 128
+        out.append(byte | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def mqtt_encode_packet(ptype: int, flags: int, payload: bytes) -> bytes:
+    """Fixed header (type<<4 | flags, remaining-length varint) + body —
+    MQTT 3.1.1 §2.2."""
+    return bytes([(ptype << 4) | flags]) + _mqtt_varint(len(payload)) \
+        + payload
+
+
+def mqtt_connect_packet(client_id: str, keep_alive: int = 60) -> bytes:
+    body = (
+        _mqtt_string("MQTT") + bytes([4])  # protocol level 4 = 3.1.1
+        + bytes([0x02])                    # clean session
+        + keep_alive.to_bytes(2, "big")
+        + _mqtt_string(client_id)
+    )
+    return mqtt_encode_packet(_MQTT_CONNECT, 0, body)
+
+
+def mqtt_publish_packet(topic: str, payload: bytes, qos: int = 0,
+                        packet_id: int = 1, retain: bool = False) -> bytes:
+    flags = (qos << 1) | (1 if retain else 0)
+    body = _mqtt_string(topic)
+    if qos > 0:
+        body += packet_id.to_bytes(2, "big")
+    return mqtt_encode_packet(_MQTT_PUBLISH, flags, body + payload)
+
+
+def mqtt_subscribe_packet(topic: str, qos: int = 0,
+                          packet_id: int = 1) -> bytes:
+    body = packet_id.to_bytes(2, "big") + _mqtt_string(topic) + bytes([qos])
+    return mqtt_encode_packet(_MQTT_SUBSCRIBE, 0b0010, body)
+
+
+def mqtt_decode_packets(data: bytes) -> tuple[list, bytes]:
+    """Split a byte stream into decoded packets + unconsumed remainder.
+
+    Each packet decodes to a dict with ``type`` and type-specific
+    fields; PUBLISH yields topic/qos/retain/payload (and packet_id for
+    qos>0) — the subset the source/sink conversation uses."""
+    packets: list[dict] = []
+    pos = 0
+    while pos < len(data):
+        if pos + 2 > len(data):
+            break
+        first = data[pos]
+        # remaining-length varint (max 4 bytes)
+        rl, shift, vpos = 0, 0, pos + 1
+        while True:
+            if vpos >= len(data):
+                return packets, data[pos:]
+            byte = data[vpos]
+            rl |= (byte & 0x7F) << shift
+            vpos += 1
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 21:
+                raise ValueError("malformed MQTT remaining length")
+        if vpos + rl > len(data):
+            return packets, data[pos:]
+        body = data[vpos:vpos + rl]
+        ptype, flags = first >> 4, first & 0x0F
+        pkt: dict = {"type": ptype}
+        if ptype == _MQTT_PUBLISH:
+            tlen = int.from_bytes(body[:2], "big")
+            pkt["topic"] = body[2:2 + tlen].decode("utf-8")
+            qos = (flags >> 1) & 0x03
+            pkt["qos"], pkt["retain"] = qos, bool(flags & 1)
+            off = 2 + tlen
+            if qos > 0:
+                pkt["packet_id"] = int.from_bytes(body[off:off + 2], "big")
+                off += 2
+            pkt["payload"] = body[off:]
+        elif ptype == _MQTT_CONNACK:
+            pkt["session_present"] = bool(body[0] & 1)
+            pkt["return_code"] = body[1]
+        elif ptype == _MQTT_SUBACK:
+            pkt["packet_id"] = int.from_bytes(body[:2], "big")
+            pkt["return_codes"] = list(body[2:])
+        elif ptype == _MQTT_CONNECT:
+            plen = int.from_bytes(body[:2], "big")
+            off = 2 + plen + 1 + 1 + 2  # name, level, flags, keepalive
+            pkt["protocol_name"] = body[2:2 + plen].decode()
+            pkt["protocol_level"] = body[2 + plen]
+            cid_len = int.from_bytes(body[off:off + 2], "big")
+            pkt["client_id"] = body[off + 2:off + 2 + cid_len].decode()
+        elif ptype == _MQTT_SUBSCRIBE:
+            pkt["packet_id"] = int.from_bytes(body[:2], "big")
+            tlen = int.from_bytes(body[2:4], "big")
+            pkt["topic"] = body[4:4 + tlen].decode("utf-8")
+            pkt["qos"] = body[4 + tlen]
+        packets.append(pkt)
+        pos = vpos + rl
+    return packets, data[pos:]
+
+
+class MqttClient:
+    """Minimal MQTT 3.1.1 client: CONNECT/CONNACK handshake, QoS-0
+    publish, subscribe + packet pump."""
+
+    def __init__(self, host: str, port: int, client_id: str,
+                 timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._rest = b""
+        self._queue: list[dict] = []
+        self.sock.sendall(mqtt_connect_packet(client_id))
+        ack = self._next_packet()
+        if ack["type"] != _MQTT_CONNACK or ack["return_code"] != 0:
+            raise ConnectionError(f"MQTT connect refused: {ack}")
+
+    def _next_packet(self) -> dict:
+        while not self._queue:
+            packets, self._rest = mqtt_decode_packets(self._rest)
+            if packets:
+                self._queue.extend(packets)
+                break
+            data = self.sock.recv(65536)
+            if not data:
+                raise ConnectionError("mqtt connection closed")
+            self._rest += data
+        return self._queue.pop(0)
+
+    def publish(self, topic: str, payload: bytes) -> None:
+        self.sock.sendall(mqtt_publish_packet(topic, payload))
+
+    def subscribe(self, topic: str) -> None:
+        self.sock.sendall(mqtt_subscribe_packet(topic))
+        held = []  # packets that raced ahead of the SUBACK
+        while True:
+            pkt = self._next_packet()
+            if pkt["type"] == _MQTT_SUBACK:
+                if pkt["return_codes"] and pkt["return_codes"][0] >= 0x80:
+                    raise ConnectionError("MQTT subscription rejected")
+                self._queue[:0] = held
+                return
+            held.append(pkt)
+
+    def next_publish(self) -> dict:
+        while True:
+            pkt = self._next_packet()
+            if pkt["type"] == _MQTT_PUBLISH:
+                return pkt
+            if pkt["type"] == _MQTT_PINGREQ:
+                self.sock.sendall(
+                    mqtt_encode_packet(_MQTT_PINGRESP, 0, b"")
+                )
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(mqtt_encode_packet(_MQTT_DISCONNECT, 0, b""))
+        except OSError:
+            pass
+        self.sock.close()
+
+
+def mqtt_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    topic: str,
+    max_events: int,
+    client_id: str = "vector_spark_source",
+    timeout_secs: float = 10.0,
+    qos: int = 0,
+) -> DataFrame:
+    """Subscribe to a topic and collect ``max_events`` QoS-0 publishes
+    (reference src/sources/mqtt/; the topic lands in ``key`` like the
+    reference's topic field). QoS 1/2 need PUBACK/PUBREC session state
+    that this at-most-once client deliberately omits — loud error, not
+    silent downgrade."""
+    if qos != 0:
+        raise ValueError("mqtt_source supports QoS 0 only")
+    client = MqttClient(host, port, client_id, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        client.subscribe(topic)
+        while len(rows) < max_events:
+            pkt = client.next_publish()
+            rows.append((
+                pkt["payload"].decode("utf-8", errors="replace"),
+                pkt["topic"], "mqtt", len(rows),
+            ))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumn(
+        "ts", F.current_timestamp()
+    )
+
+
+def mqtt_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    topic: str,
+    value_col: str = "message",
+    encoding: str = "text",
+    client_id: str = "vector_spark_sink",
+    timeout_secs: float = 10.0,
+    qos: int = 0,
+) -> int:
+    """PUBLISH each row at QoS 0 (reference src/sinks/mqtt/). One
+    CONNECT per partition, publishes streamed. QoS 1/2 rejected loudly
+    (see mqtt_source)."""
+    if qos != 0:
+        raise ValueError("mqtt_sink supports QoS 0 only")
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        client = None
+        sent = 0
+        try:
+            for row in rows:
+                if client is None:
+                    client = MqttClient(
+                        host, port, f"{client_id}_p", timeout_secs
+                    )
+                client.publish(topic, row["_payload"].encode("utf-8"))
+                sent += 1
+        finally:
+            if client is not None:
+                client.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
