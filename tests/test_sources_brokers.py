@@ -465,3 +465,214 @@ sinks:
     assert results["rout"]["sent"] == 2
     assert sorted(srv.lists["out"]) == [b"keep-1", b"keep-3"]
     assert srv.lists["in"] == []
+
+
+# ---- AMQP ---------------------------------------------------------------
+
+from vector_spark.sources_brokers import (  # noqa: E402
+    AmqpClient,
+    amqp_decode_frames,
+    amqp_encode_frame,
+    amqp_method_payload,
+    amqp_parse_method,
+    amqp_sink,
+    amqp_source,
+)
+
+
+def test_amqp_frame_roundtrip():
+    f = amqp_encode_frame(1, 3, amqp_method_payload(60, 40, b"\x00\x01"))
+    frames, rest = amqp_decode_frames(f + f[:4])
+    assert rest == f[:4]
+    ftype, channel, payload = frames[0]
+    assert (ftype, channel) == (1, 3)
+    assert amqp_parse_method(payload) == (60, 40, b"\x00\x01")
+
+
+def test_amqp_frame_end_octet_enforced():
+    f = bytearray(amqp_encode_frame(1, 0, b"\x00\x0a\x00\x0a"))
+    f[-1] = 0x00
+    with pytest.raises(ValueError, match="frame-end"):
+        amqp_decode_frames(bytes(f))
+
+
+class _FakeAmqp(socketserver.ThreadingTCPServer):
+    """Speaks the 0-9-1 handshake plus queue.declare / basic.get /
+    basic.publish, storing messages per queue. basic.publish routes by
+    routing_key == queue name (default-exchange semantics)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.queues: dict = {}
+        self.auth_seen: list = []
+        super().__init__(("127.0.0.1", 0), _FakeAmqpHandler)
+
+
+class _FakeAmqpHandler(socketserver.BaseRequestHandler):
+    def _send_method(self, channel, payload):
+        self.request.sendall(amqp_encode_frame(1, channel, payload))
+
+    def handle(self):
+        from vector_spark.sources_brokers import (
+            _amqp_longstr,
+            _amqp_shortstr,
+        )
+
+        srv = self.server
+        hdr = self.request.recv(8)
+        if hdr != b"AMQP\x00\x00\x09\x01":
+            return
+        self._send_method(0, amqp_method_payload(
+            10, 10, b"\x00\x09",            # version-major/minor
+            _amqp_longstr(b""),             # server-properties {}
+            _amqp_longstr(b"PLAIN"), _amqp_longstr(b"en_US"),
+        ))
+        rest = b""
+        pending_publish = None  # (exchange, routing_key) awaiting content
+        body_size = None
+        while True:
+            try:
+                data = self.request.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            rest += data
+            frames, rest = amqp_decode_frames(rest)
+            for ftype, _ch, payload in frames:
+                if ftype == 2 and pending_publish:       # content header
+                    body_size = int.from_bytes(payload[4:12], "big")
+                    if body_size == 0:
+                        self._store(pending_publish, b"")
+                        pending_publish = None
+                    continue
+                if ftype == 3 and pending_publish:       # content body
+                    self._store(pending_publish, payload)
+                    pending_publish = None
+                    continue
+                if ftype != 1:
+                    continue
+                cls, mid, args = amqp_parse_method(payload)
+                if (cls, mid) == (10, 11):               # start-ok
+                    # client-props longstr, mechanism shortstr, response
+                    pos = 4 + int.from_bytes(args[:4], "big")
+                    mlen = args[pos]
+                    pos += 1 + mlen
+                    rlen = int.from_bytes(args[pos:pos + 4], "big")
+                    srv.auth_seen.append(args[pos + 4:pos + 4 + rlen])
+                    self._send_method(0, amqp_method_payload(
+                        10, 30, b"\x07\xff",
+                        (131072).to_bytes(4, "big"), b"\x00\x00",
+                    ))                                   # connection.tune
+                elif (cls, mid) == (10, 40):             # connection.open
+                    self._send_method(0, amqp_method_payload(
+                        10, 41, _amqp_shortstr("")
+                    ))
+                elif (cls, mid) == (20, 10):             # channel.open
+                    self._send_method(1, amqp_method_payload(
+                        20, 11, _amqp_longstr(b"")
+                    ))
+                elif (cls, mid) == (50, 10):             # queue.declare
+                    qlen = args[2]
+                    q = args[3:3 + qlen].decode()
+                    srv.queues.setdefault(q, [])
+                    self._send_method(1, amqp_method_payload(
+                        50, 11, _amqp_shortstr(q),
+                        (0).to_bytes(4, "big"), (0).to_bytes(4, "big"),
+                    ))
+                elif (cls, mid) == (60, 70):             # basic.get
+                    qlen = args[2]
+                    q = args[3:3 + qlen].decode()
+                    msgs = srv.queues.get(q, [])
+                    if not msgs:
+                        self._send_method(1, amqp_method_payload(
+                            60, 72, _amqp_shortstr("")
+                        ))
+                    else:
+                        body = msgs.pop(0)
+                        self._send_method(1, amqp_method_payload(
+                            60, 71,
+                            (1).to_bytes(8, "big"), b"\x00",  # tag, redeliv
+                            _amqp_shortstr(""),               # exchange
+                            _amqp_shortstr(q),                # routing key
+                            (len(msgs)).to_bytes(4, "big"),   # message-count
+                        ))
+                        header = ((60).to_bytes(2, "big") + b"\x00\x00"
+                                  + len(body).to_bytes(8, "big")
+                                  + b"\x00\x00")
+                        self.request.sendall(
+                            amqp_encode_frame(2, 1, header)
+                            + amqp_encode_frame(3, 1, body)
+                        )
+                elif (cls, mid) == (60, 40):             # basic.publish
+                    elen = args[2]
+                    exchange = args[3:3 + elen].decode()
+                    pos = 3 + elen
+                    rlen = args[pos]
+                    rk = args[pos + 1:pos + 1 + rlen].decode()
+                    pending_publish = (exchange, rk)
+
+    def _store(self, pub, body):
+        _exchange, rk = pub
+        self.server.queues.setdefault(rk, []).append(body)
+
+
+@pytest.fixture()
+def fake_amqp():
+    srv = _FakeAmqp()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, "127.0.0.1", srv.server_address[1]
+    srv.shutdown()
+
+
+def test_amqp_client_handshake_and_declare(fake_amqp):
+    srv, host, port = fake_amqp
+    c = AmqpClient(host, port, user="u", password="p")
+    c.queue_declare("q1")
+    c.close()
+    assert "q1" in srv.queues
+    assert srv.auth_seen == [b"\x00u\x00p"]
+
+
+def test_amqp_source_drains_queue(spark, fake_amqp):
+    srv, host, port = fake_amqp
+    srv.queues["logs"] = [b"e1", b"e2", b"e3"]
+    df = amqp_source(spark, host, port, "logs")
+    rows = df.orderBy("seq").collect()
+    assert [r["message"] for r in rows] == ["e1", "e2", "e3"]
+    assert rows[0]["routing_key"] == "logs"
+    assert rows[0]["source_type"] == "amqp"
+    assert srv.queues["logs"] == []
+
+
+def test_amqp_sink_publishes(spark, fake_amqp):
+    srv, host, port = fake_amqp
+    df = spark.createDataFrame([("m1",), ("m2",)], "message string") \
+        .coalesce(1)
+    n = amqp_sink(df, host, port, exchange="", routing_key="out")
+    assert n == 2
+    assert sorted(srv.queues["out"]) == [b"m1", b"m2"]
+
+
+def test_amqp_roundtrip_via_topology(spark, fake_amqp):
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    srv, host, port = fake_amqp
+    srv.queues["in"] = [b"x-1", b"y-2"]
+    topo = load_topology(spark, f"""
+sources:
+  ain: {{type: amqp, host: {host}, port: {port}, queue: in}}
+sinks:
+  aout:
+    type: amqp
+    host: {host}
+    port: {port}
+    exchange: ""
+    routing_key: out
+    inputs: [ain]
+""")
+    results = run_sinks(topo)
+    assert results["aout"]["sent"] == 2
+    assert sorted(srv.queues["out"]) == [b"x-1", b"y-2"]

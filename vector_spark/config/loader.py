@@ -544,6 +544,22 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             max_events=int(cfg["max_events"]),
             client_id=cfg.get("client_id", "vector_spark_source"),
         )
+    if stype == "amqp":
+        # reference src/sources/amqp.rs: connection + queue +
+        # routing_key_field
+        from vector_spark.sources_brokers import amqp_source
+
+        return amqp_source(
+            spark, cfg.get("host", "localhost"),
+            int(cfg.get("port", 5672)), cfg.get("queue", "vector"),
+            max_events=(
+                int(cfg["max_events"]) if "max_events" in cfg else None
+            ),
+            routing_key_field=cfg.get("routing_key_field", "routing_key"),
+            user=cfg.get("user", "guest"),
+            password=cfg.get("password", "guest"),
+            vhost=cfg.get("vhost", "/"),
+        )
     if stype == "host_metrics":
         from vector_spark.sources_pull import host_metrics_source
 
@@ -1054,6 +1070,23 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     cfg["subject"],
                     value_col=cfg.get("value_col", "message"),
                     encoding=cfg.get("encoding", "text"),
+                )
+            }
+        elif stype == "amqp":
+            # reference src/sinks/amqp/config.rs: exchange + routing_key
+            from vector_spark.sources_brokers import amqp_sink
+
+            results[name] = {
+                "sent": amqp_sink(
+                    df, cfg.get("host", "localhost"),
+                    int(cfg.get("port", 5672)),
+                    exchange=cfg.get("exchange", "vector"),
+                    routing_key=cfg.get("routing_key", ""),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                    user=cfg.get("user", "guest"),
+                    password=cfg.get("password", "guest"),
+                    vhost=cfg.get("vhost", "/"),
                 )
             }
         elif stype == "mqtt":

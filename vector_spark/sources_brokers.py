@@ -680,3 +680,262 @@ def mqtt_sink(
 
     out.foreachPartition(push_partition)
     return counter.value
+
+
+# ---- AMQP 0-9-1 ---------------------------------------------------------
+# Public spec: https://www.rabbitmq.com/resources/specs/amqp0-9-1.pdf
+# Frame = type(1) channel(2) size(4) payload size-bytes 0xCE. Method
+# payload = class-id(2) method-id(2) args. Only the small slice the
+# source/sink conversation needs is implemented: PLAIN auth handshake,
+# channel.open, queue.declare, basic.get (bounded pull — no consumer
+# session to manage) and basic.publish with a minimal content header.
+
+_AMQP_FRAME_METHOD, _AMQP_FRAME_HEADER, _AMQP_FRAME_BODY = 1, 2, 3
+_AMQP_FRAME_END = 0xCE
+
+
+def amqp_encode_frame(ftype: int, channel: int, payload: bytes) -> bytes:
+    return (
+        bytes([ftype]) + channel.to_bytes(2, "big")
+        + len(payload).to_bytes(4, "big") + payload
+        + bytes([_AMQP_FRAME_END])
+    )
+
+
+def _amqp_shortstr(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if len(b) > 255:
+        raise ValueError("shortstr too long")
+    return bytes([len(b)]) + b
+
+
+def _amqp_longstr(b: bytes) -> bytes:
+    return len(b).to_bytes(4, "big") + b
+
+
+def amqp_method_payload(class_id: int, method_id: int,
+                        *parts: bytes) -> bytes:
+    return class_id.to_bytes(2, "big") + method_id.to_bytes(2, "big") \
+        + b"".join(parts)
+
+
+def amqp_decode_frames(data: bytes) -> tuple[list, bytes]:
+    """Byte stream → [(ftype, channel, payload)] + unconsumed tail."""
+    frames = []
+    pos = 0
+    while pos + 8 <= len(data):
+        ftype = data[pos]
+        channel = int.from_bytes(data[pos + 1:pos + 3], "big")
+        size = int.from_bytes(data[pos + 3:pos + 7], "big")
+        end = pos + 7 + size
+        if end + 1 > len(data):
+            break
+        if data[end] != _AMQP_FRAME_END:
+            raise ValueError("missing AMQP frame-end octet")
+        frames.append((ftype, channel, bytes(data[pos + 7:end])))
+        pos = end + 1
+    return frames, data[pos:]
+
+
+def amqp_parse_method(payload: bytes) -> tuple[int, int, bytes]:
+    return (int.from_bytes(payload[:2], "big"),
+            int.from_bytes(payload[2:4], "big"), payload[4:])
+
+
+class AmqpClient:
+    """Minimal AMQP 0-9-1 client: protocol header, PLAIN auth, tune,
+    connection+channel open; then basic.get / basic.publish."""
+
+    def __init__(self, host: str, port: int, user: str = "guest",
+                 password: str = "guest", vhost: str = "/",
+                 timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._rest = b""
+        self._frames: list = []
+        self.sock.sendall(b"AMQP\x00\x00\x09\x01")
+        cls, mid, _ = self._expect_method()          # connection.start
+        if (cls, mid) != (10, 10):
+            raise ConnectionError(f"expected connection.start, got "
+                                  f"{cls}.{mid}")
+        sasl = b"\x00" + user.encode() + b"\x00" + password.encode()
+        self._send_method(0, amqp_method_payload(
+            10, 11,                                   # connection.start-ok
+            _amqp_longstr(b""),                       # client-properties {}
+            _amqp_shortstr("PLAIN"),
+            _amqp_longstr(sasl),
+            _amqp_shortstr("en_US"),
+        ))
+        cls, mid, args = self._expect_method()        # connection.tune
+        if (cls, mid) != (10, 30):
+            raise ConnectionError("expected connection.tune")
+        self._send_method(0, amqp_method_payload(
+            10, 31, args[:2], args[2:6], args[6:8],   # echo channel-max,
+        ))                                            # frame-max, heartbeat
+        self.frame_max = int.from_bytes(args[2:6], "big") or 131072
+        self._send_method(0, amqp_method_payload(
+            10, 40, _amqp_shortstr(vhost), _amqp_shortstr(""), b"\x00",
+        ))                                            # connection.open
+        cls, mid, _ = self._expect_method()
+        if (cls, mid) != (10, 41):
+            raise ConnectionError("expected connection.open-ok")
+        self._send_method(1, amqp_method_payload(20, 10,
+                                                 _amqp_shortstr("")))
+        cls, mid, _ = self._expect_method()           # channel.open-ok
+        if (cls, mid) != (20, 11):
+            raise ConnectionError("expected channel.open-ok")
+
+    def _send_method(self, channel: int, payload: bytes) -> None:
+        self.sock.sendall(
+            amqp_encode_frame(_AMQP_FRAME_METHOD, channel, payload)
+        )
+
+    def _next_frame(self):
+        while not self._frames:
+            data = self.sock.recv(65536)
+            if not data:
+                raise ConnectionError("amqp connection closed")
+            self._rest += data
+            frames, self._rest = amqp_decode_frames(self._rest)
+            self._frames.extend(frames)
+        return self._frames.pop(0)
+
+    def _expect_method(self):
+        ftype, _ch, payload = self._next_frame()
+        if ftype != _AMQP_FRAME_METHOD:
+            raise ConnectionError(f"expected method frame, got {ftype}")
+        return amqp_parse_method(payload)
+
+    def queue_declare(self, queue: str) -> None:
+        self._send_method(1, amqp_method_payload(
+            50, 10, b"\x00\x00", _amqp_shortstr(queue),
+            b"\x00",                       # passive/durable/... bits off
+            _amqp_longstr(b""),            # arguments {}
+        ))
+        cls, mid, _ = self._expect_method()
+        if (cls, mid) != (50, 11):
+            raise ConnectionError("expected queue.declare-ok")
+
+    def basic_get(self, queue: str):
+        """(routing_key, exchange, body) or None when the queue is
+        empty (basic.get-empty)."""
+        self._send_method(1, amqp_method_payload(
+            60, 70, b"\x00\x00", _amqp_shortstr(queue), b"\x01",  # no-ack
+        ))
+        cls, mid, args = self._expect_method()
+        if (cls, mid) == (60, 72):                    # basic.get-empty
+            return None
+        if (cls, mid) != (60, 71):                    # basic.get-ok
+            raise ConnectionError(f"expected get-ok, got {cls}.{mid}")
+        pos = 8 + 1                                   # delivery-tag + bit
+        elen = args[pos]
+        exchange = args[pos + 1:pos + 1 + elen].decode()
+        pos += 1 + elen
+        rlen = args[pos]
+        routing_key = args[pos + 1:pos + 1 + rlen].decode()
+        ftype, _ch, hdr = self._next_frame()          # content header
+        if ftype != _AMQP_FRAME_HEADER:
+            raise ConnectionError("expected content header")
+        body_size = int.from_bytes(hdr[4:12], "big")
+        body = b""
+        while len(body) < body_size:
+            ftype, _ch, chunk = self._next_frame()
+            if ftype != _AMQP_FRAME_BODY:
+                raise ConnectionError("expected content body")
+            body += chunk
+        return routing_key, exchange, body
+
+    def basic_publish(self, exchange: str, routing_key: str,
+                      body: bytes) -> None:
+        self._send_method(1, amqp_method_payload(
+            60, 40, b"\x00\x00", _amqp_shortstr(exchange),
+            _amqp_shortstr(routing_key), b"\x00",     # mandatory/immediate
+        ))
+        header = (
+            (60).to_bytes(2, "big") + b"\x00\x00"     # class, weight
+            + len(body).to_bytes(8, "big")
+            + b"\x00\x00"                             # no property flags
+        )
+        self.sock.sendall(
+            amqp_encode_frame(_AMQP_FRAME_HEADER, 1, header)
+            + amqp_encode_frame(_AMQP_FRAME_BODY, 1, body)
+        )
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def amqp_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    queue: str,
+    max_events: int | None = None,
+    routing_key_field: str = "routing_key",
+    user: str = "guest",
+    password: str = "guest",
+    vhost: str = "/",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """Drain a queue with basic.get until empty (or ``max_events``) —
+    the bounded-pull analog of the reference's consumer loop
+    (src/sources/amqp.rs; routing key kept per event like its
+    routing_key_field)."""
+    client = AmqpClient(host, port, user, password, vhost, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        while max_events is None or len(rows) < max_events:
+            got = client.basic_get(queue)
+            if got is None:
+                break
+            routing_key, _exchange, body = got
+            rows.append((body.decode("utf-8", errors="replace"),
+                         routing_key, "amqp", len(rows)))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumnRenamed(
+        "key", routing_key_field
+    ).withColumn("ts", F.current_timestamp())
+
+
+def amqp_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    exchange: str,
+    routing_key: str = "",
+    value_col: str = "message",
+    encoding: str = "text",
+    user: str = "guest",
+    password: str = "guest",
+    vhost: str = "/",
+    timeout_secs: float = 10.0,
+) -> int:
+    """basic.publish each row (reference src/sinks/amqp/config.rs:
+    exchange + routing_key). One connection+channel per partition,
+    frames streamed without publisher confirms (the reference's
+    default)."""
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        client = None
+        sent = 0
+        try:
+            for row in rows:
+                if client is None:
+                    client = AmqpClient(host, port, user, password,
+                                        vhost, timeout_secs)
+                client.basic_publish(exchange, routing_key,
+                                     row["_payload"].encode("utf-8"))
+                sent += 1
+        finally:
+            if client is not None:
+                client.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
