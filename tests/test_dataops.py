@@ -766,6 +766,9 @@ def test_gopher_quality_flags_rules(spark):
         (4, "### " * 30 + ("the word " * 30)),              # symbols+alpha
         (5, ("123 " * 60) + "the"),                         # non-alpha
         (6, "plain words without stop list hits " * 10),    # no stopwords
+        (7, "\n".join(["- bullet item"] * 19 + ["the normal line"])),
+        (8, "\n".join(["trails off the..."] * 4 + ["the solid line",
+                       "", "   "])),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -780,3 +783,8 @@ def test_gopher_quality_flags_rules(spark):
     assert out[4]["symbol_ok"] is False and out[4]["alpha_ok"] is False
     assert out[5]["alpha_ok"] is False
     assert out[6]["stopwords_ok"] is False and out[6]["n_stopwords"] == 0
+    # line rules: 19/20 bullet lines > 0.9; 4/5 ellipsis lines > 0.3
+    # (blank/whitespace lines excluded from the denominator)
+    assert out[7]["bullet_ok"] is False and out[7]["bullet_frac"] == 0.95
+    assert out[8]["ellipsis_ok"] is False and out[8]["ellipsis_frac"] == 0.8
+    assert out[1]["bullet_ok"] is True and out[1]["ellipsis_ok"] is True

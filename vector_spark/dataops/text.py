@@ -344,16 +344,19 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021 §A1.1), each
-    rule as its own flag so a pipeline can audit WHICH rule fires (the
-    published filter's document-level rules; the line-level bullet/
-    ellipsis rules need line structure and belong to a line-splitting
-    stage): word count in [min_words, max_words], mean word length in
+    rule as its own flag so a pipeline can audit WHICH rule fires:
+    word count in [min_words, max_words], mean word length in
     [min_mean_len, max_mean_len], symbol-to-word ratio ('#' and '...')
     ≤ max_symbol_ratio, ≥ min_alpha_frac of words containing an
-    alphabetic character, and ≥ min_stopwords DISTINCT members of the
-    paper's 8-stopword list. `keep` is the conjunction.
+    alphabetic character, ≥ min_stopwords DISTINCT members of the
+    paper's 8-stopword list, and the two line-level rules — at most
+    max_bullet_frac of lines starting with a bullet ('•', '-', '*')
+    and at most max_ellipsis_frac ending with an ellipsis ('...' or
+    '…'); blank lines don't count. `keep` is the conjunction.
 
     Distinct from :func:`quality_prune` (first-trigger drop reason, the
     C4-style report): this is the full per-rule boolean matrix.
@@ -387,6 +390,23 @@ def gopher_quality_flags(
             F.array([F.lit(s) for s in _GOPHER_STOPWORDS]),
         )
     )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda x: x.startswith("•") | x.startswith("-")
+        | x.startswith("*"),
+    ))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…"),
+    ))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ellipsis / n_lines
+    ).otherwise(0.0)
     flags = {
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
         "mean_len_ok": (mean_len >= min_mean_len)
@@ -394,6 +414,8 @@ def gopher_quality_flags(
         "symbol_ok": symbol_ratio <= max_symbol_ratio,
         "alpha_ok": alpha_frac >= min_alpha_frac,
         "stopwords_ok": n_stop >= min_stopwords,
+        "bullet_ok": bullet_frac <= max_bullet_frac,
+        "ellipsis_ok": ellipsis_frac <= max_ellipsis_frac,
     }
     keep = None
     for c in flags.values():
@@ -405,6 +427,8 @@ def gopher_quality_flags(
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
         n_stop.alias("n_stopwords"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         *[c.alias(n) for n, c in flags.items()],
         keep.alias("keep"),
     )

@@ -5356,7 +5356,12 @@ QUERIES.update({
                  ) AS w,
                  (length(text) - length(replace(text, '#', '')))
                  + (length(text) - length(replace(text, '...', ''))) / 3.0
-                   AS n_sym
+                   AS n_sym,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  x -> trim(x)),
+                   x -> length(x) > 0
+                 ) AS lines
           FROM documents
         ), m AS (
           SELECT doc_id, len(w) AS n_words,
@@ -5371,7 +5376,17 @@ QUERIES.update({
                  len(list_intersect(
                    list_distinct(w),
                    ['the','be','to','of','and','that','have','with']
-                 )) AS n_stop
+                 )) AS n_stop,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines,
+                     x -> starts_with(x, '•') OR starts_with(x, '-')
+                          OR starts_with(x, '*')))
+                        AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_frac,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines,
+                     x -> ends_with(x, '...') OR ends_with(x, '…')))
+                        AS DOUBLE) / len(lines) ELSE 0.0 END
+                   AS ellipsis_frac
           FROM ws
         )
         SELECT doc_id, CAST(n_words AS INT) AS n_words,
@@ -5379,15 +5394,20 @@ QUERIES.update({
                ROUND(sym_ratio, 6) AS symbol_ratio,
                ROUND(alpha_frac, 6) AS alpha_frac,
                CAST(n_stop AS INT) AS n_stopwords,
+               ROUND(bullet_frac, 6) AS bullet_frac,
+               ROUND(ellipsis_frac, 6) AS ellipsis_frac,
                n_words BETWEEN 50 AND 100000 AS word_count_ok,
                mean_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
                sym_ratio <= 0.1 AS symbol_ok,
                alpha_frac >= 0.8 AS alpha_ok,
                n_stop >= 1 AS stopwords_ok,
+               bullet_frac <= 0.9 AS bullet_ok,
+               ellipsis_frac <= 0.3 AS ellipsis_ok,
                (n_words BETWEEN 50 AND 100000)
                  AND (mean_len BETWEEN 3.0 AND 10.0)
                  AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
-                 AND n_stop >= 1 AS keep
+                 AND n_stop >= 1 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AS keep
         FROM m
         """,
         "Gopher per-rule document quality battery (scan-only)",
