@@ -676,3 +676,196 @@ sinks:
     results = run_sinks(topo)
     assert results["aout"]["sent"] == 2
     assert sorted(srv.queues["out"]) == [b"x-1", b"y-2"]
+
+
+# ---- Pulsar -------------------------------------------------------------
+
+from vector_spark.sources_brokers import (  # noqa: E402
+    PULSAR_ACK,
+    PULSAR_CONNECT,
+    PULSAR_CONNECTED,
+    PULSAR_FLOW,
+    PULSAR_MESSAGE,
+    PULSAR_PRODUCER,
+    PULSAR_PRODUCER_SUCCESS,
+    PULSAR_SEND,
+    PULSAR_SEND_RECEIPT,
+    PULSAR_SUBSCRIBE,
+    PULSAR_SUCCESS,
+    crc32c,
+    pulsar_decode_frame,
+    pulsar_encode_command,
+    pulsar_encode_send,
+    pulsar_sink,
+    pulsar_source,
+)
+
+
+def test_crc32c_spec_vector():
+    # the RFC 3720 / iSCSI check value for "123456789"
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_pulsar_frame_roundtrip_and_crc():
+    f = pulsar_encode_send(
+        {"type": PULSAR_SEND,
+         "send": {"producer_id": 7, "sequence_id": 3, "num_messages": 1}},
+        {"producer_name": "p1", "sequence_id": 3, "publish_time": 99,
+         "properties": [{"key": "a", "value": "b"}]},
+        b"payload-bytes",
+    )
+    total = int.from_bytes(f[:4], "big")
+    assert total == len(f) - 4
+    cmd, meta, payload = pulsar_decode_frame(f[4:])
+    assert cmd["send"] == {"producer_id": 7, "sequence_id": 3,
+                           "num_messages": 1}
+    assert meta["producer_name"] == "p1"
+    assert meta["properties"] == [{"key": "a", "value": "b"}]
+    assert payload == b"payload-bytes"
+    # corrupt one payload byte -> CRC failure
+    bad = bytearray(f)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        pulsar_decode_frame(bytes(bad[4:]))
+
+
+class _FakePulsar(socketserver.ThreadingTCPServer):
+    """Binary-protocol fake: CONNECTED handshake, producer registry,
+    SEND→receipt + store, SUBSCRIBE/FLOW→MESSAGE delivery, ACK
+    tracking."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.topics: dict = {}
+        self.acked: list = []
+        self.sub_ready = threading.Event()
+        self._consumers: list = []
+        super().__init__(("127.0.0.1", 0), _FakePulsarHandler)
+
+
+class _FakePulsarHandler(socketserver.BaseRequestHandler):
+    def _send(self, cmd):
+        self.request.sendall(pulsar_encode_command(cmd))
+
+    def handle(self):
+        srv = self.server
+        rest = b""
+        entry = 0
+        while True:
+            try:
+                data = self.request.recv(65536)
+            except OSError:
+                return
+            if not data:
+                return
+            rest += data
+            while len(rest) >= 4:
+                total = int.from_bytes(rest[:4], "big")
+                if len(rest) < 4 + total:
+                    break
+                frame = rest[4:4 + total]
+                rest = rest[4 + total:]
+                cmd, meta, payload = pulsar_decode_frame(frame)
+                t = cmd["type"]
+                if t == PULSAR_CONNECT:
+                    self._send({"type": PULSAR_CONNECTED,
+                                "connected": {"server_version": "fake"}})
+                elif t == PULSAR_PRODUCER:
+                    self._topic = cmd["producer"]["topic"]
+                    self._send({
+                        "type": PULSAR_PRODUCER_SUCCESS,
+                        "producer_success": {
+                            "request_id": cmd["producer"]["request_id"],
+                            "producer_name": "fake-producer",
+                        },
+                    })
+                elif t == PULSAR_SEND:
+                    topic = self._topic
+                    srv.topics.setdefault(topic, []).append(payload)
+                    self._send({
+                        "type": PULSAR_SEND_RECEIPT,
+                        "send_receipt": {
+                            "producer_id": cmd["send"]["producer_id"],
+                            "sequence_id": cmd["send"]["sequence_id"],
+                            "message_id": {"ledgerId": 1,
+                                           "entryId": entry},
+                        },
+                    })
+                    entry += 1
+                    for conn, ctopic, cid in srv._consumers:
+                        if ctopic == topic:
+                            conn.sendall(pulsar_encode_send(
+                                {"type": PULSAR_MESSAGE,
+                                 "message": {
+                                     "consumer_id": cid,
+                                     "message_id": {"ledgerId": 1,
+                                                    "entryId": entry},
+                                 }},
+                                {"producer_name": "fake-producer",
+                                 "sequence_id": 0, "publish_time": 1},
+                                payload,
+                            ))
+                elif t == PULSAR_SUBSCRIBE:
+                    self._send({
+                        "type": PULSAR_SUCCESS,
+                        "success": {
+                            "request_id": cmd["subscribe"]["request_id"]
+                        },
+                    })
+                    srv._consumers.append((
+                        self.request, cmd["subscribe"]["topic"],
+                        cmd["subscribe"]["consumer_id"],
+                    ))
+                elif t == PULSAR_FLOW:
+                    srv.sub_ready.set()
+                elif t == PULSAR_ACK:
+                    srv.acked.extend(
+                        m["entryId"] for m in cmd["ack"]["message_id"]
+                    )
+
+
+@pytest.fixture()
+def fake_pulsar():
+    srv = _FakePulsar()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, "127.0.0.1", srv.server_address[1]
+    srv.shutdown()
+
+
+def test_pulsar_sink_publishes(spark, fake_pulsar):
+    srv, host, port = fake_pulsar
+    df = spark.createDataFrame([("p1",), ("p2",)], "message string") \
+        .coalesce(1)
+    n = pulsar_sink(df, host, port, "persistent://public/default/t1")
+    assert n == 2
+    assert sorted(srv.topics["persistent://public/default/t1"]) == [
+        b"p1", b"p2",
+    ]
+
+
+def test_pulsar_roundtrip(spark, fake_pulsar):
+    srv, host, port = fake_pulsar
+    result = {}
+
+    def consume():
+        result["df"] = pulsar_source(
+            spark, host, port, "persistent://public/default/t2",
+            max_events=2,
+        )
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    df = spark.createDataFrame([("m1",), ("m2",)], "message string") \
+        .coalesce(1)
+    pulsar_sink(df, host, port, "persistent://public/default/t2")
+    t.join(timeout=30)
+    assert not t.is_alive()
+    rows = result["df"].collect()
+    assert {r["message"] for r in rows} == {"m1", "m2"}
+    assert rows[0]["key"] == "persistent://public/default/t2"
+    assert rows[0]["source_type"] == "pulsar"
+    assert len(srv.acked) == 2  # each delivered message ACKed

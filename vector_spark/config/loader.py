@@ -560,6 +560,29 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             password=cfg.get("password", "guest"),
             vhost=cfg.get("vhost", "/"),
         )
+    if stype == "pulsar":
+        # reference src/sources/pulsar/mod.rs: endpoint + topics +
+        # subscription_name
+        from urllib.parse import urlparse
+
+        from vector_spark.sources_brokers import pulsar_source
+
+        u = urlparse(cfg["endpoint"]) if cfg.get("endpoint") else None
+        topic = cfg.get("topics", cfg.get("topic", "vector"))
+        if isinstance(topic, list):
+            topic = topic[0]
+        if "max_events" not in cfg:
+            raise TopologyError(
+                f"source {name!r}: pulsar needs 'max_events' to bound"
+                " the batch subscribe"
+            )
+        return pulsar_source(
+            spark, (u.hostname if u else cfg.get("host")) or "localhost",
+            int(u.port if u and u.port else cfg.get("port", 6650)),
+            topic,
+            subscription=cfg.get("subscription_name", "vector_spark"),
+            max_events=int(cfg["max_events"]),
+        )
     if stype == "host_metrics":
         from vector_spark.sources_pull import host_metrics_source
 
@@ -1087,6 +1110,22 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     user=cfg.get("user", "guest"),
                     password=cfg.get("password", "guest"),
                     vhost=cfg.get("vhost", "/"),
+                )
+            }
+        elif stype == "pulsar":
+            from urllib.parse import urlparse
+
+            from vector_spark.sources_brokers import pulsar_sink
+
+            u = urlparse(cfg["endpoint"]) if cfg.get("endpoint") else None
+            results[name] = {
+                "sent": pulsar_sink(
+                    df,
+                    (u.hostname if u else cfg.get("host")) or "localhost",
+                    int(u.port if u and u.port else cfg.get("port", 6650)),
+                    cfg.get("topic", "vector"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
                 )
             }
         elif stype == "mqtt":

@@ -939,3 +939,323 @@ def amqp_sink(
 
     out.foreachPartition(push_partition)
     return counter.value
+
+
+# ---- Pulsar binary protocol ---------------------------------------------
+# Public spec: https://pulsar.apache.org/docs/developing-binary-protocol/
+# (PulsarApi.proto). Frames: [totalSize u32][commandSize u32][BaseCommand]
+# and, for SEND/MESSAGE, + [magic 0x0e01][crc32c u32][metadataSize u32]
+# [MessageMetadata][payload] where the checksum covers everything after
+# itself. Commands ride the schema-driven protobuf codec in
+# functions/protowire.py; only the producer/consumer slice the
+# source/sink conversation needs is described.
+
+_PULSAR_REGISTRY = {
+    "MessageIdData": {
+        1: ("ledgerId", "uint64"), 2: ("entryId", "uint64"),
+        3: ("partition", "int32"), 4: ("batch_index", "int32"),
+    },
+    "CommandConnect": {
+        1: ("client_version", "string"), 2: ("auth_method", "enum"),
+        4: ("protocol_version", "int32"),
+        5: ("auth_method_name", "string"),
+    },
+    "CommandConnected": {
+        1: ("server_version", "string"), 2: ("protocol_version", "int32"),
+    },
+    "CommandSubscribe": {
+        1: ("topic", "string"), 2: ("subscription", "string"),
+        3: ("subType", "enum"), 4: ("consumer_id", "uint64"),
+        5: ("request_id", "uint64"), 6: ("consumer_name", "string"),
+    },
+    "CommandProducer": {
+        1: ("topic", "string"), 2: ("producer_id", "uint64"),
+        3: ("request_id", "uint64"), 4: ("producer_name", "string"),
+    },
+    "CommandSend": {
+        1: ("producer_id", "uint64"), 2: ("sequence_id", "uint64"),
+        3: ("num_messages", "int32"),
+    },
+    "CommandSendReceipt": {
+        1: ("producer_id", "uint64"), 2: ("sequence_id", "uint64"),
+        3: ("message_id", "msg:MessageIdData"),
+    },
+    "CommandMessage": {
+        1: ("consumer_id", "uint64"),
+        2: ("message_id", "msg:MessageIdData"),
+        3: ("redelivery_count", "uint32"),
+    },
+    "CommandAck": {
+        1: ("consumer_id", "uint64"), 2: ("ack_type", "enum"),
+        3: ("message_id", "repeated msg:MessageIdData"),
+    },
+    "CommandFlow": {
+        1: ("consumer_id", "uint64"), 2: ("messagePermits", "uint32"),
+    },
+    "CommandSuccess": {1: ("request_id", "uint64")},
+    "CommandError": {
+        1: ("request_id", "uint64"), 2: ("error", "enum"),
+        3: ("message", "string"),
+    },
+    "CommandProducerSuccess": {
+        1: ("request_id", "uint64"), 2: ("producer_name", "string"),
+    },
+    "KeyValue": {1: ("key", "string"), 2: ("value", "string")},
+    "MessageMetadata": {
+        1: ("producer_name", "string"), 2: ("sequence_id", "uint64"),
+        3: ("publish_time", "uint64"),
+        4: ("properties", "repeated msg:KeyValue"),
+        5: ("partition_key", "string"),
+    },
+    "BaseCommand": {
+        1: ("type", "enum"),
+        2: ("connect", "msg:CommandConnect"),
+        3: ("connected", "msg:CommandConnected"),
+        4: ("subscribe", "msg:CommandSubscribe"),
+        5: ("producer", "msg:CommandProducer"),
+        6: ("send", "msg:CommandSend"),
+        7: ("send_receipt", "msg:CommandSendReceipt"),
+        9: ("message", "msg:CommandMessage"),
+        10: ("ack", "msg:CommandAck"),
+        11: ("flow", "msg:CommandFlow"),
+        13: ("success", "msg:CommandSuccess"),
+        14: ("error", "msg:CommandError"),
+        17: ("producer_success", "msg:CommandProducerSuccess"),
+        18: ("ping", "msg:Empty"),
+        19: ("pong", "msg:Empty"),
+    },
+    "Empty": {},
+}
+
+# BaseCommand.Type values (PulsarApi.proto enum Type)
+PULSAR_CONNECT, PULSAR_CONNECTED = 2, 3
+PULSAR_SUBSCRIBE, PULSAR_PRODUCER, PULSAR_SEND = 4, 5, 6
+PULSAR_SEND_RECEIPT, PULSAR_MESSAGE, PULSAR_ACK = 7, 9, 10
+PULSAR_FLOW, PULSAR_SUCCESS, PULSAR_ERROR = 11, 13, 14
+PULSAR_PRODUCER_SUCCESS, PULSAR_PING, PULSAR_PONG = 17, 18, 19
+
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    """Pure-python CRC-32C (the checksum Pulsar frames carry)."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def pulsar_encode_command(cmd: dict) -> bytes:
+    """Simple command frame: [totalSize][commandSize][BaseCommand]."""
+    from vector_spark.functions.protowire import encode_message
+
+    body = encode_message(cmd, _PULSAR_REGISTRY["BaseCommand"],
+                          _PULSAR_REGISTRY)
+    return (len(body) + 4).to_bytes(4, "big") \
+        + len(body).to_bytes(4, "big") + body
+
+
+def pulsar_encode_send(cmd: dict, metadata: dict, payload: bytes) -> bytes:
+    """Payload frame: command + [0x0e01][crc32c][metadataSize][metadata]
+    [payload]; the checksum covers metadataSize+metadata+payload."""
+    from vector_spark.functions.protowire import encode_message
+
+    body = encode_message(cmd, _PULSAR_REGISTRY["BaseCommand"],
+                          _PULSAR_REGISTRY)
+    meta = encode_message(metadata, _PULSAR_REGISTRY["MessageMetadata"],
+                          _PULSAR_REGISTRY)
+    checked = len(meta).to_bytes(4, "big") + meta + payload
+    tail = b"\x0e\x01" + crc32c(checked).to_bytes(4, "big") + checked
+    total = 4 + len(body) + len(tail)
+    return total.to_bytes(4, "big") + len(body).to_bytes(4, "big") \
+        + body + tail
+
+
+def pulsar_decode_frame(frame: bytes) -> tuple[dict, dict | None, bytes]:
+    """One frame (without the leading totalSize) → (command, metadata,
+    payload). Verifies the CRC when the checksum magic is present."""
+    from vector_spark.functions.protowire import decode_message
+
+    csize = int.from_bytes(frame[:4], "big")
+    cmd = decode_message(frame[4:4 + csize],
+                         _PULSAR_REGISTRY["BaseCommand"], _PULSAR_REGISTRY)
+    rest = frame[4 + csize:]
+    if not rest:
+        return cmd, None, b""
+    if rest[:2] == b"\x0e\x01":
+        crc = int.from_bytes(rest[2:6], "big")
+        checked = rest[6:]
+        if crc32c(checked) != crc:
+            raise ValueError("pulsar frame CRC-32C mismatch")
+        rest = checked
+    msize = int.from_bytes(rest[:4], "big")
+    meta = decode_message(rest[4:4 + msize],
+                          _PULSAR_REGISTRY["MessageMetadata"],
+                          _PULSAR_REGISTRY)
+    return cmd, meta, rest[4 + msize:]
+
+
+class PulsarClient:
+    """Minimal Pulsar binary-protocol client: CONNECT/CONNECTED, then
+    producer (PRODUCER → SEND → SEND_RECEIPT) or consumer (SUBSCRIBE →
+    FLOW → MESSAGE → ACK) on one channel."""
+
+    def __init__(self, host: str, port: int, timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._rest = b""
+        self.send(pulsar_encode_command({
+            "type": PULSAR_CONNECT,
+            "connect": {"client_version": "vector_spark",
+                        "protocol_version": 6},
+        }))
+        cmd, _m, _p = self.next_frame()
+        if cmd.get("type") != PULSAR_CONNECTED:
+            raise ConnectionError(f"expected CONNECTED, got {cmd}")
+
+    def send(self, frame: bytes) -> None:
+        self.sock.sendall(frame)
+
+    def next_frame(self):
+        """Next (command, metadata, payload); answers PING."""
+        while True:
+            while len(self._rest) < 4 or (
+                len(self._rest)
+                < 4 + int.from_bytes(self._rest[:4], "big")
+            ):
+                data = self.sock.recv(65536)
+                if not data:
+                    raise ConnectionError("pulsar connection closed")
+                self._rest += data
+            total = int.from_bytes(self._rest[:4], "big")
+            frame = self._rest[4:4 + total]
+            self._rest = self._rest[4 + total:]
+            cmd, meta, payload = pulsar_decode_frame(frame)
+            if cmd.get("type") == PULSAR_PING:
+                self.send(pulsar_encode_command(
+                    {"type": PULSAR_PONG, "pong": {}}
+                ))
+                continue
+            if cmd.get("type") == PULSAR_ERROR:
+                raise ConnectionError(
+                    f"pulsar error: {cmd.get('error', {})}"
+                )
+            return cmd, meta, payload
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def pulsar_source(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    topic: str,
+    subscription: str = "vector_spark",
+    max_events: int = 100,
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """Subscribe (Exclusive) and collect ``max_events`` messages,
+    ACKing each individually (reference src/sources/pulsar/mod.rs; the
+    topic lands in ``key``)."""
+    client = PulsarClient(host, port, timeout_secs)
+    rows: list[tuple] = []
+    try:
+        client.send(pulsar_encode_command({
+            "type": PULSAR_SUBSCRIBE,
+            "subscribe": {"topic": topic, "subscription": subscription,
+                          "subType": 0, "consumer_id": 1,
+                          "request_id": 1},
+        }))
+        cmd, _m, _p = client.next_frame()
+        if cmd.get("type") != PULSAR_SUCCESS:
+            raise ConnectionError(f"subscribe failed: {cmd}")
+        client.send(pulsar_encode_command({
+            "type": PULSAR_FLOW,
+            "flow": {"consumer_id": 1, "messagePermits": max_events},
+        }))
+        while len(rows) < max_events:
+            cmd, _meta, payload = client.next_frame()
+            if cmd.get("type") != PULSAR_MESSAGE:
+                continue
+            rows.append((payload.decode("utf-8", errors="replace"),
+                         topic, "pulsar", len(rows)))
+            client.send(pulsar_encode_command({
+                "type": PULSAR_ACK,
+                "ack": {"consumer_id": 1, "ack_type": 0,
+                        "message_id": [cmd["message"]["message_id"]]},
+            }))
+    finally:
+        client.close()
+    return spark.createDataFrame(rows, EVENT_SCHEMA).withColumn(
+        "ts", F.current_timestamp()
+    )
+
+
+def pulsar_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    topic: str,
+    value_col: str = "message",
+    encoding: str = "text",
+    timeout_secs: float = 10.0,
+) -> int:
+    """Register a producer and SEND each row, awaiting the receipt
+    (reference src/sinks/pulsar/). One connection+producer per
+    partition; publish_time comes from the broker-visible wall clock on
+    the executor (the one place a timestamp is required by the wire
+    format)."""
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        import time
+
+        client = None
+        name = "vs"
+        seq = 0
+        sent = 0
+        try:
+            for row in rows:
+                if client is None:
+                    client = PulsarClient(host, port, timeout_secs)
+                    client.send(pulsar_encode_command({
+                        "type": PULSAR_PRODUCER,
+                        "producer": {"topic": topic, "producer_id": 1,
+                                     "request_id": 1},
+                    }))
+                    cmd, _m, _p = client.next_frame()
+                    if cmd.get("type") != PULSAR_PRODUCER_SUCCESS:
+                        raise ConnectionError(f"producer failed: {cmd}")
+                    name = cmd["producer_success"].get("producer_name",
+                                                       "vs")
+                client.send(pulsar_encode_send(
+                    {"type": PULSAR_SEND,
+                     "send": {"producer_id": 1, "sequence_id": seq,
+                              "num_messages": 1}},
+                    {"producer_name": name, "sequence_id": seq,
+                     "publish_time": int(time.time() * 1000)},
+                    row["_payload"].encode("utf-8"),
+                ))
+                cmd, _m, _p = client.next_frame()
+                if cmd.get("type") != PULSAR_SEND_RECEIPT:
+                    raise ConnectionError(f"no send receipt: {cmd}")
+                seq += 1
+                sent += 1
+        finally:
+            if client is not None:
+                client.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
