@@ -279,8 +279,13 @@ def test_convert_config_roundtrip(tmp_path, cfg_file):
     cmd_convert_config(str(out_json), str(back))
     assert parse_config(str(back)) == parse_config(cfg_file)
 
+    # r8: .toml is now a supported output (stdlib writer) — roundtrips
+    out_toml = tmp_path / "topo.toml"
+    cmd_convert_config(cfg_file, str(out_toml))
+    assert parse_config(str(out_toml)) == parse_config(cfg_file)
+
     with pytest.raises(ValueError, match="unsupported output format"):
-        cmd_convert_config(cfg_file, str(tmp_path / "topo.toml"))
+        cmd_convert_config(cfg_file, str(tmp_path / "topo.ini"))
 
 
 def test_test_subcommand(tmp_path, spark):

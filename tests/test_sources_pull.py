@@ -83,6 +83,10 @@ def http_fixture():
                 "/metrics": PROM_BODY,
                 "/server-status": APACHE_BODY,
                 "/stub_status": NGINX_BODY,
+                "/ecs-stats": json.dumps({
+                    "c1": {"read": "2020-01-01T00:00:00Z", "name": "app",
+                           "memory_stats": {"usage": 99}},
+                }),
             }
             body = bodies.get(self.path, "").encode()
             self.send_response(200)
@@ -481,3 +485,86 @@ def test_host_metrics_filesystem(spark):
     free = rows["filesystem_free_bytes"]["value"]
     assert total > 0 and abs((used + free) - total) < 1e-6
     assert rows["filesystem_total_bytes"]["tags"] == {"mountpoint": "/"}
+
+
+def test_parse_docker_stats_full():
+    """ECS docker-stats mapping: blkio device/op tags + time→seconds,
+    percpu bounded by online_cpus, memory gauges vs page counters,
+    per-interface network; empty payloads skipped."""
+    import json
+
+    from vector_spark.sources_pull import parse_docker_stats
+
+    sample = {
+        "abc": {
+            "read": "2020-01-01T00:00:00Z", "name": "web",
+            "blkio_stats": {
+                "io_service_bytes_recursive": [
+                    {"major": 8, "minor": 0, "op": "Read", "value": 100}
+                ],
+                "io_wait_time_recursive": [
+                    {"major": 8, "minor": 1, "op": "Write",
+                     "value": 5_000_000_000}
+                ],
+                "io_time_recursive": [
+                    {"major": 8, "minor": 0, "op": "Total", "value": 2000}
+                ],
+            },
+            "cpu_stats": {
+                "online_cpus": 2, "system_cpu_usage": 50,
+                "cpu_usage": {"total_usage": 30,
+                              "percpu_usage": [10, 20, 99],
+                              "usage_in_usermode": 25,
+                              "usage_in_kernelmode": 5},
+                "throttling_data": {"periods": 4, "throttled_periods": 1,
+                                    "throttled_time": 3_000_000_000},
+            },
+            "memory_stats": {"usage": 1024, "limit": 4096,
+                             "stats": {"rss": 512, "pgfault": 7}},
+            "networks": {"eth0": {"rx_bytes": 11, "tx_bytes": 22}},
+        },
+        "skipped-empty": {},
+    }
+    rows = parse_docker_stats(json.dumps(sample))
+    ix = {
+        (r[0], tuple(sorted(r[2].items()))): (r[3], r[4]) for r in rows
+    }
+    base = (("container_id", "abc"), ("container_name", "web"))
+
+    def k(name, **extra):
+        return (name, tuple(sorted(dict(base, **{
+            str(a): str(b) for a, b in extra.items()
+        }).items())))
+
+    assert ix[k("blkio_recursive_io_service_bytes_total",
+                device="8:0", op="read")] == ("counter", 100.0)
+    # ns → seconds and ms → seconds
+    assert ix[k("blkio_recursive_io_wait_time_seconds_total",
+                device="8:1", op="write")] == ("counter", 5.0)
+    assert ix[k("blkio_recursive_io_time_seconds_total",
+                device="8:0", op="total")] == ("counter", 2.0)
+    assert ix[k("cpu_online_cpus")] == ("gauge", 2.0)
+    assert ix[k("cpu_throttled_time_seconds_total")] == ("counter", 3.0)
+    # percpu bounded by online_cpus: index 2 (value 99) not emitted
+    assert ix[k("cpu_usage_percpu_jiffies_total", cpu=1)] == (
+        "counter", 20.0)
+    assert k("cpu_usage_percpu_jiffies_total", cpu=2) not in ix
+    assert ix[k("memory_used_bytes")] == ("gauge", 1024.0)
+    assert ix[k("memory_rss_bytes")] == ("gauge", 512.0)
+    assert ix[k("memory_page_faults_total")] == ("counter", 7.0)
+    assert ix[k("network_receive_bytes_total", device="eth0")] == (
+        "counter", 11.0)
+    assert len(rows) == 19
+    assert not any("skipped-empty" in str(r[2]) for r in rows)
+
+
+def test_aws_ecs_metrics_source(spark, http_fixture):
+    import json
+
+    from vector_spark.sources_pull import aws_ecs_metrics_source
+
+    base, _ = http_fixture
+    df = aws_ecs_metrics_source(spark, base + "/ecs-stats")
+    rows = df.collect()
+    assert {r["namespace"] for r in rows} == {"awsecs"}
+    assert any(r["name"] == "memory_used_bytes" for r in rows)

@@ -583,6 +583,13 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             subscription=cfg.get("subscription_name", "vector_spark"),
             max_events=int(cfg["max_events"]),
         )
+    if stype == "aws_ecs_metrics":
+        from vector_spark.sources_pull import aws_ecs_metrics_source
+
+        return aws_ecs_metrics_source(
+            spark, cfg.get("endpoint", "http://169.254.170.2/v4/stats"),
+            namespace=cfg.get("namespace", "awsecs"),
+        )
     if stype == "host_metrics":
         from vector_spark.sources_pull import host_metrics_source
 

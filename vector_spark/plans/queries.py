@@ -4330,6 +4330,82 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "PostgreSQL pg_stat_* codec: reference names vs hand oracle",
     ),
+    # AWS ECS task-metadata stats codec (src/sources/aws_ecs_metrics/
+    # parser.rs): docker-stats JSON → the reference's metric names with
+    # blkio device/op tags, ns→s and ms→s conversions, percpu bounded
+    # by online_cpus, memory gauge/counter split, per-interface network.
+    "aws_ecs_stats_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: spark.createDataFrame(
+                m.parse_docker_stats(__import__("json").dumps({
+                    "abc123": {
+                        "read": "2020-01-01T00:00:00Z", "name": "web",
+                        "blkio_stats": {
+                            "io_service_bytes_recursive": [
+                                {"major": 8, "minor": 0, "op": "Read",
+                                 "value": 100}],
+                            "io_time_recursive": [
+                                {"major": 8, "minor": 0, "op": "Total",
+                                 "value": 2000}],
+                        },
+                        "cpu_stats": {
+                            "online_cpus": 2, "system_cpu_usage": 50,
+                            "cpu_usage": {
+                                "total_usage": 30,
+                                "percpu_usage": [10, 20, 5],
+                                "usage_in_usermode": 25,
+                                "usage_in_kernelmode": 5},
+                            "throttling_data": {
+                                "periods": 4, "throttled_periods": 1,
+                                "throttled_time": 3000000000},
+                        },
+                        "memory_stats": {
+                            "usage": 1024, "limit": 4096,
+                            "stats": {"rss": 512, "pgfault": 7}},
+                        "networks": {
+                            "eth0": {"rx_bytes": 11, "tx_bytes": 22}},
+                    },
+                    "empty": {},
+                })),
+                "name string, namespace string, tags map<string,string>,"
+                " kind string, value double",
+            ).select(
+                "name",
+                F.col("tags").getItem("device").alias("device"),
+                F.col("tags").getItem("op").alias("op"),
+                F.col("tags").getItem("cpu").alias("cpu"),
+                "kind", "value",
+            )
+        )(
+            __import__(
+                "vector_spark.sources_pull",
+                fromlist=["parse_docker_stats"],
+            )
+        ),
+        """
+        SELECT * FROM (VALUES
+          ('blkio_recursive_io_service_bytes_total', '8:0', 'read',  NULL, 'counter', 100.0),
+          ('blkio_recursive_io_time_seconds_total',  '8:0', 'total', NULL, 'counter', 2.0),
+          ('cpu_online_cpus',                  NULL, NULL, NULL, 'gauge', 2.0),
+          ('cpu_usage_system_jiffies_total',   NULL, NULL, NULL, 'counter', 50.0),
+          ('cpu_usage_usermode_jiffies_total', NULL, NULL, NULL, 'counter', 25.0),
+          ('cpu_usage_kernelmode_jiffies_total', NULL, NULL, NULL, 'counter', 5.0),
+          ('cpu_usage_total_jiffies_total',    NULL, NULL, NULL, 'counter', 30.0),
+          ('cpu_throttling_periods_total',     NULL, NULL, NULL, 'counter', 4.0),
+          ('cpu_throttled_periods_total',      NULL, NULL, NULL, 'counter', 1.0),
+          ('cpu_throttled_time_seconds_total', NULL, NULL, NULL, 'counter', 3.0),
+          ('cpu_usage_percpu_jiffies_total',   NULL, NULL, '0', 'counter', 10.0),
+          ('cpu_usage_percpu_jiffies_total',   NULL, NULL, '1', 'counter', 20.0),
+          ('memory_used_bytes',  NULL, NULL, NULL, 'gauge', 1024.0),
+          ('memory_limit_bytes', NULL, NULL, NULL, 'gauge', 4096.0),
+          ('memory_rss_bytes',   NULL, NULL, NULL, 'gauge', 512.0),
+          ('memory_page_faults_total', NULL, NULL, NULL, 'counter', 7.0),
+          ('network_receive_bytes_total',  'eth0', NULL, NULL, 'counter', 11.0),
+          ('network_transmit_bytes_total', 'eth0', NULL, NULL, 'counter', 22.0)
+        ) AS t(name, device, op, cpu, kind, value)
+        """,
+        "AWS ECS docker-stats codec: reference names vs hand oracle",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5572,6 +5648,7 @@ _DRIVER_PRIORITY = [
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
+    "aws_ecs_stats_codec",
     "docs_temperature_mixture",
     "docs_mixture_sample", "sample_ratio", "docs_text_near_dup",
     # new/changed in r7 — the composed tokenizer pipeline, the two BPE

@@ -666,3 +666,170 @@ def journald_source(
         e["_HOSTNAME"].alias("host"),
         e["PRIORITY"].try_cast("int").alias("priority"),
     )
+
+
+# ---- AWS ECS task-metadata stats (docker-stats JSON) --------------------
+
+# cgroup blkio list name → (metric suffix, divisor) — time stats arrive
+# in ns (io_service_time, io_wait_time) or ms (io_time); the reference
+# converts to seconds (src/sources/aws_ecs_metrics/parser.rs:169-259)
+_ECS_BLKIO = [
+    ("io_merged_recursive", "recursive_io_merged_total", 1),
+    ("io_queue_recursive", "recursive_io_queued_total", 1),
+    ("io_service_bytes_recursive", "recursive_io_service_bytes_total", 1),
+    ("io_service_time_recursive",
+     "recursive_io_service_time_seconds_total", 1e9),
+    ("io_serviced_recursive", "recursive_io_serviced_total", 1),
+    ("io_time_recursive", "recursive_io_time_seconds_total", 1e3),
+    ("io_wait_time_recursive",
+     "recursive_io_wait_time_seconds_total", 1e9),
+    ("sectors_recursive", "recursive_sectors_total", 1),
+]
+
+_ECS_MEM_GAUGES = [
+    ("used_bytes", "usage"), ("max_used_bytes", "max_usage"),
+    ("limit_bytes", "limit"),
+]
+_ECS_MEM_STAT_GAUGES = [
+    ("active_anonymous_bytes", "active_anon"),
+    ("active_file_bytes", "active_file"), ("cache_bytes", "cache"),
+    ("dirty_bytes", "dirty"),
+    ("inactive_anonymous_bytes", "inactive_anon"),
+    ("inactive_file_bytes", "inactive_file"),
+    ("mapped_file_bytes", "mapped_file"), ("rss_bytes", "rss"),
+    ("rss_hugepages_bytes", "rss_huge"),
+    ("unevictable_bytes", "unevictable"),
+    ("writeback_bytes", "writeback"),
+    ("total_active_anonymous_bytes", "total_active_anon"),
+    ("total_active_file_bytes", "total_active_file"),
+    ("total_cache_bytes", "total_cache"),
+    ("total_dirty_bytes", "total_dirty"),
+    ("total_inactive_anonymous_bytes", "total_inactive_anon"),
+    ("total_inactive_file_bytes", "total_inactive_file"),
+    ("total_mapped_file_bytes", "total_mapped_file"),
+    ("total_rss_bytes", "total_rss"),
+    ("total_rss_hugepages_bytes", "total_rss_huge"),
+    ("total_unevictable_bytes", "total_unevictable"),
+    ("total_writeback_bytes", "total_writeback"),
+    ("hierarchical_memory_limit_bytes", "hierarchical_memory_limit"),
+    ("hierarchical_memsw_limit_bytes", "hierarchical_memsw_limit"),
+]
+_ECS_MEM_STAT_COUNTERS = [
+    ("page_faults_total", "pgfault"),
+    ("major_faults_total", "pgmajfault"),
+    ("page_charged_total", "pgpgin"),
+    ("page_uncharged_total", "pgpgout"),
+    ("total_page_faults_total", "total_pgfault"),
+    ("total_major_faults_total", "total_pgmajfault"),
+    ("total_page_charged_total", "total_pgpgin"),
+    ("total_page_uncharged_total", "total_pgpgout"),
+]
+_ECS_NET = [
+    ("receive_bytes_total", "rx_bytes"),
+    ("receive_packets_total", "rx_packets"),
+    ("receive_packets_drop_total", "rx_dropped"),
+    ("receive_errs_total", "rx_errors"),
+    ("transmit_bytes_total", "tx_bytes"),
+    ("transmit_packets_total", "tx_packets"),
+    ("transmit_packets_drop_total", "tx_dropped"),
+    ("transmit_errs_total", "tx_errors"),
+]
+
+
+def parse_docker_stats(
+    payload: str, namespace: str = "awsecs", tags: dict | None = None
+) -> list[tuple]:
+    """ECS task-metadata ``/stats`` body ({container_id: docker stats})
+    → metric rows, the reference's exact mapping
+    (src/sources/aws_ecs_metrics/parser.rs): blkio lists tagged
+    device="major:minor" + lowercased op with time stats converted to
+    seconds; cpu/precpu jiffy counters incl. per-cpu (index-tagged,
+    bounded by online_cpus) and throttling (throttled_time ns→s);
+    memory gauges + page-event counters; per-interface network counters.
+    Missing/null sub-objects skip silently (the reference's Option
+    fields); non-container entries (empty/null payloads) are ignored."""
+    import json as _json
+
+    doc = _json.loads(payload)
+    rows: list[tuple] = []
+    for container_id, stats in sorted((doc or {}).items()):
+        if not isinstance(stats, dict) or not stats:
+            continue
+        base = {**(tags or {}), "container_id": container_id}
+        if stats.get("name"):
+            base["container_name"] = stats["name"]
+
+        def add(prefix, name, value, kind, extra=None):
+            rows.append((
+                f"{prefix}_{name}", namespace,
+                {**base, **(extra or {})}, kind, float(value),
+            ))
+
+        for list_name, suffix, div in _ECS_BLKIO:
+            for item in (stats.get("blkio_stats") or {}).get(
+                list_name
+            ) or []:
+                add("blkio", suffix, item["value"] / div, "counter",
+                    {"device": f"{item['major']}:{item['minor']}",
+                     "op": item["op"].lower()})
+        for prefix in ("cpu", "precpu"):
+            cpu = stats.get(f"{prefix}_stats") or {}
+            if cpu.get("online_cpus") is not None:
+                add(prefix, "online_cpus", cpu["online_cpus"], "gauge")
+            if cpu.get("system_cpu_usage") is not None:
+                add(prefix, "usage_system_jiffies_total",
+                    cpu["system_cpu_usage"], "counter")
+            usage = cpu.get("cpu_usage") or {}
+            for suffix, key in (
+                ("usage_usermode_jiffies_total", "usage_in_usermode"),
+                ("usage_kernelmode_jiffies_total", "usage_in_kernelmode"),
+                ("usage_total_jiffies_total", "total_usage"),
+            ):
+                if usage.get(key) is not None:
+                    add(prefix, suffix, usage[key], "counter")
+            thr = cpu.get("throttling_data") or {}
+            for suffix, key, div in (
+                ("throttling_periods_total", "periods", 1),
+                ("throttled_periods_total", "throttled_periods", 1),
+                ("throttled_time_seconds_total", "throttled_time", 1e9),
+            ):
+                if thr.get(key) is not None:
+                    add(prefix, suffix, thr[key] / div, "counter")
+            percpu = usage.get("percpu_usage") or []
+            for index in range(int(cpu.get("online_cpus") or 0)):
+                if index < len(percpu):
+                    add(prefix, "usage_percpu_jiffies_total",
+                        percpu[index], "counter", {"cpu": str(index)})
+        mem = stats.get("memory_stats") or {}
+        for suffix, key in _ECS_MEM_GAUGES:
+            if mem.get(key) is not None:
+                add("memory", suffix, mem[key], "gauge")
+        ext = mem.get("stats") or {}
+        for suffix, key in _ECS_MEM_STAT_GAUGES:
+            if ext.get(key) is not None:
+                add("memory", suffix, ext[key], "gauge")
+        for suffix, key in _ECS_MEM_STAT_COUNTERS:
+            if ext.get(key) is not None:
+                add("memory", suffix, ext[key], "counter")
+        for interface in sorted(stats.get("networks") or {}):
+            net = stats["networks"][interface] or {}
+            for suffix, key in _ECS_NET:
+                if net.get(key) is not None:
+                    add("network", suffix, net[key], "counter",
+                        {"device": interface})
+    return rows
+
+
+def aws_ecs_metrics_source(
+    spark: SparkSession,
+    url: str = "http://169.254.170.2/v4/stats",
+    namespace: str = "awsecs",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """One poll of the ECS task-metadata stats endpoint
+    (src/sources/aws_ecs_metrics/mod.rs — v2/v3/v4 share the /stats
+    path shape; pass the URI the task environment advertises)."""
+    body = _http_get(url, timeout_secs)
+    rows = parse_docker_stats(body, namespace=namespace)
+    df = spark.createDataFrame(rows, METRIC_SCHEMA)
+    return df.withColumn("ts", F.current_timestamp())
