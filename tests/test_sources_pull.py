@@ -568,3 +568,101 @@ def test_aws_ecs_metrics_source(spark, http_fixture):
     rows = df.collect()
     assert {r["namespace"] for r in rows} == {"awsecs"}
     assert any(r["name"] == "memory_used_bytes" for r in rows)
+
+
+@pytest.fixture()
+def fake_dockerd(tmp_path):
+    """A unix-socket HTTP server speaking the two Engine API endpoints
+    docker_logs uses, with a multiplexed (non-TTY) log body."""
+    import json
+    import socketserver
+    import threading
+    from http.server import BaseHTTPRequestHandler
+
+    sock_path = str(tmp_path / "docker.sock")
+    containers = [
+        {"Id": "aaa111", "Names": ["/web"], "Image": "nginx:1",
+         "Labels": {"app": "frontend"}},
+        {"Id": "bbb222", "Names": ["/job"], "Image": "batch:2",
+         "Labels": {}},
+    ]
+
+    def mux(*frames):
+        out = b""
+        for stream_type, text in frames:
+            b = text.encode()
+            out += bytes([stream_type, 0, 0, 0]) \
+                + len(b).to_bytes(4, "big") + b
+        return out
+
+    logs = {
+        "aaa111": mux((1, "2024-01-01T00:00:00.000000001Z out line\n"),
+                      (2, "2024-01-01T00:00:00.000000002Z err line\n")),
+        "bbb222": mux((1, "2024-01-01T00:00:01.000000001Z job says hi\n")),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/containers/json":
+                body = json.dumps(containers).encode()
+            else:
+                cid = self.path.split("/")[2]
+                body = logs.get(cid, b"")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+        # BaseHTTPRequestHandler wants a client address tuple; unix
+        # sockets hand a path/empty string
+        def address_string(self):
+            return "unix"
+
+    class UnixHTTPServer(socketserver.UnixStreamServer):
+        daemon_threads = True
+
+        def get_request(self):
+            request, _ = super().get_request()
+            return request, ("unix", 0)
+
+    srv = UnixHTTPServer(sock_path, Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield sock_path
+    srv.shutdown()
+
+
+def test_docker_logs_source(spark, fake_dockerd):
+    from vector_spark.sources_pull import docker_logs_source
+
+    df = docker_logs_source(spark, socket_path=fake_dockerd)
+    rows = df.orderBy("seq").collect()
+    assert len(rows) == 3
+    assert rows[0]["message"] == "out line"
+    assert rows[0]["stream"] == "stdout"
+    assert rows[0]["container_id"] == "aaa111"
+    assert rows[0]["container_name"] == "web"
+    assert rows[0]["image"] == "nginx:1"
+    assert rows[0]["labels"]["app"] == "frontend"
+    assert rows[0]["timestamp"] == "2024-01-01T00:00:00.000000001Z"
+    assert rows[1]["stream"] == "stderr"
+    assert rows[2]["container_name"] == "job"
+
+
+def test_docker_logs_filters(spark, fake_dockerd):
+    from vector_spark.sources_pull import docker_logs_source
+
+    by_image = docker_logs_source(
+        spark, socket_path=fake_dockerd, include_images=["batch:2"]
+    )
+    assert {r["container_name"] for r in by_image.collect()} == {"job"}
+    by_label = docker_logs_source(
+        spark, socket_path=fake_dockerd, include_labels=["app=frontend"]
+    )
+    assert {r["container_name"] for r in by_label.collect()} == {"web"}
+    excl = docker_logs_source(
+        spark, socket_path=fake_dockerd, exclude_containers=["web"]
+    )
+    assert {r["container_name"] for r in excl.collect()} == {"job"}

@@ -606,6 +606,19 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         return kubernetes_logs_source(
             spark, cfg["path"], log_format=cfg.get("format", "cri")
         )
+    if stype == "docker_logs":
+        from vector_spark.sources_pull import docker_logs_source
+
+        return docker_logs_source(
+            spark,
+            socket_path=cfg.get("docker_host",
+                                "/var/run/docker.sock").removeprefix(
+                                    "unix://"),
+            include_containers=cfg.get("include_containers"),
+            exclude_containers=cfg.get("exclude_containers"),
+            include_images=cfg.get("include_images"),
+            include_labels=cfg.get("include_labels"),
+        )
     if stype == "journald":
         from vector_spark.sources_pull import journald_source
 

@@ -833,3 +833,136 @@ def aws_ecs_metrics_source(
     rows = parse_docker_stats(body, namespace=namespace)
     df = spark.createDataFrame(rows, METRIC_SCHEMA)
     return df.withColumn("ts", F.current_timestamp())
+
+
+# ---- docker_logs (Docker Engine HTTP API over the unix socket) ----------
+
+
+def _docker_http_get(socket_path: str, path: str,
+                     timeout_secs: float = 10.0) -> bytes:
+    """Minimal HTTP/1.1 GET over a unix socket (the Engine API is plain
+    HTTP; no docker client library needed). Handles Content-Length and
+    chunked transfer encoding."""
+    import http.client
+    import socket as _socket
+
+    class _UnixConn(http.client.HTTPConnection):
+        def __init__(self):
+            super().__init__("localhost", timeout=timeout_secs)
+
+        def connect(self):
+            sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+            sock.settimeout(timeout_secs)
+            sock.connect(socket_path)
+            self.sock = sock
+
+    conn = _UnixConn()
+    try:
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        body = resp.read()
+        if resp.status >= 400:
+            raise ConnectionError(
+                f"docker API {path}: HTTP {resp.status} "
+                f"{body[:200]!r}"
+            )
+        return body
+    finally:
+        conn.close()
+
+
+def demux_docker_stream(data: bytes) -> list[tuple[str, bytes]]:
+    """Demultiplex the Engine log stream: 8-byte frames
+    [stream_type u8, 0,0,0, size u32 BE] + payload, stream_type 1 =
+    stdout, 2 = stderr (the non-TTY attach format the reference's
+    container log stream decodes). A body that doesn't start with a
+    valid frame header is treated as a raw TTY stream (single stdout
+    chunk)."""
+    frames: list[tuple[str, bytes]] = []
+    pos = 0
+    if not data:
+        return frames
+    if data[0] not in (0, 1, 2) or data[1:4] != b"\x00\x00\x00":
+        return [("stdout", data)]
+    while pos + 8 <= len(data):
+        stream_type = data[pos]
+        size = int.from_bytes(data[pos + 4:pos + 8], "big")
+        payload = data[pos + 8:pos + 8 + size]
+        frames.append(
+            ("stderr" if stream_type == 2 else "stdout", payload)
+        )
+        pos += 8 + size
+    return frames
+
+
+def docker_logs_source(
+    spark: SparkSession,
+    socket_path: str = "/var/run/docker.sock",
+    include_containers: list[str] | None = None,
+    exclude_containers: list[str] | None = None,
+    include_images: list[str] | None = None,
+    include_labels: list[str] | None = None,
+    tail: int = 1000,
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """One sweep of running containers' logs via the Engine API
+    (reference src/sources/docker_logs/mod.rs): list containers, apply
+    the reference's filters (name/id prefix include+exclude, exact
+    image match, label k=v match), fetch each log with timestamps, and
+    demux stdout/stderr. Events carry container_id, container_name,
+    image, stream, and the label map — the reference's field set
+    (mod.rs:60-64).
+
+    Scale shape: the Engine socket is per-host by definition — on a
+    cluster each node's collector daemon runs its own sweep; this
+    driver-side poll is the single-host analog (same stance as
+    kubernetes_logs' file tail)."""
+    import json as _json
+
+    containers = _json.loads(
+        _docker_http_get(socket_path, "/containers/json", timeout_secs)
+    )
+    rows: list[tuple] = []
+    seq = 0
+    for c in containers:
+        cid = c.get("Id", "")
+        name = (c.get("Names") or ["/"])[0].lstrip("/")
+        image = c.get("Image", "")
+        labels = c.get("Labels") or {}
+        if include_containers is not None and not any(
+            name.startswith(p) or cid.startswith(p)
+            for p in include_containers
+        ):
+            continue
+        if exclude_containers is not None and any(
+            name.startswith(p) or cid.startswith(p)
+            for p in exclude_containers
+        ):
+            continue
+        if include_images is not None and image not in include_images:
+            continue
+        if include_labels is not None:
+            want = dict(s.split("=", 1) for s in include_labels)
+            if not all(labels.get(k) == v for k, v in want.items()):
+                continue
+        body = _docker_http_get(
+            socket_path,
+            f"/containers/{cid}/logs?stdout=true&stderr=true"
+            f"&timestamps=true&tail={tail}",
+            timeout_secs,
+        )
+        for stream, chunk in demux_docker_stream(body):
+            for line in chunk.decode("utf-8", "replace").splitlines():
+                if not line:
+                    continue
+                # docker prepends an RFC3339Nano timestamp + space
+                ts_str, _, message = line.partition(" ")
+                rows.append((message, cid, name, image, stream,
+                             labels, ts_str, "docker", seq))
+                seq += 1
+    return spark.createDataFrame(
+        rows,
+        "message string, container_id string, container_name string,"
+        " image string, stream string, labels map<string,string>,"
+        " timestamp string, source_type string, seq long",
+    )
