@@ -666,3 +666,58 @@ def test_docker_logs_filters(spark, fake_dockerd):
         spark, socket_path=fake_dockerd, exclude_containers=["web"]
     )
     assert {r["container_name"] for r in excl.collect()} == {"job"}
+
+
+def test_okta_logs_source_cursor_paging(spark):
+    """Cursor sweep: page 1 carries a rel=next Link, page 2 is empty →
+    exactly one follow; SSWS auth header sent on both requests."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sources_pull import okta_logs_source
+
+    seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen.append((self.path, self.headers.get("Authorization")))
+            if self.path.startswith("/api/v1/logs"):
+                body = json.dumps([
+                    {"uuid": "e1", "eventType": "user.session.start"},
+                    {"uuid": "e2", "eventType": "user.session.end"},
+                ]).encode()
+                nxt = (f"<http://127.0.0.1:{self.server.server_port}"
+                       "/page2>; rel=\"next\"")
+            else:
+                body = b"[]"
+                nxt = (f"<http://127.0.0.1:{self.server.server_port}"
+                       "/page3>; rel=\"next\"")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header(
+                "Link", "<http://x/self>; rel=\"self\", " + nxt
+            )
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = okta_logs_source(
+            spark, f"http://127.0.0.1:{srv.server_port}", token="tok-1",
+            since_secs=300,
+        )
+        rows = df.orderBy("seq").collect()
+        assert len(rows) == 2
+        assert json.loads(rows[0]["message"])["uuid"] == "e1"
+        assert rows[0]["source_type"] == "okta"
+        # two requests: the since-seeded first page + the cursor follow
+        assert len(seen) == 2
+        assert seen[0][0].startswith("/api/v1/logs?since=")
+        assert seen[1][0] == "/page2"
+        assert all(a == "SSWS tok-1" for _p, a in seen)
+    finally:
+        srv.shutdown()

@@ -619,6 +619,15 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             include_images=cfg.get("include_images"),
             include_labels=cfg.get("include_labels"),
         )
+    if stype == "okta":
+        from vector_spark.sources_pull import okta_logs_source
+
+        return okta_logs_source(
+            spark, cfg["domain"], cfg["token"],
+            since_secs=(
+                float(cfg["since_secs"]) if "since_secs" in cfg else None
+            ),
+        )
     if stype == "journald":
         from vector_spark.sources_pull import journald_source
 

@@ -966,3 +966,67 @@ def docker_logs_source(
         " image string, stream string, labels map<string,string>,"
         " timestamp string, source_type string, seq long",
     )
+
+
+# ---- okta system-log poll (cursor-paged HTTP) ----------------------------
+
+
+def _find_rel_next_link(header: str) -> str | None:
+    """Okta Link header → the rel="next" URL
+    (src/sources/okta/client.rs:102)."""
+    for part in header.split(","):
+        part = part.strip()
+        if 'rel="next"' in part and part.startswith("<"):
+            end = part.find(">")
+            if end > 0:
+                return part[1:end]
+    return None
+
+
+def okta_logs_source(
+    spark: SparkSession,
+    domain: str,
+    token: str,
+    since_secs: float | None = None,
+    max_pages: int = 10,
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """One sweep of Okta's System Log API (reference src/sources/okta/):
+    GET {domain}/api/v1/logs?since=<rfc3339>, authenticated with the
+    ``SSWS`` token scheme, following the Link rel="next" cursor until a
+    page comes back empty (Okta always returns a next link, so the
+    empty page — not link absence — ends the sweep, client.rs:282-283).
+    Each log entry (a JSON object) becomes one event's ``message``."""
+    import json as _json
+    import urllib.request
+    from datetime import datetime, timedelta, timezone
+    from urllib.parse import quote
+
+    url = f"{domain.rstrip('/')}/api/v1/logs"
+    if since_secs is not None:
+        since = datetime.now(timezone.utc) - timedelta(seconds=since_secs)
+        url += "?since=" + quote(
+            since.isoformat(timespec="seconds"), safe=""
+        )
+    rows: list[tuple] = []
+    for _page in range(max_pages):
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"SSWS {token}",
+                          "Accept": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+            body = resp.read().decode("utf-8")
+            link = resp.headers.get("Link") or resp.headers.get("link")
+        entries = _json.loads(body)
+        if not entries:
+            break
+        for entry in entries:
+            rows.append((_json.dumps(entry, separators=(",", ":")),
+                         "okta", len(rows)))
+        nxt = _find_rel_next_link(link or "")
+        if not nxt:
+            break
+        url = nxt
+    return spark.createDataFrame(
+        rows, "message string, source_type string, seq long"
+    ).withColumn("ts", F.current_timestamp())
