@@ -656,7 +656,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         return reader.load()
     if stype in (
         "syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash",
-        "dnstap", "websocket", "vector",
+        "dnstap", "websocket", "vector", "otlp_grpc", "vector_grpc",
     ):
         # wire-protocol server sources (src/sources/syslog.rs:45,
         # src/sources/statsd/, src/sources/fluent/mod.rs,

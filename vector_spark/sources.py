@@ -702,6 +702,25 @@ def _logstash_listener(state: _ListenerState, host: str, port: int, ready: threa
         ).start()
 
 
+def _otlp_grpc_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """OTLP/gRPC logs endpoint (src/sources/opentelemetry/grpc.rs:17):
+    the HTTP/2+HPACK transport lives in sources_grpc; records land in
+    the shared WAL-backed state like every other listener."""
+    from vector_spark.sources_grpc import start_otlp_grpc_listener
+
+    start_otlp_grpc_listener(state, host, port)  # own accept thread
+    ready.set()
+
+
+def _vector_grpc_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+    """vector-native v2 gRPC endpoint (proto/vector/vector.proto
+    service Vector — PushEvents + HealthCheck)."""
+    from vector_spark.sources_grpc import start_vector_grpc_listener
+
+    start_vector_grpc_listener(state, host, port)
+    ready.set()
+
+
 class _SocketStreamReader(SimpleDataSourceStreamReader):
     """Spark may instantiate the reader more than once (planning vs the
     prefetch loop), but only ONE instance drives read() — so the listener
@@ -751,6 +770,8 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
                 "dnstap": _dnstap_listener,
                 "websocket": _websocket_listener,
                 "vector": _vector_listener,
+                "otlp_grpc": _otlp_grpc_listener,
+                "vector_grpc": _vector_grpc_listener,
             }[self.proto]
             threading.Thread(
                 target=target,
@@ -1189,6 +1210,35 @@ class VectorDataSource(DataSource):
         return _SocketStreamReader(self.options, "vector")
 
 
+class OtlpGrpcDataSource(DataSource):
+    """`opentelemetry` gRPC mode analog: HTTP/2 listener decoding
+    ExportLogsServiceRequest frames (one JSON record per message)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "otlp_grpc"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "otlp_grpc")
+
+
+class VectorGrpcDataSource(DataSource):
+    """vector-native v2 gRPC listener (PushEvents)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vector_grpc"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        return _SocketStreamReader(self.options, "vector_grpc")
+
+
 def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
@@ -1199,3 +1249,5 @@ def register_sources(spark) -> None:
     spark.dataSource.register(DnstapDataSource)
     spark.dataSource.register(WebsocketDataSource)
     spark.dataSource.register(VectorDataSource)
+    spark.dataSource.register(OtlpGrpcDataSource)
+    spark.dataSource.register(VectorGrpcDataSource)
