@@ -788,3 +788,36 @@ def test_gopher_quality_flags_rules(spark):
     assert out[7]["bullet_ok"] is False and out[7]["bullet_frac"] == 0.95
     assert out[8]["ellipsis_ok"] is False and out[8]["ellipsis_frac"] == 0.8
     assert out[1]["bullet_ok"] is True and out[1]["ellipsis_ok"] is True
+
+
+def test_remove_duplicate_paragraphs(spark):
+    """Corpus-level paragraph dedup: keep_first keeps the earliest
+    (doc_id, position) copy, drop_all removes every copy; docs
+    reassemble in original order; short paragraphs are exempt."""
+    from vector_spark.dataops.dedup import remove_duplicate_paragraphs
+
+    rows = [
+        (1, "unique one\n\nSHARED PARA HERE\n\nunique two"),
+        (2, "SHARED PARA HERE\n\nonly in two"),
+        (3, "SHARED PARA HERE"),
+        (4, "x\n\nx\n\ny"),  # 'x' repeats within one doc too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_paragraphs(df, min_chars=1).collect()
+    }
+    # doc 1 holds the first occurrence of the shared paragraph
+    assert out[1].text == "unique one\n\nSHARED PARA HERE\n\nunique two"
+    assert out[1].n_removed == 0 and out[1].n_paragraphs == 3
+    assert out[2].text == "only in two" and out[2].n_removed == 1
+    assert out[3].text == "" and out[3].n_removed == 1
+    # within-doc repeat: first x kept, second dropped
+    assert out[4].text == "x\n\ny" and out[4].n_removed == 1
+
+    dropped = {
+        r.doc_id: r
+        for r in remove_duplicate_paragraphs(df, mode="drop_all").collect()
+    }
+    assert dropped[1].text == "unique one\n\nunique two"
+    assert dropped[3].text == "" and dropped[4].text == "y"

@@ -686,3 +686,87 @@ def dedup_keep_best(
         )
     )
     return clustered.unionByName(singles)
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """Corpus-level exact paragraph deduplication (the paragraph-hash
+    pass of Lee et al. 2021 "Deduplicating Training Data..." §3, the
+    ExactSubstr companion used by C4/FineWeb-style pipelines):
+    paragraphs (split on blank lines) that occur more than once ACROSS
+    the corpus are removed; ``keep_first`` keeps the one earliest
+    occurrence (order = (doc_id, position)), ``drop_all`` removes every
+    copy. Documents are reassembled from their surviving paragraphs in
+    original order; docs whose every paragraph vanishes come back with
+    empty text (the caller decides whether to drop them). Paragraphs
+    shorter than ``min_chars`` after trimming are never treated as
+    duplicates (boilerplate one-liners like "***" are line-filter
+    territory, not dedup).
+
+    Scale shape: posexplode → ONE shuffle keyed by the paragraph hash
+    (the min-occurrence aggregate and the membership join co-partition
+    on that key, so Catalyst plans a single exchange per side, no
+    corpus-wide window); reassembly is a per-doc groupBy whose groups
+    are bounded by document size. At 100 TB the hash key is as uniform
+    as the text itself — no hot keys by construction (identical
+    paragraphs ARE the group, and their count is what we're measuring).
+
+    Returns (id, text, n_paragraphs, n_removed).
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"bad mode: {mode}")
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), r"\n\s*\n")
+            ).alias("_idx", "_para"),
+        )
+        .withColumn("_trimmed", F.trim("_para"))
+        .where(F.length("_trimmed") > 0)
+        .withColumn("_h", F.md5(F.col("_trimmed")))
+    )
+    occurrences = paras.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_first"),
+    )
+    joined = paras.join(occurrences, "_h")
+    if mode == "keep_first":
+        keep = (F.col("_n") == 1) | (
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first._idx") == F.col("_idx"))
+        )
+    else:
+        keep = F.col("_n") == 1
+    marked = joined.withColumn("_keep", keep)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast(
+                "int"
+            ).alias("n_removed"),
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("_idx"), F.col("_trimmed")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_trimmed"],
+                ),
+            ).alias("text"),
+        )
+        .withColumn("n_paragraphs", F.col("n_paragraphs").cast("int"))
+    )

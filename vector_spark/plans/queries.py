@@ -4406,6 +4406,39 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "AWS ECS docker-stats codec: reference names vs hand oracle",
     ),
+    # Corpus-level exact paragraph dedup (Lee et al. 2021 §3 paragraph
+    # pass): duplicated paragraphs removed keep-first, docs reassembled
+    # in order. One shuffle keyed by the paragraph hash.
+    "docs_dedup_paragraphs": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.dedup",
+            fromlist=["remove_duplicate_paragraphs"],
+        ).remove_duplicate_paragraphs(_t(spark, sf_dir, "documents")),
+        r"""
+        WITH split AS (
+          SELECT doc_id, string_split_regex(text, '\n\s*\n') AS ps
+          FROM documents
+        ), paras AS (
+          SELECT doc_id, t.i AS idx, trim(ps[t.i]) AS para
+          FROM split, UNNEST(range(1, len(ps) + 1)) AS t(i)
+          WHERE length(trim(ps[t.i])) > 0
+        ), marked AS (
+          SELECT doc_id, idx, para,
+                 COUNT(*) OVER (PARTITION BY md5(para)) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras
+        )
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paragraphs,
+               CAST(SUM(CASE WHEN n > 1 AND rn > 1 THEN 1 ELSE 0 END)
+                    AS INT) AS n_removed,
+               COALESCE(string_agg(
+                 CASE WHEN n = 1 OR rn = 1 THEN para END,
+                 chr(10) || chr(10) ORDER BY idx), '') AS text
+        FROM marked GROUP BY doc_id
+        """,
+        "corpus-level exact paragraph dedup, keep-first, reassembled",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5646,7 +5679,8 @@ _DRIVER_PRIORITY = [
     # exact-k sampler, the floored mixture oracles, and the new ops
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
-    "docs_unimax_expand", "eventstoredb_stats_codec",
+    "docs_unimax_expand", "docs_dedup_paragraphs",
+    "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
     "docs_temperature_mixture",
