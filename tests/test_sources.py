@@ -737,3 +737,83 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+@pytest.mark.streaming
+def test_http_server_datadog_agent_endpoints(spark):
+    """datadog-agent intake endpoints (src/sources/datadog_agent/
+    logs.rs, metrics.rs): /v1/input JSON log array and /api/v1/series
+    metrics, one event per log object / per series POINT."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+
+    port = _free_port()
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  agent:
+    type: http_server
+    port: {port}
+    endpoints:
+      /v1/input: datadog_logs
+      /api/v1/series: datadog_series
+sinks:
+  out:
+    type: memory
+    inputs: [agent]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        logs = _json.dumps([
+            {"message": "dd one", "status": "info", "hostname": "h1",
+             "service": "svc", "ddsource": "nginx",
+             "ddtags": "env:prod,team:a"},
+            {"message": "dd two", "status": "error", "hostname": "h2",
+             "service": "svc", "ddsource": "nginx", "ddtags": ""},
+        ])
+        series = _json.dumps({"series": [
+            {"metric": "system.load.1", "type": "gauge", "host": "h1",
+             "interval": 10, "tags": ["env:prod"],
+             "points": [[1700000000, 0.5], [1700000010, 0.75]]},
+        ]})
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("POST", "/v1/input", body=logs)
+                assert c.getresponse().status == 200
+                c.request("POST", "/api/v1/series", body=series)
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        got = _wait_rows(spark, name, 4)  # 2 logs + 2 points
+        assert got == 4
+        rows = spark.sql(
+            f"SELECT codec, event FROM {name} ORDER BY codec, event"
+        ).collect()
+        by_codec = {}
+        for r in rows:
+            by_codec.setdefault(r.codec, []).append(_json.loads(r.event))
+        msgs = sorted(e["message"] for e in by_codec["datadog_logs"])
+        assert msgs == ["dd one", "dd two"]
+        assert by_codec["datadog_logs"][0]["ddsource"] == "nginx"
+        pts = sorted(
+            (e["timestamp"], e["value"]) for e in by_codec["datadog_series"]
+        )
+        assert pts == [(1700000000, 0.5), (1700000010, 0.75)]
+        s0 = by_codec["datadog_series"][0]
+        assert s0["metric"] == "system.load.1" and s0["type"] == "gauge"
+        assert s0["host"] == "h1" and s0["tags"] == ["env:prod"]
+        assert s0["interval"] == 10
+    finally:
+        for q in queries.values():
+            q.stop()

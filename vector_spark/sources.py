@@ -1020,6 +1020,76 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     ).alias("event"),
                 )
             )
+        elif codec == "datadog_logs":
+            # datadog-agent log intake (src/sources/datadog_agent/
+            # logs.rs decode_log_body): the body is a JSON ARRAY of log
+            # objects {message, status, timestamp, hostname, service,
+            # ddsource, ddtags} — one event per object, fields passed
+            # through (the reference copies them onto the event log).
+            v = part.select(*env, F.parse_json("message").alias("v"))
+            items = v.select(
+                *env,
+                F.explode(
+                    F.try_variant_get("v", "$", "array<variant>")
+                ).alias("r"),
+            )
+            outs.append(
+                items.select(
+                    *env,
+                    F.lit("datadog_logs").alias("codec"),
+                    F.to_json(F.col("r")).alias("event"),
+                )
+            )
+        elif codec == "datadog_series":
+            # datadog-agent v1 metrics intake (src/sources/
+            # datadog_agent/metrics.rs decode_datadog_series_v1):
+            # {"series": [{metric, type, interval?, host?, points:
+            # [[ts, value], ...], tags?}]} — one metric event per POINT,
+            # the series fields repeated (exactly the reference's
+            # into_vector_metric fan-out).
+            v = part.select(*env, F.parse_json("message").alias("v"))
+            series = v.select(
+                *env,
+                F.explode(
+                    F.try_variant_get("v", "$.series", "array<variant>")
+                ).alias("s"),
+            )
+            points = series.select(
+                *env,
+                "s",
+                F.explode(
+                    F.try_variant_get(
+                        "s", "$.points", "array<array<double>>"
+                    )
+                ).alias("p"),
+            )
+            outs.append(
+                points.select(
+                    *env,
+                    F.lit("datadog_series").alias("codec"),
+                    F.to_json(
+                        F.struct(
+                            F.try_variant_get(
+                                "s", "$.metric", "string"
+                            ).alias("metric"),
+                            F.try_variant_get(
+                                "s", "$.type", "string"
+                            ).alias("type"),
+                            F.try_variant_get(
+                                "s", "$.host", "string"
+                            ).alias("host"),
+                            F.try_variant_get(
+                                "s", "$.interval", "long"
+                            ).alias("interval"),
+                            F.try_variant_get(
+                                "s", "$.tags", "array<string>"
+                            ).alias("tags"),
+                            F.col("p")[0].cast("long").alias("timestamp"),
+                            F.col("p")[1].alias("value"),
+                        )
+                    ).alias("event"),
+                )
+            )
         elif codec == "aws_kinesis_firehose":
             # Kinesis Firehose HTTP destination (src/sources/
             # aws_kinesis_firehose/): JSON body {requestId, timestamp,
