@@ -817,3 +817,84 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+@pytest.mark.streaming
+def test_http_server_datadog_sketches_endpoint(spark):
+    """datadog-agent protobuf sketches (/api/beta/sketches,
+    proto/vector/dd_metric.proto SketchPayload): binary body through
+    the base64 path, one event per dogsketch with the bin arrays."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+    from vector_spark.functions.protowire import (
+        DATADOG_REGISTRY,
+        encode_message,
+    )
+
+    port = _free_port()
+    name = f"dds_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  agent:
+    type: http_server
+    port: {port}
+    endpoints:
+      /api/beta/sketches: datadog_sketches
+sinks:
+  out:
+    type: memory
+    inputs: [agent]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        payload = encode_message(
+            {"sketches": [{
+                "metric": "request.latency", "host": "h9",
+                "tags": ["env:prod"],
+                "dogsketches": [
+                    {"ts": 100, "cnt": 3, "min": 0.1, "max": 2.0,
+                     "avg": 1.0, "sum": 3.0, "k": [-5, 0, 7],
+                     "n": [1, 1, 1]},
+                    {"ts": 110, "cnt": 1, "min": 0.5, "max": 0.5,
+                     "avg": 0.5, "sum": 0.5, "k": [2], "n": [1]},
+                ],
+            }]},
+            DATADOG_REGISTRY["SketchPayload"], DATADOG_REGISTRY,
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request(
+                    "POST", "/api/beta/sketches", body=payload,
+                    headers={"Content-Type": "application/x-protobuf"},
+                )
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        assert _wait_rows(spark, name, 2) == 2
+        rows = spark.sql(
+            f"SELECT codec, event FROM {name} ORDER BY event"
+        ).collect()
+        assert {r.codec for r in rows} == {"datadog_sketches"}
+        events = sorted(
+            (_json.loads(r.event) for r in rows), key=lambda e: e["ts"]
+        )
+        assert events[0]["metric"] == "request.latency"
+        assert events[0]["host"] == "h9"
+        assert events[0]["tags"] == ["env:prod"]
+        # zigzag-coded bin keys survive, including the negative one
+        assert events[0]["k"] == [-5, 0, 7] and events[0]["n"] == [1, 1, 1]
+        assert events[1]["ts"] == 110 and events[1]["cnt"] == 1
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -663,3 +663,90 @@ def encode_proto_with_descriptor(
     if message_type not in registry:
         raise ValueError(f"unknown message type {message_type!r}")
     return encode_message(obj, registry[message_type], registry)
+
+
+# ---- datadog agent-payload (proto/vector/dd_metric.proto, the public
+# DataDog/agent-payload schema the reference vendors) --------------------
+
+DATADOG_REGISTRY = {
+    "MetricPoint": {1: ("value", "double"), 2: ("timestamp", "int64")},
+    "Resource": {1: ("type", "string"), 2: ("name", "string")},
+    "MetricSeries": {
+        1: ("resources", "repeated msg:Resource"),
+        2: ("metric", "string"),
+        3: ("tags", "repeated string"),
+        4: ("points", "repeated msg:MetricPoint"),
+        5: ("type", "enum"),
+        6: ("unit", "string"),
+        7: ("source_type_name", "string"),
+        8: ("interval", "int64"),
+    },
+    "MetricPayload": {1: ("series", "repeated msg:MetricSeries")},
+    "Dogsketch": {
+        1: ("ts", "int64"), 2: ("cnt", "int64"), 3: ("min", "double"),
+        4: ("max", "double"), 5: ("avg", "double"), 6: ("sum", "double"),
+        7: ("k", "repeated sint32"), 8: ("n", "repeated uint32"),
+    },
+    "Sketch": {
+        1: ("metric", "string"), 2: ("host", "string"),
+        4: ("tags", "repeated string"),
+        7: ("dogsketches", "repeated msg:Dogsketch"),
+    },
+    "SketchPayload": {1: ("sketches", "repeated msg:Sketch")},
+}
+
+_DD_METRIC_TYPES = {0: "unspecified", 1: "count", 2: "rate", 3: "gauge"}
+
+
+def decode_datadog_sketches(buf: bytes) -> list[dict]:
+    """SketchPayload bytes → one flat dict per (sketch, dogsketch):
+    metric/host/tags + the sketch summary (ts, cnt, min, max, avg, sum)
+    and the bin arrays k (zigzag keys) / n (counts) — the fields the
+    reference turns into AgentDDSketch metrics
+    (src/sources/datadog_agent/metrics.rs decode_ddsketch)."""
+    payload = decode_message(buf, DATADOG_REGISTRY["SketchPayload"],
+                             DATADOG_REGISTRY)
+    out = []
+    for sketch in payload.get("sketches", []):
+        base = {
+            "metric": sketch.get("metric", ""),
+            "host": sketch.get("host", ""),
+            "tags": sketch.get("tags", []),
+        }
+        for ds in sketch.get("dogsketches", []):
+            out.append({
+                **base,
+                "ts": ds.get("ts"), "cnt": ds.get("cnt"),
+                "min": ds.get("min"), "max": ds.get("max"),
+                "avg": ds.get("avg"), "sum": ds.get("sum"),
+                "k": ds.get("k", []), "n": ds.get("n", []),
+            })
+    return out
+
+
+def decode_datadog_metric_payload(buf: bytes) -> list[dict]:
+    """v2 MetricPayload bytes → one flat dict per (series, point), the
+    series fields repeated (the same fan-out as the v1 JSON shape)."""
+    payload = decode_message(buf, DATADOG_REGISTRY["MetricPayload"],
+                             DATADOG_REGISTRY)
+    out = []
+    for series in payload.get("series", []):
+        base = {
+            "metric": series.get("metric", ""),
+            "type": _DD_METRIC_TYPES.get(series.get("type", 0),
+                                         "unspecified"),
+            "tags": series.get("tags", []),
+            "unit": series.get("unit", ""),
+            "interval": series.get("interval"),
+            "resources": [
+                {"type": r.get("type", ""), "name": r.get("name", "")}
+                for r in series.get("resources", [])
+            ],
+        }
+        for point in series.get("points", []):
+            out.append({
+                **base,
+                "timestamp": point.get("timestamp"),
+                "value": point.get("value"),
+            })
+    return out

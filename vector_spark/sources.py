@@ -990,6 +990,52 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     "event",
                 )
             )
+        elif codec in ("datadog_sketches", "datadog_series_v2"):
+            # datadog-agent protobuf intake (src/sources/datadog_agent/
+            # metrics.rs decode_ddsketch / the v2 MetricPayload;
+            # proto/vector/dd_metric.proto): binary body base64'd by the
+            # listener, decoded with the pure-Python wire codec — one
+            # row per dogsketch / per series point.
+            from pyspark.sql.functions import pandas_udf
+
+            fn_name = (
+                "decode_datadog_sketches"
+                if codec == "datadog_sketches"
+                else "decode_datadog_metric_payload"
+            )
+
+            @pandas_udf("string")
+            def dec_dd(s: pd.Series) -> pd.Series:
+                import base64
+                import json as _json
+
+                from vector_spark.functions import protowire
+
+                decode = getattr(protowire, fn_name)
+
+                def one(b64):
+                    try:
+                        return _json.dumps(
+                            [_json.dumps(r)
+                             for r in decode(base64.b64decode(b64))]
+                        )
+                    except Exception:
+                        return "[]"
+
+                return s.map(one)
+
+            recs = part.select(
+                *env,
+                F.explode(
+                    F.from_json(dec_dd(F.col("message")),
+                                "array<string>")
+                ).alias("event"),
+            )
+            outs.append(
+                recs.select(
+                    *env, F.lit(codec).alias("codec"), "event",
+                )
+            )
         elif codec == "heroku_logs":
             # Heroku Logplex drain (src/sources/heroku_logs.rs
             # line_to_events): body lines are octet-prefixed syslog-ish
