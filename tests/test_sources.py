@@ -898,3 +898,73 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+@pytest.mark.streaming
+def test_http_server_datadog_series_v2_endpoint(spark):
+    """v2 MetricPayload protobuf (/api/v2/series): per-point fan-out
+    with the series fields repeated."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import load_topology, start_streaming_sinks
+    from vector_spark.functions.protowire import (
+        DATADOG_REGISTRY,
+        encode_message,
+    )
+
+    port = _free_port()
+    name = f"ddv2_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  agent:
+    type: http_server
+    port: {port}
+    endpoints:
+      /api/v2/series: datadog_series_v2
+sinks:
+  out: {{type: memory, inputs: [agent], query_name: {name}}}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        payload = encode_message(
+            {"series": [{
+                "metric": "cpu.user", "type": 3, "tags": ["env:dev"],
+                "unit": "percent", "interval": 10,
+                "resources": [{"type": "host", "name": "h3"}],
+                "points": [{"value": 0.25, "timestamp": 1700000000},
+                           {"value": 0.5, "timestamp": 1700000010}],
+            }]},
+            DATADOG_REGISTRY["MetricPayload"], DATADOG_REGISTRY,
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("POST", "/api/v2/series", body=payload,
+                          headers={"Content-Type":
+                                   "application/x-protobuf"})
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        assert _wait_rows(spark, name, 2) == 2
+        events = sorted(
+            (_json.loads(r.event) for r in
+             spark.sql(f"SELECT event FROM {name}").collect()),
+            key=lambda e: e["timestamp"],
+        )
+        assert events[0]["metric"] == "cpu.user"
+        assert events[0]["type"] == "gauge"
+        assert events[0]["resources"] == [{"type": "host", "name": "h3"}]
+        assert [(e["timestamp"], e["value"]) for e in events] == [
+            (1700000000, 0.25), (1700000010, 0.5),
+        ]
+    finally:
+        for q in queries.values():
+            q.stop()

@@ -721,3 +721,69 @@ def test_okta_logs_source_cursor_paging(spark):
         assert all(a == "SSWS tok-1" for _p, a in seen)
     finally:
         srv.shutdown()
+
+
+def test_gcp_pubsub_source_pull_and_ack(spark):
+    """REST pull loop: two batches then empty; every pulled ackId is
+    acknowledged; attributes and base64 data decode."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sources_pull import gcp_pubsub_source
+
+    pulls = []
+    acks = []
+    batches = [
+        [{"ackId": "a1", "message": {
+            "data": base64.b64encode(b"msg one").decode(),
+            "messageId": "1", "publishTime": "2024-01-01T00:00:00Z",
+            "attributes": {"k": "v"}}},
+         {"ackId": "a2", "message": {
+             "data": base64.b64encode(b"msg two").decode(),
+             "messageId": "2", "publishTime": "2024-01-01T00:00:01Z"}}],
+        [{"ackId": "a3", "message": {
+            "data": base64.b64encode(b"msg three").decode(),
+            "messageId": "3", "publishTime": "2024-01-01T00:00:02Z"}}],
+        [],
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            if self.path.endswith(":pull"):
+                pulls.append(body)
+                out = {"receivedMessages": batches[min(len(pulls) - 1,
+                                                       len(batches) - 1)]}
+            else:
+                acks.append(body["ackIds"])
+                out = {}
+            data = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = gcp_pubsub_source(
+            spark, "proj", "sub",
+            endpoint=f"http://127.0.0.1:{srv.server_port}",
+            auth_token="tok",
+        )
+        rows = df.orderBy("seq").collect()
+        assert [r["message"] for r in rows] == [
+            "msg one", "msg two", "msg three",
+        ]
+        assert rows[0]["attributes"]["k"] == "v"
+        assert rows[0]["message_id"] == "1"
+        assert rows[0]["source_type"] == "gcp_pubsub"
+        assert acks == [["a1", "a2"], ["a3"]]
+        assert len(pulls) == 3  # two full batches + the empty stop
+    finally:
+        srv.shutdown()

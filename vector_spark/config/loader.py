@@ -619,6 +619,16 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             include_images=cfg.get("include_images"),
             include_labels=cfg.get("include_labels"),
         )
+    if stype == "gcp_pubsub":
+        from vector_spark.sources_pull import gcp_pubsub_source
+
+        return gcp_pubsub_source(
+            spark, cfg["project"], cfg["subscription"],
+            endpoint=cfg.get("endpoint", "https://pubsub.googleapis.com"),
+            max_events=int(cfg.get("max_events", 1000)),
+            auth_token=cfg.get("auth_token"),
+            ack=bool(cfg.get("ack", True)),
+        )
     if stype == "okta":
         from vector_spark.sources_pull import okta_logs_source
 
