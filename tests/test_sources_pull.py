@@ -787,3 +787,72 @@ def test_gcp_pubsub_source_pull_and_ack(spark):
         assert len(pulls) == 3  # two full batches + the empty stop
     finally:
         srv.shutdown()
+
+
+def test_aws_sqs_source_receive_delete_signed(spark):
+    """SQS JSON protocol: batched ReceiveMessage + DeleteMessageBatch,
+    every request carrying a SigV4 Authorization with the sqs scope."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sources_pull import aws_sqs_source
+
+    calls = []
+    batches = [
+        {"Messages": [
+            {"Body": "sqs one", "MessageId": "m1", "ReceiptHandle": "r1",
+             "Attributes": {"SentTimestamp": "1700000000000"}},
+            {"Body": "sqs two", "MessageId": "m2", "ReceiptHandle": "r2"},
+        ]},
+        {"Messages": []},
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            target = self.headers.get("X-Amz-Target")
+            calls.append((target, body,
+                          self.headers.get("Authorization", "")))
+            if target == "AmazonSQS.ReceiveMessage":
+                n_recv = sum(
+                    1 for t, _b, _a in calls
+                    if t == "AmazonSQS.ReceiveMessage"
+                )
+                out = batches[min(n_recv - 1, 1)]
+            else:
+                out = {"Successful": [{"Id": "0"}, {"Id": "1"}]}
+            data = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/000000/q1"
+        df = aws_sqs_source(
+            spark, url, region="eu-west-1",
+            access_key="AKIDTEST", secret_key="secret",
+        )
+        rows = df.orderBy("seq").collect()
+        assert [r["message"] for r in rows] == ["sqs one", "sqs two"]
+        assert rows[0]["message_id"] == "m1"
+        assert rows[0]["sent_timestamp"] == "1700000000000"
+        targets = [t for t, _b, _a in calls]
+        assert targets == ["AmazonSQS.ReceiveMessage",
+                           "AmazonSQS.DeleteMessageBatch",
+                           "AmazonSQS.ReceiveMessage"]
+        # delete carries both receipt handles
+        handles = [e["ReceiptHandle"] for e in calls[1][1]["Entries"]]
+        assert handles == ["r1", "r2"]
+        for _t, _b, auth in calls:
+            assert auth.startswith("AWS4-HMAC-SHA256 Credential=AKIDTEST/")
+            assert "/eu-west-1/sqs/aws4_request" in auth
+            assert "Signature=" in auth
+    finally:
+        srv.shutdown()

@@ -619,6 +619,16 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             include_images=cfg.get("include_images"),
             include_labels=cfg.get("include_labels"),
         )
+    if stype == "aws_sqs":
+        from vector_spark.sources_pull import aws_sqs_source
+
+        return aws_sqs_source(
+            spark, cfg["queue_url"], region=cfg["region"],
+            access_key=cfg.get("access_key", ""),
+            secret_key=cfg.get("secret_key", ""),
+            max_events=int(cfg.get("max_events", 1000)),
+            delete=bool(cfg.get("delete", True)),
+        )
     if stype == "gcp_pubsub":
         from vector_spark.sources_pull import gcp_pubsub_source
 
