@@ -856,3 +856,91 @@ def test_aws_sqs_source_receive_delete_signed(spark):
             assert "Signature=" in auth
     finally:
         srv.shutdown()
+
+
+def test_aws_s3_source_notification_driven(spark):
+    """aws_s3: SQS notification → signed GetObject (one plain, one
+    gzip) → line events; non-ObjectCreated records skipped; messages
+    deleted after the objects are read."""
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sources_pull import aws_s3_source
+
+    objects = {
+        "/logs-bucket/app/one.log": b"line a\nline b\n",
+        "/logs-bucket/app/two.log.gz": gzip.compress(b"zipped line\n"),
+    }
+    notif = json.dumps({"Records": [
+        {"eventName": "ObjectCreated:Put",
+         "s3": {"bucket": {"name": "logs-bucket"},
+                "object": {"key": "app/one.log"}}},
+        {"eventName": "ObjectRemoved:Delete",
+         "s3": {"bucket": {"name": "logs-bucket"},
+                "object": {"key": "app/ignored.log"}}},
+        {"eventName": "ObjectCreated:Put",
+         "s3": {"bucket": {"name": "logs-bucket"},
+                "object": {"key": "app/two.log.gz"}}},
+    ]})
+    calls = {"recv": 0, "deleted": [], "gets": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # SQS
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            if self.headers.get("X-Amz-Target") == (
+                "AmazonSQS.ReceiveMessage"
+            ):
+                calls["recv"] += 1
+                out = ({"Messages": [{"Body": notif, "MessageId": "m1",
+                                      "ReceiptHandle": "rh1"}]}
+                       if calls["recv"] == 1 else {"Messages": []})
+            else:
+                calls["deleted"].extend(
+                    e["ReceiptHandle"] for e in body["Entries"]
+                )
+                out = {"Successful": []}
+            data = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # S3
+            calls["gets"].append(
+                (self.path, self.headers.get("Authorization", ""))
+            )
+            body = objects.get(self.path, b"")
+            self.send_response(200 if body else 404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        df = aws_s3_source(
+            spark, f"{base}/000/notifq", region="us-east-1",
+            access_key="AK", secret_key="SK", s3_endpoint=base,
+        )
+        rows = df.orderBy("seq").collect()
+        assert [r["message"] for r in rows] == [
+            "line a", "line b", "zipped line",
+        ]
+        assert rows[0]["bucket"] == "logs-bucket"
+        assert rows[0]["key"] == "app/one.log"
+        assert rows[2]["key"] == "app/two.log.gz"
+        # only the two created objects were fetched, each signed for s3
+        assert [p for p, _a in calls["gets"]] == [
+            "/logs-bucket/app/one.log", "/logs-bucket/app/two.log.gz",
+        ]
+        assert all("/us-east-1/s3/aws4_request" in a
+                   for _p, a in calls["gets"])
+        assert calls["deleted"] == ["rh1"]
+    finally:
+        srv.shutdown()

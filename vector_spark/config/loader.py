@@ -619,6 +619,16 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             include_images=cfg.get("include_images"),
             include_labels=cfg.get("include_labels"),
         )
+    if stype == "aws_s3":
+        from vector_spark.sources_pull import aws_s3_source
+
+        return aws_s3_source(
+            spark, cfg["queue_url"], region=cfg["region"],
+            access_key=cfg.get("access_key", ""),
+            secret_key=cfg.get("secret_key", ""),
+            max_objects=int(cfg.get("max_objects", 100)),
+            s3_endpoint=cfg.get("s3_endpoint"),
+        )
     if stype == "aws_sqs":
         from vector_spark.sources_pull import aws_sqs_source
 
