@@ -663,3 +663,28 @@ def test_unimax_expand_copies_and_fraction(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_line_repetition_stats(spark):
+    """dup line/para fractions per Gopher's repetition table: counts
+    beyond the first occurrence over totals, by unit and by chars."""
+    from vector_spark.dataops.curation import line_repetition_stats
+
+    rows = [
+        # 4 lines: 'aa' x3 + 'b' -> dup_line 2/4; chars (2*2)/(3*2+1)
+        (1, "aa\naa\naa\nb"),
+        (2, "one\ntwo\nthree"),                  # no dups
+        # paragraphs: 'p q' twice + 'solo' -> dup_para 1/3
+        (3, "p q\n\np q\n\nsolo"),
+        (4, ""),                                  # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_repetition_stats(df).collect()}
+    assert out[1].dup_line_frac == 0.5
+    assert out[1].dup_line_char_frac == round(4 / 7, 6)
+    assert out[2].dup_line_frac == 0.0
+    assert out[3].dup_para_frac == round(1 / 3, 6)
+    assert out[3].dup_para_char_frac == round(3 / 10, 6)
+    # within one paragraph the lines 'p q'+'p q' also count as dup lines
+    assert out[3].dup_line_frac == round(1 / 3, 6)
+    assert out[4].dup_line_frac == 0.0 and out[4].dup_para_char_frac == 0.0

@@ -1154,3 +1154,61 @@ def sample_exact_k(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def line_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The four line-structure rows of Gopher §A1.1's repetition table
+    (completing :func:`repetition_stats`' word-n-gram rows):
+
+    - ``dup_line_frac``: fraction of (non-blank, trimmed) lines that
+      are duplicates of an earlier-or-later line in the SAME document
+      (occurrences beyond the first, over total lines).
+    - ``dup_line_char_frac``: characters in those duplicate occurrences
+      over total line characters.
+    - ``dup_para_frac`` / ``dup_para_char_frac``: the same over
+      blank-line-separated paragraphs.
+
+    Plan shape: two explodes (lines, paragraphs) → groupBy(doc, unit,
+    hash) with map-side combine → per-doc aggregate. Both shuffles key
+    on (doc_id, content-hash) — high-cardinality, skew-free.
+    """
+    t = F.col(text_col)
+
+    def frac_stats(split_pattern: str, unit: str) -> DataFrame:
+        units = (
+            df.select(
+                F.col(id_col),
+                F.explode(F.split(t, split_pattern)).alias("_u"),
+            )
+            .withColumn("_u", F.trim("_u"))
+            .where(F.length("_u") > 0)
+        )
+        per_value = units.groupBy(
+            id_col, F.md5("_u").alias("_h")
+        ).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.first(F.length("_u")).alias("_len"),
+        )
+        return per_value.groupBy(id_col).agg(
+            F.round(
+                F.sum(F.col("_cnt") - 1)
+                / F.sum("_cnt"), 6
+            ).alias(f"dup_{unit}_frac"),
+            F.round(
+                F.sum((F.col("_cnt") - 1) * F.col("_len"))
+                / F.sum(F.col("_cnt") * F.col("_len")), 6
+            ).alias(f"dup_{unit}_char_frac"),
+        )
+
+    lines = frac_stats(r"\n", "line")
+    paras = frac_stats(r"\n\s*\n", "para")
+    return (
+        df.select(id_col)
+        .join(lines, id_col, "left")
+        .join(paras, id_col, "left")
+        .fillna(0.0)
+    )

@@ -4439,6 +4439,57 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "corpus-level exact paragraph dedup, keep-first, reassembled",
     ),
+    # Gopher repetition-table line rows: within-doc duplicate line /
+    # paragraph fractions (unit and char weighted).
+    "docs_line_repetition": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.curation",
+            fromlist=["line_repetition_stats"],
+        ).line_repetition_stats(_t(spark, sf_dir, "documents")),
+        r"""
+        WITH lines AS (
+          SELECT doc_id, trim(u.p) AS v
+          FROM documents, UNNEST(string_split_regex(text, '\n')) AS u(p)
+          WHERE length(trim(u.p)) > 0
+        ), lstat AS (
+          SELECT doc_id, md5(v) AS h, COUNT(*) AS cnt,
+                 MIN(length(v)) AS len
+          FROM lines GROUP BY doc_id, md5(v)
+        ), lfrac AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt), 6)
+                   AS dup_line_frac,
+                 ROUND(CAST(SUM((cnt - 1) * len) AS DOUBLE)
+                       / SUM(cnt * len), 6) AS dup_line_char_frac
+          FROM lstat GROUP BY doc_id
+        ), paras AS (
+          SELECT doc_id, trim(u.p) AS v
+          FROM documents,
+               UNNEST(string_split_regex(text, '\n\s*\n')) AS u(p)
+          WHERE length(trim(u.p)) > 0
+        ), pstat AS (
+          SELECT doc_id, md5(v) AS h, COUNT(*) AS cnt,
+                 MIN(length(v)) AS len
+          FROM paras GROUP BY doc_id, md5(v)
+        ), pfrac AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt), 6)
+                   AS dup_para_frac,
+                 ROUND(CAST(SUM((cnt - 1) * len) AS DOUBLE)
+                       / SUM(cnt * len), 6) AS dup_para_char_frac
+          FROM pstat GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+               COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               COALESCE(p.dup_para_frac, 0.0) AS dup_para_frac,
+               COALESCE(p.dup_para_char_frac, 0.0) AS dup_para_char_frac
+        FROM documents d
+        LEFT JOIN lfrac l USING (doc_id)
+        LEFT JOIN pfrac p USING (doc_id)
+        """,
+        "Gopher line/paragraph duplicate fractions (within-doc)",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5680,6 +5731,7 @@ _DRIVER_PRIORITY = [
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "docs_dedup_paragraphs",
+    "docs_line_repetition",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
