@@ -821,3 +821,35 @@ def test_remove_duplicate_paragraphs(spark):
     }
     assert dropped[1].text == "unique one\n\nunique two"
     assert dropped[3].text == "" and dropped[4].text == "y"
+
+
+def test_random_projection_jl_properties(spark):
+    """JL sanity: deterministic across runs, columns differ (the sign
+    hash isn't a checkerboard), and pairwise distances are roughly
+    preserved in expectation across the 8 components."""
+    import math
+    import random
+
+    from vector_spark.dataops.similarity import random_projection
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection(df, k=8)
+    a = {r.vec_id: [r[f"c{j}"] for j in range(8)] for r in out.collect()}
+    b = {r.vec_id: [r[f"c{j}"] for j in range(8)]
+         for r in random_projection(df, k=8).collect()}
+    assert a == b  # deterministic
+    # columns are genuinely different projections
+    c0 = [a[i][0] for i in range(40)]
+    c1 = [a[i][1] for i in range(40)]
+    assert c0 != c1 and c0 != [-x for x in c1]
+    # distance preservation in aggregate (loose JL check)
+    orig = {i: rows[i][1] for i in range(40)}
+    ratios = []
+    for i in range(0, 20, 2):
+        d_orig = math.dist(orig[i], orig[i + 1])
+        d_proj = math.dist(a[i], a[i + 1])
+        ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4

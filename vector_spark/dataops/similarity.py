@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import math
+
+_KNUTH = 2654435761
+_MOD = 2147483648
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -834,3 +839,57 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    k: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic sparse random projection (Achlioptas 2003 — the
+    database-friendly Johnson-Lindenstrauss transform with ±1 entries):
+    compress dim-d embeddings to k components, out[j] = Σ_i emb[i] ·
+    r(i,j) / √k, where r(i,j) ∈ {+1, −1} comes from a Knuth-hash parity
+    — no stored projection matrix, any engine (or the SQL oracle)
+    regenerates it from (i, j) alone. The JL guarantee bounds pairwise
+    distance distortion, which is what downstream ANN/dedup consume.
+
+    Scale shape: pure scan — k aggregate-over-array expressions per
+    row, no shuffle, no driver state; output columns c0..c{k-1} are
+    atomic doubles (rounded 6 for cross-engine float-sum parity).
+    """
+    emb = F.col(emb_col)
+    scale = 1.0 / math.sqrt(k)
+
+    def sign(i: Column, j: int) -> Column:
+        # j enters MULTIPLICATIVELY (odd factor 2j+1): an additive
+        # j-term almost never flips the high bit between neighboring
+        # columns, and parity of any linear form is an (i+j)
+        # checkerboard — both degenerate projections
+        h = F.pmod(
+            (i + 1) * F.lit((2 * j + 1) * _KNUTH)
+            + F.lit((j + 1) * 40503),
+            F.lit(_MOD),
+        )
+        return F.when(h < F.lit(_MOD // 2), F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+
+    def make_signs(j: int) -> Column:
+        # single-arg lambda: pyspark's transform passes the element
+        # index to two-arg lambdas, which would clobber a j default
+        return F.transform(
+            F.sequence(F.lit(0), F.size(emb) - 1), lambda i: sign(i, j)
+        )
+
+    cols = []
+    for j in range(k):
+        comp = F.aggregate(
+            F.zip_with(emb.cast("array<double>"), make_signs(j),
+                       lambda v, s: v * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(comp * scale, 6).alias(f"c{j}"))
+    return df.select(F.col(id_col), *cols)

@@ -4490,6 +4490,30 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "Gopher line/paragraph duplicate fractions (within-doc)",
     ),
+    # Deterministic sparse random projection (Achlioptas/JL): 64-dim
+    # embeddings -> 8 components with a hash-parity ±1 matrix both
+    # engines regenerate from (i, j); sums replayed sequentially
+    # (list_reduce) for float parity, rounded 6.
+    "embeddings_random_projection": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.similarity",
+            fromlist=["random_projection"],
+        ).random_projection(_t(spark, sf_dir, "embeddings"), k=8),
+        """
+        SELECT vec_id, """ + ", ".join(
+            f"""ROUND(list_reduce(list_transform(range(0, len(embedding)),
+                 i -> CAST(embedding[i + 1] AS DOUBLE) *
+                      CASE WHEN ((i + 1) * {(2 * j + 1) * 2654435761}
+                                 + {(j + 1) * 40503})
+                                % 2147483648 < 1073741824
+                           THEN 1.0 ELSE -1.0 END),
+                 (a, b) -> a + b) * (1.0 / sqrt(8.0)), 6) AS c{j}"""
+            for j in range(8)
+        ) + """
+        FROM embeddings
+        """,
+        "JL sparse random projection, hash-derived +-1 matrix",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5731,7 +5755,7 @@ _DRIVER_PRIORITY = [
     "docs_hashed_tfidf", "docs_ccnet_buckets", "docs_sample_exact_k",
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "docs_dedup_paragraphs",
-    "docs_line_repetition",
+    "docs_line_repetition", "embeddings_random_projection",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
