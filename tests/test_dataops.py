@@ -853,3 +853,29 @@ def test_random_projection_jl_properties(spark):
         ratios.append(d_proj / d_orig)
     mean = sum(ratios) / len(ratios)
     assert 0.6 < mean < 1.4
+
+
+def test_quantize_embeddings_int8(spark):
+    """Symmetric int8: the max-|v| dim hits exactly +/-127, dequantized
+    values stay within half a step, zero vectors give zeros."""
+    from vector_spark.dataops.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 1.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings_int8(df)
+    by = {(r.vec_id, r.i): r for r in out.collect()}
+    assert by[(1, 0)].q == 127 and by[(1, 1)].q == -63  # floor(-63.5+.5)
+    assert by[(1, 2)].q == 32   # floor(31.75 + 0.5)
+    assert by[(1, 3)].q == 0
+    assert all(by[(2, i)].q == 0 for i in range(4))
+    assert by[(2, 0)].scale == 0.0
+    assert by[(3, 0)].q == -127 and by[(3, 1)].q == 64  # floor(63.5+.5)
+    # dequantization error bounded by half a quantization step
+    for (vid, i), r in by.items():
+        orig = rows[vid - 1][1][i]
+        if r.scale:
+            assert abs(r.q * r.scale - orig) <= r.scale / 2 + 1e-9

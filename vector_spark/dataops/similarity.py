@@ -893,3 +893,44 @@ def random_projection(
         )
         cols.append(F.round(comp * scale, 6).alias(f"c{j}"))
     return df.select(F.col(id_col), *cols)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard 4x memory
+    cut for ANN indexes — e.g. the scalar-quantization mode of FAISS):
+    scale = max|v| / 127, q_i = floor(v_i / scale + 0.5) clamped to
+    [-127, 127]. floor(x + 0.5) rather than round() because both
+    engines' floor is exact while round-half ties can differ; the SQL
+    oracle replays the identical arithmetic. Zero vectors quantize to
+    zeros with scale 0.
+
+    Output is atomic (vec_id, scale, i, q) via posexplode — the shape
+    downstream bucket-joins consume and the driver canonicalizer
+    accepts. Pure scan, no shuffle."""
+    emb = F.col(emb_col).cast("array<double>")
+    max_abs = F.aggregate(
+        emb, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v)),
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.transform(
+        emb,
+        lambda v: F.when(scale == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(v / scale + F.lit(0.5)).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.posexplode(q).alias("i", "q"),
+    )

@@ -4514,6 +4514,32 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "JL sparse random projection, hash-derived +-1 matrix",
     ),
+    # Symmetric per-vector int8 quantization (the scalar-quantization
+    # memory cut for ANN): scale = max|v|/127, q = floor(v/scale + .5)
+    # clamped — floor-based rounding for exact cross-engine parity.
+    "embeddings_quantize_int8": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.similarity",
+            fromlist=["quantize_embeddings_int8"],
+        ).quantize_embeddings_int8(_t(spark, sf_dir, "embeddings")),
+        """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(
+                   embedding, v -> abs(CAST(v AS DOUBLE))
+                 )) / 127.0 AS sc
+          FROM embeddings
+        )
+        SELECT vec_id, ROUND(sc, 9) AS scale, CAST(t.i AS INT) AS i,
+               CASE WHEN sc = 0 THEN 0 ELSE
+                 GREATEST(-127, LEAST(127,
+                   CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) / sc
+                              + 0.5) AS INT)))
+               END AS q
+        FROM s, UNNEST(range(0, len(embedding))) AS t(i)
+        """,
+        "per-vector symmetric int8 quantization, atomic rows",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5756,6 +5782,7 @@ _DRIVER_PRIORITY = [
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
+    "embeddings_quantize_int8",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
