@@ -1,4 +1,4 @@
-"""sf1 receipts for the round-6/7 heavy multi-shuffle ops.
+"""sf1 receipts for the round-6/7/8 heavy multi-shuffle ops.
 
 Benchmarks nb_classify, bigram_lm_score, dedup_keep_best (the three new
 multi-shuffle pipelines) and remove_duplicate_spans (the de-forced-
@@ -146,6 +146,15 @@ OPS = {
         ),
         seq_len=256,
     ),
+    # round-8 additions
+    "dedup_paragraphs": lambda docs: __import__(
+        "vector_spark.dataops.dedup",
+        fromlist=["remove_duplicate_paragraphs"],
+    ).remove_duplicate_paragraphs(docs),
+    "line_repetition": lambda docs: __import__(
+        "vector_spark.dataops.curation",
+        fromlist=["line_repetition_stats"],
+    ).line_repetition_stats(docs),
 }
 
 
