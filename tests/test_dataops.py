@@ -879,3 +879,20 @@ def test_quantize_embeddings_int8(spark):
         orig = rows[vid - 1][1][i]
         if r.scale:
             assert abs(r.q * r.scale - orig) <= r.scale / 2 + 1e-9
+
+
+def test_vocab_stats(spark):
+    from vector_spark.dataops.text import vocab_stats
+
+    rows = [
+        (1, "a", "the cat sat"),          # 3 tokens, 3 types
+        (2, "a", "the cat ran"),          # +ran; the/cat now cnt 2
+        (3, "b", "x x x"),                # 3 tokens 1 type, no hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in vocab_stats(df).collect()}
+    assert out["a"].n_tokens == 6 and out["a"].n_types == 4
+    assert out["a"].type_token_ratio == round(4 / 6, 6)
+    assert out["a"].n_hapax == 2  # sat, ran
+    assert out["a"].hapax_frac == 0.5
+    assert out["b"].n_types == 1 and out["b"].n_hapax == 0

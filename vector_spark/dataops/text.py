@@ -1067,3 +1067,49 @@ def normalize_text(text: Column) -> Column:
     codegen'd projection, scan-speed at any scale."""
     folded = F.translate(F.lower(text), _ACCENTS_FROM, _ACCENTS_TO)
     return F.trim(F.regexp_replace(folded, r"[^a-z0-9]+", " "))
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary statistics — the Heaps-law dashboard row a
+    corpus monitor needs: token count, distinct types, type-token
+    ratio, singleton (hapax) count and fraction. A collapsing TTR or a
+    vanishing hapax fraction is the classic symptom of duplicated or
+    templated text upstream.
+
+    Plan: one tokenize explode → groupBy(group, token) with map-side
+    combine (the only corpus-scale shuffle, keyed on high-cardinality
+    token) → G-row group aggregate."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: F.length(w) >= 1,
+            )
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_tok.groupBy("g")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+            F.round(
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)), 6
+            ).alias("hapax_frac"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -4540,6 +4540,36 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "per-vector symmetric int8 quantization, atomic rows",
     ),
+    # Per-source vocabulary statistics (type-token / hapax — the
+    # Heaps-law corpus monitor row): one token-keyed shuffle.
+    "docs_vocab_stats": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["vocab_stats"]
+        ).vocab_stats(_t(spark, sf_dir, "documents")),
+        r"""
+        WITH toks AS (
+          SELECT source AS g, u.t AS tok
+          FROM documents,
+               UNNEST(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 w -> length(w) >= 1
+               )) AS u(t)
+        ), per AS (
+          SELECT g, tok, COUNT(*) AS cnt FROM toks GROUP BY g, tok
+        )
+        SELECT g AS source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+                 AS type_token_ratio,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS hapax_frac
+        FROM per GROUP BY g
+        """,
+        "per-source vocabulary stats: tokens, types, TTR, hapax",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5782,7 +5812,7 @@ _DRIVER_PRIORITY = [
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
-    "embeddings_quantize_int8",
+    "embeddings_quantize_int8", "docs_vocab_stats",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
