@@ -896,3 +896,31 @@ def test_vocab_stats(spark):
     assert out["a"].n_hapax == 2  # sat, ran
     assert out["a"].hapax_frac == 0.5
     assert out["b"].n_types == 1 and out["b"].n_hapax == 0
+
+
+def test_html_to_text(spark):
+    """Script/style/comment content vanishes, block tags become line
+    breaks, entities decode, whitespace normalizes."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.text import html_to_text
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        '<script>var x = "<p>not text</p>";</script></head>'
+        "<body><!-- note --><h1>Header</h1>"
+        "<p>First &amp; second &lt;para&gt;.</p><p>Next&nbsp;line</p>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "<div>tail &quot;q&quot; &#39;x&#39;</div></body></html>"
+    )
+    df = spark.createDataFrame([(html,), ("plain text",), ("",)],
+                               "h string")
+    out = [r.t for r in df.select(html_to_text(F.col("h")).alias("t"))
+           .collect()]
+    assert out[0] == (
+        "T\nHeader\nFirst & second <para>.\nNext line\n"
+        "item one\nitem two\ntail \"q\" 'x'"
+    )
+    assert "not text" not in out[0] and "color" not in out[0]
+    assert out[1] == "plain text"
+    assert out[2] == ""

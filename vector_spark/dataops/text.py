@@ -1113,3 +1113,43 @@ def vocab_stats(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Web-corpus text extraction (the boilerplate-strip stage every
+    HTML crawl pipeline runs before quality filtering): drop
+    script/style/noscript blocks and comments wholesale, turn the
+    block-level separators (<br>, </p>, </div>, </li>, </h1..6>, </tr>)
+    into newlines, strip remaining tags, decode the common entities,
+    and normalize whitespace (spaces collapsed per line, blank lines
+    collapsed, trimmed).
+
+    Pure Column regexp chain — scan-speed, engine-portable (the oracle
+    replays the identical patterns; non-greedy quantifiers are
+    supported by both Java regex and RE2)."""
+    t = col
+    # comments and container blocks whose CONTENT must vanish
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    for tag in ("script", "style", "noscript"):
+        t = F.regexp_replace(
+            t, rf"(?is)<{tag}[^>]*>.*?</{tag}>", " "
+        )
+    # block-level boundaries (opening or closing) become newlines before
+    # tags are stripped; the (\s|/|>) boundary keeps <p> from matching
+    # <pre> etc.
+    t = F.regexp_replace(
+        t,
+        r"(?i)</?(br|p|div|li|ul|ol|h[1-6]|tr|table|section|article)"
+        r"(\s[^>]*)?/?>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    # collapse horizontal whitespace per line, then blank lines, trim
+    # (regexp trim, not F.trim — Spark's trim strips spaces only)
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.regexp_replace(t, r"^[\s\n]+|[\s\n]+$", "")

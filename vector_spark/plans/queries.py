@@ -4570,6 +4570,77 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "per-source vocabulary stats: tokens, types, TTR, hapax",
     ),
+    # HTML → text extraction over a fixed fixture set (the documents
+    # table carries no markup): the oracle replays the identical regex
+    # chain in RE2 ('g' flag — DuckDB replaces first-match by default).
+    "docs_html_to_text": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: spark.createDataFrame(
+                [
+                    (1, "<html><head><style>p{c}</style>"
+                        "<script>var x='<p>no</p>';</script></head>"
+                        "<body><!-- c --><h1>Header</h1>"
+                        "<p>First &amp; second &lt;p&gt;.</p>"
+                        "<ul><li>one</li><li>two</li></ul>"
+                        "<div>tail &quot;q&quot; &#39;x&#39;&nbsp;end"
+                        "</div></body></html>"),
+                    (2, "plain text, no markup"),
+                    (3, "<pre>kept  spacing</pre> <b>bold</b> tail"),
+                    (4, ""),
+                ],
+                "doc_id long, html string",
+            ).select(
+                "doc_id",
+                m.html_to_text(F.col("html")).alias("text"),
+            )
+        )(
+            __import__("vector_spark.dataops.text",
+                       fromlist=["html_to_text"])
+        ),
+        r"""
+        WITH src(doc_id, html) AS (VALUES
+          (1, '<html><head><style>p{c}</style>' ||
+              '<script>var x=''<p>no</p>'';</script></head>' ||
+              '<body><!-- c --><h1>Header</h1>' ||
+              '<p>First &amp; second &lt;p&gt;.</p>' ||
+              '<ul><li>one</li><li>two</li></ul>' ||
+              '<div>tail &quot;q&quot; &#39;x&#39;&nbsp;end' ||
+              '</div></body></html>'),
+          (2, 'plain text, no markup'),
+          (3, '<pre>kept  spacing</pre> <b>bold</b> tail'),
+          (4, '')
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(html,
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g') AS t
+          FROM src
+        ), s2 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(t,
+            '(?i)</?(br|p|div|li|ul|ol|h[1-6]|tr|table|section|article)(\s[^>]*)?/?>',
+            chr(10), 'g'),
+            '(?s)<[^>]+>', ' ', 'g') AS t
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(t,
+              '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+              '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS t
+          FROM s2
+        )
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(t,
+            '[ \t\r]+', ' ', 'g'),
+            ' ?' || chr(10) || ' ?', chr(10), 'g'),
+            chr(10) || '{2,}', chr(10), 'g'),
+            '^[\s' || chr(10) || ']+|[\s' || chr(10) || ']+$', '', 'g')
+          AS text
+        FROM s3
+        """,
+        "HTML boilerplate strip: block breaks, entities, whitespace",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5812,7 +5883,7 @@ _DRIVER_PRIORITY = [
     "lua_v2_transform", "docs_dsir_resample", "docs_gopher_quality",
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
-    "embeddings_quantize_int8", "docs_vocab_stats",
+    "embeddings_quantize_int8", "docs_vocab_stats", "docs_html_to_text",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
