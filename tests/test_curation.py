@@ -688,3 +688,32 @@ def test_line_repetition_stats(spark):
     # within one paragraph the lines 'p q'+'p q' also count as dup lines
     assert out[3].dup_line_frac == round(1 / 3, 6)
     assert out[4].dup_line_frac == 0.0 and out[4].dup_para_char_frac == 0.0
+
+
+def test_url_filter(spark):
+    """Domain suffix matching on dot boundaries, path keyword flags,
+    and the keep conjunction."""
+    from vector_spark.dataops.curation import url_filter
+
+    rows = [
+        (1, "https://good.example.org/page"),
+        (2, "https://bad.com/home"),
+        (3, "http://x.y.bad.com/a?b=1"),
+        (4, "https://notbad.com/fine"),          # no false suffix hit
+        (5, "https://ok.net/casino-bonus"),      # word hit in path
+        (6, "https://casino.example.org/"),      # word NOT in host check
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: r
+        for r in url_filter(
+            df, ["bad.com"], blocked_words=["casino"]
+        ).collect()
+    }
+    assert out[1].keep is True and out[1].host == "good.example.org"
+    assert out[2].domain_blocked is True and out[2].keep is False
+    assert out[3].domain_blocked is True  # subdomain of bad.com
+    assert out[4].domain_blocked is False and out[4].keep is True
+    assert out[5].word_blocked is True and out[5].keep is False
+    # blocked word in the HOST doesn't trip the path check
+    assert out[6].word_blocked is False and out[6].keep is True

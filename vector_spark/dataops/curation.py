@@ -1212,3 +1212,47 @@ def line_repetition_stats(
         .join(paras, id_col, "left")
         .fillna(0.0)
     )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    blocked_words: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level filtering (the RefinedWeb/C4 front gate that runs
+    before any text is fetched or scored): extract the registrable
+    host from the URL, drop documents whose host IS a blocked domain
+    or any SUBDOMAIN of one (suffix match on dot boundaries — 'bad.com'
+    blocks 'x.bad.com' but never 'notbad.com'), and flag URLs whose
+    lowercased path/query contains a blocked word. Emits the decision
+    columns (host, domain_blocked, word_blocked, keep) so a pipeline
+    can audit WHY a URL fell out — same per-rule-matrix contract as
+    gopher_quality_flags.
+
+    Scale shape: everything rides the scan (one regexp host extract +
+    a bounded OR-chain over the blocklist literals — blocklists are
+    config, bounded by contract, compiled into the plan; a 100k-domain
+    blocklist would become a broadcast join on the host instead, noted
+    here so nobody scales the literal chain)."""
+    url = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    dom_blocked = F.lit(False)
+    for d in blocked_domains:
+        d = d.lower()
+        dom_blocked = dom_blocked | (host == d) | host.endswith("." + d)
+    rest = F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]*(.*)$", 1)
+    )
+    word_blocked = F.lit(False)
+    for w in blocked_words or []:
+        word_blocked = word_blocked | rest.contains(w.lower())
+    return df.select(
+        "*",
+        host.alias("host"),
+        dom_blocked.alias("domain_blocked"),
+        word_blocked.alias("word_blocked"),
+        (~dom_blocked & ~word_blocked).alias("keep"),
+    )

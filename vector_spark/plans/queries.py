@@ -4641,6 +4641,55 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "HTML boilerplate strip: block breaks, entities, whitespace",
     ),
+    # URL front-gate filtering over fixtures (documents carry no URLs):
+    # domain suffix blocks on dot boundaries + path keyword flags.
+    "docs_url_filter": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda m: m.url_filter(
+                spark.createDataFrame(
+                    [
+                        (1, "https://good.example.org/page"),
+                        (2, "https://bad.com/home"),
+                        (3, "http://x.y.bad.com/a?b=1"),
+                        (4, "https://notbad.com/fine"),
+                        (5, "https://ok.net/casino-bonus"),
+                        (6, "https://casino.example.org/"),
+                    ],
+                    "doc_id long, url string",
+                ),
+                ["bad.com"],
+                blocked_words=["casino"],
+            )
+        )(
+            __import__("vector_spark.dataops.curation",
+                       fromlist=["url_filter"])
+        ),
+        """
+        WITH src(doc_id, url) AS (VALUES
+          (1, 'https://good.example.org/page'),
+          (2, 'https://bad.com/home'),
+          (3, 'http://x.y.bad.com/a?b=1'),
+          (4, 'https://notbad.com/fine'),
+          (5, 'https://ok.net/casino-bonus'),
+          (6, 'https://casino.example.org/')
+        ), parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                 lower(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/]*(.*)$', 1)) AS rest
+          FROM src
+        )
+        SELECT doc_id, url, host,
+               (host = 'bad.com' OR host LIKE '%.bad.com')
+                 AS domain_blocked,
+               rest LIKE '%casino%' AS word_blocked,
+               NOT (host = 'bad.com' OR host LIKE '%.bad.com')
+                 AND NOT rest LIKE '%casino%' AS keep
+        FROM parts
+        """,
+        "URL domain/keyword front gate with per-rule decision columns",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5884,6 +5933,7 @@ _DRIVER_PRIORITY = [
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
     "embeddings_quantize_int8", "docs_vocab_stats", "docs_html_to_text",
+    "docs_url_filter",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
