@@ -4690,6 +4690,130 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "URL domain/keyword front gate with per-rule decision columns",
     ),
+    # Composed curation pipeline over the real corpus (the r8 analog of
+    # docs_tokenizer_pipeline): Gopher quality gate → corpus-level
+    # paragraph dedup on the survivors → per-source vocabulary stats of
+    # the deduplicated text, all under ONE composed oracle so stage
+    # drift is impossible.
+    "docs_curation_pipeline": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda text_m, dedup_m: (
+                lambda docs: (
+                    lambda kept: (
+                        lambda deduped: text_m.vocab_stats(
+                            deduped.join(
+                                docs.select("doc_id", "source"), "doc_id"
+                            )
+                        )
+                    )(
+                        dedup_m.remove_duplicate_paragraphs(
+                            docs.join(kept, "doc_id").select(
+                                "doc_id", "text"
+                            )
+                        )
+                    )
+                )(
+                    text_m.gopher_quality_flags(
+                        docs, min_words=50, min_stopwords=1
+                    )
+                    .where("keep")
+                    .select("doc_id")
+                )
+            )(_t(spark, sf_dir, "documents"))
+        )(
+            __import__("vector_spark.dataops.text",
+                       fromlist=["gopher_quality_flags", "vocab_stats"]),
+            __import__("vector_spark.dataops.dedup",
+                       fromlist=["remove_duplicate_paragraphs"]),
+        ),
+        r"""
+        WITH gq AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '\s+'),
+                             w -> length(w) >= 1) AS w,
+                 (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', '')))
+                   / 3.0 AS n_sym,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> length(x) > 0) AS lines
+          FROM documents
+        ), kept AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, len(w) AS n_words,
+                   CASE WHEN len(w) > 0 THEN
+                     CAST(list_sum(list_transform(w, x -> length(x)))
+                          AS DOUBLE) / len(w) ELSE 0.0 END AS mean_len,
+                   CASE WHEN len(w) > 0 THEN n_sym / len(w)
+                        ELSE 0.0 END AS sym_ratio,
+                   CASE WHEN len(w) > 0 THEN
+                     CAST(len(list_filter(w,
+                       x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(w) ELSE 0.0 END AS alpha_frac,
+                   len(list_intersect(list_distinct(w),
+                     ['the','be','to','of','and','that','have','with']
+                   )) AS n_stop,
+                   CASE WHEN len(lines) > 0 THEN
+                     CAST(len(list_filter(lines,
+                       x -> starts_with(x, '•') OR starts_with(x, '-')
+                            OR starts_with(x, '*'))) AS DOUBLE)
+                       / len(lines) ELSE 0.0 END AS bullet_frac,
+                   CASE WHEN len(lines) > 0 THEN
+                     CAST(len(list_filter(lines,
+                       x -> ends_with(x, '...') OR ends_with(x, '…')))
+                          AS DOUBLE) / len(lines) ELSE 0.0 END
+                     AS ellipsis_frac
+            FROM gq
+          )
+          WHERE n_words BETWEEN 50 AND 100000
+            AND mean_len BETWEEN 3.0 AND 10.0
+            AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 1
+            AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        ), split AS (
+          SELECT d.doc_id,
+                 string_split_regex(d.text, '\n\s*\n') AS ps
+          FROM documents d JOIN kept USING (doc_id)
+        ), paras AS (
+          SELECT doc_id, t.i AS idx, trim(ps[t.i]) AS para
+          FROM split, UNNEST(range(1, len(ps) + 1)) AS t(i)
+          WHERE length(trim(ps[t.i])) > 0
+        ), marked AS (
+          SELECT doc_id, idx, para,
+                 COUNT(*) OVER (PARTITION BY md5(para)) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras
+        ), rebuilt AS (
+          SELECT doc_id,
+                 COALESCE(string_agg(
+                   CASE WHEN n = 1 OR rn = 1 THEN para END,
+                   chr(10) || chr(10) ORDER BY idx), '') AS text
+          FROM marked GROUP BY doc_id
+        ), toks AS (
+          SELECT d.source AS g, u.t AS tok
+          FROM rebuilt r
+          JOIN documents d USING (doc_id),
+               UNNEST(list_filter(
+                 string_split_regex(lower(trim(r.text)), '\s+'),
+                 w -> length(w) >= 1
+               )) AS u(t)
+        ), per AS (
+          SELECT g, tok, COUNT(*) AS cnt FROM toks GROUP BY g, tok
+        )
+        SELECT g AS source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+                 AS type_token_ratio,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS hapax_frac
+        FROM per GROUP BY g
+        """,
+        "quality gate -> paragraph dedup -> vocab stats, composed",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -5933,7 +6057,7 @@ _DRIVER_PRIORITY = [
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
     "embeddings_quantize_int8", "docs_vocab_stats", "docs_html_to_text",
-    "docs_url_filter",
+    "docs_url_filter", "docs_curation_pipeline",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
