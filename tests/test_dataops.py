@@ -924,3 +924,23 @@ def test_html_to_text(spark):
     assert "not text" not in out[0] and "color" not in out[0]
     assert out[1] == "plain text"
     assert out[2] == ""
+
+
+def test_detect_format(spark):
+    from vector_spark.dataops.text import detect_format
+
+    rows = [
+        (1, "Just a plain paragraph of prose text.\nAnother sentence."),
+        (2, "def f(x):\n    return x + 1\n\nimport os\nprint(x);"),
+        (3, '{"key": "value", "n": [1, 2]}'),
+        (4, "# Title\n\n```python\nx = 1\n```\n> quote\nsome text"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in detect_format(df).collect()}
+    assert out[1].format == "prose" and out[1].code_line_frac == 0.0
+    assert out[2].format == "code" and out[2].code_line_frac >= 0.5
+    assert out[3].format == "json" and out[3].json_like is True
+    assert out[4].format == "markdown"
+    assert out[4].markdown_line_frac >= 0.4
+    assert out[5].format == "prose"

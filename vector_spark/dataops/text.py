@@ -1153,3 +1153,52 @@ def html_to_text(col: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.regexp_replace(t, r"^[\s\n]+|[\s\n]+$", "")
+
+
+def detect_format(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Coarse document-format signals for mix routing (code vs prose vs
+    data is a first-class axis of a pretraining mixture): fraction of
+    non-blank lines that look like code (brace/semicolon endings,
+    deep indentation, def/fn/import/return keywords), markdown marker
+    fraction (#/```/>/[text](url) lines), and a json_like flag (first
+    non-space char { or [ AND balanced-ish quote count). The label is
+    a deterministic threshold cascade: json > code (≥0.4) > markdown
+    (≥0.2) > prose.
+
+    Pure Column regexp counting — scan-only, engine-portable."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: x),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n_lines = F.size(lines)
+    code_pat = (
+        r"^\s{4,}|[;{}]\s*$|^\s*(def |fn |func |import |from |return |"
+        r"class |public |private |#include|var |let |const )"
+    )
+    n_code = F.size(F.filter(lines, lambda x: x.rlike(code_pat)))
+    md_pat = r"^\s*(#{1,6} |```|> |\* |- \[|\[[^\]]+\]\([^)]+\))"
+    n_md = F.size(F.filter(lines, lambda x: x.rlike(md_pat)))
+    code_frac = F.when(n_lines > 0, n_code / n_lines).otherwise(0.0)
+    md_frac = F.when(n_lines > 0, n_md / n_lines).otherwise(0.0)
+    first = F.substring(F.ltrim(t), 1, 1)
+    json_like = first.isin("{", "[") & (
+        F.length(t) - F.length(F.replace(t, F.lit('"'), F.lit(""))) >= 2
+    )
+    label = (
+        F.when(json_like, "json")
+        .when(code_frac >= 0.4, "code")
+        .when(md_frac >= 0.2, "markdown")
+        .otherwise("prose")
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(code_frac, 6).alias("code_line_frac"),
+        F.round(md_frac, 6).alias("markdown_line_frac"),
+        json_like.alias("json_like"),
+        label.alias("format"),
+    )

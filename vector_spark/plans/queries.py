@@ -4814,6 +4814,49 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "quality gate -> paragraph dedup -> vocab stats, composed",
     ),
+    # Coarse format detection (code/markdown/json/prose routing for
+    # mixture composition): per-line regexp fractions, scan-only.
+    "docs_format_detect": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "vector_spark.dataops.text", fromlist=["detect_format"]
+        ).detect_format(_t(spark, sf_dir, "documents")),
+        r"""
+        WITH l AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             x -> length(trim(x)) > 0) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(lines) AS n,
+                 len(list_filter(lines, x -> regexp_matches(x,
+                   '^\s{4,}|[;{}]\s*$|^\s*(def |fn |func |import |from '
+                   || '|return |class |public |private |#include|var '
+                   || '|let |const )'))) AS n_code,
+                 len(list_filter(lines, x -> regexp_matches(x,
+                   '^\s*(#{1,6} |```|> |\* |- \[|\[[^\]]+\]\([^)]+\))'
+                 ))) AS n_md,
+                 substring(ltrim(text), 1, 1) AS first_ch,
+                 length(text) - length(replace(text, '"', '')) AS nq
+          FROM l
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN n > 0 THEN CAST(n_code AS DOUBLE) / n
+                     ELSE 0.0 END, 6) AS code_line_frac,
+               ROUND(CASE WHEN n > 0 THEN CAST(n_md AS DOUBLE) / n
+                     ELSE 0.0 END, 6) AS markdown_line_frac,
+               first_ch IN ('{', '[') AND nq >= 2 AS json_like,
+               CASE
+                 WHEN first_ch IN ('{', '[') AND nq >= 2 THEN 'json'
+                 WHEN n > 0 AND CAST(n_code AS DOUBLE) / n >= 0.4
+                   THEN 'code'
+                 WHEN n > 0 AND CAST(n_md AS DOUBLE) / n >= 0.2
+                   THEN 'markdown'
+                 ELSE 'prose'
+               END AS format
+        FROM m
+        """,
+        "format routing signals: code/markdown line fractions + json",
+    ),
     # Deterministic held-out split assignment (md5 lexicographic
     # boundaries — engine-portable, rerun-stable): per-split doc counts
     # and char mass.
@@ -6057,7 +6100,7 @@ _DRIVER_PRIORITY = [
     "docs_unimax_expand", "docs_dedup_paragraphs",
     "docs_line_repetition", "embeddings_random_projection",
     "embeddings_quantize_int8", "docs_vocab_stats", "docs_html_to_text",
-    "docs_url_filter", "docs_curation_pipeline",
+    "docs_url_filter", "docs_curation_pipeline", "docs_format_detect",
     "eventstoredb_stats_codec",
     "mongodb_server_status_codec", "postgresql_stats_codec",
     "aws_ecs_stats_codec",
