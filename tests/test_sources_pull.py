@@ -944,3 +944,57 @@ def test_aws_s3_source_notification_driven(spark):
         assert calls["deleted"] == ["rh1"]
     finally:
         srv.shutdown()
+
+
+def test_s3_sink_puts_signed_objects(spark):
+    """One signed PutObject per non-empty partition; strftime prefix
+    renders; ndjson bodies decode; gzip mode round-trips."""
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import s3_sink
+
+    objects = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            objects[self.path] = (
+                self.rfile.read(n),
+                self.headers.get("Authorization", ""),
+            )
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        df = spark.createDataFrame(
+            [("e1",), ("e2",), ("e3",)], "message string"
+        ).coalesce(1)
+        n = s3_sink(df, "logs-bucket", key_prefix="dt=%Y-%m-%d/",
+                    region="eu-west-1", access_key="AK", secret_key="SK",
+                    endpoint=base)
+        assert n == 1
+        (path, (body, auth)), = objects.items()
+        assert path.startswith("/logs-bucket/dt=")
+        assert path.endswith(".log")
+        assert body.decode().splitlines() == ["e1", "e2", "e3"]
+        assert "/eu-west-1/s3/aws4_request" in auth
+        objects.clear()
+        n = s3_sink(df, "logs-bucket", region="eu-west-1",
+                    access_key="AK", secret_key="SK", endpoint=base,
+                    encoding="json", gzip_objects=True)
+        assert n == 1
+        (path2, (body2, _auth2)), = objects.items()
+        assert path2.endswith(".ndjson.gz")
+        lines = gzip.decompress(body2).decode().splitlines()
+        assert json.loads(lines[0])["message"] == "e1"
+    finally:
+        srv.shutdown()

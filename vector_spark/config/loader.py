@@ -1119,6 +1119,23 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "aws_s3":
+            # reference src/sinks/aws_s3/config.rs: bucket + key_prefix
+            from vector_spark.sinks import s3_sink
+
+            results[name] = {
+                "objects": s3_sink(
+                    df, cfg["bucket"],
+                    key_prefix=cfg.get("key_prefix", "date=%F/"),
+                    region=cfg.get("region", "us-east-1"),
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    encoding=cfg.get("encoding", "ndjson"),
+                    value_col=cfg.get("value_col", "message"),
+                    gzip_objects=bool(cfg.get("compression") == "gzip"),
+                )
+            }
         elif stype == "redis":
             # reference src/sinks/redis/config.rs: url + key + data_type
             # (list rpush/lpush, channel, sorted_set)

@@ -47,7 +47,9 @@ def sign_request(
     signed_names = ";".join(sorted(all_headers))
     canonical = "\n".join([
         method.upper(),
-        quote(parts.path or "/", safe="/-_.~"),
+        # the URL's path arrives already URI-encoded (the caller built
+        # it with quote); re-encoding would double-escape %XX sequences
+        parts.path or "/",
         _canonical_query(parts.query),
         "".join(f"{k}:{' '.join(all_headers[k].split())}\n"
                 for k in sorted(all_headers)),

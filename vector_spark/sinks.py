@@ -423,3 +423,78 @@ def vector_sink(
 
     df.foreachPartition(send_partition)
     return sent.value
+
+
+def s3_sink(
+    df: DataFrame,
+    bucket: str,
+    key_prefix: str = "date=%F/",
+    region: str = "us-east-1",
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    encoding: str = "ndjson",
+    value_col: str = "message",
+    gzip_objects: bool = False,
+    timeout_secs: float = 30.0,
+) -> int:
+    """S3 object sink (reference src/sinks/aws_s3/config.rs): one
+    PutObject per partition, key = strftime-rendered prefix + a content
+    hash (the reference appends a uuid for uniqueness; a hash of the
+    body is the deterministic equivalent) + extension. Bodies are
+    newline-delimited (text or JSON rows), optionally gzipped. Requests
+    are SigV4-signed (functions/sigv4.py), so this works against live
+    S3 or localstack/minio via ``endpoint``.
+
+    Scale stance mirrors the source: this is the reference's
+    tail-stream shape (many small rolling objects). BULK columnar
+    output belongs to ``df.write.parquet`` over s3a:// — documented,
+    not duplicated. Returns the number of objects written."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_line"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def put_partition(rows) -> None:
+        import gzip as _gzip
+        import hashlib
+        import time as _time
+        import urllib.request
+        from datetime import datetime, timezone
+        from urllib.parse import quote
+
+        from vector_spark.functions.sigv4 import sign_request
+
+        body = "\n".join(r["_line"] for r in rows).encode("utf-8")
+        if not body:
+            return
+        body += b"\n"
+        ext = "log" if encoding != "json" else "ndjson"
+        if gzip_objects:
+            body = _gzip.compress(body, mtime=0)
+            ext += ".gz"
+        now = datetime.now(timezone.utc)
+        prefix = now.strftime(key_prefix)
+        digest = hashlib.sha256(body).hexdigest()[:16]
+        key = f"{prefix}{int(_time.time())}-{digest}.{ext}"
+        base = endpoint or f"https://s3.{region}.amazonaws.com"
+        url = f"{base.rstrip('/')}/{bucket}/{quote(key, safe='/=-_.~')}"
+        headers = sign_request(
+            "PUT", url,
+            {"x-amz-content-sha256": hashlib.sha256(body).hexdigest(),
+             "content-type": "application/octet-stream"},
+            body, access_key, secret_key, region, "s3",
+            now.strftime("%Y%m%dT%H%M%SZ"),
+        )
+        req = urllib.request.Request(url, data=body, headers=headers,
+                                     method="PUT")
+        with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+            resp.read()
+        counter.add(1)
+
+    out.foreachPartition(put_partition)
+    return counter.value
