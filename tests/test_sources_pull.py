@@ -998,3 +998,57 @@ def test_s3_sink_puts_signed_objects(spark):
         assert json.loads(lines[0])["message"] == "e1"
     finally:
         srv.shutdown()
+
+
+def test_gcp_pubsub_sink_publishes(spark):
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import gcp_pubsub_sink
+
+    published = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            published.append(
+                (self.path, self.headers.get("Authorization"),
+                 body["messages"])
+            )
+            out = json.dumps({"messageIds": [
+                str(i) for i in range(len(body["messages"]))
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("p one",), ("p two",), ("p three",)], "message string"
+        ).coalesce(1)
+        n = gcp_pubsub_sink(
+            df, "proj", "events",
+            endpoint=f"http://127.0.0.1:{srv.server_port}",
+            auth_token="tok", batch_size=2,
+            attributes={"src": "vector_spark"},
+        )
+        assert n == 3
+        # batch_size=2 over 3 rows in one partition -> two publishes
+        assert [len(m) for _p, _a, m in published] == [2, 1]
+        assert all(p == "/v1/projects/proj/topics/events:publish"
+                   for p, _a, _m in published)
+        assert all(a == "Bearer tok" for _p, a, _m in published)
+        datas = [base64.b64decode(m["data"]).decode()
+                 for _p, _a, ms in published for m in ms]
+        assert datas == ["p one", "p two", "p three"]
+        assert published[0][2][0]["attributes"] == {"src": "vector_spark"}
+    finally:
+        srv.shutdown()

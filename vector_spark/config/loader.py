@@ -1119,6 +1119,20 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "gcp_pubsub":
+            # reference src/sinks/gcp/pubsub.rs: project + topic
+            from vector_spark.sinks import gcp_pubsub_sink
+
+            results[name] = {
+                "sent": gcp_pubsub_sink(
+                    df, cfg["project"], cfg["topic"],
+                    endpoint=cfg.get("endpoint",
+                                     "https://pubsub.googleapis.com"),
+                    auth_token=cfg.get("auth_token"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
         elif stype == "aws_s3":
             # reference src/sinks/aws_s3/config.rs: bucket + key_prefix
             from vector_spark.sinks import s3_sink

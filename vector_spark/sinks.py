@@ -498,3 +498,69 @@ def s3_sink(
 
     out.foreachPartition(put_partition)
     return counter.value
+
+
+def gcp_pubsub_sink(
+    df: DataFrame,
+    project: str,
+    topic: str,
+    endpoint: str = "https://pubsub.googleapis.com",
+    auth_token: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    batch_size: int = 500,
+    attributes: dict | None = None,
+    timeout_secs: float = 10.0,
+) -> int:
+    """Pub/Sub publish sink (reference src/sinks/gcp/pubsub.rs): the
+    REST ``topics:publish`` surface of the same service (emulator-
+    compatible; live API = bearer token). One connection per partition,
+    messages base64'd and published in batches of ``batch_size`` (the
+    API caps a publish at 1000). Returns the row count."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    url = (f"{endpoint.rstrip('/')}/v1/projects/{project}"
+           f"/topics/{topic}:publish")
+
+    def publish_partition(rows) -> None:
+        import base64
+        import json as _json
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if auth_token:
+            headers["Authorization"] = f"Bearer {auth_token}"
+        batch = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, sent
+            if not batch:
+                return
+            body = _json.dumps({"messages": batch}).encode()
+            req = urllib.request.Request(url, data=body, headers=headers)
+            with urllib.request.urlopen(req,
+                                        timeout=timeout_secs) as resp:
+                resp.read()
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            msg = {"data": base64.b64encode(
+                row["_payload"].encode("utf-8")).decode("ascii")}
+            if attributes:
+                msg["attributes"] = attributes
+            batch.append(msg)
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(publish_partition)
+    return counter.value
