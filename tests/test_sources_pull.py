@@ -1052,3 +1052,53 @@ def test_gcp_pubsub_sink_publishes(spark):
         assert published[0][2][0]["attributes"] == {"src": "vector_spark"}
     finally:
         srv.shutdown()
+
+
+def test_aws_sqs_sink_batches_signed(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import aws_sqs_sink
+
+    sends = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            sends.append(
+                (self.headers.get("X-Amz-Target"),
+                 self.headers.get("Authorization", ""), body)
+            )
+            out = json.dumps({"Successful": [
+                {"Id": e["Id"]} for e in body["Entries"]
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/1/q"
+        df = spark.createDataFrame(
+            [(f"m{i}",) for i in range(23)], "message string"
+        ).coalesce(1)
+        n = aws_sqs_sink(df, url, region="us-east-1",
+                         access_key="AK", secret_key="SK")
+        assert n == 23
+        # 23 rows in one partition -> batches of 10, 10, 3
+        assert [len(b["Entries"]) for _t, _a, b in sends] == [10, 10, 3]
+        assert all(t == "AmazonSQS.SendMessageBatch"
+                   for t, _a, _b in sends)
+        assert all("/us-east-1/sqs/aws4_request" in a
+                   for _t, a, _b in sends)
+        bodies = [e["MessageBody"] for _t, _a, b in sends
+                  for e in b["Entries"]]
+        assert bodies == [f"m{i}" for i in range(23)]
+    finally:
+        srv.shutdown()

@@ -1119,6 +1119,19 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "aws_sqs":
+            # reference src/sinks/aws_sqs/: queue_url + region
+            from vector_spark.sinks import aws_sqs_sink
+
+            results[name] = {
+                "sent": aws_sqs_sink(
+                    df, cfg["queue_url"], region=cfg["region"],
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
         elif stype == "gcp_pubsub":
             # reference src/sinks/gcp/pubsub.rs: project + topic
             from vector_spark.sinks import gcp_pubsub_sink

@@ -564,3 +564,55 @@ def gcp_pubsub_sink(
 
     out.foreachPartition(publish_partition)
     return counter.value
+
+
+def aws_sqs_sink(
+    df: DataFrame,
+    queue_url: str,
+    region: str,
+    access_key: str = "",
+    secret_key: str = "",
+    value_col: str = "message",
+    encoding: str = "text",
+    timeout_secs: float = 10.0,
+) -> int:
+    """SQS sink (reference src/sinks/aws_sqs/): SendMessageBatch in
+    API-max batches of 10 over the JSON protocol, SigV4-signed, one
+    connection context per partition. Returns the row count."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows) -> None:
+        from vector_spark.sources_pull import _sqs_call
+
+        batch = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, sent
+            if not batch:
+                return
+            _sqs_call(
+                queue_url, "SendMessageBatch",
+                {"QueueUrl": queue_url, "Entries": batch},
+                access_key, secret_key, region, timeout_secs,
+            )
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            batch.append({"Id": str(len(batch)),
+                          "MessageBody": row["_payload"]})
+            if len(batch) >= 10:
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(send_partition)
+    return counter.value
