@@ -1102,3 +1102,89 @@ def test_aws_sqs_sink_batches_signed(spark):
         assert bodies == [f"m{i}" for i in range(23)]
     finally:
         srv.shutdown()
+
+
+def _aws_json_server(handler_out):
+    """Fake AWS JSON-protocol endpoint: records (target, auth, body)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            handler_out.append(
+                (self.headers.get("X-Amz-Target"),
+                 self.headers.get("Authorization", ""),
+                 json.loads(self.rfile.read(n)))
+            )
+            out = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_aws_cloudwatch_logs_sink(spark):
+    from vector_spark.sinks import aws_cloudwatch_logs_sink
+
+    calls = []
+    srv = _aws_json_server(calls)
+    try:
+        df = spark.createDataFrame(
+            [("late", 2000.0), ("early", 1000.0), ("mid", 1500.0)],
+            "message string, ts double",
+        ).coalesce(1)
+        n = aws_cloudwatch_logs_sink(
+            df, "grp", "stream", region="us-east-1",
+            access_key="AK", secret_key="SK",
+            endpoint=f"http://127.0.0.1:{srv.server_port}/",
+        )
+        assert n == 3
+        target, auth, body = calls[0]
+        assert target == "Logs_20140328.PutLogEvents"
+        assert "/us-east-1/logs/aws4_request" in auth
+        assert body["logGroupName"] == "grp"
+        # events sorted by timestamp within the batch (API requirement)
+        assert [e["message"] for e in body["logEvents"]] == [
+            "early", "mid", "late",
+        ]
+        assert body["logEvents"][0]["timestamp"] == 1000000
+    finally:
+        srv.shutdown()
+
+
+def test_aws_kinesis_sink(spark):
+    import base64
+
+    from vector_spark.sinks import aws_kinesis_sink
+
+    calls = []
+    srv = _aws_json_server(calls)
+    try:
+        df = spark.createDataFrame(
+            [("r1", "k1"), ("r2", "k2")], "message string, pk string"
+        ).coalesce(1)
+        n = aws_kinesis_sink(
+            df, "events", region="eu-west-1",
+            partition_key_col="pk", access_key="AK", secret_key="SK",
+            endpoint=f"http://127.0.0.1:{srv.server_port}/",
+        )
+        assert n == 2
+        target, auth, body = calls[0]
+        assert target == "Kinesis_20131202.PutRecords"
+        assert "/eu-west-1/kinesis/aws4_request" in auth
+        assert body["StreamName"] == "events"
+        recs = body["Records"]
+        assert [base64.b64decode(r["Data"]).decode() for r in recs] == [
+            "r1", "r2",
+        ]
+        assert [r["PartitionKey"] for r in recs] == ["k1", "k2"]
+    finally:
+        srv.shutdown()

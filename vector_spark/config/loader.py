@@ -1119,6 +1119,36 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "aws_cloudwatch_logs":
+            # reference src/sinks/aws_cloudwatch_logs/: group + stream
+            from vector_spark.sinks import aws_cloudwatch_logs_sink
+
+            results[name] = {
+                "sent": aws_cloudwatch_logs_sink(
+                    df, cfg["group_name"], cfg["stream_name"],
+                    region=cfg["region"],
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
+        elif stype == "aws_kinesis_streams":
+            # reference src/sinks/aws_kinesis/streams/: stream_name
+            from vector_spark.sinks import aws_kinesis_sink
+
+            results[name] = {
+                "sent": aws_kinesis_sink(
+                    df, cfg["stream_name"], region=cfg["region"],
+                    partition_key_col=cfg.get("partition_key_field"),
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
         elif stype == "aws_sqs":
             # reference src/sinks/aws_sqs/: queue_url + region
             from vector_spark.sinks import aws_sqs_sink

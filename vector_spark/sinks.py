@@ -616,3 +616,172 @@ def aws_sqs_sink(
 
     out.foreachPartition(send_partition)
     return counter.value
+
+
+def _aws_json_call(
+    url: str,
+    service: str,
+    target: str,
+    body: dict,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    timeout_secs: float,
+    json_version: str = "1.1",
+) -> dict:
+    """One signed request against an AWS JSON-protocol service (the
+    same shape _sqs_call uses; CloudWatch Logs and Kinesis speak
+    x-amz-json-1.1)."""
+    import json as _json
+    import urllib.request
+    from datetime import datetime, timezone
+
+    from vector_spark.functions.sigv4 import sign_request
+
+    payload = _json.dumps(body).encode()
+    headers = {
+        "Content-Type": f"application/x-amz-json-{json_version}",
+        "X-Amz-Target": target,
+    }
+    amz_date = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    signed = sign_request("POST", url, headers, payload,
+                          access_key, secret_key, region, service,
+                          amz_date)
+    req = urllib.request.Request(url, data=payload, headers=signed)
+    with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+        text = resp.read().decode("utf-8")
+    return _json.loads(text) if text else {}
+
+
+def aws_cloudwatch_logs_sink(
+    df: DataFrame,
+    group_name: str,
+    stream_name: str,
+    region: str,
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    ts_col: str = "ts",
+    batch_size: int = 1000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """CloudWatch Logs sink (reference src/sinks/aws_cloudwatch_logs/):
+    PutLogEvents batches (API max 10k events; events within a batch
+    must be timestamp-ordered — enforced by a per-partition sort of
+    the batch, the reference's own ordering fix), SigV4-signed. Rows
+    without ``ts_col`` stamp the executor wall clock. Returns rows."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    cols = [payload.alias("_payload")]
+    if ts_col in df.columns:
+        cols.append(
+            (F.col(ts_col).cast("double") * 1000).cast("long")
+            .alias("_ts_ms")
+        )
+    out = df.select(*cols)
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint or f"https://logs.{region}.amazonaws.com/"
+
+    def push_partition(rows) -> None:
+        import time as _time
+
+        batch = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, sent
+            if not batch:
+                return
+            batch.sort(key=lambda e: e["timestamp"])
+            _aws_json_call(
+                url, "logs", "Logs_20140328.PutLogEvents",
+                {"logGroupName": group_name,
+                 "logStreamName": stream_name, "logEvents": batch},
+                access_key, secret_key, region, timeout_secs,
+            )
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            ts = row["_ts_ms"] if "_ts_ms" in row and row["_ts_ms"] \
+                else int(_time.time() * 1000)
+            batch.append({"timestamp": ts, "message": row["_payload"]})
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
+
+
+def aws_kinesis_sink(
+    df: DataFrame,
+    stream_name: str,
+    region: str,
+    partition_key_col: str | None = None,
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    batch_size: int = 500,
+    timeout_secs: float = 10.0,
+) -> int:
+    """Kinesis Data Streams sink (reference src/sinks/aws_kinesis/):
+    PutRecords in API-max batches of 500, records base64'd, partition
+    key from ``partition_key_col`` (falls back to a hash of the data —
+    the reference's random-key behavior, made deterministic)."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    cols = [payload.alias("_payload")]
+    if partition_key_col:
+        cols.append(F.col(partition_key_col).cast("string").alias("_pk"))
+    out = df.select(*cols)
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint or f"https://kinesis.{region}.amazonaws.com/"
+
+    def push_partition(rows) -> None:
+        import base64
+        import hashlib
+
+        batch = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, sent
+            if not batch:
+                return
+            _aws_json_call(
+                url, "kinesis", "Kinesis_20131202.PutRecords",
+                {"StreamName": stream_name, "Records": batch},
+                access_key, secret_key, region, timeout_secs,
+            )
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            data = row["_payload"].encode("utf-8")
+            pk = (row["_pk"] if partition_key_col and row["_pk"]
+                  else hashlib.md5(data).hexdigest())
+            batch.append({
+                "Data": base64.b64encode(data).decode("ascii"),
+                "PartitionKey": pk,
+            })
+            if len(batch) >= min(batch_size, 500):
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
