@@ -1188,3 +1188,70 @@ def test_aws_kinesis_sink(spark):
         assert [r["PartitionKey"] for r in recs] == ["k1", "k2"]
     finally:
         srv.shutdown()
+
+
+def test_influxdb_sink_line_protocol(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import influxdb_sink
+
+    writes = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            writes.append((self.path,
+                           self.headers.get("Authorization"),
+                           self.rfile.read(n).decode()))
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("cpu", 0.5, {"host": "h1", "az": "a"}, 1.5),
+             ("mem", 7.0, {}, 2.0)],
+            "name string, value double, tags map<string,string>,"
+            " ts double",
+        ).coalesce(1)
+        n = influxdb_sink(
+            df, f"http://127.0.0.1:{srv.server_port}",
+            org="o", bucket="b", token="tk",
+        )
+        assert n == 2
+        path, auth, body = writes[0]
+        assert path == "/api/v2/write?org=o&bucket=b&precision=ns"
+        assert auth == "Token tk"
+        lines = sorted(body.strip().splitlines())
+        assert lines[0] == "cpu,az=a,host=h1 value=0.5 1500000000"
+        assert lines[1] == "mem value=7.0 2000000000"
+    finally:
+        srv.shutdown()
+
+
+def test_statsd_sink_datagrams(spark):
+    import socket as _socket
+
+    from vector_spark.sinks import statsd_sink
+
+    recv = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(10)
+    port = recv.getsockname()[1]
+    df = spark.createDataFrame(
+        [("hits", 3.0, "counter", {"env": "p"}),
+         ("temp", 21.5, "gauge", {}),
+         ("lat", 12.0, "timing", {})],
+        "name string, value double, kind string, tags map<string,string>",
+    ).coalesce(1)
+    n = statsd_sink(df, "127.0.0.1", port)
+    assert n == 3
+    got = sorted(recv.recv(1024).decode() for _ in range(3))
+    recv.close()
+    assert got == ["hits:3.0|c|#env:p", "lat:12.0|ms", "temp:21.5|g"]

@@ -1119,6 +1119,31 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "influxdb":
+            # reference src/sinks/influxdb/: endpoint + org/bucket/token
+            from vector_spark.sinks import influxdb_sink
+
+            results[name] = {
+                "sent": influxdb_sink(
+                    df, cfg["endpoint"],
+                    org=cfg.get("org", ""),
+                    bucket=cfg.get("bucket", ""),
+                    token=cfg.get("token"),
+                    measurement_col=cfg.get("measurement_col", "name"),
+                    value_col=cfg.get("value_col", "value"),
+                )
+            }
+        elif stype == "statsd":
+            # reference src/sinks/statsd/: address
+            from vector_spark.sinks import statsd_sink
+
+            results[name] = {
+                "sent": statsd_sink(
+                    df, cfg.get("host", "127.0.0.1"), int(cfg["port"]),
+                    name_col=cfg.get("name_col", "name"),
+                    value_col=cfg.get("value_col", "value"),
+                )
+            }
         elif stype == "aws_cloudwatch_logs":
             # reference src/sinks/aws_cloudwatch_logs/: group + stream
             from vector_spark.sinks import aws_cloudwatch_logs_sink

@@ -785,3 +785,148 @@ def aws_kinesis_sink(
 
     out.foreachPartition(push_partition)
     return counter.value
+
+
+def influxdb_sink(
+    df: DataFrame,
+    url: str,
+    org: str = "",
+    bucket: str = "",
+    token: str | None = None,
+    measurement_col: str = "name",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str | None = "ts",
+    batch_max_lines: int = 5000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """InfluxDB sink (reference src/sinks/influxdb/): metric rows →
+    line protocol, POSTed to the v2 write endpoint
+    (``/api/v2/write?org=&bucket=&precision=ns``; a bare ``url``
+    pointing at a v1 ``/write`` works the same). Tags come from a
+    map<string,string> column (sorted for deterministic lines), the
+    value as ``value=<v>``, timestamps in ns. One connection per
+    partition, lines batched."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.codecs import encode_influxdb_line
+
+    tags_expr = None
+    if tags_col and tags_col in df.columns:
+        # map -> ",k=v" suffix string, keys sorted
+        entries = F.map_entries(F.col(tags_col))
+        tags_expr = F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(entries),
+                lambda e: F.concat(F.lit(","), e["key"], F.lit("="),
+                                   e["value"]),
+            ),
+        )
+    measurement = F.col(measurement_col).cast("string")
+    if tags_expr is not None:
+        measurement = F.concat(measurement, tags_expr)
+    ts_ns = None
+    if ts_col and ts_col in df.columns:
+        ts_ns = (F.col(ts_col).cast("double") * 1e9).cast("long")
+    line = encode_influxdb_line(
+        measurement, {"value": F.col(value_col)}, ts_ns=ts_ns
+    )
+    out = df.select(line.alias("_line"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    write_url = url
+    if "/write" not in url:
+        write_url = (f"{url.rstrip('/')}/api/v2/write?org={org}"
+                     f"&bucket={bucket}&precision=ns")
+
+    def push_partition(rows) -> None:
+        import urllib.request
+
+        headers = {"Content-Type": "text/plain; charset=utf-8"}
+        if token:
+            headers["Authorization"] = f"Token {token}"
+        buf: list[str] = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal buf, sent
+            if not buf:
+                return
+            req = urllib.request.Request(
+                write_url, data=("\n".join(buf) + "\n").encode(),
+                headers=headers,
+            )
+            with urllib.request.urlopen(req,
+                                        timeout=timeout_secs) as resp:
+                resp.read()
+            sent += len(buf)
+            buf = []
+
+        for row in rows:
+            buf.append(row["_line"])
+            if len(buf) >= batch_max_lines:
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
+
+
+def statsd_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    name_col: str = "name",
+    value_col: str = "value",
+    kind_col: str | None = "kind",
+    tags_col: str | None = "tags",
+) -> int:
+    """statsd UDP sink (reference src/sinks/statsd/): one datagram per
+    metric row, `name:value|type[|#tag:v,...]` with counter→c, gauge→g,
+    anything else timing→ms (the reference's mapping). UDP per
+    partition — fire-and-forget like the protocol."""
+    from pyspark.sql import functions as F
+
+    kind = (F.col(kind_col) if kind_col and kind_col in df.columns
+            else F.lit("gauge"))
+    type_code = (
+        F.when(kind == "counter", "c")
+        .when(kind == "gauge", "g")
+        .otherwise("ms")
+    )
+    line = F.concat(
+        F.col(name_col).cast("string"), F.lit(":"),
+        F.col(value_col).cast("string"), F.lit("|"), type_code,
+    )
+    if tags_col and tags_col in df.columns:
+        entries = F.map_entries(F.col(tags_col))
+        tag_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(entries),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            ),
+        )
+        line = F.when(
+            F.size(entries) > 0,
+            F.concat(line, F.lit("|#"), tag_str),
+        ).otherwise(line)
+    out = df.select(line.alias("_line"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        import socket as _socket
+
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        sent = 0
+        try:
+            for row in rows:
+                sock.sendto(row["_line"].encode("utf-8"), (host, port))
+                sent += 1
+        finally:
+            sock.close()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
