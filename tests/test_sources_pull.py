@@ -1255,3 +1255,64 @@ def test_statsd_sink_datagrams(spark):
     got = sorted(recv.recv(1024).decode() for _ in range(3))
     recv.close()
     assert got == ["hits:3.0|c|#env:p", "lat:12.0|ms", "temp:21.5|g"]
+
+
+def test_webhdfs_sink_two_step_create(spark):
+    """CREATE against the namenode returns a datanode Location; the
+    body lands there — both steps observed."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    steps = []
+
+    class DataNode(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            steps.append(("data", self.path, self.rfile.read(n)))
+            self.send_response(201)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    dn = HTTPServer(("127.0.0.1", 0), DataNode)
+    threading.Thread(target=dn.serve_forever, daemon=True).start()
+
+    class NameNode(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            steps.append(("name", self.path, b""))
+            out = json.dumps({"Location":
+                              f"http://127.0.0.1:{dn.server_port}"
+                              + self.path.split("?")[0]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    nn = HTTPServer(("127.0.0.1", 0), NameNode)
+    threading.Thread(target=nn.serve_forever, daemon=True).start()
+    try:
+        from vector_spark.sinks import webhdfs_sink
+
+        df = spark.createDataFrame([("l1",), ("l2",)], "message string") \
+            .coalesce(1)
+        n = webhdfs_sink(
+            df, f"http://127.0.0.1:{nn.server_port}", "/logs/app",
+            user="vector",
+        )
+        assert n == 1
+        kinds = [k for k, _p, _b in steps]
+        assert kinds == ["name", "data"]
+        _k, npath, _b = steps[0]
+        assert npath.startswith("/webhdfs/v1/logs/app/date=")
+        assert "op=CREATE" in npath and "noredirect=true" in npath
+        assert "user.name=vector" in npath
+        _k2, _dpath, body = steps[1]
+        assert body.decode().splitlines() == ["l1", "l2"]
+    finally:
+        nn.shutdown()
+        dn.shutdown()

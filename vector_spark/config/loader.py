@@ -1119,6 +1119,19 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "webhdfs":
+            # reference src/sinks/webhdfs/: endpoint + root + prefix
+            from vector_spark.sinks import webhdfs_sink
+
+            results[name] = {
+                "objects": webhdfs_sink(
+                    df, cfg["endpoint"], cfg["root"],
+                    prefix=cfg.get("prefix", "date=%F/"),
+                    user=cfg.get("user"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "ndjson"),
+                )
+            }
         elif stype == "influxdb":
             # reference src/sinks/influxdb/: endpoint + org/bucket/token
             from vector_spark.sinks import influxdb_sink

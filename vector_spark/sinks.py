@@ -930,3 +930,72 @@ def statsd_sink(
 
     out.foreachPartition(push_partition)
     return counter.value
+
+
+def webhdfs_sink(
+    df: DataFrame,
+    endpoint: str,
+    root: str,
+    prefix: str = "date=%F/",
+    user: str | None = None,
+    value_col: str = "message",
+    encoding: str = "ndjson",
+    timeout_secs: float = 30.0,
+) -> int:
+    """WebHDFS sink (reference src/sinks/webhdfs/): one object per
+    partition via the documented two-step CREATE — PUT
+    ``?op=CREATE&noredirect=true`` to the namenode, then PUT the body
+    to the returned datanode location (the protocol's redirect dance,
+    followed explicitly so it works through proxies). Keys are
+    strftime-prefixed + content hash, like the s3 sink. Returns the
+    number of files written."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_line"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def put_partition(rows) -> None:
+        import hashlib
+        import json as _json
+        import time as _time
+        import urllib.request
+        from datetime import datetime, timezone
+        from urllib.parse import quote
+
+        body = "\n".join(r["_line"] for r in rows).encode("utf-8")
+        if not body:
+            return
+        body += b"\n"
+        now = datetime.now(timezone.utc)
+        name = (f"{now.strftime(prefix)}{int(_time.time())}-"
+                f"{hashlib.sha256(body).hexdigest()[:16]}.log")
+        path = "/".join(
+            s for s in (root.strip("/") + "/" + name).split("/") if s
+        )
+        url = (f"{endpoint.rstrip('/')}/webhdfs/v1/"
+               f"{quote(path, safe='/=-_.~')}"
+               f"?op=CREATE&overwrite=false&noredirect=true")
+        if user:
+            url += f"&user.name={quote(user, safe='')}"
+        req = urllib.request.Request(url, data=b"", method="PUT")
+        with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+            text = resp.read().decode("utf-8")
+            location = resp.headers.get("Location")
+        if not location and text:
+            location = _json.loads(text).get("Location")
+        if not location:
+            raise ConnectionError("webhdfs CREATE returned no Location")
+        req2 = urllib.request.Request(
+            location, data=body, method="PUT",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req2, timeout=timeout_secs) as resp:
+            resp.read()
+        counter.add(1)
+
+    out.foreachPartition(put_partition)
+    return counter.value
