@@ -1316,3 +1316,44 @@ def test_webhdfs_sink_two_step_create(spark):
     finally:
         nn.shutdown()
         dn.shutdown()
+
+
+def test_azure_blob_sink(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import azure_blob_sink
+
+    blobs = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            blobs[self.path] = (
+                self.rfile.read(n),
+                self.headers.get("x-ms-blob-type"),
+            )
+            self.send_response(201)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([("b1",), ("b2",)], "message string") \
+            .coalesce(1)
+        n = azure_blob_sink(
+            df, f"http://127.0.0.1:{srv.server_port}", "logs",
+            sas_token="sv=2021&sig=abc",
+        )
+        assert n == 1
+        (path, (body, blob_type)), = blobs.items()
+        assert path.startswith("/logs/date=")
+        assert path.endswith("?sv=2021&sig=abc")
+        assert blob_type == "BlockBlob"
+        assert body.decode().splitlines() == ["b1", "b2"]
+    finally:
+        srv.shutdown()

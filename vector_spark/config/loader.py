@@ -1119,6 +1119,20 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "azure_blob":
+            # reference src/sinks/azure_blob/: endpoint + container
+            from vector_spark.sinks import azure_blob_sink
+
+            results[name] = {
+                "objects": azure_blob_sink(
+                    df, cfg["endpoint"], cfg["container"],
+                    prefix=cfg.get("prefix", "date=%F/"),
+                    sas_token=cfg.get("sas_token", ""),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "ndjson"),
+                    gzip_objects=bool(cfg.get("compression") == "gzip"),
+                )
+            }
         elif stype == "webhdfs":
             # reference src/sinks/webhdfs/: endpoint + root + prefix
             from vector_spark.sinks import webhdfs_sink
