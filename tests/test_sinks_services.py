@@ -226,3 +226,32 @@ def test_loki_batch_split_keeps_stream_contiguity(spark, capture_server):
             ts = [int(v[0]) for v in s["values"]]
             assert ts == sorted(ts)
     assert total == 9
+
+
+def test_honeycomb_batch_envelopes(spark, capture_server):
+    from vector_spark.sinks_services import honeycomb_sink
+
+    base, reqs = capture_server
+    n = honeycomb_sink(_events(spark, 3), base, "my-dataset", "hc-key")
+    assert n == 3
+    assert reqs and reqs[0]["path"] == "/1/batch/my-dataset"
+    assert reqs[0]["headers"]["X-Honeycomb-Team"] == "hc-key"
+    events = json.loads(reqs[0]["body"])
+    assert len(events) == 3
+    # timestamp lifted into the envelope, payload under data
+    assert events[0]["time"].startswith("2024-03-05T06:07:00")
+    assert events[0]["data"]["message"] == "msg 0"
+    assert "ts" not in events[0]["data"]
+
+
+def test_new_relic_logs_array(spark, capture_server):
+    from vector_spark.sinks_services import new_relic_logs_sink
+
+    base, reqs = capture_server
+    n = new_relic_logs_sink(_events(spark, 2), "lic-key",
+                            endpoint=base + "/log/v1")
+    assert n == 2
+    assert reqs and reqs[0]["path"] == "/log/v1"
+    assert reqs[0]["headers"]["Api-Key"] == "lic-key"
+    events = json.loads(reqs[0]["body"])
+    assert [e["message"] for e in events] == ["msg 0", "msg 1"]

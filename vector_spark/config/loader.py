@@ -1119,6 +1119,26 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "honeycomb":
+            from vector_spark.sinks_services import honeycomb_sink
+
+            results[name] = {
+                "sent": honeycomb_sink(
+                    df, cfg.get("endpoint", "https://api.honeycomb.io"),
+                    cfg["dataset"], cfg["api_key"],
+                )
+            }
+        elif stype == "new_relic":
+            from vector_spark.sinks_services import new_relic_logs_sink
+
+            results[name] = {
+                "sent": new_relic_logs_sink(
+                    df, cfg["license_key"],
+                    endpoint=cfg.get(
+                        "endpoint",
+                        "https://log-api.newrelic.com/log/v1"),
+                )
+            }
         elif stype == "azure_blob":
             # reference src/sinks/azure_blob/: endpoint + container
             from vector_spark.sinks import azure_blob_sink

@@ -324,3 +324,62 @@ def splunk_hec_sink(
         },
         batch_max_events, batch_max_bytes, timeout_secs,
     )
+
+
+def honeycomb_sink(
+    df: DataFrame,
+    endpoint: str,
+    dataset: str,
+    api_key: str,
+    ts_col: str = "ts",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """POST a JSON array of ``{"time": rfc3339, "data": {event}}``
+    envelopes to ``/1/batch/{dataset}`` with the ``X-Honeycomb-Team``
+    key header (reference src/sinks/honeycomb/: config.rs:158 batch
+    URL, encoder.rs:41 time envelope). The event's remaining fields
+    travel inside ``data``, timestamp lifted out — the reference's
+    remove_timestamp behavior."""
+    data_cols = [c for c in df.columns if c != ts_col]
+    env = F.to_json(
+        F.struct(
+            F.date_format(
+                F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX"
+            ).alias("time") if ts_col in df.columns else
+            F.lit(None).cast("string").alias("time"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("data"),
+        )
+    )
+    lines = df.select(env.alias("line"))
+    url = f"{endpoint.rstrip('/')}/1/batch/{dataset}"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "X-Honeycomb-Team": api_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
+
+
+def new_relic_logs_sink(
+    df: DataFrame,
+    license_key: str,
+    endpoint: str = "https://log-api.newrelic.com/log/v1",
+    message_col: str = "message",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """POST a JSON array of log objects to the Log API with the
+    ``Api-Key`` license header (reference src/sinks/new_relic/:
+    config.rs:210 endpoints, service.rs:87 header; the JSON-array body
+    is the documented logs shape, model.rs:344)."""
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    return _post_lines_per_partition(
+        lines, endpoint,
+        {"Content-Type": "application/json", "Api-Key": license_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
