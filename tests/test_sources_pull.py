@@ -1357,3 +1357,48 @@ def test_azure_blob_sink(spark):
         assert body.decode().splitlines() == ["b1", "b2"]
     finally:
         srv.shutdown()
+
+
+def test_gcs_sink_media_upload(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlsplit
+
+    from vector_spark.sinks import gcs_sink
+
+    uploads = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            uploads.append((self.path,
+                            self.headers.get("Authorization"),
+                            self.rfile.read(n)))
+            out = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([("g1",), ("g2",)], "message string") \
+            .coalesce(1)
+        n = gcs_sink(df, "corpus",
+                     endpoint=f"http://127.0.0.1:{srv.server_port}",
+                     auth_token="tok")
+        assert n == 1
+        path, auth, body = uploads[0]
+        parts = urlsplit(path)
+        assert parts.path == "/upload/storage/v1/b/corpus/o"
+        q = parse_qs(parts.query)
+        assert q["uploadType"] == ["media"]
+        assert q["name"][0].startswith("date=")
+        assert auth == "Bearer tok"
+        assert body.decode().splitlines() == ["g1", "g2"]
+    finally:
+        srv.shutdown()

@@ -1119,6 +1119,22 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "gcp_cloud_storage":
+            # reference src/sinks/gcp/cloud_storage/: bucket + prefix
+            from vector_spark.sinks import gcs_sink
+
+            results[name] = {
+                "objects": gcs_sink(
+                    df, cfg["bucket"],
+                    prefix=cfg.get("key_prefix", "date=%F/"),
+                    endpoint=cfg.get("endpoint",
+                                     "https://storage.googleapis.com"),
+                    auth_token=cfg.get("auth_token"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "ndjson"),
+                    gzip_objects=bool(cfg.get("compression") == "gzip"),
+                )
+            }
         elif stype == "honeycomb":
             from vector_spark.sinks_services import honeycomb_sink
 

@@ -1066,3 +1066,62 @@ def azure_blob_sink(
 
     out.foreachPartition(put_partition)
     return counter.value
+
+
+def gcs_sink(
+    df: DataFrame,
+    bucket: str,
+    prefix: str = "date=%F/",
+    endpoint: str = "https://storage.googleapis.com",
+    auth_token: str | None = None,
+    value_col: str = "message",
+    encoding: str = "ndjson",
+    gzip_objects: bool = False,
+    timeout_secs: float = 30.0,
+) -> int:
+    """Google Cloud Storage sink (reference src/sinks/gcp/cloud_storage
+    /): one JSON-API media upload per partition
+    (``POST /upload/storage/v1/b/{bucket}/o?uploadType=media&name=``),
+    bearer-token auth (live API or fake-gcs-server via ``endpoint``),
+    strftime + content-hash object names like the s3/azure sinks.
+    Returns the object count."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_line"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+
+    def put_partition(rows) -> None:
+        import gzip as _gzip
+        import hashlib
+        import time as _time
+        import urllib.request
+        from datetime import datetime, timezone
+        from urllib.parse import quote
+
+        body = "\n".join(r["_line"] for r in rows).encode("utf-8")
+        if not body:
+            return
+        body += b"\n"
+        ext = "log" if encoding != "json" else "ndjson"
+        if gzip_objects:
+            body = _gzip.compress(body, mtime=0)
+            ext += ".gz"
+        now = datetime.now(timezone.utc)
+        name = (f"{now.strftime(prefix)}{int(_time.time())}-"
+                f"{hashlib.sha256(body).hexdigest()[:16]}.{ext}")
+        url = (f"{endpoint.rstrip('/')}/upload/storage/v1/b/{bucket}/o"
+               f"?uploadType=media&name={quote(name, safe='')}")
+        headers = {"Content-Type": "application/octet-stream"}
+        if auth_token:
+            headers["Authorization"] = f"Bearer {auth_token}"
+        req = urllib.request.Request(url, data=body, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+            resp.read()
+        counter.add(1)
+
+    out.foreachPartition(put_partition)
+    return counter.value
