@@ -1402,3 +1402,47 @@ def test_gcs_sink_media_upload(spark):
         assert body.decode().splitlines() == ["g1", "g2"]
     finally:
         srv.shutdown()
+
+
+def test_aws_cloudwatch_metrics_sink(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs
+
+    from vector_spark.sinks import aws_cloudwatch_metrics_sink
+
+    posts = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            posts.append((self.headers.get("Authorization", ""),
+                          parse_qs(self.rfile.read(n).decode())))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("cpu", 0.5), ("mem", 2.0)], "name string, value double"
+        ).coalesce(1)
+        n = aws_cloudwatch_metrics_sink(
+            df, "MyApp", region="us-east-1",
+            access_key="AK", secret_key="SK",
+            endpoint=f"http://127.0.0.1:{srv.server_port}/",
+        )
+        assert n == 2
+        auth, q = posts[0]
+        assert "/us-east-1/monitoring/aws4_request" in auth
+        assert q["Action"] == ["PutMetricData"]
+        assert q["Namespace"] == ["MyApp"]
+        assert q["MetricData.member.1.MetricName"] == ["cpu"]
+        assert q["MetricData.member.1.Value"] == ["0.5"]
+        assert q["MetricData.member.2.MetricName"] == ["mem"]
+    finally:
+        srv.shutdown()

@@ -1119,6 +1119,20 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
             }
+        elif stype == "aws_cloudwatch_metrics":
+            from vector_spark.sinks import aws_cloudwatch_metrics_sink
+
+            results[name] = {
+                "sent": aws_cloudwatch_metrics_sink(
+                    df, cfg.get("default_namespace", "vector"),
+                    region=cfg["region"],
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    name_col=cfg.get("name_col", "name"),
+                    value_col=cfg.get("value_col", "value"),
+                )
+            }
         elif stype == "gcp_cloud_storage":
             # reference src/sinks/gcp/cloud_storage/: bucket + prefix
             from vector_spark.sinks import gcs_sink

@@ -1125,3 +1125,94 @@ def gcs_sink(
 
     out.foreachPartition(put_partition)
     return counter.value
+
+
+def aws_cloudwatch_metrics_sink(
+    df: DataFrame,
+    namespace: str,
+    region: str,
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    name_col: str = "name",
+    value_col: str = "value",
+    ts_col: str | None = "ts",
+    batch_size: int = 20,
+    timeout_secs: float = 10.0,
+) -> int:
+    """CloudWatch Metrics sink (reference src/sinks/
+    aws_cloudwatch_metrics/): PutMetricData over the QUERY protocol
+    (``Action=PutMetricData&MetricData.member.N.*`` form encoding —
+    CloudWatch's API predates the JSON protocol), batches of 20 (the
+    API maximum), SigV4-signed. Returns the metric count."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(name_col).cast("string").alias("_name"),
+            F.col(value_col).cast("double").alias("_value")]
+    if ts_col and ts_col in df.columns:
+        cols.append(
+            F.date_format(F.col(ts_col),
+                          "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("_ts")
+        )
+    out = df.select(*cols)
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint or f"https://monitoring.{region}.amazonaws.com/"
+
+    def push_partition(rows) -> None:
+        import urllib.request
+        from datetime import datetime, timezone
+        from urllib.parse import quote
+
+        from vector_spark.functions.sigv4 import sign_request
+
+        batch = []
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, sent
+            if not batch:
+                return
+            params = [("Action", "PutMetricData"),
+                      ("Version", "2010-08-01"),
+                      ("Namespace", namespace)]
+            for i, row in enumerate(batch, start=1):
+                params.append(
+                    (f"MetricData.member.{i}.MetricName", row["_name"])
+                )
+                params.append(
+                    (f"MetricData.member.{i}.Value", repr(row["_value"]))
+                )
+                if "_ts" in row and row["_ts"]:
+                    params.append(
+                        (f"MetricData.member.{i}.Timestamp", row["_ts"])
+                    )
+            body = "&".join(
+                f"{quote(k, safe='')}={quote(v, safe='')}"
+                for k, v in params
+            ).encode()
+            amz_date = datetime.now(timezone.utc).strftime(
+                "%Y%m%dT%H%M%SZ"
+            )
+            headers = sign_request(
+                "POST", url,
+                {"Content-Type":
+                 "application/x-www-form-urlencoded; charset=utf-8"},
+                body, access_key, secret_key, region, "monitoring",
+                amz_date,
+            )
+            req = urllib.request.Request(url, data=body, headers=headers)
+            with urllib.request.urlopen(req,
+                                        timeout=timeout_secs) as resp:
+                resp.read()
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            batch.append(row)
+            if len(batch) >= min(batch_size, 20):
+                flush()
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
