@@ -293,6 +293,50 @@ def test_lua_init_shutdown_and_timers_error(spark):
         )
 
 
+def test_lua_v2_state_persists_across_arrow_batches(spark):
+    """The counter pattern from the reference's lua v2 docs: a
+    `source`-chunk global incremented per event and emitted at
+    shutdown. The interpreter env must live per PARTITION, so the
+    final counter equals the partition's row count even when Arrow
+    splits the partition into many batches (maxRecordsPerBatch=7)."""
+    from vector_spark.operators.lua import lua_transform
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        n = 100
+        df = spark.createDataFrame(
+            [(i,) for i in range(n)], "seq long"
+        ).coalesce(1)
+        out = lua_transform(
+            df,
+            source="counter = 0",
+            hooks={
+                "process": """
+                function (event, emit)
+                  counter = counter + 1
+                end
+                """,
+                "shutdown": """
+                function (emit)
+                  emit({ log = { total = counter } })
+                end
+                """,
+            },
+            schema="total long",
+        ).collect()
+        totals = sorted(r.total for r in out if r.total is not None)
+        # one partition → exactly one shutdown emission, counting ALL
+        # rows (a per-batch env would emit ceil(100/7)=15 partials)
+        assert totals == [n]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_lua_via_topology_loader(tmp_path, spark):
     """A reference-style config with embedded Lua runs through
     load_topology end-to-end."""

@@ -1236,15 +1236,29 @@ def url_filter(
     blocklist would become a broadcast join on the host instead, noted
     here so nobody scales the literal chain)."""
     url = F.col(url_col)
+    # Real crawl URL lists carry three shapes: absolute
+    # (`https://h/p`), protocol-relative (`//h/p`), and bare
+    # (`h/p`). The scheme-anchored extract handles only the first;
+    # when it comes back empty, fall back to an authority-first
+    # extract so the other two still hit the domain gate instead of
+    # silently passing with an empty host.
+    scheme_host = F.regexp_extract(
+        url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+    )
+    bare_host = F.regexp_extract(url, r"^(?://)?([^/:?#]+)", 1)
     host = F.lower(
-        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+        F.when(scheme_host != F.lit(""), scheme_host).otherwise(bare_host)
     )
     dom_blocked = F.lit(False)
     for d in blocked_domains:
         d = d.lower()
         dom_blocked = dom_blocked | (host == d) | host.endswith("." + d)
+    scheme_rest = F.regexp_extract(
+        url, r"^[a-z][a-z0-9+.-]*://[^/]*(.*)$", 1
+    )
+    bare_rest = F.regexp_extract(url, r"^(?://)?[^/]*(.*)$", 1)
     rest = F.lower(
-        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]*(.*)$", 1)
+        F.when(scheme_host != F.lit(""), scheme_rest).otherwise(bare_rest)
     )
     word_blocked = F.lit(False)
     for w in blocked_words or []:

@@ -68,39 +68,74 @@ def _hook_fn(env, spec: str):
     return fn
 
 
+class _V2Runner:
+    """One v2 interpreter lifecycle: env + hooks built ONCE, `init`
+    fired before the first event, `process` per event against the
+    SHARED env (so `source`-chunk globals — counters, caches — persist
+    across Arrow batches, matching the reference's persistent per-
+    instance Lua state), `shutdown` after the last event."""
+
+    def __init__(self, source: str | None, hooks: dict, kind: str):
+        self.kind = kind
+        self.emitted: list[dict] = []
+
+        def emit(ev):
+            d = li.from_lua(ev)
+            if not isinstance(d, dict):
+                raise LuaConfigError("emit() expects an event table")
+            body = (d.get("log") if d.get("log") is not None
+                    else d.get("metric"))
+            if body is None:
+                return  # event with both subtables nil: dropped
+            if not isinstance(body, dict):
+                raise LuaConfigError("event.log/.metric must be a table")
+            self.emitted.append(body)
+
+        self._emit = emit
+        env = li.make_globals({"emit": emit})
+        if source:
+            li.run(source, env)
+        self._process = _hook_fn(env, hooks["process"])
+        self._init = _hook_fn(env, hooks["init"]) if hooks.get("init") \
+            else None
+        self._shutdown = (
+            _hook_fn(env, hooks["shutdown"]) if hooks.get("shutdown")
+            else None
+        )
+        self._started = False
+
+    def _drain(self) -> list[dict]:
+        out, self.emitted = self.emitted, []
+        return out
+
+    def process_rows(self, rows: list[dict]) -> list[dict]:
+        if not self._started:
+            self._started = True
+            if self._init is not None:
+                self._init(self._emit)
+        for row in rows:
+            self._process(li.to_lua({self.kind: row}), self._emit)
+        return self._drain()
+
+    def finish(self) -> list[dict]:
+        if not self._started:
+            self._started = True
+            if self._init is not None:
+                self._init(self._emit)
+        if self._shutdown is not None:
+            self._shutdown(self._emit)
+        return self._drain()
+
+
 def _run_events_v2(rows: list[dict], source: str | None, hooks: dict,
                    kind: str) -> list[dict]:
-    """Interpret a batch of event dicts through the v2 hook lifecycle;
-    returns the flattened emitted dicts."""
-    emitted: list[dict] = []
-
-    def emit(ev):
-        d = li.from_lua(ev)
-        if not isinstance(d, dict):
-            raise LuaConfigError("emit() expects an event table")
-        body = d.get("log") if d.get("log") is not None else d.get("metric")
-        if body is None:
-            return  # event with both subtables nil: dropped
-        if not isinstance(body, dict):
-            raise LuaConfigError("event.log/.metric must be a table")
-        emitted.append(body)
-
-    env = li.make_globals({"emit": emit})
-    if source:
-        li.run(source, env)
-    process = _hook_fn(env, hooks["process"])
-    init = _hook_fn(env, hooks["init"]) if hooks.get("init") else None
-    shutdown = (
-        _hook_fn(env, hooks["shutdown"]) if hooks.get("shutdown") else None
-    )
-    if init is not None:
-        init(emit)
-    for row in rows:
-        ev = li.to_lua({kind: row})
-        process(ev, emit)
-    if shutdown is not None:
-        shutdown(emit)
-    return emitted
+    """One full lifecycle over a single batch (used for driver-side
+    schema inference; the partition path in ``lua_transform`` keeps the
+    runner alive across batches)."""
+    runner = _V2Runner(source, hooks, kind)
+    out = runner.process_rows(rows)
+    out.extend(runner.finish())
+    return out
 
 
 def _run_events_v1(rows: list[dict], source: str) -> list[dict]:
@@ -209,12 +244,32 @@ def lua_transform(
         schema = StructType.fromDDL(str(schema))
     cols = schema.fieldNames()
 
+    def _frame(events: list[dict]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: [e.get(c) for e in events] for c in cols},
+            columns=cols,
+        )
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            events = run_batch(pdf.to_dict("records"))
-            yield pd.DataFrame(
-                {c: [e.get(c) for e in events] for c in cols},
-                columns=cols,
-            )
+        if version == "2":
+            # one interpreter env per PARTITION: init fires before the
+            # first event, globals persist across Arrow batches, and
+            # shutdown fires after the iterator is exhausted — the
+            # reference's per-instance Lua lifecycle. Empty emissions
+            # are skipped (an empty pandas frame defaults every column
+            # to float64, which Arrow can't cast to struct/array).
+            runner = _V2Runner(source, hooks, kind)
+            for pdf in batches:
+                events = runner.process_rows(pdf.to_dict("records"))
+                if events:
+                    yield _frame(events)
+            tail = runner.finish()
+            if tail:
+                yield _frame(tail)
+        else:
+            for pdf in batches:
+                events = _run_events_v1(pdf.to_dict("records"), source)
+                if events:
+                    yield _frame(events)
 
     return df.mapInPandas(fn, schema=schema)

@@ -4654,6 +4654,9 @@ QUERIES: dict[str, QuerySpec] = {
                         (4, "https://notbad.com/fine"),
                         (5, "https://ok.net/casino-bonus"),
                         (6, "https://casino.example.org/"),
+                        (7, "//bad.com/protocol-relative"),
+                        (8, "bad.com/bare-path"),
+                        (9, "good.example.org/casino-page"),
                     ],
                     "doc_id long, url string",
                 ),
@@ -4671,14 +4674,25 @@ QUERIES: dict[str, QuerySpec] = {
           (3, 'http://x.y.bad.com/a?b=1'),
           (4, 'https://notbad.com/fine'),
           (5, 'https://ok.net/casino-bonus'),
-          (6, 'https://casino.example.org/')
+          (6, 'https://casino.example.org/'),
+          (7, '//bad.com/protocol-relative'),
+          (8, 'bad.com/bare-path'),
+          (9, 'good.example.org/casino-page')
+        ), sh AS (
+          SELECT doc_id, url,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS s
+          FROM src
         ), parts AS (
           SELECT doc_id, url,
-                 lower(regexp_extract(url,
-                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
-                 lower(regexp_extract(url,
-                   '^[a-z][a-z0-9+.-]*://[^/]*(.*)$', 1)) AS rest
-          FROM src
+                 lower(CASE WHEN s <> '' THEN s
+                       ELSE regexp_extract(url,
+                         '^(?://)?([^/:?#]+)', 1) END) AS host,
+                 lower(CASE WHEN s <> '' THEN regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://[^/]*(.*)$', 1)
+                       ELSE regexp_extract(url,
+                         '^(?://)?[^/]*(.*)$', 1) END) AS rest
+          FROM sh
         )
         SELECT doc_id, url, host,
                (host = 'bad.com' OR host LIKE '%.bad.com')

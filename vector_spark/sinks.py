@@ -709,8 +709,12 @@ def aws_cloudwatch_logs_sink(
             batch = []
 
         for row in rows:
-            ts = row["_ts_ms"] if "_ts_ms" in row and row["_ts_ms"] \
-                else int(_time.time() * 1000)
+            # explicit None check: a legitimate epoch timestamp of 0
+            # must NOT fall back to the executor wall clock (only a
+            # missing column or a null value does).
+            ts = (row["_ts_ms"] if "_ts_ms" in row
+                  and row["_ts_ms"] is not None
+                  else int(_time.time() * 1000))
             batch.append({"timestamp": ts, "message": row["_payload"]})
             if len(batch) >= batch_size:
                 flush()

@@ -258,9 +258,17 @@ def redis_sink(
     out = df.select(*cols)
     counter = df.sparkSession.sparkContext.accumulator(0)
 
+    # Pipeline depth cap: replies are drained every DRAIN_EVERY
+    # commands rather than once after the whole partition — an
+    # unbounded pipeline fills the server's output buffer and our
+    # receive buffer, the server stops reading, and sendall blocks
+    # until the socket timeout kills the task.
+    DRAIN_EVERY = 512
+
     def push_partition(rows) -> None:
         client = None
         sent = 0
+        unread = 0
         try:
             for row in rows:
                 if client is None:
@@ -278,8 +286,13 @@ def redis_sink(
                     )
                 client.sock.sendall(cmd)
                 sent += 1
+                unread += 1
+                if unread >= DRAIN_EVERY:
+                    for _ in range(unread):
+                        client._recv_reply()
+                    unread = 0
             if client is not None:
-                for _ in range(sent):
+                for _ in range(unread):
                     client._recv_reply()
         finally:
             if client is not None:
@@ -855,10 +868,18 @@ class AmqpClient:
             + len(body).to_bytes(8, "big")
             + b"\x00\x00"                             # no property flags
         )
-        self.sock.sendall(
-            amqp_encode_frame(_AMQP_FRAME_HEADER, 1, header)
-            + amqp_encode_frame(_AMQP_FRAME_BODY, 1, body)
-        )
+        # The content body must be split at the NEGOTIATED frame-max
+        # (tune-ok): each frame is 8 bytes of envelope (type+channel+
+        # size header and the 0xCE end octet) around the payload, and a
+        # body frame larger than frame_max is a protocol violation the
+        # broker answers with a connection close.
+        max_chunk = max(1, self.frame_max - 8)
+        frames = amqp_encode_frame(_AMQP_FRAME_HEADER, 1, header)
+        for off in range(0, len(body), max_chunk):
+            frames += amqp_encode_frame(
+                _AMQP_FRAME_BODY, 1, body[off:off + max_chunk]
+            )
+        self.sock.sendall(frames)
 
     def close(self) -> None:
         self.sock.close()

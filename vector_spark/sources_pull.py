@@ -32,6 +32,7 @@ import re
 import subprocess
 import sys
 import time
+import urllib.parse
 import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1280,6 +1281,13 @@ def aws_s3_source(
                 key = (s3info.get("object") or {}).get("key", "")
                 if not bucket or not key:
                     continue
+                # S3 event notifications URL-encode the object key
+                # ('+' for space plus %XX escapes); the reference
+                # percent-decodes before GetObject
+                # (src/sources/aws_s3/sqs.rs urlencoded_string).
+                # Without this, s3_get_object re-quotes the encoded
+                # key and fetches a wrong (double-encoded) path.
+                key = urllib.parse.unquote_plus(key)
                 data = s3_get_object(
                     bucket, key, region, access_key, secret_key,
                     endpoint=s3_endpoint, timeout_secs=timeout_secs,
