@@ -88,6 +88,9 @@ HEADLINE = [
     "docs_temperature_mixture",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
+    # round-9 additions
+    "prometheus_rw_roundtrip",
+    "datadog_series_v2_roundtrip",
 ]
 
 

@@ -1169,6 +1169,77 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                         "https://log-api.newrelic.com/log/v1"),
                 )
             }
+        elif stype == "prometheus_remote_write":
+            # reference src/sinks/prometheus/remote_write/: snappy
+            # WriteRequest protobuf + version header, tenant → OrgID
+            from vector_spark.sinks_telemetry import (
+                prometheus_remote_write_sink,
+            )
+
+            results[name] = {
+                "sent": prometheus_remote_write_sink(
+                    df, cfg["endpoint"],
+                    name_col=cfg.get("name_col", "name"),
+                    tags_col=cfg.get("tags_col", "tags"),
+                    value_col=cfg.get("value_col", "value"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    tenant_id=cfg.get("tenant_id"),
+                )
+            }
+        elif stype == "opentelemetry":
+            # reference src/sinks/opentelemetry/: OTLP over HTTP,
+            # default JSON protocol
+            from vector_spark.sinks_telemetry import (
+                opentelemetry_logs_sink,
+            )
+
+            results[name] = {
+                "sent": opentelemetry_logs_sink(
+                    df, cfg["endpoint"],
+                    path=cfg.get("path", "/v1/logs"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    body_col=cfg.get("body_col",
+                                     cfg.get("value_col", "message")),
+                    resource_attrs=cfg.get("resource_attrs"),
+                )
+            }
+        elif stype == "datadog_metrics":
+            # reference src/sinks/datadog/metrics/: v2 series protobuf
+            # (+ sketches via mode: sketches)
+            if cfg.get("mode") == "sketches":
+                from vector_spark.sinks_telemetry import (
+                    datadog_sketches_sink,
+                )
+
+                results[name] = {
+                    "sent": datadog_sketches_sink(
+                        df, cfg["api_key"],
+                        endpoint=cfg.get("endpoint",
+                                         "https://api.datadoghq.com"),
+                        metric_col=cfg.get("metric_col", "name"),
+                        host_col=cfg.get("host_col"),
+                        tags_col=cfg.get("tags_col", "tags"),
+                    )
+                }
+            else:
+                from vector_spark.sinks_telemetry import (
+                    datadog_metrics_sink,
+                )
+
+                results[name] = {
+                    "sent": datadog_metrics_sink(
+                        df, cfg["api_key"],
+                        endpoint=cfg.get("endpoint",
+                                         "https://api.datadoghq.com"),
+                        metric_col=cfg.get("metric_col", "name"),
+                        type_col=cfg.get("type_col"),
+                        default_type=cfg.get("default_type", "gauge"),
+                        tags_col=cfg.get("tags_col", "tags"),
+                        value_col=cfg.get("value_col", "value"),
+                        ts_col=cfg.get("ts_col", "ts"),
+                        interval=cfg.get("interval"),
+                    )
+                }
         elif stype == "azure_blob":
             # reference src/sinks/azure_blob/: endpoint + container
             from vector_spark.sinks import azure_blob_sink

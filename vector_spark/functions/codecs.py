@@ -208,10 +208,14 @@ def encode_otlp_logs(
     severity_text: Column,
     resource_attrs: dict[str, Column],
     scope_name: str = "vector_spark",
+    envelope: bool = True,
 ) -> Column:
     """One event → one OTLP/JSON ExportLogsServiceRequest payload.
     timeUnixNano is serialized as a decimal string (the OTLP JSON mapping
-    for uint64 fields)."""
+    for uint64 fields). With ``envelope=False`` returns just the
+    resourceLogs ELEMENT json — the opentelemetry sink batches many
+    elements into one request body (`{"resourceLogs":[e1,e2,...]}`)
+    with byte-level concatenation, keeping all encoding JVM-side."""
     record = F.struct(
         (F.unix_micros(ts) * 1000).cast("string").alias("timeUnixNano"),
         severity_number.cast("int").alias("severityNumber"),
@@ -231,6 +235,8 @@ def encode_otlp_logs(
             )
         ).alias("scopeLogs"),
     )
+    if not envelope:
+        return F.to_json(resource_log)
     return F.to_json(F.struct(F.array(resource_log).alias("resourceLogs")))
 
 
@@ -776,3 +782,112 @@ def decode_splunk_hec(c: Column) -> Column:
         g("$.sourcetype", "string").alias("sourcetype"),
         g("$.index", "string").alias("index"),
     )
+
+
+def encode_prometheus_rw(sample: Column) -> Column:
+    """prometheus remote_write encoding: a struct Column
+    (name, tags map, value, ts_ms) → snappy-compressed WriteRequest
+    wire bytes, one single-sample request per row — the sink's codec
+    (src/sinks/prometheus/remote_write/request_builder.rs) exposed as
+    a Column for the encode→decode oracle roundtrip."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        from vector_spark.functions.protowire import (
+            encode_prometheus_write_request,
+        )
+        from vector_spark.functions.snappy import compress
+
+        rows = s.to_dict("records")
+        return pd.Series([
+            None if r is None else compress(
+                encode_prometheus_write_request(
+                    [(r["name"], r["tags"], r["value"], r["ts_ms"])]
+                )
+            )
+            for r in rows
+        ])
+
+    return enc(sample)
+
+
+def decode_prometheus_rw_json(payload: Column) -> Column:
+    """snappy WriteRequest bytes → the first sample's fields as JSON
+    text (the source endpoint's flattening) — from_json downstream."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s: pd.Series) -> pd.Series:
+        from vector_spark.functions.protowire import (
+            decode_prometheus_write_request,
+        )
+        from vector_spark.functions.snappy import decompress
+
+        return pd.Series([
+            None if b is None else _json.dumps(
+                decode_prometheus_write_request(decompress(bytes(b)))[0]
+            )
+            for b in s
+        ])
+
+    return dec(payload)
+
+
+def encode_datadog_series_v2(series: Column) -> Column:
+    """datadog series-v2 encoding: a struct Column (metric, type,
+    tags array, value, ts) → zlib MetricPayload wire bytes, one
+    single-point payload per row (src/sinks/datadog/metrics/
+    encoder.rs) — the oracle-roundtrip Column form of the sink's
+    codec."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        import zlib
+
+        from vector_spark.functions.protowire import (
+            encode_datadog_metric_payload,
+        )
+
+        return pd.Series([
+            None if r is None else zlib.compress(
+                encode_datadog_metric_payload([{
+                    "metric": r["metric"], "type": r["type"],
+                    "tags": list(r["tags"] or []),
+                    "points": [(r["ts"], r["value"])],
+                }])
+            )
+            for r in s.to_dict("records")
+        ])
+
+    return enc(series)
+
+
+def decode_datadog_series_v2_json(payload: Column) -> Column:
+    """zlib MetricPayload bytes → the first point's flat fields as
+    JSON text (the datadog_agent intake's fan-out shape)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s: pd.Series) -> pd.Series:
+        import zlib
+
+        from vector_spark.functions.protowire import (
+            decode_datadog_metric_payload,
+        )
+
+        return pd.Series([
+            None if b is None else _json.dumps(
+                decode_datadog_metric_payload(
+                    zlib.decompress(bytes(b))
+                )[0]
+            )
+            for b in s
+        ])
+
+    return dec(payload)

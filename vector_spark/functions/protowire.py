@@ -750,3 +750,135 @@ def decode_datadog_metric_payload(buf: bytes) -> list[dict]:
                 "value": point.get("value"),
             })
     return out
+
+
+_DD_METRIC_TYPE_NUMS = {v: k for k, v in _DD_METRIC_TYPES.items()}
+
+
+def encode_datadog_metric_payload(series_rows: list[dict]) -> bytes:
+    """Flat series dicts (metric, type name, tags list, interval,
+    points [(ts, value), ...]) → v2 MetricPayload wire bytes — the
+    encode mirror of decode_datadog_metric_payload, used by the
+    datadog_metrics sink (reference src/sinks/datadog/metrics/
+    encoder.rs series_to_proto_message)."""
+    series = []
+    for row in series_rows:
+        s: dict = {
+            "metric": row["metric"],
+            "type": _DD_METRIC_TYPE_NUMS.get(
+                row.get("type", "gauge"), 0
+            ),
+            "points": [
+                {"timestamp": int(t), "value": float(v)}
+                for t, v in row.get("points", [])
+            ],
+        }
+        if row.get("tags"):
+            s["tags"] = list(row["tags"])
+        if row.get("interval"):
+            s["interval"] = int(row["interval"])
+        if row.get("unit"):
+            s["unit"] = row["unit"]
+        if row.get("resources"):
+            s["resources"] = [
+                {"type": r["type"], "name": r["name"]}
+                for r in row["resources"]
+            ]
+        series.append(s)
+    return encode_message({"series": series},
+                          DATADOG_REGISTRY["MetricPayload"],
+                          DATADOG_REGISTRY)
+
+
+def encode_datadog_sketch_payload(sketch_rows: list[dict]) -> bytes:
+    """Flat sketch dicts (metric, host, tags, ts, cnt, min, max, avg,
+    sum, k, n) → SketchPayload wire bytes — the encode mirror of
+    decode_datadog_sketches (one Dogsketch per input row; rows sharing
+    (metric, host, tags) merge into one Sketch)."""
+    groups: dict = {}
+    order: list = []
+    for row in sketch_rows:
+        gk = (row["metric"], row.get("host", ""),
+              tuple(row.get("tags") or []))
+        if gk not in groups:
+            groups[gk] = []
+            order.append(gk)
+        groups[gk].append({
+            "ts": int(row["ts"]), "cnt": int(row["cnt"]),
+            "min": float(row["min"]), "max": float(row["max"]),
+            "avg": float(row["avg"]), "sum": float(row["sum"]),
+            "k": [int(x) for x in (row.get("k") or [])],
+            "n": [int(x) for x in (row.get("n") or [])],
+        })
+    sketches = []
+    for metric, host, tags in order:
+        sk: dict = {"metric": metric, "host": host,
+                    "dogsketches": groups[(metric, host, tags)]}
+        if tags:
+            sk["tags"] = list(tags)
+        sketches.append(sk)
+    return encode_message({"sketches": sketches},
+                          DATADOG_REGISTRY["SketchPayload"],
+                          DATADOG_REGISTRY)
+
+
+# ---- prometheus remote-write WriteRequest (the public prompb schema,
+# shared by the remote_write SOURCE decode in sources.py and the
+# remote_write SINK encode in sinks_telemetry.py) ------------------------
+
+PROMETHEUS_REGISTRY = {
+    "WriteRequest": {1: ("timeseries", "repeated msg:TimeSeries")},
+    "TimeSeries": {
+        1: ("labels", "repeated msg:Label"),
+        2: ("samples", "repeated msg:Sample"),
+    },
+    "Label": {1: ("name", "string"), 2: ("value", "string")},
+    "Sample": {1: ("value", "double"), 2: ("timestamp", "int64")},
+}
+
+
+def encode_prometheus_write_request(
+    samples: list[tuple],
+) -> bytes:
+    """(name, tags_dict, value, ts_ms) tuples → WriteRequest wire
+    bytes. Samples sharing an identical label set collapse into one
+    TimeSeries; labels are sorted by name and samples by timestamp —
+    the remote-write spec's ordering requirements (reference
+    src/sinks/prometheus/remote_write/request_builder.rs)."""
+    groups: dict = {}
+    order: list = []
+    for name, tags, value, ts_ms in samples:
+        labels = tuple(sorted({**(tags or {}), "__name__": name}.items()))
+        if labels not in groups:
+            groups[labels] = []
+            order.append(labels)
+        groups[labels].append((int(ts_ms), float(value)))
+    ts_list = []
+    for labels in order:
+        pts = sorted(groups[labels])
+        ts_list.append({
+            "labels": [{"name": k, "value": v} for k, v in labels],
+            "samples": [{"value": v, "timestamp": t} for t, v in pts],
+        })
+    return encode_message({"timeseries": ts_list},
+                          PROMETHEUS_REGISTRY["WriteRequest"],
+                          PROMETHEUS_REGISTRY)
+
+
+def decode_prometheus_write_request(buf: bytes) -> list[dict]:
+    """WriteRequest wire bytes → one flat dict per sample (name lifted
+    out of __name__, remaining labels as tags) — the same flattening
+    the remote_write source endpoint performs."""
+    req = decode_message(buf, PROMETHEUS_REGISTRY["WriteRequest"],
+                         PROMETHEUS_REGISTRY)
+    out = []
+    for ts in req.get("timeseries", []):
+        labels = {lb["name"]: lb["value"] for lb in ts.get("labels", [])}
+        name = labels.pop("__name__", None)
+        for sm in ts.get("samples", []):
+            out.append({
+                "name": name, "tags": labels,
+                "value": sm.get("value"),
+                "timestamp_ms": sm.get("timestamp"),
+            })
+    return out

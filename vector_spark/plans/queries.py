@@ -3945,6 +3945,102 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "native protobuf EventWrapper encode->decode roundtrip",
     ),
+    # prometheus remote_write SINK codec (r9): snappy-compressed
+    # WriteRequest encode (src/sinks/prometheus/remote_write/
+    # request_builder.rs) → decode through the SOURCE-side flattening —
+    # wire-compat proven per event, value-hashed against SQL. The
+    # multi-sample grouping/sorting path is pinned in
+    # tests/test_sinks_telemetry.py against a live capture server.
+    "prometheus_rw_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, codecs: ev.select(
+                codecs.encode_prometheus_rw(
+                    F.struct(
+                        F.col("event_type").alias("name"),
+                        F.create_map(
+                            F.lit("u"),
+                            (F.col("user_id") % 10).cast("string"),
+                        ).alias("tags"),
+                        F.col("value").alias("value"),
+                        F.unix_millis(F.col("ts")).alias("ts_ms"),
+                    )
+                ).alias("payload")
+            ).select(
+                F.from_json(
+                    codecs.decode_prometheus_rw_json(F.col("payload")),
+                    "name string, tags map<string,string>,"
+                    " value double, timestamp_ms long",
+                ).alias("d")
+            ).select(
+                F.col("d.name").alias("name"),
+                F.col("d.tags")["u"].alias("u"),
+                F.col("d.value").alias("value"),
+                F.col("d.timestamp_ms").alias("ts_ms"),
+            )
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["encode_prometheus_rw"]),
+        ),
+        """
+        SELECT event_type AS name,
+               CAST(user_id % 10 AS VARCHAR) AS u,
+               value,
+               epoch_us(ts) // 1000 AS ts_ms
+        FROM events
+        """,
+        "remote_write snappy WriteRequest encode->decode roundtrip",
+    ),
+    # datadog metrics SINK codec (r9): zlib MetricPayload series-v2
+    # encode (src/sinks/datadog/metrics/encoder.rs) → decode through
+    # the datadog_agent intake's fan-out — the same roundtrip contract.
+    "datadog_series_v2_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, codecs: ev.select(
+                codecs.encode_datadog_series_v2(
+                    F.struct(
+                        F.col("event_type").alias("metric"),
+                        F.lit("gauge").alias("type"),
+                        F.array(
+                            F.concat(
+                                F.lit("u:"),
+                                (F.col("user_id") % 10).cast("string"),
+                            )
+                        ).alias("tags"),
+                        F.col("value").alias("value"),
+                        F.unix_seconds(F.col("ts")).alias("ts"),
+                    )
+                ).alias("payload")
+            ).select(
+                F.from_json(
+                    codecs.decode_datadog_series_v2_json(
+                        F.col("payload")
+                    ),
+                    "metric string, type string, tags array<string>,"
+                    " timestamp long, value double",
+                ).alias("d")
+            ).select(
+                F.col("d.metric").alias("metric"),
+                F.col("d.type").alias("mtype"),
+                F.element_at(F.col("d.tags"), 1).alias("tag"),
+                F.col("d.value").alias("value"),
+                F.col("d.timestamp").alias("ts_s"),
+            )
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["encode_datadog_series_v2"]),
+        ),
+        """
+        SELECT event_type AS metric,
+               'gauge' AS mtype,
+               concat('u:', CAST(user_id % 10 AS VARCHAR)) AS tag,
+               value,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM events
+        """,
+        "datadog series-v2 MetricPayload encode->decode roundtrip",
+    ),
     # Vendor status-page codecs (round 5): the parse step of the
     # apache_metrics / nginx_metrics pollers run over canned bodies (the
     # fetch is exercised against a live local HTTP server in
@@ -6106,6 +6202,11 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
+    # new/changed in r9 — the two sink-codec roundtrips, the url_filter
+    # scheme-less fallback (new fixture rows), and the lua v2
+    # per-partition lifecycle rewrite
+    "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
+    "docs_url_filter", "lua_v2_transform",
     # new/changed in r8 — the reshaped hashed-tfidf entry (r7's one red
     # row), the rewritten rank-bucket boundaries, the pre-filtered
     # exact-k sampler, the floored mixture oracles, and the new ops

@@ -1198,50 +1198,19 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                 import base64
                 import json as _json
 
-                from vector_spark.functions.protowire import decode_message
+                from vector_spark.functions.protowire import (
+                    decode_prometheus_write_request,
+                )
                 from vector_spark.functions.snappy import decompress
-
-                PROMPB = {
-                    "WriteRequest": {
-                        1: ("timeseries", "repeated msg:TimeSeries")
-                    },
-                    "TimeSeries": {
-                        1: ("labels", "repeated msg:Label"),
-                        2: ("samples", "repeated msg:Sample"),
-                    },
-                    "Label": {1: ("name", "string"), 2: ("value", "string")},
-                    "Sample": {
-                        1: ("value", "double"),
-                        2: ("timestamp", "int64"),
-                    },
-                }
 
                 def one(b64):
                     try:
-                        req = decode_message(
-                            decompress(base64.b64decode(b64)),
-                            PROMPB["WriteRequest"],
-                            PROMPB,
+                        rows = decode_prometheus_write_request(
+                            decompress(base64.b64decode(b64))
                         )
-                        rows = []
-                        for ts in req.get("timeseries", []):
-                            labels = {
-                                lb["name"]: lb["value"]
-                                for lb in ts.get("labels", [])
-                            }
-                            name_ = labels.pop("__name__", None)
-                            for sm in ts.get("samples", []):
-                                rows.append(
-                                    _json.dumps(
-                                        {
-                                            "name": name_,
-                                            "tags": labels,
-                                            "value": sm.get("value"),
-                                            "timestamp_ms": sm.get("timestamp"),
-                                        }
-                                    )
-                                )
-                        return _json.dumps(rows)
+                        return _json.dumps(
+                            [_json.dumps(r) for r in rows]
+                        )
                     except Exception:
                         return "[]"
 
