@@ -1169,6 +1169,17 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                         "https://log-api.newrelic.com/log/v1"),
                 )
             }
+        elif stype == "postgres":
+            # reference src/sinks/postgres/: endpoint URI + table;
+            # COPY FROM STDIN over the v3 wire protocol (sinks_db.py)
+            from vector_spark.sinks_db import postgres_sink
+
+            results[name] = {
+                "sent": postgres_sink(
+                    df, cfg["endpoint"], cfg["table"],
+                    columns=cfg.get("columns"),
+                )
+            }
         elif stype == "prometheus_remote_write":
             # reference src/sinks/prometheus/remote_write/: snappy
             # WriteRequest protobuf + version header, tenant → OrgID
