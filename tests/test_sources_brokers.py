@@ -354,8 +354,11 @@ class _FakeMqtt(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self):
+    def __init__(self, drop_first_pubacks: int = 0):
         self.published: list = []
+        self.publish_packets: list = []  # full pkts incl. qos/dup/id
+        self.pubacks_received: list = []  # acks from subscribers
+        self.drop_first_pubacks = drop_first_pubacks
         self.sub_ready = threading.Event()
         self._subs: list = []
         super().__init__(("127.0.0.1", 0), _FakeMqttHandler)
@@ -363,7 +366,10 @@ class _FakeMqtt(socketserver.ThreadingTCPServer):
 
 class _FakeMqttHandler(socketserver.BaseRequestHandler):
     def handle(self):
-        from vector_spark.sources_brokers import mqtt_encode_packet
+        from vector_spark.sources_brokers import (
+            mqtt_encode_packet,
+            mqtt_puback_packet,
+        )
 
         srv = self.server
         rest = b""
@@ -381,20 +387,39 @@ class _FakeMqttHandler(socketserver.BaseRequestHandler):
                     self.request.sendall(
                         mqtt_encode_packet(2, 0, b"\x00\x00")
                     )
-                elif pkt["type"] == 8:  # SUBSCRIBE → SUBACK qos0
-                    srv._subs.append((self.request, pkt["topic"]))
+                elif pkt["type"] == 8:  # SUBSCRIBE → SUBACK
+                    srv._subs.append(
+                        (self.request, pkt["topic"], pkt["qos"])
+                    )
                     self.request.sendall(mqtt_encode_packet(
                         9, 0,
-                        pkt["packet_id"].to_bytes(2, "big") + b"\x00",
+                        pkt["packet_id"].to_bytes(2, "big")
+                        + bytes([pkt["qos"]]),
                     ))
                     srv.sub_ready.set()
-                elif pkt["type"] == 3:  # PUBLISH → fan out
+                elif pkt["type"] == 3:  # PUBLISH → (ack,) fan out
+                    srv.publish_packets.append(pkt)
+                    if pkt["qos"] == 1:
+                        if srv.drop_first_pubacks > 0:
+                            # simulate a lost PUBACK: message received
+                            # but unacknowledged → client must resend
+                            # with the DUP flag
+                            srv.drop_first_pubacks -= 1
+                            continue
+                        self.request.sendall(
+                            mqtt_puback_packet(pkt["packet_id"])
+                        )
                     srv.published.append((pkt["topic"], pkt["payload"]))
-                    for conn, topic in srv._subs:
+                    for conn, topic, sub_qos in srv._subs:
                         if topic == pkt["topic"]:
+                            out_qos = min(pkt["qos"], sub_qos)
                             conn.sendall(mqtt_publish_packet(
-                                pkt["topic"], pkt["payload"]
+                                pkt["topic"], pkt["payload"],
+                                qos=out_qos,
+                                packet_id=len(srv.published),
                             ))
+                elif pkt["type"] == 4:  # PUBACK from a subscriber
+                    srv.pubacks_received.append(pkt["packet_id"])
                 elif pkt["type"] == 14:  # DISCONNECT
                     return
 
@@ -434,6 +459,66 @@ def test_mqtt_roundtrip(spark, fake_mqtt):
     assert {r["message"] for r in rows} == {"p1", "p2"}
     assert rows[0]["key"] == "sensors/a"
     assert len(srv.published) == 2
+
+
+def test_mqtt_qos1_publish_waits_for_puback(fake_mqtt):
+    srv, host, port = fake_mqtt
+    c = MqttClient(host, port, "q1")
+    c.publish("t", b"hello", qos=1)
+    c.close()
+    pkts = [p for p in srv.publish_packets if p["type"] == 3]
+    assert len(pkts) == 1
+    assert pkts[0]["qos"] == 1 and pkts[0]["packet_id"] == 1
+    assert not pkts[0]["dup"]
+
+
+def test_mqtt_qos1_redelivery_on_missing_puback():
+    """A dropped PUBACK must trigger a resend carrying the SAME packet
+    id with the DUP flag set (MQTT 3.1.1 §4.4)."""
+    srv = _FakeMqtt(drop_first_pubacks=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        c = MqttClient(host, port, "q1r", timeout=1.0)
+        c.publish("t", b"again", qos=1)
+        c.close()
+        pkts = [p for p in srv.publish_packets if p["type"] == 3]
+        assert len(pkts) == 2
+        assert (pkts[0]["dup"], pkts[1]["dup"]) == (False, True)
+        assert pkts[0]["packet_id"] == pkts[1]["packet_id"]
+        assert len(srv.published) == 1  # delivered exactly once here
+    finally:
+        srv.shutdown()
+
+
+def test_mqtt_qos1_source_acks_received_publishes(spark, fake_mqtt):
+    srv, host, port = fake_mqtt
+    result = {}
+
+    def consume():
+        result["df"] = mqtt_source(spark, host, port, "q/a",
+                                   max_events=2, qos=1)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    df = spark.createDataFrame([("a1",), ("a2",)], "message string") \
+        .coalesce(1)
+    n = mqtt_sink(df, host, port, "q/a", qos=1)
+    assert n == 2
+    t.join(timeout=30)
+    assert not t.is_alive()
+    rows = result["df"].collect()
+    assert {r["message"] for r in rows} == {"a1", "a2"}
+    # the source PUBACKed both broker→subscriber deliveries
+    assert len(srv.pubacks_received) == 2
+
+
+def test_mqtt_qos2_still_rejected(spark):
+    with pytest.raises(ValueError, match="QoS 0/1"):
+        mqtt_source(spark, "127.0.0.1", 1, "t", max_events=1, qos=2)
+    with pytest.raises(ValueError, match="QoS 0/1"):
+        mqtt_sink(spark.range(1), "127.0.0.1", 1, "t", qos=2)
 
 
 def test_topology_redis_to_redis(spark, fake_redis):

@@ -543,6 +543,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             int(cfg.get("port", 1883)), topic,
             max_events=int(cfg["max_events"]),
             client_id=cfg.get("client_id", "vector_spark_source"),
+            qos=int(cfg.get("qos", 0)),
         )
     if stype == "amqp":
         # reference src/sources/amqp.rs: connection + queue +
@@ -1455,6 +1456,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     value_col=cfg.get("value_col", "message"),
                     encoding=cfg.get("encoding", "text"),
                     client_id=cfg.get("client_id", "vector_spark_sink"),
+                    qos=int(cfg.get("qos", 0)),
                 )
             }
         elif stype == "websocket":

@@ -445,7 +445,8 @@ def nats_sink(
 # ---- MQTT 3.1.1 packets -------------------------------------------------
 
 _MQTT_CONNECT, _MQTT_CONNACK = 1, 2
-_MQTT_PUBLISH, _MQTT_SUBSCRIBE, _MQTT_SUBACK = 3, 8, 9
+_MQTT_PUBLISH, _MQTT_PUBACK = 3, 4
+_MQTT_SUBSCRIBE, _MQTT_SUBACK = 8, 9
 _MQTT_PINGREQ, _MQTT_PINGRESP, _MQTT_DISCONNECT = 12, 13, 14
 
 
@@ -482,12 +483,18 @@ def mqtt_connect_packet(client_id: str, keep_alive: int = 60) -> bytes:
 
 
 def mqtt_publish_packet(topic: str, payload: bytes, qos: int = 0,
-                        packet_id: int = 1, retain: bool = False) -> bytes:
-    flags = (qos << 1) | (1 if retain else 0)
+                        packet_id: int = 1, retain: bool = False,
+                        dup: bool = False) -> bytes:
+    flags = (qos << 1) | (1 if retain else 0) | (0x08 if dup else 0)
     body = _mqtt_string(topic)
     if qos > 0:
         body += packet_id.to_bytes(2, "big")
     return mqtt_encode_packet(_MQTT_PUBLISH, flags, body + payload)
+
+
+def mqtt_puback_packet(packet_id: int) -> bytes:
+    return mqtt_encode_packet(_MQTT_PUBACK, 0,
+                              packet_id.to_bytes(2, "big"))
 
 
 def mqtt_subscribe_packet(topic: str, qos: int = 0,
@@ -531,11 +538,14 @@ def mqtt_decode_packets(data: bytes) -> tuple[list, bytes]:
             pkt["topic"] = body[2:2 + tlen].decode("utf-8")
             qos = (flags >> 1) & 0x03
             pkt["qos"], pkt["retain"] = qos, bool(flags & 1)
+            pkt["dup"] = bool(flags & 0x08)
             off = 2 + tlen
             if qos > 0:
                 pkt["packet_id"] = int.from_bytes(body[off:off + 2], "big")
                 off += 2
             pkt["payload"] = body[off:]
+        elif ptype == _MQTT_PUBACK:
+            pkt["packet_id"] = int.from_bytes(body[:2], "big")
         elif ptype == _MQTT_CONNACK:
             pkt["session_present"] = bool(body[0] & 1)
             pkt["return_code"] = body[1]
@@ -560,14 +570,16 @@ def mqtt_decode_packets(data: bytes) -> tuple[list, bytes]:
 
 
 class MqttClient:
-    """Minimal MQTT 3.1.1 client: CONNECT/CONNACK handshake, QoS-0
-    publish, subscribe + packet pump."""
+    """Minimal MQTT 3.1.1 client: CONNECT/CONNACK handshake, QoS-0/1
+    publish (QoS 1 waits for PUBACK and redelivers with the DUP flag
+    on timeout — spec §4.4 at-least-once), subscribe + packet pump."""
 
     def __init__(self, host: str, port: int, client_id: str,
                  timeout: float = 10.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._rest = b""
         self._queue: list[dict] = []
+        self._next_pid = 0
         self.sock.sendall(mqtt_connect_packet(client_id))
         ack = self._next_packet()
         if ack["type"] != _MQTT_CONNACK or ack["return_code"] != 0:
@@ -585,11 +597,46 @@ class MqttClient:
             self._rest += data
         return self._queue.pop(0)
 
-    def publish(self, topic: str, payload: bytes) -> None:
-        self.sock.sendall(mqtt_publish_packet(topic, payload))
+    def publish(self, topic: str, payload: bytes, qos: int = 0,
+                retries: int = 3) -> None:
+        if qos == 0:
+            self.sock.sendall(mqtt_publish_packet(topic, payload))
+            return
+        if qos != 1:
+            raise ValueError("publish supports QoS 0/1 only")
+        self._next_pid = self._next_pid % 65535 + 1  # 1..65535, never 0
+        pid = self._next_pid
+        held: list[dict] = []  # packets that raced ahead of our PUBACK
+        try:
+            for attempt in range(retries + 1):
+                self.sock.sendall(mqtt_publish_packet(
+                    topic, payload, qos=1, packet_id=pid,
+                    dup=attempt > 0,
+                ))
+                try:
+                    while True:
+                        pkt = self._next_packet()
+                        if pkt["type"] == _MQTT_PUBACK:
+                            if pkt["packet_id"] == pid:
+                                return
+                            continue  # stale ack from a prior resend
+                        if pkt["type"] == _MQTT_PINGREQ:
+                            self.sock.sendall(
+                                mqtt_encode_packet(_MQTT_PINGRESP, 0, b"")
+                            )
+                        else:
+                            held.append(pkt)
+                except TimeoutError:
+                    continue  # missing PUBACK → resend with DUP set
+            raise ConnectionError(
+                f"no PUBACK for packet {pid} after "
+                f"{retries + 1} attempts"
+            )
+        finally:
+            self._queue[:0] = held
 
-    def subscribe(self, topic: str) -> None:
-        self.sock.sendall(mqtt_subscribe_packet(topic))
+    def subscribe(self, topic: str, qos: int = 0) -> None:
+        self.sock.sendall(mqtt_subscribe_packet(topic, qos=qos))
         held = []  # packets that raced ahead of the SUBACK
         while True:
             pkt = self._next_packet()
@@ -628,19 +675,25 @@ def mqtt_source(
     timeout_secs: float = 10.0,
     qos: int = 0,
 ) -> DataFrame:
-    """Subscribe to a topic and collect ``max_events`` QoS-0 publishes
+    """Subscribe to a topic and collect ``max_events`` publishes
     (reference src/sources/mqtt/; the topic lands in ``key`` like the
-    reference's topic field). QoS 1/2 need PUBACK/PUBREC session state
-    that this at-most-once client deliberately omits — loud error, not
-    silent downgrade."""
-    if qos != 0:
-        raise ValueError("mqtt_source supports QoS 0 only")
+    reference's topic field). QoS 0 is at-most-once; QoS 1 PUBACKs
+    every received publish (at-least-once — a broker redelivery with
+    the DUP flag is a NEW event, matching the reference's at-least-
+    once consumer). QoS 2's PUBREC/PUBREL/PUBCOMP exactly-once session
+    state is deliberately out — loud error, not silent downgrade."""
+    if qos not in (0, 1):
+        raise ValueError("mqtt_source supports QoS 0/1 only")
     client = MqttClient(host, port, client_id, timeout_secs)
     rows: list[tuple] = []
     try:
-        client.subscribe(topic)
+        client.subscribe(topic, qos=qos)
         while len(rows) < max_events:
             pkt = client.next_publish()
+            if pkt.get("qos", 0) == 1:
+                client.sock.sendall(
+                    mqtt_puback_packet(pkt["packet_id"])
+                )
             rows.append((
                 pkt["payload"].decode("utf-8", errors="replace"),
                 pkt["topic"], "mqtt", len(rows),
@@ -663,11 +716,12 @@ def mqtt_sink(
     timeout_secs: float = 10.0,
     qos: int = 0,
 ) -> int:
-    """PUBLISH each row at QoS 0 (reference src/sinks/mqtt/). One
-    CONNECT per partition, publishes streamed. QoS 1/2 rejected loudly
-    (see mqtt_source)."""
-    if qos != 0:
-        raise ValueError("mqtt_sink supports QoS 0 only")
+    """PUBLISH each row (reference src/sinks/mqtt/). One CONNECT per
+    partition, publishes streamed. QoS 1 waits for PUBACK per publish
+    and redelivers with DUP on timeout (spec §4.4); QoS 2 rejected
+    loudly (see mqtt_source)."""
+    if qos not in (0, 1):
+        raise ValueError("mqtt_sink supports QoS 0/1 only")
     if encoding == "json":
         payload = F.to_json(F.struct(*df.columns))
     else:
@@ -684,7 +738,8 @@ def mqtt_sink(
                     client = MqttClient(
                         host, port, f"{client_id}_p", timeout_secs
                     )
-                client.publish(topic, row["_payload"].encode("utf-8"))
+                client.publish(topic, row["_payload"].encode("utf-8"),
+                               qos=qos)
                 sent += 1
         finally:
             if client is not None:
