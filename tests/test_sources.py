@@ -495,6 +495,83 @@ sinks:
             q.stop()
 
 
+@pytest.mark.streaming
+def test_http_server_pushgateway_endpoint(spark, tmp_path):
+    """Pushgateway intake end-to-end: exposition text POSTed to
+    /metrics/job/... through a live http_server listener; grouping
+    labels from the path (incl. a base64 segment) override body
+    labels (src/sources/prometheus/pushgateway.rs)."""
+    import http.client
+    import json as _json
+
+    from vector_spark.config.loader import (
+        load_topology,
+        start_streaming_sinks,
+    )
+
+    port = _free_port()
+    name = f"pgw_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  ingest:
+    type: http_server
+    port: {port}
+    endpoints:
+      /metrics/job: prometheus_pushgateway
+sinks:
+  out:
+    type: memory
+    inputs: [ingest]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        body = (
+            "# TYPE jobs_total counter\n"
+            'jobs_total{job="inline"} 7 1700000000123\n'
+            "queue_depth 2.5\n"
+        )
+        deadline = time.time() + 30
+        posted = False
+        while time.time() < deadline and not posted:
+            try:
+                c = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=2
+                )
+                c.request(
+                    "POST",
+                    "/metrics/job/backup/instance@base64/d2ViLTE",
+                    body=body,
+                )
+                assert c.getresponse().status == 200
+                posted = True
+            except OSError:
+                time.sleep(0.5)
+        assert posted
+        assert _wait_rows(spark, name, 2) == 2
+        rows = spark.sql(
+            f"SELECT codec, event FROM {name} ORDER BY event"
+        ).collect()
+        assert all(r.codec == "prometheus_pushgateway" for r in rows)
+        events = {
+            e["name"]: e for e in (_json.loads(r.event) for r in rows)
+        }
+        jt = events["jobs_total"]
+        # path labels override the body's job="inline"; the base64
+        # instance segment decodes to web-1
+        assert jt["labels"] == {"job": "backup", "instance": "web-1"}
+        assert jt["value"] == 7.0 and jt["ts_ms"] == 1700000000123
+        qd = events["queue_depth"]
+        assert qd["labels"] == {"job": "backup", "instance": "web-1"}
+        assert qd["value"] == 2.5
+    finally:
+        for q in queries.values():
+            q.stop()
+
+
 def test_http_server_otlp_protobuf_endpoint(spark, tmp_path):
     """OTLP/HTTP with content-type application/x-protobuf: the listener
     carries the binary body base64'd; route_http_endpoints decodes it

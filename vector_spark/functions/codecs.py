@@ -891,3 +891,59 @@ def decode_datadog_series_v2_json(payload: Column) -> Column:
         ])
 
     return dec(payload)
+
+
+def pushgateway_grouping_labels(path: Column) -> Column:
+    """Pushgateway URL path → grouping-label map. The public contract
+    (prometheus/pushgateway README; reference src/sources/prometheus/
+    pushgateway.rs parse_path_labels): `/metrics/job/<v>[/<k>/<v>...]`
+    in alternating key/value segments; a key suffixed `@base64`
+    URL-safe-base64-decodes its value (padding optional; a value of
+    only `=` characters means the empty string). Pure Column work —
+    no Python in the loop. Odd segment counts yield null (callers
+    drop, the reference 400s)."""
+    rest = F.regexp_replace(path, r"^/metrics/", "")
+    segs = F.split(rest, "/")
+    keys = F.filter(segs, lambda x, i: i % 2 == 0)
+    vals = F.filter(segs, lambda x, i: i % 2 == 1)
+
+    def dec_val(k: Column, v: Column) -> Column:
+        std = F.translate(v, "-_", "+/")
+        padded = F.concat(
+            std,
+            F.repeat(F.lit("="), (4 - F.length(std) % 4) % 4),
+        )
+        return (
+            F.when(~k.endswith("@base64"), v)
+            .when(v.rlike("^=+$"), F.lit(""))
+            .otherwise(F.decode(F.unbase64(padded), "UTF-8"))
+        )
+
+    return F.when(
+        path.startswith("/metrics/job")
+        & (F.size(keys) == F.size(vals)),
+        F.map_from_arrays(
+            F.transform(
+                keys, lambda k: F.regexp_replace(k, "@base64$", "")
+            ),
+            F.zip_with(keys, vals, dec_val),
+        ),
+    )
+
+
+def decode_pushgateway_event(path: Column, line: Column) -> Column:
+    """One (request path, exposition line) pair → struct(name, labels,
+    value, ts_ms) with the path's grouping labels OVERRIDING same-named
+    body labels (parser.rs parse_text_with_overrides semantics)."""
+    m = decode_prometheus_line(line)
+    grouping = pushgateway_grouping_labels(path)
+    body_only = F.map_filter(
+        m.getField("labels"),
+        lambda k, v: ~F.array_contains(F.map_keys(grouping), k),
+    )
+    return F.struct(
+        m.getField("name").alias("name"),
+        F.map_concat(body_only, grouping).alias("labels"),
+        m.getField("value").alias("value"),
+        m.getField("ts_ms").alias("ts_ms"),
+    )

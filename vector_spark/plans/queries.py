@@ -4047,6 +4047,80 @@ QUERIES: dict[str, QuerySpec] = {
     # tests/test_sources_pull.py; here the driver value-oracles the full
     # field mapping — names, tags, kinds, kBytes→bytes scaling,
     # scoreboard explosion — against hand-derived rows).
+    # prometheus pushgateway intake (r9, src/sources/prometheus/
+    # pushgateway.rs): canned POST paths + exposition lines through the
+    # REAL http_server endpoint router — grouping labels from the URL
+    # override same-named body labels, @base64 segments decode
+    # (padded, unpadded, and the `=`-means-empty contract), comment
+    # lines and odd-segment paths drop. Oracle = hand-derived rows.
+    "prometheus_pushgateway_codec": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda srcs: srcs.route_http_endpoints(
+                spark.createDataFrame(
+                    [
+                        (0, None, "c",
+                         "/metrics/job/backup/instance/web-1",
+                         "# TYPE jobs_total counter"),
+                        (1, None, "c",
+                         "/metrics/job/backup/instance/web-1",
+                         'jobs_total{type="a",job="override"}'
+                         " 12 1700000000123"),
+                        (2, None, "c",
+                         "/metrics/job/backup/instance/web-1",
+                         "queue_depth 3.5"),
+                        (3, None, "c",
+                         "/metrics/job@base64/Y2kgam9i/env@base64/cHJvZA",
+                         "builds 1"),
+                        (4, None, "c",
+                         "/metrics/job/j2/instance@base64/=",
+                         "up 1"),
+                        (5, None, "c", "/metrics/job/x/stray", "y 1"),
+                    ],
+                    "seq long, ts timestamp, peer string, path string,"
+                    " message string",
+                ),
+                {"/metrics/job": "prometheus_pushgateway"},
+            ).select(
+                "seq",
+                F.from_json(
+                    "event",
+                    "name string, labels map<string,string>,"
+                    " value double, ts_ms long",
+                ).alias("m"),
+            ).select(
+                "seq",
+                F.col("m.name").alias("name"),
+                F.try_element_at(F.col("m.labels"),
+                                 F.lit("job")).alias("job"),
+                F.try_element_at(F.col("m.labels"),
+                                 F.lit("instance")).alias("instance"),
+                F.try_element_at(F.col("m.labels"),
+                                 F.lit("env")).alias("env"),
+                F.try_element_at(F.col("m.labels"),
+                                 F.lit("type")).alias("tag_type"),
+                F.col("m.value").alias("value"),
+                F.col("m.ts_ms").alias("ts_ms"),
+            )
+        )(
+            __import__("vector_spark.sources",
+                       fromlist=["route_http_endpoints"])
+        ),
+        """
+        SELECT * FROM (VALUES
+          (1, 'jobs_total', 'backup', 'web-1',
+           CAST(NULL AS VARCHAR), 'a', 12.0,
+           CAST(1700000000123 AS BIGINT)),
+          (2, 'queue_depth', 'backup', 'web-1',
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 3.5,
+           CAST(NULL AS BIGINT)),
+          (3, 'builds', 'ci job', CAST(NULL AS VARCHAR),
+           'prod', CAST(NULL AS VARCHAR), 1.0, CAST(NULL AS BIGINT)),
+          (4, 'up', 'j2', '', CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), 1.0, CAST(NULL AS BIGINT))
+        ) AS t(seq, name, job, instance, env, tag_type, value, ts_ms)
+        """,
+        "pushgateway grouping-label intake codec",
+    ),
     "apache_mod_status_codec": QuerySpec(
         lambda spark, sf_dir: (
             lambda rows: spark.createDataFrame(
@@ -6206,6 +6280,7 @@ _DRIVER_PRIORITY = [
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
     "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
+    "prometheus_pushgateway_codec",
     "docs_url_filter", "lua_v2_transform",
     # new/changed in r8 — the reshaped hashed-tfidf entry (r7's one red
     # row), the rewritten rank-bucket boundaries, the pre-filtered

@@ -904,8 +904,13 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
     outs = []
     matched = None
     for path, codec in endpoints.items():
-        part = df.where(F.col("path") == path)
-        cond = F.col("path") == path
+        if codec == "prometheus_pushgateway":
+            # grouping labels ride in the path, so the match is a
+            # PREFIX (`/metrics/job/...`), not an exact path
+            cond = F.col("path").startswith(path)
+        else:
+            cond = F.col("path") == path
+        part = df.where(cond)
         matched = cond if matched is None else (matched | cond)
         if codec == "splunk_hec":
             outs.append(
@@ -1184,6 +1189,35 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
                     *env,
                     F.lit("aws_kinesis_firehose").alias("codec"),
                     "event",
+                )
+            )
+        elif codec == "prometheus_pushgateway":
+            # pushgateway intake (src/sources/prometheus/pushgateway.rs):
+            # text-exposition lines POSTed under /metrics/job/...; the
+            # path's grouping labels override same-named body labels.
+            # POST-only and text-only like the reference; comment lines
+            # and invalid grouping paths drop. aggregate_metrics stays
+            # out of scope (needs per-family TYPE state the line codec
+            # deliberately doesn't track); the reference defaults it
+            # off, so default behavior matches.
+            from vector_spark.functions.codecs import (
+                decode_pushgateway_event,
+            )
+
+            ev = decode_pushgateway_event(F.col("path"),
+                                          F.col("message"))
+            outs.append(
+                part.where(~F.col("message").startswith("#"))
+                .select(*env, ev.alias("m"))
+                .where(
+                    F.col("m.name").isNotNull()
+                    & (F.col("m.name") != "")
+                    & F.col("m.labels").isNotNull()
+                )
+                .select(
+                    *env,
+                    F.lit("prometheus_pushgateway").alias("codec"),
+                    F.to_json(F.col("m")).alias("event"),
                 )
             )
         elif codec == "prometheus_remote_write":
