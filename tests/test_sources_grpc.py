@@ -34,7 +34,14 @@ from vector_spark.sources_grpc import (
 
 def _grpc_call(port: int, path: str, message: bytes,
                timeout: float = 10.0):
-    """Minimal h2/gRPC unary client: returns (grpc_status, response)."""
+    """Flow-control-compliant h2/gRPC unary client: DATA is sent in
+    ≤16 KiB frames and STOPS when the 65,535-byte initial connection/
+    stream windows are exhausted, resuming only on server
+    WINDOW_UPDATEs (RFC 7540 §6.9) — so any request bigger than the
+    initial window proves the listener's receive-side replenishment.
+    Returns (grpc_status, response)."""
+    from vector_spark.sources_grpc import H2_WINDOW_UPDATE
+
     enc = HpackEncoder()
     dec = HpackDecoder()
     sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
@@ -51,25 +58,54 @@ def _grpc_call(port: int, path: str, message: bytes,
                     ("te", "trailers"),
                 ]),
             )
-            + h2_encode_frame(H2_DATA, FLAG_END_STREAM, 1,
-                              grpc_frame(message))
         )
+        framed = grpc_frame(message)
+        conn_win = stream_win = 65535
+        pos = 0
         buf = b""
         status = None
         body = b""
-        while status is None:
-            data = sock.recv(65536)
-            if not data:
-                break
+
+        def pump(data: bytes) -> None:
+            nonlocal buf, status, body, conn_win, stream_win
             buf += data
             frames, buf = h2_decode_frames(buf)
             for ftype, _flags, sid, payload in frames:
-                if ftype == H2_HEADERS and sid == 1:
+                if ftype == H2_WINDOW_UPDATE:
+                    inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+                    if sid == 0:
+                        conn_win += inc
+                    else:
+                        stream_win += inc
+                elif ftype == H2_HEADERS and sid == 1:
                     for name, value in dec.decode(payload):
                         if name == "grpc-status":
                             status = value
                 elif ftype == H2_DATA and sid == 1:
                     body += payload
+
+        while pos < len(framed):
+            can = min(16384, conn_win, stream_win, len(framed) - pos)
+            if can <= 0:
+                data = sock.recv(65536)
+                if not data:
+                    raise ConnectionError(
+                        "server closed while client awaited "
+                        "WINDOW_UPDATE"
+                    )
+                pump(data)
+                continue
+            chunk = framed[pos:pos + can]
+            pos += can
+            flags = FLAG_END_STREAM if pos == len(framed) else 0
+            sock.sendall(h2_encode_frame(H2_DATA, flags, 1, chunk))
+            conn_win -= can
+            stream_win -= can
+        while status is None:
+            data = sock.recv(65536)
+            if not data:
+                break
+            pump(data)
         messages = grpc_unframe(body)
         return status, (messages[0][1] if messages else b"")
     finally:
@@ -87,6 +123,29 @@ def test_grpc_unary_echo():
     try:
         status, resp = _grpc_call(srv.port, "/test.Svc/Echo", b"hello")
         assert (status, resp) == ("0", b"HELLO")
+    finally:
+        srv.close()
+
+
+def test_grpc_large_request_flows_past_initial_window():
+    """A 200 KiB request (> 3× the 65,535-byte initial window) streams
+    through: the compliant client stalls at window exhaustion and only
+    the listener's connection+stream WINDOW_UPDATE replenishment lets
+    it finish — the large-OTLP-export case."""
+    big = bytes(range(256)) * 800  # 204,800 bytes
+    got = {}
+
+    def sink(m: bytes) -> bytes:
+        got["msg"] = m
+        return len(m).to_bytes(4, "big")
+
+    srv = GrpcListener({"/test.Svc/Big": sink})
+    try:
+        status, resp = _grpc_call(srv.port, "/test.Svc/Big", big,
+                                  timeout=30.0)
+        assert status == "0"
+        assert int.from_bytes(resp, "big") == len(big)
+        assert got["msg"] == big  # byte-exact across the stall/resume
     finally:
         srv.close()
 

@@ -10,13 +10,15 @@ with HPACK from `functions/hpack_codec.py`, CONTINUATION, DATA, PING,
 WINDOW_UPDATE) plus the gRPC wire conventions (5-byte message prefix,
 `content-type: application/grpc`, `grpc-status` trailers).
 
-Scope (documented): one in-flight request per stream, no flow-control
-accounting beyond acknowledging WINDOW_UPDATE (fine for the request
-sizes a collector endpoint sees under the default 64 KiB windows — a
-client that needs more window gets a GOAWAY, not silent corruption),
-identity compression only (compressed gRPC frames are answered with
-grpc-status 12 UNIMPLEMENTED, matching tonic's behavior for an
-unsupported encoding).
+Scope (documented): one in-flight request per stream; RECEIVE-side
+flow control is real — every consumed DATA byte is replenished with
+connection- and stream-level WINDOW_UPDATEs (RFC 7540 §6.9), so
+requests larger than the 65,535-byte initial window (big OTLP
+exports) stream through without stalling. SEND-side windows stay
+untracked: unary gRPC responses here are small acks that fit any
+initial window by construction. Identity compression only (compressed
+gRPC frames are answered with grpc-status 12 UNIMPLEMENTED, matching
+tonic's behavior for an unsupported encoding).
 
 Scale stance: like the other socket listeners, one listener per host;
 a cluster runs one per ingest node and the DataFrames union.
@@ -156,6 +158,22 @@ class GrpcListener:
                         st["data"] += payload
                         if flags & FLAG_END_STREAM:
                             st["closed"] = True
+                        # RFC 7540 §6.9 receive-side flow control:
+                        # replenish the connection window (stream 0)
+                        # and the stream window for every DATA byte
+                        # consumed, so a compliant client can keep
+                        # sending past the 65,535-byte initial window —
+                        # large OTLP exports stall without this.
+                        if payload:
+                            inc = len(payload).to_bytes(4, "big")
+                            upd = h2_encode_frame(
+                                H2_WINDOW_UPDATE, 0, 0, inc
+                            )
+                            if not st["closed"]:
+                                upd += h2_encode_frame(
+                                    H2_WINDOW_UPDATE, 0, sid, inc
+                                )
+                            conn.sendall(upd)
                     elif ftype == H2_GOAWAY:
                         return
                     # WINDOW_UPDATE / RST / PRIORITY: no action needed
