@@ -1,0 +1,296 @@
+"""Vendor-tail sink request shaping against a local HTTP capture
+server (axiom NDJSON + Bearer, appsignal log envelopes, keep x-api-key
+array, mezmo lines+query+basic-auth, stackdriver entries, chronicle
+batchCreate, datadog per-event posts, SNS Query-protocol Publish) and
+a TCP capture for papertrail syslog lines. The sematext/humio wrappers
+ride the already-tested ES-bulk/HEC sinks."""
+
+from __future__ import annotations
+
+import base64
+import json
+import socketserver
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sinks_vendors import (
+    appsignal_sink,
+    aws_sns_sink,
+    axiom_sink,
+    datadog_events_sink,
+    gcp_chronicle_sink,
+    gcp_stackdriver_logs_sink,
+    humio_logs_sink,
+    keep_sink,
+    mezmo_sink,
+    papertrail_sink,
+    sematext_logs_sink,
+)
+
+
+@pytest.fixture()
+def capture_server():
+    requests: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            requests.append({
+                "path": self.path,
+                "headers": {k.lower(): v
+                            for k, v in self.headers.items()},
+                "body": self.rfile.read(n),
+            })
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", requests
+    srv.shutdown()
+
+
+def _events(spark, n=4):
+    return spark.createDataFrame(
+        [(i, f"msg {i}", f"app-{i % 2}", f"2024-03-05 06:07:{i:02d}")
+         for i in range(n)],
+        "seq long, message string, app string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(1)
+
+
+def test_axiom_ndjson_bearer(spark, capture_server):
+    base, reqs = capture_server
+    n = axiom_sink(_events(spark), "tok", url=base + "/v1/ingest",
+                   org_id="org7")
+    assert n == 4
+    h = reqs[0]["headers"]
+    assert h["authorization"] == "Bearer tok"
+    assert h["x-axiom-org-id"] == "org7"
+    assert h["content-type"] == "application/x-ndjson"
+    lines = reqs[0]["body"].decode().splitlines()
+    assert len(lines) == 4
+    assert json.loads(lines[0])["message"] == "msg 0"
+
+
+def test_axiom_dataset_url():
+    with pytest.raises(ValueError, match="url or dataset"):
+        axiom_sink(None, "tok")
+
+
+def test_appsignal_log_envelopes(spark, capture_server):
+    base, reqs = capture_server
+    n = appsignal_sink(_events(spark), "pushkey", endpoint=base)
+    assert n == 4
+    assert reqs[0]["path"] == "/vector/events"
+    assert reqs[0]["headers"]["authorization"] == "Bearer pushkey"
+    body = json.loads(reqs[0]["body"])
+    assert len(body) == 4
+    assert body[0]["log"]["message"] == "msg 0"
+
+
+def test_keep_api_key_array(spark, capture_server):
+    base, reqs = capture_server
+    n = keep_sink(_events(spark), "kk", base + "/alerts/event/vector")
+    assert n == 4
+    assert reqs[0]["headers"]["x-api-key"] == "kk"
+    assert len(json.loads(reqs[0]["body"])) == 4
+
+
+def test_mezmo_lines_query_and_auth(spark, capture_server):
+    base, reqs = capture_server
+    n = mezmo_sink(_events(spark), "apik", "web-1", endpoint=base,
+                   tags=["t1", "t2"])
+    assert n == 4
+    q = urllib.parse.parse_qs(
+        urllib.parse.urlsplit(reqs[0]["path"]).query
+    )
+    assert q["hostname"] == ["web-1"]
+    assert q["tags"] == ["t1,t2"]
+    assert "now" in q
+    want = "Basic " + base64.b64encode(b"apik:").decode()
+    assert reqs[0]["headers"]["authorization"] == want
+    body = json.loads(reqs[0]["body"])
+    lines = body["lines"]
+    assert len(lines) == 4
+    assert lines[0]["line"] == "msg 0"
+    assert lines[0]["app"] == "vector"
+    assert lines[0]["env"] == "production"
+    assert lines[0]["meta"]["app"] == "app-0"
+    assert isinstance(lines[0]["timestamp"], int)
+
+
+def test_sematext_wraps_es_bulk(spark, capture_server):
+    base, reqs = capture_server
+    n = sematext_logs_sink(_events(spark), "TOKEN123", endpoint=base)
+    assert n == 4
+    assert reqs[0]["path"] == "/_bulk"
+    first_action = json.loads(
+        reqs[0]["body"].decode().splitlines()[0]
+    )
+    assert first_action["index"]["_index"] == "TOKEN123"
+
+
+def test_humio_wraps_hec(spark, capture_server):
+    base, reqs = capture_server
+    n = humio_logs_sink(_events(spark), "ingest-tok", endpoint=base)
+    assert n == 4
+    assert reqs[0]["path"] == "/services/collector/event"
+    assert (reqs[0]["headers"]["authorization"]
+            == "Splunk ingest-tok")
+
+
+def test_gcp_stackdriver_entries(spark, capture_server):
+    base, reqs = capture_server
+    n = gcp_stackdriver_logs_sink(
+        _events(spark), "projects/p/logs/app", "gcp-tok",
+        resource_type="gce_instance",
+        resource_labels={"zone": "us-1"},
+        endpoint=base,
+    )
+    assert n == 4
+    assert reqs[0]["path"] == "/v2/entries:write"
+    assert reqs[0]["headers"]["authorization"] == "Bearer gcp-tok"
+    body = json.loads(reqs[0]["body"])
+    assert len(body["entries"]) == 4
+    e = body["entries"][0]
+    assert e["logName"] == "projects/p/logs/app"
+    assert e["resource"] == {"type": "gce_instance",
+                             "labels": {"zone": "us-1"}}
+    assert e["jsonPayload"]["message"] == "msg 0"
+    assert e["timestamp"].startswith("2024-03-05T06:07:00")
+
+
+def test_gcp_chronicle_batch_create(spark, capture_server):
+    base, reqs = capture_server
+    n = gcp_chronicle_sink(
+        _events(spark), "cust-1", "NIX_SYSLOG", "tok", endpoint=base
+    )
+    assert n == 4
+    assert reqs[0]["path"] == "/v2/unstructuredlogentries:batchCreate"
+    body = json.loads(reqs[0]["body"])
+    assert body["customer_id"] == "cust-1"
+    assert body["log_type"] == "NIX_SYSLOG"
+    assert [e["log_text"] for e in body["entries"]] == [
+        "msg 0", "msg 1", "msg 2", "msg 3"
+    ]
+
+
+def test_datadog_events_per_event_posts(spark, capture_server):
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("deploy done", "all good", 1700000000),
+         (None, "no title -> dropped", 1700000001),
+         ("disk alert", "df 99%", 1700000002)],
+        "title string, message string, ts long",
+    ).coalesce(1)
+    n = datadog_events_sink(df, "dd-key", endpoint=base)
+    assert n == 2  # the title-less row drops (sink.rs:49)
+    assert len(reqs) == 2  # ONE request per event — the API contract
+    assert all(r["path"] == "/api/v1/events" for r in reqs)
+    assert all(r["headers"]["dd-api-key"] == "dd-key" for r in reqs)
+    bodies = sorted(json.loads(r["body"])["title"] for r in reqs)
+    assert bodies == ["deploy done", "disk alert"]
+    b = json.loads(reqs[0]["body"])
+    assert b["text"] in ("all good", "df 99%")
+    assert b["date_happened"] in (1700000000, 1700000002)
+
+
+def test_aws_sns_query_publish(spark, capture_server):
+    base, reqs = capture_server
+    df = spark.createDataFrame([("hello",), ("world",)],
+                               "message string").coalesce(1)
+    n = aws_sns_sink(
+        df, "arn:aws:sns:eu-west-1:1:topic", "eu-west-1",
+        access_key="AK", secret_key="SK", endpoint=base + "/",
+    )
+    assert n == 2
+    assert len(reqs) == 2
+    form = urllib.parse.parse_qs(reqs[0]["body"].decode())
+    assert form["Action"] == ["Publish"]
+    assert form["TopicArn"] == ["arn:aws:sns:eu-west-1:1:topic"]
+    assert form["Message"][0] in ("hello", "world")
+    auth = reqs[0]["headers"]["authorization"]
+    assert auth.startswith("AWS4-HMAC-SHA256 Credential=AK/")
+    assert "/eu-west-1/sns/aws4_request" in auth
+
+
+class _TcpCapture(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self):
+        self.data = bytearray()
+        super().__init__(("127.0.0.1", 0), _TcpHandler)
+
+
+class _TcpHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        while True:
+            try:
+                d = self.request.recv(65536)
+            except OSError:
+                return
+            if not d:
+                return
+            self.server.data.extend(d)
+
+
+def test_papertrail_syslog_lines(spark):
+    srv = _TcpCapture()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        n = papertrail_sink(_events(spark, 2), host, port,
+                            appname="myapp")
+        assert n == 2
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                bytes(srv.data).count(b"\n") < 2:
+            time.sleep(0.1)
+        lines = bytes(srv.data).decode().splitlines()
+        assert len(lines) == 2
+        assert lines[0].startswith("<14>Mar 5 06:07:")
+        assert " localhost myapp: msg " in lines[0]
+    finally:
+        srv.shutdown()
+
+
+def test_vendor_sinks_via_topology_loader(spark, capture_server,
+                                          tmp_path):
+    base, reqs = capture_server
+    src = tmp_path / "rows.jsonl"
+    src.write_text("\n".join(
+        json.dumps({"seq": i, "message": f"m{i}",
+                    "ts": "2024-03-05 06:07:00"})
+        for i in range(3)
+    ))
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    topo = load_topology(spark, f"""
+sources:
+  in:
+    type: json
+    path: "{src}"
+    schema: "seq long, message string, ts timestamp"
+sinks:
+  ax: {{type: axiom, token: t, url: "{base}/ax", inputs: [in]}}
+  kp: {{type: keep, api_key: k, endpoint: "{base}/kp", inputs: [in]}}
+  mz: {{type: mezmo, api_key: k, hostname: h, endpoint: "{base}",
+       inputs: [in]}}
+""")
+    res = run_sinks(topo)
+    assert all(res[s]["sent"] == 3 for s in ("ax", "kp", "mz"))
+    paths = {r["path"].split("?")[0] for r in reqs}
+    assert {"/ax", "/kp", "/logs/ingest"} <= paths

@@ -1170,6 +1170,135 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                         "https://log-api.newrelic.com/log/v1"),
                 )
             }
+        elif stype == "axiom":
+            from vector_spark.sinks_vendors import axiom_sink
+
+            results[name] = {
+                "sent": axiom_sink(
+                    df, cfg["token"], dataset=cfg.get("dataset"),
+                    url=cfg.get("url"), org_id=cfg.get("org_id"),
+                )
+            }
+        elif stype == "appsignal":
+            from vector_spark.sinks_vendors import appsignal_sink
+
+            results[name] = {
+                "sent": appsignal_sink(
+                    df, cfg["push_api_key"],
+                    endpoint=cfg.get(
+                        "endpoint", "https://appsignal-endpoint.net"),
+                )
+            }
+        elif stype == "keep":
+            from vector_spark.sinks_vendors import keep_sink
+
+            results[name] = {
+                "sent": keep_sink(df, cfg["api_key"], cfg["endpoint"])
+            }
+        elif stype in ("mezmo", "logdna"):
+            from vector_spark.sinks_vendors import mezmo_sink
+
+            results[name] = {
+                "sent": mezmo_sink(
+                    df, cfg["api_key"], cfg["hostname"],
+                    endpoint=cfg.get("endpoint",
+                                     "https://logs.mezmo.com"),
+                    line_col=cfg.get("line_col", "message"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    default_app=cfg.get("default_app", "vector"),
+                    default_env=cfg.get("default_env", "production"),
+                    tags=cfg.get("tags"),
+                )
+            }
+        elif stype == "sematext_logs":
+            from vector_spark.sinks_vendors import sematext_logs_sink
+
+            results[name] = {
+                "sent": sematext_logs_sink(
+                    df, cfg["token"],
+                    endpoint=cfg.get(
+                        "endpoint",
+                        "https://logsene-receiver.sematext.com"),
+                )
+            }
+        elif stype == "humio_logs":
+            from vector_spark.sinks_vendors import humio_logs_sink
+
+            results[name] = {
+                "sent": humio_logs_sink(
+                    df, cfg["token"],
+                    endpoint=cfg.get("endpoint",
+                                     "https://cloud.humio.com"),
+                )
+            }
+        elif stype == "papertrail":
+            from vector_spark.sinks_vendors import papertrail_sink
+
+            host, _, port = cfg["endpoint"].partition(":")
+            results[name] = {
+                "sent": papertrail_sink(
+                    df, host, int(port),
+                    message_col=cfg.get("message_col", "message"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                )
+            }
+        elif stype == "gcp_stackdriver_logs":
+            from vector_spark.sinks_vendors import (
+                gcp_stackdriver_logs_sink,
+            )
+
+            results[name] = {
+                "sent": gcp_stackdriver_logs_sink(
+                    df, cfg["log_name"], cfg.get("auth_token", ""),
+                    resource_type=cfg.get("resource_type", "global"),
+                    resource_labels=cfg.get("resource_labels"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    severity_col=cfg.get("severity_col"),
+                    endpoint=cfg.get(
+                        "endpoint", "https://logging.googleapis.com"),
+                )
+            }
+        elif stype == "gcp_chronicle_unstructured":
+            from vector_spark.sinks_vendors import gcp_chronicle_sink
+
+            results[name] = {
+                "sent": gcp_chronicle_sink(
+                    df, cfg["customer_id"], cfg["log_type"],
+                    cfg.get("auth_token", ""),
+                    message_col=cfg.get("message_col", "message"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    endpoint=cfg.get(
+                        "endpoint",
+                        "https://malachiteingestion-pa.googleapis.com"),
+                )
+            }
+        elif stype == "datadog_events":
+            from vector_spark.sinks_vendors import datadog_events_sink
+
+            results[name] = {
+                "sent": datadog_events_sink(
+                    df, cfg["api_key"],
+                    endpoint=cfg.get("endpoint",
+                                     "https://api.datadoghq.com"),
+                    title_col=cfg.get("title_col", "title"),
+                    text_col=cfg.get("text_col"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    host_col=cfg.get("host_col"),
+                )
+            }
+        elif stype == "aws_sns":
+            from vector_spark.sinks_vendors import aws_sns_sink
+
+            results[name] = {
+                "sent": aws_sns_sink(
+                    df, cfg["topic_arn"], cfg["region"],
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
         elif stype == "postgres":
             # reference src/sinks/postgres/: endpoint URI + table;
             # COPY FROM STDIN over the v3 wire protocol (sinks_db.py)

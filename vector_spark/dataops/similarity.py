@@ -335,22 +335,27 @@ def _tiled_cosine_pairs(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         blk.alias("_b"),
     )
+    # both cogroup sides derive from the same plan; re-aliasing _id/_v
+    # per side mints fresh attribute ids so the analyzer's
+    # ambiguous-self-join check can't trip (it did on parquet-scan
+    # lineage even though LocalRelation inputs passed — caught by the
+    # 10x registry scale sweep, r9)
     side_a = base.select(
         F.col("_b").alias("_i"),
         F.explode(
             F.sequence(F.col("_b"), F.lit(n_blocks - 1))
         ).alias("_j"),
-        "_id", "_v",
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
     )
     side_b = base.select(
         F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_i"),
         F.col("_b").alias("_j"),
-        "_id", "_v",
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
     )
 
-    def _unit(pdf: "pd.DataFrame"):
-        ids = pdf["_id"].to_numpy(dtype=np.int64)
-        m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+    def _unit(pdf: "pd.DataFrame", id_name: str, v_name: str):
+        ids = pdf[id_name].to_numpy(dtype=np.int64)
+        m = np.array(pdf[v_name].tolist(), dtype=np.float64)
         nm = np.linalg.norm(m, axis=1, keepdims=True)
         np.divide(m, nm, out=m, where=nm > 0)
         return ids, m
@@ -360,8 +365,8 @@ def _tiled_cosine_pairs(
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine": []}
             ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-        ia, ma = _unit(la)
-        ib, mb = _unit(rb)
+        ia, ma = _unit(la, "_ida", "_va")
+        ib, mb = _unit(rb, "_idb", "_vb")
         sims = np.round(ma @ mb.T, round_decimals)
         mask = sims >= threshold
         if key[0] == key[1]:

@@ -1,0 +1,461 @@
+"""The vendor HTTP sink tail: Axiom, AppSignal, Keep, Mezmo, Sematext,
+Humio, Papertrail, GCP Stackdriver logs, GCP Chronicle, Datadog events,
+and AWS SNS — each re-expressing the reference family's documented
+wire shape over the batched-`foreachPartition` transports this repo
+already ships (`sinks_services._post_lines_per_partition`, the
+elasticsearch/splunk-HEC sinks, the SigV4 signer, the socket sink).
+
+Reference wire shapes (re-expressed, not translated — file:line into
+/root/reference):
+- axiom: `src/sinks/axiom/config.rs:35-48,:170-185` — NDJSON POST to
+  `{url}` or `https://api.axiom.co/v1/datasets/{dataset}/ingest`,
+  Bearer token, optional `X-Axiom-Org-Id`.
+- appsignal: `src/sinks/appsignal/config.rs:99,:155`, `encoder.rs:30`
+  — JSON array of `{"log": {...}}` envelopes POSTed to
+  `{endpoint}/vector/events` with `Authorization: Bearer <push key>`.
+- keep: `src/sinks/keep/config.rs:24,:68`, `service.rs:23-25` — JSON
+  array POST with `x-api-key`.
+- mezmo (logdna): `src/sinks/mezmo.rs:27,:268,:316-341,:356` — body
+  `{"lines":[{line,timestamp,app,env,meta...}]}` to
+  `/logs/ingest?hostname=..&now=..`, Basic auth (key as user, empty
+  password).
+- sematext logs: `src/sinks/sematext/logs.rs:75-82` — the Elasticsearch
+  bulk protocol against `logsene-receiver.sematext.com` with the write
+  TOKEN as the index (the reference literally wraps its ES sink).
+- humio logs: `src/sinks/humio/mod.rs:28`, `logs.rs:45-54` — the Splunk
+  HEC protocol against `https://cloud.humio.com` with the ingest token
+  (the reference wraps its HEC sink).
+- papertrail: `src/sinks/papertrail.rs:24` — RFC3164 syslog lines over
+  a TCP socket to `logs.papertrailapp.com:<port>`.
+- gcp stackdriver logs: `src/sinks/gcp/stackdriver/logs/config.rs:125`,
+  `encoder.rs:129-130` — `{"entries":[{logName, resource, jsonPayload,
+  severity, timestamp}]}` POSTed to `/v2/entries:write`, Bearer token.
+- gcp chronicle: `src/sinks/gcp_chronicle/chronicle_unstructured.rs:2,
+  :130` — `/v2/unstructuredlogentries:batchCreate` with
+  `{customer_id, log_type, entries:[{log_text, ts_rfc3339}]}`.
+- datadog events: `src/sinks/datadog/events/config.rs:67`,
+  `sink.rs:49-79` — ONE request per event to `/api/v1/events` (the
+  API takes a single event object), title required, `text` defaults
+  from the message column.
+- aws_sns: `src/sinks/aws_s_s/sns/` — `Publish` per message. SNS
+  speaks the AWS Query protocol (form-encoded body, XML response),
+  SigV4-signed with the same pure-stdlib signer the SQS/S3 families
+  pin byte-for-byte.
+
+Auth tokens are caller-provided strings (incl. GCP bearer tokens —
+fetching one is an OAuth flow outside a sink's job, matching how the
+reference takes `credentials_path` and resolves it before the sink
+runs).
+
+Scale shape: everything is per-partition batched HTTP/TCP; all JSON
+rendering is JVM-side Column work; no driver funnel. The one per-row
+request path (datadog events) is the API's own contract and documented
+loudly.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.parse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.sinks_services import (
+    _post_lines_per_partition,
+    elasticsearch_sink,
+    splunk_hec_sink,
+)
+
+
+def axiom_sink(
+    df: DataFrame,
+    token: str,
+    dataset: str | None = None,
+    url: str | None = None,
+    org_id: str | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """NDJSON ingest with Bearer auth; `url` as-is, or the dataset
+    endpoint `https://api.axiom.co/v1/datasets/{dataset}/ingest`."""
+    if not url:
+        if not dataset:
+            raise ValueError("axiom_sink needs url or dataset")
+        url = f"https://api.axiom.co/v1/datasets/{dataset}/ingest"
+    headers = {
+        "Content-Type": "application/x-ndjson",
+        "Authorization": f"Bearer {token}",
+    }
+    if org_id:
+        headers["X-Axiom-Org-Id"] = org_id
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    return _post_lines_per_partition(
+        lines, url, headers,
+        batch_max_events, batch_max_bytes, timeout_secs,
+    )
+
+
+def appsignal_sink(
+    df: DataFrame,
+    push_api_key: str,
+    endpoint: str = "https://appsignal-endpoint.net",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """JSON array of `{"log": event}` envelopes to /vector/events."""
+    env = F.to_json(
+        F.struct(F.struct(*[F.col(c) for c in df.columns]).alias("log"))
+    )
+    lines = df.select(env.alias("line"))
+    url = endpoint.rstrip("/") + "/vector/events"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Bearer {push_api_key}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
+
+
+def keep_sink(
+    df: DataFrame,
+    api_key: str,
+    endpoint: str,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """JSON array POST with the `x-api-key` header."""
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    return _post_lines_per_partition(
+        lines, endpoint,
+        {"Content-Type": "application/json", "x-api-key": api_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
+
+
+def mezmo_sink(
+    df: DataFrame,
+    api_key: str,
+    hostname: str,
+    endpoint: str = "https://logs.mezmo.com",
+    line_col: str = "message",
+    ts_col: str = "ts",
+    app_col: str | None = None,
+    default_app: str = "vector",
+    default_env: str = "production",
+    tags: list[str] | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """`{"lines":[...]}` to `/logs/ingest?hostname=..&now=..` with
+    Basic auth (key as user, empty password). Each line carries
+    line/timestamp plus app/env (defaults like the reference) and the
+    remaining fields under `meta`."""
+    meta_cols = [c for c in df.columns
+                 if c not in (line_col, ts_col, app_col)]
+    dtypes = dict(df.dtypes)
+    ts = F.col(ts_col)
+    ts_ms = (F.unix_millis(ts) if dtypes.get(ts_col) == "timestamp"
+             else ts.cast("long"))
+    fields = [
+        F.col(line_col).cast("string").alias("line"),
+        ts_ms.alias("timestamp"),
+        (F.col(app_col) if app_col else F.lit(default_app)).alias("app"),
+        F.lit(default_env).alias("env"),
+    ]
+    if meta_cols:
+        fields.append(
+            F.struct(*[F.col(c) for c in meta_cols]).alias("meta")
+        )
+    lines = df.select(F.to_json(F.struct(*fields)).alias("line"))
+    query = {"hostname": hostname}
+    if tags:
+        query["tags"] = ",".join(tags)
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    auth = base64.b64encode(f"{api_key}:".encode()).decode()
+    headers = {"Content-Type": "application/json",
+               "Authorization": f"Basic {auth}"}
+    base_url = endpoint.rstrip("/") + "/logs/ingest"
+
+    def send_partition(rows) -> None:
+        import time as _time
+        import urllib.request
+
+        buf: list[bytes] = []
+        buf_bytes = 0
+
+        def flush() -> None:
+            nonlocal buf_bytes
+            if not buf:
+                return
+            # `now` is a per-request transport param (mezmo.rs:324)
+            q = dict(query, now=str(int(_time.time() * 1000)))
+            url = base_url + "?" + urllib.parse.urlencode(q)
+            body = b'{"lines":[' + b",".join(buf) + b"]}"
+            req = urllib.request.Request(url, data=body,
+                                         headers=headers)
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            sent.add(len(buf))
+            buf.clear()
+            buf_bytes = 0
+
+        for row in rows:
+            b = row[0].encode()
+            if buf and (len(buf) >= batch_max_events
+                        or buf_bytes + len(b) > batch_max_bytes):
+                flush()
+            buf.append(b)
+            buf_bytes += len(b)
+        flush()
+
+    lines.foreachPartition(send_partition)
+    return sent.value
+
+
+def sematext_logs_sink(
+    df: DataFrame,
+    token: str,
+    endpoint: str = "https://logsene-receiver.sematext.com",
+    **kwargs,
+) -> int:
+    """The reference wraps its Elasticsearch sink with the write token
+    as the index — so does this."""
+    return elasticsearch_sink(df, endpoint, index=token, **kwargs)
+
+
+def humio_logs_sink(
+    df: DataFrame,
+    token: str,
+    endpoint: str = "https://cloud.humio.com",
+    **kwargs,
+) -> int:
+    """The reference wraps its Splunk HEC sink against the Humio
+    endpoint with the ingest token — so does this."""
+    return splunk_hec_sink(df, endpoint, token, **kwargs)
+
+
+def papertrail_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    message_col: str = "message",
+    ts_col: str = "ts",
+    hostname_col: str | None = None,
+    appname: str = "vector",
+    pri: int = 14,  # user.info, syslog default facility/severity
+    timeout_secs: float = 10.0,
+) -> int:
+    """RFC3164 syslog lines over TCP (the reference's transport; TLS
+    termination belongs to the connection layer, out of scope here
+    like the other socket sinks)."""
+    from vector_spark.functions.codecs import encode_syslog
+    from vector_spark.sinks import socket_sink
+
+    line = encode_syslog(
+        pri=F.lit(pri),
+        timestamp=F.col(ts_col),
+        hostname=(F.col(hostname_col) if hostname_col
+                  else F.lit("localhost")),
+        appname=F.lit(appname),
+        message=F.col(message_col).cast("string"),
+    )
+    out = df.select(line.alias("message"))
+    return socket_sink(out, host, port, encoding="text",
+                       value_col="message", timeout_secs=timeout_secs)
+
+
+def gcp_stackdriver_logs_sink(
+    df: DataFrame,
+    log_name: str,
+    auth_token: str,
+    resource_type: str = "global",
+    resource_labels: dict[str, str] | None = None,
+    message_col: str = "message",
+    ts_col: str = "ts",
+    severity_col: str | None = None,
+    endpoint: str = "https://logging.googleapis.com",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """entries:write with each event as an entry: logName + monitored
+    resource + the full row as jsonPayload (encoder.rs:129-130)."""
+    res_fields = [F.lit(resource_type).alias("type")]
+    if resource_labels:
+        res_fields.append(
+            F.struct(*[
+                F.lit(v).alias(k) for k, v in resource_labels.items()
+            ]).alias("labels")
+        )
+    resource = F.struct(*res_fields)
+    fields = [
+        F.lit(log_name).alias("logName"),
+        resource.alias("resource"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("jsonPayload"),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).alias("timestamp"),
+    ]
+    if severity_col:
+        fields.append(F.col(severity_col).cast("string")
+                      .alias("severity"))
+    lines = df.select(F.to_json(F.struct(*fields)).alias("line"))
+    url = endpoint.rstrip("/") + "/v2/entries:write"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Bearer {auth_token}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b'{"entries":[', suffix=b"]}", joiner=b",",
+    )
+
+
+def gcp_chronicle_sink(
+    df: DataFrame,
+    customer_id: str,
+    log_type: str,
+    auth_token: str,
+    message_col: str = "message",
+    ts_col: str = "ts",
+    endpoint: str = "https://malachiteingestion-pa.googleapis.com",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """unstructuredlogentries:batchCreate — each event's message as
+    log_text with its RFC3339 timestamp."""
+    entry = F.to_json(F.struct(
+        F.col(message_col).cast("string").alias("log_text"),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).alias("ts_rfc3339"),
+    ))
+    lines = df.select(entry.alias("line"))
+    url = (endpoint.rstrip("/")
+           + "/v2/unstructuredlogentries:batchCreate")
+    prefix = json.dumps(
+        {"customer_id": customer_id, "log_type": log_type}
+    )[:-1].encode() + b',"entries":['
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Bearer {auth_token}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=prefix, suffix=b"]}", joiner=b",",
+    )
+
+
+def datadog_events_sink(
+    df: DataFrame,
+    api_key: str,
+    endpoint: str = "https://api.datadoghq.com",
+    title_col: str = "title",
+    text_col: str | None = None,
+    message_col: str = "message",
+    ts_col: str = "ts",
+    host_col: str | None = None,
+    timeout_secs: float = 10.0,
+) -> int:
+    """POST one event per request to /api/v1/events — the API's own
+    single-event contract (config.rs:67; per-row requests here are
+    the protocol, not a scale bug — the events API is a low-volume
+    alerting surface by design). `text` falls back to the message
+    column and rows without a title drop, both matching
+    sink.rs:49-56."""
+    dtypes = dict(df.dtypes)
+    ts = F.col(ts_col)
+    ts_s = (F.unix_seconds(ts) if dtypes.get(ts_col) == "timestamp"
+            else ts.cast("long"))
+    fields = [
+        F.col(title_col).cast("string").alias("title"),
+        F.col(text_col or message_col).cast("string").alias("text"),
+        ts_s.alias("date_happened"),
+    ]
+    if host_col:
+        fields.append(F.col(host_col).cast("string").alias("host"))
+    out = df.where(F.col(title_col).isNotNull()).select(
+        F.to_json(F.struct(*fields)).alias("_payload")
+    )
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint.rstrip("/") + "/api/v1/events"
+    headers = {"Content-Type": "application/json",
+               "DD-API-KEY": api_key}
+
+    def send_partition(rows) -> None:
+        import urllib.request
+
+        n = 0
+        for row in rows:
+            req = urllib.request.Request(
+                url, data=row["_payload"].encode(), headers=headers
+            )
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            n += 1
+        sent.add(n)
+
+    out.foreachPartition(send_partition)
+    return sent.value
+
+
+def aws_sns_sink(
+    df: DataFrame,
+    topic_arn: str,
+    region: str,
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    timeout_secs: float = 10.0,
+) -> int:
+    """SNS Publish per message over the AWS Query protocol (form body,
+    SigV4-signed). SNS has no batch-publish in the Query API the
+    reference targets, so one Publish per row IS the wire contract —
+    like the reference's per-event publisher (aws_s_s/sns/client.rs).
+    Returns the row count."""
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    url = endpoint or f"https://sns.{region}.amazonaws.com/"
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows) -> None:
+        import urllib.request
+        from datetime import datetime, timezone
+
+        from vector_spark.functions.sigv4 import sign_request
+
+        n = 0
+        for row in rows:
+            body = urllib.parse.urlencode({
+                "Action": "Publish",
+                "Version": "2010-03-31",
+                "TopicArn": topic_arn,
+                "Message": row["_payload"],
+            }).encode()
+            amz_date = datetime.now(timezone.utc).strftime(
+                "%Y%m%dT%H%M%SZ"
+            )
+            headers = sign_request(
+                "POST", url,
+                {"Content-Type":
+                 "application/x-www-form-urlencoded; charset=utf-8"},
+                body, access_key, secret_key, region, "sns", amz_date,
+            )
+            req = urllib.request.Request(url, data=body,
+                                         headers=headers)
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            n += 1
+        sent.add(n)
+
+    out.foreachPartition(send_partition)
+    return sent.value
