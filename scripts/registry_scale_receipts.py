@@ -24,10 +24,13 @@ to the whole schema):
   internal duplicate/span structure survives, replicas share no
   vocabulary, so dedup/LM outputs scale linearly instead of
   degenerating.
-- embeddings: vec_id offset and the vector CIRCULARLY ROTATED by the
-  replica index — norms and within-replica geometry are preserved
-  while cross-replica cosines drop away from 1, so near-dup/ANN
-  candidate counts grow linearly, not quadratically.
+- embeddings: vec_id offset and each dimension multiplied by a
+  DETERMINISTIC per-replica ±1 sign (a Rademacher pattern keyed on
+  (replica, dim)) — within a replica every pairwise cosine is EXACTLY
+  preserved (signs square away), while cross-replica cosines become
+  sign-scrambled sums with expectation ~0 even for structured/
+  clustered embeddings (a circular rotation, the first attempt, let
+  clustered dims line back up and near-dup pairs grew superlinearly).
 
 Usage:
   python scripts/registry_scale_receipts.py [N_slowest] [replicas] \
@@ -63,11 +66,25 @@ _KEY_FAMILIES = {
 _USER_STRIDE_COL = "user_id"  # events: offset by max(user_id)+1
 _DIM_TABLES = ("region", "nation")
 
-# Entries whose documented contract is EXACT all-pairs (O(n²) work by
-# definition — the dense-cosine tiled arm's T² block pairs). Their
+# Entries whose documented contract makes the WORK quadratic. Their
 # receipts are reported but not held to the linear gate; asserting a
 # linear ratio on a quadratic contract would just ban exactness.
-QUADRATIC_BY_CONTRACT = {"docs_text_near_dup"}
+# - docs_text_near_dup / embedding_near_dup: EXACT all-pairs verify
+#   (O(n²) by definition — the dense tiled arm's T² block pairs).
+# - embedding_near_dup_lsh / embedding_dedup_components: recall-1
+#   oracle configs at threshold 0.4 — MEASURED on the 10× replica
+#   corpus, the TRUE pair count grows 105× (920 → 97,337) because at
+#   dim 64 a 0.4 threshold sits ~3σ into the background-cosine tail,
+#   so the OUTPUT is quadratic in n; wall grew only ~20× for 105×
+#   output (sublinear per output row). The linear-scale regime is
+#   high thresholds (0.9+) with planes scaled to corpus size
+#   (cosine_near_dup_pairs target_bucket_rows).
+QUADRATIC_BY_CONTRACT = {
+    "docs_text_near_dup",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_dedup_components",
+}
 
 
 def build_replica_dir(spark, sf_dir: str, replicas: int) -> str:
@@ -97,9 +114,6 @@ def build_replica_dir(spark, sf_dir: str, replicas: int) -> str:
         if name in _DIM_TABLES:
             base.write.mode("overwrite").parquet(path)
             continue
-        dim = None
-        if name == "embeddings":
-            dim = len(base.select("embedding").first()[0])
         reps = []
         for i in range(replicas):
             r = base
@@ -124,13 +138,16 @@ def build_replica_dir(spark, sf_dir: str, replicas: int) -> str:
                         F.col("text"), r"(\S+)", rf"$1•{i}"
                     ),
                 )
-            if name == "embeddings" and i % dim:
-                k = i % dim
+            if name == "embeddings" and i:
                 r = r.withColumn(
                     "embedding",
-                    F.concat(
-                        F.slice("embedding", k + 1, dim - k),
-                        F.slice("embedding", 1, k),
+                    F.transform(
+                        "embedding",
+                        lambda x, d: x * (
+                            F.pmod(
+                                F.xxhash64(F.lit(i), d), F.lit(2)
+                            ).cast("double") * 2.0 - 1.0
+                        ),
                     ),
                 )
             reps.append(r)

@@ -531,6 +531,41 @@ def test_cosine_near_dup_np_matches_expression_exact(spark):
     _ = _pytest  # retained import; the gate no longer raises
 
 
+def test_cosine_near_dup_scale_aware_planes(spark):
+    """target_bucket_rows escalates planes with corpus size (the r9
+    scale-receipt fix for quadratic candidate growth at fixed planes)
+    while table redundancy keeps high-threshold recall: near-identical
+    cluster pairs survive, and the pair set still matches exact."""
+    import random
+
+    from vector_spark.dataops.similarity import cosine_near_dup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 25 == 0:  # tight near-duplicate
+            rows.append(
+                (1000 + i, [x + rng.uniform(-1e-4, 1e-4) for x in v])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.99, exact=True, dim=16
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.99, dim=16, n_tables=32, n_planes=4,
+            target_bucket_rows=8,  # 312 rows -> ceil(log2(39)) = 6 planes
+        ).collect()
+    }
+    assert len(exact) >= 12 and got == exact
+
+
 def test_cosine_near_dup_tiled_arm_above_gate(spark):
     """A corpus well above broadcast_limit takes _tiled_cosine_pairs and
     reproduces the expression exact arm bit-for-bit: same (id_a, id_b)

@@ -294,3 +294,182 @@ sinks:
     assert all(res[s]["sent"] == 3 for s in ("ax", "kp", "mz"))
     paths = {r["path"].split("?")[0] for r in reqs}
     assert {"/ax", "/kp", "/logs/ingest"} <= paths
+
+
+def test_azure_monitor_logs_shared_key(spark, capture_server):
+    import base64 as _b64
+    import hashlib
+    import hmac as _hmac
+
+    from vector_spark.sinks_vendors import azure_monitor_logs_sink
+
+    base, reqs = capture_server
+    key = _b64.b64encode(b"workspace-secret-key").decode()
+    n = azure_monitor_logs_sink(
+        _events(spark), "ws-123", key, "VectorLogs", endpoint=base
+    )
+    assert n == 4
+    assert reqs[0]["path"] == "/api/logs?api-version=2016-04-01"
+    h = reqs[0]["headers"]
+    assert h["log-type"] == "VectorLogs"
+    assert h["time-generated-field"] == "ts"
+    body = reqs[0]["body"]
+    assert len(json.loads(body)) == 4
+    # recompute the documented signature from the captured request:
+    # POST\n{len}\napplication/json\nx-ms-date:{date}\n/api/logs
+    sts = (f"POST\n{len(body)}\napplication/json\n"
+           f"x-ms-date:{h['x-ms-date']}\n/api/logs")
+    want = _b64.b64encode(_hmac.new(
+        _b64.b64decode(key), sts.encode(), hashlib.sha256
+    ).digest()).decode()
+    assert h["authorization"] == f"SharedKey ws-123:{want}"
+
+
+def test_greptimedb_logs_url_and_auth(spark, capture_server):
+    from vector_spark.sinks_vendors import greptimedb_logs_sink
+
+    base, reqs = capture_server
+    n = greptimedb_logs_sink(
+        _events(spark), base, "public", "logs",
+        pipeline_version="v7", username="u", password="p",
+        extra_params={"source": "vector"},
+    )
+    assert n == 4
+    q = urllib.parse.parse_qs(
+        urllib.parse.urlsplit(reqs[0]["path"]).query
+    )
+    assert urllib.parse.urlsplit(reqs[0]["path"]).path \
+        == "/v1/events/logs"
+    assert q["db"] == ["public"] and q["table"] == ["logs"]
+    assert q["pipeline_name"] == ["greptime_identity"]
+    assert q["pipeline_version"] == ["v7"]
+    assert q["source"] == ["vector"]
+    want = "Basic " + base64.b64encode(b"u:p").decode()
+    assert reqs[0]["headers"]["authorization"] == want
+    assert len(json.loads(reqs[0]["body"])) == 4
+
+
+def test_doris_stream_load_headers_and_redirect(spark):
+    """FE answers 307 to the BE (the stream-load contract); the sink
+    must re-PUT the same body to Location with the label intact."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks_vendors import doris_sink
+
+    requests: list[dict] = []
+
+    class BE(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            requests.append({
+                "role": "be", "path": self.path,
+                "headers": {k.lower(): v
+                            for k, v in self.headers.items()},
+                "body": self.rfile.read(n),
+            })
+            body = b'{"Status":"Success"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    be = HTTPServer(("127.0.0.1", 0), BE)
+    threading.Thread(target=be.serve_forever, daemon=True).start()
+    be_url = f"http://127.0.0.1:{be.server_port}"
+
+    class FE(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            requests.append({"role": "fe", "path": self.path})
+            self.send_response(307)
+            self.send_header("Location", be_url + self.path)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    fe = HTTPServer(("127.0.0.1", 0), FE)
+    threading.Thread(target=fe.serve_forever, daemon=True).start()
+    try:
+        n = doris_sink(
+            _events(spark, 3), f"http://127.0.0.1:{fe.server_port}",
+            "db1", "t1", username="root", password="pw",
+        )
+        assert n == 3
+        fe_reqs = [r for r in requests if r["role"] == "fe"]
+        be_reqs = [r for r in requests if r["role"] == "be"]
+        assert len(fe_reqs) == 1 and len(be_reqs) == 1
+        assert fe_reqs[0]["path"] == "/api/db1/t1/_stream_load"
+        h = be_reqs[0]["headers"]
+        assert h["format"] == "json"
+        assert h["read_json_by_line"] == "true"
+        assert h["content-type"] == "text/plain;charset=utf-8"
+        assert h["label"].startswith("vector_db1_t1_")
+        want = "Basic " + base64.b64encode(b"root:pw").decode()
+        assert h["authorization"] == want
+        lines = be_reqs[0]["body"].decode().splitlines()
+        assert len(lines) == 3
+        assert json.loads(lines[0])["message"] == "msg 0"
+    finally:
+        fe.shutdown()
+        be.shutdown()
+
+
+def test_websocket_server_sink_broadcast(spark):
+    """Two RFC 6455 subscribers each receive every event as an
+    unmasked text frame."""
+    import base64 as _b64
+    import socket
+    import struct
+
+    from vector_spark.sinks import WebsocketServerSink
+
+    server = WebsocketServerSink()
+    try:
+        def connect():
+            s = socket.create_connection(("127.0.0.1", server.port),
+                                         timeout=10)
+            key = _b64.b64encode(b"0123456789abcdef").decode()
+            s.sendall((
+                f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode())
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                resp += s.recv(4096)
+            assert b" 101 " in resp.split(b"\r\n", 1)[0]
+            return s
+
+        def read_frames(s, want):
+            buf = b""
+            out = []
+            while len(out) < want:
+                buf += s.recv(4096)
+                while len(buf) >= 2:
+                    ln = buf[1] & 0x7F
+                    off = 2
+                    if ln == 126:
+                        ln = struct.unpack(">H", buf[2:4])[0]
+                        off = 4
+                    if len(buf) < off + ln:
+                        break
+                    assert buf[0] == 0x81  # FIN + text, unmasked
+                    out.append(buf[off:off + ln].decode())
+                    buf = buf[off + ln:]
+            return out
+
+        c1, c2 = connect(), connect()
+        df = spark.createDataFrame([("a",), ("b",), ("c",)],
+                                   "message string").coalesce(1)
+        n = server.broadcast(df, encoding="text")
+        assert n == 3
+        assert read_frames(c1, 3) == ["a", "b", "c"]
+        assert read_frames(c2, 3) == ["a", "b", "c"]
+    finally:
+        server.close()

@@ -1286,6 +1286,69 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     host_col=cfg.get("host_col"),
                 )
             }
+        elif stype == "azure_monitor_logs":
+            from vector_spark.sinks_vendors import (
+                azure_monitor_logs_sink,
+            )
+
+            results[name] = {
+                "sent": azure_monitor_logs_sink(
+                    df, cfg["customer_id"], cfg["shared_key"],
+                    cfg["log_type"],
+                    ts_col=cfg.get("ts_col", "ts"),
+                    endpoint=cfg.get("endpoint"),
+                    azure_resource_id=cfg.get("azure_resource_id"),
+                )
+            }
+        elif stype == "greptimedb_logs":
+            from vector_spark.sinks_vendors import greptimedb_logs_sink
+
+            results[name] = {
+                "sent": greptimedb_logs_sink(
+                    df, cfg["endpoint"], cfg["dbname"], cfg["table"],
+                    pipeline_name=cfg.get("pipeline_name",
+                                          "greptime_identity"),
+                    pipeline_version=cfg.get("pipeline_version"),
+                    username=cfg.get("username", ""),
+                    password=cfg.get("password", ""),
+                    extra_params=cfg.get("extra_params"),
+                )
+            }
+        elif stype == "doris":
+            from vector_spark.sinks_vendors import doris_sink
+
+            endpoints = cfg.get("endpoints") or [cfg["endpoint"]]
+            results[name] = {
+                "sent": doris_sink(
+                    df, endpoints[0], cfg["database"], cfg["table"],
+                    username=cfg.get("auth", {}).get("user",
+                                                     cfg.get("username",
+                                                             "")),
+                    password=cfg.get("auth", {}).get("password",
+                                                     cfg.get("password",
+                                                             "")),
+                    label_prefix=cfg.get("label_prefix", "vector"),
+                    headers=cfg.get("headers"),
+                )
+            }
+        elif stype == "websocket_server":
+            from vector_spark.sinks import WebsocketServerSink
+
+            host, _, port = cfg.get("address",
+                                    "127.0.0.1:0").partition(":")
+            server = WebsocketServerSink(host, int(port or 0))
+            wait = float(cfg.get("wait_for_client_secs", 0))
+            if wait:
+                server.client_connected.wait(wait)
+            results[name] = {
+                "sent": server.broadcast(
+                    df, encoding=cfg.get("encoding", "json"),
+                    value_col=cfg.get("value_col", "message"),
+                ),
+                "port": server.port,
+            }
+            if not cfg.get("keep_open"):
+                server.close()
         elif stype == "aws_sns":
             from vector_spark.sinks_vendors import aws_sns_sink
 

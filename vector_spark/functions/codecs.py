@@ -784,58 +784,6 @@ def decode_splunk_hec(c: Column) -> Column:
     )
 
 
-def encode_prometheus_rw(sample: Column) -> Column:
-    """prometheus remote_write encoding: a struct Column
-    (name, tags map, value, ts_ms) → snappy-compressed WriteRequest
-    wire bytes, one single-sample request per row — the sink's codec
-    (src/sinks/prometheus/remote_write/request_builder.rs) exposed as
-    a Column for the encode→decode oracle roundtrip."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def enc(s: pd.DataFrame) -> pd.Series:
-        from vector_spark.functions.protowire import (
-            encode_prometheus_write_request,
-        )
-        from vector_spark.functions.snappy import compress
-
-        rows = s.to_dict("records")
-        return pd.Series([
-            None if r is None else compress(
-                encode_prometheus_write_request(
-                    [(r["name"], r["tags"], r["value"], r["ts_ms"])]
-                )
-            )
-            for r in rows
-        ])
-
-    return enc(sample)
-
-
-def decode_prometheus_rw_json(payload: Column) -> Column:
-    """snappy WriteRequest bytes → the first sample's fields as JSON
-    text (the source endpoint's flattening) — from_json downstream."""
-    import json as _json
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def dec(s: pd.Series) -> pd.Series:
-        from vector_spark.functions.protowire import (
-            decode_prometheus_write_request,
-        )
-        from vector_spark.functions.snappy import decompress
-
-        return pd.Series([
-            None if b is None else _json.dumps(
-                decode_prometheus_write_request(decompress(bytes(b)))[0]
-            )
-            for b in s
-        ])
-
-    return dec(payload)
-
-
 def encode_datadog_series_v2(series: Column) -> Column:
     """datadog series-v2 encoding: a struct Column (metric, type,
     tags array, value, ts) → zlib MetricPayload wire bytes, one
@@ -946,4 +894,44 @@ def decode_pushgateway_event(path: Column, line: Column) -> Column:
         F.map_concat(body_only, grouping).alias("labels"),
         m.getField("value").alias("value"),
         m.getField("ts_ms").alias("ts_ms"),
+    )
+
+
+def prometheus_rw_roundtrip_rows(df, name_col: str, tags_col: str,
+                                 value_col: str, ts_ms_col: str):
+    """Encode each ARROW BATCH of samples as ONE snappy WriteRequest
+    (the sink's real batching: series grouped on label sets, samples
+    sorted) and decode it straight back through the source-side
+    flattening — returning one row per sample. Batch boundaries don't
+    affect the output SET, so the oracle hash is stable; batching
+    keeps the pure-Python snappy cost amortized like the sink's
+    (per-request, not per-row)."""
+
+    def fn(batches):
+        from vector_spark.functions.protowire import (
+            decode_prometheus_write_request,
+            encode_prometheus_write_request,
+        )
+        from vector_spark.functions.snappy import compress, decompress
+
+        for pdf in batches:
+            samples = [
+                (r[name_col], r[tags_col], r[value_col], r[ts_ms_col])
+                for r in pdf.to_dict("records")
+            ]
+            if not samples:
+                continue
+            wire = compress(encode_prometheus_write_request(samples))
+            out = decode_prometheus_write_request(decompress(wire))
+            yield pd.DataFrame({
+                "name": [o["name"] for o in out],
+                "tags": [o["tags"] for o in out],
+                "value": [o["value"] for o in out],
+                "timestamp_ms": [o["timestamp_ms"] for o in out],
+            })
+
+    return df.mapInPandas(
+        fn,
+        schema="name string, tags map<string,string>, value double,"
+               " timestamp_ms long",
     )

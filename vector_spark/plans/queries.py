@@ -3953,34 +3953,27 @@ QUERIES: dict[str, QuerySpec] = {
     # tests/test_sinks_telemetry.py against a live capture server.
     "prometheus_rw_roundtrip": QuerySpec(
         lambda spark, sf_dir: (
-            lambda ev, codecs: ev.select(
-                codecs.encode_prometheus_rw(
-                    F.struct(
-                        F.col("event_type").alias("name"),
-                        F.create_map(
-                            F.lit("u"),
-                            (F.col("user_id") % 10).cast("string"),
-                        ).alias("tags"),
-                        F.col("value").alias("value"),
-                        F.unix_millis(F.col("ts")).alias("ts_ms"),
-                    )
-                ).alias("payload")
+            lambda ev, codecs: codecs.prometheus_rw_roundtrip_rows(
+                ev.select(
+                    F.col("event_type").alias("name"),
+                    F.create_map(
+                        F.lit("u"),
+                        (F.col("user_id") % 10).cast("string"),
+                    ).alias("tags"),
+                    F.col("value").alias("value"),
+                    F.unix_millis(F.col("ts")).alias("ts_ms"),
+                ),
+                "name", "tags", "value", "ts_ms",
             ).select(
-                F.from_json(
-                    codecs.decode_prometheus_rw_json(F.col("payload")),
-                    "name string, tags map<string,string>,"
-                    " value double, timestamp_ms long",
-                ).alias("d")
-            ).select(
-                F.col("d.name").alias("name"),
-                F.col("d.tags")["u"].alias("u"),
-                F.col("d.value").alias("value"),
-                F.col("d.timestamp_ms").alias("ts_ms"),
+                "name",
+                F.col("tags")["u"].alias("u"),
+                "value",
+                F.col("timestamp_ms").alias("ts_ms"),
             )
         )(
             load_table(spark, sf_dir, "events"),
             __import__("vector_spark.functions.codecs",
-                       fromlist=["encode_prometheus_rw"]),
+                       fromlist=["prometheus_rw_roundtrip_rows"]),
         ),
         """
         SELECT event_type AS name,

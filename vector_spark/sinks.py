@@ -383,6 +383,119 @@ def websocket_sink(
     return sent.value
 
 
+class WebsocketServerSink:
+    """The reference's `websocket_server` sink
+    (src/sinks/websocket_server/config.rs:20-26): LISTEN on an address
+    and broadcast every event as an RFC 6455 text frame to each
+    connected subscriber.
+
+    Spark adaptation (documented): the reference is a single long-lived
+    process, so its broadcast fan-out has exactly one listener socket.
+    Here the server runs DRIVER-side and `broadcast(df)` streams rows
+    through `toLocalIterator()` — a deliberate tap/debug surface (the
+    same role as the reference's `vector tap`), NOT a bulk egress path;
+    bulk delivery to another system is what the client-mode
+    `websocket_sink` / socket/kafka sinks are for. One partition is
+    fetched at a time, so driver memory stays bounded."""
+
+    _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import socket as _socket
+        import threading as _threading
+
+        self._clients: list = []
+        self._lock = _threading.Lock()
+        self.client_connected = _threading.Event()
+        self._srv = _socket.create_server((host, port))
+        self.port = self._srv.getsockname()[1]
+        self._stop = _threading.Event()
+        _threading.Thread(target=self._accept_loop,
+                          daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        import base64 as _b64
+        import hashlib as _hashlib
+
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            try:
+                req = b""
+                while b"\r\n\r\n" not in req:
+                    chunk = conn.recv(4096)
+                    if not chunk:
+                        raise ConnectionError
+                    req += chunk
+                key = None
+                for line in req.split(b"\r\n"):
+                    if line.lower().startswith(b"sec-websocket-key:"):
+                        key = line.split(b":", 1)[1].strip().decode()
+                if key is None:
+                    conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                    conn.close()
+                    continue
+                accept = _b64.b64encode(_hashlib.sha1(
+                    (key + self._WS_GUID).encode()).digest()).decode()
+                conn.sendall((
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                ).encode())
+                with self._lock:
+                    self._clients.append(conn)
+                self.client_connected.set()
+            except (OSError, ConnectionError):
+                conn.close()
+
+    @staticmethod
+    def _frame(payload: bytes) -> bytes:
+        import struct as _struct
+
+        hdr = b"\x81"  # FIN + text; server frames are unmasked (§5.1)
+        ln = len(payload)
+        if ln < 126:
+            hdr += bytes([ln])
+        elif ln < 65536:
+            hdr += bytes([126]) + _struct.pack(">H", ln)
+        else:
+            hdr += bytes([127]) + _struct.pack(">Q", ln)
+        return hdr + payload
+
+    def broadcast(self, df: DataFrame, encoding: str = "json",
+                  value_col: str = "message") -> int:
+        lines = _rows_to_lines(df, encoding, value_col)
+        n = 0
+        for row in lines.toLocalIterator():
+            frame = self._frame(row["line"].encode())
+            dead = []
+            with self._lock:
+                for conn in self._clients:
+                    try:
+                        conn.sendall(frame)
+                    except OSError:
+                        dead.append(conn)
+                for conn in dead:
+                    self._clients.remove(conn)
+                    conn.close()
+            n += 1
+        return n
+
+    def close(self) -> None:
+        self._stop.set()
+        with self._lock:
+            for conn in self._clients:
+                try:
+                    conn.sendall(b"\x88\x00")  # close frame
+                except OSError:
+                    pass
+                conn.close()
+            self._clients.clear()
+        self._srv.close()
+
+
 def vector_sink(
     df: DataFrame,
     host: str,
