@@ -91,6 +91,7 @@ HEADLINE = [
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",
+    "datadog_trace_roundtrip",
 ]
 
 

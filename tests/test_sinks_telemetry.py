@@ -252,3 +252,40 @@ sinks:
     assert res["dd"]["sent"] == 3
     paths = {r["path"] for r in reqs}
     assert "/w" in paths and "/api/v2/series" in paths
+
+
+def test_datadog_traces_roundtrip(spark, capture_server):
+    import zlib
+
+    from vector_spark.functions.protowire import (
+        decode_datadog_trace_payload,
+    )
+    from vector_spark.sinks_telemetry import datadog_traces_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [(7, 1, 0, "web", "GET /", "/api", 1000, 50, 0, "web"),
+         (7, 2, 1, "web", "db.query", "SELECT", 1010, 20, 1, "db"),
+         (9, 3, 0, "auth", "login", "/login", 2000, 5, 0, "web")],
+        "trace_id long, span_id long, parent_id long, service string,"
+        " name string, resource string, start long, duration long,"
+        " error int, type string",
+    ).coalesce(1)
+    sent = datadog_traces_sink(df, "dd-key", endpoint=base,
+                               hostname="h1", env="prod")
+    assert sent == 3
+    assert reqs[0]["path"] == "/api/v0.2/traces"
+    h = reqs[0]["headers"]
+    assert h["dd-api-key"] == "dd-key"
+    assert h["content-type"] == "application/x-protobuf"
+    spans = decode_datadog_trace_payload(
+        zlib.decompress(reqs[0]["body"])
+    )
+    assert len(spans) == 3
+    assert all(s["hostname"] == "h1" and s["env"] == "prod"
+               for s in spans)
+    t7 = sorted((s for s in spans if s["trace_id"] == 7),
+                key=lambda s: s["span_id"])
+    assert t7[0]["name"] == "GET /" and t7[0]["parent_id"] == 0
+    assert t7[1]["error"] == 1 and t7[1]["parent_id"] == 1
+    assert t7[1]["duration"] == 20

@@ -473,3 +473,20 @@ def test_websocket_server_sink_broadcast(spark):
         assert read_frames(c2, 3) == ["a", "b", "c"]
     finally:
         server.close()
+
+
+def test_azure_logs_ingestion_dcr_stream(spark, capture_server):
+    from vector_spark.sinks_vendors import azure_logs_ingestion_sink
+
+    base, reqs = capture_server
+    n = azure_logs_ingestion_sink(
+        _events(spark), base, "dcr-000abc", "Custom-VectorLogs_CL",
+        "aad-token",
+    )
+    assert n == 4
+    assert reqs[0]["path"] == (
+        "/dataCollectionRules/dcr-000abc/streams/"
+        "Custom-VectorLogs_CL?api-version=2023-01-01"
+    )
+    assert reqs[0]["headers"]["authorization"] == "Bearer aad-token"
+    assert len(json.loads(reqs[0]["body"])) == 4

@@ -1272,6 +1272,19 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                         "https://malachiteingestion-pa.googleapis.com"),
                 )
             }
+        elif stype == "datadog_traces":
+            from vector_spark.sinks_telemetry import datadog_traces_sink
+
+            results[name] = {
+                "sent": datadog_traces_sink(
+                    df, cfg["api_key"],
+                    endpoint=cfg.get(
+                        "endpoint",
+                        "https://trace.agent.datadoghq.com"),
+                    hostname=cfg.get("hostname", ""),
+                    env=cfg.get("env", ""),
+                )
+            }
         elif stype == "datadog_events":
             from vector_spark.sinks_vendors import datadog_events_sink
 
@@ -1298,6 +1311,18 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     ts_col=cfg.get("ts_col", "ts"),
                     endpoint=cfg.get("endpoint"),
                     azure_resource_id=cfg.get("azure_resource_id"),
+                )
+            }
+        elif stype == "azure_logs_ingestion":
+            from vector_spark.sinks_vendors import (
+                azure_logs_ingestion_sink,
+            )
+
+            results[name] = {
+                "sent": azure_logs_ingestion_sink(
+                    df, cfg["endpoint"], cfg["dcr_immutable_id"],
+                    cfg["stream_name"],
+                    cfg.get("auth_token", ""),
                 )
             }
         elif stype == "greptimedb_logs":

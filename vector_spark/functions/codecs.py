@@ -935,3 +935,41 @@ def prometheus_rw_roundtrip_rows(df, name_col: str, tags_col: str,
         schema="name string, tags map<string,string>, value double,"
                " timestamp_ms long",
     )
+
+
+def datadog_trace_roundtrip_rows(df):
+    """Encode each ARROW BATCH of span rows as ONE TracePayload (the
+    traces sink's per-request grouping: one TraceChunk per trace) and
+    decode it straight back — one row per span. Batch boundaries don't
+    change the output SET, so the oracle hash is stable."""
+
+    def fn(batches):
+        from vector_spark.functions.protowire import (
+            decode_datadog_trace_payload,
+            encode_datadog_trace_payload,
+        )
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            if not rows:
+                continue
+            out = decode_datadog_trace_payload(
+                encode_datadog_trace_payload(rows)
+            )
+            yield pd.DataFrame({
+                "trace_id": [o["trace_id"] for o in out],
+                "span_id": [o["span_id"] for o in out],
+                "parent_id": [o["parent_id"] for o in out],
+                "service": [o["service"] for o in out],
+                "name": [o["name"] for o in out],
+                "start": [o["start"] for o in out],
+                "duration": [o["duration"] for o in out],
+                "error": [o["error"] for o in out],
+            })
+
+    return df.mapInPandas(
+        fn,
+        schema="trace_id long, span_id long, parent_id long,"
+               " service string, name string, start long,"
+               " duration long, error int",
+    )

@@ -882,3 +882,120 @@ def decode_prometheus_write_request(buf: bytes) -> list[dict]:
                 "timestamp_ms": sm.get("timestamp"),
             })
     return out
+
+
+# ---- datadog trace payload (proto/vector/dd_trace.proto — the public
+# DataDog agent-payload trace schema the reference vendors) ---------------
+
+DATADOG_TRACE_REGISTRY = {
+    "StringEntry": {1: ("key", "string"), 2: ("value", "string")},
+    "DoubleEntry": {1: ("key", "string"), 2: ("value", "double")},
+    "Span": {
+        1: ("service", "string"), 2: ("name", "string"),
+        3: ("resource", "string"), 4: ("traceID", "uint64"),
+        5: ("spanID", "uint64"), 6: ("parentID", "uint64"),
+        7: ("start", "int64"), 8: ("duration", "int64"),
+        9: ("error", "int32"),
+        10: ("meta", "repeated msg:StringEntry"),
+        11: ("metrics", "repeated msg:DoubleEntry"),
+        12: ("type", "string"),
+    },
+    "TraceChunk": {
+        1: ("priority", "int32"), 2: ("origin", "string"),
+        3: ("spans", "repeated msg:Span"),
+        4: ("tags", "repeated msg:StringEntry"),
+        5: ("droppedTrace", "bool"),
+    },
+    "TracerPayload": {
+        1: ("containerID", "string"), 2: ("languageName", "string"),
+        3: ("languageVersion", "string"), 4: ("tracerVersion", "string"),
+        5: ("runtimeID", "string"),
+        6: ("chunks", "repeated msg:TraceChunk"),
+        7: ("tags", "repeated msg:StringEntry"),
+        8: ("env", "string"), 9: ("hostname", "string"),
+        10: ("appVersion", "string"),
+    },
+    "TracePayload": {
+        1: ("hostName", "string"), 2: ("env", "string"),
+        5: ("tracerPayloads", "repeated msg:TracerPayload"),
+        6: ("tags", "repeated msg:StringEntry"),
+        7: ("agentVersion", "string"),
+    },
+}
+
+
+def encode_datadog_trace_payload(
+    span_rows: list[dict],
+    hostname: str = "",
+    env: str = "",
+) -> bytes:
+    """Flat span dicts (trace_id, span_id, parent_id, service, name,
+    resource, start int64 ns, duration int64 ns, error, type, meta
+    dict) → TracePayload wire bytes: spans grouped into one TraceChunk
+    per trace inside one TracerPayload (the newer-payload shape the
+    reference's request_builder emits)."""
+    chunks: dict = {}
+    order: list = []
+    for row in span_rows:
+        tid = int(row["trace_id"])
+        if tid not in chunks:
+            chunks[tid] = []
+            order.append(tid)
+        span = {
+            "service": row.get("service", ""),
+            "name": row.get("name", ""),
+            "resource": row.get("resource", ""),
+            "traceID": tid,
+            "spanID": int(row["span_id"]),
+            "parentID": int(row.get("parent_id") or 0),
+            "start": int(row["start"]),
+            "duration": int(row["duration"]),
+            "error": int(row.get("error") or 0),
+            "type": row.get("type", ""),
+        }
+        if row.get("meta"):
+            span["meta"] = [
+                {"key": k, "value": v}
+                for k, v in sorted(row["meta"].items())
+            ]
+        chunks[tid].append(span)
+    payload = {
+        "hostName": hostname,
+        "env": env,
+        "tracerPayloads": [{
+            "chunks": [
+                {"priority": 1, "spans": chunks[tid]} for tid in order
+            ],
+        }],
+    }
+    return encode_message(payload,
+                          DATADOG_TRACE_REGISTRY["TracePayload"],
+                          DATADOG_TRACE_REGISTRY)
+
+
+def decode_datadog_trace_payload(buf: bytes) -> list[dict]:
+    """TracePayload wire bytes → one flat dict per span (trace fields
+    lifted from the chunk/payload envelopes)."""
+    payload = decode_message(buf, DATADOG_TRACE_REGISTRY["TracePayload"],
+                             DATADOG_TRACE_REGISTRY)
+    out = []
+    for tp in payload.get("tracerPayloads", []):
+        for chunk in tp.get("chunks", []):
+            for span in chunk.get("spans", []):
+                out.append({
+                    "trace_id": span.get("traceID"),
+                    "span_id": span.get("spanID"),
+                    "parent_id": span.get("parentID"),
+                    "service": span.get("service", ""),
+                    "name": span.get("name", ""),
+                    "resource": span.get("resource", ""),
+                    "start": span.get("start"),
+                    "duration": span.get("duration"),
+                    "error": span.get("error", 0),
+                    "type": span.get("type", ""),
+                    "meta": {e["key"]: e["value"]
+                             for e in span.get("meta", [])},
+                    "hostname": payload.get("hostName", ""),
+                    "env": payload.get("env", ""),
+                })
+    return out

@@ -3984,6 +3984,50 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "remote_write snappy WriteRequest encode->decode roundtrip",
     ),
+    # datadog traces SINK codec (r9): TracePayload encode
+    # (src/sinks/datadog/traces/request_builder.rs newer tracerPayloads
+    # shape, proto/vector/dd_trace.proto) → decode — spans synthesized
+    # from events (trace = user, span = event).
+    "datadog_trace_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, codecs: codecs.datadog_trace_roundtrip_rows(
+                ev.select(
+                    F.col("user_id").alias("trace_id"),
+                    F.col("event_id").alias("span_id"),
+                    F.lit(0).cast("long").alias("parent_id"),
+                    F.concat(
+                        F.lit("svc-"),
+                        (F.col("user_id") % 5).cast("string"),
+                    ).alias("service"),
+                    F.col("event_type").alias("name"),
+                    F.lit("").alias("resource"),
+                    (F.unix_micros(F.col("ts")) * 1000).alias("start"),
+                    F.floor(F.col("value") * 1e6).cast("long")
+                    .alias("duration"),
+                    F.when(F.col("value") > 150, 1).otherwise(0)
+                    .cast("int").alias("error"),
+                    F.lit("").alias("type"),
+                )
+            )
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["datadog_trace_roundtrip_rows"]),
+        ),
+        """
+        SELECT user_id AS trace_id,
+               event_id AS span_id,
+               CAST(0 AS BIGINT) AS parent_id,
+               concat('svc-', CAST(user_id % 5 AS VARCHAR)) AS service,
+               event_type AS name,
+               epoch_us(ts) * 1000 AS start,
+               CAST(floor(value * 1e6) AS BIGINT) AS duration,
+               CAST(CASE WHEN value > 150 THEN 1 ELSE 0 END AS INTEGER)
+                 AS error
+        FROM events
+        """,
+        "datadog TracePayload encode->decode roundtrip",
+    ),
     # datadog metrics SINK codec (r9): zlib MetricPayload series-v2
     # encode (src/sinks/datadog/metrics/encoder.rs) → decode through
     # the datadog_agent intake's fan-out — the same roundtrip contract.
@@ -6273,7 +6317,7 @@ _DRIVER_PRIORITY = [
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
     "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
-    "prometheus_pushgateway_codec",
+    "prometheus_pushgateway_codec", "datadog_trace_roundtrip",
     "docs_url_filter", "lua_v2_transform",
     # new/changed in r8 — the reshaped hashed-tfidf entry (r7's one red
     # row), the rewritten rank-bucket boundaries, the pre-filtered

@@ -335,3 +335,63 @@ def datadog_sketches_sink(
 
     out.foreachPartition(push_partition)
     return sent.value
+
+
+def datadog_traces_sink(
+    df: DataFrame,
+    api_key: str,
+    endpoint: str = "https://trace.agent.datadoghq.com",
+    hostname: str = "",
+    env: str = "",
+    batch_max_spans: int = 1000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """POST TracePayload protobufs to ``/api/v0.2/traces`` (reference
+    src/sinks/datadog/traces/config.rs:123, the newer tracerPayloads
+    shape) — spans grouped into one TraceChunk per trace per request,
+    deflate-compressed like the metrics endpoints. Expects span rows:
+    trace_id, span_id, parent_id, service, name, resource, start (ns),
+    duration (ns), error, type (+ optional meta map)."""
+    cols = {c: c for c in ("trace_id", "span_id", "parent_id",
+                           "service", "name", "resource", "start",
+                           "duration", "error", "type")}
+    sel = [F.col(c).alias(a) for c, a in cols.items()
+           if c in df.columns]
+    if "meta" in df.columns:
+        sel.append(F.col("meta"))
+    out = df.select(*sel)
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint.rstrip("/") + "/api/v0.2/traces"
+    headers = {
+        "Content-Type": "application/x-protobuf",
+        "Content-Encoding": "deflate",
+        "DD-API-KEY": api_key,
+    }
+
+    def push_partition(rows) -> None:
+        import zlib
+
+        from vector_spark.functions.protowire import (
+            encode_datadog_trace_payload,
+        )
+
+        batch: list[dict] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            body = zlib.compress(encode_datadog_trace_payload(
+                batch, hostname=hostname, env=env
+            ))
+            _post(url, body, headers, timeout_secs)
+            sent.add(len(batch))
+            batch.clear()
+
+        for row in rows:
+            batch.append(row.asDict())
+            if len(batch) >= batch_max_spans:
+                flush()
+        flush()
+
+    out.foreachPartition(push_partition)
+    return sent.value

@@ -671,3 +671,32 @@ def doris_sink(
 
     lines.foreachPartition(send_partition)
     return sent.value
+
+
+def azure_logs_ingestion_sink(
+    df: DataFrame,
+    endpoint: str,
+    dcr_immutable_id: str,
+    stream_name: str,
+    auth_token: str,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """The DCR-based Logs Ingestion API (reference src/sinks/
+    azure_logs_ingestion/service.rs:94): JSON-array POST to
+    `{endpoint}/dataCollectionRules/{dcr}/streams/{stream}?api-version=
+    2023-01-01` with a Bearer token. Token acquisition is Azure AD
+    OAuth — caller-provided, the same boundary as the GCP sinks."""
+    url = (endpoint.rstrip("/")
+           + f"/dataCollectionRules/{dcr_immutable_id}/streams/"
+             f"{urllib.parse.quote(stream_name, safe='')}"
+             "?api-version=2023-01-01")
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Bearer {auth_token}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
