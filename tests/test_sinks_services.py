@@ -255,3 +255,58 @@ def test_new_relic_logs_array(spark, capture_server):
     assert reqs[0]["headers"]["Api-Key"] == "lic-key"
     events = json.loads(reqs[0]["body"])
     assert [e["message"] for e in events] == ["msg 0", "msg 1"]
+
+
+def test_new_relic_events_merges_json_message(spark, capture_server):
+    from vector_spark.sinks_services import new_relic_events_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [(1, '{"user": "alice", "n": 42, "ok": true}'),
+         (2, "plain text")],
+        "seq long, message string",
+    ).coalesce(1)
+    n = new_relic_events_sink(df, "lic", "12345",
+                              endpoint=base + "/v1/accounts/12345/events")
+    assert n == 2
+    assert reqs[0]["path"] == "/v1/accounts/12345/events"
+    assert reqs[0]["headers"]["Api-Key"] == "lic"
+    events = json.loads(reqs[0]["body"])
+    ev_by_seq = {e["seq"]: e for e in events}
+    # JSON message: scalar fields merged in (typed), message dropped
+    assert ev_by_seq[1]["user"] == "alice"
+    assert ev_by_seq[1]["n"] == 42
+    assert ev_by_seq[1]["ok"] is True
+    assert "message" not in ev_by_seq[1]
+    # non-JSON message: kept verbatim
+    assert ev_by_seq[2]["message"] == "plain text"
+    # eventType defaulted on every event (model.rs:216-218)
+    assert all(e["eventType"] == "VectorSink" for e in events)
+
+
+def test_new_relic_metrics_types_and_intervals(spark, capture_server):
+    from vector_spark.sinks_services import new_relic_metrics_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("req_total", "counter", "incremental", 5.0, 1700000000.0, 10000),
+         ("req_total_abs", "counter", "absolute", 7.0, 1700000000.0, None),
+         ("temp", "gauge", "absolute", 21.5, 1700000001.0, None),
+         ("dropped", "counter", "incremental", 1.0, 1700000002.0, None)],
+        "name string, metric_type string, kind string, value double,"
+        " ts double, interval_ms long",
+    ).coalesce(1)
+    n = new_relic_metrics_sink(df, "lic", endpoint=base + "/metric/v1",
+                               interval_ms_col="interval_ms")
+    # the incremental counter without an interval is dropped
+    assert n == 3
+    body = json.loads(reqs[0]["body"])
+    metrics = {m["name"]: m for m in body[0]["metrics"]}
+    assert metrics["req_total"]["type"] == "count"
+    assert metrics["req_total"]["interval.ms"] == 10000
+    assert metrics["req_total_abs"]["type"] == "gauge"
+    assert "interval.ms" not in metrics["req_total_abs"]
+    assert metrics["temp"]["type"] == "gauge"
+    assert metrics["temp"]["value"] == 21.5
+    assert metrics["temp"]["timestamp"] == 1700000001000
+    assert "dropped" not in metrics

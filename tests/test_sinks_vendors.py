@@ -490,3 +490,86 @@ def test_azure_logs_ingestion_dcr_stream(spark, capture_server):
     )
     assert reqs[0]["headers"]["authorization"] == "Bearer aad-token"
     assert len(json.loads(reqs[0]["body"])) == 4
+
+
+def _metrics(spark):
+    return spark.createDataFrame(
+        [("pool.used", "jvm", "counter", 42.0, 1597784400.0,
+          {"os.host": "somehost"}),
+         ("cpu.idle", None, "gauge", 97.5, 1597784401.0, None)],
+        "name string, namespace string, metric_type string,"
+        " value double, ts double, tags map<string,string>",
+    ).coalesce(1)
+
+
+def test_sematext_metrics_influx_lines_with_token_tag(
+        spark, capture_server):
+    from vector_spark.sinks_vendors import sematext_metrics_sink
+
+    base, reqs = capture_server
+    n = sematext_metrics_sink(_metrics(spark), "atoken",
+                              default_namespace="ns", endpoint=base)
+    assert n == 2
+    path, _, query = reqs[0]["path"].partition("?")
+    assert path == "/write"
+    params = dict(urllib.parse.parse_qsl(query))
+    assert params["db"] == "metrics"
+    assert params["precision"] == "ns"
+    assert params["v"].startswith("vector-")
+    lines = reqs[0]["body"].decode().splitlines()
+    # measurement=namespace, sorted tags incl. metric_type + token,
+    # field key = metric name (metrics.rs:347 expected line)
+    assert lines[0] == ("jvm,metric_type=counter,os.host=somehost,"
+                        "token=atoken pool.used=42.0 1597784400000000000")
+    assert lines[1] == ("ns,metric_type=gauge,token=atoken "
+                        "cpu.idle=97.5 1597784401000000000")
+
+
+def test_humio_metrics_wraps_metric_to_log_hec(spark, capture_server):
+    from vector_spark.sinks_vendors import humio_metrics_sink
+
+    base, reqs = capture_server
+    n = humio_metrics_sink(_metrics(spark), "humio-token", endpoint=base)
+    assert n == 2
+    assert reqs[0]["path"] == "/services/collector/event"
+    assert reqs[0]["headers"]["authorization"] == "Splunk humio-token"
+    first = json.loads(reqs[0]["body"].split(b"\n")[0])
+    # the HEC event carries the serialized metric (metric_to_log shape)
+    inner = json.loads(first["event"])
+    assert inner["name"] == "pool.used"
+    assert inner["value"] == 42.0
+
+
+def test_gcp_stackdriver_metrics_series_json(spark, capture_server):
+    from vector_spark.sinks_vendors import gcp_stackdriver_metrics_sink
+
+    base, reqs = capture_server
+    n = gcp_stackdriver_metrics_sink(
+        _metrics(spark), "my-proj", "tok",
+        started_iso="2020-08-18T21:00:00.000000000Z",
+        default_namespace="vec", endpoint=base,
+    )
+    assert n == 2
+    assert all(r["path"] == "/v3/projects/my-proj/timeSeries"
+               for r in reqs)
+    assert reqs[0]["headers"]["authorization"] == "Bearer tok"
+    # default batch of 1 event per request (config.rs:158)
+    bodies = [json.loads(r["body"]) for r in reqs]
+    assert all(len(b["timeSeries"]) == 1 for b in bodies)
+    counter = bodies[0]["timeSeries"][0]
+    assert counter["metric"]["type"] == \
+        "custom.googleapis.com/jvm/metrics/pool.used"
+    assert counter["metric"]["labels"] == {"os.host": "somehost"}
+    assert counter["resource"] == {"type": "global", "labels": {}}
+    assert counter["metricKind"] == "CUMULATIVE"
+    assert counter["valueType"] == "INT64"
+    pt = counter["points"][0]
+    assert pt["value"]["int64Value"] == "42"
+    assert pt["interval"]["startTime"] == "2020-08-18T21:00:00.000000000Z"
+    assert pt["interval"]["endTime"] == "2020-08-18T21:00:00.000000000Z"
+    gauge = bodies[1]["timeSeries"][0]
+    assert gauge["metricKind"] == "GAUGE"
+    assert "startTime" not in gauge["points"][0]["interval"]
+    # namespace falls back to the default (request_builder.rs:73-76)
+    assert gauge["metric"]["type"] == \
+        "custom.googleapis.com/vec/metrics/cpu.idle"

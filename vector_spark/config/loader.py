@@ -1160,14 +1160,92 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                 )
             }
         elif stype == "new_relic":
-            from vector_spark.sinks_services import new_relic_logs_sink
+            # the reference's `api` selector (config.rs:84):
+            # logs (default) | events | metrics
+            api = cfg.get("api", "logs")
+            if api == "events":
+                from vector_spark.sinks_services import (
+                    new_relic_events_sink,
+                )
+
+                results[name] = {
+                    "sent": new_relic_events_sink(
+                        df, cfg["license_key"],
+                        cfg.get("account_id", ""),
+                        endpoint=cfg.get("endpoint"),
+                        message_col=cfg.get("message_col", "message"),
+                    )
+                }
+            elif api == "metrics":
+                from vector_spark.sinks_services import (
+                    new_relic_metrics_sink,
+                )
+
+                results[name] = {
+                    "sent": new_relic_metrics_sink(
+                        df, cfg["license_key"],
+                        endpoint=cfg.get(
+                            "endpoint",
+                            "https://metric-api.newrelic.com/metric/v1"),
+                        tags_col=cfg.get("tags_col", "tags"),
+                        ts_col=cfg.get("ts_col", "ts"),
+                        interval_ms_col=cfg.get("interval_ms_col"),
+                    )
+                }
+            else:
+                from vector_spark.sinks_services import (
+                    new_relic_logs_sink,
+                )
+
+                results[name] = {
+                    "sent": new_relic_logs_sink(
+                        df, cfg["license_key"],
+                        endpoint=cfg.get(
+                            "endpoint",
+                            "https://log-api.newrelic.com/log/v1"),
+                    )
+                }
+        elif stype == "sematext_metrics":
+            from vector_spark.sinks_vendors import sematext_metrics_sink
 
             results[name] = {
-                "sent": new_relic_logs_sink(
-                    df, cfg["license_key"],
+                "sent": sematext_metrics_sink(
+                    df, cfg["token"],
+                    default_namespace=cfg.get("default_namespace",
+                                              "vector"),
                     endpoint=cfg.get(
-                        "endpoint",
-                        "https://log-api.newrelic.com/log/v1"),
+                        "endpoint", "https://spm-receiver.sematext.com"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                )
+            }
+        elif stype == "humio_metrics":
+            from vector_spark.sinks_vendors import humio_metrics_sink
+
+            results[name] = {
+                "sent": humio_metrics_sink(
+                    df, cfg["token"],
+                    endpoint=cfg.get("endpoint",
+                                     "https://cloud.humio.com"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                )
+            }
+        elif stype == "gcp_stackdriver_metrics":
+            from vector_spark.sinks_vendors import (
+                gcp_stackdriver_metrics_sink,
+            )
+
+            results[name] = {
+                "sent": gcp_stackdriver_metrics_sink(
+                    df, cfg["project_id"], cfg.get("auth_token", ""),
+                    started_iso=cfg.get(
+                        "started_iso", "1970-01-01T00:00:00.000000000Z"),
+                    default_namespace=cfg.get("default_namespace",
+                                              "namespace"),
+                    resource_type=cfg.get("resource_type", "global"),
+                    resource_labels=cfg.get("resource_labels"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    endpoint=cfg.get(
+                        "endpoint", "https://monitoring.googleapis.com"),
                 )
             }
         elif stype == "axiom":

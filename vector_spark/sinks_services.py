@@ -383,3 +383,122 @@ def new_relic_logs_sink(
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b"[", suffix=b"]", joiner=b",",
     )
+
+
+def new_relic_events_sink(
+    df: DataFrame,
+    license_key: str,
+    account_id: str,
+    endpoint: str | None = None,
+    message_col: str = "message",
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """The Event API half of the reference's `new_relic` sink
+    (config.rs:189-196 endpoint, model.rs:151-240 shaping): a JSON
+    array of flat event objects POSTed to
+    `/v1/accounts/{account_id}/events` with the Api-Key header.
+
+    Reference semantics re-expressed JVM-side:
+    - every event carries an `eventType` (defaulted to "VectorSink"
+      when the column is absent, model.rs:216-218);
+    - when ``message_col`` holds a JSON *object* string, its fields are
+      merged into the event and the message key dropped
+      (model.rs:179-213). The merge is pure string surgery on the two
+      rendered JSON bodies (message fields rendered last, so on key
+      collision they win — the reference's insert-over behavior).
+      Divergence, documented: the reference silently drops
+      array/nested-object values inside the message; this merge keeps
+      them (they are valid JSON and NRQL flattens them server-side).
+    """
+    if endpoint is None:
+        endpoint = ("https://insights-collector.newrelic.com"
+                    f"/v1/accounts/{account_id}/events")
+    cols = [c for c in df.columns if c != message_col]
+    if "eventType" not in df.columns:
+        base_fields = [F.lit("VectorSink").alias("eventType")]
+    else:
+        base_fields = []
+    base_fields += [F.col(c) for c in cols]
+    base = F.to_json(F.struct(*base_fields))
+    if message_col in df.columns:
+        msg = F.trim(F.col(message_col).cast("string"))
+        is_obj = msg.rlike(r"^\{.*\}$") & (msg != F.lit("{}"))
+        # splice: '{base-without-}' + ',' + 'message-body-without-{'
+        merged = F.concat(
+            F.substring(base, 1, F.length(base) - F.lit(1)),
+            F.lit(","),
+            F.substring(msg, 2, F.length(msg) - F.lit(1)),
+        )
+        plain = F.to_json(F.struct(*(base_fields + [F.col(message_col)])))
+        line = F.when(is_obj, merged).otherwise(plain)
+    else:
+        line = base
+    lines = df.select(line.alias("line"))
+    return _post_lines_per_partition(
+        lines, endpoint,
+        {"Content-Type": "application/json", "Api-Key": license_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b"[", suffix=b"]", joiner=b",",
+    )
+
+
+def new_relic_metrics_sink(
+    df: DataFrame,
+    license_key: str,
+    endpoint: str = "https://metric-api.newrelic.com/metric/v1",
+    name_col: str = "name",
+    kind_col: str = "kind",
+    type_col: str = "metric_type",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str = "ts",
+    interval_ms_col: str | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """The Metric API half of the reference's `new_relic` sink
+    (config.rs:203-207 endpoint, model.rs:31-140 shaping): body
+    `[{"metrics":[{name,type,value,timestamp,attributes,
+    "interval.ms"}]}]` with the Api-Key header.
+
+    Type mapping (model.rs:77-94): incremental counters become
+    `count` and REQUIRE an interval (rows without one are dropped,
+    the reference's num_missing_interval path); absolute counters and
+    gauges become `gauge`. NaN values are dropped. Timestamps are
+    epoch millis."""
+    dtypes = dict(df.dtypes)
+    kind = F.col(kind_col).cast("string") if kind_col in df.columns \
+        else F.lit("absolute")
+    mtype = F.col(type_col).cast("string")
+    is_count = (mtype == F.lit("counter")) & (kind == F.lit("incremental"))
+    interval = (F.col(interval_ms_col).cast("long")
+                if interval_ms_col and interval_ms_col in df.columns
+                else F.lit(None).cast("long"))
+    value = F.col(value_col).cast("double")
+    ts_ms = (F.unix_millis(F.col(ts_col))
+             if dtypes.get(ts_col) == "timestamp"
+             else (F.col(ts_col).cast("double") * 1000).cast("long"))
+    attrs = (F.col(tags_col)
+             if tags_col and tags_col in df.columns
+             and dtypes.get(tags_col, "").startswith("map")
+             else F.lit(None).cast("map<string,string>"))
+    metric = F.struct(
+        F.when(is_count, interval).alias("interval.ms"),
+        F.col(name_col).cast("string").alias("name"),
+        F.when(is_count, F.lit("count")).otherwise(F.lit("gauge"))
+         .alias("type"),
+        value.alias("value"),
+        ts_ms.alias("timestamp"),
+        attrs.alias("attributes"),
+    )
+    kept = df.where(~(F.isnan(value)) & (~is_count | interval.isNotNull()))
+    lines = kept.select(F.to_json(metric).alias("line"))
+    return _post_lines_per_partition(
+        lines, endpoint,
+        {"Content-Type": "application/json", "Api-Key": license_key},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b'[{"metrics":[', suffix=b"]}]", joiner=b",",
+    )

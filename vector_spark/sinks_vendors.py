@@ -700,3 +700,184 @@ def azure_logs_ingestion_sink(
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b"[", suffix=b"]", joiner=b",",
     )
+
+
+def humio_metrics_sink(
+    df: DataFrame,
+    token: str,
+    endpoint: str = "https://cloud.humio.com",
+    ts_col: str = "ts",
+    **kwargs,
+) -> int:
+    """`humio_metrics` (src/sinks/humio/metrics.rs:44-50): the
+    reference runs its metric_to_log transform and hands the result to
+    the humio_logs (HEC) sink — so does this, using the same
+    operators.metrics.metric_to_log this repo already ships."""
+    from vector_spark.operators.metrics import metric_to_log
+
+    if dict(df.dtypes).get(ts_col) != "timestamp":
+        df = df.withColumn(
+            ts_col, F.timestamp_seconds(F.col(ts_col).cast("double")))
+    logs = metric_to_log(df, ts_col=ts_col)
+    return humio_logs_sink(
+        logs, token, endpoint=endpoint,
+        event_col="message", ts_col="timestamp", **kwargs,
+    )
+
+
+def sematext_metrics_sink(
+    df: DataFrame,
+    token: str,
+    default_namespace: str = "vector",
+    endpoint: str = "https://spm-receiver.sematext.com",
+    name_col: str = "name",
+    namespace_col: str | None = "namespace",
+    type_col: str = "metric_type",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str = "ts",
+    batch_max_events: int = 20,
+    timeout_secs: float = 10.0,
+) -> int:
+    """`sematext_metrics` (src/sinks/sematext/metrics.rs:152-160,
+    :255-290): InfluxDB v1 line protocol POSTed to
+    `{endpoint}/write?db=metrics&v=vector-<version>&precision=ns`.
+    The measurement is the metric namespace (or ``default_namespace``),
+    the single field key is the metric name, and the write token rides
+    as a `token` tag alongside `metric_type` — auth-by-tag is the
+    Sematext API's own contract (metrics.rs:272-274). Tags are sorted
+    for deterministic lines (the reference's influx_line_protocol does
+    the same). Default batch of 20 events mirrors
+    SematextMetricsDefaultBatchSettings (metrics.rs:47)."""
+    from vector_spark import __version__
+
+    dtypes = dict(df.dtypes)
+    ns = (F.coalesce(F.col(namespace_col), F.lit(default_namespace))
+          if namespace_col and namespace_col in df.columns
+          else F.lit(default_namespace))
+    fixed = F.create_map(
+        F.lit("metric_type"), F.col(type_col).cast("string"),
+        F.lit("token"), F.lit(token),
+    )
+    if tags_col and tags_col in df.columns and dtypes.get(
+            tags_col, "").startswith("map"):
+        tags = F.map_concat(F.col(tags_col), fixed)
+    else:
+        tags = fixed
+    tag_suffix = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.map_entries(tags)),
+            lambda e: F.concat(F.lit(","), e["key"], F.lit("="),
+                               e["value"]),
+        ),
+    )
+    ts_ns = (F.col(ts_col).cast("double") * 1e9).cast("long")
+    line = F.concat(
+        ns, tag_suffix, F.lit(" "),
+        F.col(name_col).cast("string"), F.lit("="),
+        F.col(value_col).cast("string"), F.lit(" "),
+        ts_ns.cast("string"),
+    )
+    url = (endpoint.rstrip("/")
+           + f"/write?db=metrics&v=vector-{__version__}&precision=ns")
+    return _post_lines_per_partition(
+        df.select(line.alias("line")), url,
+        {"Content-Type": "text/plain; charset=utf-8"},
+        batch_max_events, 10_000_000, timeout_secs,
+    )
+
+
+def gcp_stackdriver_metrics_sink(
+    df: DataFrame,
+    project_id: str,
+    auth_token: str,
+    started_iso: str,
+    default_namespace: str = "namespace",
+    resource_type: str = "global",
+    resource_labels: dict[str, str] | None = None,
+    name_col: str = "name",
+    namespace_col: str | None = "namespace",
+    type_col: str = "metric_type",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str = "ts",
+    endpoint: str = "https://monitoring.googleapis.com",
+    batch_max_events: int = 1,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """`gcp_stackdriver_metrics` (src/sinks/gcp/stackdriver/metrics/
+    request_builder.rs:59-140, JSON pinned by the reference's own
+    tests.rs:86-99): `{"timeSeries":[...]}` POSTed to
+    `/v3/projects/{project}/timeSeries`. Metric type is
+    `custom.googleapis.com/{namespace}/metrics/{name}`; counters map
+    to CUMULATIVE with the sink start time (``started_iso``,
+    captured once at sink build like the reference's
+    `StackdriverMetricsEncoder.started`) as interval start, gauges to
+    GAUGE with endTime only; values serialize as INT64 (a JSON string
+    per the GCP API). Timestamps are RFC3339 with 9 fractional digits
+    (micro precision + "000", matching to_rfc3339_opts(Nanos))."""
+    dtypes = dict(df.dtypes)
+    ns = (F.coalesce(F.col(namespace_col), F.lit(default_namespace))
+          if namespace_col and namespace_col in df.columns
+          else F.lit(default_namespace))
+    metric_type = F.concat(
+        F.lit("custom.googleapis.com/"), ns, F.lit("/metrics/"),
+        F.col(name_col).cast("string"),
+    )
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    if tags_col and tags_col in df.columns and dtypes.get(
+            tags_col, "").startswith("map"):
+        labels = F.coalesce(F.col(tags_col), empty_map)
+    else:
+        labels = empty_map
+    res_labels = (resource_labels or {})
+    resource = F.struct(
+        F.lit(resource_type).alias("type"),
+        (F.struct(*[F.lit(v).alias(k) for k, v in res_labels.items()])
+         if res_labels
+         else F.from_json(F.lit("{}"), "map<string,string>")
+         ).alias("labels"),
+    )
+    ts = (F.col(ts_col) if dtypes.get(ts_col) == "timestamp"
+          else F.timestamp_seconds(F.col(ts_col).cast("double")))
+    end_time = F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("000Z"),
+    )
+    is_counter = F.col(type_col).cast("string") == F.lit("counter")
+    interval = F.when(is_counter, F.struct(
+        F.lit(started_iso).alias("startTime"),
+        end_time.alias("endTime"),
+    )).otherwise(F.struct(
+        F.lit(None).cast("string").alias("startTime"),
+        end_time.alias("endTime"),
+    ))
+    series = F.struct(
+        F.struct(
+            metric_type.alias("type"), labels.alias("labels"),
+        ).alias("metric"),
+        resource.alias("resource"),
+        F.when(is_counter, F.lit("CUMULATIVE"))
+         .otherwise(F.lit("GAUGE")).alias("metricKind"),
+        F.lit("INT64").alias("valueType"),
+        F.array(F.struct(
+            interval.alias("interval"),
+            F.struct(
+                F.col(value_col).cast("long").cast("string")
+                 .alias("int64Value"),
+            ).alias("value"),
+        )).alias("points"),
+    )
+    lines = df.select(F.to_json(series).alias("line"))
+    url = (endpoint.rstrip("/")
+           + f"/v3/projects/{urllib.parse.quote(project_id)}"
+             "/timeSeries")
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Bearer {auth_token}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        prefix=b'{"timeSeries":[', suffix=b"]}", joiner=b",",
+    )
