@@ -1476,6 +1476,20 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     columns=cfg.get("columns"),
                 )
             }
+        elif stype == "databend":
+            # reference src/sinks/databend/: DSN endpoint + table;
+            # NDJSON staged + INSERT-with-attachment (sinks_db.py)
+            from vector_spark.sinks_db import databend_sink
+
+            results[name] = {
+                "sent": databend_sink(
+                    df, cfg["endpoint"], cfg["table"],
+                    database=cfg.get("database"),
+                    missing_field_as=cfg.get("missing_field_as",
+                                             "NULL"),
+                    compression=cfg.get("compression", "gzip"),
+                )
+            }
         elif stype == "prometheus_remote_write":
             # reference src/sinks/prometheus/remote_write/: snappy
             # WriteRequest protobuf + version header, tenant → OrgID
