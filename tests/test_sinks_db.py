@@ -383,3 +383,161 @@ sinks:
     out = run_sinks(topo)
     assert out["db"]["sent"] == 1
     assert queries and queries[0]["sql"] == "INSERT INTO `t` VALUES"
+
+
+# ----------------------------------------------------------- zerobus
+
+@pytest.fixture()
+def unity_catalog_server():
+    """Fake of the two Unity Catalog HTTP endpoints the reference
+    hits (unity_catalog_schema.rs): POST /oidc/v1/token and GET
+    /api/2.1/unity-catalog/tables/{name}."""
+    import json as _json
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen: dict = {"token_posts": [], "table_gets": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert self.path == "/oidc/v1/token"
+            n = int(self.headers.get("Content-Length", 0))
+            seen["token_posts"].append(
+                dict(urllib.parse.parse_qsl(
+                    self.rfile.read(n).decode())))
+            self._json({"access_token": "uc-tok",
+                        "token_type": "Bearer"})
+
+        def do_GET(self):
+            seen["table_gets"].append(
+                (self.path, self.headers.get("Authorization")))
+            self._json({
+                "name": "t",
+                "columns": [
+                    {"name": "id", "type_text": "BIGINT"},
+                    {"name": "name", "type_text": "STRING"},
+                    {"name": "score", "type_text": "DOUBLE"},
+                    {"name": "extra", "type_text": "INT"},
+                ],
+            })
+
+        def _json(self, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", seen
+    srv.shutdown()
+
+
+def _zerobus_listener(received):
+    """GrpcListener decoding our documented envelope: field 1 = Arrow
+    IPC stream bytes, field 2 = batch seq."""
+    import io
+
+    import pyarrow as pa
+
+    from vector_spark.functions.protowire import read_varint
+    from vector_spark.sources_grpc import GrpcListener
+
+    def ingest(msg: bytes) -> bytes:
+        pos = 0
+        while pos < len(msg):
+            tag, pos = read_varint(msg, pos)
+            field, wire = tag >> 3, tag & 7
+            if wire == 2:
+                ln, pos = read_varint(msg, pos)
+                payload = msg[pos:pos + ln]
+                pos += ln
+                if field == 1:
+                    with pa.ipc.open_stream(io.BytesIO(payload)) as r:
+                        for batch in r:
+                            received.extend(batch.to_pylist())
+            else:
+                _v, pos = read_varint(msg, pos)
+        return b""
+
+    return GrpcListener({
+        "/databricks.zerobus.ZerobusService/IngestArrowStream": ingest,
+    })
+
+
+def test_zerobus_arrow_ingest_roundtrip(spark, unity_catalog_server):
+    from vector_spark.sinks_db import databricks_zerobus_sink
+
+    uc, seen = unity_catalog_server
+    received: list[dict] = []
+    srv = _zerobus_listener(received)
+    try:
+        df = spark.createDataFrame(
+            [(1, "alpha", 0.5), (2, "beta", None)],
+            "id long, name string, score double",
+        ).coalesce(1)
+        n = databricks_zerobus_sink(
+            df, f"127.0.0.1:{srv.port}", uc,
+            "main.default.t", "cid", "csecret",
+        )
+    finally:
+        srv.close()
+    assert n == 2
+    # OAuth flow pinned (unity_catalog_schema.rs:152-156)
+    tok = seen["token_posts"][0]
+    assert tok == {"grant_type": "client_credentials",
+                   "client_id": "cid", "client_secret": "csecret",
+                   "scope": "all-apis"}
+    # table fetch with dot-joined percent-encoded segments + bearer
+    path, auth = seen["table_gets"][0]
+    assert path == "/api/2.1/unity-catalog/tables/main.default.t"
+    assert auth == "Bearer uc-tok"
+    # rows round-trip through Arrow IPC with the UC-derived schema:
+    # the 'extra' UC column the df lacks arrives as a typed null
+    by_id = {r["id"]: r for r in received}
+    assert by_id[1]["name"] == "alpha"
+    assert by_id[1]["score"] == 0.5
+    assert by_id[1]["extra"] is None
+    assert by_id[2]["score"] is None
+
+
+def test_zerobus_rejects_unsupported_uc_type(spark):
+    from vector_spark.sinks_db import _arrow_schema_from_uc
+
+    with pytest.raises(ValueError, match="unsupported Unity Catalog"):
+        _arrow_schema_from_uc([("v", "interval")])
+
+
+def test_zerobus_via_topology_loader(spark, unity_catalog_server,
+                                     tmp_path):
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    uc, _seen = unity_catalog_server
+    received: list[dict] = []
+    srv = _zerobus_listener(received)
+    src = tmp_path / "in.ndjson"
+    src.write_text('{"id": 9, "name": "z", "score": 1.25}\n')
+    try:
+        topo = load_topology(spark, f"""
+sources:
+  j: {{type: json, path: "{src}"}}
+sinks:
+  zb:
+    type: databricks_zerobus
+    inputs: [j]
+    ingestion_endpoint: "127.0.0.1:{srv.port}"
+    unity_catalog_endpoint: "{uc}"
+    table_name: main.default.t
+    client_id: cid
+    client_secret: cs
+""")
+        out = run_sinks(topo)
+    finally:
+        srv.close()
+    assert out["zb"]["sent"] == 1
+    assert received[0]["id"] == 9 and received[0]["name"] == "z"

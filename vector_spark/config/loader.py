@@ -1490,6 +1490,18 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     compression=cfg.get("compression", "gzip"),
                 )
             }
+        elif stype == "databricks_zerobus":
+            # reference src/sinks/databricks_zerobus/: UC-schema-driven
+            # Arrow batches over gRPC (sinks_db.py)
+            from vector_spark.sinks_db import databricks_zerobus_sink
+
+            results[name] = {
+                "sent": databricks_zerobus_sink(
+                    df, cfg["ingestion_endpoint"],
+                    cfg["unity_catalog_endpoint"], cfg["table_name"],
+                    cfg["client_id"], cfg["client_secret"],
+                )
+            }
         elif stype == "prometheus_remote_write":
             # reference src/sinks/prometheus/remote_write/: snappy
             # WriteRequest protobuf + version header, tenant → OrgID

@@ -438,3 +438,215 @@ def databend_sink(
 
     lines.foreachPartition(push_partition)
     return sent.value
+
+
+# ------------------------------------------------------------- zerobus
+
+#: Unity Catalog type_text → (Spark cast type, Arrow type factory name).
+#: The UC type surface is public (Databricks SQL data types); the
+#: reference delegates the same mapping to its SDK's
+#: arrow_schema_from_uc_schema (src/sinks/databricks_zerobus/
+#: unity_catalog_schema.rs:1-8).
+_UC_TYPES = {
+    "tinyint": ("tinyint", "int8"),
+    "smallint": ("smallint", "int16"),
+    "int": ("int", "int32"),
+    "bigint": ("bigint", "int64"),
+    "float": ("float", "float32"),
+    "double": ("double", "float64"),
+    "boolean": ("boolean", "bool_"),
+    "string": ("string", "string"),
+    "binary": ("binary", "binary"),
+    "date": ("date", "date32"),
+    "timestamp": ("timestamp", "timestamp_us"),
+}
+
+
+def _zerobus_oauth_token(unity_catalog_endpoint: str, client_id: str,
+                         client_secret: str,
+                         timeout: float = 10.0) -> str:
+    """OAuth client-credentials token from `{uc}/oidc/v1/token`
+    (unity_catalog_schema.rs:134-160: form-encoded grant with
+    scope=all-apis; response field access_token)."""
+    import json as _json
+    import urllib.parse as _up
+    import urllib.request as _rq
+
+    body = _up.urlencode({
+        "grant_type": "client_credentials",
+        "client_id": client_id,
+        "client_secret": client_secret,
+        "scope": "all-apis",
+    }).encode()
+    req = _rq.Request(
+        unity_catalog_endpoint.rstrip("/") + "/oidc/v1/token",
+        data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with _rq.urlopen(req, timeout=timeout) as resp:
+        return _json.loads(resp.read())["access_token"]
+
+
+def _zerobus_table_schema(unity_catalog_endpoint: str, table_name: str,
+                          token: str,
+                          timeout: float = 10.0) -> list[tuple[str, str]]:
+    """GET `/api/2.1/unity-catalog/tables/{name}` with each dot-segment
+    percent-encoded (unity_catalog_schema.rs:60-85); returns
+    [(column name, lowercase type_text)]."""
+    import json as _json
+    import urllib.parse as _up
+    import urllib.request as _rq
+
+    enc = ".".join(
+        _up.quote(seg, safe="") for seg in table_name.split("."))
+    req = _rq.Request(
+        unity_catalog_endpoint.rstrip("/")
+        + f"/api/2.1/unity-catalog/tables/{enc}",
+        headers={"Authorization": f"Bearer {token}",
+                 "Content-Type": "application/json"},
+    )
+    with _rq.urlopen(req, timeout=timeout) as resp:
+        table = _json.loads(resp.read())
+    return [(c["name"], c["type_text"].lower())
+            for c in table["columns"]]
+
+
+def _arrow_schema_from_uc(columns: list[tuple[str, str]]):
+    import pyarrow as pa
+
+    factories = {
+        "int8": pa.int8, "int16": pa.int16, "int32": pa.int32,
+        "int64": pa.int64, "float32": pa.float32,
+        "float64": pa.float64, "bool_": pa.bool_, "string": pa.string,
+        "binary": pa.binary, "date32": pa.date32,
+        "timestamp_us": lambda: pa.timestamp("us", tz="UTC"),
+    }
+    fields = []
+    for name, type_text in columns:
+        if type_text not in _UC_TYPES:
+            raise ValueError(
+                f"unsupported Unity Catalog type {type_text!r} for "
+                f"column {name!r} (supported: {sorted(_UC_TYPES)})")
+        fields.append(pa.field(name, factories[_UC_TYPES[type_text][1]]()))
+    return pa.schema(fields)
+
+
+def databricks_zerobus_sink(
+    df: DataFrame,
+    ingestion_endpoint: str,
+    unity_catalog_endpoint: str,
+    table_name: str,
+    client_id: str,
+    client_secret: str,
+    batch_max_rows: int = 4096,
+    method_path: str =
+        "/databricks.zerobus.ZerobusService/IngestArrowStream",
+    timeout_secs: float = 15.0,
+) -> int:
+    """Databricks Zerobus sink (reference src/sinks/
+    databricks_zerobus/): streams events into a Unity Catalog table as
+    Arrow record batches over gRPC.
+
+    What is pinned to the reference byte-for-byte:
+    - the OAuth client-credentials flow against `{uc}/oidc/v1/token`
+      (unity_catalog_schema.rs:134-160);
+    - the UC table-schema fetch with per-segment percent-encoding
+      (unity_catalog_schema.rs:60-85);
+    - schema-first encoding: the Arrow schema is DERIVED from Unity
+      Catalog and drives both stream declaration and batch encoding
+      (service.rs:343-378), with df columns selected/cast to it
+      JVM-side (missing UC columns become typed nulls);
+    - Arrow IPC stream payloads (the reference's
+      ArrowStreamSerializerConfig batch encoder, service.rs:17).
+
+    Documented boundary: the reference delegates the gRPC method/
+    message envelope to the databricks-zerobus-ingest-sdk crate, whose
+    .proto is not vendored in the reference tree — so no public pin
+    vector exists offline. The envelope here is OURS and explicit:
+    each gRPC message is `field 1 (bytes) = Arrow IPC stream,
+    field 2 (varint) = batch seq`, client-streamed on one call per
+    partition to ``method_path`` with `authorization: Bearer <token>`
+    and `x-databricks-zerobus-table-name` metadata. Both halves
+    (this client, GrpcListener) pin each other in pytest — the same
+    stance as the azure_blob SharedKey omission.
+
+    Scale shape: one gRPC stream per executor partition; Arrow
+    conversion happens in bounded ``batch_max_rows`` chunks; token +
+    schema fetched ONCE on the driver and broadcast by closure."""
+    token = _zerobus_oauth_token(
+        unity_catalog_endpoint, client_id, client_secret, timeout_secs)
+    uc_columns = _zerobus_table_schema(
+        unity_catalog_endpoint, table_name, token, timeout_secs)
+    dtypes = dict(df.dtypes)
+    selected = []
+    for name, type_text in uc_columns:
+        if type_text not in _UC_TYPES:
+            raise ValueError(
+                f"unsupported Unity Catalog type {type_text!r} for "
+                f"column {name!r}")
+        spark_t = _UC_TYPES[type_text][0]
+        if name in dtypes:
+            selected.append(F.col(name).cast(spark_t).alias(name))
+        else:
+            selected.append(F.lit(None).cast(spark_t).alias(name))
+    out = df.select(*selected)
+    host, _, port_s = ingestion_endpoint.rpartition(":")
+    port = int(port_s)
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def push_partition(rows) -> None:
+        import io
+
+        import pyarrow as pa
+
+        from vector_spark.functions.protowire import (
+            write_len_delim, write_tag, write_varint,
+        )
+        from vector_spark.sources_grpc import grpc_unary_call
+
+        schema = _arrow_schema_from_uc(uc_columns)
+        names = [n for n, _t in uc_columns]
+        messages: list[bytes] = []
+        n = 0
+        chunk: list[dict] = []
+        seq = 0
+
+        def flush() -> None:
+            nonlocal seq
+            if not chunk:
+                return
+            batch = pa.RecordBatch.from_pylist(chunk, schema=schema)
+            bio = io.BytesIO()
+            with pa.ipc.new_stream(bio, schema) as writer:
+                writer.write_batch(batch)
+            env = bytearray()
+            write_len_delim(1, bio.getvalue(), env)
+            write_tag(2, 0, env)
+            write_varint(seq, env)
+            messages.append(bytes(env))
+            seq += 1
+            chunk.clear()
+
+        for row in rows:
+            chunk.append({k: row[k] for k in names})
+            n += 1
+            if len(chunk) >= batch_max_rows:
+                flush()
+        flush()
+        if not messages:
+            return
+        status, _resp = grpc_unary_call(
+            host, port, method_path, messages,
+            metadata=[
+                ("authorization", f"Bearer {token}"),
+                ("x-databricks-zerobus-table-name", table_name),
+            ],
+            timeout=timeout_secs,
+        )
+        if status != 0:
+            raise ConnectionError(
+                f"zerobus ingest failed: grpc-status {status}")
+        sent.add(n)
+
+    out.foreachPartition(push_partition)
+    return sent.value

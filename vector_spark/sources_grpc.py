@@ -279,3 +279,99 @@ def start_vector_grpc_listener(state, host: str = "127.0.0.1",
         "/vector.Vector/PushEvents": push_events,
         "/vector.Vector/HealthCheck": lambda _msg: b"",
     }, host, port)
+
+
+def grpc_unary_call(
+    host: str,
+    port: int,
+    path: str,
+    messages: list[bytes],
+    metadata: list[tuple[str, str]] | None = None,
+    timeout: float = 10.0,
+) -> tuple[int, bytes]:
+    """Client half of the transport above: a flow-control-compliant
+    HTTP/2 gRPC call sending one or more length-prefixed messages on a
+    single stream (client-streaming collapses to unary when
+    ``messages`` has one element). DATA is sent in ≤16 KiB frames,
+    stalling at the 65,535-byte initial connection/stream windows and
+    resuming on server WINDOW_UPDATEs (RFC 7540 §6.9). Returns
+    (grpc_status, concatenated response message bytes).
+
+    Used by sinks that speak gRPC upstream (databricks_zerobus); the
+    server side is `GrpcListener`, so both halves pin each other in
+    tests."""
+    enc = HpackEncoder()
+    dec = HpackDecoder()
+    headers = [
+        (":method", "POST"), (":scheme", "http"), (":path", path),
+        (":authority", f"{host}:{port}"),
+        ("content-type", "application/grpc"), ("te", "trailers"),
+    ] + [(k.lower(), v) for k, v in (metadata or [])]
+    framed = b"".join(grpc_frame(m) for m in messages)
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        sock.sendall(
+            H2_PREFACE
+            + h2_encode_frame(H2_SETTINGS, 0, 0)
+            + h2_encode_frame(H2_HEADERS, FLAG_END_HEADERS, 1,
+                              enc.encode(headers))
+        )
+        conn_win = stream_win = 65535
+        pos = 0
+        buf = b""
+        status: list[int] = []
+        body = bytearray()
+        done = threading.Event()
+
+        def pump(data: bytes) -> None:
+            nonlocal buf, conn_win, stream_win
+            buf += data
+            frames, buf = h2_decode_frames(bytes(buf))
+            for ftype, flags, sid, payload in frames:
+                if ftype == H2_WINDOW_UPDATE:
+                    inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+                    if sid == 0:
+                        conn_win += inc
+                    else:
+                        stream_win += inc
+                elif ftype == H2_HEADERS and sid == 1:
+                    for name, value in dec.decode(payload):
+                        if name == "grpc-status":
+                            status.append(int(value))
+                    if flags & FLAG_END_STREAM:
+                        done.set()
+                elif ftype == H2_DATA and sid == 1:
+                    body.extend(payload)
+                    if flags & FLAG_END_STREAM:
+                        done.set()
+                elif ftype == H2_GOAWAY:
+                    raise ConnectionError("server sent GOAWAY")
+
+        while pos < len(framed):
+            can = min(16384, conn_win, stream_win, len(framed) - pos)
+            if can <= 0:
+                data = sock.recv(65536)
+                if not data:
+                    raise ConnectionError(
+                        "server closed while awaiting WINDOW_UPDATE")
+                pump(data)
+                continue
+            end = pos + can >= len(framed)
+            sock.sendall(h2_encode_frame(
+                H2_DATA, FLAG_END_STREAM if end else 0, 1,
+                framed[pos:pos + can]))
+            conn_win -= can
+            stream_win -= can
+            pos += can
+        if not framed:
+            sock.sendall(h2_encode_frame(H2_DATA, FLAG_END_STREAM, 1))
+        while not done.is_set() and not status:
+            data = sock.recv(65536)
+            if not data:
+                break
+            pump(data)
+        st = status[-1] if status else -1
+        msgs = grpc_unframe(bytes(body))
+        return st, b"".join(m for _c, m in msgs)
+    finally:
+        sock.close()
