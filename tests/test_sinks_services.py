@@ -310,3 +310,32 @@ def test_new_relic_metrics_types_and_intervals(spark, capture_server):
     assert metrics["temp"]["value"] == 21.5
     assert metrics["temp"]["timestamp"] == 1700000001000
     assert "dropped" not in metrics
+
+
+def test_splunk_hec_metrics_envelopes(spark, capture_server):
+    from vector_spark.sinks_services import splunk_hec_metrics_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("cpu.user", 0.25, {"host": "h1"}, 1700000000.5),
+         ("mem.free", 1024.0, None, 1700000001.0)],
+        "name string, value double, tags map<string,string>,"
+        " ts double",
+    ).coalesce(1)
+    n = splunk_hec_metrics_sink(df, base, "hec-tok",
+                                sourcetype="vector_metrics")
+    assert n == 2
+    assert reqs[0]["path"] == "/services/collector/event"
+    assert reqs[0]["headers"]["Authorization"] == "Splunk hec-tok"
+    envs = [json.loads(line) for line in
+            reqs[0]["body"].decode().splitlines()]
+    # encoder.rs:20-45: event literal "metric", tags + metric_name +
+    # float _value inside fields, time as fractional seconds
+    assert envs[0]["event"] == "metric"
+    assert envs[0]["fields"] == {"host": "h1",
+                                 "metric_name": "cpu.user",
+                                 "_value": 0.25}
+    assert envs[0]["time"] == 1700000000.5
+    assert envs[0]["sourcetype"] == "vector_metrics"
+    assert envs[1]["fields"] == {"metric_name": "mem.free",
+                                 "_value": 1024.0}

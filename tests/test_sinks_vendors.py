@@ -573,3 +573,24 @@ def test_gcp_stackdriver_metrics_series_json(spark, capture_server):
     # namespace falls back to the default (request_builder.rs:73-76)
     assert gauge["metric"]["type"] == \
         "custom.googleapis.com/vec/metrics/cpu.idle"
+
+
+def test_greptimedb_metrics_influx_lines(spark, capture_server):
+    from vector_spark.sinks_vendors import greptimedb_metrics_sink
+
+    base, reqs = capture_server
+    n = greptimedb_metrics_sink(
+        _metrics(spark), base, dbname="metricsdb",
+        username="u", password="p",
+    )
+    assert n == 2
+    path, _, query = reqs[0]["path"].partition("?")
+    assert path == "/v1/influxdb/write"
+    assert dict(urllib.parse.parse_qsl(query)) == {"db": "metricsdb"}
+    assert reqs[0]["headers"]["authorization"].startswith("Basic ")
+    lines = reqs[0]["body"].decode().splitlines()
+    # measurement → table, tags sorted, `val` value column
+    # (greptimedb/metrics/config.rs:114)
+    assert lines[0] == ("pool.used,os.host=somehost val=42.0 "
+                        "1597784400000000000")
+    assert lines[1] == "cpu.idle val=97.5 1597784401000000000"

@@ -1446,3 +1446,83 @@ def test_aws_cloudwatch_metrics_sink(spark):
         assert q["MetricData.member.2.MetricName"] == ["mem"]
     finally:
         srv.shutdown()
+
+
+def test_aws_kinesis_firehose_sink(spark):
+    import base64
+
+    from vector_spark.sinks import aws_kinesis_firehose_sink
+
+    calls = []
+    srv = _aws_json_server(calls)
+    try:
+        df = spark.createDataFrame(
+            [("r1",), ("r2",), ("r3",)], "message string"
+        ).coalesce(1)
+        n = aws_kinesis_firehose_sink(
+            df, "delivery", region="us-west-2",
+            access_key="AK", secret_key="SK",
+            endpoint=f"http://127.0.0.1:{srv.server_port}/",
+        )
+        assert n == 3
+        target, auth, body = calls[0]
+        assert target == "Firehose_20150804.PutRecordBatch"
+        assert "/us-west-2/firehose/aws4_request" in auth
+        assert body["DeliveryStreamName"] == "delivery"
+        assert [base64.b64decode(r["Data"]).decode()
+                for r in body["Records"]] == ["r1", "r2", "r3"]
+        assert "PartitionKey" not in body["Records"][0]
+    finally:
+        srv.shutdown()
+
+
+def test_influxdb_logs_sink_typed_fields(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import influxdb_logs_sink
+
+    writes = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            writes.append((self.path, self.rfile.read(n).decode()))
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("web", 'say "hi"', 42, 1.5, True, 1e9),
+             ("db", None, 7, 0.25, False, 1e9 + 1)],
+            "host string, message string, count long, ratio double,"
+            " ok boolean, ts double",
+        ).coalesce(1)
+        n = influxdb_logs_sink(
+            df, f"http://127.0.0.1:{srv.server_port}",
+            namespace="ns", tag_cols=["host"],
+            org="o", bucket="b",
+        )
+        assert n == 2
+        path, body = writes[0]
+        assert path.startswith("/api/v2/write?org=o&bucket=b")
+        lines = body.splitlines()
+        # measurement `<ns>.vector` (logs.rs:51), host promoted to tag,
+        # metric_type=logs always added; fields carry influx typing
+        # (int `i`, float/bool bare, strings quoted with escapes)
+        assert lines[0] == (
+            'ns.vector,host=web,metric_type=logs '
+            'message="say \\"hi\\"",count=42i,ratio=1.5,ok=true '
+            '1000000000000000000')
+        # null message omitted from the fields of the second line
+        assert lines[1] == (
+            'ns.vector,host=db,metric_type=logs '
+            'count=7i,ratio=0.25,ok=false 1000000001000000000')
+    finally:
+        srv.shutdown()

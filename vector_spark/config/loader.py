@@ -1614,6 +1614,68 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     value_col=cfg.get("value_col", "value"),
                 )
             }
+        elif stype == "influxdb_logs":
+            # reference src/sinks/influxdb/logs.rs: measurement (or
+            # namespace) + promoted tag fields
+            from vector_spark.sinks import influxdb_logs_sink
+
+            results[name] = {
+                "sent": influxdb_logs_sink(
+                    df, cfg["endpoint"],
+                    measurement=cfg.get("measurement"),
+                    namespace=cfg.get("namespace"),
+                    tag_cols=cfg.get("tags"),
+                    org=cfg.get("org", ""),
+                    bucket=cfg.get("bucket", ""),
+                    ts_col=cfg.get("ts_col", "ts"),
+                )
+            }
+        elif stype == "greptimedb_metrics":
+            # reference src/sinks/greptimedb/metrics/: dbname + auth;
+            # influx-line HTTP intake (divergence documented in-code)
+            from vector_spark.sinks_vendors import (
+                greptimedb_metrics_sink,
+            )
+
+            results[name] = {
+                "sent": greptimedb_metrics_sink(
+                    df, cfg["endpoint"],
+                    dbname=cfg.get("dbname", "public"),
+                    username=cfg.get("username", ""),
+                    password=cfg.get("password", ""),
+                    ts_col=cfg.get("ts_col", "ts"),
+                )
+            }
+        elif stype == "splunk_hec_metrics":
+            # reference src/sinks/splunk_hec/metrics/
+            from vector_spark.sinks_services import (
+                splunk_hec_metrics_sink,
+            )
+
+            results[name] = {
+                "sent": splunk_hec_metrics_sink(
+                    df, cfg["endpoint"], cfg["default_token"],
+                    tags_col=cfg.get("tags_col", "tags"),
+                    ts_col=cfg.get("ts_col", "ts"),
+                    host_col=cfg.get("host_col"),
+                    sourcetype=cfg.get("sourcetype"),
+                    index=cfg.get("index"),
+                )
+            }
+        elif stype == "aws_kinesis_firehose":
+            # reference src/sinks/aws_kinesis/firehose/
+            from vector_spark.sinks import aws_kinesis_firehose_sink
+
+            results[name] = {
+                "sent": aws_kinesis_firehose_sink(
+                    df, cfg["stream_name"], region=cfg["region"],
+                    access_key=cfg.get("access_key", ""),
+                    secret_key=cfg.get("secret_key", ""),
+                    endpoint=cfg.get("endpoint"),
+                    value_col=cfg.get("value_col", "message"),
+                    encoding=cfg.get("encoding", "text"),
+                )
+            }
         elif stype == "statsd":
             # reference src/sinks/statsd/: address
             from vector_spark.sinks import statsd_sink

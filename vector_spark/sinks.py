@@ -904,6 +904,152 @@ def aws_kinesis_sink(
     return counter.value
 
 
+def aws_kinesis_firehose_sink(
+    df: DataFrame,
+    stream_name: str,
+    region: str,
+    access_key: str = "",
+    secret_key: str = "",
+    endpoint: str | None = None,
+    value_col: str = "message",
+    encoding: str = "text",
+    batch_size: int = 500,
+    batch_max_bytes: int = 4_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """Kinesis Data Firehose sink (reference src/sinks/aws_kinesis/
+    firehose/ — the delivery-stream sibling of the streams sink):
+    `Firehose_20150804.PutRecordBatch` in the API-max batches of 500
+    records / 4 MB (firehose/config.rs:48 cites the public limits
+    page), records base64'd, SigV4-signed like the other AWS
+    families. No partition key — Firehose delivery streams don't
+    shard by key."""
+    from pyspark.sql import functions as F
+
+    if encoding == "json":
+        payload = F.to_json(F.struct(*df.columns))
+    else:
+        payload = F.col(value_col).cast("string")
+    out = df.select(payload.alias("_payload"))
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint or f"https://firehose.{region}.amazonaws.com/"
+
+    def push_partition(rows) -> None:
+        import base64
+
+        batch = []
+        batch_bytes = 0
+        sent = 0
+
+        def flush() -> None:
+            nonlocal batch, batch_bytes, sent
+            if not batch:
+                return
+            _aws_json_call(
+                url, "firehose", "Firehose_20150804.PutRecordBatch",
+                {"DeliveryStreamName": stream_name, "Records": batch},
+                access_key, secret_key, region, timeout_secs,
+            )
+            sent += len(batch)
+            batch = []
+            batch_bytes = 0
+
+        for row in rows:
+            data = row["_payload"].encode("utf-8")
+            if batch and (len(batch) >= min(batch_size, 500)
+                          or batch_bytes + len(data) > batch_max_bytes):
+                flush()
+            batch.append(
+                {"Data": base64.b64encode(data).decode("ascii")})
+            batch_bytes += len(data)
+        flush()
+        counter.add(sent)
+
+    out.foreachPartition(push_partition)
+    return counter.value
+
+
+def _influx_field_value(col: "F.Column", dtype: str) -> "F.Column":
+    """One log column → its influx line-protocol field rendering
+    (lib/vector-lib influx Field typing): ints get the `i` suffix,
+    floats/bools go bare, strings are quoted with \\ and \" escaped."""
+    from pyspark.sql import functions as F
+
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.concat(col.cast("string"), F.lit("i"))
+    if dtype in ("float", "double", "boolean"):
+        return col.cast("string")
+    s = F.regexp_replace(col.cast("string"), r"\\", r"\\\\")
+    s = F.regexp_replace(s, '"', '\\\\"')
+    return F.concat(F.lit('"'), s, F.lit('"'))
+
+
+def influxdb_logs_sink(
+    df: DataFrame,
+    url: str,
+    measurement: str | None = None,
+    namespace: str | None = None,
+    tag_cols: list[str] | None = None,
+    org: str = "",
+    bucket: str = "",
+    ts_col: str = "ts",
+    batch_max_lines: int = 5000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """InfluxDB LOGS sink (reference src/sinks/influxdb/logs.rs): each
+    log row becomes one line-protocol point. ``measurement`` names the
+    point (or the deprecated ``namespace`` → `<namespace>.vector`,
+    logs.rs:49-61); ``tag_cols`` are the log fields promoted to tags
+    (sorted, plus the always-present `metric_type=logs` tag,
+    logs.rs:275-276); every remaining column is a typed field —
+    ints with the `i` suffix, floats/bools bare, strings quoted
+    (the influx Field typing). Null fields are omitted per line."""
+    from pyspark.sql import functions as F
+
+    if measurement is None:
+        if namespace is None:
+            raise ValueError("measurement (or namespace) is required")
+        measurement = f"{namespace}.vector"
+    tag_cols = sorted(tag_cols or [])
+    dtypes = dict(df.dtypes)
+    tag_parts = [F.lit(measurement.replace(",", r"\,")
+                       .replace(" ", r"\ "))]
+    for c in tag_cols + ["metric_type"]:
+        v = (F.lit("logs") if c == "metric_type"
+             else F.col(c).cast("string"))
+        tag_parts.append(
+            F.when(v.isNull(), F.lit("")).otherwise(
+                F.concat(F.lit(f",{c}="), v)))
+    field_cols = [c for c in df.columns
+                  if c not in tag_cols and c != ts_col]
+    pairs = F.array(*[
+        F.when(
+            F.col(c).isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit(f"{c}="),
+                     _influx_field_value(F.col(c), dtypes[c]))
+        ) for c in field_cols
+    ])
+    fields = F.array_join(F.filter(pairs, lambda p: p.isNotNull()), ",")
+    ts = (F.col(ts_col) if dtypes.get(ts_col) == "timestamp"
+          else F.timestamp_seconds(F.col(ts_col).cast("double")))
+    ts_ns = (F.unix_micros(ts) * 1000).cast("string")
+    line = F.concat(F.concat(*tag_parts), F.lit(" "), fields,
+                    F.lit(" "), ts_ns)
+    out = df.select(line.alias("_line"))
+    write_url = url
+    if "/write" not in url:
+        write_url = (f"{url.rstrip('/')}/api/v2/write?org={org}"
+                     f"&bucket={bucket}&precision=ns")
+    from vector_spark.sinks_services import _post_lines_per_partition
+
+    return _post_lines_per_partition(
+        out, write_url,
+        {"Content-Type": "text/plain; charset=utf-8"},
+        batch_max_lines, 100_000_000, timeout_secs,
+    )
+
+
 def influxdb_sink(
     df: DataFrame,
     url: str,

@@ -502,3 +502,75 @@ def new_relic_metrics_sink(
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b'[{"metrics":[', suffix=b"]}]", joiner=b",",
     )
+
+
+def splunk_hec_metrics_sink(
+    df: DataFrame,
+    endpoint: str,
+    token: str,
+    name_col: str = "name",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str = "ts",
+    host_col: str | None = None,
+    sourcetype: str | None = None,
+    index: str | None = None,
+    batch_max_events: int = 1000,
+    batch_max_bytes: int = 1_000_000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """The metrics half of the reference's splunk_hec family
+    (src/sinks/splunk_hec/metrics/encoder.rs:20-90): HEC envelopes
+    `{"event":"metric","fields":{<tags...>,"metric_name":...,
+    "_value":<float>},"time":<epoch.secs>}` POSTed back-to-back to
+    /services/collector/event with Splunk token auth. The fields map
+    mixes string tags with the float `_value`, so it is spliced from
+    the JVM-rendered tags JSON rather than a typed map."""
+    def jstr(c) -> F.Column:
+        # JSON string literal: escape \, ", and the common controls
+        s = F.regexp_replace(c.cast("string"), r"\\", r"\\\\")
+        s = F.regexp_replace(s, '"', '\\\\"')
+        s = F.regexp_replace(s, "\n", r"\\n")
+        s = F.regexp_replace(s, "\t", r"\\t")
+        s = F.regexp_replace(s, "\r", r"\\r")
+        return F.concat(F.lit('"'), s, F.lit('"'))
+
+    dtypes = dict(df.dtypes)
+    tags_json = (
+        F.coalesce(F.to_json(F.col(tags_col)), F.lit("{}"))
+        if tags_col and tags_col in df.columns
+        and dtypes.get(tags_col, "").startswith("map")
+        else F.lit("{}")
+    )
+    # '{tags...' + ',' (unless empty) + '"metric_name":...,"_value":v}'
+    head = F.substring(tags_json, 1, F.length(tags_json) - F.lit(1))
+    comma = F.when(tags_json == F.lit("{}"), F.lit("")) \
+             .otherwise(F.lit(","))
+    fields = F.concat(
+        head, comma,
+        F.lit('"metric_name":'),
+        jstr(F.col(name_col)),
+        F.lit(',"_value":'),
+        F.col(value_col).cast("double").cast("string"),
+        F.lit("}"),
+    )
+    ts = (F.col(ts_col) if dtypes.get(ts_col) == "timestamp"
+          else F.timestamp_seconds(F.col(ts_col).cast("double")))
+    time_s = (F.unix_millis(ts).cast("double") / 1000.0).cast("string")
+    parts = [F.lit('{"event":"metric","fields":'), fields,
+             F.lit(',"time":'), time_s]
+    if host_col and host_col in df.columns:
+        parts += [F.lit(',"host":'), jstr(F.col(host_col))]
+    if index:
+        parts += [F.lit(',"index":'), jstr(F.lit(index))]
+    if sourcetype:
+        parts += [F.lit(',"sourcetype":'), jstr(F.lit(sourcetype))]
+    parts.append(F.lit("}"))
+    lines = df.select(F.concat(*parts).alias("line"))
+    url = endpoint.rstrip("/") + "/services/collector/event"
+    return _post_lines_per_partition(
+        lines, url,
+        {"Content-Type": "application/json",
+         "Authorization": f"Splunk {token}"},
+        batch_max_events, batch_max_bytes, timeout_secs,
+    )

@@ -881,3 +881,67 @@ def gcp_stackdriver_metrics_sink(
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b'{"timeSeries":[', suffix=b"]}", joiner=b",",
     )
+
+
+def greptimedb_metrics_sink(
+    df: DataFrame,
+    endpoint: str,
+    dbname: str = "public",
+    username: str = "",
+    password: str = "",
+    name_col: str = "name",
+    value_col: str = "value",
+    tags_col: str | None = "tags",
+    ts_col: str = "ts",
+    batch_max_events: int = 1000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """`greptimedb_metrics` (reference src/sinks/greptimedb/metrics/):
+    one row per metric into GreptimeDB, tags as columns, `val`/`ts`
+    as the value/time columns (config.rs:114).
+
+    Transport divergence, documented: the reference rides the
+    greptimedb-ingester gRPC crate, whose .proto is not vendored in
+    the reference tree — no offline pin vector. GreptimeDB's other
+    first-class ingest API is its InfluxDB-line-protocol HTTP endpoint
+    (`/v1/influxdb/write?db=...`), which this repo already speaks and
+    which lands the identical table shape (measurement → table, tags →
+    tag columns, field → `val` column) — the same
+    publicly-specified-alternative stance as the postgres COPY
+    choice. Lines carry ns timestamps and sorted tags."""
+    dtypes = dict(df.dtypes)
+    if tags_col and tags_col in df.columns and dtypes.get(
+            tags_col, "").startswith("map"):
+        tag_suffix = F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.map_entries(
+                    F.coalesce(F.col(tags_col),
+                               F.from_json(F.lit("{}"),
+                                           "map<string,string>")))),
+                lambda e: F.concat(F.lit(","), e["key"], F.lit("="),
+                                   e["value"]),
+            ),
+        )
+    else:
+        tag_suffix = F.lit("")
+    ts = (F.col(ts_col) if dtypes.get(ts_col) == "timestamp"
+          else F.timestamp_seconds(F.col(ts_col).cast("double")))
+    ts_ns = (F.unix_micros(ts) * 1000).cast("string")
+    line = F.concat(
+        F.col(name_col).cast("string"), tag_suffix,
+        F.lit(" val="), F.col(value_col).cast("double").cast("string"),
+        F.lit(" "), ts_ns,
+    )
+    params = {"db": dbname}
+    headers = {"Content-Type": "text/plain; charset=utf-8"}
+    if username or password:
+        cred = base64.b64encode(
+            f"{username}:{password}".encode()).decode()
+        headers["Authorization"] = f"Basic {cred}"
+    url = (endpoint.rstrip("/") + "/v1/influxdb/write?"
+           + urllib.parse.urlencode(params))
+    return _post_lines_per_partition(
+        df.select(line.alias("line")), url, headers,
+        batch_max_events, 10_000_000, timeout_secs,
+    )
