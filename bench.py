@@ -92,6 +92,7 @@ HEADLINE = [
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",
     "datadog_trace_roundtrip",
+    "influx_logs_roundtrip",
 ]
 
 

@@ -4078,6 +4078,49 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "datadog series-v2 MetricPayload encode->decode roundtrip",
     ),
+    # influxdb LOGS sink codec (r9, src/sinks/influxdb/logs.rs): the
+    # sink's line rendering — promoted tag + metric_type=logs, typed
+    # fields (int `i` suffix, bare floats), ns timestamps — decoded
+    # back through the SOURCE-side line parser and value-hashed
+    # against SQL. String-field quoting is pinned separately in
+    # tests/test_sources_pull.py (the naive decode regex splits on
+    # commas, so the oracle uses the numeric fields).
+    "influx_logs_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, sinks, codecs: (
+                lambda shaped: shaped.select(
+                    codecs.decode_influxdb_line(
+                        sinks.influx_logs_line(
+                            shaped, "app.vector", ["event_type"], "ts")
+                    ).alias("d")
+                ).select(
+                    F.col("d.measurement").alias("measurement"),
+                    F.col("d.tags")["event_type"].alias("event_type"),
+                    F.regexp_replace(
+                        F.col("d.fields")["user_id"], "i$", ""
+                    ).cast("long").alias("user_id"),
+                    F.col("d.fields")["value"].cast("double")
+                     .alias("value"),
+                    F.col("d.ts_ns").alias("ts_ns"),
+                )
+            )(ev.select("event_type", "user_id", "value", "ts"))
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.sinks",
+                       fromlist=["influx_logs_line"]),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["decode_influxdb_line"]),
+        ),
+        """
+        SELECT 'app.vector' AS measurement,
+               event_type,
+               user_id,
+               value,
+               epoch_us(ts) * 1000 AS ts_ns
+        FROM events
+        """,
+        "influxdb logs line encode->decode roundtrip",
+    ),
     # Vendor status-page codecs (round 5): the parse step of the
     # apache_metrics / nginx_metrics pollers run over canned bodies (the
     # fetch is exercised against a live local HTTP server in
@@ -6316,6 +6359,7 @@ _DRIVER_PRIORITY = [
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
+    "influx_logs_roundtrip",
     "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
     "prometheus_pushgateway_codec", "datadog_trace_roundtrip",
     "docs_url_filter", "lua_v2_transform",

@@ -984,32 +984,14 @@ def _influx_field_value(col: "F.Column", dtype: str) -> "F.Column":
     return F.concat(F.lit('"'), s, F.lit('"'))
 
 
-def influxdb_logs_sink(
-    df: DataFrame,
-    url: str,
-    measurement: str | None = None,
-    namespace: str | None = None,
-    tag_cols: list[str] | None = None,
-    org: str = "",
-    bucket: str = "",
-    ts_col: str = "ts",
-    batch_max_lines: int = 5000,
-    timeout_secs: float = 10.0,
-) -> int:
-    """InfluxDB LOGS sink (reference src/sinks/influxdb/logs.rs): each
-    log row becomes one line-protocol point. ``measurement`` names the
-    point (or the deprecated ``namespace`` → `<namespace>.vector`,
-    logs.rs:49-61); ``tag_cols`` are the log fields promoted to tags
-    (sorted, plus the always-present `metric_type=logs` tag,
-    logs.rs:275-276); every remaining column is a typed field —
-    ints with the `i` suffix, floats/bools bare, strings quoted
-    (the influx Field typing). Null fields are omitted per line."""
+def influx_logs_line(df: DataFrame, measurement: str,
+                     tag_cols: list[str] | None,
+                     ts_col: str = "ts") -> "F.Column":
+    """The influxdb_logs line rendering as a reusable Column (shared
+    by the sink and the registry's roundtrip oracle): sorted promoted
+    tags + `metric_type=logs`, typed fields, ns timestamp."""
     from pyspark.sql import functions as F
 
-    if measurement is None:
-        if namespace is None:
-            raise ValueError("measurement (or namespace) is required")
-        measurement = f"{namespace}.vector"
     tag_cols = sorted(tag_cols or [])
     dtypes = dict(df.dtypes)
     tag_parts = [F.lit(measurement.replace(",", r"\,")
@@ -1034,9 +1016,37 @@ def influxdb_logs_sink(
     ts = (F.col(ts_col) if dtypes.get(ts_col) == "timestamp"
           else F.timestamp_seconds(F.col(ts_col).cast("double")))
     ts_ns = (F.unix_micros(ts) * 1000).cast("string")
-    line = F.concat(F.concat(*tag_parts), F.lit(" "), fields,
+    return F.concat(F.concat(*tag_parts), F.lit(" "), fields,
                     F.lit(" "), ts_ns)
-    out = df.select(line.alias("_line"))
+
+
+def influxdb_logs_sink(
+    df: DataFrame,
+    url: str,
+    measurement: str | None = None,
+    namespace: str | None = None,
+    tag_cols: list[str] | None = None,
+    org: str = "",
+    bucket: str = "",
+    ts_col: str = "ts",
+    batch_max_lines: int = 5000,
+    timeout_secs: float = 10.0,
+) -> int:
+    """InfluxDB LOGS sink (reference src/sinks/influxdb/logs.rs): each
+    log row becomes one line-protocol point. ``measurement`` names the
+    point (or the deprecated ``namespace`` → `<namespace>.vector`,
+    logs.rs:49-61); ``tag_cols`` are the log fields promoted to tags
+    (sorted, plus the always-present `metric_type=logs` tag,
+    logs.rs:275-276); every remaining column is a typed field —
+    ints with the `i` suffix, floats/bools bare, strings quoted
+    (the influx Field typing). Null fields are omitted per line."""
+    if measurement is None:
+        if namespace is None:
+            raise ValueError("measurement (or namespace) is required")
+        measurement = f"{namespace}.vector"
+    out = df.select(
+        influx_logs_line(df, measurement, tag_cols, ts_col)
+        .alias("_line"))
     write_url = url
     if "/write" not in url:
         write_url = (f"{url.rstrip('/')}/api/v2/write?org={org}"
