@@ -354,11 +354,14 @@ class _FakeMqtt(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, drop_first_pubacks: int = 0):
+    def __init__(self, drop_first_pubacks: int = 0,
+                 drop_first_pubrecs: int = 0):
         self.published: list = []
         self.publish_packets: list = []  # full pkts incl. qos/dup/id
         self.pubacks_received: list = []  # acks from subscribers
+        self.pubcomps_received: list = []  # qos2 completions from subs
         self.drop_first_pubacks = drop_first_pubacks
+        self.drop_first_pubrecs = drop_first_pubrecs
         self.sub_ready = threading.Event()
         self._subs: list = []
         super().__init__(("127.0.0.1", 0), _FakeMqttHandler)
@@ -369,10 +372,14 @@ class _FakeMqttHandler(socketserver.BaseRequestHandler):
         from vector_spark.sources_brokers import (
             mqtt_encode_packet,
             mqtt_puback_packet,
+            mqtt_pubcomp_packet,
+            mqtt_pubrec_packet,
+            mqtt_pubrel_packet,
         )
 
         srv = self.server
         rest = b""
+        pending_qos2: dict = {}  # pid → pkt, awaiting PUBREL
         while True:
             try:
                 data = self.request.recv(65536)
@@ -399,6 +406,17 @@ class _FakeMqttHandler(socketserver.BaseRequestHandler):
                     srv.sub_ready.set()
                 elif pkt["type"] == 3:  # PUBLISH → (ack,) fan out
                     srv.publish_packets.append(pkt)
+                    if pkt["qos"] == 2:
+                        # receiver half of §4.3.3: store once per
+                        # packet id, PUBREC, release on PUBREL
+                        if srv.drop_first_pubrecs > 0:
+                            srv.drop_first_pubrecs -= 1
+                            continue  # lost PUBREC → DUP resend
+                        pid = pkt["packet_id"]
+                        if pid not in pending_qos2:
+                            pending_qos2[pid] = pkt
+                        self.request.sendall(mqtt_pubrec_packet(pid))
+                        continue  # delivery happens on PUBREL
                     if pkt["qos"] == 1:
                         if srv.drop_first_pubacks > 0:
                             # simulate a lost PUBACK: message received
@@ -409,19 +427,34 @@ class _FakeMqttHandler(socketserver.BaseRequestHandler):
                         self.request.sendall(
                             mqtt_puback_packet(pkt["packet_id"])
                         )
-                    srv.published.append((pkt["topic"], pkt["payload"]))
-                    for conn, topic, sub_qos in srv._subs:
-                        if topic == pkt["topic"]:
-                            out_qos = min(pkt["qos"], sub_qos)
-                            conn.sendall(mqtt_publish_packet(
-                                pkt["topic"], pkt["payload"],
-                                qos=out_qos,
-                                packet_id=len(srv.published),
-                            ))
+                    self._deliver(srv, pkt)
+                elif pkt["type"] == 6:  # PUBREL (publisher finished)
+                    pid = pkt["packet_id"]
+                    held = pending_qos2.pop(pid, None)
+                    self.request.sendall(mqtt_pubcomp_packet(pid))
+                    if held is not None:
+                        self._deliver(srv, held)
                 elif pkt["type"] == 4:  # PUBACK from a subscriber
                     srv.pubacks_received.append(pkt["packet_id"])
+                elif pkt["type"] == 5:  # PUBREC from a subscriber
+                    self.request.sendall(
+                        mqtt_pubrel_packet(pkt["packet_id"]))
+                elif pkt["type"] == 7:  # PUBCOMP from a subscriber
+                    srv.pubcomps_received.append(pkt["packet_id"])
                 elif pkt["type"] == 14:  # DISCONNECT
                     return
+
+    @staticmethod
+    def _deliver(srv, pkt) -> None:
+        srv.published.append((pkt["topic"], pkt["payload"]))
+        for conn, topic, sub_qos in srv._subs:
+            if topic == pkt["topic"]:
+                out_qos = min(pkt["qos"], sub_qos)
+                conn.sendall(mqtt_publish_packet(
+                    pkt["topic"], pkt["payload"],
+                    qos=out_qos,
+                    packet_id=len(srv.published),
+                ))
 
 
 @pytest.fixture()
@@ -514,11 +547,11 @@ def test_mqtt_qos1_source_acks_received_publishes(spark, fake_mqtt):
     assert len(srv.pubacks_received) == 2
 
 
-def test_mqtt_qos2_still_rejected(spark):
-    with pytest.raises(ValueError, match="QoS 0/1"):
-        mqtt_source(spark, "127.0.0.1", 1, "t", max_events=1, qos=2)
-    with pytest.raises(ValueError, match="QoS 0/1"):
-        mqtt_sink(spark.range(1), "127.0.0.1", 1, "t", qos=2)
+def test_mqtt_invalid_qos_rejected(spark):
+    with pytest.raises(ValueError, match="QoS 0/1/2"):
+        mqtt_source(spark, "127.0.0.1", 1, "t", max_events=1, qos=3)
+    with pytest.raises(ValueError, match="QoS 0/1/2"):
+        mqtt_sink(spark.range(1), "127.0.0.1", 1, "t", qos=3)
 
 
 def test_topology_redis_to_redis(spark, fake_redis):
@@ -954,3 +987,62 @@ def test_pulsar_roundtrip(spark, fake_pulsar):
     assert rows[0]["key"] == "persistent://public/default/t2"
     assert rows[0]["source_type"] == "pulsar"
     assert len(srv.acked) == 2  # each delivered message ACKed
+
+
+def test_mqtt_qos2_publish_full_handshake(fake_mqtt):
+    """QoS 2 sender flow (§4.3.3): PUBLISH → PUBREC → PUBREL →
+    PUBCOMP; the broker stores the message exactly once and only
+    releases it on PUBREL."""
+    srv, host, port = fake_mqtt
+    c = MqttClient(host, port, "q2")
+    c.publish("t2", b"once", qos=2)
+    c.close()
+    pkts = [p for p in srv.publish_packets if p["type"] == 3]
+    assert len(pkts) == 1
+    assert pkts[0]["qos"] == 2 and not pkts[0]["dup"]
+    assert srv.published == [("t2", b"once")]
+
+
+def test_mqtt_qos2_redelivery_on_missing_pubrec():
+    """A dropped PUBREC must trigger a PUBLISH resend with the SAME
+    packet id + DUP; the broker's packet-id dedup still yields exactly
+    one stored message."""
+    srv = _FakeMqtt(drop_first_pubrecs=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        c = MqttClient(host, port, "q2r", timeout=1.0)
+        c.publish("t2", b"exactly", qos=2)
+        c.close()
+        pkts = [p for p in srv.publish_packets if p["type"] == 3]
+        assert len(pkts) == 2
+        assert (pkts[0]["dup"], pkts[1]["dup"]) == (False, True)
+        assert pkts[0]["packet_id"] == pkts[1]["packet_id"]
+        assert srv.published == [("t2", b"exactly")]
+    finally:
+        srv.shutdown()
+
+
+def test_mqtt_qos2_source_receiver_flow(spark, fake_mqtt):
+    """Subscriber half: the source PUBRECs each QoS-2 publish,
+    delivers once per packet id, and PUBCOMPs the broker's PUBREL."""
+    srv, host, port = fake_mqtt
+    result = {}
+
+    def consume():
+        result["df"] = mqtt_source(spark, host, port, "q2/a",
+                                   max_events=2, qos=2)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    c = MqttClient(host, port, "q2pub")
+    c.publish("q2/a", b"m1", qos=2)
+    c.publish("q2/a", b"m2", qos=2)
+    c.close()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    rows = result["df"].collect()
+    assert {r["message"] for r in rows} == {"m1", "m2"}
+    # the subscriber completed both broker-side QoS-2 handshakes
+    assert len(srv.pubcomps_received) == 2

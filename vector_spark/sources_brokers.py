@@ -446,6 +446,7 @@ def nats_sink(
 
 _MQTT_CONNECT, _MQTT_CONNACK = 1, 2
 _MQTT_PUBLISH, _MQTT_PUBACK = 3, 4
+_MQTT_PUBREC, _MQTT_PUBREL, _MQTT_PUBCOMP = 5, 6, 7
 _MQTT_SUBSCRIBE, _MQTT_SUBACK = 8, 9
 _MQTT_PINGREQ, _MQTT_PINGRESP, _MQTT_DISCONNECT = 12, 13, 14
 
@@ -497,6 +498,22 @@ def mqtt_puback_packet(packet_id: int) -> bytes:
                               packet_id.to_bytes(2, "big"))
 
 
+def mqtt_pubrec_packet(packet_id: int) -> bytes:
+    return mqtt_encode_packet(_MQTT_PUBREC, 0,
+                              packet_id.to_bytes(2, "big"))
+
+
+def mqtt_pubrel_packet(packet_id: int) -> bytes:
+    # PUBREL's fixed-header flags MUST be 0b0010 (spec §3.6.1)
+    return mqtt_encode_packet(_MQTT_PUBREL, 0b0010,
+                              packet_id.to_bytes(2, "big"))
+
+
+def mqtt_pubcomp_packet(packet_id: int) -> bytes:
+    return mqtt_encode_packet(_MQTT_PUBCOMP, 0,
+                              packet_id.to_bytes(2, "big"))
+
+
 def mqtt_subscribe_packet(topic: str, qos: int = 0,
                           packet_id: int = 1) -> bytes:
     body = packet_id.to_bytes(2, "big") + _mqtt_string(topic) + bytes([qos])
@@ -544,7 +561,8 @@ def mqtt_decode_packets(data: bytes) -> tuple[list, bytes]:
                 pkt["packet_id"] = int.from_bytes(body[off:off + 2], "big")
                 off += 2
             pkt["payload"] = body[off:]
-        elif ptype == _MQTT_PUBACK:
+        elif ptype in (_MQTT_PUBACK, _MQTT_PUBREC, _MQTT_PUBREL,
+                       _MQTT_PUBCOMP):
             pkt["packet_id"] = int.from_bytes(body[:2], "big")
         elif ptype == _MQTT_CONNACK:
             pkt["session_present"] = bool(body[0] & 1)
@@ -597,39 +615,71 @@ class MqttClient:
             self._rest += data
         return self._queue.pop(0)
 
+    def _await_ack(self, ack_type: int, pid: int, held: list) -> bool:
+        """Pump packets until an ack of ``ack_type`` for ``pid``
+        arrives (True) or the socket times out (False). Unrelated
+        packets are parked in ``held``."""
+        try:
+            while True:
+                pkt = self._next_packet()
+                if pkt["type"] == ack_type:
+                    if pkt.get("packet_id") == pid:
+                        return True
+                    continue  # stale ack from a prior resend
+                if pkt["type"] == _MQTT_PINGREQ:
+                    self.sock.sendall(
+                        mqtt_encode_packet(_MQTT_PINGRESP, 0, b"")
+                    )
+                else:
+                    held.append(pkt)
+        except TimeoutError:
+            return False
+
     def publish(self, topic: str, payload: bytes, qos: int = 0,
                 retries: int = 3) -> None:
         if qos == 0:
             self.sock.sendall(mqtt_publish_packet(topic, payload))
             return
-        if qos != 1:
-            raise ValueError("publish supports QoS 0/1 only")
+        if qos not in (1, 2):
+            raise ValueError("publish supports QoS 0/1/2 only")
         self._next_pid = self._next_pid % 65535 + 1  # 1..65535, never 0
         pid = self._next_pid
-        held: list[dict] = []  # packets that raced ahead of our PUBACK
+        held: list[dict] = []  # packets that raced ahead of our acks
         try:
+            if qos == 1:
+                for attempt in range(retries + 1):
+                    self.sock.sendall(mqtt_publish_packet(
+                        topic, payload, qos=1, packet_id=pid,
+                        dup=attempt > 0,
+                    ))
+                    if self._await_ack(_MQTT_PUBACK, pid, held):
+                        return
+                raise ConnectionError(
+                    f"no PUBACK for packet {pid} after "
+                    f"{retries + 1} attempts"
+                )
+            # QoS 2 (spec §4.3.3 exactly-once, sender half):
+            # PUBLISH → PUBREC (resend PUBLISH+DUP on loss), then
+            # PUBREL → PUBCOMP (resend PUBREL on loss — never the
+            # PUBLISH again once PUBREC arrived).
             for attempt in range(retries + 1):
                 self.sock.sendall(mqtt_publish_packet(
-                    topic, payload, qos=1, packet_id=pid,
+                    topic, payload, qos=2, packet_id=pid,
                     dup=attempt > 0,
                 ))
-                try:
-                    while True:
-                        pkt = self._next_packet()
-                        if pkt["type"] == _MQTT_PUBACK:
-                            if pkt["packet_id"] == pid:
-                                return
-                            continue  # stale ack from a prior resend
-                        if pkt["type"] == _MQTT_PINGREQ:
-                            self.sock.sendall(
-                                mqtt_encode_packet(_MQTT_PINGRESP, 0, b"")
-                            )
-                        else:
-                            held.append(pkt)
-                except TimeoutError:
-                    continue  # missing PUBACK → resend with DUP set
+                if self._await_ack(_MQTT_PUBREC, pid, held):
+                    break
+            else:
+                raise ConnectionError(
+                    f"no PUBREC for packet {pid} after "
+                    f"{retries + 1} attempts"
+                )
+            for _attempt in range(retries + 1):
+                self.sock.sendall(mqtt_pubrel_packet(pid))
+                if self._await_ack(_MQTT_PUBCOMP, pid, held):
+                    return
             raise ConnectionError(
-                f"no PUBACK for packet {pid} after "
+                f"no PUBCOMP for packet {pid} after "
                 f"{retries + 1} attempts"
             )
         finally:
@@ -649,8 +699,16 @@ class MqttClient:
 
     def next_publish(self) -> dict:
         while True:
-            pkt = self._next_packet()
+            pkt = self.next_inbound()
             if pkt["type"] == _MQTT_PUBLISH:
+                return pkt
+
+    def next_inbound(self) -> dict:
+        """Next PUBLISH or PUBREL (the two broker→subscriber flow
+        packets a receiver must act on); PINGREQs answered inline."""
+        while True:
+            pkt = self._next_packet()
+            if pkt["type"] in (_MQTT_PUBLISH, _MQTT_PUBREL):
                 return pkt
             if pkt["type"] == _MQTT_PINGREQ:
                 self.sock.sendall(
@@ -680,24 +738,53 @@ def mqtt_source(
     reference's topic field). QoS 0 is at-most-once; QoS 1 PUBACKs
     every received publish (at-least-once — a broker redelivery with
     the DUP flag is a NEW event, matching the reference's at-least-
-    once consumer). QoS 2's PUBREC/PUBREL/PUBCOMP exactly-once session
-    state is deliberately out — loud error, not silent downgrade."""
-    if qos not in (0, 1):
-        raise ValueError("mqtt_source supports QoS 0/1 only")
+    once consumer). QoS 2 runs the receiver half of the §4.3.3
+    exactly-once flow: PUBREC on PUBLISH, delivery exactly once per
+    packet id (DUP redeliveries before PUBREL are re-PUBRECed but NOT
+    re-delivered), PUBCOMP + id release on PUBREL."""
+    if qos not in (0, 1, 2):
+        raise ValueError("mqtt_source supports QoS 0/1/2 only")
     client = MqttClient(host, port, client_id, timeout_secs)
     rows: list[tuple] = []
+    inflight_qos2: set[int] = set()  # delivered, awaiting PUBREL
     try:
         client.subscribe(topic, qos=qos)
         while len(rows) < max_events:
-            pkt = client.next_publish()
-            if pkt.get("qos", 0) == 1:
+            pkt = client.next_inbound()
+            if pkt["type"] == _MQTT_PUBREL:
+                client.sock.sendall(
+                    mqtt_pubcomp_packet(pkt["packet_id"]))
+                inflight_qos2.discard(pkt["packet_id"])
+                continue
+            pkt_qos = pkt.get("qos", 0)
+            if pkt_qos == 1:
                 client.sock.sendall(
                     mqtt_puback_packet(pkt["packet_id"])
                 )
+            elif pkt_qos == 2:
+                pid = pkt["packet_id"]
+                client.sock.sendall(mqtt_pubrec_packet(pid))
+                if pid in inflight_qos2:
+                    continue  # DUP redelivery before PUBREL: once only
+                inflight_qos2.add(pid)
             rows.append((
                 pkt["payload"].decode("utf-8", errors="replace"),
                 pkt["topic"], "mqtt", len(rows),
             ))
+        # finish any in-flight QoS-2 handshakes before disconnecting
+        # (spec §4.3.3 — the broker is still awaiting our PUBCOMP)
+        while inflight_qos2:
+            try:
+                pkt = client.next_inbound()
+            except (TimeoutError, ConnectionError):
+                break
+            if pkt["type"] == _MQTT_PUBREL:
+                client.sock.sendall(
+                    mqtt_pubcomp_packet(pkt["packet_id"]))
+                inflight_qos2.discard(pkt["packet_id"])
+            elif pkt.get("qos", 0) == 2:
+                client.sock.sendall(
+                    mqtt_pubrec_packet(pkt["packet_id"]))
     finally:
         client.close()
     return spark.createDataFrame(rows, EVENT_SCHEMA).withColumn(
@@ -718,10 +805,11 @@ def mqtt_sink(
 ) -> int:
     """PUBLISH each row (reference src/sinks/mqtt/). One CONNECT per
     partition, publishes streamed. QoS 1 waits for PUBACK per publish
-    and redelivers with DUP on timeout (spec §4.4); QoS 2 rejected
-    loudly (see mqtt_source)."""
-    if qos not in (0, 1):
-        raise ValueError("mqtt_sink supports QoS 0/1 only")
+    and redelivers with DUP on timeout (spec §4.4); QoS 2 runs the
+    full PUBLISH→PUBREC→PUBREL→PUBCOMP sender flow with per-stage
+    retransmission (spec §4.3.3)."""
+    if qos not in (0, 1, 2):
+        raise ValueError("mqtt_sink supports QoS 0/1/2 only")
     if encoding == "json":
         payload = F.to_json(F.struct(*df.columns))
     else:
