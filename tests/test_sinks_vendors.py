@@ -594,3 +594,22 @@ def test_greptimedb_metrics_influx_lines(spark, capture_server):
     assert lines[0] == ("pool.used,os.host=somehost val=42.0 "
                         "1597784400000000000")
     assert lines[1] == "cpu.idle val=97.5 1597784401000000000"
+
+
+def test_sematext_metrics_reserved_tag_collision(spark, capture_server):
+    """User tags named token/metric_type must not collide with the
+    auth/type tags (the reference's tags.replace overwrite)."""
+    from vector_spark.sinks_vendors import sematext_metrics_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("m", "ns", "gauge", 1.0, 1597784400.0,
+          {"token": "spoofed", "metric_type": "wrong", "ok": "y"})],
+        "name string, namespace string, metric_type string,"
+        " value double, ts double, tags map<string,string>",
+    ).coalesce(1)
+    n = sematext_metrics_sink(df, "realtoken", endpoint=base)
+    assert n == 1
+    line = reqs[0]["body"].decode().strip()
+    assert line == ("ns,metric_type=gauge,ok=y,token=realtoken "
+                    "m=1.0 1597784400000000000")

@@ -1526,3 +1526,32 @@ def test_influxdb_logs_sink_typed_fields(spark):
             'count=7i,ratio=0.25,ok=false 1000000001000000000')
     finally:
         srv.shutdown()
+
+
+def test_file_descriptor_source(spark):
+    import os
+
+    from vector_spark.sources_pull import file_descriptor_source
+
+    r, w = os.pipe()
+    os.write(w, b"fd line 1\nfd line 2\n")
+    os.close(w)
+    df = file_descriptor_source(spark, r)
+    rows = df.orderBy("seq").collect()
+    assert [x["message"] for x in rows] == ["fd line 1", "fd line 2"]
+    assert rows[0]["source_type"] == "file_descriptor"
+
+
+def test_influxdb_logs_tag_value_escaping(spark):
+    from vector_spark.sinks import influx_logs_line
+
+    df = spark.createDataFrame(
+        [("web server,a=b", 1, 1e9)],
+        "host string, n long, ts double",
+    )
+    line = df.select(influx_logs_line(
+        df, "m", ["host"], "ts").alias("l")).coalesce(1)
+    row = line.collect()[0]
+    assert row["l"] == (
+        r"m,host=web\ server\,a\=b,metric_type=logs n=1i "
+        "1000000000000000000")

@@ -674,6 +674,10 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.sources_pull import stdin_source
 
         return stdin_source(spark)
+    if stype == "file_descriptor":
+        from vector_spark.sources_pull import file_descriptor_source
+
+        return file_descriptor_source(spark, int(cfg["fd"]))
     if stype == "poll":
         # streaming interval scrape: exec / http_client re-polled per
         # micro-batch (trigger interval = scrape interval)

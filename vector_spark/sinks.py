@@ -997,8 +997,14 @@ def influx_logs_line(df: DataFrame, measurement: str,
     tag_parts = [F.lit(measurement.replace(",", r"\,")
                        .replace(" ", r"\ "))]
     for c in tag_cols + ["metric_type"]:
-        v = (F.lit("logs") if c == "metric_type"
-             else F.col(c).cast("string"))
+        if c == "metric_type":
+            v = F.lit("logs")
+        else:
+            # tag values escape , = and space (line-protocol rules)
+            v = F.col(c).cast("string")
+            v = F.regexp_replace(v, ",", r"\\,")
+            v = F.regexp_replace(v, "=", r"\\=")
+            v = F.regexp_replace(v, " ", r"\\ ")
         tag_parts.append(
             F.when(v.isNull(), F.lit("")).otherwise(
                 F.concat(F.lit(f",{c}="), v)))

@@ -590,7 +590,13 @@ def databricks_zerobus_sink(
         else:
             selected.append(F.lit(None).cast(spark_t).alias(name))
     out = df.select(*selected)
-    host, _, port_s = ingestion_endpoint.rpartition(":")
+    netloc = ingestion_endpoint
+    for prefix in ("https://", "http://", "grpc://"):
+        if netloc.startswith(prefix):
+            netloc = netloc[len(prefix):]
+            break
+    netloc = netloc.split("/", 1)[0]
+    host, _, port_s = netloc.rpartition(":")
     port = int(port_s)
     sent = df.sparkSession.sparkContext.accumulator(0)
 

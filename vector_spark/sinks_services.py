@@ -566,7 +566,10 @@ def splunk_hec_metrics_sink(
     if sourcetype:
         parts += [F.lit(',"sourcetype":'), jstr(F.lit(sourcetype))]
     parts.append(F.lit("}"))
-    lines = df.select(F.concat(*parts).alias("line"))
+    # NaN can't serialize into JSON — such metrics drop (the
+    # reference's serde path errors and drops the event the same way)
+    kept = df.where(~F.isnan(F.col(value_col).cast("double")))
+    lines = kept.select(F.concat(*parts).alias("line"))
     url = endpoint.rstrip("/") + "/services/collector/event"
     return _post_lines_per_partition(
         lines, url,

@@ -761,7 +761,14 @@ def sematext_metrics_sink(
     )
     if tags_col and tags_col in df.columns and dtypes.get(
             tags_col, "").startswith("map"):
-        tags = F.map_concat(F.col(tags_col), fixed)
+        # the reference's tags.replace(): our fixed keys WIN on
+        # collision (and map_concat would throw on duplicates)
+        user_tags = F.map_filter(
+            F.coalesce(F.col(tags_col),
+                       F.from_json(F.lit("{}"), "map<string,string>")),
+            lambda k, _v: ~k.isin("metric_type", "token"),
+        )
+        tags = F.map_concat(user_tags, fixed)
     else:
         tags = fixed
     tag_suffix = F.concat_ws(

@@ -391,6 +391,18 @@ def stdin_source(spark: SparkSession, stream=None) -> DataFrame:
     return _lines_df(spark, lines, "stdin")
 
 
+def file_descriptor_source(spark: SparkSession, fd: int) -> DataFrame:
+    """Read all lines from an inherited file descriptor once —
+    src/sources/file_descriptors/file_descriptor.rs (`fd` config
+    field). The reference wraps the raw fd in a buffered reader and
+    streams lines exactly like its stdin sibling; so does this."""
+    import os
+
+    with os.fdopen(fd, "r", errors="replace") as stream:
+        lines = [ln.rstrip("\n") for ln in stream if ln.strip()]
+    return _lines_df(spark, lines, "file_descriptor")
+
+
 # ---- streaming: the `poll` DataSource -----------------------------------
 
 class _PollStreamReader(SimpleDataSourceStreamReader):
