@@ -1555,3 +1555,29 @@ def test_influxdb_logs_tag_value_escaping(spark):
     assert row["l"] == (
         r"m,host=web\ server\,a\=b,metric_type=logs n=1i "
         "1000000000000000000")
+
+
+def test_host_metrics_disk_tcp_process_collectors():
+    """The r9 collector additions (disk/tcp/process/cgroups —
+    src/sources/host_metrics/{disk,tcp,process,cgroups}.rs) read the
+    live /proc; pure-row check, no Spark."""
+    from vector_spark.sources_pull import _proc_host_metrics
+
+    rows = _proc_host_metrics(("disk", "tcp", "process", "cgroups"))
+    names = {r[0] for r in rows}
+    # disk counters ride /proc/diskstats with a device tag
+    assert "disk_read_bytes_total" in names
+    disk = next(r for r in rows if r[0] == "disk_reads_completed_total")
+    assert "device" in disk[2] and disk[3] == "incremental"
+    # tcp table counts by state (this test process holds sockets)
+    assert "tcp_connections_total" in names
+    # per-process metrics tag pid + command, incl. this pytest process
+    import os
+
+    me = str(os.getpid())
+    mine = [r for r in rows if r[0] == "process_memory_usage"
+            and r[2].get("pid") == me]
+    assert mine and mine[0][4] > 0
+    runtime = [r for r in rows if r[0] == "process_runtime"
+               and r[2].get("pid") == me]
+    assert runtime and runtime[0][4] >= 0.0

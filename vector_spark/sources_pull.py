@@ -199,6 +199,120 @@ def _proc_host_metrics(collectors: tuple[str, ...]) -> list[tuple]:
                     kind="incremental")
                 add("network_transmit_bytes_total", int(fields[8]), tags,
                     kind="incremental")
+    if "disk" in collectors:
+        # /proc/diskstats → the reference's four disk counters
+        # (src/sources/host_metrics/disk.rs); sectors are 512 bytes by
+        # kernel contract regardless of device sector size
+        try:
+            with open("/proc/diskstats") as f:
+                for line in f:
+                    p = line.split()
+                    if len(p) < 10:
+                        continue
+                    tags = {"device": p[2]}
+                    add("disk_reads_completed_total", int(p[3]), tags,
+                        kind="incremental")
+                    add("disk_read_bytes_total", int(p[5]) * 512, tags,
+                        kind="incremental")
+                    add("disk_writes_completed_total", int(p[7]), tags,
+                        kind="incremental")
+                    add("disk_written_bytes_total", int(p[9]) * 512,
+                        tags, kind="incremental")
+        except OSError:
+            pass
+    if "tcp" in collectors:
+        # /proc/net/tcp[6] → connection counts per state + queued bytes
+        # (src/sources/host_metrics/tcp.rs reads the same socket table
+        # via netlink sock_diag; the counters match)
+        states = {
+            "01": "established", "02": "syn_sent", "03": "syn_recv",
+            "04": "fin_wait1", "05": "fin_wait2", "06": "time_wait",
+            "07": "close", "08": "close_wait", "09": "last_ack",
+            "0A": "listen", "0B": "closing",
+        }
+        counts: dict[str, int] = {}
+        tx = rx = 0
+        for path in ("/proc/net/tcp", "/proc/net/tcp6"):
+            try:
+                with open(path) as f:
+                    for line in f.readlines()[1:]:
+                        p = line.split()
+                        st = states.get(p[3].upper(), "unknown")
+                        counts[st] = counts.get(st, 0) + 1
+                        txq, _, rxq = p[4].partition(":")
+                        tx += int(txq, 16)
+                        rx += int(rxq, 16)
+            except OSError:
+                continue
+        for st, n in sorted(counts.items()):
+            add("tcp_connections_total", n, {"state": st})
+        add("tcp_tx_queued_bytes_total", tx)
+        add("tcp_rx_queued_bytes_total", rx)
+    if "process" in collectors:
+        # /proc/[pid]/stat → the reference's four per-process metrics
+        # (src/sources/host_metrics/process.rs)
+        tck = os.sysconf("SC_CLK_TCK")
+        page = os.sysconf("SC_PAGE_SIZE")
+        try:
+            with open("/proc/uptime") as f:
+                uptime = float(f.read().split()[0])
+        except OSError:
+            uptime = 0.0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue  # process exited mid-scan
+            # comm may contain spaces/parens: split after the LAST ')'
+            head, _, rest = raw.rpartition(")")
+            comm = head.split("(", 1)[1] if "(" in head else "?"
+            p = rest.split()
+            # fields after comm: state=0, ... utime=11 stime=12 (0-idx)
+            tags = {"pid": pid, "command": comm}
+            add("process_cpu_usage",
+                (int(p[11]) + int(p[12])) / tck, tags)
+            add("process_memory_usage", int(p[21]) * page, tags)
+            add("process_memory_virtual_usage", int(p[20]), tags)
+            starttime = int(p[19]) / tck
+            add("process_runtime", max(uptime - starttime, 0.0), tags)
+    if "cgroups" in collectors:
+        # cgroup v2 unified hierarchy (src/sources/host_metrics/
+        # cgroups.rs reads the same cpu.stat / memory files)
+        root = "/sys/fs/cgroup"
+        tags = {"cgroup": "/"}
+        try:
+            with open(f"{root}/cpu.stat") as f:
+                stat = dict(
+                    line.split() for line in f if len(line.split()) == 2
+                )
+            for key, name in (
+                ("usage_usec", "cgroup_cpu_usage_seconds_total"),
+                ("user_usec", "cgroup_cpu_user_seconds_total"),
+                ("system_usec", "cgroup_cpu_system_seconds_total"),
+            ):
+                if key in stat:
+                    add(name, int(stat[key]) / 1e6, tags,
+                        kind="incremental")
+        except OSError:
+            pass
+        try:
+            with open(f"{root}/memory.current") as f:
+                add("cgroup_memory_current_bytes", int(f.read()), tags)
+            with open(f"{root}/memory.stat") as f:
+                mstat = dict(
+                    line.split() for line in f if len(line.split()) == 2
+                )
+            for key, name in (
+                ("anon", "cgroup_memory_anon_bytes"),
+                ("file", "cgroup_memory_file_bytes"),
+            ):
+                if key in mstat:
+                    add(name, int(mstat[key]), tags)
+        except OSError:
+            pass
     return rows
 
 
