@@ -1581,3 +1581,19 @@ def test_host_metrics_disk_tcp_process_collectors():
     runtime = [r for r in rows if r[0] == "process_runtime"
                and r[2].get("pid") == me]
     assert runtime and runtime[0][4] >= 0.0
+
+
+def test_host_metrics_filesystem_enumerates_mounts():
+    from vector_spark.sources_pull import _proc_host_metrics
+
+    rows = _proc_host_metrics(("filesystem",))
+    per_mount = {r[2]["mountpoint"]: r for r in rows
+                 if r[0] == "filesystem_total_bytes"}
+    assert "/" in per_mount
+    assert per_mount["/"][2]["filesystem"]  # fstype tag present
+    # used + free ≤ total per mount (statvfs arithmetic holds)
+    for mp in per_mount:
+        vals = {r[0]: r[4] for r in rows
+                if r[2].get("mountpoint") == mp}
+        assert vals["filesystem_used_bytes"] <= \
+            vals["filesystem_total_bytes"]

@@ -183,12 +183,36 @@ def _proc_host_metrics(collectors: tuple[str, ...]) -> list[tuple]:
         add("load5", float(five))
         add("load15", float(fifteen))
     if "filesystem" in collectors:
-        st = os.statvfs("/")
-        tags = {"mountpoint": "/"}
-        add("filesystem_total_bytes", st.f_blocks * st.f_frsize, tags)
-        add("filesystem_free_bytes", st.f_bfree * st.f_frsize, tags)
-        add("filesystem_used_bytes",
-            (st.f_blocks - st.f_bfree) * st.f_frsize, tags)
+        # one gauge set per REAL mount (src/sources/host_metrics/
+        # filesystem.rs walks the mount table the same way); pseudo
+        # filesystems carry no blocks and are skipped
+        mounts: list[tuple[str, str]] = [("/", "rootfs")]
+        try:
+            with open("/proc/mounts") as f:
+                mounts = [
+                    (p[1], p[2]) for p in
+                    (line.split() for line in f) if len(p) >= 3
+                ]
+        except OSError:
+            pass
+        seen_mounts = set()
+        for mountpoint, fstype in mounts:
+            if mountpoint in seen_mounts:
+                continue
+            seen_mounts.add(mountpoint)
+            try:
+                st = os.statvfs(mountpoint)
+            except OSError:
+                continue
+            if st.f_blocks == 0:
+                continue  # proc/sysfs/cgroup pseudo-mounts
+            tags = {"mountpoint": mountpoint, "filesystem": fstype}
+            add("filesystem_total_bytes", st.f_blocks * st.f_frsize,
+                tags)
+            add("filesystem_free_bytes", st.f_bfree * st.f_frsize,
+                tags)
+            add("filesystem_used_bytes",
+                (st.f_blocks - st.f_bfree) * st.f_frsize, tags)
     if "network" in collectors:
         with open("/proc/net/dev") as f:
             for line in f.readlines()[2:]:
@@ -278,6 +302,22 @@ def _proc_host_metrics(collectors: tuple[str, ...]) -> list[tuple]:
             add("process_memory_virtual_usage", int(p[20]), tags)
             starttime = int(p[19]) / tck
             add("process_runtime", max(uptime - starttime, 0.0), tags)
+    if "temperature" in collectors:
+        # /sys/class/thermal zones (src/sources/host_metrics/
+        # temperature.rs); absent on most containers/VMs → no rows
+        import glob as _glob
+
+        for zone in sorted(_glob.glob(
+                "/sys/class/thermal/thermal_zone*")):
+            try:
+                with open(f"{zone}/temp") as f:
+                    milli = int(f.read().strip())
+                with open(f"{zone}/type") as f:
+                    ztype = f.read().strip()
+            except (OSError, ValueError):
+                continue
+            add("temperature_degrees_celsius", milli / 1000.0,
+                {"zone": zone.rsplit("/", 1)[1], "type": ztype})
     if "cgroups" in collectors:
         # cgroup v2 unified hierarchy (src/sources/host_metrics/
         # cgroups.rs reads the same cpu.stat / memory files)
