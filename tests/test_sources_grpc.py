@@ -310,3 +310,58 @@ def test_otlp_grpc_streaming_source(spark):
         assert rows[0]["peer"] == "grpc"
     finally:
         q.stop()
+
+
+def test_otlp_grpc_trace_and_metrics_export():
+    """The reference serves Logs, Trace, AND Metrics services on one
+    OTLP gRPC server (grpc.rs:12-20) — so does the listener."""
+    from vector_spark.functions.protowire import (
+        encode_otlp_metrics_pb,
+        encode_otlp_traces_pb,
+    )
+
+    state = _ListenerState(None)
+    srv = start_otlp_grpc_listener(state)
+    try:
+        spans = encode_otlp_traces_pb(
+            [{"trace_id": "ab" * 16, "span_id": "cd" * 8,
+              "name": "GET /x", "kind": 2,
+              "start_time_unix_nano": 100, "end_time_unix_nano": 250,
+              "attributes": {"http.status": 200},
+              "status_code": 1}],
+            resource_attrs={"service.name": "svc-t"},
+        )
+        status, resp = _grpc_call(
+            srv.port,
+            "/opentelemetry.proto.collector.trace.v1"
+            ".TraceService/Export",
+            spans,
+        )
+        assert status == "0" and resp == b""
+        metrics = encode_otlp_metrics_pb(
+            [{"name": "requests", "type": "sum", "value": 7,
+              "time_unix_nano": 300, "attributes": {"code": "200"},
+              "is_monotonic": True},
+             {"name": "temp_c", "type": "gauge", "value": 21.5,
+              "time_unix_nano": 301}],
+        )
+        status, resp = _grpc_call(
+            srv.port,
+            "/opentelemetry.proto.collector.metrics.v1"
+            ".MetricsService/Export",
+            metrics,
+        )
+        assert status == "0" and resp == b""
+        entries = [json.loads(e[3]) for e in state.drain(-1)]
+        assert len(entries) == 3
+        span = entries[0]
+        assert span["trace_id"] == "ab" * 16
+        assert span["name"] == "GET /x"
+        assert span["attributes"]["http.status"] == 200
+        assert span["resource"] == {"service.name": "svc-t"}
+        counter, gauge = entries[1], entries[2]
+        assert counter["name"] == "requests" and counter["value"] == 7
+        assert counter["type"] == "sum" and counter["is_monotonic"]
+        assert gauge["value"] == 21.5 and gauge["type"] == "gauge"
+    finally:
+        srv.close()

@@ -973,3 +973,40 @@ def datadog_trace_roundtrip_rows(df):
                " service string, name string, start long,"
                " duration long, error int",
     )
+
+
+def otlp_traces_pb_roundtrip_rows(df):
+    """Encode each ARROW BATCH of span rows as ONE
+    ExportTraceServiceRequest (opentelemetry-proto trace/v1 wire form,
+    the OTLP gRPC TraceService payload) and decode it straight back —
+    one row per span. Batch boundaries don't change the output SET."""
+
+    def fn(batches):
+        from vector_spark.functions.protowire import (
+            decode_otlp_traces_pb,
+            encode_otlp_traces_pb,
+        )
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            if not rows:
+                continue
+            out = decode_otlp_traces_pb(encode_otlp_traces_pb(rows))
+            yield pd.DataFrame({
+                "trace_id": [o["trace_id"] for o in out],
+                "span_id": [o["span_id"] for o in out],
+                "name": [o["name"] for o in out],
+                "kind": [o["kind"] for o in out],
+                "start_time_unix_nano":
+                    [o["start_time_unix_nano"] for o in out],
+                "end_time_unix_nano":
+                    [o["end_time_unix_nano"] for o in out],
+                "status_code": [o["status_code"] for o in out],
+            })
+
+    return df.mapInPandas(
+        fn,
+        schema="trace_id string, span_id string, name string,"
+               " kind int, start_time_unix_nano long,"
+               " end_time_unix_nano long, status_code int",
+    )

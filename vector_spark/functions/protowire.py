@@ -125,6 +125,9 @@ def _encode_field(num: int, typ: str, v, out: bytearray, registry: dict) -> None
     elif typ == "fixed64":
         write_tag(num, 1, out)
         out.extend(struct.pack("<Q", int(v)))
+    elif typ == "sfixed64":
+        write_tag(num, 1, out)
+        out.extend(struct.pack("<q", int(v)))
     elif typ == "float":
         write_tag(num, 5, out)
         out.extend(struct.pack("<f", float(v)))
@@ -176,7 +179,12 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
                 continue
             name, typ = spec
             base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
-            v = struct.unpack("<d", chunk)[0] if base == "double" else struct.unpack("<Q", chunk)[0]
+            if base == "double":
+                v = struct.unpack("<d", chunk)[0]
+            elif base == "sfixed64":
+                v = struct.unpack("<q", chunk)[0]
+            else:
+                v = struct.unpack("<Q", chunk)[0]
         elif wire == 5:
             chunk = buf[pos:pos + 4]
             pos += 4
@@ -418,6 +426,64 @@ OTLP_REGISTRY: dict = {
     },
     "ExportLogsServiceRequest": {
         1: ("resource_logs", "repeated msg:ResourceLogs"),
+    },
+    # ---- trace/v1 (opentelemetry-proto trace.proto, public) ----------
+    "Status": {2: ("message", "string"), 3: ("code", "enum")},
+    "Span": {
+        1: ("trace_id", "bytes"),
+        2: ("span_id", "bytes"),
+        3: ("trace_state", "string"),
+        4: ("parent_span_id", "bytes"),
+        5: ("name", "string"),
+        6: ("kind", "enum"),
+        7: ("start_time_unix_nano", "fixed64"),
+        8: ("end_time_unix_nano", "fixed64"),
+        9: ("attributes", "repeated msg:KeyValue"),
+        15: ("status", "msg:Status"),
+    },
+    "ScopeSpans": {
+        1: ("scope", "msg:InstrumentationScope"),
+        2: ("spans", "repeated msg:Span"),
+    },
+    "ResourceSpans": {
+        1: ("resource", "msg:Resource"),
+        2: ("scope_spans", "repeated msg:ScopeSpans"),
+    },
+    "ExportTraceServiceRequest": {
+        1: ("resource_spans", "repeated msg:ResourceSpans"),
+    },
+    # ---- metrics/v1 (opentelemetry-proto metrics.proto, public) ------
+    "NumberDataPoint": {
+        2: ("start_time_unix_nano", "fixed64"),
+        3: ("time_unix_nano", "fixed64"),
+        4: ("as_double", "double"),
+        6: ("as_int", "sfixed64"),
+        7: ("attributes", "repeated msg:KeyValue"),
+        8: ("flags", "uint32"),
+    },
+    "Gauge": {1: ("data_points", "repeated msg:NumberDataPoint")},
+    "Sum": {
+        1: ("data_points", "repeated msg:NumberDataPoint"),
+        2: ("aggregation_temporality", "enum"),
+        3: ("is_monotonic", "bool"),
+    },
+    "Metric": {
+        1: ("name", "string"),
+        2: ("description", "string"),
+        3: ("unit", "string"),
+        5: ("gauge", "msg:Gauge"),
+        7: ("sum", "msg:Sum"),
+    },
+    "ScopeMetrics": {
+        1: ("scope", "msg:InstrumentationScope"),
+        2: ("metrics", "repeated msg:Metric"),
+    },
+    "ResourceMetrics": {
+        1: ("resource", "msg:Resource"),
+        2: ("scope_metrics", "repeated msg:ScopeMetrics"),
+    },
+    "ExportMetricsServiceRequest": {
+        1: ("resource_metrics", "repeated msg:ResourceMetrics"),
     },
 }
 
@@ -998,4 +1064,185 @@ def decode_datadog_trace_payload(buf: bytes) -> list[dict]:
                     "hostname": payload.get("hostName", ""),
                     "env": payload.get("env", ""),
                 })
+    return out
+
+
+def encode_otlp_traces_pb(spans: list[dict],
+                          resource_attrs: dict | None = None) -> bytes:
+    """[{trace_id hex, span_id hex, parent_span_id hex|None, name,
+    kind, start_time_unix_nano, end_time_unix_nano, attributes,
+    status_code, status_message}] → ExportTraceServiceRequest bytes
+    (opentelemetry-proto trace/v1, the payload the reference's OTLP
+    gRPC TraceService consumes, src/sources/opentelemetry/grpc.rs:41)."""
+    out_spans = []
+    for sp in spans:
+        rec: dict = {
+            "trace_id": bytes.fromhex(sp["trace_id"]),
+            "span_id": bytes.fromhex(sp["span_id"]),
+            "name": sp.get("name", ""),
+        }
+        if sp.get("parent_span_id"):
+            rec["parent_span_id"] = bytes.fromhex(sp["parent_span_id"])
+        if sp.get("kind") is not None:
+            rec["kind"] = int(sp["kind"])
+        if sp.get("start_time_unix_nano") is not None:
+            rec["start_time_unix_nano"] = int(sp["start_time_unix_nano"])
+        if sp.get("end_time_unix_nano") is not None:
+            rec["end_time_unix_nano"] = int(sp["end_time_unix_nano"])
+        if sp.get("attributes"):
+            rec["attributes"] = [
+                {"key": k, "value": _py_to_any(v)}
+                for k, v in sp["attributes"].items()
+            ]
+        if sp.get("status_code") is not None:
+            rec["status"] = {"code": int(sp["status_code"])}
+            if sp.get("status_message"):
+                rec["status"]["message"] = sp["status_message"]
+        out_spans.append(rec)
+    req = {
+        "resource_spans": [{
+            "resource": {
+                "attributes": [
+                    {"key": k, "value": _py_to_any(v)}
+                    for k, v in (resource_attrs or {}).items()
+                ]
+            },
+            "scope_spans": [{"spans": out_spans}],
+        }]
+    }
+    return encode_message(
+        req, OTLP_REGISTRY["ExportTraceServiceRequest"], OTLP_REGISTRY
+    )
+
+
+def decode_otlp_traces_pb(buf: bytes) -> list[dict]:
+    """ExportTraceServiceRequest bytes → flat span dicts (resource
+    attrs merged, ids hex-encoded — the flattening the reference's
+    trace events carry)."""
+    req = decode_message(
+        buf, OTLP_REGISTRY["ExportTraceServiceRequest"], OTLP_REGISTRY
+    )
+    out = []
+    for rs in req.get("resource_spans", []):
+        res_attrs = {
+            e["key"]: _any_to_py(e.get("value", {}))
+            for e in rs.get("resource", {}).get("attributes", [])
+        }
+        for ss in rs.get("scope_spans", []):
+            for sp in ss.get("spans", []):
+                out.append({
+                    "trace_id": sp.get("trace_id", b"").hex(),
+                    "span_id": sp.get("span_id", b"").hex(),
+                    "parent_span_id":
+                        sp.get("parent_span_id", b"").hex() or None,
+                    "name": sp.get("name"),
+                    "kind": sp.get("kind", 0),
+                    "start_time_unix_nano":
+                        sp.get("start_time_unix_nano"),
+                    "end_time_unix_nano": sp.get("end_time_unix_nano"),
+                    "attributes": {
+                        e["key"]: _any_to_py(e.get("value", {}))
+                        for e in sp.get("attributes", [])
+                    },
+                    "status_code":
+                        sp.get("status", {}).get("code", 0),
+                    "status_message":
+                        sp.get("status", {}).get("message"),
+                    "resource": res_attrs,
+                })
+    return out
+
+
+def encode_otlp_metrics_pb(metrics: list[dict],
+                           resource_attrs: dict | None = None) -> bytes:
+    """[{name, unit, type gauge|sum, value, time_unix_nano,
+    start_time_unix_nano, attributes, is_monotonic,
+    aggregation_temporality}] → ExportMetricsServiceRequest bytes
+    (opentelemetry-proto metrics/v1; gauge and sum — the two types the
+    reference's metric model maps losslessly)."""
+    out_metrics = []
+    for m in metrics:
+        point: dict = {"time_unix_nano": int(m["time_unix_nano"])}
+        if m.get("start_time_unix_nano") is not None:
+            point["start_time_unix_nano"] = int(m["start_time_unix_nano"])
+        v = m["value"]
+        if isinstance(v, int):
+            point["as_int"] = v
+        else:
+            point["as_double"] = float(v)
+        if m.get("attributes"):
+            point["attributes"] = [
+                {"key": k, "value": _py_to_any(val)}
+                for k, val in m["attributes"].items()
+            ]
+        rec: dict = {"name": m["name"]}
+        if m.get("unit"):
+            rec["unit"] = m["unit"]
+        if m.get("type", "gauge") == "sum":
+            rec["sum"] = {
+                "data_points": [point],
+                "aggregation_temporality":
+                    int(m.get("aggregation_temporality", 2)),
+                "is_monotonic": bool(m.get("is_monotonic", True)),
+            }
+        else:
+            rec["gauge"] = {"data_points": [point]}
+        out_metrics.append(rec)
+    req = {
+        "resource_metrics": [{
+            "resource": {
+                "attributes": [
+                    {"key": k, "value": _py_to_any(v)}
+                    for k, v in (resource_attrs or {}).items()
+                ]
+            },
+            "scope_metrics": [{"metrics": out_metrics}],
+        }]
+    }
+    return encode_message(
+        req, OTLP_REGISTRY["ExportMetricsServiceRequest"], OTLP_REGISTRY
+    )
+
+
+def decode_otlp_metrics_pb(buf: bytes) -> list[dict]:
+    """ExportMetricsServiceRequest bytes → one flat dict per data
+    point (gauge/sum), resource attrs merged."""
+    req = decode_message(
+        buf, OTLP_REGISTRY["ExportMetricsServiceRequest"], OTLP_REGISTRY
+    )
+    out = []
+    for rm in req.get("resource_metrics", []):
+        res_attrs = {
+            e["key"]: _any_to_py(e.get("value", {}))
+            for e in rm.get("resource", {}).get("attributes", [])
+        }
+        for sm in rm.get("scope_metrics", []):
+            for m in sm.get("metrics", []):
+                for mtype in ("gauge", "sum"):
+                    body = m.get(mtype)
+                    if body is None:
+                        continue
+                    for p in body.get("data_points", []):
+                        value = (p["as_int"] if "as_int" in p
+                                 else p.get("as_double"))
+                        out.append({
+                            "name": m.get("name"),
+                            "unit": m.get("unit"),
+                            "type": mtype,
+                            "value": value,
+                            "time_unix_nano": p.get("time_unix_nano"),
+                            "start_time_unix_nano":
+                                p.get("start_time_unix_nano"),
+                            "attributes": {
+                                e["key"]: _any_to_py(e.get("value", {}))
+                                for e in p.get("attributes", [])
+                            },
+                            "is_monotonic":
+                                body.get("is_monotonic")
+                                if mtype == "sum" else None,
+                            "aggregation_temporality":
+                                body.get("aggregation_temporality")
+                                if mtype == "sum" else None,
+                            "resource": res_attrs,
+                        })
     return out

@@ -4121,6 +4121,49 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "influxdb logs line encode->decode roundtrip",
     ),
+    # OTLP traces PROTOBUF codec (r9, opentelemetry-proto trace/v1 —
+    # the gRPC TraceService payload the listener now serves): spans
+    # synthesized from events, batch-encoded as ExportTraceServiceRequest
+    # wire bytes and decoded straight back, value-hashed against SQL.
+    "otlp_traces_pb_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, codecs: codecs.otlp_traces_pb_roundtrip_rows(
+                ev.select(
+                    F.format_string("%032x", F.col("user_id"))
+                     .alias("trace_id"),
+                    F.format_string("%016x", F.col("event_id"))
+                     .alias("span_id"),
+                    F.col("event_type").alias("name"),
+                    (F.col("event_id") % 5 + 1).cast("int")
+                     .alias("kind"),
+                    (F.unix_micros(F.col("ts")) * 1000)
+                     .alias("start_time_unix_nano"),
+                    (F.unix_micros(F.col("ts")) * 1000
+                     + F.floor(F.col("value") * 1e6).cast("long"))
+                     .alias("end_time_unix_nano"),
+                    F.when(F.col("value") > 150, 2).otherwise(1)
+                     .cast("int").alias("status_code"),
+                )
+            )
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["otlp_traces_pb_roundtrip_rows"]),
+        ),
+        """
+        SELECT printf('%032x', user_id) AS trace_id,
+               printf('%016x', event_id) AS span_id,
+               event_type AS name,
+               CAST(event_id % 5 + 1 AS INTEGER) AS kind,
+               epoch_us(ts) * 1000 AS start_time_unix_nano,
+               epoch_us(ts) * 1000 + CAST(floor(value * 1e6) AS BIGINT)
+                 AS end_time_unix_nano,
+               CAST(CASE WHEN value > 150 THEN 2 ELSE 1 END AS INTEGER)
+                 AS status_code
+        FROM events
+        """,
+        "OTLP trace/v1 protobuf encode->decode roundtrip",
+    ),
     # Vendor status-page codecs (round 5): the parse step of the
     # apache_metrics / nginx_metrics pollers run over canned bodies (the
     # fetch is exercised against a live local HTTP server in
@@ -6359,7 +6402,7 @@ _DRIVER_PRIORITY = [
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
-    "influx_logs_roundtrip",
+    "otlp_traces_pb_roundtrip", "influx_logs_roundtrip",
     "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
     "prometheus_pushgateway_codec", "datadog_trace_roundtrip",
     "docs_url_filter", "lua_v2_transform",

@@ -227,20 +227,33 @@ class GrpcListener:
 
 def start_otlp_grpc_listener(state, host: str = "127.0.0.1",
                              port: int = 0) -> GrpcListener:
-    """OTLP/gRPC logs endpoint (reference src/sources/opentelemetry/
-    grpc.rs): ExportLogsServiceRequest → one state entry per record
+    """OTLP/gRPC endpoint serving ALL THREE signals (reference
+    src/sources/opentelemetry/grpc.rs implements LogsService,
+    MetricsService, and TraceService on one server — grpc.rs:12-20):
+    each Export request → one state entry per record/span/data-point
     (the same JSON rows the HTTP OTLP endpoint appends), empty
-    ExportLogsServiceResponse back."""
-    from vector_spark.functions.protowire import decode_otlp_logs
+    Export*ServiceResponse back."""
+    from vector_spark.functions.protowire import (
+        decode_otlp_logs,
+        decode_otlp_metrics_pb,
+        decode_otlp_traces_pb,
+    )
 
-    def export_logs(msg: bytes) -> bytes:
-        for record in decode_otlp_logs(msg):
-            state.append("grpc", json.dumps(record, default=str))
-        return b""  # ExportLogsServiceResponse {}
+    def export(decoder):
+        def handler(msg: bytes) -> bytes:
+            for record in decoder(msg):
+                state.append("grpc", json.dumps(record, default=str))
+            return b""  # Export*ServiceResponse {}
+        return handler
 
     return GrpcListener({
         "/opentelemetry.proto.collector.logs.v1.LogsService/Export":
-            export_logs,
+            export(decode_otlp_logs),
+        "/opentelemetry.proto.collector.trace.v1.TraceService/Export":
+            export(decode_otlp_traces_pb),
+        "/opentelemetry.proto.collector.metrics.v1.MetricsService"
+        "/Export":
+            export(decode_otlp_metrics_pb),
     }, host, port)
 
 
