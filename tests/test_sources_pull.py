@@ -479,12 +479,15 @@ def test_host_metrics_filesystem(spark):
     from vector_spark.sources_pull import host_metrics_source
 
     df = host_metrics_source(spark, collectors=("filesystem",))
-    rows = {r["name"]: r for r in df.collect()}
+    # per-mount gauges since r9; check the root mount's arithmetic
+    rows = {r["name"]: r for r in df.collect()
+            if r["tags"].get("mountpoint") == "/"}
     total = rows["filesystem_total_bytes"]["value"]
     used = rows["filesystem_used_bytes"]["value"]
     free = rows["filesystem_free_bytes"]["value"]
     assert total > 0 and abs((used + free) - total) < 1e-6
-    assert rows["filesystem_total_bytes"]["tags"] == {"mountpoint": "/"}
+    assert rows["filesystem_total_bytes"]["tags"]["mountpoint"] == "/"
+    assert "filesystem" in rows["filesystem_total_bytes"]["tags"]
 
 
 def test_parse_docker_stats_full():
