@@ -339,3 +339,61 @@ def test_splunk_hec_metrics_envelopes(spark, capture_server):
     assert envs[0]["sourcetype"] == "vector_metrics"
     assert envs[1]["fields"] == {"metric_name": "mem.free",
                                  "_value": 1024.0}
+
+
+def test_post_retry_transient_then_success(spark):
+    """The shared transport retries the reference's transient statuses
+    (RetryStrategy::Default — 5xx except 501, 408, 429) with backoff
+    and raises permanent 4xx immediately."""
+    import threading
+    import urllib.error
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks_services import _post_lines_per_partition
+
+    state = {"failures_left": 2, "hits": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            state["hits"] += 1
+            if state["failures_left"] > 0:
+                state["failures_left"] -= 1
+                code = 503
+            elif self.path == "/always400":
+                code = 400
+            else:
+                code = 200
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        lines = spark.createDataFrame([("x",), ("y",)],
+                                      "line string").coalesce(1)
+        n = _post_lines_per_partition(
+            lines, base + "/ok", {}, 1000, 10_000, 5.0,
+            retry_backoff_secs=0.01,
+        )
+        assert n == 2
+        assert state["hits"] == 3  # two 503s retried, then 200
+        # permanent 4xx raises without retries
+        state["failures_left"] = 0
+        before = state["hits"]
+        import pytest as _pytest
+        with _pytest.raises(Exception) as exc:
+            _post_lines_per_partition(
+                lines, base + "/always400", {}, 1000, 10_000, 5.0,
+                retry_backoff_secs=0.01,
+            )
+        assert "400" in str(exc.value)
+        assert state["hits"] == before + 1  # exactly one attempt
+    finally:
+        srv.shutdown()

@@ -37,6 +37,39 @@ from vector_spark.functions.codecs import encode_splunk_hec
 from vector_spark.functions.template import template_column
 
 
+#: Transient statuses per the reference's default HTTP retry policy
+#: (src/sinks/util/http.rs RetryStrategy::Default — 5xx except 501,
+#: plus 408 Request Timeout and 429 Too Many Requests).
+_RETRIABLE_STATUSES = frozenset(
+    {408, 429} | set(range(500, 600)) - {501}
+)
+
+
+def _http_send_with_retry(url: str, body: bytes, headers: dict,
+                          timeout_secs: float, retries: int,
+                          backoff_secs: float) -> None:
+    """One request with the reference's retry policy: transient
+    statuses and connection errors back off exponentially for up to
+    ``retries`` re-attempts; permanent 4xx/501 raise immediately."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(url, data=body, headers=headers)
+        try:
+            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            return
+        except urllib.error.HTTPError as err:
+            if (err.code not in _RETRIABLE_STATUSES
+                    or attempt == retries):
+                raise
+        except (urllib.error.URLError, ConnectionError, TimeoutError):
+            if attempt == retries:
+                raise
+        time.sleep(backoff_secs * (2 ** attempt))
+
+
 def _post_lines_per_partition(
     lines: DataFrame,
     url: str,
@@ -47,15 +80,17 @@ def _post_lines_per_partition(
     prefix: bytes = b"",
     suffix: bytes = b"",
     joiner: bytes = b"\n",
+    retries: int = 3,
+    retry_backoff_secs: float = 0.2,
 ) -> int:
     """POST the single string column of ``lines`` in per-partition batches
-    bounded by events AND bytes (src/sinks/util/batch.rs defaults). Returns
+    bounded by events AND bytes (src/sinks/util/batch.rs defaults), with
+    the reference's default retry policy per request (transient statuses
+    retried with exponential backoff, permanent ones raised). Returns
     the number of events sent (accumulator, counted executor-side)."""
     sent = lines.sparkSession.sparkContext.accumulator(0)
 
     def send_partition(rows) -> None:
-        import urllib.request
-
         buf: list[bytes] = []
         buf_bytes = 0
 
@@ -64,8 +99,8 @@ def _post_lines_per_partition(
             if not buf:
                 return
             body = prefix + joiner.join(buf) + suffix
-            req = urllib.request.Request(url, data=body, headers=headers)
-            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            _http_send_with_retry(url, body, headers, timeout_secs,
+                                  retries, retry_backoff_secs)
             sent.add(len(buf))
             buf.clear()
             buf_bytes = 0
