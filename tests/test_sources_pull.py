@@ -1600,3 +1600,54 @@ def test_host_metrics_filesystem_enumerates_mounts():
                 if r[2].get("mountpoint") == mp}
         assert vals["filesystem_used_bytes"] <= \
             vals["filesystem_total_bytes"]
+
+
+def test_aws_json_call_retries_transient():
+    """_aws_json_call re-signs and retries 5xx/429, raises 4xx
+    immediately (the shared transport's policy on the SigV4 path)."""
+    import threading
+    import urllib.error
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest as _pytest
+
+    from vector_spark.sinks import _aws_json_call
+
+    state = {"fail": 1, "auths": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            state["auths"].append(self.headers.get("Authorization"))
+            code = 503 if state["fail"] > 0 else (
+                400 if self.path == "/bad" else 200)
+            if state["fail"] > 0:
+                state["fail"] -= 1
+            body = b"{}" if code == 200 else b""
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        out = _aws_json_call(base + "/", "logs", "X.Y", {"a": 1},
+                             "AK", "SK", "us-east-1", 5.0,
+                             retry_backoff_secs=0.01)
+        assert out == {}
+        assert len(state["auths"]) == 2  # 503 then success, re-signed
+        assert all(a and a.startswith("AWS4-HMAC-SHA256")
+                   for a in state["auths"])
+        with _pytest.raises(urllib.error.HTTPError):
+            _aws_json_call(base + "/bad", "logs", "X.Y", {}, "AK",
+                           "SK", "us-east-1", 5.0,
+                           retry_backoff_secs=0.01)
+        assert len(state["auths"]) == 3  # one attempt, no retry on 400
+    finally:
+        srv.shutdown()

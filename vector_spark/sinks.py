@@ -741,29 +741,51 @@ def _aws_json_call(
     region: str,
     timeout_secs: float,
     json_version: str = "1.1",
+    retries: int = 3,
+    retry_backoff_secs: float = 0.2,
 ) -> dict:
     """One signed request against an AWS JSON-protocol service (the
     same shape _sqs_call uses; CloudWatch Logs and Kinesis speak
-    x-amz-json-1.1)."""
+    x-amz-json-1.1). Transient statuses retry with backoff like the
+    shared HTTP transport — each attempt RE-SIGNS with a fresh
+    x-amz-date so the signature can't go stale mid-retry."""
     import json as _json
+    import time
+    import urllib.error
     import urllib.request
     from datetime import datetime, timezone
 
     from vector_spark.functions.sigv4 import sign_request
+    from vector_spark.sinks_services import _RETRIABLE_STATUSES
 
     payload = _json.dumps(body).encode()
     headers = {
         "Content-Type": f"application/x-amz-json-{json_version}",
         "X-Amz-Target": target,
     }
-    amz_date = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
-    signed = sign_request("POST", url, headers, payload,
-                          access_key, secret_key, region, service,
-                          amz_date)
-    req = urllib.request.Request(url, data=payload, headers=signed)
-    with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
-        text = resp.read().decode("utf-8")
-    return _json.loads(text) if text else {}
+    for attempt in range(retries + 1):
+        amz_date = datetime.now(timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ")
+        signed = sign_request("POST", url, headers.copy(), payload,
+                              access_key, secret_key, region, service,
+                              amz_date)
+        req = urllib.request.Request(url, data=payload,
+                                     headers=signed)
+        try:
+            with urllib.request.urlopen(
+                    req, timeout=timeout_secs) as resp:
+                text = resp.read().decode("utf-8")
+            return _json.loads(text) if text else {}
+        except urllib.error.HTTPError as err:
+            if (err.code not in _RETRIABLE_STATUSES
+                    or attempt == retries):
+                raise
+        except (urllib.error.URLError, ConnectionError,
+                TimeoutError):
+            if attempt == retries:
+                raise
+        time.sleep(retry_backoff_secs * (2 ** attempt))
+    raise ConnectionError("unreachable")
 
 
 def aws_cloudwatch_logs_sink(
