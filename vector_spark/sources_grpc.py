@@ -330,6 +330,7 @@ def grpc_unary_call(
                               enc.encode(headers))
         )
         conn_win = stream_win = 65535
+        initial_win = 65535  # server's current INITIAL_WINDOW_SIZE
         pos = 0
         buf = b""
         status: list[int] = []
@@ -337,7 +338,7 @@ def grpc_unary_call(
         done = threading.Event()
 
         def pump(data: bytes) -> None:
-            nonlocal buf, conn_win, stream_win
+            nonlocal buf, conn_win, stream_win, initial_win
             buf += data
             frames, buf = h2_decode_frames(bytes(buf))
             for ftype, flags, sid, payload in frames:
@@ -347,6 +348,20 @@ def grpc_unary_call(
                         conn_win += inc
                     else:
                         stream_win += inc
+                elif ftype == H2_SETTINGS and not flags & FLAG_ACK:
+                    # apply INITIAL_WINDOW_SIZE (id 4) as a DELTA to
+                    # the open stream's send window (RFC 7540 §6.9.2)
+                    # and ACK — real servers require the ack
+                    for off in range(0, len(payload) - 5, 6):
+                        sid_ = int.from_bytes(
+                            payload[off:off + 2], "big")
+                        val = int.from_bytes(
+                            payload[off + 2:off + 6], "big")
+                        if sid_ == 4:
+                            stream_win += val - initial_win
+                            initial_win = val
+                    sock.sendall(
+                        h2_encode_frame(H2_SETTINGS, FLAG_ACK, 0))
                 elif ftype == H2_HEADERS and sid == 1:
                     for name, value in dec.decode(payload):
                         if name == "grpc-status":
