@@ -1010,3 +1010,34 @@ def otlp_traces_pb_roundtrip_rows(df):
                " kind int, start_time_unix_nano long,"
                " end_time_unix_nano long, status_code int",
     )
+
+
+def otlp_metrics_pb_roundtrip_rows(df):
+    """Encode each ARROW BATCH of metric rows as ONE
+    ExportMetricsServiceRequest (opentelemetry-proto metrics/v1 wire
+    form, the OTLP gRPC MetricsService payload) and decode it straight
+    back — one row per data point."""
+
+    def fn(batches):
+        from vector_spark.functions.protowire import (
+            decode_otlp_metrics_pb,
+            encode_otlp_metrics_pb,
+        )
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            if not rows:
+                continue
+            out = decode_otlp_metrics_pb(encode_otlp_metrics_pb(rows))
+            yield pd.DataFrame({
+                "name": [o["name"] for o in out],
+                "mtype": [o["type"] for o in out],
+                "value": [float(o["value"]) for o in out],
+                "time_unix_nano": [o["time_unix_nano"] for o in out],
+            })
+
+    return df.mapInPandas(
+        fn,
+        schema="name string, mtype string, value double,"
+               " time_unix_nano long",
+    )

@@ -4164,6 +4164,36 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "OTLP trace/v1 protobuf encode->decode roundtrip",
     ),
+    # OTLP metrics PROTOBUF codec (r9, opentelemetry-proto metrics/v1
+    # — the gRPC MetricsService payload): gauge/sum data points
+    # synthesized from events, batch-encoded and decoded back.
+    "otlp_metrics_pb_roundtrip": QuerySpec(
+        lambda spark, sf_dir: (
+            lambda ev, codecs: codecs.otlp_metrics_pb_roundtrip_rows(
+                ev.select(
+                    F.col("event_type").alias("name"),
+                    F.when(F.col("event_id") % 2 == 0, "gauge")
+                     .otherwise("sum").alias("type"),
+                    F.col("value").cast("double").alias("value"),
+                    (F.unix_micros(F.col("ts")) * 1000)
+                     .alias("time_unix_nano"),
+                )
+            )
+        )(
+            load_table(spark, sf_dir, "events"),
+            __import__("vector_spark.functions.codecs",
+                       fromlist=["otlp_metrics_pb_roundtrip_rows"]),
+        ),
+        """
+        SELECT event_type AS name,
+               CASE WHEN event_id % 2 = 0 THEN 'gauge' ELSE 'sum' END
+                 AS mtype,
+               value,
+               epoch_us(ts) * 1000 AS time_unix_nano
+        FROM events
+        """,
+        "OTLP metrics/v1 protobuf encode->decode roundtrip",
+    ),
     # Vendor status-page codecs (round 5): the parse step of the
     # apache_metrics / nginx_metrics pollers run over canned bodies (the
     # fetch is exercised against a live local HTTP server in
@@ -6402,6 +6432,7 @@ _DRIVER_PRIORITY = [
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
+    "otlp_metrics_pb_roundtrip",
     "otlp_traces_pb_roundtrip", "influx_logs_roundtrip",
     "prometheus_rw_roundtrip", "datadog_series_v2_roundtrip",
     "prometheus_pushgateway_codec", "datadog_trace_roundtrip",
