@@ -707,6 +707,12 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         )
         if cfg.get("wal_dir"):
             reader = reader.option("wal_dir", cfg["wal_dir"])
+        if cfg.get("tls"):
+            # reference `tls:` block (src/tls/settings.rs) — flattened
+            # to dotted DataSource options; TlsSettings.from_options
+            # rebuilds it reader-side
+            for k, v in dict(cfg["tls"]).items():
+                reader = reader.option(f"tls.{k}", str(v))
         df = reader.load()
         if stype == "http_server" and cfg.get("endpoints"):
             # splunk_hec / otlp_logs / json path routing
@@ -1108,6 +1114,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             }
         elif stype == "socket":
             from vector_spark.sinks import socket_sink
+            from vector_spark.tls import TlsSettings
 
             results[name] = {
                 "sent": socket_sink(
@@ -1116,6 +1123,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     int(cfg["port"]),
                     encoding=cfg.get("encoding", "text"),
                     value_col=cfg.get("value_col", "message"),
+                    tls=TlsSettings.from_config(cfg.get("tls")),
                 )
             }
         elif stype == "vector":
@@ -1316,12 +1324,21 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
         elif stype == "papertrail":
             from vector_spark.sinks_vendors import papertrail_sink
 
+            from vector_spark.tls import TlsSettings
+
             host, _, port = cfg["endpoint"].partition(":")
+            # the papertrail service requires TLS syslog; `tls:` absent
+            # means system-trust-store verification (reference default
+            # for this sink), `enabled: false` opts out for tests
+            tls_cfg = cfg.get("tls")
+            tls = (TlsSettings.from_config(tls_cfg) if tls_cfg
+                   else TlsSettings())
             results[name] = {
                 "sent": papertrail_sink(
                     df, host, int(port),
                     message_col=cfg.get("message_col", "message"),
                     ts_col=cfg.get("ts_col", "ts"),
+                    tls=tls,
                 )
             }
         elif stype == "gcp_stackdriver_logs":
@@ -1857,6 +1874,9 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     path=cfg.get("path", "/"),
                     encoding=cfg.get("encoding", "text"),
                     value_col=cfg.get("value_col", "message"),
+                    tls=__import__(
+                        "vector_spark.tls", fromlist=["TlsSettings"]
+                    ).TlsSettings.from_config(cfg.get("tls")),
                 )
             }
         elif stype == "jdbc":

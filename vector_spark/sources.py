@@ -160,7 +160,30 @@ class _ListenerState:
                 os.replace(tmp, self.wal_path)
 
 
-def _tcp_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _accept_forever(srv: socket.socket, handle, tls=None) -> None:
+    """Shared accept loop for the stream listeners. When ``tls`` (a
+    TlsSettings) is set, each ACCEPTED connection is wrapped
+    server-side in its handler thread — a stalled or failed handshake
+    never blocks the accept loop (the reference's MaybeTlsIncomingStream
+    does the handshake per-connection too, src/tls/incoming.rs)."""
+    while True:
+        conn, addr = srv.accept()
+        peer = f"{addr[0]}:{addr[1]}"
+
+        def run(conn=conn, peer=peer) -> None:
+            if tls is not None:
+                try:
+                    conn = tls.wrap_server_connection(conn)
+                except (OSError, ValueError):
+                    conn.close()
+                    return
+            handle(conn, peer)
+
+        threading.Thread(target=run, daemon=True).start()
+
+
+def _tcp_listener(state: _ListenerState, host: str, port: int,
+                  ready: threading.Event, tls=None):
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
@@ -178,14 +201,11 @@ def _tcp_listener(state: _ListenerState, host: str, port: int, ready: threading.
                     if frame:
                         state.append(peer, frame)
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
-def _udp_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _udp_listener(state: _ListenerState, host: str, port: int,
+                  ready: threading.Event, tls=None):
     srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
@@ -199,7 +219,8 @@ def _udp_listener(state: _ListenerState, host: str, port: int, ready: threading.
                 state.append(peer, line.strip())
 
 
-def _http_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _http_listener(state: _ListenerState, host: str, port: int,
+                   ready: threading.Event, tls=None):
     """HTTP push endpoint (vector `src/sources/http_server.rs:40`):
     one event per newline-delimited body line; a JSON-array body yields
     one event per element (the reference's json decoding + framing)."""
@@ -245,11 +266,18 @@ def _http_listener(state: _ListenerState, host: str, port: int, ready: threading
             pass
 
     srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    if tls is not None:
+        # handshake happens lazily on the first read of each accepted
+        # connection (stdlib wrap with do_handshake_on_connect left
+        # default inside the per-connection handler thread)
+        srv.socket = tls.server_context().wrap_socket(
+            srv.socket, server_side=True)
     ready.set()
     srv.serve_forever()
 
 
-def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _fluent_listener(state: _ListenerState, host: str, port: int,
+                     ready: threading.Event, tls=None):
     """fluent forward protocol listener (`src/sources/fluent/mod.rs`):
     a TCP stream of self-delimiting msgpack items, each one of
       ["tag", time, record, options?]                      # Message mode
@@ -334,14 +362,11 @@ def _fluent_listener(state: _ListenerState, host: str, port: int, ready: threadi
                             else b"\x81\xa3ack\xd9" + bytes([len(ab)]) + ab
                         )
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
-def _vector_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _vector_listener(state: _ListenerState, host: str, port: int,
+                     ready: threading.Event, tls=None):
     """vector-to-vector native listener (`src/sources/vector/`): a TCP
     stream of 4-byte BE length-prefixed native EventWrapper protobuf
     frames (the v1 wire shape; v2 wraps the same EventArray payloads in
@@ -384,17 +409,14 @@ def _vector_listener(state: _ListenerState, host: str, port: int, ready: threadi
                         # ValueError); skip, like the reference drops
                         pass
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
-def _websocket_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _websocket_listener(state: _ListenerState, host: str, port: int,
+                        ready: threading.Event, tls=None):
     """WebSocket server source (`src/sources/websocket/`): RFC 6455 —
     HTTP Upgrade handshake (Sec-WebSocket-Accept = b64(sha1(key+GUID))),
     then framed messages. Text/binary data frames become events (binary
@@ -517,14 +539,11 @@ def _websocket_listener(state: _ListenerState, host: str, port: int, ready: thre
                 except (OSError, ValueError, _struct.error, TypeError):
                     return  # malformed frame / dead socket: drop connection
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
-def _dnstap_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _dnstap_listener(state: _ListenerState, host: str, port: int,
+                     ready: threading.Event, tls=None):
     """dnstap listener (`src/sources/dnstap/` TCP mode): Frame Streams
     over TCP with the bidirectional handshake (READY → ACCEPT, data
     frames, STOP → FINISH — fstrm control types 0x04/0x01/0x03/0x05);
@@ -592,14 +611,11 @@ def _dnstap_listener(state: _ListenerState, host: str, port: int, ready: threadi
                         # a network peer must never kill the handler)
                         pass
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
-def _logstash_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _logstash_listener(state: _ListenerState, host: str, port: int,
+                       ready: threading.Event, tls=None):
     """Lumberjack v2 (beats/logstash) listener (`src/sources/logstash.rs`):
     frames are (version, type) pairs — '2W' window size, '2J' JSON data
     (seq, payload), '2C' zlib-compressed nested frames, '2D' key/value
@@ -695,29 +711,27 @@ def _logstash_listener(state: _ListenerState, host: str, port: int, ready: threa
                 if hi >= 0:
                     conn.sendall(b"2A" + struct.pack(">I", hi))
 
-    while True:
-        conn, addr = srv.accept()
-        threading.Thread(
-            target=handle, args=(conn, f"{addr[0]}:{addr[1]}"), daemon=True
-        ).start()
+    _accept_forever(srv, handle, tls)
 
 
-def _otlp_grpc_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _otlp_grpc_listener(state: _ListenerState, host: str, port: int,
+                        ready: threading.Event, tls=None):
     """OTLP/gRPC logs endpoint (src/sources/opentelemetry/grpc.rs:17):
     the HTTP/2+HPACK transport lives in sources_grpc; records land in
     the shared WAL-backed state like every other listener."""
     from vector_spark.sources_grpc import start_otlp_grpc_listener
 
-    start_otlp_grpc_listener(state, host, port)  # own accept thread
+    start_otlp_grpc_listener(state, host, port, tls=tls)  # own accept thread
     ready.set()
 
 
-def _vector_grpc_listener(state: _ListenerState, host: str, port: int, ready: threading.Event):
+def _vector_grpc_listener(state: _ListenerState, host: str, port: int,
+                          ready: threading.Event, tls=None):
     """vector-native v2 gRPC endpoint (proto/vector/vector.proto
     service Vector — PushEvents + HealthCheck)."""
     from vector_spark.sources_grpc import start_vector_grpc_listener
 
-    start_vector_grpc_listener(state, host, port)
+    start_vector_grpc_listener(state, host, port, tls=tls)
     ready.set()
 
 
@@ -734,6 +748,16 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("option 'port' is required")
         self.proto = proto
         self.wal_dir = options.get("wal_dir")
+        # reference `tls:` block, flattened to dotted options
+        # (tls.crt_file, tls.key_file, tls.ca_file, ...) — settings
+        # are picklable; contexts build in the listener thread
+        from vector_spark.tls import TlsSettings
+
+        self.tls = TlsSettings.from_options(options)
+        if self.tls is not None and proto == "udp":
+            # the reference's socket source only offers `tls:` for
+            # mode=tcp (src/sources/socket/udp.rs has no TLS either)
+            raise ValueError("tls is not supported for UDP listeners")
         self.state = _ListenerState(self.wal_dir)
         self._listener_lock = threading.Lock()
         self._listening = False
@@ -748,6 +772,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             "port": self.port,
             "proto": self.proto,
             "wal_dir": self.wal_dir,
+            "tls": self.tls,
         }
 
     def __setstate__(self, d: dict) -> None:
@@ -775,7 +800,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             }[self.proto]
             threading.Thread(
                 target=target,
-                args=(self.state, self.host, self.port, ready),
+                args=(self.state, self.host, self.port, ready, self.tls),
                 daemon=True,
             ).start()
             if not ready.wait(timeout=10):

@@ -84,8 +84,9 @@ class GrpcListener:
     paths answer grpc-status 12 (UNIMPLEMENTED)."""
 
     def __init__(self, handlers: dict, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, tls=None):
         self.handlers = handlers
+        self._tls = tls  # TlsSettings; accepted conns wrap per-thread
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
@@ -103,8 +104,18 @@ class GrpcListener:
                 target=self._serve_conn, args=(conn,), daemon=True
             ).start()
 
+    def _maybe_wrap(self, conn):
+        """Server-side TLS handshake for one accepted connection (in
+        its handler thread, so a stalled handshake can't block the
+        accept loop) — gRPC-over-TLS, the reference's `tls:` block on
+        the opentelemetry/vector sources."""
+        if self._tls is None:
+            return conn
+        return self._tls.wrap_server_connection(conn)
+
     def _serve_conn(self, conn: socket.socket) -> None:
         try:
+            conn = self._maybe_wrap(conn)
             buf = b""
             while len(buf) < len(H2_PREFACE):
                 data = conn.recv(65536)
@@ -226,7 +237,7 @@ class GrpcListener:
 
 
 def start_otlp_grpc_listener(state, host: str = "127.0.0.1",
-                             port: int = 0) -> GrpcListener:
+                             port: int = 0, tls=None) -> GrpcListener:
     """OTLP/gRPC endpoint serving ALL THREE signals (reference
     src/sources/opentelemetry/grpc.rs implements LogsService,
     MetricsService, and TraceService on one server — grpc.rs:12-20):
@@ -254,11 +265,12 @@ def start_otlp_grpc_listener(state, host: str = "127.0.0.1",
         "/opentelemetry.proto.collector.metrics.v1.MetricsService"
         "/Export":
             export(decode_otlp_metrics_pb),
-    }, host, port)
+    }, host, port, tls=tls)
 
 
 def start_vector_grpc_listener(state, host: str = "127.0.0.1",
-                               port: int = 0) -> GrpcListener:
+                               port: int = 0,
+                               tls=None) -> GrpcListener:
     """vector-native v2 endpoint (proto/vector/vector.proto `service
     Vector`): PushEventsRequest{repeated EventWrapper events=1} →
     one state entry per event; empty PushEventsResponse. HealthCheck
@@ -291,7 +303,7 @@ def start_vector_grpc_listener(state, host: str = "127.0.0.1",
     return GrpcListener({
         "/vector.Vector/PushEvents": push_events,
         "/vector.Vector/HealthCheck": lambda _msg: b"",
-    }, host, port)
+    }, host, port, tls=tls)
 
 
 def grpc_unary_call(
@@ -301,6 +313,7 @@ def grpc_unary_call(
     messages: list[bytes],
     metadata: list[tuple[str, str]] | None = None,
     timeout: float = 10.0,
+    tls=None,
 ) -> tuple[int, bytes]:
     """Client half of the transport above: a flow-control-compliant
     HTTP/2 gRPC call sending one or more length-prefixed messages on a
@@ -316,12 +329,16 @@ def grpc_unary_call(
     enc = HpackEncoder()
     dec = HpackDecoder()
     headers = [
-        (":method", "POST"), (":scheme", "http"), (":path", path),
+        (":method", "POST"),
+        (":scheme", "https" if tls is not None else "http"),
+        (":path", path),
         (":authority", f"{host}:{port}"),
         ("content-type", "application/grpc"), ("te", "trailers"),
     ] + [(k.lower(), v) for k, v in (metadata or [])]
     framed = b"".join(grpc_frame(m) for m in messages)
     sock = socket.create_connection((host, port), timeout=timeout)
+    if tls is not None:
+        sock = tls.wrap_client_connection(sock, host)
     try:
         sock.sendall(
             H2_PREFACE
