@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import threading
 import zlib
+
+from vector_spark.functions.zstd import decompress as zstd_decompress
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
@@ -182,9 +184,12 @@ def test_datadog_series_v2_roundtrip(spark, capture_server):
     h = reqs[0]["headers"]
     assert h["dd-api-key"] == "dd-key"
     assert h["content-type"] == "application/x-protobuf"
-    assert h["content-encoding"] == "deflate"
+    # the reference compresses series v2 with zstd; bodies here are
+    # store-mode RFC 8878 frames (functions/zstd.py) — decode with the
+    # sibling decoder, which any real zstd implementation also accepts
+    assert h["content-encoding"] == "zstd"
     points = decode_datadog_metric_payload(
-        zlib.decompress(reqs[0]["body"])
+        zstd_decompress(reqs[0]["body"])
     )
     assert len(points) == 3
     cpu = sorted(
@@ -211,7 +216,7 @@ def test_datadog_sketches_roundtrip(spark, capture_server):
     )
     assert sent == 1
     assert reqs[0]["path"] == "/api/beta/sketches"
-    rows = decode_datadog_sketches(zlib.decompress(reqs[0]["body"]))
+    rows = decode_datadog_sketches(zstd_decompress(reqs[0]["body"]))
     assert rows == [{
         "metric": "lat", "host": "h1", "tags": ["env:p"],
         "ts": 1700000000, "cnt": 4, "min": 0.1, "max": 9.0,
@@ -255,7 +260,7 @@ sinks:
 
 
 def test_datadog_traces_roundtrip(spark, capture_server):
-    import zlib
+    import gzip
 
     from vector_spark.functions.protowire import (
         decode_datadog_trace_payload,
@@ -278,8 +283,9 @@ def test_datadog_traces_roundtrip(spark, capture_server):
     h = reqs[0]["headers"]
     assert h["dd-api-key"] == "dd-key"
     assert h["content-type"] == "application/x-protobuf"
+    assert h["content-encoding"] == "gzip"  # Compression::gzip_default
     spans = decode_datadog_trace_payload(
-        zlib.decompress(reqs[0]["body"])
+        gzip.decompress(reqs[0]["body"])
     )
     assert len(spans) == 3
     assert all(s["hostname"] == "h1" and s["env"] == "prod"

@@ -246,12 +246,78 @@ def test_uuid_from_friendly_id(spark):
 
 
 def test_env_gates_raise():
+    # zstd and encrypt un-gated in r10 (pure store-mode codec;
+    # cryptography ships with pyspark) — lz4 remains the gated example
     with pytest.raises(EnvGatedError):
-        V["encode_zstd"](F.lit("x"))
-    with pytest.raises(EnvGatedError):
-        V["encrypt"](F.lit("x"))
+        V["encode_lz4"](F.lit("x"))
     with pytest.raises(EnvGatedError):
         V["dns_lookup"](F.lit("example.com"))
+
+
+def test_zstd_roundtrip(spark):
+    got = one(
+        spark,
+        V["decode_zstd"](V["encode_zstd"](F.lit("store-mode ok")))
+        .cast("string"),
+    )
+    assert got == "store-mode ok"
+
+
+def test_zstd_store_mode_interop():
+    """Our frames are valid Zstandard (the real CLI decodes them) and
+    real Raw/RLE frames decode here; entropy-coded blocks raise."""
+    import shutil
+    import subprocess
+
+    from vector_spark.functions import zstd as z
+
+    data = b"payload \x00\x01" * 1000
+    frame = z.compress(data)
+    assert z.decompress(frame) == data
+    # hand-built RLE block frame: 'A' * 20
+    rle = (b"\x28\xb5\x2f\xfd" + bytes([0x20, 20])
+           + (1 | (1 << 1) | (20 << 3)).to_bytes(3, "little") + b"A")
+    assert z.decompress(rle) == b"A" * 20
+    if shutil.which("zstd"):
+        p = subprocess.run(["zstd", "-d", "-c"], input=frame,
+                           capture_output=True)
+        assert p.returncode == 0 and p.stdout == data
+
+
+@pytest.mark.parametrize("alg,klen,ivlen", [
+    ("AES-128-CBC-PKCS7", 16, 16),
+    ("AES-256-CBC-PKCS7", 32, 16),
+    ("AES-256-CTR", 32, 16),
+    ("AES-256-CFB", 32, 16),
+    ("AES-256-OFB", 32, 16),
+    ("AES-256-GCM", 32, 12),
+    ("CHACHA20-POLY1305", 32, 12),
+])
+def test_encrypt_decrypt_roundtrip(spark, alg, klen, ivlen):
+    key = bytes(range(klen))
+    iv = bytes(range(100, 100 + ivlen))
+    got = one(
+        spark,
+        V["decrypt"](
+            V["encrypt"](F.lit("vrl crypto"), alg, key, iv),
+            alg, key, iv,
+        ).cast("string"),
+    )
+    assert got == "vrl crypto"
+
+
+def test_encrypt_validates_driver_side():
+    with pytest.raises(ValueError, match="32-byte key"):
+        V["encrypt"](F.lit("x"), "AES-256-GCM", b"short", b"0" * 12)
+    with pytest.raises(ValueError, match="unsupported"):
+        V["encrypt"](F.lit("x"), "XSALSA20-POLY1305", b"k" * 32, b"0" * 24)
+
+
+def test_decrypt_bad_tag_is_fallible_null(spark):
+    key, iv = b"k" * 32, b"n" * 12
+    ct = V["encrypt"](F.lit("x"), "AES-256-GCM", key, iv)
+    got = one(spark, V["decrypt"](ct, "AES-256-GCM", b"w" * 32, iv))
+    assert got is None
 
 
 def test_secrets_compile(spark):

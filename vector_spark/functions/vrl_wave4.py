@@ -828,7 +828,15 @@ def remove_secret_expr(secrets: Column, name: str) -> Column:
 
 # ---- Registry ----------------------------------------------------------
 
-_zstd = _try_import("zstandard")
+# zstd: prefer the C library if present; otherwise this repo's
+# pure-Python store-mode frame codec (functions/zstd.py) — RFC 8878
+# Raw-block frames any decoder accepts, same stance as snappy below
+_zstd = _try_import("zstandard") or __import__(
+    "vector_spark.functions.zstd", fromlist=["compress"]
+)
+_ZSTD_MOD = (
+    "zstandard" if _try_import("zstandard") else "vector_spark.functions.zstd"
+)
 _lz4 = _try_import("lz4")
 # snappy: prefer the C library if present; otherwise this repo's
 # pure-Python raw-format codec (functions/snappy.py) — the env-gate is
@@ -936,15 +944,15 @@ WAVE4: dict = {
     "get_secret": get_secret,
     "set_semantic_meaning": lambda c, meaning=None: c,  # column-name docs
     # Env-gated: library not in this container (registered so configs parse)
-    "encode_zstd": _opt_codec("encode_zstd", "zstandard", _zstd, encode=True),
-    "decode_zstd": _opt_codec("decode_zstd", "zstandard", _zstd, encode=False),
+    "encode_zstd": _opt_codec("encode_zstd", _ZSTD_MOD, _zstd, encode=True),
+    "decode_zstd": _opt_codec("decode_zstd", _ZSTD_MOD, _zstd, encode=False),
     "encode_lz4": _opt_codec("encode_lz4", "lz4.frame", _lz4, encode=True),
     "decode_lz4": _opt_codec("decode_lz4", "lz4.frame", _lz4, encode=False),
     "encode_snappy": _opt_codec("encode_snappy", _SNAPPY_MOD, _snappy, encode=True),
     "decode_snappy": _opt_codec("decode_snappy", _SNAPPY_MOD, _snappy, encode=False),
-    "encrypt": _gated("encrypt", "cryptography"),
-    "decrypt": _gated("decrypt", "cryptography"),
-    "parse_cbor": _gated("parse_cbor", "cbor2"),
+    "encrypt": _gated("encrypt", "cryptography"),  # replaced below when
+    "decrypt": _gated("decrypt", "cryptography"),  # cryptography imports
+    # parse_cbor: overridden below by the pure-Python RFC 8949 reader
     "encode_proto": lambda c, desc, mtype: _proto_col(c, desc, mtype, True),
     "parse_proto": lambda c, desc, mtype: _proto_col(c, desc, mtype, False),
 }
@@ -1042,6 +1050,103 @@ def _cbor_to_json(s: pd.Series) -> pd.Series:
 
 
 WAVE4["parse_cbor"] = lambda c: _cbor_to_json(c.cast("binary"))
+
+
+# ---- encrypt / decrypt (VRL crypto functions) ---------------------------
+# The container DOES ship `cryptography` (a pyspark transitive dep), so
+# these are real, not gated: the VRL algorithm-string surface
+# (lib/vrl cryptography functions; website/cue/reference/remap/functions/
+# encrypt.cue) for the AES family + ChaCha20-Poly1305. Unsupported
+# variants (XChaCha/XSalsa, SIV, the CBC-ISO paddings) raise a
+# documented ValueError naming the algorithm.
+
+def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Column:
+    key_b = key.encode() if isinstance(key, str) else bytes(key)
+    iv_b = (None if iv is None
+            else iv.encode() if isinstance(iv, str) else bytes(iv))
+    alg = str(algorithm).upper()
+    # validate DRIVER-side (VRL treats a bad algorithm/key length as a
+    # program error, not a per-event fallible) so a typo fails fast
+    # instead of poisoning a Spark task
+    if alg == "CHACHA20-POLY1305":
+        if len(key_b) != 32:
+            raise ValueError("CHACHA20-POLY1305 needs a 32-byte key")
+    elif alg.startswith("AES-"):
+        _, bits, mode_name = alg.split("-", 2)
+        if len(key_b) * 8 != int(bits):
+            raise ValueError(f"{alg} needs a {int(bits) // 8}-byte key")
+        if mode_name not in ("GCM", "CBC-PKCS7", "CTR", "CTR-BE",
+                             "CFB", "OFB"):
+            raise ValueError(f"unsupported AES mode {mode_name!r}")
+    else:
+        raise ValueError(f"unsupported algorithm {alg!r}")
+
+    @pandas_udf(BinaryType())
+    def _run(s: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives import padding as _padding
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+        from cryptography.hazmat.primitives.ciphers.aead import (
+            AESGCM, ChaCha20Poly1305,
+        )
+
+        def one(v):
+            if v is None:
+                return None
+            data = v if isinstance(v, bytes) else str(v).encode()
+            try:
+                if alg == "CHACHA20-POLY1305":
+                    box = ChaCha20Poly1305(key_b)
+                    if encrypt_mode:
+                        return box.encrypt(iv_b, data, None)
+                    return box.decrypt(iv_b, data, None)
+                mode_name = alg.split("-", 2)[2]
+                if mode_name == "GCM":
+                    box = AESGCM(key_b)
+                    if encrypt_mode:
+                        return box.encrypt(iv_b, data, None)
+                    return box.decrypt(iv_b, data, None)
+                try:  # cryptography >= 48 relocated the stream modes
+                    from cryptography.hazmat.decrepit.ciphers.modes import (
+                        CFB as _CFB, OFB as _OFB,
+                    )
+                except ImportError:
+                    _CFB, _OFB = modes.CFB, modes.OFB
+                aes = algorithms.AES(key_b)
+                mode = {
+                    "CBC-PKCS7": modes.CBC,
+                    "CTR": modes.CTR,
+                    "CTR-BE": modes.CTR,
+                    "CFB": _CFB,
+                    "OFB": _OFB,
+                }[mode_name](iv_b)
+                cipher = Cipher(aes, mode)
+                if encrypt_mode:
+                    if mode_name == "CBC-PKCS7":
+                        padder = _padding.PKCS7(128).padder()
+                        data = padder.update(data) + padder.finalize()
+                    enc = cipher.encryptor()
+                    return enc.update(data) + enc.finalize()
+                dec = cipher.decryptor()
+                out = dec.update(data) + dec.finalize()
+                if mode_name == "CBC-PKCS7":
+                    unpad = _padding.PKCS7(128).unpadder()
+                    out = unpad.update(out) + unpad.finalize()
+                return out
+            except Exception:
+                return None  # auth-tag failure etc. → fallible null
+
+        return s.map(one)
+
+    return _run(c.cast("binary"))
+
+
+if _crypto is not None:
+    WAVE4["encrypt"] = lambda c, algorithm, key, iv=None: _vrl_cipher(
+        c, algorithm, key, iv, encrypt_mode=True)
+    WAVE4["decrypt"] = lambda c, algorithm, key, iv=None: _vrl_cipher(
+        c, algorithm, key, iv, encrypt_mode=False)
 
 
 # ---- MessagePack — pure-Python decoder (fluent forward protocol rides

@@ -19,10 +19,11 @@ Reference wire shapes (re-expressed, not translated):
   :83-118` — series v2 POSTs protobuf MetricPayload to
   `/api/v2/series`, sketches POST protobuf SketchPayload to
   `/api/beta/sketches`, both `Content-Type: application/x-protobuf`.
-  The reference compresses v2/sketches with zstd; the Python stdlib
-  has no zstd, so this sink sends `Content-Encoding: deflate` (zlib),
-  which the same API versions accept — a documented divergence, not
-  a silent one.
+  The reference compresses v2/sketches with zstd — matched here via
+  the repo's pure-Python RFC 8878 store-mode frame writer
+  (functions/zstd.py): `Content-Encoding: zstd` bodies any zstd
+  decoder accepts (Raw-block frames; ratio traded for a
+  zero-dependency exact-protocol match, the snappy stance).
 
 Scale shape: every sink is `foreachPartition` — one connection per
 executor partition, request bodies built from bounded in-partition
@@ -211,16 +212,15 @@ def datadog_metrics_sink(
     url = endpoint.rstrip("/") + "/api/v2/series"
     headers = {
         "Content-Type": "application/x-protobuf",
-        "Content-Encoding": "deflate",
+        "Content-Encoding": "zstd",
         "DD-API-KEY": api_key,
     }
 
     def push_partition(rows) -> None:
-        import zlib
-
         from vector_spark.functions.protowire import (
             encode_datadog_metric_payload,
         )
+        from vector_spark.functions.zstd import compress as _zstd_c
 
         batch: list[dict] = []
         n_points = 0
@@ -242,7 +242,7 @@ def datadog_metrics_sink(
                  "interval": interval, "points": sorted(series[(m, t, tg)])}
                 for m, t, tg in order
             ])
-            _post(url, zlib.compress(payload), headers, timeout_secs)
+            _post(url, _zstd_c(payload), headers, timeout_secs)
             sent.add(n_points)
             batch.clear()
             n_points = 0
@@ -306,23 +306,22 @@ def datadog_sketches_sink(
     url = endpoint.rstrip("/") + "/api/beta/sketches"
     headers = {
         "Content-Type": "application/x-protobuf",
-        "Content-Encoding": "deflate",
+        "Content-Encoding": "zstd",
         "DD-API-KEY": api_key,
     }
 
     def push_partition(rows) -> None:
-        import zlib
-
         from vector_spark.functions.protowire import (
             encode_datadog_sketch_payload,
         )
+        from vector_spark.functions.zstd import compress as _zstd_c
 
         batch: list[dict] = []
 
         def flush() -> None:
             if not batch:
                 return
-            body = zlib.compress(encode_datadog_sketch_payload(batch))
+            body = _zstd_c(encode_datadog_sketch_payload(batch))
             _post(url, body, headers, timeout_secs)
             sent.add(len(batch))
             batch.clear()
@@ -349,7 +348,8 @@ def datadog_traces_sink(
     """POST TracePayload protobufs to ``/api/v0.2/traces`` (reference
     src/sinks/datadog/traces/config.rs:123, the newer tracerPayloads
     shape) — spans grouped into one TraceChunk per trace per request,
-    deflate-compressed like the metrics endpoints. Expects span rows:
+    gzip-compressed (the reference's Compression::gzip_default,
+    traces/config.rs:156). Expects span rows:
     trace_id, span_id, parent_id, service, name, resource, start (ns),
     duration (ns), error, type (+ optional meta map)."""
     cols = {c: c for c in ("trace_id", "span_id", "parent_id",
@@ -364,12 +364,12 @@ def datadog_traces_sink(
     url = endpoint.rstrip("/") + "/api/v0.2/traces"
     headers = {
         "Content-Type": "application/x-protobuf",
-        "Content-Encoding": "deflate",
+        "Content-Encoding": "gzip",
         "DD-API-KEY": api_key,
     }
 
     def push_partition(rows) -> None:
-        import zlib
+        import gzip as _gzip
 
         from vector_spark.functions.protowire import (
             encode_datadog_trace_payload,
@@ -380,7 +380,7 @@ def datadog_traces_sink(
         def flush() -> None:
             if not batch:
                 return
-            body = zlib.compress(encode_datadog_trace_payload(
+            body = _gzip.compress(encode_datadog_trace_payload(
                 batch, hostname=hostname, env=env
             ))
             _post(url, body, headers, timeout_secs)
