@@ -205,9 +205,13 @@ def socket_sink(
     encoding: str = "text",
     value_col: str = "message",
     timeout_secs: float = 10.0,
+    tls=None,
 ) -> int:
     """Newline-framed TCP push, one connection per partition
-    (src/sinks/socket.rs)."""
+    (src/sinks/socket.rs). ``tls`` (a TlsSettings) wraps each
+    partition's outbound connection — the reference's `tls:` block on
+    the socket sink (settings.rs via sinks/util/service/net); settings
+    are picklable, the SSLContext builds executor-side."""
     lines = _rows_to_lines(df, encoding, value_col)
 
     def send_partition(rows) -> None:
@@ -221,6 +225,8 @@ def socket_sink(
                     sock = _socket.create_connection(
                         (host, port), timeout=timeout_secs
                     )
+                    if tls is not None:
+                        sock = tls.wrap_client_connection(sock, host)
                     first = False
                 sock.sendall((row["line"] + "\n").encode())
         finally:
@@ -298,6 +304,7 @@ def websocket_sink(
     encoding: str = "text",
     value_col: str = "message",
     timeout_secs: float = 10.0,
+    tls=None,
 ) -> int:
     """WebSocket client push (src/sinks/websocket/): RFC 6455 handshake
     + one MASKED text frame per event (client frames must mask, §5.3),
@@ -319,6 +326,8 @@ def websocket_sink(
                     sock = _socket.create_connection(
                         (host, port), timeout=timeout_secs
                     )
+                    if tls is not None:  # wss:// — reference ws sink tls:
+                        sock = tls.wrap_client_connection(sock, host)
                     key = _b64.b64encode(_os.urandom(16)).decode()
                     sock.sendall(
                         (
@@ -901,11 +910,33 @@ def aws_kinesis_sink(
             nonlocal batch, sent
             if not batch:
                 return
-            _aws_json_call(
-                url, "kinesis", "Kinesis_20131202.PutRecords",
-                {"StreamName": stream_name, "Records": batch},
-                access_key, secret_key, region, timeout_secs,
-            )
+            # PutRecords can partially fail inside an HTTP 200:
+            # FailedRecordCount > 0 with per-record ErrorCode. The
+            # reference retries the failed subset — do the same,
+            # bounded, then raise so the failure isn't silently
+            # counted as sent.
+            import time as _time
+
+            pending = batch
+            for attempt in range(4):
+                resp = _aws_json_call(
+                    url, "kinesis", "Kinesis_20131202.PutRecords",
+                    {"StreamName": stream_name, "Records": pending},
+                    access_key, secret_key, region, timeout_secs,
+                )
+                if not resp.get("FailedRecordCount"):
+                    pending = []
+                    break
+                results = resp.get("Records", [])
+                pending = [rec for rec, res in zip(pending, results)
+                           if res.get("ErrorCode")]
+                if not pending:
+                    break
+                _time.sleep(0.2 * (2 ** attempt))
+            if pending:
+                raise ConnectionError(
+                    f"PutRecords: {len(pending)} records still "
+                    "failing after retries")
             sent += len(batch)
             batch = []
 
@@ -967,11 +998,34 @@ def aws_kinesis_firehose_sink(
             nonlocal batch, batch_bytes, sent
             if not batch:
                 return
-            _aws_json_call(
-                url, "firehose", "Firehose_20150804.PutRecordBatch",
-                {"DeliveryStreamName": stream_name, "Records": batch},
-                access_key, secret_key, region, timeout_secs,
-            )
+            # PutRecordBatch reports partial failure inside an HTTP
+            # 200 (FailedPutCount > 0 with per-record ErrorCode) — the
+            # reference retries those records; mirror that, bounded,
+            # then raise rather than count failures as sent.
+            import time as _time
+
+            pending = batch
+            for attempt in range(4):
+                resp = _aws_json_call(
+                    url, "firehose",
+                    "Firehose_20150804.PutRecordBatch",
+                    {"DeliveryStreamName": stream_name,
+                     "Records": pending},
+                    access_key, secret_key, region, timeout_secs,
+                )
+                if not resp.get("FailedPutCount"):
+                    pending = []
+                    break
+                results = resp.get("RequestResponses", [])
+                pending = [rec for rec, res in zip(pending, results)
+                           if res.get("ErrorCode")]
+                if not pending:
+                    break
+                _time.sleep(0.2 * (2 ** attempt))
+            if pending:
+                raise ConnectionError(
+                    f"PutRecordBatch: {len(pending)} records still "
+                    "failing after retries")
             sent += len(batch)
             batch = []
             batch_bytes = 0

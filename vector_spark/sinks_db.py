@@ -421,7 +421,35 @@ def databend_sink(
                     "Content-Type": "application/json",
                 },
             )
-            _rq.urlopen(req, timeout=timeout_secs).read()
+            # Databend's HTTP handler reports SQL / stage-attachment
+            # failures inside an HTTP-200 body (QueryResponse.error) and
+            # may hand back a next_uri to poll before the final state —
+            # the reference's client checks both; a 200 alone proves
+            # nothing.
+            resp = _json.loads(
+                _rq.urlopen(req, timeout=timeout_secs).read() or b"{}")
+            for _ in range(64):  # bounded poll of pagination pages
+                err = resp.get("error")
+                if err:
+                    raise RuntimeError(
+                        f"databend INSERT failed: {err}")
+                nxt = resp.get("next_uri")
+                if not nxt or resp.get("state") in (
+                        "Succeeded", "Failed"):
+                    break
+                req = _rq.Request(
+                    base + nxt,
+                    headers={"Authorization": f"Basic {auth}"})
+                resp = _json.loads(
+                    _rq.urlopen(req, timeout=timeout_secs).read()
+                    or b"{}")
+            if resp.get("error"):
+                raise RuntimeError(
+                    f"databend INSERT failed: {resp['error']}")
+            if resp.get("state") == "Failed":
+                raise RuntimeError(
+                    "databend INSERT reached state=Failed with no "
+                    "error body")
             sent.add(n_rows)
 
         buf = bytearray()
@@ -596,8 +624,18 @@ def databricks_zerobus_sink(
             netloc = netloc[len(prefix):]
             break
     netloc = netloc.split("/", 1)[0]
-    host, _, port_s = netloc.rpartition(":")
-    port = int(port_s)
+    # Real Zerobus ingestion endpoints are portless (implicit 443), and
+    # IPv6 literals carry colons inside brackets — only treat a trailing
+    # ``:digits`` outside the bracket as an explicit port.
+    if netloc.startswith("["):
+        bracket_host, _, rest = netloc.partition("]")
+        host = bracket_host[1:]
+        port = int(rest[1:]) if rest.startswith(":") else 443
+    elif ":" in netloc:
+        host, _, port_s = netloc.rpartition(":")
+        port = int(port_s)
+    else:
+        host, port = netloc, 443
     sent = df.sparkSession.sparkContext.accumulator(0)
 
     def push_partition(rows) -> None:

@@ -459,13 +459,21 @@ def new_relic_events_sink(
     base = F.to_json(F.struct(*base_fields))
     if message_col in df.columns:
         msg = F.trim(F.col(message_col).cast("string"))
-        is_obj = msg.rlike(r"^\{.*\}$") & (msg != F.lit("{}"))
+        # (?s) so pretty-printed (multi-line) JSON objects still take
+        # the merge path — '.' must match newlines.
+        is_obj = msg.rlike(r"(?s)^\{.*\}$") & (msg != F.lit("{}"))
         # splice: '{base-without-}' + ',' + 'message-body-without-{'
-        merged = F.concat(
+        # — but when base renders as '{}' (eventType column present but
+        # null and no other non-message columns; to_json drops nulls)
+        # the comma would make invalid JSON '{,...}', so emit the
+        # message body alone.
+        merged = F.when(
+            base == F.lit("{}"), msg,
+        ).otherwise(F.concat(
             F.substring(base, 1, F.length(base) - F.lit(1)),
             F.lit(","),
             F.substring(msg, 2, F.length(msg) - F.lit(1)),
-        )
+        ))
         plain = F.to_json(F.struct(*(base_fields + [F.col(message_col)])))
         line = F.when(is_obj, merged).otherwise(plain)
     else:

@@ -69,6 +69,23 @@ from vector_spark.sinks_services import (
 )
 
 
+def _influx_tag_escape(col: "F.Column") -> "F.Column":
+    """Line-protocol tag key/value escaping — `,`, `=`, and space are
+    backslash-escaped (the reference's influx_line_protocol does the
+    same; sinks.py::influx_logs_line is the sibling for promoted log
+    tags). Without this, a tag value containing any of the three
+    corrupts the whole line."""
+    s = F.regexp_replace(col.cast("string"), ",", r"\\,")
+    s = F.regexp_replace(s, "=", r"\\=")
+    return F.regexp_replace(s, " ", r"\\ ")
+
+
+def _influx_measurement_escape(col: "F.Column") -> "F.Column":
+    """Measurement names escape `,` and space (not `=`)."""
+    s = F.regexp_replace(col.cast("string"), ",", r"\\,")
+    return F.regexp_replace(s, " ", r"\\ ")
+
+
 def axiom_sink(
     df: DataFrame,
     token: str,
@@ -251,10 +268,13 @@ def papertrail_sink(
     appname: str = "vector",
     pri: int = 14,  # user.info, syslog default facility/severity
     timeout_secs: float = 10.0,
+    tls=None,
 ) -> int:
-    """RFC3164 syslog lines over TCP (the reference's transport; TLS
-    termination belongs to the connection layer, out of scope here
-    like the other socket sinks)."""
+    """RFC3164 syslog lines over TCP (src/sinks/papertrail.rs:24).
+    Papertrail in practice requires TLS syslog — pass ``tls`` (a
+    TlsSettings; `TlsSettings(enabled=True)` for system-trust-store
+    verification) and the per-partition connection is wrapped like the
+    socket sink's."""
     from vector_spark.functions.codecs import encode_syslog
     from vector_spark.sinks import socket_sink
 
@@ -268,7 +288,8 @@ def papertrail_sink(
     )
     out = df.select(line.alias("message"))
     return socket_sink(out, host, port, encoding="text",
-                       value_col="message", timeout_secs=timeout_secs)
+                       value_col="message", timeout_secs=timeout_secs,
+                       tls=tls)
 
 
 def gcp_stackdriver_logs_sink(
@@ -775,14 +796,15 @@ def sematext_metrics_sink(
         "",
         F.transform(
             F.array_sort(F.map_entries(tags)),
-            lambda e: F.concat(F.lit(","), e["key"], F.lit("="),
-                               e["value"]),
+            lambda e: F.concat(F.lit(","), _influx_tag_escape(e["key"]),
+                               F.lit("="),
+                               _influx_tag_escape(e["value"])),
         ),
     )
     ts_ns = (F.col(ts_col).cast("double") * 1e9).cast("long")
     line = F.concat(
-        ns, tag_suffix, F.lit(" "),
-        F.col(name_col).cast("string"), F.lit("="),
+        _influx_measurement_escape(ns), tag_suffix, F.lit(" "),
+        _influx_tag_escape(F.col(name_col)), F.lit("="),
         F.col(value_col).cast("string"), F.lit(" "),
         ts_ns.cast("string"),
     )
@@ -926,8 +948,9 @@ def greptimedb_metrics_sink(
                     F.coalesce(F.col(tags_col),
                                F.from_json(F.lit("{}"),
                                            "map<string,string>")))),
-                lambda e: F.concat(F.lit(","), e["key"], F.lit("="),
-                                   e["value"]),
+                lambda e: F.concat(F.lit(","), _influx_tag_escape(e["key"]),
+                                   F.lit("="),
+                                   _influx_tag_escape(e["value"])),
             ),
         )
     else:
@@ -936,7 +959,7 @@ def greptimedb_metrics_sink(
           else F.timestamp_seconds(F.col(ts_col).cast("double")))
     ts_ns = (F.unix_micros(ts) * 1000).cast("string")
     line = F.concat(
-        F.col(name_col).cast("string"), tag_suffix,
+        _influx_measurement_escape(F.col(name_col)), tag_suffix,
         F.lit(" val="), F.col(value_col).cast("double").cast("string"),
         F.lit(" "), ts_ns,
     )

@@ -239,8 +239,10 @@ def redis_sink(
     ``list`` with rpush/lpush (rpush appends at the tail — the default,
     config.rs:63), ``channel`` PUBLISH, or ``sorted_set`` ZADD with the
     score taken from ``score_col``. One connection per partition
-    (foreachPartition), commands pipelined per partition and the replies
-    drained once — no per-row round trips. Returns the row count."""
+    (foreachPartition), commands pipelined with replies drained every
+    ``DRAIN_EVERY`` (512) commands — bounded pipeline depth so the
+    server's output buffer can't fill and deadlock sendall, while
+    still avoiding per-row round trips. Returns the row count."""
     if data_type not in ("list", "channel", "sorted_set"):
         raise ValueError(f"bad data_type: {data_type}")
     if data_type == "list" and method not in ("rpush", "lpush"):
