@@ -240,6 +240,20 @@ def brute_force_topk_np(
     )
 
 
+def _effective_planes(n_rows: int, n_planes: int,
+                      target_bucket_rows: int) -> int:
+    """Scale-aware LSH plane count: enough sign-planes that the
+    EXPECTED bucket holds ~``target_bucket_rows`` rows
+    (n / 2^planes <= target), never fewer than the caller's
+    ``n_planes``. Unit-testable seam for the default-on blocking."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return n_planes
+    return max(n_planes,
+               math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -251,7 +265,7 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     exact: bool = False,
     round_decimals: int = 6,
-    target_bucket_rows: int | None = None,
+    target_bucket_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -265,26 +279,24 @@ def cosine_near_dup_pairs(
     Scale note: with FIXED n_planes, expected bucket size grows with
     the corpus (n / 2^planes), so candidate pairs grow ~quadratically —
     fine for recall-1 verifier configs on bounded data, wrong at 100 TB.
-    ``target_bucket_rows`` makes the blocking scale-aware: planes per
+    ``target_bucket_rows`` (DEFAULT 10_000 — scale-safe blocking is the
+    default, not opt-in) makes the blocking scale-aware: planes per
     table become max(n_planes, ceil(log2(n / target))), so expected
     bucket size — and with it per-bucket candidate cost — stays bounded
     as the corpus grows (the r9 scale-receipt lesson: the 10× corpus
     measured 105× candidate growth at fixed planes). More planes lower
-    per-table recall (p^planes); compensate with n_tables, and keep the
-    recall-1 low-threshold configurations on the exact/tiled dense arm
-    instead (cosine_near_dup_pairs_np), which is built for that regime.
+    per-table recall (p^planes); compensate with n_tables. Recall-1
+    oracle configurations that must NOT have their planes escalated
+    (their miss-probability math is pinned to n_planes) pass
+    ``target_bucket_rows=None`` explicitly, and keep low-threshold
+    recall-1 work on the exact/tiled dense arm
+    (cosine_near_dup_pairs_np), which is built for that regime.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col), vd.alias("_v"), _norm(vd).alias("_n"))
     if target_bucket_rows and not exact:
-        import math
-
-        n_rows = df.count()
-        if n_rows > target_bucket_rows:
-            n_planes = max(
-                n_planes,
-                math.ceil(math.log2(n_rows / target_bucket_rows)),
-            )
+        n_planes = _effective_planes(
+            df.count(), n_planes, target_bucket_rows)
     if exact:
         a = base.select(
             F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")

@@ -3241,6 +3241,11 @@ QUERIES: dict[str, QuerySpec] = {
         ).cosine_near_dup_pairs(
             load_table(spark, sf_dir, "embeddings"), threshold=0.4,
             n_tables=48, n_planes=4,
+            # recall-1 oracle config: the 0.842^48 miss-probability pin
+            # assumes exactly 4 planes — opt OUT of the default
+            # scale-aware plane escalation (which is for production
+            # corpora, not bounded oracle data).
+            target_bucket_rows=None,
         ),
         """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -5291,7 +5296,9 @@ QUERIES: dict[str, QuerySpec] = {
                     "vector_spark.dataops.similarity",
                     fromlist=["cosine_near_dup_pairs"],
                 ).cosine_near_dup_pairs(
-                    emb, threshold=0.4, n_tables=48, n_planes=4
+                    emb, threshold=0.4, n_tables=48, n_planes=4,
+                    # recall-1 oracle config — see embedding_near_dup_lsh
+                    target_bucket_rows=None,
                 ),
                 id_col="vec_id",
             )
