@@ -541,3 +541,114 @@ sinks:
         srv.close()
     assert out["zb"]["sent"] == 1
     assert received[0]["id"] == 9 and received[0]["name"] == "z"
+
+
+def test_databend_stream_restart_no_duplicates(
+        spark, databend_server, tmp_path):
+    """Streaming receipt for the DB stage-load transport class (r9
+    sink wave): foreachBatch databend loads across a checkpointed
+    stop/restart stage each row exactly once — the NDJSON the fake
+    server stages carries no duplicate or missing ids."""
+    import gzip as _gzip
+    import json as _json
+    import os
+
+    from vector_spark.sinks_db import databend_sink
+
+    port, staged, queries, _auths = databend_server
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def write_batch_file(lo, hi):
+        p = os.path.join(src_dir, f"b{lo}.json")
+        with open(p + ".tmp", "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps({"id": i, "name": f"n{i}"}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    def handle(batch_df, _epoch):
+        if batch_df.count():
+            databend_sink(
+                batch_df,
+                f"databend://u:pw@127.0.0.1:{port}/logs?sslmode=disable",
+                table="events")
+
+    def start():
+        df = (spark.readStream.schema("id long, name string")
+              .json(src_dir))
+        return (df.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 seconds")
+                .start())
+
+    write_batch_file(0, 30)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    write_batch_file(30, 60)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    ids = []
+    for blob in staged.values():
+        for line in _gzip.decompress(blob).decode().splitlines():
+            ids.append(_json.loads(line)["id"])
+    assert sorted(ids) == list(range(60))
+    # every staged file was also attached to an INSERT
+    assert len(queries) == len(staged)
+
+
+def test_zerobus_stream_restart_no_duplicates(
+        spark, unity_catalog_server, tmp_path):
+    """Streaming receipt for the gRPC Arrow-ingest transport class
+    (r9 sink wave): zerobus pushes across a checkpointed stop/restart
+    deliver each row exactly once to the gRPC listener."""
+    import json as _json
+    import os
+
+    from vector_spark.sinks_db import databricks_zerobus_sink
+
+    uc, _seen = unity_catalog_server
+    received: list[dict] = []
+    srv = _zerobus_listener(received)
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def write_batch_file(lo, hi):
+        p = os.path.join(src_dir, f"b{lo}.json")
+        with open(p + ".tmp", "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps(
+                    {"id": i, "name": f"n{i}", "score": i / 2}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    def handle(batch_df, _epoch):
+        if batch_df.count():
+            databricks_zerobus_sink(
+                batch_df, f"127.0.0.1:{srv.port}", uc,
+                "main.default.t", "cid", "csecret")
+
+    def start():
+        df = (spark.readStream
+              .schema("id long, name string, score double")
+              .json(src_dir))
+        return (df.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 seconds")
+                .start())
+
+    try:
+        write_batch_file(0, 25)
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        write_batch_file(25, 50)
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+    finally:
+        srv.close()
+    assert sorted(r["id"] for r in received) == list(range(50))

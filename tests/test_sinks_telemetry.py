@@ -295,3 +295,60 @@ def test_datadog_traces_roundtrip(spark, capture_server):
     assert t7[0]["name"] == "GET /" and t7[0]["parent_id"] == 0
     assert t7[1]["error"] == 1 and t7[1]["parent_id"] == 1
     assert t7[1]["duration"] == 20
+
+
+def test_remote_write_stream_restart_no_duplicates(
+        spark, capture_server, tmp_path):
+    """Streaming receipt for the telemetry-protobuf transport class
+    (r9 sink wave): a foreachBatch remote-write query stopped after
+    commit and restarted from its checkpoint re-sends NOTHING — every
+    sample the capture server decodes is exactly-once across the
+    restart (the checkpointed epoch is the delivery unit, same
+    contract the syslog source pins on the source side)."""
+    import json as _json
+    import os
+
+    base, reqs = capture_server
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def write_batch_file(lo, hi):
+        p = os.path.join(src_dir, f"b{lo}.json")
+        with open(p + ".tmp", "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps(
+                    {"name": "m", "tags": {"seq": str(i)},
+                     "value": float(i), "ts": 1000 + i}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    def handle(batch_df, _epoch):
+        if batch_df.count():
+            prometheus_remote_write_sink(
+                batch_df, base + "/api/v1/write")
+
+    def start():
+        df = (spark.readStream
+              .schema("name string, tags map<string,string>,"
+                      " value double, ts long")
+              .json(src_dir))
+        return (df.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 seconds")
+                .start())
+
+    write_batch_file(0, 40)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    write_batch_file(40, 80)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    seqs = []
+    for r in reqs:
+        for s in decode_prometheus_write_request(
+                decompress(r["body"])):
+            seqs.append(int(s["tags"]["seq"]))
+    assert sorted(seqs) == list(range(80))  # no dups, no gaps
