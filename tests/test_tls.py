@@ -270,3 +270,66 @@ def test_udp_listener_rejects_tls():
     with pytest.raises(ValueError, match="UDP"):
         _SocketStreamReader(
             {"port": "9999", "tls.crt_file": "/x"}, "udp")
+
+
+def test_loader_tls_yaml_shape(spark, certs, tmp_path):
+    """The reference's `tls:` YAML block on a listener source loads
+    through the topology front end and the listener actually serves
+    TLS: a syslog_tcp source with crt/key accepts a TLS client and the
+    frames flow to a memory sink."""
+    import time
+    import uuid
+
+    from vector_spark.config.loader import (
+        load_topology,
+        start_streaming_sinks,
+    )
+
+    port = _free_port()
+    name = f"tls_{uuid.uuid4().hex[:8]}"
+    topo = load_topology(
+        spark,
+        f"""
+sources:
+  syslog_in:
+    type: syslog_tcp
+    host: 127.0.0.1
+    port: {port}
+    tls:
+      enabled: true
+      crt_file: {certs['server_crt']}
+      key_file: {certs['server_key']}
+sinks:
+  out:
+    type: memory
+    inputs: [syslog_in]
+    query_name: {name}
+""",
+    )
+    queries = start_streaming_sinks(topo)
+    try:
+        client = TlsSettings(ca_file=certs["server_crt"])
+        deadline = time.monotonic() + 30
+        sent = False
+        while time.monotonic() < deadline and not sent:
+            try:
+                sock = socket.create_connection(
+                    ("127.0.0.1", port), timeout=2)
+                with client.wrap_client_connection(
+                        sock, "127.0.0.1") as t:
+                    t.sendall(b"10 hello-yaml")
+                sent = True
+            except (ConnectionError, OSError, ssl.SSLError):
+                time.sleep(0.5)
+        assert sent
+        got = []
+        while time.monotonic() < deadline:
+            got = [r.message for r in
+                   spark.sql(f"SELECT * FROM {name}").collect()]
+            if got:
+                break
+            time.sleep(0.5)
+        assert got == ["hello-yaml"]
+    finally:
+        for q in queries.values():
+            q.stop()

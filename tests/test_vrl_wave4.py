@@ -246,10 +246,8 @@ def test_uuid_from_friendly_id(spark):
 
 
 def test_env_gates_raise():
-    # zstd and encrypt un-gated in r10 (pure store-mode codec;
-    # cryptography ships with pyspark) — lz4 remains the gated example
-    with pytest.raises(EnvGatedError):
-        V["encode_lz4"](F.lit("x"))
+    # zstd/lz4/encrypt all un-gated in r10 (pure codecs; cryptography
+    # ships with pyspark) — the network opt-in is the remaining gate
     with pytest.raises(EnvGatedError):
         V["dns_lookup"](F.lit("example.com"))
 
@@ -291,7 +289,12 @@ def test_zstd_store_mode_interop():
     ("AES-256-CFB", 32, 16),
     ("AES-256-OFB", 32, 16),
     ("AES-256-GCM", 32, 12),
+    ("AES-256-CTR-LE", 32, 16),
+    ("AES-256-CBC-ANSIX923", 32, 16),
+    ("AES-256-CBC-ISO7816", 32, 16),
+    ("AES-256-CBC-ISO10126", 32, 16),
     ("CHACHA20-POLY1305", 32, 12),
+    ("XCHACHA20-POLY1305", 32, 24),
 ])
 def test_encrypt_decrypt_roundtrip(spark, alg, klen, ivlen):
     key = bytes(range(klen))
@@ -311,6 +314,48 @@ def test_encrypt_validates_driver_side():
         V["encrypt"](F.lit("x"), "AES-256-GCM", b"short", b"0" * 12)
     with pytest.raises(ValueError, match="unsupported"):
         V["encrypt"](F.lit("x"), "XSALSA20-POLY1305", b"k" * 32, b"0" * 24)
+
+
+def test_hchacha20_rfc_vector():
+    """HChaCha20 subkey derivation against the draft-irtf-cfrg-xchacha
+    §2.2.1 test vector (the XChaCha20-Poly1305 key-derivation seam)."""
+    from vector_spark.functions.vrl_wave4 import _hchacha20
+
+    import struct
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms,
+    )
+
+    key = bytes(range(32))
+    nonce = bytes.fromhex("000000090000004a0000000031415927")
+    want = bytes.fromhex(
+        "82413b4227b27bfed30e42508a877d73"
+        "a0f9e4d58a74a853c12ec41326d3ecdc")
+    assert _hchacha20(key, nonce) == want
+    # independent cross-derivation: ChaCha20 keystream block 0 equals
+    # state-after-rounds PLUS initial state, so subtracting the
+    # initial words recovers the HChaCha20 output — a second
+    # implementation path confirming the pinned constant
+    enc = Cipher(algorithms.ChaCha20(key, nonce), mode=None).encryptor()
+    ks = struct.unpack("<16I", enc.update(bytes(64)))
+    init = (list(struct.unpack("<4I", b"expand 32-byte k"))
+            + list(struct.unpack("<8I", key))
+            + list(struct.unpack("<4I", nonce)))
+    after = [(k - i) & 0xFFFFFFFF for k, i in zip(ks, init)]
+    assert struct.pack("<8I", *(after[0:4] + after[12:16])) == want
+
+
+def test_ctr_le_differs_from_ctr_be(spark):
+    """CTR-LE increments the block counter little-endian — on a
+    multi-block input the second block's keystream must differ from
+    big-endian CTR (first block identical: same initial counter)."""
+    key, iv = b"k" * 32, b"\x01" + bytes(15)
+    data = F.lit(b"A" * 48)
+    le = one(spark, V["encrypt"](data, "AES-256-CTR-LE", key, iv))
+    be = one(spark, V["encrypt"](data, "AES-256-CTR", key, iv))
+    assert bytes(le[:16]) == bytes(be[:16])
+    assert bytes(le[16:32]) != bytes(be[16:32])
 
 
 def test_decrypt_bad_tag_is_fallible_null(spark):
@@ -557,3 +602,44 @@ def test_uuid_v7_layout_and_time_order(spark):
     expect = int(datetime.datetime(2024, 3, 5, 6, 7, 8, 123000,
                                    tzinfo=datetime.timezone.utc).timestamp() * 1000)
     assert ms == expect
+
+
+def test_lz4_roundtrip(spark):
+    got = one(
+        spark,
+        V["decode_lz4"](V["encode_lz4"](F.lit("lz4 store-mode")))
+        .cast("string"),
+    )
+    assert got == "lz4 store-mode"
+
+
+def test_lz4_frame_interop():
+    """Our stored-block frames decode with the real lz4 CLI, and real
+    lz4 output (compressed blocks) decodes with the pure-Python block
+    decoder — full two-way interop, unlike the zstd store-mode-only
+    stance."""
+    import shutil
+    import subprocess
+
+    from vector_spark.functions import lz4 as z
+
+    data = b"repetitive payload " * 2000 + bytes(range(256))
+    frame = z.compress(data)
+    assert z.decompress(frame) == data
+    if shutil.which("lz4"):
+        p = subprocess.run(["lz4", "-d", "-c"], input=frame,
+                           capture_output=True)
+        assert p.returncode == 0 and p.stdout == data
+        q = subprocess.run(["lz4", "-c"], input=data,
+                           capture_output=True)
+        assert z.decompress(q.stdout) == data
+
+
+def test_lz4_xxh32_spec_vectors():
+    """xxHash-32 against the published spec vectors (the HC stamp in
+    the frame descriptor derives from it)."""
+    from vector_spark.functions.lz4 import _xxh32
+
+    assert _xxh32(b"") == 0x02CC5D05
+    assert _xxh32(b"", seed=0x9E3779B1) == 0x36B78AE7
+    assert _xxh32(b"Hello World") == 0xB1FD16EE

@@ -6,9 +6,11 @@ Everything Column-expressible stays a native Catalyst expression; the
 Python-stdlib-backed codecs (zlib/gzip, punycode, charsets, MIME-Q,
 SHA-3, XML) run as Arrow-batched pandas UDFs — never row-at-a-time
 Python UDFs. CBOR decodes with a pure-Python RFC 8949 reader (definite
-lengths) — no library needed. Libraries this container doesn't ship
-(zstd/lz4/snappy, AES, protobuf) are env-gated with a documented error,
-mirroring the repo's protobuf gate (scripts/probe_protobuf.py).
+lengths); snappy/zstd/lz4 ride this repo's pure-Python codecs
+(functions/snappy.py, zstd.py, lz4.py) when the C libraries are
+absent; encrypt/decrypt use the bundled `cryptography` package. The
+only remaining env gate is protobuf-descriptor parsing
+(scripts/probe_protobuf.py pattern).
 
 Merged into `vector_spark.functions.vrl.VRL_FUNCTIONS` at import.
 """
@@ -837,7 +839,14 @@ _zstd = _try_import("zstandard") or __import__(
 _ZSTD_MOD = (
     "zstandard" if _try_import("zstandard") else "vector_spark.functions.zstd"
 )
-_lz4 = _try_import("lz4")
+# lz4: prefer the C library; otherwise this repo's pure-Python frame
+# codec (functions/lz4.py) — store-mode write + full block decode
+_lz4 = _try_import("lz4") or __import__(
+    "vector_spark.functions.lz4", fromlist=["compress"]
+)
+_LZ4_MOD = (
+    "lz4.frame" if _try_import("lz4") else "vector_spark.functions.lz4"
+)
 # snappy: prefer the C library if present; otherwise this repo's
 # pure-Python raw-format codec (functions/snappy.py) — the env-gate is
 # gone, prometheus remote_write payloads decode everywhere
@@ -946,8 +955,8 @@ WAVE4: dict = {
     # Env-gated: library not in this container (registered so configs parse)
     "encode_zstd": _opt_codec("encode_zstd", _ZSTD_MOD, _zstd, encode=True),
     "decode_zstd": _opt_codec("decode_zstd", _ZSTD_MOD, _zstd, encode=False),
-    "encode_lz4": _opt_codec("encode_lz4", "lz4.frame", _lz4, encode=True),
-    "decode_lz4": _opt_codec("decode_lz4", "lz4.frame", _lz4, encode=False),
+    "encode_lz4": _opt_codec("encode_lz4", _LZ4_MOD, _lz4, encode=True),
+    "decode_lz4": _opt_codec("decode_lz4", _LZ4_MOD, _lz4, encode=False),
     "encode_snappy": _opt_codec("encode_snappy", _SNAPPY_MOD, _snappy, encode=True),
     "decode_snappy": _opt_codec("decode_snappy", _SNAPPY_MOD, _snappy, encode=False),
     "encrypt": _gated("encrypt", "cryptography"),  # replaced below when
@@ -1056,9 +1065,51 @@ WAVE4["parse_cbor"] = lambda c: _cbor_to_json(c.cast("binary"))
 # The container DOES ship `cryptography` (a pyspark transitive dep), so
 # these are real, not gated: the VRL algorithm-string surface
 # (lib/vrl cryptography functions; website/cue/reference/remap/functions/
-# encrypt.cue) for the AES family + ChaCha20-Poly1305. Unsupported
-# variants (XChaCha/XSalsa, SIV, the CBC-ISO paddings) raise a
-# documented ValueError naming the algorithm.
+# encrypt.cue) for the AES family + (X)ChaCha20-Poly1305. The CBC
+# paddings beyond PKCS7 (ANSIX923, ISO7816, ISO10126) wrap an unpadded
+# CBC with the padding applied by hand; XCHACHA20-POLY1305 derives its
+# subkey driver-side via a pure-Python HChaCha20 (key and nonce are
+# program literals, so derivation is once per call, not per row).
+# Unsupported: XSALSA20-POLY1305 and AES-SIV raise documented errors.
+
+_CBC_PADDINGS = ("CBC-PKCS7", "CBC-ANSIX923", "CBC-ISO7816",
+                 "CBC-ISO10126")
+
+
+def _hchacha20(key: bytes, nonce16: bytes) -> bytes:
+    """HChaCha20 subkey derivation (RFC draft-irtf-cfrg-xchacha §2.2):
+    run the ChaCha20 block rounds on (constants, key, nonce16) and
+    output words 0-3 and 12-15 WITHOUT the final state addition."""
+    import struct
+
+    def rotl(x, n):
+        return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+    st = list(struct.unpack(
+        "<4I", b"expand 32-byte k")) + list(
+        struct.unpack("<8I", key)) + list(struct.unpack("<4I", nonce16))
+
+    def qr(a, b, c, d):
+        st[a] = (st[a] + st[b]) & 0xFFFFFFFF
+        st[d] = rotl(st[d] ^ st[a], 16)
+        st[c] = (st[c] + st[d]) & 0xFFFFFFFF
+        st[b] = rotl(st[b] ^ st[c], 12)
+        st[a] = (st[a] + st[b]) & 0xFFFFFFFF
+        st[d] = rotl(st[d] ^ st[a], 8)
+        st[c] = (st[c] + st[d]) & 0xFFFFFFFF
+        st[b] = rotl(st[b] ^ st[c], 7)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12)
+        qr(1, 5, 9, 13)
+        qr(2, 6, 10, 14)
+        qr(3, 7, 11, 15)
+        qr(0, 5, 10, 15)
+        qr(1, 6, 11, 12)
+        qr(2, 7, 8, 13)
+        qr(3, 4, 9, 14)
+    return struct.pack("<8I", *(st[0:4] + st[12:16]))
+
 
 def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Column:
     key_b = key.encode() if isinstance(key, str) else bytes(key)
@@ -1068,15 +1119,24 @@ def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Co
     # validate DRIVER-side (VRL treats a bad algorithm/key length as a
     # program error, not a per-event fallible) so a typo fails fast
     # instead of poisoning a Spark task
-    if alg == "CHACHA20-POLY1305":
+    if alg in ("CHACHA20-POLY1305", "XCHACHA20-POLY1305"):
         if len(key_b) != 32:
-            raise ValueError("CHACHA20-POLY1305 needs a 32-byte key")
+            raise ValueError(f"{alg} needs a 32-byte key")
+        if alg.startswith("X"):
+            if iv_b is None or len(iv_b) != 24:
+                raise ValueError(
+                    "XCHACHA20-POLY1305 needs a 24-byte nonce")
+            # derive once, driver-side; executor sees a plain
+            # ChaCha20-Poly1305 with the 4-zero-prefixed sub-nonce
+            key_b = _hchacha20(key_b, iv_b[:16])
+            iv_b = b"\x00\x00\x00\x00" + iv_b[16:]
+            alg = "CHACHA20-POLY1305"
     elif alg.startswith("AES-"):
         _, bits, mode_name = alg.split("-", 2)
         if len(key_b) * 8 != int(bits):
             raise ValueError(f"{alg} needs a {int(bits) // 8}-byte key")
-        if mode_name not in ("GCM", "CBC-PKCS7", "CTR", "CTR-BE",
-                             "CFB", "OFB"):
+        if mode_name not in ("GCM", "CTR", "CTR-BE", "CTR-LE",
+                             "CFB", "OFB") + _CBC_PADDINGS:
             raise ValueError(f"unsupported AES mode {mode_name!r}")
     else:
         raise ValueError(f"unsupported algorithm {alg!r}")
@@ -1114,18 +1174,39 @@ def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Co
                 except ImportError:
                     _CFB, _OFB = modes.CFB, modes.OFB
                 aes = algorithms.AES(key_b)
-                mode = {
-                    "CBC-PKCS7": modes.CBC,
-                    "CTR": modes.CTR,
-                    "CTR-BE": modes.CTR,
-                    "CFB": _CFB,
-                    "OFB": _OFB,
-                }[mode_name](iv_b)
+                if mode_name == "CTR-LE":
+                    # little-endian block counter: keystream via ECB
+                    # over LE-incremented counter blocks, then XOR —
+                    # symmetric, so encrypt and decrypt are the same op
+                    n_blocks = (len(data) + 15) // 16
+                    ctr0 = int.from_bytes(iv_b, "little")
+                    blocks = b"".join(
+                        ((ctr0 + i) % (1 << 128)).to_bytes(16, "little")
+                        for i in range(n_blocks))
+                    enc = Cipher(aes, modes.ECB()).encryptor()
+                    ks = enc.update(blocks) + enc.finalize()
+                    return bytes(a ^ b for a, b in zip(data, ks))
+                if mode_name in _CBC_PADDINGS:
+                    mode = modes.CBC(iv_b)
+                else:
+                    mode = {"CTR": modes.CTR, "CTR-BE": modes.CTR,
+                            "CFB": _CFB, "OFB": _OFB}[mode_name](iv_b)
                 cipher = Cipher(aes, mode)
                 if encrypt_mode:
                     if mode_name == "CBC-PKCS7":
                         padder = _padding.PKCS7(128).padder()
                         data = padder.update(data) + padder.finalize()
+                    elif mode_name == "CBC-ANSIX923":
+                        n = 16 - len(data) % 16
+                        data += bytes(n - 1) + bytes([n])
+                    elif mode_name == "CBC-ISO7816":
+                        n = 16 - len(data) % 16
+                        data += b"\x80" + bytes(n - 1)
+                    elif mode_name == "CBC-ISO10126":
+                        import os as _os
+
+                        n = 16 - len(data) % 16
+                        data += _os.urandom(n - 1) + bytes([n])
                     enc = cipher.encryptor()
                     return enc.update(data) + enc.finalize()
                 dec = cipher.decryptor()
@@ -1133,6 +1214,10 @@ def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Co
                 if mode_name == "CBC-PKCS7":
                     unpad = _padding.PKCS7(128).unpadder()
                     out = unpad.update(out) + unpad.finalize()
+                elif mode_name in ("CBC-ANSIX923", "CBC-ISO10126"):
+                    out = out[:-out[-1]]
+                elif mode_name == "CBC-ISO7816":
+                    out = out.rstrip(b"\x00")[:-1]
                 return out
             except Exception:
                 return None  # auth-tag failure etc. → fallible null
