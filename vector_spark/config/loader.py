@@ -721,6 +721,20 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
 
+
+def _request_concurrency(cfg: dict):
+    """The reference's `request.concurrency` (src/sinks/util/service.rs
+    via configurable Concurrency): "adaptive" | "none" | int. Maps to
+    the shared transport's ARC/fixed/serial modes."""
+    req = cfg.get("request") or {}
+    c = req.get("concurrency")
+    if c in (None, "none"):
+        return None
+    if c == "adaptive":
+        return "adaptive"
+    return int(c)
+
+
 def _templated_key(df: DataFrame, key, cfg: dict):
     """vector's throttle/sample `key_field` is a TEMPLATE
     (`src/transforms/throttle/config.rs` key_field: Template): support
@@ -1110,6 +1124,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     encoding=cfg.get("encoding", "json"),
                     value_col=cfg.get("value_col", "message"),
                     batch_max_events=int(cfg.get("batch_max_events", 500)),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "socket":
@@ -1681,6 +1696,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     host_col=cfg.get("host_col"),
                     sourcetype=cfg.get("sourcetype"),
                     index=cfg.get("index"),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "aws_kinesis_firehose":
@@ -1908,6 +1924,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     id_col=cfg.get("id_key"),
                     ts_col=cfg.get("ts_col", "ts"),
                     batch_max_events=int(cfg.get("batch_max_events", 1000)),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "loki":
@@ -1922,6 +1939,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     ts_col=cfg.get("ts_col", "ts"),
                     encoding=cfg.get("encoding", "text"),
                     batch_max_events=int(cfg.get("batch_max_events", 1000)),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "clickhouse":
@@ -1936,6 +1954,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     skip_unknown_fields=bool(
                         cfg.get("skip_unknown_fields", True)
                     ),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "datadog_logs":
@@ -1951,6 +1970,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     ddtags=cfg.get("ddtags"),
                     hostname_col=cfg.get("hostname_col"),
                     service_col=cfg.get("service_col"),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "splunk_hec":
@@ -1966,6 +1986,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     host_col=cfg.get("host_col"),
                     sourcetype=cfg.get("sourcetype"),
                     index=cfg.get("index"),
+                    concurrency=_request_concurrency(cfg),
                 )
             }
         elif stype == "prometheus_exporter":

@@ -151,51 +151,25 @@ def http_sink(
     encoding: str = "json",
     value_col: str = "message",
     batch_max_events: int = 500,
+    batch_max_bytes: int = 10_000_000,
     timeout_secs: float = 10.0,
     content_type: str = "application/x-ndjson",
+    concurrency: int | str | None = None,
 ) -> int:
     """POST newline-batched events to `url` from each partition
-    (src/sinks/http/config.rs; batch limits src/sinks/util/batch.rs).
+    (src/sinks/http/config.rs; batch limits src/sinks/util/batch.rs)
+    through the shared transport — default retry policy, optional
+    `concurrency="adaptive"` ARC pipelining (request.concurrency).
     Returns the number of events sent (spark-side count)."""
+    from vector_spark.sinks_services import _post_lines_per_partition
+
     lines = _rows_to_lines(df, encoding, value_col)
-
-    def send_partition(rows) -> None:
-        import urllib.request
-
-        buf: list[str] = []
-
-        def flush() -> None:
-            if not buf:
-                return
-            body = ("\n".join(buf) + "\n").encode()
-            req = urllib.request.Request(
-                url, data=body, headers={"Content-Type": content_type}
-            )
-            urllib.request.urlopen(req, timeout=timeout_secs).read()
-            buf.clear()
-
-        for row in rows:
-            buf.append(row["line"])
-            if len(buf) >= batch_max_events:
-                flush()
-        flush()
-
-    sent = df.sparkSession.sparkContext.accumulator(0)
-
-    def send_and_count(rows) -> None:
-        n = 0
-
-        def counting(it):
-            nonlocal n
-            for r in it:
-                n += 1
-                yield r
-
-        send_partition(counting(rows))
-        sent.add(n)
-
-    lines.foreachPartition(send_and_count)
-    return sent.value
+    return _post_lines_per_partition(
+        lines.select(F.col("line")), url,
+        {"Content-Type": content_type},
+        batch_max_events, batch_max_bytes, timeout_secs,
+        suffix=b"\n", concurrency=concurrency,
+    )
 
 
 def socket_sink(

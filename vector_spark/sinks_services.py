@@ -70,6 +70,28 @@ def _http_send_with_retry(url: str, body: bytes, headers: dict,
         time.sleep(backoff_secs * (2 ** attempt))
 
 
+def _http_send_once(url: str, body: bytes, headers: dict,
+                    timeout_secs: float) -> None:
+    """One attempt, no internal retry — the ARC path owns pacing."""
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers)
+    urllib.request.urlopen(req, timeout=timeout_secs).read()
+
+
+def _is_backpressure_error(err: BaseException) -> bool:
+    """The reference's backpressure classification (adaptive_concurrency/
+    controller.rs adjust_to_response): retryable statuses, timeouts and
+    connection errors are back pressure; HTTP protocol-level errors
+    (permanent 4xx/501) are not."""
+    import urllib.error
+
+    if isinstance(err, urllib.error.HTTPError):
+        return err.code in _RETRIABLE_STATUSES
+    return isinstance(
+        err, (urllib.error.URLError, ConnectionError, TimeoutError))
+
+
 def _post_lines_per_partition(
     lines: DataFrame,
     url: str,
@@ -82,42 +104,70 @@ def _post_lines_per_partition(
     joiner: bytes = b"\n",
     retries: int = 3,
     retry_backoff_secs: float = 0.2,
+    concurrency: int | str | None = None,
 ) -> int:
     """POST the single string column of ``lines`` in per-partition batches
     bounded by events AND bytes (src/sinks/util/batch.rs defaults), with
     the reference's default retry policy per request (transient statuses
     retried with exponential backoff, permanent ones raised). Returns
-    the number of events sent (accumulator, counted executor-side)."""
+    the number of events sent (accumulator, counted executor-side).
+
+    ``concurrency`` mirrors the reference's `request.concurrency`:
+    None = serial per partition (this repo's historical default),
+    ``"adaptive"`` = the ARC AIMD controller probes the service and
+    pipelines batches concurrently (vector_spark.arc — the reference's
+    own default mode), an int = fixed in-flight limit. Concurrent
+    requests may land out of order, exactly as in the reference."""
     sent = lines.sparkSession.sparkContext.accumulator(0)
 
     def send_partition(rows) -> None:
-        buf: list[bytes] = []
-        buf_bytes = 0
-
-        def flush() -> None:
-            nonlocal buf_bytes
-            if not buf:
-                return
-            body = prefix + joiner.join(buf) + suffix
-            _http_send_with_retry(url, body, headers, timeout_secs,
-                                  retries, retry_backoff_secs)
-            sent.add(len(buf))
-            buf.clear()
+        def bodies():
+            buf: list[bytes] = []
             buf_bytes = 0
+            for row in rows:
+                b = row[0].encode()
+                if buf and (
+                    len(buf) >= batch_max_events
+                    or buf_bytes + len(b) > batch_max_bytes
+                ):
+                    yield (prefix + joiner.join(buf) + suffix, len(buf))
+                    buf = []
+                    buf_bytes = 0
+                buf.append(b)
+                buf_bytes += len(b)
+            if buf:
+                yield (prefix + joiner.join(buf) + suffix, len(buf))
 
-        for row in rows:
-            b = row[0].encode()
-            if buf and (
-                len(buf) >= batch_max_events
-                or buf_bytes + len(b) > batch_max_bytes
-            ):
-                flush()
-            buf.append(b)
-            buf_bytes += len(b)
-        flush()
+        _dispatch_bodies(bodies(), url, headers, timeout_secs,
+                         retries, retry_backoff_secs, concurrency, sent)
 
     lines.foreachPartition(send_partition)
     return sent.value
+
+
+def _dispatch_bodies(bodies, url, headers, timeout_secs, retries,
+                     retry_backoff_secs, concurrency, sent) -> None:
+    """Send (body, n_events) pairs: serial with the default retry
+    policy, or ARC-gated concurrent when ``concurrency`` is set."""
+    if concurrency is None:
+        for body, n in bodies:
+            _http_send_with_retry(url, body, headers, timeout_secs,
+                                  retries, retry_backoff_secs)
+            sent.add(n)
+        return
+
+    from vector_spark.arc import AdaptiveController, send_all_adaptive
+
+    ctrl = AdaptiveController(
+        concurrency=None if concurrency == "adaptive"
+        else int(concurrency))
+
+    def send_one(item) -> None:
+        body, n = item
+        _http_send_once(url, body, headers, timeout_secs)
+        sent.add(n)
+
+    send_all_adaptive(bodies, send_one, ctrl, _is_backpressure_error)
 
 
 def elasticsearch_sink(
@@ -130,6 +180,7 @@ def elasticsearch_sink(
     batch_max_events: int = 1000,
     batch_max_bytes: int = 10_000_000,
     timeout_secs: float = 10.0,
+    concurrency: int | str | None = None,
 ) -> int:
     """Bulk-index ``df`` rows as documents. ``index`` is a template
     (``{{ field }}`` / strftime, e.g. ``logs-{{ app }}-%Y.%m.%d`` — the
@@ -156,6 +207,7 @@ def elasticsearch_sink(
         {"Content-Type": "application/x-ndjson"},
         batch_max_events, batch_max_bytes, timeout_secs,
         suffix=b"\n",
+        concurrency=concurrency,
     )
 
 
@@ -169,6 +221,7 @@ def loki_sink(
     batch_max_events: int = 1000,
     batch_max_bytes: int = 1_000_000,
     timeout_secs: float = 10.0,
+    concurrency: int | str | None = None,
 ) -> int:
     """Push rows to Loki grouped into streams by rendered label set.
 
@@ -207,48 +260,46 @@ def loki_sink(
     sent = df.sparkSession.sparkContext.accumulator(0)
 
     def send_partition(rows) -> None:
-        import urllib.request
-
-        streams: list[str] = []  # rendered {"stream":..,"values":[..]} frags
-        cur_label: str | None = None
-        cur_values: list[str] = []
-        n_events = 0
-        total_bytes = 0
-
-        def close_stream() -> None:
-            nonlocal cur_values
-            if cur_label is not None and cur_values:
-                streams.append(
-                    '{"stream":%s,"values":[%s]}'
-                    % (cur_label, ",".join(cur_values))
-                )
-            cur_values = []
-
-        def flush() -> None:
-            nonlocal n_events, total_bytes
-            close_stream()
-            if not streams:
-                return
-            body = ('{"streams":[%s]}' % ",".join(streams)).encode()
-            req = urllib.request.Request(
-                url, data=body, headers={"Content-Type": "application/json"}
-            )
-            urllib.request.urlopen(req, timeout=timeout_secs).read()
-            sent.add(n_events)
-            streams.clear()
+        def bodies():
+            streams: list[str] = []  # {"stream":..,"values":[..]} frags
+            cur_label: str | None = None
+            cur_values: list[str] = []
             n_events = 0
             total_bytes = 0
 
-        for row in rows:
-            if n_events >= batch_max_events or total_bytes >= batch_max_bytes:
-                flush()  # same stream continues as a fresh fragment
-            if row["stream"] != cur_label:
-                close_stream()
-                cur_label = row["stream"]
-            cur_values.append(row["value"])
-            n_events += 1
-            total_bytes += len(row["value"])
-        flush()
+            def close_stream() -> None:
+                nonlocal cur_values
+                if cur_label is not None and cur_values:
+                    streams.append(
+                        '{"stream":%s,"values":[%s]}'
+                        % (cur_label, ",".join(cur_values))
+                    )
+                cur_values = []
+
+            for row in rows:
+                if (n_events >= batch_max_events
+                        or total_bytes >= batch_max_bytes):
+                    close_stream()  # same stream continues as a fresh frag
+                    if streams:
+                        yield (('{"streams":[%s]}'
+                                % ",".join(streams)).encode(), n_events)
+                        streams = []
+                    n_events = 0
+                    total_bytes = 0
+                if row["stream"] != cur_label:
+                    close_stream()
+                    cur_label = row["stream"]
+                cur_values.append(row["value"])
+                n_events += 1
+                total_bytes += len(row["value"])
+            close_stream()
+            if streams:
+                yield (('{"streams":[%s]}'
+                        % ",".join(streams)).encode(), n_events)
+
+        _dispatch_bodies(bodies(), url,
+                         {"Content-Type": "application/json"},
+                         timeout_secs, 3, 0.2, concurrency, sent)
 
     shaped.foreachPartition(send_partition)
     return sent.value
@@ -263,6 +314,7 @@ def clickhouse_sink(
     batch_max_events: int = 10_000,
     batch_max_bytes: int = 10_000_000,
     timeout_secs: float = 10.0,
+    concurrency: int | str | None = None,
 ) -> int:
     """INSERT rows over the ClickHouse HTTP interface as JSONEachRow.
     URL uses the Identifier query-parameter form (server-side quoting,
@@ -284,6 +336,7 @@ def clickhouse_sink(
         {"Content-Type": "application/x-ndjson"},
         batch_max_events, batch_max_bytes, timeout_secs,
         suffix=b"\n",
+        concurrency=concurrency,
     )
 
 
@@ -299,6 +352,7 @@ def datadog_logs_sink(
     batch_max_events: int = 1000,
     batch_max_bytes: int = 4_250_000,
     timeout_secs: float = 10.0,
+    concurrency: int | str | None = None,
 ) -> int:
     """POST a JSON array of log events to /api/v2/logs with the reserved
     attributes at the event root. Batch caps are the reference's
@@ -322,6 +376,7 @@ def datadog_logs_sink(
         {"Content-Type": "application/json", "DD-API-KEY": api_key},
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b"[", suffix=b"]", joiner=b",",
+        concurrency=concurrency,
     )
 
 
@@ -337,6 +392,7 @@ def splunk_hec_sink(
     batch_max_events: int = 1000,
     batch_max_bytes: int = 1_000_000,
     timeout_secs: float = 10.0,
+    concurrency: int | str | None = None,
 ) -> int:
     """HEC envelopes (the existing codec) POSTed newline-concatenated to
     /services/collector/event with Splunk token auth — the HEC endpoint
@@ -358,6 +414,7 @@ def splunk_hec_sink(
             "Authorization": f"Splunk {token}",
         },
         batch_max_events, batch_max_bytes, timeout_secs,
+        concurrency=concurrency,
     )
 
 
