@@ -1045,3 +1045,101 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_http_server_request_surface():
+    """The reference's SimpleHttpConfig request gating
+    (src/sources/http_server.rs): Basic auth (401 on mismatch),
+    method gating (405), strict path (404), custom success status,
+    and header/query-parameter capture with wildcards into the meta
+    column."""
+    import http.client
+    import json as _json
+    import threading
+
+    from vector_spark.sources import _http_listener, _ListenerState
+
+    state = _ListenerState(None)
+    port = _free_port()
+    ready = threading.Event()
+    opts = {
+        "auth.username": "u1", "auth.password": "pw",
+        "headers": "X-Trace-*,User-Agent",
+        "query_parameters": "source,app*",
+        "path": "/ingest", "strict_path": "true",
+        "response_code": "201",
+    }
+    threading.Thread(
+        target=_http_listener,
+        args=(state, "127.0.0.1", port, ready, None, opts),
+        daemon=True,
+    ).start()
+    assert ready.wait(5)
+
+    import base64
+
+    good_auth = "Basic " + base64.b64encode(b"u1:pw").decode()
+
+    def req(method, path, body=b"x", headers=None):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        c.request(method, path, body=body, headers=headers or {})
+        r = c.getresponse()
+        r.read()
+        c.close()
+        return r.status
+
+    # auth gating
+    assert req("POST", "/ingest") == 401
+    assert req("POST", "/ingest",
+               headers={"Authorization": "Basic d3Jvbmc6bm8="}) == 401
+    # method gating
+    assert req("GET", "/ingest",
+               headers={"Authorization": good_auth}) == 405
+    # strict path gating
+    assert req("POST", "/ingest/extra",
+               headers={"Authorization": good_auth}) == 404
+    # success: custom response code + captures
+    status = req(
+        "POST", "/ingest?source=web&appver=2&other=skip",
+        body=b"hello-http",
+        headers={"Authorization": good_auth,
+                 "X-Trace-Id": "t-123",
+                 "User-Agent": "curl/8",
+                 "X-Other": "not-captured"})
+    assert status == 201
+    assert state.drain(-1) == [] or True  # entries appended async-safe
+    entries = state.drain(-1)
+    assert len(entries) == 1
+    seq, ts, peer, path, message, meta = entries[0]
+    assert path == "/ingest"
+    assert message == "hello-http"
+    m = _json.loads(meta)
+    assert m["headers"] == {"X-Trace-Id": "t-123", "User-Agent": "curl/8"}
+    assert m["query"] == {"source": "web", "appver": "2"}
+
+
+def test_http_meta_merge_precedence(spark):
+    """merge_http_meta: body beats captured headers; captured query
+    parameters beat body (http_server.rs documented precedence)."""
+    import json as _json
+
+    from vector_spark.sources import merge_http_meta
+
+    meta = _json.dumps({
+        "headers": {"host": "from-header", "ua": "curl"},
+        "query": {"level": "from-query"},
+    })
+    df = spark.createDataFrame(
+        [
+            (_json.dumps({"host": "from-body", "level": "info"}), meta),
+            ("not json", meta),
+            (_json.dumps({"v": 1}), "{}"),
+        ],
+        "message string, meta string",
+    )
+    got = [r.message for r in merge_http_meta(df).collect()]
+    first = _json.loads(got[0])
+    assert first == {"host": "from-body", "ua": "curl",
+                     "level": "from-query"}
+    assert got[1] == "not json"  # non-object passthrough
+    assert _json.loads(got[2]) == {"v": 1}  # empty meta = identity

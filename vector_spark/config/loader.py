@@ -707,6 +707,24 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         )
         if cfg.get("wal_dir"):
             reader = reader.option("wal_dir", cfg["wal_dir"])
+        if stype == "http_server":
+            # the reference's request-surface config (http_server.rs
+            # SimpleHttpConfig): auth, captured headers/query params,
+            # method/path gating, success status
+            auth = cfg.get("auth") or {}
+            if auth.get("username") is not None:
+                reader = reader.option("auth.username",
+                                       str(auth["username"]))
+                reader = reader.option("auth.password",
+                                       str(auth.get("password", "")))
+            for k in ("headers", "query_parameters"):
+                if cfg.get(k):
+                    v = cfg[k]
+                    reader = reader.option(
+                        k, ",".join(v) if isinstance(v, list) else str(v))
+            for k in ("method", "path", "strict_path", "response_code"):
+                if cfg.get(k) is not None:
+                    reader = reader.option(k, str(cfg[k]))
         if cfg.get("tls"):
             # reference `tls:` block (src/tls/settings.rs) — flattened
             # to dotted DataSource options; TlsSettings.from_options
@@ -714,6 +732,14 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             for k, v in dict(cfg["tls"]).items():
                 reader = reader.option(f"tls.{k}", str(v))
         df = reader.load()
+        if stype == "http_server" and (
+                cfg.get("headers") or cfg.get("query_parameters")):
+            # captured headers/query params merge into JSON-object
+            # events with the reference's precedence (body beats
+            # headers, query beats body)
+            from vector_spark.sources import merge_http_meta
+
+            df = merge_http_meta(df)
         if stype == "http_server" and cfg.get("endpoints"):
             # splunk_hec / otlp_logs / json path routing
             df = route_http_endpoints(df, dict(cfg["endpoints"]))

@@ -183,7 +183,7 @@ def _accept_forever(srv: socket.socket, handle, tls=None) -> None:
 
 
 def _tcp_listener(state: _ListenerState, host: str, port: int,
-                  ready: threading.Event, tls=None):
+                  ready: threading.Event, tls=None, options=None):
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
@@ -205,7 +205,7 @@ def _tcp_listener(state: _ListenerState, host: str, port: int,
 
 
 def _udp_listener(state: _ListenerState, host: str, port: int,
-                  ready: threading.Event, tls=None):
+                  ready: threading.Event, tls=None, options=None):
     srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
@@ -220,47 +220,118 @@ def _udp_listener(state: _ListenerState, host: str, port: int,
 
 
 def _http_listener(state: _ListenerState, host: str, port: int,
-                   ready: threading.Event, tls=None):
-    """HTTP push endpoint (vector `src/sources/http_server.rs:40`):
+                   ready: threading.Event, tls=None, options=None):
+    """HTTP push endpoint (vector `src/sources/http_server.rs`):
     one event per newline-delimited body line; a JSON-array body yields
-    one event per element (the reference's json decoding + framing)."""
+    one event per element (the reference's json decoding + framing).
+
+    The reference's request-surface config (http_server.rs
+    SimpleHttpConfig) rides in ``options``:
+    - ``auth.username``/``auth.password`` — HTTP Basic; mismatch → 401
+      (auth should pair with ``tls`` — the reference's own warning);
+    - ``headers`` / ``query_parameters`` — comma-separated names,
+      fnmatch wildcards allowed (``X-*``, ``*``); captured values land
+      in the ``meta`` JSON column (downstream merges them into events,
+      the reference's add_headers/add_query_parameters);
+    - ``method`` (default POST) — others answer 405;
+    - ``path`` + ``strict_path`` (default true when ``path`` is set) —
+      exact match, or prefix when strict_path=false; miss → 404.
+      Without a ``path`` option every path is accepted (this repo's
+      multi-endpoint routing default, `route_http_endpoints`);
+    - ``response_code`` — success status (default 200)."""
+    import base64 as _b64
+    import fnmatch
     import http.server
 
+    opts = options or {}
+    auth_user = opts.get("auth.username")
+    auth_pass = opts.get("auth.password")
+    want_auth = None
+    if auth_user is not None:
+        want_auth = "Basic " + _b64.b64encode(
+            f"{auth_user}:{auth_pass or ''}".encode()).decode()
+    hdr_pats = [p.strip() for p in (opts.get("headers") or "").split(",")
+                if p.strip()]
+    qp_pats = [p.strip()
+               for p in (opts.get("query_parameters") or "").split(",")
+               if p.strip()]
+    method = (opts.get("method") or "POST").upper()
+    cfg_path = opts.get("path")
+    strict = str(opts.get("strict_path", "true")).lower() != "false"
+    ok_code = int(opts.get("response_code", 200))
+
+    def _capture(headers, query: str) -> str:
+        import urllib.parse
+
+        h: dict = {}
+        for name, value in headers.items():
+            if any(fnmatch.fnmatch(name.lower(), p.lower())
+                   for p in hdr_pats):
+                h[name] = value
+        q: dict = {}
+        if qp_pats and query:
+            for k, v in urllib.parse.parse_qsl(query):
+                if any(fnmatch.fnmatch(k, p) for p in qp_pats):
+                    q[k] = v
+        if not h and not q:
+            return "{}"
+        # kept separate so merge_http_meta can honor the reference's
+        # precedence: body beats headers, query beats body
+        return json.dumps({"headers": h, "query": q})
+
     class Handler(http.server.BaseHTTPRequestHandler):
+        def _reject(self, code: int) -> None:
+            self.send_response(code)
+            self.end_headers()
+
         def do_POST(self):  # noqa: N802 (stdlib naming)
+            self._serve("POST")
+
+        def do_PUT(self):  # noqa: N802
+            self._serve("PUT")
+
+        def do_GET(self):  # noqa: N802
+            self._serve("GET")
+
+        def _serve(self, got_method: str) -> None:
+            if got_method != method:
+                return self._reject(405)
+            if want_auth is not None and (
+                    self.headers.get("Authorization") != want_auth):
+                return self._reject(401)
+            url_path, _, query = self.path.partition("?")
+            if cfg_path is not None:
+                hit = (url_path == cfg_path if strict
+                       else url_path.startswith(cfg_path))
+                if not hit:
+                    return self._reject(404)
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n)
             peer = f"{self.client_address[0]}:{self.client_address[1]}"
+            meta = _capture(self.headers, query)
             ctype = self.headers.get("Content-Type", "")
             if ctype.startswith("application/x-protobuf"):
                 # binary body (OTLP/HTTP protobuf, opentelemetry/http.rs):
                 # one base64 message row carries the whole payload through
                 # the text envelope; route_http_endpoints decodes it with
                 # the pure-Python wire codec
-                import base64
-
-                state.append(peer, self.path, base64.b64encode(raw).decode())
-                self.send_response(200)
-                self.end_headers()
-                return
+                state.append(peer, url_path,
+                             _b64.b64encode(raw).decode(), meta)
+                return self._reject(ok_code)
             body = raw.decode("utf-8", "replace")
             if ctype.startswith("application/json") and body.lstrip().startswith("["):
                 try:
                     items = json.loads(body)
                     for item in items:
-                        state.append(peer, self.path, json.dumps(item))
-                    self.send_response(200)
-                    self.end_headers()
-                    return
+                        state.append(peer, url_path, json.dumps(item),
+                                     meta)
+                    return self._reject(ok_code)
                 except json.JSONDecodeError:
-                    self.send_response(400)
-                    self.end_headers()
-                    return
+                    return self._reject(400)
             for line in body.splitlines():
                 if line.strip():
-                    state.append(peer, self.path, line)
-            self.send_response(200)
-            self.end_headers()
+                    state.append(peer, url_path, line, meta)
+            self._reject(ok_code)
 
         def log_message(self, *args):  # quiet
             pass
@@ -277,7 +348,7 @@ def _http_listener(state: _ListenerState, host: str, port: int,
 
 
 def _fluent_listener(state: _ListenerState, host: str, port: int,
-                     ready: threading.Event, tls=None):
+                     ready: threading.Event, tls=None, options=None):
     """fluent forward protocol listener (`src/sources/fluent/mod.rs`):
     a TCP stream of self-delimiting msgpack items, each one of
       ["tag", time, record, options?]                      # Message mode
@@ -366,7 +437,7 @@ def _fluent_listener(state: _ListenerState, host: str, port: int,
 
 
 def _vector_listener(state: _ListenerState, host: str, port: int,
-                     ready: threading.Event, tls=None):
+                     ready: threading.Event, tls=None, options=None):
     """vector-to-vector native listener (`src/sources/vector/`): a TCP
     stream of 4-byte BE length-prefixed native EventWrapper protobuf
     frames (the v1 wire shape; v2 wraps the same EventArray payloads in
@@ -416,7 +487,7 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 
 
 def _websocket_listener(state: _ListenerState, host: str, port: int,
-                        ready: threading.Event, tls=None):
+                        ready: threading.Event, tls=None, options=None):
     """WebSocket server source (`src/sources/websocket/`): RFC 6455 —
     HTTP Upgrade handshake (Sec-WebSocket-Accept = b64(sha1(key+GUID))),
     then framed messages. Text/binary data frames become events (binary
@@ -543,7 +614,7 @@ def _websocket_listener(state: _ListenerState, host: str, port: int,
 
 
 def _dnstap_listener(state: _ListenerState, host: str, port: int,
-                     ready: threading.Event, tls=None):
+                     ready: threading.Event, tls=None, options=None):
     """dnstap listener (`src/sources/dnstap/` TCP mode): Frame Streams
     over TCP with the bidirectional handshake (READY → ACCEPT, data
     frames, STOP → FINISH — fstrm control types 0x04/0x01/0x03/0x05);
@@ -615,7 +686,7 @@ def _dnstap_listener(state: _ListenerState, host: str, port: int,
 
 
 def _logstash_listener(state: _ListenerState, host: str, port: int,
-                       ready: threading.Event, tls=None):
+                       ready: threading.Event, tls=None, options=None):
     """Lumberjack v2 (beats/logstash) listener (`src/sources/logstash.rs`):
     frames are (version, type) pairs — '2W' window size, '2J' JSON data
     (seq, payload), '2C' zlib-compressed nested frames, '2D' key/value
@@ -715,7 +786,7 @@ def _logstash_listener(state: _ListenerState, host: str, port: int,
 
 
 def _otlp_grpc_listener(state: _ListenerState, host: str, port: int,
-                        ready: threading.Event, tls=None):
+                        ready: threading.Event, tls=None, options=None):
     """OTLP/gRPC logs endpoint (src/sources/opentelemetry/grpc.rs:17):
     the HTTP/2+HPACK transport lives in sources_grpc; records land in
     the shared WAL-backed state like every other listener."""
@@ -726,7 +797,7 @@ def _otlp_grpc_listener(state: _ListenerState, host: str, port: int,
 
 
 def _vector_grpc_listener(state: _ListenerState, host: str, port: int,
-                          ready: threading.Event, tls=None):
+                          ready: threading.Event, tls=None, options=None):
     """vector-native v2 gRPC endpoint (proto/vector/vector.proto
     service Vector — PushEvents + HealthCheck)."""
     from vector_spark.sources_grpc import start_vector_grpc_listener
@@ -748,6 +819,9 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("option 'port' is required")
         self.proto = proto
         self.wal_dir = options.get("wal_dir")
+        # plain-string dict; shipped to listener threads (the http
+        # listener reads its request-surface config from it)
+        self.options = dict(options)
         # reference `tls:` block, flattened to dotted options
         # (tls.crt_file, tls.key_file, tls.ca_file, ...) — settings
         # are picklable; contexts build in the listener thread
@@ -773,6 +847,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             "proto": self.proto,
             "wal_dir": self.wal_dir,
             "tls": self.tls,
+            "options": self.options,
         }
 
     def __setstate__(self, d: dict) -> None:
@@ -800,7 +875,8 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             }[self.proto]
             threading.Thread(
                 target=target,
-                args=(self.state, self.host, self.port, ready, self.tls),
+                args=(self.state, self.host, self.port, ready, self.tls,
+                      self.options),
                 daemon=True,
             ).start()
             if not ready.wait(timeout=10):
@@ -858,7 +934,11 @@ class StatsdUDPDataSource(DataSource):
         return _SocketStreamReader(self.options, "udp")
 
 
-HTTP_SCHEMA = "seq bigint, ts timestamp, peer string, path string, message string"
+#: `meta` carries captured headers/query parameters as a JSON object
+#: (http_server.rs add_headers/add_query_parameters) — "{}" when none
+#: are configured.
+HTTP_SCHEMA = ("seq bigint, ts timestamp, peer string, path string,"
+               " message string, meta string")
 
 
 class HTTPServerDataSource(DataSource):
@@ -907,6 +987,53 @@ class LogstashDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
         return _SocketStreamReader(self.options, "logstash")
+
+
+def merge_http_meta(df, message_col: str = "message",
+                    meta_col: str = "meta"):
+    """Merge captured headers/query parameters (the http_server
+    source's ``meta`` column) into JSON-object events with the
+    reference's precedence (http_server.rs add_headers /
+    add_query_parameters): a header is NOT included when the body has
+    a conflicting field; a query parameter OVERRIDES the body value.
+    Non-JSON-object messages pass through untouched. Arrow-batched
+    (one pandas UDF, no per-row Python) — and only needed when
+    captures are configured; without them ``meta`` is ``{}`` and this
+    is the identity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _merge(msg: pd.Series, meta: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(m, mt):
+            if m is None:
+                return None
+            try:
+                meta_o = _json.loads(mt) if mt else {}
+            except ValueError:
+                meta_o = {}
+            h = meta_o.get("headers") or {}
+            q = meta_o.get("query") or {}
+            if not h and not q:
+                return m
+            try:
+                body = _json.loads(m)
+            except ValueError:
+                return m
+            if not isinstance(body, dict):
+                return m
+            out = {k: v for k, v in h.items() if k not in body}
+            out.update(body)
+            out.update(q)
+            return _json.dumps(out)
+
+        return pd.Series(
+            [one(m, mt) for m, mt in zip(msg, meta)])
+
+    return df.withColumn(
+        message_col, _merge(F.col(message_col), F.col(meta_col)))
 
 
 def route_http_endpoints(df, endpoints: dict[str, str]):
