@@ -29,6 +29,9 @@ import struct
 
 
 def write_varint(n: int, out: bytearray) -> None:
+    if 0 <= n < 0x80:  # single-byte fast path (most tags/lengths)
+        out.append(n)
+        return
     if n < 0:
         n &= (1 << 64) - 1  # two's-complement 64-bit (int64 on the wire)
     while True:
@@ -42,6 +45,9 @@ def write_varint(n: int, out: bytearray) -> None:
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    b = buf[pos]
+    if not b & 0x80:  # single-byte fast path
+        return b, pos + 1
     result = 0
     shift = 0
     while True:
@@ -92,19 +98,48 @@ def _unzigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
+#: Parsed-schema memo keyed on id(schema): the module-level schema
+#: dicts are immutable singletons, and rebuilding the name/number
+#: lookup plus re-splitting "repeated " per message was the top cost
+#: in the codec profile (one encode_message call per NESTED message —
+#: 11 per span in a trace payload).
+#: entry = (schema-object strong ref, by_name, by_num). The strong ref
+#: pins the dict so its id() can never be recycled by a NEW schema (an
+#: id-only key served a stale parse when a transient schema was GC'd);
+#: the identity check makes a hash-collision impossible to confuse.
+_SCHEMA_CACHE: dict[int, tuple[dict, dict, dict]] = {}
+
+
+def _parsed_schema(schema: dict) -> tuple[dict, dict, dict]:
+    cached = _SCHEMA_CACHE.get(id(schema))
+    if cached is not None and cached[0] is schema:
+        return cached
+    by_name: dict = {}
+    by_num: dict = {}
+    for num, (name, typ) in schema.items():
+        repeated = typ.startswith("repeated ")
+        base = typ[len("repeated "):] if repeated else typ
+        by_name[name] = (num, base, repeated)
+        by_num[num] = (name, base, repeated)
+    if len(_SCHEMA_CACHE) > 4096:  # ad-hoc schema flood guard
+        _SCHEMA_CACHE.clear()
+    cached = (schema, by_name, by_num)
+    _SCHEMA_CACHE[id(schema)] = cached
+    return cached
+
+
 def encode_message(obj: dict, schema: dict, registry: dict) -> bytes:
     """dict → wire bytes. Keys of `obj` are field NAMES; None values and
     absent keys are omitted (proto3 default semantics)."""
-    by_name = {spec[0]: (num, spec[1]) for num, spec in schema.items()}
+    by_name = _parsed_schema(schema)[1]
     out = bytearray()
     for name, value in obj.items():
         if value is None:
             continue
-        if name not in by_name:
+        spec = by_name.get(name)
+        if spec is None:
             raise ValueError(f"unknown field {name!r}")
-        num, typ = by_name[name]
-        repeated = typ.startswith("repeated ")
-        base = typ[len("repeated "):] if repeated else typ
+        num, base, repeated = spec
         values = value if repeated else [value]
         for v in values:
             _encode_field(num, base, v, out, registry)
@@ -151,19 +186,19 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
     """Wire bytes → dict keyed by field name. Unknown fields are skipped
     (proto3 forward compatibility); repeated fields accumulate lists;
     last-value-wins for singular fields (spec behavior)."""
+    by_num = _parsed_schema(schema)[2]
     out: dict = {}
     pos = 0
     end = len(buf)
     while pos < end:
         key, pos = read_varint(buf, pos)
         num, wire = key >> 3, key & 7
-        spec = schema.get(num)
+        spec = by_num.get(num)
         if wire == 0:
             raw, pos = read_varint(buf, pos)
             if spec is None:
                 continue
-            name, typ = spec
-            base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
+            name, base, repeated = spec
             if base in ("int64", "int32"):
                 v = _signed64(raw)
             elif base in ("sint32", "sint64"):
@@ -177,8 +212,7 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
             pos += 8
             if spec is None:
                 continue
-            name, typ = spec
-            base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
+            name, base, repeated = spec
             if base == "double":
                 v = struct.unpack("<d", chunk)[0]
             elif base == "sfixed64":
@@ -190,8 +224,7 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
             pos += 4
             if spec is None:
                 continue
-            name, typ = spec
-            base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
+            name, base, repeated = spec
             v = struct.unpack("<f", chunk)[0] if base == "float" else struct.unpack("<I", chunk)[0]
         elif wire == 2:
             ln, pos = read_varint(buf, pos)
@@ -199,8 +232,7 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
             pos += ln
             if spec is None:
                 continue
-            name, typ = spec
-            base = typ[len("repeated "):] if typ.startswith("repeated ") else typ
+            name, base, repeated = spec
             if base == "string":
                 v = chunk.decode("utf-8", errors="replace")
             elif base == "bytes":
@@ -233,7 +265,7 @@ def decode_message(buf: bytes, schema: dict, registry: dict) -> dict:
                 continue
         else:
             raise ValueError(f"unsupported wire type {wire}")
-        if typ.startswith("repeated "):
+        if repeated:
             out.setdefault(name, []).append(v)
         else:
             out[name] = v
