@@ -1143,3 +1143,64 @@ def test_http_meta_merge_precedence(spark):
                      "level": "from-query"}
     assert got[1] == "not json"  # non-object passthrough
     assert _json.loads(got[2]) == {"v": 1}  # empty meta = identity
+
+
+def test_splunk_hec_indexer_acknowledgements_end_to_end(spark):
+    """Both halves of HEC indexer acknowledgements pin each other
+    (src/sources/splunk_hec/acknowledgements.rs + the sink's ack
+    polling): the ack-enabled listener assigns ackIds and answers
+    /services/collector/ack; the ack-enabled sink sends with a
+    channel, polls until True, and only then counts events as sent.
+    Channel-less posts are rejected with Splunk's own error shape."""
+    import http.client
+    import json as _json
+    import threading
+
+    from vector_spark.sinks_services import splunk_hec_sink
+    from vector_spark.sources import _http_listener, _ListenerState
+
+    state = _ListenerState(None)
+    port = _free_port()
+    ready = threading.Event()
+    threading.Thread(
+        target=_http_listener,
+        args=(state, "127.0.0.1", port, ready, None, {"hec.ack": "true"}),
+        daemon=True,
+    ).start()
+    assert ready.wait(5)
+
+    # channel-less post to a collector endpoint → Splunk error shape
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+    c.request("POST", "/services/collector/event",
+              body=_json.dumps({"event": "x"}))
+    r = c.getresponse()
+    assert r.status == 400
+    assert _json.loads(r.read()) == {"text": "Data channel is missing",
+                                     "code": 10}
+    c.close()
+
+    # ack query for unknown ids → False
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+    c.request("POST", "/services/collector/ack",
+              body=_json.dumps({"acks": [0, 7]}),
+              headers={"X-Splunk-Request-Channel": "ch-1"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert _json.loads(r.read()) == {"acks": {"0": False, "7": False}}
+    c.close()
+
+    # the ack-enabled SINK against the ack-enabled listener
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("ev-1", 1700000000.0), ("ev-2", 1700000001.0),
+         ("ev-3", 1700000002.0)],
+        "message string, ts double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts"))).coalesce(1)
+    n = splunk_hec_sink(
+        df, f"http://127.0.0.1:{port}", token="tk",
+        batch_max_events=2, indexer_acknowledgements=True,
+        ack_timeout_secs=10)
+    assert n == 3
+    msgs = [_json.loads(e[4])["event"] for e in state.drain(-1)]
+    assert sorted(msgs) == ["ev-1", "ev-2", "ev-3"]

@@ -725,6 +725,13 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             for k in ("method", "path", "strict_path", "response_code"):
                 if cfg.get(k) is not None:
                     reader = reader.option(k, str(cfg[k]))
+            ack = cfg.get("acknowledgements")
+            if isinstance(ack, dict):
+                ack = ack.get("enabled")
+            if ack:
+                # Splunk HEC indexer acknowledgements on the collector
+                # endpoints (splunk_hec/acknowledgements.rs)
+                reader = reader.option("hec.ack", "true")
         if cfg.get("tls"):
             # reference `tls:` block (src/tls/settings.rs) — flattened
             # to dotted DataSource options; TlsSettings.from_options
@@ -1723,6 +1730,9 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     sourcetype=cfg.get("sourcetype"),
                     index=cfg.get("index"),
                     concurrency=_request_concurrency(cfg),
+                    indexer_acknowledgements=bool(
+                        (cfg.get("acknowledgements") or {})
+                        .get("indexer_acknowledgements_enabled")),
                 )
             }
         elif stype == "aws_kinesis_firehose":
@@ -2013,6 +2023,9 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     sourcetype=cfg.get("sourcetype"),
                     index=cfg.get("index"),
                     concurrency=_request_concurrency(cfg),
+                    indexer_acknowledgements=bool(
+                        (cfg.get("acknowledgements") or {})
+                        .get("indexer_acknowledgements_enabled")),
                 )
             }
         elif stype == "prometheus_exporter":

@@ -393,10 +393,22 @@ def splunk_hec_sink(
     batch_max_bytes: int = 1_000_000,
     timeout_secs: float = 10.0,
     concurrency: int | str | None = None,
+    indexer_acknowledgements: bool = False,
+    ack_poll_interval_secs: float = 0.25,
+    ack_timeout_secs: float = 30.0,
 ) -> int:
     """HEC envelopes (the existing codec) POSTed newline-concatenated to
     /services/collector/event with Splunk token auth — the HEC endpoint
-    accepts back-to-back JSON objects, no framing array."""
+    accepts back-to-back JSON objects, no framing array.
+
+    ``indexer_acknowledgements`` mirrors the reference sink's
+    acknowledgements mode (src/sinks/splunk_hec/common/acknowledgements
+    .rs): each partition mints one channel id, every request carries
+    X-Splunk-Request-Channel, the ackId from the response is polled at
+    /services/collector/ack until the server reports True (bounded by
+    ``ack_timeout_secs``) — only then do the batch's events count as
+    sent. Serial per partition by design (the ack handshake IS the
+    pacing)."""
     env = encode_splunk_hec(
         F.col(event_col),
         F.col(ts_col),
@@ -407,15 +419,72 @@ def splunk_hec_sink(
     )
     lines = df.select(env.alias("line"))
     url = endpoint.rstrip("/") + "/services/collector/event"
-    return _post_lines_per_partition(
-        lines, url,
-        {
-            "Content-Type": "application/json",
-            "Authorization": f"Splunk {token}",
-        },
-        batch_max_events, batch_max_bytes, timeout_secs,
-        concurrency=concurrency,
-    )
+    headers = {
+        "Content-Type": "application/json",
+        "Authorization": f"Splunk {token}",
+    }
+    if not indexer_acknowledgements:
+        return _post_lines_per_partition(
+            lines, url, headers,
+            batch_max_events, batch_max_bytes, timeout_secs,
+            concurrency=concurrency,
+        )
+
+    ack_url = endpoint.rstrip("/") + "/services/collector/ack"
+    sent = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows) -> None:
+        import time as _time
+        import urllib.request
+        import uuid as _uuid
+
+        channel = str(_uuid.uuid4())
+        hdrs = dict(headers)
+        hdrs["X-Splunk-Request-Channel"] = channel
+
+        def post(u: str, body: bytes) -> dict:
+            req = urllib.request.Request(u, data=body, headers=hdrs)
+            text = urllib.request.urlopen(
+                req, timeout=timeout_secs).read()
+            return json.loads(text) if text else {}
+
+        def flush(buf: list[bytes]) -> None:
+            resp = post(url, b"\n".join(buf))
+            ack_id = resp.get("ackId")
+            if ack_id is None:
+                raise ConnectionError(
+                    "HEC response carried no ackId with "
+                    "indexer_acknowledgements enabled")
+            deadline = _time.monotonic() + ack_timeout_secs
+            while True:
+                status = post(
+                    ack_url,
+                    json.dumps({"acks": [ack_id]}).encode())
+                if status.get("acks", {}).get(str(ack_id)):
+                    break
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"HEC ackId {ack_id} unacknowledged after "
+                        f"{ack_timeout_secs}s")
+                _time.sleep(ack_poll_interval_secs)
+            sent.add(len(buf))
+
+        buf: list[bytes] = []
+        buf_bytes = 0
+        for row in rows:
+            b = row[0].encode()
+            if buf and (len(buf) >= batch_max_events
+                        or buf_bytes + len(b) > batch_max_bytes):
+                flush(buf)
+                buf = []
+                buf_bytes = 0
+            buf.append(b)
+            buf_bytes += len(b)
+        if buf:
+            flush(buf)
+
+    lines.foreachPartition(send_partition)
+    return sent.value
 
 
 def honeycomb_sink(

@@ -259,6 +259,20 @@ def _http_listener(state: _ListenerState, host: str, port: int,
     cfg_path = opts.get("path")
     strict = str(opts.get("strict_path", "true")).lower() != "false"
     ok_code = int(opts.get("response_code", 200))
+    # Splunk HEC indexer acknowledgements (src/sources/splunk_hec/
+    # acknowledgements.rs): when enabled, event posts to the collector
+    # endpoints REQUIRE a channel (X-Splunk-Request-Channel header or
+    # `channel` query param) and answer {"text":"Success","code":0,
+    # "ackId":N}; clients then POST {"acks":[ids]} to
+    # /services/collector/ack and get {"acks":{id:bool}} back. Under
+    # this engine's delivery contract an event is durable once it is
+    # in the WAL, so an ackId reports True as soon as its request has
+    # been appended (the reference flips it on end-to-end delivery;
+    # WAL + checkpoint is this engine's equivalent boundary).
+    hec_ack = str(opts.get("hec.ack", "")).lower() in ("1", "true",
+                                                       "yes", "on")
+    hec_lock = threading.Lock()
+    hec_channels: dict[str, dict] = {}
 
     def _capture(headers, query: str) -> str:
         import urllib.parse
@@ -283,6 +297,25 @@ def _http_listener(state: _ListenerState, host: str, port: int,
         def _reject(self, code: int) -> None:
             self.send_response(code)
             self.end_headers()
+
+        def _json_reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _hec_channel(self, query: str) -> str | None:
+            import urllib.parse
+
+            ch = self.headers.get("X-Splunk-Request-Channel")
+            if ch:
+                return ch
+            for k, v in urllib.parse.parse_qsl(query):
+                if k == "channel":
+                    return v
+            return None
 
         def do_POST(self):  # noqa: N802 (stdlib naming)
             self._serve("POST")
@@ -309,6 +342,38 @@ def _http_listener(state: _ListenerState, host: str, port: int,
             raw = self.rfile.read(n)
             peer = f"{self.client_address[0]}:{self.client_address[1]}"
             meta = _capture(self.headers, query)
+            hec_channel = None
+            if hec_ack and url_path.startswith("/services/collector"):
+                hec_channel = self._hec_channel(query)
+                if hec_channel is None:
+                    # mod.rs: ack-enabled collector posts without a
+                    # channel are rejected (Splunk's own error shape)
+                    return self._json_reply(
+                        400, {"text": "Data channel is missing",
+                              "code": 10})
+                if url_path == "/services/collector/ack":
+                    try:
+                        want = json.loads(
+                            raw.decode("utf-8", "replace"))["acks"]
+                    except (ValueError, KeyError):
+                        return self._reject(400)
+                    with hec_lock:
+                        acked = hec_channels.get(
+                            hec_channel, {}).get("acked", set())
+                        resp = {str(i): i in acked for i in want}
+                    return self._json_reply(200, {"acks": resp})
+
+            def hec_success() -> None:
+                with hec_lock:
+                    ch = hec_channels.setdefault(
+                        hec_channel, {"next": 0, "acked": set()})
+                    ack_id = ch["next"]
+                    ch["next"] += 1
+                    ch["acked"].add(ack_id)
+                self._json_reply(
+                    ok_code,
+                    {"text": "Success", "code": 0, "ackId": ack_id})
+
             ctype = self.headers.get("Content-Type", "")
             if ctype.startswith("application/x-protobuf"):
                 # binary body (OTLP/HTTP protobuf, opentelemetry/http.rs):
@@ -317,6 +382,8 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                 # the pure-Python wire codec
                 state.append(peer, url_path,
                              _b64.b64encode(raw).decode(), meta)
+                if hec_channel is not None:
+                    return hec_success()
                 return self._reject(ok_code)
             body = raw.decode("utf-8", "replace")
             if ctype.startswith("application/json") and body.lstrip().startswith("["):
@@ -325,12 +392,16 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                     for item in items:
                         state.append(peer, url_path, json.dumps(item),
                                      meta)
+                    if hec_channel is not None:
+                        return hec_success()
                     return self._reject(ok_code)
                 except json.JSONDecodeError:
                     return self._reject(400)
             for line in body.splitlines():
                 if line.strip():
                     state.append(peer, url_path, line, meta)
+            if hec_channel is not None:
+                return hec_success()
             self._reject(ok_code)
 
         def log_message(self, *args):  # quiet
