@@ -122,17 +122,53 @@ def interpolate_env(text: str, env: dict | None = None) -> str:
     return _ENV_RE.sub(repl, text)
 
 
+def load_config_dir(dir_path: str) -> dict:
+    """Directory (namespaced) config loading — the reference's
+    --config-dir layout (src/config/loading/mod.rs, shown in
+    config/examples/namespacing/): top-level config files parse as
+    whole configs; subdirectories named sources/ transforms/ sinks/
+    enrichment_tables/ tests/ contribute ONE component per file, the
+    component name being the file stem (apache_logs.yaml under
+    sources/ becomes sources.apache_logs)."""
+    import os
+
+    exts = (".yaml", ".yml", ".toml", ".json")
+    cfgs: list[dict] = []
+    namespaced: dict = {}
+    for entry in sorted(os.listdir(dir_path)):
+        full = os.path.join(dir_path, entry)
+        if os.path.isfile(full) and entry.lower().endswith(exts):
+            cfgs.append(parse_config(full))
+        elif os.path.isdir(full) and entry in (
+                "sources", "transforms", "sinks",
+                "enrichment_tables", "tests"):
+            for fname in sorted(os.listdir(full)):
+                stem, ext = os.path.splitext(fname)
+                if ext.lower() not in exts:
+                    continue
+                comp = parse_config(os.path.join(full, fname))
+                namespaced.setdefault(entry, {})[stem] = comp
+    if namespaced:
+        cfgs.append(namespaced)
+    if not cfgs:
+        raise TopologyError(f"no config files under {dir_path!r}")
+    return cfgs[0] if len(cfgs) == 1 else merge_configs(cfgs)
+
+
 def parse_config(path_or_text: str) -> dict:
     """Parse a config from a file path or literal text. YAML, TOML, and
     JSON are accepted (the reference's three config formats,
     src/config/format.rs — format from the file extension, YAML for
     literal text since YAML is a JSON superset). `${VAR}` forms
-    interpolate from the environment before parsing."""
+    interpolate from the environment before parsing. A DIRECTORY path
+    loads with the namespaced --config-dir layout (load_config_dir)."""
     import os
 
     import yaml
 
     fmt = "yaml"
+    if os.path.isdir(path_or_text):
+        return load_config_dir(path_or_text)
     if os.path.exists(path_or_text):
         with open(path_or_text) as f:
             text = f.read()
@@ -394,6 +430,35 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             rows_per_batch=int(rpb) if rpb is not None else None,
             advance_millis_per_batch=cfg.get("advance_millis_per_batch"),
         )
+    if stype == "file":
+        # the reference's `file` source (src/sources/file.rs): tail the
+        # files matched by `include` globs; each line becomes an event
+        # with message / file / ts (the reference's message + file +
+        # timestamp keys). Spark's file stream IS the tailer — processed
+        # files tracked in the checkpoint (file-source-common
+        # checkpointer equivalent). `exclude` filters post-glob on the
+        # captured file name; read_from/ignore_older_secs are
+        # ingest-time concerns the checkpoint subsumes (documented).
+        include = cfg.get("include") or ()
+        if isinstance(include, str):
+            include = [include]
+        if not include:
+            raise TopologyError(f"{name}: file source needs include")
+        out = None
+        for pat in include:
+            part = (
+                spark.readStream.format("text").load(pat)
+                .select(
+                    F.col("value").alias("message"),
+                    F.input_file_name().alias("file"),
+                    F.current_timestamp().alias("ts"),
+                )
+            )
+            out = part if out is None else out.unionByName(part)
+        for pat in cfg.get("exclude") or ():
+            out = out.where(~F.col("file").like(
+                pat.replace("*", "%").replace("?", "_")))
+        return out
     if stype == "stream_file":
         from vector_spark.streaming.pipeline import file_stream_source
 
