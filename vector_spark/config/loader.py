@@ -482,7 +482,8 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
     if stype == "socket":
         from vector_spark.streaming.pipeline import socket_source
 
-        return socket_source(spark, cfg["host"], int(cfg["port"]))
+        host, port = _host_port(cfg)
+        return socket_source(spark, host, port)
     if stype == "exec":
         from vector_spark.sources_pull import exec_source
 
@@ -765,10 +766,11 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         from vector_spark.sources import register_sources, route_http_endpoints
 
         register_sources(spark)
+        host, port = _host_port(cfg)
         reader = (
             spark.readStream.format(stype)
-            .option("host", cfg.get("host", "127.0.0.1"))
-            .option("port", int(cfg["port"]))
+            .option("host", host)
+            .option("port", port)
         )
         if cfg.get("wal_dir"):
             reader = reader.option("wal_dir", cfg["wal_dir"])
@@ -818,6 +820,16 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         return df
     raise TopologyError(f"{name}: unknown source type {stype!r}")
 
+
+
+def _host_port(cfg: dict, default_host: str = "127.0.0.1") -> tuple[str, int]:
+    """Accept the reference's `address: "host:port"` form alongside the
+    explicit host/port keys (src/sources/socket/, src/sinks/socket.rs
+    configs use address)."""
+    if cfg.get("address"):
+        host, _, port = str(cfg["address"]).rpartition(":")
+        return host or default_host, int(port)
+    return cfg.get("host", default_host), int(cfg["port"])
 
 
 def _request_concurrency(cfg: dict):
@@ -1232,8 +1244,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": socket_sink(
                     df,
-                    cfg["host"],
-                    int(cfg["port"]),
+                    *_host_port(cfg),
                     encoding=cfg.get("encoding", "text"),
                     value_col=cfg.get("value_col", "message"),
                     tls=TlsSettings.from_config(cfg.get("tls")),
