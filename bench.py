@@ -88,6 +88,8 @@ HEADLINE = [
     "docs_temperature_mixture",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
+    # round-10 additions
+    "vrl_codec_chain_roundtrip",
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",

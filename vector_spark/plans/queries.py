@@ -2077,6 +2077,33 @@ FROM sess GROUP BY user_id, message_id
 """
 
 
+def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed roundtrip through the r10 pure-Python codec stack
+    plus the crypto pair: props → zstd → lz4 → snappy → gzip (each
+    encode immediately decoded; functions/zstd.py, lz4.py, snappy.py)
+    then AES-256-GCM encrypt/decrypt — the output must be
+    byte-identical to the source column, value-verified against plain
+    SQL. Everything is Arrow-batched executor-side work riding the
+    scan; zero shuffle."""
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+
+    ev = _t(spark, sf_dir, "events")
+    c = V["decode_zstd"](V["encode_zstd"](F.col("props")))
+    c = V["decode_lz4"](V["encode_lz4"](c))
+    c = V["decode_snappy"](V["encode_snappy"](c))
+    c = V["decode_gzip"](V["encode_gzip"](c))
+    key = b"0123456789abcdef0123456789abcdef"
+    iv = b"nonce-12byte"
+    c = V["decrypt"](V["encrypt"](c, "AES-256-GCM", key, iv),
+                     "AES-256-GCM", key, iv)
+    return ev.select("event_id", c.cast("string").alias("roundtrip"))
+
+
+_ORACLE_VRL_CODEC_CHAIN = """
+SELECT event_id, props AS roundtrip FROM events
+"""
+
+
 def q_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trip: encode events as RFC3164-ish syslog lines
     (format_string), then decode with the parse_syslog regex layer —
@@ -3149,6 +3176,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_log_to_metric": QuerySpec(q_pipeline_log_to_metric, _ORACLE_PIPE_L2M, "log_to_metric→aggregate"),
     "line_agg_multiline": QuerySpec(q_line_agg, _ORACLE_LINE_AGG, "multiline line_agg"),
     "syslog_roundtrip": QuerySpec(q_syslog_roundtrip, _ORACLE_SYSLOG, "syslog encode+parse"),
+    "vrl_codec_chain_roundtrip": QuerySpec(
+        q_vrl_codec_chain, _ORACLE_VRL_CODEC_CHAIN,
+        "zstd+lz4+snappy+gzip+AES-GCM roundtrip (r10 pure codecs)"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
@@ -6436,6 +6466,8 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
+    # new in r10 — the pure zstd/lz4/crypto stack end-to-end
+    "vrl_codec_chain_roundtrip",
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
