@@ -616,3 +616,49 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_geoip_enrichment_table_in_topology(spark):
+    """`enrichment_tables: {type: geoip/mmdb}` (src/enrichment_tables/
+    geoip.rs, mmdb.rs) loads a MaxMind database as a range table, and a
+    VRL get_enrichment_table_record with an "ip" condition compiles to
+    the broadcast containment join."""
+    import os
+
+    from vector_spark.config.loader import load_topology, run_sinks
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "geo.mmdb")
+    topo = load_topology(
+        spark,
+        f"""
+enrichment_tables:
+  geo:
+    type: geoip
+    path: {fixture}
+sources:
+  hits:
+    type: values
+    rows:
+      - {{client_ip: "10.0.0.7"}}
+      - {{client_ip: "10.40.0.9"}}
+      - {{client_ip: "203.0.113.5"}}
+transforms:
+  located:
+    type: remap
+    inputs: [hits]
+    source: |
+      .geo = get_enrichment_table_record!("geo", {{"ip": .client_ip}})
+sinks:
+  out:
+    type: memory
+    inputs: [located]
+""",
+    )
+    res = run_sinks(topo)
+    def iso(r):
+        return r.geo["country.iso_code"] if r.geo is not None else None
+    got = {r.client_ip: iso(r) for r in res["out"]["rows"]}
+    assert got["10.0.0.7"] == "US"      # 167772160-range (Kansas City)
+    assert got["10.40.0.9"] == "DE"     # second /11 block
+    assert got["203.0.113.5"] is None   # outside every range

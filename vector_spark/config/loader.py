@@ -1140,10 +1140,27 @@ def _load_enrichment_tables(spark: SparkSession, cfg: dict) -> dict:
     lookups (each compiles to a broadcast join)."""
     out: dict = {}
     for name, tcfg in (cfg.get("enrichment_tables") or {}).items():
-        if tcfg.get("type") != "file":
+        ttype = tcfg.get("type")
+        if ttype in ("geoip", "mmdb"):
+            # src/enrichment_tables/{geoip,mmdb}.rs: a MaxMind database
+            # loaded once as a (lo, hi, fields...) range table; VRL
+            # lookups with an "ip" condition compile to the broadcast
+            # containment join (vrl_compiler._resolve_enrichment).
+            from vector_spark.functions.mmdb import mmdb_table
+
+            sub = tcfg.get(ttype) or {}
+            path = tcfg.get("path") or sub.get("path")
+            if not path:
+                raise TopologyError(
+                    f"enrichment table {name!r}: {ttype} needs a path")
+            out[name] = mmdb_table(spark, path,
+                                   fields=tcfg.get("fields"))
+            continue
+        if ttype != "file":
             raise TopologyError(
-                f"enrichment table {name!r}: only 'file' tables are "
-                f"supported (mmdb loads via functions/mmdb.py)"
+                f"enrichment table {name!r}: unsupported type "
+                f"{ttype!r} (file, geoip, mmdb; the stream-writable "
+                f"'memory' table is streaming/memory_table.py)"
             )
         fcfg = tcfg.get("file") or {}
         enc = (fcfg.get("encoding") or {}).get("type", "csv")

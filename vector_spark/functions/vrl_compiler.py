@@ -1723,6 +1723,31 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
             )
         t = tables[req["table"]]
         out_col = f"__enrich_{i}"
+        if ("lo" in t.columns and "hi" in t.columns
+                and list(req["keys"]) == ["ip"]):
+            # geoip/mmdb RANGE table (src/enrichment_tables/geoip.rs,
+            # mmdb.rs: queried with an "ip" condition): containment
+            # join aton(ip) BETWEEN lo AND hi — broadcast, fact side
+            # unshuffled, the mmdb_enrich plan shape. MMDB ranges are
+            # disjoint by construction, so ≤1 match per event.
+            from vector_spark.functions.vrl import VRL_FUNCTIONS
+
+            aton = VRL_FUNCTIONS["ip_aton"]
+            data_cols = [c for c in t.columns if c not in ("lo", "hi")]
+            # backticked: mmdb-flattened names contain dots
+            rrow = F.struct(
+                *[F.col(f"`{c}`").alias(c) for c in data_cols])
+            tagged = t.select(
+                "lo", "hi",
+                (F.array(rrow) if req["multi"] else rrow)
+                .alias(out_col))
+            ipn = aton(req["keys"]["ip"].cast("string"))
+            df = df.join(
+                F.broadcast(tagged),
+                on=(ipn >= F.col("lo")) & (ipn <= F.col("hi")),
+                how="left",
+            ).drop("lo", "hi")
+            continue
         row = F.struct(*[F.col(c) for c in t.columns])
         key_cols = list(req["keys"])
         if req["multi"]:
