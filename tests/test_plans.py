@@ -247,3 +247,11 @@ def test_runtime_bloom_filter_injection_available(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app,
         )
+
+
+def test_vrl_codec_chain_zero_shuffle(spark):
+    """The r10 codec-chain roundtrip (zstd+lz4+snappy+gzip+AES-GCM)
+    rides the scan: Arrow-batched Python stages only, no Exchange."""
+    p = _plan(spark, "vrl_codec_chain_roundtrip")
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
