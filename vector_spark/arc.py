@@ -198,12 +198,25 @@ def send_all_adaptive(
 
     sent = 0
     workers = min(controller.max_concurrency_limit, 32)
+    # submission is BOUNDED: at most 2×workers bodies exist at once
+    # (queued + in flight), so a partition-sized stream of large batch
+    # bodies never materializes in memory — the serial path's
+    # one-batch-alive property, relaxed only by the pipeline depth
+    gate = threading.Semaphore(workers * 2)
+
+    def gated(body) -> None:
+        try:
+            run(body)
+        finally:
+            gate.release()
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = []
         for body in bodies:
             if first_error:
                 break
-            futures.append(pool.submit(run, body))
+            gate.acquire()
+            futures.append(pool.submit(gated, body))
             sent += 1
         for f in futures:
             f.result()

@@ -456,8 +456,15 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             )
             out = part if out is None else out.unionByName(part)
         for pat in cfg.get("exclude") or ():
-            out = out.where(~F.col("file").like(
-                pat.replace("*", "%").replace("?", "_")))
+            # input_file_name() yields a file:// URI; match the glob
+            # against the PATH part with fnmatch's regex translation
+            # (full-match; '*' crosses '/' like the reference's glob)
+            import fnmatch as _fnmatch
+
+            path_col = F.regexp_replace(
+                F.col("file"), r"^[a-z][a-z0-9+.-]*:(//)?", "")
+            out = out.where(
+                ~path_col.rlike(r"\A" + _fnmatch.translate(pat)))
         return out
     if stype == "stream_file":
         from vector_spark.streaming.pipeline import file_stream_source

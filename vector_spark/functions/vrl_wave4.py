@@ -1131,6 +1131,9 @@ def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Co
             key_b = _hchacha20(key_b, iv_b[:16])
             iv_b = b"\x00\x00\x00\x00" + iv_b[16:]
             alg = "CHACHA20-POLY1305"
+        if not alg.startswith("X") and (
+                iv_b is None or len(iv_b) != 12):
+            raise ValueError("CHACHA20-POLY1305 needs a 12-byte nonce")
     elif alg.startswith("AES-"):
         _, bits, mode_name = alg.split("-", 2)
         if len(key_b) * 8 != int(bits):
@@ -1138,6 +1141,13 @@ def _vrl_cipher(c: Column, algorithm, key, iv=None, *, encrypt_mode: bool) -> Co
         if mode_name not in ("GCM", "CTR", "CTR-BE", "CTR-LE",
                              "CFB", "OFB") + _CBC_PADDINGS:
             raise ValueError(f"unsupported AES mode {mode_name!r}")
+        # IV validated here too: a bad nonce inside the executor UDF
+        # would be swallowed into all-null output by the per-event
+        # fallible handler — that's for data errors, not program errors
+        want_iv = 12 if mode_name == "GCM" else 16
+        if iv_b is None or len(iv_b) != want_iv:
+            raise ValueError(
+                f"{alg} needs a {want_iv}-byte iv/nonce")
     else:
         raise ValueError(f"unsupported algorithm {alg!r}")
 

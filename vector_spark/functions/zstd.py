@@ -93,9 +93,15 @@ def decompress(data: bytes) -> bytes:
         fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
         pos += fcs_len  # size is informative; blocks carry the data
         while True:
+            if pos + 3 > len(data):
+                # without this a torn frame decodes the empty slice as
+                # header 0 (last=0, Raw, size 0) and loops forever
+                raise ValueError("truncated zstd block header")
             hdr = int.from_bytes(data[pos:pos + 3], "little")
             pos += 3
             last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if pos + (1 if btype == 1 else bsize) > len(data):
+                raise ValueError("truncated zstd block")
             if btype == 0:  # Raw
                 out += data[pos:pos + bsize]
                 pos += bsize

@@ -902,6 +902,12 @@ def aws_kinesis_sink(
                     pending = []
                     break
                 results = resp.get("Records", [])
+                if len(results) != len(pending):
+                    # malformed/truncated per-record array: zip would
+                    # silently drop (and mark sent) the unmatched tail
+                    # — retry the whole batch instead
+                    _time.sleep(0.2 * (2 ** attempt))
+                    continue
                 pending = [rec for rec, res in zip(pending, results)
                            if res.get("ErrorCode")]
                 if not pending:
@@ -991,6 +997,10 @@ def aws_kinesis_firehose_sink(
                     pending = []
                     break
                 results = resp.get("RequestResponses", [])
+                if len(results) != len(pending):
+                    # see PutRecords: never zip-drop a short response
+                    _time.sleep(0.2 * (2 ** attempt))
+                    continue
                 pending = [rec for rec, res in zip(pending, results)
                            if res.get("ErrorCode")]
                 if not pending:

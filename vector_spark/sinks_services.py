@@ -156,18 +156,26 @@ def _dispatch_bodies(bodies, url, headers, timeout_secs, retries,
             sent.add(n)
         return
 
+    import threading
+
     from vector_spark.arc import AdaptiveController, send_all_adaptive
 
     ctrl = AdaptiveController(
         concurrency=None if concurrency == "adaptive"
         else int(concurrency))
+    # Accumulator.add is a non-atomic read-modify-write — tally under
+    # a local lock across the worker threads, ONE add at the end
+    lock = threading.Lock()
+    total = [0]
 
     def send_one(item) -> None:
         body, n = item
         _http_send_once(url, body, headers, timeout_secs)
-        sent.add(n)
+        with lock:
+            total[0] += n
 
     send_all_adaptive(bodies, send_one, ctrl, _is_backpressure_error)
+    sent.add(total[0])
 
 
 def elasticsearch_sink(

@@ -271,6 +271,11 @@ def _http_listener(state: _ListenerState, host: str, port: int,
     # WAL + checkpoint is this engine's equivalent boundary).
     hec_ack = str(opts.get("hec.ack", "")).lower() in ("1", "true",
                                                        "yes", "on")
+    # max_pending_acks_per_channel (acknowledgements.rs: the reference
+    # bounds pending statuses and drops the OLDEST when full) — acked
+    # ids are monotonic per channel, so the bound is a min-id watermark
+    hec_max_pending = int(opts.get("hec.max_pending_acks_per_channel",
+                                   100_000))
     hec_lock = threading.Lock()
     hec_channels: dict[str, dict] = {}
 
@@ -355,7 +360,8 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                     try:
                         want = json.loads(
                             raw.decode("utf-8", "replace"))["acks"]
-                    except (ValueError, KeyError):
+                        want = [int(i) for i in want]
+                    except (ValueError, KeyError, TypeError):
                         return self._reject(400)
                     with hec_lock:
                         acked = hec_channels.get(
@@ -370,6 +376,10 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                     ack_id = ch["next"]
                     ch["next"] += 1
                     ch["acked"].add(ack_id)
+                    # bound pending statuses: drop the oldest, the
+                    # reference's max_pending_acks behavior
+                    while len(ch["acked"]) > hec_max_pending:
+                        ch["acked"].discard(min(ch["acked"]))
                 self._json_reply(
                     ok_code,
                     {"text": "Success", "code": 0, "ackId": ack_id})
@@ -407,13 +417,29 @@ def _http_listener(state: _ListenerState, host: str, port: int,
         def log_message(self, *args):  # quiet
             pass
 
-    srv = http.server.ThreadingHTTPServer((host, port), Handler)
-    if tls is not None:
-        # handshake happens lazily on the first read of each accepted
-        # connection (stdlib wrap with do_handshake_on_connect left
-        # default inside the per-connection handler thread)
-        srv.socket = tls.server_context().wrap_socket(
-            srv.socket, server_side=True)
+    if tls is None:
+        srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    else:
+        ctx = tls.server_context()
+
+        class _TlsServer(http.server.ThreadingHTTPServer):
+            """Wrap each ACCEPTED connection in its worker thread —
+            wrapping the listening socket would run the handshake
+            inside serve_forever's single accept loop, letting one
+            stalled client block all ingest (the same reasoning as
+            _accept_forever for the raw-TCP listeners)."""
+
+            def process_request_thread(self, request, client_address):
+                try:
+                    request.settimeout(10)
+                    request = ctx.wrap_socket(request, server_side=True)
+                    request.settimeout(None)
+                except (OSError, ValueError):
+                    request.close()
+                    return
+                super().process_request_thread(request, client_address)
+
+        srv = _TlsServer((host, port), Handler)
     ready.set()
     srv.serve_forever()
 
@@ -960,16 +986,26 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
         # WAL recovery may have restored entries; expose them all
         return {"seq": -1}
 
+    def _pad(self, entries: list[tuple]) -> list[tuple]:
+        """Schema migration for recovered WAL rows: the http schema
+        gained a 6th column (meta) — entries written by an older WAL
+        replay with the proto3-style default ("{}") instead of failing
+        the restart on row arity."""
+        if self.proto != "http":
+            return entries
+        return [e if len(e) >= 6 else (*e, "{}") for e in entries]
+
     def read(self, start: dict) -> tuple:
         self._ensure_listener()
-        entries = self.state.drain(start["seq"])
+        entries = self._pad(self.state.drain(start["seq"]))
         end = entries[-1][0] if entries else start["seq"]
         return iter(entries), {"seq": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # failure-recovery path — may run on a FRESH instance that never
         # listened: its __init__ WAL recovery holds the needed tail
-        return iter(self.state.drain(start["seq"], end["seq"]))
+        return iter(self._pad(
+            self.state.drain(start["seq"], end["seq"])))
 
     def commit(self, end: dict) -> None:
         self.state.prune(end["seq"])
