@@ -643,3 +643,16 @@ def test_lz4_xxh32_spec_vectors():
     assert _xxh32(b"") == 0x02CC5D05
     assert _xxh32(b"", seed=0x9E3779B1) == 0x36B78AE7
     assert _xxh32(b"Hello World") == 0xB1FD16EE
+
+
+def test_zstd_truncated_frames_raise():
+    """A torn frame must raise, not hang: the empty block-header slice
+    used to decode as last=0/Raw/size-0 and loop forever."""
+    from vector_spark.functions import zstd as z
+
+    whole = z.compress(b"x" * 1000)
+    for bad in (whole[:-3], whole[:-50],
+                b"\x28\xb5\x2f\xfd\x20\x05",  # header, no block
+                b"\x28\xb5\x2f\xfd"):
+        with pytest.raises(ValueError):
+            z.decompress(bad)
