@@ -77,6 +77,8 @@ def decompress(data: bytes) -> bytes:
         if data[pos:pos + 4] != ZSTD_MAGIC:
             raise ValueError("bad zstd magic")
         pos += 4
+        if pos >= len(data):
+            raise ValueError("truncated zstd frame header")
         desc = data[pos]
         pos += 1
         single_segment = bool(desc & 0x20)
