@@ -365,3 +365,31 @@ def test_otlp_grpc_trace_and_metrics_export():
         assert gauge["value"] == 21.5 and gauge["type"] == "gauge"
     finally:
         srv.close()
+
+
+def test_vector_sink_v2_grpc_push(spark):
+    """The v2 vector sink (src/sinks/vector/ config.rs V2) pushes
+    PushEventsRequest batches over gRPC to the repo's own
+    vector_grpc listener — sink and source pin each other."""
+    import json as _json
+
+    from vector_spark.sinks import vector_sink
+    from vector_spark.sources import _ListenerState
+    from vector_spark.sources_grpc import start_vector_grpc_listener
+
+    state = _ListenerState(None)
+    listener = start_vector_grpc_listener(state, "127.0.0.1", 0)
+    try:
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "msg string, n long"
+        ).coalesce(1)
+        sent = vector_sink(df, "127.0.0.1", listener.port,
+                           version=2, batch_max_events=2)
+    finally:
+        listener.close()
+    assert sent == 3
+    got = sorted(
+        (_json.loads(e[3])["msg"], _json.loads(e[3])["n"])
+        for e in state.drain(-1)
+    )
+    assert got == [("a", 1), ("b", 2), ("c", 3)]

@@ -1278,7 +1278,13 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             from vector_spark.sinks import vector_sink
 
             results[name] = {
-                "sent": vector_sink(df, cfg["host"], int(cfg["port"]))
+                "sent": vector_sink(
+                    df, *_host_port(cfg),
+                    version=int(cfg.get("version", 1)),
+                    tls=__import__(
+                        "vector_spark.tls", fromlist=["TlsSettings"]
+                    ).TlsSettings.from_config(cfg.get("tls")),
+                )
             }
         elif stype == "aws_cloudwatch_metrics":
             from vector_spark.sinks import aws_cloudwatch_metrics_sink

@@ -484,12 +484,25 @@ def vector_sink(
     host: str,
     port: int,
     timeout_secs: float = 10.0,
+    version: int = 1,
+    batch_max_events: int = 1000,
+    tls=None,
 ) -> int:
-    """vector-to-vector native push (src/sinks/vector/): each event row
-    becomes a native EventWrapper protobuf frame (functions/protowire.py)
-    with a 4-byte BE length prefix, one TCP connection per partition —
-    the v1 wire shape a `vector` source (ours or the reference's v1)
-    consumes. All columns of the row travel as event fields."""
+    """vector-to-vector native push (src/sinks/vector/).
+
+    ``version=1``: each event row becomes a native EventWrapper
+    protobuf frame (functions/protowire.py) with a 4-byte BE length
+    prefix, one TCP connection per partition — the v1 wire shape a
+    `vector` TCP source consumes.
+
+    ``version=2`` (the reference's current protocol, config.rs V2):
+    rows batch into PushEventsRequest protobufs sent as gRPC
+    `/vector.Vector/PushEvents` calls over the repo's HTTP/2 client —
+    the exact service our vector_grpc SOURCE serves, so the two halves
+    pin each other; ``tls`` wraps the client connection."""
+    if version == 2:
+        return _vector_sink_v2(df, host, port, timeout_secs,
+                               batch_max_events, tls)
     sent = df.sparkSession.sparkContext.accumulator(0)
     cols = df.columns
 
@@ -516,6 +529,51 @@ def vector_sink(
             if sock is not None:
                 sock.close()
         sent.add(n)
+
+    df.foreachPartition(send_partition)
+    return sent.value
+
+
+def _vector_sink_v2(df: DataFrame, host: str, port: int,
+                    timeout_secs: float, batch_max_events: int,
+                    tls) -> int:
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    cols = df.columns
+
+    def send_partition(rows) -> None:
+        from vector_spark.functions.protowire import (
+            encode_vector_log,
+            write_len_delim,
+        )
+        from vector_spark.sources_grpc import grpc_unary_call
+
+        batch: list[bytes] = []
+        n = 0
+
+        def flush() -> None:
+            nonlocal n
+            if not batch:
+                return
+            req = bytearray()
+            for wrapper in batch:  # PushEventsRequest.events = 1
+                write_len_delim(1, wrapper, req)
+            status, _body = grpc_unary_call(
+                host, port, "/vector.Vector/PushEvents",
+                [bytes(req)], timeout=timeout_secs, tls=tls)
+            if status != 0:
+                raise ConnectionError(
+                    f"PushEvents answered grpc-status {status}")
+            sent.add(n)
+            batch.clear()
+            n = 0
+
+        for row in rows:
+            batch.append(encode_vector_log(
+                {c: row[c] for c in cols if row[c] is not None}))
+            n += 1
+            if len(batch) >= batch_max_events:
+                flush()
+        flush()
 
     df.foreachPartition(send_partition)
     return sent.value
