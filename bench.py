@@ -90,6 +90,7 @@ HEADLINE = [
     "multimodal_audio_windows",
     # round-10 additions
     "vrl_codec_chain_roundtrip",
+    "multimodal_image_dhash",
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",

@@ -128,3 +128,69 @@ def test_audio_windows_rms_and_strict(spark):
     assert audio_windows(text_assets).count() == 0
     with _pytest.raises(Exception, match="WAV"):
         audio_windows(text_assets, strict=True).count()
+
+
+def test_image_dhash_matches_arithmetic(spark, documents):
+    """The REAL-decode difference hash equals the doc_id arithmetic
+    the generator was designed around (the oracle's math)."""
+    from vector_spark.dataops.multimodal import (
+        image_dhash,
+        synthesize_gradient_images,
+    )
+
+    rows = (
+        image_dhash(synthesize_gradient_images(documents.limit(64)))
+        .collect()
+    )
+    assert len(rows) == 64
+
+    def expect(i):
+        base, kx, ky = i % 256, 29 + 2 * (i % 100), 31 + 2 * (i % 90)
+        bits = ""
+        for y in range(8):
+            for x in range(8):
+                a = (base + x * kx + y * ky) % 256
+                b = (base + (x + 1) * kx + y * ky) % 256
+                bits += "1" if b > a else "0"
+        return bits
+
+    for r in rows:
+        want = expect(r.asset_id)
+        assert r.dhash_bits == want
+        assert r.dhash_hi == int(want[:32], 2)
+        assert r.dhash_lo == int(want[32:], 2)
+
+
+def test_image_near_dup_pairs_finds_injected_duplicates(spark):
+    """Banded hamming self-join over the dHash: injected exact and
+    one-bit-perturbed duplicates are found; unrelated gradients with
+    far hashes are not paired at a tight threshold."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+    from vector_spark.dataops.multimodal import (
+        ASSET_SCHEMA,
+        image_near_dup_pairs,
+    )
+
+    def grad(base, kx, ky, bump=None):
+        xs = np.arange(9, dtype=np.int64)[None, :]
+        ys = np.arange(8, dtype=np.int64)[:, None]
+        img = ((base + xs * kx + ys * ky) % 256).astype(np.uint8)
+        if bump:
+            y, x = bump
+            img[y, x] = (int(img[y, x]) + 128) % 256  # flip ~1 dhash bit
+        return mc.encode_png(img)
+
+    rows = [
+        (1, "image/png", grad(10, 33, 47), 9, 8, None),
+        (2, "image/png", grad(10, 33, 47), 9, 8, None),          # exact dup
+        (3, "image/png", grad(10, 33, 47, bump=(3, 4)), 9, 8, None),  # near
+        (4, "image/png", grad(200, 111, 93), 9, 8, None),        # unrelated
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup_pairs(assets, max_hamming=4).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 4
+    assert all(4 not in p for p in pairs)

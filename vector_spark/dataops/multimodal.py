@@ -419,3 +419,152 @@ def asset_metadata(assets: DataFrame) -> DataFrame:
         F.octet_length("data").cast("long").alias("n_bytes"),
         F.md5("data").alias("content_md5"),
     )
+
+
+# ---- image perceptual hashing (difference hash) ---------------------------
+
+def synthesize_gradient_images(docs: DataFrame,
+                               id_col: str = "doc_id",
+                               w: int = 9, h: int = 8) -> DataFrame:
+    """Deterministic STRUCTURED images for the dHash oracle: pixel
+    (x, y) = (base + x·kx + y·ky) mod 256 with base = doc_id % 256,
+    kx = 29 + 2·(doc_id % 100), ky = 31 + 2·(doc_id % 90) — large ODD
+    steps wrap mod 256 constantly, so adjacent-pixel comparisons give
+    dense, varied bit patterns (small steps made every hash all-ones),
+    while staying recomputable from doc_id arithmetic alone — the
+    synthesize_assets exact-feature stance. Default 9×8 so an 8×8
+    dHash needs no resampling."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in ASSET_SCHEMA.fields}
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                base = i % 256
+                kx, ky = 29 + 2 * (i % 100), 31 + 2 * (i % 90)
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                img = ((base + xs * kx + ys * ky) % 256).astype(np.uint8)
+                out["asset_id"].append(i)
+                out["media_type"].append("image/png")
+                out["data"].append(mc.encode_png(img))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_s"].append(None)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return docs.select(id_col).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("dhash_bits", StringType()),   # 64 chars of 0/1
+        StructField("dhash_hi", LongType()),        # bits 63..32
+        StructField("dhash_lo", LongType()),        # bits 31..0
+    ]
+)
+
+
+def image_dhash(assets: DataFrame, grid_w: int = 8,
+                grid_h: int = 8) -> DataFrame:
+    """Difference hash over REAL decoded pixels (pure-stdlib PNG/BMP
+    decode, media_codecs.py): sample a (grid_w+1)×grid_h luminance
+    grid (nearest-neighbor when the image isn't already that size),
+    bit(x, y) = p(x+1, y) > p(x, y), positions ordered y·grid_w + x.
+    Returns the bit string plus two 32-bit halves for LSH banding.
+    Non-image rows are dropped. Arrow-batched mapInPandas — the
+    binary column never enters a shuffle."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    gw, gh = grid_w, grid_h
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DHASH_SCHEMA.fields}
+            for aid, mt, data in zip(pdf["asset_id"], pdf["media_type"],
+                                     pdf["data"]):
+                if not str(mt).startswith("image/"):
+                    continue
+                try:
+                    img = (mc.decode_png(bytes(data))
+                           if str(mt).endswith("png")
+                           else mc.decode_bmp(bytes(data)))
+                except Exception:
+                    continue
+                if img.ndim == 3:  # RGB(A) → integer-mean luminance
+                    img = img[:, :, :3].mean(axis=2).astype(np.int64)
+                ih, iw = img.shape
+                xs = (np.arange(gw + 1) * iw) // (gw + 1)
+                ys = (np.arange(gh) * ih) // gh
+                grid = img[np.ix_(ys, xs)].astype(np.int64)
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint8)
+                flat = bits.reshape(-1)  # y-major, matching the oracle
+                val = 0
+                for b in flat:
+                    val = (val << 1) | int(b)
+                # flat[0] is the MOST significant of the 64 bits
+                out["asset_id"].append(int(aid))
+                out["dhash_bits"].append(
+                    "".join("1" if b else "0" for b in flat))
+                out["dhash_hi"].append(val >> 32)
+                out["dhash_lo"].append(val & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return assets.select("asset_id", "media_type", "data").mapInPandas(
+        fn, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 6,
+                         bands: int = 4) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash → split the 64
+    bits into ``bands`` equal substrings → candidates share ANY band
+    (banded LSH self-join, the SimHash shape: by pigeonhole a pair
+    within hamming ≤ bands-1 per band boundary always shares one) →
+    exact hamming verify ≤ max_hamming. Candidates carry only
+    (id, band, key) — the 100 TB discipline: pixel data and even the
+    full hash never transit the join."""
+    hashes = image_dhash(assets)
+    width = 64 // bands
+    sides = []
+    for side in ("a", "b"):
+        parts = hashes.select(
+            F.col("asset_id").alias(f"id_{side}"),
+            F.col("dhash_bits").alias(f"bits_{side}"),
+        )
+        sides.append(parts)
+    banded = None
+    for i in range(bands):
+        key = F.substring("dhash_bits", i * width + 1, width)
+        b = hashes.select(
+            "asset_id", F.lit(i).alias("band"), key.alias("key"))
+        banded = b if banded is None else banded.unionByName(b)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.asset_id") < F.col("y.asset_id")))
+        .select(F.col("x.asset_id").alias("id_a"),
+                F.col("y.asset_id").alias("id_b"))
+        .distinct()
+    )
+    # hamming via zip of the two bit strings
+    joined = cand.join(sides[0], "id_a").join(sides[1], "id_b")
+    ham = F.size(F.filter(
+        F.zip_with(F.split("bits_a", ""), F.split("bits_b", ""),
+                   lambda u, v: u != v),
+        lambda x: x,
+    ))
+    return (
+        joined.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2077,6 +2077,51 @@ FROM sess GROUP BY user_id, message_id
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over REAL decoded pixels: deterministic
+    9×8 wrapped-gradient PNGs (parameters from doc_id arithmetic —
+    synthesize_gradient_images' exact-oracle stance), decoded with the
+    pure-stdlib PNG reader, difference-hashed (bit = right pixel >
+    left pixel, y-major) into a 64-bit string + 32-bit halves for LSH
+    banding. The DuckDB oracle recomputes every bit from the modular
+    arithmetic without touching the binary — so the decode AND the
+    hash are value-verified end to end. image_near_dup_pairs builds
+    the banded hamming self-join on top (SimHash shape)."""
+    from vector_spark.dataops.multimodal import (
+        image_dhash,
+        synthesize_gradient_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_dhash(synthesize_gradient_images(docs))
+
+
+_ORACLE_IMAGE_DHASH = """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 256 AS base,
+         29 + 2*(doc_id % 100) AS kx,
+         31 + 2*(doc_id % 90) AS ky
+  FROM documents),
+grid AS (SELECT t1.x, t2.y FROM generate_series(0,7) t1(x),
+         generate_series(0,7) t2(y)),
+bits AS (
+  SELECT doc_id, y*8 + x AS pos,
+         CASE WHEN (base + (x+1)*kx + y*ky) % 256
+                   > (base + x*kx + y*ky) % 256 THEN 1 ELSE 0 END AS b
+  FROM g CROSS JOIN grid)
+SELECT doc_id AS asset_id,
+       STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY pos) AS dhash_bits,
+       CAST(SUM(CASE WHEN pos < 32
+                THEN b * CAST(POW(2, 31 - pos) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(SUM(CASE WHEN pos >= 32
+                THEN b * CAST(POW(2, 63 - pos) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits GROUP BY doc_id
+"""
+
+
 def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed roundtrip through the r10 pure-Python codec stack
     plus the crypto pair: props → zstd → lz4 → snappy → gzip (each
@@ -3179,6 +3224,9 @@ QUERIES: dict[str, QuerySpec] = {
     "vrl_codec_chain_roundtrip": QuerySpec(
         q_vrl_codec_chain, _ORACLE_VRL_CODEC_CHAIN,
         "zstd+lz4+snappy+gzip+AES-GCM roundtrip (r10 pure codecs)"),
+    "multimodal_image_dhash": QuerySpec(
+        q_image_dhash, _ORACLE_IMAGE_DHASH,
+        "real-decode perceptual dHash, arithmetic-exact oracle"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
@@ -6466,8 +6514,9 @@ WHERE ROUND(list_dot_product(a.embedding, b.embedding) /
 # sampled window.  Reorder so the entries the driver has NOT yet
 # value-checked come FIRST; relative order within each group is preserved.
 _DRIVER_PRIORITY = [
-    # new in r10 — the pure zstd/lz4/crypto stack end-to-end
-    "vrl_codec_chain_roundtrip",
+    # new in r10 — the pure zstd/lz4/crypto stack end-to-end + the
+    # real-decode perceptual image hash
+    "vrl_codec_chain_roundtrip", "multimodal_image_dhash",
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
