@@ -91,6 +91,7 @@ HEADLINE = [
     # round-10 additions
     "vrl_codec_chain_roundtrip",
     "multimodal_image_dhash",
+    "multimodal_audio_fingerprint",
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",

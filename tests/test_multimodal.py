@@ -194,3 +194,22 @@ def test_image_near_dup_pairs_finds_injected_duplicates(spark):
     assert pairs.get((1, 2)) == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 4
     assert all(4 not in p for p in pairs)
+
+
+def test_audio_fingerprint_matches_arithmetic(spark, documents):
+    """Window-energy fingerprint over real WAV decode equals the
+    generator's doc_id arithmetic (the oracle's math)."""
+    from vector_spark.dataops.multimodal import (
+        audio_fingerprint,
+        synthesize_window_audio,
+    )
+
+    rows = audio_fingerprint(
+        synthesize_window_audio(documents.limit(48))).collect()
+    assert len(rows) == 48
+    for r in rows:
+        want = "".join(
+            "1" if (50 + (r.asset_id + 17 * (w + 1)) % 900)
+                   > (50 + (r.asset_id + 17 * w) % 900) else "0"
+            for w in range(15))
+        assert r.fp_bits == want and r.n_windows == 16

@@ -568,3 +568,95 @@ def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 6,
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---- audio fingerprinting (window-energy delta hash) ----------------------
+
+def synthesize_window_audio(docs: DataFrame, id_col: str = "doc_id",
+                            windows: int = 16,
+                            window_samples: int = 128) -> DataFrame:
+    """Deterministic STRUCTURED audio for the fingerprint oracle: one
+    clip per row of ``windows`` back-to-back ±A_w square-wave windows
+    with A_w = 50 + (doc_id + 17·w) mod 900 — per-window mean |x| is
+    EXACTLY A_w (integers, alternating signs), so every fingerprint
+    bit is doc_id arithmetic an independent engine recomputes without
+    touching the binary (the synthesize_assets stance)."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in ASSET_SCHEMA.fields}
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                chunks = []
+                for w in range(windows):
+                    amp = 50 + (i + 17 * w) % 900
+                    chunks.append(np.tile(
+                        np.array([amp, -amp], dtype=np.int16),
+                        window_samples // 2))
+                samples = np.concatenate(chunks)
+                out["asset_id"].append(i)
+                out["media_type"].append("audio/wav")
+                out["data"].append(mc.encode_wav(8000, samples))
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_s"].append(len(samples) / 8000)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return docs.select(id_col).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("fp_bits", StringType()),  # windows-1 chars of 0/1
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(assets: DataFrame,
+                      windows: int = 16) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL decoded samples (the
+    pure-stdlib WAV reader): split the clip into ``windows`` equal
+    windows, per-window mean |amplitude|, bit w = energy(w+1) >
+    energy(w) — the shape of real acoustic fingerprints (Shazam-style
+    band-energy deltas) reduced to one band. Returns a windows-1 bit
+    string; pair near-duplicates with the same banded-hamming join as
+    image_near_dup_pairs. Non-audio rows drop; the binary column never
+    shuffles (mapInPandas)."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for aid, mt, data in zip(pdf["asset_id"], pdf["media_type"],
+                                     pdf["data"]):
+                if not str(mt).startswith("audio/"):
+                    continue
+                try:
+                    _rate, samples = mc.decode_wav(bytes(data))
+                except Exception:
+                    continue
+                n = (len(samples) // windows) * windows
+                if n == 0:
+                    continue
+                grid = np.abs(
+                    samples[:n].astype(np.int64)
+                ).reshape(windows, -1).mean(axis=1)
+                bits = "".join(
+                    "1" if grid[w + 1] > grid[w] else "0"
+                    for w in range(windows - 1))
+                out["asset_id"].append(int(aid))
+                out["fp_bits"].append(bits)
+                out["n_windows"].append(windows)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return assets.select("asset_id", "media_type", "data").mapInPandas(
+        fn, schema=AUDIO_FP_SCHEMA)

@@ -2122,6 +2122,36 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL decoded WAV samples:
+    deterministic 16-window square-wave clips (A_w = 50 + (doc_id +
+    17·w) mod 900 — per-window mean |x| is exactly A_w), so the DuckDB
+    oracle recomputes all 15 bits from doc_id arithmetic without
+    touching the binary."""
+    from vector_spark.dataops.multimodal import (
+        audio_fingerprint,
+        synthesize_window_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_fingerprint(synthesize_window_audio(docs))
+
+
+_ORACLE_AUDIO_FP = """
+WITH w AS (SELECT t.w FROM generate_series(0, 14) t(w)),
+bits AS (
+  SELECT doc_id, w,
+         CASE WHEN 50 + (doc_id + 17*(w+1)) % 900
+                   > 50 + (doc_id + 17*w) % 900
+              THEN 1 ELSE 0 END AS b
+  FROM documents CROSS JOIN w)
+SELECT doc_id AS asset_id,
+       STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY w) AS fp_bits,
+       CAST(16 AS INT) AS n_windows
+FROM bits GROUP BY doc_id
+"""
+
+
 def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed roundtrip through the r10 pure-Python codec stack
     plus the crypto pair: props → zstd → lz4 → snappy → gzip (each
@@ -3227,6 +3257,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_image_dhash": QuerySpec(
         q_image_dhash, _ORACLE_IMAGE_DHASH,
         "real-decode perceptual dHash, arithmetic-exact oracle"),
+    "multimodal_audio_fingerprint": QuerySpec(
+        q_audio_fingerprint, _ORACLE_AUDIO_FP,
+        "real-decode energy-delta audio fingerprint, exact oracle"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
@@ -6517,6 +6550,7 @@ _DRIVER_PRIORITY = [
     # new in r10 — the pure zstd/lz4/crypto stack end-to-end + the
     # real-decode perceptual image hash
     "vrl_codec_chain_roundtrip", "multimodal_image_dhash",
+    "multimodal_audio_fingerprint",
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
