@@ -92,6 +92,7 @@ HEADLINE = [
     "vrl_codec_chain_roundtrip",
     "multimodal_image_dhash",
     "multimodal_audio_fingerprint",
+    "multimodal_scene_changes",
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",

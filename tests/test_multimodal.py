@@ -213,3 +213,29 @@ def test_audio_fingerprint_matches_arithmetic(spark, documents):
                    > (50 + (r.asset_id + 17 * w) % 900) else "0"
             for w in range(15))
         assert r.fp_bits == want and r.n_windows == 16
+
+
+def test_scene_change_detection(spark, documents):
+    """Hard cuts land exactly where the generator put them; a
+    cut-free clip yields no boundaries."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+    from vector_spark.dataops.multimodal import (
+        ASSET_SCHEMA,
+        detect_scene_changes,
+        synthesize_jump_videos,
+    )
+
+    rows = detect_scene_changes(
+        synthesize_jump_videos(documents.limit(40))).collect()
+    assert len(rows) == 40  # exactly one cut per clip
+    for r in rows:
+        assert r.frame_index == 1 + r.asset_id % 11
+        assert r.ts_s == (1 + r.asset_id % 11) / 4.0
+
+    flat = mc.encode_mjpng(
+        [np.full((8, 8), 90, dtype=np.uint8) for _ in range(6)], 4)
+    assets = spark.createDataFrame(
+        [(1, "video/x-motion-png", flat, 8, 8, 1.5)], ASSET_SCHEMA)
+    assert detect_scene_changes(assets).count() == 0

@@ -660,3 +660,96 @@ def audio_fingerprint(assets: DataFrame,
 
     return assets.select("asset_id", "media_type", "data").mapInPandas(
         fn, schema=AUDIO_FP_SCHEMA)
+
+
+# ---- video scene-change detection -----------------------------------------
+
+def synthesize_jump_videos(docs: DataFrame, id_col: str = "doc_id",
+                           n_frames: int = 12,
+                           fps: int = 4) -> DataFrame:
+    """Deterministic videos with EXACTLY ONE hard cut for the
+    scene-change oracle: frames 0..jump-1 are constant pixel a =
+    doc_id % 128, frames jump.. are constant a + 64 + doc_id % 64
+    (no mod-256 wrap, so the single luma jump is 64..127 levels) with
+    jump = 1 + doc_id % (n_frames - 1) — the boundary position is pure
+    doc_id arithmetic."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in ASSET_SCHEMA.fields}
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                a = i % 128
+                b = a + 64 + i % 64
+                jump = 1 + i % (n_frames - 1)
+                frames = [
+                    np.full((8, 8), a if f < jump else b, dtype=np.uint8)
+                    for f in range(n_frames)
+                ]
+                out["asset_id"].append(i)
+                out["media_type"].append("video/x-motion-png")
+                out["data"].append(mc.encode_mjpng(frames, fps))
+                out["width"].append(8)
+                out["height"].append(8)
+                out["duration_s"].append(n_frames / fps)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return docs.select(id_col).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("ts_s", DoubleType()),
+        StructField("mean_delta", DoubleType()),
+    ]
+)
+
+
+def detect_scene_changes(assets: DataFrame,
+                         threshold: float = 0.1) -> DataFrame:
+    """Hard-cut (shot boundary) detection over REAL decoded frames:
+    per-frame luminance mean, a boundary wherever
+    |mean(f) - mean(f-1)| > threshold — the standard
+    luma-delta shot detector, emitting (asset_id, frame_index, ts_s,
+    mean_delta) per cut. The training-data use: split long videos at
+    cuts before frame sampling so clips are single-shot. Non-video
+    rows drop; decode is per-frame via the header-first container
+    offsets (mapInPandas, binary never shuffles)."""
+    import numpy as np
+
+    from vector_spark.dataops import media_codecs as mc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SCENE_SCHEMA.fields}
+            for aid, mt, data in zip(pdf["asset_id"], pdf["media_type"],
+                                     pdf["data"]):
+                if not str(mt).startswith("video/"):
+                    continue
+                try:
+                    raw = bytes(data)
+                    fps, spans = mc.mjpng_frame_offsets(raw)
+                except Exception:
+                    continue
+                prev = None
+                for f, (off, ln) in enumerate(spans):
+                    img = mc.decode_png(raw[off:off + ln])
+                    mean = float(np.asarray(img, dtype=np.float64).mean()
+                                 / 255.0)
+                    if prev is not None and abs(mean - prev) > threshold:
+                        out["asset_id"].append(int(aid))
+                        out["frame_index"].append(f)
+                        out["ts_s"].append(f / fps)
+                        out["mean_delta"].append(round(mean - prev, 6))
+                    prev = mean
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCENE_SCHEMA.fields])
+
+    return assets.select("asset_id", "media_type", "data").mapInPandas(
+        fn, schema=SCENE_SCHEMA)

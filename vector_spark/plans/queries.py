@@ -2152,6 +2152,31 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video frames:
+    deterministic single-cut clips (constant luma a = doc_id % 128
+    jumping by 64 + doc_id % 64 at frame 1 + doc_id % 11), so the
+    oracle knows the exact boundary, timestamp, and luma delta from
+    doc_id arithmetic. Frame means of constant 8×8 frames are exact
+    (64 identical values)."""
+    from vector_spark.dataops.multimodal import (
+        detect_scene_changes,
+        synthesize_jump_videos,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_scene_changes(synthesize_jump_videos(docs))
+
+
+_ORACLE_SCENES = """
+SELECT doc_id AS asset_id,
+       CAST(1 + doc_id % 11 AS INT) AS frame_index,
+       (1 + doc_id % 11) / 4.0 AS ts_s,
+       ROUND((64 + doc_id % 64) / 255.0, 6) AS mean_delta
+FROM documents
+"""
+
+
 def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed roundtrip through the r10 pure-Python codec stack
     plus the crypto pair: props → zstd → lz4 → snappy → gzip (each
@@ -3260,6 +3285,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_audio_fingerprint": QuerySpec(
         q_audio_fingerprint, _ORACLE_AUDIO_FP,
         "real-decode energy-delta audio fingerprint, exact oracle"),
+    "multimodal_scene_changes": QuerySpec(
+        q_scene_changes, _ORACLE_SCENES,
+        "real-decode shot-boundary detection, exact oracle"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
@@ -6550,7 +6578,7 @@ _DRIVER_PRIORITY = [
     # new in r10 — the pure zstd/lz4/crypto stack end-to-end + the
     # real-decode perceptual image hash
     "vrl_codec_chain_roundtrip", "multimodal_image_dhash",
-    "multimodal_audio_fingerprint",
+    "multimodal_audio_fingerprint", "multimodal_scene_changes",
     # new/changed in r9 — the two sink-codec roundtrips, the url_filter
     # scheme-less fallback (new fixture rows), and the lua v2
     # per-partition lifecycle rewrite
