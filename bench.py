@@ -88,16 +88,16 @@ HEADLINE = [
     "docs_temperature_mixture",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
-    # round-10 additions
-    "vrl_codec_chain_roundtrip",
-    "multimodal_image_dhash",
-    "multimodal_audio_fingerprint",
-    "multimodal_scene_changes",
     # round-9 additions
     "prometheus_rw_roundtrip",
     "datadog_series_v2_roundtrip",
     "datadog_trace_roundtrip",
     "influx_logs_roundtrip",
+    # round-10 additions
+    "vrl_codec_chain_roundtrip",
+    "multimodal_image_dhash",
+    "multimodal_audio_fingerprint",
+    "multimodal_scene_changes",
 ]
 
 
@@ -142,7 +142,9 @@ def main() -> None:
             n = df.count()  # forces full execution without collect transfer skew
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        timings[name] = round(best, 4)
+        # 3 digits: shrinks the JSON line so more receipts survive the
+        # driver recorder's head-truncation window
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # cold-build entries for the memoized queries (r4 verdict "what's
@@ -167,7 +169,7 @@ def main() -> None:
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        timings[cold_name] = round(best, 4)
+        timings[cold_name] = round(best, 3)
         print(
             f"# {cold_name}: {timings[cold_name]:.3f}s ({n} rows)",
             file=sys.stderr,
@@ -230,14 +232,17 @@ def main() -> None:
     big = spark.range(mult).select(F.col("id").alias("_rep")).crossJoin(ev)
     sustained_eps = round(n_events * mult / min_of(big, 3), 1)
 
-    # Key order matters: the driver's recorder has truncated the HEAD of
-    # this line three rounds running (r7-r9 artifacts' `tail` starts
-    # mid-key), so the most important keys go LAST — per-query timings
-    # first (reverse headline order: flagship tpch/vrl entries nearest
-    # the tail), then the headline scalars at the very end.
-    ordered_timings = {
-        k: timings[k] for k in reversed(list(timings.keys()))
-    }
+    # Key order matters: the driver's recorder truncates the HEAD of this
+    # line (r7-r10 artifacts' `tail` starts mid-key), so the most
+    # important keys go LAST. r10's blanket reversal got this backwards —
+    # it put the OLDEST headline entries nearest the tail and the newest
+    # round's receipts got eaten. Correct order: cold-build receipts
+    # first (oldest news), then HEADLINE in chronological-addition order
+    # (newest round's entries nearest the tail), then headline scalars
+    # at the very end. HEADLINE itself keeps per-round blocks appended
+    # chronologically for the same reason.
+    ordered_timings = {k: timings[k] for k in COLD}
+    ordered_timings.update((k, timings[k]) for k in HEADLINE)
     print(
         json.dumps(
             {

@@ -2193,6 +2193,9 @@ def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = V["decode_snappy"](V["encode_snappy"](c))
     c = V["decode_gzip"](V["encode_gzip"](c))
     key = b"0123456789abcdef0123456789abcdef"
+    # Fixed GCM nonce across all rows is for ORACLE DETERMINISM only
+    # (mirrors VRL's user-supplied-IV semantics): never reuse a GCM
+    # nonce under one key when confidentiality matters.
     iv = b"nonce-12byte"
     c = V["decrypt"](V["encrypt"](c, "AES-256-GCM", key, iv),
                      "AES-256-GCM", key, iv)
