@@ -2206,6 +2206,77 @@ _ORACLE_VRL_CODEC_CHAIN = """
 SELECT event_id, props AS roundtrip FROM events
 """
 
+# Entropy-coded zstd fixtures: REAL `zstd` CLI frames (levels 1/3/9/19,
+# some --no-check) whose plaintexts are pure doc_id arithmetic, so the
+# oracle recomputes them without any zstd. Rows 0-15 exercise
+# Compressed blocks with predefined-FSE sequences; rows 16-19 are
+# non-periodic digit streams whose literals are Huffman-coded with an
+# FSE-compressed tree (littype=2) — the full RFC 8878 §4 path.
+_ZSTD_ENTROPY_FIXTURES = [
+    "KLUv/QBI1QAAmGxvZyBsaW5lIDAgcGF5bG9hZDsBAMVZNcM=",
+    "KLUv/QRY1QAAmGxvZyBsaW5lIDEgcGF5bG9hZDsBAMVZNcOoEg43",
+    "KLUv/QRo1QAAmGxvZyBsaW5lIDIgcGF5bG9hZDsBAMVZNcM1yEBT",
+    "KLUv/QRg1QAAmGxvZyBsaW5lIDMgcGF5bG9hZDsBAMVZNcOk5IbW",
+    "KLUv/QRI1QAAmGxvZyBsaW5lIDQgcGF5bG9hZDsBAMVZNcPJGgwU",
+    "KLUv/QBY1QAAmGxvZyBsaW5lIDUgcGF5bG9hZDsBAMVZNcM=",
+    "KLUv/QRo1QAAmGxvZyBsaW5lIDYgcGF5bG9hZDsBAMVZNcPBIGv+",
+    "KLUv/QRg1QAAmGxvZyBsaW5lIDcgcGF5bG9hZDsBAMVZNcP1cRlL",
+    "KLUv/QRI1QAAmGxvZyBsaW5lIDggcGF5bG9hZDsBAMVZNcNp0PMN",
+    "KLUv/QRY1QAAmGxvZyBsaW5lIDkgcGF5bG9hZDsBAMVZNcO/VidO",
+    "KLUv/QBo3QAAoGxvZyBsaW5lIDEwIHBheWxvYWQ7AQASXjWZ",
+    "KLUv/QRg3QAAoGxvZyBsaW5lIDExIHBheWxvYWQ7AQASXjWZ0OBVqA==",
+    "KLUv/QRI3QAAoGxvZyBsaW5lIDEyIHBheWxvYWQ7AQASXjWZwKCRYA==",
+    "KLUv/QRY3QAAoGxvZyBsaW5lIDEzIHBheWxvYWQ7AQASXjWZ7nOstA==",
+    "KLUv/QRo3QAAoGxvZyBsaW5lIDE0IHBheWxvYWQ7AQASXjWZa9Ps7Q==",
+    "KLUv/QBg3QAAoGxvZyBsaW5lIDE1IHBheWxvYWQ7AQASXjWZ",
+    "KLUv/QRY5QEAckULCMB3JGFkGeCcQlE2irOhEoqN+4ZogA/Olq+"
+    "/dtjg099d7DFOGEn09SwUUrDHAwDyZFBQU8CVrJgBBpkzwg==",
+    "KLUv/QRo3QEAEkYMCMB3pEiGrYpn1tZRCBSabvLvEBm7vjJ5Rtg"
+    "KqMt5M/TavYI+LxdBLWXGmvRdOZHwHwEAIT2phihMFou7",
+    "KLUv/QRI5QEAosULCcAVB2wsQ1Y9JQE6nY1bzAskIlW65CsHweP"
+    "3oqkjW8JNY/7jgGH1ZM0m7AsRqQQCANCToYYAuCEK7rBcCA==",
+    "KLUv/QRg5QEAwsULCMB3RKRIGuDgrOGVbVs9uPQXpsaQWPqRGIG"
+    "gZmXA/ydMShcEmpB5xdtsouBEx+4CANOTQbmmgoICV7ul4w==",
+]
+
+
+def q_zstd_entropy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_zstd over REAL entropy-coded zstd frames (RFC 8878 §4:
+    Huffman-compressed literals with FSE-compressed trees, FSE-coded
+    sequences) produced by the zstd CLI — the r11 compressed-block
+    decoder's oracle arm (functions/zstd.py used to reject these;
+    reference parity: lib/codecs decompresses zstd on the source
+    side). Fixtures are embedded and deterministic; plaintexts are
+    pure doc_id arithmetic so DuckDB recomputes every byte without
+    touching zstd."""
+    import base64
+
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+
+    rows = [(i, bytearray(base64.b64decode(b)))
+            for i, b in enumerate(_ZSTD_ENTROPY_FIXTURES)]
+    df = spark.createDataFrame(rows, "doc_id long, frame binary")
+    return df.select(
+        "doc_id",
+        V["decode_zstd"](F.col("frame")).cast("string").alias("decoded"),
+    )
+
+
+_ORACLE_ZSTD_ENTROPY = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS doc_id FROM range(20))
+SELECT doc_id,
+       CASE WHEN doc_id < 16
+            THEN repeat('log line ' || CAST(doc_id AS VARCHAR)
+                        || ' payload;', 40)
+            ELSE (SELECT string_agg(
+                      CAST((doc_id + 1) * (j + 13) * (j + 7) % 97 % 10
+                           AS VARCHAR), '' ORDER BY j)
+                  FROM (SELECT CAST(range AS BIGINT) AS j
+                        FROM range(600)) t)
+       END AS decoded
+FROM ids
+"""
+
 
 def q_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trip: encode events as RFC3164-ish syslog lines
@@ -3279,6 +3350,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_log_to_metric": QuerySpec(q_pipeline_log_to_metric, _ORACLE_PIPE_L2M, "log_to_metric→aggregate"),
     "line_agg_multiline": QuerySpec(q_line_agg, _ORACLE_LINE_AGG, "multiline line_agg"),
     "syslog_roundtrip": QuerySpec(q_syslog_roundtrip, _ORACLE_SYSLOG, "syslog encode+parse"),
+    "zstd_entropy_decode": QuerySpec(
+        q_zstd_entropy_decode, _ORACLE_ZSTD_ENTROPY,
+        "decode_zstd of real CLI entropy-coded frames (FSE+Huffman)"),
     "vrl_codec_chain_roundtrip": QuerySpec(
         q_vrl_codec_chain, _ORACLE_VRL_CODEC_CHAIN,
         "zstd+lz4+snappy+gzip+AES-GCM roundtrip (r10 pure codecs)"),
