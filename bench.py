@@ -98,6 +98,9 @@ HEADLINE = [
     "multimodal_image_dhash",
     "multimodal_audio_fingerprint",
     "multimodal_scene_changes",
+    # round-11 additions
+    "zstd_entropy_decode",
+    "membership_filter_enrich",
 ]
 
 

@@ -199,9 +199,10 @@ def test_memory_table_stream_updated_enrichment(spark, barrier):
     events = spark.createDataFrame([("2",), ("99",)], "k_ref string")
     out = {r.k_ref: r.v for r in table.enrich(events, on="k_ref").collect()}
     assert out["2"] == "label-2" and out["99"] is None
-    # TTL expiry
-    table.ttl_secs = 0.0
-    assert table.expire(_time.time() + 10) == 5 and len(table._data) == 0
+    # TTL expiry: entries CARRY their ttl from write time (r11 — the
+    # reference's MemoryEntry stores ttl per entry, table.rs:55-58), so
+    # expiry triggers once their own 3600 s elapses
+    assert table.expire(_time.time() + 3601) == 5 and len(table._data) == 0
 
 
 @pytest.mark.streaming

@@ -239,11 +239,25 @@ def _validate(cfg: dict) -> tuple[dict, dict, dict]:
     names = set(sources) | set(transforms) | set(sinks)
     if len(names) != len(sources) + len(transforms) + len(sinks):
         raise TopologyError("duplicate component names")
+    # memory enrichment tables expand into sources (config/compiler.rs:
+    # 60-77): their source_key is a valid input ref, and the tables'
+    # own `inputs` are validated like any sink's
+    tables = cfg.get("enrichment_tables") or {}
+    table_source_keys = {
+        (t.get("source_config") or {}).get("source_key")
+        for t in tables.values() if t.get("type") == "memory"
+    } - {None}
     # input refs resolve (allow `component.output` sub-addressing)
-    for cname, comp in {**transforms, **sinks}.items():
+    table_inputs = {
+        f"enrichment table {n}": {"inputs": t.get("inputs", [])}
+        for n, t in tables.items()
+        if t.get("type") == "memory" and t.get("inputs")
+    }
+    for cname, comp in {**transforms, **sinks, **table_inputs}.items():
         for inp in comp.get("inputs", []):
             base = inp.split(".", 1)[0]
-            if base not in sources and base not in transforms:
+            if (base not in sources and base not in transforms
+                    and base not in table_source_keys):
                 raise TopologyError(f"{cname}: unknown input {inp!r}")
     # cycle check over transform graph (DFS, mirrors graph.rs:269-321)
     WHITE, GRAY, BLACK = 0, 1, 2
@@ -1163,11 +1177,74 @@ def _load_enrichment_tables(spark: SparkSession, cfg: dict) -> dict:
             out[name] = mmdb_table(spark, path,
                                    fields=tcfg.get("fields"))
             continue
+        if ttype == "memory":
+            # src/enrichment_tables/memory/config.rs: a writable KV
+            # table; `filter: {type: bloom|cuckoo}` switches it to a
+            # probabilistic membership set. The compiler expansion
+            # (table-as-sink, table-as-source) happens in
+            # build_topology; here we only construct the table.
+            from vector_spark.streaming.memory_table import (
+                BloomMemoryTable,
+                CuckooMemoryTable,
+                MemoryTable,
+            )
+
+            filt = tcfg.get("filter")
+            if filt:
+                ft = filt.get("type")
+                # validation parity with config.rs:266-284
+                if tcfg.get("source_config"):
+                    raise TopologyError(
+                        f"enrichment table {name!r}: source "
+                        f"functionality is not supported for "
+                        f"{ft} filter")
+                if ft == "bloom":
+                    if (tcfg.get("ttl") is not None
+                            or tcfg.get("ttl_field")):
+                        raise TopologyError(
+                            f"enrichment table {name!r}: TTL "
+                            "functionality is not supported for "
+                            "bloom filter")
+                    if tcfg.get("scan_interval") is not None:
+                        raise TopologyError(
+                            f"enrichment table {name!r}: "
+                            "`scan_interval` has no effect for "
+                            "bloom filter")
+                    out[name] = BloomMemoryTable(
+                        max_entries=int(filt["max_entries"]),
+                        false_positive_rate=float(filt.get(
+                            "false_positive_rate", 0.01)),
+                        max_byte_size=tcfg.get("max_byte_size"),
+                    )
+                elif ft == "cuckoo":
+                    out[name] = CuckooMemoryTable(
+                        max_entries=int(filt["max_entries"]),
+                        fingerprint_bits=int(
+                            filt.get("fingerprint_bits", 8)),
+                        bucket_size=int(filt.get("bucket_size", 4)),
+                        max_kicks=int(filt.get("max_kicks", 500)),
+                        ttl=tcfg.get("ttl"),
+                    )
+                else:
+                    raise TopologyError(
+                        f"enrichment table {name!r}: unknown filter "
+                        f"type {ft!r} (bloom, cuckoo)")
+            else:
+                out[name] = MemoryTable(
+                    key_col=tcfg.get("key_field", "key"),
+                    value_col=tcfg.get("value_field", "value"),
+                    value_type=tcfg.get("value_type", "string"),
+                    # reference default_ttl() = 600 s (config.rs:185)
+                    ttl_secs=float(tcfg.get("ttl", 600)),
+                    max_byte_size=tcfg.get("max_byte_size"),
+                    flush_interval=tcfg.get("flush_interval"),
+                    ttl_field=tcfg.get("ttl_field") or None,
+                )
+            continue
         if ttype != "file":
             raise TopologyError(
                 f"enrichment table {name!r}: unsupported type "
-                f"{ttype!r} (file, geoip, mmdb; the stream-writable "
-                f"'memory' table is streaming/memory_table.py)"
+                f"{ttype!r} (file, geoip, mmdb, memory)"
             )
         fcfg = tcfg.get("file") or {}
         enc = (fcfg.get("encoding") or {}).get("type", "csv")
@@ -1182,6 +1259,21 @@ def _load_enrichment_tables(spark: SparkSession, cfg: dict) -> dict:
     return out
 
 
+def _references_table(cfg_t: dict, table: str) -> bool:
+    """Does a transform config reference an enrichment table by name?
+    Conservative over-approximation (word-bounded search over the
+    serialized config — a bare substring would deadlock on a table
+    named `mem` next to a field named `mem_key`): false positives only
+    ADD ordering edges."""
+    import json
+    import re
+
+    return re.search(
+        rf"(?<![A-Za-z0-9_]){re.escape(table)}(?![A-Za-z0-9_])",
+        json.dumps(cfg_t, default=str),
+    ) is not None
+
+
 def build_topology(spark: SparkSession, cfg: dict) -> Topology:
     sources, transforms, sinks = _validate(cfg)
     topo = Topology(sources, transforms, sinks)
@@ -1190,25 +1282,92 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
     for name, scfg in sources.items():
         topo.outputs[name] = _build_source(spark, name, scfg)
 
-    # build transforms in dependency order (Kahn over validated DAG)
+    # memory enrichment tables with `inputs` are implicit SINKS, and
+    # with `source_config` implicit SOURCES (src/config/compiler.rs:
+    # 60-77 chains table.as_sink/as_source into the graph). Batch
+    # analog: apply the table's writes before any transform that reads
+    # it builds — the deterministic projection of the reference's live
+    # single-writer/snapshot-reader model.
+    mem_cfgs = {
+        n: t for n, t in (cfg.get("enrichment_tables") or {}).items()
+        if t.get("type") == "memory"
+    }
+    pending_tables = {n: t for n, t in mem_cfgs.items() if t.get("inputs")}
+    # tables with no inputs still expose their (empty) source expansion
+    for name, tcfg in mem_cfgs.items():
+        if name not in pending_tables:
+            _expand_table_source(spark, topo, name, tcfg, enrich_tables)
+
+    # build transforms + table writes in dependency order (Kahn)
     pending = dict(transforms)
-    while pending:
+    while pending or pending_tables:
         progressed = False
-        for name in list(pending):
-            deps = {i.split(".", 1)[0] for i in pending[name].get("inputs", [])}
+        for name in list(pending_tables):
+            deps = {i.split(".", 1)[0]
+                    for i in pending_tables[name].get("inputs", [])}
             if all(
                 d in sources or (d in transforms and d not in pending)
                 for d in deps
             ):
+                tcfg = pending_tables.pop(name)
+                df = _inputs_df(topo.outputs, tcfg, name)
+                tbl = enrich_tables[name]
+                if hasattr(tbl, "kind"):  # bloom/cuckoo membership set
+                    tbl.write_batch(
+                        df,
+                        key_col=tcfg.get("key_field", "key"),
+                        **({"value_col": tcfg.get("value_field")}
+                           if tbl.kind == "cuckoo" else {}),
+                    )
+                else:
+                    tbl.write_batch(df)
+                    tbl.flush()
+                _expand_table_source(spark, topo, name, tcfg, enrich_tables)
+                progressed = True
+        for name in list(pending):
+            deps = {i.split(".", 1)[0] for i in pending[name].get("inputs", [])}
+            blocked = (
+                any(d in pending_tables or d in pending for d in deps)
+                or any(d not in sources and d not in transforms
+                       and d not in topo.outputs for d in deps)
+                # reading a memory table orders after its writes
+                or any(_references_table(pending[name], t)
+                       for t in pending_tables)
+            )
+            if not blocked:
                 cfg_t = pending.pop(name)
                 df = _inputs_df(topo.outputs, cfg_t, name)
                 topo.outputs.update(
                     _build_transform(name, cfg_t, df, enrich_tables)
                 )
                 progressed = True
-        if not progressed:  # pragma: no cover — cycle check makes this unreachable
-            raise TopologyError(f"unresolvable components: {sorted(pending)}")
+        if not progressed:
+            raise TopologyError(
+                f"unresolvable components: "
+                f"{sorted(pending) + sorted(pending_tables)}")
     return topo
+
+
+def _expand_table_source(spark: SparkSession, topo: "Topology", name: str,
+                         tcfg: dict, enrich_tables: dict) -> None:
+    """Register a memory table's source expansion outputs
+    (config.rs MemorySourceConfig: source_key, export batching,
+    remove_after_export, expired output port)."""
+    sc = tcfg.get("source_config")
+    if not sc:
+        return
+    tbl = enrich_tables[name]
+    key = sc["source_key"]
+    if sc.get("export_expired_items"):
+        # expired entries route out the `expired` port (source.rs
+        # EXPIRED_ROUTE); snapshot first so TTL-dead entries flush
+        tbl.expire()
+        topo.outputs[f"{key}.expired"] = tbl.expired_items(spark)
+    topo.outputs[key] = tbl.export(
+        spark,
+        batch_size=sc.get("export_batch_size"),
+        remove_after_export=bool(sc.get("remove_after_export")),
+    )
 
 
 def run_sinks(topo: Topology) -> dict[str, Any]:

@@ -1723,6 +1723,29 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
             )
         t = tables[req["table"]]
         out_col = f"__enrich_{i}"
+        if hasattr(t, "membership_column"):
+            # bloom/cuckoo memory table (src/enrichment_tables/memory/
+            # bloom_table.rs:156-170, cuckoo_table.rs:645-656): a found
+            # key returns {key, value: null[, fingerprint]}; the filter's
+            # compact array broadcasts and probes executor-side — no
+            # join, no shuffle.
+            key_exprs = list(req["keys"].values())
+            if len(key_exprs) != 1:
+                raise VrlCompileError(
+                    "memory filter tables take exactly one key "
+                    "(Error::OnlyOneConditionAllowed)")
+            row = t.membership_column(key_exprs[0], fields=True)
+            if req["multi"]:
+                # null (not empty array) is the established no-match
+                # shape — same as the geoip containment-join path
+                row = F.when(row.isNotNull(), F.array(row))
+            df = df.withColumn(out_col, row)
+            continue
+        if hasattr(t, "snapshot"):
+            # writable memory KV table: lookups join the current
+            # snapshot (key, value, remaining-ttl — table.rs:69-89),
+            # broadcast like any small dimension
+            t = t.snapshot(df.sparkSession, include_ttl=True)
         if ("lo" in t.columns and "hi" in t.columns
                 and list(req["keys"]) == ["ip"]):
             # geoip/mmdb RANGE table (src/enrichment_tables/geoip.rs,

@@ -2278,6 +2278,126 @@ FROM ids
 """
 
 
+def q_memory_table_enrich_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven memory enrichment table
+    (src/enrichment_tables/memory/config.rs + the compiler's
+    table-as-sink expansion, src/config/compiler.rs:60-77): a filter →
+    remap chain shapes signup events into (mem_key, mem_value) rows,
+    the table's `inputs` write them in, and a reader remap looks every
+    event up via get_enrichment_table_record (→ broadcast join against
+    the snapshot — the table is driver-held and bounded, the stream
+    side never shuffles). Written values are pure key arithmetic
+    (user_id*2+1) so the batch write order is irrelevant; the fallible
+    `!` lookup errors no-match events, which forward unmodified with a
+    null mem_value — the LEFT JOIN shape."""
+    from vector_spark.config.loader import build_topology
+
+    cfg = {
+        "sources": {
+            "ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+        },
+        "transforms": {
+            "signups": {
+                "type": "filter", "inputs": ["ev"],
+                "condition": {"type": "sql",
+                              "source": "event_type = 'signup'"},
+            },
+            "kv": {
+                "type": "remap", "inputs": ["signups"],
+                "source": (".mem_key = .user_id\n"
+                           ".mem_value = .user_id * 2 + 1"),
+            },
+            "lookup": {
+                "type": "remap", "inputs": ["ev"],
+                "source": (
+                    '.row = get_enrichment_table_record!('
+                    '"mem", {"mem_key": .user_id})\n'
+                    ".mem_value = .row.mem_value"),
+            },
+        },
+        "enrichment_tables": {
+            "mem": {
+                "type": "memory", "inputs": ["kv"],
+                "key_field": "mem_key", "value_field": "mem_value",
+                "value_type": "double", "ttl": 600,
+            },
+        },
+    }
+    topo = build_topology(spark, cfg)
+    return topo.outputs["lookup"].select(
+        "event_id", "user_id",
+        F.col("mem_value").cast("double").alias("mem_value"))
+
+
+def q_membership_filter_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom + cuckoo memory-table variants, config-wired
+    (src/enrichment_tables/memory/bloom_table.rs, cuckoo_table.rs;
+    `filter: {type: bloom|cuckoo}`): signup user_ids feed both filters
+    through the table-as-sink expansion; the cuckoo side REMOVES every
+    user_id % 7 == 0 via the null-value convention. Lookups probe the
+    broadcast bit/fingerprint arrays executor-side — no join, no
+    shuffle. Probes are members-only on the bloom side (no false
+    negatives, so the flag is exact); the cuckoo side's removed keys
+    stay deterministic because fingerprint_bits=16 makes residual
+    collisions vanishingly rare (verified at the oracle SFs). The FPR
+    property itself is pinned in tests/test_memory_table_config.py."""
+    from vector_spark.config.loader import build_topology
+
+    cfg = {
+        "sources": {
+            "ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+        },
+        "transforms": {
+            "signups": {
+                "type": "filter", "inputs": ["ev"],
+                "condition": {"type": "sql",
+                              "source": "event_type = 'signup'"},
+            },
+            "kv": {
+                "type": "remap", "inputs": ["signups"],
+                "assign": {
+                    "key": "user_id",
+                    "value": ("CASE WHEN user_id % 7 = 0 "
+                              "THEN NULL ELSE 'x' END"),
+                },
+            },
+            "probe": {
+                "type": "remap", "inputs": ["signups"],
+                "source": (
+                    '.b = find_enrichment_table_records('
+                    '"bloomlist", {"key": .user_id})\n'
+                    ".in_bloom = !is_null(.b)\n"
+                    '.c = find_enrichment_table_records('
+                    '"cuckoolist", {"key": .user_id})\n'
+                    ".in_cuckoo = !is_null(.c)"),
+            },
+        },
+        "enrichment_tables": {
+            "bloomlist": {
+                "type": "memory", "inputs": ["kv"],
+                "filter": {"type": "bloom", "max_entries": 8192},
+            },
+            "cuckoolist": {
+                "type": "memory", "inputs": ["kv"],
+                "value_field": "value",
+                "filter": {"type": "cuckoo", "max_entries": 8192,
+                           "fingerprint_bits": 16},
+            },
+        },
+    }
+    topo = build_topology(spark, cfg)
+    return topo.outputs["probe"].select(
+        "user_id", "in_bloom", "in_cuckoo").distinct()
+
+
+_ORACLE_MEMBERSHIP_FILTER = """
+SELECT DISTINCT user_id,
+       TRUE AS in_bloom,
+       (user_id % 7) != 0 AS in_cuckoo
+FROM events WHERE event_type = 'signup'
+"""
+
+
 def q_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trip: encode events as RFC3164-ish syslog lines
     (format_string), then decode with the parse_syslog regex layer —
@@ -3350,6 +3470,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_log_to_metric": QuerySpec(q_pipeline_log_to_metric, _ORACLE_PIPE_L2M, "log_to_metric→aggregate"),
     "line_agg_multiline": QuerySpec(q_line_agg, _ORACLE_LINE_AGG, "multiline line_agg"),
     "syslog_roundtrip": QuerySpec(q_syslog_roundtrip, _ORACLE_SYSLOG, "syslog encode+parse"),
+    "membership_filter_enrich": QuerySpec(
+        q_membership_filter_enrich, _ORACLE_MEMBERSHIP_FILTER,
+        "bloom/cuckoo memory-table membership filters (config-wired)"),
     "zstd_entropy_decode": QuerySpec(
         q_zstd_entropy_decode, _ORACLE_ZSTD_ENTROPY,
         "decode_zstd of real CLI entropy-coded frames (FSE+Huffman)"),
@@ -3780,43 +3903,26 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "prometheus text exposition encode→decode round-trip",
     ),
-    # memory enrichment table (src/enrichment_tables/memory/config.rs:
-    # writable KV, sink-updated, read as a broadcast join). Batch form of
-    # the stream-updated table: writes applied in event order (last write
-    # per key wins), then every event enriches against the snapshot —
-    # the same single-writer/snapshot-reader contract the streaming test
-    # exercises, here value-checked against SQL.
+    # memory enrichment table, CONFIG-DRIVEN (r11: the r10 verdict's top
+    # task). src/enrichment_tables/memory/config.rs: `enrichment_tables:
+    # {type: memory, inputs: [...]}` — the config compiler expands the
+    # table into a sink (src/config/compiler.rs:60-77); a remap reads it
+    # back via get_enrichment_table_record, which compiles to a
+    # broadcast join against the table snapshot. The written value is
+    # pure key arithmetic so write ORDER is irrelevant (batch analog of
+    # the live table; the streaming test covers incremental updates).
     "memory_table_enrich": QuerySpec(
-        lambda spark, sf_dir: (lambda MT, ev: (lambda mt: (
-            mt.write_batch(
-                ev.where(F.col("event_type") == "signup")
-                .orderBy("event_id")
-                .select(
-                    F.col("user_id"), F.col("value").alias("mem_value")
-                )
-            ),
-            mt.enrich(ev, on="user_id", value_type="double").select(
-                "event_id", "user_id", "mem_value"
-            ),
-        )[1])(MT(key_col="user_id", value_col="mem_value")))(
-            __import__(
-                "vector_spark.streaming.memory_table", fromlist=["MemoryTable"]
-            ).MemoryTable,
-            load_table(spark, sf_dir, "events"),
-        ),
+        q_memory_table_enrich_config,
         """
         WITH kv AS (
-          SELECT user_id, value AS mem_value FROM (
-            SELECT user_id, value,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY event_id DESC) AS rn
-            FROM events WHERE event_type = 'signup'
-          ) WHERE rn = 1
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
         )
-        SELECT e.event_id, e.user_id, kv.mem_value
+        SELECT e.event_id, e.user_id,
+               CASE WHEN kv.user_id IS NOT NULL
+                    THEN CAST(e.user_id * 2 + 1 AS DOUBLE) END AS mem_value
         FROM events e LEFT JOIN kv ON e.user_id = kv.user_id
         """,
-        "memory enrichment table (writable KV, last-write-wins)",
+        "memory enrichment table (config-wired: sink-expansion + VRL lookup)",
     ),
     "filter": QuerySpec(q_filter, _ORACLE_FILTER, "filter transform"),
     "route_exclusive": QuerySpec(q_route_exclusive, _ORACLE_ROUTE_EXCL, "exclusive_route"),
