@@ -126,10 +126,13 @@ def test_unsupported_constructs_fail_loudly():
     for src in (
         "function f(...) end",
         "goto done",  # parses as call-less name -> syntax error
-        'x = string.find("abc", "%a")',  # patterns unsupported
     ):
         with pytest.raises(li.LuaError):
             run_chunk(src)
+    # patterns are REAL since r11 (lua_patterns.py) — no longer a
+    # loud-error construct
+    env = run_chunk('x = string.find("abc", "%a")')
+    assert env.get("x") == 1
 
 
 def test_runtime_errors_name_the_site():

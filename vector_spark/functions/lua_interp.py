@@ -23,15 +23,18 @@ Supported subset (enough for hook-style event programs):
   return values (truncated/expanded per Lua rules at call boundaries)
 - stdlib: the small pure slice hook programs use — `tostring`,
   `tonumber`, `type`, `pairs`, `ipairs`, `print` (collected, not
-  printed), `string.format/len/sub/upper/lower/rep/find(plain)`,
+  printed), `string.format/len/sub/upper/lower/rep/byte/char/reverse`
+  plus REAL Lua 5.4 patterns in `string.find/match/gmatch/gsub`
+  (r11, clean-room matcher in functions/lua_patterns.py — classes,
+  sets, quantifiers incl. lazy `-`, anchors, captures/position
+  captures, back-references, `%b`, `%f`),
   `table.insert/remove/concat`, `math.floor/ceil/abs/max/min/huge`,
   `os.time` (gated: deterministic only if the host passes a clock)
 
 NOT supported (raise LuaError at parse/run time rather than
-mis-executing): goto/labels, metatables, coroutines, string patterns,
-io/os beyond os.time, varargs `...`. These do not appear in transform
-hook programs; a config using them fails loudly with the construct
-named.
+mis-executing): goto/labels, metatables, coroutines, io/os beyond
+os.time, varargs `...`. These do not appear in transform hook
+programs; a config using them fails loudly with the construct named.
 """
 
 from __future__ import annotations
@@ -964,13 +967,11 @@ def make_globals(extra: dict | None = None,
             lua_tostring(t.get(x)) for x in range(int(i), j + 1)
         )
 
+    # real Lua 5.4 patterns (r11): clean-room matcher in lua_patterns.py
+    from vector_spark.functions import lua_patterns as _pat
+
     def _str_find(s, pat, init=1, plain=None):
-        if not lua_truthy(plain):
-            raise LuaError(
-                "string.find patterns not supported (pass plain=true)"
-            )
-        idx = s.find(pat, int(init) - 1)
-        return [None] if idx < 0 else [idx + 1, idx + len(pat)]
+        return _pat.lua_find(s, pat, init, plain=lua_truthy(plain))
 
     import math as _math
 
@@ -993,6 +994,16 @@ def make_globals(extra: dict | None = None,
         "lower": lambda s: s.lower(),
         "rep": lambda s, n: s * int(n),
         "find": _str_find,
+        "match": lambda s, pat, init=1: _pat.lua_match(s, pat, init),
+        "gmatch": lambda s, pat: _pat.lua_gmatch(s, pat),
+        "gsub": lambda s, pat, repl, n=None: _pat.lua_gsub(
+            s, pat, repl, n),
+        "byte": lambda s, i=1, j=None: [
+            ord(ch) for ch in _str_sub(s, int(i),
+                                       int(j) if j is not None else int(i))
+        ],
+        "char": lambda *codes: "".join(chr(int(c)) for c in codes),
+        "reverse": lambda s: s[::-1],
     }))
     g.declare("table", LuaTable({
         "insert": _tbl_insert,
