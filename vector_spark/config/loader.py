@@ -1916,6 +1916,8 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df, cfg["endpoint"], cfg["container"],
                     prefix=cfg.get("prefix", "date=%F/"),
                     sas_token=cfg.get("sas_token", ""),
+                    account_name=cfg.get("account_name"),
+                    shared_key=cfg.get("shared_key"),
                     value_col=cfg.get("value_col", "message"),
                     encoding=cfg.get("encoding", "ndjson"),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),

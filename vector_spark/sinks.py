@@ -1404,6 +1404,8 @@ def azure_blob_sink(
     container: str,
     prefix: str = "date=%F/",
     sas_token: str = "",
+    account_name: str | None = None,
+    shared_key: str | None = None,
     value_col: str = "message",
     encoding: str = "ndjson",
     gzip_objects: bool = False,
@@ -1411,12 +1413,13 @@ def azure_blob_sink(
 ) -> int:
     """Azure Blob Storage sink (reference src/sinks/azure_blob/): one
     Put Blob per partition (``x-ms-blob-type: BlockBlob``), keys from a
-    strftime prefix + content hash. Auth is a SAS token appended to the
-    URL — the documented shared-access path that works against live
-    accounts and Azurite without implementing SharedKey HMAC here
-    (SharedKey has no public test vector to pin a clean-room
-    implementation against; SAS keeps the auth claim honest). Returns
-    the blob count."""
+    strftime prefix + content hash. Auth: a SAS token appended to the
+    URL, or (r11) SharedKey — ``account_name`` + base64 ``shared_key``
+    sign each request with the documented HMAC-SHA256 canonicalization
+    (functions/azure_auth.py, pinned against the reference policy's
+    rules src/sinks/azure_common/shared_key_policy.rs and validated
+    Azurite-style by server-side recomputation in tests). Returns the
+    blob count."""
     from pyspark.sql import functions as F
 
     if encoding == "json":
@@ -1449,13 +1452,21 @@ def azure_blob_sink(
                f"{quote(name, safe='/=-_.~')}")
         if sas_token:
             url += ("&" if "?" in url else "?") + sas_token.lstrip("?")
+        headers = {
+            "x-ms-blob-type": "BlockBlob",
+            "x-ms-version": "2021-08-06",
+            "Content-Type": "application/octet-stream",
+        }
+        if account_name and shared_key:
+            from vector_spark.functions.azure_auth import (
+                shared_key_headers,
+            )
+
+            headers = shared_key_headers(
+                account_name, shared_key, "PUT", url, len(body),
+                headers=headers)
         req = urllib.request.Request(
-            url, data=body, method="PUT",
-            headers={
-                "x-ms-blob-type": "BlockBlob",
-                "x-ms-version": "2021-08-06",
-                "Content-Type": "application/octet-stream",
-            },
+            url, data=body, method="PUT", headers=headers,
         )
         with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
             resp.read()
