@@ -123,9 +123,13 @@ def test_stdlib_slice():
 
 
 def test_unsupported_constructs_fail_loudly():
+    # r11 shrank the loud-error set: varargs/goto/metatables/coroutines
+    # are REAL now. What remains out of scope must still fail loudly.
     for src in (
-        "function f(...) end",
-        "goto done",  # parses as call-less name -> syntax error
+        'io.write("x")',       # io library absent
+        'require("mod")',      # module loading absent
+        'load("return 1")()',  # dynamic chunks absent
+        "goto nowhere",        # goto with NO visible label
     ):
         with pytest.raises(li.LuaError):
             run_chunk(src)
@@ -288,12 +292,51 @@ def test_lua_init_shutdown_and_timers_error(spark):
     # driver-side inference sample AND the executor pass both run the
     # lifecycle; assert content, not duplication of the sample run
     assert {r.seq for r in out} == {-1, 1, -2}
-    with pytest.raises(LuaConfigError, match="timers"):
+    # timers are REAL since r11 (event-time replay) — but a timer
+    # without a handler is still a config error
+    with pytest.raises(LuaConfigError, match="interval_seconds and "
+                                             "handler"):
         lua_transform(
             df,
             hooks={"process": "function (e, emit) emit(e) end"},
             timers=[{"interval_seconds": 1}],
         )
+
+
+def test_lua_v2_timers_fire_on_event_time(spark):
+    """Reference v2 timers (`src/transforms/lua/v2/mod.rs:183-196`)
+    fire every interval_seconds of wall clock; the batch analog fires
+    on EVENT-TIME boundary crossings. 10 events 1s apart with a
+    3-second timer: boundaries at +3s, +6s, +9s → 3 timer emissions
+    interleaved deterministically."""
+    from vector_spark.operators.lua import lua_transform
+
+    df = spark.createDataFrame(
+        [(i, float(1000 + i)) for i in range(10)],
+        "seq long, timestamp double",
+    ).coalesce(1)
+    out = lua_transform(
+        df,
+        source="""
+        seen = 0
+        function proc (event, emit)
+          seen = seen + 1
+        end
+        function flush (emit)
+          emit({ log = { seq = -1, timestamp = 0.0 } })
+        end
+        function bye (emit)
+          emit({ log = { seq = seen, timestamp = -1.0 } })
+        end
+        """,
+        hooks={"process": "proc", "shutdown": "bye"},
+        timers=[{"interval_seconds": 3, "handler": "flush"}],
+        schema="seq long, timestamp double",
+    ).collect()
+    flushes = [r for r in out if r.seq == -1]
+    finals = [r for r in out if r.timestamp == -1.0]
+    assert len(flushes) == 3
+    assert [r.seq for r in finals] == [10]
 
 
 def test_lua_v2_state_persists_across_arrow_batches(spark):

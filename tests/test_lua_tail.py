@@ -1,0 +1,481 @@
+"""r11 Lua fidelity tail: metatables, goto/labels, varargs, pcall,
+coroutines, bitwise/integer ops, string-method sugar, stdlib growth.
+
+These were loud-error constructs through r10 (`lua_interp.py` scope
+note; reference embeds a full VM, `src/transforms/lua/v2/mod.rs`).
+Each case pins Lua 5.4 reference-manual semantics, not a specific
+implementation detail."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.functions import lua_interp as li
+
+
+def run_chunk(src, extra=None):
+    env = li.make_globals(extra or {})
+    li.run(src, env)
+    return env
+
+
+# ------------------------------------------------------------- metatables
+
+
+def test_metatable_class_pattern():
+    env = run_chunk(
+        """
+        Point = {}
+        Point.__index = Point
+        function Point.new(x, y)
+          return setmetatable({x = x, y = y}, Point)
+        end
+        function Point:dist2() return self.x * self.x + self.y * self.y end
+        p = Point.new(3, 4)
+        d = p:dist2()
+        """
+    )
+    assert env.get("d") == 25
+
+
+def test_metatable_operator_overloads():
+    env = run_chunk(
+        """
+        mt = {
+          __add = function(a, b) return a.v + b.v end,
+          __sub = function(a, b) return a.v - b.v end,
+          __mul = function(a, b) return a.v * b.v end,
+          __unm = function(a) return -a.v end,
+          __len = function(a) return 99 end,
+          __concat = function(a, b) return "cat" end,
+          __eq = function(a, b) return a.v == b.v end,
+          __lt = function(a, b) return a.v < b.v end,
+          __le = function(a, b) return a.v <= b.v end,
+          __tostring = function(a) return "V(" .. a.v .. ")" end,
+        }
+        function V(n) return setmetatable({v = n}, mt) end
+        s = V(2) + V(3)
+        d = V(7) - V(3)
+        m = V(4) * V(5)
+        u = -V(6)
+        l = #V(1)
+        c = V(1) .. V(2)
+        eq = V(5) == V(5)
+        ne = V(5) == V(6)
+        lt = V(1) < V(2)
+        ge = V(2) >= V(1)   -- __le with swapped operands
+        str = tostring(V(8))
+        """
+    )
+    assert env.get("s") == 5 and env.get("d") == 4 and env.get("m") == 20
+    assert env.get("u") == -6 and env.get("l") == 99
+    assert env.get("c") == "cat"
+    assert env.get("eq") is True and env.get("ne") is False
+    assert env.get("lt") is True and env.get("ge") is True
+    assert env.get("str") == "V(8)"
+
+
+def test_metatable_index_chain_and_newindex():
+    env = run_chunk(
+        """
+        base = {greet = "hi"}
+        mid = setmetatable({extra = 1}, {__index = base})
+        top = setmetatable({}, {__index = mid})
+        g = top.greet
+        e = top.extra
+        n = top.nothing
+
+        store = {}
+        proxy = setmetatable({}, {
+          __index = function(t, k) return "miss:" .. k end,
+          __newindex = function(t, k, v) store[k] = v end,
+        })
+        proxy.a = 7
+        got = store.a
+        m = proxy.b
+        -- __newindex must NOT fire for keys already present (rawset path)
+        direct = setmetatable({x = 1}, {
+          __newindex = function() error("should not fire") end})
+        direct.x = 2
+        dx = direct.x
+        """
+    )
+    assert env.get("g") == "hi" and env.get("e") == 1
+    assert env.get("n") is None
+    assert env.get("got") == 7 and env.get("m") == "miss:b"
+    assert env.get("dx") == 2
+
+
+def test_metatable_call_and_protection():
+    env = run_chunk(
+        """
+        callable = setmetatable({}, {__call = function(self, a, b)
+          return a * b
+        end})
+        r = callable(6, 7)
+        prot = setmetatable({}, {__metatable = "locked"})
+        g = getmetatable(prot)
+        ok = pcall(function() setmetatable(prot, {}) end)
+        """
+    )
+    assert env.get("r") == 42
+    assert env.get("g") == "locked" and env.get("ok") is False
+
+
+def test_raw_accessors():
+    env = run_chunk(
+        """
+        t = setmetatable({a = 1}, {
+          __index = function() return "meta" end,
+          __newindex = function() error("no") end,
+        })
+        viameta = t.b
+        raw = rawget(t, "b")
+        rawset(t, "b", 2)
+        b = rawget(t, "b")
+        rl = rawlen({10, 20, 30})
+        rq = rawequal(t, t)
+        rq2 = rawequal({}, {})
+        """
+    )
+    assert env.get("viameta") == "meta" and env.get("raw") is None
+    assert env.get("b") == 2 and env.get("rl") == 3
+    assert env.get("rq") is True and env.get("rq2") is False
+
+
+# ------------------------------------------------------------ goto/labels
+
+
+def test_goto_continue_idiom():
+    env = run_chunk(
+        """
+        total = 0
+        for i = 1, 10 do
+          if i % 2 == 0 then goto continue end
+          total = total + i
+          ::continue::
+        end
+        """
+    )
+    assert env.get("total") == 25
+
+
+def test_goto_backward_retry_loop():
+    env = run_chunk(
+        """
+        n = 0
+        ::retry::
+        n = n + 1
+        if n < 3 then goto retry end
+        """
+    )
+    assert env.get("n") == 3
+
+
+def test_goto_out_of_loop_to_enclosing_block():
+    env = run_chunk(
+        """
+        found = nil
+        for i = 1, 5 do
+          for j = 1, 5 do
+            if i * j == 6 then
+              found = i * 10 + j
+              goto done
+            end
+          end
+        end
+        ::done::
+        """
+    )
+    assert env.get("found") == 23  # i=2, j=3 first
+
+
+def test_goto_unknown_label_is_loud():
+    with pytest.raises(li.LuaError, match="no visible label"):
+        run_chunk("goto nowhere")
+
+
+# ---------------------------------------------------------------- varargs
+
+
+def test_varargs_forms():
+    env = run_chunk(
+        """
+        function f(first, ...)
+          local n = select("#", ...)
+          local t = {...}
+          local a, b = ...
+          return first, n, t[1], a, b
+        end
+        r1, r2, r3, r4, r5 = f("x", 10, 20, 30)
+
+        function pass(...) return ... end
+        p1, p2 = pass(1, 2)
+
+        function tail(...)
+          return {0, ...}   -- spread in last array slot
+        end
+        tt = tail(5, 6)
+        """
+    )
+    assert env.get("r1") == "x" and env.get("r2") == 3
+    assert env.get("r3") == 10 and env.get("r4") == 10
+    assert env.get("r5") == 20
+    assert env.get("p1") == 1 and env.get("p2") == 2
+    t = env.get("tt")
+    assert [t.get(i) for i in (1, 2, 3)] == [0, 5, 6]
+
+
+def test_select_negative_and_unpack():
+    env = run_chunk(
+        """
+        function f(...) return select(-1, ...) end
+        last = f("a", "b", "c")
+        u1, u2, u3 = table.unpack({4, 5, 6})
+        p1, p2 = unpack({7, 8})        -- 5.1 alias
+        mid = table.unpack({1, 2, 3, 4}, 2, 3)
+        """
+    )
+    assert env.get("last") == "c"
+    assert (env.get("u1"), env.get("u2"), env.get("u3")) == (4, 5, 6)
+    assert (env.get("p1"), env.get("p2")) == (7, 8)
+    assert env.get("mid") == 2
+
+
+def test_vararg_outside_function_is_loud():
+    with pytest.raises(li.LuaError, match="outside a vararg"):
+        run_chunk("function f() return ... end\nf()")
+
+
+# ----------------------------------------------------------- pcall/errors
+
+
+def test_pcall_error_values():
+    env = run_chunk(
+        """
+        ok, err = pcall(function() error({code = 42, msg = "bad"}) end)
+        code = err.code
+        ok2, v = pcall(function() return "fine" end)
+        ok3 = pcall(function() local x = nil + 1 end)
+        """
+    )
+    assert env.get("ok") is False and env.get("code") == 42
+    assert env.get("ok2") is True and env.get("v") == "fine"
+    assert env.get("ok3") is False
+
+
+def test_xpcall_handler():
+    env = run_chunk(
+        """
+        ok, handled = xpcall(
+          function() error("kaboom") end,
+          function(e) return "handled:" .. e end
+        )
+        """
+    )
+    assert env.get("ok") is False
+    assert env.get("handled") == "handled:kaboom"
+
+
+# -------------------------------------------------------------- coroutines
+
+
+def test_coroutine_two_way_channel():
+    env = run_chunk(
+        """
+        co = coroutine.create(function(a, b)
+          local x = coroutine.yield(a + b)
+          local y = coroutine.yield(x * 2)
+          return y + 1
+        end)
+        s0 = coroutine.status(co)
+        ok1, v1 = coroutine.resume(co, 1, 2)
+        ok2, v2 = coroutine.resume(co, 10)
+        ok3, v3 = coroutine.resume(co, 100)
+        s1 = coroutine.status(co)
+        ok4, e4 = coroutine.resume(co)
+        """
+    )
+    assert env.get("s0") == "suspended"
+    assert env.get("v1") == 3 and env.get("v2") == 20
+    assert env.get("v3") == 101 and env.get("s1") == "dead"
+    assert env.get("ok4") is False and "dead" in env.get("e4")
+
+
+def test_coroutine_wrap_generator():
+    env = run_chunk(
+        """
+        gen = coroutine.wrap(function()
+          for i = 1, 3 do coroutine.yield(i * i) end
+        end)
+        a, b, c = gen(), gen(), gen()
+        """
+    )
+    assert (env.get("a"), env.get("b"), env.get("c")) == (1, 4, 9)
+
+
+def test_coroutine_yield_from_nested_call():
+    env = run_chunk(
+        """
+        function inner(v) coroutine.yield(v * 2) end
+        co = coroutine.create(function()
+          inner(5)        -- yield from a nested stack frame
+          return "end"
+        end)
+        ok1, v1 = coroutine.resume(co)
+        ok2, v2 = coroutine.resume(co)
+        """
+    )
+    assert env.get("v1") == 10 and env.get("v2") == "end"
+
+
+def test_coroutine_error_propagates_as_false():
+    env = run_chunk(
+        """
+        co = coroutine.create(function() error("inside") end)
+        ok, err = coroutine.resume(co)
+        st = coroutine.status(co)
+        """
+    )
+    assert env.get("ok") is False and "inside" in env.get("err")
+    assert env.get("st") == "dead"
+
+
+def test_coroutine_yield_outside_is_loud():
+    with pytest.raises(li.LuaError, match="outside a coroutine"):
+        run_chunk("coroutine.yield(1)")
+
+
+def test_coroutine_isyieldable_and_type():
+    env = run_chunk(
+        """
+        main_yieldable = coroutine.isyieldable()
+        co = coroutine.create(function()
+          coroutine.yield(coroutine.isyieldable())
+        end)
+        ok, inside = coroutine.resume(co)
+        ty = type(co)
+        """
+    )
+    assert env.get("main_yieldable") is False
+    assert env.get("inside") is True
+    assert env.get("ty") == "thread"
+
+
+# -------------------------------------------------- integer / bitwise ops
+
+
+def test_bitwise_semantics():
+    env = run_chunk(
+        """
+        a = 0xFF & 0x0F
+        b = 0xF0 | 0x0F
+        c = 5 ~ 3          -- binary xor
+        d = ~0             -- unary bnot
+        e = 1 << 10
+        f = -1 >> 60       -- LOGICAL shift: high bits fill with 0
+        g = 1 << 64        -- shift past width -> 0
+        h = 1 << -2        -- negative count shifts the other way
+        """
+    )
+    assert env.get("a") == 15 and env.get("b") == 255
+    assert env.get("c") == 6 and env.get("d") == -1
+    assert env.get("e") == 1024 and env.get("f") == 15
+    assert env.get("g") == 0 and env.get("h") == 0
+
+
+def test_bitwise_precedence_and_float_rejection():
+    env = run_chunk("x = 1 | 2 & 3\ny = 1 + 2 << 1")
+    assert env.get("x") == 3      # & binds tighter than |
+    assert env.get("y") == 6      # arithmetic binds tighter than shift
+    with pytest.raises(li.LuaError, match="integer representation"):
+        run_chunk("z = 1.5 & 1")
+
+
+def test_integer_float_distinction():
+    env = run_chunk(
+        """
+        ti = math.type(1)
+        tf = math.type(1.0)
+        tn = math.type("x")
+        i = math.tointeger(7.0)
+        ni = math.tointeger(7.5)
+        mx = math.maxinteger
+        """
+    )
+    assert env.get("ti") == "integer" and env.get("tf") == "float"
+    assert env.get("tn") is None
+    assert env.get("i") == 7 and env.get("ni") is None
+    assert env.get("mx") == (1 << 63) - 1
+
+
+# ------------------------------------------------------------ stdlib tail
+
+
+def test_string_method_sugar():
+    env = run_chunk(
+        """
+        up = ("hello"):upper()
+        k, v = ("a=1"):match("(%w+)=(%w+)")
+        n = ("hi"):len()
+        """
+    )
+    assert env.get("up") == "HELLO"
+    assert env.get("k") == "a" and env.get("v") == "1"
+    assert env.get("n") == 2
+
+
+def test_table_sort_default_and_comparator():
+    env = run_chunk(
+        """
+        t = {5, 3, 8, 1}
+        table.sort(t)
+        asc = table.concat(t, ",")
+        table.sort(t, function(a, b) return a > b end)
+        desc = table.concat(t, ",")
+        s = {"pear", "apple", "fig"}
+        table.sort(s)
+        first = s[1]
+        """
+    )
+    assert env.get("asc") == "1,3,5,8"
+    assert env.get("desc") == "8,5,3,1"
+    assert env.get("first") == "apple"
+
+
+def test_next_iteration():
+    env = run_chunk(
+        """
+        t = {x = 1}
+        k1, v1 = next(t)
+        k2 = next(t, k1)
+        empty = next({})
+        """
+    )
+    assert env.get("k1") == "x" and env.get("v1") == 1
+    assert env.get("k2") is None and env.get("empty") is None
+
+
+def test_math_random_is_deterministic():
+    a = run_chunk("x = math.random(1, 100)\ny = math.random()")
+    b = run_chunk("x = math.random(1, 100)\ny = math.random()")
+    assert a.get("x") == b.get("x") and a.get("y") == b.get("y")
+    assert 1 <= a.get("x") <= 100 and 0 <= a.get("y") < 1
+    seeded = run_chunk(
+        "math.randomseed(7)\nx = math.random(1, 100)"
+    )
+    assert isinstance(seeded.get("x"), int)
+
+
+def test_math_extras():
+    env = run_chunk(
+        """
+        s = math.sqrt(16)
+        f = math.fmod(7, 3)
+        ip, fp = math.modf(3.25)
+        lg = math.log(8, 2)
+        """
+    )
+    assert env.get("s") == 4.0 and env.get("f") == 1.0
+    assert env.get("ip") == 3.0 and env.get("fp") == 0.25
+    assert abs(env.get("lg") - 3.0) < 1e-12

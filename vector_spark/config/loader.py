@@ -1150,6 +1150,7 @@ def _build_transform(
                 kind=cfg.get("event_kind", "log"),
                 schema=cfg.get("schema"),
                 timers=cfg.get("timers"),
+                timestamp_field=cfg.get("timestamp_field", "timestamp"),
             )
         }
     raise TopologyError(f"{name}: unknown transform type {ttype!r}")

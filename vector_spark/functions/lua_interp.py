@@ -28,13 +28,36 @@ Supported subset (enough for hook-style event programs):
   (r11, clean-room matcher in functions/lua_patterns.py — classes,
   sets, quantifiers incl. lazy `-`, anchors, captures/position
   captures, back-references, `%b`, `%f`),
-  `table.insert/remove/concat`, `math.floor/ceil/abs/max/min/huge`,
-  `os.time` (gated: deterministic only if the host passes a clock)
+  `table.insert/remove/concat/sort/unpack`,
+  `math.floor/ceil/abs/max/min/huge/sqrt/exp/log/fmod/modf/pi/
+  maxinteger/mininteger/tointeger/type/random/randomseed` (random is a
+  DETERMINISTIC xorshift seeded 0 by default — replay-stable on a
+  cluster; call randomseed to vary), `os.time` (gated: deterministic
+  only if the host passes a clock)
+- r11 tail (the constructs that used to raise loudly, now real):
+  * varargs `...` — `select`, `table.unpack`/`unpack`, `{...}`
+    expansion, last-position multi-value spread
+  * `goto`/`::labels::` — same-or-enclosing-block jumps (the
+    `goto continue` idiom); jumping into a nested block raises
+  * metatables — `setmetatable`/`getmetatable`/`rawget`/`rawset`/
+    `rawequal`/`rawlen`, `__index` (table chain or function),
+    `__newindex`, `__call`, `__tostring`, `__eq/__lt/__le`,
+    `__add/.../__pow/__unm/__idiv`, `__band/__bor/__bxor/__bnot/
+    __shl/__shr`, `__concat`, `__len`, `__metatable` protection
+  * `pcall`/`xpcall`/`error` with NON-STRING error values
+    (`LuaError.value` carries tables through)
+  * coroutines — `create/resume/yield/status/wrap/running/
+    isyieldable`; each coroutine is a daemon thread parked on a
+    1-slot channel (the only way a tree-walking interpreter can
+    yield from arbitrary call depth), handed off strictly one-at-
+    a-time so execution stays single-threaded-deterministic
+  * Lua 5.3+ integer ops — `//` on numbers, `& | ~ << >>` with
+    64-bit wrapping semantics, method-call sugar on strings
+    (`("x"):upper()`, `s:match(p)`)
 
-NOT supported (raise LuaError at parse/run time rather than
-mis-executing): goto/labels, metatables, coroutines, io/os beyond
-os.time, varargs `...`. These do not appear in transform hook
-programs; a config using them fails loudly with the construct named.
+NOT supported (still loud): io.*, os.* beyond os.time, require,
+load/loadstring, __gc/__close/__mode (no finalizers in a batch
+lifecycle), jumping INTO a nested block with goto.
 """
 
 from __future__ import annotations
@@ -44,7 +67,17 @@ from typing import Any, Callable
 
 
 class LuaError(Exception):
-    pass
+    """Lua runtime/parse error. ``value`` is the Lua error VALUE —
+    usually a message string, but ``error({code = 1})`` keeps the
+    table so ``pcall`` can hand it back (Lua errors are values, not
+    strings)."""
+
+    @property
+    def value(self):
+        return self.args[0] if self.args else None
+
+    def __str__(self):
+        return lua_tostring(self.value)
 
 
 # --------------------------------------------------------------------------
@@ -57,10 +90,11 @@ class LuaTable:
     modern Lua implementations iterate in practice for record-style
     tables."""
 
-    __slots__ = ("data",)
+    __slots__ = ("data", "metatable")
 
     def __init__(self, data: dict | None = None):
         self.data = dict(data or {})
+        self.metatable: "LuaTable | None" = None
 
     def get(self, k):
         return self.data.get(_normkey(k))
@@ -109,6 +143,13 @@ def lua_tostring(v) -> str:
     if isinstance(v, str):
         return v
     if isinstance(v, LuaTable):
+        h = _metamethod(v, "__tostring")
+        if h is not None:
+            r = _call(h, [v], ("name", "__tostring"))
+            return lua_tostring(r[0] if r else None)
+        name = _metamethod(v, "__name")
+        if isinstance(name, str):
+            return f"{name}: 0x{id(v):x}"
         return f"table: 0x{id(v):x}"
     if callable(v):
         return f"function: 0x{id(v):x}"
@@ -136,8 +177,8 @@ def lua_tonumber(v):
 
 _KEYWORDS = {
     "and", "break", "do", "else", "elseif", "end", "false", "for",
-    "function", "if", "in", "local", "nil", "not", "or", "repeat",
-    "return", "then", "true", "until", "while",
+    "function", "goto", "if", "in", "local", "nil", "not", "or",
+    "repeat", "return", "then", "true", "until", "while",
 }
 
 _TOKEN_RE = re.compile(
@@ -149,7 +190,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>0[xX][0-9a-fA-F]+|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+)
   | (?P<name>[A-Za-z_]\w*)
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<op>\.\.\.|\.\.|==|~=|<=|>=|//|[-+*/%^#<>=(){}\[\];:,.])
+  | (?P<op>\.\.\.|\.\.|==|~=|<=|>=|<<|>>|//|::|[-+*/%^#<>=(){}\[\];:,.&~|])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -268,8 +309,19 @@ class _Parser:
             out.append(self.statement())
         return out
 
+    # goto/labels (r11): `::name::` is a statement-position marker,
+    # `goto name` unwinds to it — see _exec_block's label scan.
+
     def statement(self):
         t = self.peek()
+        if t == "::":
+            self.next()
+            name = self.expect("name")
+            self.expect("::")
+            return ("label", name)
+        if t == "goto":
+            self.next()
+            return ("goto", self.expect("name"))
         if t == "if":
             return self.if_stmt()
         if t == "while":
@@ -373,25 +425,32 @@ class _Parser:
     def funcbody(self, is_method: bool):
         self.expect("(")
         params = ["self"] if is_method else []
+        is_vararg = False
         if self.peek() != ")":
             while True:
                 if self.peek() == "...":
-                    raise LuaError("varargs (...) not supported")
+                    self.next()
+                    is_vararg = True
+                    break  # `...` must be the last parameter
                 params.append(self.expect("name"))
                 if not self.accept(","):
                     break
         self.expect(")")
         body = self.block(("end",))
         self.expect("end")
-        return ("function", params, body)
+        return ("function", params, body, is_vararg)
 
     # ---- expressions (precedence climbing)
 
+    # full Lua 5.4 precedence ladder (manual §3.4.8); unary binds at
+    # 12 so `-a^2 == -(a^2)` and `~x << 1 == (~x) << 1`
     _BINPRI = {
         "or": 1, "and": 2,
         "<": 3, ">": 3, "<=": 3, ">=": 3, "==": 3, "~=": 3,
-        "..": 4, "+": 5, "-": 5, "*": 6, "/": 6, "//": 6, "%": 6,
-        "^": 8,
+        "|": 4, "~": 5, "&": 6, "<<": 7, ">>": 7,
+        "..": 9, "+": 10, "-": 10,
+        "*": 11, "/": 11, "//": 11, "%": 11,
+        "^": 14,
     }
     _RIGHT = {"..", "^"}
 
@@ -403,9 +462,9 @@ class _Parser:
 
     def expr(self, limit=0):
         t = self.peek()
-        if t in ("not", "-", "#"):
+        if t in ("not", "-", "#", "~"):
             self.next()
-            operand = self.expr(7)  # unary binds tighter than binops bar ^
+            operand = self.expr(12)
             left = ("unop", t, operand)
         else:
             left = self.simpleexp()
@@ -439,7 +498,8 @@ class _Parser:
         if t == "{":
             return self.tablector()
         if t == "...":
-            raise LuaError("varargs (...) not supported")
+            self.next()
+            return ("vararg",)
         return self.suffixedexp()
 
     def primaryexp(self):
@@ -564,27 +624,100 @@ class _Return(Exception):
 
 
 class LuaFunction:
-    __slots__ = ("params", "body", "env")
+    __slots__ = ("params", "body", "env", "is_vararg")
 
-    def __init__(self, params, body, env):
+    def __init__(self, params, body, env, is_vararg=False):
         self.params = params
         self.body = body
         self.env = env
+        self.is_vararg = is_vararg
 
     def __call__(self, *args):
         env = _Env(self.env)
         for i, p in enumerate(self.params):
             env.declare(p, args[i] if i < len(args) else None)
+        if self.is_vararg:
+            env.declare("...", list(args[len(self.params):]))
         try:
             _exec_block(self.body, env)
         except _Return as r:
             return r.values
+        except _Goto as g:
+            raise LuaError(
+                f"no visible label '{g.label}' for goto"
+            ) from None
         return []
 
 
+_MM_ARITH = {
+    "+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
+    "//": "__idiv", "%": "__mod", "^": "__pow",
+    "&": "__band", "|": "__bor", "~": "__bxor",
+    "<<": "__shl", ">>": "__shr",
+}
+_BITOPS = {"&", "|", "~", "<<", ">>"}
+_U64 = (1 << 64) - 1
+
+
+def _metamethod(v, name):
+    if isinstance(v, LuaTable) and v.metatable is not None:
+        return v.metatable.get(name)
+    return None
+
+
+def _mm_binop(op, a, b):
+    """Dispatch a binary metamethod (a's first, then b's) or None."""
+    name = _MM_ARITH.get(op) or {"..": "__concat"}.get(op)
+    h = _metamethod(a, name) or _metamethod(b, name)
+    if h is None:
+        return None
+    r = _call(h, [a, b], ("name", name))
+    return [r[0] if r else None]
+
+
+def _toint64(v, what="bitwise operation"):
+    n = lua_tonumber(v)
+    if isinstance(n, float):
+        if not n.is_integer():
+            raise LuaError("number has no integer representation")
+        n = int(n)
+    if n is None:
+        raise LuaError(f"{what} on non-integer")
+    return n
+
+
+def _wrap64(x: int) -> int:
+    x &= _U64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _arith(op, a, b):
+    if op in _BITOPS:
+        # Lua 5.4 §3.4.2: operands converted to 64-bit integers,
+        # results wrap; shifts are LOGICAL and zero out past 63 bits
+        mm = _mm_binop(op, a, b)
+        if mm is not None:
+            return mm[0]
+        x, y = _toint64(a) & _U64, _toint64(b)
+        if op == "&":
+            return _wrap64(x & (y & _U64))
+        if op == "|":
+            return _wrap64(x | (y & _U64))
+        if op == "~":
+            return _wrap64(x ^ (y & _U64))
+        if op == "<<":
+            if y < 0:
+                return _arith(">>", a, -y)
+            return 0 if y >= 64 else _wrap64(x << y)
+        if op == ">>":
+            if y < 0:
+                return _arith("<<", a, -y)
+            return 0 if y >= 64 else _wrap64(x >> y)
     x, y = lua_tonumber(a), lua_tonumber(b)
     if x is None or y is None:
+        mm = _mm_binop(op, a, b)
+        if mm is not None:
+            return mm[0]
         raise LuaError(f"arithmetic on non-number ({op})")
     if op == "+":
         return x + y
@@ -613,6 +746,14 @@ def _compare(op, a, b):
         and isinstance(b, (int, float)) and not isinstance(b, bool)
     )
     if not (num or (isinstance(a, str) and isinstance(b, str))):
+        # order metamethods: a>b is b<a, a>=b is b<=a (Lua 5.4 §2.4)
+        if op in (">", ">="):
+            return _compare("<" if op == ">" else "<=", b, a)
+        h = _metamethod(a, {"<": "__lt", "<=": "__le"}[op]) or \
+            _metamethod(b, {"<": "__lt", "<=": "__le"}[op])
+        if h is not None:
+            r = _call(h, [a, b], ("name", "compare"))
+            return lua_truthy(r[0] if r else None)
         raise LuaError(f"cannot compare {type(a).__name__} {op} "
                        f"{type(b).__name__}")
     if op == "<":
@@ -634,7 +775,13 @@ def _lua_eq(a, b):
     if type(a) is not type(b):
         return False
     if isinstance(a, LuaTable):
-        return a is b
+        if a is b:
+            return True
+        h = _metamethod(a, "__eq") or _metamethod(b, "__eq")
+        if h is not None:
+            r = _call(h, [a, b], ("name", "__eq"))
+            return lua_truthy(r[0] if r else None)
+        return False
     return a == b
 
 
@@ -655,29 +802,30 @@ def _eval_multi(node, env) -> list:
     if kind == "index":
         obj = _eval(node[1], env)
         key = _eval(node[2], env)
-        if isinstance(obj, LuaTable):
-            return [obj.get(key)]
-        if obj is None:
-            raise LuaError(f"attempt to index a nil value "
-                           f"({_describe(node[1])})")
-        raise LuaError(f"attempt to index a {type(obj).__name__} value")
+        return [_index_value(obj, key, env, node[1])]
     if kind == "call":
         fn = _eval(node[1], env)
         return _call(fn, _evalargs(node[2], env), node[1])
     if kind == "methcall":
         obj = _eval(node[1], env)
-        if not isinstance(obj, LuaTable):
-            raise LuaError("method call on non-table")
-        fn = obj.get(node[2])
+        fn = _index_value(obj, node[2], env, node[1])
         return _call(fn, [obj] + _evalargs(node[3], env), node)
     if kind == "function":
-        return [LuaFunction(node[1], node[2], env)]
+        return [LuaFunction(node[1], node[2], env, node[3])]
     if kind == "table":
         t = LuaTable()
         arr = 0
-        for it in node[1]:
+        items = node[1]
+        for i, it in enumerate(items):
             if it[0] == "kv":
                 t.set(_eval(it[1], env), _eval(it[2], env))
+            elif i == len(items) - 1 and it[1][0] in (
+                "call", "methcall", "vararg"
+            ):
+                # last array item spreads all its values ({f()}, {...})
+                for v in _eval_multi(it[1], env):
+                    arr += 1
+                    t.set(arr, v)
             else:
                 arr += 1
                 t.set(arr, _eval(it[1], env))
@@ -696,6 +844,9 @@ def _eval_multi(node, env) -> list:
                 if not isinstance(v, (str, int, float)) or isinstance(
                     v, bool
                 ):
+                    mm = _mm_binop("..", a, b)
+                    if mm is not None:
+                        return mm
                     raise LuaError("concat on non-string/number")
             return [_concat(a, b)]
         if op in ("==", "~=", "<", "<=", ">", ">="):
@@ -709,15 +860,67 @@ def _eval_multi(node, env) -> list:
         if op == "-":
             n = lua_tonumber(v)
             if n is None:
+                h = _metamethod(v, "__unm")
+                if h is not None:
+                    r = _call(h, [v, v], ("name", "__unm"))
+                    return [r[0] if r else None]
                 raise LuaError("unary minus on non-number")
             return [-n]
+        if op == "~":
+            h = _metamethod(v, "__bnot")
+            if h is not None:
+                r = _call(h, [v, v], ("name", "__bnot"))
+                return [r[0] if r else None]
+            return [_wrap64(~(_toint64(v) & _U64))]
         if op == "#":
             if isinstance(v, str):
                 return [len(v)]
             if isinstance(v, LuaTable):
+                h = _metamethod(v, "__len")
+                if h is not None:
+                    r = _call(h, [v], ("name", "__len"))
+                    return [r[0] if r else None]
                 return [v.length()]
             raise LuaError("length of non-table/string")
+    if kind == "vararg":
+        va = env.lookup("...")
+        if va is None:
+            raise LuaError("cannot use '...' outside a vararg function")
+        return list(va.vars["..."])
     raise LuaError(f"bad node {kind!r}")
+
+
+def _index_value(obj, key, env, where_node):
+    """``obj[key]`` honoring ``__index`` chains (table or function) and
+    the string library for string receivers (``s:upper()`` sugar)."""
+    seen = 0
+    cur = obj
+    while True:
+        if isinstance(cur, LuaTable):
+            raw = cur.get(key)
+            if raw is not None:
+                return raw
+            h = _metamethod(cur, "__index")
+            if h is None:
+                return None
+            if isinstance(h, LuaTable):
+                cur = h
+                seen += 1
+                if seen > 100:
+                    raise LuaError("'__index' chain too long; loop?")
+                continue
+            r = _call(h, [cur, key], where_node)
+            return r[0] if r else None
+        if isinstance(cur, str):
+            strlib = env._root().vars.get("string")
+            if isinstance(strlib, LuaTable):
+                return strlib.get(key)
+            raise LuaError("string library not available")
+        if cur is None:
+            raise LuaError(
+                f"attempt to index a nil value ({_describe(where_node)})"
+            )
+        raise LuaError(f"attempt to index a {type(cur).__name__} value")
 
 
 def _concat(a, b):
@@ -737,6 +940,10 @@ def _describe(node):
 def _call(fn, args, where) -> list:
     if isinstance(fn, LuaFunction):
         return list(fn(*args))
+    if isinstance(fn, LuaTable):
+        h = _metamethod(fn, "__call")
+        if h is not None:
+            return _call(h, [fn] + list(args), where)
     if callable(fn):
         r = fn(*args)
         if isinstance(r, list):
@@ -748,7 +955,7 @@ def _call(fn, args, where) -> list:
 def _evalargs(exprs, env) -> list:
     out = []
     for i, e in enumerate(exprs):
-        if i == len(exprs) - 1 and e[0] in ("call", "methcall"):
+        if i == len(exprs) - 1 and e[0] in ("call", "methcall", "vararg"):
             out.extend(_eval_multi(e, env))
         else:
             out.append(_eval(e, env))
@@ -760,15 +967,46 @@ def _assign_target(target, value, env):
         env.set(target[1], value)
     else:  # index
         obj = _eval(target[1], env)
-        if not isinstance(obj, LuaTable):
-            raise LuaError(f"cannot index {_describe(target[1])} "
-                           "for assignment")
-        obj.set(_eval(target[2], env), value)
+        _setindex(obj, _eval(target[2], env), value, target[1])
+
+
+def _setindex(obj, key, value, where_node=("name", "?")):
+    if isinstance(obj, LuaTable):
+        # __newindex only fires on keys ABSENT from the table itself
+        if obj.get(key) is None:
+            h = _metamethod(obj, "__newindex")
+            if isinstance(h, LuaTable):
+                return _setindex(h, key, value, where_node)
+            if h is not None:
+                _call(h, [obj, key, value], where_node)
+                return
+        obj.set(key, value)
+        return
+    raise LuaError(f"cannot index {_describe(where_node)} for assignment")
+
+
+class _Goto(Exception):
+    def __init__(self, label):
+        self.label = label
 
 
 def _exec_block(block, env):
-    for st in block:
-        _exec_stmt(st, env)
+    i = 0
+    n = len(block)
+    while i < n:
+        try:
+            _exec_stmt(block[i], env)
+        except _Goto as g:
+            # a goto lands on a ::label:: in THIS block; otherwise it
+            # keeps unwinding to the enclosing block (Lua 5.4 §3.3.4 —
+            # jumps into nested blocks are impossible by construction)
+            for j, st in enumerate(block):
+                if st[0] == "label" and st[1] == g.label:
+                    i = j
+                    break
+            else:
+                raise
+        i += 1
 
 
 def _exec_stmt(st, env):
@@ -785,7 +1023,7 @@ def _exec_stmt(st, env):
             env.declare(n, values[i] if i < len(values) else None)
     elif kind == "localfunc":
         env.declare(st[1], None)
-        env.vars[st[1]] = LuaFunction(st[2][1], st[2][2], env)
+        env.vars[st[1]] = LuaFunction(st[2][1], st[2][2], env, st[2][3])
     elif kind == "if":
         for cond, body in st[1]:
             if lua_truthy(_eval(cond, env)):
@@ -847,8 +1085,122 @@ def _exec_stmt(st, env):
         raise _Return(_evalargs(st[1], env))
     elif kind == "break":
         raise _Break()
+    elif kind == "label":
+        pass  # jump target only; see _exec_block
+    elif kind == "goto":
+        raise _Goto(st[1])
     else:
         raise LuaError(f"bad statement {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# coroutines (r11)
+#
+# A tree-walking interpreter cannot suspend from arbitrary call depth
+# without either CPS-transforming the whole evaluator or parking the
+# coroutine body on its own thread. Threads it is: each coroutine is a
+# daemon thread blocked on a 1-slot channel; resume() hands control
+# over and BLOCKS until the body yields/returns, so exactly one thread
+# ever runs Lua at a time — execution stays deterministic and the
+# shared _Env needs no locking. Mirrors Lua 5.4 §2.6 semantics
+# (status/resume/yield/wrap error contracts).
+
+import queue as _queue
+import threading as _threading
+
+_CURRENT_CO = _threading.local()
+
+
+class Coroutine:
+    __slots__ = ("fn", "status", "_in", "_out", "_thread")
+
+    def __init__(self, fn):
+        if not callable(fn) and not isinstance(fn, LuaFunction):
+            raise LuaError("coroutine.create expects a function")
+        self.fn = fn
+        self.status = "suspended"
+        self._in: _queue.Queue = _queue.Queue(1)
+        self._out: _queue.Queue = _queue.Queue(1)
+        self._thread = None
+
+    def _body(self):
+        _CURRENT_CO.co = self
+        args = self._in.get()
+        try:
+            res = _call(self.fn, args, ("name", "coroutine body"))
+        except LuaError as e:
+            self._out.put(("error", e))
+            return
+        except BaseException as e:  # never kill the worker thread pool
+            self._out.put(("error", LuaError(str(e))))
+            return
+        self._out.put(("return", res))
+
+    def resume(self, *args) -> list:
+        if self.status == "dead":
+            return [False, "cannot resume dead coroutine"]
+        if self.status != "suspended":
+            return [False, "cannot resume non-suspended coroutine"]
+        caller = getattr(_CURRENT_CO, "co", None)
+        if caller is not None:
+            caller.status = "normal"
+        if self._thread is None:
+            self._thread = _threading.Thread(
+                target=self._body, daemon=True,
+                name="lua-coroutine",
+            )
+            self._thread.start()
+        self.status = "running"
+        self._in.put(list(args))
+        kind, vals = self._out.get()
+        if caller is not None:
+            caller.status = "running"
+        if kind == "yield":
+            self.status = "suspended"
+            return [True] + vals
+        self.status = "dead"
+        if kind == "return":
+            return [True] + vals
+        return [False, vals.value]  # ("error", LuaError)
+
+
+def _co_yield(*args) -> list:
+    co = getattr(_CURRENT_CO, "co", None)
+    if co is None:
+        raise LuaError("attempt to yield from outside a coroutine")
+    co._out.put(("yield", list(args)))
+    return co._in.get()
+
+
+def _co_wrap(fn):
+    co = Coroutine(fn)
+
+    def wrapped(*args):
+        r = co.resume(*args)
+        if not r[0]:
+            raise LuaError(r[1])
+        return r[1:]
+
+    return wrapped
+
+
+def _make_coroutine_lib() -> LuaTable:
+    return LuaTable({
+        "create": lambda fn: Coroutine(fn),
+        "resume": lambda co, *a: (
+            co.resume(*a) if isinstance(co, Coroutine)
+            else [False, "cannot resume a non-coroutine"]
+        ),
+        "yield": _co_yield,
+        "status": lambda co: co.status,
+        "wrap": _co_wrap,
+        "running": lambda: [
+            getattr(_CURRENT_CO, "co", None),
+            getattr(_CURRENT_CO, "co", None) is None,
+        ],
+        "isyieldable": lambda: getattr(_CURRENT_CO, "co", None)
+        is not None,
+    })
 
 
 # --------------------------------------------------------------------------
@@ -937,6 +1289,8 @@ def make_globals(extra: dict | None = None,
             return "string"
         if isinstance(v, LuaTable):
             return "table"
+        if isinstance(v, Coroutine):
+            return "thread"
         if callable(v):
             return "function"
         return "userdata"
@@ -967,6 +1321,101 @@ def make_globals(extra: dict | None = None,
             lua_tostring(t.get(x)) for x in range(int(i), j + 1)
         )
 
+    def _tbl_sort(t, comp=None):
+        import functools
+
+        def lt(a, b):
+            if comp is not None:
+                r = _call(comp, [a, b], ("name", "sort comparator"))
+                return bool(r) and lua_truthy(r[0])
+            return lua_truthy(_compare("<", a, b))
+
+        n = t.length()
+        items = [t.get(i) for i in range(1, n + 1)]
+        items.sort(key=functools.cmp_to_key(
+            lambda a, b: -1 if lt(a, b) else (1 if lt(b, a) else 0)
+        ))
+        for i, v in enumerate(items):
+            t.set(i + 1, v)
+
+    def _tbl_unpack(t, i=1, j=None):
+        j = t.length() if j is None else int(j)
+        return [t.get(x) for x in range(int(i), j + 1)]
+
+    def _select(n, *args):
+        if n == "#":
+            return len(args)
+        n = int(lua_tonumber(n))
+        if n < 0:
+            n = len(args) + n + 1
+        if n < 1:
+            raise LuaError("bad argument #1 to 'select' (index out of "
+                           "range)")
+        return list(args[n - 1:])
+
+    def _next(t, ctrl=None):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument #1 to 'next' (table expected)")
+        return _pairs_iter(t)[0](None, ctrl)
+
+    def _error(m=None, _level=1):
+        raise LuaError(m)
+
+    def _pcall(f, *args):
+        try:
+            return [True] + _call(f, list(args), ("name", "pcall"))
+        except LuaError as e:
+            return [False, e.value]
+
+    def _xpcall(f, handler, *args):
+        try:
+            return [True] + _call(f, list(args), ("name", "xpcall"))
+        except LuaError as e:
+            r = _call(handler, [e.value], ("name", "xpcall handler"))
+            return [False] + r
+
+    def _setmetatable(t, mt):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument #1 to 'setmetatable' "
+                           "(table expected)")
+        if mt is not None and not isinstance(mt, LuaTable):
+            raise LuaError("bad argument #2 to 'setmetatable' "
+                           "(nil or table expected)")
+        if _metamethod(t, "__metatable") is not None:
+            raise LuaError("cannot change a protected metatable")
+        t.metatable = mt
+        return t
+
+    def _getmetatable(t):
+        mt = t.metatable if isinstance(t, LuaTable) else None
+        if mt is None:
+            return None
+        prot = mt.get("__metatable")
+        return prot if prot is not None else mt
+
+    def _rawget(t, k):
+        if not isinstance(t, LuaTable):
+            raise LuaError("rawget on non-table")
+        return t.get(k)
+
+    def _rawset(t, k, v):
+        if not isinstance(t, LuaTable):
+            raise LuaError("rawset on non-table")
+        t.set(k, v)
+        return t
+
+    def _rawequal(a, b):
+        if isinstance(a, LuaTable) or isinstance(b, LuaTable):
+            return a is b
+        return _lua_eq(a, b)
+
+    def _rawlen(v):
+        if isinstance(v, str):
+            return len(v)
+        if isinstance(v, LuaTable):
+            return v.length()
+        raise LuaError("table or string expected")
+
     # real Lua 5.4 patterns (r11): clean-room matcher in lua_patterns.py
     from vector_spark.functions import lua_patterns as _pat
 
@@ -981,11 +1430,22 @@ def make_globals(extra: dict | None = None,
     g.declare("type", _type)
     g.declare("pairs", _pairs_iter)
     g.declare("ipairs", _ipairs_iter)
-    g.declare("error", lambda m=None: (_ for _ in ()).throw(
-        LuaError(lua_tostring(m))))
+    g.declare("error", _error)
     g.declare("assert", lambda v, m=None: v if lua_truthy(v)
-              else (_ for _ in ()).throw(LuaError(lua_tostring(
-                  m if m is not None else "assertion failed!"))))
+              else (_ for _ in ()).throw(LuaError(
+                  m if m is not None else "assertion failed!")))
+    g.declare("pcall", _pcall)
+    g.declare("xpcall", _xpcall)
+    g.declare("select", _select)
+    g.declare("next", _next)
+    g.declare("setmetatable", _setmetatable)
+    g.declare("getmetatable", _getmetatable)
+    g.declare("rawget", _rawget)
+    g.declare("rawset", _rawset)
+    g.declare("rawequal", _rawequal)
+    g.declare("rawlen", _rawlen)
+    g.declare("unpack", _tbl_unpack)  # 5.1 alias real programs still use
+    g.declare("coroutine", _make_coroutine_lib())
     g.declare("string", LuaTable({
         "format": _lua_format,
         "len": lambda s: len(s),
@@ -1009,7 +1469,59 @@ def make_globals(extra: dict | None = None,
         "insert": _tbl_insert,
         "remove": _tbl_remove,
         "concat": _tbl_concat,
+        "sort": _tbl_sort,
+        "unpack": _tbl_unpack,
     }))
+
+    # deterministic PRNG: replayed partitions must reproduce — xorshift64*
+    # seeded 0 unless the program calls randomseed (documented delta from
+    # Lua 5.4's clock-seeded xoshiro256**)
+    rng_state = [0x9E3779B97F4A7C15]
+
+    def _randomseed(x=None):
+        rng_state[0] = (int(lua_tonumber(x) or 0)
+                        ^ 0x9E3779B97F4A7C15) & _U64 or 1
+
+    def _rng_next():
+        s = rng_state[0]
+        s ^= (s >> 12)
+        s ^= (s << 25) & _U64
+        s ^= (s >> 27)
+        rng_state[0] = s
+        return (s * 0x2545F4914F6CDD1D) & _U64
+
+    def _random(m=None, n=None):
+        r = _rng_next() / float(1 << 64)
+        if m is None:
+            return r
+        m = int(lua_tonumber(m))
+        if n is None:
+            lo, hi = 1, m
+        else:
+            lo, hi = m, int(lua_tonumber(n))
+        if lo > hi:
+            raise LuaError("bad argument #2 to 'random' "
+                           "(interval is empty)")
+        return lo + int(r * (hi - lo + 1))
+
+    def _math_type(x):
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            return None
+        return "integer" if isinstance(x, int) else "float"
+
+    def _tointeger(x):
+        n = lua_tonumber(x)
+        if isinstance(n, int):
+            return n
+        if isinstance(n, float) and n.is_integer():
+            return int(n)
+        return None
+
+    def _modf(x):
+        n = lua_tonumber(x)
+        frac, intpart = _math.modf(n)
+        return [intpart, frac]
+
     g.declare("math", LuaTable({
         "floor": lambda x: int(_math.floor(lua_tonumber(x))),
         "ceil": lambda x: int(_math.ceil(lua_tonumber(x))),
@@ -1017,6 +1529,22 @@ def make_globals(extra: dict | None = None,
         "max": lambda *xs: max(lua_tonumber(x) for x in xs),
         "min": lambda *xs: min(lua_tonumber(x) for x in xs),
         "huge": _math.inf,
+        "pi": _math.pi,
+        "sqrt": lambda x: _math.sqrt(lua_tonumber(x)),
+        "exp": lambda x: _math.exp(lua_tonumber(x)),
+        "log": lambda x, base=None: (
+            _math.log(lua_tonumber(x)) if base is None
+            else _math.log(lua_tonumber(x), lua_tonumber(base))
+        ),
+        "fmod": lambda x, y: _math.fmod(lua_tonumber(x),
+                                        lua_tonumber(y)),
+        "modf": _modf,
+        "maxinteger": (1 << 63) - 1,
+        "mininteger": -(1 << 63),
+        "tointeger": _tointeger,
+        "type": _math_type,
+        "random": _random,
+        "randomseed": _randomseed,
     }))
     for k, v in (extra or {}).items():
         g.declare(k, v)
@@ -1043,6 +1571,8 @@ def run(src: str, env: _Env) -> list:
         _exec_block(parse(src), env)
     except _Return as r:
         return r.values
+    except _Goto as g:
+        raise LuaError(f"no visible label '{g.label}' for goto") from None
     return []
 
 

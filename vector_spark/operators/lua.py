@@ -21,12 +21,26 @@ emitted fields — the inferred contract (all events flatten to
 schema-stable fields) is then enforced by the Arrow conversion, which
 is the honest DataFrame adaptation of a dynamically-typed stream.
 
-Out of scope (loud errors, documented): v2 `timers` (the stateful
-analog lives in `streaming/stateful.py::scripted_stateful_transform`),
-metatables/coroutines/goto/string-patterns (see lua_interp docstring).
-At 100 TB this is the slow path by construction — Python in the loop —
-mitigated by Arrow batching; anything expressible as Columns should be
-remap/VRL instead.
+v2 `timers` (r11): the reference fires each ``TimerConfig.handler``
+every ``interval_seconds`` of WALL CLOCK while the stream runs
+(`src/transforms/lua/v2/mod.rs:183-196,:461-476`). A batch replay has
+no wall clock, so the honest deterministic analog is EVENT TIME: per
+partition, the first event's timestamp anchors each timer, and the
+handler fires once per interval boundary the event stream crosses
+(``timestamp_field`` picks the column; rows without a parseable
+timestamp advance nothing). Catch-up after a gap fires once per
+elapsed boundary, capped at ``timer_catchup_max`` per event (a
+year-long gap on a 1s timer should not emit 31M flushes — the cap is
+the documented replay/real-time divergence). Wall-clock timers remain
+available in streaming via
+`streaming/stateful.py::scripted_stateful_transform`.
+
+The interpreter itself is full-fidelity since r11 — metatables,
+coroutines, goto, varargs, string patterns all run (see lua_interp
+docstring for the remaining io/require exclusions). At 100 TB this is
+the slow path by construction — Python in the loop — mitigated by
+Arrow batching; anything expressible as Columns should be remap/VRL
+instead.
 """
 
 from __future__ import annotations
@@ -68,14 +82,40 @@ def _hook_fn(env, spec: str):
     return fn
 
 
+def _parse_ts(v) -> float | None:
+    """Event timestamp → epoch seconds (numeric, datetime/Timestamp,
+    or ISO string); None if absent/unparseable."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if hasattr(v, "timestamp"):
+        try:
+            return float(v.timestamp())
+        except (ValueError, OSError, OverflowError):
+            return None
+    if isinstance(v, str):
+        try:
+            return float(pd.Timestamp(v).timestamp())
+        except (ValueError, OverflowError):
+            return None
+    return None
+
+
 class _V2Runner:
     """One v2 interpreter lifecycle: env + hooks built ONCE, `init`
     fired before the first event, `process` per event against the
     SHARED env (so `source`-chunk globals — counters, caches — persist
     across Arrow batches, matching the reference's persistent per-
-    instance Lua state), `shutdown` after the last event."""
+    instance Lua state), `shutdown` after the last event. Timers fire
+    on event-time boundary crossings (module docstring)."""
 
-    def __init__(self, source: str | None, hooks: dict, kind: str):
+    def __init__(self, source: str | None, hooks: dict, kind: str,
+                 timers: list[dict] | None = None,
+                 timestamp_field: str = "timestamp",
+                 timer_catchup_max: int = 100):
         self.kind = kind
         self.emitted: list[dict] = []
 
@@ -102,7 +142,34 @@ class _V2Runner:
             _hook_fn(env, hooks["shutdown"]) if hooks.get("shutdown")
             else None
         )
+        self._ts_field = timestamp_field
+        self._catchup_max = int(timer_catchup_max)
+        # per timer: (interval_secs, handler, [base_ts], [fired_count])
+        self._timers: list = []
+        for tc in timers or []:
+            interval = float(tc["interval_seconds"])
+            if interval <= 0:
+                raise LuaConfigError("timer interval_seconds must be > 0")
+            self._timers.append(
+                [interval, _hook_fn(env, tc["handler"]), None, 0]
+            )
         self._started = False
+
+    def _advance_timers(self, row: dict) -> None:
+        if not self._timers:
+            return
+        ts = _parse_ts(row.get(self._ts_field))
+        if ts is None:
+            return
+        for timer in self._timers:
+            interval, handler, base, fired = timer
+            if base is None:
+                timer[2] = ts  # first event anchors the timer
+                continue
+            due = int((ts - base) // interval)
+            for _ in range(min(due - fired, self._catchup_max)):
+                timer[3] += 1
+                handler(self._emit)
 
     def _drain(self) -> list[dict]:
         out, self.emitted = self.emitted, []
@@ -114,6 +181,7 @@ class _V2Runner:
             if self._init is not None:
                 self._init(self._emit)
         for row in rows:
+            self._advance_timers(row)
             self._process(li.to_lua({self.kind: row}), self._emit)
         return self._drain()
 
@@ -128,11 +196,13 @@ class _V2Runner:
 
 
 def _run_events_v2(rows: list[dict], source: str | None, hooks: dict,
-                   kind: str) -> list[dict]:
+                   kind: str, timers=None, timestamp_field="timestamp",
+                   timer_catchup_max=100) -> list[dict]:
     """One full lifecycle over a single batch (used for driver-side
     schema inference; the partition path in ``lua_transform`` keeps the
     runner alive across batches)."""
-    runner = _V2Runner(source, hooks, kind)
+    runner = _V2Runner(source, hooks, kind, timers, timestamp_field,
+                       timer_catchup_max)
     out = runner.process_rows(rows)
     out.extend(runner.finish())
     return out
@@ -210,31 +280,37 @@ def lua_transform(
     schema: StructType | str | None = None,
     sample: int = 20,
     timers: Any = None,
+    timestamp_field: str = "timestamp",
+    timer_catchup_max: int = 100,
 ) -> DataFrame:
     """Run a reference-style Lua program over every event. v2 needs
-    ``hooks['process']`` (plus optional init/shutdown and a ``source``
-    chunk defining named hooks); v1 needs ``source`` only."""
-    if timers:
-        raise LuaConfigError(
-            "lua timers are not supported in the batch transform; use "
-            "streaming scripted_stateful_transform (periodic flush "
-            "timers over keyed state) for that contract"
-        )
+    ``hooks['process']`` (plus optional init/shutdown, ``timers``
+    entries ``{interval_seconds, handler}`` replayed on event time —
+    module docstring — and a ``source`` chunk defining named hooks);
+    v1 needs ``source`` only."""
     version = str(version)
     if version == "2":
         if not hooks or "process" not in hooks:
             raise LuaConfigError("lua v2 needs hooks.process")
+        for tc in timers or []:
+            if "interval_seconds" not in tc or "handler" not in tc:
+                raise LuaConfigError(
+                    "each timer needs interval_seconds and handler"
+                )
     elif version in ("1", ""):
         if not source:
             raise LuaConfigError("lua v1 needs source")
         if hooks:
             raise LuaConfigError("lua v1 takes no hooks")
+        if timers:
+            raise LuaConfigError("lua v1 takes no timers")
     else:
         raise LuaConfigError(f"unknown lua version {version!r}")
 
     def run_batch(rows: list[dict]) -> list[dict]:
         if version == "2":
-            return _run_events_v2(rows, source, hooks, kind)
+            return _run_events_v2(rows, source, hooks, kind, timers,
+                                  timestamp_field, timer_catchup_max)
         return _run_events_v1(rows, source)
 
     if schema is None:
@@ -258,7 +334,8 @@ def lua_transform(
             # reference's per-instance Lua lifecycle. Empty emissions
             # are skipped (an empty pandas frame defaults every column
             # to float64, which Arrow can't cast to struct/array).
-            runner = _V2Runner(source, hooks, kind)
+            runner = _V2Runner(source, hooks, kind, timers,
+                               timestamp_field, timer_catchup_max)
             for pdf in batches:
                 events = runner.process_rows(pdf.to_dict("records"))
                 if events:
