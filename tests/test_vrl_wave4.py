@@ -650,9 +650,56 @@ def test_zstd_truncated_frames_raise():
     used to decode as last=0/Raw/size-0 and loop forever."""
     from vector_spark.functions import zstd as z
 
-    whole = z.compress(b"x" * 1000)
+    # incompressible payload: r11's real compressor would shrink
+    # b"x"*1000 below the 50-byte truncation slice used here
+    import hashlib
+
+    blob = b"".join(hashlib.sha256(bytes([i])).digest()
+                    for i in range(32))
+    whole = z.compress(blob)
+    assert len(whole) > 60
     for bad in (whole[:-3], whole[:-50],
                 b"\x28\xb5\x2f\xfd\x20\x05",  # header, no block
                 b"\x28\xb5\x2f\xfd"):
         with pytest.raises(ValueError):
             z.decompress(bad)
+
+
+def test_lz4_real_compression_ratio_and_fuzz():
+    """r11: lz4.compress emits really-compressed blocks (greedy
+    hash-table matcher). Compressible data must shrink hard, stored
+    fallback keeps incompressible data near 1.0, and the CLI decodes
+    every frame byte-identically."""
+    import random
+    import shutil
+    import subprocess
+
+    from vector_spark.functions import lz4 as z
+
+    logs = b"".join(b"2026-08-16 INFO request %d handled in %dms\n"
+                    % (i, i % 40) for i in range(4000))
+    assert len(z.compress(logs)) < len(logs) // 4
+    rng = random.Random(5)
+    noise = bytes(rng.randrange(256) for _ in range(30000))
+    assert len(z.compress(noise)) <= len(noise) + 32  # stored fallback
+    cli = shutil.which("lz4")
+    for i in range(30):
+        n = rng.randrange(0, 60000)
+        kind = rng.randrange(4)
+        if kind == 0:
+            d = bytes(rng.randrange(256) for _ in range(min(n, 10000)))
+        elif kind == 1:
+            d = bytes(rng.randrange(6) for _ in range(n))
+        elif kind == 2:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randint(1, 50)))
+            d = (unit * (n // max(len(unit), 1) + 1))[:n]
+        else:
+            d = b"".join(b"k%d=v%d;" % (j % 90, j % 11)
+                         for j in range(n // 8))
+        frame = z.compress(d)
+        assert z.decompress(frame) == d, (i, kind, n)
+        if cli:
+            p = subprocess.run([cli, "-d", "-c"], input=frame,
+                               capture_output=True)
+            assert p.returncode == 0 and p.stdout == d, (i, kind, n)

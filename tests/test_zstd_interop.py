@@ -123,3 +123,90 @@ def test_xxh64_reference_vectors():
     long = bytes(range(256)) * 4
     frame = _cli_compress(long, 3, check=True)
     assert xxh64(long) & 0xFFFFFFFF == int.from_bytes(frame[-4:], "little")
+
+
+# ---------------------------------------------------------------------------
+# r11: the ENCODER writes real Compressed blocks (functions/
+# zstd_encode.py — Huffman literals + predefined-FSE sequences). Same
+# two-way stance: the CLI must decode our frames byte-identically.
+
+
+def test_real_compression_ratio_and_cli_decode():
+    for name, data in _corpus().items():
+        frame = compress(data)
+        assert decompress(frame) == data, name
+        assert _cli_decompress(frame) == data, name
+    # compressible corpora must actually shrink hard now
+    for name in ("text", "json", "big_text", "rle"):
+        data = _corpus()[name]
+        assert len(compress(data)) < len(data) // 4, name
+    # 2-bit-entropy noise lands near its bound, not near 1.0
+    semi = _corpus()["semi"]
+    assert len(compress(semi)) < len(semi) * 0.45
+
+
+def test_level0_forces_store_mode():
+    data = _corpus()["text"]
+    frame = compress(data, level=0)
+    assert len(frame) > len(data)  # headers only, no compression
+    assert decompress(frame) == data
+    assert _cli_decompress(frame) == data
+    # every block header must say Raw (type bits 00)
+    pos = 6  # magic + FHD + 1-byte FCS for this corpus size? compute:
+    # re-derive: FHD at offset 4 picks the FCS width
+    desc = frame[4]
+    fcs_len = (1, 2, 4, 8)[desc >> 6]
+    pos = 5 + fcs_len
+    while pos < len(frame):
+        hdr = int.from_bytes(frame[pos:pos + 3], "little")
+        assert (hdr >> 1) & 3 == 0  # Raw
+        size = hdr >> 3
+        pos += 3 + size
+        if hdr & 1:
+            break
+
+
+def test_incompressible_input_stays_raw_blocks():
+    rng = random.Random(99)
+    data = bytes(rng.randrange(256) for _ in range(50000))
+    frame = compress(data)
+    # worst case equals store mode: only the frame/block scaffolding
+    assert len(frame) <= len(data) + 16
+    assert decompress(frame) == data
+    assert _cli_decompress(frame) == data
+
+
+def test_encoder_fuzz_cli_decodes():
+    rng = random.Random(1234)
+    for i in range(50):
+        n = rng.randrange(0, 150000)
+        kind = rng.randrange(5)
+        if kind == 0:
+            d = bytes(rng.randrange(256) for _ in range(min(n, 20000)))
+        elif kind == 1:
+            d = bytes(rng.randrange(5) for _ in range(n))
+        elif kind == 2:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randint(1, 64)))
+            d = (unit * (n // max(len(unit), 1) + 1))[:n]
+        elif kind == 3:
+            d = b"".join(b"k%d=v%d;" % (j % 100, j % 13)
+                         for j in range(n // 8))
+        else:
+            d = bytes(min(255, max(0, 128 + int(40 * rng.gauss(0, 1))))
+                      for _ in range(min(n, 20000)))
+        frame = compress(d)
+        assert decompress(frame) == d, (i, kind, n)
+        assert _cli_decompress(frame) == d, (i, kind, n)
+
+
+def test_encoder_multiblock_boundaries():
+    # exactly 1, 2, and 2.5 blocks of 128 KiB; matches never cross the
+    # block boundary by construction (block-local tables)
+    unit = b"boundary-block payload %d | " 
+    for total in (128 * 1024, 256 * 1024, 320 * 1024):
+        data = (b"".join(unit % i for i in range(total // 26 + 1)))[:total]
+        frame = compress(data)
+        assert decompress(frame) == data
+        assert _cli_decompress(frame) == data
+        assert len(frame) < total // 3

@@ -1,4 +1,4 @@
-"""Pure-Python LZ4 frame codec (store-mode write, full block read).
+"""Pure-Python LZ4 frame codec (REAL compression since r11, full read).
 
 Same stance as functions/snappy.py and functions/zstd.py: no lz4
 library ships in this container, but the formats are public
@@ -6,17 +6,22 @@ library ships in this container, but the formats are public
 lz4_Block_format.md) and VRL has encode_lz4/decode_lz4 — both were
 env-gated before this module.
 
-compress: LZ4 frames whose data blocks are STORED (the frame format's
-uncompressed-block flag, high bit of the block size) — valid LZ4 any
-decoder accepts, ratio traded for zero dependencies.
+compress: real LZ4 block compression — a greedy 4-byte hash-chain
+match finder in the shape of the reference implementation's fast
+path (lz4.c LZ4_compress_generic: 64 KiB offset window, MINMATCH 4,
+the spec's end-of-block rules: last match starts ≥12 bytes before the
+end, final ≥5 bytes are literals). Blocks that don't shrink are
+emitted as stored blocks (high bit of the block size), so worst case
+equals the r10 store-mode writer. Pure Python trades throughput for
+zero dependencies — fine for sink request bodies, which are built
+per-partition in parallel workers; wire ratio is what matters at
+100 TB egress.
 
 decompress: full frame parsing (magic, descriptor flags, optional
 content size / dict id, skippable frames) AND full BLOCK decoding —
-the LZ4 block format (token nibbles, LSIC length extension,
-little-endian match offsets, overlapping copies) is ~40 lines, so
-unlike zstd's entropy-coded blocks, real compressed LZ4 decodes here
-too. Header/content checksums are xxHash-32, skipped unverified (no
-xxhash lib) — the structural length fields still gate framing.
+token nibbles, LSIC length extension, little-endian match offsets,
+overlapping copies. Header/content checksums are xxHash-32; the
+descriptor HC byte is stamped with the spec implementation below.
 """
 
 from __future__ import annotations
@@ -26,8 +31,81 @@ _SKIPPABLE_LO = 0x184D2A50
 _STORE_CHUNK = 4 * 1024 * 1024  # 4 MiB block-max (BD byte value 7)
 
 
+def _emit_sequence(out: bytearray, literals: bytes, offset: int,
+                   match_len: int) -> None:
+    """One LZ4 sequence: token, LSIC literal-length extension,
+    literals, 2-byte LE offset, LSIC match-length extension."""
+    lit_len = len(literals)
+    ml = match_len - 4  # MINMATCH bias
+    token = (min(lit_len, 15) << 4) | min(ml, 15)
+    out.append(token)
+    if lit_len >= 15:
+        rem = lit_len - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += literals
+    out += offset.to_bytes(2, "little")
+    if ml >= 15:
+        rem = ml - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+
+
+def _encode_block(data: bytes) -> bytes | None:
+    """Greedy hash-table LZ4 block encode; None when incompressible
+    (too short, or the encoded form would not shrink)."""
+    n = len(data)
+    if n < 13:  # spec minimums leave no room for a match
+        return None
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    mflimit = n - 12   # last match must START ≥12 bytes before end
+    matchlimit = n - 5  # final 5 bytes are always literals
+    while pos < mflimit:
+        seq = data[pos:pos + 4]
+        cand = table.get(seq)
+        table[seq] = pos
+        if cand is None or pos - cand > 0xFFFF:
+            pos += 1
+            continue
+        # extend the match forward (the 4-byte seed is equal by key)
+        m = pos + 4
+        c = cand + 4
+        while m < matchlimit and data[m] == data[c]:
+            m += 1
+            c += 1
+        _emit_sequence(out, data[anchor:pos], pos - cand, m - pos)
+        # index the position two bytes before the match end — the
+        # reference fast path's re-seed that keeps runs chaining
+        if m - 2 > pos:
+            table[data[m - 2:m + 2]] = m - 2
+        pos = m
+        anchor = m
+        if len(out) >= n:
+            return None  # already not shrinking; store instead
+    # final literals-only sequence (low nibble 0, no offset)
+    lit = data[anchor:]
+    lit_len = len(lit)
+    out.append(min(lit_len, 15) << 4)
+    if lit_len >= 15:
+        rem = lit_len - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += lit
+    return bytes(out) if len(out) < n else None
+
+
 def compress(data: bytes) -> bytes:
-    """``data`` → one LZ4 frame of stored (uncompressed) blocks."""
+    """``data`` → one LZ4 frame; each 4 MiB block is really compressed
+    when that shrinks it, stored otherwise."""
     out = bytearray(LZ4_MAGIC)
     # FLG: version 01, block-independence set, no checksums/size/dict
     out.append(0x60)
@@ -40,8 +118,13 @@ def compress(data: bytes) -> bytes:
     while pos < len(data):
         chunk = data[pos:pos + _STORE_CHUNK]
         pos += len(chunk)
-        out += (len(chunk) | 0x80000000).to_bytes(4, "little")
-        out += chunk
+        enc = _encode_block(chunk)
+        if enc is None:
+            out += (len(chunk) | 0x80000000).to_bytes(4, "little")
+            out += chunk
+        else:
+            out += len(enc).to_bytes(4, "little")
+            out += enc
     out += b"\x00\x00\x00\x00"  # EndMark
     return bytes(out)
 

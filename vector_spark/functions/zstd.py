@@ -43,8 +43,13 @@ _SKIPPABLE_LO = 0x184D2A50  # ..5F, RFC 8878 §3.1.2
 _RAW_CHUNK = 128 * 1024  # Block_Maximum_Size ceiling (§3.1.1.2.3)
 
 
-def compress(data: bytes) -> bytes:
-    """``data`` → one store-mode zstd frame (Raw blocks only)."""
+def compress(data: bytes, level: int = 3) -> bytes:
+    """``data`` → one zstd frame. ``level >= 1`` (default) really
+    compresses: Compressed blocks with Huffman literals + predefined-
+    FSE sequences (functions/zstd_encode.py), falling back to Raw
+    blocks wherever encoding doesn't shrink. ``level=0`` forces the
+    r10 store-mode writer (Raw blocks only). Inputs under 64 bytes
+    always store — the frame+block scaffolding dominates any gain."""
     n = len(data)
     out = bytearray(ZSTD_MAGIC)
     # Frame_Header_Descriptor: Single_Segment_flag (bit 5) set, so the
@@ -66,15 +71,25 @@ def compress(data: bytes) -> bytes:
         # a frame must still carry a last block: empty Raw block
         out += (1).to_bytes(3, "little")  # last=1, type=Raw, size=0
         return bytes(out)
+    encode_block = None
+    if level >= 1 and n >= 64:
+        from vector_spark.functions.zstd_encode import compress_block
+        encode_block = compress_block
     pos = 0
     while pos < n:
         chunk = data[pos:pos + _RAW_CHUNK]
         pos += len(chunk)
         last = 1 if pos >= n else 0
-        # Block_Header (3 bytes LE): bit0 last, bits1-2 type(0=Raw),
-        # bits 3..23 Block_Size (§3.1.1.2.1)
-        out += (last | (len(chunk) << 3)).to_bytes(3, "little")
-        out += chunk
+        enc = encode_block(chunk) if encode_block is not None else None
+        # Block_Header (3 bytes LE): bit0 last, bits1-2 type
+        # (0=Raw, 2=Compressed), bits 3..23 Block_Size (§3.1.1.2.1)
+        if enc is None:
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+        else:
+            out += (last | (2 << 1) | (len(enc) << 3)).to_bytes(
+                3, "little")
+            out += enc
     return bytes(out)
 
 
