@@ -146,3 +146,37 @@ sinks:
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_real_snappy_interop_via_pyarrow():
+    """r11: compress() emits real copy elements. pyarrow bundles the
+    reference C++ snappy — pin BOTH directions against it, the same
+    two-way stance as the zstd/lz4 CLI pins."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(1)
+    for t in range(40):
+        n = rng.randrange(0, 200000)
+        k = t % 4
+        if k == 0:
+            d = bytes(rng.randrange(256) for _ in range(min(n, 10000)))
+        elif k == 1:
+            d = bytes(rng.randrange(6) for _ in range(n))
+        elif k == 2:
+            d = b"".join(b"row %d field %d\n" % (j, j % 9)
+                         for j in range(n // 12))
+        else:
+            u = bytes(rng.randrange(256)
+                      for _ in range(rng.randint(1, 40)))
+            d = (u * (n // max(len(u), 1) + 1))[:n]
+        got = pa.decompress(compress(d), decompressed_size=len(d),
+                            codec="snappy", asbytes=True)
+        assert got == d, (t, k, n)
+        assert decompress(pa.compress(d, codec="snappy",
+                                      asbytes=True)) == d, (t, k, n)
+    # and the ratio is real now, not 1.0
+    logs = b"".join(b"metric{job=\"api\",i=\"%d\"} %d\n" % (i % 40, i)
+                    for i in range(4000))
+    assert len(compress(logs)) < len(logs) // 4

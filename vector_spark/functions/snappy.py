@@ -10,9 +10,13 @@ copy elements.
 
 decompress: full format (literals + 1/2/4-byte-offset copies,
 overlapping copies byte-by-byte like the spec requires).
-compress: emits LITERAL-ONLY streams — valid snappy any decoder accepts
-(the format does not require copies), trading ratio for simplicity; the
-docstring-level contract is interoperability, not ratio.
+compress (REAL since r11, matching the lz4/zstd writers): greedy
+4-byte hash-table match finder over the reference implementation's
+64 KiB input fragments — offsets always fit copy-with-2-byte-offset
+elements, long matches split into ≤64-byte copy elements, short
+near matches use the 1-byte-offset form. Incompressible fragments
+cost one literal header, so worst case ≈ the old literal-only
+writer.
 """
 
 from __future__ import annotations
@@ -87,22 +91,80 @@ def decompress(buf: bytes) -> bytes:
     return bytes(out)
 
 
+def _emit_literal(out: bytearray, lit: bytes) -> None:
+    ln = len(lit)
+    if ln == 0:
+        return
+    if ln <= 60:
+        out.append((ln - 1) << 2)
+    elif ln <= 0x100:
+        out.append(60 << 2)
+        out.append(ln - 1)
+    elif ln <= 0x10000:
+        out.append(61 << 2)
+        out.extend((ln - 1).to_bytes(2, "little"))
+    else:  # fragments are 64 KiB, so this branch never fires here
+        out.append(62 << 2)
+        out.extend((ln - 1).to_bytes(3, "little"))
+    out.extend(lit)
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    """Split a match into legal copy elements (≤64 bytes each; the
+    1-byte-offset form for short near matches, 2-byte otherwise)."""
+    while length >= 68:
+        out.append(2 | (63 << 2))  # 64-byte copy2
+        out.extend(offset.to_bytes(2, "little"))
+        length -= 64
+    if length > 64:  # leave a ≥4 remainder for the final element
+        out.append(2 | (59 << 2))  # 60-byte copy2
+        out.extend(offset.to_bytes(2, "little"))
+        length -= 60
+    if 4 <= length <= 11 and offset < 2048:
+        out.append(1 | ((length - 4) << 2) | ((offset >> 8) << 5))
+        out.append(offset & 0xFF)
+    else:
+        out.append(2 | ((length - 1) << 2))
+        out.extend(offset.to_bytes(2, "little"))
+
+
+def _compress_fragment(data: bytes, out: bytearray) -> None:
+    """Greedy hash-table matcher over one ≤64 KiB fragment (the C++
+    implementation's working unit, so offsets stay < 65536)."""
+    n = len(data)
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    limit = n - 4
+    while pos <= limit:
+        seed = data[pos:pos + 4]
+        cand = table.get(seed)
+        table[seed] = pos
+        if cand is None:
+            pos += 1
+            continue
+        m = pos + 4
+        c = cand + 4
+        while m < n and data[m] == data[c]:
+            m += 1
+            c += 1
+        _emit_literal(out, data[anchor:pos])
+        _emit_copy(out, pos - cand, m - pos)
+        if m - 2 > pos:
+            table[data[m - 2:m + 2]] = m - 2
+        pos = m
+        anchor = m
+    _emit_literal(out, data[anchor:])
+
+
 def compress(data: bytes) -> bytes:
-    """bytes → valid literal-only snappy block (see module docstring)."""
+    """bytes → really-compressed snappy block (module docstring)."""
     out = bytearray()
     _write_uvarint(len(data), out)
     pos = 0
     n = len(data)
-    while pos < n or (n == 0 and pos == 0):
+    while pos < n:
         chunk = data[pos:pos + 65536]
-        ln = len(chunk)
-        if n == 0:
-            break
-        if ln <= 60:
-            out.append(((ln - 1) << 2) | 0)
-        else:
-            out.append((61 << 2) | 0)  # 2-byte LE length
-            out.extend((ln - 1).to_bytes(2, "little"))
-        out.extend(chunk)
-        pos += ln
+        pos += len(chunk)
+        _compress_fragment(chunk, out)
     return bytes(out)
