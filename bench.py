@@ -101,6 +101,7 @@ HEADLINE = [
     # round-11 additions
     "zstd_entropy_decode",
     "membership_filter_enrich",
+    "codec_compress_roundtrip",
 ]
 
 

@@ -2278,6 +2278,39 @@ FROM ids
 """
 
 
+def q_codec_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 REAL-compression oracle arm: the zstd / lz4 / snappy
+    writers emit entropy-coded / copy-element frames now
+    (functions/zstd_encode.py, lz4.py, snappy.py), so this query
+    pushes multi-KB payloads (repeat(text, 4) ≈ 1.2 KB — past the
+    64-byte store gate and into the 4-stream Huffman path) through
+    encode→decode for all three and value-verifies md5 of the
+    roundtrip against DuckDB recomputing it from the raw text.
+    Scan-riding Arrow-batched Column work, zero shuffle — the same
+    plan shape as vrl_codec_chain_roundtrip, which keeps covering the
+    small-payload store-gate path."""
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.repeat(F.col("text"), 4)
+    c = V["decode_zstd"](V["encode_zstd"](payload))
+    c = V["decode_lz4"](V["encode_lz4"](c))
+    c = V["decode_snappy"](V["encode_snappy"](c))
+    return docs.select(
+        "doc_id",
+        F.md5(c.cast("binary")).alias("digest"),
+        F.length(payload).alias("nbytes"),
+    )
+
+
+_ORACLE_CODEC_COMPRESS = """
+SELECT doc_id,
+       md5(repeat(text, 4)) AS digest,
+       length(repeat(text, 4)) AS nbytes
+FROM documents
+"""
+
+
 def q_memory_table_enrich_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-driven memory enrichment table
     (src/enrichment_tables/memory/config.rs + the compiler's
@@ -3476,6 +3509,9 @@ QUERIES: dict[str, QuerySpec] = {
     "zstd_entropy_decode": QuerySpec(
         q_zstd_entropy_decode, _ORACLE_ZSTD_ENTROPY,
         "decode_zstd of real CLI entropy-coded frames (FSE+Huffman)"),
+    "codec_compress_roundtrip": QuerySpec(
+        q_codec_compress_roundtrip, _ORACLE_CODEC_COMPRESS,
+        "REAL zstd/lz4/snappy compression roundtrip on multi-KB text"),
     "vrl_codec_chain_roundtrip": QuerySpec(
         q_vrl_codec_chain, _ORACLE_VRL_CODEC_CHAIN,
         "zstd+lz4+snappy+gzip+AES-GCM roundtrip (r10 pure codecs)"),
