@@ -72,6 +72,7 @@ def compress(data: bytes, level: int = 3) -> bytes:
         out += (1).to_bytes(3, "little")  # last=1, type=Raw, size=0
         return bytes(out)
     encode_block = None
+    rep = [1, 4, 8]  # per-frame repeat-offset history (§3.1.1.5)
     if level >= 1 and n >= 64:
         from vector_spark.functions.zstd_encode import compress_block
         encode_block = compress_block
@@ -80,7 +81,8 @@ def compress(data: bytes, level: int = 3) -> bytes:
         chunk = data[pos:pos + _RAW_CHUNK]
         pos += len(chunk)
         last = 1 if pos >= n else 0
-        enc = encode_block(chunk) if encode_block is not None else None
+        enc = (encode_block(chunk, rep)
+               if encode_block is not None else None)
         # Block_Header (3 bytes LE): bit0 last, bits1-2 type
         # (0=Raw, 2=Compressed), bits 3..23 Block_Size (§3.1.1.2.1)
         if enc is None:

@@ -13,9 +13,10 @@ src/sinks/datadog/metrics/config.rs), so r11 adds the encode side:
   decode-table construction as zstd.py and runs it backward (states
   assigned to a symbol, sorted ascending, are the FSE next-state
   subrange [f, 2f) — RFC 8878 §4.1.1; encoding is the exact reverse
-  of the decoder's baseline+bits transition). Offsets are emitted as
-  Offset_Value = offset + 3 (no repeat-offset history on the encode
-  side — legal, slightly larger).
+  of the decoder's baseline+bits transition). Offsets exploit the
+  three-slot repeat history (§3.1.1.5) — Offset_Values 1-3 for the
+  repeated strides structured data is full of, offset+3 otherwise —
+  threaded across blocks per frame exactly like the decoder's state.
 - Literals: Huffman-compressed when that pays (canonical code from
   package-merge length-limited (≤11) lengths → zstd weights, direct
   4-bit weight description, 1-stream ≤1023 bytes else 4-stream with
@@ -186,10 +187,51 @@ def _find_sequences(data: bytes):
 # sequences section
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+def _offset_value(offset: int, ll: int, rep: list[int]) -> int:
+    """Map an actual offset to its Offset_Value, exploiting the
+    three-slot repeat history (§3.1.1.5) and applying the decoder's
+    update rules to ``rep`` — fewer offset bits for the repeated
+    strides structured data is full of."""
+    if ll != 0:
+        if offset == rep[0]:
+            return 1
+        if offset == rep[1]:
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 2
+        if offset == rep[2]:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 3
+    else:
+        if offset == rep[1]:
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 1
+        if offset == rep[2]:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 2
+        if offset == rep[0] - 1:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 3
+    rep[2] = rep[1]
+    rep[1] = rep[0]
+    rep[0] = offset
+    return offset + 3
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]],
+                      rep: list[int]) -> bytes:
     """Sequences_Section with Predefined_Mode for all three streams
     (§3.1.1.3.2.1): header, modes byte 0, one backward bitstream in
-    the reference encoder's write order."""
+    the reference encoder's write order. ``rep`` is the per-frame
+    repeat-offset history, mutated in decode order (it spans blocks
+    within one frame, exactly like the decoder's state)."""
     nseq = len(seqs)
     out = bytearray()
     if nseq < 128:
@@ -210,7 +252,7 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
                    else _value_code(ll, _LL_BASELINES))
         ml_code = (ml - 3 if ml < 35
                    else _value_code(ml, _ML_BASELINES))
-        of_value = offset + 3
+        of_value = _offset_value(offset, ll, rep)
         of_code = of_value.bit_length() - 1
         codes.append((ll, ll_code, ml, ml_code, of_value, of_code))
 
@@ -381,9 +423,17 @@ def _encode_literals(lits: bytes) -> bytes:
 # block assembly
 
 
-def compress_block(chunk: bytes) -> bytes | None:
+def compress_block(chunk: bytes, rep: list[int] | None = None
+                   ) -> bytes | None:
     """One Compressed_Block body for ``chunk`` (≤128 KiB), or None
-    when the encoded form is not smaller (caller stores Raw)."""
+    when the encoded form is not smaller (caller stores Raw — in
+    which case ``rep`` is left untouched, matching the decoder, which
+    only updates its history inside Compressed blocks)."""
     seqs, lits = _find_sequences(chunk)
-    body = _encode_literals(lits) + _encode_sequences(seqs)
-    return body if len(body) < len(chunk) else None
+    trial_rep = list(rep) if rep is not None else [1, 4, 8]
+    body = _encode_literals(lits) + _encode_sequences(seqs, trial_rep)
+    if len(body) >= len(chunk):
+        return None
+    if rep is not None:
+        rep[:] = trial_rep
+    return body

@@ -321,3 +321,97 @@ def scripted_stateful_transform(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def lua_stateful_transform(
+    df: DataFrame,
+    key_field: str,
+    out_schema: StructType | str,
+    source: str | None = None,
+    hooks: dict | None = None,
+    timers: list[dict] | None = None,
+    kind: str = "log",
+):
+    """Streaming lua v2 with the reference's WALL-CLOCK timer contract
+    (`src/transforms/lua/v2/mod.rs:183-196,:461-476`): hook/timer
+    sources are LUA (functions/lua_interp.py), persistent program
+    state is the Lua global ``state`` (a table), serialized through
+    the checkpointed state store per key — so unlike the reference's
+    in-process mlua globals, it survives a restart. The batch
+    transform (`operators/lua.py`) replays timers on EVENT time; this
+    is the true-streaming analog where ``interval_seconds`` means
+    seconds of wall clock, enforced by the state store's
+    processing-time timeout via :func:`scripted_stateful_transform`.
+
+    Hook shapes match the batch v2 runner: ``hooks['process']`` is
+    ``function (event, emit)`` (inline or named in ``source``);
+    each ``timers`` entry is ``{interval_seconds, handler}`` with
+    ``handler = function (emit)``. Multiple timers ride one
+    state-store cadence (gcd would over-fire; we use the MINIMUM
+    interval and per-timer due-times in state)."""
+    import time as _time
+
+    from vector_spark.functions import lua_interp as li
+    from vector_spark.operators.lua import LuaConfigError, _hook_fn
+
+    if not hooks or "process" not in hooks:
+        raise LuaConfigError("lua v2 needs hooks.process")
+    timers = timers or []
+    for tc in timers:
+        if "interval_seconds" not in tc or "handler" not in tc:
+            raise LuaConfigError(
+                "each timer needs interval_seconds and handler")
+    if isinstance(out_schema, str):
+        out_schema = StructType.fromDDL(out_schema)
+    cols = out_schema.fieldNames()
+    tick = min((int(t["interval_seconds"]) for t in timers), default=None)
+
+    def _build(st: dict, emitted: list):
+        def emit(ev):
+            d = li.from_lua(ev)
+            if not isinstance(d, dict):
+                raise LuaConfigError("emit() expects an event table")
+            body = (d.get("log") if d.get("log") is not None
+                    else d.get("metric"))
+            if body is not None and isinstance(body, dict):
+                emitted.append(body)
+
+        env = li.make_globals({"emit": emit})
+        if source:
+            li.run(source, env)
+        env.declare("state", li.to_lua(st.get("lua", {})))
+        return env, emit
+
+    def _frame(emitted: list):
+        if not emitted:
+            return None
+        return pd.DataFrame(
+            {c: [e.get(c) for e in emitted] for c in cols}, columns=cols)
+
+    def process(key, pdf, st):
+        emitted: list[dict] = []
+        env, emit = _build(st, emitted)
+        fn = _hook_fn(env, hooks["process"])
+        for row in pdf.to_dict("records"):
+            fn(li.to_lua({kind: row}), emit)
+        st["lua"] = li.from_lua(env.get("state")) or {}
+        return _frame(emitted), st
+
+    def on_timer(key, st):
+        emitted: list[dict] = []
+        env, emit = _build(st, emitted)
+        now = _time.time()
+        due = st.setdefault("_lua_timers", {})
+        for i, tc in enumerate(timers):
+            k = str(i)
+            if now >= due.get(k, 0):
+                _hook_fn(env, tc["handler"])(emit)
+                due[k] = now + int(tc["interval_seconds"])
+        st["lua"] = li.from_lua(env.get("state")) or {}
+        return _frame(emitted), st
+
+    return scripted_stateful_transform(
+        df, key_field, out_schema, process,
+        on_timer=on_timer if timers else None,
+        timer_secs=tick,
+    )
