@@ -202,9 +202,11 @@ def test_duplicate_spans_hash_arm_no_string_corpus_shuffle(spark):
 
 def test_native_proto_roundtrip_single_python_stage(spark):
     """The protobuf bridge costs exactly two Arrow-batched Python stages
-    (encode + decode) with no shuffle between them."""
+    (encode + decode) with no shuffle BETWEEN them — the only Exchange
+    allowed is the r11 _spread below the scan (identity at real
+    scale), so both Python stages share one post-spread pipeline."""
     p = _plan(spark, "native_proto_roundtrip")
-    assert "Exchange" not in p
+    assert p.count("Exchange (") <= 1  # "(n) Exchange" detail dup-safe
     assert p.count("ArrowEvalPython") == 2
 
 
@@ -249,9 +251,12 @@ def test_runtime_bloom_filter_injection_available(spark):
         )
 
 
-def test_vrl_codec_chain_zero_shuffle(spark):
-    """The r10 codec-chain roundtrip (zstd+lz4+snappy+gzip+AES-GCM)
-    rides the scan: Arrow-batched Python stages only, no Exchange."""
+def test_vrl_codec_chain_single_spread_exchange(spark):
+    """The codec-chain roundtrip (zstd+lz4+snappy+gzip+AES-GCM) is
+    Arrow-batched Python stages over the scan with exactly ONE
+    Exchange: the explicit _spread that fans codec CPU out when the
+    scan has fewer splits than cores (r11; identity at real scale
+    where scans carry enough splits). No other shuffle may appear."""
     p = _plan(spark, "vrl_codec_chain_roundtrip")
-    assert "Exchange" not in p
+    assert p.count("Exchange (") <= 1  # tree line only, not the detail
     assert "ArrowEvalPython" in p

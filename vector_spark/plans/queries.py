@@ -72,6 +72,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a CPU-heavy Arrow/Python stage across the cluster when
+    the upstream scan has fewer splits than cores. The test parquet is
+    one row group, so every scan is ONE partition at bench SF and a
+    per-event codec stage serializes on a single worker (measured:
+    native proto encode 8.2 s → 3.1 s at sf0.1 on local[32]). The
+    max() guard means this NEVER reduces parallelism — at production
+    scale the scan already has more splits than defaultParallelism
+    and this is an identity, so the shuffle only exists exactly where
+    it pays."""
+    cur = df.rdd.getNumPartitions()
+    want = spark.sparkContext.defaultParallelism
+    return df.repartition(want) if cur < want else df
+
+
 # --------------------------------------------------------------------------
 # Relational flagships (TPC-H-shaped; exercise joins, agg, Catalyst pushdown)
 # --------------------------------------------------------------------------
@@ -1111,7 +1126,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in from sha256(text)."""
     from vector_spark.dataops.multimodal import extract_features, synthesize_assets
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread BEFORE synthesis: only the small doc columns
+    # shuffle; the synthesized binaries stay executor-local
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     feats = extract_features(synthesize_assets(docs))
     # content_sha / n_bytes of encoded media depend on zlib bytes, which
     # SQL cannot recompute — project the decode-derived features only.
@@ -2092,7 +2109,9 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gradient_images,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread BEFORE synthesis: only the small doc columns
+    # shuffle; the synthesized binaries stay executor-local
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return image_dhash(synthesize_gradient_images(docs))
 
 
@@ -2133,7 +2152,9 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_window_audio,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread BEFORE synthesis: only the small doc columns
+    # shuffle; the synthesized binaries stay executor-local
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return audio_fingerprint(synthesize_window_audio(docs))
 
 
@@ -2164,7 +2185,9 @@ def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jump_videos,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread BEFORE synthesis: only the small doc columns
+    # shuffle; the synthesized binaries stay executor-local
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return detect_scene_changes(synthesize_jump_videos(docs))
 
 
@@ -2183,11 +2206,14 @@ def q_vrl_codec_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode immediately decoded; functions/zstd.py, lz4.py, snappy.py)
     then AES-256-GCM encrypt/decrypt — the output must be
     byte-identical to the source column, value-verified against plain
-    SQL. Everything is Arrow-batched executor-side work riding the
-    scan; zero shuffle."""
+    SQL. Everything past the spread is Arrow-batched executor-side
+    work: exactly ONE exchange, the explicit _spread that fans the
+    codec CPU out when the scan has fewer splits than cores (the test
+    parquet is one row group; at production scale the spread is an
+    identity and the chain rides the scan splits)."""
     from vector_spark.functions.vrl import VRL_FUNCTIONS as V
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"), spark)
     c = V["decode_zstd"](V["encode_zstd"](F.col("props")))
     c = V["decode_lz4"](V["encode_lz4"](c))
     c = V["decode_snappy"](V["encode_snappy"](c))
@@ -2286,12 +2312,16 @@ def q_codec_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-byte store gate and into the 4-stream Huffman path) through
     encode→decode for all three and value-verifies md5 of the
     roundtrip against DuckDB recomputing it from the raw text.
-    Scan-riding Arrow-batched Column work, zero shuffle — the same
-    plan shape as vrl_codec_chain_roundtrip, which keeps covering the
-    small-payload store-gate path."""
+    Plan note: at small SF the documents scan is ONE file → one
+    partition, which would serialize ~36 MB of codec CPU on a single
+    Python worker; the explicit repartition spreads it (a few-MB
+    shuffle is noise next to the codec cost — measured 8.7 s → ~1 s
+    at sf0.1 on local[32]). At production scale the scan already has
+    splits and the repartition is a near-no-op. The small-payload
+    store-gate path stays covered by vrl_codec_chain_roundtrip."""
     from vector_spark.functions.vrl import VRL_FUNCTIONS as V
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     payload = F.repeat(F.col("text"), 4)
     c = V["decode_zstd"](V["encode_zstd"](payload))
     c = V["decode_lz4"](V["encode_lz4"](c))
@@ -3774,7 +3804,7 @@ QUERIES: dict[str, QuerySpec] = {
             __import__(
                 "vector_spark.functions.codecs", fromlist=["otlp_logs_to_events"]
             ),
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
         ),
         """
         SELECT event_id,
@@ -3834,7 +3864,7 @@ QUERIES: dict[str, QuerySpec] = {
             __import__(
                 "vector_spark.functions.codecs", fromlist=["otlp_traces_to_events"]
             ),
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
         ),
         """
         SELECT md5(CAST(event_id AS VARCHAR)) AS trace_id,
@@ -3882,7 +3912,7 @@ QUERIES: dict[str, QuerySpec] = {
             __import__(
                 "vector_spark.functions.codecs", fromlist=["otlp_metrics_to_events"]
             ),
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
         ),
         """
         SELECT concat('events_', event_type) AS name,
@@ -3927,7 +3957,7 @@ QUERIES: dict[str, QuerySpec] = {
                 "vector_spark.functions.codecs",
                 fromlist=["decode_prometheus_line"],
             ),
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
         ),
         """
         SELECT 'events_value' AS name,
@@ -4302,7 +4332,7 @@ QUERIES: dict[str, QuerySpec] = {
                     ).alias("payload")
                 )
             )
-        )(load_table(spark, sf_dir, "events")),
+        )(_spread(load_table(spark, sf_dir, "events"), spark)),
         """
         SELECT event_id, user_id, event_type, value, ts FROM events
         """,
@@ -4334,7 +4364,7 @@ QUERIES: dict[str, QuerySpec] = {
                 F.col("timestamp_ms").alias("ts_ms"),
             )
         )(
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
             __import__("vector_spark.functions.codecs",
                        fromlist=["prometheus_rw_roundtrip_rows"]),
         ),
@@ -4373,7 +4403,7 @@ QUERIES: dict[str, QuerySpec] = {
                 )
             )
         )(
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
             __import__("vector_spark.functions.codecs",
                        fromlist=["datadog_trace_roundtrip_rows"]),
         ),
@@ -4427,7 +4457,7 @@ QUERIES: dict[str, QuerySpec] = {
                 F.col("d.timestamp").alias("ts_s"),
             )
         )(
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
             __import__("vector_spark.functions.codecs",
                        fromlist=["encode_datadog_series_v2"]),
         ),
@@ -4468,7 +4498,7 @@ QUERIES: dict[str, QuerySpec] = {
                 )
             )(ev.select("event_type", "user_id", "value", "ts"))
         )(
-            load_table(spark, sf_dir, "events"),
+            _spread(load_table(spark, sf_dir, "events"), spark),
             __import__("vector_spark.sinks",
                        fromlist=["influx_logs_line"]),
             __import__("vector_spark.functions.codecs",
@@ -6257,7 +6287,7 @@ QUERIES.update({
         lambda spark, sf_dir: (
             lambda mm: mm.sample_frames(
                 mm.synthesize_video_assets(
-                    _t(spark, sf_dir, "documents")
+                    _spread(_t(spark, sf_dir, "documents"), spark)
                 ),
                 every_n=3,
             ).select("asset_id", "frame_index", "ts_s", "frame_mean")
@@ -6283,7 +6313,8 @@ QUERIES.update({
     "multimodal_audio_windows": QuerySpec(
         lambda spark, sf_dir: (
             lambda mm: mm.audio_windows(
-                mm.synthesize_assets(_t(spark, sf_dir, "documents")),
+                mm.synthesize_assets(
+                    _spread(_t(spark, sf_dir, "documents"), spark)),
                 window_s=0.064,
             )
         )(
