@@ -745,7 +745,10 @@ FROM documents
 
 
 def q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the per-doc stat expressions are map-side CPU over a
+    # one-row-group scan (measured 1.6 s → 0.8 s at sf0.1; identity at
+    # real scale where the scan has splits)
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return text_stats(docs, text_col="text", id_col="doc_id")
 
 
@@ -950,7 +953,9 @@ WHERE ROUND(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) >= 0.5
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, portable md5-low-60-bit token hash — value-
     checkable against the DuckDB oracle (same md5 arithmetic both sides)."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: tokenize+md5 per token is map-side CPU over a
+    # one-row-group scan (measured 2.2 s → 0.9 s at sf0.1)
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return simhash(docs, text_col="text", id_col="doc_id", portable=True)
 
 
