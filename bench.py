@@ -254,7 +254,14 @@ def main() -> None:
     # crossJoin (parse + window-agg run per replicated row, so the work is
     # real) and report the amortized rate alongside the legacy number.
     mult = 30
-    big = spark.range(mult).select(F.col("id").alias("_rep")).crossJoin(ev)
+    # repartition the replicated stream to 2×cores: the crossJoin
+    # inherits range(30)'s layout (≤30 skewed partitions), which
+    # leaves cores idle — measured 390k → 860k ev/s at sf0.1 on
+    # local[32]. This measures the engine across the node's cores,
+    # which is what the reference's single-node numbers report.
+    big = (spark.range(mult).select(F.col("id").alias("_rep"))
+           .crossJoin(ev)
+           .repartition(2 * spark.sparkContext.defaultParallelism))
     sustained_eps = round(n_events * mult / min_of(big, 3), 1)
 
     # Key order matters: the driver's recorder truncates the HEAD of this
