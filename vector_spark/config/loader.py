@@ -76,6 +76,10 @@ class Topology:
     transforms: dict[str, dict]
     sinks: dict[str, dict]
     outputs: dict[str, DataFrame] = dc_field(default_factory=dict)
+    # `api:` section, when enabled (src/config/api.rs): the live
+    # ObservabilityService endpoint + the counters view feeding it
+    api: Any = None
+    api_view: Any = None
 
     def output(self, ref: str) -> DataFrame:
         if ref not in self.outputs:
@@ -1346,6 +1350,20 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
             raise TopologyError(
                 f"unresolvable components: "
                 f"{sorted(pending) + sorted(pending_tables)}")
+
+    # `api:` section (src/config/api.rs; disabled by default, default
+    # address 127.0.0.1:8686): a LIVE ObservabilityService gRPC
+    # endpoint over this topology — GetMeta/GetComponents, heartbeat/
+    # uptime/metric streams, and event tapping (api_server.py). Batch
+    # sink runs feed its counters via run_sinks; address ":0" binds an
+    # ephemeral port (topo.api.port carries the bound value).
+    api_cfg = cfg.get("api") or {}
+    if api_cfg.get("enabled"):
+        from vector_spark.api_server import TopologyView, start_api_server
+
+        topo.api_view = TopologyView(
+            sources, transforms, sinks, topo.outputs)
+        topo.api = start_api_server(topo.api_view, api_cfg)
     return topo
 
 
@@ -2311,6 +2329,24 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             }
         else:
             raise TopologyError(f"{name}: unknown sink type {stype!r}")
+        if topo.api_view is not None:
+            # feed the observability API's counters with whatever the
+            # sink result already knows (no extra Spark jobs): counts
+            # from blackhole/memory/batched sinks ride their results
+            r = results.get(name)
+            n = None
+            if isinstance(r, dict):
+                for key in ("count", "events", "records", "written"):
+                    if isinstance(r.get(key), int):
+                        n = r[key]
+                        break
+                if n is None and isinstance(r.get("rows"), list):
+                    n = len(r["rows"])
+            if n is not None:
+                topo.api_view.bump(name, "received_events_total", n)
+                topo.api_view.bump(name, "sent_events_total", n)
+                for inp in cfg.get("inputs") or []:
+                    topo.api_view.bump(inp, "sent_events_total", n)
     return results
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import socket
 import threading
+import time
 
 from vector_spark.functions.hpack_codec import HpackDecoder, HpackEncoder
 
@@ -128,6 +129,10 @@ class GrpcListener:
             conn.sendall(h2_encode_frame(H2_SETTINGS, 0, 0))
             decoder = HpackDecoder()
             encoder = HpackEncoder()
+            # one lock per connection: streaming responses run in their
+            # own threads (r11 observability API), and both the socket
+            # writes and the STATEFUL hpack encoder must serialize
+            send_lock = threading.Lock()
             streams: dict = {}  # sid -> {"headers": [...], "data": b""}
             hdr_frag: dict = {}  # sid -> accumulated header block
             while True:
@@ -190,7 +195,7 @@ class GrpcListener:
                     # WINDOW_UPDATE / RST / PRIORITY: no action needed
                     st = streams.get(sid)
                     if st and st["closed"] and st["headers"] is not None:
-                        self._respond(conn, encoder, sid, st)
+                        self._respond(conn, encoder, sid, st, send_lock)
                         del streams[sid]
                 data = conn.recv(65536)
                 if not data:
@@ -201,11 +206,13 @@ class GrpcListener:
         finally:
             conn.close()
 
-    def _respond(self, conn, encoder, sid, st) -> None:
+    def _respond(self, conn, encoder, sid, st,
+                 send_lock: "threading.Lock | None" = None) -> None:
+        lock = send_lock or threading.Lock()
         path = dict(st["headers"]).get(":path", "")
         handler = self.handlers.get(path)
         status = "0"
-        body = b""
+        body: "bytes | object" = b""
         if handler is None:
             status = "12"  # UNIMPLEMENTED
         else:
@@ -218,18 +225,58 @@ class GrpcListener:
                         body = handler(msg)
             except Exception:
                 status = "13"  # INTERNAL
-        conn.sendall(h2_encode_frame(
-            H2_HEADERS, FLAG_END_HEADERS, sid,
-            encoder.encode([(":status", "200"),
-                            ("content-type", "application/grpc")]),
-        ))
-        if status == "0":
-            conn.sendall(h2_encode_frame(H2_DATA, 0, sid,
-                                         grpc_frame(body)))
-        conn.sendall(h2_encode_frame(
-            H2_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid,
-            encoder.encode([("grpc-status", status)]),
-        ))
+        if status == "0" and not isinstance(body, (bytes, bytearray)):
+            # SERVER-STREAMING (r11, observability API): the handler
+            # returned an iterator of messages. Send response headers
+            # now, then stream DATA frames from a dedicated thread so
+            # this connection's read loop keeps servicing PINGs and
+            # new streams; trailers close the stream when the iterator
+            # ends (or the client goes away — sendall raises and the
+            # thread exits).
+            with lock:
+                conn.sendall(h2_encode_frame(
+                    H2_HEADERS, FLAG_END_HEADERS, sid,
+                    encoder.encode([(":status", "200"),
+                                    ("content-type",
+                                     "application/grpc")]),
+                ))
+
+            def pump(it=body):
+                stat = "0"
+                try:
+                    for msg in it:
+                        with lock:
+                            conn.sendall(h2_encode_frame(
+                                H2_DATA, 0, sid, grpc_frame(msg)))
+                except (OSError, ValueError):
+                    return  # client gone; nothing to finalize
+                except Exception:
+                    stat = "13"
+                try:
+                    with lock:
+                        conn.sendall(h2_encode_frame(
+                            H2_HEADERS,
+                            FLAG_END_HEADERS | FLAG_END_STREAM, sid,
+                            encoder.encode([("grpc-status", stat)]),
+                        ))
+                except OSError:
+                    pass
+
+            threading.Thread(target=pump, daemon=True).start()
+            return
+        with lock:
+            conn.sendall(h2_encode_frame(
+                H2_HEADERS, FLAG_END_HEADERS, sid,
+                encoder.encode([(":status", "200"),
+                                ("content-type", "application/grpc")]),
+            ))
+            if status == "0":
+                conn.sendall(h2_encode_frame(H2_DATA, 0, sid,
+                                             grpc_frame(body)))
+            conn.sendall(h2_encode_frame(
+                H2_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid,
+                encoder.encode([("grpc-status", status)]),
+            ))
 
     def close(self) -> None:
         self._stop.set()
@@ -418,5 +465,79 @@ def grpc_unary_call(
         st = status[-1] if status else -1
         msgs = grpc_unframe(bytes(body))
         return st, b"".join(m for _c, m in msgs)
+    finally:
+        sock.close()
+
+
+def grpc_stream_call(
+    host: str,
+    port: int,
+    path: str,
+    message: bytes,
+    max_messages: int = 1,
+    timeout: float = 15.0,
+) -> tuple[int | None, list[bytes]]:
+    """Client for SERVER-STREAMING RPCs (r11 observability API): send
+    one request message, collect up to ``max_messages`` response
+    messages, then hang up (the server's pump thread sees the closed
+    socket and stops). Returns (grpc_status or None if we hung up
+    before trailers, [response message bytes])."""
+    enc = HpackEncoder()
+    dec = HpackDecoder()
+    headers = [
+        (":method", "POST"),
+        (":scheme", "http"),
+        (":path", path),
+        (":authority", f"{host}:{port}"),
+        ("content-type", "application/grpc"), ("te", "trailers"),
+    ]
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        sock.sendall(
+            H2_PREFACE
+            + h2_encode_frame(H2_SETTINGS, 0, 0)
+            + h2_encode_frame(H2_HEADERS, FLAG_END_HEADERS, 1,
+                              enc.encode(headers))
+            + h2_encode_frame(H2_DATA, FLAG_END_STREAM, 1,
+                              grpc_frame(message))
+        )
+        buf = b""
+        body = bytearray()
+        out: list[bytes] = []
+        status: int | None = None
+        deadline = time.monotonic() + timeout
+        while len(out) < max_messages and time.monotonic() < deadline:
+            try:
+                data = sock.recv(65536)
+            except TimeoutError:
+                break
+            if not data:
+                break
+            buf += data
+            frames, buf = h2_decode_frames(buf)
+            done = False
+            for ftype, flags, sid, payload in frames:
+                if ftype == H2_SETTINGS and not flags & FLAG_ACK:
+                    sock.sendall(
+                        h2_encode_frame(H2_SETTINGS, FLAG_ACK, 0))
+                elif ftype == H2_DATA and sid == 1:
+                    body.extend(payload)
+                    # lift complete length-prefixed messages off the
+                    # front; partial tails wait for the next frame
+                    while len(body) >= 5:
+                        ln = int.from_bytes(body[1:5], "big")
+                        if len(body) < 5 + ln:
+                            break
+                        out.append(bytes(body[5:5 + ln]))
+                        del body[:5 + ln]
+                elif ftype == H2_HEADERS and sid == 1:
+                    for name, value in dec.decode(payload):
+                        if name == "grpc-status":
+                            status = int(value)
+                    if flags & FLAG_END_STREAM:
+                        done = True
+            if done:
+                break
+        return status, out
     finally:
         sock.close()
