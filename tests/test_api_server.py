@@ -207,3 +207,35 @@ def test_unknown_rpc_is_unimplemented(api_topo):
         "127.0.0.1", api_topo.api.port,
         _BASE + "StreamComponentAllocatedBytes", [b""])
     assert st == 12  # documented out of scope; loud, never wrong data
+
+
+def test_cli_tap_remote(api_topo):
+    """`vector tap --url` analog: the CLI client taps a remote
+    instance through the observability API (src/tap/cmd.rs)."""
+    import json
+
+    from vector_spark.cli import cmd_tap_remote
+
+    lines = cmd_tap_remote(
+        f"http://127.0.0.1:{api_topo.api.port}", ["keep"],
+        limit=5, count=4, interval_ms=50)
+    assert "successfully matched" in lines[0]
+    events = [json.loads(ln) for ln in lines[1:]]
+    assert events and all(e["component_id"] == "keep" for e in events)
+    assert all(e["event"]["seq"] >= 10 for e in events)
+
+
+def test_cli_top_remote(api_topo):
+    """`vector top --url` analog: table frames from GetComponents +
+    StreamComponentMetrics against a remote instance."""
+    from vector_spark.cli import cmd_top_remote
+
+    frames = cmd_top_remote(
+        f"http://127.0.0.1:{api_topo.api.port}", frames=2,
+        interval_ms=50)
+    assert len(frames) >= 1
+    last = frames[-1]
+    assert "COMPONENT" in last and "SENT" in last
+    # the blackhole sink's 30 filtered events appear in the table
+    assert "sink" in last and "30" in last
+    assert "ingest" in last and "keep" in last

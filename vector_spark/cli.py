@@ -186,6 +186,121 @@ def cmd_tap(paths: list[str], ref: str, limit: int = 100, spark=None) -> list[st
     ]
 
 
+def _parse_api_url(url: str) -> tuple[str, int]:
+    """``--url http://host:port`` → (host, port); bare host:port and
+    the reference default (src/config/api.rs default_grpc_url) work."""
+    from vector_spark.api_server import parse_address
+
+    stripped = url.split("://", 1)[-1].rstrip("/")
+    return parse_address(stripped)
+
+
+_OBS_BASE = "/vector.observability.v1.ObservabilityService/"
+
+
+def cmd_tap_remote(url: str, patterns: list[str], limit: int = 100,
+                   count: int = 10,
+                   interval_ms: int = 500) -> list[str]:
+    """``vector tap --url`` against a REMOTE instance's observability
+    API (src/tap/cmd.rs): StreamOutputEvents with glob patterns,
+    events printed as JSON lines (notifications prefixed ``[tap]``,
+    the reference's stderr notifications)."""
+    from vector_spark.api_server import OBSERVABILITY_REGISTRY
+    from vector_spark.functions.protowire import (
+        VECTOR_REGISTRY,
+        _value_to_py,
+        decode_message,
+        encode_message,
+    )
+    from vector_spark.sources_grpc import grpc_stream_call
+
+    host, port = _parse_api_url(url)
+    req = encode_message(
+        {"outputs_patterns": patterns, "limit": limit,
+         "interval_ms": interval_ms},
+        OBSERVABILITY_REGISTRY["StreamOutputEventsRequest"],
+        OBSERVABILITY_REGISTRY)
+    _st, msgs = grpc_stream_call(
+        host, port, _OBS_BASE + "StreamOutputEvents", req,
+        max_messages=count)
+    out = []
+    for m in msgs:
+        resp = decode_message(
+            m, OBSERVABILITY_REGISTRY["StreamOutputEventsResponse"],
+            OBSERVABILITY_REGISTRY)
+        if "notification" in resp:
+            out.append(resp["notification"].get("message", ""))
+            continue
+        ev = resp["tapped_event"]
+        wrapper = decode_message(ev["event"],
+                                 VECTOR_REGISTRY["EventWrapper"],
+                                 VECTOR_REGISTRY)
+        fields = _value_to_py(wrapper["log"]["value"])
+        out.append(json.dumps(
+            {"component_id": ev["component_id"], "event": fields},
+            sort_keys=True, default=str))
+    return out
+
+
+def cmd_top_remote(url: str, frames: int = 3,
+                   interval_ms: int = 1000, out=None) -> list[str]:
+    """``vector top --url`` against a REMOTE instance (src/top/cmd.rs):
+    GetComponents for the table skeleton, then
+    StreamComponentMetrics(SENT_EVENTS_TOTAL) updates rendered one
+    frame per full component sweep."""
+    from vector_spark.api_server import OBSERVABILITY_REGISTRY
+    from vector_spark.functions.protowire import (
+        decode_message,
+        encode_message,
+    )
+    from vector_spark.sources_grpc import grpc_stream_call, grpc_unary_call
+
+    def enc(name, obj):
+        return encode_message(obj, OBSERVABILITY_REGISTRY[name],
+                              OBSERVABILITY_REGISTRY)
+
+    def dec(name, buf):
+        return decode_message(buf, OBSERVABILITY_REGISTRY[name],
+                              OBSERVABILITY_REGISTRY)
+
+    host, port = _parse_api_url(url)
+    st, body = grpc_unary_call(host, port, _OBS_BASE + "GetComponents",
+                               [enc("GetComponentsRequest", {})])
+    if st != 0:
+        raise ConnectionError(f"GetComponents failed: grpc-status {st}")
+    comps = dec("GetComponentsResponse", body).get("components", [])
+    kinds = {1: "source", 2: "transform", 3: "sink"}
+    meta = {c["component_id"]: (kinds.get(c.get("component_type", 0), "?"),
+                                c.get("on_type", ""))
+            for c in comps}
+    n = max(len(meta), 1)
+    _st, msgs = grpc_stream_call(
+        host, port, _OBS_BASE + "StreamComponentMetrics",
+        enc("StreamComponentMetricsRequest",
+            {"interval_ms": interval_ms, "metric": 6}),
+        max_messages=frames * n)
+    rendered: list[str] = []
+    totals: dict[str, int] = {}
+    seen = 0
+    for m in msgs:
+        r = dec("StreamComponentMetricsResponse", m)
+        totals[r["component_id"]] = int(
+            r.get("total", {}).get("value", 0))
+        seen += 1
+        if seen % n == 0:  # one frame per component sweep
+            lines = [f"{'COMPONENT':24s} {'KIND':10s} {'TYPE':16s} "
+                     f"{'SENT':>12s}"]
+            for cid, (kind, on_type) in meta.items():
+                lines.append(f"{cid:24s} {kind:10s} {on_type:16s} "
+                             f"{totals.get(cid, 0):>12d}")
+            frame = "\n".join(lines)
+            rendered.append(frame)
+            if out is not None:
+                prefix = "\x1b[2J\x1b[H" if out is sys.stdout else ""
+                print(f"{prefix}{frame}", file=out, flush=True)
+    return rendered
+
+
 def cmd_generate(expression: str) -> str:
     """``vector generate 'stdin/remap,filter/console'`` (src/generate.rs):
     three slash-divided comma lists — sources / transforms / sinks —
@@ -497,9 +612,15 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("vrl", help="run a VRL program over stdin JSON lines")
     sp.add_argument("-p", "--program", required=True)
     sp = sub.add_parser("tap", help="print one component's output as JSON")
-    sp.add_argument("config", nargs="+")
-    sp.add_argument("--ref", required=True)
+    sp.add_argument("config", nargs="*")
+    sp.add_argument("--ref", required=True,
+                    help="component id (or glob with --url)")
     sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--url", default=None,
+                    help="tap a REMOTE instance's api: endpoint "
+                         "(observability gRPC) instead of a config")
+    sp.add_argument("--count", type=int, default=10,
+                    help="with --url: stop after N stream messages")
     sp = sub.add_parser("test", help="run the config's tests: section")
     sp.add_argument("config", nargs="+")
     sp = sub.add_parser(
@@ -509,11 +630,14 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "top", help="live per-query throughput for a streaming topology"
     )
-    sp.add_argument("config", nargs="+")
+    sp.add_argument("config", nargs="*")
     sp.add_argument(
         "--frames", type=int, default=None,
         help="stop after N rendered frames (default: run until terminated)",
     )
+    sp.add_argument("--url", default=None,
+                    help="watch a REMOTE instance's api: endpoint "
+                         "(observability gRPC) instead of a config")
     sp = sub.add_parser(
         "convert-config", help="convert a config between YAML/TOML/JSON"
     )
@@ -532,7 +656,14 @@ def main(argv: list[str] | None = None) -> int:
             for line in cmd_vrl(args.program, sys.stdin.readlines()):
                 print(line)
         elif args.cmd == "tap":
-            for line in cmd_tap(args.config, args.ref, args.limit):
+            if args.url:
+                lines = cmd_tap_remote(args.url, [args.ref],
+                                       args.limit, args.count)
+            elif args.config:
+                lines = cmd_tap(args.config, args.ref, args.limit)
+            else:
+                raise ValueError("tap needs a config or --url")
+            for line in lines:
                 print(line)
         elif args.cmd == "generate":
             print(cmd_generate(args.expression))
@@ -544,7 +675,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "run":
             print(json.dumps(cmd_run(args.config)))
         elif args.cmd == "top":
-            cmd_top(args.config, frames=args.frames, out=sys.stdout)
+            if args.url:
+                cmd_top_remote(args.url, frames=args.frames or 3,
+                               out=sys.stdout)
+            elif args.config:
+                cmd_top(args.config, frames=args.frames, out=sys.stdout)
+            else:
+                raise ValueError("top needs a config or --url")
         elif args.cmd == "convert-config":
             print(cmd_convert_config(args.input, args.output))
     except Exception as e:  # reference CLI: error to stderr, exit 78
