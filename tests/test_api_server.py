@@ -239,3 +239,49 @@ def test_cli_top_remote(api_topo):
     # the blackhole sink's 30 filtered events appear in the table
     assert "sink" in last and "30" in last
     assert "ingest" in last and "keep" in last
+
+
+def test_streaming_topology_feeds_api_counters(spark):
+    """A STREAMING topology with api: enabled: progress events feed
+    the counters GetComponents serves — `vector top --url` against a
+    live streaming instance shows real throughput, the reference's
+    primary use of the API."""
+    from vector_spark.cli import cmd_top_remote
+    from vector_spark.config.loader import (
+        load_topology,
+        start_streaming_sinks,
+    )
+
+    topo = load_topology(spark, """
+api:
+  enabled: true
+  address: "127.0.0.1:0"
+sources:
+  ticks: {type: rate, rows_per_batch: 50}
+sinks:
+  collect:
+    type: memory
+    inputs: [ticks]
+""")
+    queries = start_streaming_sinks(topo)
+    try:
+        deadline = time.time() + 60
+        sent = 0
+        while time.time() < deadline:
+            counters = topo.api_view.counters.get("collect", {})
+            sent = counters.get("sent_events_total", 0)
+            if sent > 0:
+                break
+            time.sleep(0.5)
+        assert sent > 0, "no streaming progress fed the API counters"
+        # the source got the upstream attribution too
+        assert topo.api_view.counters["ticks"]["sent_events_total"] > 0
+        frames = cmd_top_remote(
+            f"http://127.0.0.1:{topo.api.port}", frames=1,
+            interval_ms=50)
+        assert frames and "collect" in frames[0]
+        assert any(ch.isdigit() and ch != "0" for ch in frames[0])
+    finally:
+        for q in queries.values():
+            q.stop()
+        topo.api.close()

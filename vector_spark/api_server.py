@@ -365,3 +365,40 @@ def start_api_server(view: TopologyView, api_cfg: dict) -> ApiServer:
 # TappedEvent.event is declared `bytes` in OBSERVABILITY_REGISTRY and
 # fed a pre-encoded EventWrapper — wire-identical to a nested message
 # field (protobuf nested messages are length-delimited bytes).
+
+
+def attach_streaming_counters(spark, view: TopologyView):
+    """Feed the API's counters from Structured Streaming progress:
+    each sink's query is named after the sink (start_streaming_sink),
+    so ``numInputRows`` per progress event attributes to that sink and
+    its direct inputs — the streaming counterpart of run_sinks'
+    batch-count feed (the reference's internal telemetry does the
+    same attribution per component)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _CountersListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            name = p.name
+            if not name or name not in view.sinks:
+                return
+            rows = int(p.numInputRows or 0)
+            if not rows:
+                return
+            view.bump(name, "received_events_total", rows)
+            view.bump(name, "sent_events_total", rows)
+            for inp in view.sinks[name].get("inputs") or []:
+                view.bump(inp, "sent_events_total", rows)
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+    listener = _CountersListener()
+    spark.streams.addListener(listener)
+    return listener

@@ -2355,6 +2355,16 @@ def start_streaming_sinks(topo: Topology) -> dict[str, Any]:
     sources (rate/stream_file/kafka/socket). Returns sink name →
     StreamingQuery. Batch and streaming share the SAME transform builders;
     this is the writeStream counterpart of run_sinks."""
+    if topo.api_view is not None and not getattr(
+        topo.api_view, "_progress_listener", None
+    ):
+        # observability API (api:): per-progress numInputRows feed the
+        # counters GetComponents / StreamComponentMetrics serve
+        from vector_spark.api_server import attach_streaming_counters
+
+        spark = next(iter(topo.outputs.values())).sparkSession
+        topo.api_view._progress_listener = attach_streaming_counters(
+            spark, topo.api_view)
     return {
         name: start_streaming_sink(topo, name) for name in topo.sinks
     }
