@@ -32,6 +32,15 @@ Pure Python throughput (single thread, log-like data) is a few MB/s —
 the honest zero-dependency trade. Sinks build bodies per-partition in
 parallel workers, so the cluster-level cost is amortized while egress
 drops ~3-10×.
+
+Ratio stance vs the reference encoder (measured, JSON-log corpus):
+this writer lands ~0.06-0.11 of raw where `zstd -3` reaches
+0.003-0.03 — the gap is the single-probe greedy matcher (no hash
+chains/lazy matching), block-local windows, and no custom FSE table
+serialization. Those are ratio refinements, not correctness: every
+frame is spec-valid and CLI-decodable, and the wire win over the r10
+store-mode writer (ratio 1.0) is already the order-of-magnitude that
+matters for egress.
 """
 
 from __future__ import annotations
