@@ -662,3 +662,105 @@ sinks:
     assert got["10.0.0.7"] == "US"      # 167772160-range (Kansas City)
     assert got["10.40.0.9"] == "DE"     # second /11 block
     assert got["203.0.113.5"] is None   # outside every range
+
+
+def test_http_config_provider(spark, tmp_path):
+    """`provider: {type: http}` bootstrap (src/providers/http.rs): the
+    real topology is fetched from an HTTP endpoint — headers forwarded,
+    format parsed, env interpolated when asked, recursive providers
+    rejected, and poll_provider yields only on content CHANGE."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.config.loader import (
+        TopologyError,
+        build_topology,
+        run_sinks,
+    )
+    from vector_spark.config.provider import (
+        ProviderError,
+        load_provider_config,
+        poll_provider,
+    )
+
+    src = spark.createDataFrame([(i,) for i in range(7)], "seq long")
+    path = str(tmp_path / "p.parquet")
+    src.write.parquet(path)
+
+    served = {"body": f"""
+sources:
+  s: {{type: parquet, path: "{path}"}}
+sinks:
+  k: {{type: blackhole, inputs: [s]}}
+""", "auth": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            served["auth"].append(self.headers.get("Authorization"))
+            body = served["body"].encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/topology.yaml"
+    try:
+        topo = build_topology(spark, {"provider": {
+            "type": "http", "url": url,
+            "request": {"headers": {"Authorization": "Bearer tok-1"}},
+        }})
+        assert run_sinks(topo)["k"]["count"] == 7
+        assert served["auth"][-1] == "Bearer tok-1"
+
+        # bootstrap must not ALSO declare components
+        with pytest.raises(TopologyError, match="must not also"):
+            build_topology(spark, {
+                "provider": {"type": "http", "url": url},
+                "sources": {"x": {"type": "values", "rows": []}},
+            })
+
+        # recursive provider rejected
+        served["body"] = 'provider: {type: http, url: "http://x/"}'
+        with pytest.raises(ProviderError, match="recursive"):
+            load_provider_config({"type": "http", "url": url})
+
+        # env interpolation opt-in
+        import os
+
+        os.environ["PROV_PATH"] = path
+        served["body"] = """
+sources:
+  s: {type: parquet, path: "${PROV_PATH}"}
+sinks:
+  k: {type: blackhole, inputs: [s]}
+"""
+        cfg = load_provider_config({
+            "type": "http", "url": url, "interpolate_env": True})
+        assert cfg["sources"]["s"]["path"] == path
+
+        # poll: yields initial config, suppresses unchanged bodies,
+        # yields again on change
+        bodies = [served["body"], served["body"],
+                  served["body"].replace("blackhole", "memory")]
+        seen = []
+
+        def fake_sleep(_secs):
+            if bodies:
+                served["body"] = bodies.pop(0)
+
+        for cfg in poll_provider(
+            {"type": "http", "url": url, "poll_interval_secs": 0,
+             "interpolate_env": True},
+            max_polls=4, sleep=fake_sleep,
+        ):
+            seen.append(json.dumps(cfg, sort_keys=True))
+        assert len(seen) == 2  # initial + the one real change
+        assert "memory" in seen[-1]
+    finally:
+        srv.shutdown()

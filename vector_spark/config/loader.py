@@ -1280,6 +1280,16 @@ def _references_table(cfg_t: dict, table: str) -> bool:
 
 
 def build_topology(spark: SparkSession, cfg: dict) -> Topology:
+    if "provider" in cfg:
+        # bootstrap config (src/providers/http.rs): the real topology
+        # lives behind the provider's URL — fetch and build THAT
+        from vector_spark.config.provider import load_provider_config
+
+        extra = {k for k in cfg if k != "provider"}
+        if extra & {"sources", "transforms", "sinks"}:
+            raise TopologyError(
+                "a provider bootstrap must not also declare components")
+        cfg = load_provider_config(cfg["provider"])
     sources, transforms, sinks = _validate(cfg)
     topo = Topology(sources, transforms, sinks)
     enrich_tables = _load_enrichment_tables(spark, cfg)
