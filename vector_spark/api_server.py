@@ -136,12 +136,18 @@ class TopologyView:
     and the streaming monitor both feed it."""
 
     def __init__(self, sources: dict, transforms: dict, sinks: dict,
-                 outputs: dict | None = None):
+                 outputs: dict | None = None,
+                 expire_metrics_secs: float | None = None):
         self.sources = sources
         self.transforms = transforms
         self.sinks = sinks
         self.outputs = outputs or {}
         self.counters: dict[str, dict[str, int]] = {}
+        # global `expire_metrics_secs` (global_options.rs:139-146): a
+        # component whose counters go un-bumped for this long stops
+        # reporting them (the reference expires idle internal metrics)
+        self.expire_metrics_secs = expire_metrics_secs
+        self._last_bump: dict[str, float] = {}
 
     def kinds(self) -> list[tuple[str, int, str]]:
         """[(component_id, ComponentType enum, on_type)] in config
@@ -167,6 +173,17 @@ class TopologyView:
     def bump(self, component_id: str, field: str, by: int) -> None:
         c = self.counters.setdefault(component_id, {})
         c[field] = c.get(field, 0) + int(by)
+        self._last_bump[component_id] = time.monotonic()
+
+    def live_counters(self, component_id: str) -> dict[str, int]:
+        """The component's counters, or {} once expired
+        (expire_metrics_secs of no updates)."""
+        exp = self.expire_metrics_secs
+        if exp is not None:
+            last = self._last_bump.get(component_id)
+            if last is None or time.monotonic() - last > exp:
+                return {}
+        return self.counters.get(component_id, {})
 
 
 def _ticks(interval_ms: int) -> Iterator[None]:
@@ -220,7 +237,7 @@ class ApiServer:
         limit = int(req.get("limit") or 0)
         comps = []
         for name, ctype, on_type in self.view.kinds():
-            counters = self.view.counters.get(name, {})
+            counters = self.view.live_counters(name)
             sent = counters.get("sent_events_total")
             comp = {
                 "component_id": name,
@@ -278,7 +295,7 @@ class ApiServer:
             step = max(int(req.get("interval_ms") or 1000), 10) / 1000.0
             for _ in _ticks(req.get("interval_ms") or 1000):
                 for name, _ctype, _on in self.view.kinds():
-                    counters = self.view.counters.get(name, {})
+                    counters = self.view.live_counters(name)
                     if metric in _TOTAL_FIELDS:
                         val = int(counters.get(_TOTAL_FIELDS[metric], 0))
                         resp = {"component_id": name,

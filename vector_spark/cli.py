@@ -58,8 +58,10 @@ def component_types() -> dict[str, list[str]]:
 
     sources = types_in(loader._build_source_raw, "stype")
     transforms = types_in(loader._build_transform, "ttype")
-    sinks = types_in(loader.run_sinks, "stype") | types_in(
-        loader.start_streaming_sinks, "stype"
+    sinks = (
+        types_in(loader.run_sinks, "stype")
+        | types_in(loader._run_sinks_inner, "stype")
+        | types_in(loader.start_streaming_sinks, "stype")
     )
     # the file-format family is dispatched via membership, not equality
     sinks |= {"parquet", "json", "csv", "orc", "avro"}
@@ -382,10 +384,13 @@ def _topology_is_streaming(topo) -> bool:
     )
 
 
-def cmd_run(paths: list[str], spark=None) -> dict:
+def cmd_run(paths: list[str], spark=None,
+            require_healthy: bool = False) -> dict:
     """Execute the topology: batch sinks run to completion; if any sink
     is streaming, start all streaming sinks and block (reference default
-    run semantics)."""
+    run semantics). ``require_healthy`` runs every sink's startup
+    healthcheck first and refuses to start on failure (src/cli.rs:129
+    --require-healthy)."""
     from vector_spark.config.loader import (
         build_topology,
         run_sinks,
@@ -394,6 +399,14 @@ def cmd_run(paths: list[str], spark=None) -> dict:
 
     spark = spark or _get_spark()
     topo = build_topology(spark, _parse_configs(paths))
+    if require_healthy:
+        from vector_spark.healthcheck import healthcheck_sinks
+
+        healthcheck_sinks(
+            topo.sinks,
+            topo.globals.proxy if topo.globals is not None else None,
+            require_healthy=True,
+        )
     if _topology_is_streaming(topo):
         qs = start_streaming_sinks(topo)
         spark.streams.awaitAnyTermination()
@@ -603,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("run", help="execute a topology config")
     sp.add_argument("config", nargs="+")
+    sp.add_argument("--require-healthy", action="store_true",
+                    help="exit on failed sink healthchecks (cli.rs:129)")
     sp = sub.add_parser("validate", help="check a config without running")
     sp.add_argument("config", nargs="+")
     sp = sub.add_parser("graph", help="print the topology as DOT")
@@ -673,7 +688,8 @@ def main(argv: list[str] | None = None) -> int:
             if not ok:
                 return 1
         elif args.cmd == "run":
-            print(json.dumps(cmd_run(args.config)))
+            print(json.dumps(cmd_run(
+                args.config, require_healthy=args.require_healthy)))
         elif args.cmd == "top":
             if args.url:
                 cmd_top_remote(args.url, frames=args.frames or 3,

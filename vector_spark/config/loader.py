@@ -80,6 +80,10 @@ class Topology:
     # ObservabilityService endpoint + the counters view feeding it
     api: Any = None
     api_view: Any = None
+    # top-level GlobalOptions (log_schema/timezone/proxy/data_dir/...,
+    # lib/vector-core/src/config/global_options.rs) — parsed in
+    # build_topology; sinks consult it for field keys and proxies
+    globals: Any = None
 
     def output(self, ref: str) -> DataFrame:
         if ref not in self.outputs:
@@ -305,12 +309,13 @@ _DECODE_CODECS = {
 }
 
 
-def _apply_decoding(df: DataFrame, cfg: dict) -> DataFrame:
+def _apply_decoding(df: DataFrame, cfg: dict,
+                    msg_key: str = "message") -> DataFrame:
     dec = cfg.get("decoding")
     if not dec:
         return df
     codec = dec["codec"] if isinstance(dec, dict) else dec
-    field = (dec.get("field", "message") if isinstance(dec, dict) else "message")
+    field = (dec.get("field", msg_key) if isinstance(dec, dict) else msg_key)
     if codec not in _DECODE_CODECS:
         raise TopologyError(f"unknown decoding codec {codec!r}")
     if codec == "native_json":
@@ -329,8 +334,19 @@ def _apply_decoding(df: DataFrame, cfg: dict) -> DataFrame:
     return parsed.withColumnRenamed("_decoded", "decoded")
 
 
-def _build_source(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
-    return _apply_decoding(_build_source_raw(spark, name, cfg), cfg)
+def _build_source(spark: SparkSession, name: str, cfg: dict,
+                  gl=None) -> DataFrame:
+    df = _build_source_raw(spark, name, cfg)
+    if gl is not None:
+        # global log_schema (log_schema.rs:48-90): sources place the
+        # semantic message/timestamp/host/source_type fields under the
+        # CONFIGURED keys — applied as a boundary rename so user VRL
+        # and downstream codecs see the custom names
+        for old, new in gl.log_schema.renames().items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return _apply_decoding(df, cfg, gl.log_schema.message_key)
+    return _apply_decoding(df, cfg)
 
 
 def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
@@ -926,7 +942,8 @@ def _condition_col(cond):
 
 
 def _build_transform(
-    name: str, cfg: dict, df: DataFrame, enrich_tables: dict | None = None
+    name: str, cfg: dict, df: DataFrame, enrich_tables: dict | None = None,
+    gl=None,
 ) -> dict[str, DataFrame]:
     """Build one transform; returns {output_ref: DataFrame} (default output
     under `name`, named outputs under `name.out`)."""
@@ -940,16 +957,24 @@ def _build_transform(
                 cfg = {**cfg, "source": fh.read()}
         if cfg.get("source"):
             # VRL program text (the reference's primary remap form)
+            from vector_spark.functions.vrl import default_timezone
             from vector_spark.functions.vrl_compiler import vrl_remap
 
-            outs = vrl_remap(
-                df,
-                cfg["source"],
-                enrichment_tables=enrich_tables,
-                drop_on_abort=cfg.get("drop_on_abort", False),
-                drop_on_error=cfg.get("drop_on_error", False),
-                reroute_dropped=cfg.get("reroute_dropped", False),
-            )
+            # remap-level timezone overrides the global (remap.rs:105-114)
+            tz = cfg.get("timezone") or (gl.timezone if gl else None)
+            if tz:
+                from vector_spark.config.globals import resolve_timezone
+
+                tz = resolve_timezone(tz)
+            with default_timezone(tz):
+                outs = vrl_remap(
+                    df,
+                    cfg["source"],
+                    enrichment_tables=enrich_tables,
+                    drop_on_abort=cfg.get("drop_on_abort", False),
+                    drop_on_error=cfg.get("drop_on_error", False),
+                    reroute_dropped=cfg.get("reroute_dropped", False),
+                )
             res = {name: outs[""]}
             if "dropped" in outs:
                 res[f"{name}.dropped"] = outs["dropped"]
@@ -1292,10 +1317,29 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
         cfg = load_provider_config(cfg["provider"])
     sources, transforms, sinks = _validate(cfg)
     topo = Topology(sources, transforms, sinks)
+    # global options (global_options.rs): log_schema / timezone / proxy /
+    # data_dir / acknowledgements / expire_metrics_secs
+    from vector_spark.config.globals import (
+        BufferConfig,
+        GlobalOptions,
+        GlobalsError,
+        HealthcheckOptions,
+    )
+
+    try:
+        topo.globals = GlobalOptions.parse(cfg)
+        # per-sink option shapes fail at LOAD time like the reference's
+        # deserializer (healthcheck: sink.rs:211; buffer: lib/
+        # vector-buffers config.rs:34-109)
+        for name, scfg in sinks.items():
+            HealthcheckOptions.parse(scfg.get("healthcheck"))
+            BufferConfig.parse(scfg.get("buffer"))
+    except GlobalsError as exc:
+        raise TopologyError(str(exc)) from exc
     enrich_tables = _load_enrichment_tables(spark, cfg)
 
     for name, scfg in sources.items():
-        topo.outputs[name] = _build_source(spark, name, scfg)
+        topo.outputs[name] = _build_source(spark, name, scfg, topo.globals)
 
     # memory enrichment tables with `inputs` are implicit SINKS, and
     # with `source_config` implicit SOURCES (src/config/compiler.rs:
@@ -1353,7 +1397,8 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
                 cfg_t = pending.pop(name)
                 df = _inputs_df(topo.outputs, cfg_t, name)
                 topo.outputs.update(
-                    _build_transform(name, cfg_t, df, enrich_tables)
+                    _build_transform(name, cfg_t, df, enrich_tables,
+                                     topo.globals)
                 )
                 progressed = True
         if not progressed:
@@ -1372,7 +1417,9 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
         from vector_spark.api_server import TopologyView, start_api_server
 
         topo.api_view = TopologyView(
-            sources, transforms, sinks, topo.outputs)
+            sources, transforms, sinks, topo.outputs,
+            expire_metrics_secs=(topo.globals.expire_metrics_secs
+                                 if topo.globals is not None else None))
         topo.api = start_api_server(topo.api_view, api_cfg)
     return topo
 
@@ -1401,8 +1448,33 @@ def _expand_table_source(spark: SparkSession, topo: "Topology", name: str,
 
 def run_sinks(topo: Topology) -> dict[str, Any]:
     """Execute each sink (batch mode). Returns sink name → result info."""
+    import vector_spark.sinks_services as _svc
+    from vector_spark.config.globals import ProxyConfig
+
     results: dict[str, Any] = {}
+    # global log_schema: the sink-side default for the semantic message
+    # field follows the configured key (log_schema.rs message_key)
+    msg_key = (topo.globals.log_schema.message_key
+               if topo.globals is not None else "message")
+    _prev_proxy = _svc._PROXY_CFG
+    try:
+        return _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig)
+    finally:
+        _svc._PROXY_CFG = _prev_proxy
+
+
+def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
     for name, cfg in topo.sinks.items():
+        # effective proxy for this sink: env base, global overrides env,
+        # per-component overrides global (proxy.rs:120-123). Scoped via
+        # module state — the shared transport resolves per-endpoint
+        # DRIVER-side and closure-captures the result.
+        _svc._PROXY_CFG = ProxyConfig.merge_with_env(
+            topo.globals.proxy if topo.globals is not None
+            else ProxyConfig(),
+            ProxyConfig.parse(cfg.get("proxy"))
+            if cfg.get("proxy") is not None else None,
+        )
         df = _inputs_df(topo.outputs, cfg, name)
         stype = cfg.get("type", "parquet")
         if stype in ("parquet", "json", "csv", "orc", "avro") and cfg.get(
@@ -1444,7 +1516,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     cfg["url"],
                     encoding=cfg.get("encoding", "json"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     batch_max_events=int(cfg.get("batch_max_events", 500)),
                     concurrency=_request_concurrency(cfg),
                 )
@@ -1458,7 +1530,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     *_host_port(cfg),
                     encoding=cfg.get("encoding", "text"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     tls=TlsSettings.from_config(cfg.get("tls")),
                 )
             }
@@ -1499,7 +1571,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     endpoint=cfg.get("endpoint",
                                      "https://storage.googleapis.com"),
                     auth_token=cfg.get("auth_token"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "ndjson"),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),
                 )
@@ -1809,7 +1881,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
             results[name] = {
                 "sent": server.broadcast(
                     df, encoding=cfg.get("encoding", "json"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                 ),
                 "port": server.port,
             }
@@ -1824,7 +1896,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
                     endpoint=cfg.get("endpoint"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -1895,7 +1967,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     path=cfg.get("path", "/v1/logs"),
                     ts_col=cfg.get("ts_col", "ts"),
                     body_col=cfg.get("body_col",
-                                     cfg.get("value_col", "message")),
+                                     cfg.get("value_col", msg_key)),
                     resource_attrs=cfg.get("resource_attrs"),
                 )
             }
@@ -1947,7 +2019,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     sas_token=cfg.get("sas_token", ""),
                     account_name=cfg.get("account_name"),
                     shared_key=cfg.get("shared_key"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "ndjson"),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),
                 )
@@ -1961,7 +2033,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df, cfg["endpoint"], cfg["root"],
                     prefix=cfg.get("prefix", "date=%F/"),
                     user=cfg.get("user"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "ndjson"),
                 )
             }
@@ -2041,7 +2113,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
                     endpoint=cfg.get("endpoint"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2067,7 +2139,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
                     endpoint=cfg.get("endpoint"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2082,7 +2154,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
                     endpoint=cfg.get("endpoint"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2095,7 +2167,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df, cfg["queue_url"], region=cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2109,7 +2181,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     endpoint=cfg.get("endpoint",
                                      "https://pubsub.googleapis.com"),
                     auth_token=cfg.get("auth_token"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2126,7 +2198,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     secret_key=cfg.get("secret_key", ""),
                     endpoint=cfg.get("endpoint"),
                     encoding=cfg.get("encoding", "ndjson"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),
                 )
             }
@@ -2147,7 +2219,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     data_type=cfg.get("data_type", "list"),
                     method=(cfg.get("list") or {}).get("method", "rpush"),
                     score_col=cfg.get("score_col"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2161,7 +2233,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                 "sent": nats_sink(
                     df, u.hostname or "localhost", int(u.port or 4222),
                     cfg["subject"],
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2175,7 +2247,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     int(cfg.get("port", 5672)),
                     exchange=cfg.get("exchange", "vector"),
                     routing_key=cfg.get("routing_key", ""),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                     user=cfg.get("user", "guest"),
                     password=cfg.get("password", "guest"),
@@ -2194,7 +2266,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     (u.hostname if u else cfg.get("host")) or "localhost",
                     int(u.port if u and u.port else cfg.get("port", 6650)),
                     cfg.get("topic", "vector"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
             }
@@ -2205,7 +2277,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                 "sent": mqtt_sink(
                     df, cfg.get("host", "localhost"),
                     int(cfg.get("port", 1883)), cfg.get("topic", "vector"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                     client_id=cfg.get("client_id", "vector_spark_sink"),
                     qos=int(cfg.get("qos", 0)),
@@ -2221,7 +2293,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     int(cfg["port"]),
                     path=cfg.get("path", "/"),
                     encoding=cfg.get("encoding", "text"),
-                    value_col=cfg.get("value_col", "message"),
+                    value_col=cfg.get("value_col", msg_key),
                     tls=__import__(
                         "vector_spark.tls", fromlist=["TlsSettings"]
                     ).TlsSettings.from_config(cfg.get("tls")),
@@ -2267,7 +2339,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     cfg["endpoint"],
                     labels=cfg.get("labels", {}),
-                    line_col=cfg.get("value_col", "message"),
+                    line_col=cfg.get("value_col", msg_key),
                     ts_col=cfg.get("ts_col", "ts"),
                     encoding=cfg.get("encoding", "text"),
                     batch_max_events=int(cfg.get("batch_max_events", 1000)),
@@ -2297,7 +2369,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     cfg.get("endpoint", "https://http-intake.logs.datadoghq.com"),
                     api_key=cfg["default_api_key"],
-                    message_col=cfg.get("value_col", "message"),
+                    message_col=cfg.get("value_col", msg_key),
                     ddsource=cfg.get("ddsource"),
                     ddtags=cfg.get("ddtags"),
                     hostname_col=cfg.get("hostname_col"),
@@ -2313,7 +2385,7 @@ def run_sinks(topo: Topology) -> dict[str, Any]:
                     df,
                     cfg["endpoint"],
                     token=cfg["default_token"],
-                    event_col=cfg.get("value_col", "message"),
+                    event_col=cfg.get("value_col", msg_key),
                     ts_col=cfg.get("ts_col", "ts"),
                     host_col=cfg.get("host_col"),
                     sourcetype=cfg.get("sourcetype"),
@@ -2393,6 +2465,8 @@ def start_streaming_sink(topo: Topology, name: str) -> Any:
     )
 
     queries: dict[str, Any] = {}
+    msg_key = (topo.globals.log_schema.message_key
+               if topo.globals is not None else "message")
     cfg = topo.sinks[name]
     df = _inputs_df(topo.outputs, cfg, name)
     stype = cfg.get("type", "memory")
@@ -2426,10 +2500,11 @@ def start_streaming_sink(topo: Topology, name: str) -> Any:
             bootstrap_servers=cfg["bootstrap_servers"],
             topic=cfg["topic"],
             checkpoint=cfg["checkpoint"],
-            value_col=cfg.get("value_col", "message"),
+            value_col=cfg.get("value_col", msg_key),
             key_col=cfg.get("key_col"),
         )
     elif stype == "http":
+        from vector_spark.config.globals import BufferConfig
         from vector_spark.sinks import http_stream_sink
 
         queries[name] = http_stream_sink(
@@ -2437,8 +2512,13 @@ def start_streaming_sink(topo: Topology, name: str) -> Any:
             cfg["url"],
             checkpoint=cfg["checkpoint"],
             encoding=cfg.get("encoding", "json"),
-            value_col=cfg.get("value_col", "message"),
+            value_col=cfg.get("value_col", msg_key),
             trigger_secs=int(cfg.get("trigger_secs", 1)),
+            buffer=(BufferConfig.parse(cfg.get("buffer"))
+                    if cfg.get("buffer") is not None else None),
+            data_dir=(topo.globals.data_dir
+                      if topo.globals is not None else None),
+            sink_name=name,
         )
     elif stype == "blackhole":
         queries[name] = (

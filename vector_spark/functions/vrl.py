@@ -16,6 +16,7 @@ reroute_dropped semantics (`remap.rs:121-155`) can split the stream.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -106,10 +107,38 @@ def parse_regex(c: Column, pattern: str, group: int = 1, **kw) -> Column:
     return F.when(c.rlike(java), F.struct(*fields))
 
 
+# Default zone for timestamp conversions whose input has no explicit
+# zone — the global/remap `timezone` option (global_options.rs:100-109,
+# remap.rs:105-114). Set at COMPILE time (Columns are built driver-side,
+# so the zone bakes into the expression); None = session default (UTC).
+_DEFAULT_TZ: str | None = None
+
+_TZ_DIRECTIVES = ("%z", "%:z", "%::z", "%:::z", "%#z", "%Z", "%+", "%s")
+
+
+@contextmanager
+def default_timezone(tz: str | None):
+    """Scope a default zone over VRL compilation (the loader wraps
+    remap compiles in this when `timezone:` is configured)."""
+    global _DEFAULT_TZ
+    prev = _DEFAULT_TZ
+    _DEFAULT_TZ = tz
+    try:
+        yield
+    finally:
+        _DEFAULT_TZ = prev
+
+
 def parse_timestamp(c: Column, fmt: str) -> Column:
     """VRL parse_timestamp: chrono strftime format, FALLIBLE — bad input
     yields null (the `, err` machinery's error state), never a thrown
-    ANSI DateTimeException mid-job."""
+    ANSI DateTimeException mid-job.
+
+    When a default `timezone` is in scope (global or remap-level option)
+    and the format carries NO zone directive, the naive wall time is
+    interpreted in that zone and converted to UTC — the reference's
+    TimeZone behavior (all timestamps represented in UTC,
+    global_options.rs:100-109)."""
     if fmt == "%s":  # chrono: unix epoch seconds
         return F.timestamp_seconds(c.cast("long"))
     if fmt == "%+":  # RFC3339, offset/fraction variants
@@ -121,7 +150,10 @@ def parse_timestamp(c: Column, fmt: str) -> Column:
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
             F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
         )
-    return F.try_to_timestamp(c, F.lit(_strf(fmt)))
+    parsed = F.try_to_timestamp(c, F.lit(_strf(fmt)))
+    if _DEFAULT_TZ and not any(d in fmt for d in _TZ_DIRECTIVES):
+        return F.to_utc_timestamp(parsed, _DEFAULT_TZ)
+    return parsed
 
 
 _DUR_UNIT_MS = {"ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1e3, "m": 60e3, "h": 3600e3}

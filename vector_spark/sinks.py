@@ -255,19 +255,35 @@ def http_stream_sink(
     encoding: str = "json",
     value_col: str = "message",
     trigger_secs: int = 1,
+    buffer=None,
+    data_dir: str | None = None,
+    sink_name: str = "http",
 ):
     """Streaming http sink: per-micro-batch POST via foreachBatch (the
-    checkpointed epoch is the delivery unit, as with the other sinks)."""
+    checkpointed epoch is the delivery unit, as with the other sinks).
+
+    ``buffer`` (a BufferConfig) puts the reference's bounded sink
+    buffer between the trigger and the POST: when_full block /
+    drop_newest / overflow-to-disk (streaming/buffer.py). The query
+    object gains a ``sink_buffer`` attribute carrying the counters."""
 
     def _handle(batch_df: DataFrame, epoch_id: int) -> None:
         http_sink(batch_df, url, encoding=encoding, value_col=value_col)
 
-    return (
+    buf = None
+    if buffer is not None and buffer.stages:
+        from vector_spark.streaming.buffer import buffered_handler
+
+        _handle, buf = buffered_handler(_handle, buffer, data_dir,
+                                        sink_name)
+    q = (
         df.writeStream.foreachBatch(_handle)
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+    q.sink_buffer = buf
+    return q
 
 
 def websocket_sink(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import urllib.parse
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,9 +46,41 @@ _RETRIABLE_STATUSES = frozenset(
 )
 
 
+# ---------------------------------------------------------------------------
+# proxy support (lib/vector-core/src/config/proxy.rs): the effective
+# proxy for a sink's endpoint is decided DRIVER-side (env + global +
+# per-component merge, no_proxy matching) and the resolved URL string is
+# captured into the partition closure — executors never consult config
+# state. run_sinks scopes _PROXY_CFG around each sink's execution.
+
+_PROXY_CFG = None  # driver-side ProxyConfig for the sink being built
+
+
+@contextmanager
+def proxy_scope(cfg):
+    """Scope the effective ProxyConfig over one sink's (driver-side)
+    build + dispatch. ``cfg`` is already env+global+component merged."""
+    global _PROXY_CFG
+    prev = _PROXY_CFG
+    _PROXY_CFG = cfg
+    try:
+        yield
+    finally:
+        _PROXY_CFG = prev
+
+
+def _proxy_for(url: str) -> str | None:
+    """The proxy endpoint this sink's requests should traverse, or None.
+    Called driver-side only (the result is closure-captured)."""
+    if _PROXY_CFG is None:
+        return None
+    return _PROXY_CFG.proxy_url_for(url)
+
+
 def _http_send_with_retry(url: str, body: bytes, headers: dict,
                           timeout_secs: float, retries: int,
-                          backoff_secs: float) -> None:
+                          backoff_secs: float,
+                          proxy_url: str | None = None) -> None:
     """One request with the reference's retry policy: transient
     statuses and connection errors back off exponentially for up to
     ``retries`` re-attempts; permanent 4xx/501 raise immediately."""
@@ -55,10 +88,12 @@ def _http_send_with_retry(url: str, body: bytes, headers: dict,
     import urllib.error
     import urllib.request
 
+    from vector_spark.config.globals import urlopen_via
+
     for attempt in range(retries + 1):
         req = urllib.request.Request(url, data=body, headers=headers)
         try:
-            urllib.request.urlopen(req, timeout=timeout_secs).read()
+            urlopen_via(req, timeout_secs, proxy_url).read()
             return
         except urllib.error.HTTPError as err:
             if (err.code not in _RETRIABLE_STATUSES
@@ -71,12 +106,15 @@ def _http_send_with_retry(url: str, body: bytes, headers: dict,
 
 
 def _http_send_once(url: str, body: bytes, headers: dict,
-                    timeout_secs: float) -> None:
+                    timeout_secs: float,
+                    proxy_url: str | None = None) -> None:
     """One attempt, no internal retry — the ARC path owns pacing."""
     import urllib.request
 
+    from vector_spark.config.globals import urlopen_via
+
     req = urllib.request.Request(url, data=body, headers=headers)
-    urllib.request.urlopen(req, timeout=timeout_secs).read()
+    urlopen_via(req, timeout_secs, proxy_url).read()
 
 
 def _is_backpressure_error(err: BaseException) -> bool:
@@ -119,6 +157,7 @@ def _post_lines_per_partition(
     own default mode), an int = fixed in-flight limit. Concurrent
     requests may land out of order, exactly as in the reference."""
     sent = lines.sparkSession.sparkContext.accumulator(0)
+    proxy_url = _proxy_for(url)  # driver-side decision, closure-captured
 
     def send_partition(rows) -> None:
         def bodies():
@@ -139,20 +178,22 @@ def _post_lines_per_partition(
                 yield (prefix + joiner.join(buf) + suffix, len(buf))
 
         _dispatch_bodies(bodies(), url, headers, timeout_secs,
-                         retries, retry_backoff_secs, concurrency, sent)
+                         retries, retry_backoff_secs, concurrency, sent,
+                         proxy_url)
 
     lines.foreachPartition(send_partition)
     return sent.value
 
 
 def _dispatch_bodies(bodies, url, headers, timeout_secs, retries,
-                     retry_backoff_secs, concurrency, sent) -> None:
+                     retry_backoff_secs, concurrency, sent,
+                     proxy_url: str | None = None) -> None:
     """Send (body, n_events) pairs: serial with the default retry
     policy, or ARC-gated concurrent when ``concurrency`` is set."""
     if concurrency is None:
         for body, n in bodies:
             _http_send_with_retry(url, body, headers, timeout_secs,
-                                  retries, retry_backoff_secs)
+                                  retries, retry_backoff_secs, proxy_url)
             sent.add(n)
         return
 
@@ -170,7 +211,7 @@ def _dispatch_bodies(bodies, url, headers, timeout_secs, retries,
 
     def send_one(item) -> None:
         body, n = item
-        _http_send_once(url, body, headers, timeout_secs)
+        _http_send_once(url, body, headers, timeout_secs, proxy_url)
         with lock:
             total[0] += n
 

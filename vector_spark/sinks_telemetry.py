@@ -40,15 +40,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_spark.functions import codecs as _codecs
-from vector_spark.sinks_services import _post_lines_per_partition
+from vector_spark.sinks_services import _post_lines_per_partition, _proxy_for
 
 
 def _post(url: str, body: bytes, headers: dict[str, str],
-          timeout_secs: float) -> None:
+          timeout_secs: float, proxy_url: str | None = None) -> None:
+    from vector_spark.config.globals import urlopen_via
+
     import urllib.request
 
     req = urllib.request.Request(url, data=body, headers=headers)
-    urllib.request.urlopen(req, timeout=timeout_secs).read()
+    urlopen_via(req, timeout_secs, proxy_url).read()
 
 
 def prometheus_remote_write_sink(
@@ -92,6 +94,7 @@ def prometheus_remote_write_sink(
     }
     if tenant_id:
         headers["X-Scope-OrgID"] = tenant_id
+    _pxy = _proxy_for(endpoint)  # driver-side proxy decision
 
     def push_partition(rows) -> None:
         from vector_spark.functions.protowire import (
@@ -105,7 +108,7 @@ def prometheus_remote_write_sink(
             if not batch:
                 return
             body = compress(encode_prometheus_write_request(batch))
-            _post(endpoint, body, headers, timeout_secs)
+            _post(endpoint, body, headers, timeout_secs, _pxy)
             sent.add(len(batch))
             batch.clear()
 
@@ -215,6 +218,7 @@ def datadog_metrics_sink(
         "Content-Encoding": "zstd",
         "DD-API-KEY": api_key,
     }
+    _pxy = _proxy_for(url)  # driver-side proxy decision
 
     def push_partition(rows) -> None:
         from vector_spark.functions.protowire import (
@@ -242,7 +246,7 @@ def datadog_metrics_sink(
                  "interval": interval, "points": sorted(series[(m, t, tg)])}
                 for m, t, tg in order
             ])
-            _post(url, _zstd_c(payload), headers, timeout_secs)
+            _post(url, _zstd_c(payload), headers, timeout_secs, _pxy)
             sent.add(n_points)
             batch.clear()
             n_points = 0
@@ -309,6 +313,7 @@ def datadog_sketches_sink(
         "Content-Encoding": "zstd",
         "DD-API-KEY": api_key,
     }
+    _pxy = _proxy_for(url)  # driver-side proxy decision
 
     def push_partition(rows) -> None:
         from vector_spark.functions.protowire import (
@@ -322,7 +327,7 @@ def datadog_sketches_sink(
             if not batch:
                 return
             body = _zstd_c(encode_datadog_sketch_payload(batch))
-            _post(url, body, headers, timeout_secs)
+            _post(url, body, headers, timeout_secs, _pxy)
             sent.add(len(batch))
             batch.clear()
 
@@ -367,6 +372,7 @@ def datadog_traces_sink(
         "Content-Encoding": "gzip",
         "DD-API-KEY": api_key,
     }
+    _pxy = _proxy_for(url)  # driver-side proxy decision
 
     def push_partition(rows) -> None:
         import gzip as _gzip
@@ -383,7 +389,7 @@ def datadog_traces_sink(
             body = _gzip.compress(encode_datadog_trace_payload(
                 batch, hostname=hostname, env=env
             ))
-            _post(url, body, headers, timeout_secs)
+            _post(url, body, headers, timeout_secs, _pxy)
             sent.add(len(batch))
             batch.clear()
 
