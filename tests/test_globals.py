@@ -282,6 +282,87 @@ def test_healthcheck_bool_or_struct():
 
 
 # --------------------------------------------------------------------------
+# wildcard inputs (graph.rs add_input + the wildcard_matching global)
+
+
+def test_wildcard_inputs_expand(spark):
+    yaml = """
+sources:
+  app-a: {type: values, rows: [{seq: 1, message: "a"}]}
+  app-b: {type: values, rows: [{seq: 2, message: "b"}]}
+  other: {type: values, rows: [{seq: 3, message: "c"}]}
+sinks:
+  out:
+    type: memory
+    inputs: ["app-*"]
+"""
+    rows = run_sinks(load_topology(spark, yaml))["out"]["rows"]
+    assert sorted(r.seq for r in rows) == [1, 2]
+
+
+def test_wildcard_matches_named_ports(spark):
+    yaml = """
+sources:
+  s: {type: values, rows: [{seq: 1, level: "error", message: "x"},
+                           {seq: 2, level: "info", message: "y"}]}
+transforms:
+  split:
+    type: route
+    inputs: [s]
+    routes:
+      - {name: errors, condition: "level = 'error'"}
+      - {name: infos,  condition: "level = 'info'"}
+sinks:
+  out:
+    type: memory
+    inputs: ["split.*"]
+"""
+    rows = run_sinks(load_topology(spark, yaml))["out"]["rows"]
+    # both ports matched (the _unmatched port is empty)
+    assert sorted(r.seq for r in rows) == [1, 2]
+
+
+def test_wildcard_strict_errors_on_no_match(spark):
+    yaml = """
+sources:
+  s: {type: values, rows: [{seq: 1, message: "x"}]}
+sinks:
+  out: {type: memory, inputs: ["nope-*"]}
+"""
+    with pytest.raises(TopologyError, match="didn't match any"):
+        load_topology(spark, yaml)
+
+
+def test_wildcard_relaxed_allows_no_match(spark):
+    yaml = """
+wildcard_matching: relaxed
+sources:
+  s: {type: values, rows: [{seq: 1, message: "x"}]}
+sinks:
+  out: {type: memory, inputs: [s, "nope-*"]}
+"""
+    rows = run_sinks(load_topology(spark, yaml))["out"]["rows"]
+    assert [r.seq for r in rows] == [1]
+
+
+def test_wildcard_excludes_self_match(spark):
+    # a transform whose glob would match itself must not self-edge
+    yaml = """
+sources:
+  t-src: {type: values, rows: [{seq: 1, message: "x"}]}
+transforms:
+  t-shape:
+    type: remap
+    inputs: ["t-*"]
+    assign: {up: "upper(message)"}
+sinks:
+  out: {type: memory, inputs: [t-shape]}
+"""
+    rows = run_sinks(load_topology(spark, yaml))["out"]["rows"]
+    assert rows[0].up == "X"
+
+
+# --------------------------------------------------------------------------
 # proxy: live wire tests through run_sinks
 
 

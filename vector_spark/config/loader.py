@@ -240,6 +240,70 @@ def load_topology(spark: SparkSession, path_or_yaml: str | list[str]) -> Topolog
     return build_topology(spark, cfg)
 
 
+def _available_input_refs(sources: dict, transforms: dict,
+                          table_source_keys: set) -> list[str]:
+    """Every ref an `inputs:` entry may name: component ids plus named
+    output ports (route/exclusive_route port names, remap `.dropped`) —
+    the reference's available_inputs set (graph.rs:140-190)."""
+    refs: list[str] = list(sources) + list(transforms)
+    refs.extend(k for k in table_source_keys if k)
+    for n, t in transforms.items():
+        ttype = t.get("type")
+        if ttype == "route":
+            refs.extend(f"{n}.{r['name']}" for r in t.get("routes", []))
+            if t.get("reroute_unmatched", True):
+                refs.append(f"{n}._unmatched")
+        elif ttype == "exclusive_route":
+            refs.extend(f"{n}.{r['name']}" for r in t.get("routes", []))
+            refs.append(f"{n}._default")
+        elif ttype == "remap" and t.get("reroute_dropped"):
+            refs.append(f"{n}.dropped")
+    return refs
+
+
+def _expand_input_globs(cfg: dict, sources: dict, transforms: dict,
+                        sinks: dict, table_source_keys: set) -> None:
+    """Glob patterns in `inputs:` expand against the available refs
+    (graph.rs add_input). Strict mode (default) errors when a glob
+    matches nothing; `wildcard_matching: relaxed` drops it silently
+    (global_options.rs:73-79). Rewrites inputs in place."""
+    relaxed = cfg.get("wildcard_matching") == "relaxed"
+    available = _available_input_refs(sources, transforms,
+                                      table_source_keys)
+    table_inputs = [
+        t for t in (cfg.get("enrichment_tables") or {}).values()
+        if t.get("type") == "memory" and t.get("inputs")
+    ]
+    for cname, comp in ({**transforms, **sinks}.items()):
+        comp_list = comp.get("inputs")
+        if not comp_list:
+            continue
+        _rewrite_globs(cname, comp, available, relaxed)
+    for t in table_inputs:
+        _rewrite_globs("enrichment table", t, available, relaxed)
+
+
+def _rewrite_globs(cname: str, comp: dict, available: list[str],
+                   relaxed: bool) -> None:
+    import fnmatch
+
+    out: list[str] = []
+    for inp in comp.get("inputs", []):
+        if not any(ch in inp for ch in "*?["):
+            out.append(inp)
+            continue
+        # a glob must not match the component itself (graph.rs excludes
+        # self-edges from wildcard expansion)
+        matches = sorted(m for m in fnmatch.filter(available, inp)
+                         if m != cname and m.split(".", 1)[0] != cname)
+        if not matches and not relaxed:
+            raise TopologyError(
+                f"{cname}: input {inp!r} didn't match any components "
+                "(set `wildcard_matching: relaxed` to allow)")
+        out.extend(m for m in matches if m not in out)
+    comp["inputs"] = out
+
+
 def _validate(cfg: dict) -> tuple[dict, dict, dict]:
     sources = cfg.get("sources", {}) or {}
     transforms = cfg.get("transforms", {}) or {}
@@ -255,6 +319,10 @@ def _validate(cfg: dict) -> tuple[dict, dict, dict]:
         (t.get("source_config") or {}).get("source_key")
         for t in tables.values() if t.get("type") == "memory"
     } - {None}
+    # glob patterns in inputs expand against the available refs BEFORE
+    # resolution (graph.rs add_input; strict vs relaxed wildcards)
+    _expand_input_globs(cfg, sources, transforms, sinks,
+                        table_source_keys)
     # input refs resolve (allow `component.output` sub-addressing)
     table_inputs = {
         f"enrichment table {n}": {"inputs": t.get("inputs", [])}
