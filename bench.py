@@ -115,6 +115,7 @@ HEADLINE = [
     "zstd_entropy_decode",
     "membership_filter_enrich",
     "codec_compress_roundtrip",
+    "vrl_timezone_parse",
 ]
 
 

@@ -2542,6 +2542,41 @@ FROM events
 """
 
 
+def q_vrl_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global/remap `timezone` option (global_options.rs:100-109,
+    remap.rs:105-114): naive timestamp parses are interpreted in the
+    configured zone and represented in UTC. Encodes each event's ts as
+    a zone-less wall-time string, re-parses it under
+    timezone=America/New_York (DST boundary cases included at any sf —
+    the events table spans months), and returns the UTC epoch."""
+    from vector_spark.functions.vrl import default_timezone
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        "event_id",
+        F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("message"),
+    )
+    with default_timezone("America/New_York"):
+        outs = vrl_remap(
+            enc,
+            '.t = parse_timestamp!(.message, "%d/%m/%Y %H:%M:%S")',
+        )
+    return outs[""].select(
+        "event_id",
+        F.unix_timestamp("t").alias("utc_epoch"),
+    )
+
+
+_ORACLE_VRL_TZ = """
+SELECT event_id,
+       CAST(epoch(timezone('America/New_York',
+            strptime(strftime(ts, '%d/%m/%Y %H:%M:%S'),
+                     '%d/%m/%Y %H:%M:%S'))) AS BIGINT) AS utc_epoch
+FROM events
+"""
+
+
 def q_aggregate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregate Auto mode: incremental series are summed, absolute series
     take the latest value (kind semantics, metric/mod.rs:533-539)."""
@@ -3560,6 +3595,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_scene_changes, _ORACLE_SCENES,
         "real-decode shot-boundary detection, exact oracle"),
     "kv_parse_logfmt": QuerySpec(q_kv_parse, _ORACLE_KV, "logfmt encode+parse"),
+    "vrl_timezone_parse": QuerySpec(
+        q_vrl_timezone, _ORACLE_VRL_TZ,
+        "timezone option: naive parse interpreted in the configured zone"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
