@@ -2411,6 +2411,19 @@ def q_membership_filter_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     property itself is pinned in tests/test_memory_table_config.py."""
     from vector_spark.config.loader import build_topology
 
+    # Size the filters from the data, as any real deny-list build must:
+    # a fixed max_entries overflows when the corpus grows (a cuckoo
+    # table past capacity burns max_kicks per failing insert — measured
+    # 48x wall at 10x data with a pinned 8192). One column-pruned
+    # distinct-count scan; 2x headroom keeps the load factor in the
+    # regime where inserts land without kicks.
+    n_keys = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    )
+    cap = max(8192, 2 * int(n_keys))
+
     cfg = {
         "sources": {
             "ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
@@ -2443,12 +2456,12 @@ def q_membership_filter_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "enrichment_tables": {
             "bloomlist": {
                 "type": "memory", "inputs": ["kv"],
-                "filter": {"type": "bloom", "max_entries": 8192},
+                "filter": {"type": "bloom", "max_entries": cap},
             },
             "cuckoolist": {
                 "type": "memory", "inputs": ["kv"],
                 "value_field": "value",
-                "filter": {"type": "cuckoo", "max_entries": 8192,
+                "filter": {"type": "cuckoo", "max_entries": cap,
                            "fingerprint_bits": 16},
             },
         },
