@@ -132,7 +132,7 @@ def decode_statsd(c: Column) -> Column:
     mtype = F.regexp_extract(c, _STATSD_RE, 3)
     return F.struct(
         F.regexp_extract(c, _STATSD_RE, 1).alias("name"),
-        F.regexp_extract(c, _STATSD_RE, 2).try_cast("double").alias("value"),
+        _opt_cast(F.regexp_extract(c, _STATSD_RE, 2), "double").alias("value"),
         F.when(mtype == "c", "counter")
         .when(mtype == "g", "gauge")
         .when(mtype == "ms", "timing")
@@ -141,10 +141,18 @@ def decode_statsd(c: Column) -> Column:
         .otherwise(None)
         .alias("metric_type"),
         F.coalesce(
-            F.regexp_extract(c, _STATSD_RE, 4).try_cast("double"), F.lit(1.0)
+            _opt_cast(F.regexp_extract(c, _STATSD_RE, 4), "double"), F.lit(1.0)
         ).alias("sample_rate"),
         _kv_or_empty(F.regexp_extract(c, _STATSD_RE, 5), ",", ":").alias("tags"),
     )
+
+
+def _opt_cast(extracted: Column, dtype: str) -> Column:
+    """try_cast for regexp_extract results: a missing optional group (or
+    a non-matching line) extracts "" — guard it so the failure never
+    takes Spark's exception-driven cast path (11x on failing rows,
+    functions/vrl.py note). "" -> null either way."""
+    return F.when(extracted != "", extracted.try_cast(dtype))
 
 
 def _kv_or_empty(extracted: Column, pair_sep: str, kv_sep: str) -> Column:
@@ -168,7 +176,7 @@ def decode_influxdb_line(c: Column) -> Column:
         F.regexp_extract(c, _INFLUX_RE, 1).alias("measurement"),
         _kv_or_empty(F.regexp_extract(c, _INFLUX_RE, 2), ",", "=").alias("tags"),
         _kv_or_empty(F.regexp_extract(c, _INFLUX_RE, 3), ",", "=").alias("fields"),
-        F.regexp_extract(c, _INFLUX_RE, 4).try_cast("long").alias("ts_ns"),
+        _opt_cast(F.regexp_extract(c, _INFLUX_RE, 4), "long").alias("ts_ns"),
     )
 
 
@@ -541,8 +549,8 @@ def decode_prometheus_line(c: Column) -> Column:
     return F.struct(
         F.regexp_extract(c, _PROM_RE, 1).alias("name"),
         labels.alias("labels"),
-        F.regexp_extract(c, _PROM_RE, 3).try_cast("double").alias("value"),
-        F.regexp_extract(c, _PROM_RE, 4).try_cast("long").alias("ts_ms"),
+        _opt_cast(F.regexp_extract(c, _PROM_RE, 3), "double").alias("value"),
+        _opt_cast(F.regexp_extract(c, _PROM_RE, 4), "long").alias("ts_ms"),
     )
 
 

@@ -2797,9 +2797,16 @@ def q_remap_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
     )
     ev2 = ev.withColumn("mixed", mixed)
+    # _guarded_try_cast, not bare try_cast: most rows carry non-numeric
+    # event_type text, and a FAILING string cast takes Spark's
+    # exception-driven per-row path (11x, functions/vrl.py note)
+    from vector_spark.functions.vrl import _guarded_try_cast
+
     outs = remap(
         ev2,
-        [fallible_assignment("k_num", F.col("mixed").try_cast("long"), F.col("mixed"))],
+        [fallible_assignment("k_num",
+                             _guarded_try_cast(F.col("mixed"), "long"),
+                             F.col("mixed"))],
         drop=["props"],
         reroute_dropped=True,
     )
