@@ -479,3 +479,85 @@ def test_math_extras():
     assert env.get("s") == 4.0 and env.get("f") == 1.0
     assert env.get("ip") == 3.0 and env.get("fp") == 0.25
     assert abs(env.get("lg") - 3.0) < 1e-12
+
+
+# ------------------------------------------------- load / require (r11)
+
+
+def test_load_compiles_and_runs():
+    env = run_chunk(
+        """
+        f = load("return 2 + 3")
+        x = f()
+        add = load("local a, b = ...\\nreturn a + b")
+        y = add(4, 5)
+        """
+    )
+    assert env.get("x") == 5 and env.get("y") == 9
+
+
+def test_load_sees_globals():
+    env = run_chunk(
+        """
+        base = 10
+        f = load("return base * 2")
+        x = f()
+        """
+    )
+    assert env.get("x") == 20
+
+
+def test_load_syntax_error_returns_nil_msg():
+    env = run_chunk(
+        """
+        f, err = load("return +++", "mychunk")
+        ok = f == nil
+        has_msg = err ~= nil
+        """
+    )
+    assert env.get("ok") is True and env.get("has_msg") is True
+
+
+def test_load_reader_function():
+    env = run_chunk(
+        """
+        pieces = {"return ", "40 + 2"}
+        i = 0
+        f = load(function()
+          i = i + 1
+          return pieces[i]
+        end)
+        x = f()
+        """
+    )
+    assert env.get("x") == 42
+
+
+def test_require_preload_and_cache():
+    env = run_chunk(
+        """
+        package.preload["mymod"] = function(name)
+          calls = (calls or 0) + 1
+          return { greet = function() return "hi " .. name end }
+        end
+        m1 = require("mymod")
+        m2 = require("mymod")
+        same = m1 == m2
+        msg = m1.greet()
+        """
+    )
+    assert env.get("same") is True
+    assert env.get("msg") == "hi mymod"
+    assert env.get("calls") == 1  # loader ran once; loaded[] caches
+
+
+def test_require_missing_module_is_loud():
+    import pytest as _pytest
+
+    with _pytest.raises(li.LuaError, match="not found"):
+        run_chunk('require("nosuchmod")')
+
+
+def test_loadstring_alias():
+    env = run_chunk('x = loadstring("return 7")()')
+    assert env.get("x") == 7

@@ -55,8 +55,14 @@ Supported subset (enough for hook-style event programs):
     64-bit wrapping semantics, method-call sugar on strings
     (`("x"):upper()`, `s:match(p)`)
 
-NOT supported (still loud): io.*, os.* beyond os.time, require,
-load/loadstring, __gc/__close/__mode (no finalizers in a batch
+  * `load`/`loadstring` — string or reader-function chunks compiled
+    against the live globals; (nil, message) on syntax errors
+  * `require` — resolved through `package.preload`/`package.loaded`
+    ONLY (no filesystem module search in a batch executor; a miss is
+    a loud error naming that stance)
+
+NOT supported (still loud): io.*, os.* beyond os.time, a custom _ENV
+table for load, __gc/__close/__mode (no finalizers in a batch
 lifecycle), jumping INTO a nested block with goto.
 """
 
@@ -1546,6 +1552,63 @@ def make_globals(extra: dict | None = None,
         "random": _random,
         "randomseed": _randomseed,
     }))
+    # load / loadstring / require (r11 third wave). `load` compiles a
+    # string (or reader-function) chunk against THESE globals and
+    # returns the chunk as a vararg function — (nil, message) on a
+    # syntax error, per the manual. `require` resolves through
+    # package.preload / package.loaded only: batch executors have no
+    # module tree to search, so a filesystem miss stays a loud error
+    # instead of silently reading the worker's disk.
+    def _load(chunk, chunkname=None, mode=None, envtab=None):
+        if envtab is not None:
+            raise LuaError("load: a custom _ENV table is not supported")
+        src = chunk
+        if not isinstance(src, str):
+            pieces = []
+            while True:
+                r = _call(src, [], ("name", "load"))
+                piece = r[0] if isinstance(r, list) and r else r
+                if piece is None or piece == "":
+                    break
+                if not isinstance(piece, str):
+                    return [None, "reader function must return a string"]
+                pieces.append(piece)
+            src = "".join(pieces)
+        try:
+            body = parse(src)
+        except LuaError as e:
+            name = chunkname if isinstance(chunkname, str) else "load"
+            return [None, f"[string \"{name}\"]: {e.value}"]
+        return LuaFunction([], body, g, is_vararg=True)
+
+    preload = LuaTable({})
+    loaded = LuaTable({})
+    package = LuaTable({"preload": preload, "loaded": loaded})
+
+    def _require(name):
+        if not isinstance(name, str):
+            raise LuaError("bad argument #1 to 'require' (string expected)")
+        got = loaded.get(name)
+        if got is not None:
+            return got
+        loader = preload.get(name)
+        if loader is None:
+            raise LuaError(
+                f"module '{name}' not found (only package.preload is "
+                "searched — no filesystem module tree in the batch "
+                "sandbox)")
+        r = _call(loader, [name], ("name", "require"))
+        val = r[0] if isinstance(r, list) and r else (
+            r if not isinstance(r, list) else None)
+        if val is None:
+            val = True
+        loaded.set(name, val)
+        return val
+
+    g.declare("load", _load)
+    g.declare("loadstring", _load)  # 5.1 alias real hooks still use
+    g.declare("require", _require)
+    g.declare("package", package)
     for k, v in (extra or {}).items():
         g.declare(k, v)
     return g
