@@ -166,3 +166,85 @@ def test_directory_backend_mixed_abs_rel_raises_secret_error(tmp_path, monkeypat
                 "sinks": {"s": {"url": "SECRET[d./etc/passwd]"}},
             }
         )
+
+
+# ------------------------------------------------- aws_secrets_manager
+
+
+@pytest.fixture()
+def fake_secretsmanager():
+    """A SecretsManager-shaped endpoint: answers GetSecretValue with a
+    JSON SecretString, records the request for SigV4/Target checks."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            req = _json.loads(self.rfile.read(n))
+            seen.append({"headers": dict(self.headers), "body": req})
+            body = _json.dumps({
+                "ARN": "arn:aws:secretsmanager:us-east-1:1:secret:x",
+                "Name": req.get("SecretId"),
+                "SecretString": _json.dumps(
+                    {"api_key": "k-123", "token": "t-9", "empty": ""}),
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-amz-json-1.1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", seen
+    srv.shutdown()
+
+
+def _asm_cfg(endpoint, key):
+    return {
+        "secret": {"aws": {
+            "type": "aws_secrets_manager",
+            "secret_id": "prod/creds",
+            "endpoint": endpoint,
+            "region": "us-east-1",
+            "access_key": "AKIATEST",
+            "secret_key": "sk-test",
+        }},
+        "sinks": {"s": {"header": f"SECRET[aws.{key}]"}},
+    }
+
+
+def test_aws_secrets_manager_resolves(fake_secretsmanager):
+    endpoint, seen = fake_secretsmanager
+    cfg = resolve_secrets(_asm_cfg(endpoint, "api_key"))
+    assert cfg["sinks"]["s"]["header"] == "k-123"
+    assert "secret" not in cfg
+    req = seen[0]
+    assert req["body"] == {"SecretId": "prod/creds"}
+    assert req["headers"]["X-Amz-Target"] == "secretsmanager.GetSecretValue"
+    auth = req["headers"]["Authorization"]
+    assert auth.startswith("AWS4-HMAC-SHA256") and "secretsmanager" in auth
+
+
+def test_aws_secrets_manager_missing_key_errors(fake_secretsmanager):
+    endpoint, _ = fake_secretsmanager
+    with pytest.raises(SecretError, match="does not exist"):
+        resolve_secrets(_asm_cfg(endpoint, "nope"))
+
+
+def test_aws_secrets_manager_empty_value_errors(fake_secretsmanager):
+    endpoint, _ = fake_secretsmanager
+    with pytest.raises(SecretError, match="was empty"):
+        resolve_secrets(_asm_cfg(endpoint, "empty"))
+
+
+def test_aws_secrets_manager_unreachable_errors():
+    with pytest.raises(SecretError, match="GetSecretValue failed"):
+        resolve_secrets(_asm_cfg("http://127.0.0.1:1", "api_key"))

@@ -15,10 +15,14 @@ directory}.rs):
 - ``file``      — JSON object file, key → secret.
 - ``directory`` — one file per key (nested paths allowed);
   ``remove_trailing_whitespace`` trims.
+- ``aws_secrets_manager`` — GetSecretValue over the repo's own SigV4
+  signer (aws_secrets_manager.rs; SecretString = JSON key→value map,
+  missing/empty keys error). ``endpoint`` overrides the regional URL,
+  so localstack-style fakes validate it offline.
 
 Unknown backends, missing keys, and per-key errors raise — a config that
 references an unresolvable secret must not build, same strictness as the
-reference. aws_secrets_manager is a documented non-goal (live service).
+reference.
 """
 
 from __future__ import annotations
@@ -107,6 +111,59 @@ def _resolve_backend(name: str, bcfg: dict, keys: list[str]) -> dict[str, str]:
                     f"{(ent or {}).get('error')}"
                 )
             out[k] = ent["value"]
+        return out
+    if btype == "aws_secrets_manager":
+        # src/secrets/aws_secrets_manager.rs: GetSecretValue(secret_id),
+        # SecretString is a JSON object of key -> value; a missing key
+        # or an EMPTY value for a requested key errors (rs:88-103).
+        # Rides the repo's SigV4 signer + AWS JSON-1.1 call (the same
+        # path sqs/kinesis/cloudwatch use) instead of the SDK.
+        import os
+
+        region = bcfg.get("region", "us-east-1")
+        endpoint = bcfg.get(
+            "endpoint", f"https://secretsmanager.{region}.amazonaws.com")
+        from vector_spark.sinks import _aws_json_call
+
+        try:
+            resp = _aws_json_call(
+                endpoint, "secretsmanager",
+                "secretsmanager.GetSecretValue",
+                {"SecretId": bcfg["secret_id"]},
+                access_key=bcfg.get(
+                    "access_key", os.environ.get("AWS_ACCESS_KEY_ID", "")),
+                secret_key=bcfg.get(
+                    "secret_key",
+                    os.environ.get("AWS_SECRET_ACCESS_KEY", "")),
+                region=region,
+                timeout_secs=float(bcfg.get("timeout", 10)),
+            )
+        except Exception as e:
+            raise SecretError(
+                f"{name}: GetSecretValue failed for secret-id "
+                f"{bcfg.get('secret_id')!r}: {e}") from e
+        secret_string = resp.get("SecretString")
+        if secret_string is None:
+            raise SecretError(
+                f"{name}: secret for secret-id {bcfg.get('secret_id')!r} "
+                "could not be retrieved")
+        try:
+            data = json.loads(secret_string)
+        except ValueError as e:
+            raise SecretError(
+                f"{name}: SecretString is not a JSON object: {e}") from e
+        out = {}
+        for k in keys:
+            v = data.get(k)
+            if v is None:
+                raise SecretError(
+                    f"{name}: key {k!r} in secret with id "
+                    f"{bcfg.get('secret_id')!r} does not exist")
+            if v == "":
+                raise SecretError(
+                    f"{name}: value for key {k!r} in secret with id "
+                    f"{bcfg.get('secret_id')!r} was empty")
+            out[k] = str(v)
         return out
     raise SecretError(f"{name}: unknown secret backend type {btype!r}")
 
