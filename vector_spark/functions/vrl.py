@@ -229,17 +229,26 @@ def parse_syslog(c: Column) -> Column:
         F.array(*[F.lit(n) for n in _SYSLOG_SEVERITY_NAMES]),
         (F.pmod(pri, F.lit(8)) + 1).cast("int"),
     )
-    ts5 = F.coalesce(
+    # dispatch on the fraction dot instead of coalescing over a failing
+    # parse: a FAILING try_to_timestamp pays Spark's exception path
+    # (~2.3x a succeeding one), and fraction-less 5424 stamps would pay
+    # it on every row
+    ts5 = F.when(
+        g5(2).contains("."),
         F.try_to_timestamp(g5(2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    ).otherwise(
         F.try_to_timestamp(g5(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
+    procid_raw = F.when(is5, g5(5)).otherwise(g3(5))
     return F.struct(
         facility.alias("facility"),
         severity.alias("severity"),
         F.when(is5, ts5).alias("timestamp"),
         F.when(is5, g5(3)).otherwise(g3(3)).alias("hostname"),
         F.when(is5, g5(4)).otherwise(F.trim(g3(4))).alias("appname"),
-        F.when(is5, g5(5)).otherwise(g3(5)).try_cast("long").alias("procid"),
+        # "" (pid-less 3164 line) must not take the failing-cast path
+        F.when(procid_raw != "", procid_raw.try_cast("long"))
+        .alias("procid"),
         F.when(is5, F.nullif(g5(6), F.lit("-"))).alias("msgid"),
         F.when(is5, g5(7)).otherwise(g3(6)).alias("message"),
     )
