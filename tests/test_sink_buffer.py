@@ -174,3 +174,23 @@ def test_buffered_handler_wrapper(spark):
         assert got == [6] and buf.stats()["sent_events"] == 6
     finally:
         buf.close()
+
+
+def test_disk_block_oversized_batch_does_not_deadlock(spark, tmp_path):
+    # a single spilled batch larger than max_size must pass once the
+    # rest of the spool drains, not wait for the spool to shrink below
+    # its own size
+    got: list[int] = []
+    buf = SinkBuffer(
+        lambda df, e: got.append(df.count()),
+        BufferConfig.parse(
+            {"type": "disk", "max_size": 1, "when_full": "block"}),
+        data_dir=str(tmp_path),
+    )
+    try:
+        buf.push(_batch(spark, 5), 0)  # parquet file >> 1 byte
+        buf.flush()
+        assert got == [5]
+        assert buf.stats()["sent_events"] == 5
+    finally:
+        buf.close()

@@ -133,8 +133,14 @@ class SinkBuffer:
                 with self._lock:
                     self.discarded_events += n
                 return
-            # block: wait for the drainer to free spool bytes
-            while self._spool_bytes() > (stage.max_size or 0):
+            # block: wait for the drainer to free spool bytes. The new
+            # file is already on disk and counted, so the floor is
+            # max(max_size, its own size) — a single batch larger than
+            # max_size must still pass once everything else drains
+            # (waiting for the spool to shrink below its own size would
+            # deadlock: the drainer can't drain an un-queued file).
+            floor = max(stage.max_size or 0, added)
+            while self._spool_bytes() > floor:
                 time.sleep(0.01)
         with self._lock:
             self.spilled_events += n
