@@ -241,18 +241,13 @@ def urlopen_via(url_or_req, timeout: float, proxy_url: str | None):
 
     if not proxy_url:
         return urllib.request.urlopen(url_or_req, timeout=timeout)
-    split = urllib.parse.urlsplit(proxy_url)
-    bare = urllib.parse.urlunsplit(
-        (split.scheme, split.netloc.rsplit("@", 1)[-1], split.path, "", ""))
-    handler = urllib.request.ProxyHandler({"http": bare, "https": bare})
+    # userinfo stays IN the proxy URL: ProxyHandler derives the
+    # Proxy-Authorization header from it for plain-http requests AND
+    # for the CONNECT tunnel of https targets — a manually-added
+    # header would miss the tunnel
+    handler = urllib.request.ProxyHandler(
+        {"http": proxy_url, "https": proxy_url})
     opener = urllib.request.build_opener(handler)
-    if split.username:
-        import base64
-
-        cred = f"{urllib.parse.unquote(split.username)}:" \
-               f"{urllib.parse.unquote(split.password or '')}"
-        token = base64.b64encode(cred.encode()).decode()
-        opener.addheaders = [("Proxy-Authorization", f"Basic {token}")]
     return opener.open(url_or_req, timeout=timeout)
 
 
