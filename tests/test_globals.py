@@ -540,3 +540,30 @@ def test_global_options_parse_misc(tmp_path):
     assert gl2.expire_metrics_secs == 2.5
     with pytest.raises(GlobalsError, match="missing data_dir"):
         GlobalOptions.parse({}).resolve_data_dir()
+
+
+def test_parse_timestamp_rfc3339_dispatch(spark):
+    # the %+ fraction-length dispatch must accept everything the former
+    # 6-format coalesce chain accepted
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.vrl import parse_timestamp
+
+    vals = [
+        "2024-07-01T12:00:00.123+02:00",
+        "2024-07-01T12:00:00.123Z",
+        "2024-07-01T12:00:00.123456+00:00",
+        "2024-07-01T12:00:00.123456Z",
+        "2024-07-01T12:00:00+02:00",
+        "2024-07-01T12:00:00Z",
+        "not a time",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = [r.t for r in
+           df.select(parse_timestamp(F.col("s"), "%+").alias("t")).collect()]
+    assert out[0].hour == 10 and out[0].microsecond == 123000
+    assert out[1].hour == 12
+    assert out[2].microsecond == 123456
+    assert out[3].hour == 12 and out[3].microsecond == 123456
+    assert out[4].hour == 10 and out[5].hour == 12
+    assert out[6] is None

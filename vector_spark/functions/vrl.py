@@ -142,13 +142,30 @@ def parse_timestamp(c: Column, fmt: str) -> Column:
     if fmt == "%s":  # chrono: unix epoch seconds
         return F.timestamp_seconds(c.cast("long"))
     if fmt == "%+":  # RFC3339, offset/fraction variants
-        return F.coalesce(
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
-            F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        # dispatch on the fraction LENGTH instead of coalescing through
+        # failing parses (a failing try_to_timestamp pays Spark's
+        # exception path): each row attempts 1 format, 2 worst-case.
+        # Spark's S-run parses UP TO that many fraction digits (".00"
+        # parses with SSS, ".12345" needs SSSSSS — probed empirically),
+        # so the buckets are 1-3 and 4-6 digits. Same accepted inputs
+        # as the former 6-format chain (XXX parses a literal Z; the
+        # 'Z'-literal forms stay as each bucket's fallback arm).
+        frac_len = F.length(F.regexp_extract(c, r"\.(\d+)", 1))
+        return (
+            F.when(frac_len == 0, F.coalesce(
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+            ))
+            .when(frac_len <= 3, F.coalesce(
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+            ))
+            .otherwise(F.coalesce(
+                F.try_to_timestamp(
+                    c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+                F.try_to_timestamp(
+                    c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+            ))
         )
     parsed = F.try_to_timestamp(c, F.lit(_strf(fmt)))
     if _DEFAULT_TZ and not any(d in fmt for d in _TZ_DIRECTIVES):
