@@ -567,3 +567,28 @@ def test_parse_timestamp_rfc3339_dispatch(spark):
     assert out[3].hour == 12 and out[3].microsecond == 123456
     assert out[4].hour == 10 and out[5].hour == 12
     assert out[6] is None
+
+
+def test_format_timestamp_timezone_arg(spark):
+    # VRL format_timestamp's optional timezone renders the UTC instant
+    # as wall time in that zone
+    yaml = """
+sources:
+  lines:
+    type: values
+    rows:
+      - {seq: 1, message: "2024-07-01T16:00:00Z"}
+transforms:
+  shaped:
+    type: remap
+    inputs: [lines]
+    source: |
+      t = parse_timestamp!(.message, "%+")
+      .ny = format_timestamp!(t, format: "%H:%M", timezone: "America/New_York")
+      .utc = format_timestamp!(t, format: "%H:%M")
+sinks:
+  out: {type: memory, inputs: [shaped]}
+"""
+    rows = run_sinks(load_topology(spark, yaml))["out"]["rows"]
+    assert rows[0].ny == "12:00"   # EDT = UTC-4
+    assert rows[0].utc == "16:00"

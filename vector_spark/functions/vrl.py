@@ -856,6 +856,22 @@ _CAST_PLAUSIBLE = (
 )
 
 
+def _format_timestamp(c: Column, fmt, timezone=None) -> Column:
+    """VRL format_timestamp(ts, format[, timezone]): the optional
+    timezone renders the UTC instant as wall time in that zone (VRL
+    stdlib format_timestamp's `timezone` argument; names validated
+    like the global option — `local` resolves the host zone)."""
+    if timezone is not None:
+        tz = timezone if isinstance(timezone, str) else None
+        if tz is None:
+            raise ValueError(
+                "format_timestamp: timezone must be a string literal")
+        from vector_spark.config.globals import resolve_timezone
+
+        c = F.from_utc_timestamp(c, resolve_timezone(tz))
+    return F.date_format(c, fmt)
+
+
 def _guarded_try_cast(value: Column, dtype: str) -> Column:
     """``try_cast`` that skips the per-row exception machinery for
     strings no cast could accept. Result-identical to a bare
@@ -1025,7 +1041,8 @@ VRL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     ),
     # Timestamp
     "now": F.current_timestamp,
-    "format_timestamp": lambda c, fmt: F.date_format(c, fmt),
+    "format_timestamp": lambda c, fmt, timezone=None: _format_timestamp(
+        c, fmt, timezone),
     "to_unix_timestamp": _to_unix_timestamp,
     "from_unix_timestamp": lambda c: F.to_timestamp(F.from_unixtime(c)),
     # Array / Map / Object
@@ -1188,7 +1205,8 @@ VRL_FUNCTIONS.update(
         "decode_base16": lambda c: F.unhex(c).cast("string"),
         "parse_linux_authorization": lambda c: parse_syslog(c),
         # Timestamp extras
-        "format_timestamp": lambda c, format: F.date_format(c, _strf(format)),
+        "format_timestamp": lambda c, format, timezone=None:
+            _format_timestamp(c, _strf(format), timezone),
     }
 )
 

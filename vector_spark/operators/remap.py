@@ -148,45 +148,63 @@ def remap(
     - reroute_dropped: errored rows (original values) appear on the
       `dropped` output instead of being discarded.
     """
-    err: Column = F.lit(False)
-    for a in assignments:
+    # Pass 1 — SEQUENTIAL ungated application. Each statement's error
+    # flag materializes against the state the prior statements built
+    # (VRL runs statements in order: `.t = parse_timestamp!(...);
+    # .h = format_timestamp!(.t, ...)` must see `.t`); the upfront
+    # flag-on-input shape this replaces could not resolve a
+    # just-assigned field at all. Root columns an assignment overwrites
+    # snapshot their PRE-PROGRAM value first, for the original-event
+    # fallback and the dropped output.
+    work = df
+    flag_cols: list[str] = []
+    orig_of: dict[str, str] = {}  # target ROOT column -> snapshot name
+    for i, a in enumerate(assignments):
         if a.error_when is not None:
-            err = err | F.coalesce(a.error_when, F.lit(False))
+            fc = f"__vrl_err_{i}"
+            work = work.withColumn(
+                fc, F.coalesce(a.error_when, F.lit(False)))
+            flag_cols.append(fc)
+        root = path_segs(a.out)[0]
+        if root in df.columns and root not in orig_of:
+            oc = f"__vrl_orig_{len(orig_of)}"
+            work = work.withColumn(oc, F.col(_quoted(root)))
+            orig_of[root] = oc
+        # a None expr is an explicit null assignment (`.x = null`)
+        expr = a.expr if a.expr is not None else F.lit(None)
+        work = _assign(work, a.out, expr)
 
-    tagged = df.withColumn(error_col, err)
-    out = tagged
-    for a in assignments:
-        segs = path_segs(a.out)
-        exists = (len(segs) == 1 and segs[0] in df.columns) or (
-            a.out in df.columns
-            or (len(segs) > 1 and _nested_exists(df, segs[0], segs[1:]))
-        )
-        if exists:
-            # errored event forwards unchanged: keep original on error.
-            # ONLY when the assignment keeps the column's type — when it
-            # RETYPES (.foo = split(.foo), int → facility name, ...) the
-            # two branches cannot share a type: analysis would coerce and
-            # ANSI-cast at runtime, so retypes fall back to
-            # typed-null-on-error (VRL's per-row dynamic retype has no
-            # dual-type analog in a column engine; documented delta).
-            same_type = False
+    err: Column = F.lit(False)
+    for fc in flag_cols:
+        err = err | F.col(fc)
+    work = work.withColumn(error_col, err)
+    if flag_cols:
+        work = work.drop(*flag_cols)
+
+    # Pass 2 — gate per target ROOT: errored rows forward the ORIGINAL
+    # value (`remap.rs:121-128`) when the program kept the column's
+    # type; a RETYPE (.foo = split(.foo), int → name, ...) falls back
+    # to typed-null-on-error (the two branches of one column cannot
+    # carry two types in a column engine; documented delta). Fresh
+    # columns are null on error (the original event had no such field).
+    out = work
+    roots_in_order = list(dict.fromkeys(
+        path_segs(a.out)[0] for a in assignments))
+    for root in roots_in_order:
+        cur = F.col(_quoted(root))
+        fallback: Column = F.lit(None)
+        if root in orig_of:
             try:
-                old_dt = out.select(F.col(a.out).alias("_o")).schema[0].dataType
-                new_dt = out.select(a.expr.alias("_n")).schema[0].dataType
-                same_type = old_dt == new_dt
+                old_dt = out.schema[orig_of[root]].dataType
+                new_dt = out.schema[root].dataType
+                if old_dt == new_dt:
+                    fallback = F.col(orig_of[root])
             except Exception:
-                same_type = False
-            if same_type:
-                value = F.when(F.col(error_col), F.col(a.out)).otherwise(
-                    a.expr
-                )
-            else:
-                value = F.when(F.col(error_col), F.lit(None)).otherwise(
-                    a.expr
-                )
-        else:
-            value = F.when(F.col(error_col), F.lit(None)).otherwise(a.expr)
-        out = _assign(out, a.out, value)
+                pass
+        out = out.withColumn(
+            root, F.when(F.col(error_col), fallback).otherwise(cur))
+    if orig_of:
+        out = out.drop(*orig_of.values())
     for c in drop or []:
         out = _unassign(out, c)
 
@@ -194,7 +212,14 @@ def remap(
     if drop_on_error or reroute_dropped:
         result[""] = out.where(~F.col(error_col)).drop(error_col)
         if reroute_dropped:
-            result["dropped"] = tagged.where(F.col(error_col)).drop(error_col)
+            # the dropped output carries the ORIGINAL event (original
+            # column values in the original order)
+            sel = [
+                F.col(_quoted(orig_of[c])).alias(c) if c in orig_of
+                else F.col(_quoted(c))
+                for c in df.columns
+            ]
+            result["dropped"] = work.where(F.col(error_col)).select(*sel)
     else:
         result[""] = out
     return result
