@@ -123,16 +123,19 @@ def test_stdlib_slice():
 
 
 def test_unsupported_constructs_fail_loudly():
-    # r11 shrank the loud-error set: varargs/goto/metatables/coroutines
-    # are REAL now. What remains out of scope must still fail loudly.
+    # r11 shrank the loud-error set: varargs/goto/metatables/coroutines,
+    # then load/loadstring and require (package.preload) are REAL now.
+    # What remains out of scope must still fail loudly.
     for src in (
         'io.write("x")',       # io library absent
-        'require("mod")',      # module loading absent
-        'load("return 1")()',  # dynamic chunks absent
+        'require("mod")',      # module not in package.preload -> loud
         "goto nowhere",        # goto with NO visible label
     ):
         with pytest.raises(li.LuaError):
             run_chunk(src)
+    # load is REAL since the r11 third wave
+    env = run_chunk('y = load("return 1")()')
+    assert env.get("y") == 1
     # patterns are REAL since r11 (lua_patterns.py) — no longer a
     # loud-error construct
     env = run_chunk('x = string.find("abc", "%a")')
