@@ -1164,7 +1164,12 @@ VRL_FUNCTIONS.update(
         "parse_bytes": lambda c, unit="B": parse_bytes(c, unit),
         "parse_int_radix": lambda c, base=10: F.conv(c, base, 10).cast("long"),
         # String wave 2
-        "find": lambda c, substring: F.instr(c, substring) - 1,
+        # find returns null (not -1) on no match since the pinned vrl main
+        # (highlights-july-2026.md "Type system": "`find` now returns
+        # `null` when no match is found, instead of `-1`")
+        "find": lambda c, substring: F.when(
+            F.instr(c, substring) > 0, F.instr(c, substring) - 1
+        ),
         "redact": _vrl_redact,
         "repeat": lambda c, count: F.repeat(c, count),
         "reverse": F.reverse,
@@ -1494,6 +1499,12 @@ def _to_syslog_facility(c: Column) -> Column:
 from vector_spark.functions.vrl_wave4 import WAVE4 as _WAVE4  # noqa: E402
 
 VRL_FUNCTIONS.update(_WAVE4)
+
+# Fifth wave — post-snapshot vrl-main additions (paths, entries, csv,
+# haversine, crc/base62/xxhash, parse_yaml, ipcrypt) + set/remove.
+from vector_spark.functions.vrl_wave5 import WAVE5 as _WAVE5  # noqa: E402
+
+VRL_FUNCTIONS.update(_WAVE5)
 
 
 def _match_datadog_query(query: str) -> Column:

@@ -46,6 +46,61 @@ class VrlCompileError(ValueError):
     pass
 
 
+_UNI_ESC = re.compile(r"\\u\{([^}]*)\}")
+
+
+def _unescape_str(body: str) -> str:
+    """Decode a VRL string-literal body: \\" \\' \\\\ plus \\n \\t \\r
+    and the `\\u{HEX}` Unicode escape (highlights-july-2026.md §Syntax).
+    Invalid \\u sequences (empty braces, non-hex, surrogates, above
+    U+10FFFF) are COMPILE errors, matching the release note."""
+
+    def _uni(m: re.Match) -> str:
+        hexpart = m.group(1)
+        if not hexpart:
+            raise VrlCompileError("empty \\u{} escape in string literal")
+        try:
+            cp = int(hexpart, 16)
+        except ValueError:
+            raise VrlCompileError(
+                f"invalid \\u{{{hexpart}}} escape: non-hex digits")
+        if 0xD800 <= cp <= 0xDFFF:
+            raise VrlCompileError(
+                f"invalid \\u{{{hexpart}}} escape: surrogate codepoint")
+        if cp > 0x10FFFF:
+            raise VrlCompileError(
+                f"invalid \\u{{{hexpart}}} escape: above U+10FFFF")
+        return chr(cp)
+
+    out = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch != "\\" or i + 1 >= n:
+            out.append(ch)
+            i += 1
+            continue
+        nxt = body[i + 1]
+        if nxt == "u" and i + 2 < n and body[i + 2] == "{":
+            m = _UNI_ESC.match(body, i)
+            if not m:
+                raise VrlCompileError("unterminated \\u{ escape")
+            out.append(_uni(m))
+            i = m.end()
+            continue
+        mapped = {'"': '"', "'": "'", "\\": "\\", "n": "\n", "t": "\t",
+                  "r": "\r", "0": "\0", "{": "{", "}": "}"}.get(nxt)
+        if mapped is None:
+            # unknown escape: preserve verbatim (regex-ish literals ride
+            # through config strings; loud failure would break them)
+            out.append(ch)
+            out.append(nxt)
+        else:
+            out.append(mapped)
+        i += 2
+    return "".join(out)
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
@@ -915,9 +970,7 @@ class _P:
             self.eat()
             self._is_str = True
             body = t.text[1:-1]
-            return F.lit(
-                body.replace(r"\"", '"').replace(r"\'", "'").replace(r"\\", "\\")
-            )
+            return F.lit(_unescape_str(body))
         if t.kind == "name":
             if t.text == "true":
                 self.eat()
@@ -989,12 +1042,7 @@ class _P:
                 # except for fns whose first param IS config (env var
                 # names, cidr strings)
                 if not args and not kwargs and t.kind in ("dqstr", "sqstr"):
-                    first_lit = (
-                        t.text[1:-1]
-                        .replace(r"\"", '"')
-                        .replace(r"\'", "'")
-                        .replace(r"\\", "\\")
-                    )
+                    first_lit = _unescape_str(t.text[1:-1])
                 literal_ok = bool(args) or name in _LITERAL_FIRST_ARG_FNS
                 args.append(self.arg(literal_ok=literal_ok))
             if self.at(","):
