@@ -116,6 +116,7 @@ HEADLINE = [
     "membership_filter_enrich",
     "codec_compress_roundtrip",
     "vrl_timezone_parse",
+    "vrl_wave5_functions",
 ]
 
 

@@ -2590,6 +2590,90 @@ FROM events
 """
 
 
+def q_vrl_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-5 VRL stdlib through the compiler (functions/vrl_wave5.py:
+    the pinned vrl-main additions — basename/dirname/split_path,
+    encode_csv, crc, haversine). The program runs via vrl_remap so the
+    parser → registry → Column path is what's gated; split_path and
+    haversine ride as direct registry calls on the same plan. The
+    oracle recomputes paths with DuckDB string ops, the CRC via
+    compile-time zlib.crc32 constants (the CRC-32/ISO-HDLC default),
+    and haversine from the raw formula."""
+    from vector_spark.functions.vrl import VRL_FUNCTIONS as V
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.lit("/data/"), F.col("event_type"), F.lit("/part-"),
+            (F.col("event_id") % 10).cast("string"), F.lit(".log"),
+        ).alias("path"),
+    )
+    outs = vrl_remap(
+        ev,
+        ".base = basename(.path)\n"
+        ".dir = dirname(.path)\n"
+        ".crcv = crc(.event_type)\n"
+        ".csvline = encode_csv([.event_type, .base])",
+    )
+    df = outs[""]
+    hav = V["haversine"](
+        ((F.col("event_id") % 120) - 60 + 0.25).cast("double"),
+        ((F.col("event_id") % 340) - 170 + 0.25).cast("double"),
+        (((F.col("event_id") * 7) % 120) - 60 + 0.5).cast("double"),
+        (((F.col("event_id") * 13) % 340) - 170 + 0.5).cast("double"),
+    )
+    return df.select(
+        "event_id",
+        "base",
+        "dir",
+        "crcv",
+        "csvline",
+        F.size(V["split_path"](F.col("path"))).alias("depth"),
+        F.round(hav["distance"], 6).alias("hav_km"),
+        F.round(hav["bearing"], 6).alias("bearing"),
+    )
+
+
+# crc constants computed with python -c "import zlib; zlib.crc32(...)"
+# (CRC-32/ISO-HDLC IS zlib's crc32) — independent of the engine's CRC.
+_ORACLE_VRL_WAVE5 = """
+WITH t AS (
+  SELECT event_id, event_type,
+         '/data/' || event_type || '/part-' ||
+             CAST(event_id % 10 AS VARCHAR) || '.log' AS path,
+         CAST((event_id % 120) - 60 + 0.25 AS DOUBLE) AS lat1,
+         CAST((event_id % 340) - 170 + 0.25 AS DOUBLE) AS lon1,
+         CAST(((event_id * 7) % 120) - 60 + 0.5 AS DOUBLE) AS lat2,
+         CAST(((event_id * 13) % 340) - 170 + 0.5 AS DOUBLE) AS lon2
+  FROM events)
+SELECT event_id,
+       regexp_extract(path, '([^/]+)$', 1) AS base,
+       regexp_replace(path, '/[^/]*$', '') AS dir,
+       CASE event_type
+         WHEN 'click' THEN '3136733728'
+         WHEN 'error' THEN '1574812785'
+         WHEN 'purchase' THEN '1628950843'
+         WHEN 'signup' THEN '1319313135'
+         WHEN 'view' THEN '4278037390'
+       END AS crcv,
+       event_type || ',' || regexp_extract(path, '([^/]+)$', 1) AS csvline,
+       CAST(len(list_filter(string_split(path, '/'),
+                            x -> x <> '')) AS INTEGER) AS depth,
+       round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat2 - lat1) / 2), 2)
+           + cos(radians(lat1)) * cos(radians(lat2))
+             * pow(sin(radians(lon2 - lon1) / 2), 2))), 6) AS hav_km,
+       round((degrees(atan2(
+           sin(radians(lon2 - lon1)) * cos(radians(lat2)),
+           cos(radians(lat1)) * sin(radians(lat2))
+           - sin(radians(lat1)) * cos(radians(lat2))
+             * cos(radians(lon2 - lon1)))) + 360.0) % 360.0, 6) AS bearing
+FROM t
+"""
+
+
 def q_aggregate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregate Auto mode: incremental series are summed, absolute series
     take the latest value (kind semantics, metric/mod.rs:533-539)."""
@@ -3618,6 +3702,9 @@ QUERIES: dict[str, QuerySpec] = {
     "vrl_timezone_parse": QuerySpec(
         q_vrl_timezone, _ORACLE_VRL_TZ,
         "timezone option: naive parse interpreted in the configured zone"),
+    "vrl_wave5_functions": QuerySpec(
+        q_vrl_wave5, _ORACLE_VRL_WAVE5,
+        "wave-5 stdlib: paths/csv/crc/haversine through the compiler"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
