@@ -124,12 +124,12 @@ def test_stdlib_slice():
 
 def test_unsupported_constructs_fail_loudly():
     # r11 shrank the loud-error set: varargs/goto/metatables/coroutines,
-    # then load/loadstring and require (package.preload) are REAL now.
+    # then load/loadstring/require, then io/os/custom-_ENV are REAL now.
     # What remains out of scope must still fail loudly.
     for src in (
-        'io.write("x")',       # io library absent
         'require("mod")',      # module not in package.preload -> loud
         "goto nowhere",        # goto with NO visible label
+        'os.execute("true")',  # process control stays out of scope
     ):
         with pytest.raises(li.LuaError):
             run_chunk(src)

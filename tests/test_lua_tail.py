@@ -561,3 +561,141 @@ def test_require_missing_module_is_loud():
 def test_loadstring_alias():
     env = run_chunk('x = loadstring("return 7")()')
     assert env.get("x") == 7
+
+
+# ------------------------------------------------------------- io / os
+
+
+def test_io_file_roundtrip(tmp_path):
+    p = str(tmp_path / "t.txt")
+    env = li.make_globals({})
+    li.run(
+        f'''
+        local f = assert(io.open("{p}", "w"))
+        f:write("alpha\\n", "beta ", 2, "\\n", "3.5 tail\\n")
+        f:close()
+        local r = assert(io.open("{p}"))
+        l1 = r:read("l")
+        l2 = r:read("L")
+        num = r:read("n")
+        rest = r:read("a")
+        r:close()
+        count = 0
+        for _ in io.lines("{p}") do count = count + 1 end
+        ''',
+        env,
+    )
+    assert env.get("l1") == "alpha"
+    assert env.get("l2") == "beta 2\n"
+    assert env.get("num") == 3.5
+    assert env.get("rest") == " tail\n"
+    assert env.get("count") == 3
+
+
+def test_io_open_failure_returns_nil_msg():
+    env = run_chunk(
+        'f, msg = io.open("/nonexistent/dir/x.txt")\n'
+        "isnil = f == nil"
+    )
+    assert env.get("isnil") is True
+    assert "x.txt" in env.get("msg")
+
+
+def test_io_lines_missing_file_is_loud():
+    import pytest as _pytest
+
+    with _pytest.raises(li.LuaError):
+        run_chunk('for l in io.lines("/nonexistent/x") do end')
+
+
+def test_io_write_lands_in_print_buffer():
+    printed = []
+    env = li.make_globals({}, printed=printed)
+    li.run('io.write("a", 1, "b")\nio.stdout:write("direct")\n'
+           'io.stderr:write("err")', env)
+    assert printed == ["a1b", "direct", "err"]
+
+
+def test_io_read_stdin_is_eof():
+    env = run_chunk("x = io.read()\nisnil = x == nil")
+    assert env.get("isnil") is True
+
+
+def test_os_date_time_getenv(monkeypatch):
+    monkeypatch.setenv("LUA_TEST_VAR", "42")
+    env = run_chunk(
+        """
+        y = os.date("!%Y-%m-%d", 0)
+        t = os.date("!*t", 86400)
+        e = os.getenv("LUA_TEST_VAR")
+        d = os.difftime(10, 4)
+        rt = os.time({year=2001, month=2, day=3, hour=4, min=5, sec=6})
+        """
+    )
+    assert env.get("y") == "1970-01-01"
+    t = env.get("t")
+    # 1970-01-02 was a Friday: Lua wday is 1-based Sunday → 6
+    assert (t.get("year"), t.get("month"), t.get("day"), t.get("wday")) == (
+        1970, 1, 2, 6)
+    assert env.get("e") == "42"
+    assert env.get("d") == 6.0
+    # os.time(table) is mktime of LOCAL wall time (Lua manual); verify
+    # by converting back with the host's localtime
+    import time as _t
+
+    st = _t.localtime(env.get("rt"))
+    assert (st.tm_year, st.tm_mon, st.tm_mday, st.tm_hour) == (2001, 2, 3, 4)
+
+
+def test_os_clock_injected_for_determinism():
+    env = li.make_globals({"__lua_clock": lambda: 1234.0})
+    li.run("t = os.time()", env)
+    assert env.get("t") == 1234
+
+
+def test_os_remove_rename(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    open(a, "w").write("x")
+    env = run_chunk(
+        f'ok1 = os.rename("{a}", "{b}")\n'
+        f'ok2 = os.remove("{b}")\n'
+        f'gone, msg = os.remove("{b}")'
+    )
+    assert env.get("ok1") is True and env.get("ok2") is True
+    assert env.get("gone") is None and "b" in env.get("msg")
+
+
+# ------------------------------------------------------- load custom _ENV
+
+
+def test_load_custom_env_sandbox():
+    env = run_chunk(
+        """
+        sandbox = {x = 5}
+        chunk = load("x = x + 1; y = 10; return x", "c", "t", sandbox)
+        r = chunk()
+        leaked = y  -- must stay nil: writes went to the sandbox table
+        sx = sandbox.x
+        sy = sandbox.y
+        """
+    )
+    assert env.get("r") == 6
+    assert env.get("sx") == 6 and env.get("sy") == 10
+    assert env.get("leaked") is None
+
+
+def test_load_custom_env_no_stdlib_leak():
+    # a sandboxed chunk cannot see print/string unless provided
+    env = run_chunk(
+        """
+        ok, err = pcall(load("return string.upper('a')", "c", "t", {}))
+        """
+    )
+    assert env.get("ok") is False
+
+
+def test_load_env_must_be_table():
+    import pytest as _pytest
+
+    with _pytest.raises(li.LuaError, match="table expected"):
+        run_chunk('load("return 1", "c", "t", 5)')

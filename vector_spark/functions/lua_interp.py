@@ -56,14 +56,24 @@ Supported subset (enough for hook-style event programs):
     (`("x"):upper()`, `s:match(p)`)
 
   * `load`/`loadstring` — string or reader-function chunks compiled
-    against the live globals; (nil, message) on syntax errors
+    against the live globals, or against a custom `_ENV` table (the
+    5.2+ fourth argument: free names read from / write into the
+    table); (nil, message) on syntax errors
   * `require` — resolved through `package.preload`/`package.loaded`
     ONLY (no filesystem module search in a batch executor; a miss is
     a loud error naming that stance)
+  * `io` — open/lines/read/write/close + file handles with
+    read("l"/"L"/"n"/"a"/count)/lines/write/seek/close; file access
+    is REAL (executor-local, same visibility the reference's embedded
+    VM has); io.write and io.stdout/io.stderr:write land in the
+    `print` buffer the host drains; io.read() is EOF (no stdin)
+  * `os` — time (clock-gated via `extra["__lua_clock"]` for replay
+    determinism; table arg → mktime), date (strftime + "*t"/"!"),
+    clock, getenv, difftime, remove, rename
 
-NOT supported (still loud): io.*, os.* beyond os.time, a custom _ENV
-table for load, __gc/__close/__mode (no finalizers in a batch
-lifecycle), jumping INTO a nested block with goto.
+NOT supported (still loud): __gc/__close/__mode (no finalizers in a
+batch lifecycle), jumping INTO a nested block with goto, os.execute/
+os.exit/os.tmpname (process control inside a transform).
 """
 
 from __future__ import annotations
@@ -618,6 +628,31 @@ class _Env:
         while e.parent is not None:
             e = e.parent
         return e
+
+
+class _TableVars:
+    """dict-shaped view over a LuaTable so an _Env root can be BACKED
+    by a table — the mechanism behind load(chunk, name, mode, env):
+    global reads miss to the table, global writes land in it. A
+    nil-valued name reads as absent (Lua's nil-global semantics)."""
+
+    __slots__ = ("t",)
+
+    def __init__(self, t: "LuaTable"):
+        self.t = t
+
+    def __contains__(self, name):
+        return self.t.get(name) is not None
+
+    def get(self, name, default=None):
+        v = self.t.get(name)
+        return default if v is None else v
+
+    def __getitem__(self, name):
+        return self.t.get(name)
+
+    def __setitem__(self, name, value):
+        self.t.set(name, value)
 
 
 class _Break(Exception):
@@ -1560,8 +1595,6 @@ def make_globals(extra: dict | None = None,
     # module tree to search, so a filesystem miss stays a loud error
     # instead of silently reading the worker's disk.
     def _load(chunk, chunkname=None, mode=None, envtab=None):
-        if envtab is not None:
-            raise LuaError("load: a custom _ENV table is not supported")
         src = chunk
         if not isinstance(src, str):
             pieces = []
@@ -1579,6 +1612,16 @@ def make_globals(extra: dict | None = None,
         except LuaError as e:
             name = chunkname if isinstance(chunkname, str) else "load"
             return [None, f"[string \"{name}\"]: {e.value}"]
+        if envtab is not None:
+            # custom _ENV (Lua 5.2+ load 4th arg): the chunk's free
+            # names resolve against — and write into — the given table
+            # instead of the live globals. Locals still shadow normally:
+            # the table backs only the ROOT environment.
+            if not isinstance(envtab, LuaTable):
+                raise LuaError("bad argument #4 to 'load' (table expected)")
+            root = _Env()
+            root.vars = _TableVars(envtab)
+            return LuaFunction([], body, root, is_vararg=True)
         return LuaFunction([], body, g, is_vararg=True)
 
     preload = LuaTable({})
@@ -1609,7 +1652,196 @@ def make_globals(extra: dict | None = None,
     g.declare("loadstring", _load)  # 5.1 alias real hooks still use
     g.declare("require", _require)
     g.declare("package", package)
+
+    # ---- io (r11 fifth wave). The reference's mlua VM ships the full
+    # io library (src/transforms/lua/v2/mod.rs embeds vanilla Lua), so
+    # hook programs legitimately open lookup files and write status
+    # lines. Batch analog: file access is REAL (executor-local paths —
+    # same visibility the reference's Lua has on its host), stdout /
+    # stderr / io.write land in the `printed` buffer the host drains
+    # (exactly where print() goes), and io.read() without a stdin
+    # returns nil (EOF — an executor has no interactive stdin).
+    import os as _pyos
+    import time as _pytime
+
+    def _file_handle(f):
+        def _read_one(fmt):
+            if isinstance(fmt, (int, float)):
+                data = f.read(int(fmt))
+                return data if data else None
+            s = str(fmt).lstrip("*")
+            if s.startswith("L") or s.startswith("l"):
+                line = f.readline()
+                if not line:
+                    return None
+                return line if s.startswith("L") else line.rstrip("\n")
+            if s.startswith("n"):
+                pos = f.tell()
+                chunk = f.read(64)
+                m = re.match(
+                    r"\s*[-+]?(?:0[xX][0-9a-fA-F]+"
+                    r"|\d+\.?\d*(?:[eE][-+]?\d+)?)", chunk)
+                if not m:
+                    f.seek(pos)
+                    return None
+                f.seek(pos + len(m.group()))
+                return lua_tonumber(m.group().strip())
+            if s.startswith("a"):
+                return f.read()
+            raise LuaError(f"bad argument to 'read' (invalid format '{fmt}')")
+
+        h = LuaTable({})
+
+        def _read(_self, *fmts):
+            if not fmts:
+                return _read_one("l")
+            return [_read_one(x) for x in fmts]
+
+        def _write(_self, *args):
+            for a in args:
+                if isinstance(a, (int, float)) or isinstance(a, str):
+                    f.write(lua_tostring(a))
+                else:
+                    raise LuaError("bad argument to 'write'")
+            return h
+
+        def _lines(_self, *fmts):
+            fmt = fmts[0] if fmts else "l"
+
+            def _it(*_a):
+                return _read_one(fmt)
+
+            return _it
+
+        def _seek(_self, whence="cur", offset=0):
+            f.seek(int(offset),
+                   {"set": 0, "cur": 1, "end": 2}[str(whence)])
+            return f.tell()
+
+        def _close(_self=None):
+            f.close()
+            return True
+
+        h.set("read", _read)
+        h.set("write", _write)
+        h.set("lines", _lines)
+        h.set("seek", _seek)
+        h.set("close", _close)
+        return h
+
+    def _io_open(path, mode="r"):
+        pym = str(mode)
+        try:
+            f = open(path, pym) if "b" in pym else open(
+                path, pym, encoding="utf-8", newline="")
+        except OSError as e:
+            return [None, f"{path}: {e.strerror or e}", e.errno or 0]
+        return _file_handle(f)
+
+    def _io_lines(path=None, *fmts):
+        if path is None:
+            # stdin iteration: immediate EOF in a batch executor
+            return lambda *_a: None
+        fh = _io_open(path)
+        if isinstance(fh, list):  # open error: io.lines RAISES (manual)
+            raise LuaError(fh[1])
+        inner = fh.get("lines")(fh, *fmts)
+
+        def _it(*_a):
+            v = inner()
+            if v is None:
+                fh.get("close")(fh)
+            return v
+
+        return _it
+
+    def _buffer_stream():
+        """io.stdout / io.stderr — :write lands in the print buffer."""
+        h = LuaTable({})
+
+        def _write(_self, *args):
+            if printed is not None and args:
+                printed.append("".join(lua_tostring(a) for a in args))
+            return h
+
+        h.set("write", _write)
+        h.set("close", lambda *_a: True)
+        h.set("flush", lambda *_a: h)
+        return h
+
+    _io_stdout = _buffer_stream()
+
+    def _io_write(*args):
+        return _io_stdout.get("write")(_io_stdout, *args)
+
+    g.declare("io", LuaTable({
+        "open": _io_open,
+        "lines": _io_lines,
+        "read": lambda *fmts: None,  # no stdin on an executor: EOF
+        "write": _io_write,
+        "close": lambda *_a: True,
+        "stdout": _io_stdout,
+        "stderr": _buffer_stream(),
+    }))
+
+    # ---- os (r11 fifth wave; previously absent entirely). time/date
+    # use the real clock unless the host injects `__lua_clock` through
+    # `extra` (streaming replays pass event time for determinism).
+    clock_fn = (extra or {}).get("__lua_clock") or _pytime.time
+
+    def _os_time(t=None):
+        if isinstance(t, LuaTable):
+            tup = (
+                int(t.get("year")), int(t.get("month")), int(t.get("day")),
+                int(t.get("hour") or 12), int(t.get("min") or 0),
+                int(t.get("sec") or 0), 0, 0,
+            )
+            return int(_pytime.mktime(tup + (-1,)))
+        return int(clock_fn())
+
+    def _os_date(fmt="%c", t=None):
+        when = clock_fn() if t is None else float(t)
+        fmt = str(fmt)
+        utc = fmt.startswith("!")
+        if utc:
+            fmt = fmt[1:]
+        st = _pytime.gmtime(when) if utc else _pytime.localtime(when)
+        if fmt.startswith("*t"):
+            return LuaTable({
+                "year": st.tm_year, "month": st.tm_mon, "day": st.tm_mday,
+                "hour": st.tm_hour, "min": st.tm_min, "sec": st.tm_sec,
+                "wday": st.tm_wday + 2 if st.tm_wday < 6 else 1,
+                "yday": st.tm_yday, "isdst": st.tm_isdst > 0,
+            })
+        return _pytime.strftime(fmt, st)
+
+    def _os_remove(path):
+        try:
+            _pyos.remove(path)
+            return True
+        except OSError as e:
+            return [None, f"{path}: {e.strerror or e}"]
+
+    def _os_rename(a, b):
+        try:
+            _pyos.rename(a, b)
+            return True
+        except OSError as e:
+            return [None, f"{a}: {e.strerror or e}"]
+
+    g.declare("os", LuaTable({
+        "time": _os_time,
+        "date": _os_date,
+        "clock": lambda: _pytime.process_time(),
+        "getenv": lambda name: _pyos.environ.get(str(name)),
+        "difftime": lambda t2, t1=0: float(t2) - float(t1),
+        "remove": _os_remove,
+        "rename": _os_rename,
+    }))
+
     for k, v in (extra or {}).items():
+        if k == "__lua_clock":
+            continue
         g.declare(k, v)
     return g
 
