@@ -356,3 +356,39 @@ def test_wave5_through_compiler(spark, events):
     assert r["dir"] == "/var/log" and r["base"] == "app.log"
     assert r["hash"] == str(zlib.crc32(r["event_type"].encode()))
     assert w5.b62_decode(r["enc"]).decode() == r["event_type"]
+
+
+# ---- replace_with (closure regex replace) -------------------------------
+
+def test_replace_with_through_compiler(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame(
+        [("a1 b22 c333",), ("nothing here",), ("x9",)], ["msg"])
+    outs = vrl_remap(
+        df,
+        r""".redone = replace_with(.msg, r'([a-z])(\d+)') -> |m| """
+        r"""{ upcase(m.captures[0]) + "#" }""",
+    )
+    got = {r["msg"]: r["redone"] for r in outs[""].collect()}
+    assert got == {
+        "a1 b22 c333": "A# B# C#",
+        "nothing here": "nothing here",
+        "x9": "X#",
+    }
+
+
+def test_replace_with_count_and_string_field(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame([("one 1 two 2 three 3",)], ["msg"])
+    outs = vrl_remap(
+        df,
+        r""".r = replace_with(.msg, r'\d', 2) -> |m| { "[" + m.string + "]" }""",
+    )
+    assert outs[""].head()["r"] == "one [1] two [2] three 3"
+
+
+def test_replace_with_requires_closure():
+    with pytest.raises(ValueError, match="closure"):
+        w5.replace_with(F.lit("x"), r"\d")

@@ -990,7 +990,24 @@ class _P:
                 return self.call()
             self.eat()
             if t.text in self.vars:  # program variable reference
-                return self.vars[t.text]
+                base = self.vars[t.text]
+                nt = self.peek()
+                # field access ON a variable (`match.string`,
+                # `m.captures[0]`): the segments lex as one `path`
+                # token right after the name — apply them as
+                # getField/get chains (closure params are structs)
+                if (
+                    nt is not None
+                    and nt.kind == "path"
+                    and isinstance(base, Column)
+                ):
+                    self.eat()
+                    for s in _path_segments(nt.text):
+                        base = (
+                            F.get(base, s) if isinstance(s, int)
+                            else base.getField(s)
+                        )
+                return base
             raise VrlCompileError(f"undefined variable {t.text!r}")
         raise VrlCompileError(f"unexpected token {t.text!r}")
 

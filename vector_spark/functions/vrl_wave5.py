@@ -666,7 +666,71 @@ def decrypt_ip(c: Column, key) -> Column:
     return _dec(c)
 
 
+# ---- replace_with (closure regex replace, iteration RFC family) --------
+
+def replace_with(c: Column, pattern: str, *rest, count: int = -1) -> Column:
+    """VRL replace_with — regex replace where each match is rewritten
+    by the closure `|match| { ... }`; the match object carries
+    `.string` (whole match) and `.captures` (capture-group array).
+
+    Column plan (no Python in the row path): split the value on the
+    pattern (the between-match pieces), extract every match and its
+    groups with regexp_extract_all, rewrite matches via the closure
+    INSIDE `transform` (one plan, whole-stage codegen), and stitch
+    pieces and rewrites back together with `aggregate`. Zero-width
+    matches are out of scope (split and extract_all disagree on them;
+    loud here, same stance as the reference's regex fullmatch notes)."""
+    import re as _re
+
+    closure = None
+    for r in rest:
+        if callable(r):
+            closure = r
+        elif isinstance(r, (int, float)):
+            count = int(r)
+    if closure is None:
+        raise ValueError("replace_with requires a closure: -> |match| { … }")
+    if not isinstance(pattern, str) or pattern == "":
+        raise ValueError("replace_with pattern must be a literal regex")
+    try:
+        ngroups = _re.compile(pattern).groups
+    except _re.error:
+        ngroups = 0  # Java-only syntax: assume no capture groups
+
+    parts = F.split(c, pattern, -1)
+    whole = F.regexp_extract_all(c, F.lit(pattern), 0)
+    caps = [
+        F.regexp_extract_all(c, F.lit(pattern), g)
+        for g in range(1, ngroups + 1)
+    ]
+
+    def _one(x: Column, i: Column) -> Column:
+        cap_arr = (
+            F.array(*[F.element_at(cc, i + 1) for cc in caps])
+            if caps
+            else F.array().cast("array<string>")
+        )
+        rewritten = closure(
+            F.struct(x.alias("string"), cap_arr.alias("captures"))
+        ).cast("string")
+        if count >= 0:
+            return F.when(i < count, rewritten).otherwise(x)
+        return rewritten
+
+    replaced = F.transform(whole, _one)
+    n = F.size(replaced)
+    stitched = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.element_at(parts, 1),
+        lambda acc, i: F.concat(
+            acc, F.element_at(replaced, i), F.element_at(parts, i + 1)
+        ),
+    )
+    return F.when(n == 0, c).otherwise(stitched)
+
+
 WAVE5 = {
+    "replace_with": replace_with,
     "basename": basename,
     "dirname": dirname,
     "split_path": split_path,
