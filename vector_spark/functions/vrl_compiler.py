@@ -995,10 +995,15 @@ class _P:
                 # field access ON a variable (`match.string`,
                 # `m.captures[0]`): the segments lex as one `path`
                 # token right after the name — apply them as
-                # getField/get chains (closure params are structs)
+                # getField/get chains (closure params are structs).
+                # ADJACENCY required (nt.pos == t.end): with whitespace
+                # between, the path starts the NEXT statement
+                # (`x = 5\n.out = x\n.next = 1` must not parse
+                # `x.next` — the corpus pins this)
                 if (
                     nt is not None
                     and nt.kind == "path"
+                    and nt.pos == t.end
                     and isinstance(base, Column)
                 ):
                     self.eat()
