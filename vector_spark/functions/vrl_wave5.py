@@ -266,9 +266,11 @@ def xxhash(c: Column, variant: str = "xxh64") -> Column:
 
         @pandas_udf(StringType())
         def _xx32(s: pd.Series) -> pd.Series:
-            return s.map(
-                lambda x: None if x is None else str(_h(str(x).encode("utf-8")))
-            )
+            table = {
+                v: str(_h(str(v).encode("utf-8")))
+                for v in s.dropna().unique()
+            }
+            return s.map(table)
 
         return _xx32(c)
     if v not in ("xxh64", "64"):
@@ -277,9 +279,11 @@ def xxhash(c: Column, variant: str = "xxh64") -> Column:
 
     @pandas_udf(StringType())
     def _xx64(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda x: None if x is None else str(_h64(str(x).encode("utf-8")))
-        )
+        table = {
+            v: str(_h64(str(v).encode("utf-8")))
+            for v in s.dropna().unique()
+        }
+        return s.map(table)
 
     return _xx64(c)
 
@@ -421,11 +425,13 @@ def crc(c: Column, algorithm: str = "CRC-32/ISO-HDLC") -> Column:
 
     @pandas_udf(StringType())
     def _crc(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda x: None
-            if x is None
-            else str(crc_bytes(str(x).encode("utf-8"), key))
-        )
+        # low-cardinality columns (enums, tags) dominate real usage:
+        # hash each distinct value once per batch, then dict-map
+        table = {
+            v: str(crc_bytes(str(v).encode("utf-8"), key))
+            for v in s.dropna().unique()
+        }
+        return s.map(table)
 
     return _crc(c)
 

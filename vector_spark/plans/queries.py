@@ -2602,7 +2602,7 @@ def q_vrl_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions.vrl import VRL_FUNCTIONS as V
     from vector_spark.functions.vrl_compiler import vrl_remap
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _spread(_t(spark, sf_dir, "events"), spark).select(
         "event_id",
         "event_type",
         F.concat(
