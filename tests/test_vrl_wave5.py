@@ -392,3 +392,84 @@ def test_replace_with_count_and_string_field(spark):
 def test_replace_with_requires_closure():
     with pytest.raises(ValueError, match="closure"):
         w5.replace_with(F.lit("x"), r"\d")
+
+
+# ---- validate_json_schema -----------------------------------------------
+
+def test_validate_json_schema(spark, tmp_path):
+    schema = {
+        "type": "object",
+        "required": ["name", "age"],
+        "properties": {
+            "name": {"type": "string", "minLength": 1},
+            "age": {"type": "integer", "minimum": 0, "maximum": 150},
+            "email": {"type": "string", "format": "email"},
+            "tags": {
+                "type": "array", "items": {"type": "string"},
+                "uniqueItems": True,
+            },
+            "kind": {"enum": ["a", "b"]},
+        },
+        "additionalProperties": False,
+    }
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(schema))
+
+    def check(doc):
+        return one(
+            spark,
+            V["validate_json_schema"](F.lit(json.dumps(doc)), str(p)),
+        )
+
+    assert check({"name": "x", "age": 30}) is True
+    assert check({"name": "x", "age": 30, "email": "a@b.co",
+                  "tags": ["p", "q"], "kind": "a"}) is True
+    assert check({"name": "x"}) is None                      # missing age
+    assert check({"name": "x", "age": -1}) is None           # minimum
+    assert check({"name": "x", "age": 30, "email": "bad"}) is None
+    assert check({"name": "x", "age": 30, "tags": ["p", "p"]}) is None
+    assert check({"name": "x", "age": 30, "kind": "z"}) is None
+    assert check({"name": "x", "age": 30, "extra": 1}) is None  # addl=False
+    # not JSON at all → null (fallibility)
+    assert one(
+        spark, V["validate_json_schema"](F.lit("{nope"), str(p))
+    ) is None
+
+
+def test_validate_json_schema_ref_and_combinators(spark, tmp_path):
+    schema = {
+        "$defs": {"pos": {"type": "number", "exclusiveMinimum": 0}},
+        "type": "object",
+        "properties": {
+            "w": {"$ref": "#/$defs/pos"},
+            "v": {"oneOf": [{"type": "string"}, {"type": "integer"}]},
+            "n": {"not": {"type": "null"}},
+        },
+    }
+    p = tmp_path / "s2.json"
+    p.write_text(json.dumps(schema))
+
+    def check(doc):
+        return one(
+            spark,
+            V["validate_json_schema"](F.lit(json.dumps(doc)), str(p)),
+        )
+
+    assert check({"w": 1.5, "v": "s", "n": 1}) is True
+    assert check({"w": 0}) is None          # exclusiveMinimum via $ref
+    assert check({"v": 1.5}) is None        # oneOf: neither branch
+    assert check({"n": None}) is None       # not null
+
+
+def test_js_valid_unit():
+    # pure evaluator edge cases, no Spark
+    assert w5._js_valid(3, {"type": "number"}, {}, False)
+    assert w5._js_valid(3.0, {"type": "integer"}, {}, False)  # 3.0 ≡ 3
+    assert not w5._js_valid(3.5, {"type": "integer"}, {}, False)
+    assert w5._js_valid("x", True, {}, False)
+    assert not w5._js_valid("x", False, {}, False)
+    assert w5._js_valid(9, {"multipleOf": 3}, {}, False)
+    assert not w5._js_valid(10, {"multipleOf": 3}, {}, False)
+    # unknown format: fails strict, passes with ignore_unknown_formats
+    assert not w5._js_valid("z", {"format": "zzz"}, {}, False)
+    assert w5._js_valid("z", {"format": "zzz"}, {}, True)

@@ -672,6 +672,207 @@ def decrypt_ip(c: Column, key) -> Column:
     return _dec(c)
 
 
+# ---- validate_json_schema (Cargo.lock pins the jsonschema crate) --------
+
+_FORMAT_RES = {
+    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?"
+                 r"([Zz]|[+-]\d{2}:\d{2})?$",
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})?$",
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "ipv4": r"^(\d{1,3}\.){3}\d{1,3}$",
+    "ipv6": r"^[0-9a-fA-F:]+$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?"
+                r"(\.[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?)*$",
+    "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+}
+
+
+def _js_type(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def _js_valid(v, schema, root, ignore_unknown_formats) -> bool:
+    """Clean-room JSON Schema core-keyword evaluator (draft 2020-12
+    subset: the keywords the reference's jsonschema-crate usage hits —
+    type/enum/const, object/array/string/number constraints, the
+    combinators, local $ref). True booleans are schemas too."""
+    import re as _re
+
+    if schema is True or schema == {}:
+        return True
+    if schema is False:
+        return False
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        if not ref.startswith("#"):
+            raise ValueError(
+                f"validate_json_schema: only local $ref supported ({ref!r})")
+        target = root
+        for seg in ref.lstrip("#/").split("/"):
+            if seg:
+                target = target[seg.replace("~1", "/").replace("~0", "~")]
+        return _js_valid(v, target, root, ignore_unknown_formats)
+
+    t = schema.get("type")
+    if t is not None:
+        allowed = t if isinstance(t, list) else [t]
+        jt = _js_type(v)
+        if jt == "integer" and "number" in allowed:
+            pass
+        elif jt == "number" and isinstance(v, float) and v.is_integer() \
+                and "integer" in allowed:
+            pass
+        elif jt not in allowed:
+            return False
+    if "enum" in schema and v not in schema["enum"]:
+        return False
+    if "const" in schema and v != schema["const"]:
+        return False
+
+    if isinstance(v, str):
+        if "minLength" in schema and len(v) < schema["minLength"]:
+            return False
+        if "maxLength" in schema and len(v) > schema["maxLength"]:
+            return False
+        if "pattern" in schema and not _re.search(schema["pattern"], v):
+            return False
+        if "format" in schema:
+            fre = _FORMAT_RES.get(schema["format"])
+            if fre is None:
+                if not ignore_unknown_formats and schema["format"] not in (
+                        "regex",):
+                    return False
+            elif not _re.match(fre, v):
+                return False
+
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if "minimum" in schema and v < schema["minimum"]:
+            return False
+        if "maximum" in schema and v > schema["maximum"]:
+            return False
+        if "exclusiveMinimum" in schema and v <= schema["exclusiveMinimum"]:
+            return False
+        if "exclusiveMaximum" in schema and v >= schema["exclusiveMaximum"]:
+            return False
+        if "multipleOf" in schema:
+            q = v / schema["multipleOf"]
+            if abs(q - round(q)) > 1e-9:
+                return False
+
+    if isinstance(v, list):
+        if "minItems" in schema and len(v) < schema["minItems"]:
+            return False
+        if "maxItems" in schema and len(v) > schema["maxItems"]:
+            return False
+        if schema.get("uniqueItems"):
+            seen = [json.dumps(x, sort_keys=True) for x in v]
+            if len(set(seen)) != len(seen):
+                return False
+        prefix = schema.get("prefixItems", [])
+        for i, item in enumerate(v):
+            sub = prefix[i] if i < len(prefix) else schema.get("items")
+            if sub is not None and not _js_valid(
+                    item, sub, root, ignore_unknown_formats):
+                return False
+
+    if isinstance(v, dict):
+        for req in schema.get("required", []):
+            if req not in v:
+                return False
+        if "minProperties" in schema and len(v) < schema["minProperties"]:
+            return False
+        if "maxProperties" in schema and len(v) > schema["maxProperties"]:
+            return False
+        props = schema.get("properties", {})
+        pprops = schema.get("patternProperties", {})
+        addl = schema.get("additionalProperties")
+        for key, val in v.items():
+            matched = False
+            if key in props:
+                matched = True
+                if not _js_valid(val, props[key], root,
+                                 ignore_unknown_formats):
+                    return False
+            for pat, sub in pprops.items():
+                if _re.search(pat, key):
+                    matched = True
+                    if not _js_valid(val, sub, root, ignore_unknown_formats):
+                        return False
+            if not matched and addl is not None:
+                if addl is False:
+                    return False
+                if addl is not True and not _js_valid(
+                        val, addl, root, ignore_unknown_formats):
+                    return False
+
+    for sub in schema.get("allOf", []):
+        if not _js_valid(v, sub, root, ignore_unknown_formats):
+            return False
+    if "anyOf" in schema:
+        if not any(_js_valid(v, s, root, ignore_unknown_formats)
+                   for s in schema["anyOf"]):
+            return False
+    if "oneOf" in schema:
+        hits = sum(bool(_js_valid(v, s, root, ignore_unknown_formats))
+                   for s in schema["oneOf"])
+        if hits != 1:
+            return False
+    if "not" in schema:
+        if _js_valid(v, schema["not"], root, ignore_unknown_formats):
+            return False
+    return True
+
+
+def validate_json_schema(
+    c: Column, schema_definition: str, ignore_unknown_formats: bool = False
+) -> Column:
+    """VRL validate_json_schema — validate a JSON document against the
+    schema FILE at `schema_definition` (the VRL signature: schemas are
+    compiled once, here at plan-build time on the driver, and the
+    compiled form is closure-captured — executors never touch the
+    file). Returns true when valid, null when invalid or not JSON
+    (the fallibility signal: `validate_json_schema!` errors, `?? false`
+    degrades), matching the parse_json stance at vrl.py:32."""
+    with open(schema_definition, "r", encoding="utf-8") as fh:
+        schema = json.load(fh)
+
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _check(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            try:
+                doc = json.loads(str(x))
+            except ValueError:
+                return None
+            return (
+                True
+                if _js_valid(doc, schema, schema, ignore_unknown_formats)
+                else None
+            )
+
+        return s.map(one)
+
+    return _check(c)
+
+
 # ---- replace_with (closure regex replace, iteration RFC family) --------
 
 def replace_with(c: Column, pattern: str, *rest, count: int = -1) -> Column:
@@ -737,6 +938,7 @@ def replace_with(c: Column, pattern: str, *rest, count: int = -1) -> Column:
 
 WAVE5 = {
     "replace_with": replace_with,
+    "validate_json_schema": validate_json_schema,
     "basename": basename,
     "dirname": dirname,
     "split_path": split_path,
