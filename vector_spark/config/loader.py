@@ -1489,6 +1489,12 @@ def build_topology(spark: SparkSession, cfg: dict) -> Topology:
             expire_metrics_secs=(topo.globals.expire_metrics_secs
                                  if topo.globals is not None else None))
         topo.api = start_api_server(topo.api_view, api_cfg)
+        # the VRL internal-metrics functions (get_vector_metric & co,
+        # lib/vector-vrl/metrics) read the same counters `vector top`
+        # serves — snapshot at plan-build time
+        from vector_spark.functions.vrl_metrics import METRICS_STORAGE
+
+        METRICS_STORAGE.attach_view(topo.api_view)
     return topo
 
 

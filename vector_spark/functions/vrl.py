@@ -1506,6 +1506,14 @@ from vector_spark.functions.vrl_wave5 import WAVE5 as _WAVE5  # noqa: E402
 
 VRL_FUNCTIONS.update(_WAVE5)
 
+# lib/vector-vrl/metrics: internal-metrics search/aggregate functions,
+# driver-resolved against the observability counters snapshot.
+from vector_spark.functions.vrl_metrics import (  # noqa: E402
+    VECTOR_METRICS_FNS as _VMETRICS,
+)
+
+VRL_FUNCTIONS.update(_VMETRICS)
+
 
 def _match_datadog_query(query: str) -> Column:
     """VRL match_datadog_query(., "query") — the event-object first arg is

@@ -469,6 +469,9 @@ def _serde_json_error(s: str) -> str | None:
 _LITERAL_FIRST_ARG_FNS = {
     "get_env_var", "ip_cidr_contains", "random_int", "get_secret",
     "match_datadog_query", "tag_types_externally",
+    # internal-metrics functions: every arg is driver-side config
+    # (metric names / aggregation fn), never a per-row value
+    "get_vector_metric", "find_vector_metrics", "aggregate_vector_metrics",
 }
 
 _TIMESTAMP_FNS = {
@@ -987,7 +990,26 @@ class _P:
                 raise VrlCompileError("abort is a top-level statement")
             nxt = self.toks[self.i + 1].text if self.i + 1 < len(self.toks) else None
             if nxt in ("(", "!"):
-                return self.call()
+                result = self.call()
+                # adjacent field access on a call result
+                # (`get_vector_metric("m").value`): same adjacency rule
+                # as variable field access — whitespace before the path
+                # means a new statement starts
+                nt = self.peek()
+                if (
+                    nt is not None
+                    and nt.kind == "path"
+                    and self.i > 0
+                    and nt.pos == self.toks[self.i - 1].end
+                    and isinstance(result, Column)
+                ):
+                    self.eat()
+                    for s in _path_segments(nt.text):
+                        result = (
+                            F.get(result, s) if isinstance(s, int)
+                            else result.getField(s)
+                        )
+                return result
             self.eat()
             if t.text in self.vars:  # program variable reference
                 base = self.vars[t.text]
