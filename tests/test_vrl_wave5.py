@@ -473,3 +473,49 @@ def test_js_valid_unit():
     # unknown format: fails strict, passes with ignore_unknown_formats
     assert not w5._js_valid("z", {"format": "zzz"}, {}, False)
     assert w5._js_valid("z", {"format": "zzz"}, {}, True)
+
+
+# ---- for_each (accumulation form) ---------------------------------------
+
+def test_for_each_object_accumulation(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame([("a=1 b=2 c=3",), ("x=10",)], ["msg"])
+    prog = (
+        "tags = parse_key_value(.msg)\n"
+        "count = 0\n"
+        "total = 0\n"
+        "for_each(tags) -> |k, v| { count = count + 1 }\n"
+        "for_each(tags) -> |k, v| { total = total + to_int(v) ?? 0 }\n"
+        ".n = count\n"
+        ".sum = total"
+    )
+    got = {r["msg"]: (r["n"], r["sum"])
+           for r in vrl_remap(df, prog)[""].collect()}
+    assert got == {"a=1 b=2 c=3": (3, 6), "x=10": (1, 10)}
+
+
+def test_for_each_array_index_value(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    df = spark.createDataFrame([([10, 20, 30],)], ["arr"])
+    prog = (
+        "s = 0\n"
+        "wi = 0\n"
+        "for_each(.arr) -> |i, v| { s = s + v }\n"
+        "for_each(.arr) -> |i, v| { wi = wi + i * v }\n"
+        ".sum = s\n.weighted = wi"
+    )
+    r = vrl_remap(df, prog)[""].head()
+    assert r["sum"] == 60
+    assert r["weighted"] == 0 * 10 + 1 * 20 + 2 * 30
+
+
+def test_for_each_requires_existing_accumulator(spark):
+    from vector_spark.functions.vrl_compiler import (
+        VrlCompileError, compile_vrl)
+
+    with pytest.raises(VrlCompileError, match="existing program variable"):
+        compile_vrl(
+            'for_each(.tags) -> |k, v| { fresh = 1 }'
+        )

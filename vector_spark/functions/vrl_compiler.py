@@ -1600,6 +1600,92 @@ def compile_vrl_full(
             p.eat(")")
             assignments.append(Assignment("_secrets", new))
             continue
+        if t.kind == "name" and t.text == "for_each" and nxt == "(":
+            # `for_each(coll) -> |k, v| { acc = <expr> }` — the iteration
+            # RFC's side-effect form (2022-05-18 RFC; the 0.27 upgrade
+            # guide's tag-counting example). The only side effect a
+            # straight-line Column program can express is accumulation
+            # into an existing program variable, and that IS the
+            # documented idiom — compiled to F.aggregate over the
+            # entries, so the loop runs JVM-side inside the plan.
+            # Objects iterate |key, value|; arrays |index, value|
+            # (dtype tag decides; untagged collections iterate as maps).
+            p.eat()
+            p.eat("(")
+            p._reset_flags()
+            coll = p.expr()
+            p.eat(")")
+            p.eat("->")
+            p.eat("|")
+            k_name = p.eat().text
+            p.eat(",")
+            v_name = p.eat().text
+            p.eat("|")
+            p.eat("{")
+            var_tok = p.eat()
+            if var_tok.kind != "name" or var_tok.text not in p.vars:
+                raise VrlCompileError(
+                    "for_each closure body must accumulate into an "
+                    "existing program variable (`acc = acc + ...`); "
+                    "general side effects have no Column analog"
+                )
+            p.eat("=")
+            depth, start = 1, p.i
+            while depth:
+                t2 = p.eat()
+                if t2.text == "{":
+                    depth += 1
+                elif t2.text == "}":
+                    depth -= 1
+            body = p.toks[start : p.i - 1]
+            dtype = _col_meta(coll, "_vs_dtype", "") or ""
+            if dtype.startswith("array"):
+                entries = F.transform(
+                    coll,
+                    lambda x, i: F.struct(
+                        i.cast("long").alias("key"), x.alias("value")
+                    ),
+                )
+            else:
+                entries = F.map_entries(coll)
+            outer = dict(p.vars)
+            var = var_tok.text
+
+            def _make_merge(_body, _outer, _var, _k, _v):
+                def _merge(acc, e):
+                    inner = _P(
+                        _body,
+                        vars={
+                            **_outer,
+                            _var: acc,
+                            _k: e.getField("key"),
+                            _v: e.getField("value"),
+                        },
+                    )
+                    r = inner.expr()
+                    if inner.peek() is not None:
+                        raise VrlCompileError(
+                            "for_each body must be one accumulation "
+                            "expression"
+                        )
+                    return r
+
+                return _merge
+
+            _merge = _make_merge(body, outer, var, k_name, v_name)
+
+            init = p.vars[var]
+            if not isinstance(init, Column):
+                init = F.lit(init)
+            # aggregate() requires the accumulator type to EQUAL the
+            # merge result type — and VRL integers are i64, so an
+            # int-literal accumulator (`count = 0`) must ride as
+            # bigint or `acc + to_int(v)` mismatches at analysis
+            m_lit = re.match(r"^Column<'(-?\d+)'>$", str(init))
+            if m_lit:
+                init = F.lit(int(m_lit.group(1))).cast("bigint")
+            p.vars[var] = F.aggregate(entries, init, _merge)
+            continue
         if t.kind == "name" and nxt in ("(", "!"):
             # bare call statement: assert!/log/set_semantic_meaning — value
             # discarded, error conditions (assert) kept
