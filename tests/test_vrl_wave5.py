@@ -519,3 +519,93 @@ def test_for_each_requires_existing_accumulator(spark):
         compile_vrl(
             'for_each(.tags) -> |k, v| { fresh = 1 }'
         )
+
+
+# ---- enrichment: date-range conditions + wildcard -----------------------
+
+def test_enrichment_date_range_conditions(spark):
+    import datetime as dt
+
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    table = spark.createDataFrame(
+        [("alice", "gold", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 30)),
+         ("alice", "plat", dt.datetime(2024, 7, 1), dt.datetime(2024, 12, 31)),
+         ("bob", "free", dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31))],
+        ["user", "plan", "valid_from", "valid_to"])
+    ev = spark.createDataFrame(
+        [("alice", dt.datetime(2024, 3, 15)),
+         ("alice", dt.datetime(2024, 8, 1)),
+         ("alice", dt.datetime(2024, 6, 30)),   # boundary: inclusive
+         ("bob", dt.datetime(2024, 5, 5)),
+         ("carol", dt.datetime(2024, 5, 5))],
+        ["user", "ts"])
+    prog = (
+        'r = get_enrichment_table_record!("plans", {"user": .user, '
+        '"valid_from": {"to": .ts}, "valid_to": {"from": .ts}})\n'
+        ".plan = r.plan"
+    )
+    out = vrl_remap(ev, prog, enrichment_tables={"plans": table})
+    got = {(r["user"], str(r["ts"])): r["plan"] for r in out[""].collect()}
+    assert got[("alice", "2024-03-15 00:00:00")] == "gold"
+    assert got[("alice", "2024-08-01 00:00:00")] == "plat"
+    assert got[("alice", "2024-06-30 00:00:00")] == "gold"  # <= to: inclusive
+    assert got[("bob", "2024-05-05 00:00:00")] == "free"
+    assert got[("carol", "2024-05-05 00:00:00")] is None
+
+
+def test_enrichment_find_with_date_range(spark):
+    import datetime as dt
+
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    table = spark.createDataFrame(
+        [("p", "r1", dt.datetime(2024, 1, 1)),
+         ("p", "r2", dt.datetime(2024, 2, 1)),
+         ("p", "r3", dt.datetime(2024, 9, 1))],
+        ["k", "val", "d"])
+    ev = spark.createDataFrame([("p", dt.datetime(2024, 6, 1))], ["k", "ts"])
+    prog = (
+        '.rs = find_enrichment_table_records!("t", {"k": .k, '
+        '"d": {"to": .ts}})'
+    )
+    out = vrl_remap(ev, prog, enrichment_tables={"t": table})
+    rows = out[""].head()["rs"]
+    assert [r["val"] for r in rows] == ["r1", "r2"]  # at or before ts
+
+
+def test_enrichment_wildcard_row_fallback(spark):
+    from vector_spark.functions.vrl_compiler import vrl_remap
+
+    wtab = spark.createDataFrame(
+        [("alice", "A"), ("*", "DEFAULT")], ["user", "grade"])
+    ev = spark.createDataFrame(
+        [("alice",), ("bob",), ("carol",)], ["user"])
+    prog = (
+        'r = get_enrichment_table_record("users", {"user": .user}, '
+        'wildcard: "*")\n'
+        ".grade = r.grade"
+    )
+    out = vrl_remap(ev, prog, enrichment_tables={"users": wtab})
+    got = {r["user"]: r["grade"] for r in out[""].collect()}
+    assert got == {"alice": "A", "bob": "DEFAULT", "carol": "DEFAULT"}
+
+
+def test_enrich_operator_bounds_and_wildcard(spark):
+    import datetime as dt
+
+    from vector_spark.operators.enrich import enrich
+
+    t = spark.createDataFrame(
+        [("x", dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 30), "in"),
+         ("*", dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31), "any")],
+        ["k", "f", "to", "v"])
+    ev = spark.createDataFrame(
+        [("x", dt.datetime(2024, 6, 30)), ("y", dt.datetime(2024, 3, 1))],
+        ["k", "ts"])
+    # BetweenDates is inclusive both ends (file.rs:349-353)
+    out = enrich(ev, t, on=[("k", "k")], date_between=("ts", "f", "to"),
+                 wildcard="*")
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert ("x", "in") in got       # boundary day matched (inclusive)
+    assert ("y", "any") in got      # wildcard row matched the unknown key

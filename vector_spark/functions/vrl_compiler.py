@@ -1276,21 +1276,55 @@ class _P:
             raise VrlCompileError(f"{name}: first arg must be a table name literal")
         self.eat(",")
         self.eat("{")
-        keys: dict[str, Column] = {}
+        keys: dict = {}
         while not self.at("}"):
             k = self.eat()
             if k.kind not in ("dqstr", "sqstr"):
                 raise VrlCompileError(f"{name}: condition keys must be strings")
             self.eat(":")
-            keys[k.text[1:-1]] = self.expr()
+            if self.at("{"):
+                # date-range condition object (file.rs BetweenDates /
+                # FromDate / ToDate): {"from": expr} / {"to": expr} /
+                # both — bounds are event-side expressions, inclusive
+                self.eat("{")
+                bounds: dict = {}
+                while not self.at("}"):
+                    bk = self.eat()
+                    bname = (
+                        bk.text[1:-1] if bk.kind in ("dqstr", "sqstr")
+                        else bk.text
+                    )
+                    if bname not in ("from", "to"):
+                        raise VrlCompileError(
+                            f"{name}: date condition takes from/to, "
+                            f"got {bname!r}")
+                    self.eat(":")
+                    bounds[bname] = self.expr()
+                    if self.at(","):
+                        self.eat()
+                self.eat("}")
+                keys[k.text[1:-1]] = bounds
+            else:
+                keys[k.text[1:-1]] = self.expr()
             if self.at(","):
                 self.eat()
         self.eat("}")
         case_sensitive = True
+        wildcard = None
         while self.at(","):  # trailing named args, e.g. case_sensitive: false
             self.eat()
             label = self.eat().text
             self.eat(":")
+            if label == "wildcard":
+                # the VALUE whose presence in a table key cell means
+                # "match any probe" (find_enrichment_table_records.rs:34)
+                wt = self.peek()
+                if wt is not None and wt.kind in ("dqstr", "sqstr"):
+                    self.eat()
+                    wildcard = _unescape_str(wt.text[1:-1])
+                else:
+                    wildcard = self.expr()
+                continue
             v = self.eat().text
             if label == "case_sensitive":
                 case_sensitive = v == "true"
@@ -1303,6 +1337,7 @@ class _P:
                 "keys": keys,
                 "multi": name == "find_enrichment_table_records",
                 "case_sensitive": case_sensitive,
+                "wildcard": wildcard,
             }
         )
         if name == "get_enrichment_table_record":
@@ -1950,15 +1985,82 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
             ).drop("lo", "hi")
             continue
         row = F.struct(*[F.col(c) for c in t.columns])
-        key_cols = list(req["keys"])
+        eq_keys = [k for k, v in req["keys"].items()
+                   if not isinstance(v, dict)]
+        rng = {k: v for k, v in req["keys"].items() if isinstance(v, dict)}
+        wildcard = req.get("wildcard")
+        if rng:
+            # date-range conditions ({"col": {"from": …, "to": …}},
+            # file.rs BetweenDates/FromDate/ToDate, bounds inclusive):
+            # collapse the table per eq-key into an ARRAY of
+            # {range cells, row} candidates (enrichment tables are
+            # broadcast-small by contract), join on the eq keys alone,
+            # then filter candidates per event Column-side — the join
+            # stays 1:1, no fact-row duplication to dedupe.
+            if wildcard is not None:
+                raise VrlCompileError(
+                    "wildcard together with date conditions is not "
+                    "supported (exact-or-wildcard-row indexing has no "
+                    "per-range analog)")
+            rng_keys = list(rng)
+            entry = F.struct(
+                *[F.col(k).alias(f"rng_{j}") for j, k in enumerate(rng_keys)],
+                row.alias("row"),
+            )
+            collapsed = (
+                t.groupBy(*eq_keys) if eq_keys else t.groupBy()
+            ).agg(F.collect_list(entry).alias("__cand"))
+            sel = []
+            cond = None
+            for j, k in enumerate(eq_keys):
+                kc = F.col(f"__ek_{i}_{j}")
+                sel.append(F.col(k).alias(f"__ek_{i}_{j}"))
+                left = req["keys"][k]
+                if not req["case_sensitive"]:
+                    left = F.lower(left.cast("string"))
+                    kc = F.lower(kc.cast("string"))
+                c = left == kc
+                cond = c if cond is None else cond & c
+            tagged = collapsed.select(*sel, "__cand")
+            df = df.join(
+                F.broadcast(tagged),
+                on=cond if cond is not None else F.lit(True),
+                how="left",
+            ).drop(*[f"__ek_{i}_{j}" for j in range(len(eq_keys))])
+
+            def _make_in_range(_rng, _keys):
+                def _in_range(e):
+                    mcond = F.lit(True)
+                    for j, k in enumerate(_keys):
+                        cell = e.getField(f"rng_{j}")
+                        bounds = _rng[k]
+                        if bounds.get("from") is not None:
+                            mcond = mcond & (cell >= bounds["from"])
+                        if bounds.get("to") is not None:
+                            mcond = mcond & (cell <= bounds["to"])
+                    return mcond
+
+                return _in_range
+
+            matched = F.filter(F.col("__cand"), _make_in_range(rng, rng_keys))
+            if req["multi"]:
+                val = F.when(
+                    F.size(matched) > 0,
+                    F.transform(matched, lambda e: e.getField("row")),
+                )
+            else:
+                val = F.get(matched, 0).getField("row")
+            df = df.withColumn(out_col, val).drop("__cand")
+            continue
+        key_cols = eq_keys
         if req["multi"]:
-            tagged = (
+            collapsed = (
                 t.groupBy(*key_cols)
                 .agg(F.collect_list(row).alias(out_col))
             )
         else:
             # first row per key, deterministic by the table's column order
-            tagged = (
+            collapsed = (
                 t.groupBy(*key_cols)
                 .agg(F.min(row).alias(out_col))
             )
@@ -1972,10 +2074,36 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
                 left, kc = F.lower(left.cast("string")), F.lower(kc.cast("string"))
             c = left == kc
             cond = c if cond is None else cond & c
-        tagged = tagged.select(*sel, out_col)
+        tagged = collapsed.select(*sel, out_col)
         df = df.join(F.broadcast(tagged), on=cond, how="left").drop(
             *[f"__ek_{i}_{j}" for j in range(len(key_cols))]
         )
+        if wildcard is not None:
+            # exact-or-wildcard-row indexing (file.rs
+            # indexed_with_wildcard:499-516): a failed exact lookup
+            # falls back to the row whose key cells hold the wildcard
+            # VALUE. That row broadcasts as ≤1 extra row; the fact side
+            # stays 1:1. (The sequential-scan path's per-field OR —
+            # row_equals:340-345 — is wider; out of scope, documented.)
+            wlit = F.lit(wildcard)
+            wcond = None
+            for k in key_cols:
+                cell = F.col(k)
+                if not req["case_sensitive"]:
+                    c2 = (
+                        F.lower(cell.cast("string"))
+                        == F.lower(wlit.cast("string"))
+                    )
+                else:
+                    c2 = cell == wlit
+                wcond = c2 if wcond is None else wcond & c2
+            wtag = collapsed.where(
+                wcond if wcond is not None else F.lit(False)
+            ).select(F.col(out_col).alias(f"{out_col}_w"))
+            df = df.join(F.broadcast(wtag), on=F.lit(True), how="left")
+            df = df.withColumn(
+                out_col, F.coalesce(F.col(out_col), F.col(f"{out_col}_w"))
+            ).drop(f"{out_col}_w")
     return df
 
 
