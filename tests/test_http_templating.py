@@ -1,0 +1,173 @@
+"""http sink uri/header templating + http_client VRL request params
+(the reference's 0.49-window features: "Templating landed on the http
+sink's uri and request.headers"; "HTTP client sources accept VRL
+expressions in query parameters and in the request body")."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def capture_server():
+    requests: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def _handle(self):
+            n = int(self.headers.get("Content-Length", 0))
+            requests.append({
+                "method": self.command,
+                "path": self.path,
+                "headers": dict(self.headers),
+                "body": self.rfile.read(n),
+            })
+            body = b"a\nb\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_POST = _handle
+        do_GET = _handle
+        do_PUT = _handle
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", requests
+    srv.shutdown()
+
+
+def test_http_sink_uri_template_routes_per_event(spark, capture_server):
+    from vector_spark.sinks import http_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("app-a", "m1"), ("app-b", "m2"), ("app-a", "m3")],
+        "app string, message string",
+    ).coalesce(1)
+    sent = http_sink(df, base + "/ingest/{{ app }}", encoding="json")
+    assert sent == 3
+    by_path: dict = {}
+    for r in reqs:
+        for line in r["body"].decode().splitlines():
+            by_path.setdefault(r["path"], []).append(
+                json.loads(line)["message"])
+    assert sorted(by_path["/ingest/app-a"]) == ["m1", "m3"]
+    assert by_path["/ingest/app-b"] == ["m2"]
+
+
+def test_http_sink_header_template(spark, capture_server):
+    from vector_spark.sinks import http_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("t1", "x"), ("t2", "y")], "tenant string, message string"
+    ).coalesce(1)
+    sent = http_sink(
+        df, base + "/in", encoding="json",
+        headers={"X-Tenant": "{{ tenant }}", "X-Static": "s"},
+    )
+    assert sent == 2
+    tenants = sorted(r["headers"]["X-Tenant"] for r in reqs)
+    assert tenants == ["t1", "t2"]
+    assert all(r["headers"]["X-Static"] == "s" for r in reqs)
+
+
+def test_http_sink_null_render_drops_event(spark, capture_server):
+    from vector_spark.sinks import http_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame(
+        [("a", "keep"), (None, "drop")], "app string, message string"
+    ).coalesce(1)
+    sent = http_sink(df, base + "/r/{{ app }}", encoding="json")
+    assert sent == 1  # MissingKeys: the null-render row is dropped
+    assert [r["path"] for r in reqs] == ["/r/a"]
+
+
+def test_http_sink_static_path_unchanged(spark, capture_server):
+    from vector_spark.sinks import http_sink
+
+    base, reqs = capture_server
+    df = spark.createDataFrame([("m",)], "message string").coalesce(1)
+    assert http_sink(df, base + "/plain", encoding="json") == 1
+    assert reqs[0]["path"] == "/plain"
+
+
+def test_http_client_vrl_query_params(spark, capture_server):
+    from vector_spark.sources_pull import http_client_source
+
+    base, reqs = capture_server
+    out = http_client_source(
+        spark, base + "/poll",
+        query={
+            "fixed": "value",
+            "multi": ["a", "b"],
+            "dyn": {"value": 'upcase("x")', "type": "vrl"},
+        },
+    )
+    assert out.count() == 2  # "a\nb" body from the fixture
+    path = reqs[0]["path"]
+    assert "fixed=value" in path
+    assert "multi=a" in path and "multi=b" in path
+    assert "dyn=X" in path
+
+
+def test_http_client_vrl_timestamp_param(spark, capture_server):
+    from vector_spark.sources_pull import http_client_source
+
+    base, reqs = capture_server
+    http_client_source(
+        spark, base + "/poll",
+        query={"since": {"value": "now()", "type": "vrl"}},
+    )
+    import re
+
+    m = re.search(r"since=(\d{4}-\d{2}-\d{2}T\d{2}%3A\d{2}%3A\d{2}Z)",
+                  reqs[0]["path"])
+    assert m, reqs[0]["path"]  # RFC3339-rendered timestamp
+
+
+def test_http_client_vrl_body_and_method(spark, capture_server):
+    from vector_spark.sources_pull import http_client_source
+
+    base, reqs = capture_server
+    http_client_source(
+        spark, base + "/poll", method="PUT",
+        body={"value": '"q=" + downcase("ABC")', "type": "vrl"},
+    )
+    assert reqs[0]["method"] == "PUT"
+    assert reqs[0]["body"] == b"q=abc"
+
+
+def test_http_client_through_loader(spark, capture_server):
+    from vector_spark.config.loader import load_topology
+
+    base, reqs = capture_server
+    topo = load_topology(spark, f"""
+sources:
+  api:
+    type: http_client
+    url: "{base}/cfg"
+    query:
+      token:
+        value: 'upcase("t")'
+        type: vrl
+sinks:
+  out:
+    type: memory
+    inputs: [api]
+""")
+    from vector_spark.config.loader import run_sinks
+
+    res = run_sinks(topo)
+    assert len(res["out"]["rows"]) == 2
+    assert "token=T" in reqs[0]["path"]

@@ -611,6 +611,9 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             decode=cfg.get("decode", "lines"),
             timeout_secs=float(cfg.get("timeout_secs", 10)),
             headers=cfg.get("headers"),
+            query=cfg.get("query"),
+            method=str(cfg.get("method", "GET")).upper(),
+            body=cfg.get("body"),
         )
     if stype == "prometheus_scrape":
         from vector_spark.sources_pull import prometheus_scrape_source
@@ -1593,6 +1596,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     value_col=cfg.get("value_col", msg_key),
                     batch_max_events=int(cfg.get("batch_max_events", 500)),
                     concurrency=_request_concurrency(cfg),
+                    headers=(cfg.get("request") or {}).get("headers"),
                 )
             }
         elif stype == "socket":

@@ -155,21 +155,99 @@ def http_sink(
     timeout_secs: float = 10.0,
     content_type: str = "application/x-ndjson",
     concurrency: int | str | None = None,
+    headers: dict[str, str] | None = None,
 ) -> int:
     """POST newline-batched events to `url` from each partition
     (src/sinks/http/config.rs; batch limits src/sinks/util/batch.rs)
     through the shared transport — default retry policy, optional
     `concurrency="adaptive"` ARC pipelining (request.concurrency).
-    Returns the number of events sent (spark-side count)."""
+    Returns the number of events sent (spark-side count).
+
+    `uri` and `request.headers` accept event templates ({{ field }} —
+    the reference landed this in the 0.49 window, release notes
+    "Templating landed on the http sink's uri and request.headers").
+    Templates render JVM-side per event; batches group by the rendered
+    (uri, headers) key within each partition, so one request carries
+    one destination. A null render (missing field) drops the event,
+    the reference's MissingKeys contract."""
+    from vector_spark.functions.template import template_column
     from vector_spark.sinks_services import _post_lines_per_partition
 
-    lines = _rows_to_lines(df, encoding, value_col)
-    return _post_lines_per_partition(
-        lines.select(F.col("line")), url,
-        {"Content-Type": content_type},
-        batch_max_events, batch_max_bytes, timeout_secs,
-        suffix=b"\n", concurrency=concurrency,
+    user_headers = dict(headers or {})
+    tmpl_hdrs = {k: v for k, v in user_headers.items() if "{{" in str(v)}
+    if "{{" not in url and not tmpl_hdrs:
+        lines = _rows_to_lines(df, encoding, value_col)
+        return _post_lines_per_partition(
+            lines.select(F.col("line")), url,
+            {"Content-Type": content_type, **user_headers},
+            batch_max_events, batch_max_bytes, timeout_secs,
+            suffix=b"\n", concurrency=concurrency,
+        )
+
+    line_expr = (
+        F.to_json(F.struct(*df.columns)) if encoding == "json"
+        else F.col(value_col).cast("string")
     )
+    hdr_keys = sorted(tmpl_hdrs)
+    rendered = df.select(
+        line_expr.alias("line"),
+        (template_column(url) if "{{" in url else F.lit(url)).alias("_uri"),
+        *[template_column(tmpl_hdrs[k]).alias(f"_h_{j}")
+          for j, k in enumerate(hdr_keys)],
+    )
+    static_hdrs = {
+        "Content-Type": content_type,
+        **{k: v for k, v in user_headers.items() if k not in tmpl_hdrs},
+    }
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    from vector_spark.sinks_services import (
+        _http_send_with_retry,
+        _proxy_for,
+    )
+
+    proxy_by_uri: dict = {}
+
+    def send_partition(rows) -> None:
+        # per-destination buffers: key = (uri, rendered header values)
+        buffers: dict[tuple, list[bytes]] = {}
+        sizes: dict[tuple, int] = {}
+
+        def flush(key) -> None:
+            uri = key[0]
+            hdrs = dict(static_hdrs)
+            for k, v in zip(hdr_keys, key[1:]):
+                hdrs[k] = v
+            body = b"\n".join(buffers[key]) + b"\n"
+            n = len(buffers[key])
+            if uri not in proxy_by_uri:
+                proxy_by_uri[uri] = _proxy_for(uri)
+            _http_send_with_retry(uri, body, hdrs, timeout_secs,
+                                  3, 0.2, proxy_by_uri[uri])
+            sent.add(n)
+            del buffers[key], sizes[key]
+
+        for row in rows:
+            if row["_uri"] is None or any(
+                row[f"_h_{j}"] is None for j in range(len(hdr_keys))
+            ):
+                continue  # render error: drop (MissingKeys)
+            key = (row["_uri"],) + tuple(
+                row[f"_h_{j}"] for j in range(len(hdr_keys)))
+            b = row["line"].encode()
+            buf = buffers.setdefault(key, [])
+            if buf and (
+                len(buf) >= batch_max_events
+                or sizes[key] + len(b) > batch_max_bytes
+            ):
+                flush(key)
+                buf = buffers.setdefault(key, [])
+            buf.append(b)
+            sizes[key] = sizes.get(key, 0) + len(b)
+        for key in list(buffers):
+            flush(key)
+
+    rendered.foreachPartition(send_partition)
+    return sent.value
 
 
 def socket_sink(

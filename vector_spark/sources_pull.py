@@ -76,10 +76,50 @@ def exec_source(
 
 # ---- http_client / prometheus_scrape ------------------------------------
 
-def _http_get(url: str, timeout_secs: float = 10.0, headers: dict | None = None) -> str:
-    req = urllib.request.Request(url, headers=headers or {})
+def _http_get(url: str, timeout_secs: float = 10.0,
+              headers: dict | None = None, method: str = "GET",
+              body: bytes | None = None) -> str:
+    req = urllib.request.Request(url, headers=headers or {}, method=method,
+                                 data=body)
     with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
         return resp.read().decode("utf-8", errors="replace")
+
+
+def _eval_vrl_param(spark: SparkSession, expr: str) -> str:
+    """Evaluate a VRL expression for a request parameter — the
+    http_client config's `{value: "now()", type: vrl}` form
+    (src/sources/http_client/client.rs:162,187-215: params compile as
+    VRL programs and re-resolve each poll). Evaluated here per poll on
+    the driver against no event (the reference runs them on an empty
+    target). Timestamps render RFC3339 (the VRL display form)."""
+    from pyspark.sql import functions as F2
+
+    from vector_spark.functions.vrl_compiler import compile_vrl
+
+    assigns = compile_vrl(f".v = {expr}")
+    col = assigns[-1].expr
+    probe = spark.range(1).select(col.alias("v"))
+    if probe.schema[0].dataType.simpleString() == "timestamp":
+        probe = spark.range(1).select(
+            F2.date_format(
+                F2.to_utc_timestamp(col, spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("v"))
+    v = probe.head()[0]
+    return "" if v is None else str(v)
+
+
+def _resolve_param(spark: SparkSession, v):
+    """Plain string | {value, type: vrl} | list of either → list[str]."""
+    items = v if isinstance(v, list) else [v]
+    out = []
+    for item in items:
+        if isinstance(item, dict) and str(item.get("type")) == "vrl":
+            out.append(_eval_vrl_param(spark, str(item.get("value", ""))))
+        else:
+            out.append(str(item))
+    return out
 
 
 def http_client_source(
@@ -88,12 +128,31 @@ def http_client_source(
     decode: str = "lines",
     timeout_secs: float = 10.0,
     headers: dict | None = None,
+    query: dict | None = None,
+    method: str = "GET",
+    body=None,
 ) -> DataFrame:
     """One poll of `url` (src/sources/http_client/client.rs).
     decode: 'lines' (newline-delimited events), 'json_array' (each array
     element one event, re-encoded as a JSON string for downstream
-    parse_json), or 'body' (whole body, one event)."""
-    body = _http_get(url, timeout_secs, headers)
+    parse_json), or 'body' (whole body, one event).
+
+    `query` values and `body` accept the reference's VRL parameter form
+    ({value: "now()", type: vrl} — client.rs:162): expressions
+    re-evaluate on every poll, enabling dynamic request construction."""
+    if query:
+        from urllib.parse import urlencode
+
+        pairs = []
+        for k, v in query.items():
+            for rendered in _resolve_param(spark, v):
+                pairs.append((k, rendered))
+        url = url + ("&" if "?" in url else "?") + urlencode(pairs)
+    req_body = None
+    if body is not None:
+        req_body = _resolve_param(spark, body)[0].encode()
+    body = _http_get(url, timeout_secs, headers, method=method,
+                     body=req_body)
     if decode == "lines":
         lines = [ln for ln in body.splitlines() if ln]
     elif decode == "json_array":
