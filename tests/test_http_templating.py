@@ -171,3 +171,89 @@ sinks:
     res = run_sinks(topo)
     assert len(res["out"]["rows"]) == 2
     assert "token=T" in reqs[0]["path"]
+
+
+# ---- custom VRL auth on http_server -------------------------------------
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_http_server_custom_vrl_auth():
+    """server_auth.rs Custom strategy: the VRL program sees
+    .headers/.address/.path, returns a boolean, and %field writes ride
+    into authenticated events' meta."""
+    import http.client
+    import threading
+
+    from vector_spark.sources import _http_listener, _ListenerState
+
+    state = _ListenerState(None)
+    port = _free_port()
+    ready = threading.Event()
+    opts = {
+        "auth.source": (
+            '%who = .address\n'
+            '.headers.authorization == "Bearer tok" && '
+            'starts_with(.path, "/in")'
+        ),
+    }
+    threading.Thread(
+        target=_http_listener,
+        args=(state, "127.0.0.1", port, ready, None, opts),
+        daemon=True,
+    ).start()
+    assert ready.wait(5)
+
+    def req(path, headers=None):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        c.request("POST", path, body=b"payload", headers=headers or {})
+        r = c.getresponse()
+        r.read()
+        c.close()
+        return r.status
+
+    assert req("/in") == 401                                 # no header
+    assert req("/in", {"Authorization": "Bearer bad"}) == 401
+    assert req("/out", {"Authorization": "Bearer tok"}) == 401  # path gate
+    assert req("/in", {"Authorization": "Bearer tok"}) == 200
+    entries = state.drain(-1)
+    assert len(entries) == 1
+    meta = json.loads(entries[0][-1])
+    assert meta["auth"] == {"who": "127.0.0.1"}  # %who = .address
+
+
+def test_custom_auth_compile_errors():
+    from vector_spark.functions.vrl_compiler import VrlCompileError
+    from vector_spark.functions.vrl_interp import vrl_auth_matcher
+
+    # event root is read-only (server_auth.rs:157)
+    with pytest.raises(VrlCompileError, match="read-only"):
+        vrl_auth_matcher('.x = 1\ntrue')
+    # unknown function fails at build, not on the first request
+    with pytest.raises(VrlCompileError, match="unknown function"):
+        vrl_auth_matcher('frobnicate(.path)')
+
+
+def test_custom_auth_through_loader(spark):
+    from vector_spark.config.loader import load_topology
+
+    # compile-time validation: a bad program fails load_topology
+    with pytest.raises(Exception, match="read-only"):
+        load_topology(spark, """
+sources:
+  s:
+    type: http_server
+    address: "127.0.0.1:0"
+    auth:
+      strategy: custom
+      source: ".x = 1\\ntrue"
+sinks:
+  o: {type: blackhole, inputs: [s]}
+""")

@@ -891,7 +891,20 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             # SimpleHttpConfig): auth, captured headers/query params,
             # method/path gating, success status
             auth = cfg.get("auth") or {}
-            if auth.get("username") is not None:
+            strategy = auth.get("strategy")
+            if strategy == "custom" or (
+                    strategy is None and auth.get("source") is not None):
+                # VRL custom auth (server_auth.rs Custom): compile now
+                # so a bad program fails at config build, per the
+                # reference's build-time diagnostics
+                from vector_spark.functions.vrl_interp import (
+                    vrl_auth_matcher,
+                )
+
+                vrl_auth_matcher(str(auth.get("source", "")))
+                reader = reader.option("auth.source",
+                                       str(auth.get("source", "")))
+            elif auth.get("username") is not None:
                 reader = reader.option("auth.username",
                                        str(auth["username"]))
                 reader = reader.option("auth.password",

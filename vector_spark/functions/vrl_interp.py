@@ -178,6 +178,12 @@ class _Interp:
             self.eat()
             name = t.text[1:]
             if name not in self.pdf.columns:
+                # quoted segments name flattened columns directly
+                # (`.headers."x-api-key"` → column `headers.x-api-key` —
+                # the auth-context shape)
+                alt = name.replace('"', "")
+                if alt in self.pdf.columns:
+                    return self.pdf[alt]
                 raise VrlCompileError(f"unknown field .{name}")
             return self.pdf[name]
         if t.kind == "float":
@@ -313,3 +319,82 @@ def vrl_transform(df, source: str, schema: str, force_interpret: bool = False):
         return out
 
     return scripted_transform(df, process, schema=schema)
+
+
+def vrl_auth_matcher(source: str):
+    """Compile a custom-auth VRL condition ONCE; returns
+    ``check(headers, address, path) -> (ok, enrichment)``.
+
+    The reference's `auth: {strategy: custom, source: ...}`
+    (src/common/http/server_auth.rs:149-289): the program sees
+    `.headers` (lowercased names), `.address` (client IP), `.path`,
+    must end in a boolean expression, may write `%field = value`
+    metadata (returned as `enrichment` for injection into
+    authenticated events), and the event root is READ-ONLY — a
+    `.field = value` statement is a compile error, mirroring
+    `config.set_read_only_path(event_root, true)`.
+
+    Runs in-process per request via this pandas interpreter (the
+    reference resolves in-process too); no Spark job per request."""
+    toks = _lex(source)
+    # compile-time validation pass: unknown functions and event writes
+    # fail at config build, not on the first request
+    for i, t in enumerate(toks):
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if t.kind == "path" and nxt is not None and nxt.text == "=":
+            if i + 2 < len(toks) and toks[i + 2].text == "=":
+                continue  # `==` comparison, not assignment
+            raise VrlCompileError(
+                "custom auth: the event root is read-only — write "
+                "%field metadata instead (server_auth.rs:157)")
+        if (
+            t.kind == "name"
+            and t.text not in ("if", "else", "true", "false", "null")
+            and nxt is not None
+            and nxt.text in ("(", "!")
+            and t.text not in PANDAS_FNS
+        ):
+            raise VrlCompileError(
+                f"custom auth interpreter: unknown function {t.text!r}")
+
+    def check(headers: dict, address, path: str):
+        cols: dict = {
+            "address": [address],
+            "path": [str(path)],
+        }
+        for k, v in (headers or {}).items():
+            cols[f"headers.{str(k).lower()}"] = [str(v)]
+        pdf = pd.DataFrame(cols)
+        it = _Interp(list(toks), pdf)
+        enrichment: dict = {}
+        result = None
+        try:
+            while it.peek() is not None:
+                t = it.peek()
+                nxt = it.toks[it.i + 1] if it.i + 1 < len(it.toks) else None
+                if (
+                    t.kind == "mpath"
+                    and nxt is not None
+                    and nxt.text == "="
+                    and not (it.i + 2 < len(it.toks)
+                             and it.toks[it.i + 2].text == "=")
+                ):
+                    it.eat()
+                    it.eat("=")
+                    val = it.expr()
+                    if isinstance(val, pd.Series):
+                        val = val.iloc[0] if len(val) else None
+                    enrichment[t.text[1:]] = val
+                    continue
+                result = it.expr()
+        except VrlCompileError:
+            # an unknown header read etc. → auth failed, not a crash
+            return False, {}
+        if isinstance(result, pd.Series):
+            result = bool(result.fillna(False).iloc[0]) if len(result) else False
+        # non-boolean return = rejected (server_auth.rs "Invalid return
+        # value")
+        ok = result is True
+        return ok, (enrichment if ok else {})
+
+    return check

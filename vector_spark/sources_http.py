@@ -54,6 +54,15 @@ def _http_listener(state: _ListenerState, host: str, port: int,
     if auth_user is not None:
         want_auth = "Basic " + _b64.b64encode(
             f"{auth_user}:{auth_pass or ''}".encode()).decode()
+    # custom VRL auth (src/common/http/server_auth.rs Custom strategy):
+    # the program sees .headers/.address/.path, must end in a boolean,
+    # may write %field metadata that rides into authenticated events
+    # (meta JSON "auth" object → merge_http_meta)
+    custom_auth = None
+    if opts.get("auth.source") is not None:
+        from vector_spark.functions.vrl_interp import vrl_auth_matcher
+
+        custom_auth = vrl_auth_matcher(str(opts["auth.source"]))
     hdr_pats = [p.strip() for p in (opts.get("headers") or "").split(",")
                 if p.strip()]
     qp_pats = [p.strip()
@@ -142,6 +151,12 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                     self.headers.get("Authorization") != want_auth):
                 return self._reject(401)
             url_path, _, query = self.path.partition("?")
+            auth_enrich: dict = {}
+            if custom_auth is not None:
+                ok, auth_enrich = custom_auth(
+                    dict(self.headers), self.client_address[0], url_path)
+                if not ok:
+                    return self._reject(401)
             if cfg_path is not None:
                 hit = (url_path == cfg_path if strict
                        else url_path.startswith(cfg_path))
@@ -151,6 +166,13 @@ def _http_listener(state: _ListenerState, host: str, port: int,
             raw = self.rfile.read(n)
             peer = f"{self.client_address[0]}:{self.client_address[1]}"
             meta = _capture(self.headers, query)
+            if auth_enrich:
+                # %field writes from the custom-auth program ride the
+                # meta envelope (the engine's metadata channel for this
+                # source) under "auth"
+                mobj = json.loads(meta)
+                mobj["auth"] = {k: v for k, v in auth_enrich.items()}
+                meta = json.dumps(mobj)
             hec_channel = None
             if hec_ack and url_path.startswith("/services/collector"):
                 hec_channel = self._hec_channel(query)
