@@ -33,7 +33,8 @@ def test_through_topology_yaml(spark, monkeypatch):
     monkeypatch.setenv("TEST_EVT", "keep")
     topo = load_topology(
         spark,
-        """
+        allow_env_var_interpolation=True,
+        path_or_yaml="""
 sources:
   in:
     type: values
@@ -52,3 +53,29 @@ sinks:
     )
     rows = run_sinks(topo)["out"]["rows"]
     assert [r["message"] for r in rows] == ["keep 1"]
+
+
+def test_interpolation_off_by_default(spark):
+    """v0.58 disabled env interpolation by default
+    (`--dangerously-allow-env-var-interpolation`, cli.rs:155):
+    without the opt-in, ${VAR} text passes through literally."""
+    import os
+
+    os.environ["LEAK_TEST"] = "leaked"
+    from vector_spark.config.loader import parse_config
+
+    cfg = parse_config("""
+sources:
+  s: {type: values, rows: [{message: "${LEAK_TEST}"}], schema: "message string"}
+sinks:
+  o: {type: memory, inputs: [s]}
+""")
+    assert cfg["sources"]["s"]["rows"][0]["message"] == "${LEAK_TEST}"
+    # with the opt-in, it resolves
+    cfg2 = parse_config("""
+sources:
+  s: {type: values, rows: [{message: "${LEAK_TEST}"}], schema: "message string"}
+sinks:
+  o: {type: memory, inputs: [s]}
+""", interpolate=True)
+    assert cfg2["sources"]["s"]["rows"][0]["message"] == "leaked"

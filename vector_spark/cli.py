@@ -85,21 +85,22 @@ def cmd_list(fmt: str = "text") -> str:
     return "\n".join(lines)
 
 
-def _parse_configs(paths: list[str]) -> dict:
+def _parse_configs(paths: list[str], interpolate: bool = False) -> dict:
     from vector_spark.config.loader import merge_configs, parse_config
 
     if len(paths) == 1:
-        return parse_config(paths[0])
-    return merge_configs([parse_config(p) for p in paths])
+        return parse_config(paths[0], interpolate=interpolate)
+    return merge_configs(
+        [parse_config(p, interpolate=interpolate) for p in paths])
 
 
-def cmd_validate(paths: list[str]) -> str:
+def cmd_validate(paths: list[str], interpolate: bool = False) -> str:
     """Structural validation, no SparkSession: component types known,
     inputs resolve, no cycles, duplicate names rejected. Raises
     TopologyError with the reference-style component-named message."""
     from vector_spark.config.loader import TopologyError, _validate
 
-    cfg = _parse_configs(paths)
+    cfg = _parse_configs(paths, interpolate=interpolate)
     sources, transforms, sinks = _validate(cfg)
     types = component_types()
     for kind, comps, known in (
@@ -122,12 +123,12 @@ def cmd_validate(paths: list[str]) -> str:
            f"{len(transforms)} transforms, {len(sinks)} sinks)"
 
 
-def cmd_graph(paths: list[str]) -> str:
+def cmd_graph(paths: list[str], interpolate: bool = False) -> str:
     """DOT rendering (graph.rs render_dot): sources as trapezium,
     transforms as diamond, sinks as invtrapezium; edges follow inputs."""
     from vector_spark.config.loader import _validate
 
-    cfg = _parse_configs(paths)
+    cfg = _parse_configs(paths, interpolate=interpolate)
     sources, transforms, sinks = _validate(cfg)
     out = ["digraph {"]
     for name in sources:
@@ -173,14 +174,16 @@ def cmd_vrl(program: str, lines: list[str], spark=None) -> list[str]:
     ]
 
 
-def cmd_tap(paths: list[str], ref: str, limit: int = 100, spark=None) -> list[str]:
+def cmd_tap(paths: list[str], ref: str, limit: int = 100, spark=None,
+            interpolate: bool = False) -> list[str]:
     """Build the topology (batch) and print one component's output as
     JSON lines — the batch-engine `vector tap`: any component's stream
     IS its DataFrame."""
     from vector_spark.config.loader import build_topology
 
     spark = spark or _get_spark()
-    topo = build_topology(spark, _parse_configs(paths))
+    topo = build_topology(
+        spark, _parse_configs(paths, interpolate=interpolate))
     rows = topo.output(ref).limit(limit).collect()
     return [
         json.dumps(r.asDict(recursive=True), sort_keys=True, default=str)
@@ -349,14 +352,16 @@ def cmd_generate(expression: str) -> str:
     return yaml.safe_dump(cfg, sort_keys=False)
 
 
-def cmd_test(paths: list[str], spark=None) -> tuple[str, bool]:
+def cmd_test(paths: list[str], spark=None,
+             interpolate: bool = False) -> tuple[str, bool]:
     """``vector test`` (src/unit_test.rs): run the config's `tests:`
     section — insert_at fixture rows through the real topology, output
     assertions per extract_from target. Returns (report, all_passed)."""
     from vector_spark.config.unit_test import run_unit_tests
 
     spark = spark or _get_spark()
-    results = run_unit_tests(spark, _parse_configs(paths))
+    results = run_unit_tests(
+        spark, _parse_configs(paths, interpolate=interpolate))
     lines = []
     ok = True
     for r in results:
@@ -384,7 +389,7 @@ def _topology_is_streaming(topo) -> bool:
     )
 
 
-def cmd_run(paths: list[str], spark=None,
+def cmd_run(paths: list[str], spark=None, interpolate: bool = False,
             require_healthy: bool = False) -> dict:
     """Execute the topology: batch sinks run to completion; if any sink
     is streaming, start all streaming sinks and block (reference default
@@ -398,7 +403,8 @@ def cmd_run(paths: list[str], spark=None,
     )
 
     spark = spark or _get_spark()
-    topo = build_topology(spark, _parse_configs(paths))
+    topo = build_topology(
+        spark, _parse_configs(paths, interpolate=interpolate))
     if require_healthy:
         from vector_spark.healthcheck import healthcheck_sinks
 
@@ -422,6 +428,7 @@ def cmd_top(
     frames: int | None = None,
     out=None,
     timeout: float = 60.0,
+    interpolate: bool = False,
 ) -> list[str]:
     """Live per-component throughput (reference ``vector top``,
     ``src/top/cmd.rs``): start the topology's streaming sinks, attach the
@@ -439,7 +446,8 @@ def cmd_top(
     from vector_spark.streaming.monitor import attach_barrier, attach_top
 
     spark = spark or _get_spark()
-    topo = build_topology(spark, _parse_configs(paths))
+    topo = build_topology(
+        spark, _parse_configs(paths, interpolate=interpolate))
     if not _topology_is_streaming(topo):
         raise ValueError(
             "top needs a streaming topology; use `run` for batch configs"
@@ -618,10 +626,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("config", nargs="+")
     sp.add_argument("--require-healthy", action="store_true",
                     help="exit on failed sink healthchecks (cli.rs:129)")
+    sp.add_argument(
+        "--dangerously-allow-env-var-interpolation", action="store_true",
+        dest="allow_env_interp",
+        help="opt back into ${VAR} config interpolation "
+             "(off by default since v0.58, cli.rs:155)")
     sp = sub.add_parser("validate", help="check a config without running")
     sp.add_argument("config", nargs="+")
+    sp.add_argument(
+        "--dangerously-allow-env-var-interpolation", action="store_true",
+        dest="allow_env_interp",
+        help="opt back into ${VAR} config interpolation "
+             "(off by default since v0.58, cli.rs:155)")
     sp = sub.add_parser("graph", help="print the topology as DOT")
     sp.add_argument("config", nargs="+")
+    sp.add_argument(
+        "--dangerously-allow-env-var-interpolation", action="store_true",
+        dest="allow_env_interp",
+        help="opt back into ${VAR} config interpolation "
+             "(off by default since v0.58, cli.rs:155)")
     sp = sub.add_parser("list", help="list supported component types")
     sp.add_argument("--format", choices=["text", "json"], default="text")
     sp = sub.add_parser("vrl", help="run a VRL program over stdin JSON lines")
@@ -638,6 +661,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --url: stop after N stream messages")
     sp = sub.add_parser("test", help="run the config's tests: section")
     sp.add_argument("config", nargs="+")
+    sp.add_argument(
+        "--dangerously-allow-env-var-interpolation", action="store_true",
+        dest="allow_env_interp",
+        help="opt back into ${VAR} config interpolation "
+             "(off by default since v0.58, cli.rs:155)")
     sp = sub.add_parser(
         "generate", help="emit a config skeleton from 'src/trans/sink'"
     )
@@ -664,9 +692,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "list":
             print(cmd_list(args.format))
         elif args.cmd == "validate":
-            print(cmd_validate(args.config))
+            print(cmd_validate(args.config,
+                               interpolate=args.allow_env_interp))
         elif args.cmd == "graph":
-            print(cmd_graph(args.config))
+            print(cmd_graph(args.config,
+                            interpolate=args.allow_env_interp))
         elif args.cmd == "vrl":
             for line in cmd_vrl(args.program, sys.stdin.readlines()):
                 print(line)
@@ -683,13 +713,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "generate":
             print(cmd_generate(args.expression))
         elif args.cmd == "test":
-            report, ok = cmd_test(args.config)
+            report, ok = cmd_test(
+                args.config, interpolate=args.allow_env_interp)
             print(report)
             if not ok:
                 return 1
         elif args.cmd == "run":
             print(json.dumps(cmd_run(
-                args.config, require_healthy=args.require_healthy)))
+                args.config, require_healthy=args.require_healthy,
+                interpolate=args.allow_env_interp)))
         elif args.cmd == "top":
             if args.url:
                 cmd_top_remote(args.url, frames=args.frames or 3,

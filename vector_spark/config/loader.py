@@ -130,7 +130,7 @@ def interpolate_env(text: str, env: dict | None = None) -> str:
     return _ENV_RE.sub(repl, text)
 
 
-def load_config_dir(dir_path: str) -> dict:
+def load_config_dir(dir_path: str, interpolate: bool = False) -> dict:
     """Directory (namespaced) config loading — the reference's
     --config-dir layout (src/config/loading/mod.rs, shown in
     config/examples/namespacing/): top-level config files parse as
@@ -146,7 +146,7 @@ def load_config_dir(dir_path: str) -> dict:
     for entry in sorted(os.listdir(dir_path)):
         full = os.path.join(dir_path, entry)
         if os.path.isfile(full) and entry.lower().endswith(exts):
-            cfgs.append(parse_config(full))
+            cfgs.append(parse_config(full, interpolate=interpolate))
         elif os.path.isdir(full) and entry in (
                 "sources", "transforms", "sinks",
                 "enrichment_tables", "tests"):
@@ -154,7 +154,8 @@ def load_config_dir(dir_path: str) -> dict:
                 stem, ext = os.path.splitext(fname)
                 if ext.lower() not in exts:
                     continue
-                comp = parse_config(os.path.join(full, fname))
+                comp = parse_config(os.path.join(full, fname),
+                                    interpolate=interpolate)
                 namespaced.setdefault(entry, {})[stem] = comp
     if namespaced:
         cfgs.append(namespaced)
@@ -163,12 +164,15 @@ def load_config_dir(dir_path: str) -> dict:
     return cfgs[0] if len(cfgs) == 1 else merge_configs(cfgs)
 
 
-def parse_config(path_or_text: str) -> dict:
+def parse_config(path_or_text: str, interpolate: bool = False) -> dict:
     """Parse a config from a file path or literal text. YAML, TOML, and
     JSON are accepted (the reference's three config formats,
     src/config/format.rs — format from the file extension, YAML for
-    literal text since YAML is a JSON superset). `${VAR}` forms
-    interpolate from the environment before parsing. A DIRECTORY path
+    literal text since YAML is a JSON superset). `${VAR}` env
+    interpolation is OFF unless ``interpolate=True`` — v0.58 disabled
+    it by default behind `--dangerously-allow-env-var-interpolation`
+    (src/config/loading/mod.rs:313 prepare_input, cli.rs:155); with it
+    off, `${VAR}` text passes through literally. A DIRECTORY path
     loads with the namespaced --config-dir layout (load_config_dir)."""
     import os
 
@@ -176,7 +180,7 @@ def parse_config(path_or_text: str) -> dict:
 
     fmt = "yaml"
     if os.path.isdir(path_or_text):
-        return load_config_dir(path_or_text)
+        return load_config_dir(path_or_text, interpolate=interpolate)
     if os.path.exists(path_or_text):
         with open(path_or_text) as f:
             text = f.read()
@@ -185,7 +189,8 @@ def parse_config(path_or_text: str) -> dict:
                ".toml": "toml", ".json": "yaml"}.get(ext, "yaml")
     else:
         text = path_or_text
-    text = interpolate_env(text)
+    if interpolate:
+        text = interpolate_env(text)
     if fmt == "toml":
         import tomllib
 
@@ -230,13 +235,21 @@ def merge_configs(cfgs: list[dict]) -> dict:
     return out
 
 
-def load_topology(spark: SparkSession, path_or_yaml: str | list[str]) -> Topology:
+def load_topology(
+    spark: SparkSession,
+    path_or_yaml: str | list[str],
+    allow_env_var_interpolation: bool = False,
+) -> Topology:
     """Load a topology from one or many YAML/TOML/JSON file paths (or one
-    literal YAML string); multiple files merge into one component graph."""
+    literal YAML string); multiple files merge into one component graph.
+    `${VAR}` env interpolation requires the explicit opt-in, matching
+    v0.58's default (`--dangerously-allow-env-var-interpolation`)."""
+    interp = allow_env_var_interpolation
     if isinstance(path_or_yaml, list):
-        cfg = merge_configs([parse_config(p) for p in path_or_yaml])
+        cfg = merge_configs(
+            [parse_config(p, interpolate=interp) for p in path_or_yaml])
     else:
-        cfg = parse_config(path_or_yaml)
+        cfg = parse_config(path_or_yaml, interpolate=interp)
     return build_topology(spark, cfg)
 
 
