@@ -117,6 +117,7 @@ HEADLINE = [
     "codec_compress_roundtrip",
     "vrl_timezone_parse",
     "vrl_wave5_functions",
+    "arrow_ipc_roundtrip",
 ]
 
 

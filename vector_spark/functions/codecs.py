@@ -1049,3 +1049,66 @@ def otlp_metrics_pb_roundtrip_rows(df):
         schema="name string, mtype string, value double,"
                " time_unix_nano long",
     )
+
+
+# ---- arrow_ipc (encoding/format/arrow.rs) --------------------------------
+
+def encode_arrow_ipc_batches(df, compression: str | None = None,
+                             allow_nullable_fields: bool = False):
+    """Arrow IPC STREAM encoding (lib/codecs/src/encoding/format/
+    arrow.rs: batched events → schema message + record batches, no
+    file footer; the 0.57 window added the compression option). One
+    payload per Arrow batch — the per-request body shape the
+    reference's batch serializer produces. Spark's columnar exchange
+    already IS Arrow, so the encode is pyarrow-native: zero per-row
+    Python. Returns (payload binary, n_events long) rows.
+
+    ``allow_nullable_fields`` mirrors arrow.rs:41-47 — with it off, a
+    null in a non-nullable field errors the batch; Spark schemas carry
+    nullability, so the check rides the declared schema."""
+    comp = None if compression in (None, "none") else str(compression)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        opts = pa.ipc.IpcWriteOptions(compression=comp)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            if not allow_nullable_fields:
+                for col, field in zip(table.columns, table.schema):
+                    if not field.nullable and col.null_count:
+                        raise ValueError(
+                            f"arrow_ipc: null in non-nullable field "
+                            f"{field.name!r} (set allow_nullable_fields)")
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+                w.write_table(table)
+            yield pd.DataFrame({
+                "payload": [sink.getvalue().to_pybytes()],
+                "n_events": [len(pdf)],
+            })
+
+    return df.mapInPandas(fn, schema="payload binary, n_events long")
+
+
+def decode_arrow_ipc_batches(df, schema: str, payload_col: str = "payload"):
+    """Inverse: each IPC stream payload → its event rows. ``schema`` is
+    the Spark DDL of the decoded rows (config-declared, like every
+    decoder here — executors never infer)."""
+
+    def fn(batches):
+        import io
+
+        import pyarrow as pa
+
+        for pdf in batches:
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    continue
+                with pa.ipc.open_stream(io.BytesIO(bytes(payload))) as r:
+                    table = r.read_all()
+                yield table.to_pandas()
+
+    return df.mapInPandas(fn, schema=schema)

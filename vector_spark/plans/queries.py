@@ -2636,6 +2636,35 @@ def q_vrl_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream codec roundtrip (lib/codecs encoding/format/
+    arrow.rs): events → per-batch IPC stream payloads → decode, in a
+    plain arm and a zstd-compressed arm (the 0.57 compression option).
+    Spark's columnar runtime is already Arrow, so encode/decode are
+    pyarrow-native — the cheapest wire codec in the repo. The oracle
+    recomputes the logical result (roundtrip identity × both arms)."""
+    from vector_spark.functions.codecs import (
+        decode_arrow_ipc_batches,
+        encode_arrow_ipc_batches,
+    )
+
+    ev = _spread(_t(spark, sf_dir, "events"), spark).select(
+        "event_id", "event_type", "value")
+    ddl = "event_id long, event_type string, value double"
+    arms = []
+    for arm, comp in (("plain", None), ("zstd", "zstd")):
+        enc = encode_arrow_ipc_batches(ev, compression=comp)
+        dec = decode_arrow_ipc_batches(enc, ddl)
+        arms.append(dec.withColumn("arm", F.lit(arm)))
+    return arms[0].unionByName(arms[1])
+
+
+_ORACLE_ARROW_IPC = """
+SELECT event_id, event_type, value, arm
+FROM events, (VALUES ('plain'), ('zstd')) AS arms(arm)
+"""
+
+
 # crc constants computed with python -c "import zlib; zlib.crc32(...)"
 # (CRC-32/ISO-HDLC IS zlib's crc32) — independent of the engine's CRC.
 _ORACLE_VRL_WAVE5 = """
@@ -3705,6 +3734,9 @@ QUERIES: dict[str, QuerySpec] = {
     "vrl_wave5_functions": QuerySpec(
         q_vrl_wave5, _ORACLE_VRL_WAVE5,
         "wave-5 stdlib: paths/csv/crc/haversine through the compiler"),
+    "arrow_ipc_roundtrip": QuerySpec(
+        q_arrow_ipc, _ORACLE_ARROW_IPC,
+        "Arrow IPC stream codec, plain + zstd-compressed arms"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
