@@ -101,3 +101,25 @@ def test_mmdb_table_and_enrich(spark, db_path):
     # broadcast join: no shuffle of the fact side
     plan = mmdb_enrich(df, "ip", spark, db_path)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_lookup_rows_carry_network_cidr(spark):
+    """Enrichment lookup results include the matched range as a CIDR
+    `network` field (the reference's "add network CIDR field to lookup
+    results" enrichment-tables feature)."""
+    import os
+
+    from vector_spark.functions.mmdb import mmdb_enrich, mmdb_table
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "geo.mmdb")
+    t = mmdb_table(spark, fixture)
+    assert "network" in t.columns
+    nets = [r["network"] for r in t.select("network").collect()]
+    assert all("/" in n for n in nets)
+    ev = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    j = mmdb_enrich(ev, "ip", spark, fixture)
+    row = j.head()
+    import ipaddress
+
+    assert ipaddress.ip_address("10.0.0.1") in ipaddress.ip_network(
+        row["network"])

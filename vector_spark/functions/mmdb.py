@@ -397,10 +397,17 @@ def mmdb_table(spark, path: str, fields: list[str] | None = None):
     keys (default: all present)."""
     from pyspark.sql import functions as F  # noqa: F401
 
+    import ipaddress
+
     reader = MMDBReader.open(path)
     rows = []
     for lo, hi, record in reader.ipv4_ranges():
         flat = _flatten(record)
+        # `network` CIDR rides every lookup row (the 0.51-window
+        # "add `network` CIDR field to lookup results" enrichment
+        # feature): span is a power of two by construction
+        prefix = 33 - (hi - lo + 1).bit_length()
+        flat["network"] = f"{ipaddress.ip_address(lo)}/{prefix}"
         rows.append({"lo": lo, "hi": hi, **flat})
     if not rows:
         raise ValueError("mmdb: empty database")
