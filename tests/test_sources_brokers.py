@@ -1046,3 +1046,26 @@ def test_mqtt_qos2_source_receiver_flow(spark, fake_mqtt):
     assert {r["message"] for r in rows} == {"m1", "m2"}
     # the subscriber completed both broker-side QoS-2 handshakes
     assert len(srv.pubcomps_received) == 2
+
+
+def test_mqtt_multiple_topics(spark, fake_mqtt):
+    """`topic` accepts a list (the reference's multiple-topics
+    support): one subscription per topic, the matched topic in key."""
+    srv, host, port = fake_mqtt
+    result = {}
+
+    def consume():
+        result["df"] = mqtt_source(
+            spark, host, port, ["t/one", "t/two"], max_events=2)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert srv.sub_ready.wait(10)
+    one = spark.createDataFrame([("a",)], "message string").coalesce(1)
+    two = spark.createDataFrame([("b",)], "message string").coalesce(1)
+    assert mqtt_sink(one, host, port, "t/one") == 1
+    assert mqtt_sink(two, host, port, "t/two") == 1
+    t.join(timeout=30)
+    assert not t.is_alive()
+    got = {(r["key"], r["message"]) for r in result["df"].collect()}
+    assert got == {("t/one", "a"), ("t/two", "b")}

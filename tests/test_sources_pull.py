@@ -1651,3 +1651,81 @@ def test_aws_json_call_retries_transient():
         assert len(state["auths"]) == 3  # one attempt, no retry on 400
     finally:
         srv.shutdown()
+
+
+def test_gcs_sink_object_metadata_options(spark):
+    """content_type / content_encoding / cache_control land as object
+    headers on the media upload (the reference's gcp_cloud_storage
+    options from the 0.53/0.54 window)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import gcs_sink
+
+    seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            seen.append(dict(self.headers))
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([("x",)], "message string").coalesce(1)
+        gcs_sink(df, "b", endpoint=f"http://127.0.0.1:{srv.server_port}",
+                 content_type="application/jsonl",
+                 content_encoding="identity",
+                 cache_control="max-age=60")
+        h = seen[0]
+        assert h["Content-Type"] == "application/jsonl"
+        assert h["Content-Encoding"] == "identity"
+        assert h["Cache-Control"] == "max-age=60"
+    finally:
+        srv.shutdown()
+
+
+def test_cloudwatch_high_resolution_metrics(spark):
+    """high_resolution sets StorageResolution=1 per datum (the
+    reference's high-resolution metrics support)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs
+
+    from vector_spark.sinks import aws_cloudwatch_metrics_sink
+
+    posts = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            posts.append(parse_qs(self.rfile.read(n).decode()))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("cpu", 0.5)], "name string, value double").coalesce(1)
+        aws_cloudwatch_metrics_sink(
+            df, "App", region="us-east-1", access_key="AK",
+            secret_key="SK",
+            endpoint=f"http://127.0.0.1:{srv.server_port}/",
+            ts_col=None, high_resolution=True)
+        q = posts[0]
+        assert q["MetricData.member.1.StorageResolution"] == ["1"]
+    finally:
+        srv.shutdown()

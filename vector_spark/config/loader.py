@@ -726,9 +726,9 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
                 f"source {name!r}: mqtt needs 'max_events' to bound"
                 " the batch subscribe"
             )
+        # `topic` accepts one name or a LIST (the reference's
+        # multiple-topics support)
         topic = cfg.get("topic", "vector")
-        if isinstance(topic, list):
-            topic = topic[0]
         return mqtt_source(
             spark, cfg.get("host", "localhost"),
             int(cfg.get("port", 1883)), topic,
@@ -1662,6 +1662,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     endpoint=cfg.get("endpoint"),
                     name_col=cfg.get("name_col", "name"),
                     value_col=cfg.get("value_col", "value"),
+                    high_resolution=bool(cfg.get("high_resolution")),
                 )
             }
         elif stype == "gcp_cloud_storage":
@@ -1678,6 +1679,9 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "ndjson"),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),
+                    content_type=cfg.get("content_type"),
+                    content_encoding=cfg.get("content_encoding"),
+                    cache_control=cfg.get("cache_control"),
                 )
             }
         elif stype == "honeycomb":

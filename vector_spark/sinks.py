@@ -1580,6 +1580,9 @@ def gcs_sink(
     encoding: str = "ndjson",
     gzip_objects: bool = False,
     timeout_secs: float = 30.0,
+    content_type: str | None = None,
+    content_encoding: str | None = None,
+    cache_control: str | None = None,
 ) -> int:
     """Google Cloud Storage sink (reference src/sinks/gcp/cloud_storage
     /): one JSON-API media upload per partition
@@ -1617,7 +1620,15 @@ def gcs_sink(
                 f"{hashlib.sha256(body).hexdigest()[:16]}.{ext}")
         url = (f"{endpoint.rstrip('/')}/upload/storage/v1/b/{bucket}/o"
                f"?uploadType=media&name={quote(name, safe='')}")
-        headers = {"Content-Type": "application/octet-stream"}
+        # content_type / content_encoding / cache_control — the
+        # 0.53/0.54-window gcp_cloud_storage options; the JSON-API
+        # media upload carries them as object-metadata headers
+        headers = {"Content-Type": content_type
+                   or "application/octet-stream"}
+        if gzip_objects or content_encoding:
+            headers["Content-Encoding"] = content_encoding or "gzip"
+        if cache_control:
+            headers["Cache-Control"] = cache_control
         if auth_token:
             headers["Authorization"] = f"Bearer {auth_token}"
         req = urllib.request.Request(url, data=body, headers=headers)
@@ -1641,12 +1652,16 @@ def aws_cloudwatch_metrics_sink(
     ts_col: str | None = "ts",
     batch_size: int = 20,
     timeout_secs: float = 10.0,
+    high_resolution: bool = False,
 ) -> int:
     """CloudWatch Metrics sink (reference src/sinks/
     aws_cloudwatch_metrics/): PutMetricData over the QUERY protocol
     (``Action=PutMetricData&MetricData.member.N.*`` form encoding —
     CloudWatch's API predates the JSON protocol), batches of 20 (the
-    API maximum), SigV4-signed. Returns the metric count."""
+    API maximum), SigV4-signed. ``high_resolution`` sets
+    StorageResolution=1 per datum (the 0.52-window high-resolution
+    metrics support; default 60-second resolution omits the field).
+    Returns the metric count."""
     from pyspark.sql import functions as F
 
     cols = [F.col(name_col).cast("string").alias("_name"),
@@ -1687,6 +1702,10 @@ def aws_cloudwatch_metrics_sink(
                 if "_ts" in row and row["_ts"]:
                     params.append(
                         (f"MetricData.member.{i}.Timestamp", row["_ts"])
+                    )
+                if high_resolution:
+                    params.append(
+                        (f"MetricData.member.{i}.StorageResolution", "1")
                     )
             body = "&".join(
                 f"{quote(k, safe='')}={quote(v, safe='')}"

@@ -729,15 +729,16 @@ def mqtt_source(
     spark: SparkSession,
     host: str,
     port: int,
-    topic: str,
+    topic: str | list[str],
     max_events: int,
     client_id: str = "vector_spark_source",
     timeout_secs: float = 10.0,
     qos: int = 0,
 ) -> DataFrame:
-    """Subscribe to a topic and collect ``max_events`` publishes
-    (reference src/sources/mqtt/; the topic lands in ``key`` like the
-    reference's topic field). QoS 0 is at-most-once; QoS 1 PUBACKs
+    """Subscribe to one or MANY topics (``topic`` accepts a list —
+    the reference's multiple-topics support, src/sources/mqtt/) and
+    collect ``max_events`` publishes; each event's matched topic lands
+    in ``key`` like the reference's topic field. QoS 0 is at-most-once; QoS 1 PUBACKs
     every received publish (at-least-once — a broker redelivery with
     the DUP flag is a NEW event, matching the reference's at-least-
     once consumer). QoS 2 runs the receiver half of the §4.3.3
@@ -749,8 +750,10 @@ def mqtt_source(
     client = MqttClient(host, port, client_id, timeout_secs)
     rows: list[tuple] = []
     inflight_qos2: set[int] = set()  # delivered, awaiting PUBREL
+    topics = topic if isinstance(topic, (list, tuple)) else [topic]
     try:
-        client.subscribe(topic, qos=qos)
+        for t in topics:
+            client.subscribe(t, qos=qos)
         while len(rows) < max_events:
             pkt = client.next_inbound()
             if pkt["type"] == _MQTT_PUBREL:
