@@ -488,15 +488,15 @@ def test_arrow_ipc_roundtrip_and_interop(spark):
     import pyarrow as pa
 
     from vector_spark.functions.codecs import (
-        decode_arrow_ipc_batches,
-        encode_arrow_ipc_batches,
+        decode_arrow_ipc,
+        encode_arrow_ipc,
     )
 
     df = spark.range(50).selectExpr(
         "id", "concat('m', id) as message", "cast(id as double)/4 as value")
-    enc = encode_arrow_ipc_batches(df.repartition(3))
+    enc = encode_arrow_ipc(df.repartition(3))
     rows = enc.collect()
-    assert sum(r["n_events"] for r in rows) == 50
+    assert sum(r["n_rows"] for r in rows) == 50
     # independent decode: pa.ipc straight over the payload bytes
     total = 0
     for r in rows:
@@ -504,7 +504,7 @@ def test_arrow_ipc_roundtrip_and_interop(spark):
         assert t.schema.names == ["id", "message", "value"]
         total += t.num_rows
     assert total == 50
-    dec = decode_arrow_ipc_batches(
+    dec = decode_arrow_ipc(
         enc, "id long, message string, value double")
     got = {r["id"]: (r["message"], r["value"]) for r in dec.collect()}
     assert got[7] == ("m7", 1.75)
@@ -512,17 +512,17 @@ def test_arrow_ipc_roundtrip_and_interop(spark):
 
 def test_arrow_ipc_compression(spark):
     from vector_spark.functions.codecs import (
-        decode_arrow_ipc_batches,
-        encode_arrow_ipc_batches,
+        decode_arrow_ipc,
+        encode_arrow_ipc,
     )
 
     # highly repetitive payload: zstd body must be smaller than plain
     df = spark.range(2000).selectExpr("'aaaaaaaaaa' as pad").coalesce(1)
-    plain = encode_arrow_ipc_batches(df).head()["payload"]
-    comp = encode_arrow_ipc_batches(df, compression="zstd").head()["payload"]
+    plain = encode_arrow_ipc(df).head()["payload"]
+    comp = encode_arrow_ipc(df, compression="zstd").head()["payload"]
     assert len(comp) < len(plain)
-    n = decode_arrow_ipc_batches(
-        encode_arrow_ipc_batches(df, compression="lz4"), "pad string"
+    n = decode_arrow_ipc(
+        encode_arrow_ipc(df, compression="lz4"), "pad string"
     ).count()
     assert n == 2000
 
@@ -530,7 +530,7 @@ def test_arrow_ipc_compression(spark):
 def test_arrow_ipc_nullability_contract(spark):
     import pytest as _pytest
 
-    from vector_spark.functions.codecs import encode_arrow_ipc_batches
+    from vector_spark.functions.codecs import encode_arrow_ipc
 
     # a null in a non-nullable declared field errors the batch
     # (arrow.rs:41-47) unless allow_nullable_fields is set
@@ -540,4 +540,4 @@ def test_arrow_ipc_nullability_contract(spark):
     import pyarrow as pa  # noqa: F401 — presence gate
 
     # Spark marks these nullable, so the default encode succeeds
-    assert encode_arrow_ipc_batches(df).count() == 1
+    assert encode_arrow_ipc(df).count() == 1

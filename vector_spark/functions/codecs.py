@@ -694,25 +694,41 @@ def decode_native_proto_json(payload: Column) -> Column:
     return dec(payload)
 
 
-def encode_arrow_ipc(df, batch_max_rows: int = 10_000):
+def encode_arrow_ipc(df, batch_max_rows: int = 10_000,
+                     compression: str | None = None,
+                     allow_nullable_fields: bool = False):
     """Events → Arrow IPC stream blobs, one row per Arrow batch
     (lib/codecs/src/encoding/format/arrow.rs — the reference emits one
-    IPC payload per sink batch). mapInPandas keeps this executor-side and
+    IPC payload per sink batch; the 0.57 window added buffer
+    ``compression``: zstd/lz4). mapInPandas keeps this executor-side and
     Arrow-batched: each pandas chunk serializes with pyarrow, no driver
-    collect. Returns DataFrame[n_rows bigint, payload binary]."""
+    collect. ``allow_nullable_fields`` mirrors arrow.rs:41-47 — with it
+    off, a null in a non-nullable declared field errors the batch.
+    Returns DataFrame[n_rows bigint, payload binary]."""
     import pandas as pd
+
+    comp = None if compression in (None, "none") else str(compression)
 
     def serialize(batches):
         import io
 
         import pyarrow as pa
 
+        opts = pa.ipc.IpcWriteOptions(compression=comp)
         for pdf in batches:
             for start in range(0, len(pdf), batch_max_rows):
                 chunk = pdf.iloc[start : start + batch_max_rows]
                 table = pa.Table.from_pandas(chunk, preserve_index=False)
+                if not allow_nullable_fields:
+                    for col, field in zip(table.columns, table.schema):
+                        if not field.nullable and col.null_count:
+                            raise ValueError(
+                                f"arrow_ipc: null in non-nullable field "
+                                f"{field.name!r} (set "
+                                f"allow_nullable_fields)")
                 buf = io.BytesIO()
-                with pa.ipc.new_stream(buf, table.schema) as writer:
+                with pa.ipc.new_stream(buf, table.schema,
+                                       options=opts) as writer:
                     writer.write_table(table)
                 yield pd.DataFrame(
                     {"n_rows": [len(chunk)], "payload": [buf.getvalue()]}
@@ -1049,66 +1065,3 @@ def otlp_metrics_pb_roundtrip_rows(df):
         schema="name string, mtype string, value double,"
                " time_unix_nano long",
     )
-
-
-# ---- arrow_ipc (encoding/format/arrow.rs) --------------------------------
-
-def encode_arrow_ipc_batches(df, compression: str | None = None,
-                             allow_nullable_fields: bool = False):
-    """Arrow IPC STREAM encoding (lib/codecs/src/encoding/format/
-    arrow.rs: batched events → schema message + record batches, no
-    file footer; the 0.57 window added the compression option). One
-    payload per Arrow batch — the per-request body shape the
-    reference's batch serializer produces. Spark's columnar exchange
-    already IS Arrow, so the encode is pyarrow-native: zero per-row
-    Python. Returns (payload binary, n_events long) rows.
-
-    ``allow_nullable_fields`` mirrors arrow.rs:41-47 — with it off, a
-    null in a non-nullable field errors the batch; Spark schemas carry
-    nullability, so the check rides the declared schema."""
-    comp = None if compression in (None, "none") else str(compression)
-
-    def fn(batches):
-        import pyarrow as pa
-
-        opts = pa.ipc.IpcWriteOptions(compression=comp)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            table = pa.Table.from_pandas(pdf, preserve_index=False)
-            if not allow_nullable_fields:
-                for col, field in zip(table.columns, table.schema):
-                    if not field.nullable and col.null_count:
-                        raise ValueError(
-                            f"arrow_ipc: null in non-nullable field "
-                            f"{field.name!r} (set allow_nullable_fields)")
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
-                w.write_table(table)
-            yield pd.DataFrame({
-                "payload": [sink.getvalue().to_pybytes()],
-                "n_events": [len(pdf)],
-            })
-
-    return df.mapInPandas(fn, schema="payload binary, n_events long")
-
-
-def decode_arrow_ipc_batches(df, schema: str, payload_col: str = "payload"):
-    """Inverse: each IPC stream payload → its event rows. ``schema`` is
-    the Spark DDL of the decoded rows (config-declared, like every
-    decoder here — executors never infer)."""
-
-    def fn(batches):
-        import io
-
-        import pyarrow as pa
-
-        for pdf in batches:
-            for payload in pdf[payload_col]:
-                if payload is None:
-                    continue
-                with pa.ipc.open_stream(io.BytesIO(bytes(payload))) as r:
-                    table = r.read_all()
-                yield table.to_pandas()
-
-    return df.mapInPandas(fn, schema=schema)

@@ -2644,8 +2644,8 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyarrow-native — the cheapest wire codec in the repo. The oracle
     recomputes the logical result (roundtrip identity × both arms)."""
     from vector_spark.functions.codecs import (
-        decode_arrow_ipc_batches,
-        encode_arrow_ipc_batches,
+        decode_arrow_ipc,
+        encode_arrow_ipc,
     )
 
     ev = _spread(_t(spark, sf_dir, "events"), spark).select(
@@ -2653,8 +2653,8 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl = "event_id long, event_type string, value double"
     arms = []
     for arm, comp in (("plain", None), ("zstd", "zstd")):
-        enc = encode_arrow_ipc_batches(ev, compression=comp)
-        dec = decode_arrow_ipc_batches(enc, ddl)
+        enc = encode_arrow_ipc(ev, compression=comp)
+        dec = decode_arrow_ipc(enc, ddl)
         arms.append(dec.withColumn("arm", F.lit(arm)))
     return arms[0].unionByName(arms[1])
 
