@@ -257,3 +257,64 @@ sources:
 sinks:
   o: {type: blackhole, inputs: [s]}
 """)
+
+
+# ---- splunk_hec second-stage framing + decoding -------------------------
+
+def test_hec_second_stage_decoding(spark):
+    """splunk_hec `event: {framing, decoding}` (mod.rs:140-153): the
+    envelope's event field feeds through a second codec pass; one
+    envelope fans out; failures are swallowed."""
+    from vector_spark.sources_http import route_http_endpoints
+
+    rows = [
+        (0, "p", "/services/collector/event",
+         json.dumps({"event": "a=1 b=2\nc=3", "host": "h1",
+                     "sourcetype": "st"})),
+        (1, "p", "/services/collector/event",
+         json.dumps({"event": {"k": 1}, "host": "h2"})),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, peer string, path string, message string"
+    ).withColumn("ts", F.current_timestamp())
+
+    # logfmt codec, newline framing: envelope 0 fans out to 2 events
+    out = route_http_endpoints(df, {
+        "/services/collector/event": {
+            "codec": "splunk_hec",
+            "event": {"framing": "newline_delimited",
+                      "decoding": {"codec": "logfmt"}},
+        },
+    })
+    got = [json.loads(r["event"]) for r in
+           out.orderBy("seq").collect()]
+    fan0 = [g for g in got if g.get("host") == "h1"]
+    assert len(fan0) == 2
+    assert json.loads(fan0[0]["event"]) == {"a": "1", "b": "2"}
+    assert json.loads(fan0[1]["event"]) == {"c": "3"}
+    assert fan0[0]["sourcetype"] == "st"
+
+    # json codec, default bytes framing: the non-JSON envelope is
+    # swallowed, the object envelope passes through
+    out2 = route_http_endpoints(df, {
+        "/services/collector/event": {
+            "codec": "splunk_hec", "event": {"decoding": {"codec": "json"}}},
+    })
+    got2 = [json.loads(r["event"]) for r in out2.collect()]
+    assert len(got2) == 1
+    assert json.loads(got2[0]["event"]) == {"k": 1}
+    assert got2[0]["host"] == "h2"
+
+
+def test_hec_without_second_stage_unchanged(spark):
+    from vector_spark.sources_http import route_http_endpoints
+
+    df = spark.createDataFrame(
+        [(0, "p", "/services/collector/event",
+          json.dumps({"event": "plain", "host": "h"}))],
+        "seq long, peer string, path string, message string"
+    ).withColumn("ts", F.current_timestamp())
+    out = route_http_endpoints(
+        df, {"/services/collector/event": "splunk_hec"})
+    ev = json.loads(out.head()["event"])
+    assert ev["event"] == "plain" and ev["host"] == "h"

@@ -335,6 +335,72 @@ def merge_http_meta(df, message_col: str = "message",
 
 
 
+def _hec_second_stage(df, codec_cfg: dict, env: list):
+    """splunk_hec `event: {framing, decoding}` — the second decoding
+    pass (src/sources/splunk_hec/mod.rs:140-153): after the envelope
+    parse, the envelope's event field feeds through framing + codec,
+    one envelope fanning out to many events; decode failures are
+    SWALLOWED (no event, no client error — the reference's contract).
+    Output keeps the routed shape: `event` is the envelope JSON with
+    its event field replaced by each decoded object's text; envelope
+    metadata (host/source/sourcetype/index/ts) rides along."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    dec = codec_cfg.get("decoding")
+    codec = dec["codec"] if isinstance(dec, dict) else str(dec)
+    framing = codec_cfg.get("framing")
+    fmethod = (
+        framing.get("method") if isinstance(framing, dict) else framing
+    )
+    inner = F.get_json_object(F.col("_hec"), "$.event")
+    if fmethod is None:
+        # per-codec default (mod.rs: "Defaults to a per-codec choice"):
+        # whole-payload for json, newline framing for line codecs
+        fmethod = "bytes" if codec == "json" else "newline_delimited"
+    if fmethod == "bytes":
+        frames = F.array(inner)
+    elif fmethod == "newline_delimited":
+        frames = F.filter(F.split(inner, "\r?\n"), lambda x: x != "")
+    elif fmethod == "character_delimited":
+        delim = (framing or {}).get("character_delimited", {}).get(
+            "delimiter", ",")
+        frames = F.filter(
+            F.split(inner, _re.escape(str(delim))), lambda x: x != "")
+    else:
+        raise ValueError(f"splunk_hec: unknown framing {fmethod!r}")
+
+    ex = df.select(*env, "_hec", F.explode(frames).alias("_frame"))
+    if codec == "json":
+        decoded = F.when(
+            F.try_parse_json(F.col("_frame")).isNotNull(), F.col("_frame"))
+    else:
+        from vector_spark.config.loader import _DECODE_CODECS
+
+        if codec not in _DECODE_CODECS or _DECODE_CODECS[codec] is None:
+            raise ValueError(
+                f"splunk_hec second-stage: unknown codec {codec!r}")
+        mod, fn, _is_struct = _DECODE_CODECS[codec]
+        decode = getattr(__import__(mod, fromlist=[fn]), fn)
+        # struct AND map codecs both render as their JSON text
+        decoded = F.to_json(decode(F.col("_frame")))
+    rebuilt = F.to_json(F.struct(
+        decoded.alias("event"),
+        F.get_json_object(F.col("_hec"), "$.ts").alias("ts"),
+        F.get_json_object(F.col("_hec"), "$.host").alias("host"),
+        F.get_json_object(F.col("_hec"), "$.source").alias("source"),
+        F.get_json_object(F.col("_hec"), "$.sourcetype").alias("sourcetype"),
+        F.get_json_object(F.col("_hec"), "$.index").alias("index"),
+    ))
+    return (
+        ex.withColumn("_dec", decoded)
+        .where(F.col("_dec").isNotNull())  # failures swallowed
+        .select(*env, F.lit("splunk_hec").alias("codec"),
+                rebuilt.alias("event"))
+    )
+
+
 def route_http_endpoints(df, endpoints: dict[str, str]):
     """Path-route an http_server stream to per-endpoint decoders — the
     modern push-ingest shapes the reference serves from dedicated
@@ -355,6 +421,12 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
     outs = []
     matched = None
     for path, codec in endpoints.items():
+        # endpoint value may be a config OBJECT: {codec: splunk_hec,
+        # event: {framing, decoding}} — the HEC second-stage decoding
+        # surface (splunk_hec/mod.rs:140-153)
+        spec = codec if isinstance(codec, dict) else {}
+        if isinstance(codec, dict):
+            codec = codec.get("codec", "raw")
         if codec == "prometheus_pushgateway":
             # grouping labels ride in the path, so the match is a
             # PREFIX (`/metrics/job/...`), not an exact path
@@ -364,13 +436,23 @@ def route_http_endpoints(df, endpoints: dict[str, str]):
         part = df.where(cond)
         matched = cond if matched is None else (matched | cond)
         if codec == "splunk_hec":
-            outs.append(
-                part.select(
-                    *env,
-                    F.lit("splunk_hec").alias("codec"),
-                    F.to_json(decode_splunk_hec(F.col("message"))).alias("event"),
+            envelope = F.to_json(decode_splunk_hec(F.col("message")))
+            second = spec.get("event") or {}
+            if second.get("decoding"):
+                outs.append(
+                    _hec_second_stage(
+                        part.select(*env, envelope.alias("_hec")),
+                        second, env,
+                    )
                 )
-            )
+            else:
+                outs.append(
+                    part.select(
+                        *env,
+                        F.lit("splunk_hec").alias("codec"),
+                        envelope.alias("event"),
+                    )
+                )
         elif codec == "otlp_logs":
             v = part.select(*env, F.parse_json("message").alias("v"))
             rl = v.select(
