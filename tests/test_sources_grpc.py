@@ -393,3 +393,78 @@ def test_vector_sink_v2_grpc_push(spark):
         for e in state.drain(-1)
     )
     assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_vector_sink_v2_failover_endpoints(spark):
+    """Multi-endpoint routing (vector/config.rs:328-357): with the
+    first endpoint DOWN, failover_primary walks the configured order
+    and delivers everything to the live secondary."""
+    import json as _json
+    import socket as _socket
+
+    from vector_spark.sinks import vector_sink
+    from vector_spark.sources import _ListenerState
+    from vector_spark.sources_grpc import start_vector_grpc_listener
+
+    # a port that refuses connections (bound then closed)
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    state = _ListenerState(None)
+    listener = start_vector_grpc_listener(state, "127.0.0.1", 0)
+    try:
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "msg string, n long"
+        ).coalesce(1)
+        sent = vector_sink(
+            df, "127.0.0.1", dead_port, version=2, batch_max_events=2,
+            endpoints=[("127.0.0.1", dead_port),
+                       ("127.0.0.1", listener.port)],
+            strategy="failover_primary",
+        )
+    finally:
+        listener.close()
+    assert sent == 3
+    got = sorted(_json.loads(e[3])["msg"] for e in state.drain(-1))
+    assert got == ["a", "b", "c"]
+
+
+def test_vector_sink_v2_load_balance_endpoints(spark):
+    """load_balance spreads batches across healthy endpoints."""
+    import json as _json
+
+    from vector_spark.sinks import vector_sink
+    from vector_spark.sources import _ListenerState
+    from vector_spark.sources_grpc import start_vector_grpc_listener
+
+    s1, s2 = _ListenerState(None), _ListenerState(None)
+    l1 = start_vector_grpc_listener(s1, "127.0.0.1", 0)
+    l2 = start_vector_grpc_listener(s2, "127.0.0.1", 0)
+    try:
+        df = spark.createDataFrame(
+            [(f"m{i}",) for i in range(8)], "msg string").coalesce(1)
+        sent = vector_sink(
+            df, "127.0.0.1", l1.port, version=2, batch_max_events=2,
+            endpoints=[("127.0.0.1", l1.port), ("127.0.0.1", l2.port)],
+            strategy="load_balance",
+        )
+    finally:
+        l1.close()
+        l2.close()
+    assert sent == 8
+    a = [_json.loads(e[3])["msg"] for e in s1.drain(-1)]
+    b = [_json.loads(e[3])["msg"] for e in s2.drain(-1)]
+    assert sorted(a + b) == [f"m{i}" for i in range(8)]
+    assert a and b  # both endpoints actually served batches
+
+
+def test_vector_sink_unknown_strategy(spark):
+    import pytest as _pytest
+
+    from vector_spark.sinks import vector_sink
+
+    df = spark.createDataFrame([("x",)], "msg string")
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        vector_sink(df, "h", 1, version=2, strategy="bogus")

@@ -1641,13 +1641,30 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
         elif stype == "vector":
             from vector_spark.sinks import vector_sink
 
+            # `routing: {endpoints: [addr...], strategy: ...}` — the
+            # reference's multi-endpoint config (vector/config.rs:
+            # exactly one of `address` or `routing`)
+            routing = cfg.get("routing") or {}
+            eps = None
+            if routing.get("endpoints"):
+                if cfg.get("address"):
+                    raise TopologyError(
+                        f"sink {name!r}: exactly one of address or "
+                        "routing (vector/config.rs:63)")
+                eps = [
+                    (a.rpartition(":")[0], int(a.rpartition(":")[2]))
+                    for a in routing["endpoints"]
+                ]
+            hp = (eps[0] if eps else _host_port(cfg))
             results[name] = {
                 "sent": vector_sink(
-                    df, *_host_port(cfg),
+                    df, *hp,
                     version=int(cfg.get("version", 1)),
                     tls=__import__(
                         "vector_spark.tls", fromlist=["TlsSettings"]
                     ).TlsSettings.from_config(cfg.get("tls")),
+                    endpoints=eps,
+                    strategy=routing.get("strategy", "load_balance"),
                 )
             }
         elif stype == "aws_cloudwatch_metrics":

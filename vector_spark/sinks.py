@@ -581,6 +581,8 @@ def vector_sink(
     version: int = 1,
     batch_max_events: int = 1000,
     tls=None,
+    endpoints: list | None = None,
+    strategy: str = "load_balance",
 ) -> int:
     """vector-to-vector native push (src/sinks/vector/).
 
@@ -593,9 +595,18 @@ def vector_sink(
     rows batch into PushEventsRequest protobufs sent as gRPC
     `/vector.Vector/PushEvents` calls over the repo's HTTP/2 client —
     the exact service our vector_grpc SOURCE serves, so the two halves
-    pin each other; ``tls`` wraps the client connection."""
+    pin each other; ``tls`` wraps the client connection.
+
+    ``endpoints`` + ``strategy`` (v2 only) mirror the reference's
+    multi-endpoint routing (src/sinks/vector/config.rs:328-357
+    EndpointStrategy): ``load_balance`` rotates healthy endpoints per
+    batch with failed ones backed off; ``failover`` sticks to the
+    last working endpoint and advances on failure; ``failover_primary``
+    re-tries from the FIRST configured endpoint on every failure so
+    the sink converges back to its primary."""
     if version == 2:
-        return _vector_sink_v2(df, host, port, timeout_secs,
+        eps = [tuple(e) for e in (endpoints or [(host, port)])]
+        return _vector_sink_v2(df, eps, strategy, timeout_secs,
                                batch_max_events, tls)
     sent = df.sparkSession.sparkContext.accumulator(0)
     cols = df.columns
@@ -628,9 +639,11 @@ def vector_sink(
     return sent.value
 
 
-def _vector_sink_v2(df: DataFrame, host: str, port: int,
+def _vector_sink_v2(df: DataFrame, endpoints: list, strategy: str,
                     timeout_secs: float, batch_max_events: int,
                     tls) -> int:
+    if strategy not in ("load_balance", "failover", "failover_primary"):
+        raise ValueError(f"vector sink: unknown strategy {strategy!r}")
     sent = df.sparkSession.sparkContext.accumulator(0)
     cols = df.columns
 
@@ -643,6 +656,39 @@ def _vector_sink_v2(df: DataFrame, host: str, port: int,
 
         batch: list[bytes] = []
         n = 0
+        # per-partition routing state: active index (failover modes),
+        # rotation counter + backoff (load_balance). Backed-off
+        # endpoints sit out `backoff_batches` flushes before reprobe.
+        state = {"active": 0, "rr": 0}
+        cooldown: dict[int, int] = {}
+        backoff_batches = 8
+
+        def _try(idx: int, req: bytes) -> bool:
+            host, port = endpoints[idx]
+            try:
+                status, _body = grpc_unary_call(
+                    host, int(port), "/vector.Vector/PushEvents",
+                    [req], timeout=timeout_secs, tls=tls)
+            except OSError:
+                return False
+            return status == 0
+
+        def _order() -> list[int]:
+            k = len(endpoints)
+            if strategy == "failover_primary":
+                # always re-check the configured order from the primary
+                return list(range(k))
+            if strategy == "failover":
+                a = state["active"]
+                return [(a + i) % k for i in range(k)]
+            # load_balance: rotate, healthy first
+            state["rr"] += 1
+            rot = [(state["rr"] + i) % k for i in range(k)]
+            healthy = [i for i in rot if cooldown.get(i, 0) <= 0]
+            cooled = [i for i in rot if cooldown.get(i, 0) > 0]
+            for i in cooled:
+                cooldown[i] -= 1
+            return healthy + cooled
 
         def flush() -> None:
             nonlocal n
@@ -651,15 +697,19 @@ def _vector_sink_v2(df: DataFrame, host: str, port: int,
             req = bytearray()
             for wrapper in batch:  # PushEventsRequest.events = 1
                 write_len_delim(1, wrapper, req)
-            status, _body = grpc_unary_call(
-                host, port, "/vector.Vector/PushEvents",
-                [bytes(req)], timeout=timeout_secs, tls=tls)
-            if status != 0:
-                raise ConnectionError(
-                    f"PushEvents answered grpc-status {status}")
-            sent.add(n)
-            batch.clear()
-            n = 0
+            req = bytes(req)
+            last_err = None
+            for idx in _order():
+                if _try(idx, req):
+                    state["active"] = idx
+                    sent.add(n)
+                    batch.clear()
+                    n = 0
+                    return
+                cooldown[idx] = backoff_batches
+                last_err = endpoints[idx]
+            raise ConnectionError(
+                f"PushEvents failed on every endpoint (last {last_err})")
 
         for row in rows:
             batch.append(encode_vector_log(
