@@ -352,3 +352,33 @@ def test_remote_write_stream_restart_no_duplicates(
                 decompress(r["body"])):
             seqs.append(int(s["tags"]["seq"]))
     assert sorted(seqs) == list(range(80))  # no dups, no gaps
+
+
+def test_otlp_logs_sink_protobuf_protocol(spark, capture_server):
+    """protocol: protobuf — the 0.51-window otlp encoder: bodies are
+    binary ExportLogsServiceRequest, decoded back with the repo's own
+    wire reader to verify content."""
+    from vector_spark.functions.protowire import decode_otlp_logs
+
+    base, reqs = capture_server
+    sent = opentelemetry_logs_sink(
+        _logs(spark), base, protocol="protobuf",
+        resource_attrs={"service.name": "app"},
+    )
+    assert sent == 5
+    assert reqs[0]["headers"]["content-type"] == "application/x-protobuf"
+    records = []
+    for r in reqs:
+        records.extend(decode_otlp_logs(r["body"]))
+    assert len(records) == 5
+    bodies = sorted(str(r["body"]) for r in records)
+    assert bodies[0] == "msg 0"
+    assert all(r["severity_text"] == "INFO" for r in records)
+    assert all(int(r["time_unix_nano"]) > 0 for r in records)
+
+
+def test_otlp_logs_sink_unknown_protocol(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown protocol"):
+        opentelemetry_logs_sink(_logs(spark), "http://x", protocol="grpc")

@@ -2094,6 +2094,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     body_col=cfg.get("body_col",
                                      cfg.get("value_col", msg_key)),
                     resource_attrs=cfg.get("resource_attrs"),
+                    protocol=cfg.get("protocol", "json"),
                 )
             }
         elif stype == "datadog_metrics":

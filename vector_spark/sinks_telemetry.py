@@ -136,13 +136,25 @@ def opentelemetry_logs_sink(
     batch_max_events: int = 1000,
     batch_max_bytes: int = 4_000_000,
     timeout_secs: float = 10.0,
+    protocol: str = "json",
 ) -> int:
-    """POST OTLP/JSON ExportLogsServiceRequest bodies to
-    ``{endpoint}{path}`` — the reference's opentelemetry sink in its
-    default (HTTP + JSON) protocol. ``resource_attrs`` maps OTLP
-    resource attribute keys to DataFrame column names. Every
-    resourceLogs element is rendered JVM-side; the executor only
-    concatenates elements into `{"resourceLogs":[...]}` bodies."""
+    """POST OTLP ExportLogsServiceRequest bodies to
+    ``{endpoint}{path}`` — the reference's opentelemetry sink. The
+    default protocol is HTTP + JSON (resourceLogs elements rendered
+    JVM-side; the executor only concatenates them into
+    `{"resourceLogs":[...]}` bodies). ``protocol="protobuf"`` switches
+    to the binary OTLP encoder the 0.51 window introduced
+    (lib/codecs `otlp` encoder): per-partition batches encode with
+    the pure-Python opentelemetry-proto writer (functions/protowire)
+    and POST as application/x-protobuf. ``resource_attrs`` maps OTLP
+    resource attribute keys to DataFrame column names."""
+    if protocol == "protobuf":
+        return _otlp_logs_sink_pb(
+            df, endpoint, path, ts_col, body_col, severity_number_col,
+            severity_text_col, resource_attrs, headers,
+            batch_max_events, timeout_secs)
+    if protocol != "json":
+        raise ValueError(f"opentelemetry: unknown protocol {protocol!r}")
     attrs = {
         k: F.col(c) for k, c in (resource_attrs or {}).items()
     } or {"service.name": F.lit("vector_spark")}
@@ -166,6 +178,71 @@ def opentelemetry_logs_sink(
         batch_max_events, batch_max_bytes, timeout_secs,
         prefix=b'{"resourceLogs":[', suffix=b"]}", joiner=b",",
     )
+
+
+def _otlp_logs_sink_pb(df, endpoint, path, ts_col, body_col,
+                       severity_number_col, severity_text_col,
+                       resource_attrs, headers, batch_max_events,
+                       timeout_secs) -> int:
+    """Binary-protocol arm of the opentelemetry sink: rows → one
+    ExportLogsServiceRequest protobuf per batch per partition."""
+    from vector_spark.sinks_services import (
+        _http_send_with_retry,
+        _proxy_for,
+    )
+
+    sent = df.sparkSession.sparkContext.accumulator(0)
+    url = endpoint.rstrip("/") + path
+    proxy_url = _proxy_for(url)
+    attr_cols = dict(resource_attrs or {})
+    sel = [
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(body_col).cast("string").alias("_body"),
+        (F.col(severity_number_col) if severity_number_col
+         else F.lit(9)).alias("_sev_num"),
+        (F.col(severity_text_col) if severity_text_col
+         else F.lit("INFO")).alias("_sev_text"),
+        *[F.col(c).cast("string").alias(f"_ra_{i}")
+          for i, c in enumerate(attr_cols.values())],
+    ]
+    out = df.select(*sel)
+    attr_keys = list(attr_cols.keys())
+
+    def send_partition(rows) -> None:
+        from vector_spark.functions.protowire import encode_otlp_logs
+
+        batch: list[dict] = []
+        rattrs: dict = {}
+
+        def flush() -> None:
+            if not batch:
+                return
+            body = encode_otlp_logs(batch, resource_attrs=rattrs or
+                                    {"service.name": "vector_spark"})
+            _http_send_with_retry(
+                url, body,
+                {"Content-Type": "application/x-protobuf",
+                 **(headers or {})},
+                timeout_secs, 3, 0.2, proxy_url)
+            sent.add(len(batch))
+            batch.clear()
+
+        for row in rows:
+            if attr_keys and not rattrs:
+                rattrs = {k: row[f"_ra_{i}"]
+                          for i, k in enumerate(attr_keys)}
+            batch.append({
+                "time_unix_nano": (row["_us"] or 0) * 1000,
+                "severity_number": row["_sev_num"],
+                "severity_text": row["_sev_text"],
+                "body": row["_body"],
+            })
+            if len(batch) >= batch_max_events:
+                flush()
+        flush()
+
+    out.foreachPartition(send_partition)
+    return sent.value
 
 
 def datadog_metrics_sink(
