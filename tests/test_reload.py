@@ -162,3 +162,26 @@ def test_config_watcher_applies_file_change(spark, tmp_path):
     finally:
         watcher.stop()
         rt.stop()
+
+
+def test_reload_counters_in_metrics_snapshot(spark, tmp_path):
+    """config_reloaded / config_reload_rejected counters land in the
+    internal-metrics snapshot (the 0.51-window config observability
+    counters) and are readable through the VRL metrics functions."""
+    import vector_spark.streaming.reload as rl
+    from vector_spark.functions.vrl_metrics import METRICS_STORAGE
+
+    before = dict(rl._RELOAD_COUNTS)
+    rl._bump_reload_counter("config_reloaded")
+    rl._bump_reload_counter("config_reload_rejected")
+    rl._bump_reload_counter("config_reloaded")
+    try:
+        got = {m["name"]: m["value"] for m in METRICS_STORAGE.snapshot()
+               if m["name"].startswith("config_reload")}
+        assert got["config_reloaded"] == before["config_reloaded"] + 2
+        assert (got["config_reload_rejected"]
+                == before["config_reload_rejected"] + 1)
+        assert METRICS_STORAGE.get_metric(
+            "config_reloaded", {"component_kind": "config"}) is not None
+    finally:
+        METRICS_STORAGE.store([])

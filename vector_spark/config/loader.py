@@ -2485,6 +2485,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                         cfg.get("skip_unknown_fields", True)
                     ),
                     concurrency=_request_concurrency(cfg),
+                    user_agent=cfg.get("user_agent"),
                 )
             }
         elif stype == "datadog_logs":

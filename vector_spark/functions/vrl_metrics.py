@@ -60,6 +60,16 @@ class MetricsStorage:
         with self._lock:
             self._metrics = list(metrics)
 
+    def upsert(self, metrics: list[dict]) -> None:
+        """Replace-or-add entries by metric name (engine-internal
+        counters like the reload counters use this; snapshot `store`
+        stays the cache-replacement path)."""
+        names = {m.get("name") for m in metrics}
+        with self._lock:
+            self._metrics = [
+                m for m in self._metrics if m.get("name") not in names
+            ] + list(metrics)
+
     def attach_view(self, view) -> None:
         with self._lock:
             self._view = view

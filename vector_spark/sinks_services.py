@@ -364,10 +364,13 @@ def clickhouse_sink(
     batch_max_bytes: int = 10_000_000,
     timeout_secs: float = 10.0,
     concurrency: int | str | None = None,
+    user_agent: str | None = None,
 ) -> int:
     """INSERT rows over the ClickHouse HTTP interface as JSONEachRow.
     URL uses the Identifier query-parameter form (server-side quoting,
-    `service.rs:144`) so table/database names never need client escaping."""
+    `service.rs:144`) so table/database names never need client
+    escaping; ``user_agent`` sets the request User-Agent (the
+    0.57-window clickhouse option)."""
     q = urllib.parse.urlencode({
         "query": "INSERT INTO {database:Identifier}.{table:Identifier}"
                  " FORMAT JSONEachRow",
@@ -380,9 +383,11 @@ def clickhouse_sink(
         + q
     )
     lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+    hdrs = {"Content-Type": "application/x-ndjson"}
+    if user_agent:
+        hdrs["User-Agent"] = str(user_agent)
     return _post_lines_per_partition(
-        lines, url,
-        {"Content-Type": "application/x-ndjson"},
+        lines, url, hdrs,
         batch_max_events, batch_max_bytes, timeout_secs,
         suffix=b"\n",
         concurrency=concurrency,
@@ -506,9 +511,19 @@ def splunk_hec_sink(
                     "indexer_acknowledgements enabled")
             deadline = _time.monotonic() + ack_timeout_secs
             while True:
-                status = post(
-                    ack_url,
-                    json.dumps({"acks": [ack_id]}).encode())
+                # ack queries go up gzip-compressed (the reference's
+                # 0.51-window "HEC indexer ack query compression")
+                import gzip as _gz
+
+                ack_body = _gz.compress(
+                    json.dumps({"acks": [ack_id]}).encode(), mtime=0)
+                ack_hdrs = dict(hdrs)
+                ack_hdrs["Content-Encoding"] = "gzip"
+                req = urllib.request.Request(
+                    ack_url, data=ack_body, headers=ack_hdrs)
+                text = urllib.request.urlopen(
+                    req, timeout=timeout_secs).read()
+                status = json.loads(text) if text else {}
                 if status.get("acks", {}).get(str(ack_id)):
                     break
                 if _time.monotonic() >= deadline:

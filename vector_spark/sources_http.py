@@ -183,9 +183,21 @@ def _http_listener(state: _ListenerState, host: str, port: int,
                         400, {"text": "Data channel is missing",
                               "code": 10})
                 if url_path == "/services/collector/ack":
+                    ack_raw = raw
+                    if self.headers.get(
+                            "Content-Encoding", "").lower() == "gzip":
+                        # ack query compression (the reference's HEC
+                        # sink gzips its ack polls since the 0.51
+                        # window) — accept transparently
+                        import gzip as _gz
+
+                        try:
+                            ack_raw = _gz.decompress(ack_raw)
+                        except OSError:
+                            return self._reject(400)
                     try:
                         want = json.loads(
-                            raw.decode("utf-8", "replace"))["acks"]
+                            ack_raw.decode("utf-8", "replace"))["acks"]
                         want = [int(i) for i in want]
                     except (ValueError, KeyError, TypeError):
                         return self._reject(400)

@@ -44,6 +44,22 @@ from vector_spark.config.loader import (
 _parse = parse_config
 
 
+_RELOAD_COUNTS = {"config_reloaded": 0, "config_reload_rejected": 0}
+
+
+def _bump_reload_counter(name: str) -> None:
+    """Fold the reload counters into the VRL internal-metrics snapshot
+    (lib/vector-vrl/metrics reads the same numbers `vector top` sees)."""
+    _RELOAD_COUNTS[name] += 1
+    from vector_spark.functions.vrl_metrics import METRICS_STORAGE
+
+    METRICS_STORAGE.upsert([
+        {"name": k, "tags": {"component_kind": "config"},
+         "type": "counter", "kind": "incremental", "value": float(v)}
+        for k, v in _RELOAD_COUNTS.items()
+    ])
+
+
 def upstream_closure(cfg: dict, name: str) -> set[str]:
     """Transitive input components of `name` (exclusive of `name`).
     Input refs may sub-address named outputs (`route.a`) — closure is over
@@ -114,7 +130,21 @@ class RunningTopology:
     def reload(self, path_or_yaml: str) -> ReloadReport:
         """Apply a new config. Only sinks whose upstream closure (or own
         config) changed are stopped and restarted; removed sinks stop; new
-        sinks start; everything else keeps its running StreamingQuery."""
+        sinks start; everything else keeps its running StreamingQuery.
+
+        Emits `config_reloaded` / `config_reload_rejected` counters
+        into the internal-metrics snapshot (the 0.51-window config
+        observability counters) — a rejected reload is a parse or
+        build failure that leaves the running topology untouched."""
+        try:
+            report = self._reload_inner(path_or_yaml)
+        except Exception:
+            _bump_reload_counter("config_reload_rejected")
+            raise
+        _bump_reload_counter("config_reloaded")
+        return report
+
+    def _reload_inner(self, path_or_yaml: str) -> ReloadReport:
         with self._lock:
             new_cfg = _parse(path_or_yaml)
             diff = component_diff(self.cfg, new_cfg)
