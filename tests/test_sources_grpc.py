@@ -468,3 +468,51 @@ def test_vector_sink_unknown_strategy(spark):
     df = spark.createDataFrame([("x",)], "msg string")
     with _pytest.raises(ValueError, match="unknown strategy"):
         vector_sink(df, "h", 1, version=2, strategy="bogus")
+
+
+def test_grpc_max_connection_age_goaway():
+    """grpc.max_connection_age: a connection past the age gets a
+    graceful GOAWAY once quiescent; calls before the age succeed."""
+    import socket as _socket
+    import time as _time
+
+    from vector_spark.sources_grpc import (
+        H2_GOAWAY,
+        H2_PREFACE,
+        GrpcListener,
+        grpc_unary_call,
+        h2_decode_frames,
+        h2_encode_frame,
+    )
+
+    lis = GrpcListener({"/t.S/Echo": lambda b: b},
+                       max_connection_age_secs=0.3)
+    try:
+        # a fresh connection serves normally
+        status, body = grpc_unary_call(
+            "127.0.0.1", lis.port, "/t.S/Echo", [b"\x00" * 5])
+        assert status == 0
+
+        # raw connection held open past the age: expect GOAWAY
+        s = _socket.create_connection(("127.0.0.1", lis.port), timeout=5)
+        s.sendall(H2_PREFACE + h2_encode_frame(0x4, 0, 0))
+        _time.sleep(0.5)
+        # poke the server so its frame loop runs (PING)
+        s.sendall(h2_encode_frame(0x6, 0, 0, b"\x00" * 8))
+        s.settimeout(5)
+        buf = b""
+        saw_goaway = False
+        try:
+            while not saw_goaway:
+                data = s.recv(65536)
+                if not data:
+                    break
+                buf += data
+                frames, buf = h2_decode_frames(buf)
+                saw_goaway = any(f[0] == H2_GOAWAY for f in frames)
+        except OSError:
+            pass
+        assert saw_goaway
+        s.close()
+    finally:
+        lis.close()

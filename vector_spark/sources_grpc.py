@@ -85,9 +85,15 @@ class GrpcListener:
     paths answer grpc-status 12 (UNIMPLEMENTED)."""
 
     def __init__(self, handlers: dict, host: str = "127.0.0.1",
-                 port: int = 0, tls=None):
+                 port: int = 0, tls=None,
+                 max_connection_age_secs: float | None = None):
         self.handlers = handlers
         self._tls = tls  # TlsSettings; accepted conns wrap per-thread
+        # grpc.max_connection_age (the reference's 0.57-window gRPC
+        # server option): connections past the age get a graceful
+        # GOAWAY once quiescent, forcing clients to re-resolve — the
+        # receiver half of endpoint-strategy rebalancing
+        self.max_connection_age_secs = max_connection_age_secs
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
@@ -115,6 +121,9 @@ class GrpcListener:
         return self._tls.wrap_server_connection(conn)
 
     def _serve_conn(self, conn: socket.socket) -> None:
+        import time as _time
+
+        conn_born = _time.monotonic()
         try:
             conn = self._maybe_wrap(conn)
             buf = b""
@@ -197,6 +206,21 @@ class GrpcListener:
                     if st and st["closed"] and st["headers"] is not None:
                         self._respond(conn, encoder, sid, st, send_lock)
                         del streams[sid]
+                if (
+                    self.max_connection_age_secs is not None
+                    and _time.monotonic() - conn_born
+                    >= self.max_connection_age_secs
+                    and not streams
+                ):
+                    # graceful GOAWAY (RFC 7540 §6.8): last processed
+                    # stream id + NO_ERROR, then close — in-flight
+                    # streams already drained (streams is empty)
+                    last_sid = max(hdr_frag, default=0)
+                    with send_lock:
+                        conn.sendall(h2_encode_frame(
+                            H2_GOAWAY, 0, 0,
+                            last_sid.to_bytes(4, "big") + b"\x00" * 4))
+                    return
                 data = conn.recv(65536)
                 if not data:
                     return
