@@ -118,6 +118,7 @@ HEADLINE = [
     "vrl_timezone_parse",
     "vrl_wave5_functions",
     "arrow_ipc_roundtrip",
+    "docs_c4_filters",
 ]
 
 

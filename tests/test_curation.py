@@ -717,3 +717,37 @@ def test_url_filter(spark):
     assert out[5].word_blocked is True and out[5].keep is False
     # blocked word in the HOST doesn't trip the path check
     assert out[6].word_blocked is False and out[6].keep is True
+
+
+def test_c4_filters_rules(spark):
+    """Each C4 rule verified on crafted pages (Raffel et al. 2020 §2.2:
+    terminal punctuation, min words, javascript lines, sentence count,
+    lorem ipsum, braces, bad words)."""
+    from vector_spark.dataops.curation import c4_filters
+
+    good = "\n".join(
+        [f"this is a good sentence number {i}." for i in range(6)])
+    pages = [
+        (0, good),                                     # passes everything
+        (1, good + "\nshort line."),                   # 2-word line dropped
+        (2, good + "\nenable javascript to view this page."),
+        (3, good + "\nno terminal punctuation on this line"),
+        (4, "one sentence only here."),                # < 5 sentences
+        (5, good + "\nlorem ipsum dolor sit amet."),
+        (6, good + "\nfunction f() { return 1; }"),
+        (7, good + "\nthis page mentions badword sadly."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           c4_filters(df, bad_words=["badword"]).collect()}
+
+    assert out[0]["keep"] is True and out[0]["n_lines_kept"] == 6
+    assert out[1]["keep"] is True          # the short line just drops
+    assert out[1]["n_lines_kept"] == 6
+    assert out[2]["keep"] is True          # javascript line drops
+    assert "javascript" not in out[2]["cleaned_text"]
+    assert out[3]["n_lines_kept"] == 6     # unpunctuated line drops
+    assert out[4]["keep"] is False         # sentence-count gate
+    assert out[5]["keep"] is False and out[5]["has_lorem"] is True
+    assert out[6]["keep"] is False and out[6]["has_brace"] is True
+    assert out[7]["keep"] is False and out[7]["has_bad_word"] is True

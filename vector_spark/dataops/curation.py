@@ -1270,3 +1270,66 @@ def url_filter(
         word_blocked.alias("word_blocked"),
         (~dom_blocked & ~word_blocked).alias("keep"),
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2 — the public
+    heuristics behind the C4 corpus, the counterpart to
+    gopher_quality_flags' Gopher rules):
+
+    line level — keep only lines that end in terminal punctuation
+    (. ! ? or a closing quote), carry at least `min_words_per_line`
+    words, and do not contain the word "javascript";
+    page level — drop pages with fewer than `min_sentences` sentences
+    (counted over the KEPT lines), any page containing "lorem ipsum"
+    or a curly brace `{`, and any page containing a configured bad
+    word.
+
+    Emits the decision matrix (cleaned_text, n_lines_kept,
+    n_sentences, has_lorem, has_brace, has_bad_word, keep) so a
+    pipeline can audit why a page fell out. Everything is a Column
+    expression riding the scan — per-line work is higher-order
+    functions over the split array, zero shuffles, zero Python."""
+    text = F.col(text_col)
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(words) >= min_words_per_line)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(F.split(text, "\n"), _line_ok)
+    cleaned = F.array_join(F.transform(kept, F.trim), "\n")
+    # sentence proxy: terminal-punctuation marks in the kept text
+    # (C4 counted sentences; the mark count is the deterministic,
+    # oracle-recomputable equivalent)
+    n_sentences = F.length(F.regexp_replace(cleaned, r"[^.!?]", ""))
+    lower_all = F.lower(text)
+    has_lorem = lower_all.contains("lorem ipsum")
+    has_brace = text.contains("{")
+    has_bad = F.lit(False)
+    for w in bad_words or []:
+        has_bad = has_bad | lower_all.contains(str(w).lower())
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~has_lorem & ~has_brace & ~has_bad
+    )
+    return df.select(
+        "*",
+        cleaned.alias("cleaned_text"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+        keep.alias("keep"),
+    )

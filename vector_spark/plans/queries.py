@@ -2636,6 +2636,115 @@ def q_vrl_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules over documents (dataops/curation.py::
+    c4_filters — Raffel et al. 2020's public heuristics): per-line
+    terminal-punctuation/word-count/javascript gates + page-level
+    sentence-count, lorem-ipsum, brace, and bad-word gates.
+
+    The synthetic corpus is single-line punctuation-free word soup, so
+    the query first derives a STRUCTURED page from each document by
+    pure doc_id arithmetic (6-word lines; line punctuation cycling
+    . / none / ! / ?; every 31st/37th/41st doc gains a lorem /
+    brace / bad-word line) — the multimodal queries' arithmetic-exact
+    oracle pattern: DuckDB replays the same synthesis AND every rule
+    with list lambdas, so the whole matrix is value-verified."""
+    from vector_spark.dataops.curation import c4_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / 6).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0)))
+
+    def _line(i: Column) -> Column:
+        body = F.array_join(F.slice(words, i * 6 + 1, 6), " ")
+        suffix = (
+            F.when(F.pmod(i + F.col("doc_id"), 4) == 0, F.lit("."))
+            .when(F.pmod(i + F.col("doc_id"), 4) == 2, F.lit("!"))
+            .when(F.pmod(i + F.col("doc_id"), 4) == 3, F.lit("?"))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(body, suffix)
+
+    page = F.array_join(F.transform(idxs, _line), "\n")
+    page = F.when(
+        F.pmod(F.col("doc_id"), 31) == 0,
+        F.concat(page, F.lit("\nabout lorem ipsum text here.")),
+    ).otherwise(page)
+    page = F.when(
+        F.pmod(F.col("doc_id"), 37) == 0,
+        F.concat(page, F.lit("\nif (x) { return y; }")),
+    ).otherwise(page)
+    page = F.when(
+        F.pmod(F.col("doc_id"), 41) == 0,
+        F.concat(page, F.lit("\nthis line has badword inside.")),
+    ).otherwise(page)
+    synth = docs.select("doc_id", page.alias("text"))
+    out = c4_filters(synth, bad_words=["badword"])
+    return out.select(
+        "doc_id", "n_lines_kept", "n_sentences",
+        "has_lorem", "has_brace", "has_bad_word", "keep",
+        F.length("cleaned_text").alias("cleaned_len"),
+    )
+
+
+_ORACLE_C4 = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lines AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(w)/6.0) AS INTEGER), 1)),
+           i -> array_to_string(w[i*6+1 : i*6+6], ' ') ||
+                CASE (i + doc_id) % 4
+                  WHEN 0 THEN '.' WHEN 2 THEN '!' WHEN 3 THEN '?'
+                  ELSE '' END
+         ) AS ls
+  FROM words),
+pages AS (
+  SELECT doc_id,
+         array_to_string(ls, chr(10))
+         || CASE WHEN doc_id % 31 = 0
+                 THEN chr(10) || 'about lorem ipsum text here.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 37 = 0
+                 THEN chr(10) || 'if (x) { return y; }'
+                 ELSE '' END
+         || CASE WHEN doc_id % 41 = 0
+                 THEN chr(10) || 'this line has badword inside.'
+                 ELSE '' END AS text
+  FROM lines),
+split AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split(text, chr(10)),
+           l -> regexp_matches(trim(l), '[.!?"]$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                    x -> x <> '')) >= 3
+                AND NOT contains(lower(trim(l)), 'javascript')
+         ) AS kept
+  FROM pages),
+agg AS (
+  SELECT doc_id, text, kept,
+         COALESCE(array_to_string(
+             list_transform(kept, l -> trim(l)), chr(10)), '') AS cleaned
+  FROM split)
+SELECT doc_id,
+       CAST(len(kept) AS INTEGER) AS n_lines_kept,
+       CAST(length(regexp_replace(cleaned, '[^.!?]', '', 'g'))
+            AS INTEGER) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       contains(lower(text), 'badword') AS has_bad_word,
+       (length(regexp_replace(cleaned, '[^.!?]', '', 'g')) >= 5
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')
+        AND NOT contains(lower(text), 'badword')) AS keep,
+       CAST(length(cleaned) AS INTEGER) AS cleaned_len
+FROM agg
+"""
+
+
 def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow IPC stream codec roundtrip (lib/codecs encoding/format/
     arrow.rs): events → per-batch IPC stream payloads → decode, in a
@@ -3737,6 +3846,9 @@ QUERIES: dict[str, QuerySpec] = {
     "arrow_ipc_roundtrip": QuerySpec(
         q_arrow_ipc, _ORACLE_ARROW_IPC,
         "Arrow IPC stream codec, plain + zstd-compressed arms"),
+    "docs_c4_filters": QuerySpec(
+        q_docs_c4_filters, _ORACLE_C4,
+        "C4 cleaning rules: line + page gates with audit matrix"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
