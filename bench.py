@@ -119,6 +119,7 @@ HEADLINE = [
     "vrl_wave5_functions",
     "arrow_ipc_roundtrip",
     "docs_c4_filters",
+    "streaming_window_agg",
 ]
 
 

@@ -2636,6 +2636,66 @@ def q_vrl_wave5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution inside the oracle gate:
+    the events table replayed as a file stream (readStream.parquet),
+    event-time windowed aggregation with a watermark, memory sink,
+    Trigger.AvailableNow — the streaming analog of the `aggregate`
+    transform's tumbling windows (src/transforms/aggregate). Complete
+    output mode makes the final table exactly the batch aggregation,
+    so DuckDB recomputes it directly; the point gated here is that
+    the STREAMING plan (stateful windowed agg, watermark, file-source
+    replay, sink commit) produces those values."""
+    import uuid as _uuid
+
+    from vector_spark.tables import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        # the testdata keeps one parquet FILE per table in sf_dir; the
+        # file stream source wants a directory, so glob-filter to the
+        # events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    qname = f"stream_win_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("w.start").alias("window_start"),
+        "event_type", "n", "sum_value",
+    )
+
+
+_ORACLE_STREAM_WIN = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       round(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules over documents (dataops/curation.py::
     c4_filters — Raffel et al. 2020's public heuristics): per-line
@@ -3849,6 +3909,10 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_c4_filters": QuerySpec(
         q_docs_c4_filters, _ORACLE_C4,
         "C4 cleaning rules: line + page gates with audit matrix"),
+    "streaming_window_agg": QuerySpec(
+        q_streaming_window_agg, _ORACLE_STREAM_WIN,
+        "REAL streaming execution: watermarked window agg via "
+        "availableNow replay, values batch-verified"),
     "aggregate_auto": QuerySpec(q_aggregate_auto, _ORACLE_AGG_AUTO, "aggregate Auto mode"),
     "metric_to_log": QuerySpec(q_metric_to_log, _ORACLE_METRIC_TO_LOG, "metric→log serialization"),
     "trace_to_log": QuerySpec(q_trace_to_log, _ORACLE_TRACE_TO_LOG, "trace→log re-tag"),
