@@ -130,3 +130,25 @@ def test_sigv4_deterministic_and_payload_sensitive():
     c = sign_request("POST", "http://sqs.local/q", {}, b"{x}", **kw)
     assert a == b
     assert a["Authorization"] != c["Authorization"]
+
+
+def test_session_token_signed():
+    """STS temporary credentials: x-amz-security-token joins the
+    SIGNED header set (the SigV4 rule; the reference's aws session
+    token support)."""
+    from vector_spark.functions.sigv4 import sign_request
+
+    base = dict(
+        method="GET", url="https://s3.us-east-1.amazonaws.com/b/k",
+        headers={"x-amz-content-sha256": "e" * 64}, payload=b"",
+        access_key="AK", secret_key="SK", region="us-east-1",
+        service="s3", amz_date="20150830T123600Z",
+    )
+    plain = sign_request(**base)
+    with_tok = sign_request(**base, session_token="TOKEN123")
+    assert "x-amz-security-token" not in plain
+    assert with_tok["x-amz-security-token"] == "TOKEN123"
+    assert "x-amz-security-token" in with_tok["Authorization"].split(
+        "SignedHeaders=")[1].split(",")[0]
+    # the token changes the signature (it is inside the canonical form)
+    assert plain["Authorization"] != with_tok["Authorization"]

@@ -818,6 +818,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             spark, cfg["queue_url"], region=cfg["region"],
             access_key=cfg.get("access_key", ""),
             secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
             max_objects=int(cfg.get("max_objects", 100)),
             s3_endpoint=cfg.get("s3_endpoint"),
         )
@@ -828,6 +829,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             spark, cfg["queue_url"], region=cfg["region"],
             access_key=cfg.get("access_key", ""),
             secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
             max_events=int(cfg.get("max_events", 1000)),
             delete=bool(cfg.get("delete", True)),
         )
@@ -1676,6 +1678,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     region=cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     name_col=cfg.get("name_col", "name"),
                     value_col=cfg.get("value_col", "value"),
@@ -2020,6 +2023,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     df, cfg["topic_arn"], cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
@@ -2238,6 +2242,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     df, cfg["stream_name"], region=cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
@@ -2264,6 +2269,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     region=cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
@@ -2279,6 +2285,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     partition_key_col=cfg.get("partition_key_field"),
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
@@ -2293,6 +2300,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     df, cfg["queue_url"], region=cfg["region"],
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     value_col=cfg.get("value_col", msg_key),
                     encoding=cfg.get("encoding", "text"),
                 )
@@ -2322,6 +2330,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     region=cfg.get("region", "us-east-1"),
                     access_key=cfg.get("access_key", ""),
                     secret_key=cfg.get("secret_key", ""),
+                    session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     encoding=cfg.get("encoding", "ndjson"),
                     value_col=cfg.get("value_col", msg_key),

@@ -35,15 +35,23 @@ def sign_request(
     region: str,
     service: str,
     amz_date: str,
+    session_token: str | None = None,
 ) -> dict[str, str]:
     """Returns the headers to send: the input headers plus x-amz-date
     and the computed Authorization. ``amz_date`` is the ISO-basic
     timestamp (YYYYMMDDTHHMMSSZ) — passed in, not read from the clock,
-    so signing is a pure function the tests can pin."""
+    so signing is a pure function the tests can pin.
+
+    ``session_token`` adds the temporary-credentials
+    `x-amz-security-token` header to the SIGNED set (the SigV4 rule
+    for STS credentials; the reference's "allow to provide aws session
+    token" 0.48 feature)."""
     parts = urlsplit(url)
     date_stamp = amz_date[:8]
     all_headers = {**{k.lower(): v for k, v in headers.items()},
                    "host": parts.netloc, "x-amz-date": amz_date}
+    if session_token:
+        all_headers["x-amz-security-token"] = session_token
     signed_names = ";".join(sorted(all_headers))
     canonical = "\n".join([
         method.upper(),
@@ -68,6 +76,8 @@ def sign_request(
                          hashlib.sha256).hexdigest()
     out = dict(headers)
     out["x-amz-date"] = amz_date
+    if session_token:
+        out["x-amz-security-token"] = session_token
     out["Authorization"] = (
         f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
         f"SignedHeaders={signed_names}, Signature={signature}"

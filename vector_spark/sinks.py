@@ -730,6 +730,7 @@ def s3_sink(
     region: str = "us-east-1",
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     encoding: str = "ndjson",
     value_col: str = "message",
@@ -787,6 +788,7 @@ def s3_sink(
              "content-type": "application/octet-stream"},
             body, access_key, secret_key, region, "s3",
             now.strftime("%Y%m%dT%H%M%SZ"),
+            session_token=session_token,
         )
         req = urllib.request.Request(url, data=body, headers=headers,
                                      method="PUT")
@@ -870,6 +872,7 @@ def aws_sqs_sink(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     value_col: str = "message",
     encoding: str = "text",
     timeout_secs: float = 10.0,
@@ -900,6 +903,7 @@ def aws_sqs_sink(
                 queue_url, "SendMessageBatch",
                 {"QueueUrl": queue_url, "Entries": batch},
                 access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
             )
             sent += len(batch)
             batch = []
@@ -925,6 +929,7 @@ def _aws_json_call(
     secret_key: str,
     region: str,
     timeout_secs: float,
+    session_token: str | None = None,
     json_version: str = "1.1",
     retries: int = 3,
     retry_backoff_secs: float = 0.2,
@@ -953,7 +958,8 @@ def _aws_json_call(
             "%Y%m%dT%H%M%SZ")
         signed = sign_request("POST", url, headers.copy(), payload,
                               access_key, secret_key, region, service,
-                              amz_date)
+                              amz_date,
+                          session_token=session_token)
         req = urllib.request.Request(url, data=payload,
                                      headers=signed)
         try:
@@ -980,6 +986,7 @@ def aws_cloudwatch_logs_sink(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     value_col: str = "message",
     encoding: str = "text",
@@ -1024,6 +1031,7 @@ def aws_cloudwatch_logs_sink(
                 {"logGroupName": group_name,
                  "logStreamName": stream_name, "logEvents": batch},
                 access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
             )
             sent += len(batch)
             batch = []
@@ -1052,6 +1060,7 @@ def aws_kinesis_sink(
     partition_key_col: str | None = None,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     value_col: str = "message",
     encoding: str = "text",
@@ -1099,6 +1108,7 @@ def aws_kinesis_sink(
                     url, "kinesis", "Kinesis_20131202.PutRecords",
                     {"StreamName": stream_name, "Records": pending},
                     access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
                 )
                 if not resp.get("FailedRecordCount"):
                     pending = []
@@ -1145,6 +1155,7 @@ def aws_kinesis_firehose_sink(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     value_col: str = "message",
     encoding: str = "text",
@@ -1194,6 +1205,7 @@ def aws_kinesis_firehose_sink(
                     {"DeliveryStreamName": stream_name,
                      "Records": pending},
                     access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
                 )
                 if not resp.get("FailedPutCount"):
                     pending = []
@@ -1696,6 +1708,7 @@ def aws_cloudwatch_metrics_sink(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     name_col: str = "name",
     value_col: str = "value",
@@ -1770,6 +1783,7 @@ def aws_cloudwatch_metrics_sink(
                  "application/x-www-form-urlencoded; charset=utf-8"},
                 body, access_key, secret_key, region, "monitoring",
                 amz_date,
+                session_token=session_token,
             )
             req = urllib.request.Request(url, data=body, headers=headers)
             with urllib.request.urlopen(req,

@@ -431,6 +431,7 @@ def aws_sns_sink(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     value_col: str = "message",
     encoding: str = "text",
@@ -471,6 +472,7 @@ def aws_sns_sink(
                 {"Content-Type":
                  "application/x-www-form-urlencoded; charset=utf-8"},
                 body, access_key, secret_key, region, "sns", amz_date,
+                session_token=session_token,
             )
             req = urllib.request.Request(url, data=body,
                                          headers=headers)

@@ -1339,6 +1339,7 @@ def _sqs_call(
     secret_key: str,
     region: str,
     timeout_secs: float,
+    session_token: str | None = None,
 ) -> dict:
     import json as _json
     import urllib.request
@@ -1355,6 +1356,7 @@ def _sqs_call(
     signed = sign_request(
         "POST", queue_url, headers, payload,
         access_key, secret_key, region, "sqs", amz_date,
+        session_token=session_token,
     )
     req = urllib.request.Request(queue_url, data=payload, headers=signed)
     with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
@@ -1368,6 +1370,7 @@ def aws_sqs_source(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     max_events: int = 1000,
     batch_size: int = 10,
     delete: bool = True,
@@ -1389,6 +1392,7 @@ def aws_sqs_source(
              "WaitTimeSeconds": 0,
              "MessageSystemAttributeNames": ["SentTimestamp"]},
             access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
         )
         messages = got.get("Messages") or []
         if not messages:
@@ -1407,6 +1411,7 @@ def aws_sqs_source(
                 queue_url, "DeleteMessageBatch",
                 {"QueueUrl": queue_url, "Entries": entries},
                 access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
             )
     return spark.createDataFrame(
         rows,
@@ -1424,6 +1429,7 @@ def s3_get_object(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     endpoint: str | None = None,
     timeout_secs: float = 30.0,
 ) -> bytes:
@@ -1444,6 +1450,7 @@ def s3_get_object(
     headers = sign_request(
         "GET", url, {"x-amz-content-sha256": empty_sha}, b"",
         access_key, secret_key, region, "s3", amz_date,
+        session_token=session_token,
     )
     req = urllib.request.Request(url, headers=headers)
     with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
@@ -1456,6 +1463,7 @@ def aws_s3_source(
     region: str,
     access_key: str = "",
     secret_key: str = "",
+    session_token: str | None = None,
     max_objects: int = 100,
     s3_endpoint: str | None = None,
     timeout_secs: float = 30.0,
@@ -1486,6 +1494,7 @@ def aws_s3_source(
             {"QueueUrl": queue_url, "MaxNumberOfMessages": 10,
              "WaitTimeSeconds": 0},
             access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
         )
         messages = got.get("Messages") or []
         if not messages:
@@ -1533,6 +1542,7 @@ def aws_s3_source(
                 queue_url, "DeleteMessageBatch",
                 {"QueueUrl": queue_url, "Entries": entries},
                 access_key, secret_key, region, timeout_secs,
+                session_token=session_token,
             )
     return spark.createDataFrame(
         rows,
