@@ -1204,3 +1204,42 @@ def test_splunk_hec_indexer_acknowledgements_end_to_end(spark):
     assert n == 3
     msgs = [_json.loads(e[4])["event"] for e in state.drain(-1)]
     assert sorted(msgs) == ["ev-1", "ev-2", "ev-3"]
+
+
+def test_udp_multicast_group_receive():
+    """socket/udp multicast_groups: the listener joins the group at
+    bind and receives datagrams sent to the group address
+    (socket/udp.rs:46-75). Loopback multicast needs the interface set
+    and IP_MULTICAST_LOOP (default on)."""
+    import socket as _socket
+    import threading
+    import time
+
+    from vector_spark.sources import _ListenerState
+    from vector_spark.sources_core import _udp_listener
+
+    group = "239.255.42.99"
+    state = _ListenerState(None)
+    port = _free_port()
+    ready = threading.Event()
+    threading.Thread(
+        target=_udp_listener,
+        args=(state, "0.0.0.0", port, ready, None,
+              {"multicast_groups": group,
+               "multicast_interface": "127.0.0.1"}),
+        daemon=True,
+    ).start()
+    assert ready.wait(5)
+
+    snd = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    snd.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_IF,
+                   _socket.inet_aton("127.0.0.1"))
+    snd.setsockopt(_socket.IPPROTO_IP, _socket.IP_MULTICAST_TTL, 1)
+    for _ in range(3):
+        snd.sendto(b"mc hello", (group, port))
+        time.sleep(0.2)
+        entries = state.drain(-1)
+        if entries:
+            break
+    snd.close()
+    assert entries and entries[0][-1] == "mc hello"

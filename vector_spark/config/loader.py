@@ -901,6 +901,15 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         )
         if cfg.get("wal_dir"):
             reader = reader.option("wal_dir", cfg["wal_dir"])
+        if cfg.get("multicast_groups"):
+            # socket/udp.rs multicast config: groups joined at bind
+            mg = cfg["multicast_groups"]
+            reader = reader.option(
+                "multicast_groups",
+                ",".join(mg) if isinstance(mg, list) else str(mg))
+            if cfg.get("multicast_interface"):
+                reader = reader.option("multicast_interface",
+                                       str(cfg["multicast_interface"]))
         if stype == "http_server":
             # the reference's request-surface config (http_server.rs
             # SimpleHttpConfig): auth, captured headers/query params,

@@ -185,6 +185,19 @@ def _udp_listener(state: _ListenerState, host: str, port: int,
     srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
+    # IPv4 multicast groups (socket/udp.rs:46-75 multicast_groups /
+    # multicast_interface): join each group on bind; to receive
+    # multicast the listening address should be 0.0.0.0 (the
+    # reference's own note — a unicast bind filters group traffic out)
+    groups = [g.strip() for g in str(
+        (options or {}).get("multicast_groups", "")).split(",")
+        if g.strip()]
+    if groups:
+        iface = (options or {}).get("multicast_interface", "0.0.0.0")
+        for g in groups:
+            mreq = socket.inet_aton(g) + socket.inet_aton(iface)
+            srv.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP,
+                           mreq)
     ready.set()
     while True:
         data, addr = srv.recvfrom(65536)
