@@ -2504,6 +2504,7 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     ),
                     concurrency=_request_concurrency(cfg),
                     user_agent=cfg.get("user_agent"),
+                    query_settings=cfg.get("query_settings"),
                 )
             }
         elif stype == "datadog_logs":

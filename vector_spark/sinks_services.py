@@ -365,18 +365,24 @@ def clickhouse_sink(
     timeout_secs: float = 10.0,
     concurrency: int | str | None = None,
     user_agent: str | None = None,
+    query_settings: dict | None = None,
 ) -> int:
     """INSERT rows over the ClickHouse HTTP interface as JSONEachRow.
     URL uses the Identifier query-parameter form (server-side quoting,
     `service.rs:144`) so table/database names never need client
     escaping; ``user_agent`` sets the request User-Agent (the
-    0.57-window clickhouse option)."""
-    q = urllib.parse.urlencode({
+    0.57-window clickhouse option); ``query_settings`` appends
+    arbitrary ClickHouse settings as query parameters (the 0.49
+    `query_settings` option, e.g. async_insert=1)."""
+    params = {
         "query": "INSERT INTO {database:Identifier}.{table:Identifier}"
                  " FORMAT JSONEachRow",
         "param_database": database,
         "param_table": table,
-    })
+    }
+    for k, v in (query_settings or {}).items():
+        params[str(k)] = str(v)
+    q = urllib.parse.urlencode(params)
     url = (
         endpoint.rstrip("/") + "/?input_format_import_nested_json=1&"
         + ("input_format_skip_unknown_fields=1&" if skip_unknown_fields else "")
