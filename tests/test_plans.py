@@ -260,3 +260,28 @@ def test_vrl_codec_chain_single_spread_exchange(spark):
     p = _plan(spark, "vrl_codec_chain_roundtrip")
     assert p.count("Exchange (") <= 1  # tree line only, not the detail
     assert "ArrowEvalPython" in p
+
+
+def test_vrl_wave5_single_spread_exchange(spark):
+    """The wave-5 stdlib query: VRL compiler output + crc/haversine —
+    exactly ONE Exchange (the explicit _spread fanning the pandas-UDF
+    stage over the one-row-group test scan; identity at real scale),
+    everything else a scan-riding projection."""
+    p = _plan(spark, "vrl_wave5_functions")
+    assert p.count("Exchange (") <= 1
+
+
+def test_arrow_ipc_single_spread_per_arm(spark):
+    """Arrow IPC roundtrip: two arms unioned, each with its own
+    _spread — at most one Exchange per arm and the codec itself is
+    mapInPandas (no per-row Python, no extra shuffle)."""
+    p = _plan(spark, "arrow_ipc_roundtrip")
+    assert p.count("Exchange (") <= 2  # one _spread per arm
+
+
+def test_c4_filters_zero_shuffle(spark):
+    """C4 rules are pure Column work over the line split: the whole
+    audit matrix rides the documents scan with NO shuffle."""
+    p = _plan(spark, "docs_c4_filters")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
