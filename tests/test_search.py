@@ -121,3 +121,29 @@ def test_search_reference_corpus(spark):
     # --- boolean composition over mixed facet/tag terms
     assert q("(env:prod OR env:dev) AND @flag:true") == [1, 3]
     assert q("env:prod OR n:[40 TO 45]") == [1, 4]
+
+
+def test_reserved_source_and_ddtags_multi_field(spark):
+    """datadog_search.rs reserved-field semantics: `source:` matches
+    source OR ddsource; a tag facet probes tags AND ddtags."""
+    from vector_spark.functions.search import datadog_search
+
+    df = spark.createDataFrame(
+        [("nginx", None, ["env:prod"], None),
+         (None, "agent", ["env:dev"], ["team:core"]),
+         ("other", None, [], None)],
+        "source string, ddsource string, "
+        "tags array<string>, ddtags array<string>")
+    schema = df.columns
+    assert df.where(datadog_search("source:nginx", schema=schema)
+                    ).count() == 1
+    # matches via the ddsource column
+    assert df.where(datadog_search("source:agent", schema=schema)
+                    ).count() == 1
+    # tag facet found in ddtags
+    assert df.where(datadog_search("team:core", schema=schema)
+                    ).count() == 1
+    assert df.where(datadog_search("env:prod", schema=schema)
+                    ).count() == 1
+    assert df.where(datadog_search("env:nope", schema=schema)
+                    ).count() == 0

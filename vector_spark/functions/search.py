@@ -85,11 +85,32 @@ def _value_predicate(
     tags_col: str = "tags",
 ) -> Column:
     field = field[1:] if field.startswith("@") else field
+    # reserved "source" matches source OR ddsource
+    # (datadog_search.rs:116-118 exists_match_multiple)
+    if field == "source" and schema is not None:
+        cols = [x for x in ("source", "ddsource") if x in schema]
+        if cols:
+            pred = None
+            for x in cols:
+                p = _value_predicate_col(F.col(x), val)
+                pred = p if pred is None else (pred | p)
+            return pred
     # attribute-vs-tag resolution (reference datadog_search.rs): a field
-    # that isn't a column compiles against the tags array
+    # that isn't a column compiles against the tags array — and tag
+    # facets probe BOTH tags and ddtags when present
+    # (datadog_search.rs:108-149 any_string_match_multiple)
     if schema is not None and field not in schema:
-        return _tag_predicate(field, val, tags_col)
+        pred = _tag_predicate(field, val, tags_col)
+        if "ddtags" in schema and tags_col != "ddtags":
+            pred = pred | _tag_predicate(field, val, "ddtags")
+        return pred
     c = F.col(field)
+    return _value_predicate_col(c, val)
+
+
+def _value_predicate_col(c: Column, val: str) -> Column:
+    """Scalar-column half of _value_predicate (shared by the reserved
+    multi-field ORs)."""
     if val.startswith('"') and val.endswith('"'):
         return c.cast("string") == val[1:-1]
     m = _RANGE.match(val)
