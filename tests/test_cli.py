@@ -452,3 +452,26 @@ sinks:
                           "t": {"deep": {"k": "v"}}}})
     )
     assert rt["a"]["s"] == 'q"uo\nte' and rt["a"]["t"]["deep"]["k"] == "v"
+
+
+def test_graph_mermaid_format(tmp_path):
+    """graph --output-format mermaid (graph.rs render_mermaid): the
+    reference's node shapes and |port| edge labels."""
+    from vector_spark.cli import cmd_graph
+
+    p = tmp_path / "t.yaml"
+    p.write_text("""
+sources:
+  in: {type: demo_logs, format: json, count: 1}
+transforms:
+  r: {type: route, inputs: [in], route: {a: "message like '%a%'"}}
+sinks:
+  out: {type: console, inputs: [r.a]}
+""")
+    m = cmd_graph([str(p)], fmt="mermaid")
+    assert m.startswith("flowchart TD;")
+    assert "in[/in/]" in m          # source shape
+    assert "r{r}" in m              # transform shape
+    assert "out[\\out\\]" in m      # sink shape
+    assert "r -->|a| out" in m      # named-port edge label
+    assert "in --> r" in m

@@ -123,13 +123,45 @@ def cmd_validate(paths: list[str], interpolate: bool = False) -> str:
            f"{len(transforms)} transforms, {len(sinks)} sinks)"
 
 
-def cmd_graph(paths: list[str], interpolate: bool = False) -> str:
-    """DOT rendering (graph.rs render_dot): sources as trapezium,
-    transforms as diamond, sinks as invtrapezium; edges follow inputs."""
+def cmd_graph(paths: list[str], interpolate: bool = False,
+              fmt: str = "dot") -> str:
+    """Topology rendering. ``dot`` (graph.rs render_dot): sources as
+    trapezium, transforms as diamond, sinks as invtrapezium.
+    ``mermaid`` (graph.rs render_mermaid, the 0.47 addition):
+    flowchart TD with the reference's node shapes — sources `[/x/]`,
+    transforms `{x}`, sinks `[\\x\\]` — and `-->|port|` edge labels
+    for named-output inputs."""
     from vector_spark.config.loader import _validate
 
     cfg = _parse_configs(paths, interpolate=interpolate)
     sources, transforms, sinks = _validate(cfg)
+    if fmt == "mermaid":
+        out = ["flowchart TD;", "", "  %% Sources"]
+        for name in sources:
+            out.append(f"  {name}[/{name}/]")
+        out.append("")
+        out.append("  %% Transforms")
+        for name, comp in transforms.items():
+            out.append(f"  {name}{{{name}}}")
+            for inp in comp.get("inputs", []):
+                base, _, port = inp.partition(".")
+                if port:
+                    out.append(f"  {base} -->|{port}| {name}")
+                else:
+                    out.append(f"  {base} --> {name}")
+        out.append("")
+        out.append("  %% Sinks")
+        for name, comp in sinks.items():
+            out.append(f"  {name}[\\{name}\\]")
+            for inp in comp.get("inputs", []):
+                base, _, port = inp.partition(".")
+                if port:
+                    out.append(f"  {base} -->|{port}| {name}")
+                else:
+                    out.append(f"  {base} --> {name}")
+        return "\n".join(out)
+    if fmt != "dot":
+        raise ValueError(f"graph: unknown format {fmt!r}")
     out = ["digraph {"]
     for name in sources:
         out.append(f'  "{name}" [shape=trapezium]')
@@ -638,8 +670,10 @@ def main(argv: list[str] | None = None) -> int:
         dest="allow_env_interp",
         help="opt back into ${VAR} config interpolation "
              "(off by default since v0.58, cli.rs:155)")
-    sp = sub.add_parser("graph", help="print the topology as DOT")
+    sp = sub.add_parser("graph", help="print the topology as DOT/mermaid")
     sp.add_argument("config", nargs="+")
+    sp.add_argument("--output-format", choices=["dot", "mermaid"],
+                    default="dot", dest="graph_fmt")
     sp.add_argument(
         "--dangerously-allow-env-var-interpolation", action="store_true",
         dest="allow_env_interp",
@@ -696,7 +730,8 @@ def main(argv: list[str] | None = None) -> int:
                                interpolate=args.allow_env_interp))
         elif args.cmd == "graph":
             print(cmd_graph(args.config,
-                            interpolate=args.allow_env_interp))
+                            interpolate=args.allow_env_interp,
+                            fmt=args.graph_fmt))
         elif args.cmd == "vrl":
             for line in cmd_vrl(args.program, sys.stdin.readlines()):
                 print(line)
