@@ -1243,3 +1243,71 @@ def test_udp_multicast_group_receive():
             break
     snd.close()
     assert entries and entries[0][-1] == "mc hello"
+
+
+def test_unix_stream_socket_source(spark, tmp_path):
+    """socket `mode: unix` (socket/unix.rs): framed events over an
+    AF_UNIX stream socket, streamed live through the topology."""
+    import socket as _socket
+
+    from vector_spark.sources import register_sources
+
+    path = str(tmp_path / "events.sock")
+
+    register_sources(spark)
+    df = (spark.readStream.format("unix_socket")
+          .option("path", path).option("mode", "unix").load())
+    q = (df.writeStream.format("memory").queryName("unix_sock_t")
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        import time
+
+        deadline = time.time() + 10
+        while not __import__("os").path.exists(path):
+            assert time.time() < deadline
+            time.sleep(0.05)
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        c.connect(path)
+        c.sendall(b"hello unix\nsecond line\n")
+        c.close()
+        while time.time() < deadline:
+            rows = spark.sql("select * from unix_sock_t").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.2)
+        msgs = {r["message"] for r in rows}
+        assert msgs == {"hello unix", "second line"}
+        assert rows[0]["peer"] == path
+    finally:
+        q.stop()
+
+
+def test_unix_datagram_socket_source(spark, tmp_path):
+    import socket as _socket
+    import time
+
+    from vector_spark.sources import register_sources
+
+    register_sources(spark)
+    path = str(tmp_path / "dgram.sock")
+    df = (spark.readStream.format("unix_socket")
+          .option("path", path).option("mode", "unix_datagram").load())
+    q = (df.writeStream.format("memory").queryName("unix_dgram_t")
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        deadline = time.time() + 10
+        while not __import__("os").path.exists(path):
+            assert time.time() < deadline
+            time.sleep(0.05)
+        c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_DGRAM)
+        c.sendto(b"dg one\ndg two", path)
+        c.close()
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from unix_dgram_t").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.2)
+        assert {r["message"] for r in rows} == {"dg one", "dg two"}
+    finally:
+        q.stop()

@@ -601,7 +601,7 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
             starting_offsets=cfg.get("starting_offsets", "latest"),
             options=cfg.get("options"),
         )
-    if stype == "socket":
+    if stype == "socket" and not str(cfg.get("mode", "")).startswith("unix"):
         from vector_spark.streaming.pipeline import socket_source
 
         host, port = _host_port(cfg)
@@ -881,6 +881,20 @@ def _build_source_raw(spark: SparkSession, name: str, cfg: dict) -> DataFrame:
         for k in ("mode", "command", "url", "decode", "min_interval_secs"):
             if cfg.get(k) is not None:
                 reader = reader.option(k, str(cfg[k]))
+        return reader.load()
+    if stype == "socket" and str(cfg.get("mode", "")).startswith("unix"):
+        # socket source unix modes (socket/unix.rs): AF_UNIX listener
+        # at `path` via the unix_socket DataSource
+        from vector_spark.sources import register_sources
+
+        register_sources(spark)
+        reader = (
+            spark.readStream.format("unix_socket")
+            .option("path", cfg["path"])
+            .option("mode", str(cfg["mode"]))
+        )
+        if cfg.get("wal_dir"):
+            reader = reader.option("wal_dir", cfg["wal_dir"])
         return reader.load()
     if stype in (
         "syslog_tcp", "statsd_udp", "http_server", "fluent", "logstash",

@@ -51,7 +51,8 @@ from pyspark.sql.types import StructType
 # the import hub — every public and test-facing symbol re-exports here,
 # so `from vector_spark.sources import X` keeps working unchanged.
 
-from vector_spark.sources_core import (  # noqa: F401,E402
+from vector_spark.sources_core import (
+    UnixSocketDataSource,  # noqa: F401,E402
     SOCKET_SCHEMA,
     OctetCountingFramer,
     StatsdUDPDataSource,
@@ -90,6 +91,7 @@ def register_sources(spark) -> None:
     """Register the wire-protocol sources on a session (idempotent)."""
     spark.dataSource.register(SyslogTCPDataSource)
     spark.dataSource.register(StatsdUDPDataSource)
+    spark.dataSource.register(UnixSocketDataSource)
     spark.dataSource.register(HTTPServerDataSource)
     spark.dataSource.register(FluentDataSource)
     spark.dataSource.register(LogstashDataSource)

@@ -180,6 +180,71 @@ def _tcp_listener(state: _ListenerState, host: str, port: int,
     _accept_forever(srv, handle, tls)
 
 
+def _unix_stream_listener(state: _ListenerState, host: str, port: int,
+                          ready: threading.Event, tls=None,
+                          options=None):
+    """socket source `mode: unix` / `mode: unix_stream`
+    (src/sources/socket/unix.rs): newline/octet-framed events over an
+    AF_UNIX stream socket at `path` (the reference forwards syslog
+    over /dev/log-style sockets this way). host/port are unused —
+    the path rides in options."""
+    import os as _os
+
+    path = (options or {}).get("path")
+    if not path:
+        raise ValueError("unix mode needs a 'path' option")
+    try:
+        _os.unlink(path)
+    except FileNotFoundError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(16)
+    ready.set()
+
+    def handle(conn: socket.socket, peer: str) -> None:
+        framer = OctetCountingFramer()
+        with conn:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                for frame in framer.feed(data):
+                    if frame:
+                        state.append(path, frame)
+
+    while True:
+        conn, _addr = srv.accept()
+        threading.Thread(
+            target=handle, args=(conn, path), daemon=True
+        ).start()
+
+
+def _unix_datagram_listener(state: _ListenerState, host: str, port: int,
+                            ready: threading.Event, tls=None,
+                            options=None):
+    """socket source `mode: unix_datagram` (socket/unix.rs): one event
+    per datagram (newline-split, the UDP shape) on an AF_UNIX dgram
+    socket."""
+    import os as _os
+
+    path = (options or {}).get("path")
+    if not path:
+        raise ValueError("unix_datagram mode needs a 'path' option")
+    try:
+        _os.unlink(path)
+    except FileNotFoundError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    srv.bind(path)
+    ready.set()
+    while True:
+        data = srv.recv(65536)
+        for line in data.decode("utf-8", "replace").splitlines():
+            if line.strip():
+                state.append(path, line.strip())
+
+
 def _udp_listener(state: _ListenerState, host: str, port: int,
                   ready: threading.Event, tls=None, options=None):
     srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -218,7 +283,7 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict, proto: str) -> None:
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options.get("port", 0) or 0)
-        if not self.port:
+        if not self.port and proto not in ("unix_stream", "unix_datagram"):
             raise ValueError("option 'port' is required")
         self.proto = proto
         self.wal_dir = options.get("wal_dir")
@@ -267,9 +332,14 @@ class _SocketStreamReader(SimpleDataSourceStreamReader):
             # lazy imports: the http/wire listener families live in
             # sibling modules that import THIS one (r11 split) — the
             # dispatch resolves at first use, not at module import
-            if self.proto in ("tcp", "udp"):
-                target = {"tcp": _tcp_listener, "udp": _udp_listener}[
-                    self.proto]
+            if self.proto in ("tcp", "udp", "unix_stream",
+                              "unix_datagram"):
+                target = {
+                    "tcp": _tcp_listener,
+                    "udp": _udp_listener,
+                    "unix_stream": _unix_stream_listener,
+                    "unix_datagram": _unix_datagram_listener,
+                }[self.proto]
             elif self.proto == "http":
                 from vector_spark.sources_http import _http_listener
                 target = _http_listener
@@ -339,6 +409,28 @@ class SyslogTCPDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
         return _SocketStreamReader(self.options, "tcp")
+
+
+class UnixSocketDataSource(DataSource):
+    """socket source `mode: unix_stream` / `unix_datagram`
+    (src/sources/socket/unix.rs): AF_UNIX listener at option `path`;
+    stream mode frames like the TCP path (RFC6587/newline auto),
+    datagram mode splits each datagram into lines like UDP."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "unix_socket"
+
+    def schema(self) -> str:
+        return SOCKET_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _SocketStreamReader:
+        mode = str(self.options.get("mode", "unix_stream"))
+        if mode == "unix":
+            mode = "unix_stream"
+        if mode not in ("unix_stream", "unix_datagram"):
+            raise ValueError(f"unix_socket: unknown mode {mode!r}")
+        return _SocketStreamReader(self.options, mode)
 
 
 class StatsdUDPDataSource(DataSource):
