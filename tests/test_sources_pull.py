@@ -1729,3 +1729,42 @@ def test_cloudwatch_high_resolution_metrics(spark):
         assert q["MetricData.member.1.StorageResolution"] == ["1"]
     finally:
         srv.shutdown()
+
+
+def test_s3_sink_vhost_addressing(spark):
+    """force_path_style=False → virtual-hosted bucket URLs (the 0.46
+    vhost addressing support; path-style stays the default)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_spark.sinks import s3_sink
+
+    paths = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            paths.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([("x",)], "message string").coalesce(1)
+        ep = f"http://127.0.0.1:{srv.server_port}"
+        s3_sink(df, "bkt", region="us-east-1", access_key="AK",
+                secret_key="SK", endpoint=ep)
+        assert paths[0].startswith("/bkt/")        # path-style default
+        s3_sink(df, "bkt", region="us-east-1", access_key="AK",
+                secret_key="SK", endpoint=ep, force_path_style=False)
+        # vhost: the bucket leaves the path (it would live in the host;
+        # with an endpoint override the path starts at the key)
+        assert not paths[1].startswith("/bkt/")
+    finally:
+        srv.shutdown()

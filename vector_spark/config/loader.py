@@ -2356,6 +2356,8 @@ def _run_sinks_inner(topo, results, msg_key, _svc, ProxyConfig):
                     session_token=cfg.get("session_token"),
                     endpoint=cfg.get("endpoint"),
                     encoding=cfg.get("encoding", "ndjson"),
+                    force_path_style=bool(
+                        cfg.get("force_path_style", True)),
                     value_col=cfg.get("value_col", msg_key),
                     gzip_objects=bool(cfg.get("compression") == "gzip"),
                 )

@@ -736,6 +736,7 @@ def s3_sink(
     value_col: str = "message",
     gzip_objects: bool = False,
     timeout_secs: float = 30.0,
+    force_path_style: bool = True,
 ) -> int:
     """S3 object sink (reference src/sinks/aws_s3/config.rs): one
     PutObject per partition, key = strftime-rendered prefix + a content
@@ -744,6 +745,11 @@ def s3_sink(
     newline-delimited (text or JSON rows), optionally gzipped. Requests
     are SigV4-signed (functions/sigv4.py), so this works against live
     S3 or localstack/minio via ``endpoint``.
+
+    ``force_path_style=False`` switches to virtual-hosted addressing
+    (`https://{bucket}.s3.{region}.amazonaws.com/key` — the 0.46
+    "vhost-style S3 bucket addressing" support; the reference defaults
+    to path-style, serde default_true, config.rs:177).
 
     Scale stance mirrors the source: this is the reference's
     tail-stream shape (many small rolling objects). BULK columnar
@@ -780,8 +786,13 @@ def s3_sink(
         prefix = now.strftime(key_prefix)
         digest = hashlib.sha256(body).hexdigest()[:16]
         key = f"{prefix}{int(_time.time())}-{digest}.{ext}"
-        base = endpoint or f"https://s3.{region}.amazonaws.com"
-        url = f"{base.rstrip('/')}/{bucket}/{quote(key, safe='/=-_.~')}"
+        if force_path_style:
+            base = endpoint or f"https://s3.{region}.amazonaws.com"
+            url = (f"{base.rstrip('/')}/{bucket}/"
+                   f"{quote(key, safe='/=-_.~')}")
+        else:
+            base = endpoint or f"https://{bucket}.s3.{region}.amazonaws.com"
+            url = f"{base.rstrip('/')}/{quote(key, safe='/=-_.~')}"
         headers = sign_request(
             "PUT", url,
             {"x-amz-content-sha256": hashlib.sha256(body).hexdigest(),
