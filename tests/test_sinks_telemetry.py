@@ -382,3 +382,30 @@ def test_otlp_logs_sink_unknown_protocol(spark):
 
     with _pytest.raises(ValueError, match="unknown protocol"):
         opentelemetry_logs_sink(_logs(spark), "http://x", protocol="grpc")
+
+
+def test_otlp_pb_batches_keyed_by_resource(spark, capture_server):
+    """Mixed resource attributes in one partition: each protobuf
+    request carries exactly one resource block with ITS records —
+    never the first row's attributes applied to everything."""
+    from vector_spark.functions.protowire import decode_otlp_logs
+
+    base, reqs = capture_server
+    sent = opentelemetry_logs_sink(
+        _logs(spark), base, protocol="protobuf",
+        resource_attrs={"service.name": "app"},
+    )
+    assert sent == 5
+    # _logs alternates app svc-0/svc-1 → at least two requests, and
+    # every record in a request shares its body parity with its svc
+    assert len(reqs) >= 2
+    for r in reqs:
+        records = decode_otlp_logs(r["body"])
+        svc = {str(rec.get("resource", {}).get("service.name"))
+               for rec in records
+               if isinstance(rec.get("resource"), dict)} or None
+        # decoder may fold resource into each record or not expose it;
+        # the invariant testable from bodies: one request = one parity
+        parities = {int(str(rec["body"]).split()[-1]) % 2
+                    for rec in records}
+        assert len(parities) == 1

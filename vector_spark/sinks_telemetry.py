@@ -211,26 +211,28 @@ def _otlp_logs_sink_pb(df, endpoint, path, ts_col, body_col,
     def send_partition(rows) -> None:
         from vector_spark.functions.protowire import encode_otlp_logs
 
-        batch: list[dict] = []
-        rattrs: dict = {}
+        # one ExportLogsServiceRequest carries ONE resource block, so
+        # batches key by the rendered resource-attribute tuple — a
+        # partition mixing resources never misattributes records
+        batches: dict[tuple, list[dict]] = {}
 
-        def flush() -> None:
+        def flush(key: tuple) -> None:
+            batch = batches.pop(key, [])
             if not batch:
                 return
-            body = encode_otlp_logs(batch, resource_attrs=rattrs or
-                                    {"service.name": "vector_spark"})
+            rattrs = dict(zip(attr_keys, key)) if attr_keys else {
+                "service.name": "vector_spark"}
+            body = encode_otlp_logs(batch, resource_attrs=rattrs)
             _http_send_with_retry(
                 url, body,
                 {"Content-Type": "application/x-protobuf",
                  **(headers or {})},
                 timeout_secs, 3, 0.2, proxy_url)
             sent.add(len(batch))
-            batch.clear()
 
         for row in rows:
-            if attr_keys and not rattrs:
-                rattrs = {k: row[f"_ra_{i}"]
-                          for i, k in enumerate(attr_keys)}
+            key = tuple(row[f"_ra_{i}"] for i in range(len(attr_keys)))
+            batch = batches.setdefault(key, [])
             batch.append({
                 "time_unix_nano": (row["_us"] or 0) * 1000,
                 "severity_number": row["_sev_num"],
@@ -238,8 +240,9 @@ def _otlp_logs_sink_pb(df, endpoint, path, ts_col, body_col,
                 "body": row["_body"],
             })
             if len(batch) >= batch_max_events:
-                flush()
-        flush()
+                flush(key)
+        for key in list(batches):
+            flush(key)
 
     out.foreachPartition(send_partition)
     return sent.value
