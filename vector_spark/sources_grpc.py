@@ -144,9 +144,12 @@ class GrpcListener:
             send_lock = threading.Lock()
             streams: dict = {}  # sid -> {"headers": [...], "data": b""}
             hdr_frag: dict = {}  # sid -> accumulated header block
+            max_sid = 0  # highest client stream seen (GOAWAY last-id)
             while True:
                 frames, buf = h2_decode_frames(buf)
                 for ftype, flags, sid, payload in frames:
+                    if sid > max_sid:
+                        max_sid = sid
                     if ftype == H2_SETTINGS and not flags & FLAG_ACK:
                         conn.sendall(
                             h2_encode_frame(H2_SETTINGS, FLAG_ACK, 0)
@@ -215,7 +218,7 @@ class GrpcListener:
                     # graceful GOAWAY (RFC 7540 §6.8): last processed
                     # stream id + NO_ERROR, then close — in-flight
                     # streams already drained (streams is empty)
-                    last_sid = max(hdr_frag, default=0)
+                    last_sid = max_sid
                     with send_lock:
                         conn.sendall(h2_encode_frame(
                             H2_GOAWAY, 0, 0,
