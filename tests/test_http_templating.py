@@ -318,3 +318,23 @@ def test_hec_without_second_stage_unchanged(spark):
         df, {"/services/collector/event": "splunk_hec"})
     ev = json.loads(out.head()["event"])
     assert ev["event"] == "plain" and ev["host"] == "h"
+
+
+def test_custom_auth_crypto_functions():
+    """Auth programs can hash/hmac token material in-process (the
+    interpreter's crypto slice; hex forms comparable to the Column
+    registry's idioms)."""
+    import hashlib
+    import hmac as _hmac
+
+    from vector_spark.functions.vrl_interp import vrl_auth_matcher
+
+    tok_hash = hashlib.sha256(b"secret-token").hexdigest()
+    chk = vrl_auth_matcher(f'sha2(.headers."x-token") == "{tok_hash}"')
+    assert chk({"X-Token": "secret-token"}, "1.1.1.1", "/")[0] is True
+    assert chk({"X-Token": "wrong"}, "1.1.1.1", "/")[0] is False
+
+    sig = _hmac.new(b"k", b"payload-id", hashlib.sha256).hexdigest()
+    chk2 = vrl_auth_matcher(f'hmac(.headers."x-id", "k") == "{sig}"')
+    assert chk2({"X-Id": "payload-id"}, None, "/")[0] is True
+    assert chk2({"X-Id": "other"}, None, "/")[0] is False

@@ -58,6 +58,56 @@ PANDAS_FNS: dict[str, Any] = {
 }
 
 
+def _pd_hashfn(algo):
+    def fn(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        return _pd_str(s).map(
+            lambda x: None if pd.isna(x)
+            else getattr(hashlib, algo)(str(x).encode()).hexdigest())
+
+    return fn
+
+
+def _pd_hmac(s, key, algorithm="SHA-256"):
+    """hmac(value, key, algorithm:) → lowercase hex (VRL returns the
+    raw bytes; hex is this interpreter's comparable form, matching the
+    Column registry's encode_base16(hmac(...)) idiom)."""
+    import hashlib
+    import hmac as _hmac
+
+    algo = str(algorithm).replace("-", "").lower()
+    k = str(key).encode()
+    return _pd_str(s).map(
+        lambda x: None if pd.isna(x)
+        else _hmac.new(k, str(x).encode(), getattr(hashlib, algo))
+        .hexdigest())
+
+
+# the custom-auth path (vrl_auth_matcher) runs real token checks:
+# hashes, hmac, base64, timing-safe-enough equality over single-row
+# frames — the stdlib slice those programs actually use
+PANDAS_FNS.update({
+    "md5": _pd_hashfn("md5"),
+    "sha1": _pd_hashfn("sha1"),
+    "sha2": _pd_hashfn("sha256"),
+    "sha3": _pd_hashfn("sha3_256"),
+    "hmac": _pd_hmac,
+    "encode_base64": lambda s: _pd_str(s).map(
+        lambda x: None if pd.isna(x) else __import__("base64")
+        .b64encode(str(x).encode()).decode()),
+    "decode_base64": lambda s: _pd_str(s).map(
+        lambda x: None if pd.isna(x) else __import__("base64")
+        .b64decode(str(x).encode() + b"==").decode("utf-8", "replace")),
+    "strlen": lambda s: _pd_str(s).str.len(),
+    "slice": lambda s, a, b=None: _pd_str(s).str.slice(a, b),
+    "split": lambda s, sep, limit=-1: _pd_str(s).str.split(sep),
+    "join": lambda s, sep="": s.map(
+        lambda x: None if not isinstance(x, list) else str(sep).join(
+            str(i) for i in x)),
+})
+
+
 class _Interp:
     """Recursive-descent over the same token stream as the compiler,
     evaluating directly against a pandas batch."""
