@@ -2651,15 +2651,25 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.tables import load_table
 
     schema = load_table(spark, sf_dir, "events").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        # the testdata keeps one parquet FILE per table in sf_dir; the
-        # file stream source wants a directory, so glob-filter to the
-        # events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os as _os
+
+    # NO maxFilesPerTrigger: with complete output mode every micro-batch
+    # re-emits the whole aggregate, so one-file-per-trigger turns a 10x
+    # corpus into ~10 full recomputations (measured 16x at the 10x scale
+    # gate before this was removed). availableNow processes the backlog
+    # in one batch; the stateful machinery is exercised identically.
+    reader = spark.readStream.schema(schema)
+    if _os.path.isdir(f"{sf_dir}/events.parquet"):
+        # directory layout (Spark-written tables, e.g. the scale-receipt
+        # replicas): stream the directory itself
+        stream = reader.parquet(f"{sf_dir}/events.parquet")
+    else:
+        # the driver testdata keeps one parquet FILE per table in
+        # sf_dir; the file stream source wants a directory, so
+        # glob-filter to the events file (the filter matches FILE
+        # names — it would see nothing in the directory layout above)
+        stream = reader.option(
+            "pathGlobFilter", "events.parquet").parquet(sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
