@@ -248,3 +248,42 @@ def test_aws_secrets_manager_empty_value_errors(fake_secretsmanager):
 def test_aws_secrets_manager_unreachable_errors():
     with pytest.raises(SecretError, match="GetSecretValue failed"):
         resolve_secrets(_asm_cfg("http://127.0.0.1:1", "api_key"))
+
+
+def test_exec_backend_v1_1_curries_type_and_config(tmp_path):
+    """exec protocol v1.1 (exec.rs ExecVersion::V1_1): the request
+    carries the backend type and config so a generic executable can
+    dispatch."""
+    import json as _json
+
+    from vector_spark.config.secrets import resolve_secrets
+
+    script = tmp_path / "backend.py"
+    script.write_text(
+        "import json, sys\n"
+        "q = json.load(sys.stdin)\n"
+        "assert q['version'] == '1.1', q\n"
+        "assert q['type'] == 'vault', q\n"
+        "assert q['config'] == {'address': 'http://v:8200'}, q\n"
+        "print(json.dumps({k: {'value': f'{k}-val', 'error': None}\n"
+        "                  for k in q['secrets']}))\n"
+    )
+    cfg = {
+        "secret": {
+            "b": {
+                "type": "exec",
+                "command": ["python3", str(script)],
+                "protocol": {
+                    "version": "v1_1",
+                    "backend_type": "vault",
+                    "backend_config": {"address": "http://v:8200"},
+                },
+            }
+        },
+        "sources": {
+            "s": {"type": "values", "rows": [],
+                  "token": "SECRET[b.api_key]"}
+        },
+    }
+    out = resolve_secrets(cfg)
+    assert out["sources"]["s"]["token"] == "api_key-val"

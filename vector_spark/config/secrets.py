@@ -90,7 +90,17 @@ def _resolve_backend(name: str, bcfg: dict, keys: list[str]) -> dict[str, str]:
             out[k] = v
         return out
     if btype == "exec":
-        query = json.dumps({"version": "1.0", "secrets": sorted(keys)})
+        # protocol v1.1 (src/secrets/exec.rs ExecVersion::V1_1): the
+        # backend's own type + config CURRY into each request, so one
+        # generic executable can serve many backend kinds
+        proto = bcfg.get("protocol") or {}
+        pver = str(proto.get("version", "v1")).lower().replace("_", ".")
+        q: dict = {"version": "1.0", "secrets": sorted(keys)}
+        if pver in ("v1.1", "1.1"):
+            q["version"] = "1.1"
+            q["type"] = proto.get("backend_type", "")
+            q["config"] = proto.get("backend_config", {})
+        query = json.dumps(q)
         proc = subprocess.run(
             bcfg["command"],
             input=query.encode(),
