@@ -16,6 +16,16 @@ are the honest cost and NOT comparable 1:1 with earlier artifacts for
 the affected entries (NOTES_r11 has a measured count-vs-noop table).
 The canonical-pipeline events/s metrics got the same fix (their JSON
 parse stage was pruned under count()).
+
+MEASUREMENT ROBUSTNESS (r11 optimization round): this host is a
+Firecracker guest on an oversubscribed hypervisor — /proc/stat steal
+shows storms of 100-550 stolen ticks/s (1-5.5 full cores) lasting
+minutes, inflating individual runs 2-20x with zero code change
+(measured: the same query 2.3 s and 39 s back to back). Timings remain
+min-over-N full-evaluation runs, N>=3 exactly as before; when the BEST
+run saw nonzero steal while executing, up to 2 extra runs try for an
+uncontaminated sample (_timed_min). The artifact carries the total
+steal ticks observed across the bench as context.
 """
 
 from __future__ import annotations
@@ -124,9 +134,54 @@ HEADLINE = [
 
 
 LOAD_START = round(os.getloadavg()[0], 2)
+STEAL_START = None  # set in main() after _steal_ticks is defined
+
+
+def _steal_ticks() -> int:
+    """Cumulative hypervisor CPU-steal ticks (field 8 of /proc/stat cpu
+    line); 0 where unavailable. Used to flag timing runs that a noisy
+    neighbor contaminated — measured on this host: storms of 100-550
+    stolen ticks/s (1-5.5 cores) lasting minutes inflate individual runs
+    2-20x with zero change in the code under test."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except Exception:
+        return 0
+
+
+def _timed_min(run, runs: int = 3, max_extra: int = 2, pre=None) -> float:
+    """min-of-N timing with steal-aware retries: the base `runs`
+    timings are taken as always; if the BEST run saw hypervisor CPU
+    steal while it executed (contamination, not engine cost), up to
+    `max_extra` further runs try for a clean sample. The metric is
+    unchanged (min over >=3 full-evaluation runs) — the retries only
+    make the recorded number the engine's, not the neighbor's.
+    Documented in OPTIMIZATION_r11.md."""
+    best, best_steal = None, 0
+    attempts = 0
+    while True:
+        if pre is not None:
+            pre()  # untimed per-run setup (e.g. cold-entry cache clear)
+        s0 = _steal_ticks()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        stolen = _steal_ticks() - s0
+        attempts += 1
+        if best is None or dt < best:
+            best, best_steal = dt, stolen
+        if attempts < runs:
+            continue
+        if best_steal > 50 and attempts < runs + max_extra:
+            continue
+        return best
 
 
 def main() -> None:
+    global STEAL_START
+    STEAL_START = _steal_ticks()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vector_spark.plans.queries import QUERIES
     from vector_spark.session import get_spark
@@ -162,12 +217,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_full(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+        best = _timed_min(lambda: run_full(fn(spark, sf_dir)))
         # 3 digits: shrinks the JSON line so more receipts survive the
         # driver recorder's head-truncation window
         timings[name] = round(best, 3)
@@ -188,13 +238,10 @@ def main() -> None:
     }
     for cold_name, name in COLD.items():
         fn = QUERIES[name].fn
-        best = None
-        for _ in range(3):
-            clear_caches(blocking=True)
-            t0 = time.perf_counter()
-            run_full(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+        best = _timed_min(
+            lambda fn=fn: run_full(fn(spark, sf_dir)),
+            pre=lambda: clear_caches(blocking=True),
+        )
         timings[cold_name] = round(best, 3)
         n = fn(spark, sf_dir).count()
         print(
@@ -238,13 +285,7 @@ def main() -> None:
 
     def min_of(src, runs: int) -> float:
         pipeline(src)  # warm
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            pipeline(src)
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        return best
+        return _timed_min(lambda: pipeline(src), runs=runs)
 
     # the un-replicated job finishes in ~0.2 s at sf0.1 — scheduler
     # noise dominates a sample that small (the r9 "-24% regression"
@@ -291,9 +332,13 @@ def main() -> None:
                 # count()-based artifacts (module docstring)
                 "bench_method": "noop_full_eval",
                 # host-noise context (r2 verdict #5: make the artifact
-                # carry the evidence): 1-min loadavg before/after
+                # carry the evidence): 1-min loadavg before/after, plus
+                # hypervisor CPU-steal ticks accumulated across the whole
+                # bench (r11 opt: storms of 1-5.5 stolen cores inflate
+                # runs 2-20x; _timed_min retries contaminated best runs)
                 "loadavg_start": LOAD_START,
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                "steal_ticks": _steal_ticks() - (STEAL_START or 0),
                 "pipeline_n_events": n_events,
                 "metric": "headline_queries_total_time",
                 "value": total,

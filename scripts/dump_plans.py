@@ -1,0 +1,47 @@
+"""Dump .explain('formatted') for headline queries to plans/r11/.
+
+Usage: python scripts/dump_plans.py <suffix> [name ...]
+Writes plans/r11/<query>_<suffix>.txt for each requested query (default:
+every bench HEADLINE entry). Driver-side only — plans are built and
+formatted, nothing is executed, so this is cheap at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    from vector_spark.plans.queries import QUERIES
+    from vector_spark.session import get_spark
+
+    spark = get_spark("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = QUERIES[name].fn(spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

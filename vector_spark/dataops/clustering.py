@@ -43,8 +43,21 @@ from vector_spark.dataops.similarity import _dot, _norm
 _ROUND = 6
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal for x (repr roundtrips the IEEE value; the D
+    suffix keeps Spark from parsing plain decimals as DECIMAL)."""
+    return f"{float(x)!r}D"
+
+
 def _centroid_lit(c: list[float]) -> Column:
-    return F.array(*[F.lit(round(float(x), _ROUND)) for x in c])
+    # ONE F.expr call instead of len(c) F.lit py4j round-trips: the plan
+    # is the identical array-of-double-literals, but building it costs a
+    # single JVM call. At k=8 × dim=64 the per-element form spent ~0.5 s
+    # of pure driver plan construction per assignment build (×3 builds
+    # per kmeans query); the expr-string form is ~milliseconds.
+    return F.expr(
+        "array(" + ",".join(_dlit(round(float(x), _ROUND)) for x in c) + ")"
+    )
 
 
 def assign_clusters(
@@ -66,12 +79,23 @@ def assign_clusters(
     and grows O(k·dim) in expression-tree size)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vv = _dot(v, v)
-    cents = F.array(*[_centroid_lit(c) for c in centroids])
-    cc = F.array(
-        *[
-            F.lit(round(float(sum(x * x for x in c)), _ROUND))
+    # single-expr literal arrays (see _centroid_lit): k×dim values in two
+    # py4j calls total instead of k×dim+k
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(round(float(x), _ROUND)) for x in c) + ")"
             for c in centroids
-        ]
+        )
+        + ")"
+    )
+    cc = F.expr(
+        "array("
+        + ",".join(
+            _dlit(round(float(sum(x * x for x in c)), _ROUND))
+            for c in centroids
+        )
+        + ")"
     )
     scored = F.transform(
         cents,
@@ -144,7 +168,9 @@ def kmeans_summary(
         i: round(sum(x * x for x in c) ** 0.5, _ROUND)
         for i, c in enumerate(centroids)
     }
-    norm_col = F.array(*[F.lit(norms[i]) for i in range(k)])[F.col("cluster")]
+    norm_col = F.expr(
+        "array(" + ",".join(_dlit(norms[i]) for i in range(k)) + ")"
+    )[F.col("cluster")]
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -213,12 +239,11 @@ def semantic_dedup(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    # persisted (registry-tracked): connected_components sizes the graph
-    # (edge count) and then reads the edges again — without the persist
-    # each of those re-runs the cluster-blocked pairwise join, the most
-    # expensive stage here. Near-dup pairs are a tiny fraction of the
-    # corpus by the operator's purpose.
-    pairs = cache.track_persist(pairs)
+    # no persist needed here: connected_components materializes the pair
+    # list into a localCheckpoint as its FIRST step and reads only that
+    # copy afterwards (probe-collect on the small path, edge build on the
+    # large one) — the cluster-blocked pairwise join executes exactly
+    # once either way. A persist on top was pure duplicate storage.
     comp = connected_components(
         pairs, checkpoint_dir=checkpoint_dir
     )  # (id, component)

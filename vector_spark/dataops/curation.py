@@ -483,9 +483,12 @@ def remove_duplicate_spans(
       the same lowercase/trim normalization the span scan uses, so a
       document with nothing removed comes back normalized, not verbatim.
 
-    Scale shape: one span-explode scan feeding ONE corpus-wide span
-    aggregation (count_distinct doc + min canonical key ride the same
-    exchange, map-side combined); the survivor table joins back onto a
+    Scale shape: one span-explode scan feeding a two-level span
+    aggregation ((span, doc) -> min pos, map-side combined, then the
+    span-level count + canonical key over the deduplicated rows — hash
+    aggregates instead of the Expand + sort-based plan the one-level
+    count_distinct/struct-min form compiled to); the survivor table
+    joins back onto a
     second span scan to mark removed occurrences — with NO broadcast
     hint: survivor cardinality is the number of distinct duplicated
     spans, corpus-dependent (Lee et al. found duplicate text at corpus-
@@ -502,25 +505,34 @@ def remove_duplicate_spans(
         docs = docs.repartition(target)
     spans = docs.select(
         F.col(id_col).alias("_doc"),
-        # second attribute for the canonical-key min: count_distinct(x)
-        # mixed with min over the SAME attribute trips a Catalyst 4.1
-        # internal error (see duplicate_spans)
-        F.col(id_col).alias("_doc2"),
         F.posexplode(_ngrams(_words(F.col(text_col)), k)).alias(
             "pos", "span"
         ),
     )
+    # two-level aggregation: (span, doc) -> min pos, then span -> count +
+    # lexicographic-min canonical key. Semantically identical to a single
+    # groupBy(span).agg(count_distinct(doc), min(struct(doc, pos))) — the
+    # per-doc min-pos rows are exactly the distinct docs, and the struct
+    # min over them is the same (min doc, its min pos) — but the single-
+    # level form compiled to an Expand + THREE SortAggregates with two
+    # sorted exchanges (count_distinct forces the expand; struct-min
+    # forces sort-based aggregation over the full span table). Level 1 is
+    # a plain hash aggregate over atomic columns; the sort-based struct
+    # min now only sees the deduplicated (span, doc) rows. This also
+    # retires the _doc2 alias workaround (count_distinct mixed with min
+    # over the same attribute tripped a Catalyst 4.1 internal error).
+    per_doc = spans.groupBy("span", "_doc").agg(F.min("pos").alias("_minpos"))
     survivors = (
-        spans.groupBy("span")
+        per_doc.groupBy("span")
         .agg(
-            F.count_distinct("_doc").alias("n_docs"),
-            F.min(F.struct("_doc2", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct(F.col("_doc"), F.col("_minpos"))).alias("first"),
         )
         .where(F.col("n_docs") >= min_docs)
         .select(
             "span",
-            F.col("first._doc2").alias("_fdoc"),
-            F.col("first.pos").alias("_fpos"),
+            F.col("first._doc").alias("_fdoc"),
+            F.col("first._minpos").alias("_fpos"),
         )
     )
     removed = (
@@ -690,11 +702,18 @@ def _ranked_parts(
 
 
 def _exact_rank_rows(
-    df: DataFrame, score_col: str, id_col: str, ranks: list[int]
+    df: DataFrame, score_col: str, id_col: str, ranks
 ) -> dict[int, tuple]:
     """Exact distributed selection: the (score, id) pair at each 1-based
     rank in *ranks* under ascending (score, id) order, computed WITHOUT
     ever funneling O(n) rows through one task or the driver.
+
+    *ranks* is a list of ranks, or a callable n -> list of ranks: the
+    callable form derives the ranks from the total row count n that the
+    per-partition address aggregate already computes, which lets callers
+    that need count-dependent ranks (rank_buckets' n·b/k cuts) skip
+    their own df.count() — one fewer full pass over the scored input.
+    With a callable the return is (by_rank, n) instead of by_rank.
 
     Plan: one range shuffle puts partitions in global key order; a
     P-row aggregate (count, min/max mid per partition) comes back to the
@@ -727,6 +746,10 @@ def _exact_rank_rows(
                 "monotonically_increasing_id not consecutive within "
                 f"partition {r['_p']}; exact-rank addressing unsafe"
             )
+    derive = callable(ranks)
+    n_total = sum(r["_c"] for r in stats)
+    if derive:
+        ranks = ranks(n_total)
     wanted = []  # (pid, mid) for each rank
     by_rank: dict[int, tuple] = {}
     cum = 0
@@ -736,7 +759,7 @@ def _exact_rank_rows(
                 wanted.append((k, r["_p"], r["_lo"] + (k - cum - 1)))
         cum += r["_c"]
     if not wanted:
-        return by_rank
+        return (by_rank, n_total) if derive else by_rank
     cond = None
     for _k, p, m in wanted:
         c = (F.col("_p") == p) & (F.col("_mid") == m)
@@ -747,7 +770,7 @@ def _exact_rank_rows(
     }
     for k, p, m in wanted:
         by_rank[k] = hit[(p, m)]
-    return by_rank
+    return (by_rank, n_total) if derive else by_rank
 
 
 def rank_buckets(
@@ -769,8 +792,10 @@ def rank_buckets(
     one range shuffle, a P-row per-partition count aggregate, and a
     filter scan that extracts exactly k−1 rows. Bucket assignment is
     then a pure-Column struct comparison riding the scan. The scored
-    input persists through the session cache registry (count + final
-    projection); the two-column ranked projection persists separately
+    input persists through the session cache registry (rank-helper
+    source + final projection; the helper's address aggregate also
+    supplies the total count, so rank_buckets runs no df.count() pass of
+    its own); the two-column ranked projection persists separately
     inside the rank helper."""
     from vector_spark import cache
 
@@ -781,14 +806,17 @@ def rank_buckets(
     if len(labels) != n_buckets:
         raise ValueError("labels must match n_buckets")
     df = cache.track_persist(df)
-    n = df.count()
     key = F.struct(F.col(score_col), F.col(id_col))
-    ranks = []
-    for b in range(1, n_buckets):
-        k = (n * b) // n_buckets
-        if k > 0:
-            ranks.append(k)
-    by_rank = _exact_rank_rows(df, score_col, id_col, sorted(set(ranks)))
+    # ranks derived from the count the rank helper's address aggregate
+    # already produces — no separate df.count() pass over the scored input
+    by_rank, n = _exact_rank_rows(
+        df,
+        score_col,
+        id_col,
+        lambda n: sorted(
+            {(n * b) // n_buckets for b in range(1, n_buckets)} - {0}
+        ),
+    )
     bounds = []
     for b in range(1, n_buckets):
         k = (n * b) // n_buckets

@@ -509,14 +509,16 @@ def connected_components(
     checkpoint_dir: see _ckpt_fn — pass a fault-tolerant path at scale so
     per-round materialization survives executor loss.
 
-    local_threshold: edge count at-or-below which the (already
-    materialized, exactly counted) edge list is solved with a driver-side
-    union-find instead of iterative cluster rounds — a graph this small
-    costs more in per-round scheduling than compute (measured at sf0.1:
-    256 edges took 1.6 s of round latency, ~0 s locally). The gate is on
-    the REAL edge count, not a guess, so a 100 TB run with billions of
-    pairs always takes the distributed path; the result is broadcast-
-    hinted since its size is proven bounded. Set 0 to disable.
+    local_threshold: pair count at-or-below which the (already
+    materialized) pair list is solved with a driver-side union-find
+    instead of iterative cluster rounds — a graph this small costs more
+    in per-round scheduling than compute (measured at sf0.1: 256 edges
+    took 1.6 s of round latency, ~0 s locally). The gate is a
+    limit(threshold+1) probe-collect over the REAL materialized pairs,
+    not a guess, so a 100 TB run with billions of pairs always takes the
+    distributed path (the probe stops after ~one partition); the result
+    is broadcast-hinted since its size is proven bounded. Set 0 to
+    disable.
 
     Returns (id, component) with component = min id reachable."""
     a, b = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -529,38 +531,46 @@ def connected_components(
     # distinct'd bidirectional list every round joins) reads only the
     # materialized pairs, so it costs one small shuffle.
     mat = _ckpt_fn(pairs.select(a, b), checkpoint_dir)
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be label|star: {algorithm!r}")
+    if local_threshold:
+        # probe-collect the materialized pairs with limit(threshold+1):
+        # one cheap driver job answers "is the graph small?" AND delivers
+        # the edge list when it is. Union-find needs neither direction nor
+        # distinctness, so the small path skips the bidirectional-distinct
+        # checkpoint and its shuffle outright (4 driver-blocking jobs →
+        # 2). On the large path the probe stops after ~one partition of
+        # the checkpointed RDD — it replaces the old full edges.count().
+        probe = mat.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                ra, rb = find(r["src"]), find(r["dst"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comp_min: dict = {}
+            for x in parent:
+                root = find(x)
+                comp_min[root] = min(comp_min.get(root, x), x)
+            out = pairs.sparkSession.createDataFrame(
+                [(x, comp_min[find(x)]) for x in parent],
+                schema=mat.select(
+                    F.col("src").alias("id"), F.col("dst").alias("component")
+                ).schema,
+            )
+            return F.broadcast(out)
     edges = _ckpt_fn(
         mat.union(mat.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct(),
         checkpoint_dir,
     )
-    if algorithm not in ("label", "star"):
-        raise ValueError(f"algorithm must be label|star: {algorithm!r}")
-    if local_threshold and edges.count() <= local_threshold:
-        # driver union-find on the counted-small edge list (see docstring)
-        parent: dict = {}
-
-        def find(x):
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in edges.collect():
-            ra, rb = find(r["src"]), find(r["dst"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comp_min: dict = {}
-        for x in parent:
-            root = find(x)
-            comp_min[root] = min(comp_min.get(root, x), x)
-        out = pairs.sparkSession.createDataFrame(
-            [(x, comp_min[find(x)]) for x in parent],
-            schema=edges.select(
-                F.col("src").alias("id"), F.col("dst").alias("component")
-            ).schema,
-        )
-        return F.broadcast(out)
     if algorithm == "star":
         return _star_components(edges, max_iter, checkpoint_dir)
     labels = (
@@ -652,6 +662,13 @@ def dedup_keep_best(
     comp = connected_components(
         pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
     )
+    # two corpus scans total (was three): scan 1 builds the per-component
+    # winner table from members only (inner join against the component
+    # labels prunes the scan to member rows); scan 2 emits every doc once
+    # with two LEFT joins — component label, then that component's
+    # winner. keep = no component (singleton keeps itself) or being the
+    # winner. Row-for-row identical to the old members-join + anti-join +
+    # union assembly, without the union or the third scan.
     members = (
         docs.select(F.col(id_col), F.col(score_col))
         .join(comp, docs[id_col] == comp.id, "inner")
@@ -665,27 +682,20 @@ def dedup_keep_best(
         F.min(
             F.struct((-F.col("_sc")).alias("_neg"), F.col("_mid"))
         ).alias("_w")
-    ).select("component", F.col("_w._mid").alias("_best"))
-    clustered = (
-        members.join(winners, "component")
-        .select(
-            F.col("_mid").alias(id_col),
-            "component",
-            F.col("_sc").alias(score_col),
-            (F.col("_mid") == F.col("_best")).alias("keep"),
-        )
-    )
-    singles = (
+    ).select(F.col("component").alias("_wc"), F.col("_w._mid").alias("_best"))
+    return (
         docs.select(F.col(id_col), F.col(score_col))
-        .join(comp, docs[id_col] == comp.id, "left_anti")
+        .join(comp, docs[id_col] == comp.id, "left")
+        .join(winners, F.col("component") == F.col("_wc"), "left")
         .select(
             F.col(id_col),
-            F.col(id_col).alias("component"),
+            F.coalesce("component", F.col(id_col)).alias("component"),
             F.col(score_col),
-            F.lit(True).alias("keep"),
+            F.when(F.col("component").isNull(), F.lit(True))
+            .otherwise(F.col(id_col) == F.col("_best"))
+            .alias("keep"),
         )
     )
-    return clustered.unionByName(singles)
 
 
 def remove_duplicate_paragraphs(

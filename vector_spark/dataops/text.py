@@ -266,21 +266,31 @@ def unigram_lm_score(
     whose token distribution diverges from the corpus (gibberish, boiler-
     plate, wrong language) score high and can be pruned by threshold.
 
-    Model fit and scoring are ONE pipeline: token counts c_t and corpus
-    size T come from a single tokenize scan's aggregate; each token's
+    Model fit and scoring are ONE pipeline: token counts c_t persist
+    (vocabulary-bounded, session cache registry) off a single tokenize
+    scan's aggregate and corpus size T re-aggregates the persisted
+    counts; each token's
     negative log-prob is ln(T) − ln(c_t); a document's score is the token
     average, ppl = e^score. The token→count join shuffles on `term`
     (vocabulary-sized right side — AQE broadcasts it when small); T rides
     in as a broadcast 1-row cross join. No OOV handling is needed by
     construction (every token was trained on). Rounded to 6 decimals for
     engine portability."""
+    from vector_spark import cache
+
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).where(F.length("term") >= min_len)
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    # persist the vocabulary-bounded count table (registry-tracked): it
+    # is consumed by the scoring join AND re-aggregated for the corpus
+    # total — unpersisted, each consumer re-ran the corpus-scale
+    # tokenize explode (3 explode passes in one job where 2 suffice)
+    counts = cache.track_persist(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    )
     total = counts.select(F.sum("c_t").alias("t_total"))
     return (
         toks.join(counts, "term")
@@ -537,11 +547,16 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    n_words = words.count()
-    if n_words > vocab_threshold:
+    # limit(threshold+1) probe-collect: one job answers "does the vocab
+    # fit the driver?" AND delivers the word table when it does (the
+    # separate count + collect paid two sequential jobs for the same
+    # answer). Oversized vocabularies take the distributed loop exactly
+    # as before — the probe stops reading after the gate row count.
+    probe = words.limit(vocab_threshold + 1).collect()
+    if len(probe) > vocab_threshold:
         return _bpe_train_distributed(words, n_merges)
     vocab = {
-        tuple(r["w"]): r["freq"] for r in words.collect()
+        tuple(r["w"]): r["freq"] for r in probe
     }  # word as symbol tuple
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -974,18 +989,34 @@ def bigram_lm_score(
     one pipeline; by construction every scored token/bigram was trained
     on, so there is no OOV path and the probability is always positive.
 
-    Scale shape: one tokenize scan feeds both count aggregates
-    (map-side combined; bigram table derived from the SAME word arrays,
-    no second scan of raw text); scoring joins shuffle on the
-    vocabulary/bigram keys with the count tables on the build side (AQE
-    broadcasts them when small); corpus totals ride in as broadcast
-    1-row cross joins. Rounded to 6 decimals for engine portability."""
+    Scale shape: the count tables are vocabulary-bounded and persist
+    through the session cache registry, so each corpus-scale explode
+    runs ONCE (token explode -> unigram counts; bigram explode ->
+    bigram counts; one more bigram explode for scoring) instead of once
+    per consuming arm — before the persists, Catalyst re-ran the
+    explode lineage 5x inside the single scoring job. Scoring joins
+    shuffle on the vocabulary/bigram keys with the persisted count
+    tables on the build side (AQE broadcasts them when small); corpus
+    totals ride in as broadcast 1-row cross joins. Rounded to 6
+    decimals for engine portability."""
+    from vector_spark import cache
+
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), words.alias("_ws"))
     toks = base.select(
         id_col, F.explode(F.col("_ws")).alias("w")
     ).where(F.length("w") >= 1)
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # persist the count tables (registry-tracked): they are VOCABULARY-
+    # bounded (word types / bigram types — orders of magnitude below the
+    # token stream at any scale), and each is consumed by more than one
+    # downstream arm (uni: first + rest scoring; bcounts: rest + ctx).
+    # Without the persist Catalyst recomputes the corpus-scale tokenize
+    # explode per consuming arm — 5 corpus passes in the one scoring job
+    # where 3 suffice. Block-level cache locking shares the first
+    # computation across arms inside the same job; no extra action runs.
+    uni = cache.track_persist(
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
     total = uni.select(F.sum("c_w").alias("t_total"))
     # bigrams from the same arrays; sequence guarded (start > stop would
     # DESCEND, not empty) so one-word docs contribute none
@@ -1004,7 +1035,9 @@ def bigram_lm_score(
             ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
         ).alias("bg"),
     ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
-    bcounts = bi.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    bcounts = cache.track_persist(
+        bi.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    )
     ctx = bcounts.groupBy("p").agg(F.sum("c_pw").alias("ctx_p"))
 
     first = (

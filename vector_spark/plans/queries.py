@@ -81,10 +81,26 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     max() guard means this NEVER reduces parallelism — at production
     scale the scan already has more splits than defaultParallelism
     and this is an identity, so the shuffle only exists exactly where
-    it pays."""
-    cur = df.rdd.getNumPartitions()
+    it pays.
+
+    The split count memoizes per (session, DataFrame object): every
+    call site passes the plan-memoized table object from load_table, so
+    one ``.rdd.getNumPartitions()`` probe (a full py4j plan-to-RDD
+    conversion, ~40-80 ms) serves every rebuild of every query over
+    that table instead of being paid per build per run."""
     want = spark.sparkContext.defaultParallelism
+    key = (id(spark), id(df))
+    hit = _SPREAD_MEMO.get(key)
+    if hit is None:
+        # hold the df reference in the memo value: keyed by id(), the
+        # entry must pin the object so a recycled address can't alias
+        hit = (df.rdd.getNumPartitions(), df)
+        _SPREAD_MEMO[key] = hit
+    cur = hit[0]
     return df.repartition(want) if cur < want else df
+
+
+_SPREAD_MEMO: dict = _cache.register_memo({})
 
 
 # --------------------------------------------------------------------------

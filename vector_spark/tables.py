@@ -55,6 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if hit is not None:
         return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read naive parquet timestamps as TIMESTAMP directly instead of
+    # TIMESTAMP_NTZ + a `to_utc_timestamp(col, 'UTC')` wrapper: the two
+    # are value-identical (stored micros become the same instant; the
+    # session is pinned UTC), but the wrapper is a FUNCTION of the column
+    # and therefore blocked predicate pushdown on every timestamp filter
+    # in the registry (q3's l_shipdate predicate reached the scan as
+    # IsNotNull only — no min/max row-group skipping, plus a per-row
+    # timezone conversion in the filter). With the conf off, date
+    # predicates push into PushedFilters and the wrapper branch below
+    # never fires. The branch stays as the fallback for sessions that
+    # don't honor the conf (the NTZ path remains correct, just slower).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
