@@ -213,7 +213,20 @@ def tfidf_top_terms(
     cross join (no driver action); top-k per doc is a window over the
     doc-partitioned data. Scores round to 6 decimals BEFORE ranking so
     ordering is identical across engines (libm log differs in the last
-    ulp between JVM and C)."""
+    ulp between JVM and C).
+
+    Measured and deliberately NOT persisted (r11 optimization round,
+    interleaved A/B at sf0.1): Catalyst does recompute the tokenize
+    explode + (doc, term) aggregation once per consuming arm (no
+    ReusedExchange in the executed plan), but track_persist'ing the tf
+    aggregate measured SLOWER — min 0.94 s unpersisted vs 1.22 s
+    persisted — because tf is corpus-sized (docs x distinct terms): the
+    cache write costs more than the second explode. A window-count
+    (df_t over partitionBy(term)) or a non-broadcast join would remove
+    the second pass but funnels every hot term (stopwords ≈ every doc)
+    through one task at scale; the aggregated-dfreq broadcast join keeps
+    the tf side unshuffled. The double scan is the cheapest correct
+    shape measured."""
     toks = df.select(
         F.col(id_col),
         F.explode(

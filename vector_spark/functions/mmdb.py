@@ -430,10 +430,56 @@ def _as_str(v):
     return str(v)
 
 
+def ip_range_block_join(
+    fact, ranges, ipn_col: str = "_ipn", block_bits: int = 16, how: str = "left"
+):
+    """Join fact rows (integer IP in *ipn_col*) against a DISJOINT
+    [lo, hi] IPv4 range table as a broadcast HASH join instead of a
+    broadcast nested-loop join.
+
+    The naive non-equi join (``ipn BETWEEN lo AND hi``) compiles to a
+    BroadcastNestedLoopJoin: every event linearly scans the whole range
+    table — fine at a fixture's ~200 ranges, O(events x 3-4M) at a real
+    GeoLite table. Here each range explodes into the /16 blocks it
+    covers (``lo>>16 .. hi>>16``) and the join gains the equi-key
+    ``ipn>>16 = _blk``, so Spark plans a BroadcastHashJoin: per-event
+    hash probe + residual range check against only the ranges sharing
+    the event's block.
+
+    Identity: blocks partition the IPv4 space, so every (ipn, range)
+    match pair shares exactly the ipn's own block — the equi-key never
+    adds or removes a match, and disjoint ranges still yield at most
+    one match per event (null ipn keeps its null-extended row under
+    ``how='left'``, exactly as before). The exploded table stays
+    broadcast-small: disjoint ranges contribute at most
+    n_ranges + 2^block_bits rows total (each block boundary adds at
+    most one row)."""
+    from pyspark.sql import functions as F
+
+    blocks = ranges.withColumn(
+        "_blk",
+        F.explode(
+            F.sequence(
+                F.shiftright("lo", block_bits), F.shiftright("hi", block_bits)
+            )
+        ),
+    )
+    joined = fact.join(
+        F.broadcast(blocks),
+        (F.shiftright(F.col(ipn_col), block_bits) == F.col("_blk"))
+        & (F.col(ipn_col) >= F.col("lo"))
+        & (F.col(ipn_col) <= F.col("hi")),
+        how,
+    )
+    return joined.drop("_blk")
+
+
 def mmdb_enrich(df, ip_col: str, spark, path: str, fields: list[str] | None = None):
-    """Enrich `df` by IP against an .mmdb: broadcast interval join on
-    aton(ip) BETWEEN lo AND hi — same plan shape as geoip_range_enrich
-    (fact side unshuffled; ranges broadcast)."""
+    """Enrich `df` by IP against an .mmdb: broadcast block-bucketed
+    range join on aton(ip) (see ip_range_block_join) — same result as
+    the interval join geoip_range_enrich used to share, but planned as
+    a BroadcastHashJoin (fact side unshuffled; ranges broadcast; per-
+    event hash probe instead of a linear range-table scan)."""
     from pyspark.sql import functions as F
 
     from vector_spark.functions.vrl import VRL_FUNCTIONS
@@ -441,9 +487,5 @@ def mmdb_enrich(df, ip_col: str, spark, path: str, fields: list[str] | None = No
     table = mmdb_table(spark, path, fields=fields)
     aton = VRL_FUNCTIONS["ip_aton"]
     fact = df.withColumn("_ipn", aton(F.col(ip_col)))
-    joined = fact.join(
-        F.broadcast(table),
-        (F.col("_ipn") >= F.col("lo")) & (F.col("_ipn") <= F.col("hi")),
-        "left",
-    )
+    joined = ip_range_block_join(fact, table)
     return joined.drop("_ipn", "lo", "hi")

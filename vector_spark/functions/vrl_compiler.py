@@ -1965,7 +1965,12 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
             # mmdb.rs: queried with an "ip" condition): containment
             # join aton(ip) BETWEEN lo AND hi — broadcast, fact side
             # unshuffled, the mmdb_enrich plan shape. MMDB ranges are
-            # disjoint by construction, so ≤1 match per event.
+            # disjoint by construction, so ≤1 match per event. Planned
+            # as the block-bucketed broadcast HASH join (per-event hash
+            # probe on ipn>>16 + residual range check), not the nested-
+            # loop per-event scan of the whole range table — see
+            # functions/mmdb.ip_range_block_join.
+            from vector_spark.functions.mmdb import ip_range_block_join
             from vector_spark.functions.vrl import VRL_FUNCTIONS
 
             aton = VRL_FUNCTIONS["ip_aton"]
@@ -1977,12 +1982,14 @@ def _resolve_enrichment(df, requests: list[dict], tables: dict):
                 "lo", "hi",
                 (F.array(rrow) if req["multi"] else rrow)
                 .alias(out_col))
-            ipn = aton(req["keys"]["ip"].cast("string"))
-            df = df.join(
-                F.broadcast(tagged),
-                on=(ipn >= F.col("lo")) & (ipn <= F.col("hi")),
-                how="left",
-            ).drop("lo", "hi")
+            ipn_col = f"__enrich_ipn_{i}"
+            df = ip_range_block_join(
+                df.withColumn(
+                    ipn_col, aton(req["keys"]["ip"].cast("string"))
+                ),
+                tagged,
+                ipn_col=ipn_col,
+            ).drop(ipn_col, "lo", "hi")
             continue
         row = F.struct(*[F.col(c) for c in t.columns])
         eq_keys = [k for k, v in req["keys"].items()

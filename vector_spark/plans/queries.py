@@ -3201,7 +3201,11 @@ FROM b GROUP BY event_type, bucket_idx
 def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geoip/mmdb-style enrichment (SURVEY §2.2): derive an IPv4 per event,
     broadcast-join against an IP-range table on aton BETWEEN lo AND hi —
-    the interval-index lookup as a range join."""
+    the interval-index lookup, planned as a block-bucketed broadcast
+    HASH join (functions/mmdb.ip_range_block_join) instead of the
+    nested-loop form: per-event hash probe on ipn>>16 + residual range
+    check, not a linear scan of the whole range table per event."""
+    from vector_spark.functions.mmdb import ip_range_block_join
     from vector_spark.functions.vrl import VRL_FUNCTIONS
 
     aton = VRL_FUNCTIONS["ip_aton"]
@@ -3221,15 +3225,10 @@ def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "lo long, hi long, geo_region string",
     )
-    # materialize the aton ONCE per row: the non-equi broadcast join
-    # (nested-loop) would otherwise re-evaluate the 4-way split per
-    # (row × range) comparison
+    # materialize the aton ONCE per row (the join re-references _ipn in
+    # both the equi-key and the residual range check)
     ev = ev.withColumn("_ipn", aton(F.col("client_ip")))
-    j = ev.join(
-        F.broadcast(ranges),
-        (F.col("_ipn") >= F.col("lo")) & (F.col("_ipn") <= F.col("hi")),
-        "left",
-    )
+    j = ip_range_block_join(ev, ranges)
     return j.groupBy("geo_region").agg(F.count(F.lit(1)).alias("n_events"))
 
 
