@@ -823,7 +823,21 @@ def hashed_tfidf_embedding(
             ).alias("_i"),
         )
     )
-    tf = toks.groupBy("_id", "_i").agg(F.count(F.lit(1)).alias("_tf"))
+    # Persisted (registry-tracked): tf feeds BOTH the per-doc vector arm
+    # and the bucket-df aggregate below, and Catalyst does NOT share the
+    # subtree between them — column pruning drops the _tf count from the
+    # dfreq arm's copy, so the two Exchanges canonicalize differently and
+    # the plan recomputes the tokenize+md5 explode scan per arm (the
+    # executed plan showed two full corpus scans, no ReusedExchange).
+    # tf is small by construction — at most docs x dim narrow long rows,
+    # orders of magnitude below the token stream at any corpus size — so
+    # the cache write is cheap where the duplicate corpus pass is not
+    # (same reasoning as the unigram/bigram LM count-table persists).
+    from .. import cache as _cache_reg
+
+    tf = _cache_reg.track_persist(
+        toks.groupBy("_id", "_i").agg(F.count(F.lit(1)).alias("_tf"))
+    )
     dfreq = tf.groupBy("_i").agg(F.count(F.lit(1)).alias("_df"))
     nd = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
     vec = (
