@@ -735,21 +735,24 @@ def bpe_encode_docs(
     of the BPE pair — returns (id, n_words, n_tokens, tokens).
 
     Scale shape: the per-word merge loop is data-dependent iteration no
-    Column expression expresses, so this is an Arrow-batched pandas UDF
-    (the sanctioned slow path) with two mitigations that matter at
-    100 TB: the merge rank table ships ONCE per executor via closure
-    capture (a list of merges, not a join side), and a per-batch word
-    memo collapses the Zipfian word distribution — each distinct word in
-    a batch is encoded once, not per occurrence. No shuffle: output is a
-    per-document projection riding the scan."""
+    Column expression expresses, so this is an Arrow-batched iterator
+    pass (mapInPandas, the sanctioned slow path) with two mitigations
+    that matter at 100 TB: the merge rank table ships ONCE per executor
+    via closure capture (a list of merges, not a join side), and a
+    PER-TASK word memo — hoisted above the batch loop, guide §4.5's
+    init-once-per-task shape — collapses the Zipfian word distribution
+    across every batch a task processes: each distinct word is encoded
+    once per task, not per batch (the earlier scalar-pandas_udf form
+    reset the memo each ~10k-row Arrow batch, re-paying the merge loop
+    for the head of the distribution once per batch). No shuffle: output
+    is a per-document projection riding the scan, and only (id, text)
+    enter the Python boundary."""
     import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf
 
     rank = {tuple(m): i for i, m in enumerate(merges)}
 
-    @pandas_udf("struct<n_words:int,tokens:array<string>>")
-    def _encode(texts: pd.Series) -> pd.DataFrame:
+    def _encode_batches(batches):
+        # once per TASK, shared by every Arrow batch the task sees
         memo: dict[str, list[str]] = {}
 
         def enc(text):
@@ -768,20 +771,27 @@ def bpe_encode_docs(
             # docs ([""] vs []) and non-ASCII whitespace (Java \s vs
             # Python str.split), exactly the messy inputs this op exists
             # to measure
-            return {"n_words": len(words), "tokens": out}
+            return len(words), out
 
-        return pd.DataFrame(list(texts.map(enc)))
+        for pdf in batches:
+            encoded = [enc(t) for t in pdf["_text"]]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "n_words": [n for n, _ in encoded],
+                    "n_tokens": [len(t) for _, t in encoded],
+                    "tokens": [t for _, t in encoded],
+                }
+            )
 
-    # materialize the UDF ONCE behind a named struct column — repeating
-    # the call expression per output field risks multiple executions
-    # (Python UDF calls are not reliably common-subexpression-eliminated)
-    tmp = df.select(F.col(id_col), _encode(F.col(text_col)).alias("_e"))
-    return tmp.select(
-        id_col,
-        F.col("_e.n_words").alias("n_words"),
-        F.size("_e.tokens").alias("n_tokens"),
-        F.col("_e.tokens").alias("tokens"),
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        _encode_batches,
+        schema=f"_id {id_type}, n_words int, n_tokens int, tokens array<string>",
     )
+    return out.withColumnRenamed("_id", id_col)
 
 
 def hashed_tfidf_embedding(
