@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for headline queries to plans/r11/.
+"""Dump .explain('formatted') for headline queries to plans/r12/.
 
 Usage: python scripts/dump_plans.py <suffix> [name ...]
-Writes plans/r11/<query>_<suffix>.txt for each requested query (default:
+Writes plans/r12/<query>_<suffix>.txt for each requested query (default:
 every bench HEADLINE entry). Driver-side only — plans are built and
 formatted, nothing is executed, so this is cheap at any SF.
 """
@@ -21,7 +21,7 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -461,9 +461,13 @@ def test_tokenizer_pipeline_composes(spark):
 def test_remove_duplicate_spans_no_forced_broadcast(spark):
     """The survivor table's size is corpus-dependent (every span
     duplicated across >= min_docs docs — corpus-fraction scale per Lee
-    et al.), so the plan must carry NO broadcast hint anywhere: AQE
-    picks broadcast only when the measured size fits, sort-merge
-    otherwise, instead of a forced hint OOMing at 100 TB."""
+    et al.), so the occurrence-marking join must carry NO broadcast
+    hint: AQE picks broadcast only when the measured size fits,
+    sort-merge otherwise, instead of a forced hint OOMing at 100 TB.
+    The ONE allowed hint is the collision-repair arm's broadcast of the
+    collider hash set, which is bounded by the 64-bit birthday rate
+    (~n²/2^65 groups — ~22 MB of keys even at 10^13 spans), not by
+    corpus fraction."""
     from vector_spark.dataops.curation import remove_duplicate_spans
 
     docs = spark.createDataFrame(
@@ -471,7 +475,11 @@ def test_remove_duplicate_spans_no_forced_broadcast(spark):
     )
     out = remove_duplicate_spans(docs, k=4, min_docs=2)
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed
+    # the collider broadcast is the plan's ONLY hint; it prints twice
+    # because the collider-matched span subtree is referenced by both
+    # the recount aggregation and its occurrence-marking join (the
+    # analyzed plan is a tree, not a DAG)
+    assert analyzed.count("ResolvedHint") == 2
     assert "UnresolvedHint" not in analyzed
 
 
@@ -751,3 +759,47 @@ def test_c4_filters_rules(spark):
     assert out[5]["keep"] is False and out[5]["has_lorem"] is True
     assert out[6]["keep"] is False and out[6]["has_brace"] is True
     assert out[7]["keep"] is False and out[7]["has_bad_word"] is True
+
+
+def test_remove_duplicate_spans_hash_keys_match_reference(spark):
+    """r12 focused test: the hash-proxy-keyed implementation must agree
+    with a pure-Python reference of the documented contract on a
+    randomized corpus with heavy cross-document span duplication (the
+    regime the xxhash64 key + witness-hash recount arm must keep
+    exact)."""
+    import random
+
+    from vector_spark.dataops.curation import remove_duplicate_spans
+
+    rng = random.Random(12)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40))))
+        for d in range(120)
+    ]
+    k, min_docs = 3, 2
+
+    words = {d: t.lower().strip().split() for d, t in rows}
+    occs: dict[tuple, list] = {}
+    for d, ws in sorted(words.items()):
+        for i in range(len(ws) - k + 1):
+            occs.setdefault(tuple(ws[i:i + k]), []).append((d, i))
+    cov: dict[int, set] = {d: set() for d in words}
+    for occ in occs.values():
+        if len({d for d, _ in occ}) < min_docs:
+            continue
+        canon = min(occ)  # (min doc, its min pos): the canonical key
+        for d, p in occ:
+            if (d, p) != canon:
+                cov[d].update(range(p, p + k))
+    expected = {
+        d: " ".join(w for i, w in enumerate(ws) if i not in cov[d])
+        for d, ws in words.items()
+    }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(docs, k=k, min_docs=min_docs).collect()
+    }
+    assert got == expected

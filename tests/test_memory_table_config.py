@@ -284,3 +284,41 @@ enrichment_tables:
     assert out["a"]["present"] is False  # null value removed it
     assert out["b"]["present"] is True
     assert out["b"]["fp"] is not None  # cuckoo returns the fingerprint
+
+
+def test_arrow_transfers_preserve_null_and_nan(spark):
+    """r12 focused test for the Arrow driver-transfer paths (write_batch
+    via toArrow, snapshot/export via createDataFrame(pyarrow.Table)):
+    the semantics that deferred this in r11 — a SQL NULL value must
+    arrive as Python None (removal convention), a NaN double must stay
+    NaN (a value, not a removal), and a snapshot of a double table with
+    a null TTL column must round-trip NULLs exactly."""
+    import math
+
+    from vector_spark.streaming.memory_table import MemoryTable
+
+    tbl = MemoryTable(value_type="double", ttl_secs=None)
+    tbl.put("keep", 1.5, now=100.0)
+    batch = spark.createDataFrame(
+        [("keep", None), ("nan", float("nan")), ("v", 2.0)],
+        "key string, value double",
+    )
+    tbl.write_batch(batch, now=101.0)
+    assert "keep" not in tbl._data      # NULL removed the key
+    assert math.isnan(tbl._data["nan"][0])  # NaN stored as a value
+    assert tbl._data["v"][0] == 2.0
+
+    snap = {r.key: r for r in
+            tbl.snapshot(spark, include_ttl=True, now=102.0).collect()}
+    assert snap["v"].value == 2.0
+    assert math.isnan(snap["nan"].value)    # NaN survives the Arrow hop
+    assert snap["v"].ttl is None            # no-TTL entry: NULL, not 0
+    assert [f.dataType.simpleString() for f in
+            tbl.snapshot(spark).schema.fields] == ["string", "double"]
+
+    # empty table: schema intact through the Arrow path
+    empty = MemoryTable(value_type="long")
+    df = empty.snapshot(spark)
+    assert df.count() == 0
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "bigint"]

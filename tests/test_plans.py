@@ -77,17 +77,29 @@ def test_no_unpartitioned_window_in_any_registry_query(spark):
     spec whose first top-level argument is an ordering expression or the
     frame itself has an empty partitionSpec)."""
     import re
+    from concurrent.futures import ThreadPoolExecutor
 
-    offenders = {}
-    for name, spec in QUERIES.items():
-        df = spec.fn(spark, SF)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    def specs_of(item):
+        # registry builds + plan optimization are independent per query;
+        # 8 driver threads overlap the per-query Catalyst latency
+        # (guide §2.6) — this gate was the suite's slowest plan test
+        name, spec = item
+        plan = spec.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        bad = []
         for m in re.finditer(r"windowspecdefinition\(", plan):
             first = _split_top(plan[m.end() :])[0]
             if re.search(r"\b(ASC|DESC)\b", first) or first.startswith(
                 "specifiedwindowframe"
             ):
-                offenders.setdefault(name, []).append(first[:80])
+                bad.append(first[:80])
+        return name, bad
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = {
+            name: bad
+            for name, bad in pool.map(specs_of, QUERIES.items())
+            if bad
+        }
     assert not offenders, f"single-task global windows found: {offenders}"
 
 
@@ -99,18 +111,25 @@ def test_every_registry_query_schema_is_atomic(spark):
     or struct columns. Operators may return nested types; registry
     entries must posexplode / to_json them down before the driver sees
     them."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    offenders = {}
-    for name, spec in QUERIES.items():
+    def nested_of(item):
+        name, spec = item
         df = spec.fn(spark, SF)
-        nested = [
+        return name, [
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
-        if nested:
-            offenders[name] = nested
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = {
+            name: nested
+            for name, nested in pool.map(nested_of, QUERIES.items())
+            if nested
+        }
     assert not offenders, f"non-atomic registry outputs: {offenders}"
 
 

@@ -45,8 +45,14 @@ _ROUND = 6
 
 def _dlit(x: float) -> str:
     """SQL double literal for x (repr roundtrips the IEEE value; the D
-    suffix keeps Spark from parsing plain decimals as DECIMAL)."""
-    return f"{float(x)!r}D"
+    suffix keeps Spark from parsing plain decimals as DECIMAL). Guard:
+    repr of a non-finite value would produce `infD`/`nanD`, which is not
+    valid Spark SQL — unreachable for means of finite vectors, but a
+    poisoned input should fail with a clear message, not a parse error."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid value {x!r}")
+    return f"{x!r}D"
 
 
 def _centroid_lit(c: list[float]) -> Column:

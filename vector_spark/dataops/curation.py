@@ -483,22 +483,45 @@ def remove_duplicate_spans(
       the same lowercase/trim normalization the span scan uses, so a
       document with nothing removed comes back normalized, not verbatim.
 
-    Scale shape: one span-explode scan feeding a two-level span
-    aggregation ((span, doc) -> min pos, map-side combined, then the
-    span-level count + canonical key over the deduplicated rows — hash
-    aggregates instead of the Expand + sort-based plan the one-level
-    count_distinct/struct-min form compiled to); the survivor table
-    joins back onto a
-    second span scan to mark removed occurrences — with NO broadcast
-    hint: survivor cardinality is the number of distinct duplicated
-    spans, corpus-dependent (Lee et al. found duplicate text at corpus-
+    Scale shape: one span-explode scan feeding a two-level HASH-KEYED
+    aggregation — the removal decision needs only (doc, pos), never the
+    span text in its output, so both aggregation levels and the
+    occurrence-marking join are keyed on ``xxhash64(span)``: 8 fixed
+    bytes of incompressible key instead of a ~6k-byte span string (the
+    heaviest text-op shuffle payload at corpus scale; guide §2.3
+    "shuffle keys and metadata instead of payloads"). This differs from
+    :func:`duplicate_spans`'s measured string-wins-at-k<=12 rejection
+    precisely because no text-recovery pass exists here — the hash
+    never has to be joined back to its span. Levels: (hash, doc) ->
+    min pos, map-side combined, then hash-level count + canonical key
+    over the deduplicated rows (hash aggregates, no Expand). EXACTNESS:
+    a 64-bit collision would merge two spans' groups, so every row
+    carries an independent witness ``xxhash64(span, 1)``; a group whose
+    witness min != max contains >= 2 distinct spans and is diverted to
+    an exact text-keyed recount arm that re-resolves ONLY rows matching
+    the collider hashes (broadcast semi-join before any text moves).
+    A silent miss needs a simultaneous collision in both independent
+    64-bit hashes (P ~ n_spans^2 / 2^129 — ~3e-13 even at 10^13 spans).
+    The collider set is empty until ~2^32 distinct spans (birthday
+    bound), so the recount subtree is dead weight AQE eliminates at
+    runtime (empty broadcast side -> empty-relation propagation — the
+    plan carries it, no task ever runs it); at true 100 TB span counts
+    (~10^13) single-hash collisions are expected (~n^2/2^65), and the
+    recount is one bounded extra pass whose shuffle holds only
+    collider-matched rows. The survivor table joins back onto a second
+    span scan to mark removed occurrences — with NO broadcast hint:
+    survivor cardinality is the number of distinct duplicated spans,
+    corpus-dependent (Lee et al. found duplicate text at corpus-
     fraction scale), so AQE broadcasts it when it measures small and
-    sort-merges otherwise instead of a forced hint OOMing the driver at
-    100 TB; covered positions aggregate per doc (duplicated-volume-sized
-    shuffle, k rows per removed occurrence); the rewrite is a pure-
-    Column projection over the original docs (kept positions via ONE
-    array_except — linear, not the O(L*|cov|) per-word array_contains
-    scan) — the corpus text NEVER enters a shuffle. Returns
+    sort-merges otherwise instead of a forced hint OOMing the driver
+    at 100 TB — and with hash keys a sort-merged probe side shuffles
+    20-byte fixed rows, not k-word strings; covered positions
+    aggregate per doc (duplicated-volume-sized shuffle, k rows per
+    removed occurrence); the rewrite is a pure-Column projection over
+    the original docs (kept positions via ONE array_except — linear,
+    not the O(L*|cov|) per-word array_contains scan) — the corpus text
+    NEVER enters a shuffle. Receipts: scripts/ab_remove_dup_spans.py
+    (10x suffix-tagged corpus, value-identity asserted). Returns
     (doc_id, clean_text)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
@@ -509,21 +532,74 @@ def remove_duplicate_spans(
             "pos", "span"
         ),
     )
-    # two-level aggregation: (span, doc) -> min pos, then span -> count +
+    # fixed-width proxy rows: span text is dropped BEFORE any exchange
+    hspans = spans.select(
+        "_doc",
+        "pos",
+        F.xxhash64("span").alias("_h"),
+        F.xxhash64("span", F.lit(1)).alias("_h2"),
+    )
+    # two-level aggregation: (hash, doc) -> min pos, then hash -> count +
     # lexicographic-min canonical key. Semantically identical to a single
-    # groupBy(span).agg(count_distinct(doc), min(struct(doc, pos))) — the
+    # groupBy(key).agg(count_distinct(doc), min(struct(doc, pos))) — the
     # per-doc min-pos rows are exactly the distinct docs, and the struct
     # min over them is the same (min doc, its min pos) — but the single-
     # level form compiled to an Expand + THREE SortAggregates with two
     # sorted exchanges (count_distinct forces the expand; struct-min
     # forces sort-based aggregation over the full span table). Level 1 is
     # a plain hash aggregate over atomic columns; the sort-based struct
-    # min now only sees the deduplicated (span, doc) rows. This also
-    # retires the _doc2 alias workaround (count_distinct mixed with min
-    # over the same attribute tripped a Catalyst 4.1 internal error).
-    per_doc = spans.groupBy("span", "_doc").agg(F.min("pos").alias("_minpos"))
+    # min now only sees the deduplicated (hash, doc) rows. The witness
+    # min/max ride the same exchanges (16 extra bytes per DEDUPLICATED
+    # row, not per occurrence).
+    per_doc = hspans.groupBy("_h", "_doc").agg(
+        F.min("pos").alias("_minpos"),
+        F.min("_h2").alias("_wlo"),
+        F.max("_h2").alias("_whi"),
+    )
     survivors = (
-        per_doc.groupBy("span")
+        per_doc.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct(F.col("_doc"), F.col("_minpos"))).alias("first"),
+            F.min("_wlo").alias("_lo"),
+            F.max("_whi").alias("_hi"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    # clean groups (witness agrees): exactly one distinct span each, so
+    # hash-keyed removal decisions are the text-keyed ones
+    clean = survivors.where(F.col("_lo") == F.col("_hi")).select(
+        "_h",
+        F.col("first._doc").alias("_fdoc"),
+        F.col("first._minpos").alias("_fpos"),
+    )
+    removed = (
+        hspans.select("_doc", "pos", "_h")
+        .join(clean, "_h")
+        .where(
+            ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+        )
+        .select("_doc", "pos")
+    )
+    # collision-repair arm, IN-PLAN: colliding hash groups (none until
+    # ~2^32 distinct spans; sub-min_docs groups need no repair — a merged
+    # group's doc count upper-bounds every constituent span's) re-resolve
+    # with exact text keys over ONLY the rows whose hash matched. The
+    # broadcast of `colliders` reuses the survivor aggregation's exchange
+    # (ReusedExchange) and, when empty, AQE's empty-relation propagation
+    # deletes both recount scans at runtime — verified in the r12 plan
+    # receipts (LocalTableScan <empty> replaces the arm).
+    colliders = survivors.where(F.col("_lo") != F.col("_hi")).select("_h")
+    cspans = spans.join(
+        F.broadcast(colliders),
+        F.xxhash64("span") == F.col("_h"),
+        "leftsemi",
+    )
+    cper_doc = cspans.groupBy("span", "_doc").agg(
+        F.min("pos").alias("_minpos")
+    )
+    csurv = (
+        cper_doc.groupBy("span")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(F.struct(F.col("_doc"), F.col("_minpos"))).alias("first"),
@@ -535,13 +611,14 @@ def remove_duplicate_spans(
             F.col("first._minpos").alias("_fpos"),
         )
     )
-    removed = (
-        spans.join(survivors, "span")
+    crem = (
+        cspans.join(csurv, "span")
         .where(
             ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
         )
         .select("_doc", "pos")
     )
+    removed = removed.unionByName(crem)
     covered = (
         removed.select(
             "_doc",

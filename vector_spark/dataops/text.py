@@ -752,8 +752,15 @@ def bpe_encode_docs(
     rank = {tuple(m): i for i, m in enumerate(merges)}
 
     def _encode_batches(batches):
-        # once per TASK, shared by every Arrow batch the task sees
+        # once per TASK, shared by every Arrow batch the task sees.
+        # Bounded: distinct-word count grows with task input (Heaps'
+        # law), so an uncapped memo grows without limit for the task's
+        # lifetime on a real multi-batch split. Past the cap we stop
+        # INSERTING but keep serving lookups — first-seen words are the
+        # Zipfian head, which is where the hit mass lives; tail words
+        # just re-encode.
         memo: dict[str, list[str]] = {}
+        memo_cap = 1 << 18  # ~262k words; tens of MB worst case
 
         def enc(text):
             out: list[str] = []
@@ -764,7 +771,9 @@ def bpe_encode_docs(
             for w in words:
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _bpe_apply(list(w), rank)
+                    got = _bpe_apply(list(w), rank)
+                    if len(memo) < memo_cap:
+                        memo[w] = got
                 out.extend(got)
             # n_words counted from the SAME tokenization the encoder
             # consumed — a Column-side regex split disagrees on empty
@@ -777,7 +786,10 @@ def bpe_encode_docs(
             encoded = [enc(t) for t in pdf["_text"]]
             yield pd.DataFrame(
                 {
-                    "_id": pdf["_id"],
+                    # positional alignment made explicit: the other three
+                    # columns are positional lists, so the id Series must
+                    # shed whatever index the upstream frame carried
+                    "_id": pdf["_id"].to_numpy(),
                     "n_words": [n for n, _ in encoded],
                     "n_tokens": [len(t) for _, t in encoded],
                     "tokens": [t for _, t in encoded],

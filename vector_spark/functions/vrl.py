@@ -577,73 +577,143 @@ def _signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def _ipv6_longs(c: Column) -> tuple[Column, Column]:
+def _let(col: Column, f) -> Column:
+    """Let-binding for Column trees: bind `col` ONCE as a single-element
+    higher-order-function lambda variable and build `f(var)` against the
+    variable. Columns compose by TREE SUBSTITUTION, so an expression
+    referencing a big subtree N times carries N copies of it — the
+    r11-shape IPv6 render duplicated its parse tree ~35× per reference
+    level for an expression of ~10^5 nodes, costing tens of SECONDS of
+    Catalyst analysis per query and pushing codegen past the JIT method
+    limit. With `_let`, each subtree appears once; references are cheap
+    lambda-variable reads. Same values row-for-row: the variable binds a
+    deterministic expression, and nulls propagate identically."""
+    return F.transform(F.array(col), f)[0]
+
+
+def _ipv6_longs_struct(c: Column) -> Column:
     """Parse an IPv6 string Column (incl. '::' compression and a
-    v4-mapped dotted tail) into (hi, lo) signed longs. Invalid input
-    yields nulls (the fallibility contract's error state)."""
-    s = F.lower(F.trim(c))
-    # rewrite a trailing dotted-quad (::ffff:a.b.c.d) as two hex groups
-    v4 = F.regexp_extract(s, r"((?:\d{1,3}\.){3}\d{1,3})$", 1)
-    v4n = (
-        F.split(v4, r"\.")[0].cast("long") * 16777216
-        + F.split(v4, r"\.")[1].cast("long") * 65536
-        + F.split(v4, r"\.")[2].cast("long") * 256
-        + F.split(v4, r"\.")[3].cast("long")
-    )
-    v4grp = F.concat(
-        F.lower(F.hex(F.shiftrightunsigned(v4n, 16))),
-        F.lit(":"),
-        F.lower(F.hex(v4n.bitwiseAND(F.lit(0xFFFF)))),
-    )
-    s = F.when(
-        v4 != "",
-        F.concat(F.regexp_replace(s, r"(\d{1,3}\.){3}\d{1,3}$", ""), v4grp),
-    ).otherwise(s)
-    halves = F.split(s, "::")
-    nonempty = lambda x: x != ""  # noqa: E731
-    left = F.filter(F.split(F.element_at(halves, 1), ":"), nonempty)
-    right = F.when(
-        F.size(halves) > 1,
-        F.filter(F.split(F.element_at(halves, 2), ":"), nonempty),
-    ).otherwise(F.array().cast("array<string>"))
-    mid = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
-    nums = F.transform(
-        F.concat(left, mid, right),
-        lambda g: F.conv(g, 16, 10).cast("long"),
-    )
-    fold = lambda sl: F.aggregate(  # noqa: E731
-        sl,
-        F.lit(0).cast("long"),
-        lambda acc, x: F.shiftleft(acc, 16).bitwiseOR(x),
-    )
-    ok = F.size(nums) == 8
-    return (
-        F.when(ok, fold(F.slice(nums, 1, 4))),
-        F.when(ok, fold(F.slice(nums, 5, 4))),
-    )
+    v4-mapped dotted tail) into a struct<hi:long, lo:long> of signed
+    longs. Invalid input yields nulls (the fallibility contract's error
+    state). Every multiply-referenced subexpression is `_let`-bound, so
+    the parse tree appears exactly once in the plan."""
+    def parse(s):
+        # rewrite a trailing dotted-quad (::ffff:a.b.c.d) as two hex groups
+        def after_v4(v4):
+            v4n = (
+                F.split(v4, r"\.")[0].cast("long") * 16777216
+                + F.split(v4, r"\.")[1].cast("long") * 65536
+                + F.split(v4, r"\.")[2].cast("long") * 256
+                + F.split(v4, r"\.")[3].cast("long")
+            )
+            v4grp = _let(
+                v4n,
+                lambda n: F.concat(
+                    F.lower(F.hex(F.shiftrightunsigned(n, 16))),
+                    F.lit(":"),
+                    F.lower(F.hex(n.bitwiseAND(F.lit(0xFFFF)))),
+                ),
+            )
+            return F.when(
+                v4 != "",
+                F.concat(
+                    F.regexp_replace(s, r"(\d{1,3}\.){3}\d{1,3}$", ""), v4grp
+                ),
+            ).otherwise(s)
+
+        s2 = _let(
+            F.regexp_extract(s, r"((?:\d{1,3}\.){3}\d{1,3})$", 1), after_v4
+        )
+
+        def with_halves(halves):
+            nonempty = lambda x: x != ""  # noqa: E731
+            left = F.filter(F.split(F.element_at(halves, 1), ":"), nonempty)
+            right = F.when(
+                F.size(halves) > 1,
+                F.filter(F.split(F.element_at(halves, 2), ":"), nonempty),
+            ).otherwise(F.array().cast("array<string>"))
+
+            def with_lr(lr):
+                mid = F.array_repeat(
+                    F.lit("0"),
+                    F.lit(8) - F.size(lr["l"]) - F.size(lr["r"]),
+                )
+                return F.concat(lr["l"], mid, lr["r"])
+
+            return _let(
+                F.struct(left.alias("l"), right.alias("r")), with_lr
+            )
+
+        groups = _let(F.split(s2, "::"), with_halves)
+        nums = F.transform(groups, lambda g: F.conv(g, 16, 10).cast("long"))
+
+        def hilo(ns):
+            fold = lambda sl: F.aggregate(  # noqa: E731
+                sl,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.shiftleft(acc, 16).bitwiseOR(x),
+            )
+            ok = F.size(ns) == 8
+            return F.struct(
+                F.when(ok, fold(F.slice(ns, 1, 4))).alias("hi"),
+                F.when(ok, fold(F.slice(ns, 5, 4))).alias("lo"),
+            )
+
+        return _let(nums, hilo)
+
+    return _let(F.lower(F.trim(c)), parse)
+
+
+def _ipv6_longs(c: Column) -> tuple[Column, Column]:
+    """(hi, lo) pair view of :func:`_ipv6_longs_struct`. NOTE each
+    returned Column carries its own copy of the (now once-let-bound)
+    struct tree; callers needing BOTH should `_let` the struct instead."""
+    st = _ipv6_longs_struct(c)
+    return st["hi"], st["lo"]
 
 
 def _ipv6_ntoa(hi: Column, lo: Column) -> Column:
     """(hi, lo) longs → RFC 5952-ish compressed string: lowercase hex, no
-    leading zeros, first longest run of >=2 zero groups becomes '::'."""
-    gs = [
-        F.lower(F.hex(F.shiftrightunsigned(h, sh).bitwiseAND(F.lit(0xFFFF))))
-        for h in (hi, lo)
-        for sh in (48, 32, 16, 0)
-    ]
-    canon = F.concat_ws(":", *gs)
-    padded = F.concat(F.lit(":"), canon, F.lit(":"))
-    out = canon
-    for n in range(2, 9):  # build when-chain longest-run-first via override
-        pat = ":" + "0:" * n
-        pos = F.locate(pat, padded)
-        before = F.substring(padded, F.lit(2), pos - 2)
-        after_full = F.substring(padded, pos + F.lit(len(pat)), F.lit(10**6))
-        after = F.substring(after_full, F.lit(1), F.length(after_full) - 1)
-        out = F.when(pos > 0, F.concat(before, F.lit("::"), after)).otherwise(
-            out
-        )
-    return out
+    leading zeros, first longest run of >=2 zero groups becomes '::'.
+    The canonical string and its padded form are `_let`-bound: the
+    compression when-chain references them ~5× per level × 7 levels,
+    which is exactly the duplication that made this render ~10^5 plan
+    nodes in the r11 shape."""
+    def render(hl):
+        gs = [
+            F.lower(
+                F.hex(
+                    F.shiftrightunsigned(hl[f], sh).bitwiseAND(F.lit(0xFFFF))
+                )
+            )
+            for f in ("h", "l")
+            for sh in (48, 32, 16, 0)
+        ]
+        canon = F.concat_ws(":", *gs)
+
+        def compress(cn):
+            def run(p):
+                out = cn
+                for n in range(2, 9):  # when-chain longest-run-first
+                    pat = ":" + "0:" * n
+                    pos = F.locate(pat, p)
+                    before = F.substring(p, F.lit(2), pos - 2)
+                    after_full = F.substring(
+                        p, pos + F.lit(len(pat)), F.lit(10**6)
+                    )
+                    after = F.substring(
+                        after_full, F.lit(1), F.length(after_full) - 1
+                    )
+                    out = F.when(
+                        pos > 0, F.concat(before, F.lit("::"), after)
+                    ).otherwise(out)
+                return out
+
+            return _let(F.concat(F.lit(":"), cn, F.lit(":")), run)
+
+        return _let(canon, compress)
+
+    return _let(F.struct(hi.alias("h"), lo.alias("l")), render)
 
 
 def _ipv6_mask(hi: Column, lo: Column, bits: int) -> tuple[Column, Column]:
@@ -678,8 +748,20 @@ def ip_subnet(c: Column | str, mask: str) -> Column:
         else:
             itf = ipaddress.ip_interface((c, mask))
         return F.lit(str(itf.network.network_address))
+
+    def _v6_subnet(bits: int) -> Column:
+        # one copy of the parse tree: bind the struct, mask the bound
+        # fields (masking references each field once or twice — cheap
+        # lambda-variable reads), render via the let-bound ntoa
+        return _let(
+            _ipv6_longs_struct(c),
+            lambda hl: _ipv6_ntoa(
+                *_ipv6_mask(hl["hi"], hl["lo"], bits)
+            ),
+        )
+
     if ":" in mask:
-        return _ipv6_ntoa(*_ipv6_mask(*_ipv6_longs(c), _v6_mask_bits(mask)))
+        return _v6_subnet(_v6_mask_bits(mask))
     bits = _ip_mask_bits(mask)
     v4_bits = min(bits, 32)
     m = ((1 << v4_bits) - 1) << (32 - v4_bits) if v4_bits else 0
@@ -687,7 +769,7 @@ def ip_subnet(c: Column | str, mask: str) -> Column:
     v4_out = _ip_ntoa(aton(c).bitwiseAND(F.lit(m)))
     if "." in mask:
         return v4_out
-    v6_out = _ipv6_ntoa(*_ipv6_mask(*_ipv6_longs(c), bits))
+    v6_out = _v6_subnet(bits)
     return F.when(c.contains(":"), v6_out).otherwise(
         v4_out if bits <= 32 else F.lit(None).cast("string")
     )
@@ -1262,20 +1344,31 @@ def ip_cidr_contains(cidr: str, ip_col: Column | str) -> Column:
     bits = net.prefixlen
     v = int(net.network_address)
     hi_t, lo_t = (v >> 64) & _MASK64, v & _MASK64
-    hi, lo = _ipv6_longs(ip_col)
-    if bits == 0:
-        match = F.lit(True)
-    elif bits < 64:
-        match = F.shiftrightunsigned(hi, 64 - bits) == F.lit(hi_t >> (64 - bits))
-    elif bits == 64:
-        match = hi == F.lit(_signed64(hi_t))
-    elif bits < 128:
-        match = (hi == F.lit(_signed64(hi_t))) & (
-            F.shiftrightunsigned(lo, 128 - bits) == F.lit(lo_t >> (128 - bits))
-        )
-    else:
-        match = (hi == F.lit(_signed64(hi_t))) & (lo == F.lit(_signed64(lo_t)))
-    return ip_col.contains(":") & F.coalesce(match, F.lit(False))
+
+    def check(hl):
+        hi, lo = hl["hi"], hl["lo"]
+        if bits == 0:
+            match = F.lit(True)
+        elif bits < 64:
+            match = (
+                F.shiftrightunsigned(hi, 64 - bits)
+                == F.lit(hi_t >> (64 - bits))
+            )
+        elif bits == 64:
+            match = hi == F.lit(_signed64(hi_t))
+        elif bits < 128:
+            match = (hi == F.lit(_signed64(hi_t))) & (
+                F.shiftrightunsigned(lo, 128 - bits)
+                == F.lit(lo_t >> (128 - bits))
+            )
+        else:
+            match = (hi == F.lit(_signed64(hi_t))) & (
+                lo == F.lit(_signed64(lo_t))
+            )
+        return F.coalesce(match, F.lit(False))
+
+    # one parse-tree copy via the struct binding (hi/lo are variable reads)
+    return ip_col.contains(":") & _let(_ipv6_longs_struct(ip_col), check)
 
 
 # ---- Grok (VRL parse_grok) --------------------------------------------

@@ -40,6 +40,39 @@ DEFAULT_SCAN_INTERVAL = 30.0
 DEFAULT_FALSE_POSITIVE_RATE = 0.01
 
 
+def _kv_df(spark: SparkSession, rows: list, key_col: str, value_col: str,
+           value_type: str, with_ttl: bool = False) -> DataFrame:
+    """Driver-side KV rows -> DataFrame via ONE Arrow batch
+    (`createDataFrame(pyarrow.Table)`) instead of the per-row pickle
+    path (guide §6 "Arrow for driver transfers" — orders of magnitude
+    faster for anything non-trivial). Types are declared explicitly on
+    the Arrow arrays, so None stays SQL NULL even in numeric columns
+    (the pandas route would smuggle NaN). Value types without a scalar
+    Arrow mapping fall back to the row-list path unchanged."""
+    import pyarrow as pa
+
+    pa_types = {
+        "string": pa.string(), "double": pa.float64(),
+        "float": pa.float32(), "long": pa.int64(), "bigint": pa.int64(),
+        "int": pa.int32(), "integer": pa.int32(), "boolean": pa.bool_(),
+    }
+    vt = pa_types.get(value_type)
+    if vt is None:
+        ddl = f"{key_col} string, {value_col} {value_type}"
+        if with_ttl:
+            ddl += ", ttl long"
+        return spark.createDataFrame(rows or [], ddl)
+    fields = [pa.field(key_col, pa.string()), pa.field(value_col, vt)]
+    if with_ttl:
+        fields.append(pa.field("ttl", pa.int64()))
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for f, c in zip(fields, cols)],
+        schema=pa.schema(fields),
+    )
+    return spark.createDataFrame(tbl)
+
+
 @dataclass
 class MemoryTable:
     """Driver-side KV store with per-entry TTL; readable as a broadcast
@@ -127,12 +160,19 @@ class MemoryTable:
     def write_batch(self, batch_df: DataFrame, epoch_id: int | None = None,
                     now: float | None = None) -> None:
         """foreachBatch handler / topology-sink entry: upsert
-        (key_col, value_col [, ttl_field]) rows in input order."""
+        (key_col, value_col [, ttl_field]) rows in input order.
+
+        Driver transfer is Arrow (`toArrow()`), not the pickled-row
+        collect path — one columnar batch instead of per-row
+        serialization (guide §6 "Arrow for driver transfers"). Arrow
+        preserves SQL NULL exactly (`to_pylist` yields None, never the
+        pandas NaN coercion that made `toPandas()` unsafe here — a NaN
+        double would dodge the None-removes-key contract)."""
         now = time.time() if now is None else now
         cols = [self.key_col, self.value_col]
         if self.ttl_field:
             cols.append(self.ttl_field)
-        for row in batch_df.select(*cols).collect():
+        for row in batch_df.select(*cols).toArrow().to_pylist():
             ttl = row[self.ttl_field] if self.ttl_field else None
             if self.flush_interval is not None:
                 self._pending.append((row[self.key_col],
@@ -160,9 +200,7 @@ class MemoryTable:
         now = time.time() if now is None else now
         value_type = value_type or self.value_type
         self.expire(now)
-        schema = f"{self.key_col} string, {self.value_col} {value_type}"
         if include_ttl:
-            schema += ", ttl long"
             rows = [
                 (str(k), self._coerce(v, value_type),
                  None if ttl is None else max(0, int(ttl - (now - ts))))
@@ -171,7 +209,8 @@ class MemoryTable:
         else:
             rows = [(str(k), self._coerce(v, value_type))
                     for k, (v, _, _) in self._data.items()]
-        return spark.createDataFrame(rows or [], schema)
+        return _kv_df(spark, rows, self.key_col, self.value_col,
+                      value_type, with_ttl=include_ttl)
 
     def export(self, spark: SparkSession, value_type: str | None = None,
                batch_size: int | None = None,
@@ -190,9 +229,7 @@ class MemoryTable:
             for k, _ in items:
                 v, _, _ = self._data.pop(k)
                 self._byte_size -= self._entry_bytes(k, v)
-        return spark.createDataFrame(
-            rows or [], f"{self.key_col} string, {self.value_col} {value_type}"
-        )
+        return _kv_df(spark, rows, self.key_col, self.value_col, value_type)
 
     def expired_items(self, spark: SparkSession,
                       value_type: str | None = None) -> DataFrame:
@@ -200,9 +237,7 @@ class MemoryTable:
         port, source.rs EXPIRED_ROUTE)."""
         value_type = value_type or self.value_type
         rows = [(str(k), v) for k, v, _, _ in self._expired]
-        return spark.createDataFrame(
-            rows or [], f"{self.key_col} string, {self.value_col} {value_type}"
-        )
+        return _kv_df(spark, rows, self.key_col, self.value_col, value_type)
 
     def enrich(
         self, df: DataFrame, on: str, value_type: str = "string", how: str = "left"
@@ -454,7 +489,9 @@ class CuckooMemoryTable:
         bounded by max_entries by config contract (a membership table,
         not the corpus)."""
         cols = [key_col] + ([value_col] if value_col else [])
-        for row in batch_df.select(*cols).collect():
+        # Arrow driver transfer; to_pylist keeps NULL as None exactly
+        # (the null-value-removes-key convention depends on it)
+        for row in batch_df.select(*cols).toArrow().to_pylist():
             if value_col and row[value_col] is None:
                 self.remove(row[key_col], now)
             else:
