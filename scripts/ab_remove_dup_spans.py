@@ -7,26 +7,37 @@ duplicate-span structure while replicas share no spans — survivor/corpus
 ratio stays constant, which is what real growth does). Arms, timed cold
 (cache registry cleared before each run, min-of-`runs`):
 
-  A. string-keyed — the r11 shape: two-level aggregation and the
+  A. strategy="string" — two-level aggregation and the
      occurrence-marking join all keyed on the RAW SPAN STRING;
-  B. hash-keyed — the r12 shape (vector_spark.dataops.curation.
-     remove_duplicate_spans): xxhash64(span) proxy keys + witness-hash
+  B. strategy="hash" — xxhash64(span) proxy keys + witness-hash
      collision detection + in-plan AQE-pruned exact recount arm.
 
-Unlike duplicate_spans (where string won at k<=12 because the output
-needs the span text back), remove_duplicate_spans never recovers text —
-the hash is pure key narrowing. Shuffle BYTES per arm come from the
-status REST API. A secondary forced-SMJ pass (autoBroadcastJoinThreshold
-=-1, the survivors-too-big-to-broadcast regime every real corpus hits)
-shows the probe-side claim: with string keys the occurrence join
-shuffles k-word strings per exploded row; with hash keys 20-byte rows.
+Unlike duplicate_spans (where the string arm additionally avoids a
+text-recovery pass), remove_duplicate_spans never recovers text — the
+hash is pure key narrowing, so this measures the key-width question in
+isolation. Shuffle BYTES per arm come from the status REST API. A
+secondary forced-SMJ pass (autoBroadcastJoinThreshold=-1, the
+survivors-too-big-to-broadcast regime a real corpus hits) shows the
+probe-side shuffle too. MEASURED (x10 corpus): k=5 min-of-4 — string
+12.16 s / 164.7 MB vs hash 19.86 s / 305.7 MB (string wins at short k:
+shuffle compression shrinks short spans to near hash width; the
+hash+witness longs are incompressible). k=50 min-of-3 — hash shuffles
+3.0x FEWER bytes (90.8 vs 211.6 MB; 103.7 vs 311.4 forced-SMJ) at a
+12% forced-SMJ CPU delta (12.69 vs 11.34 s), local AQE-default
+wall-clock still string (6.26 vs 13.48 s: tiny wide-k survivor sets
+broadcast everywhere and the hash plan's extra stages dominate). Hence
+the operator's auto threshold: string k<=12, hash above (bytes are the
+cluster currency; local[32] has no network to show it).
 
 Also asserts both arms return identical (doc_id, clean_text) rows, so
 the speed claim is not trading correctness. Usage:
 
-    python scripts/ab_remove_dup_spans.py [replicas] [runs]
+    python scripts/ab_remove_dup_spans.py [replicas] [runs] [k]
 
-Writes nothing outside /tmp; prints one JSON line.
+k defaults to 5 (the registry entry's value — where the string arm wins
+on shuffle compression); k=50 measures the wide-span regime that
+justifies the auto-strategy crossover. Writes nothing outside /tmp;
+prints one JSON line.
 """
 from __future__ import annotations
 
@@ -40,72 +51,20 @@ from pyspark.sql import DataFrame, functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vector_spark import cache  # noqa: E402
-from vector_spark.dataops.curation import (  # noqa: E402
-    _ngrams,
-    _words,
-    remove_duplicate_spans,
-)
+from vector_spark.dataops.curation import remove_duplicate_spans  # noqa: E402
 from vector_spark.session import get_spark  # noqa: E402
-
-
-def string_arm(docs: DataFrame, k: int = 5, min_docs: int = 2) -> DataFrame:
-    """The r11 string-keyed implementation, verbatim (plans/r11/
-    docs_remove_duplicate_spans_after.txt is its plan receipt)."""
-    text_col, id_col = "text", "doc_id"
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    spans = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(_ngrams(_words(F.col(text_col)), k)).alias("pos", "span"),
-    )
-    per_doc = spans.groupBy("span", "_doc").agg(F.min("pos").alias("_minpos"))
-    survivors = (
-        per_doc.groupBy("span")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(F.struct(F.col("_doc"), F.col("_minpos"))).alias("first"),
-        )
-        .where(F.col("n_docs") >= min_docs)
-        .select(
-            "span",
-            F.col("first._doc").alias("_fdoc"),
-            F.col("first._minpos").alias("_fpos"),
-        )
-    )
-    removed = (
-        spans.join(survivors, "span")
-        .where(
-            ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
-        )
-        .select("_doc", "pos")
-    )
-    covered = (
-        removed.select(
-            "_doc",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
-        )
-        .groupBy("_doc")
-        .agg(F.collect_set("p").alias("_cov"))
-    )
-    arr = _words(F.col(text_col))
-    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.array_except(F.sequence(F.lit(0), F.size(arr) - 1), cov)
-    return docs.join(covered, docs[id_col] == covered["_doc"], "left").select(
-        F.col(id_col),
-        F.array_join(F.transform(kept, lambda p: F.get(arr, p)), " ").alias(
-            "clean_text"
-        ),
-    )
-
-
-def hash_arm(docs: DataFrame) -> DataFrame:
-    return remove_duplicate_spans(docs)
 
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    def string_arm(docs):
+        return remove_duplicate_spans(docs, k=k, strategy="string")
+
+    def hash_arm(docs):
+        return remove_duplicate_spans(docs, k=k, strategy="hash")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "ab_remove_dup_spans",
@@ -194,6 +153,7 @@ def main() -> None:
             {
                 "replicas": replicas,
                 "n_docs": n_docs_total,
+                "k": k,
                 "string_keyed_sec": t_string,
                 "hash_keyed_sec": t_hash,
                 "speedup": round(t_string / t_hash, 2),

@@ -464,23 +464,27 @@ def test_remove_duplicate_spans_no_forced_broadcast(spark):
     et al.), so the occurrence-marking join must carry NO broadcast
     hint: AQE picks broadcast only when the measured size fits,
     sort-merge otherwise, instead of a forced hint OOMing at 100 TB.
-    The ONE allowed hint is the collision-repair arm's broadcast of the
-    collider hash set, which is bounded by the 64-bit birthday rate
-    (~n²/2^65 groups — ~22 MB of keys even at 10^13 spans), not by
-    corpus fraction."""
+    In the hash strategy the ONE allowed hint is the collision-repair
+    arm's broadcast of the collider hash set, which is bounded by the
+    64-bit birthday rate (~n²/2^65 groups — ~22 MB of keys even at
+    10^13 spans), not by corpus fraction."""
     from vector_spark.dataops.curation import remove_duplicate_spans
 
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
     )
-    out = remove_duplicate_spans(docs, k=4, min_docs=2)
+    out = remove_duplicate_spans(docs, k=4, min_docs=2)  # auto -> string
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    # the collider broadcast is the plan's ONLY hint; it prints twice
-    # because the collider-matched span subtree is referenced by both
-    # the recount aggregation and its occurrence-marking join (the
-    # analyzed plan is a tree, not a DAG)
-    assert analyzed.count("ResolvedHint") == 2
+    assert "ResolvedHint" not in analyzed
     assert "UnresolvedHint" not in analyzed
+    hashed = remove_duplicate_spans(docs, k=4, min_docs=2, strategy="hash")
+    analyzed_h = hashed._jdf.queryExecution().analyzed().toString()
+    # the collider broadcast is the hash plan's ONLY hint; it prints
+    # twice because the collider-matched span subtree is referenced by
+    # both the recount aggregation and its occurrence-marking join
+    # (the analyzed plan is a tree, not a DAG)
+    assert analyzed_h.count("ResolvedHint") == 2
+    assert "UnresolvedHint" not in analyzed_h
 
 
 def test_exact_rank_rows_matches_sorted_collect(spark):
@@ -762,11 +766,10 @@ def test_c4_filters_rules(spark):
 
 
 def test_remove_duplicate_spans_hash_keys_match_reference(spark):
-    """r12 focused test: the hash-proxy-keyed implementation must agree
-    with a pure-Python reference of the documented contract on a
-    randomized corpus with heavy cross-document span duplication (the
-    regime the xxhash64 key + witness-hash recount arm must keep
-    exact)."""
+    """r12 focused test: BOTH key strategies must agree with a
+    pure-Python reference of the documented contract on a randomized
+    corpus with heavy cross-document span duplication (the regime the
+    xxhash64 key + witness-hash recount arm must keep exact)."""
     import random
 
     from vector_spark.dataops.curation import remove_duplicate_spans
@@ -798,8 +801,11 @@ def test_remove_duplicate_spans_hash_keys_match_reference(spark):
     }
 
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        r.doc_id: r.clean_text
-        for r in remove_duplicate_spans(docs, k=k, min_docs=min_docs).collect()
-    }
-    assert got == expected
+    for strategy in ("string", "hash"):
+        got = {
+            r.doc_id: r.clean_text
+            for r in remove_duplicate_spans(
+                docs, k=k, min_docs=min_docs, strategy=strategy
+            ).collect()
+        }
+        assert got == expected, strategy

@@ -1009,25 +1009,3 @@ def test_detect_format(spark):
     assert out[4].markdown_line_frac >= 0.4
     assert out[5].format == "prose"
 
-
-def test_kmeans_fit_books_bit_identical_to_sequential():
-    """r12 focused test: the batched PQ codebook fit must be
-    BIT-identical (np.array_equal, no tolerance) to m sequential
-    _kmeans_fit calls — same per-book RNG init, same element-wise ops,
-    same reduction orders, same argmin ties, same per-cluster means."""
-    import numpy as np
-
-    from vector_spark.dataops.similarity import _kmeans_fit, _kmeans_fit_books
-
-    rng = np.random.default_rng(7)
-    X = rng.standard_normal((500, 32))
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    m, k, iters, seed = 8, 16, 8, 42
-    dsub = X.shape[1] // m
-    seq = [
-        _kmeans_fit(X[:, j * dsub:(j + 1) * dsub].tolist(), k, iters, seed + j)
-        for j in range(m)
-    ]
-    batched = _kmeans_fit_books(X, m, k, iters, seed)
-    for j in range(m):
-        assert np.array_equal(np.asarray(seq[j]), batched[j]), j

@@ -463,94 +463,50 @@ def _duplicate_spans_hashed(
     return out_clean.unionByName(recount)
 
 
-def remove_duplicate_spans(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
-    min_docs: int = 2,
-) -> DataFrame:
-    """REWRITE the corpus with cross-document duplicate spans removed —
-    the removal side of :func:`duplicate_spans` (Lee et al. 2021 §4:
-    after finding duplicated passages, all but one occurrence are cut
-    from the training set). Contract, fully deterministic:
-
-    - a k-word span duplicated across >= min_docs distinct docs keeps
-      ONLY its canonical occurrence — the minimum (doc_id, position) —
-      and every other occurrence's word positions [pos, pos+k-1] are
-      dropped (overlapping removals union);
-    - output text is the surviving words joined by single spaces after
-      the same lowercase/trim normalization the span scan uses, so a
-      document with nothing removed comes back normalized, not verbatim.
-
-    Scale shape: one span-explode scan feeding a two-level HASH-KEYED
-    aggregation — the removal decision needs only (doc, pos), never the
-    span text in its output, so both aggregation levels and the
-    occurrence-marking join are keyed on ``xxhash64(span)``: 8 fixed
-    bytes of incompressible key instead of a ~6k-byte span string (the
-    heaviest text-op shuffle payload at corpus scale; guide §2.3
-    "shuffle keys and metadata instead of payloads"). This differs from
-    :func:`duplicate_spans`'s measured string-wins-at-k<=12 rejection
-    precisely because no text-recovery pass exists here — the hash
-    never has to be joined back to its span. Levels: (hash, doc) ->
-    min pos, map-side combined, then hash-level count + canonical key
-    over the deduplicated rows (hash aggregates, no Expand). EXACTNESS:
-    a 64-bit collision would merge two spans' groups, so every row
-    carries an independent witness ``xxhash64(span, 1)``; a group whose
-    witness min != max contains >= 2 distinct spans and is diverted to
-    an exact text-keyed recount arm that re-resolves ONLY rows matching
-    the collider hashes (broadcast semi-join before any text moves).
-    A silent miss needs a simultaneous collision in both independent
-    64-bit hashes (P ~ n_spans^2 / 2^129 — ~3e-13 even at 10^13 spans).
-    The collider set is empty until ~2^32 distinct spans (birthday
-    bound), so the recount subtree is dead weight AQE eliminates at
-    runtime (empty broadcast side -> empty-relation propagation — the
-    plan carries it, no task ever runs it); at true 100 TB span counts
-    (~10^13) single-hash collisions are expected (~n^2/2^65), and the
-    recount is one bounded extra pass whose shuffle holds only
-    collider-matched rows. The survivor table joins back onto a second
-    span scan to mark removed occurrences — with NO broadcast hint:
-    survivor cardinality is the number of distinct duplicated spans,
-    corpus-dependent (Lee et al. found duplicate text at corpus-
-    fraction scale), so AQE broadcasts it when it measures small and
-    sort-merges otherwise instead of a forced hint OOMing the driver
-    at 100 TB — and with hash keys a sort-merged probe side shuffles
-    20-byte fixed rows, not k-word strings; covered positions
-    aggregate per doc (duplicated-volume-sized shuffle, k rows per
-    removed occurrence); the rewrite is a pure-Column projection over
-    the original docs (kept positions via ONE array_except — linear,
-    not the O(L*|cov|) per-word array_contains scan) — the corpus text
-    NEVER enters a shuffle. Receipts: scripts/ab_remove_dup_spans.py
-    (10x suffix-tagged corpus, value-identity asserted). Returns
-    (doc_id, clean_text)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    spans = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(_ngrams(_words(F.col(text_col)), k)).alias(
-            "pos", "span"
-        ),
+def _removed_occurrences_string(spans: DataFrame, min_docs: int) -> DataFrame:
+    """(doc, pos) of every non-canonical duplicated-span occurrence,
+    string-keyed (see :func:`remove_duplicate_spans` for the measured
+    strategy choice). Two-level aggregation: (span, doc) -> min pos is a
+    plain hash aggregate with map-side combine; the span-level count +
+    lexicographic-min canonical key then runs over the deduplicated
+    rows (the one-level count_distinct/struct-min form compiled to an
+    Expand + three SortAggregates with two sorted exchanges)."""
+    per_doc = spans.groupBy("span", "_doc").agg(F.min("pos").alias("_minpos"))
+    survivors = (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct(F.col("_doc"), F.col("_minpos"))).alias("first"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "span",
+            F.col("first._doc").alias("_fdoc"),
+            F.col("first._minpos").alias("_fpos"),
+        )
     )
-    # fixed-width proxy rows: span text is dropped BEFORE any exchange
+    return (
+        spans.join(survivors, "span")
+        .where(
+            ~((F.col("_doc") == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+        )
+        .select("_doc", "pos")
+    )
+
+
+def _removed_occurrences_hashed(spans: DataFrame, min_docs: int) -> DataFrame:
+    """(doc, pos) of every non-canonical duplicated-span occurrence,
+    xxhash64-proxy-keyed with exact witness-hash collision repair (see
+    :func:`remove_duplicate_spans` for the strategy choice + collision
+    analysis). Span text is dropped before any exchange; the recount
+    arm is in-plan and AQE-deleted at runtime while no collision
+    exists."""
     hspans = spans.select(
         "_doc",
         "pos",
         F.xxhash64("span").alias("_h"),
         F.xxhash64("span", F.lit(1)).alias("_h2"),
     )
-    # two-level aggregation: (hash, doc) -> min pos, then hash -> count +
-    # lexicographic-min canonical key. Semantically identical to a single
-    # groupBy(key).agg(count_distinct(doc), min(struct(doc, pos))) — the
-    # per-doc min-pos rows are exactly the distinct docs, and the struct
-    # min over them is the same (min doc, its min pos) — but the single-
-    # level form compiled to an Expand + THREE SortAggregates with two
-    # sorted exchanges (count_distinct forces the expand; struct-min
-    # forces sort-based aggregation over the full span table). Level 1 is
-    # a plain hash aggregate over atomic columns; the sort-based struct
-    # min now only sees the deduplicated (hash, doc) rows. The witness
-    # min/max ride the same exchanges (16 extra bytes per DEDUPLICATED
-    # row, not per occurrence).
     per_doc = hspans.groupBy("_h", "_doc").agg(
         F.min("pos").alias("_minpos"),
         F.min("_h2").alias("_wlo"),
@@ -581,14 +537,11 @@ def remove_duplicate_spans(
         )
         .select("_doc", "pos")
     )
-    # collision-repair arm, IN-PLAN: colliding hash groups (none until
-    # ~2^32 distinct spans; sub-min_docs groups need no repair — a merged
-    # group's doc count upper-bounds every constituent span's) re-resolve
+    # collision-repair arm, IN-PLAN: colliding hash groups re-resolve
     # with exact text keys over ONLY the rows whose hash matched. The
-    # broadcast of `colliders` reuses the survivor aggregation's exchange
-    # (ReusedExchange) and, when empty, AQE's empty-relation propagation
-    # deletes both recount scans at runtime — verified in the r12 plan
-    # receipts (LocalTableScan <empty> replaces the arm).
+    # broadcast of `colliders` reuses the survivor aggregation's
+    # exchange (ReusedExchange) and, when empty, AQE's empty-relation
+    # propagation deletes both recount scans at runtime.
     colliders = survivors.where(F.col("_lo") != F.col("_hi")).select("_h")
     cspans = spans.join(
         F.broadcast(colliders),
@@ -618,7 +571,107 @@ def remove_duplicate_spans(
         )
         .select("_doc", "pos")
     )
-    removed = removed.unionByName(crem)
+    return removed.unionByName(crem)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+    strategy: str = "auto",
+) -> DataFrame:
+    """REWRITE the corpus with cross-document duplicate spans removed —
+    the removal side of :func:`duplicate_spans` (Lee et al. 2021 §4:
+    after finding duplicated passages, all but one occurrence are cut
+    from the training set). Contract, fully deterministic:
+
+    - a k-word span duplicated across >= min_docs distinct docs keeps
+      ONLY its canonical occurrence — the minimum (doc_id, position) —
+      and every other occurrence's word positions [pos, pos+k-1] are
+      dropped (overlapping removals union);
+    - output text is the surviving words joined by single spaces after
+      the same lowercase/trim normalization the span scan uses, so a
+      document with nothing removed comes back normalized, not verbatim.
+
+    Scale shape: one span-explode scan feeding a two-level aggregation
+    ((key, doc) -> min pos, map-side combined, then key-level count +
+    lexicographic-min canonical occurrence — hash aggregates, no
+    Expand); the survivor table joins back onto a second span scan to
+    mark removed occurrences — with NO broadcast hint: survivor
+    cardinality is corpus-dependent (Lee et al. found duplicate text at
+    corpus-fraction scale), so AQE broadcasts it when it measures small
+    and sort-merges otherwise; covered positions aggregate per doc
+    (duplicated-volume-sized shuffle); the rewrite is a pure-Column
+    projection over the original docs (kept positions via ONE
+    array_except) — the corpus text never enters a shuffle.
+
+    Two exact strategies for the AGGREGATION/JOIN KEY, picked by
+    MEASUREMENT exactly like :func:`duplicate_spans`'s
+    (scripts/ab_remove_dup_spans.py; sf0.1 x 10 suffix-tagged replicas,
+    min-of-4 cold, local[32], shuffle bytes from the status REST API):
+
+    - ``"string"`` — keys are the raw span text. At k=5: 12.16 s /
+      164.7 MB shuffled (and 16.25 s / 250.4 MB under forced
+      sort-merge).
+    - ``"hash"`` — keys are ``xxhash64(span)`` proxies (the removal
+      output never needs span text back, so unlike duplicate_spans
+      there is NO recovery pass), with an independent witness
+      ``xxhash64(span, 1)`` riding both aggregation levels; a group
+      whose witness min != max holds >= 2 distinct spans and diverts
+      to an exact text-keyed recount arm over only the rows matching
+      the collider hashes. The recount arm is IN-PLAN behind a
+      broadcast of the collider set: with zero colliders AQE's
+      empty-relation propagation deletes both its scans at runtime
+      (verified: the executed adaptive plan has no Union and 2 parquet
+      scans — plans/r12/docs_remove_duplicate_spans_hash_final_adaptive.txt).
+      At k=5: 19.86 s / 305.7 MB — the hash arm LOSES at short k for
+      the same measured reason the duplicate_spans hash arm did:
+      shuffle compression shrinks short English span strings to near
+      hash width while the two 64-bit hashes + witness min/max are
+      incompressible entropy, and every occurrence pays two xxhash64
+      evaluations. At k=50 (span strings ~300 B/row pre-compression vs
+      the fixed 28 B proxy) the BYTES verdict flips decisively —
+      hash 90.8 MB vs string 211.6 MB under AQE defaults, 103.7 vs
+      311.4 MB under forced sort-merge (3.0x) — while LOCAL wall-clock
+      still favors string (6.26 vs 13.48 s AQE-default, where tiny
+      wide-k survivor sets make everything broadcast-cheap and the
+      hash plan's extra query stages dominate; 11.34 vs 12.69 s forced
+      SMJ — within 12%). The ``"auto"`` threshold k<=12 -> string
+      mirrors duplicate_spans': on a CLUSTER the wide-k regime is
+      sort-merge territory with the shuffle crossing NICs (guide
+      §2.2-2.3), where 3x fewer bytes buys ~3x stage time against a
+      12% CPU delta; on local[32] the network is free, so the local
+      bench cannot show that win and the k=5 registry entry stays on
+      the measured-faster string path either way.
+
+    Collision analysis for the hash arm (exactness): expected colliding
+    64-bit groups at n distinct spans ~ n^2/2^65 — zero until ~2^32
+    spans, ~3e6 repaired groups at 100 TB span counts (~1e13), each
+    repaired EXACTLY by the recount arm (one bounded extra pass whose
+    shuffle holds only collider-matched rows); a silent miss needs a
+    simultaneous collision in both independent hashes, P ~ n^2/2^129
+    (~3e-13 at 1e13 spans). Sub-min_docs merged groups need no repair
+    (a merged group's doc count upper-bounds every constituent
+    span's). Both strategies return identical rows (asserted by the
+    A/B receipt and the randomized golden test). Returns
+    (doc_id, clean_text)."""
+    if strategy == "auto":
+        strategy = "string" if k <= 12 else "hash"
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    spans = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_ngrams(_words(F.col(text_col)), k)).alias(
+            "pos", "span"
+        ),
+    )
+    if strategy == "string":
+        removed = _removed_occurrences_string(spans, min_docs)
+    else:
+        removed = _removed_occurrences_hashed(spans, min_docs)
     covered = (
         removed.select(
             "_doc",

@@ -561,45 +561,6 @@ def _kmeans_fit(sample: "list[list[float]]", k: int, iters: int, seed: int):
     return cent
 
 
-def _kmeans_fit_books(X, m: int, k: int, iters: int, seed: int):
-    """All `m` PQ codebooks fitted in ONE batched Lloyd's pass over a
-    (m, n, dsub) tensor instead of m sequential :func:`_kmeans_fit`
-    calls — one subtract/square/sum/argmin kernel dispatch per
-    iteration instead of m (the r11 receipt showed the fit dominated by
-    allocator+dispatch, not FLOPs; batching the book axis removes the
-    remaining per-book dispatch). BIT-IDENTICAL to the sequential fits
-    (asserted in tests/test_similarity_ops.py and
-    scripts/profile_build_exec.py): the leading book axis only stacks
-    the per-book arrays, so every element-wise op, the axis(-1) sum
-    order, argmin first-wins ties, per-book RNG init (seed + j) and
-    per-cluster means see exactly the values the sequential fit saw.
-    Returns the (m, k, dsub) codebook tensor."""
-    import random
-
-    import numpy as np
-
-    n, dim = X.shape
-    dsub = dim // m
-    Xb = np.stack([X[:, j * dsub:(j + 1) * dsub] for j in range(m)])
-    cent = np.stack([
-        Xb[j][random.Random(seed + j).sample(range(n), k)]
-        for j in range(m)
-    ])
-    buf = np.empty((m, n, k, dsub))
-    for _ in range(iters):
-        np.subtract(Xb[:, :, None, :], cent[:, None, :, :], out=buf)
-        np.multiply(buf, buf, out=buf)
-        d = buf.sum(axis=3)
-        assign = d.argmin(axis=2)
-        for j in range(m):
-            Xj, aj = Xb[j], assign[j]
-            for c in range(k):
-                pts = Xj[aj == c]
-                if len(pts):
-                    cent[j, c] = pts.mean(axis=0)
-    return cent
-
-
 def _nearest_centroids(vec: Column, centroids, n: int) -> Column:
     """Array of the n nearest centroid ids for a vector column — pure
     Column argsort over k squared-distance expressions (k is small)."""
@@ -811,19 +772,38 @@ def pq_topk(
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    # the two bounded driver collects (codebook sample + query matrix)
+    # The two bounded driver collects (codebook sample + query matrix)
     # are independent blocking jobs — overlap them from a 2-thread pool
     # (guide §2.6: actions are only sequential because driver code calls
-    # them sequentially), halving the build's blocking-job wall time
+    # them sequentially); the codebook FIT rides the sample's thread so
+    # it also overlaps the query collect. The fit stays m sequential
+    # per-book Lloyd passes: a single (m, n, k, dsub) batched tensor was
+    # built and MEASURED 1.3-2.6x SLOWER (scripts/ab_pq_fit_batched.py:
+    # sequential 0.46-0.50 s vs batched 0.60-1.24 s) — the per-book
+    # (n, k, dsub) buffer is ~8 MB and LLC-resident across all three
+    # elementwise passes, the 67 MB batched tensor is not, and memory
+    # bandwidth beats the saved kernel dispatches.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _sample_rows():
-        return [
+    def _sample_and_fit():
+        sample = [
             r.v
             for r in corpus.select(F.col(vec_col).alias("v"))
             .limit(sample_size)
             .collect()
         ]
+        X = np.asarray(sample, dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        dim = X.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        books = [
+            _kmeans_fit(X[:, j * dsub : (j + 1) * dsub].tolist(), n_codes,
+                        kmeans_iters, seed + j)
+            for j in range(m)
+        ]
+        return dsub, np.stack([np.asarray(b, dtype=np.float64) for b in books])
 
     def _query_rows():
         return queries.select(
@@ -831,19 +811,10 @@ def pq_topk(
         ).collect()
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        sample_fut = pool.submit(_sample_rows)
+        fit_fut = pool.submit(_sample_and_fit)
         qrows_fut = pool.submit(_query_rows)
-        sample = sample_fut.result()
+        dsub, B = fit_fut.result()
         qrows = qrows_fut.result()
-    X = np.asarray(sample, dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    # one batched fit for all m books (bit-identical to the sequential
-    # per-book fits — see _kmeans_fit_books)
-    B = _kmeans_fit_books(X, m, n_codes, kmeans_iters, seed)
 
     # Encode + ADC scoring run as ONE Arrow-batched numpy pass
     # (mapInPandas): per corpus batch, m argmin matmuls against the
@@ -917,16 +888,24 @@ def pq_topk(
         return candidates
     # two-stage: exact cosine re-rank of the ADC candidate set only —
     # the full vectors re-enter the plan for k*refine rows per query,
-    # not the whole corpus (the standard IVF-PQ + refine layout)
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), vd.alias("_cv"), _norm(vd).alias("_cn")
+    # not the whole corpus (the standard IVF-PQ + refine layout).
+    # The projections + cosine are SQL-string expressions (selectExpr /
+    # F.expr): the lambda Column API builds zip_with/aggregate trees in
+    # ~dozens of py4j round-trips per expression, measured 0.36-0.47 s
+    # of pure driver plan construction per build for this refine arm —
+    # the parser produces the identical analyzed expressions in one
+    # call each (same fix as _centroid_lit / _planes_row_df).
+    vd_sql = f"transform({vec_col}, x -> cast(x as double))"
+    nrm_sql = f"sqrt(aggregate({vd_sql}, 0.0D, (acc, v) -> acc + v * v))"
+    cvecs = corpus.selectExpr(
+        f"{id_col} as neighbor_id", f"{vd_sql} as _cv", f"{nrm_sql} as _cn"
     )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), vd.alias("_qv"), _norm(vd).alias("_qn")
+    qvecs = queries.selectExpr(
+        f"{id_col} as query_id", f"{vd_sql} as _qv", f"{nrm_sql} as _qn"
     )
-    cos = F.round(
-        _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
-        round_decimals,
+    cos = F.expr(
+        "round(aggregate(zip_with(_qv, _cv, (x, y) -> x * y), 0.0D,"
+        f" (acc, v) -> acc + v) / (_qn * _cn), {int(round_decimals)})"
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
