@@ -83,11 +83,13 @@ def assign_clusters(
     compiles once — not k unrolled fold expressions (measured: the
     unrolled form's analysis+codegen dominated wall time at small scale
     and grows O(k·dim) in expression-tree size)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vv = _dot(v, v)
-    # single-expr literal arrays (see _centroid_lit): k×dim values in two
-    # py4j calls total instead of k×dim+k
-    cents = F.expr(
+    # ONE F.expr call for the whole scoring expression: the lambda
+    # Column API (transform/zip_with/aggregate builders) costs a py4j
+    # round-trip per node — measured 0.15-0.25 s of driver plan build
+    # per assignment, paid 3-4x per kmeans query (each fit iteration +
+    # the final assignment). The SQL parser yields the identical
+    # analyzed expression in one call (same fix as _centroid_lit).
+    cents = (
         "array("
         + ",".join(
             "array(" + ",".join(_dlit(round(float(x), _ROUND)) for x in c) + ")"
@@ -95,7 +97,7 @@ def assign_clusters(
         )
         + ")"
     )
-    cc = F.expr(
+    cc = (
         "array("
         + ",".join(
             _dlit(round(float(sum(x * x for x in c)), _ROUND))
@@ -103,15 +105,15 @@ def assign_clusters(
         )
         + ")"
     )
-    scored = F.transform(
-        cents,
-        lambda cent, i: F.struct(
-            F.round(vv - 2.0 * _dot(v, cent) + cc[i], _ROUND).alias("d"),
-            i.alias("cid"),
-        ),
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    vv = f"aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+    dot_vc = f"aggregate(zip_with({v}, cent, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+    scored = (
+        f"transform({cents}, (cent, i) -> named_struct("
+        f"'d', round({vv} - 2.0D * {dot_vc} + {cc}[i], {_ROUND}), 'cid', i))"
     )
     return df.withColumn(
-        out_col, F.array_sort(scored)[0]["cid"].cast("int")
+        out_col, F.expr(f"cast(array_sort({scored})[0].cid as int)")
     )
 
 
