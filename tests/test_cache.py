@@ -72,6 +72,33 @@ def test_lru_bound_caps_registry_growth(spark):
     assert persisted_rdd_count(spark) == baseline
 
 
+def test_track_persist_dedups_semantically_equal_plans(spark):
+    """r12: rebuilding an operator re-persists the SAME logical plan;
+    Spark's CacheManager keys cached data by canonicalized plan, so the
+    duplicate registry entry shared one cache entry with the original
+    and its eviction unpersisted blocks still in use. track_persist must
+    return the already-tracked handle and refresh it to MRU instead."""
+    base = spark.range(100, numPartitions=1).toDF("v")
+    first = cache.track_persist(base.where("v % 2 = 0"))
+    first.count()
+    n_entries = len(cache._PERSISTED)
+    # a fresh, semantically identical build dedups onto the tracked handle
+    again = cache.track_persist(base.where("v % 2 = 0"))
+    assert again is first
+    assert len(cache._PERSISTED) == n_entries
+    # dedup refreshes LRU position: fill the registry to one below the
+    # bound with distinct plans, re-track the first plan, then overflow —
+    # the refreshed entry must survive the eviction sweep
+    for i in range(cache.MAX_PERSISTED - 1):
+        cache.track_persist(spark.range(i + 2, numPartitions=1).toDF("w"))
+    assert cache.track_persist(base.where("v % 2 = 0")) is first
+    cache.track_persist(spark.range(999, numPartitions=1).toDF("z"))
+    assert any(t is first for _, t in cache._PERSISTED.values())
+    # a semantically DIFFERENT plan still gets its own entry
+    other = cache.track_persist(base.where("v % 2 = 1"))
+    assert other is not first
+
+
 def test_clear_caches_is_idempotent_and_safe_when_empty():
     assert clear_caches() == 0
     assert clear_caches() == 0
@@ -84,7 +111,7 @@ def test_release_drops_registry_entry(spark):
     df = cache.track_persist(spark.range(5, numPartitions=1).toDF("v"))
     df.count()
     assert cache.release(df) is True
-    assert not any(t is df for t in cache._PERSISTED.values())
+    assert not any(t is df for _, t in cache._PERSISTED.values())
     assert clear_caches(blocking=True) == 0  # nothing left to free
     assert persisted_rdd_count(spark) == baseline
     # releasing an untracked DataFrame is safe and reports False

@@ -43,8 +43,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.RLock()
 
-# insertion-ordered: key -> persisted DataFrame handle (oldest first)
-_PERSISTED: "OrderedDict[int, DataFrame]" = OrderedDict()
+# insertion-ordered: key -> (semantic hash | None, persisted DataFrame
+# handle), oldest first
+_PERSISTED: "OrderedDict[int, tuple[int | None, DataFrame]]" = OrderedDict()
 _NEXT_KEY = [0]
 
 # memo dicts registered by plan/operator modules; cleared wholesale
@@ -57,17 +58,48 @@ MAX_PERSISTED = 8
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + registry entry, LRU-bounded.
+    """``df.persist()`` + registry entry, LRU-bounded and
+    SEMANTICALLY DEDUPLICATED.
 
     Use instead of a bare ``.persist()`` for intermediates whose handle
     does not escape to the caller. Returns the (persisted) DataFrame.
-    """
+
+    Dedup (r12): operators that are not plan-memoized rebuild their
+    internal persists on every call (the bench's min-of-N, any repeat
+    query in a warm session), and Spark's CacheManager keys cached data
+    by CANONICALIZED PLAN — so two registry entries for semantically
+    equal plans share ONE cache entry, and evicting either handle
+    unpersists the blocks the other still relies on. Measured on
+    docs_text_near_dup at sf0.1: zero-steal warm runs alternated
+    1.77 s / 3.3 s as repeated builds pushed duplicate handles through
+    the 8-slot LRU and the eviction killed the live tf cache mid-use.
+    Registering a semantically equal plan now refreshes the existing
+    entry to MRU and returns the ORIGINAL tracked handle instead, so a
+    warm re-serve stays warm and duplicate handles cannot evict
+    genuinely distinct persists. Cold measurements are unaffected:
+    :func:`clear_caches` empties the registry, and the first build
+    after it persists fresh."""
     with _LOCK:
+        try:
+            h: int | None = df.semanticHash()
+        except Exception:
+            h = None  # unanalyzable / session gone: fall through, no dedup
+        if h is not None:
+            for key, (th, tracked) in reversed(list(_PERSISTED.items())):
+                if th != h:
+                    continue
+                try:
+                    same = df.sameSemantics(tracked)
+                except Exception:
+                    same = False  # stale session handle: treat as distinct
+                if same:
+                    _PERSISTED.move_to_end(key)
+                    return tracked
         df = df.persist()
         _NEXT_KEY[0] += 1
-        _PERSISTED[_NEXT_KEY[0]] = df
+        _PERSISTED[_NEXT_KEY[0]] = (h, df)
         while len(_PERSISTED) > MAX_PERSISTED:
-            _, old = _PERSISTED.popitem(last=False)
+            _, (_, old) = _PERSISTED.popitem(last=False)
             try:
                 old.unpersist(blocking=False)
             except Exception:
@@ -86,7 +118,7 @@ def release(df: DataFrame) -> bool:
     handle was tracked."""
     with _LOCK:
         found = False
-        for key, tracked in list(_PERSISTED.items()):
+        for key, (_, tracked) in list(_PERSISTED.items()):
             if tracked is df:
                 del _PERSISTED[key]
                 found = True
@@ -117,7 +149,7 @@ def clear_caches(blocking: bool = False) -> int:
     with _LOCK:
         n = 0
         while _PERSISTED:
-            _, df = _PERSISTED.popitem(last=False)
+            _, (_, df) = _PERSISTED.popitem(last=False)
             try:
                 df.unpersist(blocking=blocking)
                 n += 1
